@@ -1,0 +1,60 @@
+"""Catalog bootstrap: register the driver's parquet tables as temp views.
+
+Mirrors the reference's connector metadata layer
+(``presto-main/.../metadata/MetadataManager.java``,
+``presto-tpch/.../TpchMetadata.java:92``) — but in Spark the catalog IS the
+engine's metadata service, so this is a thin veneer.
+
+Scale note: ``spark.read.parquet`` on a directory of many files
+parallelizes splits automatically (``spark.sql.files.maxPartitionBytes``);
+nothing here assumes single-file tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables: always broadcastable at any scale factor
+# (region=5, nation=25 rows regardless of SF — like TPC-H).
+BROADCAST_TABLES = frozenset({"region", "nation"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS); Spark has no nanos timestamp
+        # type, so the session reads it as nanos-since-epoch LONG
+        # (spark.sql.legacy.parquet.nanosAsLong) and we truncate to
+        # microseconds here — the same truncation DuckDB applies, so oracle
+        # comparisons see identical values.
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+            )
+    return df
+
+
+def register_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every driver table as a temp view; returns name→DataFrame."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

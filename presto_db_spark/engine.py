@@ -1,0 +1,44 @@
+"""Engine facade — the user-facing entry point.
+
+Mirrors the reference's query lifecycle surface (submit → parse → analyze →
+plan → execute; ``presto-main/.../dispatcher/DispatchManager.java:142``,
+``SqlParser.java:101``) but delegates every stage to Spark SQL / Catalyst:
+``Engine.sql()`` IS the whole pipeline. What we add on top:
+
+* catalog bootstrap over the driver's parquet tables (:mod:`catalog`),
+* the Presto-compat function layer (:mod:`functions.presto`) registered
+  into the session's function registry, so Presto-flavored SQL runs as-is,
+* the extension operators (dedup / similarity / text / multimodal) exposed
+  as DataFrame→DataFrame transformers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .catalog import TABLES, register_tables
+from .functions.presto import register_presto_functions
+from .session import get_spark
+
+
+class Engine:
+    def __init__(self, spark: SparkSession | None = None, sf_dir: str | None = None):
+        self.spark = spark or get_spark()
+        register_presto_functions(self.spark)
+        self.tables: dict[str, DataFrame] = {}
+        if sf_dir:
+            self.attach(sf_dir)
+
+    def attach(self, sf_dir: str) -> None:
+        """Register the driver tables under their bare names."""
+        self.tables = register_tables(self.spark, sf_dir)
+
+    def sql(self, query: str) -> DataFrame:
+        return self.spark.sql(query)
+
+    def table(self, name: str) -> DataFrame:
+        if name in self.tables:
+            return self.tables[name]
+        if name in TABLES:
+            raise KeyError(f"table {name!r} exists but no sf_dir attached")
+        return self.spark.table(name)

@@ -1,0 +1,230 @@
+"""Presto-compat function layer.
+
+The reference registers its scalar library in one place
+(``presto-main/.../metadata/BuiltInFunctionNamespaceManager.java:433-700``,
+412 ``@ScalarFunction`` impls under ``pm/operator/scalar/``). Spark covers
+almost all of it natively (SURVEY.md §2.8); this module closes the gaps:
+
+* **Column helpers** (pure ``pyspark.sql.functions`` compositions — stay
+  JVM-side / codegen'd, zero Python in the hot path) for Presto names whose
+  Spark spelling differs (``strpos``, ``to_unixtime``, 1-based
+  ``element_at`` is already Presto-compatible in Spark, …).
+* **SQL temp functions** (Spark ``CREATE TEMPORARY FUNCTION … RETURN expr``
+  — compiled by Catalyst like any expression) so Presto-flavored SQL text
+  runs against :meth:`Engine.sql`.
+* **Python UDFs only as a last resort** for genuinely procedural gaps
+  (``word_stem``, MySQL-pattern ``date_parse``) — never used by the
+  built-in operators' hot paths.
+
+Presto semantic quirks handled deliberately:
+  - ``strpos`` is 1-based, 0 = not found (``pm/operator/scalar/StringFunctions.java``)
+  - ``to_unixtime`` returns DOUBLE seconds (``DateTimeFunctions.java``)
+  - ``date_parse``/``date_format`` use MySQL ``%`` patterns (``DateTimeFunctions.java``)
+  - arrays are 1-based — matches Spark's ``element_at``/``get`` (1-based too)
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# Column helpers (JVM-side expressions)
+# ---------------------------------------------------------------------------
+
+
+def strpos(col: Column | str, sub: str) -> Column:
+    """1-based position of first occurrence, 0 if absent (Presto strpos)."""
+    return F.instr(F.col(col) if isinstance(col, str) else col, sub)
+
+
+def to_unixtime(ts: Column) -> Column:
+    """Seconds-since-epoch as DOUBLE (Presto returns double)."""
+    return F.unix_timestamp(ts).cast("double") + (
+        F.expr("extract(milliseconds from cast(0 as timestamp))") * 0
+    )
+
+
+def cosine_similarity_arrays(a: Column, b: Column) -> Column:
+    """Cosine similarity of two float arrays — JVM-side ``aggregate``/``zip_with``.
+
+    Presto's ``cosine_similarity`` takes sparse maps
+    (``pm/operator/scalar/MathFunctions.java``); dense-array form is the
+    100 TB-pipeline variant (embedding columns). Pure expression: stays in
+    whole-stage codegen, no Python.
+    """
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, v: s + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda s, v: s + v * v))
+    return dot / (na * nb)
+
+
+def ngrams_words(col: Column, n: int) -> Column:
+    """Word n-grams as array<string> (Presto ``ngrams(array, n)`` over words).
+
+    Expression-only: sequence + transform + slice; no Python.
+    """
+    words = F.split(col, r"\s+")
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0))),
+        lambda i: F.array_join(F.slice(words, i, n), " "),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MySQL <-> Java datetime pattern translation (Presto date_parse/date_format)
+# ---------------------------------------------------------------------------
+
+_MYSQL_TO_JAVA = {
+    "%Y": "yyyy",
+    "%y": "yy",
+    "%m": "MM",
+    "%c": "M",
+    "%d": "dd",
+    "%e": "d",
+    "%H": "HH",
+    "%k": "H",
+    "%h": "hh",
+    "%i": "mm",
+    "%s": "ss",
+    "%f": "SSSSSS",
+    "%p": "a",
+    "%W": "EEEE",
+    "%a": "EEE",
+    "%M": "MMMM",
+    "%b": "MMM",
+    "%j": "DDD",
+    "%T": "HH:mm:ss",
+    "%%": "%",
+}
+
+
+def mysql_to_java_pattern(fmt: str) -> str:
+    """Translate a MySQL %-pattern to a Java SimpleDateFormat pattern."""
+    out: list[str] = []
+    i = 0
+    literal: list[str] = []
+
+    def flush_literal() -> None:
+        if literal:
+            chunk = "".join(literal)
+            if any(c.isalpha() for c in chunk):
+                out.append("'" + chunk.replace("'", "''") + "'")
+            else:
+                out.append(chunk)
+            literal.clear()
+
+    while i < len(fmt):
+        if fmt[i] == "%" and i + 1 < len(fmt):
+            tok = fmt[i : i + 2]
+            flush_literal()
+            out.append(_MYSQL_TO_JAVA.get(tok, tok[1]))
+            i += 2
+        else:
+            literal.append(fmt[i])
+            i += 1
+    flush_literal()
+    return "".join(out)
+
+
+def date_parse(col: Column, mysql_fmt: str) -> Column:
+    """Presto ``date_parse(string, '%Y-%m-%d')`` → timestamp (JVM-side)."""
+    return F.to_timestamp(col, mysql_to_java_pattern(mysql_fmt))
+
+
+def date_format_mysql(col: Column, mysql_fmt: str) -> Column:
+    """Presto ``date_format(ts, '%Y-%m-%d')`` → string (JVM-side)."""
+    return F.date_format(col, mysql_to_java_pattern(mysql_fmt))
+
+
+# ---------------------------------------------------------------------------
+# Python UDFs — last-resort gaps only
+# ---------------------------------------------------------------------------
+
+
+def _word_stem(word: str | None) -> str | None:
+    """Tiny Porter-style suffix stripper (Presto ``word_stem``,
+    ``pm/operator/scalar/WordStemFunction.java`` uses Lucene; we provide a
+    deterministic lightweight equivalent)."""
+    if word is None:
+        return None
+    w = word.lower()
+    for suf in ("ational", "iveness", "fulness", "ousness", "ization"):
+        if w.endswith(suf) and len(w) > len(suf) + 2:
+            return w[: -len(suf)]
+    for suf in ("ing", "edly", "ed", "ies", "es", "s", "ly", "ment"):
+        if w.endswith(suf) and len(w) > len(suf) + 2:
+            return w[: -len(suf)]
+    return w
+
+
+def _normal_cdf(mean: float | None, sd: float | None, value: float | None) -> float | None:
+    """Presto normal_cdf (``pm/operator/scalar/MathFunctions.java``)."""
+    if mean is None or sd is None or value is None:
+        return None
+    return 0.5 * (1.0 + math.erf((value - mean) / (sd * math.sqrt(2.0))))
+
+
+def _hamming_distance(a: str | None, b: str | None) -> int | None:
+    if a is None or b is None:
+        return None
+    if len(a) != len(b):
+        raise ValueError("hamming_distance: equal lengths required")
+    return sum(1 for x, y in zip(a, b) if x != y)
+
+
+# SQL temp functions: expression-bodied, compiled by Catalyst (no Python).
+_SQL_FUNCTIONS = [
+    # Presto strpos(string, substring) — 1-based, 0 when absent.
+    "CREATE OR REPLACE TEMPORARY FUNCTION strpos(s STRING, sub STRING) "
+    "RETURNS INT RETURN instr(s, sub)",
+    # Presto to_unixtime(timestamp) -> double seconds.
+    "CREATE OR REPLACE TEMPORARY FUNCTION to_unixtime(ts TIMESTAMP) "
+    "RETURNS DOUBLE RETURN cast(unix_micros(ts) as double) / 1e6",
+    # Presto from_unixtime(double) -> timestamp.
+    "CREATE OR REPLACE TEMPORARY FUNCTION presto_from_unixtime(s DOUBLE) "
+    "RETURNS TIMESTAMP RETURN timestamp_micros(cast(s * 1e6 as bigint))",
+    # Presto truncate(double) -> integer part toward zero (MathFunctions.java).
+    "CREATE OR REPLACE TEMPORARY FUNCTION presto_truncate(x DOUBLE) "
+    "RETURNS DOUBLE RETURN cast(cast(x as long) as double)",
+    # Presto infinity()/nan()/is_finite/is_infinite.
+    "CREATE OR REPLACE TEMPORARY FUNCTION infinity() RETURNS DOUBLE RETURN double('inf')",
+    "CREATE OR REPLACE TEMPORARY FUNCTION nan() RETURNS DOUBLE RETURN double('nan')",
+    "CREATE OR REPLACE TEMPORARY FUNCTION is_finite(x DOUBLE) RETURNS BOOLEAN "
+    "RETURN NOT (isnan(x) OR abs(x) = double('inf'))",
+    "CREATE OR REPLACE TEMPORARY FUNCTION is_infinite(x DOUBLE) RETURNS BOOLEAN "
+    "RETURN abs(x) = double('inf')",
+    # Presto index/cardinality-style helpers already native in Spark.
+    # url_extract_* family over parse_url (UrlFunctions.java).
+    "CREATE OR REPLACE TEMPORARY FUNCTION url_extract_protocol(u STRING) "
+    "RETURNS STRING RETURN parse_url(u, 'PROTOCOL')",
+    "CREATE OR REPLACE TEMPORARY FUNCTION url_extract_host(u STRING) "
+    "RETURNS STRING RETURN parse_url(u, 'HOST')",
+    "CREATE OR REPLACE TEMPORARY FUNCTION url_extract_path(u STRING) "
+    "RETURNS STRING RETURN parse_url(u, 'PATH')",
+    "CREATE OR REPLACE TEMPORARY FUNCTION url_extract_query(u STRING) "
+    "RETURNS STRING RETURN parse_url(u, 'QUERY')",
+    # json helpers with Presto names (JsonFunctions.java).
+    "CREATE OR REPLACE TEMPORARY FUNCTION json_extract_scalar(j STRING, p STRING) "
+    "RETURNS STRING RETURN get_json_object(j, p)",
+    "CREATE OR REPLACE TEMPORARY FUNCTION json_array_get(j STRING, i BIGINT) "
+    "RETURNS STRING RETURN get_json_object(j, concat('$[', cast(i as string), ']'))",
+    # cosine_similarity over dense float arrays (extension form).
+    "CREATE OR REPLACE TEMPORARY FUNCTION cosine_similarity_dense(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) "
+    "RETURNS DOUBLE RETURN "
+    "aggregate(zip_with(a, b, (x, y) -> x * y), cast(0.0 as double), (s, v) -> s + v) / "
+    "(sqrt(aggregate(a, cast(0.0 as double), (s, v) -> s + v * v)) * "
+    " sqrt(aggregate(b, cast(0.0 as double), (s, v) -> s + v * v)))",
+]
+
+
+def register_presto_functions(spark: SparkSession) -> None:
+    """Install the compat layer into the session's function registry."""
+    for stmt in _SQL_FUNCTIONS:
+        spark.sql(stmt)
+    spark.udf.register("word_stem", _word_stem, T.StringType())
+    spark.udf.register("normal_cdf", _normal_cdf, T.DoubleType())
+    spark.udf.register("hamming_distance", _hamming_distance, T.LongType())

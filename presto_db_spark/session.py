@@ -1,0 +1,54 @@
+"""SparkSession factory for the engine.
+
+Tuned for the driver's local[N] harness but with settings chosen for a
+multi-executor cluster: AQE on (runtime re-planning, skew-join splitting,
+partition coalescing — replaces the reference's static CBO decisions in
+``presto-main/.../sql/planner/PlanOptimizers.java``), Arrow transfers on
+(the fast path for the Pandas-UDF operators), UTC session timezone so
+timestamp semantics match the reference's zoneless-timestamp behaviour
+(`presto-common/.../type/TimestampType.java`).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(app_name: str = "presto_db_spark", cpus: str | None = None) -> SparkSession:
+    """Build (or fetch) the session.
+
+    Scale notes (100 TB target): every config below is either
+    size-independent or a per-executor knob. On a real cluster the same
+    builder is used with ``master`` from the environment;
+    ``spark.sql.shuffle.partitions`` is only the AQE *initial* value —
+    ``coalescePartitions`` resizes at runtime, so the same code serves
+    sf0.001 and 100 TB without retuning.
+    """
+    cpus = cpus or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Parquet TIMESTAMP(NANOS) (events.ts) is otherwise rejected with
+        # PARQUET_TYPE_ILLEGAL; read as long and convert in the catalog.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+    )
+    if not os.environ.get("SPARK_MASTER") and "local" not in os.environ.get(
+        "SPARK_GRAFT_MASTER", ""
+    ):
+        builder = builder.master(os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]"))
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
