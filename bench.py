@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Benchmark harness — mirrors the reference's benchto methodology
+(presto-benchto-benchmarks/.../benchmarks/presto/tpch.yaml: prewarm then
+measured steady-state runs) on the driver testdata.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS], AQE on, and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Per query: PREWARM_RUNS unmeasured + RUNS measured, median reported.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+PREWARM_RUNS = int(os.environ.get("BENCH_PREWARM", "1"))
+RUNS = int(os.environ.get("BENCH_RUNS", "3"))
+
+# Headline set: the TPC-H spine (scan-agg, multi-join, semi-join, having,
+# top-k) + the extension operators (dedup, ANN, sessionization, fingerprint).
+HEADLINE = [
+    "tpch_q01",
+    "tpch_q03",
+    "tpch_q05",
+    "tpch_q06",
+    "tpch_q08",
+    "tpch_q09",
+    "tpch_q13",
+    "tpch_q18",
+    "tpch_q21",
+    "win_topn_per_group",
+    "events_sessionize",
+    "dedup_minhash_lsh",
+    "sim_topk_bruteforce",
+    "text_fingerprint",
+]
+
+
+def main() -> None:
+    from presto_db_spark.registry import all_queries
+    from presto_db_spark.session import get_spark
+
+    spark = get_spark("presto_db_spark_bench")
+    queries = all_queries()
+
+    # JVM/session warmup outside any query's timing.
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        for _ in range(PREWARM_RUNS):
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        samples = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            # noop sink = full execution without driver-side materialization
+            # cost (the reference's DevNullOperator / blackhole pattern).
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        times[name] = round(statistics.median(samples), 4)
+
+    total = round(sum(times.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_median_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf),
+                "runs": RUNS,
+                "prewarm": PREWARM_RUNS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,323 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+Training-data-pipeline dedup (BASELINE.json north-star) designed for
+100 TB:
+
+* **exact** — hash-groupBy on md5(text): one shuffle on a 128-bit key,
+  map-side partial agg; at cluster scale this is the canonical dedup.
+* **ngram_jaccard** — blocked pairwise verification: candidate pairs are
+  restricted by a deterministic blocking key (lang + first-2-words), so the
+  self-join is an equi-join on the block key (shuffle co-partitions both
+  sides; no O(n²) cross join ever materializes globally — only within
+  blocks, which is the LSH-bucket pattern).
+* **minhash_lsh** — real MinHash (16 permutations) + banded LSH (4 bands ×
+  4 rows) with a *portable* shingle hash (the 50-bit rolling hash from
+  operators/text.py, pure integer math) so the whole pipeline — shingle →
+  minhash → band → bucket-join → verify — is reproduced exactly by the
+  DuckDB oracle. At scale each stage is a projection; the only shuffle is
+  the band-bucket equi-join.
+* **simhash** — 16-bit sign-sum fingerprint over token hashes, grouped to
+  find colliding docs; same portable hash, fully oracle-checked.
+
+The reference has no near-dup machinery (nothing comparable exists in
+/root/reference — checked); these are the extension operators the project
+brief adds on top of Presto parity.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+MOD50 = 2**50  # rolling-hash modulus (see operators/text.py)
+MERSENNE31 = 2**31 - 1  # minhash permutation modulus
+
+# Deterministic permutation parameters (a*h + b) % p — explicit literals so
+# the oracle SQL embeds the same numbers.
+MINHASH_PERMS = [(2 * k + 1, 12289 * (k + 1) % MERSENNE31) for k in range(16)]
+N_BANDS, ROWS_PER_BAND = 4, 4
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+def _shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as array<string>."""
+    words = F.split(F.trim(col), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(words, i, n), " "),
+    )
+    return F.array_distinct(grams)
+
+
+def _roll_hash(col: Column) -> Column:
+    """Portable 50-bit rolling hash of a string (same math as DuckDB oracle)."""
+    return F.aggregate(
+        F.split(col, ""),
+        F.lit(0).cast("long"),
+        lambda h, ch: (h * 31 + F.coalesce(F.ascii(ch), F.lit(0))) % F.lit(MOD50).cast("long"),
+    )
+
+
+# DuckDB equivalents of the two helpers above, as SQL fragments.
+_SQL_ROLL = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split({s}, ''), ch -> CAST(coalesce(ascii(ch), 0) AS BIGINT))), "
+    f"(h, c) -> (h * 31 + c) % {MOD50})"
+)
+_SQL_SHINGLES = (
+    "list_distinct(list_transform("
+    "generate_series(1, greatest(len(string_split_regex(trim({t}), '\\s+')) - 2, 1)), "
+    "i -> array_to_string(string_split_regex(trim({t}), '\\s+')[i:i+2], ' ')))"
+)
+
+
+# --- exact dedup ------------------------------------------------------------
+
+@_q(
+    "dedup_exact",
+    """
+WITH hashed AS (
+  SELECT doc_id, md5(text) AS h FROM documents
+)
+SELECT h, CAST(count(*) AS BIGINT) AS n_copies, min(doc_id) AS keep_id
+FROM hashed GROUP BY h
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.md5(F.col("text").cast("binary")).alias("h"))
+        .groupBy("h")
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keep_id"))
+    )
+
+
+# --- n-gram Jaccard near-dup (blocked pairwise) ----------------------------
+
+_JACCARD_SQL = """
+WITH sh AS (
+  SELECT doc_id, lang,
+         array_to_string(string_split_regex(trim(text), '\\s+')[1:2], ' ') AS blk,
+         {shingles} AS grams
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 6)
+         AS jaccard
+FROM sh a JOIN sh b
+  ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+      / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.5
+""".format(shingles=_SQL_SHINGLES.format(t="text"))
+
+
+@_q("dedup_ngram_jaccard", _JACCARD_SQL)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        "lang",
+        F.array_join(F.slice(F.split(F.trim("text"), r"\s+"), 1, 2), " ").alias("blk"),
+        _shingles(F.col("text")).alias("grams"),
+    )
+    a = sh.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("blk").alias("blk_a"),
+        F.col("grams").alias("grams_a"),
+    )
+    b = sh.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("blk").alias("blk_b"),
+        F.col("grams").alias("grams_b"),
+    )
+    inter = F.size(F.array_intersect("grams_a", "grams_b"))
+    union = F.size("grams_a") + F.size("grams_b") - inter
+    jac = inter.cast("double") / union
+    return (
+        a.join(
+            b,
+            (F.col("lang_a") == F.col("lang_b"))
+            & (F.col("blk_a") == F.col("blk_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .filter(jac >= 0.5)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# --- MinHash + banded LSH (portable hash → fully oracle-checked) -----------
+
+def minhash_signature(grams: Column) -> list[Column]:
+    """16 minhash values over the shingle set, (a*h' + b) % p with
+    h' = rolling_hash(shingle) % p. Pure integer expressions."""
+    h = F.transform(grams, lambda g: _roll_hash(g) % MERSENNE31)
+    return [
+        F.array_min(F.transform(h, lambda x: (F.lit(a) * x + F.lit(b)) % MERSENNE31)).alias(
+            f"mh{k}"
+        )
+        for k, (a, b) in enumerate(MINHASH_PERMS)
+    ]
+
+
+def _band_expr(prefix: str, band: int) -> Column:
+    cols = [
+        F.col(f"{prefix}mh{band * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)
+    ]
+    return F.concat_ws("_", *[c.cast("string") for c in cols])
+
+
+_MH_PERM_SQL = ", ".join(
+    f"list_min(list_transform(hs, x -> ({a} * x + {b}) % {MERSENNE31})) AS mh{k}"
+    for k, (a, b) in enumerate(MINHASH_PERMS)
+)
+_MH_BANDS_SQL = ", ".join(
+    "concat_ws('_', "
+    + ", ".join(
+        f"CAST(mh{band * ROWS_PER_BAND + r} AS VARCHAR)" for r in range(ROWS_PER_BAND)
+    )
+    + f") AS band{band}"
+    for band in range(N_BANDS)
+)
+
+_MINHASH_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, {_SQL_SHINGLES.format(t="text")} AS grams FROM documents
+), hashed AS (
+  SELECT doc_id, grams,
+         list_transform(grams, g -> {_SQL_ROLL.format(s="g")} % {MERSENNE31}) AS hs
+  FROM sh
+), sigs AS (
+  SELECT doc_id, grams, {_MH_PERM_SQL} FROM hashed
+), banded AS (
+  SELECT doc_id, grams, {_MH_BANDS_SQL} FROM sigs
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.grams AS ga, b.grams AS gb
+  FROM banded a JOIN banded b
+    ON a.doc_id < b.doc_id
+   AND (a.band0 = b.band0 OR a.band1 = b.band1 OR a.band2 = b.band2 OR a.band3 = b.band3)
+)
+SELECT id_a, id_b,
+       round(CAST(len(list_intersect(ga, gb)) AS DOUBLE)
+             / (len(ga) + len(gb) - len(list_intersect(ga, gb))), 6) AS jaccard
+FROM pairs
+WHERE CAST(len(list_intersect(ga, gb)) AS DOUBLE)
+      / (len(ga) + len(gb) - len(list_intersect(ga, gb))) >= 0.4
+"""
+
+
+@_q("dedup_minhash_lsh", _MINHASH_SQL)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = docs.select(
+        "doc_id", _shingles(F.col("text")).alias("grams")
+    ).select("doc_id", "grams", *minhash_signature(F.col("grams")))
+
+    # Explode signature into (band_id, band_key) and equi-join per band —
+    # ONE shuffle on the band key; candidate pairs never exceed bucket sizes.
+    bands = sigs.select(
+        "doc_id",
+        "grams",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(bi).alias("band_id"), _band_expr("", bi).alias("bkey"))
+                    for bi in range(N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "grams", F.col("bb.band_id").alias("band_id"), F.col("bb.bkey").alias("bkey"))
+
+    left = bands.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("grams").alias("ga"),
+        "band_id",
+        "bkey",
+    )
+    right = bands.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("grams").alias("gb"),
+        F.col("band_id").alias("band_id_r"),
+        F.col("bkey").alias("bkey_r"),
+    )
+    cand = (
+        left.join(
+            right,
+            (F.col("band_id") == F.col("band_id_r"))
+            & (F.col("bkey") == F.col("bkey_r"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b", "ga", "gb")
+        .distinct()
+    )
+    inter = F.size(F.array_intersect("ga", "gb"))
+    union = F.size("ga") + F.size("gb") - inter
+    jac = inter.cast("double") / union
+    return cand.filter(jac >= 0.4).select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+
+
+# --- SimHash (16-bit, portable) --------------------------------------------
+
+_SIMHASH_BITSUMS = ", ".join(
+    f"sum(CASE WHEN (th >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}" for b in range(16)
+)
+_SIMHASH_COMBINE = " + ".join(f"(CASE WHEN s{b} >= 0 THEN {1 << b} ELSE 0 END)" for b in range(16))
+
+_SIMHASH_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS t
+  FROM documents
+), th AS (
+  SELECT doc_id, {_SQL_ROLL.format(s="t")} % 65536 AS th FROM tok
+), bits AS (
+  SELECT doc_id, {_SIMHASH_BITSUMS} FROM th GROUP BY doc_id
+), sig AS (
+  SELECT doc_id, CAST({_SIMHASH_COMBINE} AS BIGINT) AS simhash FROM bits
+)
+SELECT simhash, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS keep_id
+FROM sig GROUP BY simhash
+"""
+
+
+@_q("dedup_simhash", _SIMHASH_SQL)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.trim("text"), r"\s+"))).alias("t"),
+    )
+    th = tok.select("doc_id", (_roll_hash(F.col("t")) % 65536).alias("th"))
+    bitsums = th.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("th"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(16)
+        ]
+    )
+    combine = None
+    for b in range(16):
+        term = F.when(F.col(f"s{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+        combine = term if combine is None else combine + term
+    sig = bitsums.select("doc_id", combine.cast("long").alias("simhash"))
+    return sig.groupBy("simhash").agg(
+        F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_id")
+    )

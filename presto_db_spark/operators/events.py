@@ -1,0 +1,232 @@
+"""Time-series / event-log operators over the ``events`` table.
+
+The reference serves event tables with plain batch SQL (it has no streaming
+runtime — SURVEY.md §2.10): window functions over timestamps. These queries
+are the batch forms; :mod:`presto_db_spark.streaming` exposes the same
+pipeline shapes on Structured Streaming as the scale-out path.
+
+Scale notes: sessionization is a per-user window — shuffles once on
+``user_id`` and stays partitioned for the gap/cumsum steps (one exchange in
+the plan); tumbling buckets aggregate with partial combine before shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+# --- tumbling-window aggregation -------------------------------------------
+
+@_q(
+    "events_tumbling",
+    """
+SELECT date_trunc('hour', ts) AS hour_start, event_type,
+       CAST(count(*) AS BIGINT) AS cnt,
+       round(sum(round(value * 100)) / 100, 2) AS total_value,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS users
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+""",
+)
+def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour_start"), "event_type"
+    ).agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum(F.round(F.col("value") * 100)) / 100, 2).alias("total_value"),
+        F.countDistinct("user_id").alias("users"),
+    )
+
+
+# --- sessionization (30-min inactivity gap) --------------------------------
+
+@_q(
+    "events_sessionize",
+    """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sessions AS (
+  SELECT user_id, event_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM sessions GROUP BY user_id
+""",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # micro-second exact gap compare (cast-to-seconds would truncate and
+    # disagree with the oracle's INTERVAL comparison on sub-second gaps)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w) > 1800 * 1_000_000,
+            1,
+        )
+        .when(F.lag("ts").over(w).isNull(), 1)
+        .otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return sessions.groupBy("user_id").agg(
+        F.max("session_id").cast("long").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+# --- per-user running / moving aggregates ----------------------------------
+
+@_q(
+    "events_moving",
+    """
+SELECT event_id, user_id,
+       round(avg(round(value * 100)) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) / 100, 4) AS mov_avg,
+       CAST(sum(round(value * 100)) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_cents
+FROM events WHERE user_id < 20
+""",
+)
+def events_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.filter(F.col("user_id") < 20).select(
+        "event_id",
+        "user_id",
+        F.round(F.avg(cents).over(w.rowsBetween(-2, W.currentRow)) / 100, 4).alias(
+            "mov_avg"
+        ),
+        F.sum(cents)
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("long")
+        .alias("run_cents"),
+    )
+
+
+# --- funnel: users who signup → purchase within 24h ------------------------
+
+@_q(
+    "events_funnel",
+    """
+SELECT CAST(count(DISTINCT s.user_id) AS BIGINT) AS converted_users
+FROM events s JOIN events p
+  ON s.user_id = p.user_id
+ AND s.event_type = 'signup' AND p.event_type = 'purchase'
+ AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 24 HOUR
+""",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("su"), F.col("ts").alias("sts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    # Equi-join on user_id with the time-range as residual filter — the
+    # as-of/interval-join pattern (reference executes these as hash join +
+    # filter too: JoinNode residual filter, pm/sql/planner/plan/JoinNode.java).
+    return (
+        s.join(p, (F.col("su") == F.col("pu")))
+        .filter(
+            (F.col("pts") > F.col("sts"))
+            & (F.col("pts") <= F.col("sts") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .agg(F.countDistinct("su").alias("converted_users"))
+    )
+
+
+# --- pivot: event_type counts per user (top users) -------------------------
+
+@_q(
+    "events_pivot",
+    """
+SELECT user_id,
+       CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
+       CAST(sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS view,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+       CAST(sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+       CAST(sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS error
+FROM events WHERE user_id < 50 GROUP BY user_id
+""",
+)
+def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = (
+        ev.filter(F.col("user_id") < 50)
+        .groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .count()
+    )
+    # pivot leaves null where a type never occurred; SQL's sum(case) gives 0
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in ["click", "view", "purchase", "signup", "error"]],
+    )
+
+
+# --- as-of join: each error event matched to the user's latest prior event -
+
+@_q(
+    "events_asof",
+    """
+SELECT e.event_id,
+       max_by(p.event_id, p.ts) AS prior_event,
+       max(p.ts) AS prior_ts
+FROM events e JOIN events p
+  ON e.user_id = p.user_id AND p.ts < e.ts
+WHERE e.event_type = 'error' AND e.user_id < 30
+GROUP BY e.event_id
+""",
+)
+def events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join (Presto lacks it as first-class — SURVEY.md §2.3 'range/
+    as-of joins not supported'; we provide it as equi-join + window/agg,
+    the scalable Spark formulation)."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.filter((F.col("event_type") == "error") & (F.col("user_id") < 30)).select(
+        F.col("event_id").alias("eid"), F.col("user_id").alias("eu"), F.col("ts").alias("ets")
+    )
+    p = ev.select(
+        F.col("event_id").alias("pid"), F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    return (
+        e.join(p, (F.col("eu") == F.col("pu")) & (F.col("pts") < F.col("ets")))
+        .groupBy(F.col("eid").alias("event_id"))
+        .agg(
+            F.max_by("pid", "pts").alias("prior_event"),
+            F.max("pts").alias("prior_ts"),
+        )
+    )

@@ -1,0 +1,150 @@
+"""Multimodal column operators: binary payloads + typed metadata.
+
+Images/audio/video are carried as opaque ``binary`` columns with a typed
+metadata struct — the 100 TB-pipeline pattern (the decode libraries are not
+in this container, so the codec step is STUBBED behind
+``NotImplementedError`` / a deterministic fake; the Spark-side plumbing —
+schema, Arrow batching via ``mapInPandas``, partition-preserving shape —
+is real and tested).
+
+Design for scale:
+* ``mapInPandas`` processes Arrow record batches — the decode UDF sees
+  columnar buffers, not rows; batch size via
+  ``spark.sql.execution.arrow.maxRecordsPerBatch``.
+* The pipeline is embarrassingly parallel (no shuffle): scan → decode →
+  feature project. Partitioning is whatever the source gives
+  (``maxPartitionBytes`` splits), which is exactly right for a media blob
+  table.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("head_byte", T.IntegerType()),
+        T.StructField("tail_byte", T.IntegerType()),
+        T.StructField("byte_sum_mod", T.LongType()),
+    ]
+)
+
+
+def decode_image(payload: bytes) -> object:
+    """Real decoder stub — the container has no image libs.
+
+    A production build plugs Pillow/libvips here; everything downstream
+    (schema, batching, partitioning) is already wired for it.
+    """
+    raise NotImplementedError("image codec not available in this environment")
+
+
+def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic fake 'decode': byte-level features per payload.
+
+    Stands in for decode→feature-extract; pure-python over Arrow batches.
+    """
+    for pdf in batches:
+        payloads = pdf["payload"]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": payloads.map(len).astype("int64"),
+                "head_byte": payloads.map(lambda b: b[0] if len(b) else -1).astype("int32"),
+                "tail_byte": payloads.map(lambda b: b[-1] if len(b) else -1).astype("int32"),
+                "byte_sum_mod": payloads.map(lambda b: sum(b) % 65536).astype("int64"),
+            }
+        )
+
+
+def with_binary_payload(docs: DataFrame) -> DataFrame:
+    """Synthesize the media table shape: (doc_id, payload binary, meta struct).
+
+    The driver testdata has no real media files; utf-8 text bytes stand in
+    as the opaque payload, with the metadata struct a real media table
+    would carry (mime/width/height/duration).
+    """
+    return docs.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.col("n_chars").cast("long").alias("n_units"),
+            F.col("source").alias("origin"),
+        ).alias("meta"),
+    )
+
+
+@_q(
+    "multimodal_features",
+    """
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_bytes,
+       CAST('0x' || substr(hx, 1, 2) AS INTEGER) AS head_byte,
+       CAST('0x' || substr(hx, 2 * n - 1, 2) AS INTEGER) AS tail_byte,
+       CAST(list_sum(list_transform(range(1, n + 1),
+                     i -> CAST('0x' || substr(hx, 2 * i - 1, 2) AS BIGINT))) % 65536
+            AS BIGINT) AS byte_sum_mod
+FROM b
+""",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binary → feature extraction through the real mapInPandas path."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = with_binary_payload(docs).select("doc_id", "payload")
+    return media.mapInPandas(_feature_batches, schema=FEATURE_SCHEMA)
+
+
+@_q("multimodal_frame_sample")  # procedural sampler → rows-only check
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Frame sampling' plumbing: emit every k-th chunk of each payload with
+    its offset — the video-frame / audio-window access pattern
+    (mapInPandas, one output row per sampled chunk, no shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = with_binary_payload(docs).select("doc_id", "payload")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("offset", T.LongType()),
+            T.StructField("chunk_len", T.IntegerType()),
+        ]
+    )
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        step, width = 64, 16
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for off in range(0, len(payload), step):
+                    rows.append((doc_id, off, len(payload[off : off + width])))
+            yield pd.DataFrame(rows, columns=["doc_id", "offset", "chunk_len"])
+
+    return media.mapInPandas(sample, schema=schema)

@@ -1,0 +1,239 @@
+"""Similarity search over the ``embeddings`` table (array<float> column).
+
+Extension operators (BASELINE.json north-star — no counterpart in the
+reference, which has only sparse-map ``cosine_similarity`` in
+``pm/operator/scalar/MathFunctions.java``):
+
+* **brute-force top-k** — exact baseline: broadcast the (small) query set
+  against the corpus, cosine via JVM-side ``zip_with``/``aggregate`` fold
+  (whole-stage codegen; no Python), rank per query with the
+  TopNRowNumber/WindowGroupLimit pattern. At 100 TB the corpus side stays
+  partitioned; only the query set is broadcast — scan-shaped, no shuffle
+  until the final per-query top-k (tiny).
+* **LSH-bucketed ANN** — sign-random-projection buckets (deterministic
+  hyperplanes) as the scale path: each vector hashes to a bucket key, the
+  join is bucket-equi (candidates only), recall traded via number of
+  planes. Hyperplane coefficients are fixed literals so the result is
+  deterministic and the DuckDB oracle reproduces it exactly.
+
+Float determinism: both engines fold the dot product left-to-right in
+DOUBLE (explicit casts; no engine-native cosine builtin is used in the
+oracle), ranking keys are (rounded sim, vec_id) so ordering can't diverge
+in the last ulp.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+N_QUERIES = 10  # vec_id < N_QUERIES form the query set
+TOP_K = 5
+DIM = 64
+N_PLANES = 8  # LSH: 8 hyperplanes → 256 buckets
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-to-right double-precision fold — same order as the oracle SQL."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda s, x: s + x.cast("double") * x.cast("double"))
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+_SQL_DOT = (
+    "list_sum(list_transform({a}, (x, i) -> CAST(x AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+_SQL_NORM = "sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+
+# Deterministic pseudo-random hyperplanes: coeff(p, d) in {-1, +1} from an
+# explicit integer mix — identical formula inlined in Spark and the oracle.
+def _plane_sign_sql(p: int) -> str:
+    return (
+        f"list_sum(list_transform(embedding, (x, i) -> "
+        f"CAST(x AS DOUBLE) * (CASE WHEN (i * 2654435761 + {p} * 40503) % 97 % 2 = 0 "
+        f"THEN 1.0 ELSE -1.0 END)))"
+    )
+
+
+def _plane_sign(e: Column, p: int) -> Column:
+    # i is 1-based in both Spark transform-with-index? Spark's transform
+    # lambda index is 0-based; DuckDB's is 1-based — shift to align.
+    return F.aggregate(
+        F.zip_with(
+            e,
+            F.sequence(F.lit(1), F.lit(DIM)),
+            lambda x, i: x.cast("double")
+            * F.when((i * 2654435761 + p * 40503) % 97 % 2 == 0, 1.0).otherwise(-1.0),
+        ),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
+
+
+# --- brute-force exact top-k -----------------------------------------------
+
+_BRUTE_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERIES}
+), scored AS (
+  SELECT q.qid, e.vec_id,
+         round({_SQL_DOT.format(a="q.qe", b="e.embedding")}
+               / ({_SQL_NORM.format(a="q.qe")} * {_SQL_NORM.format(a="e.embedding")}), 6)
+           AS sim
+  FROM q JOIN embeddings e ON e.vec_id <> q.qid
+), ranked AS (
+  SELECT qid, vec_id, sim,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+  FROM scored
+)
+SELECT qid, vec_id, sim, CAST(rn AS INTEGER) AS rn FROM ranked WHERE rn <= {TOP_K}
+"""
+
+
+@_q("sim_topk_bruteforce", _BRUTE_SQL)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(emb, F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(cosine(F.col("qe"), F.col("embedding")), 6).alias("sim"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("sim"), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= TOP_K)
+    )
+
+
+# --- LSH-bucketed ANN (deterministic hyperplanes → oracle-checked) ---------
+
+_BUCKET_SQL = " || ".join(
+    f"(CASE WHEN {_plane_sign_sql(p)} >= 0 THEN '1' ELSE '0' END)" for p in range(N_PLANES)
+)
+
+_ANN_SQL = f"""
+WITH hashed AS (
+  SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM embeddings
+), q AS (
+  SELECT vec_id AS qid, embedding AS qe, bucket FROM hashed WHERE vec_id < {N_QUERIES}
+), cand AS (
+  SELECT q.qid, h.vec_id, q.qe, h.embedding AS ce
+  FROM q JOIN hashed h ON q.bucket = h.bucket AND h.vec_id <> q.qid
+), scored AS (
+  SELECT qid, vec_id,
+         round({_SQL_DOT.format(a="qe", b="ce")}
+               / ({_SQL_NORM.format(a="qe")} * {_SQL_NORM.format(a="ce")}), 6) AS sim
+  FROM cand
+), ranked AS (
+  SELECT qid, vec_id, sim,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+  FROM scored
+)
+SELECT qid, vec_id, sim, CAST(rn AS INTEGER) AS rn FROM ranked WHERE rn <= {TOP_K}
+"""
+
+
+@_q("sim_ann_lsh", _ANN_SQL)
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucket = F.concat(
+        *[
+            F.when(_plane_sign(F.col("embedding"), p) >= 0, "1").otherwise("0")
+            for p in range(N_PLANES)
+        ]
+    )
+    hashed = emb.select("vec_id", "embedding", bucket.alias("bucket"))
+    q = hashed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("bucket").alias("qb"),
+    )
+    cand = F.broadcast(q).join(
+        hashed, (F.col("qb") == F.col("bucket")) & (F.col("vec_id") != F.col("qid"))
+    )
+    scored = cand.select(
+        "qid", "vec_id", F.round(cosine(F.col("qe"), F.col("embedding")), 6).alias("sim")
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("sim"), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= TOP_K)
+    )
+
+
+# --- embedding near-dup pairs (cosine threshold over LSH buckets) ----------
+
+_NEARDUP_SQL = f"""
+WITH hashed AS (
+  SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round({_SQL_DOT.format(a="a.embedding", b="b.embedding")}
+               / ({_SQL_NORM.format(a="a.embedding")} * {_SQL_NORM.format(a="b.embedding")}), 6)
+           AS sim
+  FROM hashed a JOIN hashed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.35
+"""
+
+
+@_q("dedup_embedding_cosine", _NEARDUP_SQL)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: bucketed self-join (equi-join on the LSH
+    key — the only shuffle), threshold at 0.35 (the synthetic embeddings have no true dups; the threshold is set where the data has pairs so the operator is exercised non-vacuously)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucket = F.concat(
+        *[
+            F.when(_plane_sign(F.col("embedding"), p) >= 0, "1").otherwise("0")
+            for p in range(N_PLANES)
+        ]
+    )
+    hashed = emb.select("vec_id", "embedding", bucket.alias("bucket"))
+    a = hashed.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"), F.col("bucket").alias("ba")
+    )
+    b = hashed.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"), F.col("bucket").alias("bb")
+    )
+    return (
+        a.join(b, (F.col("ba") == F.col("bb")) & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b", F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("sim"))
+        .filter(F.col("sim") >= 0.35)
+    )

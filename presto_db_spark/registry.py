@@ -16,6 +16,14 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _MODULES: list[str] = [
     "presto_db_spark.operators.tpch",
+    "presto_db_spark.operators.relational",
+    "presto_db_spark.operators.functions_corpus",
+    "presto_db_spark.operators.events",
+    "presto_db_spark.operators.text",
+    "presto_db_spark.operators.dedup",
+    "presto_db_spark.operators.similarity",
+    "presto_db_spark.operators.multimodal",
+    "presto_db_spark.streaming.pipeline",
 ]
 
 
