@@ -18,6 +18,7 @@ _MODULES: list[str] = [
     "presto_db_spark.operators.tpch",
     "presto_db_spark.operators.relational",
     "presto_db_spark.operators.functions_corpus",
+    "presto_db_spark.operators.functions_corpus2",
     "presto_db_spark.operators.events",
     "presto_db_spark.operators.text",
     "presto_db_spark.operators.dedup",
