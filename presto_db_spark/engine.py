@@ -17,11 +17,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from .catalog import TABLES, register_tables
+from .ddl import DdlMixin
 from .functions.presto import register_presto_functions
 from .session import get_spark
 
 
-class Engine:
+class Engine(DdlMixin):
     def __init__(self, spark: SparkSession | None = None, sf_dir: str | None = None):
         self.spark = spark or get_spark()
         register_presto_functions(self.spark)

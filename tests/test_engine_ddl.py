@@ -1,0 +1,100 @@
+"""DDL/DML surface tests — CTAS, INSERT, DELETE, views, ANALYZE, EXPLAIN,
+session properties (SURVEY.md §2.1 writer operators, §2.9 ExplainAnalyze)."""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+
+from presto_db_spark.engine import Engine
+
+
+@pytest.fixture(scope="module")
+def engine(spark, sf_dir):
+    return Engine(spark, sf_dir=sf_dir)
+
+
+def _tmpname() -> str:
+    return "t_" + uuid.uuid4().hex[:10]
+
+
+def test_ctas_insert_delete_roundtrip(engine):
+    name = _tmpname()
+    engine.create_table_as(
+        name, "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders"
+    )
+    try:
+        n0 = engine.spark.table(name).count()
+        assert n0 > 0
+
+        engine.insert_into(
+            name, "SELECT o_orderkey + 1000000, o_orderstatus, o_totalprice FROM orders"
+        )
+        assert engine.spark.table(name).count() == 2 * n0
+
+        deleted = engine.delete_where(name, "o_orderkey >= 1000000")
+        assert deleted == n0
+        assert engine.spark.table(name).count() == n0
+        assert engine.spark.table(name).filter("o_orderkey >= 1000000").count() == 0
+    finally:
+        engine.spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_ctas_partitioned(engine):
+    name = _tmpname()
+    engine.create_table_as(
+        name,
+        "SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders",
+        partition_by=["o_orderstatus"],
+    )
+    try:
+        # partition pruning must reach the scan: filter on the partition col
+        plan = engine.explain(
+            f"SELECT count(*) FROM {name} WHERE o_orderstatus = 'F'", mode="formatted"
+        )
+        assert "PartitionFilters" in plan or "o_orderstatus" in plan
+        got = {
+            r[0]
+            for r in engine.spark.table(name).select("o_orderstatus").distinct().collect()
+        }
+        want = {
+            r[0] for r in engine.table("orders").select("o_orderstatus").distinct().collect()
+        }
+        assert got == want
+    finally:
+        engine.spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_views_and_analyze(engine):
+    v = _tmpname()
+    engine.create_view(v, "SELECT c_nationkey, count(*) AS n FROM customer GROUP BY 1")
+    assert engine.spark.table(v).count() > 0
+    engine.drop_view(v)
+
+    name = _tmpname()
+    engine.create_table_as(name, "SELECT c_custkey, c_acctbal FROM customer")
+    try:
+        engine.analyze(name, columns=["c_custkey", "c_acctbal"])
+        stats = engine.explain(f"SELECT * FROM {name}", mode="cost")
+        assert "rowCount" in stats or "sizeInBytes" in stats
+    finally:
+        engine.spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_explain_modes_and_analyze_exec(engine):
+    sql = "SELECT l_returnflag, sum(l_quantity) AS q FROM lineitem GROUP BY 1"
+    formatted = engine.explain(sql, mode="formatted")
+    assert "HashAggregate" in formatted
+    ran = engine.explain_analyze(sql)
+    assert "HashAggregate" in ran
+
+
+def test_session_properties(engine):
+    engine.set_session("hash_partition_count", 16)
+    assert engine.spark.conf.get("spark.sql.shuffle.partitions") == "16"
+    engine.set_session("join_distribution_type", "PARTITIONED")
+    assert engine.spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == "-1"
+    engine.set_session("join_distribution_type", "AUTOMATIC")
+    engine.set_session("hash_partition_count", 8)
+    engine.set_session("spill_enabled", True)  # accepted no-op
