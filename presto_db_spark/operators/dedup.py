@@ -226,16 +226,43 @@ WHERE CAST(len(list_intersect(ga, gb)) AS DOUBLE)
 
 @_q("dedup_minhash_lsh", _MINHASH_SQL)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    sigs = docs.select(
-        "doc_id", _shingles(F.col("text")).alias("grams")
-    ).select("doc_id", "grams", *minhash_signature(F.col("grams")))
+    """Shuffle-minimal banded LSH.
 
-    # Explode signature into (band_id, band_key) and equi-join per band —
-    # ONE shuffle on the band key; candidate pairs never exceed bucket sizes.
-    bands = sigs.select(
+    Scale design (the part that matters at 100 TB):
+    * the rolling hash of each shingle is materialized ONCE in an ``hs``
+      column — the 16 permutations read it instead of re-hashing (16×
+      CPU saving; CollapseProject keeps expensive multi-referenced
+      aliases materialized);
+    * only narrow ``(doc_id, band_id, bkey)`` rows enter the self-join —
+      the shingle arrays never ride through the band shuffle;
+    * candidate pairs are deduped as scalar ``(id_a, id_b)`` BEFORE the
+      arrays are fetched back by key for Jaccard verification.
+    """
+    # The shingle rolling-hash is CPU-bound; a small corpus arrives as one
+    # file split, so spread rows across all cores first (at cluster scale
+    # the input already has many splits and this doubles as skew leveling —
+    # the shuffle moves only (doc_id, text)).
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    sh = docs.select("doc_id", _shingles(F.col("text")).alias("grams"))
+    hashed = sh.select(
         "doc_id",
         "grams",
+        F.transform("grams", lambda g: _roll_hash(g) % MERSENNE31).alias("hs"),
+    )
+    sigs = hashed.select(
+        "doc_id",
+        *[
+            F.array_min(
+                F.transform("hs", lambda x: (F.lit(a) * x + F.lit(b)) % MERSENNE31)
+            ).alias(f"mh{k}")
+            for k, (a, b) in enumerate(MINHASH_PERMS)
+        ],
+    )
+    # Narrow band table: one shuffle of ~(8B + 8B + ~40B) rows per band.
+    bands = sigs.select(
+        "doc_id",
         F.explode(
             F.array(
                 *[
@@ -244,30 +271,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "grams", F.col("bb.band_id").alias("band_id"), F.col("bb.bkey").alias("bkey"))
+    ).select("doc_id", F.col("bb.band_id").alias("band_id"), F.col("bb.bkey").alias("bkey"))
 
-    left = bands.select(
-        F.col("doc_id").alias("id_a"),
-        F.col("grams").alias("ga"),
-        "band_id",
-        "bkey",
-    )
-    right = bands.select(
-        F.col("doc_id").alias("id_b"),
-        F.col("grams").alias("gb"),
-        F.col("band_id").alias("band_id_r"),
-        F.col("bkey").alias("bkey_r"),
-    )
-    cand = (
-        left.join(
-            right,
-            (F.col("band_id") == F.col("band_id_r"))
-            & (F.col("bkey") == F.col("bkey_r"))
-            & (F.col("id_a") < F.col("id_b")),
+    pairs = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select("id_a", "id_b", "ga", "gb")
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
+    ga = sh.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("ga"))
+    gb = sh.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("gb"))
+    cand = pairs.join(ga, "id_a").join(gb, "id_b")
     inter = F.size(F.array_intersect("ga", "gb"))
     union = F.size("ga") + F.size("gb") - inter
     jac = inter.cast("double") / union
@@ -299,7 +318,9 @@ FROM sig GROUP BY simhash
 
 @_q("dedup_simhash", _SIMHASH_SQL)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     tok = docs.select(
         "doc_id",
         F.explode(F.array_distinct(F.split(F.trim("text"), r"\s+"))).alias("t"),
