@@ -1,0 +1,153 @@
+"""Range join — first-class bounded time-range join, bucketized for scale.
+
+The reference has NO first-class range/interval/as-of join: range predicates
+ride as residual filters on hash or nested-loop joins
+(``pm/sql/planner/plan/JoinNode.java`` — equi ``criteria`` + ``filter``;
+SURVEY.md §2.3 row "Range/as-of/interval joins"). A naive
+``JOIN ON key AND ts BETWEEN …`` in Spark becomes an equi-join on key with a
+residual range filter — fine for small keys, quadratic within hot keys.
+
+This module implements the scalable pattern: **bucketize the time axis** so
+the range predicate becomes part of the equi-join key.
+
+* left rows map to bucket ``floor(ts / W)``;
+* right rows (matched when ``right_ts ∈ (left_ts, left_ts + W]``) are
+  exploded to buckets ``{b, b-1}`` — every candidate pair shares exactly one
+  (key, bucket) coordinate, so NO duplicate pairs are produced;
+* one shuffle on ``(key, bucket)``; per-bucket candidate sets are bounded by
+  bucket width, not key cardinality → no quadratic hot-key blowup at 100 TB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str,
+    right_ts: str,
+    window_seconds: int,
+) -> DataFrame:
+    """Pairs (l, r) with same ``keys`` and ``r.right_ts ∈ (l.left_ts,
+    l.left_ts + window_seconds]``. Output columns: left's + right's
+    (caller should pre-alias to avoid collisions, keys kept once).
+
+    Equi-join on (keys…, bucket) with an exact residual filter — the only
+    shuffle is the co-partitioning join shuffle.
+    """
+    w_us = window_seconds * 1_000_000
+
+    def bucket(ts: str) -> Column:
+        return F.floor(F.unix_micros(F.col(ts)) / F.lit(w_us))
+
+    # Explicit side aliases: both inputs often derive from the same scan
+    # (self-range-join), where bare column refs are ambiguous.
+    lb = left.withColumn("_rj_bucket", bucket(left_ts)).alias("_rj_l")
+    rb = right.withColumn(
+        "_rj_bucket", F.explode(F.array(bucket(right_ts), bucket(right_ts) - 1))
+    ).alias("_rj_r")
+    lcol = lambda c: F.col(f"_rj_l.{c}")  # noqa: E731
+    rcol = lambda c: F.col(f"_rj_r.{c}")  # noqa: E731
+    cond = [lcol(k) == rcol(k) for k in keys] + [lcol("_rj_bucket") == rcol("_rj_bucket")]
+    exact = (F.unix_micros(rcol(right_ts)) > F.unix_micros(lcol(left_ts))) & (
+        F.unix_micros(rcol(right_ts)) <= F.unix_micros(lcol(left_ts)) + w_us
+    )
+    from functools import reduce
+
+    out_cols = (
+        [lcol(k).alias(k) for k in keys]
+        + [lcol(c).alias(c) for c in left.columns if c not in keys]
+        + [rcol(c).alias(c) for c in right.columns if c not in keys]
+    )
+    return lb.join(rb, reduce(lambda a, b: a & b, cond)).filter(exact).select(*out_cols)
+
+
+@_q(
+    "events_range_join",
+    """
+SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+       CAST(date_diff('microsecond', c.ts, p.ts) AS BIGINT) AS delay_us
+FROM events c JOIN events p
+  ON p.user_id = c.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+""",
+)
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase attribution within 1 hour, per user — the canonical
+    bounded range join. Oracle is the plain inequality join; the engine runs
+    the bucketized plan (identical result set, shuffle-bounded)."""
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    buys = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("buy_ts")
+    )
+    joined = range_join(clicks, buys, ["user_id"], "click_ts", "buy_ts", 3600)
+    return joined.select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (F.unix_micros("buy_ts") - F.unix_micros("click_ts")).alias("delay_us"),
+    )
+
+
+@_q(
+    "events_interval_agg",
+    """
+SELECT c.user_id,
+       CAST(count(p.event_id) AS BIGINT) AS n_attributed,
+       round(coalesce(sum(p.value), 0), 6) AS attributed_value
+FROM events c LEFT JOIN events p
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase'
+ AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+WHERE c.event_type = 'click'
+GROUP BY c.user_id
+""",
+)
+def events_interval_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user attributed-purchase rollup over the range join (LEFT variant:
+    users whose clicks attribute nothing still appear with 0)."""
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    buys = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("buy_ts"),
+        F.col("value").alias("buy_value"),
+    )
+    matched = range_join(clicks, buys, ["user_id"], "click_ts", "buy_ts", 3600)
+    per_click = matched.groupBy("user_id", "click_id").agg(
+        F.count("purchase_id").alias("n_p"), F.sum("buy_value").alias("v_p")
+    )
+    all_clicks = clicks.select("user_id", "click_id")
+    filled = all_clicks.join(per_click, ["user_id", "click_id"], "left")
+    return filled.groupBy("user_id").agg(
+        F.coalesce(F.sum("n_p"), F.lit(0)).cast("long").alias("n_attributed"),
+        F.round(F.coalesce(F.sum("v_p"), F.lit(0.0)), 6).alias("attributed_value"),
+    )

@@ -1,0 +1,181 @@
+"""Relational coverage, part 2 — EXISTS/NOT-IN decorrelation, mixed DISTINCT
+aggregation, UNNEST WITH ORDINALITY, INTERSECT ALL, TABLESAMPLE.
+
+Reference semantics exercised (SURVEY.md §2):
+
+* EXISTS / NOT EXISTS subqueries — decorrelated to semi/anti joins by
+  ``TransformExistsApplyToLateralNode`` +
+  ``TransformUncorrelatedInPredicateSubqueryToSemiJoin``
+  (``pm/sql/planner/iterative/rule/``); Spark's ``RewritePredicateSubquery``
+  produces LeftSemi/LeftAnti the same way.
+* NOT IN three-valued NULL semantics — a NULL in the subquery makes
+  ``x NOT IN (...)`` never-true (null-aware anti join), unlike LEFT ANTI.
+  Presto implements this in ``HashSemiJoinOperator``'s match channel
+  (``pm/operator/HashSemiJoinOperator.java:32``).
+* Multiple DISTINCT aggregates in one pass — ``MarkDistinctOperator``
+  (``pm/operator/MarkDistinctOperator.java:35``, planner rule
+  ``MultipleDistinctAggregationToMarkDistinct``); Spark lowers the same
+  shape through ``RewriteDistinctAggregates``/Expand.
+* UNNEST ... WITH ORDINALITY — ``UnnestOperator`` with ordinality channel
+  (``pm/operator/unnest/UnnestOperator.java:48``) → ``posexplode``.
+* INTERSECT ALL — ``ImplementIntersectAndExceptAsUnion`` lowering
+  (``pm/sql/planner/optimizations/``) → Spark native ``intersectAll``.
+* TABLESAMPLE BERNOULLI — ``SampleNode`` (grammar ``SqlBase.g4``) →
+  ``df.sample``; sampling is engine-specific → rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .tpch import _t
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+@_q(
+    "subq_exists",
+    """
+SELECT c.c_custkey, c.c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+""",
+)
+def subq_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, orders = _t(spark, sf_dir, "customer", "orders")
+    big = orders.filter(F.col("o_totalprice") > 400000).select("o_custkey").distinct()
+    urgent = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey").distinct()
+    )
+    return (
+        cust.join(big, cust.c_custkey == big.o_custkey, "left_semi")
+        .join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+@_q(
+    "subq_not_in_null",
+    """
+SELECT
+  (SELECT count(*) FROM customer
+   WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderkey < 1000))
+    AS n_no_null,
+  (SELECT count(*) FROM customer
+   WHERE c_custkey NOT IN (SELECT nullif(o_custkey, o_custkey) FROM orders
+                           WHERE o_orderkey < 10))
+    AS n_with_null
+""",
+)
+def subq_not_in_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN with a NULL-free subquery (plain anti join) vs a subquery
+    containing NULL (never-true → 0 rows). spark.sql keeps the null-aware
+    anti-join semantics that a hand-built LEFT ANTI would get wrong."""
+    cust, orders = _t(spark, sf_dir, "customer", "orders")
+    cust.createOrReplaceTempView("_r2_customer")
+    orders.createOrReplaceTempView("_r2_orders")
+    return spark.sql(
+        """
+        SELECT
+          (SELECT count(*) FROM _r2_customer
+           WHERE c_custkey NOT IN
+             (SELECT o_custkey FROM _r2_orders WHERE o_orderkey < 1000)) AS n_no_null,
+          (SELECT count(*) FROM _r2_customer
+           WHERE c_custkey NOT IN
+             (SELECT nullif(o_custkey, o_custkey) FROM _r2_orders
+              WHERE o_orderkey < 10)) AS n_with_null
+        """
+    )
+
+
+@_q(
+    "agg_multi_distinct",
+    """
+SELECT l_returnflag,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS nd_part,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS nd_supp,
+       CAST(count(DISTINCT l_linestatus) AS BIGINT) AS nd_status,
+       round(sum(l_quantity), 2) AS sum_qty,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three DISTINCT aggs + plain aggs in one GROUP BY — the MarkDistinct
+    shape; Spark plans it as a single pass over Expand (check: one scan)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("nd_part"),
+        F.countDistinct("l_suppkey").alias("nd_supp"),
+        F.countDistinct("l_linestatus").alias("nd_status"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+@_q(
+    "unnest_ordinality",
+    """
+WITH s AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+  FROM documents WHERE doc_id < 30
+)
+SELECT doc_id, CAST(t.i - 1 AS INTEGER) AS pos, words[CAST(t.i AS INTEGER)] AS word
+FROM s, unnest(generate_series(1, len(words))) t(i)
+""",
+)
+def unnest_ordinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("doc_id") < 30)
+        .select("doc_id", F.split(F.trim("text"), r"\s+").alias("words"))
+        .select("doc_id", F.posexplode("words").alias("pos", "word"))
+    )
+
+
+@_q(
+    "setop_intersect_all",
+    """
+SELECT l_partkey, l_suppkey FROM lineitem WHERE l_orderkey < 2000
+INTERSECT ALL
+SELECT l_partkey, l_suppkey FROM lineitem WHERE l_orderkey >= 1000 AND l_orderkey < 3000
+""",
+)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_orderkey") < 2000).select("l_partkey", "l_suppkey")
+    b = li.filter((F.col("l_orderkey") >= 1000) & (F.col("l_orderkey") < 3000)).select(
+        "l_partkey", "l_suppkey"
+    )
+    return a.intersectAll(b)
+
+
+@_q("sample_bernoulli")  # no oracle: sampling is engine-specific by nature
+def sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TABLESAMPLE BERNOULLI(10) — seeded df.sample; the driver records the
+    rows-only check (row content is engine-RNG-dependent)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return (
+        li.sample(fraction=0.1, seed=42)
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_sampled"))
+    )

@@ -17,6 +17,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _MODULES: list[str] = [
     "presto_db_spark.operators.tpch",
     "presto_db_spark.operators.relational",
+    "presto_db_spark.operators.relational2",
+    "presto_db_spark.operators.rangejoin",
     "presto_db_spark.operators.functions_corpus",
     "presto_db_spark.operators.functions_corpus2",
     "presto_db_spark.operators.events",
