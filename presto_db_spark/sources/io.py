@@ -1,0 +1,141 @@
+"""Sources & sinks — the connector surface (SURVEY.md §2.1).
+
+The reference ships per-connector Maven modules implementing the SPI in
+``presto-spi/.../spi/connector/``: native ORC (``presto-orc/``), Parquet
+(``presto-parquet/``, ``presto-hive/.../parquet/ParquetPageSource.java:47``),
+RCFile, Hive, the JDBC family (``presto-base-jdbc/`` + mysql/postgresql/…),
+``presto-memory/``, ``presto-blackhole/``, ``presto-kafka/``,
+``presto-local-file/``. Spark's DataSource V2 framework plays the SPI role;
+this module is the thin, uniform facade over it plus the two capabilities
+that matter at 100 TB:
+
+* **partitioned writes** → hive-style directory partitioning → partition
+  pruning at read time;
+* **bucketed tables** → ``bucketBy`` + ``sortBy`` → co-located,
+  exchange-free joins and aggregations on the bucket key (the reference's
+  grouped execution, ``pm/operator/StageExecutionDescriptor.java``).
+
+Formats needing services absent from this container (JDBC drivers, Kafka
+brokers, Avro package) are import/option-gated with clear errors — the
+plumbing is real, the service is not in the test environment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: formats fully usable in this environment (built into Spark core)
+NATIVE_FORMATS = ("parquet", "orc", "json", "csv", "text")
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    format: str = "parquet",
+    schema=None,
+    **options,
+) -> DataFrame:
+    """Uniform reader. CSV defaults to header+inferSchema unless a schema is
+    given (schema-on-read is the scalable path: no inference pass)."""
+    fmt = format.lower()
+    if fmt not in NATIVE_FORMATS:
+        raise ValueError(f"unsupported format {format!r}; use one of {NATIVE_FORMATS}")
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif fmt == "csv":
+        options.setdefault("header", "true")
+        options.setdefault("inferSchema", "true")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    format: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    **options,
+) -> None:
+    """Uniform path writer (``TableWriterOperator`` role; Spark's commit
+    protocol provides the ``TableFinishOperator`` transactional finish)."""
+    fmt = format.lower()
+    if fmt not in NATIVE_FORMATS:
+        raise ValueError(f"unsupported format {format!r}; use one of {NATIVE_FORMATS}")
+    writer = df.write.format(fmt).mode(mode)
+    if fmt == "csv":
+        options.setdefault("header", "true")
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    bucket_cols: list[str],
+    n_buckets: int = 8,
+    sort_cols: list[str] | None = None,
+    format: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: joins/aggs on ``bucket_cols`` between tables
+    with the same bucketing need NO exchange (verified in tests). This is
+    the 100 TB lever for repeated large-table joins — shuffle once at write
+    time, never again at read time."""
+    writer = df.write.format(format).mode(mode).bucketBy(n_buckets, *bucket_cols)
+    writer = writer.sortBy(*(sort_cols or bucket_cols))
+    writer.saveAsTable(name)
+
+
+def to_memory_table(df: DataFrame, name: str) -> DataFrame:
+    """presto-memory equivalent: materialize as a cached temp view."""
+    df.createOrReplaceTempView(name)
+    out = df.sparkSession.table(name)
+    out.cache().count()
+    return out
+
+
+def to_blackhole(df: DataFrame) -> None:
+    """presto-blackhole / DevNullOperator: full execution, discarded output."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def read_jdbc(spark: SparkSession, url: str, table: str, **options) -> DataFrame:
+    """JDBC family (``presto-base-jdbc/``). Requires a JDBC driver jar on the
+    Spark classpath — not present in this container; the call surface and
+    partitioned-read options (partitionColumn/lowerBound/upperBound/
+    numPartitions — the parallel-scan splits of the reference's
+    ``ConnectorSplitSource``) are wired for deployments that have one."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    try:
+        return reader.load()
+    except Exception as exc:  # driver missing in this environment
+        raise NotImplementedError(
+            "JDBC driver not available in this container; on a deployment, add "
+            "the driver jar via spark.jars and this call works unchanged"
+        ) from exc
+
+
+def read_kafka_stream(spark: SparkSession, bootstrap: str, topic: str) -> DataFrame:
+    """presto-kafka equivalent — but as a true stream (the reference scans
+    topics as batch tables; SURVEY.md §2.10). Requires the
+    spark-sql-kafka package, absent here."""
+    try:
+        return (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap)
+            .option("subscribe", topic)
+            .load()
+        )
+    except Exception as exc:
+        raise NotImplementedError(
+            "spark-sql-kafka not available in this container; on a deployment, "
+            "add the package via spark.jars.packages and this call works unchanged"
+        ) from exc
