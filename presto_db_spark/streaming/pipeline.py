@@ -84,6 +84,23 @@ def tumbling_counts(stream: DataFrame) -> DataFrame:
     )
 
 
+def _run_to_completion(result: DataFrame, sink_prefix: str, output_mode: str) -> DataFrame:
+    """availableNow trigger + memory sink: run the stream until the source
+    drains, return the materialized table (driver checks vs batch oracle)."""
+    spark = result.sparkSession
+    sink = f"{sink_prefix}_{uuid.uuid4().hex[:8]}"
+    q = (
+        result.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="pds_ckpt_"))
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
 @_q(
     "streaming_tumbling",
     """
@@ -97,15 +114,171 @@ GROUP BY date_trunc('hour', ts), event_type
 def streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the streaming pipeline to completion (availableNow) and return
     the materialized result — batch SQL is the oracle."""
-    sink = f"stream_tumbling_{uuid.uuid4().hex[:8]}"
-    q = (
-        tumbling_counts(events_stream(spark, sf_dir))
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="pds_ckpt_"))
-        .start()
+    return _run_to_completion(
+        tumbling_counts(events_stream(spark, sf_dir)), "stream_tumbling", "complete"
     )
-    q.awaitTermination()
-    return spark.table(sink)
+
+
+@_q(
+    "streaming_sliding",
+    """
+WITH starts AS (
+  SELECT event_type,
+         CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800) AS TIMESTAMP)
+           + (s.k * INTERVAL 30 MINUTE) AS win_start
+  FROM events, unnest([0, -1]) s(k)
+)
+SELECT win_start, event_type, CAST(count(*) AS BIGINT) AS cnt
+FROM starts GROUP BY win_start, event_type
+""",
+)
+def streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1h window sliding every 30min (each event lands in exactly 2
+    windows). Oracle expands the two window starts per event in SQL."""
+    stream = events_stream(spark, sf_dir)
+    res = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "cnt")
+    )
+    return _run_to_completion(res, "stream_sliding", "complete")
+
+
+@_q(
+    "streaming_session_window",
+    """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 300 THEN 1 ELSE 0 END
+           AS is_new
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id, ts, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id, min(ts) AS session_start, CAST(count(*) AS BIGINT) AS n_events
+FROM sessions GROUP BY user_id, sid
+""",
+)
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (5 min inactivity) via session_window —
+    Structured Streaming's native stateful sessionization. Oracle is the
+    batch lag/cumsum sessionization; the session boundaries coincide
+    because both close a session after >300 s of silence."""
+    stream = events_stream(spark, sf_dir)
+    res = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "5 minutes").alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id", F.col("sw.start").alias("session_start"), "n_events"
+        )
+    )
+    return _run_to_completion(res, "stream_session", "complete")
+
+
+@_q(
+    "streaming_dedup",
+    """
+WITH d AS (
+  SELECT DISTINCT user_id, event_type, date_trunc('minute', ts) AS m
+  FROM events
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_unique
+FROM d GROUP BY event_type
+""",
+)
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: dropDuplicates on (user, type, minute) with
+    watermark-bounded state (the streaming face of dedup_exact — state only
+    holds keys newer than the watermark, so memory is bounded at 100 TB/day)."""
+    stream = events_stream(spark, sf_dir)
+    deduped = (
+        stream.withColumn("m", F.date_trunc("minute", "ts"))
+        .withWatermark("m", "1 hour")
+        .dropDuplicates(["user_id", "event_type", "m"])
+    )
+    res = deduped.groupBy("event_type").agg(F.count("*").alias("n_unique"))
+    return _run_to_completion(res, "stream_dedup", "complete")
+
+
+@_q(
+    "streaming_stateful_custom",
+    """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       max(ts) AS last_ts,
+       round(sum(round(value * 100)) / 100, 2) AS total_value
+FROM events GROUP BY user_id
+""",
+)
+def streaming_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState (the
+    applyInPandasWithState extension point SURVEY §2.10 reserves for
+    operators Spark lacks): per-user running (count, last_ts, value_sum)
+    kept in explicit GroupState, emitted in update mode. Arrow-batched;
+    state is a fixed-width tuple per user → bounded memory at any scale.
+    Oracle: the equivalent batch aggregation (final states must agree)."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    stream = events_stream(spark, sf_dir).select("user_id", "ts", "value")
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("last_ts", TimestampType()),
+            StructField("total_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("last_us", LongType()),
+            StructField("cents", LongType()),
+        ]
+    )
+
+    def update(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        n, last_us, cents = state.get if state.exists else (0, 0, 0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            # normalize to µs regardless of pandas datetime unit (ns vs us)
+            ts_us = pdf["ts"].values.astype("datetime64[us]").astype("int64")
+            last_us = max(last_us, int(ts_us.max()))
+            cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+        state.update((n, last_us, cents))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "last_ts": [pd.Timestamp(last_us, unit="us")],
+                "total_value": [round(cents / 100, 2)],
+            }
+        )
+
+    res = stream.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    # update-mode emissions accumulate in the memory sink; the final state
+    # per user is the last emission → reduce to it (single-file source =>
+    # single microbatch, so emissions are already final; the max-reduce
+    # keeps this correct if the source ever arrives as multiple files).
+    raw = _run_to_completion(res, "stream_stateful", "update")
+    return raw.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("last_ts").alias("last_ts"),
+        F.max_by("total_value", "n_events").alias("total_value"),
+    )
