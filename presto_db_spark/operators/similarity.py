@@ -214,6 +214,103 @@ SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.35
 """
 
 
+# --- IVF (inverted-file) ANN: centroid partitions + nprobe probing ---------
+
+N_CENTROIDS = 16
+N_PROBE = 2
+
+_IVF_SQL = f"""
+WITH c AS (
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < {N_CENTROIDS}
+), assign_scored AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         {_SQL_DOT.format(a="e.embedding", b="c.ce")}
+           / ({_SQL_NORM.format(a="e.embedding")} * {_SQL_NORM.format(a="c.ce")}) AS csim
+  FROM embeddings e CROSS JOIN c
+), assigned AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT vec_id, embedding, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS arn
+    FROM assign_scored
+  ) WHERE arn = 1
+), q_probe AS (
+  SELECT vec_id AS qid, embedding AS qe, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             {_SQL_DOT.format(a="e.embedding", b="c.ce")}
+               / ({_SQL_NORM.format(a="e.embedding")} * {_SQL_NORM.format(a="c.ce")}) DESC,
+             c.cid) AS prn
+    FROM embeddings e CROSS JOIN c
+    WHERE e.vec_id < {N_QUERIES}
+  ) WHERE prn <= {N_PROBE}
+), cand AS (
+  SELECT DISTINCT q.qid, q.qe, a.vec_id, a.embedding AS ce
+  FROM q_probe q JOIN assigned a ON a.cid = q.cid AND a.vec_id <> q.qid
+), scored AS (
+  SELECT qid, vec_id,
+         round({_SQL_DOT.format(a="qe", b="ce")}
+               / ({_SQL_NORM.format(a="qe")} * {_SQL_NORM.format(a="ce")}), 6) AS sim
+  FROM cand
+), ranked AS (
+  SELECT qid, vec_id, sim,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+  FROM scored
+)
+SELECT qid, vec_id, sim, CAST(rn AS INTEGER) AS rn FROM ranked WHERE rn <= {TOP_K}
+"""
+
+
+@_q("sim_ivf", _IVF_SQL)
+def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN — the inverted-file scale path next to LSH:
+
+    1. *train*: first ``N_CENTROIDS`` vectors are the coarse centroids
+       (deterministic stand-in for k-means — the partition/probing
+       machinery is identical);
+    2. *assign*: every vector joins its nearest centroid (broadcast of K
+       centroids, scan-shaped — at 100 TB this is one pass, no shuffle);
+    3. *probe*: each query searches its ``N_PROBE`` nearest partitions
+       only; candidates = bucket equi-join on cid;
+    4. exact cosine rerank → top-k (WindowGroupLimit pattern).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    scored_assign = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "cid",
+        cosine(F.col("embedding"), F.col("ce")).alias("csim"),
+    )
+    w_assign = W.partitionBy("vec_id").orderBy(F.desc("csim"), "cid")
+    assigned = (
+        scored_assign.withColumn("arn", F.row_number().over(w_assign))
+        .filter(F.col("arn") == 1)
+        .select("vec_id", "embedding", "cid")
+    )
+    q_probe = (
+        scored_assign.filter(F.col("vec_id") < N_QUERIES)
+        .withColumn("prn", F.row_number().over(w_assign))
+        .filter(F.col("prn") <= N_PROBE)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), "cid")
+    )
+    cand = (
+        F.broadcast(q_probe)
+        .join(assigned, (q_probe.cid == assigned.cid) & (assigned.vec_id != q_probe.qid))
+        .select("qid", "qe", "vec_id", F.col("embedding").alias("ce"))
+        .distinct()
+    )
+    scored = cand.select(
+        "qid", "vec_id", F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("sim")
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("sim"), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= TOP_K)
+    )
+
+
 @_q("dedup_embedding_cosine", _NEARDUP_SQL)
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: bucketed self-join (equi-join on the LSH
