@@ -165,6 +165,8 @@ def _normal_cdf(mean: float | None, sd: float | None, value: float | None) -> fl
     """Presto normal_cdf (``pm/operator/scalar/MathFunctions.java``)."""
     if mean is None or sd is None or value is None:
         return None
+    # SQL decimal literals arrive as decimal.Decimal — coerce.
+    mean, sd, value = float(mean), float(sd), float(value)
     return 0.5 * (1.0 + math.erf((value - mean) / (sd * math.sqrt(2.0))))
 
 
@@ -221,6 +223,48 @@ _SQL_FUNCTIONS = [
 ]
 
 
+_MYSQL_TO_PY = {
+    "%Y": "%Y", "%y": "%y", "%m": "%m", "%c": "%m", "%d": "%d", "%e": "%d",
+    "%H": "%H", "%k": "%H", "%h": "%I", "%i": "%M", "%s": "%S", "%f": "%f",
+    "%p": "%p", "%W": "%A", "%a": "%a", "%M": "%B", "%b": "%b", "%j": "%j",
+    "%T": "%H:%M:%S", "%%": "%%",
+}
+
+
+def _mysql_to_py_pattern(fmt: str) -> str:
+    out: list[str] = []
+    i = 0
+    while i < len(fmt):
+        if fmt[i] == "%" and i + 1 < len(fmt):
+            out.append(_MYSQL_TO_PY.get(fmt[i : i + 2], fmt[i + 1]))
+            i += 2
+        else:
+            out.append(fmt[i].replace("%", "%%"))
+            i += 1
+    return "".join(out)
+
+
+def _date_parse_py(s: str | None, fmt: str | None):
+    """SQL-callable date_parse with runtime (non-literal) MySQL patterns.
+
+    Hot paths should use the :func:`date_parse` column helper (pure JVM
+    expression via pattern translation at plan time); this row-at-a-time
+    UDF exists for full SQL-surface parity (``DateTimeFunctions.java``
+    date_parse), where the format can be a column.
+    """
+    import datetime
+
+    if s is None or fmt is None:
+        return None
+    return datetime.datetime.strptime(s, _mysql_to_py_pattern(fmt))
+
+
+def _date_format_py(ts, fmt: str | None):
+    if ts is None or fmt is None:
+        return None
+    return ts.strftime(_mysql_to_py_pattern(fmt))
+
+
 def register_presto_functions(spark: SparkSession) -> None:
     """Install the compat layer into the session's function registry."""
     for stmt in _SQL_FUNCTIONS:
@@ -228,3 +272,5 @@ def register_presto_functions(spark: SparkSession) -> None:
     spark.udf.register("word_stem", _word_stem, T.StringType())
     spark.udf.register("normal_cdf", _normal_cdf, T.DoubleType())
     spark.udf.register("hamming_distance", _hamming_distance, T.LongType())
+    spark.udf.register("date_parse", _date_parse_py, T.TimestampType())
+    spark.udf.register("date_format_mysql", _date_format_py, T.StringType())
