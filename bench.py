@@ -38,8 +38,11 @@ HEADLINE = [
     "tpch_q21",
     "win_topn_per_group",
     "events_sessionize",
+    "events_range_join",
     "dedup_minhash_lsh",
     "sim_topk_bruteforce",
+    "sim_ivf",
+    "agg_hll_sketch",
     "text_fingerprint",
 ]
 

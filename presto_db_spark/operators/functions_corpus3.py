@@ -1,0 +1,210 @@
+"""Scalar + aggregate function corpus, part 3 — last §2.8/§2.4 stragglers.
+
+* ``reduce_agg`` (``pm/operator/aggregation/ReduceAggregationFunction.java``)
+  — emulated per SURVEY §2.4 as ``aggregate(sort_array(collect_list(x)))``:
+  an explicit fold with a deterministic order so both engines agree.
+* ``wilson_interval_lower/upper`` (``pm/operator/scalar/WilsonInterval.java``)
+  — closed-form math, inlined as expressions in both dialects.
+* ``ipaddress`` family (``pm/type/IpAddressType.java``,
+  ``IpPrefixFunctions.java``) — IPv4 string ↔ bigint and /24 prefix
+  aggregation as pure expressions.
+* ``to_big_endian_64`` / ``to_big_endian_32`` (``VarbinaryFunctions.java``)
+  — big-endian byte image as zero-padded hex (stable cross-engine form).
+* ``fnv1_64``-style portable polynomial hash — oracle reproduces the fold
+  via ``list_reduce`` (same integer math), unlike xxhash64/crc32 which stay
+  rows-only in func_hash_engine.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .tpch import _t
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+MOD31 = (1 << 31) - 1  # Mersenne modulus: h*prime stays well under 2^63
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+@_q(
+    "agg_reduce",
+    """
+SELECT l_returnflag,
+       CAST(list_reduce(list_prepend(CAST(1 AS BIGINT),
+              list(CAST(l_quantity AS BIGINT) % 97 + 1 ORDER BY CAST(l_quantity AS BIGINT) % 97 + 1, l_orderkey, l_linenumber)),
+              (s, x) -> (s * x) % 1000000007) AS BIGINT) AS folded,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem WHERE l_orderkey < 2000
+GROUP BY l_returnflag
+""",
+)
+def agg_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """reduce_agg(x, 1, (s,x)->s*x%p, (a,b)->a*b%p) — modular product fold.
+
+    Emulated as an explicit fold over a deterministically-ordered
+    collect_list. Scale note: the combine function of Presto's reduce_agg is
+    associative, so at 100 TB the right emulation is the same fold expressed
+    as a partial-aggregable UDAF; modular product specifically is just
+    ``exp(sum(log))``-style reducible — the collect_list form here is the
+    *generic* (arbitrary lambda) emulation, bounded by the group size.
+    """
+    (li,) = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("long") % 97 + 1
+    return (
+        li.filter(F.col("l_orderkey") < 2000)
+        .select("l_returnflag", x.alias("x"), "l_orderkey", "l_linenumber")
+        .groupBy("l_returnflag")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("x", "l_orderkey", "l_linenumber"))),
+                F.lit(1).cast("long"),
+                lambda s, e: (s * e.x) % 1000000007,
+            ).alias("folded"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@_q(
+    "func_wilson",
+    """
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS DOUBLE) AS pos,
+         CAST(count(*) AS DOUBLE) AS n
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       round((pos/n + 1.96*1.96/(2*n) - 1.96 * sqrt((pos/n)*(1-pos/n)/n + 1.96*1.96/(4*n*n)))
+             / (1 + 1.96*1.96/n), 6) AS wilson_lower,
+       round((pos/n + 1.96*1.96/(2*n) + 1.96 * sqrt((pos/n)*(1-pos/n)/n + 1.96*1.96/(4*n*n)))
+             / (1 + 1.96*1.96/n), 6) AS wilson_upper
+FROM s
+""",
+)
+def func_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """wilson_interval_lower/upper(successes, trials, z) at z=1.96."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_discount") > 0.05).cast("double").alias("pos"),
+        F.count("*").cast("double").alias("n"),
+    )
+    p, n, z = F.col("pos") / F.col("n"), F.col("n"), F.lit(1.96)
+    center = p + z * z / (2 * n)
+    margin = z * F.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+    denom = 1 + z * z / n
+    return agg.select(
+        "l_returnflag",
+        F.round((center - margin) / denom, 6).alias("wilson_lower"),
+        F.round((center + margin) / denom, 6).alias("wilson_upper"),
+    )
+
+
+@_q(
+    "func_ip",
+    """
+WITH ips AS (
+  SELECT c_custkey,
+         concat('10.', CAST(c_custkey % 256 AS VARCHAR), '.',
+                CAST((c_custkey // 7) % 256 AS VARCHAR), '.',
+                CAST((c_custkey * 3) % 256 AS VARCHAR)) AS ip
+  FROM customer WHERE c_custkey < 300
+)
+SELECT c_custkey, ip,
+       CAST(10 * 16777216
+            + CAST(string_split(ip, '.')[2] AS BIGINT) * 65536
+            + CAST(string_split(ip, '.')[3] AS BIGINT) * 256
+            + CAST(string_split(ip, '.')[4] AS BIGINT) AS BIGINT) AS ip_int,
+       concat(string_split(ip, '.')[1], '.', string_split(ip, '.')[2], '.',
+              string_split(ip, '.')[3], '.0/24') AS prefix24
+FROM ips
+""",
+)
+def func_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPv4 string ↔ integer and /24 prefix — the ipaddress/ipprefix family
+    as pure expressions (split + integer math; no UDF)."""
+    (cust,) = _t(spark, sf_dir, "customer")
+    ck = F.col("c_custkey")
+    ip = F.concat(
+        F.lit("10."),
+        (ck % 256).cast("string"),
+        F.lit("."),
+        ((ck / 7).cast("long") % 256).cast("string"),
+        F.lit("."),
+        ((ck * 3) % 256).cast("string"),
+    )
+    parts = F.split(F.col("ip"), r"\.")
+    return (
+        cust.filter(ck < 300)
+        .select("c_custkey", ip.alias("ip"))
+        .select(
+            "c_custkey",
+            "ip",
+            (
+                F.lit(10 * 16777216)
+                + F.element_at(parts, 2).cast("long") * 65536
+                + F.element_at(parts, 3).cast("long") * 256
+                + F.element_at(parts, 4).cast("long")
+            ).alias("ip_int"),
+            F.concat(
+                F.element_at(parts, 1),
+                F.lit("."),
+                F.element_at(parts, 2),
+                F.lit("."),
+                F.element_at(parts, 3),
+                F.lit(".0/24"),
+            ).alias("prefix24"),
+        )
+    )
+
+
+@_q(
+    "func_bigendian_fnv",
+    f"""
+SELECT p_partkey,
+       lpad(lower(to_base(p_partkey, 16)), 16, '0') AS be64,
+       lpad(lower(to_base(p_size, 16)), 8, '0') AS be32,
+       CAST(list_reduce(list_prepend(CAST(2166136261 % {MOD31} AS BIGINT),
+              list_transform(string_split(p_name, ''),
+                             ch -> CAST(coalesce(ascii(ch), 0) AS BIGINT))),
+              (h, c) -> ((h * 16777619 % {MOD31}) + c) % {MOD31}) AS BIGINT) AS fnv
+FROM part WHERE p_partkey < 300
+""",
+)
+def func_bigendian_fnv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """to_big_endian_64/32 as the canonical zero-padded hex image, plus an
+    FNV-1-style portable polynomial hash (32-bit FNV prime, Mersenne-31-reduced
+    so every intermediate product stays below 2^63 in both engines)."""
+    (part,) = _t(spark, sf_dir, "part")
+    fnv = F.aggregate(
+        F.split(F.col("p_name"), ""),
+        F.lit(2166136261 % MOD31).cast("long"),
+        lambda h, ch: (
+            (h * F.lit(16777619)) % F.lit(MOD31) + F.coalesce(F.ascii(ch), F.lit(0))
+        )
+        % F.lit(MOD31),
+    )
+    return part.filter(F.col("p_partkey") < 300).select(
+        "p_partkey",
+        F.lpad(F.lower(F.conv(F.col("p_partkey").cast("string"), 10, 16)), 16, "0").alias(
+            "be64"
+        ),
+        F.lpad(F.lower(F.conv(F.col("p_size").cast("string"), 10, 16)), 8, "0").alias(
+            "be32"
+        ),
+        fnv.alias("fnv"),
+    )

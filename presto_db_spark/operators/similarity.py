@@ -50,6 +50,15 @@ def _q(name: str, sql: str | None = None):
     return deco
 
 
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings scan, spread across cores: the cosine folds are CPU-bound
+    and a small corpus arrives as one file split (at cluster scale the input
+    has many splits; hashing by vec_id doubles as skew leveling)."""
+    return load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
+
+
 def dot(a: Column, b: Column) -> Column:
     """Left-to-right double-precision fold — same order as the oracle SQL."""
     return F.aggregate(
@@ -122,7 +131,7 @@ SELECT qid, vec_id, sim, CAST(rn AS INTEGER) AS rn FROM ranked WHERE rn <= {TOP_
 
 @_q("sim_topk_bruteforce", _BRUTE_SQL)
 def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
@@ -172,7 +181,7 @@ SELECT qid, vec_id, sim, CAST(rn AS INTEGER) AS rn FROM ranked WHERE rn <= {TOP_
 
 @_q("sim_ann_lsh", _ANN_SQL)
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     bucket = F.concat(
         *[
             F.when(_plane_sign(F.col("embedding"), p) >= 0, "1").otherwise("0")
@@ -273,7 +282,7 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
        only; candidates = bucket equi-join on cid;
     4. exact cosine rerank → top-k (WindowGroupLimit pattern).
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     cents = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
     )
@@ -296,9 +305,12 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), "cid")
     )
     cand = (
-        F.broadcast(q_probe)
-        .join(assigned, (q_probe.cid == assigned.cid) & (assigned.vec_id != q_probe.qid))
-        .select("qid", "qe", "vec_id", F.col("embedding").alias("ce"))
+        F.broadcast(q_probe.alias("qp"))
+        .join(
+            assigned.alias("av"),
+            (F.col("qp.cid") == F.col("av.cid")) & (F.col("av.vec_id") != F.col("qp.qid")),
+        )
+        .select("qid", "qe", "vec_id", F.col("av.embedding").alias("ce"))
         .distinct()
     )
     scored = cand.select(
@@ -315,7 +327,7 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: bucketed self-join (equi-join on the LSH
     key — the only shuffle), threshold at 0.35 (the synthetic embeddings have no true dups; the threshold is set where the data has pairs so the operator is exercised non-vacuously)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     bucket = F.concat(
         *[
             F.when(_plane_sign(F.col("embedding"), p) >= 0, "1").otherwise("0")

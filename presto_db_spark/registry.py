@@ -21,6 +21,7 @@ _MODULES: list[str] = [
     "presto_db_spark.operators.rangejoin",
     "presto_db_spark.operators.functions_corpus",
     "presto_db_spark.operators.functions_corpus2",
+    "presto_db_spark.operators.functions_corpus3",
     "presto_db_spark.operators.events",
     "presto_db_spark.operators.text",
     "presto_db_spark.operators.dedup",
