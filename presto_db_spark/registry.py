@@ -19,6 +19,7 @@ _MODULES: list[str] = [
     "presto_db_spark.operators.relational",
     "presto_db_spark.operators.relational2",
     "presto_db_spark.operators.rangejoin",
+    "presto_db_spark.operators.skew",
     "presto_db_spark.operators.functions_corpus",
     "presto_db_spark.operators.functions_corpus2",
     "presto_db_spark.operators.functions_corpus3",

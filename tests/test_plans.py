@@ -1,0 +1,80 @@
+"""Physical-plan shape assertions — the reference's plan-test layer
+(SURVEY.md §5: ``TestLogicalPlanner``, ``TestPredicatePushdown``), adapted
+to the properties that matter at 100 TB on Spark: pushdown reaches the scan,
+columns are pruned, joins broadcast small dims, partial aggregation and
+window-group-limit rewrites fire."""
+
+from __future__ import annotations
+
+import re
+
+from presto_db_spark.registry import all_queries
+
+
+def _plan(df, mode="formatted") -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
+
+
+def test_q06_filter_pushdown_and_pruning(spark, sf_dir):
+    """q06 (scan-filter-agg spine): range predicates must reach the parquet
+    scan and only the 4 referenced columns may be read."""
+    df = all_queries()["tpch_q06"](spark, sf_dir)
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan
+    assert re.search(r"PushedFilters:.*GreaterThanOrEqual\(l_shipdate", plan)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}
+
+
+def test_q05_broadcasts_dimensions(spark, sf_dir):
+    """Multi-way star join: at sf0.001 every dimension side must broadcast
+    (no full shuffle join for region/nation/customer/supplier)."""
+    df = all_queries()["tpch_q05"](spark, sf_dir)
+    plan = _plan(df, "simple")
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q01_partial_aggregation(spark, sf_dir):
+    """Aggregation must be two-phase: partial (map-side) before the
+    exchange, final after — the reference's PARTIAL/FINAL Step."""
+    df = all_queries()["tpch_q01"](spark, sf_dir)
+    plan = _plan(df, "simple")
+    agg_exchange_agg = re.search(
+        r"HashAggregate.*\n(?:.*\n)*?.*Exchange.*\n(?:.*\n)*?.*HashAggregate", plan
+    )
+    assert agg_exchange_agg, plan
+
+
+def test_topn_uses_take_ordered(spark, sf_dir):
+    """ORDER BY + LIMIT must plan as TakeOrderedAndProject (distributed
+    partial top-k), not a global sort."""
+    df = all_queries()["tpch_q10"](spark, sf_dir)
+    plan = _plan(df, "simple")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_window_group_limit(spark, sf_dir):
+    """rank() <= k filter must trigger the WindowGroupLimit rewrite
+    (reference: WindowFilterPushDown → TopNRowNumberOperator)."""
+    df = all_queries()["win_topn_per_group"](spark, sf_dir)
+    plan = _plan(df, "simple")
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_semi_join_for_exists(spark, sf_dir):
+    df = all_queries()["subq_exists"](spark, sf_dir)
+    plan = _plan(df, "simple")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_whole_stage_codegen_everywhere(spark, sf_dir):
+    """The function corpus must stay inside WholeStageCodegen (no Python
+    eval nodes in any oracle-checked scalar query)."""
+    for name in ["func_string", "func_math_extra", "func_map", "func_binary_bitwise"]:
+        df = all_queries()[name](spark, sf_dir)
+        plan = _plan(df, "simple")
+        assert "*(" in plan, name  # '*(n)' prefix marks WholeStageCodegen spans
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
