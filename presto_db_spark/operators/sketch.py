@@ -1,0 +1,163 @@
+"""Mergeable quantile sketch + decimal-type semantics.
+
+* **Fixed-grid quantile sketch** — the qdigest/tdigest capability
+  (``pm/type/QuantileDigestType.java``, ``pm/tdigest/``,
+  ``QuantileDigestAggregationFunction.java``; scalars
+  ``value_at_quantile``/``quantile_at_value`` in
+  ``QuantileDigestFunctions.java``) re-expressed as a deterministic
+  mergeable sketch: per-partition histograms on a fixed grid, merged by
+  adding counts (associative/commutative — the mergeability property that
+  makes digests work as PARTIAL/FINAL distributed aggregates). Bounded
+  error = one grid cell. Unlike t-digest, the fixed grid is exactly
+  reproducible in the DuckDB oracle, so value_at_quantile and
+  quantile_at_value are value-checked, not rows-only.
+* **Decimal arithmetic** — ``DecimalType(p,s)`` semantics (SURVEY §1.2,
+  ``UnscaledDecimal128Arithmetic.java``): exact sums/products at scale 2,
+  no float drift; built from exact cents so both engines agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from .tpch import _t
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+BIN = 100.0  # sketch grid width over l_extendedprice (domain ~[900, 105000])
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+def sketch_histogram(df: DataFrame, keys: list[str], value: str) -> DataFrame:
+    """Build the mergeable sketch: counts per (keys…, bin). Merging two
+    sketches = union + sum(cnt) on bin — used by both the partial/final
+    split and cross-group rollups."""
+    return df.groupBy(*keys, F.floor(F.col(value) / BIN).alias("bin")).agg(
+        F.count("*").alias("cnt")
+    )
+
+
+def value_at_quantile(sk: DataFrame, keys: list[str], q: float, out: str) -> DataFrame:
+    """Smallest grid value whose cumulative count reaches q·total (the
+    qdigest value_at_quantile contract, error ≤ one bin)."""
+    w_cum = W.partitionBy(*keys).orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
+    w_all = W.partitionBy(*keys)
+    cum = sk.select(
+        *keys,
+        "bin",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("total"),
+    )
+    hit = cum.filter(F.col("cum") >= F.ceil(F.col("total") * q))
+    return hit.groupBy(*keys).agg((F.min("bin") * BIN).alias(out))
+
+
+@_q(
+    "sketch_quantiles",
+    f"""
+WITH sk AS (
+  SELECT l_returnflag, CAST(floor(l_extendedprice / {BIN}) AS BIGINT) AS bin,
+         count(*) AS cnt
+  FROM lineitem GROUP BY l_returnflag, bin
+), cum AS (
+  SELECT l_returnflag, bin,
+         sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(cnt) OVER (PARTITION BY l_returnflag) AS total
+  FROM sk
+)
+SELECT q25.l_returnflag,
+       q25.v AS p25, q50.v AS p50, q75.v AS p75
+FROM      (SELECT l_returnflag, min(bin) * {BIN} AS v FROM cum
+           WHERE cum >= ceil(total * 0.25) GROUP BY l_returnflag) q25
+JOIN      (SELECT l_returnflag, min(bin) * {BIN} AS v FROM cum
+           WHERE cum >= ceil(total * 0.50) GROUP BY l_returnflag) q50
+  ON q25.l_returnflag = q50.l_returnflag
+JOIN      (SELECT l_returnflag, min(bin) * {BIN} AS v FROM cum
+           WHERE cum >= ceil(total * 0.75) GROUP BY l_returnflag) q75
+  ON q25.l_returnflag = q75.l_returnflag
+""",
+)
+def sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """value_at_quantile(sketch, 0.25/0.5/0.75) per return flag."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    sk = sketch_histogram(li, ["l_returnflag"], "l_extendedprice")
+    p25 = value_at_quantile(sk, ["l_returnflag"], 0.25, "p25")
+    p50 = value_at_quantile(sk, ["l_returnflag"], 0.50, "p50")
+    p75 = value_at_quantile(sk, ["l_returnflag"], 0.75, "p75")
+    return p25.join(p50, "l_returnflag").join(p75, "l_returnflag")
+
+
+@_q(
+    "sketch_quantile_at_value",
+    f"""
+WITH sk AS (
+  SELECT l_returnflag, CAST(floor(l_extendedprice / {BIN}) AS BIGINT) AS bin,
+         count(*) AS cnt
+  FROM lineitem GROUP BY l_returnflag, bin
+)
+SELECT l_returnflag,
+       round(CAST(sum(CASE WHEN bin * {BIN} <= 50000 THEN cnt ELSE 0 END) AS DOUBLE)
+             / sum(cnt), 6) AS q_at_50k
+FROM sk GROUP BY l_returnflag
+""",
+)
+def sketch_quantile_at_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quantile_at_value(sketch, 50000) — inverse lookup on the same sketch."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    sk = sketch_histogram(li, ["l_returnflag"], "l_extendedprice")
+    return sk.groupBy("l_returnflag").agg(
+        F.round(
+            F.sum(F.when(F.col("bin") * BIN <= 50000, F.col("cnt")).otherwise(0)).cast(
+                "double"
+            )
+            / F.sum("cnt"),
+            6,
+        ).alias("q_at_50k")
+    )
+
+
+@_q(
+    "func_decimal",
+    """
+SELECT l_returnflag,
+       CAST(sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DECIMAL(18,2)) / 100)
+            AS DOUBLE) AS dec_sum,
+       CAST(sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DECIMAL(18,2)) / 100
+                * CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(9,0))) AS DOUBLE)
+         AS dec_weighted,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def func_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DECIMAL aggregation: prices as DECIMAL(18,2) built from exact
+    cents; the weighted sum exercises decimal×decimal precision growth.
+    All internal arithmetic is decimal (no float drift); the final sums are
+    cast to DOUBLE only because Spark's and DuckDB's decimal-division
+    typing rules assign different output scales (values are identical and
+    exactly representable).
+    """
+    (li,) = _t(spark, sf_dir, "lineitem")
+    dec_price = (
+        F.round(F.col("l_extendedprice") * 100).cast("long").cast("decimal(18,2)") / 100
+    )
+    dec_qty = F.col("l_quantity").cast("long").cast("decimal(9,0)")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(dec_price).cast("double").alias("dec_sum"),
+        F.sum(dec_price * dec_qty).cast("double").alias("dec_weighted"),
+        F.count("*").alias("n"),
+    )
