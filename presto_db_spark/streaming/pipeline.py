@@ -206,6 +206,58 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "streaming_stream_join",
+    """
+SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+       CAST(date_diff('microsecond', c.ts, p.ts) AS BIGINT) AS delay_us
+FROM events c JOIN events p
+  ON p.user_id = c.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+""",
+)
+def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with event-time range condition — the
+    streaming face of operators/rangejoin.py (same oracle). Watermarks on
+    both sides + the time-bound condition let Spark evict join state: a
+    click older than watermark-1h can never match again, so state is
+    bounded at any input rate — the property that makes stream-stream
+    joins viable at 100 TB/day."""
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    buys = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = clicks.join(
+        buys,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("interval 1 hour")),
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.col("c_user").alias("user_id"),
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("delay_us"),
+    )
+    return _run_to_completion(joined, "stream_join", "append")
+
+
+@_q(
     "streaming_stateful_custom",
     """
 SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,

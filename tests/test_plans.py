@@ -70,6 +70,17 @@ def test_semi_join_for_exists(spark, sf_dir):
     assert "LeftSemi" in plan and "LeftAnti" in plan
 
 
+def test_global_sort_is_range_partitioned(spark, sf_dir):
+    """ORDER BY without LIMIT must plan as range-partition + per-partition
+    sort (the reference's distributed_sort, strictly better by default)."""
+    from presto_db_spark.catalog import load_table
+
+    df = load_table(spark, sf_dir, "lineitem").orderBy("l_extendedprice")
+    plan = _plan(df, "simple")
+    assert "rangepartitioning" in plan.lower(), plan
+    assert "Sort" in plan
+
+
 def test_whole_stage_codegen_everywhere(spark, sf_dir):
     """The function corpus must stay inside WholeStageCodegen (no Python
     eval nodes in any oracle-checked scalar query)."""
