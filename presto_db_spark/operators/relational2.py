@@ -169,6 +169,46 @@ def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.intersectAll(b)
 
 
+@_q(
+    "win_range_value_frame",
+    """
+SELECT event_id, user_id,
+       CAST(count(*) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                           RANGE BETWEEN 300 PRECEDING AND 300 FOLLOWING) AS BIGINT)
+         AS n_nearby,
+       round(sum(round(value * 100)) OVER (PARTITION BY user_id
+                           ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                           RANGE BETWEEN 300 PRECEDING AND CURRENT ROW) / 100, 2)
+         AS trailing_value
+FROM events WHERE user_id < 30
+""",
+)
+def win_range_value_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame with VALUE offsets (±300 s around each event) — the
+    frame variant win_frames doesn't cover (``FrameInfo.java:25`` RANGE
+    N PRECEDING/FOLLOWING). Value-range frames are tie-safe: peers share
+    the frame, so the result is deterministic under equal timestamps."""
+    from pyspark.sql import Window as W
+
+    from ..catalog import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    sec = F.unix_seconds("ts")
+    base = events.filter(F.col("user_id") < 30).select(
+        "event_id", "user_id", sec.alias("sec"), "value"
+    )
+    w_both = W.partitionBy("user_id").orderBy("sec").rangeBetween(-300, 300)
+    w_trail = W.partitionBy("user_id").orderBy("sec").rangeBetween(-300, W.currentRow)
+    return base.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w_both).alias("n_nearby"),
+        F.round(F.sum(F.round(F.col("value") * 100)).over(w_trail) / 100, 2).alias(
+            "trailing_value"
+        ),
+    )
+
+
 @_q("sample_bernoulli")  # no oracle: sampling is engine-specific by nature
 def sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TABLESAMPLE BERNOULLI(10) — seeded df.sample; the driver records the
