@@ -123,6 +123,107 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(_feature_batches, schema=FEATURE_SCHEMA)
 
 
+@_q(
+    "multimodal_resize",
+    """
+WITH b AS (
+  SELECT doc_id, encode(text) AS payload, octet_length(encode(text)) AS n
+  FROM documents WHERE doc_id < 200
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_bytes,
+       CAST(least(n, 32) AS INTEGER) AS out_len,
+       CAST(list_sum(list_transform(range(1, CAST(least(n, 32) AS INTEGER) + 1),
+              i -> CAST('0x' || substr(hex(payload), 2 * CAST(floor((i - 1) * (n / least(n, 32))) AS INTEGER) + 1, 2) AS BIGINT)))
+            % 65536 AS BIGINT) AS resized_sum
+FROM b
+""",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Resize' plumbing: nearest-neighbor downsample of each payload to 32
+    bytes (the image-resize access pattern — stride sampling over the
+    decoded buffer), checksummed so the oracle can verify byte-exact
+    agreement. A production build swaps the stride sampler for
+    Pillow.resize inside the same mapInPandas stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = with_binary_payload(docs.filter(F.col("doc_id") < 200)).select(
+        "doc_id", "payload"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("out_len", T.IntegerType()),
+            T.StructField("resized_sum", T.LongType()),
+        ]
+    )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = 32
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                out = min(n, target)
+                stride = n / out
+                sampled = bytes(payload[int(i * stride)] for i in range(out))
+                rows.append((doc_id, n, out, sum(sampled) % 65536))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_bytes", "out_len", "resized_sum"]
+            )
+
+    return media.mapInPandas(resize, schema=schema)
+
+
+@_q(
+    "multimodal_audio_windows",
+    """
+WITH b AS (
+  SELECT doc_id, encode(text) AS payload, octet_length(encode(text)) AS n
+  FROM documents WHERE doc_id < 100
+), w AS (
+  SELECT doc_id, n, t.i AS win_id,
+         list_sum(list_transform(range((t.i - 1) * 32 + 1, least(t.i * 32, n) + 1),
+                  j -> CAST('0x' || substr(hex(payload), 2 * j - 1, 2) AS BIGINT))) AS s,
+         least(t.i * 32, n) - (t.i - 1) * 32 AS wn
+  FROM b, unnest(generate_series(1, CAST(ceil(CAST(n AS DOUBLE) / 32) AS BIGINT))) t(i)
+)
+SELECT doc_id, CAST(win_id - 1 AS INTEGER) AS win_id,
+       round(CAST(s AS DOUBLE) / wn, 6) AS window_mean
+FROM w
+""",
+)
+def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-style fixed windowing: split each payload into 32-byte frames
+    and emit a per-window mean amplitude — the spectrogram/feature-window
+    access pattern (one output row per window, no shuffle). The stand-in
+    'sample' is the raw byte; a production build decodes PCM in the same
+    stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = with_binary_payload(docs.filter(F.col("doc_id") < 100)).select(
+        "doc_id", "payload"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("win_id", T.IntegerType()),
+            T.StructField("window_mean", T.DoubleType()),
+        ]
+    )
+
+    def windows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        width = 32
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for w0 in range(0, len(payload), width):
+                    chunk = payload[w0 : w0 + width]
+                    rows.append((doc_id, w0 // width, round(sum(chunk) / len(chunk), 6)))
+            yield pd.DataFrame(rows, columns=["doc_id", "win_id", "window_mean"])
+
+    return media.mapInPandas(windows, schema=schema)
+
+
 @_q("multimodal_frame_sample")  # procedural sampler → rows-only check
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """'Frame sampling' plumbing: emit every k-th chunk of each payload with
