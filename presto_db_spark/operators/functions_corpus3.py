@@ -173,6 +173,58 @@ def func_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "func_array_advanced",
+    """
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+')[1:6] AS words
+  FROM documents WHERE doc_id < 60
+)
+SELECT doc_id,
+       list_transform(list_sort(list_transform(words, x -> {'k': len(x), 'w': x})),
+                      e -> e.w) AS by_len,
+       flatten(list_transform(words, (x, i) ->
+                list_transform(words[i+1:], y -> x || '|' || y))) AS pairs,
+       list_transform(generate_series(1, greatest(len(words) - 1, 0)),
+                      i -> words[i] || ' ' || words[i+1]) AS bigrams
+FROM w
+""",
+)
+def func_array_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """array_sort with comparator lambda (``ArraySortComparatorFunction``),
+    combinations(a, 2) (``CombinationsFunction``), ngrams(a, 2)
+    (``ArrayNgramsFunction``) — all as pure expressions. The comparator
+    (by length, then value) is emulated in the oracle by sorting (key,
+    value) structs; combinations enumerate via index-slices."""
+    from ..catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.slice(F.split(F.trim("text"), r"\s+"), 1, 6)
+    base = docs.filter(F.col("doc_id") < 60).select("doc_id", words.alias("words"))
+    wcol = F.col("words")
+    by_len = F.transform(
+        F.array_sort(F.transform(wcol, lambda x: F.struct(F.length(x).alias("k"), x.alias("w")))),
+        lambda e: e.w,
+    )
+    idx = F.sequence(F.lit(1), F.size(wcol))
+    pairs = F.flatten(
+        F.transform(
+            idx,
+            lambda i: F.transform(
+                F.slice(wcol, i + 1, F.greatest(F.size(wcol) - i, F.lit(0))),
+                lambda y: F.concat(F.element_at(wcol, i), F.lit("|"), y),
+            ),
+        )
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(wcol) - 1, F.lit(0))),
+        lambda i: F.concat(F.element_at(wcol, i), F.lit(" "), F.element_at(wcol, i + 1)),
+    )
+    return base.select(
+        "doc_id", by_len.alias("by_len"), pairs.alias("pairs"), bigrams.alias("bigrams")
+    )
+
+
+@_q(
     "func_bigendian_fnv",
     f"""
 SELECT p_partkey,

@@ -209,6 +209,51 @@ def win_range_value_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "win_ignore_nulls",
+    """
+WITH t AS (
+  SELECT o_orderkey, o_custkey, o_orderdate,
+         CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_totalprice END AS v
+  FROM orders WHERE o_custkey < 50
+)
+SELECT o_orderkey,
+       lag(v IGNORE NULLS) OVER w AS prev_nn,
+       last_value(v IGNORE NULLS) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_nn,
+       first_value(v IGNORE NULLS) OVER w AS first_nn
+FROM t WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+)
+def win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS value-window semantics (``LagFunction.java:55``,
+    ``FirstValueFunction``/``LastValueFunction``) — every third price nulled
+    so the skip-over behavior is actually exercised."""
+    from pyspark.sql import Window as W
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    t = orders.filter(F.col("o_custkey") < 50).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.when(F.col("o_orderkey") % 3 == 0, None)
+        .otherwise(F.col("o_totalprice"))
+        .alias("v"),
+    )
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    # PySpark's F.lag has no ignoreNulls parameter — SQL syntax via expr;
+    # first/last expose it directly.
+    over = "OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"
+    return t.select(
+        "o_orderkey",
+        F.expr(f"lag(v) IGNORE NULLS {over}").alias("prev_nn"),
+        F.last("v", ignorenulls=True).over(w_run).alias("last_nn"),
+        F.first("v", ignorenulls=True).over(w).alias("first_nn"),
+    )
+
+
 @_q("sample_bernoulli")  # no oracle: sampling is engine-specific by nature
 def sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TABLESAMPLE BERNOULLI(10) — seeded df.sample; the driver records the
