@@ -173,6 +173,37 @@ def func_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "agg_bit_json",
+    """
+SELECT l_returnflag,
+       CAST(bit_and(CAST(l_orderkey % 4096 AS BIGINT)) AS BIGINT) AS band,
+       CAST(bit_or(CAST(l_orderkey % 4096 AS BIGINT)) AS BIGINT) AS bor,
+       CAST(max(json_array_length('[' || CAST(l_linenumber AS VARCHAR) || ',2,3]'))
+            AS INTEGER) AS max_jlen,
+       CAST(max(len(json_keys('{"a":' || CAST(l_linenumber AS VARCHAR) || ',"b":2}')))
+            AS INTEGER) AS jsize
+FROM lineitem WHERE l_orderkey < 3000 GROUP BY l_returnflag
+""",
+)
+def agg_bit_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bitwise_and_agg / bitwise_or_agg (``BitwiseAndAggregation.java``,
+    ``BitwiseOrAggregation.java``) plus json_array_length / json_size
+    (``JsonFunctions.java``) over synthesized JSON documents."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    k = (F.col("l_orderkey") % 4096).cast("long")
+    jarr = F.concat(F.lit("["), F.col("l_linenumber").cast("string"), F.lit(",2,3]"))
+    jobj = F.concat(
+        F.lit('{"a":'), F.col("l_linenumber").cast("string"), F.lit(',"b":2}')
+    )
+    return li.filter(F.col("l_orderkey") < 3000).groupBy("l_returnflag").agg(
+        F.bit_and(k).alias("band"),
+        F.bit_or(k).alias("bor"),
+        F.max(F.json_array_length(jarr)).alias("max_jlen"),
+        F.max(F.size(F.json_object_keys(jobj))).alias("jsize"),
+    )
+
+
+@_q(
     "func_array_advanced",
     """
 WITH w AS (

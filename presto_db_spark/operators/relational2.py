@@ -255,6 +255,25 @@ def win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "setop_except_distinct",
+    """
+SELECT l_partkey, l_suppkey FROM lineitem WHERE l_orderkey < 2000
+EXCEPT
+SELECT l_partkey, l_suppkey FROM lineitem WHERE l_orderkey >= 1000 AND l_orderkey < 3000
+""",
+)
+def setop_except_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct) — the dedup variant next to setop_except_all
+    (``ImplementIntersectAndExceptAsUnion.java`` lowers both)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_orderkey") < 2000).select("l_partkey", "l_suppkey")
+    b = li.filter((F.col("l_orderkey") >= 1000) & (F.col("l_orderkey") < 3000)).select(
+        "l_partkey", "l_suppkey"
+    )
+    return a.subtract(b)
+
+
+@_q(
     "misc_unique_id",
     """
 SELECT CAST(count(*) AS BIGINT) AS n, true AS ids_unique
