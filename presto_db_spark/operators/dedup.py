@@ -198,15 +198,26 @@ _MH_BANDS_SQL = ", ".join(
     for band in range(N_BANDS)
 )
 
+# Shingle hash = composition of per-word hashes: each word is char-hashed
+# ONCE, then 3-word shingles combine word hashes with integer math — ~9×
+# less char work than hashing every shingle string (a word appears in ~3
+# shingles of ~3 words each). B is any constant; all intermediates < 2^63.
+WORD_COMBINE = 1000003
+
 _MINHASH_SQL = f"""
 WITH sh AS (
-  SELECT doc_id, {_SQL_SHINGLES.format(t="text")} AS grams FROM documents
-), hashed AS (
-  SELECT doc_id, grams,
-         list_transform(grams, g -> {_SQL_ROLL.format(s="g")} % {MERSENNE31}) AS hs
-  FROM sh
+  SELECT doc_id,
+         string_split_regex(trim(text), '\\s+') AS words,
+         list_transform(words, w -> {_SQL_ROLL.format(s="w")} % {MERSENNE31}) AS wh,
+         list_distinct(list_transform(generate_series(1, greatest(len(words) - 2, 1)),
+             i -> array_to_string(words[i:i+2], ' '))) AS grams,
+         list_distinct(list_transform(generate_series(1, greatest(len(words) - 2, 1)),
+             i -> ((coalesce(wh[i], 0) * {WORD_COMBINE} + coalesce(wh[i+1], 0))
+                   % {MERSENNE31} * {WORD_COMBINE} + coalesce(wh[i+2], 0))
+                  % {MERSENNE31})) AS hs
+  FROM documents
 ), sigs AS (
-  SELECT doc_id, grams, {_MH_PERM_SQL} FROM hashed
+  SELECT doc_id, grams, {_MH_PERM_SQL} FROM sh
 ), banded AS (
   SELECT doc_id, grams, {_MH_BANDS_SQL} FROM sigs
 ), pairs AS (
@@ -229,29 +240,48 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-minimal banded LSH.
 
     Scale design (the part that matters at 100 TB):
-    * the rolling hash of each shingle is materialized ONCE in an ``hs``
-      column — the 16 permutations read it instead of re-hashing (16×
-      CPU saving; CollapseProject keeps expensive multi-referenced
-      aliases materialized);
+    * char-level hashing happens ONCE PER WORD (``wh`` column); shingle
+      hashes are integer compositions of word hashes — ~9× less char work
+      than hashing every shingle string, and the 16 permutations read the
+      materialized ``hs`` instead of re-hashing (16× on top);
     * only narrow ``(doc_id, band_id, bkey)`` rows enter the self-join —
       the shingle arrays never ride through the band shuffle;
     * candidate pairs are deduped as scalar ``(id_a, id_b)`` BEFORE the
       arrays are fetched back by key for Jaccard verification.
     """
-    # The shingle rolling-hash is CPU-bound; a small corpus arrives as one
-    # file split, so spread rows across all cores first (at cluster scale
-    # the input already has many splits and this doubles as skew leveling —
+    # The word hashing is CPU-bound; a small corpus arrives as one file
+    # split, so spread rows across all cores first (at cluster scale the
+    # input already has many splits and this doubles as skew leveling —
     # the shuffle moves only (doc_id, text)).
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
-    sh = docs.select("doc_id", _shingles(F.col("text")).alias("grams"))
-    hashed = sh.select(
+    base = docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("words"))
+    staged = base.select(
         "doc_id",
-        "grams",
-        F.transform("grams", lambda g: _roll_hash(g) % MERSENNE31).alias("hs"),
+        "words",
+        F.transform("words", lambda w: _roll_hash(w) % MERSENNE31).alias("wh"),
     )
-    sigs = hashed.select(
+    idx = F.sequence(F.lit(1), F.greatest(F.size("words") - 2, F.lit(1)))
+
+    def wh_at(i: Column) -> Column:
+        return F.coalesce(F.element_at(F.col("wh"), i), F.lit(0).cast("long"))
+
+    hs = F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: (
+                (wh_at(i) * WORD_COMBINE + wh_at(i + 1)) % MERSENNE31 * WORD_COMBINE
+                + wh_at(i + 2)
+            )
+            % MERSENNE31,
+        )
+    )
+    grams = F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(F.col("words"), i, 3), " "))
+    )
+    sh = staged.select("doc_id", grams.alias("grams"), hs.alias("hs"))
+    sigs = sh.select(
         "doc_id",
         *[
             F.array_min(
