@@ -1,0 +1,63 @@
+"""SQL-text parity: raw TPC-H-style SQL through Engine.sql (the spark.sql
+parser/analyzer path — SURVEY.md §3 steps 3-5, which we delegate wholesale)
+checked against DuckDB running the same text."""
+
+from __future__ import annotations
+
+import pytest
+
+from presto_db_spark.engine import Engine
+
+from .oracle_utils import compare, run_oracle
+
+# Dialect-shared SQL (runs verbatim on Spark and DuckDB).
+SHARED_SQL = {
+    "q06_text": """
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+    "q01_text": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(round(l_extendedprice * 100)) / 100, 2) AS sum_base_price,
+               CAST(count(*) AS BIGINT) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "join_text": """
+        SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_cust,
+               round(sum(round(c.c_acctbal * 100)) / 100, 2) AS total_bal
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    """,
+    "cte_text": """
+        WITH big AS (
+          SELECT o_custkey, count(*) AS n FROM orders
+          GROUP BY o_custkey HAVING count(*) > 10
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_big_customers,
+               CAST(max(n) AS BIGINT) AS max_orders
+        FROM big
+    """,
+}
+
+
+@pytest.fixture(scope="module")
+def engine(spark, sf_dir):
+    return Engine(spark, sf_dir=sf_dir)
+
+
+@pytest.mark.parametrize("name", sorted(SHARED_SQL))
+def test_sql_text_vs_duckdb(engine, sf_dir, name):
+    sql = SHARED_SQL[name]
+    df = engine.sql(sql)
+    spark_cols, spark_rows = df.columns, [tuple(r) for r in df.collect()]
+    ora_cols, ora_rows = run_oracle(sql, sf_dir)
+    problems = compare(spark_cols, spark_rows, ora_cols, [tuple(r) for r in ora_rows])
+    assert not problems, f"{name}: {problems}"
