@@ -166,18 +166,6 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- MinHash + banded LSH (portable hash → fully oracle-checked) -----------
 
-def minhash_signature(grams: Column) -> list[Column]:
-    """16 minhash values over the shingle set, (a*h' + b) % p with
-    h' = rolling_hash(shingle) % p. Pure integer expressions."""
-    h = F.transform(grams, lambda g: _roll_hash(g) % MERSENNE31)
-    return [
-        F.array_min(F.transform(h, lambda x: (F.lit(a) * x + F.lit(b)) % MERSENNE31)).alias(
-            f"mh{k}"
-        )
-        for k, (a, b) in enumerate(MINHASH_PERMS)
-    ]
-
-
 def _band_expr(prefix: str, band: int) -> Column:
     cols = [
         F.col(f"{prefix}mh{band * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)

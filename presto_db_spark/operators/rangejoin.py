@@ -21,6 +21,7 @@ the range predicate becomes part of the equi-join key.
 from __future__ import annotations
 
 from collections.abc import Callable
+from functools import reduce
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -73,8 +74,6 @@ def range_join(
     exact = (F.unix_micros(rcol(right_ts)) > F.unix_micros(lcol(left_ts))) & (
         F.unix_micros(rcol(right_ts)) <= F.unix_micros(lcol(left_ts)) + w_us
     )
-    from functools import reduce
-
     out_cols = (
         [lcol(k).alias(k) for k in keys]
         + [lcol(c).alias(c) for c in left.columns if c not in keys]
