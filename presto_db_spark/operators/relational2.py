@@ -88,18 +88,22 @@ def subq_not_in_null(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NOT IN with a NULL-free subquery (plain anti join) vs a subquery
     containing NULL (never-true → 0 rows). spark.sql keeps the null-aware
     anti-join semantics that a hand-built LEFT ANTI would get wrong."""
+    import uuid
+
     cust, orders = _t(spark, sf_dir, "customer", "orders")
-    cust.createOrReplaceTempView("_r2_customer")
-    orders.createOrReplaceTempView("_r2_orders")
+    # unique view names: query functions must not collide on session state
+    cv, ov = f"_r2_c_{uuid.uuid4().hex[:8]}", f"_r2_o_{uuid.uuid4().hex[:8]}"
+    cust.createOrReplaceTempView(cv)
+    orders.createOrReplaceTempView(ov)
     return spark.sql(
-        """
+        f"""
         SELECT
-          (SELECT count(*) FROM _r2_customer
+          (SELECT count(*) FROM {cv}
            WHERE c_custkey NOT IN
-             (SELECT o_custkey FROM _r2_orders WHERE o_orderkey < 1000)) AS n_no_null,
-          (SELECT count(*) FROM _r2_customer
+             (SELECT o_custkey FROM {ov} WHERE o_orderkey < 1000)) AS n_no_null,
+          (SELECT count(*) FROM {cv}
            WHERE c_custkey NOT IN
-             (SELECT nullif(o_custkey, o_custkey) FROM _r2_orders
+             (SELECT nullif(o_custkey, o_custkey) FROM {ov}
               WHERE o_orderkey < 10)) AS n_with_null
         """
     )
