@@ -213,20 +213,36 @@ GROUP BY e.event_id
 )
 def events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AS-OF join (Presto lacks it as first-class — SURVEY.md §2.3 'range/
-    as-of joins not supported'; we provide it as equi-join + window/agg,
-    the scalable Spark formulation)."""
+    as-of joins not supported') via the union-sort-window formulation:
+
+    tag probes and priors, sort once per user (probes BEFORE priors at
+    equal ts, so the match is strictly ``prior.ts < probe.ts``), and carry
+    the last-seen prior forward with an IGNORE NULLS running window. ONE
+    sort shuffle and linear work — the join-then-max_by alternative (the
+    oracle) is quadratic within hot users at 100 TB.
+    """
     ev = load_table(spark, sf_dir, "events")
-    e = ev.filter((F.col("event_type") == "error") & (F.col("user_id") < 30)).select(
-        F.col("event_id").alias("eid"), F.col("user_id").alias("eu"), F.col("ts").alias("ets")
+    probes = ev.filter((F.col("event_type") == "error") & (F.col("user_id") < 30)).select(
+        "user_id", "ts", F.lit(1).alias("is_probe"), F.col("event_id").alias("eid")
     )
-    p = ev.select(
-        F.col("event_id").alias("pid"), F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    priors = ev.select(
+        "user_id", "ts", F.lit(0).alias("is_probe"), F.col("event_id").alias("eid")
     )
+    tagged = priors.unionByName(probes)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", F.desc("is_probe"), "eid")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    prior_id = F.last(F.when(F.col("is_probe") == 0, F.col("eid")), ignorenulls=True)
+    prior_ts = F.last(F.when(F.col("is_probe") == 0, F.col("ts")), ignorenulls=True)
     return (
-        e.join(p, (F.col("eu") == F.col("pu")) & (F.col("pts") < F.col("ets")))
-        .groupBy(F.col("eid").alias("event_id"))
-        .agg(
-            F.max_by("pid", "pts").alias("prior_event"),
-            F.max("pts").alias("prior_ts"),
+        tagged.select(
+            "is_probe",
+            "eid",
+            prior_id.over(w).alias("prior_event"),
+            prior_ts.over(w).alias("prior_ts"),
         )
+        .filter((F.col("is_probe") == 1) & F.col("prior_event").isNotNull())
+        .select(F.col("eid").alias("event_id"), "prior_event", "prior_ts")
     )
