@@ -172,6 +172,65 @@ def func_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# inverse_normal_cdf via Acklam's rational approximation — ONE shared SQL
+# fragment evaluated by both engines (identical literals and operation
+# order; only ln/sqrt can differ by an ulp, absorbed by round(6)).
+# Reference: pm/operator/scalar/MathFunctions.java inverseNormalCdf.
+_ACKLAM = """
+CASE
+  WHEN {p} < 0.02425 THEN
+    (((((-7.784894002430293e-03 * sqrt(-2 * ln({p})) - 3.223964580411365e-01)
+        * sqrt(-2 * ln({p})) - 2.400758277161838e+00) * sqrt(-2 * ln({p}))
+        - 2.549732539343734e+00) * sqrt(-2 * ln({p})) + 4.374664141464968e+00)
+        * sqrt(-2 * ln({p})) + 2.938163982698783e+00)
+    / ((((7.784695709041462e-03 * sqrt(-2 * ln({p})) + 3.224671290700398e-01)
+        * sqrt(-2 * ln({p})) + 2.445134137142996e+00) * sqrt(-2 * ln({p}))
+        + 3.754408661907416e+00) * sqrt(-2 * ln({p})) + 1.0)
+  WHEN {p} > 0.97575 THEN
+    -((((((-7.784894002430293e-03 * sqrt(-2 * ln(1 - {p})) - 3.223964580411365e-01)
+        * sqrt(-2 * ln(1 - {p})) - 2.400758277161838e+00) * sqrt(-2 * ln(1 - {p}))
+        - 2.549732539343734e+00) * sqrt(-2 * ln(1 - {p})) + 4.374664141464968e+00)
+        * sqrt(-2 * ln(1 - {p})) + 2.938163982698783e+00)
+    / ((((7.784695709041462e-03 * sqrt(-2 * ln(1 - {p})) + 3.224671290700398e-01)
+        * sqrt(-2 * ln(1 - {p})) + 2.445134137142996e+00) * sqrt(-2 * ln(1 - {p}))
+        + 3.754408661907416e+00) * sqrt(-2 * ln(1 - {p})) + 1.0))
+  ELSE
+    (((((-3.969683028665376e+01 * (({p} - 0.5) * ({p} - 0.5)) + 2.209460984245205e+02)
+        * (({p} - 0.5) * ({p} - 0.5)) - 2.759285104469687e+02)
+        * (({p} - 0.5) * ({p} - 0.5)) + 1.383577518672690e+02)
+        * (({p} - 0.5) * ({p} - 0.5)) - 3.066479806614716e+01)
+        * (({p} - 0.5) * ({p} - 0.5)) + 2.506628277459239e+00) * ({p} - 0.5)
+    / (((((-5.447609879822406e+01 * (({p} - 0.5) * ({p} - 0.5)) + 1.615858368580409e+02)
+        * (({p} - 0.5) * ({p} - 0.5)) - 1.556989798598866e+02)
+        * (({p} - 0.5) * ({p} - 0.5)) + 6.680131188771972e+01)
+        * (({p} - 0.5) * ({p} - 0.5)) - 1.328068155288572e+01)
+        * (({p} - 0.5) * ({p} - 0.5)) + 1.0)
+END
+""".strip()
+
+_P_EXPR = "(CAST(c_custkey % 97 + 1 AS DOUBLE) / 98)"
+
+
+@_q(
+    "func_inverse_normal_cdf",
+    f"""
+SELECT c_custkey,
+       round({_P_EXPR}, 6) AS p,
+       round({_ACKLAM.format(p=_P_EXPR)}, 6) AS inv_cdf
+FROM customer WHERE c_custkey < 400
+""",
+)
+def func_inverse_normal_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """inverse_normal_cdf (``MathFunctions.java``) — Acklam's approximation
+    as a pure expression; the oracle evaluates the identical fragment."""
+    (cust,) = _t(spark, sf_dir, "customer")
+    return cust.filter(F.col("c_custkey") < 400).select(
+        "c_custkey",
+        F.round(F.expr(_P_EXPR), 6).alias("p"),
+        F.round(F.expr(_ACKLAM.format(p=_P_EXPR)), 6).alias("inv_cdf"),
+    )
+
+
 @_q(
     "agg_bit_json",
     """
