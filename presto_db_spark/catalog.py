@@ -33,6 +33,12 @@ BROADCAST_TABLES = frozenset({"region", "nation"})
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # Defensive: the conf is runtime-settable and the read below fails
+        # with PARQUET_TYPE_ILLEGAL without it. get_spark() sets it at build
+        # time, but queries() callables must also work on a caller-provided
+        # vanilla session (the driver builds its own).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS); Spark has no nanos timestamp
