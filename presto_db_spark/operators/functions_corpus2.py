@@ -576,6 +576,43 @@ def agg_arrays_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "agg_map_union",
+    """
+WITH per_order AS (
+  SELECT l_returnflag, l_orderkey, l_linestatus, count(*) AS cnt
+  FROM lineitem WHERE l_orderkey < 2000
+  GROUP BY l_returnflag, l_orderkey, l_linestatus
+), merged AS (
+  SELECT l_returnflag, l_linestatus, max(cnt) AS v
+  FROM per_order GROUP BY l_returnflag, l_linestatus
+)
+SELECT l_returnflag,
+       list(l_linestatus ORDER BY l_linestatus) AS m_keys,
+       list(v ORDER BY l_linestatus) AS m_vals
+FROM merged GROUP BY l_returnflag
+""",
+)
+def agg_map_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """map_union (``MapUnionAggregation.java``) — per-order maps
+    {linestatus: count} merged across orders. Presto keeps an arbitrary
+    value on key collision; we pin max() so both engines agree. Emulated
+    the scalable way: explode the per-row maps and re-aggregate by key
+    (map-side combinable), then canonicalize to key-sorted arrays."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    per_order = (
+        li.filter(F.col("l_orderkey") < 2000)
+        .groupBy("l_returnflag", "l_orderkey", "l_linestatus")
+        .agg(F.count("*").alias("cnt"))
+    )
+    merged = per_order.groupBy("l_returnflag", "l_linestatus").agg(F.max("cnt").alias("v"))
+    es = F.array_sort(F.collect_list(F.struct("l_linestatus", "v")))
+    return merged.groupBy("l_returnflag").agg(
+        F.transform(es, lambda e: e.l_linestatus).alias("m_keys"),
+        F.transform(es, lambda e: e.v).alias("m_vals"),
+    )
+
+
 @_q("agg_hll_sketch")  # no oracle: sketch bytes are engine-specific
 def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_set / merge(HLL) / cardinality(hll) as first-class mergeable
