@@ -98,13 +98,21 @@ class DdlMixin:
         Returns the number of rows deleted. For transactional row-level
         deletes the user should layer Delta/Iceberg on the same API.
         """
+        import uuid as _uuid
+
         tbl = self.spark.table(name)
         before = tbl.count()
         # Spark refuses INSERT OVERWRITE of a table it is reading
         # (UNSUPPORTED_OVERWRITE) — stage the complement first. Distributed
-        # write both times; no driver materialization.
-        staging = f"{name}_delete_staging"
-        tbl.filter(f"NOT ({condition})").write.mode("overwrite").saveAsTable(staging)
+        # write both times; no driver materialization. SQL DELETE removes
+        # only rows where the predicate is TRUE — rows where it evaluates
+        # to NULL are KEPT, hence the coalesce (not a bare NOT, which would
+        # drop NULL-predicate rows). Staging name is uuid-suffixed so
+        # concurrent deletes of different tables can't collide.
+        staging = f"{name}_delete_staging_{_uuid.uuid4().hex[:12]}"
+        tbl.filter(f"NOT coalesce(({condition}), false)").write.mode("overwrite").saveAsTable(
+            staging
+        )
         try:
             n_kept = self.spark.table(staging).count()
             self.spark.sql(f"INSERT OVERWRITE TABLE {name} SELECT * FROM {staging}")

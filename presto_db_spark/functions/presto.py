@@ -42,10 +42,10 @@ def strpos(col: Column | str, sub: str) -> Column:
 
 
 def to_unixtime(ts: Column) -> Column:
-    """Seconds-since-epoch as DOUBLE (Presto returns double)."""
-    return F.unix_timestamp(ts).cast("double") + (
-        F.expr("extract(milliseconds from cast(0 as timestamp))") * 0
-    )
+    """Seconds-since-epoch as DOUBLE with fractional seconds (Presto returns
+    double — ``pm/operator/scalar/DateTimeFunctions.java`` to_unixtime).
+    unix_micros keeps microsecond precision; unix_timestamp would truncate."""
+    return F.unix_micros(ts).cast("double") / 1e6
 
 
 def cosine_similarity_arrays(a: Column, b: Column) -> Column:

@@ -203,7 +203,7 @@ def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_asof",
     """
 SELECT e.event_id,
-       max_by(p.event_id, p.ts) AS prior_event,
+       max_by(p.event_id, (p.ts, p.event_id)) AS prior_event,
        max(p.ts) AS prior_ts
 FROM events e JOIN events p
   ON e.user_id = p.user_id AND p.ts < e.ts

@@ -45,9 +45,9 @@ def get_spark(app_name: str = "presto_db_spark", cpus: str | None = None) -> Spa
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
     )
-    if not os.environ.get("SPARK_MASTER") and "local" not in os.environ.get(
-        "SPARK_GRAFT_MASTER", ""
-    ):
+    # SPARK_MASTER (set by spark-submit) wins; otherwise honor an explicit
+    # SPARK_GRAFT_MASTER override of any kind, falling back to local[cpus].
+    if not os.environ.get("SPARK_MASTER"):
         builder = builder.master(os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]"))
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

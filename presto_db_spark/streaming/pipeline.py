@@ -19,6 +19,9 @@ eviction — at 100 TB/day the state store holds only open windows
 
 from __future__ import annotations
 
+import atexit
+import os
+import shutil
 import tempfile
 import uuid
 
@@ -29,6 +32,20 @@ from ..catalog import load_table  # noqa: F401  (used by events_stream schema pa
 
 QUERIES = {}
 ORACLE = {}
+
+# One temp root per process, removed at exit — repeated sweeps/bench runs
+# must not accumulate mkdtemp dirs (staging symlink dirs are additionally
+# cached per sf_dir so N queries share one).
+_TMP_ROOT: str | None = None
+_STAGE_CACHE: dict[str, str] = {}
+
+
+def _tmp_root() -> str:
+    global _TMP_ROOT
+    if _TMP_ROOT is None:
+        _TMP_ROOT = tempfile.mkdtemp(prefix="pds_streaming_")
+        atexit.register(shutil.rmtree, _TMP_ROOT, ignore_errors=True)
+    return _TMP_ROOT
 
 
 def _q(name: str, sql: str | None = None):
@@ -49,12 +66,14 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single parquet file, so expose it through a temp symlink dir (no
     # copy). On a real deployment the events feed is already a directory
     # (or Kafka) and this indirection disappears.
-    import os
-
-    stage = tempfile.mkdtemp(prefix="pds_stream_src_")
-    link = os.path.join(stage, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+    stage = _STAGE_CACHE.get(sf_dir)
+    if stage is None:
+        stage = tempfile.mkdtemp(prefix="src_", dir=_tmp_root())
+        os.symlink(
+            os.path.abspath(f"{sf_dir}/events.parquet"),
+            os.path.join(stage, "events.parquet"),
+        )
+        _STAGE_CACHE[sf_dir] = stage
     stream = (
         spark.readStream.schema(raw_schema)
         .option("maxFilesPerTrigger", 1)
@@ -94,7 +113,7 @@ def _run_to_completion(result: DataFrame, sink_prefix: str, output_mode: str) ->
         .queryName(sink)
         .outputMode(output_mode)
         .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="pds_ckpt_"))
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_", dir=_tmp_root()))
         .start()
     )
     q.awaitTermination()
