@@ -97,6 +97,12 @@ class DdlMixin:
         does for partition predicates on non-transactional connectors).
         Returns the number of rows deleted. For transactional row-level
         deletes the user should layer Delta/Iceberg on the same API.
+
+        NOT safe for concurrent deletes of the SAME table: each call stages
+        the complement of its own snapshot, so the last INSERT OVERWRITE wins
+        and silently undoes the other delete. Serialize per-table (the
+        reference inherits the same guarantee level from non-transactional
+        connectors' metadata deletes).
         """
         import uuid as _uuid
 

@@ -30,6 +30,7 @@ from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from ..catalog import load_table
 
@@ -110,12 +111,19 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- n-gram Jaccard near-dup (blocked pairwise) ----------------------------
 
-_JACCARD_SQL = """
+# Per-block cap: real corpora concentrate on common openers ("the …"), so an
+# uncapped (lang, first-2-words) block is O(n²) in the mega-block. Keep the
+# BLOCK_CAP smallest doc_ids per block (deterministic) → worst case
+# O(blocks · BLOCK_CAP²) candidate pairs.
+BLOCK_CAP = 64
+
+_JACCARD_SQL = f"""
 WITH sh AS (
   SELECT doc_id, lang,
          array_to_string(string_split_regex(trim(text), '\\s+')[1:2], ' ') AS blk,
-         {shingles} AS grams
+         {{shingles}} AS grams
   FROM documents
+  QUALIFY row_number() OVER (PARTITION BY lang, blk ORDER BY doc_id) <= {BLOCK_CAP}
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
@@ -130,12 +138,25 @@ WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
 
 @_q("dedup_ngram_jaccard", _JACCARD_SQL)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked pairwise n-gram Jaccard with a hard per-block cap.
+
+    Block key = (lang, first-2-words); real corpora concentrate on common
+    openers, so blocks are capped at BLOCK_CAP docs (smallest doc_ids kept —
+    deterministic, oracle-matched). Worst-case candidate pairs =
+    O(blocks · BLOCK_CAP²) instead of O(max_block²); for unbounded recall use
+    dedup_minhash_lsh, whose banded candidates don't have hot blocks."""
     docs = load_table(spark, sf_dir, "documents")
     sh = docs.select(
         "doc_id",
         "lang",
         F.array_join(F.slice(F.split(F.trim("text"), r"\s+"), 1, 2), " ").alias("blk"),
         _shingles(F.col("text")).alias("grams"),
+    )
+    cap_w = W.partitionBy("lang", "blk").orderBy("doc_id")
+    sh = (
+        sh.withColumn("_rn", F.row_number().over(cap_w))
+        .filter(F.col("_rn") <= BLOCK_CAP)
+        .drop("_rn")
     )
     a = sh.select(
         F.col("doc_id").alias("id_a"),

@@ -148,24 +148,25 @@ FROM events s JOIN events p
 """,
 )
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→purchase conversion within 24 h, routed through the bucketized
+    ``range_join`` (rangejoin.py) rather than an equi-join on user_id with the
+    window as a residual filter. The residual-filter form (what the reference
+    runs: JoinNode equi ``criteria`` + ``filter``,
+    pm/sql/planner/plan/JoinNode.java) is quadratic within hot users — a bot
+    account with 1e5 signups and 1e5 purchases lands 1e10 candidate pairs on
+    one reducer. Bucketizing the 24 h window into the join key bounds
+    per-bucket candidates by bucket width, not user-key cardinality."""
+    from .rangejoin import range_join
+
     ev = load_table(spark, sf_dir, "events")
     s = ev.filter(F.col("event_type") == "signup").select(
-        F.col("user_id").alias("su"), F.col("ts").alias("sts")
+        "user_id", F.col("ts").alias("sts")
     )
     p = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+        "user_id", F.col("ts").alias("pts")
     )
-    # Equi-join on user_id with the time-range as residual filter — the
-    # as-of/interval-join pattern (reference executes these as hash join +
-    # filter too: JoinNode residual filter, pm/sql/planner/plan/JoinNode.java).
-    return (
-        s.join(p, (F.col("su") == F.col("pu")))
-        .filter(
-            (F.col("pts") > F.col("sts"))
-            & (F.col("pts") <= F.col("sts") + F.expr("INTERVAL 24 HOURS"))
-        )
-        .agg(F.countDistinct("su").alias("converted_users"))
-    )
+    joined = range_join(s, p, ["user_id"], "sts", "pts", 86400)
+    return joined.agg(F.countDistinct("user_id").alias("converted_users"))
 
 
 # --- pivot: event_type counts per user (top users) -------------------------
@@ -203,7 +204,7 @@ def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_asof",
     """
 SELECT e.event_id,
-       max_by(p.event_id, (p.ts, p.event_id)) AS prior_event,
+       last(p.event_id ORDER BY p.ts, p.event_id) AS prior_event,
        max(p.ts) AS prior_ts
 FROM events e JOIN events p
   ON e.user_id = p.user_id AND p.ts < e.ts

@@ -66,14 +66,15 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single parquet file, so expose it through a temp symlink dir (no
     # copy). On a real deployment the events feed is already a directory
     # (or Kafka) and this indirection disappears.
-    stage = _STAGE_CACHE.get(sf_dir)
+    cache_key = os.path.abspath(sf_dir)  # relative/absolute spellings share one stage
+    stage = _STAGE_CACHE.get(cache_key)
     if stage is None:
         stage = tempfile.mkdtemp(prefix="src_", dir=_tmp_root())
         os.symlink(
             os.path.abspath(f"{sf_dir}/events.parquet"),
             os.path.join(stage, "events.parquet"),
         )
-        _STAGE_CACHE[sf_dir] = stage
+        _STAGE_CACHE[cache_key] = stage
     stream = (
         spark.readStream.schema(raw_schema)
         .option("maxFilesPerTrigger", 1)
