@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .catalog import TABLES, register_tables
 from .ddl import DdlMixin
+from .functions.dialect import rewrite_presto_sql
 from .functions.presto import register_presto_functions
 from .session import get_spark
 
@@ -34,7 +35,13 @@ class Engine(DdlMixin):
         """Register the driver tables under their bare names."""
         self.tables = register_tables(self.spark, sf_dir)
 
-    def sql(self, query: str) -> DataFrame:
+    def sql(self, query: str, *, dialect: bool = True) -> DataFrame:
+        """Run SQL. With ``dialect=True`` (default) the Presto-only
+        spellings Spark can't host as temp functions (aggregate renames,
+        arity-dependent regexp defaults, TRY guidance) are rewritten first
+        — see :mod:`functions.dialect`."""
+        if dialect:
+            query = rewrite_presto_sql(query)
         return self.spark.sql(query)
 
     def table(self, name: str) -> DataFrame:

@@ -26,6 +26,7 @@ Presto semantic quirks handled deliberately:
 from __future__ import annotations
 
 import math
+import re
 
 from pyspark.sql import Column, SparkSession
 from pyspark.sql import functions as F
@@ -209,8 +210,16 @@ _SQL_FUNCTIONS = [
     "RETURNS STRING RETURN parse_url(u, 'PATH')",
     "CREATE OR REPLACE TEMPORARY FUNCTION url_extract_query(u STRING) "
     "RETURNS STRING RETURN parse_url(u, 'QUERY')",
+    "CREATE OR REPLACE TEMPORARY FUNCTION url_extract_parameter(u STRING, p STRING) "
+    "RETURNS STRING RETURN parse_url(u, 'QUERY', p)",
+    "CREATE OR REPLACE TEMPORARY FUNCTION url_extract_fragment(u STRING) "
+    "RETURNS STRING RETURN parse_url(u, 'REF')",
     # json helpers with Presto names (JsonFunctions.java).
     "CREATE OR REPLACE TEMPORARY FUNCTION json_extract_scalar(j STRING, p STRING) "
+    "RETURNS STRING RETURN get_json_object(j, p)",
+    # Presto json_extract returns the JSON text at the path (objects/arrays
+    # included) — get_json_object already does exactly that.
+    "CREATE OR REPLACE TEMPORARY FUNCTION json_extract(j STRING, p STRING) "
     "RETURNS STRING RETURN get_json_object(j, p)",
     "CREATE OR REPLACE TEMPORARY FUNCTION json_array_get(j STRING, i BIGINT) "
     "RETURNS STRING RETURN get_json_object(j, concat('$[', cast(i as string), ']'))",
@@ -265,6 +274,89 @@ def _date_format_py(ts, fmt: str | None):
     return ts.strftime(_mysql_to_py_pattern(fmt))
 
 
+def _json_size(j: str | None, p: str | None) -> int | None:
+    """Presto json_size (``pm/operator/scalar/JsonFunctions.java``):
+    object → #keys, array → #elements, scalar → 0, missing path → NULL."""
+    import json as _json
+
+    if j is None or p is None:
+        return None
+    try:
+        doc = _json.loads(j)
+    except ValueError:
+        return None
+    # Minimal $.a.b[0] JsonPath subset — same subset get_json_object serves.
+    if not p.startswith("$"):
+        return None
+    cur = doc
+    for part in re.findall(r"\.([A-Za-z_][A-Za-z0-9_]*)|\[(\d+)\]", p):
+        key, idx = part
+        try:
+            cur = cur[key] if key else cur[int(idx)]
+        except (KeyError, IndexError, TypeError):
+            return None
+    if isinstance(cur, (dict, list)):
+        return len(cur)
+    return 0
+
+
+def _json_format(j: str | None) -> str | None:
+    """Presto json_format: canonical compact serialization of a JSON value."""
+    import json as _json
+
+    if j is None:
+        return None
+    try:
+        return _json.dumps(_json.loads(j), separators=(",", ":"))
+    except ValueError:
+        return None
+
+
+# Joda-Time pattern → strptime, longest-first (DateTimeFunctions.java
+# parse_datetime uses Joda DateTimeFormat). Documented subset: date/time
+# fields + literal text; no era/week-year.
+_JODA_TO_PY = [
+    ("yyyy", "%Y"), ("yy", "%y"), ("MMMM", "%B"), ("MMM", "%b"), ("MM", "%m"),
+    ("M", "%m"), ("dd", "%d"), ("d", "%d"), ("HH", "%H"), ("H", "%H"),
+    ("hh", "%I"), ("h", "%I"), ("mm", "%M"), ("m", "%M"), ("ss", "%S"),
+    ("s", "%S"), ("SSS", "%f"), ("a", "%p"), ("EEEE", "%A"), ("EEE", "%a"),
+    ("ZZ", "%z"), ("Z", "%z"),
+]
+
+
+def _joda_to_py(fmt: str) -> str:
+    out: list[str] = []
+    i = 0
+    while i < len(fmt):
+        if fmt[i] == "'":  # Joda literal quoting: 'T', '' = literal quote
+            end = fmt.find("'", i + 1)
+            if end == i + 1:
+                out.append("'")
+                i += 2
+                continue
+            out.append(fmt[i + 1 : end if end != -1 else len(fmt)].replace("%", "%%"))
+            i = (end if end != -1 else len(fmt)) + 1
+            continue
+        for joda, py in _JODA_TO_PY:
+            if fmt.startswith(joda, i):
+                out.append(py)
+                i += len(joda)
+                break
+        else:
+            out.append(fmt[i].replace("%", "%%"))
+            i += 1
+    return "".join(out)
+
+
+def _parse_datetime_py(s: str | None, fmt: str | None):
+    """Presto parse_datetime(string, joda_format) — documented Joda subset."""
+    import datetime
+
+    if s is None or fmt is None:
+        return None
+    return datetime.datetime.strptime(s, _joda_to_py(fmt))
+
+
 def register_presto_functions(spark: SparkSession) -> None:
     """Install the compat layer into the session's function registry."""
     for stmt in _SQL_FUNCTIONS:
@@ -274,3 +366,6 @@ def register_presto_functions(spark: SparkSession) -> None:
     spark.udf.register("hamming_distance", _hamming_distance, T.LongType())
     spark.udf.register("date_parse", _date_parse_py, T.TimestampType())
     spark.udf.register("date_format_mysql", _date_format_py, T.StringType())
+    spark.udf.register("json_size", _json_size, T.LongType())
+    spark.udf.register("json_format", _json_format, T.StringType())
+    spark.udf.register("parse_datetime", _parse_datetime_py, T.TimestampType())

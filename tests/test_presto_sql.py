@@ -105,3 +105,81 @@ def test_presto_sql_over_tables(engine):
     ).collect()
     assert all(r.c_mktsegment == r.seg_again for r in rows)
     assert math.fsum(r.n_pos for r in rows) > 0
+
+
+# --- round-3 dialect widening (VERDICT r2 item 5) --------------------------
+
+def test_dialect_approx_distinct_rename(engine):
+    r = engine.sql(
+        "SELECT approx_distinct(c_mktsegment) d FROM customer"
+    ).collect()[0]
+    assert r.d == 5  # 5 market segments, exact at this cardinality
+
+
+def test_dialect_regexp_extract_all_full_match(engine):
+    # Presto 2-arg form returns FULL matches; Spark's 2-arg default is group 1.
+    r = engine.sql(
+        "SELECT regexp_extract_all('a1b2c3', '[a-z][0-9]') xs, "
+        "       regexp_extract_all('a1b2', '([a-z])([0-9])', 2) g2, "
+        "       regexp_extract('x42y', '[0-9]+') m"
+    ).collect()[0]
+    assert r.xs == ["a1", "b2", "c3"] and r.g2 == ["1", "2"] and r.m == "42"
+
+
+def test_dialect_never_rewrites_inside_literals(engine):
+    r = engine.sql(
+        "SELECT 'approx_distinct(x)' s, length('regexp_extract_all(a, b)') n"
+    ).collect()[0]
+    assert r.s == "approx_distinct(x)" and r.n == 24
+
+
+def test_dialect_try_raises_with_guidance(engine):
+    with pytest.raises(ValueError, match="try_cast"):
+        engine.sql("SELECT TRY(1 / 0)")
+    # the operation-specific forms Presto users should switch to:
+    r = engine.sql(
+        "SELECT try_divide(1, 0) a, try_cast('xx' AS INT) b, "
+        "try_add(9223372036854775807, 1) c"
+    ).collect()[0]
+    assert (r.a, r.b, r.c) == (None, None, None)
+
+
+def test_json_extract_format_size(engine):
+    r = engine.sql(
+        """SELECT json_extract('{"a": {"b": [1, 2]}}', '$.a') j,
+                  json_format('{"a":  1, "b": [1, 2]}') f,
+                  json_size('{"a": {"k1": 1, "k2": 2}}', '$.a') s_obj,
+                  json_size('{"a": [1, 2, 3]}', '$.a') s_arr,
+                  json_size('{"a": 7}', '$.a') s_scalar,
+                  json_size('{"a": 7}', '$.missing') s_miss"""
+    ).collect()[0]
+    assert r.j == '{"b":[1,2]}'
+    assert r.f == '{"a":1,"b":[1,2]}'
+    assert (r.s_obj, r.s_arr, r.s_scalar, r.s_miss) == (2, 3, 0, None)
+
+
+def test_url_extract_parameter_and_encode(engine):
+    r = engine.sql(
+        "SELECT url_extract_parameter('http://h/p?k1=v1&k2=v2', 'k2') p, "
+        "       url_extract_fragment('http://h/p#frag') g, "
+        "       url_encode('a b&c') e, url_decode('a+b%26c') d"
+    ).collect()[0]
+    assert (r.p, r.g, r.e, r.d) == ("v2", "frag", "a+b%26c", "a b&c")
+
+
+def test_parse_datetime_joda(engine):
+    r = engine.sql(
+        "SELECT parse_datetime('2019-07-04 11:22:33', 'yyyy-MM-dd HH:mm:ss') a, "
+        "       parse_datetime('04/Jul/2019', 'dd/MMM/yyyy') b, "
+        "       parse_datetime('2019-07-04T11:22:33', \"yyyy-MM-dd'T'HH:mm:ss\") c"
+    ).collect()[0]
+    assert str(r.a) == "2019-07-04 11:22:33"
+    assert str(r.b) == "2019-07-04 00:00:00"
+    assert str(r.c) == "2019-07-04 11:22:33"
+
+
+def test_approx_percentile_native_name(engine):
+    r = engine.sql(
+        "SELECT approx_percentile(l_quantity, 0.5) m FROM lineitem"
+    ).collect()[0]
+    assert 1 <= r.m <= 50
