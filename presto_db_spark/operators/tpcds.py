@@ -1,0 +1,413 @@
+"""TPC-DS adapted subset — star-schema shapes on the driver testdata.
+
+The reference ships TPC-DS q01-q99 as benchmarks and product tests
+(``presto-benchto-benchmarks/src/main/resources/sql/presto/tpcds/*.sql``,
+``presto-product-tests/.../sql-tests/testcases/tpcds/``). The driver
+testdata is TPC-H-shaped, so each query here keeps the REFERENCE QUERY'S
+STRUCTURE (join graph, CTE re-use, decimal rollups, order/limit) with this
+dimension mapping:
+
+=====================  =====================================================
+TPC-DS                 driver schema
+=====================  =====================================================
+store_sales (fact)     lineitem (ss_sold_date/ss_customer via orders)
+item                   part (i_brand=p_brand, i_category=p_type,
+                       i_manager_id / i_manufact_id = p_size surrogate)
+date_dim               year()/month() of o_orderdate
+customer_demographics  customer.c_mktsegment
+store/address geo      c_nationkey vs s_nationkey
+web_returns            lineitem rows with l_returnflag = 'R'
+warehouse              l_suppkey
+=====================  =====================================================
+
+Money rollups use the exact-cents idiom (``_msum``) so Spark and DuckDB
+agree to the hashed digit regardless of accumulation order — TPC-DS's
+decimal(7,2) semantics on binary doubles.
+
+Scale notes: every query is a star join — Catalyst broadcasts ``part`` /
+``customer`` / dim-filtered ``orders`` under AQE exactly as it does for the
+TPC-H spine (asserted by tests/test_plans.py patterns). q95's "orders with
+>1 supplier" CTE is implemented as a groupBy-HAVING (one shuffle, linear)
+rather than the reference's self-join formulation — identical result set,
+no hot-order quadratic blowup; the oracle keeps the reference's self-join
+text to pin equivalence.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .tpch import _csum, _csum_sql, _msum, _msum_sql
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    return [load_table(spark, sf_dir, n) for n in names]
+
+
+def _rev():
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+_REV_SQL = "l_extendedprice * (1 - l_discount)"
+
+
+# --- q3: year x brand revenue for one manufacturer, November ---------------
+
+@_q(
+    "tpcds_q03",
+    f"""
+SELECT year(o.o_orderdate) AS d_year, p.p_brand AS brand,
+       {_msum_sql(_REV_SQL)} AS sum_agg
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_size = 28 AND month(o.o_orderdate) = 11
+GROUP BY d_year, brand
+ORDER BY d_year ASC, sum_agg DESC, brand ASC
+LIMIT 100
+""",
+)
+def tpcds_q03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q03 shape (tpcds/q03.sql: date_dim x store_sales x item,
+    manufact filter + month filter, year x brand rollup)."""
+    orders, lineitem, part = _t(spark, sf_dir, "orders", "lineitem", "part")
+    return (
+        orders.filter(F.month("o_orderdate") == 11)
+        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(part.filter(F.col("p_size") == 28), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy(F.year("o_orderdate").alias("d_year"), F.col("p_brand").alias("brand"))
+        .agg(_msum(_rev()).alias("sum_agg"))
+        .orderBy(F.asc("d_year"), F.desc("sum_agg"), F.asc("brand"))
+        .limit(100)
+    )
+
+
+# --- q7: demographic-filtered per-item averages ----------------------------
+
+@_q(
+    "tpcds_q07",
+    f"""
+SELECT p.p_brand AS i_brand,
+       round(avg(l.l_quantity), 6) AS agg1,
+       round({_csum_sql("l.l_extendedprice")} / 100.0 / count(*), 6) AS agg2,
+       round({_csum_sql("l.l_discount")} / 100.0 / count(*), 6) AS agg3,
+       round({_csum_sql("l.l_tax")} / 100.0 / count(*), 6) AS agg4
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND (o.o_orderpriority = '1-URGENT' OR o.o_orderstatus = 'F')
+  AND year(o.o_orderdate) = 2000
+GROUP BY i_brand
+ORDER BY i_brand ASC
+LIMIT 100
+""",
+)
+def tpcds_q07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q07 shape (tpcds/q07.sql: fact x demographics x date x item x
+    promotion with an OR'd channel filter, four per-item averages)."""
+    lineitem, orders, customer, part = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "part"
+    )
+    dem = customer.filter(F.col("c_mktsegment") == "BUILDING")
+    ords = orders.filter(
+        ((F.col("o_orderpriority") == "1-URGENT") | (F.col("o_orderstatus") == "F"))
+        & (F.year("o_orderdate") == 2000)
+    )
+    n = F.count(F.lit(1))
+    return (
+        lineitem.join(ords, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(dem, F.col("c_custkey") == F.col("o_custkey"))
+        .join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy(F.col("p_brand").alias("i_brand"))
+        .agg(
+            F.round(F.avg("l_quantity"), 6).alias("agg1"),
+            F.round(_csum(F.col("l_extendedprice")) / 100 / n, 6).alias("agg2"),
+            F.round(_csum(F.col("l_discount")) / 100 / n, 6).alias("agg3"),
+            F.round(_csum(F.col("l_tax")) / 100 / n, 6).alias("agg4"),
+        )
+        .orderBy(F.asc("i_brand"))
+        .limit(100)
+    )
+
+
+# --- q19: brand revenue where buyer and supplier geographies differ --------
+
+@_q(
+    "tpcds_q19",
+    f"""
+SELECT p.p_brand AS brand, p.p_type AS i_manufact,
+       {_msum_sql(_REV_SQL)} AS ext_price
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_size = 8 AND month(o.o_orderdate) = 11 AND year(o.o_orderdate) = 1998
+  AND c.c_nationkey <> s.s_nationkey
+GROUP BY brand, i_manufact
+ORDER BY ext_price DESC, brand ASC, i_manufact ASC
+LIMIT 100
+""",
+)
+def tpcds_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q19 shape (tpcds/q19.sql: the zip-mismatch join — buyer
+    geography <> seller geography — over brand/manufact rollup)."""
+    orders, customer, lineitem, supplier, part = _t(
+        spark, sf_dir, "orders", "customer", "lineitem", "supplier", "part"
+    )
+    return (
+        orders.filter((F.month("o_orderdate") == 11) & (F.year("o_orderdate") == 1998))
+        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supplier, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(part.filter(F.col("p_size") == 8), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(F.col("p_brand").alias("brand"), F.col("p_type").alias("i_manufact"))
+        .agg(_msum(_rev()).alias("ext_price"))
+        .orderBy(F.desc("ext_price"), F.asc("brand"), F.asc("i_manufact"))
+        .limit(100)
+    )
+
+
+# --- q42 / q52: year x category / year x brand November rollups ------------
+
+@_q(
+    "tpcds_q42",
+    f"""
+SELECT year(o.o_orderdate) AS d_year, p.p_type AS i_category,
+       {_msum_sql(_REV_SQL)} AS sum_sales
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_size = 1 AND month(o.o_orderdate) = 11 AND year(o.o_orderdate) = 2000
+GROUP BY d_year, i_category
+ORDER BY sum_sales DESC, d_year ASC, i_category ASC
+LIMIT 100
+""",
+)
+def tpcds_q42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q42 shape (tpcds/q42.sql: dt x fact x item, category rollup)."""
+    orders, lineitem, part = _t(spark, sf_dir, "orders", "lineitem", "part")
+    return (
+        orders.filter((F.month("o_orderdate") == 11) & (F.year("o_orderdate") == 2000))
+        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(part.filter(F.col("p_size") == 1), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy(F.year("o_orderdate").alias("d_year"), F.col("p_type").alias("i_category"))
+        .agg(_msum(_rev()).alias("sum_sales"))
+        .orderBy(F.desc("sum_sales"), F.asc("d_year"), F.asc("i_category"))
+        .limit(100)
+    )
+
+
+@_q(
+    "tpcds_q52",
+    f"""
+SELECT year(o.o_orderdate) AS d_year, p.p_brand AS brand,
+       {_msum_sql(_REV_SQL)} AS ext_price
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_size = 1 AND month(o.o_orderdate) = 11 AND year(o.o_orderdate) = 2000
+GROUP BY d_year, brand
+ORDER BY d_year ASC, ext_price DESC, brand ASC
+LIMIT 100
+""",
+)
+def tpcds_q52(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q52 shape (tpcds/q52.sql: q42's join with brand grain)."""
+    orders, lineitem, part = _t(spark, sf_dir, "orders", "lineitem", "part")
+    return (
+        orders.filter((F.month("o_orderdate") == 11) & (F.year("o_orderdate") == 2000))
+        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(part.filter(F.col("p_size") == 1), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy(F.year("o_orderdate").alias("d_year"), F.col("p_brand").alias("brand"))
+        .agg(_msum(_rev()).alias("ext_price"))
+        .orderBy(F.asc("d_year"), F.desc("ext_price"), F.asc("brand"))
+        .limit(100)
+    )
+
+
+# --- q95: CTE re-used in two IN-subqueries (multi-supplier orders) ---------
+
+@_q(
+    "tpcds_q95",
+    f"""
+WITH multi_supp AS (
+  SELECT DISTINCT l1.l_orderkey
+  FROM lineitem l1 JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey <> l2.l_suppkey
+)
+SELECT CAST(count(DISTINCT l.l_orderkey) AS BIGINT) AS order_cnt,
+       {_msum_sql("l.l_extendedprice * l.l_tax")} AS total_ship_cost,
+       {_msum_sql("l.l_extendedprice * (1 - l.l_discount)")} AS total_net_profit
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1997-03-01'
+  AND o.o_orderdate <  TIMESTAMP '1997-05-01'
+  AND n.n_name = 'FRANCE'
+  AND l.l_orderkey IN (SELECT l_orderkey FROM multi_supp)
+  AND l.l_orderkey IN (
+    SELECT r.l_orderkey FROM lineitem r
+    JOIN multi_supp m ON m.l_orderkey = r.l_orderkey
+    WHERE r.l_returnflag = 'R')
+""",
+)
+def tpcds_q95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q95 shape (tpcds/q95.sql: ws_wh CTE referenced by BOTH IN
+    subqueries — orders shipped from >1 warehouse that were also returned).
+
+    The CTE is computed as groupBy(l_orderkey) HAVING n_supp > 1 — one
+    linear shuffle — instead of the reference's self-join, which is
+    quadratic within hot orders; both IN's become left-semi joins against
+    the same cached-plan DataFrame (Spark reuses the exchange)."""
+    lineitem, orders, customer, nation = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation"
+    )
+    multi_supp = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("n_supp"))
+        .filter(F.col("n_supp") > 1)
+        .select("l_orderkey")
+    )
+    returned = (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+        .join(multi_supp, "l_orderkey", "left_semi")
+    )
+    fr = nation.filter(F.col("n_name") == "FRANCE")
+    base = (
+        lineitem.join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1997-03-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1997-05-01").cast("timestamp"))
+            ),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(fr, F.col("n_nationkey") == F.col("c_nationkey"), "left_semi")
+        .join(multi_supp, "l_orderkey", "left_semi")
+        .join(returned, "l_orderkey", "left_semi")
+    )
+    return base.agg(
+        F.countDistinct("l_orderkey").alias("order_cnt"),
+        _msum(F.col("l_extendedprice") * F.col("l_tax")).alias("total_ship_cost"),
+        _msum(_rev()).alias("total_net_profit"),
+    )
+
+
+# --- q11: year-over-year growth, CTE referenced four times -----------------
+
+@_q(
+    "tpcds_q11",
+    f"""
+WITH year_total AS (
+  SELECT c.c_custkey AS customer_id, c.c_name AS customer_name,
+         year(o.o_orderdate) AS dyear,
+         {_csum_sql(_REV_SQL)} AS year_total, 's' AS sale_type
+  FROM customer c
+  JOIN orders o ON o.o_custkey = c.c_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY customer_id, customer_name, dyear
+  UNION ALL
+  SELECT c.c_custkey AS customer_id, c.c_name AS customer_name,
+         year(o.o_orderdate) AS dyear,
+         {_csum_sql("o.o_totalprice")} AS year_total, 'w' AS sale_type
+  FROM customer c
+  JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY customer_id, customer_name, dyear
+)
+SELECT s2.customer_id, s2.customer_name
+FROM year_total s1
+JOIN year_total s2 ON s2.customer_id = s1.customer_id
+JOIN year_total w1 ON w1.customer_id = s1.customer_id
+JOIN year_total w2 ON w2.customer_id = s1.customer_id
+WHERE s1.sale_type = 's' AND s2.sale_type = 's'
+  AND w1.sale_type = 'w' AND w2.sale_type = 'w'
+  AND s1.dyear = 1999 AND s2.dyear = 2000
+  AND w1.dyear = 1999 AND w2.dyear = 2000
+  AND s1.year_total > 0 AND w1.year_total > 0
+  AND CAST(w2.year_total AS DOUBLE) / w1.year_total
+      > CAST(s2.year_total AS DOUBLE) / s1.year_total
+ORDER BY s2.customer_id ASC
+LIMIT 100
+""",
+)
+def tpcds_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q11 shape (tpcds/q11.sql: the year_total CTE — UNION ALL of
+    two sales channels — self-joined FOUR times to compare year-over-year
+    growth across channels). Totals are exact cents (integers), so the
+    growth-ratio comparison is bit-identical across engines."""
+    customer, orders, lineitem = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    store = (
+        customer.join(orders, F.col("o_custkey") == F.col("c_custkey"))
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("c_custkey").alias("customer_id"),
+            F.col("c_name").alias("customer_name"),
+            F.year("o_orderdate").alias("dyear"),
+        )
+        .agg(_csum(_rev()).alias("year_total"))
+        .withColumn("sale_type", F.lit("s"))
+    )
+    web = (
+        customer.join(orders, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            F.col("c_custkey").alias("customer_id"),
+            F.col("c_name").alias("customer_name"),
+            F.year("o_orderdate").alias("dyear"),
+        )
+        .agg(_csum(F.col("o_totalprice")).alias("year_total"))
+        .withColumn("sale_type", F.lit("w"))
+    )
+    year_total = store.unionByName(web)
+
+    def leg(alias: str, sale_type: str, dyear: int) -> DataFrame:
+        return (
+            year_total.filter(
+                (F.col("sale_type") == sale_type) & (F.col("dyear") == dyear)
+            )
+            .select("customer_id", "customer_name", "year_total")
+            .alias(alias)
+        )
+
+    s1, s2 = leg("s1", "s", 1999), leg("s2", "s", 2000)
+    w1, w2 = leg("w1", "w", 1999), leg("w2", "w", 2000)
+    joined = (
+        s1.join(s2, F.col("s2.customer_id") == F.col("s1.customer_id"))
+        .join(w1, F.col("w1.customer_id") == F.col("s1.customer_id"))
+        .join(w2, F.col("w2.customer_id") == F.col("s1.customer_id"))
+        .filter((F.col("s1.year_total") > 0) & (F.col("w1.year_total") > 0))
+        .filter(
+            F.col("w2.year_total").cast("double") / F.col("w1.year_total")
+            > F.col("s2.year_total").cast("double") / F.col("s1.year_total")
+        )
+    )
+    return (
+        joined.select(
+            F.col("s2.customer_id").alias("customer_id"),
+            F.col("s2.customer_name").alias("customer_name"),
+        )
+        .orderBy(F.asc("customer_id"))
+        .limit(100)
+    )
