@@ -382,17 +382,43 @@ def agg_bool_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- aggregate: approx family (engine-specific → rows-only check) ----------
 
-@_q("agg_approx")  # no oracle: HLL/t-digest internals differ across engines
+@_q(
+    "agg_approx",
+    """
+SELECT l_returnflag,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       TRUE AS approx_within_5pct,
+       TRUE AS median_within_1pct
+FROM lineitem GROUP BY l_returnflag
+""",
+)
 def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_distinct / approx_percentile
     (``ApproximateCountDistinctAggregation.java``,
     ``ApproximateLongPercentileAggregations.java``) — Spark
-    ``approx_count_distinct`` (HLL++) and ``percentile_approx`` (t-digest-
-    like). Results are sketch-dependent, so the driver records rows-only;
-    exact counterparts are oracle-checked in agg_percentile / tpch_q16."""
+    ``approx_count_distinct`` (HLL++, rsd=0.01) and ``percentile_approx``
+    (accuracy 10000). Sketch BYTES are engine-specific, but the accuracy
+    contract is checkable: the query emits the exact count plus in-query
+    error-bound booleans, and the oracle pins them TRUE — so the driver's
+    value-hash now verifies the estimates land inside their documented
+    bounds instead of recording rows-only."""
     (li,) = _t(spark, sf_dir, "lineitem")
+    exact_median = F.expr(
+        "percentile_approx(l_extendedprice, 0.5, 2147483647)"
+    )  # max accuracy = exact order statistic
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
         F.countDistinct("l_partkey").alias("exact_parts"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_partkey", 0.01)
+                - F.countDistinct("l_partkey")
+            )
+            <= F.greatest(
+                (F.countDistinct("l_partkey") * 0.05).cast("long"), F.lit(2)
+            )
+        ).alias("approx_within_5pct"),
+        (
+            F.abs(F.percentile_approx("l_extendedprice", 0.5, 10000) - exact_median)
+            <= exact_median * 0.01
+        ).alias("median_within_1pct"),
     )

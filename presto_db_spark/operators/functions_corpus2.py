@@ -147,21 +147,50 @@ def func_binary_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("func_hash_engine")  # no oracle: xxhash64/crc32/sha1 absent in DuckDB
+@_q(
+    "func_hash_engine",
+    """
+SELECT CAST(count(*) AS BIGINT) AS n,
+       TRUE AS xx_injective_here,
+       TRUE AS buckets_in_range,
+       TRUE AS sha1_wellformed,
+       CAST(-7102253719128171131 AS BIGINT) AS xx_pinned,
+       CAST(799298247 AS BIGINT) AS crc_pinned,
+       'da015a2c8d08b0aeb659ef939c3d8cb2c0861884' AS sha1_pinned,
+       CAST(1668754463 AS INT) AS murmur_pinned
+FROM part WHERE p_partkey < 100
+""",
+)
 def func_hash_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Engine hash family — xxhash64 (``pm/operator/scalar/VarbinaryFunctions
-    .java`` xxhash64/crc32/sha1) and the bucket idiom used for hash
-    partitioning. Deterministic values, but DuckDB lacks these algorithms →
-    rows-only check (the md5/sha256 counterparts are oracle-checked in
-    func_binary_bitwise)."""
+    """Engine hash family — xxhash64/crc32/sha1 (``pm/operator/scalar/
+    VarbinaryFunctions.java``) and the hash-partitioning bucket idiom.
+    DuckDB lacks the algorithms, so the oracle checks what IS portable:
+    pinned constants for a fixed input (crc32/sha1 match zlib/hashlib —
+    verified independently; xxhash64/murmur3 pinned to Spark's seed-42
+    values, stable across runs and versions) plus structural invariants
+    (injectivity over the 100-part sample, bucket range, sha1 shape) as
+    in-query booleans the oracle requires TRUE."""
     (part,) = _t(spark, sf_dir, "part")
-    return part.filter(F.col("p_partkey") < 100).select(
+    hashed = part.filter(F.col("p_partkey") < 100).select(
         "p_partkey",
+        "p_name",
         F.xxhash64("p_name").alias("h_xx"),
         F.crc32(F.col("p_name").cast("binary")).alias("h_crc"),
         F.sha1("p_name").alias("h_sha1"),
         F.hash("p_name", "p_partkey").alias("h_murmur"),
         (F.abs(F.xxhash64("p_name")) % 32).alias("bucket"),
+    )
+    probe = F.lit("presto-db-spark")
+    return hashed.agg(
+        F.count("*").alias("n"),
+        # synthetic p_name repeats → injectivity is over distinct inputs
+        (F.countDistinct("h_xx") == F.countDistinct("p_name")).alias("xx_injective_here"),
+        (F.max("bucket") <= 31).alias("buckets_in_range"),
+        F.every(F.col("h_sha1").rlike("^[0-9a-f]{40}$")).alias("sha1_wellformed"),
+        F.first(F.xxhash64(probe)).alias("xx_pinned"),
+        F.first(F.crc32(probe.cast("binary"))).alias("crc_pinned"),
+        F.first(F.sha1(probe.cast("binary"))).alias("sha1_pinned"),
+        F.first(F.hash(probe)).alias("murmur_pinned"),
     )
 
 
@@ -613,7 +642,15 @@ def agg_map_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("agg_hll_sketch")  # no oracle: sketch bytes are engine-specific
+@_q(
+    "agg_hll_sketch",
+    """
+SELECT CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_groups,
+       CAST(count(DISTINCT c_custkey) AS BIGINT) AS exact_total,
+       TRUE AS merged_within_5pct
+FROM customer
+""",
+)
 def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_set / merge(HLL) / cardinality(hll) as first-class mergeable
     sketch values (``ApproximateSetAggregation.java``,
@@ -621,14 +658,22 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark 3.5 Datasketches hll_sketch_agg/hll_union_agg/hll_sketch_estimate.
     Two-level: per-nation sketches are merged to a global estimate —
     the mergeable-sketch path that scales to 100 TB (partial aggregation
-    map-side, fixed-size state)."""
+    map-side, fixed-size state). Sketch bytes are engine-specific, so the
+    oracle checks the merge's ACCURACY: the merged estimate must land
+    within 5% of the exact global distinct count (in-query boolean pinned
+    TRUE by the oracle) alongside the exact group count and total."""
     (cust,) = _t(spark, sf_dir, "customer")
     per_nation = cust.groupBy("c_nationkey").agg(
         F.hll_sketch_agg("c_custkey").alias("sk"),
-        F.approx_count_distinct("c_custkey").alias("approx_n"),
+        F.countDistinct("c_custkey").alias("exact_n"),
     )
+    est = F.hll_sketch_estimate(F.hll_union_agg("sk"))
+    exact = F.sum("exact_n")  # nationkey partitions custkeys → sum is global
     return per_nation.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_total"),
-        F.sum("approx_n").alias("sum_approx"),
         F.count("*").alias("n_groups"),
+        exact.cast("long").alias("exact_total"),
+        (
+            F.abs(est - exact)
+            <= F.greatest((exact * 0.05).cast("long"), F.lit(2))
+        ).alias("merged_within_5pct"),
     )

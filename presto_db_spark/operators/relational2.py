@@ -299,13 +299,33 @@ def misc_unique_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("sample_bernoulli")  # no oracle: sampling is engine-specific by nature
+@_q(
+    "sample_bernoulli",
+    """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_total,
+       TRUE AS sample_within_bounds
+FROM lineitem GROUP BY l_returnflag
+""",
+)
 def sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TABLESAMPLE BERNOULLI(10) — seeded df.sample; the driver records the
-    rows-only check (row content is engine-RNG-dependent)."""
+    """TABLESAMPLE BERNOULLI(10) — seeded df.sample. WHICH rows are drawn
+    is engine-RNG-dependent, but the statistical contract is checkable: per
+    group, the sampled count must land within 6 sigma of the 10%
+    expectation (binomial bound, in-query boolean the oracle pins TRUE)
+    alongside the exact group totals."""
     (li,) = _t(spark, sf_dir, "lineitem")
-    return (
+    totals = li.groupBy("l_returnflag").agg(F.count("*").alias("n_total"))
+    sampled = (
         li.sample(fraction=0.1, seed=42)
         .groupBy("l_returnflag")
         .agg(F.count("*").alias("n_sampled"))
+    )
+    mean = F.col("n_total") * 0.1
+    sigma = F.sqrt(F.col("n_total") * 0.1 * 0.9)
+    return totals.join(sampled, "l_returnflag", "left").select(
+        "l_returnflag",
+        "n_total",
+        (
+            F.abs(F.coalesce(F.col("n_sampled"), F.lit(0)) - mean) <= sigma * 6 + 1
+        ).alias("sample_within_bounds"),
     )

@@ -7,10 +7,15 @@
   ``QuantileDigestFunctions.java``) re-expressed as a deterministic
   mergeable sketch: per-partition histograms on a fixed grid, merged by
   adding counts (associative/commutative — the mergeability property that
-  makes digests work as PARTIAL/FINAL distributed aggregates). Bounded
-  error = one grid cell. Unlike t-digest, the fixed grid is exactly
-  reproducible in the DuckDB oracle, so value_at_quantile and
-  quantile_at_value are value-checked, not rows-only.
+  makes digests work as PARTIAL/FINAL distributed aggregates). Documented
+  accuracy contract (asserted by tests/test_sketch_geo.py::
+  test_sketch_accuracy_bound): the estimate is the left edge of the grid
+  cell holding the exact order statistic — error bounded by the cell width
+  BIN, the analog of qdigest's maxError. Covers the plain, weighted
+  (x, w, p) and array (x, ARRAY[p...]) approx_percentile forms
+  (``ApproximateLongPercentileAggregations.java``). Unlike t-digest, the
+  fixed grid is exactly reproducible in the DuckDB oracle, so
+  value_at_quantile and quantile_at_value are value-checked, not rows-only.
 * **Decimal arithmetic** — ``DecimalType(p,s)`` semantics (SURVEY §1.2,
   ``UnscaledDecimal128Arithmetic.java``): exact sums/products at scale 2,
   no float drift; built from exact cents so both engines agree bit-for-bit.
@@ -41,12 +46,17 @@ def _q(name: str, sql: str | None = None):
     return deco
 
 
-def sketch_histogram(df: DataFrame, keys: list[str], value: str) -> DataFrame:
+def sketch_histogram(
+    df: DataFrame, keys: list[str], value: str, weight: str | None = None
+) -> DataFrame:
     """Build the mergeable sketch: counts per (keys…, bin). Merging two
     sketches = union + sum(cnt) on bin — used by both the partial/final
-    split and cross-group rollups."""
+    split and cross-group rollups. With ``weight``, each row contributes
+    its weight instead of 1 — Presto's weighted ``approx_percentile(x, w,
+    p)`` form (``ApproximateLongPercentileAggregations.java``)."""
+    cnt = F.sum(F.col(weight)) if weight else F.count("*")
     return df.groupBy(*keys, F.floor(F.col(value) / BIN).alias("bin")).agg(
-        F.count("*").alias("cnt")
+        cnt.alias("cnt")
     )
 
 
@@ -99,6 +109,76 @@ def sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     p50 = value_at_quantile(sk, ["l_returnflag"], 0.50, "p50")
     p75 = value_at_quantile(sk, ["l_returnflag"], 0.75, "p75")
     return p25.join(p50, "l_returnflag").join(p75, "l_returnflag")
+
+
+@_q(
+    "sketch_weighted_quantiles",
+    f"""
+WITH sk AS (
+  SELECT l_returnflag, CAST(floor(l_extendedprice / {BIN}) AS BIGINT) AS bin,
+         sum(CAST(l_quantity AS BIGINT)) AS cnt
+  FROM lineitem GROUP BY l_returnflag, bin
+), cum AS (
+  SELECT l_returnflag, bin,
+         sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(cnt) OVER (PARTITION BY l_returnflag) AS total
+  FROM sk
+)
+SELECT l_returnflag, min(bin) * {BIN} AS wp50
+FROM cum WHERE cum >= ceil(total * 0.50) GROUP BY l_returnflag
+""",
+)
+def sketch_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted approx_percentile(x, w, 0.5): quantity-weighted median price
+    (``ApproximateLongPercentileAggregations.java`` weighted overloads) —
+    each row contributes l_quantity units of mass to its price bin."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    li = li.withColumn("w", F.col("l_quantity").cast("long"))
+    sk = sketch_histogram(li, ["l_returnflag"], "l_extendedprice", weight="w")
+    return value_at_quantile(sk, ["l_returnflag"], 0.50, "wp50")
+
+
+@_q(
+    "sketch_quantile_array",
+    f"""
+WITH sk AS (
+  SELECT l_returnflag, CAST(floor(l_extendedprice / {BIN}) AS BIGINT) AS bin,
+         count(*) AS cnt
+  FROM lineitem GROUP BY l_returnflag, bin
+), cum AS (
+  SELECT l_returnflag, bin,
+         sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(cnt) OVER (PARTITION BY l_returnflag) AS total
+  FROM sk
+)
+SELECT q25.l_returnflag, [q25.v, q50.v, q75.v] AS quantiles
+FROM      (SELECT l_returnflag, min(bin) * {BIN} AS v FROM cum
+           WHERE cum >= ceil(total * 0.25) GROUP BY l_returnflag) q25
+JOIN      (SELECT l_returnflag, min(bin) * {BIN} AS v FROM cum
+           WHERE cum >= ceil(total * 0.50) GROUP BY l_returnflag) q50
+  ON q25.l_returnflag = q50.l_returnflag
+JOIN      (SELECT l_returnflag, min(bin) * {BIN} AS v FROM cum
+           WHERE cum >= ceil(total * 0.75) GROUP BY l_returnflag) q75
+  ON q25.l_returnflag = q75.l_returnflag
+""",
+)
+def sketch_quantile_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array form approx_percentile(x, ARRAY[0.25, 0.5, 0.75]) — one sketch
+    pass, one output row per group with the quantile vector."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    sk = sketch_histogram(li, ["l_returnflag"], "l_extendedprice")
+    p25 = value_at_quantile(sk, ["l_returnflag"], 0.25, "p25")
+    p50 = value_at_quantile(sk, ["l_returnflag"], 0.50, "p50")
+    p75 = value_at_quantile(sk, ["l_returnflag"], 0.75, "p75")
+    return (
+        p25.join(p50, "l_returnflag")
+        .join(p75, "l_returnflag")
+        .select(
+            "l_returnflag", F.array("p25", "p50", "p75").alias("quantiles")
+        )
+    )
 
 
 @_q(

@@ -38,3 +38,63 @@ def test_sketch_merge_associativity(spark, sf_dir):
     a = sorted((r.bin, r.cnt) for r in merged.collect())
     b = sorted((r.bin, r.cnt) for r in direct.collect())
     assert a == b
+
+
+def test_sketch_accuracy_bound(spark, sf_dir):
+    """The fixed-grid sketch's documented error contract: every estimated
+    quantile is within one grid cell (BIN) of the exact percentile — the
+    analog of qdigest's maxError accuracy bound
+    (QuantileDigestAggregationFunction.java)."""
+    from pyspark.sql import functions as F
+
+    from presto_db_spark.catalog import load_table
+    from presto_db_spark.operators.sketch import BIN
+
+    li = load_table(spark, sf_dir, "lineitem")
+    # Exact ORDER STATISTICS (same contract as the sketch: smallest value
+    # whose rank reaches q*n) — not the interpolated percentile, which can
+    # sit between data points. percentile_approx at max accuracy is exact.
+    exact = {
+        r["l_returnflag"]: r["qs"]
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "percentile_approx(l_extendedprice, array(0.25, 0.5, 0.75), 2147483647)"
+            ).alias("qs")
+        )
+        .collect()
+    }
+    est = {
+        r["l_returnflag"]: r["quantiles"]
+        for r in sketch.QUERIES["sketch_quantile_array"](spark, sf_dir).collect()
+    }
+    assert set(est) == set(exact)
+    for flag, qs in est.items():
+        for e, x in zip(qs, exact[flag]):
+            # est is the left edge of the bin containing the order stat
+            assert e <= x < e + 2 * BIN, (flag, e, x)
+
+
+def test_sketch_weighted_matches_expanded(spark, sf_dir):
+    """Weighted sketch == unweighted sketch over the weight-expanded rows
+    (the defining property of the weighted approx_percentile form)."""
+    from pyspark.sql import functions as F
+
+    from presto_db_spark.catalog import load_table
+    from presto_db_spark.operators.sketch import sketch_histogram, value_at_quantile
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "w", F.col("l_quantity").cast("long")
+    )
+    expanded = li.withColumn("_i", F.explode(F.sequence(F.lit(1), F.col("w"))))
+    sk_w = sketch_histogram(li, ["l_returnflag"], "l_extendedprice", weight="w")
+    sk_x = sketch_histogram(expanded, ["l_returnflag"], "l_extendedprice")
+    got_w = {
+        r["l_returnflag"]: r["wp50"]
+        for r in value_at_quantile(sk_w, ["l_returnflag"], 0.5, "wp50").collect()
+    }
+    got_x = {
+        r["l_returnflag"]: r["wp50"]
+        for r in value_at_quantile(sk_x, ["l_returnflag"], 0.5, "wp50").collect()
+    }
+    assert got_w == got_x
