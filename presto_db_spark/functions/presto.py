@@ -210,6 +210,11 @@ _SQL_FUNCTIONS = [
     "RETURNS STRING RETURN parse_url(u, 'PATH')",
     "CREATE OR REPLACE TEMPORARY FUNCTION url_extract_query(u STRING) "
     "RETURNS STRING RETURN parse_url(u, 'QUERY')",
+    # Presto at_timezone(ts, tz) — Spark timestamps are zone-less instants,
+    # so the observable display-zone change is the wall-clock shift
+    # (operators/timetypes.py documents the full time/timetz model).
+    "CREATE OR REPLACE TEMPORARY FUNCTION at_timezone(ts TIMESTAMP, tz STRING) "
+    "RETURNS TIMESTAMP RETURN CAST(convert_timezone('UTC', tz, ts) AS TIMESTAMP)",
     "CREATE OR REPLACE TEMPORARY FUNCTION url_extract_parameter(u STRING, p STRING) "
     "RETURNS STRING RETURN parse_url(u, 'QUERY', p)",
     "CREATE OR REPLACE TEMPORARY FUNCTION url_extract_fragment(u STRING) "

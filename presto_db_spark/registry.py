@@ -28,6 +28,7 @@ _MODULES: list[str] = [
     "presto_db_spark.operators.functions_corpus2",
     "presto_db_spark.operators.functions_corpus3",
     "presto_db_spark.operators.events",
+    "presto_db_spark.operators.timetypes",
     "presto_db_spark.operators.text",
     "presto_db_spark.operators.dedup",
     "presto_db_spark.operators.similarity",

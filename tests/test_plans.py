@@ -89,3 +89,30 @@ def test_whole_stage_codegen_everywhere(spark, sf_dir):
         plan = _plan(df, "simple")
         assert "*(" in plan, name  # '*(n)' prefix marks WholeStageCodegen spans
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_funnel_joins_on_bucket_not_residual(spark, sf_dir):
+    """events_funnel must route through the bucketized range_join: the join
+    keys include the time bucket (so per-reducer candidates are bounded by
+    bucket width), and the plan must NOT be a bare user_id equi-join with
+    the 24h window left as a residual filter (quadratic within hot users)."""
+    df = all_queries()["events_funnel"](spark, sf_dir)
+    plan = _plan(df)
+    assert "_rj_bucket" in plan, plan
+
+
+def test_ngram_jaccard_block_cap(spark, sf_dir):
+    """dedup_ngram_jaccard must cap blocks before the pairwise join — the
+    row_number window over the block key has to appear below the join."""
+    df = all_queries()["dedup_ngram_jaccard"](spark, sf_dir)
+    plan = _plan(df, "simple")
+    assert "row_number" in plan, plan
+
+
+def test_tpcds_star_joins_broadcast(spark, sf_dir):
+    """The adapted TPC-DS star joins must broadcast their dimension sides
+    at test scale — no sort-merge join anywhere in q03/q19/q52."""
+    for name in ["tpcds_q03", "tpcds_q19", "tpcds_q52"]:
+        plan = _plan(all_queries()[name](spark, sf_dir), "simple")
+        assert "SortMergeJoin" not in plan, (name, plan)
+        assert "BroadcastHashJoin" in plan, (name, plan)
