@@ -411,3 +411,114 @@ def tpcds_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("customer_id"))
         .limit(100)
     )
+
+
+# --- q88: eight time-slot scans of one fact, single-row cross join ---------
+
+@_q(
+    "tpcds_q88",
+    """
+SELECT * FROM
+ (SELECT CAST(count(*) AS BIGINT) AS h1 FROM lineitem l JOIN orders o
+    ON o.o_orderkey = l.l_orderkey WHERE month(o.o_orderdate) = 1) s1,
+ (SELECT CAST(count(*) AS BIGINT) AS h2 FROM lineitem l JOIN orders o
+    ON o.o_orderkey = l.l_orderkey WHERE month(o.o_orderdate) = 2) s2,
+ (SELECT CAST(count(*) AS BIGINT) AS h3 FROM lineitem l JOIN orders o
+    ON o.o_orderkey = l.l_orderkey WHERE month(o.o_orderdate) = 3) s3,
+ (SELECT CAST(count(*) AS BIGINT) AS h4 FROM lineitem l JOIN orders o
+    ON o.o_orderkey = l.l_orderkey WHERE month(o.o_orderdate) = 4) s4,
+ (SELECT CAST(count(*) AS BIGINT) AS h5 FROM lineitem l JOIN orders o
+    ON o.o_orderkey = l.l_orderkey WHERE month(o.o_orderdate) = 5) s5,
+ (SELECT CAST(count(*) AS BIGINT) AS h6 FROM lineitem l JOIN orders o
+    ON o.o_orderkey = l.l_orderkey WHERE month(o.o_orderdate) = 6) s6,
+ (SELECT CAST(count(*) AS BIGINT) AS h7 FROM lineitem l JOIN orders o
+    ON o.o_orderkey = l.l_orderkey WHERE month(o.o_orderdate) = 7) s7,
+ (SELECT CAST(count(*) AS BIGINT) AS h8 FROM lineitem l JOIN orders o
+    ON o.o_orderkey = l.l_orderkey WHERE month(o.o_orderdate) = 8) s8
+""",
+)
+def tpcds_q88(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q88 shape (tpcds/q88.sql: eight filtered scans of the same
+    fact cross-joined into one row of time-slot counts).
+
+    Implemented as ONE scan: conditional aggregation over the month bucket
+    — 8 fact scans collapse to a single pass with 8 count_if columns
+    (identical single-row result; at 100 TB this is 8x less IO than the
+    literal eight-subquery plan, and Spark's scalar subquery execution
+    would not dedup the scans)."""
+    lineitem, orders = _t(spark, sf_dir, "lineitem", "orders")
+    m = F.month("o_orderdate")
+    joined = lineitem.join(orders, F.col("o_orderkey") == F.col("l_orderkey")).select(
+        m.alias("m")
+    )
+    return joined.agg(
+        *[
+            F.count(F.when(F.col("m") == i, 1)).alias(f"h{i}")
+            for i in range(1, 9)
+        ]
+    )
+
+
+# --- q67: rollup + per-category window rank --------------------------------
+
+@_q(
+    "tpcds_q67",
+    f"""
+WITH results AS (
+  SELECT p.p_type AS i_category, p.p_brand AS i_brand,
+         year(o.o_orderdate) AS d_year,
+         {_csum_sql(_REV_SQL)} AS sumsales
+  FROM orders o
+  JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE year(o.o_orderdate) BETWEEN 1998 AND 2000
+  GROUP BY ROLLUP (i_category, i_brand, d_year)
+)
+SELECT i_category, i_brand, d_year, sumsales, rk
+FROM (
+  SELECT i_category, i_brand, d_year, sumsales,
+         rank() OVER (PARTITION BY i_category
+                      ORDER BY sumsales DESC, i_brand NULLS FIRST,
+                               d_year NULLS FIRST) AS rk
+  FROM results
+)
+WHERE rk <= 5
+ORDER BY i_category NULLS FIRST, rk, i_brand NULLS FIRST, d_year NULLS FIRST
+""",
+)
+def tpcds_q67(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q67 shape (tpcds/q67.sql: ROLLUP over the sales hierarchy,
+    then rank() per category with a top-k filter — GROUPING SETS feeding
+    WindowGroupLimit). Sums are exact cents so rank ties are
+    engine-identical; rank order carries explicit tie-breaks."""
+    orders, lineitem, part = _t(spark, sf_dir, "orders", "lineitem", "part")
+    from pyspark.sql.window import Window as W
+
+    base = (
+        orders.filter(F.year("o_orderdate").between(1998, 2000))
+        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .select(
+            F.col("p_type").alias("i_category"),
+            F.col("p_brand").alias("i_brand"),
+            F.year("o_orderdate").alias("d_year"),
+            F.col("l_extendedprice").alias("l_extendedprice"),
+            F.col("l_discount").alias("l_discount"),
+        )
+    )
+    rolled = base.rollup("i_category", "i_brand", "d_year").agg(
+        _csum(_rev()).alias("sumsales")
+    )
+    w = W.partitionBy("i_category").orderBy(
+        F.desc("sumsales"), F.asc_nulls_first("i_brand"), F.asc_nulls_first("d_year")
+    )
+    return (
+        rolled.withColumn("rk", F.rank().over(w))
+        .filter(F.col("rk") <= 5)
+        .orderBy(
+            F.asc_nulls_first("i_category"),
+            F.asc("rk"),
+            F.asc_nulls_first("i_brand"),
+            F.asc_nulls_first("d_year"),
+        )
+    )
