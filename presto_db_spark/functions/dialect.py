@@ -73,6 +73,15 @@ def _top_level_commas(tokens: list[str], open_idx: int) -> tuple[int, int]:
     raise ValueError("unbalanced parentheses in SQL text")
 
 
+# A double-quoted token that is identifier-shaped. Presto double quotes are
+# ALWAYS identifiers (SqlBase.g4 quotedIdentifier); Spark (ANSI off) reads
+# them as string literals — the single biggest paste-blocker for reference
+# SQL like "dt"."d_year". Only identifier-shaped content is rewritten, so a
+# genuinely-Spark string literal like "yyyy-MM-dd'T'HH" (non-identifier
+# chars) is left alone.
+_IDENTISH = re.compile(r'^"[A-Za-z_][A-Za-z0-9_]*"$')
+
+
 def rewrite_presto_sql(query: str) -> str:
     """Rewrite the Presto-only spellings above into Spark SQL."""
     tokens = _TOKEN.findall(query)
@@ -81,6 +90,10 @@ def rewrite_presto_sql(query: str) -> str:
     while i < len(tokens):
         t = tokens[i]
         low = t.lower()
+        if t.startswith('"') and _IDENTISH.match(t):
+            out.append("`" + t[1:-1] + "`")
+            i += 1
+            continue
         # next non-space token must be '(' for this to be a call
         j = i + 1
         while j < len(tokens) and tokens[j].isspace():

@@ -183,3 +183,22 @@ def test_approx_percentile_native_name(engine):
         "SELECT approx_percentile(l_quantity, 0.5) m FROM lineitem"
     ).collect()[0]
     assert 1 <= r.m <= 50
+
+
+def test_dialect_double_quoted_identifiers(engine):
+    # Presto quotes identifiers with double quotes (reference SQL style:
+    # "dt"."d_year"); Spark reads those as string literals. The rewriter
+    # converts identifier-shaped quoted tokens only.
+    rows = engine.sql(
+        """
+        SELECT "c"."c_mktsegment" AS seg, count(*) AS n
+        FROM customer "c"
+        WHERE "c"."c_acctbal" > 0
+        GROUP BY "c"."c_mktsegment"
+        ORDER BY "seg"
+        """
+    ).collect()
+    assert len(rows) == 5 and all(r.n > 0 for r in rows)
+    # non-identifier-shaped double-quoted strings stay string literals
+    r = engine.sql("SELECT 'a' || \"-\" AS s").collect()[0]
+    assert r.s == "a-"
