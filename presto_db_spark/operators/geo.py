@@ -161,3 +161,168 @@ def geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("id_a") < F.col("id_b")) & (dist <= RADIUS))
         .select("id_a", "id_b", F.round(dist, 6).alias("dist"))
     )
+
+
+# --- polygon subset: ST_Area / ST_Centroid / ST_Contains -------------------
+#
+# Polygons are modeled as parallel coordinate arrays (xs, ys) — the
+# GeoFunctions.java polygon subset that is pure arithmetic: shoelace area,
+# signed-area centroid, crossing-number containment. All folds are JVM
+# expressions over F.transform/F.aggregate (no UDF), and the identical
+# formulas run in the DuckDB oracle, so every value is hash-checked.
+# Per-nation pentagon + per-customer point keeps the join an EQUI-join on
+# nationkey (each point tests against its nation's polygon) — no cross
+# join, scales linearly in points.
+
+def _poly_fold(xs, ys, n, term):
+    """sum_i term(i) for i in 1..n with wraparound i+1 (JVM expression)."""
+    nxt = lambda i: F.when(i == n, F.lit(1)).otherwise(i + 1)  # noqa: E731
+    return F.aggregate(
+        F.sequence(F.lit(1), n),
+        F.lit(0.0),
+        lambda acc, i: acc + term(
+            F.element_at(xs, i), F.element_at(ys, i),
+            F.element_at(xs, nxt(i)), F.element_at(ys, nxt(i)),
+        ),
+    )
+
+
+def st_area(xs, ys, n) -> Column:
+    """Shoelace |signed area| / 2 (GeoFunctions.java ST_Area)."""
+    return F.abs(_poly_fold(xs, ys, n, lambda x1, y1, x2, y2: x1 * y2 - x2 * y1)) / 2
+
+
+def st_centroid(xs, ys, n) -> tuple[Column, Column]:
+    """Signed-area-weighted centroid (GeoFunctions.java ST_Centroid)."""
+    a2 = _poly_fold(xs, ys, n, lambda x1, y1, x2, y2: x1 * y2 - x2 * y1)
+    cx = _poly_fold(xs, ys, n, lambda x1, y1, x2, y2: (x1 + x2) * (x1 * y2 - x2 * y1))
+    cy = _poly_fold(xs, ys, n, lambda x1, y1, x2, y2: (y1 + y2) * (x1 * y2 - x2 * y1))
+    return cx / (3 * a2), cy / (3 * a2)
+
+
+def st_contains(xs, ys, n, px, py) -> Column:
+    """Crossing-number point-in-polygon (odd crossings = inside)."""
+    crossings = F.aggregate(
+        F.sequence(F.lit(1), n),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when(
+            (
+                (F.element_at(ys, i) > py)
+                != (F.element_at(ys, F.when(i == n, F.lit(1)).otherwise(i + 1)) > py)
+            )
+            & (
+                px
+                < (
+                    F.element_at(xs, F.when(i == n, F.lit(1)).otherwise(i + 1))
+                    - F.element_at(xs, i)
+                )
+                * (py - F.element_at(ys, i))
+                / (
+                    F.element_at(ys, F.when(i == n, F.lit(1)).otherwise(i + 1))
+                    - F.element_at(ys, i)
+                )
+                + F.element_at(xs, i)
+            ),
+            1,
+        ).otherwise(0),
+    )
+    return crossings % 2 == 1
+
+
+# Pentagon vertex offsets around the per-nation center (CCW).
+_PENT_DX = [0.0, 8.0, 5.0, -5.0, -8.0]
+_PENT_DY = [-10.0, -2.0, 8.0, 8.0, -2.0]
+
+_POLY_SQL = f"""
+  SELECT n_nationkey AS nk,
+         CAST((n_nationkey * 17) % 80 + 10 AS DOUBLE) AS cx,
+         CAST((n_nationkey * 29) % 80 + 10 AS DOUBLE) AS cy,
+         [{', '.join(f'CAST((n_nationkey * 17) % 80 + 10 AS DOUBLE) + {dx}' for dx in _PENT_DX)}] AS xs,
+         [{', '.join(f'CAST((n_nationkey * 29) % 80 + 10 AS DOUBLE) + {dy}' for dy in _PENT_DY)}] AS ys
+  FROM nation
+"""
+
+_FOLD_SQL = {
+    "a2": "list_sum(list_transform(generate_series(1, 5), i -> "
+    "xs[i] * ys[i % 5 + 1] - xs[i % 5 + 1] * ys[i]))",
+    "cxs": "list_sum(list_transform(generate_series(1, 5), i -> "
+    "(xs[i] + xs[i % 5 + 1]) * (xs[i] * ys[i % 5 + 1] - xs[i % 5 + 1] * ys[i])))",
+    "cys": "list_sum(list_transform(generate_series(1, 5), i -> "
+    "(ys[i] + ys[i % 5 + 1]) * (xs[i] * ys[i % 5 + 1] - xs[i % 5 + 1] * ys[i])))",
+    "crossings": "list_sum(list_transform(generate_series(1, 5), i -> "
+    "CASE WHEN ((ys[i] > py) != (ys[i % 5 + 1] > py)) AND "
+    "(px < (xs[i % 5 + 1] - xs[i]) * (py - ys[i]) / (ys[i % 5 + 1] - ys[i]) + xs[i]) "
+    "THEN 1 ELSE 0 END))",
+}
+
+
+@_q(
+    "geo_polygon_ops",
+    f"""
+WITH poly AS ({_POLY_SQL}),
+pts AS (
+  SELECT c_nationkey AS nk, c_custkey AS pid,
+         {_X_SQL} AS px, {_Y_SQL} AS py
+  FROM customer WHERE c_custkey < 2000
+),
+tested AS (
+  SELECT p.nk, {_FOLD_SQL['a2']} AS a2, {_FOLD_SQL['cxs']} AS cxs,
+         {_FOLD_SQL['cys']} AS cys,
+         CASE WHEN ({_FOLD_SQL['crossings']}) % 2 = 1 THEN 1 ELSE 0 END AS inside
+  FROM poly p JOIN pts t ON t.nk = p.nk
+)
+SELECT nk, round(abs(a2) / 2, 6) AS area,
+       round(cxs / (3 * a2), 6) AS centroid_x,
+       round(cys / (3 * a2), 6) AS centroid_y,
+       CAST(count(*) AS BIGINT) AS n_points,
+       CAST(sum(inside) AS BIGINT) AS n_inside
+FROM tested
+GROUP BY nk, a2, cxs, cys
+ORDER BY nk
+""",
+)
+def geo_polygon_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Area / ST_Centroid / ST_Contains polygon subset
+    (``presto-geospatial/.../GeoFunctions.java``): per-nation pentagon,
+    per-customer synthetic point, containment counted through an equi-join
+    on nationkey (never a cross join)."""
+    nation, cust = _t(spark, sf_dir, "nation", "customer")
+    nk = F.col("n_nationkey")
+    cx = ((nk * 17) % 80 + 10).cast("double")
+    cy = ((nk * 29) % 80 + 10).cast("double")
+    poly = nation.select(
+        nk.alias("nk"),
+        F.array(*[cx + F.lit(d) for d in _PENT_DX]).alias("xs"),
+        F.array(*[cy + F.lit(d) for d in _PENT_DY]).alias("ys"),
+    )
+    ck = F.col("c_custkey")
+    pts = cust.filter(ck < 2000).select(
+        F.col("c_nationkey").alias("nk"),
+        ck.alias("pid"),
+        ((ck * 37 % 1000).cast("double") / 10).alias("px"),
+        ((ck * 73 % 1000).cast("double") / 10).alias("py"),
+    )
+    n5 = F.lit(5)
+    tested = poly.join(pts, "nk").select(
+        "nk",
+        "xs",
+        "ys",
+        st_contains(F.col("xs"), F.col("ys"), n5, F.col("px"), F.col("py"))
+        .cast("int")
+        .alias("inside"),
+    )
+    ccx, ccy = st_centroid(F.col("xs"), F.col("ys"), n5)
+    return (
+        tested.groupBy("nk", "xs", "ys")
+        .agg(F.count("*").alias("n_points"), F.sum("inside").alias("n_inside"))
+        .select(
+            "nk",
+            F.round(st_area(F.col("xs"), F.col("ys"), n5), 6).alias("area"),
+            F.round(ccx, 6).alias("centroid_x"),
+            F.round(ccy, 6).alias("centroid_y"),
+            "n_points",
+            "n_inside",
+        )
+        .orderBy("nk")
+    )
