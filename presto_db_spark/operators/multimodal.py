@@ -224,11 +224,27 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(windows, schema=schema)
 
 
-@_q("multimodal_frame_sample")  # procedural sampler → rows-only check
+@_q(
+    "multimodal_frame_sample",
+    """
+WITH m AS (
+  SELECT doc_id, octet_length(encode(text)) AS blen FROM documents
+)
+SELECT m.doc_id,
+       CAST(g.off AS BIGINT) AS "offset",
+       CAST(least(16, m.blen - g.off) AS INT) AS chunk_len
+FROM m, LATERAL unnest(generate_series(0, m.blen - 1, 64)) AS g(off)
+""",
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """'Frame sampling' plumbing: emit every k-th chunk of each payload with
     its offset — the video-frame / audio-window access pattern
-    (mapInPandas, one output row per sampled chunk, no shuffle)."""
+    (mapInPandas, one output row per sampled chunk, no shuffle).
+
+    The synthetic payload is the doc's UTF-8 bytes, so the sampler's output
+    is deterministic and the oracle reproduces it relationally (offsets =
+    generate_series over the byte length) — the mapInPandas batch wiring is
+    what's actually under test."""
     docs = load_table(spark, sf_dir, "documents")
     media = with_binary_payload(docs).select("doc_id", "payload")
     schema = T.StructType(
