@@ -121,3 +121,39 @@ def test_range_join_equals_naive(spark, left, right, window):
         ).collect()
     }
     assert fast == naive
+
+
+_sql_fragments = st.lists(
+    st.one_of(
+        st.sampled_from(
+            ["SELECT ", " FROM t", " WHERE x ", "(", ")", ",", " + ", "1", "abc",
+             "approx_distinct", "regexp_extract_all", "count", " ", "\n"]
+        ),
+        # string literals / quoted identifiers / comments with tricky content
+        st.sampled_from(
+            ["'approx_distinct(x)'", "'it''s'", '"col_name"', '"not-ident"',
+             "-- try(1)\n", "/* regexp_extract_all(a,b) */"]
+        ),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(frags=_sql_fragments)
+@settings(max_examples=200, deadline=None)
+def test_dialect_rewrite_idempotent_and_literal_safe(frags):
+    """rewrite∘rewrite == rewrite, and string literals / comments are
+    byte-preserved no matter how rewritable names appear inside them."""
+    from presto_db_spark.functions.dialect import rewrite_presto_sql
+
+    q = "".join(frags)
+    try:
+        once = rewrite_presto_sql(q)
+    except ValueError:
+        return  # TRY() guidance or unbalanced parens — both are fine
+    assert rewrite_presto_sql(once) == once
+    # every literal/comment fragment must survive verbatim
+    for lit in ["'approx_distinct(x)'", "'it''s'", "-- try(1)", "/* regexp_extract_all(a,b) */"]:
+        if lit in q:
+            assert lit in once
