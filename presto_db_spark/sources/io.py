@@ -23,6 +23,7 @@ plumbing is real, the service is not in the test environment.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 #: formats fully usable in this environment (built into Spark core)
 NATIVE_FORMATS = ("parquet", "orc", "json", "csv", "text")
@@ -139,3 +140,26 @@ def read_kafka_stream(spark: SparkSession, bootstrap: str, topic: str) -> DataFr
             "spark-sql-kafka not available in this container; on a deployment, "
             "add the package via spark.jars.packages and this call works unchanged"
         ) from exc
+
+
+def parse_kafka_records(records: DataFrame, value_schema) -> DataFrame:
+    """Decode the Kafka wire schema into typed rows — the half of the
+    presto-kafka connector (``presto-kafka/.../KafkaRecordSet.java`` row
+    decoders) that does NOT need a broker, so it is fully testable here.
+
+    ``records`` carries Spark's Kafka source shape: key/value BINARY plus
+    (topic, partition, offset, timestamp) metadata. Works identically on a
+    batch frame or on readStream output: keys decode as UTF-8, values
+    from_json into ``value_schema``; malformed JSON yields a NULL struct
+    (PERMISSIVE — the reference's decoder emits NULL columns likewise),
+    kept so the caller can route a dead-letter stream. Metadata columns
+    ride along for offset-based dedup/replay.
+    """
+    return records.select(
+        F.col("key").cast("string").alias("key"),
+        F.from_json(F.col("value").cast("string"), value_schema).alias("value"),
+        "topic",
+        "partition",
+        "offset",
+        "timestamp",
+    )

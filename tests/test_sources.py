@@ -95,3 +95,63 @@ def test_gated_connectors_raise_cleanly(spark, sample):
         pio.read_kafka_stream(spark, "nohost:9092", "topic")
     with pytest.raises(ValueError):
         pio.write_table(sample, "/tmp/x", format="avro")
+
+
+def test_parse_kafka_records_batch_and_stream(spark, tmp_path):
+    """Kafka wire-format decode (the broker-free half of presto-kafka):
+    UTF-8 keys, JSON values into a typed struct, malformed → NULL struct,
+    metadata preserved — identical code path for batch and readStream."""
+    import datetime
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from presto_db_spark.sources.io import parse_kafka_records
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("action", T.StringType()),
+        ]
+    )
+    ts = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (b"k1", b'{"user_id": 7, "action": "click"}', "events", 0, 0, ts),
+        (b"k2", b'{"user_id": 8, "action": "buy"}', "events", 0, 1, ts),
+        (b"k3", b"not json at all", "events", 1, 0, ts),
+        (None, b'{"user_id": 9, "action": "view"}', "events", 1, 1, ts),
+    ]
+    wire_schema = T.StructType(
+        [
+            T.StructField("key", T.BinaryType()),
+            T.StructField("value", T.BinaryType()),
+            T.StructField("topic", T.StringType()),
+            T.StructField("partition", T.IntegerType()),
+            T.StructField("offset", T.LongType()),
+            T.StructField("timestamp", T.TimestampType()),
+        ]
+    )
+    records = spark.createDataFrame(rows, wire_schema)
+
+    out = {(r.partition, r.offset): r for r in parse_kafka_records(records, schema)
+           .select("key", "value.*", "partition", "offset").collect()}
+    r01 = out[(0, 1)]
+    assert r01.user_id == 8 and r01.action == "buy" and r01.key == "k2"
+    bad = [r for r in out.values() if r.user_id is None and r.action is None]
+    assert len(bad) == 1  # malformed JSON -> NULL struct, row kept
+
+    # identical call on a stream: write the wire frame as parquet, readStream it
+    src = str(tmp_path / "wire")
+    records.write.parquet(src)
+    stream = spark.readStream.schema(wire_schema).parquet(src)
+    q = (
+        parse_kafka_records(stream, schema)
+        .filter(F.col("value").isNotNull())
+        .writeStream.format("memory")
+        .queryName("kafka_decoded")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = spark.sql("SELECT value.user_id FROM kafka_decoded").collect()
+    assert sorted(r.user_id for r in got if r.user_id is not None) == [7, 8, 9]
