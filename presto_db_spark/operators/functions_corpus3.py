@@ -350,3 +350,121 @@ def func_bigendian_fnv(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         fnv.alias("fnv"),
     )
+
+
+# --- classification metrics (precision-recall curve aggregates) ------------
+
+N_CLS_BUCKETS = 10
+
+
+@_q(
+    "agg_classification_metrics",
+    f"""
+WITH scored AS (
+  SELECT (CAST((c_custkey * 7919) % 1000 AS DOUBLE) / 1000) AS pred,
+         c_mktsegment = 'BUILDING' AS outcome
+  FROM customer
+),
+binned AS (
+  SELECT CAST(floor(least(pred, 0.99999999999) * {N_CLS_BUCKETS}) AS BIGINT) AS b,
+         CAST(sum(CASE WHEN outcome THEN 1 ELSE 0 END) AS DOUBLE) AS tw,
+         CAST(sum(CASE WHEN outcome THEN 0 ELSE 1 END) AS DOUBLE) AS fw
+  FROM scored GROUP BY b
+),
+spine AS (
+  SELECT g.b, coalesce(h.tw, 0) AS tw, coalesce(h.fw, 0) AS fw
+  FROM (SELECT unnest(generate_series(0, {N_CLS_BUCKETS - 1})) AS b) g
+  LEFT JOIN binned h ON h.b = g.b
+),
+cum AS (
+  SELECT b, tw, fw,
+         coalesce(sum(tw) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS run_t,
+         coalesce(sum(fw) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS run_f,
+         sum(tw) OVER () AS tot_t, sum(fw) OVER () AS tot_f
+  FROM spine
+),
+emitted AS (SELECT * FROM cum WHERE tot_t - run_t > 0)
+SELECT list(round(CAST(b AS DOUBLE) / {N_CLS_BUCKETS}, 6) ORDER BY b) AS thresholds,
+       list(round((tot_t - run_t) / tot_t, 6) ORDER BY b) AS "precision",
+       list(round((tot_t - run_t) / tot_t, 6) ORDER BY b) AS recall,
+       list(round(run_t / tot_t, 6) ORDER BY b) AS miss_rate,
+       list(round((tot_f - run_f) / tot_f, 6) ORDER BY b) AS fall_out
+FROM emitted
+""",
+)
+def agg_classification_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """classification_precision / _recall / _miss_rate / _fall_out /
+    _thresholds (``pm/operator/aggregation/PrecisionRecallAggregation.java``
+    + the five Classification*Aggregation.java outputs) — the §2.4 "ML
+    plugin" row, re-expressed relationally.
+
+    Semantics reproduced exactly: predictions in [0,1] land in a
+    FixedDoubleHistogram of ``bucketCount`` bins (pred clamped below 1.0);
+    bucket i's threshold is its left edge; TP at threshold = true weight at
+    pred >= threshold; buckets are emitted only while true weight remains
+    above the threshold (the reference's iterator cutoff). NOTE faithful
+    quirk: the reference computes precision as TP/(TP+FN) == TP/positive —
+    identical to recall (ClassificationPrecisionAggregation.java:44) — and
+    this reproduction preserves that.
+
+    Scale design: one groupBy(bucket) shuffle over the data (B=10 buckets),
+    then all windowing happens on the B-row spine — the mergeable
+    fixed-histogram property that lets the reference run this as
+    partial/final."""
+    (cust,) = _t(spark, sf_dir, "customer")
+    from pyspark.sql.window import Window as W
+
+    scored = cust.select(
+        ((F.col("c_custkey") * 7919 % 1000).cast("double") / 1000).alias("pred"),
+        (F.col("c_mktsegment") == "BUILDING").alias("outcome"),
+    )
+    binned = scored.groupBy(
+        F.floor(F.least(F.col("pred"), F.lit(0.99999999999)) * N_CLS_BUCKETS)
+        .cast("long")
+        .alias("b")
+    ).agg(
+        F.sum(F.when(F.col("outcome"), 1).otherwise(0)).cast("double").alias("tw"),
+        F.sum(F.when(F.col("outcome"), 0).otherwise(1)).cast("double").alias("fw"),
+    )
+    spine = (
+        scored.sparkSession.range(N_CLS_BUCKETS)
+        .select(F.col("id").alias("b"))
+        .join(binned, "b", "left")
+        .select(
+            "b",
+            F.coalesce("tw", F.lit(0.0)).alias("tw"),
+            F.coalesce("fw", F.lit(0.0)).alias("fw"),
+        )
+    )
+    w_prev = W.orderBy("b").rowsBetween(W.unboundedPreceding, -1)
+    w_all = W.partitionBy()
+    cum = spine.select(
+        "b",
+        F.coalesce(F.sum("tw").over(w_prev), F.lit(0.0)).alias("run_t"),
+        F.coalesce(F.sum("fw").over(w_prev), F.lit(0.0)).alias("run_f"),
+        F.sum("tw").over(w_all).alias("tot_t"),
+        F.sum("fw").over(w_all).alias("tot_f"),
+    ).filter(F.col("tot_t") - F.col("run_t") > 0)
+    tp_rate = F.round((F.col("tot_t") - F.col("run_t")) / F.col("tot_t"), 6)
+    es = F.array_sort(
+        F.collect_list(
+            F.struct(
+                "b",
+                F.round(F.col("b").cast("double") / N_CLS_BUCKETS, 6).alias("th"),
+                tp_rate.alias("pr"),
+                F.round(F.col("run_t") / F.col("tot_t"), 6).alias("mr"),
+                F.round((F.col("tot_f") - F.col("run_f")) / F.col("tot_f"), 6).alias(
+                    "fo"
+                ),
+            )
+        )
+    )
+    return cum.agg(
+        F.transform(es, lambda e: e.th).alias("thresholds"),
+        F.transform(es, lambda e: e.pr).alias("precision"),
+        F.transform(es, lambda e: e.pr).alias("recall"),
+        F.transform(es, lambda e: e.mr).alias("miss_rate"),
+        F.transform(es, lambda e: e.fo).alias("fall_out"),
+    )
