@@ -222,28 +222,17 @@ def events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort shuffle and linear work — the join-then-max_by alternative (the
     oracle) is quadratic within hot users at 100 TB.
     """
+    from .rangejoin import asof_join
+
     ev = load_table(spark, sf_dir, "events")
-    probes = ev.filter((F.col("event_type") == "error") & (F.col("user_id") < 30)).select(
-        "user_id", "ts", F.lit(1).alias("is_probe"), F.col("event_id").alias("eid")
-    )
+    probes = ev.filter(
+        (F.col("event_type") == "error") & (F.col("user_id") < 30)
+    ).select("user_id", "ts", "event_id")
     priors = ev.select(
-        "user_id", "ts", F.lit(0).alias("is_probe"), F.col("event_id").alias("eid")
+        "user_id",
+        F.col("ts").alias("prior_ts"),
+        F.col("event_id").alias("prior_event"),
     )
-    tagged = priors.unionByName(probes)
-    w = (
-        W.partitionBy("user_id")
-        .orderBy("ts", F.desc("is_probe"), "eid")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    prior_id = F.last(F.when(F.col("is_probe") == 0, F.col("eid")), ignorenulls=True)
-    prior_ts = F.last(F.when(F.col("is_probe") == 0, F.col("ts")), ignorenulls=True)
-    return (
-        tagged.select(
-            "is_probe",
-            "eid",
-            prior_id.over(w).alias("prior_event"),
-            prior_ts.over(w).alias("prior_ts"),
-        )
-        .filter((F.col("is_probe") == 1) & F.col("prior_event").isNotNull())
-        .select(F.col("eid").alias("event_id"), "prior_event", "prior_ts")
-    )
+    return asof_join(
+        probes, priors, ["user_id"], "ts", "prior_ts", ["prior_event"]
+    ).select("event_id", "prior_event", "prior_ts")

@@ -25,6 +25,7 @@ from functools import reduce
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from ..catalog import load_table
 
@@ -149,4 +150,73 @@ def events_interval_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filled.groupBy("user_id").agg(
         F.coalesce(F.sum("n_p"), F.lit(0)).cast("long").alias("n_attributed"),
         F.round(F.coalesce(F.sum("v_p"), F.lit(0.0)), 6).alias("attributed_value"),
+    )
+
+
+def asof_join(
+    probes: DataFrame,
+    priors: DataFrame,
+    keys: list[str],
+    probe_ts: str,
+    prior_ts: str,
+    payload: list[str],
+    strict: bool = True,
+) -> DataFrame:
+    """AS-OF join: attach to each probe row the LATEST prior row per key
+    with ``prior_ts < probe_ts`` (``<=`` when ``strict=False``).
+
+    The reference has no as-of join (SURVEY §2.3); the naive formulation is
+    join-then-max_by — quadratic within hot keys. This is the linear
+    union-sort-window form: tag both sides, ONE sort shuffle per key, carry
+    the last-seen prior forward with IGNORE NULLS running windows.
+
+    ``probes`` keeps all its columns; ``priors`` contributes ``prior_ts``
+    and the ``payload`` columns (caller pre-aliases collisions away). Ties
+    at equal prior_ts resolve to the row with the greatest payload tuple
+    (deterministic). Probes with no qualifying prior are dropped (inner
+    as-of semantics).
+    """
+    p = probes.withColumn("_asof_ts", F.col(probe_ts)).withColumn(
+        "_is_probe", F.lit(1)
+    )
+    r = priors.select(
+        *keys, F.col(prior_ts).alias("_asof_ts"), F.lit(0).alias("_is_probe"), *payload
+    )
+    # distinct internal names so probe columns never collide with payload
+    r = r.select(
+        *keys,
+        "_asof_ts",
+        "_is_probe",
+        *[F.col(c).alias(f"_prior_{c}") for c in payload],
+    )
+    tagged = p.unionByName(r, allowMissingColumns=True)
+    # strict: probes sort BEFORE priors at equal ts (prior not yet visible);
+    # non-strict: priors first. Tie-break among priors = payload tuple order.
+    probe_rank = F.desc("_is_probe") if strict else F.asc("_is_probe")
+    w = (
+        W.partitionBy(*keys)
+        .orderBy("_asof_ts", probe_rank, *[f"_prior_{c}" for c in payload])
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    # ONE struct carry: the whole prior row travels together, so NULLs in
+    # individual payload values can never desync ts from payload.
+    prior_struct = F.last(
+        F.when(
+            F.col("_is_probe") == 0,
+            F.struct(
+                F.col("_asof_ts").alias("ts"),
+                *[F.col(f"_prior_{c}").alias(c) for c in payload],
+            ),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    out_cols = (
+        [F.col(c) for c in probes.columns]
+        + [F.col("_prior")[c].alias(c) for c in payload]
+        + [F.col("_prior")["ts"].alias(prior_ts)]
+    )
+    return (
+        tagged.withColumn("_prior", prior_struct)
+        .filter((F.col("_is_probe") == 1) & F.col("_prior").isNotNull())
+        .select(*out_cols)
     )

@@ -157,3 +157,47 @@ def test_dialect_rewrite_idempotent_and_literal_safe(frags):
     for lit in ["'approx_distinct(x)'", "'it''s'", "-- try(1)", "/* regexp_extract_all(a,b) */"]:
         if lit in q:
             assert lit in once
+
+
+@given(
+    probes=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 40)), min_size=1, max_size=25
+    ),
+    priors=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 40)), min_size=1, max_size=25
+    ),
+    strict=st.booleans(),
+)
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_asof_join_equals_naive(spark, probes, priors, strict):
+    """Linear union-sort-window asof_join == the quadratic join-then-argmax
+    formulation, strict and non-strict, with deterministic tie-breaks."""
+    from pyspark.sql import functions as F
+
+    from presto_db_spark.operators.rangejoin import asof_join
+
+    pdf = spark.createDataFrame(
+        [(k, datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=s), i)
+         for i, (k, s) in enumerate(probes)],
+        ["k", "pts", "pid"],
+    )
+    rdf = spark.createDataFrame(
+        [(k, datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=s), i)
+         for i, (k, s) in enumerate(priors)],
+        ["k", "rts", "rid"],
+    )
+    fast = {
+        (r.pid, r.rid, r.rts)
+        for r in asof_join(pdf, rdf, ["k"], "pts", "rts", ["rid"], strict=strict).collect()
+    }
+    cmp = (F.col("rts") < F.col("pts")) if strict else (F.col("rts") <= F.col("pts"))
+    naive = {
+        (r.pid, r.rid, r.rts)
+        for r in pdf.join(rdf, "k")
+        .filter(cmp)
+        .groupBy("pid")
+        .agg(F.max(F.struct("rts", "rid")).alias("m"))
+        .select("pid", F.col("m.rid").alias("rid"), F.col("m.rts").alias("rts"))
+        .collect()
+    }
+    assert fast == naive
