@@ -12,6 +12,7 @@ Per query: PREWARM_RUNS unmeasured + RUNS measured, median reported.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import statistics
@@ -67,8 +68,6 @@ def main() -> None:
         # the JVM to collect before timing, so query N's garbage doesn't
         # land in query N+1's measured runs (the r2 +43% was exactly this).
         spark.catalog.clearCache()
-        import gc
-
         gc.collect()
         spark.sparkContext._jvm.System.gc()
         for _ in range(PREWARM_RUNS):
