@@ -210,6 +210,36 @@ _SQL_FUNCTIONS = [
     "RETURNS STRING RETURN parse_url(u, 'PATH')",
     "CREATE OR REPLACE TEMPORARY FUNCTION url_extract_query(u STRING) "
     "RETURNS STRING RETURN parse_url(u, 'QUERY')",
+    # ISO-8601 family (DateTimeFunctions.java from_iso8601_*, to_iso8601).
+    "CREATE OR REPLACE TEMPORARY FUNCTION from_iso8601_timestamp(s STRING) "
+    "RETURNS TIMESTAMP RETURN to_timestamp(s)",
+    "CREATE OR REPLACE TEMPORARY FUNCTION from_iso8601_date(s STRING) "
+    "RETURNS DATE RETURN to_date(s)",
+    "CREATE OR REPLACE TEMPORARY FUNCTION to_iso8601(ts TIMESTAMP) "
+    "RETURNS STRING RETURN date_format(ts, \"yyyy-MM-dd'T'HH:mm:ss.SSS\")",
+    # Presto day_of_week (ISO: 1=Monday..7=Sunday) and year_of_week (ISO
+    # week-year) — Spark's extract() has both fields natively.
+    "CREATE OR REPLACE TEMPORARY FUNCTION day_of_week(ts TIMESTAMP) "
+    "RETURNS INT RETURN CAST(extract(dayofweek_iso FROM ts) AS INT)",
+    "CREATE OR REPLACE TEMPORARY FUNCTION dow(ts TIMESTAMP) "
+    "RETURNS INT RETURN CAST(extract(dayofweek_iso FROM ts) AS INT)",
+    "CREATE OR REPLACE TEMPORARY FUNCTION day_of_year(ts TIMESTAMP) "
+    "RETURNS INT RETURN CAST(dayofyear(ts) AS INT)",
+    "CREATE OR REPLACE TEMPORARY FUNCTION doy(ts TIMESTAMP) "
+    "RETURNS INT RETURN CAST(dayofyear(ts) AS INT)",
+    "CREATE OR REPLACE TEMPORARY FUNCTION year_of_week(ts TIMESTAMP) "
+    "RETURNS INT RETURN CAST(extract(yearofweek FROM ts) AS INT)",
+    "CREATE OR REPLACE TEMPORARY FUNCTION yow(ts TIMESTAMP) "
+    "RETURNS INT RETURN CAST(extract(yearofweek FROM ts) AS INT)",
+    # parse_duration('2.5m') -> seconds as DOUBLE (DateTimeFunctions.java
+    # parse_duration returns interval; seconds is the zone-free scalar form).
+    "CREATE OR REPLACE TEMPORARY FUNCTION parse_duration(s STRING) "
+    "RETURNS DOUBLE RETURN "
+    "CAST(regexp_extract(trim(s), '^([0-9]*\\\\.?[0-9]+)', 1) AS DOUBLE) * "
+    "CASE regexp_extract(trim(s), '([a-z]+)$', 1) "
+    "  WHEN 'ns' THEN 1e-9 WHEN 'us' THEN 1e-6 WHEN 'ms' THEN 1e-3 "
+    "  WHEN 's' THEN 1.0 WHEN 'm' THEN 60.0 WHEN 'h' THEN 3600.0 "
+    "  WHEN 'd' THEN 86400.0 END",
     # Presto at_timezone(ts, tz) — Spark timestamps are zone-less instants,
     # so the observable display-zone change is the wall-clock shift
     # (operators/timetypes.py documents the full time/timetz model).

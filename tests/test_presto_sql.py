@@ -202,3 +202,27 @@ def test_dialect_double_quoted_identifiers(engine):
     # non-identifier-shaped double-quoted strings stay string literals
     r = engine.sql("SELECT 'a' || \"-\" AS s").collect()[0]
     assert r.s == "a-"
+
+
+def test_iso8601_and_week_fields(engine):
+    r = engine.sql(
+        "SELECT from_iso8601_timestamp('2026-08-13T01:02:03') a, "
+        "       from_iso8601_date('2026-08-13') b, "
+        "       to_iso8601(TIMESTAMP '2026-08-13 01:02:03') c, "
+        "       day_of_week(TIMESTAMP '2026-08-13') dw, "   # Thursday
+        "       day_of_year(TIMESTAMP '2026-02-01') dy, "
+        "       year_of_week(TIMESTAMP '2021-01-01') yw"    # ISO: week of 2020
+    ).collect()[0]
+    assert str(r.a) == "2026-08-13 01:02:03"
+    assert str(r.b) == "2026-08-13"
+    assert r.c == "2026-08-13T01:02:03.000"
+    assert (r.dw, r.dy, r.yw) == (4, 32, 2020)
+
+
+def test_parse_duration(engine):
+    r = engine.sql(
+        "SELECT parse_duration('2.5m') a, parse_duration('500ms') b, "
+        "       parse_duration('1.5h') c, parse_duration('3d') d, "
+        "       parse_duration('42s') e"
+    ).collect()[0]
+    assert (r.a, r.b, r.c, r.d, r.e) == (150.0, 0.5, 5400.0, 259200.0, 42.0)
