@@ -522,3 +522,80 @@ def tpcds_q67(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.asc_nulls_first("d_year"),
         )
     )
+
+
+# --- q34: trips with 5-7 items, joined back to the customer ----------------
+
+@_q(
+    "tpcds_q34",
+    """
+WITH trips AS (
+  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY l_orderkey HAVING count(*) BETWEEN 5 AND 7
+)
+SELECT c.c_name, c.c_custkey, t.l_orderkey AS ticket, t.cnt
+FROM trips t
+JOIN orders o ON o.o_orderkey = t.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+WHERE o.o_orderstatus = 'F'
+ORDER BY c.c_name, c.c_custkey, ticket
+""",
+)
+def tpcds_q34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q34 shape (tpcds/q34.sql: tickets with BETWEEN-bounded item
+    counts — aggregate-HAVING subquery joined back to customer)."""
+    lineitem, orders, customer = _t(spark, sf_dir, "lineitem", "orders", "customer")
+    trips = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt").between(5, 7))
+    )
+    return (
+        trips.join(
+            orders.filter(F.col("o_orderstatus") == "F"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name", "c_custkey", F.col("l_orderkey").alias("ticket"), "cnt"
+        )
+        .orderBy("c_name", "c_custkey", "ticket")
+    )
+
+
+# --- q48: sum over three OR'd demographic/quantity/discount bands ----------
+
+@_q(
+    "tpcds_q48",
+    """
+SELECT CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+WHERE (c.c_mktsegment = 'AUTOMOBILE' AND l.l_discount BETWEEN 0.00 AND 0.03
+       AND l.l_quantity BETWEEN 1 AND 20)
+   OR (c.c_mktsegment = 'BUILDING' AND l.l_discount BETWEEN 0.03 AND 0.06
+       AND l.l_quantity BETWEEN 10 AND 35)
+   OR (c.c_mktsegment = 'MACHINERY' AND l.l_discount BETWEEN 0.06 AND 0.10
+       AND l.l_quantity BETWEEN 25 AND 50)
+""",
+)
+def tpcds_q48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q48 shape (tpcds/q48.sql: one sum guarded by three OR'd
+    (demographic x sales-band) predicates — the disjunctive-pushdown case:
+    Catalyst factors the customer/lineitem conjuncts out of the OR into
+    scan-level filters)."""
+    lineitem, orders, customer = _t(spark, sf_dir, "lineitem", "orders", "customer")
+    seg = F.col("c_mktsegment")
+    disc, qty = F.col("l_discount"), F.col("l_quantity")
+    bands = (
+        ((seg == "AUTOMOBILE") & disc.between(0.00, 0.03) & qty.between(1, 20))
+        | ((seg == "BUILDING") & disc.between(0.03, 0.06) & qty.between(10, 35))
+        | ((seg == "MACHINERY") & disc.between(0.06, 0.10) & qty.between(25, 50))
+    )
+    return (
+        lineitem.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(bands)
+        .agg(F.sum(qty.cast("long")).alias("total_qty"))
+    )
