@@ -326,3 +326,78 @@ def geo_polygon_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nk")
     )
+
+
+GRID_PJ = 10.0  # polygon-join cell width (~polygon diameter)
+
+
+@_q(
+    "geo_polygon_join",
+    f"""
+WITH poly AS ({_POLY_SQL}),
+pts AS (
+  SELECT c_custkey AS pid, {_X_SQL} AS px, {_Y_SQL} AS py
+  FROM customer WHERE c_custkey < 2000
+)
+SELECT p.nk, t.pid
+FROM poly p JOIN pts t
+  ON ({_FOLD_SQL['crossings']}) % 2 = 1
+ORDER BY nk, pid
+""",
+)
+def geo_polygon_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic point-in-polygon SPATIAL JOIN — no shared key between sides
+    (unlike geo_polygon_ops, which rides the nationkey relation). The
+    scalable blocking mirrors the reference's KDB-tree partitioned
+    SpatialJoinOperator (``pm/operator/SpatialJoinOperator.java:40``):
+
+    * each polygon explodes to every grid cell its bbox covers;
+    * each point maps to exactly one cell;
+    * candidates meet in an EQUI-join on the cell key (one shuffle,
+      candidates bounded per cell), then exact crossing-number containment
+      filters — never a cross join. The oracle IS the naive theta-join, so
+      the hash match proves blocking loses no pairs."""
+    nation, cust = _t(spark, sf_dir, "nation", "customer")
+    nk = F.col("n_nationkey")
+    cx = ((nk * 17) % 80 + 10).cast("double")
+    cy = ((nk * 29) % 80 + 10).cast("double")
+    poly = nation.select(
+        nk.alias("nk"),
+        F.array(*[cx + F.lit(d) for d in _PENT_DX]).alias("xs"),
+        F.array(*[cy + F.lit(d) for d in _PENT_DY]).alias("ys"),
+    )
+    # bbox → covered grid cells (cell ids are integers; explode both axes)
+    cell = lambda v: F.floor(v / GRID_PJ).cast("long")  # noqa: E731
+    poly_cells = poly.select(
+        "nk",
+        "xs",
+        "ys",
+        F.explode(
+            F.sequence(cell(F.array_min("xs")), cell(F.array_max("xs")))
+        ).alias("gx"),
+    ).select(
+        "nk",
+        "xs",
+        "ys",
+        "gx",
+        F.explode(
+            F.sequence(cell(F.array_min("ys")), cell(F.array_max("ys")))
+        ).alias("gy"),
+    )
+    ck = F.col("c_custkey")
+    pts = cust.filter(ck < 2000).select(
+        ck.alias("pid"),
+        ((ck * 37 % 1000).cast("double") / 10).alias("px"),
+        ((ck * 73 % 1000).cast("double") / 10).alias("py"),
+    )
+    pt_cells = pts.select(
+        "pid", "px", "py", cell(F.col("px")).alias("gx"), cell(F.col("py")).alias("gy")
+    )
+    return (
+        poly_cells.join(pt_cells, ["gx", "gy"])
+        .filter(
+            st_contains(F.col("xs"), F.col("ys"), F.lit(5), F.col("px"), F.col("py"))
+        )
+        .select("nk", "pid")
+        .orderBy("nk", "pid")
+    )
