@@ -116,3 +116,13 @@ def test_tpcds_star_joins_broadcast(spark, sf_dir):
         plan = _plan(all_queries()[name](spark, sf_dir), "simple")
         assert "SortMergeJoin" not in plan, (name, plan)
         assert "BroadcastHashJoin" in plan, (name, plan)
+
+
+def test_polygon_join_has_no_cross_join(spark, sf_dir):
+    """geo_polygon_join must meet candidates in the cell equi-join — a
+    BroadcastNestedLoopJoin/CartesianProduct in the plan would mean the
+    blocking degenerated to the naive theta-join."""
+    df = all_queries()["geo_polygon_join"](spark, sf_dir)
+    plan = _plan(df, "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
