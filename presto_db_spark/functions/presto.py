@@ -210,6 +210,30 @@ _SQL_FUNCTIONS = [
     "RETURNS STRING RETURN parse_url(u, 'PATH')",
     "CREATE OR REPLACE TEMPORARY FUNCTION url_extract_query(u STRING) "
     "RETURNS STRING RETURN parse_url(u, 'QUERY')",
+    # String / binary aliases (StringFunctions.java, VarbinaryFunctions.java).
+    "CREATE OR REPLACE TEMPORARY FUNCTION split_to_map(s STRING, ed STRING, kd STRING) "
+    "RETURNS MAP<STRING, STRING> RETURN str_to_map(s, ed, kd)",
+    "CREATE OR REPLACE TEMPORARY FUNCTION codepoint(s STRING) "
+    "RETURNS INT RETURN ascii(s)",
+    "CREATE OR REPLACE TEMPORARY FUNCTION to_utf8(s STRING) "
+    "RETURNS BINARY RETURN encode(s, 'UTF-8')",
+    "CREATE OR REPLACE TEMPORARY FUNCTION from_utf8(b BINARY) "
+    "RETURNS STRING RETURN decode(b, 'UTF-8')",
+    # Bitwise shift names (BitwiseFunctions.java).
+    "CREATE OR REPLACE TEMPORARY FUNCTION bitwise_left_shift(x BIGINT, n INT) "
+    "RETURNS BIGINT RETURN shiftleft(x, n)",
+    "CREATE OR REPLACE TEMPORARY FUNCTION bitwise_arithmetic_shift_right(x BIGINT, n INT) "
+    "RETURNS BIGINT RETURN shiftright(x, n)",
+    "CREATE OR REPLACE TEMPORARY FUNCTION bitwise_logical_shift_right(x BIGINT, n INT) "
+    "RETURNS BIGINT RETURN shiftrightunsigned(x, n)",
+    # JSON classification (JsonFunctions.java is_json_scalar,
+    # json_array_contains string form; json_parse canonicalizes via the
+    # json_format UDF below since our JSON type model IS the string).
+    "CREATE OR REPLACE TEMPORARY FUNCTION is_json_scalar(j STRING) "
+    "RETURNS BOOLEAN RETURN get_json_object(j, '$') IS NOT NULL "
+    "AND NOT (startswith(ltrim(j), '[') OR startswith(ltrim(j), '{'))",
+    "CREATE OR REPLACE TEMPORARY FUNCTION json_array_contains(j STRING, v STRING) "
+    "RETURNS BOOLEAN RETURN exists(from_json(j, 'array<string>'), x -> x = v)",
     # ISO-8601 family (DateTimeFunctions.java from_iso8601_*, to_iso8601).
     "CREATE OR REPLACE TEMPORARY FUNCTION from_iso8601_timestamp(s STRING) "
     "RETURNS TIMESTAMP RETURN to_timestamp(s)",
@@ -403,4 +427,5 @@ def register_presto_functions(spark: SparkSession) -> None:
     spark.udf.register("date_format_mysql", _date_format_py, T.StringType())
     spark.udf.register("json_size", _json_size, T.LongType())
     spark.udf.register("json_format", _json_format, T.StringType())
+    spark.udf.register("json_parse", _json_format, T.StringType())
     spark.udf.register("parse_datetime", _parse_datetime_py, T.TimestampType())

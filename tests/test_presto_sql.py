@@ -226,3 +226,31 @@ def test_parse_duration(engine):
         "       parse_duration('42s') e"
     ).collect()[0]
     assert (r.a, r.b, r.c, r.d, r.e) == (150.0, 0.5, 5400.0, 259200.0, 42.0)
+
+
+def test_string_binary_aliases(engine):
+    r = engine.sql(
+        "SELECT split_part('a|b|c', '|', 2) sp, "
+        "       split_to_map('k1=v1,k2=v2', ',', '=')['k2'] sm, "
+        "       codepoint('€') cp, "
+        "       from_utf8(to_utf8('héllo')) rt, "
+        "       bitwise_left_shift(5, 2) ls, "
+        "       bitwise_arithmetic_shift_right(-8, 1) ars, "
+        "       bitwise_logical_shift_right(-8, 1) lrs"
+    ).collect()[0]
+    assert (r.sp, r.sm, r.cp, r.rt) == ("b", "v2", 8364, "héllo")
+    # logical shift is over the full 64-bit image (BIGINT operand)
+    assert (r.ls, r.ars, r.lrs) == (20, -4, 9223372036854775804)
+
+
+def test_json_classification(engine):
+    r = engine.sql(
+        """SELECT is_json_scalar('7') a, is_json_scalar('"txt"') b,
+                  is_json_scalar('[1,2]') c, is_json_scalar('{"k":1}') d,
+                  json_array_contains('["x","y"]', 'y') e,
+                  json_array_contains('["x","y"]', 'z') f,
+                  json_parse('{"b": 2,  "a":1}') g"""
+    ).collect()[0]
+    assert (r.a, r.b, r.c, r.d) == (True, True, False, False)
+    assert (r.e, r.f) == (True, False)
+    assert r.g == '{"b":2,"a":1}'
