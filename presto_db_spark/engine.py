@@ -44,6 +44,17 @@ class Engine(DdlMixin):
             query = rewrite_presto_sql(query)
         return self.spark.sql(query)
 
+    def strict_errors(self, enabled: bool = True) -> None:
+        """Presto evaluates with ANSI error semantics ALWAYS — division by
+        zero, numeric overflow, and invalid casts are query errors
+        (``pm/operator/scalar/MathFunctions.java`` throws
+        PrestoException(DIVISION_BY_ZERO) etc.). Spark 4's ANSI default
+        already matches, so strict is the out-of-the-box behavior;
+        ``strict_errors(False)`` opts into legacy permissive NULL-on-error
+        (the ``try_*`` functions keep their NULL contract either way,
+        matching Presto's TRY)."""
+        self.spark.conf.set("spark.sql.ansi.enabled", "true" if enabled else "false")
+
     def table(self, name: str) -> DataFrame:
         if name in self.tables:
             return self.tables[name]

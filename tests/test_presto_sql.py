@@ -254,3 +254,21 @@ def test_json_classification(engine):
     assert (r.a, r.b, r.c, r.d) == (True, True, False, False)
     assert (r.e, r.f) == (True, False)
     assert r.g == '{"b":2,"a":1}'
+
+
+def test_strict_error_semantics(engine):
+    # Presto ALWAYS fails on 1/0 and bad casts — and so does this engine by
+    # default (Spark 4 ANSI mode), matching the reference; try_* keeps the
+    # NULL-on-error contract (Presto TRY). strict_errors(False) opts into
+    # legacy permissive NULLs.
+    with pytest.raises(Exception, match="(?i)divide|division"):
+        engine.sql("SELECT 1/0 AS x").collect()
+    with pytest.raises(Exception, match="(?i)cast|overflow|invalid"):
+        engine.sql("SELECT CAST('xx' AS INT) AS x").collect()
+    r = engine.sql("SELECT try_divide(1, 0) a, try_cast('xx' AS INT) b").collect()[0]
+    assert (r.a, r.b) == (None, None)
+    engine.strict_errors(False)
+    try:
+        assert engine.sql("SELECT 1/0 AS x").collect()[0].x is None
+    finally:
+        engine.strict_errors(True)
