@@ -329,3 +329,62 @@ def sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.coalesce(F.col("n_sampled"), F.lit(0)) - mean) <= sigma * 6 + 1
         ).alias("sample_within_bounds"),
     )
+
+
+@_q(
+    "unnest_multi_zip",
+    """
+WITH d AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS words
+  FROM documents WHERE doc_id < 200
+)
+SELECT doc_id, unnest(words) AS w,
+       CAST(unnest(list_transform(words, x -> length(x))) AS INT) AS wl
+FROM d
+""",
+)
+def unnest_multi_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Presto ``CROSS JOIN UNNEST(a, b)`` — MULTI-array unnest zips the
+    arrays positionally (``pm/operator/unnest/UnnestOperator.java:48``
+    drives all unnest channels in lock-step). Spark: ``arrays_zip`` then
+    ``inline`` — one generator, no join."""
+    from ..catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.filter(F.col("doc_id") < 200).select(
+        "doc_id", F.split(F.trim("text"), " ").alias("words")
+    )
+    zipped = d.select(
+        "doc_id",
+        F.arrays_zip(
+            F.col("words").alias("w"),
+            F.transform("words", F.length).alias("wl"),
+        ).alias("z"),
+    )
+    return zipped.select("doc_id", F.inline("z"))
+
+
+@_q(
+    "unnest_map",
+    """
+SELECT doc_id, e.key AS k, CAST(e.value AS BIGINT) AS v
+FROM documents, LATERAL unnest(map_entries(
+  MAP {'n_chars': length(text), 'n_words': len(string_split(trim(text), ' '))}
+)) AS t(e)
+WHERE doc_id < 200
+""",
+)
+def unnest_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Presto ``UNNEST(map)`` → (key, value) rows (UnnestOperator's map
+    channel). Spark: ``explode`` over a map column."""
+    from ..catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = F.create_map(
+        F.lit("n_chars"), F.length("text").cast("long"),
+        F.lit("n_words"), F.size(F.split(F.trim("text"), " ")).cast("long"),
+    )
+    return (
+        docs.filter(F.col("doc_id") < 200)
+        .select("doc_id", F.explode(m).alias("k", "v"))
+    )
