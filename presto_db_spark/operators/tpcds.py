@@ -357,7 +357,13 @@ def tpcds_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q11 shape (tpcds/q11.sql: the year_total CTE — UNION ALL of
     two sales channels — self-joined FOUR times to compare year-over-year
     growth across channels). Totals are exact cents (integers), so the
-    growth-ratio comparison is bit-identical across engines."""
+    growth-ratio comparison is bit-identical across engines.
+
+    The CTE is evaluated once per reference, as in the reference engine
+    (Presto 0.236 inlines WITH bodies — no CTE materialization). On a real
+    cluster, persist()/checkpoint the year_total frame before the 4-way
+    self-join to pay the two aggregations once; left un-persisted here so
+    the measured plan matches what the reference executes."""
     customer, orders, lineitem = _t(spark, sf_dir, "customer", "orders", "lineitem")
     store = (
         customer.join(orders, F.col("o_custkey") == F.col("c_custkey"))
