@@ -171,3 +171,25 @@ class DdlMixin:
             setter(self.spark, value)
         else:
             self.spark.conf.set(prop, str(value))
+
+    # -- metadata surface (SHOW / DESCRIBE / information_schema face) --------
+
+    def show_tables(self) -> list[str]:
+        """SHOW TABLES (``presto-parser`` ShowTables →
+        ``information_schema.tables``): every table visible to queries."""
+        return sorted(t.name for t in self.spark.catalog.listTables())
+
+    def show_columns(self, table: str) -> list[tuple[str, str]]:
+        """SHOW COLUMNS FROM t / DESCRIBE t → (name, type) pairs."""
+        return [(f.name, f.dataType.simpleString()) for f in self.spark.table(table).schema]
+
+    def show_functions(self, like: str | None = None) -> list[str]:
+        """SHOW FUNCTIONS [LIKE pattern] — built-ins plus the Presto compat
+        layer's temp functions/UDFs (they register in the same catalog, so
+        they are discoverable exactly like reference functions are in
+        ``BuiltInFunctionNamespaceManager``)."""
+        names = sorted({f.name.lower() for f in self.spark.catalog.listFunctions()})
+        if like is not None:
+            needle = like.lower().strip("%")
+            names = [n for n in names if needle in n]
+        return names

@@ -98,3 +98,17 @@ def test_session_properties(engine):
     engine.set_session("join_distribution_type", "AUTOMATIC")
     engine.set_session("hash_partition_count", 8)
     engine.set_session("spill_enabled", True)  # accepted no-op
+
+
+def test_metadata_surface(engine):
+    tables = engine.show_tables()
+    for t in ["customer", "lineitem", "orders", "documents"]:
+        assert t in tables
+    cols = dict(engine.show_columns("customer"))
+    assert cols["c_custkey"] == "bigint" and cols["c_mktsegment"] == "string"
+    fns = engine.show_functions(like="url_extract%")
+    assert "url_extract_parameter" in fns and "url_extract_host" in fns
+    assert "strpos" in engine.show_functions(like="strpos")
+    # SQL spellings work too
+    assert engine.sql("SHOW TABLES").count() >= 10
+    assert engine.sql("DESCRIBE customer").count() >= 5
