@@ -210,6 +210,12 @@ _SQL_FUNCTIONS = [
     "RETURNS STRING RETURN parse_url(u, 'PATH')",
     "CREATE OR REPLACE TEMPORARY FUNCTION url_extract_query(u STRING) "
     "RETURNS STRING RETURN parse_url(u, 'QUERY')",
+    # Teradata-compat strings (presto-teradata-functions/.../
+    # TeradataStringFunctions.java:40 index, :109 char2hexint).
+    "CREATE OR REPLACE TEMPORARY FUNCTION index(s STRING, sub STRING) "
+    "RETURNS INT RETURN instr(s, sub)",
+    "CREATE OR REPLACE TEMPORARY FUNCTION char2hexint(s STRING) "
+    "RETURNS STRING RETURN upper(hex(encode(s, 'UTF-16BE')))",
     # String / binary aliases (StringFunctions.java, VarbinaryFunctions.java).
     "CREATE OR REPLACE TEMPORARY FUNCTION split_to_map(s STRING, ed STRING, kd STRING) "
     "RETURNS MAP<STRING, STRING> RETURN str_to_map(s, ed, kd)",
@@ -416,6 +422,55 @@ def _parse_datetime_py(s: str | None, fmt: str | None):
     return datetime.datetime.strptime(s, _joda_to_py(fmt))
 
 
+# Teradata-compat date tokens (presto-teradata-functions/.../dateformat/
+# DateFormatParser.java:34-66): YYYY YY MM DD HH24 HH MI SS + literal text.
+_TD_TOKENS = [
+    ("YYYY", "%Y"), ("YY", "%y"), ("MM", "%m"), ("DD", "%d"),
+    ("HH24", "%H"), ("HH", "%I"), ("MI", "%M"), ("SS", "%S"),
+]
+
+
+def _td_to_py(fmt: str) -> str:
+    out: list[str] = []
+    i = 0
+    up = fmt.upper()
+    while i < len(fmt):
+        for tok, py in _TD_TOKENS:
+            if up.startswith(tok, i):
+                out.append(py)
+                i += len(tok)
+                break
+        else:
+            out.append(fmt[i].replace("%", "%%"))
+            i += 1
+    return "".join(out)
+
+
+def _td_to_char(ts, fmt: str | None):
+    """Teradata to_char(timestamp, fmt)
+    (``presto-teradata-functions/.../TeradataDateFunctions.java:63``)."""
+    if ts is None or fmt is None:
+        return None
+    return ts.strftime(_td_to_py(fmt))
+
+
+def _td_to_timestamp(s: str | None, fmt: str | None):
+    """Teradata to_timestamp(string, fmt) (TeradataDateFunctions.java:94).
+    Registered as ``to_timestamp_td`` so Spark's native 1-arg to_timestamp
+    keeps resolving (a UDF would shadow the builtin for ALL arities)."""
+    import datetime
+
+    if s is None or fmt is None:
+        return None
+    return datetime.datetime.strptime(s, _td_to_py(fmt))
+
+
+def _td_to_date(s: str | None, fmt: str | None):
+    """Teradata to_date(string, fmt) (TeradataDateFunctions.java:78)."""
+    out = _td_to_timestamp(s, fmt)
+    return out.date() if out is not None else None
+
+
 def register_presto_functions(spark: SparkSession) -> None:
     """Install the compat layer into the session's function registry."""
     for stmt in _SQL_FUNCTIONS:
@@ -425,6 +480,9 @@ def register_presto_functions(spark: SparkSession) -> None:
     spark.udf.register("hamming_distance", _hamming_distance, T.LongType())
     spark.udf.register("date_parse", _date_parse_py, T.TimestampType())
     spark.udf.register("date_format_mysql", _date_format_py, T.StringType())
+    spark.udf.register("to_char", _td_to_char, T.StringType())
+    spark.udf.register("to_timestamp_td", _td_to_timestamp, T.TimestampType())
+    spark.udf.register("to_date_td", _td_to_date, T.DateType())
     spark.udf.register("json_size", _json_size, T.LongType())
     spark.udf.register("json_format", _json_format, T.StringType())
     spark.udf.register("json_parse", _json_format, T.StringType())

@@ -272,3 +272,18 @@ def test_strict_error_semantics(engine):
         assert engine.sql("SELECT 1/0 AS x").collect()[0].x is None
     finally:
         engine.strict_errors(True)
+
+
+def test_teradata_compat(engine):
+    r = engine.sql(
+        "SELECT index('hello', 'l') i, "
+        "       char2hexint('AB') h, "
+        "       to_char(TIMESTAMP '2026-08-13 14:05:09', 'YYYY-MM-DD HH24:MI:SS') c, "
+        "       to_date_td('2026/08/13', 'YYYY/MM/DD') d, "
+        "       to_timestamp_td('13.08.2026 14:05', 'DD.MM.YYYY HH24:MI') t"
+    ).collect()[0]
+    assert r.i == 3
+    assert r.h == "00410042"  # UTF-16BE of 'AB'
+    assert r.c == "2026-08-13 14:05:09"
+    assert str(r.d) == "2026-08-13"
+    assert str(r.t) == "2026-08-13 14:05:00"
