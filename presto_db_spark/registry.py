@@ -31,6 +31,7 @@ _MODULES: list[str] = [
     "presto_db_spark.operators.timetypes",
     "presto_db_spark.operators.text",
     "presto_db_spark.operators.dedup",
+    "presto_db_spark.operators.pipeline_corpus",
     "presto_db_spark.operators.similarity",
     "presto_db_spark.operators.multimodal",
     "presto_db_spark.streaming.pipeline",
