@@ -287,3 +287,16 @@ def test_teradata_compat(engine):
     assert r.c == "2026-08-13 14:05:09"
     assert str(r.d) == "2026-08-13"
     assert str(r.t) == "2026-08-13 14:05:00"
+
+
+def test_dialect_nested_call_arg_counting():
+    from presto_db_spark.functions.dialect import rewrite_presto_sql as r
+
+    # nested commas must not confuse the top-level arity count
+    q = "SELECT regexp_extract_all(concat(a, regexp_extract(b, 'x', 1)), '[0-9]+')"
+    assert r(q) == (
+        "SELECT regexp_extract_all(concat(a, regexp_extract(b, 'x', 1)), '[0-9]+', 0)"
+    )
+    # already 3-arg forms are left alone
+    q3 = "SELECT regexp_extract_all(s, p, 2)"
+    assert r(q3) == q3
