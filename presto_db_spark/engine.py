@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .catalog import TABLES, register_tables
 from .ddl import DdlMixin
-from .functions.dialect import rewrite_presto_sql
+from .functions.dialect import DEFAULT_CATALOGS, rewrite_presto_sql
 from .functions.presto import register_presto_functions
 from .session import get_spark
 
@@ -28,6 +28,9 @@ class Engine(DdlMixin):
         self.spark = spark or get_spark()
         register_presto_functions(self.spark)
         self.tables: dict[str, DataFrame] = {}
+        # Catalog names stripped from three-part table references by the
+        # dialect rewriter (Presto catalog.schema.table → flat temp view).
+        self.catalogs: set[str] = set(DEFAULT_CATALOGS)
         if sf_dir:
             self.attach(sf_dir)
 
@@ -37,11 +40,13 @@ class Engine(DdlMixin):
 
     def sql(self, query: str, *, dialect: bool = True) -> DataFrame:
         """Run SQL. With ``dialect=True`` (default) the Presto-only
-        spellings Spark can't host as temp functions (aggregate renames,
-        arity-dependent regexp defaults, TRY guidance) are rewritten first
-        — see :mod:`functions.dialect`."""
+        spellings Spark can't host as temp functions — quoted identifiers,
+        catalog-prefixed names, ARRAY[]/ROW() constructors, AT TIME ZONE,
+        UNNEST join forms, aggregate renames, arity-dependent regexp
+        defaults, literal-format datetime calls, TRY guidance — are
+        rewritten first; see :mod:`functions.dialect`."""
         if dialect:
-            query = rewrite_presto_sql(query)
+            query = rewrite_presto_sql(query, catalogs=frozenset(self.catalogs))
         return self.spark.sql(query)
 
     def strict_errors(self, enabled: bool = True) -> None:

@@ -1,35 +1,63 @@
-"""Presto → Spark SQL dialect rewriter (textual, function-call aware).
+"""Presto → Spark SQL dialect rewriter (textual, token-level, multi-pass).
 
-A user pasting Presto SQL hits a handful of names Spark either lacks or
-gives different default semantics (``pm/metadata/
-BuiltInFunctionNamespaceManager.java:433-700`` is the reference's registry).
+A user pasting Presto SQL hits spellings Spark either lacks or gives
+different semantics (the reference grammar is ``presto-parser/src/main/
+antlr4/com/facebook/presto/sql/parser/SqlBase.g4``; the function registry is
+``presto-main/.../metadata/BuiltInFunctionNamespaceManager.java:433-700``).
 Most compat names are installed as SQL temp functions / UDFs
-(:mod:`functions.presto`); the names handled HERE are the ones a temp
-function cannot express:
+(:mod:`functions.presto`); the shapes handled HERE are the ones a function
+registration cannot express:
 
+* ``"quoted"."identifiers"`` — Presto double quotes are ALWAYS identifiers
+  (SqlBase.g4 quotedIdentifier); Spark reads them as string literals.
+* ``catalog.schema.table`` — the reference's three-part names (benchto SQL:
+  ``"${database}"."${schema}"."${prefix}lineitem"``). Spark temp views are
+  flat, so known catalog prefixes are stripped.
+* ``ARRAY[1, 2]`` / ``ROW(a, b)`` constructors → ``array(...)`` /
+  ``struct(...)``.
+* ``expr AT TIME ZONE 'tz'`` → ``at_timezone(expr, 'tz')`` (registered in
+  :mod:`functions.presto`).
+* ``CROSS JOIN UNNEST(...) [WITH ORDINALITY] AS t (cols)`` (and the comma /
+  ``LEFT JOIN ... ON TRUE`` forms) → ``LATERAL VIEW [OUTER]
+  explode/inline(...)`` — with ordinality built 1-based via
+  ``arrays_zip(..., sequence(1, size(a)))`` (Presto ordinality is 1-based;
+  ``posexplode`` is 0-based, so it is NOT used).
 * aggregates (``approx_distinct`` → ``approx_count_distinct``) — Spark's
   ``CREATE TEMPORARY FUNCTION`` is scalar-only;
 * arity-dependent defaults (Presto 2-arg ``regexp_extract_all(s, p)``
   returns FULL matches = Spark's explicit group 0, while Spark's 2-arg
-  default is group 1) — needs argument counting, not name substitution.
+  default is group 1) — needs argument counting, not name substitution;
+* **literal-format datetime calls rewritten to JVM expressions** —
+  ``date_parse(x, '%Y-%m-%d')`` → ``to_timestamp(x, 'yyyy-MM-dd')``,
+  ``parse_datetime(x, joda)`` → ``to_timestamp``, and MySQL-pattern
+  ``date_format`` → native ``date_format`` — so pasted Presto SQL stays in
+  whole-stage codegen instead of silently hitting the row-at-a-time Python
+  fallback UDFs (which remain only for non-literal formats).
 
 The rewriter is deliberately conservative: it tokenizes string literals,
 quoted identifiers and comments so rewrites never fire inside them, and it
-only touches calls of the registered names. ``TRY(expr)`` has NO generic
-Spark equivalent (Presto ``pm/sql/relational/`` special form): use Spark's
-``try_cast`` / ``try_add`` / ``try_subtract`` / ``try_multiply`` /
-``try_divide`` / ``try_element_at`` / ``try_to_timestamp`` per operation
-(tested in tests/test_presto_sql.py); the rewriter raises a clear error
-when it sees TRY( so the user gets guidance instead of a resolution error.
+only touches the registered shapes. ``TRY(expr)`` has NO generic Spark
+equivalent (Presto ``pm/sql/relational/`` special form): the rewriter
+raises a clear error pointing at the operation-specific ``try_*`` family.
 """
 
 from __future__ import annotations
 
 import re
 
-# name (lowercased) -> replacement name. Applied at any arity.
+from .presto import joda_to_java_pattern, mysql_to_java_pattern
+
+# Catalog names whose 3-part prefixes are stripped (catalog.schema.table →
+# table). Extend via Engine.catalogs.
+DEFAULT_CATALOGS = frozenset(
+    {"tpch", "tpcds", "hive", "memory", "system", "local", "blackhole"}
+)
+
+# name (lowercased) -> replacement name. Applied at any arity (call-shaped).
 RENAMES: dict[str, str] = {
     "approx_distinct": "approx_count_distinct",
+    # ROW(a, b) constructor (SqlBase.g4 rowConstructor) → struct(a, b).
+    "row": "struct",
 }
 
 # name -> {arity: trailing args to append}. Fires only at the given arity.
@@ -54,50 +82,433 @@ _TOKEN = re.compile(
     re.VERBOSE | re.DOTALL,
 )
 
+# A double-quoted token that is identifier-shaped. Only identifier-shaped
+# content is rewritten, so a genuinely-Spark string literal like
+# "yyyy-MM-dd'T'HH" (non-identifier chars) is left alone.
+_IDENTISH = re.compile(r'^"[A-Za-z_][A-Za-z0-9_]*"$')
 
-def _top_level_commas(tokens: list[str], open_idx: int) -> tuple[int, int]:
-    """From tokens[open_idx] == '(' find the matching ')' and count
-    top-level commas. Returns (close_idx, n_commas)."""
+_BARE_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _is_ident(tok: str) -> bool:
+    return bool(_BARE_IDENT.match(tok)) or (tok.startswith("`") and tok.endswith("`"))
+
+
+def _ident_name(tok: str) -> str:
+    return tok[1:-1].lower() if tok.startswith("`") else tok.lower()
+
+
+def _is_string(tok: str) -> bool:
+    return tok.startswith("'") and tok.endswith("'") and len(tok) >= 2
+
+
+def _str_value(tok: str) -> str:
+    return tok[1:-1].replace("''", "'")
+
+
+def _str_token(value: str) -> str:
+    return "'" + value.replace("'", "''") + "'"
+
+
+def _next(tokens: list[str], i: int) -> int:
+    """Index of next non-whitespace/comment token at or after i (len = none)."""
+    while i < len(tokens) and (tokens[i].isspace() or tokens[i].startswith(("--", "/*"))):
+        i += 1
+    return i
+
+
+def _prev(tokens: list[str], i: int) -> int:
+    """Index of previous non-whitespace/comment token before i (-1 = none)."""
+    i -= 1
+    while i >= 0 and (tokens[i].isspace() or tokens[i].startswith(("--", "/*"))):
+        i -= 1
+    return i
+
+
+def _match_paren(tokens: list[str], open_idx: int) -> int:
     depth = 0
-    commas = 0
     for i in range(open_idx, len(tokens)):
+        if tokens[i] == "(":
+            depth += 1
+        elif tokens[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+    raise ValueError("unbalanced parentheses in SQL text")
+
+
+def _split_args(tokens: list[str], open_idx: int) -> tuple[int, list[tuple[int, int]]]:
+    """From tokens[open_idx] == '(' return (close_idx, [(start, end)] arg
+    token spans, end exclusive). Empty list for zero args."""
+    close = _match_paren(tokens, open_idx)
+    args: list[tuple[int, int]] = []
+    depth = 0
+    start = open_idx + 1
+    for i in range(open_idx, close + 1):
         t = tokens[i]
         if t == "(":
             depth += 1
         elif t == ")":
             depth -= 1
-            if depth == 0:
-                return i, commas
         elif t == "," and depth == 1:
-            commas += 1
-    raise ValueError("unbalanced parentheses in SQL text")
+            args.append((start, i))
+            start = i + 1
+    if _next(tokens, open_idx + 1) != close:  # non-empty arg list
+        args.append((start, close))
+    return close, args
 
 
-# A double-quoted token that is identifier-shaped. Presto double quotes are
-# ALWAYS identifiers (SqlBase.g4 quotedIdentifier); Spark (ANSI off) reads
-# them as string literals — the single biggest paste-blocker for reference
-# SQL like "dt"."d_year". Only identifier-shaped content is rewritten, so a
-# genuinely-Spark string literal like "yyyy-MM-dd'T'HH" (non-identifier
-# chars) is left alone.
-_IDENTISH = re.compile(r'^"[A-Za-z_][A-Za-z0-9_]*"$')
+def _arg_text(tokens: list[str], span: tuple[int, int]) -> str:
+    return "".join(tokens[span[0] : span[1]]).strip()
 
 
-def rewrite_presto_sql(query: str) -> str:
-    """Rewrite the Presto-only spellings above into Spark SQL."""
-    tokens = _TOKEN.findall(query)
+def _single_string_arg(tokens: list[str], span: tuple[int, int]) -> str | None:
+    """If the arg span is exactly one string literal, return its value."""
+    s = _next(tokens, span[0])
+    if s < span[1] and _is_string(tokens[s]) and _next(tokens, s + 1) >= span[1]:
+        return _str_value(tokens[s])
+    return None
+
+
+# ---------------------------------------------------------------------------
+# Passes (token list -> token list)
+# ---------------------------------------------------------------------------
+
+
+def _pass_quoted_idents(tokens: list[str]) -> list[str]:
+    return [
+        "`" + t[1:-1] + "`" if t.startswith('"') and _IDENTISH.match(t) else t
+        for t in tokens
+    ]
+
+
+def _pass_strip_catalog(tokens: list[str], catalogs: frozenset[str]) -> list[str]:
+    """``catalog.schema.table`` → ``table`` when catalog ∈ catalogs.
+
+    Only full three-part chains are stripped (Presto resolves those as
+    catalog-qualified names — SqlBase.g4 qualifiedName), so struct-field
+    access ``alias.col.field`` is untouched unless the alias itself is a
+    registered catalog name.
+    """
+    out: list[str] = []
+    i = 0
+    while i < len(tokens):
+        t = tokens[i]
+        if (
+            _is_ident(t)
+            and _ident_name(t) in catalogs
+            and (p := _prev(tokens, i)) is not None
+            and (p < 0 or tokens[p] != ".")
+        ):
+            d1 = _next(tokens, i + 1)
+            if d1 < len(tokens) and tokens[d1] == ".":
+                s1 = _next(tokens, d1 + 1)
+                if s1 < len(tokens) and _is_ident(tokens[s1]):
+                    d2 = _next(tokens, s1 + 1)
+                    if d2 < len(tokens) and tokens[d2] == ".":
+                        s2 = _next(tokens, d2 + 1)
+                        if s2 < len(tokens) and _is_ident(tokens[s2]):
+                            out.append(tokens[s2])
+                            i = s2 + 1
+                            continue
+        out.append(t)
+        i += 1
+    return out
+
+
+def _pass_array_brackets(tokens: list[str]) -> list[str]:
+    """``ARRAY[...]`` constructor → ``array(...)`` (subscript ``expr[i]`` is
+    already Spark-compatible and untouched — only the ARRAY keyword form)."""
+    tokens = list(tokens)
+    for i, t in enumerate(tokens):
+        if _is_ident(t) and _ident_name(t) == "array":
+            j = _next(tokens, i + 1)
+            if j < len(tokens) and tokens[j] == "[":
+                depth = 0
+                for k in range(j, len(tokens)):
+                    if tokens[k] == "[":
+                        depth += 1
+                    elif tokens[k] == "]":
+                        depth -= 1
+                        if depth == 0:
+                            tokens[j] = "("
+                            tokens[k] = ")"
+                            break
+    return tokens
+
+
+def _pass_subscripts(tokens: list[str]) -> list[str]:
+    """``expr[i]`` → ``element_at(expr, i)``.
+
+    Presto subscripts are 1-based for arrays and key-lookups for maps
+    (SqlBase.g4 subscript; ``ArraySubscriptOperator.java``), while Spark's
+    ``[]`` is 0-based for arrays — a silent off-by-one for pasted SQL.
+    ``element_at`` is 1-based and under ANSI mode raises on out-of-bounds /
+    missing key, matching Presto's subscript errors. Runs AFTER the
+    ARRAY[...]-constructor pass, so every remaining ``[`` that follows a
+    primary expression is a subscript. Chained subscripts resolve
+    left-to-right across repeated scans."""
+    changed = True
+    while changed:
+        changed = False
+        i = 0
+        while i < len(tokens):
+            if tokens[i] != "[":
+                i += 1
+                continue
+            p = _prev(tokens, i)
+            if p < 0:
+                i += 1
+                continue
+            t = tokens[p]
+            if not (_is_ident(t) or t in (")", "]") or _is_string(t)):
+                i += 1
+                continue
+            # ']' from an unprocessed inner subscript: handle inner first
+            if t == "]":
+                i += 1
+                continue
+            depth = 0
+            close = -1
+            for k in range(i, len(tokens)):
+                if tokens[k] == "[":
+                    depth += 1
+                elif tokens[k] == "]":
+                    depth -= 1
+                    if depth == 0:
+                        close = k
+                        break
+            if close < 0:
+                i += 1
+                continue
+            start = _operand_start(tokens, p)
+            operand = "".join(tokens[start : p + 1])
+            index = "".join(tokens[i + 1 : close]).strip()
+            repl = f"element_at({operand}, {index})"
+            tokens = tokens[:start] + [repl] + tokens[close + 1 :]
+            tokens = _TOKEN.findall("".join(tokens))
+            changed = True
+            break
+    return tokens
+
+
+def _operand_start(tokens: list[str], end: int) -> int:
+    """Start index of the primary expression ending at token index `end`
+    (inclusive): literal, identifier chain, function call, or parens."""
+    if tokens[end] == ")":
+        depth = 0
+        for i in range(end, -1, -1):
+            if tokens[i] == ")":
+                depth += 1
+            elif tokens[i] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+        p = _prev(tokens, i)
+        if p >= 0 and _is_ident(tokens[p]):
+            i = p
+    else:
+        i = end
+        # typed literal: TIMESTAMP '...' / DATE '...' etc.
+        if _is_string(tokens[i]):
+            p = _prev(tokens, i)
+            if p >= 0 and _is_ident(tokens[p]):
+                return p
+    # extend left over dotted chains: a.b.c
+    while True:
+        p = _prev(tokens, i)
+        if p >= 0 and tokens[p] == ".":
+            p2 = _prev(tokens, p)
+            if p2 >= 0 and (_is_ident(tokens[p2]) or tokens[p2] == ")"):
+                i = p2
+                continue
+        break
+    return i
+
+
+def _operand_end(tokens: list[str], start: int) -> int:
+    """End index (inclusive) of the primary expression starting at `start`."""
+    i = start
+    if tokens[i] == "(":
+        return _match_paren(tokens, i)
+    # identifier chain / call / literal
+    while True:
+        j = _next(tokens, i + 1)
+        if j < len(tokens) and tokens[j] == "(" and _is_ident(tokens[i]):
+            i = _match_paren(tokens, j)
+            continue
+        if j < len(tokens) and tokens[j] == "." :
+            k = _next(tokens, j + 1)
+            if k < len(tokens) and _is_ident(tokens[k]):
+                i = k
+                continue
+        return i
+
+
+def _pass_at_time_zone(tokens: list[str]) -> list[str]:
+    """``expr AT TIME ZONE tz`` → ``at_timezone(expr, tz)``.
+
+    AT TIME ZONE binds to the preceding primary expression (SqlBase.g4
+    valueExpression ``AT timeZoneSpecifier``), so only the adjacent primary
+    is wrapped — correct for every standard use."""
+    i = 0
+    while i < len(tokens):
+        t = tokens[i]
+        if _is_ident(t) and _ident_name(t) == "at":
+            j = _next(tokens, i + 1)
+            k = _next(tokens, j + 1) if j < len(tokens) else len(tokens)
+            if (
+                j < len(tokens)
+                and k < len(tokens)
+                and _is_ident(tokens[j])
+                and _ident_name(tokens[j]) == "time"
+                and _is_ident(tokens[k])
+                and _ident_name(tokens[k]) == "zone"
+            ):
+                p = _prev(tokens, i)
+                if p < 0:
+                    i += 1
+                    continue
+                op_start = _operand_start(tokens, p)
+                tz_start = _next(tokens, k + 1)
+                tz_end = _operand_end(tokens, tz_start)
+                operand = "".join(tokens[op_start : p + 1])
+                tz = "".join(tokens[tz_start : tz_end + 1])
+                repl = f"at_timezone({operand}, {tz})"
+                tokens = tokens[:op_start] + [repl] + tokens[tz_end + 1 :]
+                i = op_start + 1
+                continue
+        i += 1
+    return tokens
+
+
+def _pass_unnest(tokens: list[str]) -> list[str]:
+    """Presto UNNEST join forms → Spark ``LATERAL VIEW``.
+
+    Handled: ``CROSS JOIN UNNEST(args) [WITH ORDINALITY] [AS] t (cols)``,
+    the bare-comma form ``, UNNEST(...) AS t (cols)``, and ``LEFT JOIN
+    UNNEST(...) AS t (cols) ON TRUE`` (→ ``LATERAL VIEW OUTER``).
+
+    Ordinality is 1-based per Presto (``UnnestOperator.java``), built with
+    ``arrays_zip(a, sequence(1, size(a)))`` + ``inline`` — NOT posexplode
+    (0-based). Multiple arrays zip with null-padding to the longest, same
+    as Presto. A single array with one output column uses plain
+    ``explode``; a single argument with two columns is treated as a map.
+    """
+    i = 0
+    while i < len(tokens):
+        t = tokens[i]
+        if not (_is_ident(t) and _ident_name(t) == "unnest"):
+            i += 1
+            continue
+        open_idx = _next(tokens, i + 1)
+        if open_idx >= len(tokens) or tokens[open_idx] != "(":
+            i += 1
+            continue
+        # classify the join form introducing this UNNEST
+        p = _prev(tokens, i)
+        outer = False
+        join_start = None
+        if p >= 0 and tokens[p] == ",":
+            join_start = p
+        elif p >= 0 and _is_ident(tokens[p]) and _ident_name(tokens[p]) == "join":
+            p2 = _prev(tokens, p)
+            kw = _ident_name(tokens[p2]) if p2 >= 0 and _is_ident(tokens[p2]) else ""
+            if kw == "cross":
+                join_start = p2
+            elif kw == "outer":
+                p3 = _prev(tokens, p2)
+                if p3 >= 0 and _is_ident(tokens[p3]) and _ident_name(tokens[p3]) in ("left", "full"):
+                    join_start = p3
+                    outer = True
+            elif kw in ("left", "full"):
+                join_start = p2
+                outer = True
+        if join_start is None:
+            raise ValueError(
+                "UNNEST is supported in join position only (CROSS JOIN "
+                "UNNEST(...), ', UNNEST(...)', or LEFT JOIN UNNEST(...) ON "
+                "TRUE), each with an alias and column list: AS t (c1, ...)"
+            )
+        close, arg_spans = _split_args(tokens, open_idx)
+        args = [_arg_text(tokens, s) for s in arg_spans]
+        # trailing clauses: [WITH ORDINALITY] [AS] alias (cols)
+        j = _next(tokens, close + 1)
+        ordinality = False
+        if j < len(tokens) and _is_ident(tokens[j]) and _ident_name(tokens[j]) == "with":
+            k = _next(tokens, j + 1)
+            if k < len(tokens) and _is_ident(tokens[k]) and _ident_name(tokens[k]) == "ordinality":
+                ordinality = True
+                j = _next(tokens, k + 1)
+        if j < len(tokens) and _is_ident(tokens[j]) and _ident_name(tokens[j]) == "as":
+            j = _next(tokens, j + 1)
+        if not (j < len(tokens) and _is_ident(tokens[j])):
+            raise ValueError("UNNEST requires an alias with a column list: AS t (c1, ...)")
+        alias = tokens[j]
+        cl_open = _next(tokens, j + 1)
+        if not (cl_open < len(tokens) and tokens[cl_open] == "("):
+            raise ValueError("UNNEST requires an explicit column list: AS t (c1, ...)")
+        cl_close, col_spans = _split_args(tokens, cl_open)
+        cols = [_arg_text(tokens, s) for s in col_spans]
+        end = cl_close
+        if outer:  # consume ON TRUE
+            o = _next(tokens, end + 1)
+            v = _next(tokens, o + 1) if o < len(tokens) else len(tokens)
+            if (
+                o < len(tokens)
+                and v < len(tokens)
+                and _is_ident(tokens[o])
+                and _ident_name(tokens[o]) == "on"
+                and _ident_name(tokens[v]) == "true"
+            ):
+                end = v
+        lateral = "OUTER " if outer else ""
+        if len(args) == 1 and not ordinality and len(cols) <= 2:
+            gen = f"explode({args[0]})"
+        else:
+            zipped = list(args)
+            if ordinality:
+                sizes = [f"size({a})" for a in args]
+                longest = sizes[0] if len(sizes) == 1 else f"greatest({', '.join(sizes)})"
+                zipped.append(f"sequence(1, {longest})")
+            gen = f"inline(arrays_zip({', '.join(zipped)}))"
+        repl = f" LATERAL VIEW {lateral}{gen} {alias} AS {', '.join(cols)}"
+        tokens = tokens[:join_start] + [repl] + tokens[end + 1 :]
+        i = join_start + 1
+    return tokens
+
+
+# Literal-format call rewrites: Presto name -> (new name, pattern translator
+# applied to the LAST argument when it is a single string literal). Keeps
+# pasted SQL on JVM expressions (whole-stage codegen) instead of the Python
+# fallback UDFs registered for non-literal formats.
+def _translate_mysql(fmt: str) -> str:
+    return mysql_to_java_pattern(fmt)
+
+
+def _translate_joda(fmt: str) -> str:
+    return joda_to_java_pattern(fmt)
+
+
+_LITERAL_FORMAT_REWRITES: dict[str, tuple[str, object]] = {
+    # date_parse(x, '%Y-%m-%d') → to_timestamp(x, 'yyyy-MM-dd')
+    "date_parse": ("to_timestamp", _translate_mysql),
+    # parse_datetime(x, joda) → to_timestamp(x, java) (shared subset)
+    "parse_datetime": ("to_timestamp", _translate_joda),
+    # Presto date_format uses MySQL patterns; Spark's native date_format
+    # wants Java patterns — translate when the format is a literal.
+    "date_format": ("date_format", _translate_mysql),
+    "date_format_mysql": ("date_format", _translate_mysql),
+}
+
+
+def _pass_calls(tokens: list[str]) -> list[str]:
     out: list[str] = []
     i = 0
     while i < len(tokens):
         t = tokens[i]
         low = t.lower()
-        if t.startswith('"') and _IDENTISH.match(t):
-            out.append("`" + t[1:-1] + "`")
-            i += 1
-            continue
-        # next non-space token must be '(' for this to be a call
-        j = i + 1
-        while j < len(tokens) and tokens[j].isspace():
-            j += 1
+        j = _next(tokens, i + 1)
         is_call = j < len(tokens) and tokens[j] == "("
         if is_call and low == "try":
             raise ValueError(
@@ -110,11 +521,41 @@ def rewrite_presto_sql(query: str) -> str:
             out.append(RENAMES[low])
             i += 1
             continue
+        if is_call and low in _LITERAL_FORMAT_REWRITES:
+            new_name, translate = _LITERAL_FORMAT_REWRITES[low]
+            close, arg_spans = _split_args(tokens, j)
+            if len(arg_spans) == 2:
+                lit = _single_string_arg(tokens, arg_spans[1])
+                # Only translate date_format when the pattern is MySQL-style
+                # (contains %); a Java-pattern literal passes through.
+                if lit is not None and (low != "date_format" or "%" in lit):
+                    s = _next(tokens, arg_spans[1][0])
+                    tokens[s] = _str_token(translate(lit))
+                    out.append(new_name)
+                    i += 1
+                    continue
         if is_call and low in ARITY_DEFAULTS:
-            close, commas = _top_level_commas(tokens, j)
-            extra = ARITY_DEFAULTS[low].get(commas + 1)
+            close, arg_spans = _split_args(tokens, j)
+            extra = ARITY_DEFAULTS[low].get(len(arg_spans))
             if extra is not None:
                 tokens[close] = extra + ")"
         out.append(t)
         i += 1
-    return "".join(out)
+    return out
+
+
+def rewrite_presto_sql(query: str, *, catalogs: frozenset[str] = DEFAULT_CATALOGS) -> str:
+    """Rewrite the Presto-only spellings above into Spark SQL."""
+    tokens = _TOKEN.findall(query)
+    tokens = _pass_quoted_idents(tokens)
+    tokens = _pass_strip_catalog(tokens, catalogs)
+    tokens = _pass_array_brackets(tokens)
+    # re-tokenize so multi-char replacements stay analyzable by later passes
+    tokens = _TOKEN.findall("".join(tokens))
+    tokens = _pass_subscripts(tokens)
+    tokens = _pass_at_time_zone(tokens)
+    tokens = _TOKEN.findall("".join(tokens))
+    tokens = _pass_unnest(tokens)
+    tokens = _TOKEN.findall("".join(tokens))
+    tokens = _pass_calls(tokens)
+    return "".join(tokens)

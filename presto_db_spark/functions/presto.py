@@ -131,6 +131,45 @@ def mysql_to_java_pattern(fmt: str) -> str:
     return "".join(out)
 
 
+# Joda-Time → Java DateTimeFormatter, longest-first. The documented Joda
+# subset (see _JODA_TO_PY below) is nearly identical in Java pattern space;
+# the only divergent tokens are the zone offsets (Joda ZZ '+00:00' → Java
+# XXX, Joda Z '+0000' → Java xx).
+_JODA_TO_JAVA = [
+    ("yyyy", "yyyy"), ("yy", "yy"), ("MMMM", "MMMM"), ("MMM", "MMM"),
+    ("MM", "MM"), ("M", "M"), ("dd", "dd"), ("d", "d"), ("HH", "HH"),
+    ("H", "H"), ("hh", "hh"), ("h", "h"), ("mm", "mm"), ("m", "m"),
+    ("ss", "ss"), ("s", "s"), ("SSS", "SSS"), ("a", "a"), ("EEEE", "EEEE"),
+    ("EEE", "EEE"), ("ZZ", "XXX"), ("Z", "xx"),
+]
+
+
+def joda_to_java_pattern(fmt: str) -> str:
+    """Translate a Joda-Time pattern (Presto ``parse_datetime``,
+    ``DateTimeFunctions.java``) to a Spark/Java DateTimeFormatter pattern.
+    Covers the same documented subset as :func:`_joda_to_py`; unknown
+    alphabetic characters are quoted so they stay literal text."""
+    out: list[str] = []
+    i = 0
+    while i < len(fmt):
+        if fmt[i] == "'":  # literal quoting is identical in Java — copy span
+            end = fmt.find("'", i + 1)
+            end = end if end != -1 else len(fmt) - 1
+            out.append(fmt[i : end + 1] if end > i else "''")
+            i = end + 1
+            continue
+        for joda, java in _JODA_TO_JAVA:
+            if fmt.startswith(joda, i):
+                out.append(java)
+                i += len(joda)
+                break
+        else:
+            c = fmt[i]
+            out.append("'" + c + "'" if c.isalpha() else c)
+            i += 1
+    return "".join(out)
+
+
 def date_parse(col: Column, mysql_fmt: str) -> Column:
     """Presto ``date_parse(string, '%Y-%m-%d')`` → timestamp (JVM-side)."""
     return F.to_timestamp(col, mysql_to_java_pattern(mysql_fmt))

@@ -300,3 +300,119 @@ def test_dialect_nested_call_arg_counting():
     # already 3-arg forms are left alone
     q3 = "SELECT regexp_extract_all(s, p, 2)"
     assert r(q3) == q3
+
+
+# --- round-4 dialect widening (VERDICT r3 items 1-2): verbatim spellings ----
+
+
+def test_dialect_catalog_prefix_stripped():
+    from presto_db_spark.functions.dialect import rewrite_presto_sql as r
+
+    q = 'SELECT * FROM "tpch"."sf1"."lineitem" l WHERE l.x > 0'
+    assert r(q) == "SELECT * FROM `lineitem` l WHERE l.x > 0"
+    # unquoted three-part names too
+    assert r("SELECT * FROM tpch.tiny.orders") == "SELECT * FROM orders"
+    # a non-catalog alias keeps its struct-field access
+    assert r("SELECT t.a.b FROM t") == "SELECT t.a.b FROM t"
+    # two-part names are NOT stripped (schema-qualified, user-visible)
+    assert r("SELECT * FROM tiny.orders") == "SELECT * FROM tiny.orders"
+
+
+def test_dialect_array_row_constructors(engine):
+    from presto_db_spark.functions.dialect import rewrite_presto_sql as r
+
+    assert r("SELECT ARRAY[1, 2, 3]") == "SELECT ARRAY(1, 2, 3)"
+    # Presto subscripts are 1-based → element_at (not Spark's 0-based [])
+    assert r("SELECT a[1] FROM t") == "SELECT element_at(a, 1) FROM t"
+    assert r("SELECT m['k'] FROM t") == "SELECT element_at(m, 'k') FROM t"
+    row = engine.sql("SELECT ARRAY[1, 2][2] AS x, ROW('a', 1) AS s").collect()[0]
+    assert row.x == 2
+    assert tuple(row.s) == ("a", 1)
+
+
+def test_dialect_at_time_zone(engine):
+    from presto_db_spark.functions.dialect import rewrite_presto_sql as r
+
+    assert (
+        r("SELECT ts AT TIME ZONE 'America/New_York' FROM t")
+        == "SELECT at_timezone(ts, 'America/New_York') FROM t"
+    )
+    row = engine.sql(
+        "SELECT CAST(TIMESTAMP '2020-01-01 12:00:00' AT TIME ZONE "
+        "'America/New_York' AS STRING) AS s"
+    ).collect()[0]
+    assert row.s == "2020-01-01 07:00:00"
+
+
+def test_dialect_unnest_cross_join(engine):
+    row = engine.sql(
+        "SELECT t.w FROM (SELECT split('a b c', ' ') AS words) d "
+        "CROSS JOIN UNNEST(d.words) AS t (w) ORDER BY t.w"
+    ).collect()
+    assert [r.w for r in row] == ["a", "b", "c"]
+
+
+def test_dialect_unnest_with_ordinality(engine):
+    rows = engine.sql(
+        "SELECT t.w, t.i FROM (SELECT split('a b c', ' ') AS words) d "
+        "CROSS JOIN UNNEST(d.words) WITH ORDINALITY AS t (w, i) ORDER BY t.i"
+    ).collect()
+    assert [(r.w, r.i) for r in rows] == [("a", 1), ("b", 2), ("c", 3)]
+
+
+def test_dialect_unnest_multi_array_zip(engine):
+    rows = engine.sql(
+        "SELECT t.x, t.y FROM (SELECT array(1, 2, 3) AS a, array(10, 20) AS b) d "
+        "CROSS JOIN UNNEST(d.a, d.b) AS t (x, y) ORDER BY t.x"
+    ).collect()
+    assert [(r.x, r.y) for r in rows] == [(1, 10), (2, 20), (3, None)]
+
+
+def test_dialect_unnest_left_join_outer(engine):
+    rows = engine.sql(
+        "SELECT d.id, t.w FROM (SELECT 1 AS id, CAST(array() AS ARRAY<STRING>) "
+        "AS words) d LEFT JOIN UNNEST(d.words) AS t (w) ON TRUE"
+    ).collect()
+    assert [(r.id, r.w) for r in rows] == [(1, None)]
+
+
+def test_dialect_literal_format_date_parse_is_jvm():
+    from presto_db_spark.functions.dialect import rewrite_presto_sql as r
+
+    assert (
+        r("SELECT date_parse(s, '%Y-%m-%d %H:%i:%s') FROM t")
+        == "SELECT to_timestamp(s, 'yyyy-MM-dd HH:mm:ss') FROM t"
+    )
+    assert (
+        r("SELECT parse_datetime(s, 'yyyy-MM-dd''T''HH:mm') FROM t")
+        == "SELECT to_timestamp(s, 'yyyy-MM-dd''T''HH:mm') FROM t"
+    )
+    assert (
+        r("SELECT date_format(ts, '%Y-%m') FROM t")
+        == "SELECT date_format(ts, 'yyyy-MM') FROM t"
+    )
+    # non-literal format: left for the registered fallback UDF
+    q = "SELECT date_parse(s, fmt) FROM t"
+    assert r(q) == q
+    # Java-pattern date_format literal (already Spark-compatible): untouched
+    q2 = "SELECT date_format(ts, 'yyyy-MM') FROM t"
+    assert r(q2) == q2
+
+
+def test_dialect_literal_format_execution(engine):
+    row = engine.sql(
+        "SELECT CAST(date_parse('2026-08-13 14:05:09', '%Y-%m-%d %H:%i:%s') "
+        "AS STRING) AS a, date_format(TIMESTAMP '2026-08-13 14:05:09', "
+        "'%Y/%m/%d') AS b"
+    ).collect()[0]
+    assert row.a == "2026-08-13 14:05:09"
+    assert row.b == "2026/08/13"
+
+
+def test_joda_to_java_pattern_offsets():
+    from presto_db_spark.functions.presto import joda_to_java_pattern as j
+
+    assert j("yyyy-MM-dd'T'HH:mm:ssZZ") == "yyyy-MM-dd'T'HH:mm:ssXXX"
+    assert j("yyyyMMdd Z") == "yyyyMMdd xx"
+    # unknown alpha chars become quoted literals
+    assert j("yyyyQ") == "yyyy'Q'"
