@@ -126,3 +126,23 @@ def test_polygon_join_has_no_cross_join(spark, sf_dir):
     plan = _plan(df, "simple")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_dialect_literal_formats_stay_jvm(spark, sf_dir):
+    """Pasted Presto SQL with literal-format date_parse/parse_datetime/
+    date_format/json_size must compile to pure JVM expressions — no
+    BatchEvalPython (row-at-a-time Python) anywhere in the plan. The
+    registered fallback UDFs may serve only non-literal formats."""
+    from presto_db_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir=sf_dir)
+    df = eng.sql(
+        "SELECT date_parse(CAST(o_orderdate AS STRING), '%Y-%m-%d %H:%i:%s') a, "
+        "       date_format(o_orderdate, '%Y-%m') b, "
+        "       parse_datetime(CAST(o_orderdate AS STRING), 'yyyy-MM-dd HH:mm:ss') c, "
+        "       json_size('{\"a\": [1,2,3]}', '$.a') d "
+        "FROM orders"
+    )
+    plan = _plan(df, "simple")
+    assert "BatchEvalPython" not in plan, plan
+    assert "PythonUDF" not in plan, plan

@@ -416,3 +416,13 @@ def test_joda_to_java_pattern_offsets():
     assert j("yyyyMMdd Z") == "yyyyMMdd xx"
     # unknown alpha chars become quoted literals
     assert j("yyyyQ") == "yyyy'Q'"
+
+
+def test_dialect_json_size_literal_path_jvm(engine):
+    rows = engine.sql(
+        "SELECT json_size('{\"a\": [1,2,3], \"b\": {\"x\": 1}}', '$.a') a, "
+        "       json_size('{\"a\": [1,2,3], \"b\": {\"x\": 1}}', '$.b') b, "
+        "       json_size('{\"a\": 7}', '$.a') c, "
+        "       json_size('{\"a\": 7}', '$.missing') d"
+    ).collect()[0]
+    assert (rows.a, rows.b, rows.c, rows.d) == (3, 1, 0, None)
