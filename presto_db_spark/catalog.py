@@ -39,6 +39,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # time, but queries() callables must also work on a caller-provided
         # vanilla session (the driver builds its own).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Same defensive-set: parquet timestamp[us] with isAdjustedToUTC=false
+    # must read as TIMESTAMP, not TIMESTAMP_NTZ (session tz is UTC, so the
+    # wall-clock values are identical and DuckDB oracles agree).
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS); Spark has no nanos timestamp

@@ -42,6 +42,11 @@ def get_spark(app_name: str = "presto_db_spark", cpus: str | None = None) -> Spa
         # Parquet TIMESTAMP(NANOS) (events.ts) is otherwise rejected with
         # PARQUET_TYPE_ILLEGAL; read as long and convert in the catalog.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Driver parquet stores timestamp[us] with isAdjustedToUTC=false;
+        # read it as TIMESTAMP (session tz = UTC, so wall-clock values are
+        # unchanged) instead of TIMESTAMP_NTZ — the engine's time functions
+        # (unix_micros, window, at_timezone) take the LTZ type.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
     )

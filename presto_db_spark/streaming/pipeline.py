@@ -61,6 +61,9 @@ def _q(name: str, sql: str | None = None):
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet (schema from the batch reader,
     including the nanos→micros ts normalization)."""
+    # Defensive (mirrors catalog.load_table): timestamp[us] without UTC
+    # adjustment must infer as TIMESTAMP, not TIMESTAMP_NTZ.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # The file stream source needs a *directory*; the driver testdata is a
     # single parquet file, so expose it through a temp symlink dir (no
