@@ -187,9 +187,18 @@ class DdlMixin:
         """SHOW FUNCTIONS [LIKE pattern] — built-ins plus the Presto compat
         layer's temp functions/UDFs (they register in the same catalog, so
         they are discoverable exactly like reference functions are in
-        ``BuiltInFunctionNamespaceManager``)."""
+        ``BuiltInFunctionNamespaceManager``). The pattern uses SQL LIKE
+        semantics — ``%`` any run, ``_`` one char, anchored full match —
+        as the reference's ShowFunctions rewrite does."""
         names = sorted({f.name.lower() for f in self.spark.catalog.listFunctions()})
         if like is not None:
-            needle = like.lower().strip("%")
-            names = [n for n in names if needle in n]
+            import re as _re
+
+            rx = _re.compile(
+                "".join(
+                    ".*" if c == "%" else "." if c == "_" else _re.escape(c)
+                    for c in like.lower()
+                )
+            )
+            names = [n for n in names if rx.fullmatch(n)]
         return names

@@ -502,24 +502,10 @@ _LITERAL_FORMAT_REWRITES: dict[str, tuple[str, object]] = {
 }
 
 
-def _json_size_expr(j: str, path: str) -> str:
-    """JVM expression for Presto ``json_size(j, 'literal path')``
-    (``JsonFunctions.java json_size``): member count of the object/array at
-    the path, 0 for a scalar, NULL when the path is absent. Built from
-    ``get_json_object`` + ``json_array_length`` / ``json_object_keys`` so a
-    pasted call stays in whole-stage codegen. Known deviation (documented):
-    a *string* scalar whose text itself looks like JSON is counted as that
-    JSON (``get_json_object`` unquotes scalars); the Python UDF registered
-    for non-literal paths keeps exact semantics."""
-    g = f"get_json_object({j}, {path})"
-    return (
-        f"(CASE WHEN {g} IS NULL THEN NULL "
-        f"ELSE coalesce(json_array_length({g}), "
-        f"size(json_object_keys({g})), 0) END)"
-    )
-
-
 def _pass_calls(tokens: list[str]) -> list[str]:
+    # json_size/json_format/json_parse/json_extract need no rewriting here:
+    # they are registered as pure-JVM SQL functions (variant expressions,
+    # functions/presto.py) that serve literal AND column paths.
     out: list[str] = []
     i = 0
     while i < len(tokens):
@@ -527,14 +513,6 @@ def _pass_calls(tokens: list[str]) -> list[str]:
         low = t.lower()
         j = _next(tokens, i + 1)
         is_call = j < len(tokens) and tokens[j] == "("
-        if is_call and low == "json_size":
-            close, arg_spans = _split_args(tokens, j)
-            if len(arg_spans) == 2:
-                lit = tokens[_next(tokens, arg_spans[1][0])]
-                if _single_string_arg(tokens, arg_spans[1]) is not None:
-                    out.append(_json_size_expr(_arg_text(tokens, arg_spans[0]), lit))
-                    i = close + 1
-                    continue
         if is_call and low == "try":
             raise ValueError(
                 "Presto TRY(expr) has no generic Spark equivalent; use the "
@@ -582,8 +560,8 @@ def rewrite_presto_sql(query: str, *, catalogs: frozenset[str] = DEFAULT_CATALOG
     tokens = _TOKEN.findall("".join(tokens))
     tokens = _pass_unnest(tokens)
     tokens = _TOKEN.findall("".join(tokens))
-    # to fixpoint: an expanded call (json_size) may carry nested rewritable
-    # calls inside its argument text
+    # to fixpoint: a rewritten call may carry nested rewritable calls
+    # inside its argument text
     for _ in range(5):
         before = "".join(tokens)
         tokens = _pass_calls(_TOKEN.findall(before))

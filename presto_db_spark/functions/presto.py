@@ -26,7 +26,6 @@ Presto semantic quirks handled deliberately:
 from __future__ import annotations
 
 import math
-import re
 
 from pyspark.sql import Column, SparkSession
 from pyspark.sql import functions as F
@@ -272,8 +271,9 @@ _SQL_FUNCTIONS = [
     "CREATE OR REPLACE TEMPORARY FUNCTION bitwise_logical_shift_right(x BIGINT, n INT) "
     "RETURNS BIGINT RETURN shiftrightunsigned(x, n)",
     # JSON classification (JsonFunctions.java is_json_scalar,
-    # json_array_contains string form; json_parse canonicalizes via the
-    # json_format UDF below since our JSON type model IS the string).
+    # json_array_contains string form; json_parse/json_format/json_extract/
+    # json_size are JVM variant expressions below — our JSON type model IS
+    # the string, canonicalized the way the reference canonicalizes).
     "CREATE OR REPLACE TEMPORARY FUNCTION is_json_scalar(j STRING) "
     "RETURNS BOOLEAN RETURN get_json_object(j, '$') IS NOT NULL "
     "AND NOT (startswith(ltrim(j), '[') OR startswith(ltrim(j), '{'))",
@@ -302,13 +302,17 @@ _SQL_FUNCTIONS = [
     "RETURNS INT RETURN CAST(extract(yearofweek FROM ts) AS INT)",
     # parse_duration('2.5m') -> seconds as DOUBLE (DateTimeFunctions.java
     # parse_duration returns interval; seconds is the zone-free scalar form).
+    # A missing/unknown unit raises, matching the reference's PrestoException
+    # (io.airlift.units.Duration accepts ns..d only) instead of silent NULL.
     "CREATE OR REPLACE TEMPORARY FUNCTION parse_duration(s STRING) "
-    "RETURNS DOUBLE RETURN "
+    "RETURNS DOUBLE RETURN CASE WHEN s IS NULL THEN CAST(NULL AS DOUBLE) ELSE "
     "CAST(regexp_extract(trim(s), '^([0-9]*\\\\.?[0-9]+)', 1) AS DOUBLE) * "
     "CASE regexp_extract(trim(s), '([a-z]+)$', 1) "
     "  WHEN 'ns' THEN 1e-9 WHEN 'us' THEN 1e-6 WHEN 'ms' THEN 1e-3 "
     "  WHEN 's' THEN 1.0 WHEN 'm' THEN 60.0 WHEN 'h' THEN 3600.0 "
-    "  WHEN 'd' THEN 86400.0 END",
+    "  WHEN 'd' THEN 86400.0 "
+    "  ELSE CAST(raise_error(concat('parse_duration: unknown time unit in ', "
+    "s)) AS DOUBLE) END END",
     # Presto at_timezone(ts, tz) — Spark timestamps are zone-less instants,
     # so the observable display-zone change is the wall-clock shift
     # (operators/timetypes.py documents the full time/timetz model).
@@ -321,12 +325,46 @@ _SQL_FUNCTIONS = [
     # json helpers with Presto names (JsonFunctions.java).
     "CREATE OR REPLACE TEMPORARY FUNCTION json_extract_scalar(j STRING, p STRING) "
     "RETURNS STRING RETURN get_json_object(j, p)",
-    # Presto json_extract returns the JSON text at the path (objects/arrays
-    # included) — get_json_object already does exactly that.
+    # Presto json_extract returns the JSON *text* at the path — for a string
+    # scalar that is the quoted form ('\"b\"') and for JSON null the text
+    # 'null', unlike get_json_object/json_extract_scalar which unquote
+    # (JsonFunctions.java json_extract → JsonExtract.ObjectExtractor, vs
+    # json_extract_scalar → ScalarValueJsonExtractor). Spark's variant type
+    # round-trips exactly those semantics as a JVM expression: missing path
+    # → SQL NULL, JSON null → 'null', strings re-quoted, objects/arrays
+    # canonical-compact.
     "CREATE OR REPLACE TEMPORARY FUNCTION json_extract(j STRING, p STRING) "
-    "RETURNS STRING RETURN get_json_object(j, p)",
+    "RETURNS STRING RETURN to_json(try_variant_get(try_parse_json(j), p))",
+    # json_array_get returns JSON text and supports negative (from-end)
+    # indices (JsonFunctions.java json_array_get).
     "CREATE OR REPLACE TEMPORARY FUNCTION json_array_get(j STRING, i BIGINT) "
-    "RETURNS STRING RETURN get_json_object(j, concat('$[', cast(i as string), ']'))",
+    "RETURNS STRING RETURN to_json(try_variant_get(try_parse_json(j), "
+    "concat('$[', CAST(CASE WHEN i < 0 THEN json_array_length(j) + i ELSE i END "
+    "AS STRING), ']')))",
+    # json_size: member count of the object/array at the path, 0 for a
+    # scalar, NULL for a missing path (JsonFunctions.java json_size). The
+    # variant path extractor is a real JsonPath parser, so malformed paths
+    # raise instead of silently truncating.
+    "CREATE OR REPLACE TEMPORARY FUNCTION json_size(j STRING, p STRING) "
+    "RETURNS BIGINT RETURN "
+    "CASE WHEN to_json(try_variant_get(try_parse_json(j), p)) IS NULL THEN NULL "
+    "WHEN startswith(to_json(try_variant_get(try_parse_json(j), p)), '[') "
+    "THEN json_array_length(to_json(try_variant_get(try_parse_json(j), p))) "
+    "WHEN startswith(to_json(try_variant_get(try_parse_json(j), p)), '{') "
+    "THEN size(json_object_keys(to_json(try_variant_get(try_parse_json(j), p)))) "
+    "ELSE 0 END",
+    # json_parse canonicalizes — object keys SORTED, compact separators —
+    # exactly the reference's SORTED_MAPPER contract ('ordered by key is
+    # required in Presto', JsonUtil.java:99-101; jsonParse at
+    # JsonFunctions.java:140). Malformed input raises (PrestoException
+    # INVALID_FUNCTION_ARGUMENT in the reference; parse_json here).
+    "CREATE OR REPLACE TEMPORARY FUNCTION json_parse(j STRING) "
+    "RETURNS STRING RETURN to_json(parse_json(j))",
+    # json_format serializes a JSON value; on the string model it is the
+    # same canonicalization with NULL for malformed input (the reference's
+    # jsonFormat is the identity over an already-canonical JSON slice).
+    "CREATE OR REPLACE TEMPORARY FUNCTION json_format(j STRING) "
+    "RETURNS STRING RETURN to_json(try_parse_json(j))",
     # cosine_similarity over dense float arrays (extension form).
     "CREATE OR REPLACE TEMPORARY FUNCTION cosine_similarity_dense(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) "
     "RETURNS DOUBLE RETURN "
@@ -376,44 +414,6 @@ def _date_format_py(ts, fmt: str | None):
     if ts is None or fmt is None:
         return None
     return ts.strftime(_mysql_to_py_pattern(fmt))
-
-
-def _json_size(j: str | None, p: str | None) -> int | None:
-    """Presto json_size (``pm/operator/scalar/JsonFunctions.java``):
-    object → #keys, array → #elements, scalar → 0, missing path → NULL."""
-    import json as _json
-
-    if j is None or p is None:
-        return None
-    try:
-        doc = _json.loads(j)
-    except ValueError:
-        return None
-    # Minimal $.a.b[0] JsonPath subset — same subset get_json_object serves.
-    if not p.startswith("$"):
-        return None
-    cur = doc
-    for part in re.findall(r"\.([A-Za-z_][A-Za-z0-9_]*)|\[(\d+)\]", p):
-        key, idx = part
-        try:
-            cur = cur[key] if key else cur[int(idx)]
-        except (KeyError, IndexError, TypeError):
-            return None
-    if isinstance(cur, (dict, list)):
-        return len(cur)
-    return 0
-
-
-def _json_format(j: str | None) -> str | None:
-    """Presto json_format: canonical compact serialization of a JSON value."""
-    import json as _json
-
-    if j is None:
-        return None
-    try:
-        return _json.dumps(_json.loads(j), separators=(",", ":"))
-    except ValueError:
-        return None
 
 
 # Joda-Time pattern → strptime, longest-first (DateTimeFunctions.java
@@ -487,7 +487,10 @@ def _td_to_py(fmt: str) -> str:
 
 def _td_to_char(ts, fmt: str | None):
     """Teradata to_char(timestamp, fmt)
-    (``presto-teradata-functions/.../TeradataDateFunctions.java:63``)."""
+    (``presto-teradata-functions/.../TeradataDateFunctions.java:63``).
+    Registered as ``to_char_td`` — a UDF named ``to_char`` would shadow
+    Spark's native numeric ``to_char(expr, fmt)`` for the whole session,
+    the same no-shadowing rule that suffixed to_timestamp_td/to_date_td."""
     if ts is None or fmt is None:
         return None
     return ts.strftime(_td_to_py(fmt))
@@ -519,10 +522,7 @@ def register_presto_functions(spark: SparkSession) -> None:
     spark.udf.register("hamming_distance", _hamming_distance, T.LongType())
     spark.udf.register("date_parse", _date_parse_py, T.TimestampType())
     spark.udf.register("date_format_mysql", _date_format_py, T.StringType())
-    spark.udf.register("to_char", _td_to_char, T.StringType())
+    spark.udf.register("to_char_td", _td_to_char, T.StringType())
     spark.udf.register("to_timestamp_td", _td_to_timestamp, T.TimestampType())
     spark.udf.register("to_date_td", _td_to_date, T.DateType())
-    spark.udf.register("json_size", _json_size, T.LongType())
-    spark.udf.register("json_format", _json_format, T.StringType())
-    spark.udf.register("json_parse", _json_format, T.StringType())
     spark.udf.register("parse_datetime", _parse_datetime_py, T.TimestampType())

@@ -109,6 +109,11 @@ def test_metadata_surface(engine):
     fns = engine.show_functions(like="url_extract%")
     assert "url_extract_parameter" in fns and "url_extract_host" in fns
     assert "strpos" in engine.show_functions(like="strpos")
+    # SQL LIKE semantics: anchored full match, % any run, _ one char
+    assert engine.show_functions(like="xtract") == []  # not a substring scan
+    assert all(f.endswith("td") for f in engine.show_functions(like="%_td"))
+    assert engine.show_functions(like="to_%_td") == [
+        "to_char_td", "to_date_td", "to_timestamp_td"]
     # SQL spellings work too
     assert engine.sql("SHOW TABLES").count() >= 10
     assert engine.sql("DESCRIBE customer").count() >= 5

@@ -158,6 +158,26 @@ def test_json_extract_format_size(engine):
     assert (r.s_obj, r.s_arr, r.s_scalar, r.s_miss) == (2, 3, 0, None)
 
 
+def test_json_extract_returns_json_text(engine):
+    # Reference json_extract (JsonFunctions.java ObjectExtractor) returns
+    # JSON *text*: string scalars stay quoted, JSON null is the text
+    # 'null'; only json_extract_scalar unquotes. Missing path → SQL NULL.
+    r = engine.sql(
+        """SELECT json_extract('{"s": "b"}', '$.s') qs,
+                  json_extract_scalar('{"s": "b"}', '$.s') us,
+                  json_extract('{"n": null}', '$.n') jn,
+                  json_extract('{"n": null}', '$.missing') miss,
+                  json_format(json_extract('{"a": {"z": 1, "b": 2}}', '$.a')) comp,
+                  json_array_get('["x", "y", "z"]', 1) ag,
+                  json_array_get('["x", "y", "z"]', -1) neg"""
+    ).collect()[0]
+    assert (r.qs, r.us) == ('"b"', "b")
+    assert r.jn == "null" and r.miss is None
+    assert r.comp == '{"b":2,"z":1}'
+    # json_array_get returns JSON text, negative = from the end
+    assert (r.ag, r.neg) == ('"y"', '"z"')
+
+
 def test_url_extract_parameter_and_encode(engine):
     r = engine.sql(
         "SELECT url_extract_parameter('http://h/p?k1=v1&k2=v2', 'k2') p, "
@@ -226,6 +246,12 @@ def test_parse_duration(engine):
         "       parse_duration('42s') e"
     ).collect()[0]
     assert (r.a, r.b, r.c, r.d, r.e) == (150.0, 0.5, 5400.0, 259200.0, 42.0)
+    # unknown / missing unit raises (reference: PrestoException via
+    # io.airlift.units.Duration — ns..d only), not silent NULL
+    for bad in ("'2w'", "'42'"):
+        with pytest.raises(Exception, match="unknown time unit"):
+            engine.sql(f"SELECT parse_duration({bad}) x").collect()
+    assert engine.sql("SELECT parse_duration(CAST(NULL AS STRING)) x").collect()[0].x is None
 
 
 def test_string_binary_aliases(engine):
@@ -253,7 +279,12 @@ def test_json_classification(engine):
     ).collect()[0]
     assert (r.a, r.b, r.c, r.d) == (True, True, False, False)
     assert (r.e, r.f) == (True, False)
-    assert r.g == '{"b":2,"a":1}'
+    # json_parse canonicalizes with keys ORDERED — the reference's
+    # SORTED_MAPPER contract (JsonUtil.java: "ordered by key is required
+    # in Presto").
+    assert r.g == '{"a":1,"b":2}'
+    with pytest.raises(Exception, match="(?i)malformed|convert|json"):
+        engine.sql("SELECT json_parse('not json') x").collect()
 
 
 def test_strict_error_semantics(engine):
@@ -278,7 +309,7 @@ def test_teradata_compat(engine):
     r = engine.sql(
         "SELECT index('hello', 'l') i, "
         "       char2hexint('AB') h, "
-        "       to_char(TIMESTAMP '2026-08-13 14:05:09', 'YYYY-MM-DD HH24:MI:SS') c, "
+        "       to_char_td(TIMESTAMP '2026-08-13 14:05:09', 'YYYY-MM-DD HH24:MI:SS') c, "
         "       to_date_td('2026/08/13', 'YYYY/MM/DD') d, "
         "       to_timestamp_td('13.08.2026 14:05', 'DD.MM.YYYY HH24:MI') t"
     ).collect()[0]
@@ -287,6 +318,9 @@ def test_teradata_compat(engine):
     assert r.c == "2026-08-13 14:05:09"
     assert str(r.d) == "2026-08-13"
     assert str(r.t) == "2026-08-13 14:05:00"
+    # Spark's native numeric to_char must stay resolvable (the Teradata
+    # form is to_char_td precisely so it doesn't shadow the builtin)
+    assert engine.sql("SELECT to_char(123.45, '999.99') x").collect()[0].x == "123.45"
 
 
 def test_dialect_nested_call_arg_counting():
