@@ -62,6 +62,7 @@ def main() -> None:
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     times: dict[str, float] = {}
+    spread: dict[str, dict[str, float]] = {}
     for name in HEADLINE:
         fn = queries[name]
         # Isolate queries from each other: drop cached plans/blocks and ask
@@ -80,6 +81,14 @@ def main() -> None:
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
         times[name] = round(statistics.median(samples), 4)
+        # Per-query spread so suite-position noise is visible in the
+        # artifact itself (a wide max/min band = session noise, not a
+        # regression; see SCALING.md bench-methodology note).
+        spread[name] = {
+            "min": round(min(samples), 4),
+            "median": times[name],
+            "max": round(max(samples), 4),
+        }
 
     total = round(sum(times.values()), 4)
     print(
@@ -89,6 +98,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "spread": spread,
                 "sf": float(sf),
                 "runs": RUNS,
                 "prewarm": PREWARM_RUNS,

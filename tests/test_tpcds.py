@@ -24,3 +24,22 @@ def test_tpcds_nonempty_at_any_sf(spark, sf_dir):
     bulk queries must produce rows."""
     for name in ["tpcds_q07", "tpcds_q11", "tpcds_q95"]:
         assert tpcds.QUERIES[name](spark, sf_dir).count() > 0, name
+
+
+def test_tpcds_q11_cte_materialization_prop(spark, sf_dir):
+    """cte_materialization_enabled persists year_total: the 4-way self-join
+    reads an InMemoryTableScan instead of recomputing the two channel
+    aggregations four times — and the result is unchanged."""
+    from presto_db_spark.engine import Engine
+
+    baseline = sorted(map(tuple, tpcds.QUERIES["tpcds_q11"](spark, sf_dir).collect()))
+    eng = Engine(spark, sf_dir=sf_dir)
+    eng.set_session("cte_materialization_enabled", True)
+    try:
+        df = tpcds.QUERIES["tpcds_q11"](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan, plan
+        assert sorted(map(tuple, df.collect())) == baseline
+    finally:
+        eng.set_session("cte_materialization_enabled", False)
+        spark.catalog.clearCache()
