@@ -26,6 +26,7 @@ brief adds on top of Presto parity.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -244,6 +245,64 @@ WHERE CAST(len(list_intersect(ga, gb)) AS DOUBLE)
 """
 
 
+_MINHASH_SIG_UDF = None
+
+
+def _minhash_sig_pd():
+    """Lazily-built pandas UDF (the decorator needs an active session)."""
+    global _MINHASH_SIG_UDF
+    if _MINHASH_SIG_UDF is None:
+        _MINHASH_SIG_UDF = F.pandas_udf(
+            _minhash_sig_impl, "struct<grams: array<string>, mh: array<long>>"
+        )
+    return _MINHASH_SIG_UDF
+
+
+def _minhash_sig_impl(texts):
+    """text → (distinct 3-gram shingles, 16 minhash values), Arrow-batched.
+
+    Exactly the oracle SQL's math in Python ints (no floats — parity is
+    exact): per-word 50-bit rolling hash (memoized per batch), 3-word
+    shingle hash composition mod MERSENNE31, first-occurrence-order
+    distinct (matching array_distinct/list_distinct), and the 16 affine
+    permutation minima. Out-of-range word hashes contribute 0, matching
+    the SQL's coalesce(wh[i], 0) for docs shorter than 3 words."""
+    import pandas as pd
+
+    memo: dict[str, int] = {}
+
+    def whash(w: str) -> int:
+        h = memo.get(w)
+        if h is None:
+            h = 0
+            for ch in w:
+                h = (h * 31 + ord(ch)) % MOD50
+            h %= MERSENNE31
+            memo[w] = h
+        return h
+
+    out_grams, out_mh = [], []
+    for text in texts:
+        words = re.split(r"\s+", (text or "").strip(" "), flags=re.ASCII)
+        n = max(len(words) - 2, 1)
+        grams = list(dict.fromkeys(" ".join(words[i : i + 3]) for i in range(n)))
+        wh = [whash(w) for w in words]
+
+        def at(i: int) -> int:
+            return wh[i] if 0 <= i < len(wh) else 0
+
+        hs = list(
+            dict.fromkeys(
+                ((at(i) * WORD_COMBINE + at(i + 1)) % MERSENNE31 * WORD_COMBINE + at(i + 2))
+                % MERSENNE31
+                for i in range(n)
+            )
+        )
+        out_grams.append(grams)
+        out_mh.append([min((a * x + b) % MERSENNE31 for x in hs) for a, b in MINHASH_PERMS])
+    return pd.DataFrame({"grams": out_grams, "mh": out_mh})
+
+
 @_q("dedup_minhash_lsh", _MINHASH_SQL)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-minimal banded LSH.
@@ -258,49 +317,33 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     * candidate pairs are deduped as scalar ``(id_a, id_b)`` BEFORE the
       arrays are fetched back by key for Jaccard verification.
     """
-    # The word hashing is CPU-bound; a small corpus arrives as one file
-    # split, so spread rows across all cores first (at cluster scale the
-    # input already has many splits and this doubles as skew leveling —
-    # the shuffle moves only (doc_id, text)).
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
-    base = docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("words"))
-    staged = base.select(
-        "doc_id",
-        "words",
-        F.transform("words", lambda w: _roll_hash(w) % MERSENNE31).alias("wh"),
-    )
-    idx = F.sequence(F.lit(1), F.greatest(F.size("words") - 2, F.lit(1)))
-
-    def wh_at(i: Column) -> Column:
-        return F.coalesce(F.element_at(F.col("wh"), i), F.lit(0).cast("long"))
-
-    hs = F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: (
-                (wh_at(i) * WORD_COMBINE + wh_at(i + 1)) % MERSENNE31 * WORD_COMBINE
-                + wh_at(i + 2)
-            )
-            % MERSENNE31,
+    # Signature stage = ONE Arrow-batched pandas UDF (text → grams + 16
+    # minhashes). Pure integer math identical to the oracle SQL, so parity
+    # is exact. Rationale for leaving the JVM here: the equivalent
+    # higher-order expressions (per-char aggregate + 16 transform passes)
+    # are CodegenFallback — interpreted, boxed, and measured to destabilize
+    # the whole session under JIT profile pollution (0.6 s ↔ 40 s swings on
+    # identical plans). The UDF batches via Arrow, memoizes word hashes per
+    # batch (vocabulary repeats heavily — Heaps' law — so the per-char work
+    # collapses to the batch's distinct words), and is shuffle-free.
+    docs = load_table(spark, sf_dir, "documents")
+    # One frame carrying signature + grams, cut by an EXPLICIT exchange:
+    # all four downstream consumers (both sides of the band self-join, both
+    # gram fetches) sit above this one repartition, so Spark's
+    # ReuseExchange evaluates the expensive UDF stage exactly once instead
+    # of once per consumer — the difference between 1× and 4× the whole
+    # signature computation at any scale.
+    sig = (
+        docs.select("doc_id", _minhash_sig_pd()(F.col("text")).alias("s"))
+        .select(
+            "doc_id",
+            F.col("s.grams").alias("grams"),
+            *[F.col("s.mh").getItem(k).alias(f"mh{k}") for k in range(len(MINHASH_PERMS))],
         )
-    )
-    grams = F.array_distinct(
-        F.transform(idx, lambda i: F.array_join(F.slice(F.col("words"), i, 3), " "))
-    )
-    sh = staged.select("doc_id", grams.alias("grams"), hs.alias("hs"))
-    sigs = sh.select(
-        "doc_id",
-        *[
-            F.array_min(
-                F.transform("hs", lambda x: (F.lit(a) * x + F.lit(b)) % MERSENNE31)
-            ).alias(f"mh{k}")
-            for k, (a, b) in enumerate(MINHASH_PERMS)
-        ],
+        .repartition("doc_id")
     )
     # Narrow band table: one shuffle of ~(8B + 8B + ~40B) rows per band.
-    bands = sigs.select(
+    bands = sig.select(
         "doc_id",
         F.explode(
             F.array(
@@ -323,8 +366,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
-    ga = sh.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("ga"))
-    gb = sh.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("gb"))
+    ga = sig.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("ga"))
+    gb = sig.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("gb"))
     cand = pairs.join(ga, "id_a").join(gb, "id_b")
     inter = F.size(F.array_intersect("ga", "gb"))
     union = F.size("ga") + F.size("gb") - inter

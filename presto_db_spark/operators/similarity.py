@@ -74,8 +74,51 @@ def norm(a: Column) -> Column:
     )
 
 
+_COSINE_UDF = None
+
+
+def _cosine_pd():
+    """Lazily-built pandas UDF (the decorator needs an active session)."""
+    global _COSINE_UDF
+    if _COSINE_UDF is None:
+        _COSINE_UDF = F.pandas_udf(_cosine_impl, "double")
+    return _COSINE_UDF
+
+
+def _cosine_impl(a, b):
+    """Arrow-vectorized cosine — the hot-path form.
+
+    The pure-expression fold (``dot``/``norm`` above, kept for composition
+    and documentation of the math) is a CodegenFallback higher-order
+    function: interpreted per element, boxed, and measured to stall for
+    multi-second JIT-deopt bursts on identical plans (0.6 s ↔ 16 s at
+    sf0.1). This UDF is the project-brief-sanctioned alternative for the
+    dot product: one Arrow batch transfer, then numpy columnwise ops.
+
+    Float parity with the DuckDB oracle is preserved by accumulating
+    SEQUENTIALLY over dimensions (one vectorized += per dimension, rows in
+    parallel) — the identical left-to-right IEEE-double addition order as
+    the fold and the oracle's ``list_sum``, so results are bit-identical,
+    not merely close."""
+    import numpy as np
+    import pandas as pd
+
+    A = np.vstack(a.to_numpy()).astype(np.float64)
+    B = np.vstack(b.to_numpy()).astype(np.float64)
+    n, dim = A.shape
+    dots = np.zeros(n)
+    na = np.zeros(n)
+    nb = np.zeros(n)
+    for d in range(dim):
+        x, y = A[:, d], B[:, d]
+        dots += x * y
+        na += x * x
+        nb += y * y
+    return pd.Series(dots / (np.sqrt(na) * np.sqrt(nb)))
+
+
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    return _cosine_pd()(a, b)
 
 
 _SQL_DOT = (
@@ -94,9 +137,48 @@ def _plane_sign_sql(p: int) -> str:
     )
 
 
+def _plane_coeffs(p: int) -> list[float]:
+    """Hyperplane p's ±1 coefficients, 1-based positions — the same integer
+    formula the oracle SQL inlines, evaluated exactly in Python ints."""
+    return [
+        1.0 if (i * 2654435761 + p * 40503) % 97 % 2 == 0 else -1.0
+        for i in range(1, DIM + 1)
+    ]
+
+
+_SRP_BUCKET_UDF = None
+
+
+def _srp_bucket_pd():
+    global _SRP_BUCKET_UDF
+    if _SRP_BUCKET_UDF is None:
+        _SRP_BUCKET_UDF = F.pandas_udf(_srp_bucket_impl, "string")
+    return _SRP_BUCKET_UDF
+
+
+def _srp_bucket_impl(e):
+    """All N_PLANES sign-random-projection bits in ONE Arrow batch pass —
+    '1'/'0' per plane, concatenated to the bucket key. Sequential per-
+    dimension accumulation (see _cosine_pd) keeps the plane sums
+    bit-identical to the oracle's list_sum fold."""
+    import numpy as np
+    import pandas as pd
+
+    E = np.vstack(e.to_numpy()).astype(np.float64)
+    n, dim = E.shape
+    sums = np.zeros((N_PLANES, n))
+    coeffs = [_plane_coeffs(p) for p in range(N_PLANES)]
+    for d in range(dim):
+        x = E[:, d]
+        for p in range(N_PLANES):
+            sums[p] += x * coeffs[p][d]
+    out = np.where(sums >= 0, "1", "0")
+    return pd.Series(["".join(out[:, r]) for r in range(n)])
+
+
 def _plane_sign(e: Column, p: int) -> Column:
-    # i is 1-based in both Spark transform-with-index? Spark's transform
-    # lambda index is 0-based; DuckDB's is 1-based — shift to align.
+    # Kept as the single-plane expression form for composition/tests; the
+    # operators use _srp_bucket_pd (one batch pass for all planes).
     return F.aggregate(
         F.zip_with(
             e,
@@ -182,12 +264,7 @@ SELECT qid, vec_id, sim, CAST(rn AS INTEGER) AS rn FROM ranked WHERE rn <= {TOP_
 @_q("sim_ann_lsh", _ANN_SQL)
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
-    bucket = F.concat(
-        *[
-            F.when(_plane_sign(F.col("embedding"), p) >= 0, "1").otherwise("0")
-            for p in range(N_PLANES)
-        ]
-    )
+    bucket = _srp_bucket_pd()(F.col("embedding"))
     hashed = emb.select("vec_id", "embedding", bucket.alias("bucket"))
     q = hashed.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"),
@@ -293,15 +370,17 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         cosine(F.col("embedding"), F.col("ce")).alias("csim"),
     )
     w_assign = W.partitionBy("vec_id").orderBy(F.desc("csim"), "cid")
-    assigned = (
-        scored_assign.withColumn("arn", F.row_number().over(w_assign))
-        .filter(F.col("arn") == 1)
-        .select("vec_id", "embedding", "cid")
-    )
+    # ONE windowed frame feeds both the assignment (arn=1) and the query
+    # probe set. Filtering AFTER the window keeps the two consumers' plans
+    # identical below the shuffle, so ReuseExchange computes the K·N cosine
+    # scoring once — filtering vec_id<N_QUERIES before its own window (the
+    # row numbers are the same: the filter keeps whole vec_id partitions)
+    # would push the filter below the exchange and force a second full
+    # scoring pass.
+    windowed = scored_assign.withColumn("arn", F.row_number().over(w_assign))
+    assigned = windowed.filter(F.col("arn") == 1).select("vec_id", "embedding", "cid")
     q_probe = (
-        scored_assign.filter(F.col("vec_id") < N_QUERIES)
-        .withColumn("prn", F.row_number().over(w_assign))
-        .filter(F.col("prn") <= N_PROBE)
+        windowed.filter((F.col("vec_id") < N_QUERIES) & (F.col("arn") <= N_PROBE))
         .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), "cid")
     )
     cand = (
@@ -328,12 +407,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: bucketed self-join (equi-join on the LSH
     key — the only shuffle), threshold at 0.35 (the synthetic embeddings have no true dups; the threshold is set where the data has pairs so the operator is exercised non-vacuously)."""
     emb = _emb(spark, sf_dir)
-    bucket = F.concat(
-        *[
-            F.when(_plane_sign(F.col("embedding"), p) >= 0, "1").otherwise("0")
-            for p in range(N_PLANES)
-        ]
-    )
+    bucket = _srp_bucket_pd()(F.col("embedding"))
     hashed = emb.select("vec_id", "embedding", bucket.alias("bucket"))
     a = hashed.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"), F.col("bucket").alias("ba")
