@@ -14,6 +14,8 @@ plan → execute; ``presto-main/.../dispatcher/DispatchManager.java:142``,
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 
 from .catalog import TABLES, register_tables
@@ -46,6 +48,18 @@ class Engine(DdlMixin):
         defaults, literal-format datetime calls, TRY guidance — are
         rewritten first; see :mod:`functions.dialect`."""
         if dialect:
+            # Presto REQUIRES SQL-invoked functions to live in a namespace
+            # (CREATE FUNCTION example.default.tan — SqlBase.g4:62). Learn
+            # the namespace's catalog from the DDL so this statement's and
+            # every later statement's references to it are stripped to the
+            # session-flat name.
+            for m in re.finditer(
+                r"(?i)\b(?:create(?:\s+or\s+replace)?|drop)\s+function\s+"
+                r"(?:if\s+exists\s+)?([A-Za-z_][A-Za-z0-9_]*)\s*\.\s*"
+                r"[A-Za-z_][A-Za-z0-9_]*\s*\.\s*[A-Za-z_]",
+                query,
+            ):
+                self.catalogs.add(m.group(1).lower())
             query = rewrite_presto_sql(query, catalogs=frozenset(self.catalogs))
         return self.spark.sql(query)
 

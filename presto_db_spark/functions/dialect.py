@@ -216,6 +216,110 @@ def _pass_strip_catalog(tokens: list[str], catalogs: frozenset[str]) -> list[str
     return out
 
 
+_NULL_CALL_CLAUSE = ("returns", "null", "on", "null", "input")
+
+
+def _pass_function_ddl(tokens: list[str]) -> list[str]:
+    """Presto SQL-invoked function DDL → Spark SQL UDFs.
+
+    The reference grammar (``SqlBase.g4:62-69``, managed by
+    ``presto-function-namespace-managers/``) spells routines as
+    ``CREATE [OR REPLACE] FUNCTION name(params) RETURNS type
+    [COMMENT ...] [LANGUAGE SQL] [[NOT] DETERMINISTIC]
+    [RETURNS NULL ON NULL INPUT | CALLED ON NULL INPUT] RETURN expr``.
+    Spark's SQL UDFs accept everything natively EXCEPT:
+
+    * persistence — the engine's function namespace is the session, so
+      ``CREATE/DROP FUNCTION`` becomes ``CREATE/DROP TEMPORARY FUNCTION``;
+    * ``RETURNS NULL ON NULL INPUT`` — Spark only parses ``CALLED ON NULL
+      INPUT``, so the clause is honored by wrapping the body:
+      ``CASE WHEN <any param> IS NULL THEN NULL ELSE (body) END``.
+
+    Qualified names (``example.default.tan`` — Presto *requires* the
+    namespace) are stripped by the catalog pass; ``Engine.sql`` registers
+    the namespace's catalog from the statement text before rewriting.
+    """
+    out: list[str] = []
+    i = 0
+    while i < len(tokens):
+        t = tokens[i]
+        low = t.lower()
+        if low not in ("create", "drop") or (out and tokens[i - 1] == "."):
+            out.append(t)
+            i += 1
+            continue
+        # look ahead: [OR REPLACE] FUNCTION (not already TEMPORARY)
+        j = _next(tokens, i + 1)
+        head = [t]
+        if low == "create" and j < len(tokens) and _ident_name(tokens[j]) == "or":
+            k = _next(tokens, j + 1)
+            if k < len(tokens) and _ident_name(tokens[k]) == "replace":
+                head += [" ", tokens[j], " ", tokens[k]]
+                j = _next(tokens, k + 1)
+        if not (j < len(tokens) and _is_ident(tokens[j])
+                and _ident_name(tokens[j]) == "function"):
+            out.append(t)
+            i += 1
+            continue
+        out += head + [" ", "TEMPORARY", " ", tokens[j]]
+        i = j + 1
+        if low == "drop":
+            continue  # name (+ IF EXISTS) passes through untouched
+        # CREATE path: collect param names, then handle the null-call clause
+        open_idx = None
+        for k in range(i, len(tokens)):
+            if tokens[k] == "(":
+                open_idx = k
+                break
+            if tokens[k] == ";":
+                break
+        if open_idx is None:
+            continue
+        close, arg_spans = _split_args(tokens, open_idx)
+        params = []
+        for span in arg_spans:
+            s = _next(tokens, span[0])
+            if s < span[1] and _is_ident(tokens[s]):
+                params.append(tokens[s])
+        out += tokens[i : close + 1]
+        i = close + 1
+        # scan the characteristics for RETURNS NULL ON NULL INPUT
+        rest = tokens[i:]
+        null_on_null = False
+        k = 0
+        tail: list[str] = []
+        while k < len(rest):
+            if _is_ident(rest[k]) and _ident_name(rest[k]) == _NULL_CALL_CLAUSE[0]:
+                idxs = [k]
+                m = k
+                for want in _NULL_CALL_CLAUSE[1:]:
+                    m = _next(rest, m + 1)
+                    if m < len(rest) and _ident_name(rest[m]) == want:
+                        idxs.append(m)
+                    else:
+                        idxs = None
+                        break
+                if idxs is not None:
+                    null_on_null = True
+                    k = idxs[-1] + 1
+                    continue
+            tail.append(rest[k])
+            k += 1
+        if null_on_null and params:
+            # wrap the RETURN body
+            for k, tok in enumerate(tail):
+                if _is_ident(tok) and _ident_name(tok) == "return":
+                    guard = " OR ".join(f"{p} IS NULL" for p in params)
+                    body = "".join(tail[k + 1 :]).strip()
+                    tail = tail[: k + 1] + [
+                        f" CASE WHEN {guard} THEN NULL ELSE ({body}) END"
+                    ]
+                    break
+        out += tail
+        i = len(tokens)
+    return out
+
+
 def _pass_array_brackets(tokens: list[str]) -> list[str]:
     """``ARRAY[...]`` constructor → ``array(...)`` (subscript ``expr[i]`` is
     already Spark-compatible and untouched — only the ARRAY keyword form)."""
@@ -552,6 +656,8 @@ def rewrite_presto_sql(query: str, *, catalogs: frozenset[str] = DEFAULT_CATALOG
     tokens = _TOKEN.findall(query)
     tokens = _pass_quoted_idents(tokens)
     tokens = _pass_strip_catalog(tokens, catalogs)
+    tokens = _pass_function_ddl(tokens)
+    tokens = _TOKEN.findall("".join(tokens))
     tokens = _pass_array_brackets(tokens)
     # re-tokenize so multi-char replacements stay analyzable by later passes
     tokens = _TOKEN.findall("".join(tokens))

@@ -117,3 +117,29 @@ def test_metadata_surface(engine):
     # SQL spellings work too
     assert engine.sql("SHOW TABLES").count() >= 10
     assert engine.sql("DESCRIBE customer").count() >= 5
+
+
+def test_create_function_presto_grammar(engine):
+    """Presto SQL-invoked functions (SqlBase.g4:62-69) through Engine.sql:
+    qualified names, characteristics, RETURNS NULL ON NULL INPUT, and the
+    create/use/show/drop lifecycle."""
+    engine.sql(
+        "CREATE FUNCTION example.default.tan_deg(x DOUBLE) "
+        "RETURNS DOUBLE RETURN tan(radians(x))"
+    )
+    r = engine.sql("SELECT round(example.default.tan_deg(45.0), 6) t").collect()[0]
+    assert r.t == 1.0
+    # unqualified call resolves too (session-flat namespace)
+    assert engine.sql("SELECT round(tan_deg(0.0), 6) t").collect()[0].t == 0.0
+    assert "tan_deg" in engine.show_functions(like="tan%")
+
+    engine.sql(
+        "CREATE OR REPLACE FUNCTION nn(x INT) RETURNS INT LANGUAGE SQL "
+        "DETERMINISTIC RETURNS NULL ON NULL INPUT RETURN x + 1"
+    )
+    row = engine.sql("SELECT nn(4) a, nn(CAST(NULL AS INT)) b").collect()[0]
+    assert (row.a, row.b) == (5, None)
+
+    engine.sql("DROP FUNCTION example.default.tan_deg")
+    engine.sql("DROP FUNCTION IF EXISTS nn")
+    assert "tan_deg" not in engine.show_functions(like="tan%")

@@ -61,3 +61,28 @@ def test_sql_text_vs_duckdb(engine, sf_dir, name):
     ora_cols, ora_rows = run_oracle(sql, sf_dir)
     problems = compare(spark_cols, spark_rows, ora_cols, [tuple(r) for r in ora_rows])
     assert not problems, f"{name}: {problems}"
+
+
+def test_dialect_function_ddl_rewrites():
+    from presto_db_spark.functions.dialect import rewrite_presto_sql as r
+
+    cats = frozenset({"example"})
+    assert r(
+        "CREATE FUNCTION example.default.f(x INT) RETURNS INT RETURN x", catalogs=cats
+    ) == "CREATE TEMPORARY FUNCTION f(x INT) RETURNS INT RETURN x"
+    assert r("DROP FUNCTION IF EXISTS example.default.f", catalogs=cats) == (
+        "DROP TEMPORARY FUNCTION IF EXISTS f"
+    )
+    # RETURNS NULL ON NULL INPUT -> explicit guard (Spark parses only
+    # CALLED ON NULL INPUT)
+    out = r(
+        "CREATE FUNCTION two(a INT, b STRING) RETURNS STRING "
+        "RETURNS NULL ON NULL INPUT RETURN concat(b, a)"
+    )
+    assert "TEMPORARY" in out
+    assert "CASE WHEN a IS NULL OR b IS NULL THEN NULL ELSE (concat(b, a)) END" in out
+    # zero-arg + already-temporary + non-function CREATE pass through sanely
+    assert r("CREATE FUNCTION f0() RETURNS INT RETURN 7") == (
+        "CREATE TEMPORARY FUNCTION f0() RETURNS INT RETURN 7"
+    )
+    assert r("CREATE TABLE t (x INT)") == "CREATE TABLE t (x INT)"
