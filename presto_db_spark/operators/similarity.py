@@ -360,28 +360,65 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     4. exact cosine rerank → top-k (WindowGroupLimit pattern).
     """
     emb = _emb(spark, sf_dir)
-    cents = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    # Collect the K centroids to the driver (K rows — the standard k-means
+    # broadcast pattern; MLlib does the same) and fold them into ONE
+    # vectorized UDF that emits each vector's nearest-centroid assignment
+    # AND its N_PROBE probe list in a single Arrow pass. This replaces the
+    # crossJoin(K) + row_number window formulation, which cost two window
+    # shuffles over a K-times-inflated frame. Per-dimension sequential
+    # accumulation keeps every centroid similarity bit-identical to the
+    # oracle's fold; ties break on ascending cid exactly as the oracle's
+    # (csim DESC, cid) row_number does.
+    cent_rows = sorted(
+        emb.filter(F.col("vec_id") < N_CENTROIDS).select("vec_id", "embedding").collect(),
+        key=lambda r: r.vec_id,
     )
-    scored_assign = emb.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "embedding",
-        "cid",
-        cosine(F.col("embedding"), F.col("ce")).alias("csim"),
-    )
-    w_assign = W.partitionBy("vec_id").orderBy(F.desc("csim"), "cid")
-    # ONE windowed frame feeds both the assignment (arn=1) and the query
-    # probe set. Filtering AFTER the window keeps the two consumers' plans
-    # identical below the shuffle, so ReuseExchange computes the K·N cosine
-    # scoring once — filtering vec_id<N_QUERIES before its own window (the
-    # row numbers are the same: the filter keeps whole vec_id partitions)
-    # would push the filter below the exchange and force a second full
-    # scoring pass.
-    windowed = scored_assign.withColumn("arn", F.row_number().over(w_assign))
-    assigned = windowed.filter(F.col("arn") == 1).select("vec_id", "embedding", "cid")
+    cent_ids = [int(r.vec_id) for r in cent_rows]
+    cent_vecs = [[float(x) for x in r.embedding] for r in cent_rows]
+
+    def _assign_probe(vecs):
+        import numpy as np
+        import pandas as pd
+
+        E = np.vstack(vecs.to_numpy()).astype(np.float64)
+        n, dim = E.shape
+        K = len(cent_vecs)
+        dots = np.zeros((n, K))
+        ne = np.zeros(n)
+        nc = [0.0] * K
+        for d in range(dim):
+            x = E[:, d]
+            ne += x * x
+            for c in range(K):
+                dots[:, c] += x * cent_vecs[c][d]
+                nc[c] += cent_vecs[c][d] * cent_vecs[c][d]
+        sims = dots / (np.sqrt(ne)[:, None] * np.sqrt(nc)[None, :])
+        # stable argsort by (-sim, cid): cent_ids ascending is the input
+        # order, and np.argsort(kind='stable') keeps it on ties
+        order = np.argsort(-sims, axis=1, kind="stable")
+        cids = np.asarray(cent_ids)
+        return pd.DataFrame(
+            {
+                "cid": cids[order[:, 0]],
+                "probes": [cids[order[r, :N_PROBE]].tolist() for r in range(n)],
+            }
+        )
+
+    assign_udf = F.pandas_udf(_assign_probe, "struct<cid: long, probes: array<long>>")
+    # Explicit exchange ABOVE the UDF so both consumers (assignment side
+    # and query-probe side) reuse one computed pass — same ReuseExchange
+    # pattern as dedup_minhash_lsh's signature stage.
+    ap = emb.select(
+        "vec_id", "embedding", assign_udf(F.col("embedding")).alias("ap")
+    ).repartition("vec_id")
+    assigned = ap.select("vec_id", "embedding", F.col("ap.cid").alias("cid"))
     q_probe = (
-        windowed.filter((F.col("vec_id") < N_QUERIES) & (F.col("arn") <= N_PROBE))
-        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), "cid")
+        ap.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qe"),
+            F.explode("ap.probes").alias("cid"),
+        )
     )
     cand = (
         F.broadcast(q_probe.alias("qp"))
