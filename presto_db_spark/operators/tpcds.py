@@ -611,3 +611,164 @@ def tpcds_q48(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(bands)
         .agg(F.sum(qty.cast("long")).alias("total_qty"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 widening: INTERSECT/EXCEPT batteries, UNION-of-channels CTEs,
+# EXISTS batteries, share-of-parent rollup windows. Channel mapping:
+# l_returnflag N = store_sales, A = catalog_sales, R = web_sales (three
+# disjoint row sets over the same fact, like TPC-DS's three channel facts).
+# ---------------------------------------------------------------------------
+
+_CHANNEL = {"store": "N", "catalog": "A", "web": "R"}
+
+
+def _channel_cust_dates_sql(flag: str) -> str:
+    return f"""
+  SELECT DISTINCT c.c_name AS c_name, CAST(o.o_orderdate AS DATE) AS d_date
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE l.l_returnflag = '{flag}' AND year(o.o_orderdate) = 1997"""
+
+
+def _channel_cust_dates(spark, sf_dir, flag: str) -> DataFrame:
+    orders, lineitem, customer = _t(spark, sf_dir, "orders", "lineitem", "customer")
+    return (
+        lineitem.filter(F.col("l_returnflag") == flag)
+        .join(orders.filter(F.year("o_orderdate") == 1997),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
+        .select(F.col("c_name"), F.col("o_orderdate").cast("date").alias("d_date"))
+        .distinct()
+    )
+
+
+@_q(
+    "tpcds_q38",
+    f"""
+SELECT CAST(count(*) AS BIGINT) AS cnt FROM (
+  {_channel_cust_dates_sql('N')}
+  INTERSECT
+  {_channel_cust_dates_sql('A')}
+  INTERSECT
+  {_channel_cust_dates_sql('R')}
+) hot_cust
+""",
+)
+def tpcds_q38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q38 shape (tpcds/q38.sql: customers active in ALL three
+    channels in a 12-month window — DISTINCT per channel, 2-deep
+    INTERSECT, count). Scale: each branch is one distinct-shuffle on
+    (name, date); INTERSECT is a hash semi-chain on already-distinct
+    inputs, no row explosion."""
+    n = _channel_cust_dates(spark, sf_dir, "N")
+    a = _channel_cust_dates(spark, sf_dir, "A")
+    r = _channel_cust_dates(spark, sf_dir, "R")
+    return n.intersect(a).intersect(r).agg(F.count("*").cast("bigint").alias("cnt"))
+
+
+@_q(
+    "tpcds_q87",
+    f"""
+SELECT CAST(count(*) AS BIGINT) AS cnt FROM (
+  ({_channel_cust_dates_sql('N')})
+  EXCEPT
+  ({_channel_cust_dates_sql('A')})
+  EXCEPT
+  ({_channel_cust_dates_sql('R')})
+) cool_cust
+""",
+)
+def tpcds_q87(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q87 shape (tpcds/q87.sql: q38's INTERSECT battery with
+    EXCEPT — store-only customers)."""
+    n = _channel_cust_dates(spark, sf_dir, "N")
+    a = _channel_cust_dates(spark, sf_dir, "A")
+    r = _channel_cust_dates(spark, sf_dir, "R")
+    return n.exceptAll(a).distinct().exceptAll(r).distinct().agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+
+
+# --- q2: week-over-year sales ratio from a UNION-of-channels CTE -----------
+
+_Q02_DAYS = ["Sunday", "Monday", "Tuesday", "Wednesday", "Thursday", "Friday", "Saturday"]
+_Q02_PIVOT_SQL = ", ".join(
+    f"sum(CASE WHEN dname = '{d}' THEN cents END) AS {d[:3].lower()}_sales"
+    for d in _Q02_DAYS
+)
+_Q02_RATIOS_SQL = ", ".join(
+    f"round(CAST(w1.{d[:3].lower()}_sales AS DOUBLE) / w2.{d[:3].lower()}_sales, 2) "
+    f"AS {d[:3].lower()}_ratio"
+    for d in _Q02_DAYS
+)
+
+@_q(
+    "tpcds_q02",
+    f"""
+WITH wscs AS (
+  SELECT CAST(l.l_shipdate AS DATE) AS sold_date, round(l.l_extendedprice * 100) AS cents
+  FROM lineitem l WHERE l.l_returnflag = 'R'
+  UNION ALL
+  SELECT CAST(o.o_orderdate AS DATE) AS sold_date, round(o.o_totalprice * 100) AS cents
+  FROM orders o WHERE o.o_orderstatus = 'F'
+), wswscs AS (
+  SELECT (year(sold_date) - 1995) * 53 + weekofyear(sold_date) AS d_week_seq,
+         dayname(sold_date) AS dname, cents
+  FROM wscs
+), pivoted AS (
+  SELECT d_week_seq, {_Q02_PIVOT_SQL}
+  FROM wswscs GROUP BY d_week_seq
+)
+SELECT w1.d_week_seq AS d_week_seq1, {_Q02_RATIOS_SQL}
+FROM (SELECT * FROM pivoted WHERE d_week_seq BETWEEN 2 * 53 AND 3 * 53 - 1) w1
+JOIN (SELECT * FROM pivoted WHERE d_week_seq BETWEEN 3 * 53 AND 4 * 53 - 1) w2
+  ON w1.d_week_seq = w2.d_week_seq - 53
+ORDER BY d_week_seq1
+""",
+)
+def tpcds_q02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q02 shape (tpcds/q02.sql: UNION-ALL of the web+catalog
+    channels into one CTE, weekday pivot per week, then a self-join
+    comparing each week's weekday mix to the same week one year later).
+
+    Scale: the union is scan-shaped (no shuffle until the week groupBy);
+    the year-over-year comparison joins two ~52-row aggregates. Week
+    cents are exact integers so the pivoted sums are order-independent
+    and the final ratios deterministic."""
+    orders, lineitem = _t(spark, sf_dir, "orders", "lineitem")
+    web = lineitem.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_shipdate").cast("date").alias("sold_date"),
+        F.round(F.col("l_extendedprice") * 100).alias("cents"),
+    )
+    catalog = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderdate").cast("date").alias("sold_date"),
+        F.round(F.col("o_totalprice") * 100).alias("cents"),
+    )
+    wscs = web.unionByName(catalog)
+    wswscs = wscs.select(
+        ((F.year("sold_date") - 1995) * 53 + F.weekofyear("sold_date")).alias("d_week_seq"),
+        F.date_format("sold_date", "EEEE").alias("dname"),
+        "cents",
+    )
+    pivoted = wswscs.groupBy("d_week_seq").agg(
+        *[
+            F.sum(F.when(F.col("dname") == d, F.col("cents"))).alias(f"{d[:3].lower()}_sales")
+            for d in _Q02_DAYS
+        ]
+    )
+    w1 = pivoted.filter(F.col("d_week_seq").between(2 * 53, 3 * 53 - 1)).alias("w1")
+    w2 = pivoted.filter(F.col("d_week_seq").between(3 * 53, 4 * 53 - 1)).alias("w2")
+    joined = w1.join(w2, F.col("w1.d_week_seq") == F.col("w2.d_week_seq") - 53)
+    return joined.select(
+        F.col("w1.d_week_seq").alias("d_week_seq1"),
+        *[
+            F.round(
+                F.col(f"w1.{d[:3].lower()}_sales").cast("double")
+                / F.col(f"w2.{d[:3].lower()}_sales"),
+                2,
+            ).alias(f"{d[:3].lower()}_ratio")
+            for d in _Q02_DAYS
+        ],
+    ).orderBy("d_week_seq1")
