@@ -39,6 +39,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from ..catalog import load_table
 from .tpch import _csum, _csum_sql, _msum, _msum_sql
@@ -772,3 +773,389 @@ def tpcds_q02(spark: SparkSession, sf_dir: str) -> DataFrame:
             for d in _Q02_DAYS
         ],
     ).orderBy("d_week_seq1")
+
+
+# --- q5: per-channel sales/returns CTEs unioned into a ROLLUP --------------
+
+_Q05_SSR_SQL = f"""
+  SELECT 's' || CAST(l_suppkey AS STRING) AS id,
+         {_csum_sql("CASE WHEN l_returnflag = 'N' THEN l_extendedprice ELSE 0 END")} AS sales,
+         {_csum_sql("CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0 END")} AS returns,
+         {_csum_sql("CASE WHEN l_returnflag = 'N' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
+           - {_csum_sql("CASE WHEN l_returnflag = 'R' THEN l_extendedprice * l_tax ELSE 0 END")} AS profit
+  FROM lineitem WHERE l_returnflag IN ('N', 'R') GROUP BY id"""
+_Q05_CSR_SQL = f"""
+  SELECT 'c' || o_orderpriority AS id,
+         {_csum_sql("CASE WHEN o_orderstatus <> 'F' THEN o_totalprice ELSE 0 END")} AS sales,
+         {_csum_sql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END")} AS returns,
+         {_csum_sql("CASE WHEN o_orderstatus <> 'F' THEN o_totalprice ELSE 0 END")}
+           - {_csum_sql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END")} AS profit
+  FROM orders GROUP BY id"""
+_Q05_WSR_SQL = f"""
+  SELECT 'w' || CAST(l_linenumber AS STRING) AS id,
+         {_csum_sql("CASE WHEN l_returnflag = 'A' THEN l_extendedprice ELSE 0 END")} AS sales,
+         CAST(0 AS BIGINT) AS returns,
+         {_csum_sql("CASE WHEN l_returnflag = 'A' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")} AS profit
+  FROM lineitem WHERE l_returnflag = 'A' GROUP BY id"""
+
+@_q(
+    "tpcds_q05",
+    f"""
+WITH ssr AS ({_Q05_SSR_SQL}), csr AS ({_Q05_CSR_SQL}), wsr AS ({_Q05_WSR_SQL}),
+unioned AS (
+  SELECT 'store channel' AS channel, id, sales, returns, profit FROM ssr
+  UNION ALL
+  SELECT 'catalog channel' AS channel, id, sales, returns, profit FROM csr
+  UNION ALL
+  SELECT 'web channel' AS channel, id, sales, returns, profit FROM wsr
+)
+SELECT channel, id,
+       round(sum(sales) / 100.0, 2) AS sales,
+       round(sum(returns) / 100.0, 2) AS returns,
+       round(sum(profit) / 100.0, 2) AS profit
+FROM unioned
+GROUP BY ROLLUP (channel, id)
+ORDER BY channel ASC NULLS FIRST, id ASC NULLS FIRST
+LIMIT 100
+""",
+)
+def tpcds_q05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q05 shape (tpcds/q05.sql: three per-channel sales/returns
+    CTEs — each a UNION of sales rows and return rows aggregated to the
+    channel's own id domain — unioned and re-aggregated GROUP BY
+    ROLLUP(channel, id)). Exact-cents inner sums so the two-level
+    aggregation is order-independent; money surfaces as 2dp at the end."""
+    orders, lineitem = _t(spark, sf_dir, "orders", "lineitem")
+
+    def cents(c):
+        return F.round(c * 100)
+
+    li = lineitem
+    ssr = (
+        li.filter(F.col("l_returnflag").isin("N", "R"))
+        .groupBy(F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("id"))
+        .agg(
+            F.sum(cents(F.when(F.col("l_returnflag") == "N", F.col("l_extendedprice")).otherwise(0.0))).alias("sales"),
+            F.sum(cents(F.when(F.col("l_returnflag") == "R", F.col("l_extendedprice")).otherwise(0.0))).alias("returns"),
+            (
+                F.sum(cents(F.when(F.col("l_returnflag") == "N",
+                                   F.col("l_extendedprice") * (1 - F.col("l_discount"))).otherwise(0.0)))
+                - F.sum(cents(F.when(F.col("l_returnflag") == "R",
+                                     F.col("l_extendedprice") * F.col("l_tax")).otherwise(0.0)))
+            ).alias("profit"),
+        )
+    )
+    csr = orders.groupBy(
+        F.concat(F.lit("c"), F.col("o_orderpriority")).alias("id")
+    ).agg(
+        F.sum(cents(F.when(F.col("o_orderstatus") != "F", F.col("o_totalprice")).otherwise(0.0))).alias("sales"),
+        F.sum(cents(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice")).otherwise(0.0))).alias("returns"),
+        (
+            F.sum(cents(F.when(F.col("o_orderstatus") != "F", F.col("o_totalprice")).otherwise(0.0)))
+            - F.sum(cents(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice")).otherwise(0.0)))
+        ).alias("profit"),
+    )
+    wsr = (
+        li.filter(F.col("l_returnflag") == "A")
+        .groupBy(F.concat(F.lit("w"), F.col("l_linenumber").cast("string")).alias("id"))
+        .agg(
+            F.sum(cents(F.col("l_extendedprice"))).alias("sales"),
+            F.lit(0).cast("bigint").alias("returns"),
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("profit"),
+        )
+    )
+    unioned = (
+        ssr.select(F.lit("store channel").alias("channel"), "id", "sales", "returns", "profit")
+        .unionByName(csr.select(F.lit("catalog channel").alias("channel"), "id", "sales", "returns", "profit"))
+        .unionByName(wsr.select(F.lit("web channel").alias("channel"), "id", "sales", "returns", "profit"))
+    )
+    return (
+        unioned.rollup("channel", "id")
+        .agg(
+            F.round(F.sum("sales") / 100.0, 2).alias("sales"),
+            F.round(F.sum("returns") / 100.0, 2).alias("returns"),
+            F.round(F.sum("profit") / 100.0, 2).alias("profit"),
+        )
+        .orderBy(F.asc_nulls_first("channel"), F.asc_nulls_first("id"))
+        .limit(100)
+    )
+
+
+# --- q8: zip-list INTERSECT preferred-customer zips gating a star join -----
+
+_Q08_NATIONS = "[3, 7, 11, 13, 17, 19, 23, 2, 5]"
+
+@_q(
+    "tpcds_q08",
+    f"""
+WITH zip_list AS (
+  SELECT CAST(n AS BIGINT) AS n FROM (SELECT unnest({_Q08_NATIONS}) AS n)
+), preferred AS (
+  SELECT c_nationkey AS n
+  FROM customer WHERE c_acctbal > 3000.0
+  GROUP BY c_nationkey HAVING count(*) > 10
+), zips AS (
+  SELECT n FROM zip_list INTERSECT SELECT n FROM preferred
+)
+SELECT s.s_name AS s_store_name, {_msum_sql("l.l_extendedprice * (1 - l.l_discount)")} AS net_profit
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+WHERE year(o.o_orderdate) = 1998
+  AND s.s_nationkey IN (SELECT n FROM zips)
+GROUP BY s_store_name
+ORDER BY s_store_name ASC
+LIMIT 100
+""",
+)
+def tpcds_q08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q08 shape (tpcds/q08.sql: a literal zip list INTERSECTed
+    with zips of preferred customers — count(*)>10 HAVING — gating the
+    store star join via IN-subquery). Nation keys stand in for 5-digit
+    zips; supplier for store. The zips set is tiny → broadcast semi-join."""
+    orders, lineitem, supplier, customer = _t(
+        spark, sf_dir, "orders", "lineitem", "supplier", "customer"
+    )
+    zip_list = spark.range(0, 1).select(
+        F.explode(F.array(*[F.lit(n) for n in (3, 7, 11, 13, 17, 19, 23, 2, 5)])).alias("n")
+    ).select(F.col("n").cast("bigint").alias("n"))
+    preferred = (
+        customer.filter(F.col("c_acctbal") > 3000.0)
+        .groupBy(F.col("c_nationkey").alias("n"))
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") > 10)
+        .select("n")
+    )
+    zips = zip_list.intersect(preferred)
+    return (
+        lineitem.join(
+            orders.filter(F.year("o_orderdate") == 1998),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(supplier, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(zips, F.col("s_nationkey") == F.col("n"), "left_semi")
+        .groupBy(F.col("s_name").alias("s_store_name"))
+        .agg(_msum(_rev()).alias("net_profit"))
+        .orderBy(F.asc("s_store_name"))
+        .limit(100)
+    )
+
+
+# --- q10/q35: correlated-EXISTS batteries over channel activity ------------
+
+def _channel_custkeys(spark, sf_dir, flag: str, year: int) -> DataFrame:
+    orders, lineitem = _t(spark, sf_dir, "orders", "lineitem")
+    return (
+        lineitem.filter(F.col("l_returnflag") == flag)
+        .join(orders.filter(F.year("o_orderdate") == year),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .select("o_custkey")
+        .distinct()
+    )
+
+
+def _channel_exists_sql(flag: str, year: int) -> str:
+    return f"""EXISTS (
+    SELECT * FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_custkey = c.c_custkey AND l.l_returnflag = '{flag}'
+      AND year(o.o_orderdate) = {year})"""
+
+
+@_q(
+    "tpcds_q10",
+    f"""
+SELECT c.c_mktsegment AS cd_segment,
+       CAST(count(*) AS BIGINT) AS cnt1,
+       round({_csum_sql("c.c_acctbal")} / 100.0 / count(*), 6) AS avg_bal,
+       round(min(c.c_acctbal), 2) AS min_bal,
+       round(max(c.c_acctbal), 2) AS max_bal
+FROM customer c
+WHERE {_channel_exists_sql("N", 1998)}
+  AND ({_channel_exists_sql("A", 1998)} OR {_channel_exists_sql("R", 1998)})
+GROUP BY cd_segment
+ORDER BY cd_segment ASC
+""",
+)
+def tpcds_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q10 shape (tpcds/q10.sql: customers with store activity AND
+    (web OR catalog) activity in the window — an EXISTS battery — rolled
+    up by demographics). The OR-of-EXISTS is a semi-join against the
+    UNION of the two channels' key sets (identical semantics); each
+    channel key set is distinct-projected before the join, so the semi
+    probes stay small at any scale."""
+    customer = _t(spark, sf_dir, "customer")[0]
+    store = _channel_custkeys(spark, sf_dir, "N", 1998)
+    either = _channel_custkeys(spark, sf_dir, "A", 1998).unionByName(
+        _channel_custkeys(spark, sf_dir, "R", 1998)
+    ).distinct()
+    return (
+        customer.join(store, F.col("c_custkey") == store["o_custkey"], "left_semi")
+        .join(either, F.col("c_custkey") == either["o_custkey"], "left_semi")
+        .groupBy(F.col("c_mktsegment").alias("cd_segment"))
+        .agg(
+            F.count("*").cast("bigint").alias("cnt1"),
+            F.round(_csum(F.col("c_acctbal")) / 100.0 / F.count("*"), 6).alias("avg_bal"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        )
+        .orderBy(F.asc("cd_segment"))
+    )
+
+
+@_q(
+    "tpcds_q35",
+    f"""
+SELECT n.n_name AS ca_state, c.c_mktsegment AS cd_segment,
+       CAST(count(*) AS BIGINT) AS cnt,
+       round(min(c.c_acctbal), 2) AS min_bal,
+       round(max(c.c_acctbal), 2) AS max_bal,
+       round({_csum_sql("c.c_acctbal")} / 100.0 / count(*), 6) AS avg_bal
+FROM customer c
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE {_channel_exists_sql("N", 1997)}
+  AND ({_channel_exists_sql("R", 1997)} OR {_channel_exists_sql("A", 1997)})
+GROUP BY ca_state, cd_segment
+ORDER BY ca_state ASC, cd_segment ASC
+LIMIT 100
+""",
+)
+def tpcds_q35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q35 shape (tpcds/q35.sql: q10's EXISTS battery joined to
+    the address dimension, grouped by state x demographics with the
+    count/min/max/avg column battery)."""
+    customer, nation = _t(spark, sf_dir, "customer", "nation")
+    store = _channel_custkeys(spark, sf_dir, "N", 1997)
+    either = _channel_custkeys(spark, sf_dir, "R", 1997).unionByName(
+        _channel_custkeys(spark, sf_dir, "A", 1997)
+    ).distinct()
+    return (
+        customer.join(store, F.col("c_custkey") == store["o_custkey"], "left_semi")
+        .join(either, F.col("c_custkey") == either["o_custkey"], "left_semi")
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy(F.col("n_name").alias("ca_state"), F.col("c_mktsegment").alias("cd_segment"))
+        .agg(
+            F.count("*").cast("bigint").alias("cnt"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+            F.round(_csum(F.col("c_acctbal")) / 100.0 / F.count("*"), 6).alias("avg_bal"),
+        )
+        .orderBy(F.asc("ca_state"), F.asc("cd_segment"))
+        .limit(100)
+    )
+
+
+# --- q36/q86: ROLLUP + rank-within-parent (GROUPING-keyed window) ----------
+
+def _rollup_rank(spark, sf_dir, *, flag: str | None, measure_cents,
+                 rank_asc: bool, name_meas: str):
+    """Shared q36/q86 skeleton: channel fact x part, GROUP BY
+    ROLLUP(category, class), measure + lochierarchy from GROUPING(),
+    rank() within (lochierarchy, parent category)."""
+    orders, lineitem, part = _t(spark, sf_dir, "orders", "lineitem", "part")
+    li = lineitem if flag is None else lineitem.filter(F.col("l_returnflag") == flag)
+    base = (
+        li.join(orders.filter(F.year("o_orderdate") == 2000),
+                F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .select(F.col("p_type").alias("i_category"), F.col("p_brand").alias("i_class"),
+                "l_extendedprice", "l_discount", "l_tax")
+    )
+    agg = (
+        base.rollup("i_category", "i_class")
+        .agg(
+            measure_cents().alias(name_meas),
+            (F.grouping("i_category") + F.grouping("i_class")).alias("lochierarchy"),
+            F.grouping("i_class").alias("_g_class"),
+        )
+    )
+    order_col = F.col(name_meas).asc() if rank_asc else F.col(name_meas).desc()
+    w = W.partitionBy(
+        "lochierarchy",
+        F.when(F.col("_g_class") == 0, F.col("i_category")),
+    ).orderBy(order_col, F.asc_nulls_first("i_category"), F.asc_nulls_first("i_class"))
+    return (
+        agg.withColumn("rank_within_parent", F.rank().over(w).cast("int"))
+        .select(name_meas, "i_category", "i_class", "lochierarchy", "rank_within_parent")
+        .orderBy(
+            F.desc("lochierarchy"),
+            F.asc_nulls_first(F.when(F.col("lochierarchy") == 0, F.col("i_category"))),
+            F.asc("rank_within_parent"),
+            F.asc_nulls_first("i_category"),
+            F.asc_nulls_first("i_class"),
+        )
+        .limit(100)
+    )
+
+
+def _rollup_rank_sql(*, flag_pred: str, measure_sql: str, rank_dir: str, name_meas: str) -> str:
+    return f"""
+SELECT {measure_sql} AS {name_meas},
+       p.p_type AS i_category, p.p_brand AS i_class,
+       (GROUPING(p.p_type) + GROUPING(p.p_brand)) AS lochierarchy,
+       CAST(rank() OVER (
+         PARTITION BY (GROUPING(p.p_type) + GROUPING(p.p_brand)),
+                      (CASE WHEN GROUPING(p.p_brand) = 0 THEN p.p_type END)
+         ORDER BY {measure_sql} {rank_dir},
+                  p.p_type ASC NULLS FIRST, p.p_brand ASC NULLS FIRST
+       ) AS INTEGER) AS rank_within_parent
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE year(o.o_orderdate) = 2000 AND {flag_pred}
+GROUP BY ROLLUP (p.p_type, p.p_brand)
+ORDER BY lochierarchy DESC,
+         (CASE WHEN lochierarchy = 0 THEN p.p_type END) ASC NULLS FIRST,
+         rank_within_parent ASC,
+         i_category ASC NULLS FIRST, i_class ASC NULLS FIRST
+LIMIT 100
+"""
+
+
+@_q(
+    "tpcds_q36",
+    _rollup_rank_sql(
+        flag_pred="l.l_returnflag = 'N'",
+        measure_sql=(
+            f"round(CAST({_csum_sql('l.l_extendedprice * (1 - l.l_discount) - l.l_extendedprice * l.l_tax')} AS DOUBLE)"
+            f" / {_csum_sql('l.l_extendedprice')}, 6)"
+        ),
+        rank_dir="ASC",
+        name_meas="gross_margin",
+    ),
+)
+def tpcds_q36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q36 shape (tpcds/q36.sql: gross-margin ROLLUP over
+    category/class with rank() partitioned by (GROUPING-sum, parent
+    category) — the share-of-parent hierarchy window). Margin is a ratio
+    of exact-cent sums rounded to 6dp, so rank keys are identical across
+    engines; extra (category, class) tiebreaks pin total order."""
+
+    def margin():
+        profit = _csum(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                       - F.col("l_extendedprice") * F.col("l_tax"))
+        sales = _csum(F.col("l_extendedprice"))
+        return F.round(profit.cast("double") / sales, 6)
+
+    return _rollup_rank(spark, sf_dir, flag="N", measure_cents=margin,
+                        rank_asc=True, name_meas="gross_margin")
+
+
+@_q(
+    "tpcds_q86",
+    _rollup_rank_sql(
+        flag_pred="l.l_returnflag = 'R'",
+        measure_sql=_msum_sql("l.l_extendedprice * (1 - l.l_discount)"),
+        rank_dir="DESC",
+        name_meas="total_sum",
+    ),
+)
+def tpcds_q86(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q86 shape (tpcds/q86.sql: web-channel net-paid ROLLUP over
+    category/class with the same rank-within-parent GROUPING window,
+    ranked DESC)."""
+
+    def total():
+        return _msum(_rev())
+
+    return _rollup_rank(spark, sf_dir, flag="R", measure_cents=total,
+                        rank_asc=False, name_meas="total_sum")
