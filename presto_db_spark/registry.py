@@ -23,6 +23,7 @@ _MODULES: list[str] = [
     "presto_db_spark.operators.skew",
     "presto_db_spark.operators.sketch",
     "presto_db_spark.operators.geo",
+    "presto_db_spark.operators.wkt",
     "presto_db_spark.operators.pandas_surface",
     "presto_db_spark.operators.functions_corpus",
     "presto_db_spark.operators.functions_corpus2",

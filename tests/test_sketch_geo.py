@@ -98,3 +98,35 @@ def test_sketch_weighted_matches_expanded(spark, sf_dir):
         for r in value_at_quantile(sk_x, ["l_returnflag"], 0.5, "wp50").collect()
     }
     assert got_w == got_x
+
+
+@pytest.mark.parametrize(
+    "name", ["geo_wkt_roundtrip", "geo_wkt_distance", "geo_wkt_intersects_join"]
+)
+def test_wkt_vs_duckdb(spark, sf_dir, name):
+    from presto_db_spark.operators import wkt
+
+    problems = check_query(spark, name, wkt.QUERIES[name], wkt.ORACLE.get(name), sf_dir)
+    assert not problems, f"{name}: {problems}"
+
+
+def test_wkt_roundtrip_is_nonvacuous(spark, sf_dir):
+    """The roundtrip flag must actually be TRUE (text → parse → render
+    identity) and the closed flag must split the rows."""
+    from presto_db_spark.operators import wkt
+
+    df = wkt.QUERIES["geo_wkt_roundtrip"](spark, sf_dir)
+    rows = df.collect()
+    assert rows and all(r.roundtrip for r in rows)
+    assert 0 < sum(1 for r in rows if r.closed) < len(rows)
+
+
+def test_wkt_intersects_join_no_cross_join(spark, sf_dir):
+    """The WKT intersects join must meet candidates in the grid-cell
+    equi-join — same contract as geo_polygon_join."""
+    from presto_db_spark.operators import wkt
+
+    df = wkt.QUERIES["geo_wkt_intersects_join"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
