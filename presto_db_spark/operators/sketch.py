@@ -241,3 +241,109 @@ def func_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec_price * dec_qty).cast("double").alias("dec_weighted"),
         F.count("*").alias("n"),
     )
+
+
+# --- adaptive-domain digest (two-pass equi-depth grid) ---------------------
+#
+# The fixed BIN grid above needs domain knowledge (BIN=100 is sized for
+# l_extendedprice); on an unknown or heavily skewed domain its rank error
+# is unbounded — exactly the gap a real qdigest/tdigest closes by adapting
+# bins to the data (pm/tdigest/TDigest.java, QuantileDigestAggregation-
+# Function.java). This is the adaptive analog, kept deterministic so the
+# DuckDB oracle reproduces it bit-for-bit:
+#
+#   pass 1: a deterministic systematic sample (key-modulus predicate, no
+#           RNG) is ranked and cut into ADAPTIVE_B equi-depth buckets
+#           (ntile with a total tiebreak order); bucket minima become the
+#           bin boundaries — equi-DEPTH, so skew concentrates boundaries
+#           where the mass is;
+#   pass 2: rows histogram into [lo, hi) boundary ranges via a BROADCAST
+#           range join (ADAPTIVE_B rows — N·B map-side predicate evals,
+#           linear, no shuffle beyond the final per-bin groupBy).
+#
+# Accuracy contract (tests/test_sketch_geo.py::test_adaptive_digest_*):
+# rank error of value_at_quantile ≤ 1/ADAPTIVE_B + sampling slack,
+# INDEPENDENT of the value distribution — asserted on a power-law column
+# (domain ~[1, 1e10]) where the fixed grid's rank error collapses to ~1.
+
+ADAPTIVE_B = 16
+_SKEW_SQL = "power(l_extendedprice / 1000.0, 9)"  # heavy right skew
+_SAMPLE_SQL = "(l_orderkey * 31 + l_linenumber) % 7 = 0"
+
+
+def adaptive_boundaries(df: DataFrame, value_col, order_cols: list[str]) -> DataFrame:
+    """Pass 1: equi-depth boundaries (lo, hi] per ntile bucket; hi of the
+    last bucket is NULL (open right edge)."""
+    w = W.orderBy(value_col, *[F.col(c) for c in order_cols])
+    b = (
+        df.select(value_col.alias("v"), *order_cols)
+        .withColumn("nt", F.ntile(ADAPTIVE_B).over(w))
+        .groupBy("nt")
+        .agg(F.min("v").alias("lo"))
+    )
+    w_nt = W.orderBy("nt")
+    return b.select("nt", "lo", F.lead("lo").over(w_nt).alias("hi"))
+
+
+@_q(
+    "sketch_adaptive_quantiles",
+    f"""
+WITH skew AS (
+  SELECT {_SKEW_SQL} AS v, l_orderkey, l_linenumber FROM lineitem
+), bounds AS (
+  SELECT nt, lo, lead(lo) OVER (ORDER BY nt) AS hi FROM (
+    SELECT nt, min(v) AS lo FROM (
+      SELECT v, ntile({ADAPTIVE_B}) OVER (ORDER BY v, l_orderkey, l_linenumber) AS nt
+      FROM skew WHERE {_SAMPLE_SQL}
+    ) GROUP BY nt
+  )
+), hist AS (
+  SELECT b.nt, b.lo, count(*) AS cnt
+  FROM skew s JOIN bounds b
+    ON s.v >= b.lo AND (b.hi IS NULL OR s.v < b.hi)
+  GROUP BY b.nt, b.lo
+), cum AS (
+  SELECT nt, lo,
+         sum(cnt) OVER (ORDER BY nt ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(cnt) OVER () AS total
+  FROM hist
+)
+SELECT round((SELECT min(lo) FROM cum WHERE cum >= ceil(total * 0.25)), 6) AS p25,
+       round((SELECT min(lo) FROM cum WHERE cum >= ceil(total * 0.50)), 6) AS p50,
+       round((SELECT min(lo) FROM cum WHERE cum >= ceil(total * 0.75)), 6) AS p75
+""",
+)
+def sketch_adaptive_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile on an UNKNOWN, power-law domain via the two-pass
+    equi-depth digest — value_at_quantile = left boundary of the bin
+    holding the order statistic, rank error ≤ 1/ADAPTIVE_B + sampling
+    slack regardless of the value distribution."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    skew = li.select(
+        F.pow(F.col("l_extendedprice") / 1000.0, 9).alias("v"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    sample = skew.filter((F.col("l_orderkey") * 31 + F.col("l_linenumber")) % 7 == 0)
+    bounds = adaptive_boundaries(sample, F.col("v"), ["l_orderkey", "l_linenumber"])
+    hist = (
+        skew.join(
+            F.broadcast(bounds),
+            (F.col("v") >= F.col("lo")) & (F.col("hi").isNull() | (F.col("v") < F.col("hi"))),
+        )
+        .groupBy("nt", "lo")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w_cum = W.orderBy("nt").rowsBetween(W.unboundedPreceding, 0)
+    cum = hist.select(
+        "nt", "lo",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(W.orderBy(F.lit(1)).rowsBetween(W.unboundedPreceding, W.unboundedFollowing)).alias("total"),
+    )
+
+    def at(q: float, out: str) -> DataFrame:
+        return cum.filter(F.col("cum") >= F.ceil(F.col("total") * q)).agg(
+            F.round(F.min("lo"), 6).alias(out)
+        )
+
+    return at(0.25, "p25").crossJoin(at(0.50, "p50")).crossJoin(at(0.75, "p75"))

@@ -130,3 +130,49 @@ def test_wkt_intersects_join_no_cross_join(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_adaptive_digest_accuracy_bound_on_skew(spark, sf_dir):
+    """The adaptive (equi-depth) digest's rank error stays within
+    1/ADAPTIVE_B + sampling slack on a power-law column — while a fixed
+    grid sized to the same domain span collapses: almost all mass lands
+    in its first cell, so its p25/p50 estimates carry rank error near
+    the entire lower half. This is exactly why the reference uses
+    adaptive digests (qdigest/tdigest) rather than fixed histograms."""
+    from pyspark.sql import functions as F
+
+    from presto_db_spark.catalog import load_table
+    from presto_db_spark.operators.sketch import ADAPTIVE_B, QUERIES
+
+    est = QUERIES["sketch_adaptive_quantiles"](spark, sf_dir).collect()[0]
+    skew = load_table(spark, sf_dir, "lineitem").select(
+        F.pow(F.col("l_extendedprice") / 1000.0, 9).alias("v")
+    )
+    n = skew.count()
+
+    def rank_of(x: float) -> float:
+        return skew.filter(F.col("v") <= x).count() / n
+
+    bound = 1.0 / ADAPTIVE_B + 0.05  # bin width + systematic-sample slack
+    for q, val in [(0.25, est.p25), (0.50, est.p50), (0.75, est.p75)]:
+        assert abs(rank_of(val) - q) <= bound, (q, val, rank_of(val))
+
+    # fixed grid sized to the domain span: span/100 cells of equal WIDTH —
+    # the skewed mass piles into the low cells, and the left-edge estimate
+    # for p50 has rank error far beyond the adaptive bound
+    lo, hi = skew.agg(F.min("v"), F.max("v")).collect()[0]
+    bin_w = (hi - lo) / 100.0
+    fixed = (
+        skew.groupBy(F.floor((F.col("v") - lo) / bin_w).alias("bin"))
+        .count()
+        .orderBy("bin")
+        .collect()
+    )
+    cum, total = 0, sum(r["count"] for r in fixed)
+    fixed_p50 = None
+    for r in fixed:
+        cum += r["count"]
+        if cum >= total * 0.5:
+            fixed_p50 = lo + r["bin"] * bin_w
+            break
+    assert abs(rank_of(fixed_p50) - 0.5) > bound, "fixed grid unexpectedly fine"
