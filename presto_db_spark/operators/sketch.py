@@ -267,7 +267,9 @@ def func_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (domain ~[1, 1e10]) where the fixed grid's rank error collapses to ~1.
 
 ADAPTIVE_B = 16
-_SKEW_SQL = "power(l_extendedprice / 1000.0, 9)"  # heavy right skew
+# x^9 as an explicit left-associative product: engines'
+# pow() differ in the last ulp, a product chain is IEEE-identical
+_SKEW_SQL = "((l_extendedprice / 1000.0) * (l_extendedprice / 1000.0) * (l_extendedprice / 1000.0) * (l_extendedprice / 1000.0) * (l_extendedprice / 1000.0) * (l_extendedprice / 1000.0) * (l_extendedprice / 1000.0) * (l_extendedprice / 1000.0) * (l_extendedprice / 1000.0))"  # heavy right skew
 _SAMPLE_SQL = "(l_orderkey * 31 + l_linenumber) % 7 = 0"
 
 
@@ -319,8 +321,9 @@ def sketch_adaptive_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     holding the order statistic, rank error ≤ 1/ADAPTIVE_B + sampling
     slack regardless of the value distribution."""
     (li,) = _t(spark, sf_dir, "lineitem")
+    t = F.col("l_extendedprice") / 1000.0
     skew = li.select(
-        F.pow(F.col("l_extendedprice") / 1000.0, 9).alias("v"),
+        (t * t * t * t * t * t * t * t * t).alias("v"),
         "l_orderkey",
         "l_linenumber",
     )
