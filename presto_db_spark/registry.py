@@ -22,6 +22,7 @@ _MODULES: list[str] = [
     "presto_db_spark.operators.rangejoin",
     "presto_db_spark.operators.skew",
     "presto_db_spark.operators.sketch",
+    "presto_db_spark.operators.tdigest",
     "presto_db_spark.operators.geo",
     "presto_db_spark.operators.wkt",
     "presto_db_spark.operators.pandas_surface",
