@@ -1159,3 +1159,622 @@ def tpcds_q86(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return _rollup_rank(spark, sf_dir, flag="R", measure_cents=total,
                         rank_asc=False, name_meas="total_sum")
+
+
+# --- q1: correlated per-store average return threshold ---------------------
+
+@_q(
+    "tpcds_q01",
+    """
+WITH ctr AS (
+  SELECT o.o_custkey AS ctr_customer_sk, l.l_suppkey % 10 AS ctr_store_sk,
+         sum(round(l.l_extendedprice * 100)) AS ctr_total_return
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag = 'R' AND year(o.o_orderdate) = 1996
+  GROUP BY 1, 2
+)
+SELECT c.c_name
+FROM ctr ctr1
+JOIN customer c ON ctr1.ctr_customer_sk = c.c_custkey
+WHERE ctr1.ctr_total_return * 10 > (
+    SELECT 12 * sum(ctr_total_return) / count(*)
+    FROM ctr ctr2 WHERE ctr1.ctr_store_sk = ctr2.ctr_store_sk
+  )
+  AND ctr1.ctr_store_sk < 5
+ORDER BY c.c_name
+LIMIT 100
+""",
+)
+def tpcds_q01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q01 shape (tpcds/q01.sql: customer_total_return CTE, customers
+    whose returns exceed 1.2x their store's average — a correlated scalar
+    subquery over the same CTE). Decorrelated the Spark-idiomatic way: the
+    per-store average is a window over the grouped CTE (one shuffle, no
+    re-scan), the exact plan Presto's optimizer builds from the correlated
+    form. The 1.2x threshold is cross-multiplied into exact integer cents
+    (total*10*... vs 12*sum/count as identical double division) so the
+    boundary is engine-stable. ctr_store_sk < 5 is the s_state filter
+    analog."""
+    li, orders, cust = _t(spark, sf_dir, "lineitem", "orders", "customer")
+    ctr = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(orders.filter(F.year("o_orderdate") == 1996),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("o_custkey").alias("ctr_customer_sk"),
+                 (F.col("l_suppkey") % 10).alias("ctr_store_sk"))
+        .agg(_csum(F.col("l_extendedprice")).alias("ctr_total_return"))
+    )
+    w = W.partitionBy("ctr_store_sk")
+    with_avg = ctr.withColumn("store_sum", F.sum("ctr_total_return").over(w)) \
+                  .withColumn("store_cnt", F.count("*").over(w))
+    hot = with_avg.filter(
+        (F.col("ctr_total_return") * 10
+         > F.lit(12) * F.col("store_sum") / F.col("store_cnt"))
+        & (F.col("ctr_store_sk") < 5)
+    )
+    return (
+        hot.join(cust, hot.ctr_customer_sk == cust.c_custkey)
+        .select("c_name").orderBy("c_name").limit(100)
+    )
+
+
+# --- q9: bucketed CASE battery of scalar subqueries ------------------------
+
+_Q09_BUCKETS = [(1, 10, 3000), (11, 20, 9000), (21, 30, 15000),
+                (31, 40, 21000), (41, 50, 27000)]
+
+
+def _q09_branch_sql(lo: int, hi: int, thr: int, n: int) -> str:
+    disc = "CAST(sum(round(l_extendedprice * l_discount * 100)) AS BIGINT)"
+    paid = "CAST(sum(round(l_extendedprice * (1 + l_tax) * 100)) AS BIGINT)"
+    rng = f"l_quantity BETWEEN {lo} AND {hi}"
+    return f"""
+  CASE WHEN (SELECT count(*) FROM lineitem WHERE {rng}) > {thr}
+       THEN (SELECT CAST({disc} // count(*) AS BIGINT) FROM lineitem WHERE {rng})
+       ELSE (SELECT CAST({paid} // count(*) AS BIGINT) FROM lineitem WHERE {rng})
+  END AS bucket{n}"""
+
+
+@_q(
+    "tpcds_q09",
+    f"""
+SELECT {", ".join(_q09_branch_sql(lo, hi, thr, i + 1)
+                  for i, (lo, hi, thr) in enumerate(_Q09_BUCKETS))}
+FROM region WHERE r_regionkey = 0
+""",
+)
+def tpcds_q09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q09 shape (tpcds/q09.sql: fifteen scalar subqueries over
+    quantity buckets folded through five CASE branches, evaluated from a
+    one-row dim scan). The oracle keeps the reference's 15-subquery text;
+    the Spark plan is the single-pass conditional aggregation Presto's
+    optimizer cannot reach but a columnar engine should: one scan computes
+    count/branch-numerator per bucket, integer-cent division keeps both
+    engines bit-identical."""
+    li, region = _t(spark, sf_dir, "lineitem", "region")
+    aggs = []
+    for i, (lo, hi, _) in enumerate(_Q09_BUCKETS, 1):
+        in_b = F.col("l_quantity").between(lo, hi)
+        aggs += [
+            F.sum(F.when(in_b, 1).otherwise(0)).alias(f"cnt{i}"),
+            F.sum(F.when(in_b, F.round(F.col("l_extendedprice") * F.col("l_discount") * 100)
+                         .cast("long")).otherwise(0)).alias(f"disc{i}"),
+            F.sum(F.when(in_b, F.round(F.col("l_extendedprice") * (1 + F.col("l_tax")) * 100)
+                         .cast("long")).otherwise(0)).alias(f"paid{i}"),
+        ]
+    stats = li.agg(*aggs)
+    one_row = region.filter(F.col("r_regionkey") == 0).select(F.lit(1).alias("_j"))
+    buckets = [
+        F.when(F.col(f"cnt{i}") > thr,
+               F.expr(f"CAST(disc{i} DIV cnt{i} AS BIGINT)"))
+         .otherwise(F.expr(f"CAST(paid{i} DIV cnt{i} AS BIGINT)"))
+         .alias(f"bucket{i}")
+        for i, (_, _, thr) in enumerate(_Q09_BUCKETS, 1)
+    ]
+    return stats.crossJoin(one_row).select(*buckets)
+
+
+# --- q49: per-channel return-ratio dual ranking ----------------------------
+
+_Q49_CHANNELS = {"web": (1, 4), "catalog": (2, 5), "store": (3, 6, 7)}
+
+
+def _q49_channel_sql(ch: str) -> str:
+    lines = ", ".join(map(str, _Q49_CHANNELS[ch]))
+    return f"""
+   SELECT '{ch}' AS channel, item, return_ratio, return_rank, currency_rank
+   FROM (
+     SELECT item, return_ratio, currency_ratio,
+            rank() OVER (ORDER BY return_ratio) AS return_rank,
+            rank() OVER (ORDER BY currency_ratio) AS currency_rank
+     FROM (
+       SELECT l_partkey AS item,
+              CAST(sum(CASE WHEN l_returnflag = 'R' AND l_quantity >= 25
+                            THEN l_quantity ELSE 0 END) AS DOUBLE)
+                / sum(l_quantity) AS return_ratio,
+              CAST(sum(CASE WHEN l_returnflag = 'R' AND l_quantity >= 25
+                            THEN round(l_extendedprice * 100) ELSE 0 END) AS DOUBLE)
+                / sum(round(l_extendedprice * 100)) AS currency_ratio
+       FROM lineitem
+       WHERE l_linenumber IN ({lines}) AND year(l_shipdate) = 1996
+       GROUP BY l_partkey
+       HAVING sum(CASE WHEN l_returnflag = 'R' AND l_quantity >= 25
+                       THEN 1 ELSE 0 END) > 0
+     ) in_{ch}
+   ) ranked_{ch}
+   WHERE return_rank <= 10 OR currency_rank <= 10"""
+
+
+@_q(
+    "tpcds_q49",
+    f"""
+SELECT * FROM (
+  {_q49_channel_sql('web')}
+  UNION
+  {_q49_channel_sql('catalog')}
+  UNION
+  {_q49_channel_sql('store')}
+) u
+ORDER BY channel, return_rank, currency_rank, item
+LIMIT 100
+""",
+)
+def tpcds_q49(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q49 shape (tpcds/q49.sql: per-channel worst-return-ratio
+    ranking — sales LEFT JOIN returns folded to conditional aggregation,
+    two independent rank() windows, rank<=10 filter, UNION of the three
+    channels). Ratios are exact-int divisions evaluated identically in
+    both engines; the returns-row filter (reference: wr_return_amt >
+    10000) maps to quantity >= 25 on the R rows.
+
+    Scale: the dual global rank() windows are single-partition by
+    semantics (ORDER BY with no PARTITION BY — the reference's shape
+    too), but their input is the per-item aggregate, already reduced by
+    the HAVING to items with qualifying returns. At 100 TB you'd pre-trim
+    each metric with a distributed top-K (rank <= 10 rows all lie within
+    the K smallest values for K >> ties) before the global window."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    outs = []
+    for ch, lines in _Q49_CHANNELS.items():
+        base = li.filter(
+            F.col("l_linenumber").isin(*lines) & (F.year("l_shipdate") == 1996)
+        )
+        ret = (F.col("l_returnflag") == "R") & (F.col("l_quantity") >= 25)
+        g = (
+            base.groupBy(F.col("l_partkey").alias("item"))
+            .agg(
+                F.sum(F.when(ret, F.col("l_quantity")).otherwise(0)).alias("rq"),
+                F.sum("l_quantity").alias("sq"),
+                F.sum(F.when(ret, F.round(F.col("l_extendedprice") * 100))
+                      .otherwise(0)).alias("rc"),
+                F.sum(F.round(F.col("l_extendedprice") * 100)).alias("sc"),
+                F.sum(F.when(ret, 1).otherwise(0)).alias("rn"),
+            )
+            .filter(F.col("rn") > 0)
+            .select(
+                "item",
+                (F.col("rq").cast("double") / F.col("sq")).alias("return_ratio"),
+                (F.col("rc").cast("double") / F.col("sc")).alias("currency_ratio"),
+            )
+        )
+        ranked = g.select(
+            F.lit(ch).alias("channel"),
+            "item",
+            "return_ratio",
+            F.rank().over(W.orderBy("return_ratio")).alias("return_rank"),
+            F.rank().over(W.orderBy("currency_ratio")).alias("currency_rank"),
+        ).filter((F.col("return_rank") <= 10) | (F.col("currency_rank") <= 10))
+        outs.append(ranked)
+    u = outs[0].unionByName(outs[1]).unionByName(outs[2]).distinct()
+    return u.orderBy("channel", "return_rank", "currency_rank", "item").limit(100)
+
+
+# --- q51: cumulative channel sums, FULL OUTER, running-max compare ---------
+
+def _q51_channel_sql(flag: str) -> str:
+    return f"""
+   SELECT l_partkey % 50 AS item_sk, CAST(date_trunc('month', l_shipdate) AS DATE) AS d_date,
+          sum(sum(round(l_extendedprice * 100)))
+            OVER (PARTITION BY l_partkey % 50 ORDER BY date_trunc('month', l_shipdate)
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cume_sales
+   FROM lineitem WHERE l_returnflag = '{flag}'
+   GROUP BY l_partkey % 50, date_trunc('month', l_shipdate)"""
+
+
+@_q(
+    "tpcds_q51",
+    f"""
+WITH web_v1 AS ({_q51_channel_sql('N')}),
+     store_v1 AS ({_q51_channel_sql('A')})
+SELECT item_sk, d_date, web_sales, store_sales, web_cumulative, store_cumulative
+FROM (
+  SELECT item_sk, d_date, web_sales, store_sales,
+         max(web_sales) OVER (PARTITION BY item_sk ORDER BY d_date
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS web_cumulative,
+         max(store_sales) OVER (PARTITION BY item_sk ORDER BY d_date
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS store_cumulative
+  FROM (
+    SELECT CASE WHEN web.item_sk IS NOT NULL THEN web.item_sk ELSE store.item_sk END AS item_sk,
+           CASE WHEN web.d_date IS NOT NULL THEN web.d_date ELSE store.d_date END AS d_date,
+           web.cume_sales AS web_sales, store.cume_sales AS store_sales
+    FROM web_v1 web
+    FULL JOIN store_v1 store ON web.item_sk = store.item_sk AND web.d_date = store.d_date
+  ) x
+) y
+WHERE web_cumulative > store_cumulative
+ORDER BY item_sk, d_date
+LIMIT 100
+""",
+)
+def tpcds_q51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q51 shape (tpcds/q51.sql: per-item cumulative sales curves for
+    web and store channels — nested sum(sum()) OVER — FULL OUTER joined on
+    (item, date), then running max() windows over the stitched series and
+    a web-overtakes-store filter). Exact-cents cumulative sums keep the
+    comparison engine-stable. Scale: both channel aggs and all three
+    windows share the same (item) hash/range partitioning; the FULL OUTER
+    is an equi-join on the grouped (small) outputs."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+
+    def channel(flag: str) -> DataFrame:
+        g = (
+            li.filter(F.col("l_returnflag") == flag)
+            .groupBy(
+                (F.col("l_partkey") % 50).alias("item_sk"),
+                F.trunc("l_shipdate", "month").alias("d_date"),
+            )
+            .agg(_csum(F.col("l_extendedprice")).alias("msum"))
+        )
+        w = (
+            W.partitionBy("item_sk")
+            .orderBy("d_date")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        return g.select("item_sk", "d_date", F.sum("msum").over(w).alias("cume_sales"))
+
+    web, store = channel("N").alias("web"), channel("A").alias("store")
+    stitched = web.join(
+        store,
+        (F.col("web.item_sk") == F.col("store.item_sk"))
+        & (F.col("web.d_date") == F.col("store.d_date")),
+        "full_outer",
+    ).select(
+        F.when(F.col("web.item_sk").isNotNull(), F.col("web.item_sk"))
+        .otherwise(F.col("store.item_sk")).alias("item_sk"),
+        F.when(F.col("web.d_date").isNotNull(), F.col("web.d_date"))
+        .otherwise(F.col("store.d_date")).alias("d_date"),
+        F.col("web.cume_sales").alias("web_sales"),
+        F.col("store.cume_sales").alias("store_sales"),
+    )
+    w = (
+        W.partitionBy("item_sk")
+        .orderBy("d_date")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    y = stitched.select(
+        "item_sk", "d_date", "web_sales", "store_sales",
+        F.max("web_sales").over(w).alias("web_cumulative"),
+        F.max("store_sales").over(w).alias("store_cumulative"),
+    )
+    return (
+        y.filter(F.col("web_cumulative") > F.col("store_cumulative"))
+        .orderBy("item_sk", "d_date")
+        .limit(100)
+    )
+
+
+# --- q65: store-item revenue below a tenth of the store average ------------
+
+@_q(
+    "tpcds_q65",
+    """
+WITH sa AS (
+  SELECT l_suppkey AS store_sk, l_partkey AS item_sk,
+         sum(round(l_extendedprice * (1 - l_discount) * 100)) AS revenue
+  FROM lineitem GROUP BY l_suppkey, l_partkey
+), sb AS (
+  SELECT store_sk, sum(revenue) AS ssum, count(*) AS cnt
+  FROM sa GROUP BY store_sk
+)
+SELECT s.s_name, p.p_name,
+       round(sc.revenue / 100.0, 2) AS revenue, p.p_retailprice
+FROM supplier s
+JOIN sb ON sb.store_sk = s.s_suppkey
+JOIN sa sc ON sc.store_sk = sb.store_sk
+JOIN part p ON p.p_partkey = sc.item_sk
+WHERE sc.revenue * 10 * sb.cnt <= sb.ssum
+ORDER BY s.s_name, p.p_name
+LIMIT 100
+""",
+)
+def tpcds_q65(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q65 shape (tpcds/q65.sql: per-(store, item) revenue compared
+    to a tenth of the store's average item revenue — the aggregate-of-
+    aggregate derived-table join — then store/item dims for the report).
+    The 0.1x-average threshold is cross-multiplied into exact integers
+    (rev * 10 * cnt <= sum) so no float boundary exists. Scale: sa is one
+    shuffle on (store, item); sb reuses sa; the dim joins broadcast."""
+    li, supp, part = _t(spark, sf_dir, "lineitem", "supplier", "part")
+    sa = (
+        li.groupBy(
+            F.col("l_suppkey").alias("store_sk"), F.col("l_partkey").alias("item_sk")
+        )
+        .agg(_csum(_rev()).alias("revenue"))
+    )
+    sb = sa.groupBy("store_sk").agg(
+        F.sum("revenue").alias("ssum"), F.count("*").alias("cnt")
+    )
+    sc = sa.alias("sc")
+    joined = (
+        sc.join(sb, "store_sk")
+        .filter(F.col("revenue") * 10 * F.col("cnt") <= F.col("ssum"))
+        .join(supp, F.col("store_sk") == F.col("s_suppkey"))
+        .join(part, F.col("item_sk") == F.col("p_partkey"))
+    )
+    return (
+        joined.select(
+            "s_name", "p_name",
+            F.round(F.col("revenue") / 100.0, 2).alias("revenue"),
+            "p_retailprice",
+        )
+        .orderBy("s_name", "p_name")
+        .limit(100)
+    )
+
+
+# --- q78: unreturned sales per channel, cross-channel ratio ----------------
+
+def _q78_channel_sql(mod: int, pre: str) -> str:
+    return f"""
+   SELECT year(l.l_shipdate) AS {pre}_sold_year, l.l_partkey AS {pre}_item_sk,
+          o.o_custkey AS {pre}_customer_sk,
+          CAST(sum(l.l_quantity) AS BIGINT) AS {pre}_qty,
+          sum(round(l.l_extendedprice * (1 - l.l_discount) * 100)) AS {pre}_wc,
+          sum(round(l.l_extendedprice * 100)) AS {pre}_sp
+   FROM lineitem l
+   LEFT JOIN (SELECT l_orderkey, l_linenumber FROM lineitem
+              WHERE l_linenumber % 3 = {mod} AND l_returnflag = 'R') r
+     ON r.l_orderkey = l.l_orderkey AND r.l_linenumber = l.l_linenumber
+   JOIN orders o ON o.o_orderkey = l.l_orderkey
+   WHERE l.l_linenumber % 3 = {mod} AND r.l_orderkey IS NULL
+   GROUP BY year(l.l_shipdate), l.l_partkey, o.o_custkey"""
+
+
+@_q(
+    "tpcds_q78",
+    f"""
+WITH ss AS ({_q78_channel_sql(0, 'ss')}),
+     ws AS ({_q78_channel_sql(1, 'ws')}),
+     cs AS ({_q78_channel_sql(2, 'cs')})
+SELECT ss_item_sk, ss_customer_sk,
+       round(CAST(ss_qty AS DOUBLE) / coalesce(ws_qty + cs_qty, 1), 2) AS ratio,
+       ss_qty AS store_qty, ss_wc AS store_wholesale_cost, ss_sp AS store_sales_price,
+       coalesce(ws_qty, 0) + coalesce(cs_qty, 0) AS other_chan_qty,
+       coalesce(ws_wc, 0) + coalesce(cs_wc, 0) AS other_chan_wholesale_cost,
+       coalesce(ws_sp, 0) + coalesce(cs_sp, 0) AS other_chan_sales_price
+FROM ss
+LEFT JOIN ws ON ws_sold_year = ss_sold_year AND ws_item_sk = ss_item_sk
+            AND ws_customer_sk = ss_customer_sk
+LEFT JOIN cs ON cs_sold_year = ss_sold_year AND cs_item_sk = ss_item_sk
+            AND cs_customer_sk = ss_customer_sk
+WHERE (coalesce(ws_qty, 0) > 0 OR coalesce(cs_qty, 0) > 0) AND ss_sold_year = 1996
+ORDER BY ratio, ss_qty DESC, ss_wc DESC, ss_sp DESC, ss_item_sk, ss_customer_sk
+LIMIT 100
+""",
+)
+def tpcds_q78(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q78 shape (tpcds/q78.sql: per-channel CTEs of UNRETURNED
+    sales — sales LEFT JOIN returns, keep the null side — grouped on
+    (year, item, customer); store channel LEFT JOINed to the other two and
+    filtered to customers active elsewhere; store-vs-other quantity
+    ratio). The LEFT-JOIN-IS-NULL is the reference's anti-join idiom,
+    preserved verbatim (Catalyst plans it as an anti join). Channels are
+    l_linenumber mod 3; returns are the channel's R rows."""
+    li, orders = _t(spark, sf_dir, "lineitem", "orders")
+
+    def channel(mod: int, pre: str) -> DataFrame:
+        sales = li.filter(F.col("l_linenumber") % 3 == mod)
+        rets = sales.filter(F.col("l_returnflag") == "R").select(
+            F.col("l_orderkey").alias("r_ok"), F.col("l_linenumber").alias("r_ln")
+        )
+        kept = (
+            sales.join(
+                rets,
+                (F.col("r_ok") == F.col("l_orderkey"))
+                & (F.col("r_ln") == F.col("l_linenumber")),
+                "left",
+            )
+            .filter(F.col("r_ok").isNull())
+            .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        )
+        return kept.groupBy(
+            F.year("l_shipdate").alias(f"{pre}_sold_year"),
+            F.col("l_partkey").alias(f"{pre}_item_sk"),
+            F.col("o_custkey").alias(f"{pre}_customer_sk"),
+        ).agg(
+            F.sum("l_quantity").cast("bigint").alias(f"{pre}_qty"),
+            _csum(_rev()).alias(f"{pre}_wc"),
+            _csum(F.col("l_extendedprice")).alias(f"{pre}_sp"),
+        )
+
+    ss, ws, cs = channel(0, "ss"), channel(1, "ws"), channel(2, "cs")
+    j = (
+        ss.join(
+            ws,
+            (F.col("ws_sold_year") == F.col("ss_sold_year"))
+            & (F.col("ws_item_sk") == F.col("ss_item_sk"))
+            & (F.col("ws_customer_sk") == F.col("ss_customer_sk")),
+            "left",
+        )
+        .join(
+            cs,
+            (F.col("cs_sold_year") == F.col("ss_sold_year"))
+            & (F.col("cs_item_sk") == F.col("ss_item_sk"))
+            & (F.col("cs_customer_sk") == F.col("ss_customer_sk")),
+            "left",
+        )
+        .filter(
+            ((F.coalesce(F.col("ws_qty"), F.lit(0)) > 0)
+             | (F.coalesce(F.col("cs_qty"), F.lit(0)) > 0))
+            & (F.col("ss_sold_year") == 1996)
+        )
+    )
+    return (
+        j.select(
+            "ss_item_sk", "ss_customer_sk",
+            F.round(
+                F.col("ss_qty").cast("double")
+                / F.coalesce(F.col("ws_qty") + F.col("cs_qty"), F.lit(1)),
+                2,
+            ).alias("ratio"),
+            F.col("ss_qty").alias("store_qty"),
+            F.col("ss_wc").alias("store_wholesale_cost"),
+            F.col("ss_sp").alias("store_sales_price"),
+            (F.coalesce(F.col("ws_qty"), F.lit(0))
+             + F.coalesce(F.col("cs_qty"), F.lit(0))).alias("other_chan_qty"),
+            (F.coalesce(F.col("ws_wc"), F.lit(0))
+             + F.coalesce(F.col("cs_wc"), F.lit(0))).alias("other_chan_wholesale_cost"),
+            (F.coalesce(F.col("ws_sp"), F.lit(0))
+             + F.coalesce(F.col("cs_sp"), F.lit(0))).alias("other_chan_sales_price"),
+        )
+        .orderBy(
+            "ratio", F.desc("store_qty"), F.desc("store_wholesale_cost"),
+            F.desc("store_sales_price"), "ss_item_sk", "ss_customer_sk",
+        )
+        .limit(100)
+    )
+
+
+# --- q93: returns-adjusted actual sales per customer -----------------------
+
+@_q(
+    "tpcds_q93",
+    """
+SELECT o_custkey AS ss_customer_sk, CAST(sum(act_sales) AS BIGINT) AS sumsales
+FROM (
+  SELECT o.o_custkey,
+         CASE WHEN r.ret_qty IS NOT NULL
+              THEN round((l.l_quantity - r.ret_qty) / l.l_quantity * l.l_extendedprice * 100)
+              ELSE round(l.l_extendedprice * 100) END AS act_sales
+  FROM lineitem l
+  LEFT JOIN (
+    SELECT li.l_orderkey AS ret_ok, li.l_linenumber AS ret_ln,
+           floor(li.l_quantity / 2) AS ret_qty, s.s_nationkey
+    FROM lineitem li JOIN supplier s ON li.l_suppkey = s.s_suppkey
+    WHERE li.l_returnflag = 'R'
+  ) r ON r.ret_ok = l.l_orderkey AND r.ret_ln = l.l_linenumber
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE r.s_nationkey = 7
+) t
+GROUP BY o_custkey
+ORDER BY sumsales, ss_customer_sk
+LIMIT 100
+""",
+)
+def tpcds_q93(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q93 shape (tpcds/q93.sql: store_sales LEFT JOIN store_returns
+    on (item, ticket) with the reason-dim filter that — exactly as in the
+    reference text — turns the outer join into an inner one; per-row
+    actual-sales = sold minus returned quantity repriced). Returns are the
+    R rows at half quantity; 'reason 28' maps to the returning supplier's
+    nation 7. round() of identical IEEE expressions keeps cents aligned."""
+    li, orders, supp = _t(spark, sf_dir, "lineitem", "orders", "supplier")
+    rets = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("l_orderkey").alias("ret_ok"),
+            F.col("l_linenumber").alias("ret_ln"),
+            F.floor(F.col("l_quantity") / 2).alias("ret_qty"),
+            "s_nationkey",
+        )
+    )
+    t = (
+        li.join(
+            rets,
+            (F.col("ret_ok") == F.col("l_orderkey"))
+            & (F.col("ret_ln") == F.col("l_linenumber")),
+            "left",
+        )
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("s_nationkey") == 7)
+        .select(
+            "o_custkey",
+            F.when(
+                F.col("ret_qty").isNotNull(),
+                F.round(
+                    (F.col("l_quantity") - F.col("ret_qty"))
+                    / F.col("l_quantity") * F.col("l_extendedprice") * 100
+                ),
+            )
+            .otherwise(F.round(F.col("l_extendedprice") * 100))
+            .alias("act_sales"),
+        )
+    )
+    return (
+        t.groupBy(F.col("o_custkey").alias("ss_customer_sk"))
+        .agg(F.sum("act_sales").cast("bigint").alias("sumsales"))
+        .orderBy("sumsales", "ss_customer_sk")
+        .limit(100)
+    )
+
+
+# --- q97: channel-overlap counts via FULL OUTER join -----------------------
+
+def _q97_channel_sql(flag: str) -> str:
+    return f"""
+   SELECT o.o_custkey AS customer_sk, l.l_partkey AS item_sk
+   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+   WHERE l.l_returnflag = '{flag}' AND year(o.o_orderdate) BETWEEN 1996 AND 1997
+   GROUP BY o.o_custkey, l.l_partkey"""
+
+
+@_q(
+    "tpcds_q97",
+    f"""
+WITH ssci AS ({_q97_channel_sql('N')}),
+     csci AS ({_q97_channel_sql('A')})
+SELECT CAST(sum(CASE WHEN ssci.customer_sk IS NOT NULL AND csci.customer_sk IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS store_only,
+       CAST(sum(CASE WHEN ssci.customer_sk IS NULL AND csci.customer_sk IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS catalog_only,
+       CAST(sum(CASE WHEN ssci.customer_sk IS NOT NULL AND csci.customer_sk IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS store_and_catalog
+FROM ssci
+FULL JOIN csci ON ssci.customer_sk = csci.customer_sk AND ssci.item_sk = csci.item_sk
+""",
+)
+def tpcds_q97(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q97 shape (tpcds/q97.sql: DISTINCT (customer, item) pairs per
+    channel, FULL OUTER joined on the pair, classified into store-only /
+    catalog-only / both counts). Scale: each channel is one distinct
+    shuffle on the composite key; the FULL OUTER is an equi-join of the
+    deduplicated sides — no row explosion; the final count is a global
+    agg of the join output."""
+    li, orders = _t(spark, sf_dir, "lineitem", "orders")
+
+    def channel(flag: str) -> DataFrame:
+        return (
+            li.filter(F.col("l_returnflag") == flag)
+            .join(orders.filter(F.year("o_orderdate").between(1996, 1997)),
+                  F.col("l_orderkey") == F.col("o_orderkey"))
+            .select(F.col("o_custkey").alias("customer_sk"),
+                    F.col("l_partkey").alias("item_sk"))
+            .distinct()
+        )
+
+    ssci, csci = channel("N").alias("ssci"), channel("A").alias("csci")
+    j = ssci.join(
+        csci,
+        (F.col("ssci.customer_sk") == F.col("csci.customer_sk"))
+        & (F.col("ssci.item_sk") == F.col("csci.item_sk")),
+        "full_outer",
+    )
+    both = F.col("ssci.customer_sk").isNotNull() & F.col("csci.customer_sk").isNotNull()
+    s_only = F.col("ssci.customer_sk").isNotNull() & F.col("csci.customer_sk").isNull()
+    c_only = F.col("ssci.customer_sk").isNull() & F.col("csci.customer_sk").isNotNull()
+    return j.agg(
+        F.sum(F.when(s_only, 1).otherwise(0)).cast("bigint").alias("store_only"),
+        F.sum(F.when(c_only, 1).otherwise(0)).cast("bigint").alias("catalog_only"),
+        F.sum(F.when(both, 1).otherwise(0)).cast("bigint").alias("store_and_catalog"),
+    )
