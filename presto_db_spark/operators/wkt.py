@@ -295,10 +295,17 @@ def _wkt_pentagon(key: str) -> str:
     return "('POLYGON ((' || " + " || ', ' || ".join(pts) + " || '))')"
 
 
-def _wkt_diamond(key: str, cx_expr: str, cy_expr: str, r: int = 6) -> str:
+def _wkt_diamond(
+    key: str, cx_expr: str, cy_expr: str, r: int = 6, r_expr: str | None = None
+) -> str:
+    rx = r_expr if r_expr is not None else str(r)
     pts = [
-        f"CAST({cx_expr} + {dx} AS STRING) || ' ' || CAST({cy_expr} + {dy} AS STRING)"
-        for dx, dy in [(0, -r), (r, 0), (0, r), (-r, 0), (0, -r)]
+        f"CAST({cx_expr} {sx} {rx if dx else 0} AS STRING) || ' ' || "
+        f"CAST({cy_expr} {sy} {rx if dy else 0} AS STRING)"
+        for dx, dy, sx, sy in [
+            (0, 1, "+", "-"), (1, 0, "+", "+"), (0, 1, "+", "+"),
+            (1, 0, "-", "+"), (0, 1, "+", "-"),
+        ]
     ]
     return "('POLYGON ((' || " + " || ', ' || ".join(pts) + " || '))')"
 
@@ -474,3 +481,132 @@ def geo_wkt_intersects_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("nk", "pid")
     )
+
+
+# --- measures: area / centroid / envelope ----------------------------------
+
+def _shoelace(xs: Column, ys: Column) -> Column:
+    """Signed twice-area fold over a closed ring's segments."""
+    return _seg_fold(
+        xs, ys, F.lit(0.0),
+        lambda acc, x1, y1, x2, y2: acc + (x1 * y2 - x2 * y1),
+    )
+
+
+def st_area_ring(xs: Column, ys: Column) -> Column:
+    """Shoelace polygon area (GeoFunctions.java ST_Area)."""
+    return F.abs(_shoelace(xs, ys)) / 2
+
+
+def st_centroid_ring(xs: Column, ys: Column) -> tuple[Column, Column]:
+    """Polygon centroid: Cx = Σ(x_i + x_{i+1})·cross_i / (3·Σcross_i)
+    (GeoFunctions.java ST_Centroid, polygon branch)."""
+    s = _shoelace(xs, ys)
+    cx = _seg_fold(
+        xs, ys, F.lit(0.0),
+        lambda acc, x1, y1, x2, y2: acc + (x1 + x2) * (x1 * y2 - x2 * y1),
+    )
+    cy = _seg_fold(
+        xs, ys, F.lit(0.0),
+        lambda acc, x1, y1, x2, y2: acc + (y1 + y2) * (x1 * y2 - x2 * y1),
+    )
+    return cx / (3 * s), cy / (3 * s)
+
+
+def st_envelope_wkt(xs: Column, ys: Column) -> Column:
+    """Axis-aligned bounding box rendered as canonical POLYGON WKT
+    (GeoFunctions.java ST_Envelope; corner order xmin/ymin → xmax/ymin →
+    xmax/ymax → xmin/ymax, ring closed)."""
+    xmin, xmax = F.array_min(xs), F.array_max(xs)
+    ymin, ymax = F.array_min(ys), F.array_max(ys)
+    exs = F.array(xmin, xmax, xmax, xmin, xmin)
+    eys = F.array(ymin, ymin, ymax, ymax, ymin)
+    return st_astext(F.lit("POLYGON"), exs, eys)
+
+
+_SQL_SHOELACE = (
+    "list_sum(list_transform(generate_series(1, len({xs}) - 1), i -> "
+    "({xs}[i] * {ys}[i+1] - {xs}[i+1] * {ys}[i])))"
+)
+_SQL_AREA = "(abs(" + _SQL_SHOELACE + ") / 2)"
+_SQL_CX = (
+    "(list_sum(list_transform(generate_series(1, len({xs}) - 1), i -> "
+    "({xs}[i] + {xs}[i+1]) * ({xs}[i] * {ys}[i+1] - {xs}[i+1] * {ys}[i]))) / (3 * "
+    + _SQL_SHOELACE + "))"
+)
+_SQL_CY = (
+    "(list_sum(list_transform(generate_series(1, len({xs}) - 1), i -> "
+    "({ys}[i] + {ys}[i+1]) * ({xs}[i] * {ys}[i+1] - {xs}[i+1] * {ys}[i]))) / (3 * "
+    + _SQL_SHOELACE + "))"
+)
+_SQL_ENVELOPE = _SQL_ASTEXT.format(
+    g="'POLYGON'",
+    xs="list_value(list_min({xs}), list_max({xs}), list_max({xs}), list_min({xs}), list_min({xs}))",
+    ys="list_value(list_min({ys}), list_min({ys}), list_max({ys}), list_max({ys}), list_min({ys}))",
+)
+
+
+@_q(
+    "geo_wkt_envelope",
+    f"""
+WITH g AS (
+  SELECT c_custkey AS pid,
+         {_wkt_diamond('c_custkey',
+                       'CAST((c_custkey * 37) % 1000 AS BIGINT) / 10',
+                       'CAST((c_custkey * 73) % 1000 AS BIGINT) / 10',
+                       r_expr='(c_custkey % 5 + 3)')} AS w
+  FROM customer WHERE c_custkey < 2000
+), parsed AS (
+  SELECT pid, {_SQL_XS.format(w='w')} AS xs, {_SQL_YS.format(w='w')} AS ys FROM g
+)
+SELECT pid,
+       round({_SQL_AREA.format(xs='xs', ys='ys')}, 6) AS area,
+       round({_SQL_LENGTH.format(xs='xs', ys='ys')}, 6) AS perimeter,
+       round({_SQL_CX.format(xs='xs', ys='ys')}, 6) AS cx,
+       round({_SQL_CY.format(xs='xs', ys='ys')}, 6) AS cy,
+       round(list_min(xs), 6) AS xmin, round(list_max(xs), 6) AS xmax,
+       round(list_min(ys), 6) AS ymin, round(list_max(ys), 6) AS ymax,
+       {_SQL_ENVELOPE.format(xs='xs', ys='ys')} AS envelope,
+       {_SQL_CONTAINS.format(xs='xs', ys='ys',
+                             px=_SQL_CX.format(xs='xs', ys='ys'),
+                             py=_SQL_CY.format(xs='xs', ys='ys'))} AS centroid_within
+FROM parsed
+ORDER BY pid
+""",
+)
+def geo_wkt_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Area / ST_Length(perimeter) / ST_Centroid / ST_XMin..ST_YMax /
+    ST_Envelope / ST_Within over variable-radius WKT diamonds
+    (GeoFunctions.java:517 ST_Area, :568 ST_Centroid, :700 ST_Envelope,
+    :861-929 ST_XMin family, :1195 ST_Within). Pure expression folds —
+    one scan, no shuffle, no UDF; centroid_within re-applies the
+    crossing-number predicate at the computed centroid (true for these
+    convex rings)."""
+    cust = _t(spark, sf_dir, "customer")[0]
+    g = cust.filter(F.col("c_custkey") < 2000).select(
+        F.col("c_custkey").alias("pid"),
+        F.expr(
+            _wkt_diamond(
+                "c_custkey",
+                "CAST((c_custkey * 37) % 1000 AS BIGINT) / 10",
+                "CAST((c_custkey * 73) % 1000 AS BIGINT) / 10",
+                r_expr="(c_custkey % 5 + 3)",
+            )
+        ).alias("w"),
+    )
+    parsed = g.select("pid", st_xs(F.col("w")).alias("xs"), st_ys(F.col("w")).alias("ys"))
+    xs, ys = F.col("xs"), F.col("ys")
+    cx, cy = st_centroid_ring(xs, ys)
+    return parsed.select(
+        "pid",
+        F.round(st_area_ring(xs, ys), 6).alias("area"),
+        F.round(st_length(xs, ys), 6).alias("perimeter"),
+        F.round(cx, 6).alias("cx"),
+        F.round(cy, 6).alias("cy"),
+        F.round(F.array_min(xs), 6).alias("xmin"),
+        F.round(F.array_max(xs), 6).alias("xmax"),
+        F.round(F.array_min(ys), 6).alias("ymin"),
+        F.round(F.array_max(ys), 6).alias("ymax"),
+        st_envelope_wkt(xs, ys).alias("envelope"),
+        st_contains_ring(xs, ys, cx, cy).alias("centroid_within"),
+    ).orderBy("pid")
