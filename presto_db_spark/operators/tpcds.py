@@ -1778,3 +1778,250 @@ def tpcds_q97(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(c_only, 1).otherwise(0)).cast("bigint").alias("catalog_only"),
         F.sum(F.when(both, 1).otherwise(0)).cast("bigint").alias("store_and_catalog"),
     )
+
+
+# --- q31: quarter-over-quarter share growth, 6-way CTE self-join -----------
+
+_Q31_SS_SQL = """
+   SELECT c.c_nationkey AS county, quarter(o.o_orderdate) AS d_qoy,
+          year(o.o_orderdate) AS d_year,
+          sum(round(l.l_extendedprice * (1 - l.l_discount) * 100)) AS store_sales
+   FROM lineitem l
+   JOIN orders o ON l.l_orderkey = o.o_orderkey
+   JOIN customer c ON o.o_custkey = c.c_custkey
+   GROUP BY c.c_nationkey, quarter(o.o_orderdate), year(o.o_orderdate)"""
+_Q31_WS_SQL = """
+   SELECT c.c_nationkey AS county, quarter(o.o_orderdate) AS d_qoy,
+          year(o.o_orderdate) AS d_year,
+          sum(round(o.o_totalprice * 100)) AS web_sales
+   FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+   GROUP BY c.c_nationkey, quarter(o.o_orderdate), year(o.o_orderdate)"""
+
+
+@_q(
+    "tpcds_q31",
+    f"""
+WITH ss AS ({_Q31_SS_SQL}),
+     ws AS ({_Q31_WS_SQL})
+SELECT ss1.county, ss1.d_year,
+       CAST(ws2.web_sales AS DOUBLE) / ws1.web_sales AS web_q1_q2_increase,
+       CAST(ss2.store_sales AS DOUBLE) / ss1.store_sales AS store_q1_q2_increase,
+       CAST(ws3.web_sales AS DOUBLE) / ws2.web_sales AS web_q2_q3_increase,
+       CAST(ss3.store_sales AS DOUBLE) / ss2.store_sales AS store_q2_q3_increase
+FROM ss ss1, ss ss2, ss ss3, ws ws1, ws ws2, ws ws3
+WHERE ss1.d_qoy = 1 AND ss1.d_year = 1996
+  AND ss1.county = ss2.county AND ss2.d_qoy = 2 AND ss2.d_year = 1996
+  AND ss2.county = ss3.county AND ss3.d_qoy = 3 AND ss3.d_year = 1996
+  AND ss1.county = ws1.county AND ws1.d_qoy = 1 AND ws1.d_year = 1996
+  AND ws1.county = ws2.county AND ws2.d_qoy = 2 AND ws2.d_year = 1996
+  AND ws2.county = ws3.county AND ws3.d_qoy = 3 AND ws3.d_year = 1996
+  AND ws2.web_sales * ss1.store_sales > ss2.store_sales * ws1.web_sales
+  AND ws3.web_sales * ss2.store_sales > ss3.store_sales * ws2.web_sales
+ORDER BY ss1.county
+""",
+)
+def tpcds_q31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q31 shape (tpcds/q31.sql: per-county quarterly sales for the
+    store and web channels, each CTE instantiated THREE times (q1/q2/q3)
+    and six-way joined on county; keep counties where the web channel grew
+    faster than store in both quarter transitions). The growth comparison
+    ws2/ws1 > ss2/ss1 is cross-multiplied to exact integer cents. Scale:
+    one shuffle per channel CTE; the six instances are slices of the same
+    two grouped outputs (tiny), joined on the county key."""
+    li, orders, cust = _t(spark, sf_dir, "lineitem", "orders", "customer")
+    ss = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("county"),
+            F.quarter("o_orderdate").alias("d_qoy"),
+            F.year("o_orderdate").alias("d_year"),
+        )
+        .agg(_csum(_rev()).alias("store_sales"))
+    )
+    ws = (
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("county"),
+            F.quarter("o_orderdate").alias("d_qoy"),
+            F.year("o_orderdate").alias("d_year"),
+        )
+        .agg(_csum(F.col("o_totalprice")).alias("web_sales"))
+    )
+
+    def pick(df, q, col):
+        return df.filter((F.col("d_qoy") == q) & (F.col("d_year") == 1996)).select(
+            "county", F.col(col).alias(f"{col}_{q}")
+        )
+
+    j = (
+        pick(ss, 1, "store_sales")
+        .join(pick(ss, 2, "store_sales"), "county")
+        .join(pick(ss, 3, "store_sales"), "county")
+        .join(pick(ws, 1, "web_sales"), "county")
+        .join(pick(ws, 2, "web_sales"), "county")
+        .join(pick(ws, 3, "web_sales"), "county")
+    )
+    j = j.filter(
+        (F.col("web_sales_2") * F.col("store_sales_1")
+         > F.col("store_sales_2") * F.col("web_sales_1"))
+        & (F.col("web_sales_3") * F.col("store_sales_2")
+           > F.col("store_sales_3") * F.col("web_sales_2"))
+    )
+    return j.select(
+        "county",
+        F.lit(1996).alias("d_year"),
+        (F.col("web_sales_2").cast("double") / F.col("web_sales_1")).alias("web_q1_q2_increase"),
+        (F.col("store_sales_2").cast("double") / F.col("store_sales_1")).alias("store_q1_q2_increase"),
+        (F.col("web_sales_3").cast("double") / F.col("web_sales_2")).alias("web_q2_q3_increase"),
+        (F.col("store_sales_3").cast("double") / F.col("store_sales_2")).alias("store_q2_q3_increase"),
+    ).orderBy("county")
+
+
+# --- q44: best/worst performing items by asc/desc rank join ----------------
+
+_Q44_ITEM_AVG_SQL = """
+   SELECT l_partkey AS item_sk,
+          sum(round(l_extendedprice * (1 - l_discount) * 100)) AS s_cents,
+          count(*) AS cnt
+   FROM lineitem WHERE l_suppkey % 10 = 4
+   GROUP BY l_partkey"""
+_Q44_BASE_SQL = """
+   SELECT CAST(sum(round(l_extendedprice * (1 - l_discount) * 100)) AS BIGINT) AS g_cents,
+          count(*) AS g_cnt
+   FROM lineitem WHERE l_suppkey % 10 = 4 AND l_returnflag = 'R'"""
+
+
+@_q(
+    "tpcds_q44",
+    f"""
+WITH item_avg AS ({_Q44_ITEM_AVG_SQL}),
+     base AS ({_Q44_BASE_SQL}),
+     v1 AS (
+       SELECT item_sk, CAST(s_cents AS DOUBLE) / cnt AS rank_col
+       FROM item_avg, base
+       WHERE s_cents * 10 * g_cnt > 9 * g_cents * cnt
+     ),
+     asceding AS (
+       SELECT item_sk, rnk FROM (
+         SELECT item_sk, rank() OVER (ORDER BY rank_col, item_sk) AS rnk FROM v1
+       ) WHERE rnk < 11
+     ),
+     desceding AS (
+       SELECT item_sk, rnk FROM (
+         SELECT item_sk, rank() OVER (ORDER BY rank_col DESC, item_sk) AS rnk FROM v1
+       ) WHERE rnk < 11
+     )
+SELECT a.rnk, p1.p_name AS best_performing, p2.p_name AS worst_performing
+FROM asceding a
+JOIN desceding d ON a.rnk = d.rnk
+JOIN part p1 ON p1.p_partkey = d.item_sk
+JOIN part p2 ON p2.p_partkey = a.item_sk
+ORDER BY a.rnk
+""",
+)
+def tpcds_q44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q44 shape (tpcds/q44.sql: per-item average profit for one
+    store, HAVING above 0.9x a scalar-subquery baseline, ranked ascending
+    AND descending, the two top-10 rank lists joined on rank, item dim
+    joined twice for best/worst names). The 0.9x threshold is
+    cross-multiplied to exact integers; ranks tie-break on item_sk so
+    both engines order identically. Note the reference swaps best/worst
+    via the i1/i2 join order — preserved. Scale: one item aggregation,
+    one broadcast scalar, two global windows over the (small) item-avg
+    set, broadcast dim joins."""
+    li, part = _t(spark, sf_dir, "lineitem", "part")
+    store = li.filter(F.col("l_suppkey") % 10 == 4)
+    item_avg = store.groupBy(F.col("l_partkey").alias("item_sk")).agg(
+        _csum(_rev()).alias("s_cents"), F.count("*").alias("cnt")
+    )
+    base = store.filter(F.col("l_returnflag") == "R").agg(
+        F.sum(F.round(_rev() * 100)).cast("bigint").alias("g_cents"),
+        F.count("*").alias("g_cnt"),
+    )
+    v1 = (
+        item_avg.crossJoin(F.broadcast(base))
+        .filter(F.col("s_cents") * 10 * F.col("g_cnt") > 9 * F.col("g_cents") * F.col("cnt"))
+        .select("item_sk", (F.col("s_cents").cast("double") / F.col("cnt")).alias("rank_col"))
+    )
+    asc = v1.select(
+        "item_sk", F.rank().over(W.orderBy("rank_col", "item_sk")).alias("rnk")
+    ).filter(F.col("rnk") < 11)
+    desc = v1.select(
+        "item_sk", F.rank().over(W.orderBy(F.desc("rank_col"), F.asc("item_sk"))).alias("rnk")
+    ).filter(F.col("rnk") < 11)
+    p1, p2 = part.alias("p1"), part.alias("p2")
+    return (
+        asc.alias("a")
+        .join(desc.alias("d"), "rnk")
+        .join(p1, F.col("p1.p_partkey") == F.col("d.item_sk"))
+        .join(p2, F.col("p2.p_partkey") == F.col("a.item_sk"))
+        .select(
+            "rnk",
+            F.col("p1.p_name").alias("best_performing"),
+            F.col("p2.p_name").alias("worst_performing"),
+        )
+        .orderBy("rnk")
+    )
+
+
+# --- q50: sale-to-return latency buckets per store -------------------------
+
+@_q(
+    "tpcds_q50",
+    """
+SELECT s.s_name, s.s_nationkey,
+       CAST(sum(CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 30
+                     THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+       CAST(sum(CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) > 30
+                      AND date_diff('day', o.o_orderdate, l.l_shipdate) <= 60
+                     THEN 1 ELSE 0 END) AS BIGINT) AS d31_60,
+       CAST(sum(CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) > 60
+                      AND date_diff('day', o.o_orderdate, l.l_shipdate) <= 90
+                     THEN 1 ELSE 0 END) AS BIGINT) AS d61_90,
+       CAST(sum(CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) > 90
+                      AND date_diff('day', o.o_orderdate, l.l_shipdate) <= 120
+                     THEN 1 ELSE 0 END) AS BIGINT) AS d91_120,
+       CAST(sum(CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) > 120
+                     THEN 1 ELSE 0 END) AS BIGINT) AS d_over_120
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+WHERE l.l_returnflag = 'R' AND year(l.l_shipdate) = 1996 AND month(l.l_shipdate) = 8
+GROUP BY s.s_name, s.s_nationkey
+ORDER BY s.s_name, s.s_nationkey
+LIMIT 100
+""",
+)
+def tpcds_q50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q50 shape (tpcds/q50.sql: store_sales joined to
+    store_returns on ticket+item, return-latency day-gap bucketed into
+    30/60/90/120 CASE columns, grouped by the store's address block).
+    Sale date is o_orderdate, return date l_shipdate of the R rows;
+    the fact-fact ticket join is the orders equi-join. Scale: the
+    returned-in-August filter prunes the fact scan before the join; one
+    shuffle to the store grouping."""
+    li, orders, supp = _t(spark, sf_dir, "lineitem", "orders", "supplier")
+    gap = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    buckets = [
+        (gap <= 30, "d30"),
+        ((gap > 30) & (gap <= 60), "d31_60"),
+        ((gap > 60) & (gap <= 90), "d61_90"),
+        ((gap > 90) & (gap <= 120), "d91_120"),
+        (gap > 120, "d_over_120"),
+    ]
+    j = (
+        li.filter(
+            (F.col("l_returnflag") == "R")
+            & (F.year("l_shipdate") == 1996)
+            & (F.month("l_shipdate") == 8)
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    return (
+        j.groupBy("s_name", "s_nationkey")
+        .agg(*[F.sum(F.when(c, 1).otherwise(0)).cast("bigint").alias(n) for c, n in buckets])
+        .orderBy("s_name", "s_nationkey")
+        .limit(100)
+    )
