@@ -20,9 +20,14 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .catalog import TABLES, register_tables
 from .ddl import DdlMixin
-from .functions.dialect import DEFAULT_CATALOGS, rewrite_presto_sql
+from .functions.dialect import _TOKEN, DEFAULT_CATALOGS, rewrite_presto_sql
 from .functions.presto import register_presto_functions
 from .session import get_spark
+
+_PREPARE_RE = re.compile(r"(?is)^\s*PREPARE\s+([A-Za-z_][A-Za-z0-9_]*)\s+FROM\s+(.+?)\s*;?\s*$")
+_EXECUTE_RE = re.compile(r"(?is)^\s*EXECUTE\s+([A-Za-z_][A-Za-z0-9_]*)\s*(?:\s+USING\s+(.+?))?\s*;?\s*$")
+_DEALLOCATE_RE = re.compile(r"(?is)^\s*DEALLOCATE\s+PREPARE\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$")
+_DESCRIBE_IO_RE = re.compile(r"(?is)^\s*DESCRIBE\s+(INPUT|OUTPUT)\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$")
 
 
 class Engine(DdlMixin):
@@ -33,6 +38,10 @@ class Engine(DdlMixin):
         # Catalog names stripped from three-part table references by the
         # dialect rewriter (Presto catalog.schema.table → flat temp view).
         self.catalogs: set[str] = set(DEFAULT_CATALOGS)
+        # PREPARE name FROM stmt session store (SqlBase.g4:119-121;
+        # pm/execution/PrepareTask.java) — raw text, parameters bound and
+        # the dialect applied at EXECUTE time.
+        self.prepared: dict[str, str] = {}
         if sf_dir:
             self.attach(sf_dir)
 
@@ -46,7 +55,18 @@ class Engine(DdlMixin):
         catalog-prefixed names, ARRAY[]/ROW() constructors, AT TIME ZONE,
         UNNEST join forms, aggregate renames, arity-dependent regexp
         defaults, literal-format datetime calls, TRY guidance — are
-        rewritten first; see :mod:`functions.dialect`."""
+        rewritten first; see :mod:`functions.dialect`.
+
+        The prepared-statement lifecycle (``PREPARE name FROM stmt``,
+        ``EXECUTE name [USING expr, ...]``, ``DEALLOCATE PREPARE name``,
+        ``DESCRIBE INPUT|OUTPUT name`` — SqlBase.g4:119-121,
+        ``pm/execution/PrepareTask.java``) is handled here, since Spark has
+        no session statement store. Positional ``?`` parameters are bound
+        textually left-to-right, literal-safe (a ``?`` inside a string
+        stays data)."""
+        handled = self._prepared_statement(query)
+        if handled is not None:
+            return handled
         if dialect:
             # Presto REQUIRES SQL-invoked functions to live in a namespace
             # (CREATE FUNCTION example.default.tan — SqlBase.g4:62). Learn
@@ -62,6 +82,95 @@ class Engine(DdlMixin):
                 self.catalogs.add(m.group(1).lower())
             query = rewrite_presto_sql(query, catalogs=frozenset(self.catalogs))
         return self.spark.sql(query)
+
+    def _prepared_statement(self, query: str) -> DataFrame | None:
+        """Intercept the PREPARE/EXECUTE/DEALLOCATE/DESCRIBE-IO statements;
+        None means 'not one of them — run normally'."""
+        m = _PREPARE_RE.match(query)
+        if m:
+            self.prepared[m.group(1).lower()] = m.group(2)
+            return self.spark.createDataFrame([("PREPARE",)], "result: string")
+        m = _DEALLOCATE_RE.match(query)
+        if m:
+            name = m.group(1).lower()
+            if name not in self.prepared:
+                raise KeyError(f"Prepared statement not found: {name}")
+            del self.prepared[name]
+            return self.spark.createDataFrame([("DEALLOCATE",)], "result: string")
+        m = _DESCRIBE_IO_RE.match(query)
+        if m:
+            kind, name = m.group(1).upper(), m.group(2).lower()
+            text = self._lookup_prepared(name)
+            if kind == "INPUT":
+                # Presto reports each ? parameter's position (and inferred
+                # type; 'unknown' without analysis — ours always is).
+                slots = [
+                    (i, "unknown")
+                    for i, t in enumerate(self._parameter_tokens(text))
+                ]
+                return self.spark.createDataFrame(
+                    slots or [], "position: int, type: string"
+                )
+            bound = self._bind_parameters(
+                text, ["NULL"] * len(self._parameter_tokens(text))
+            )
+            df = self.sql(bound)
+            rows = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+            return self.spark.createDataFrame(rows, "column_name: string, type: string")
+        m = _EXECUTE_RE.match(query)
+        if m:
+            name, args_text = m.group(1).lower(), m.group(2)
+            text = self._lookup_prepared(name)
+            args = self._split_using(args_text) if args_text else []
+            return self.sql(self._bind_parameters(text, args))
+        return None
+
+    def _lookup_prepared(self, name: str) -> str:
+        if name not in self.prepared:
+            raise KeyError(f"Prepared statement not found: {name}")
+        return self.prepared[name]
+
+    @staticmethod
+    def _parameter_tokens(text: str) -> list[int]:
+        """Token indices of top-level ? placeholders (string-literal-safe)."""
+        toks = _TOKEN.findall(text)
+        return [i for i, t in enumerate(toks) if t == "?"]
+
+    @staticmethod
+    def _split_using(args_text: str) -> list[str]:
+        """Split the USING list on top-level commas (parens/strings safe)."""
+        toks = _TOKEN.findall(args_text)
+        out, cur, depth = [], [], 0
+        for t in toks:
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+            if t == "," and depth == 0:
+                out.append("".join(cur).strip())
+                cur = []
+            else:
+                cur.append(t)
+        if "".join(cur).strip():
+            out.append("".join(cur).strip())
+        return out
+
+    @staticmethod
+    def _bind_parameters(text: str, args: list[str]) -> str:
+        """Substitute ? placeholders left-to-right with the USING
+        expressions (parenthesized, as Presto binds them as constant
+        expressions). Count mismatch is an error, as in the reference
+        (QueryPreparer: 'Incorrect number of parameters')."""
+        toks = _TOKEN.findall(text)
+        slots = [i for i, t in enumerate(toks) if t == "?"]
+        if len(slots) != len(args):
+            raise ValueError(
+                f"Incorrect number of parameters: expected {len(slots)} "
+                f"but found {len(args)}"
+            )
+        for i, a in zip(slots, args):
+            toks[i] = f"({a})"
+        return "".join(toks)
 
     def strict_errors(self, enabled: bool = True) -> None:
         """Presto evaluates with ANSI error semantics ALWAYS — division by

@@ -143,3 +143,41 @@ def test_create_function_presto_grammar(engine):
     engine.sql("DROP FUNCTION example.default.tan_deg")
     engine.sql("DROP FUNCTION IF EXISTS nn")
     assert "tan_deg" not in engine.show_functions(like="tan%")
+
+
+def test_prepared_statement_lifecycle(engine):
+    """PREPARE / EXECUTE USING / DEALLOCATE PREPARE / DESCRIBE INPUT|OUTPUT
+    (SqlBase.g4:119-121, pm/execution/PrepareTask.java): positional ?
+    binding is literal-safe, expression args allowed, count mismatch and
+    unknown handles are errors, the dialect applies to the prepared body."""
+    import pytest
+
+    assert engine.sql(
+        "PREPARE q1 FROM SELECT c_name FROM customer "
+        "WHERE c_custkey = ? AND c_name <> 'a?b'"
+    ).collect()[0].result == "PREPARE"
+    direct = engine.sql(
+        "SELECT c_name FROM customer WHERE c_custkey = 7 AND c_name <> 'a?b'"
+    ).collect()
+    assert engine.sql("EXECUTE q1 USING 7").collect() == direct
+    assert engine.sql("EXECUTE q1 USING 3 + 4").collect() == direct
+
+    rows = engine.sql("DESCRIBE INPUT q1").collect()
+    assert [(r.position, r.type) for r in rows] == [(0, "unknown")]
+    out = engine.sql("DESCRIBE OUTPUT q1").collect()
+    assert [(r.column_name, r.type) for r in out] == [("c_name", "string")]
+
+    with pytest.raises(ValueError, match="Incorrect number of parameters"):
+        engine.sql("EXECUTE q1 USING 1, 2")
+    assert engine.sql("DEALLOCATE PREPARE q1").collect()[0].result == "DEALLOCATE"
+    with pytest.raises(KeyError, match="not found"):
+        engine.sql("EXECUTE q1 USING 1")
+
+    # Presto-dialect body: quoted identifier + approx_distinct rewrite at
+    # EXECUTE time.
+    engine.sql(
+        'PREPARE q2 FROM SELECT approx_distinct(c_nationkey) AS nd '
+        'FROM "customer" WHERE c_custkey < ?'
+    )
+    assert engine.sql("EXECUTE q2 USING 100").collect()[0].nd > 0
+    engine.sql("DEALLOCATE PREPARE q2")
