@@ -154,6 +154,57 @@ class DdlMixin:
         else:
             self.spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")
 
+    def show_stats(self, table: str):
+        """SHOW STATS FOR t (``presto-parser`` ShowStats →
+        ``pm/sql/rewrite/ShowStatsRewrite.java``): one row per column with
+        (data_size, distinct_values_count, nulls_fraction, low_value,
+        high_value) plus the summary row carrying row_count — the exact
+        column set the reference emits. Computed in ONE aggregation pass
+        over the table (ndv via HLL approx_count_distinct, the same
+        estimator the reference's stats calculator uses), so it works on
+        the session's temp-view parquet tables where engine-catalog stats
+        don't exist."""
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        df = self.spark.table(table)
+        aggs, per_col = [], []
+        for f in df.schema.fields:
+            c = F.col(f.name)
+            aggs += [
+                F.approx_count_distinct(c).alias(f"{f.name}__ndv"),
+                F.sum(F.when(c.isNull(), 1).otherwise(0)).alias(f"{f.name}__nulls"),
+            ]
+            is_num = isinstance(f.dataType, (T.NumericType, T.DateType, T.TimestampType))
+            if is_num:
+                aggs += [
+                    F.min(c).cast("string").alias(f"{f.name}__lo"),
+                    F.max(c).cast("string").alias(f"{f.name}__hi"),
+                ]
+            if isinstance(f.dataType, T.StringType):
+                aggs.append(F.sum(F.octet_length(c)).alias(f"{f.name}__bytes"))
+            per_col.append((f.name, is_num, isinstance(f.dataType, T.StringType)))
+        aggs.append(F.count("*").alias("__rows"))
+        r = df.agg(*aggs).collect()[0]
+        n = r["__rows"]
+        rows = [
+            (
+                name,
+                float(r[f"{name}__bytes"]) if is_str and r[f"{name}__bytes"] is not None else None,
+                float(r[f"{name}__ndv"]),
+                (float(r[f"{name}__nulls"]) / n) if n else 0.0,
+                r[f"{name}__lo"] if is_num else None,
+                r[f"{name}__hi"] if is_num else None,
+                None,
+            )
+            for name, is_num, is_str in per_col
+        ] + [(None, None, None, None, None, None, float(n))]
+        return self.spark.createDataFrame(
+            rows,
+            "column_name: string, data_size: double, distinct_values_count: double, "
+            "nulls_fraction: double, low_value: string, high_value: string, row_count: double",
+        )
+
     def explain(self, sql: str, mode: str = "formatted") -> str:
         """EXPLAIN passthrough. Modes: simple|extended|codegen|cost|formatted."""
         df = self.spark.sql(sql)

@@ -28,6 +28,7 @@ _PREPARE_RE = re.compile(r"(?is)^\s*PREPARE\s+([A-Za-z_][A-Za-z0-9_]*)\s+FROM\s+
 _EXECUTE_RE = re.compile(r"(?is)^\s*EXECUTE\s+([A-Za-z_][A-Za-z0-9_]*)\s*(?:\s+USING\s+(.+?))?\s*;?\s*$")
 _DEALLOCATE_RE = re.compile(r"(?is)^\s*DEALLOCATE\s+PREPARE\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$")
 _DESCRIBE_IO_RE = re.compile(r"(?is)^\s*DESCRIBE\s+(INPUT|OUTPUT)\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$")
+_SHOW_STATS_RE = re.compile(r"(?is)^\s*SHOW\s+STATS\s+FOR\s+([A-Za-z_][A-Za-z0-9_.]*)\s*;?\s*$")
 
 
 class Engine(DdlMixin):
@@ -123,6 +124,11 @@ class Engine(DdlMixin):
             text = self._lookup_prepared(name)
             args = self._split_using(args_text) if args_text else []
             return self.sql(self._bind_parameters(text, args))
+        m = _SHOW_STATS_RE.match(query)
+        if m:
+            # SHOW STATS FOR t (ShowStatsRewrite.java) — Spark has no such
+            # statement; computed by DdlMixin.show_stats.
+            return self.show_stats(m.group(1).split(".")[-1])
         return None
 
     def _lookup_prepared(self, name: str) -> str:

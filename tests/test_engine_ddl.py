@@ -181,3 +181,23 @@ def test_prepared_statement_lifecycle(engine):
     )
     assert engine.sql("EXECUTE q2 USING 100").collect()[0].nd > 0
     engine.sql("DEALLOCATE PREPARE q2")
+
+
+def test_show_stats(engine):
+    """SHOW STATS FOR t (ShowStatsRewrite.java): per-column ndv/nulls/min/max
+    rows + the summary row_count row, computed in one aggregation pass."""
+    df = engine.sql("SHOW STATS FOR customer")
+    rows = {r.column_name: r for r in df.collect()}
+    assert set(df.columns) == {
+        "column_name", "data_size", "distinct_values_count",
+        "nulls_fraction", "low_value", "high_value", "row_count",
+    }
+    n = rows[None].row_count
+    assert n and n > 0
+    ck = rows["c_custkey"]
+    assert ck.nulls_fraction == 0.0
+    assert float(ck.low_value) == 0.0 and float(ck.high_value) == n - 1
+    # HLL ndv within its documented ~5% band of the exact count
+    assert abs(ck.distinct_values_count - n) / n < 0.1
+    assert rows["c_mktsegment"].data_size > 0
+    assert engine.show_stats("nation").count() == 4  # 3 cols + summary
