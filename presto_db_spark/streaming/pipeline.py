@@ -357,3 +357,104 @@ def streaming_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("last_ts").alias("last_ts"),
         F.max_by("total_value", "n_events").alias("total_value"),
     )
+
+
+@_q(
+    "streaming_tdigest",
+    """
+SELECT user_id % 8 AS bucket, CAST(count(*) AS BIGINT) AS n,
+       TRUE AS ok_p50, TRUE AS ok_p90
+FROM events GROUP BY user_id % 8 ORDER BY bucket
+""",
+)
+def streaming_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming t-digest: incremental quantile state per group via
+    applyInPandasWithState, the streaming face of ``operators/tdigest.py``
+    (reference digests are engine-mergeable state for exactly this reason —
+    ``pm/tdigest/TDigest.java`` merge()). State = the centroid arrays;
+    each microbatch builds a digest of its rows and re-clusters it into
+    the carried state, so memory stays ≤ 2·compression doubles per group
+    forever. The oracle asserts the accuracy contract: the final streamed
+    estimate must land inside the exact [q−ε, q+ε] percentile band
+    computed batch-side (booleans pinned TRUE)."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from ..catalog import load_table
+    from ..operators.tdigest import EPS, build_digest, digest_quantile
+
+    stream = events_stream(spark, sf_dir).select(
+        (F.col("user_id") % 8).alias("bucket"), "value"
+    )
+    out_schema = StructType(
+        [
+            StructField("bucket", LongType()),
+            StructField("n", LongType()),
+            StructField("p50", DoubleType()),
+            StructField("p90", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("means", ArrayType(DoubleType())),
+            StructField("weights", ArrayType(DoubleType())),
+        ]
+    )
+
+    def update(key, pdf_iter, state: GroupState):
+        import numpy as np
+        import pandas as pd
+
+        n, means, weights = state.get if state.exists else (0, [], [])
+        m = np.asarray(means, dtype=np.float64)
+        w = np.asarray(weights, dtype=np.float64)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            bm, bw = build_digest(
+                pdf["value"].to_numpy(dtype=np.float64), np.ones(len(pdf))
+            )
+            m, w = build_digest(np.r_[m, bm], np.r_[w, bw])
+        # native-float lists: numpy scalars don't unpickle JVM-side
+        state.update((int(n), np.asarray(m).tolist(), np.asarray(w).tolist()))
+        yield pd.DataFrame(
+            {
+                "bucket": [key[0]],
+                "n": [n],
+                "p50": [digest_quantile(m, w, 0.5)],
+                "p90": [digest_quantile(m, w, 0.9)],
+            }
+        )
+
+    res = stream.groupBy("bucket").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    raw = _run_to_completion(res, "stream_tdigest", "update")
+    final = raw.groupBy("bucket").agg(
+        F.max("n").alias("n"),
+        F.max_by("p50", "n").alias("p50"),
+        F.max_by("p90", "n").alias("p90"),
+    )
+    # batch-side exact bands for the contract
+    events = load_table(spark, sf_dir, "events")
+    band = events.groupBy((F.col("user_id") % 8).alias("bucket")).agg(
+        F.expr(f"percentile(value, array({0.5 - EPS}, {0.9 - EPS}))").alias("lo"),
+        F.expr(f"percentile(value, array({0.5 + EPS}, {0.9 + EPS}))").alias("hi"),
+    )
+    return (
+        final.join(band, "bucket")
+        .select(
+            "bucket",
+            "n",
+            ((F.col("p50") >= F.col("lo")[0]) & (F.col("p50") <= F.col("hi")[0])).alias("ok_p50"),
+            ((F.col("p90") >= F.col("lo")[1]) & (F.col("p90") <= F.col("hi")[1])).alias("ok_p90"),
+        )
+        .orderBy("bucket")
+    )
