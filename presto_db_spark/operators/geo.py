@@ -401,3 +401,125 @@ def geo_polygon_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("nk", "pid")
         .orderBy("nk", "pid")
     )
+
+
+# --- Bing tiles (BingTileFunctions.java) -----------------------------------
+#
+# bing_tile_at / bing_tile_coordinates / bing_tile_quadkey / bing_tile
+# (from quadkey) / tile→lat-lon corners, as pure integer/double
+# expressions (the reference's web-mercator math, BingTileFunctions.java:
+# 617-657 longitudeToTileX/Y, 600-609 tileXYToLatitudeLongitude;
+# quadkey bit-interleave BingTile.java). mapSize = 256·2^zoom; shifts are
+# spelled as DIV-by-power-of-2 so Spark and DuckDB evaluate identically.
+
+def _bing_sql(lat: str, lon: str, zoom: str) -> dict[str, str]:
+    """DuckDB/ANSI spellings of the tile pipeline (also valid Spark SQL
+    except list_* / generate_series, swapped below)."""
+    map_size = f"(256 * CAST(pow(2, {zoom}) AS BIGINT))"
+    xaxis = f"(({lon} + 180) / 360)"
+    sinlat = f"sin({lat} * pi() / 180)"
+    yaxis = f"(0.5 - ln((1 + {sinlat}) / (1 - {sinlat})) / (4 * pi()))"
+    tx = (
+        f"CAST(least(greatest({xaxis} * {map_size}, 0), {map_size} - 1) AS BIGINT) // 256"
+    )
+    ty = (
+        f"CAST(least(greatest({yaxis} * {map_size}, 0), {map_size} - 1) AS BIGINT) // 256"
+    )
+    return {"tx": tx, "ty": ty}
+
+
+@_q(
+    "geo_bing_tiles",
+    """
+WITH pts AS (
+  SELECT c_custkey AS pid,
+         CAST((c_custkey * 73) % 17000 AS DOUBLE) / 100 - 85 AS lat,
+         CAST((c_custkey * 37) % 36000 AS DOUBLE) / 100 - 180 AS lon,
+         c_custkey % 7 + 10 AS zoom
+  FROM customer WHERE c_custkey < 2000
+), tiles AS (
+  SELECT pid, zoom, lat, lon,
+         CAST(floor(least(greatest(((lon + 180) / 360) * (256 * CAST(pow(2, zoom) AS BIGINT)), 0),
+                    (256 * CAST(pow(2, zoom) AS BIGINT)) - 1)) AS BIGINT) // 256 AS tile_x,
+         CAST(floor(least(greatest((0.5 - ln((1 + sin(lat * pi() / 180)) / (1 - sin(lat * pi() / 180))) / (4 * pi()))
+                      * (256 * CAST(pow(2, zoom) AS BIGINT)), 0),
+                    (256 * CAST(pow(2, zoom) AS BIGINT)) - 1)) AS BIGINT) // 256 AS tile_y
+  FROM pts
+), keyed AS (
+  SELECT pid, zoom, tile_x, tile_y,
+         array_to_string(list_transform(generate_series(zoom, 1, -1), i ->
+           CAST((tile_x // CAST(pow(2, i - 1) AS BIGINT)) % 2
+                + 2 * ((tile_y // CAST(pow(2, i - 1) AS BIGINT)) % 2) AS STRING)), '') AS quadkey
+  FROM tiles
+)
+SELECT pid, zoom, tile_x, tile_y, quadkey,
+       (CAST(list_sum(list_transform(generate_series(1, zoom), j ->
+          (CAST(quadkey[j] AS BIGINT) % 2) * CAST(pow(2, zoom - j) AS BIGINT))) AS BIGINT) = tile_x
+        AND
+        CAST(list_sum(list_transform(generate_series(1, zoom), j ->
+          (CAST(quadkey[j] AS BIGINT) // 2) * CAST(pow(2, zoom - j) AS BIGINT))) AS BIGINT) = tile_y
+       ) AS roundtrip,
+       round(360 * ((CAST(tile_x * 256 AS DOUBLE) / (256 * CAST(pow(2, zoom) AS BIGINT))) - 0.5), 6) AS corner_lon,
+       TRUE AS center_roundtrip
+FROM keyed
+ORDER BY pid
+""",
+)
+def geo_bing_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bing_tile_at / bing_tile_quadkey / bing_tile(quadkey) roundtrip /
+    tile→corner lat-lon (BingTileFunctions.java:183 bing_tile_at, :127
+    toQuadKey, :174 fromQuadKey, :600 tileXYToLatitudeLongitude). All
+    JVM expressions — the web-mercator forward/backward transforms and
+    the quadkey bit-interleave spelled as DIV-by-2^k arithmetic that
+    both engines evaluate bit-identically."""
+    cust = _t(spark, sf_dir, "customer")[0]
+    pts = cust.filter(F.col("c_custkey") < 2000).select(
+        F.col("c_custkey").alias("pid"),
+        ((F.col("c_custkey") * 73 % 17000).cast("double") / 100 - 85).alias("lat"),
+        ((F.col("c_custkey") * 37 % 36000).cast("double") / 100 - 180).alias("lon"),
+        (F.col("c_custkey") % 7 + 10).alias("zoom"),
+    )
+    map_size = (F.lit(256) * F.pow(2, F.col("zoom")).cast("bigint")).alias("map_size")
+    xaxis = (F.col("lon") + 180) / 360
+    sinlat = F.sin(F.col("lat") * F.lit(3.141592653589793) / 180)
+    yaxis = 0.5 - F.log((1 + sinlat) / (1 - sinlat)) / (4 * F.lit(3.141592653589793))
+    ms = F.col("map_size")
+    tiles = pts.withColumn("map_size", map_size).select(
+        "pid", "zoom",
+        F.expr(
+            "CAST(least(greatest(((lon + 180) / 360) * map_size, 0), map_size - 1) AS BIGINT) DIV 256"
+        ).alias("tile_x"),
+        F.expr(
+            "CAST(least(greatest((0.5 - ln((1 + sin(lat * pi() / 180)) / (1 - sin(lat * pi() / 180))) / (4 * pi())) * map_size, 0), map_size - 1) AS BIGINT) DIV 256"
+        ).alias("tile_y"),
+        "map_size",
+    )
+    keyed = tiles.withColumn(
+        "quadkey",
+        F.expr(
+            "array_join(transform(sequence(zoom, 1, -1), i -> "
+            "CAST((tile_x DIV CAST(pow(2, i - 1) AS BIGINT)) % 2 "
+            "+ 2 * ((tile_y DIV CAST(pow(2, i - 1) AS BIGINT)) % 2) AS STRING)), '')"
+        ),
+    )
+    return keyed.select(
+        "pid", "zoom", "tile_x", "tile_y", "quadkey",
+        F.expr(
+            "CAST(aggregate(sequence(1, zoom), CAST(0 AS BIGINT), (acc, j) -> acc + "
+            "(CAST(substring(quadkey, j, 1) AS BIGINT) % 2) * CAST(pow(2, zoom - j) AS BIGINT)) AS BIGINT) = tile_x "
+            "AND CAST(aggregate(sequence(1, zoom), CAST(0 AS BIGINT), (acc, j) -> acc + "
+            "(CAST(substring(quadkey, j, 1) AS BIGINT) DIV 2) * CAST(pow(2, zoom - j) AS BIGINT)) AS BIGINT) = tile_y"
+        ).alias("roundtrip"),
+        F.round(
+            360 * ((F.col("tile_x") * 256).cast("double") / ms - 0.5), 6
+        ).alias("corner_lon"),
+        # Backward transform checked IN-ENGINE (trig last-ulp differs
+        # across libms, so the oracle pins the boolean, not the radians):
+        # tile → center lat/lon (tileXYToLatitudeLongitude at x+0.5, y+0.5)
+        # → forward transform → must land on the same tile.
+        F.expr(
+            "CAST(least(greatest((( (360 * (((tile_x + 0.5) * 256) / map_size - 0.5)) + 180) / 360) * map_size, 0), map_size - 1) AS BIGINT) DIV 256 = tile_x "
+            "AND CAST(least(greatest((0.5 - ln((1 + sin((90 - 360 * atan(exp(-(0.5 - ((tile_y + 0.5) * 256) / map_size) * 2 * pi())) / pi()) * pi() / 180)) "
+            "/ (1 - sin((90 - 360 * atan(exp(-(0.5 - ((tile_y + 0.5) * 256) / map_size) * 2 * pi())) / pi()) * pi() / 180))) / (4 * pi())) * map_size, 0), map_size - 1) AS BIGINT) DIV 256 = tile_y"
+        ).alias("center_roundtrip"),
+    ).orderBy("pid")
