@@ -2025,3 +2025,217 @@ def tpcds_q50(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("s_name", "s_nationkey")
         .limit(100)
     )
+
+
+# --- q6: states buying above-category-average-priced items -----------------
+
+@_q(
+    "tpcds_q06",
+    """
+SELECT c.c_nationkey AS state, CAST(count(*) AS BIGINT) AS cnt
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE year(o.o_orderdate) = 1996 AND month(o.o_orderdate) = 1
+  AND round(p.p_retailprice * 100) * 10 > 12 * (
+    SELECT CAST(sum(round(j.p_retailprice * 100)) AS BIGINT) / count(*)
+    FROM part j WHERE j.p_type = p.p_type
+  )
+GROUP BY c.c_nationkey
+HAVING count(*) >= 10
+ORDER BY cnt, state
+LIMIT 100
+""",
+)
+def tpcds_q06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q06 shape (tpcds/q06.sql: states whose customers bought items
+    priced over 1.2x their category's average in one month — a correlated
+    scalar average over the item dim). Decorrelated as a window over the
+    category partition (the plan Presto builds); the 1.2x threshold is
+    exact integer cents against identical-double division. Scale: the
+    priced item set is computed on the part DIM (small) then broadcast
+    into the fact star join; one shuffle to the state rollup."""
+    li, orders, cust, part = _t(spark, sf_dir, "lineitem", "orders", "customer", "part")
+    w = W.partitionBy("p_type")
+    priced = (
+        part.withColumn("cents", F.round(F.col("p_retailprice") * 100))
+        .withColumn("cat_sum", F.sum("cents").over(w).cast("bigint"))
+        .withColumn("cat_cnt", F.count("*").over(w))
+        .filter(F.col("cents") * 10 > 12 * (F.col("cat_sum") / F.col("cat_cnt")))
+        .select("p_partkey")
+    )
+    j = (
+        li.join(orders.filter(
+            (F.year("o_orderdate") == 1996) & (F.month("o_orderdate") == 1)),
+            F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(priced, F.col("l_partkey") == F.col("p_partkey"))
+    )
+    return (
+        j.groupBy(F.col("c_nationkey").alias("state"))
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .filter(F.col("cnt") >= 10)
+        .orderBy("cnt", "state")
+        .limit(100)
+    )
+
+
+# --- q23: frequent items x best customers CTE chain ------------------------
+
+@_q(
+    "tpcds_q23",
+    """
+WITH frequent_items AS (
+  SELECT l.l_partkey AS item_sk
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE year(o.o_orderdate) BETWEEN 1995 AND 1998
+  GROUP BY l.l_partkey, CAST(o.o_orderdate AS DATE)
+  HAVING count(*) > 4
+), csales AS (
+  SELECT o.o_custkey, CAST(sum(round(l.l_quantity * (l.l_extendedprice / l.l_quantity) * 100)) AS BIGINT) AS csales
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE year(o.o_orderdate) BETWEEN 1995 AND 1998
+  GROUP BY o.o_custkey
+), max_sales AS (
+  SELECT max(csales) AS cmax FROM csales
+), best_customers AS (
+  SELECT c2.o_custkey FROM (
+    SELECT o.o_custkey, CAST(sum(round(l.l_extendedprice * 100)) AS BIGINT) AS ssales
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_custkey
+  ) c2, max_sales
+  WHERE c2.ssales * 2 > cmax
+)
+SELECT CAST(sum(round(l.l_extendedprice * 100)) AS BIGINT) AS sales_cents
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE year(o.o_orderdate) = 1996 AND month(o.o_orderdate) = 2
+  AND l.l_partkey IN (SELECT item_sk FROM frequent_items)
+  AND o.o_custkey IN (SELECT o_custkey FROM best_customers)
+""",
+)
+def tpcds_q23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q23 shape (tpcds/q23_1.sql: frequent_ss_items — items sold >4
+    times on one day over four years — intersected with best_ss_customer —
+    customers above 50% of the maximum customer spend, a scalar-subquery-
+    of-a-CTE threshold — then one month's sales restricted to both IN
+    lists). The 50%-of-max is cross-multiplied exact (ssales*2 > cmax).
+    Scale: both gate CTEs are semi-join (broadcastable distinct key) sides;
+    the scalar max is a one-row broadcast; the month filter prunes the
+    final fact pass."""
+    li, orders = _t(spark, sf_dir, "lineitem", "orders")
+    lo = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    years = lo.filter(F.year("o_orderdate").between(1995, 1998))
+    frequent = (
+        years.groupBy("l_partkey", F.col("o_orderdate").cast("date"))
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") > 4)
+        .select(F.col("l_partkey").alias("item_sk"))
+        .distinct()
+    )
+    csales = years.groupBy("o_custkey").agg(
+        F.sum(
+            F.round(F.col("l_quantity") * (F.col("l_extendedprice") / F.col("l_quantity")) * 100)
+        ).cast("bigint").alias("csales")
+    )
+    cmax = csales.agg(F.max("csales").alias("cmax"))
+    ssales = lo.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100)).cast("bigint").alias("ssales")
+    )
+    best = (
+        ssales.crossJoin(F.broadcast(cmax))
+        .filter(F.col("ssales") * 2 > F.col("cmax"))
+        .select("o_custkey")
+    )
+    month = lo.filter((F.year("o_orderdate") == 1996) & (F.month("o_orderdate") == 2))
+    return (
+        month.join(frequent, month.l_partkey == frequent.item_sk, "left_semi")
+        .join(best, "o_custkey", "left_semi")
+        .agg(F.sum(F.round(F.col("l_extendedprice") * 100)).cast("bigint").alias("sales_cents"))
+    )
+
+
+# --- q66: two-carrier monthly pivot per warehouse --------------------------
+
+_Q66_MONTHS = ["jan", "feb", "mar", "apr", "may", "jun",
+               "jul", "aug", "sep", "oct", "nov", "dec"]
+
+
+def _q66_arm_sql(status: str) -> str:
+    cols = ", ".join(
+        f"sum(CASE WHEN month(l.l_shipdate) = {i + 1} "
+        f"THEN round(l.l_extendedprice * 100) ELSE 0 END) AS {m}_cents"
+        for i, m in enumerate(_Q66_MONTHS)
+    )
+    return f"""
+   SELECT l.l_suppkey AS wh, year(l.l_shipdate) AS yr, {cols}
+   FROM lineitem l
+   WHERE l.l_linestatus = '{status}' AND year(l.l_shipdate) = 1996
+   GROUP BY l.l_suppkey, year(l.l_shipdate)"""
+
+
+@_q(
+    "tpcds_q66",
+    f"""
+WITH both_arms AS (
+  {_q66_arm_sql('O')}
+  UNION ALL
+  {_q66_arm_sql('F')}
+)
+SELECT s.s_name, s.s_nationkey, (s.s_suppkey % 100 + 50) AS sq_ft,
+       'O_AND_F' AS ship_carriers, yr,
+       {", ".join(f"round(sum({m}_cents) / 100.0, 2) AS {m}_sales" for m in _Q66_MONTHS)},
+       {", ".join(f"round(sum({m}_cents) / 100.0 / (s.s_suppkey % 100 + 50), 6) AS {m}_sales_per_sq_foot" for m in _Q66_MONTHS)}
+FROM both_arms
+JOIN supplier s ON wh = s.s_suppkey
+GROUP BY s.s_name, s.s_nationkey, s.s_suppkey, yr
+ORDER BY s.s_name
+LIMIT 100
+""",
+)
+def tpcds_q66(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q66 shape (tpcds/q66.sql: web+catalog sales UNION ALL'd into
+    one CTE, each arm pre-pivoted into 12 monthly columns, re-aggregated
+    per warehouse with per-square-foot normalizations). Carriers are the
+    two l_linestatus arms; warehouse = supplier with a deterministic
+    sq_ft surrogate. Exact-cents month columns make the 24 output
+    aggregates order-independent; the per-sqft divisions are identical
+    doubles in both engines. Scale: each arm is one scan+groupBy (the
+    pivot is conditional aggregation, not a shuffle per month); the
+    union re-agg touches 12-column rows keyed by warehouse — tiny."""
+    li, supp = _t(spark, sf_dir, "lineitem", "supplier")
+
+    def arm(status: str) -> DataFrame:
+        base = li.filter(
+            (F.col("l_linestatus") == status) & (F.year("l_shipdate") == 1996)
+        )
+        return base.groupBy(
+            F.col("l_suppkey").alias("wh"), F.year("l_shipdate").alias("yr")
+        ).agg(*[
+            F.sum(
+                F.when(F.month("l_shipdate") == i + 1,
+                       F.round(F.col("l_extendedprice") * 100)).otherwise(0)
+            ).alias(f"{m}_cents")
+            for i, m in enumerate(_Q66_MONTHS)
+        ])
+
+    both = arm("O").unionByName(arm("F"))
+    sq_ft = F.col("s_suppkey") % 100 + 50
+    g = (
+        both.join(supp, F.col("wh") == F.col("s_suppkey"))
+        .groupBy("s_name", "s_nationkey", "s_suppkey", "yr")
+        .agg(*[F.sum(f"{m}_cents").alias(f"{m}_sum") for m in _Q66_MONTHS])
+    )
+    return (
+        g.select(
+            "s_name", "s_nationkey", sq_ft.alias("sq_ft"),
+            F.lit("O_AND_F").alias("ship_carriers"), "yr",
+            *[F.round(F.col(f"{m}_sum") / 100.0, 2).alias(f"{m}_sales")
+              for m in _Q66_MONTHS],
+            *[F.round(F.col(f"{m}_sum") / 100.0 / sq_ft, 6)
+              .alias(f"{m}_sales_per_sq_foot") for m in _Q66_MONTHS],
+        )
+        .orderBy("s_name")
+        .limit(100)
+    )
