@@ -211,3 +211,103 @@ FROM documents
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+# --- benchmark decontamination (n-gram overlap join) -----------------------
+
+_GRAMS_SQL = (
+    "list_distinct(list_transform(generate_series(1, greatest(len({w}) - 4, 0)), "
+    "i -> array_to_string({w}[i:i+4], ' ')))"
+)
+
+
+@_q(
+    "text_decontaminate",
+    f"""
+WITH docs AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents
+), bench_grams AS (
+  SELECT DISTINCT unnest({_GRAMS_SQL.format(w='words')}) AS gram
+  FROM docs WHERE doc_id % 97 = 0
+), train_grams AS (
+  SELECT doc_id, unnest({_GRAMS_SQL.format(w='words')}) AS gram
+  FROM docs WHERE doc_id % 97 <> 0
+)
+SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_overlap,
+       count(*) >= 2 AS contaminated
+FROM train_grams t JOIN bench_grams b ON t.gram = b.gram
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+""",
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing >= N word 5-grams
+    with the held-out eval set (the GPT-3/C4 n-gram-overlap rule). The
+    eval side collapses to DISTINCT grams and BROADCASTS (eval sets are
+    tiny vs 100 TB of training text); the training side explodes its
+    distinct grams once — the contamination check is then a broadcast
+    hash semi-join + per-doc count: scan-shaped, zero wide shuffles of
+    text. Exact-string grams, so the DuckDB oracle value-checks every
+    overlap count."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("words")
+    )
+    grams = F.array_distinct(
+        F.expr(
+            "transform(sequence(1, greatest(size(words) - 4, 0)), "
+            "i -> array_join(slice(words, i, 5), ' '))"
+        )
+    )
+    bench = (
+        docs.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode(grams).alias("gram"))
+        .distinct()
+    )
+    train = docs.filter(F.col("doc_id") % 97 != 0).select(
+        "doc_id", F.explode(grams).alias("gram")
+    )
+    return (
+        train.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_overlap"))
+        .select("doc_id", "n_overlap", (F.col("n_overlap") >= 2).alias("contaminated"))
+        .orderBy("doc_id")
+    )
+
+
+# --- deterministic train/val split -----------------------------------------
+
+@_q(
+    "text_train_val_split",
+    """
+WITH split AS (
+  SELECT lang,
+         CASE WHEN (instr('0123456789abcdef', substring(md5(CAST(doc_id AS STRING)), 1, 1)) - 1) * 16
+                   + (instr('0123456789abcdef', substring(md5(CAST(doc_id AS STRING)), 2, 1)) - 1) < 230
+              THEN 'train' ELSE 'val' END AS part
+  FROM documents
+)
+SELECT part, lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM split GROUP BY part, lang ORDER BY part, lang
+""",
+)
+def text_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~90/10 train/val split: the first md5 byte of the doc
+    key thresholded at 230/256 — stable across runs, machines, and
+    engines (md5 hex is identical everywhere), no RNG state to manage,
+    and a pure projection at 100 TB (the split column never shuffles;
+    only the per-(split, lang) count rollup does)."""
+    docs = load_table(spark, sf_dir, "documents")
+    hexd = "0123456789abcdef"
+    h = F.md5(F.col("doc_id").cast("string"))
+    byte0 = (
+        (F.instr(F.lit(hexd), F.substring(h, 1, 1)) - 1) * 16
+        + (F.instr(F.lit(hexd), F.substring(h, 2, 1)) - 1)
+    )
+    part = F.when(byte0 < 230, "train").otherwise("val").alias("part")
+    return (
+        docs.select(part, "lang")
+        .groupBy("part", "lang")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .orderBy("part", "lang")
+    )
