@@ -610,3 +610,108 @@ def geo_wkt_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
         st_envelope_wkt(xs, ys).alias("envelope"),
         st_contains_ring(xs, ys, cx, cy).alias("centroid_within"),
     ).orderBy("pid")
+
+
+# --- line_interpolate_point ------------------------------------------------
+#
+# GeoFunctions.java line_interpolate_point(geometry, fraction): the point
+# at fraction t of a linestring's length. Both engines compute cumulative
+# segment lengths with the SAME left-to-right summation (O(n²) over the
+# 3-vertex lines here — n is tiny), pick the first segment whose cumulative
+# reaches t·total, and interpolate within it — identical IEEE ops, so the
+# rounded coordinates hash-match.
+
+_LI_SPARK = """
+CASE WHEN size(lxs) < 2 THEN named_struct('px', element_at(lxs, 1), 'py', element_at(lys, 1)) ELSE
+  named_struct('px', element_at(lxs, _k) + CASE WHEN _lk = 0 THEN 0.0 ELSE _t / _lk END * (element_at(lxs, _k + 1) - element_at(lxs, _k)),
+               'py', element_at(lys, _k) + CASE WHEN _lk = 0 THEN 0.0 ELSE _t / _lk END * (element_at(lys, _k + 1) - element_at(lys, _k)))
+END
+"""
+
+
+@_q(
+    "geo_wkt_line_interpolate",
+    f"""
+WITH g AS (
+  SELECT c_custkey AS pid, CAST(c_custkey % 5 AS DOUBLE) / 4 AS frac, {_WKT_LINE} AS lw
+  FROM customer WHERE c_custkey < 1000
+), parsed AS (
+  SELECT pid, frac, {_SQL_XS.format(w='lw')} AS lxs, {_SQL_YS.format(w='lw')} AS lys FROM g
+), staged AS (
+  SELECT pid, frac, lxs, lys,
+         list_transform(generate_series(1, len(lxs) - 1), i ->
+           list_sum(list_transform(generate_series(1, i), j ->
+             sqrt((lxs[j+1] - lxs[j]) * (lxs[j+1] - lxs[j]) + (lys[j+1] - lys[j]) * (lys[j+1] - lys[j]))))) AS cums
+  FROM parsed
+), picked AS (
+  SELECT pid, frac, lxs, lys,
+         frac * cums[-1] AS target,
+         len(list_filter(cums, c -> c < frac * cums[-1])) + 1 AS k
+  FROM staged
+), seg AS (
+  SELECT pid, frac, lxs, lys, k,
+         target - (CASE WHEN k = 1 THEN 0.0 ELSE
+           list_sum(list_transform(generate_series(1, k - 1), j ->
+             sqrt((lxs[j+1] - lxs[j]) * (lxs[j+1] - lxs[j]) + (lys[j+1] - lys[j]) * (lys[j+1] - lys[j])))) END) AS t_in,
+         sqrt((lxs[k+1] - lxs[k]) * (lxs[k+1] - lxs[k]) + (lys[k+1] - lys[k]) * (lys[k+1] - lys[k])) AS lk
+  FROM picked
+)
+SELECT pid, frac,
+       round(lxs[k] + (CASE WHEN lk = 0 THEN 0.0 ELSE t_in / lk END) * (lxs[k+1] - lxs[k]), 6) AS px,
+       round(lys[k] + (CASE WHEN lk = 0 THEN 0.0 ELSE t_in / lk END) * (lys[k+1] - lys[k]), 6) AS py
+FROM seg
+ORDER BY pid
+""",
+)
+def geo_wkt_line_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """line_interpolate_point (GeoFunctions.java line_interpolate_point):
+    fraction-of-length point on a WKT linestring, as pure expressions —
+    cumulative segment lengths, first-reaching segment, linear
+    interpolation. Zero-length segments fall back to the segment start;
+    frac 0/1 land exactly on the endpoints."""
+    cust = _t(spark, sf_dir, "customer")[0]
+    g = cust.filter(F.col("c_custkey") < 1000).select(
+        F.col("c_custkey").alias("pid"),
+        ((F.col("c_custkey") % 5).cast("double") / 4).alias("frac"),
+        F.expr(_WKT_LINE).alias("lw"),
+    )
+    parsed = g.select(
+        "pid", "frac", st_xs(F.col("lw")).alias("lxs"), st_ys(F.col("lw")).alias("lys")
+    )
+    seglen = (
+        "sqrt((element_at(lxs, {j} + 1) - element_at(lxs, {j})) * (element_at(lxs, {j} + 1) - element_at(lxs, {j}))"
+        " + (element_at(lys, {j} + 1) - element_at(lys, {j})) * (element_at(lys, {j} + 1) - element_at(lys, {j})))"
+    )
+    cum_expr = (
+        "transform(sequence(1, size(lxs) - 1), i -> "
+        "aggregate(sequence(1, i), CAST(0.0 AS DOUBLE), (a, j) -> a + " + seglen.format(j="j") + "))"
+    )
+    staged = parsed.withColumn("cums", F.expr(cum_expr))
+    picked = staged.withColumn(
+        "target", F.col("frac") * F.element_at("cums", -1)
+    ).withColumn(
+        "k", F.expr("size(filter(cums, c -> c < frac * element_at(cums, -1))) + 1")
+    )
+    seg = picked.withColumn(
+        "t_in",
+        F.col("target")
+        - F.expr(
+            "CASE WHEN k = 1 THEN CAST(0.0 AS DOUBLE) ELSE "
+            "aggregate(sequence(1, k - 1), CAST(0.0 AS DOUBLE), (a, j) -> a + "
+            + seglen.format(j="j") + ") END"
+        ),
+    ).withColumn("lk", F.expr(seglen.format(j="k")))
+    frac_in = F.when(F.col("lk") == 0, F.lit(0.0)).otherwise(F.col("t_in") / F.col("lk"))
+    return seg.select(
+        "pid", "frac",
+        F.round(
+            F.expr("element_at(lxs, k)")
+            + frac_in * (F.expr("element_at(lxs, k + 1)") - F.expr("element_at(lxs, k)")),
+            6,
+        ).alias("px"),
+        F.round(
+            F.expr("element_at(lys, k)")
+            + frac_in * (F.expr("element_at(lys, k + 1)") - F.expr("element_at(lys, k)")),
+            6,
+        ).alias("py"),
+    ).orderBy("pid")

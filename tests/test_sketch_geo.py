@@ -103,7 +103,7 @@ def test_sketch_weighted_matches_expanded(spark, sf_dir):
 @pytest.mark.parametrize(
     "name",
     ["geo_wkt_roundtrip", "geo_wkt_distance", "geo_wkt_intersects_join",
-     "geo_wkt_envelope"],
+     "geo_wkt_envelope", "geo_wkt_line_interpolate"],
 )
 def test_wkt_vs_duckdb(spark, sf_dir, name):
     from presto_db_spark.operators import wkt
