@@ -2239,3 +2239,212 @@ def tpcds_q66(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("s_name")
         .limit(100)
     )
+
+
+# --- q61: promotional-sales share, two single-row star aggregates ----------
+
+@_q(
+    "tpcds_q61",
+    """
+SELECT promotions, total,
+       CAST(promotions AS DOUBLE) / total * 100 AS promo_pct
+FROM (
+  SELECT CAST(sum(round(l.l_extendedprice * 100)) AS BIGINT) AS promotions
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE c.c_nationkey = 5 AND p.p_size = 28
+    AND year(o.o_orderdate) = 1996 AND month(o.o_orderdate) = 11
+    AND (l.l_returnflag = 'R' OR l.l_linestatus = 'F' OR l.l_discount > 0.05)
+) promotional_sales, (
+  SELECT CAST(sum(round(l.l_extendedprice * 100)) AS BIGINT) AS total
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE c.c_nationkey = 5 AND p.p_size = 28
+    AND year(o.o_orderdate) = 1996 AND month(o.o_orderdate) = 11
+) all_sales
+""",
+)
+def tpcds_q61(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q61 shape (tpcds/q61.sql: promotional sales vs all sales for
+    one geography+category+month — two single-row star aggregates
+    cross-joined into a share ratio; the promo side adds the OR'd channel
+    predicate). The ratio divides exact cent sums as identical doubles.
+    Scale: both aggregates share the same broadcast star join; the cross
+    join is 1x1."""
+    li, orders, cust, part = _t(spark, sf_dir, "lineitem", "orders", "customer", "part")
+    base = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .filter(
+            (F.col("c_nationkey") == 5) & (F.col("p_size") == 28)
+            & (F.year("o_orderdate") == 1996) & (F.month("o_orderdate") == 11)
+        )
+    )
+    promo = base.filter(
+        (F.col("l_returnflag") == "R") | (F.col("l_linestatus") == "F")
+        | (F.col("l_discount") > 0.05)
+    ).agg(F.sum(F.round(F.col("l_extendedprice") * 100)).cast("bigint").alias("promotions"))
+    total = base.agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100)).cast("bigint").alias("total")
+    )
+    return promo.crossJoin(total).select(
+        "promotions", "total",
+        (F.col("promotions").cast("double") / F.col("total") * 100).alias("promo_pct"),
+    )
+
+
+# --- q59: week-over-week weekday mix per store -----------------------------
+
+_Q59_DAYS = ["Sunday", "Monday", "Tuesday", "Wednesday", "Thursday", "Friday", "Saturday"]
+
+
+@_q(
+    "tpcds_q59",
+    f"""
+WITH wss AS (
+  SELECT (year(l.l_shipdate) - 1995) * 53 + weekofyear(l.l_shipdate) AS d_week_seq,
+         l.l_suppkey AS store_sk,
+         {", ".join(f"sum(CASE WHEN dayname(l.l_shipdate) = '{d}' THEN round(l.l_extendedprice * 100) END) AS {d[:3].lower()}_sales" for d in _Q59_DAYS)}
+  FROM lineitem l
+  GROUP BY 1, 2
+)
+SELECT s.s_name AS s_store_name1, y.d_week_seq AS d_week_seq1,
+       {", ".join(f"round(CAST(y.{d[:3].lower()}_sales AS DOUBLE) / x.{d[:3].lower()}_sales, 4) AS {d[:3].lower()}_ratio" for d in _Q59_DAYS)}
+FROM wss y
+JOIN wss x ON y.store_sk = x.store_sk AND y.d_week_seq = x.d_week_seq - 53
+JOIN supplier s ON y.store_sk = s.s_suppkey
+WHERE y.d_week_seq BETWEEN 2 * 53 AND 3 * 53 - 1
+ORDER BY s_store_name1, d_week_seq1
+LIMIT 100
+""",
+)
+def tpcds_q59(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q59 shape (tpcds/q59.sql: per-(store, week) weekday-pivot CTE
+    self-joined one year apart, weekday-over-weekday ratios per store).
+    Extends q02's weekly pivot with the store dimension — the self-join
+    keys on (store, week±53). Exact-cent pivots; ratios are identical
+    doubles. Scale: one shuffle to (week, store) grouping; the self-join
+    and dim join are narrow aggregates."""
+    li, supp = _t(spark, sf_dir, "lineitem", "supplier")
+    wss = (
+        li.groupBy(
+            ((F.year("l_shipdate") - 1995) * 53 + F.weekofyear("l_shipdate")).alias("d_week_seq"),
+            F.col("l_suppkey").alias("store_sk"),
+        )
+        .agg(*[
+            F.sum(
+                F.when(F.date_format("l_shipdate", "EEEE") == d,
+                       F.round(F.col("l_extendedprice") * 100))
+            ).alias(f"{d[:3].lower()}_sales")
+            for d in _Q59_DAYS
+        ])
+    )
+    y = wss.alias("y").filter(F.col("d_week_seq").between(2 * 53, 3 * 53 - 1))
+    x = wss.alias("x")
+    j = y.join(
+        x,
+        (F.col("y.store_sk") == F.col("x.store_sk"))
+        & (F.col("y.d_week_seq") == F.col("x.d_week_seq") - 53),
+    ).join(supp, F.col("y.store_sk") == F.col("s_suppkey"))
+    return (
+        j.select(
+            F.col("s_name").alias("s_store_name1"),
+            F.col("y.d_week_seq").alias("d_week_seq1"),
+            *[
+                F.round(
+                    F.col(f"y.{d[:3].lower()}_sales").cast("double")
+                    / F.col(f"x.{d[:3].lower()}_sales"),
+                    4,
+                ).alias(f"{d[:3].lower()}_ratio")
+                for d in _Q59_DAYS
+            ],
+        )
+        .orderBy("s_store_name1", "d_week_seq1")
+        .limit(100)
+    )
+
+
+# --- q14: cross-channel item INTERSECT gate + avg-threshold CASE -----------
+
+def _q14_channel_items_sql(flag: str) -> str:
+    return f"""
+      SELECT DISTINCT l_partkey FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_returnflag = '{flag}' AND year(o.o_orderdate) BETWEEN 1996 AND 1998"""
+
+
+@_q(
+    "tpcds_q14",
+    f"""
+WITH cross_items AS (
+  {_q14_channel_items_sql('N')}
+  INTERSECT
+  {_q14_channel_items_sql('A')}
+  INTERSECT
+  {_q14_channel_items_sql('R')}
+), avg_sales AS (
+  SELECT CAST(sum(round(l.l_quantity * (l.l_extendedprice / l.l_quantity) * 100)) AS BIGINT) / count(*) AS average_cents
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE year(o.o_orderdate) BETWEEN 1996 AND 1998
+)
+SELECT l.l_returnflag AS channel, l.l_partkey AS i_item_sk,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(sum(round(l.l_extendedprice * 100)) AS BIGINT) AS sales_cents
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN cross_items ci ON l.l_partkey = ci.l_partkey, avg_sales
+WHERE year(o.o_orderdate) = 1998 AND month(o.o_orderdate) = 11
+GROUP BY l.l_returnflag, l.l_partkey, average_cents
+HAVING CAST(sum(round(l.l_extendedprice * 100)) AS BIGINT) > average_cents
+ORDER BY channel, i_item_sk
+LIMIT 100
+""",
+)
+def tpcds_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q14 shape (tpcds/q14_1.sql: cross_items — the INTERSECT of
+    the three channels' item sets — gating a monthly rollup whose HAVING
+    compares against a scalar-CTE average). The average is exact-cents
+    integer division broadcast as a 1-row frame into the HAVING; the gate
+    is a semi-join against the INTERSECT chain. Scale: the INTERSECT runs
+    on distinct item keys (narrow); avg_sales is one scan; the gated
+    rollup is one shuffle on (channel, item)."""
+    li, orders = _t(spark, sf_dir, "lineitem", "orders")
+    lo = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    yrs = lo.filter(F.year("o_orderdate").between(1996, 1998))
+
+    def items(flag: str) -> DataFrame:
+        return yrs.filter(F.col("l_returnflag") == flag).select("l_partkey").distinct()
+
+    cross_items = items("N").intersect(items("A")).intersect(items("R"))
+    avg_sales = yrs.agg(
+        (
+            F.sum(
+                F.round(F.col("l_quantity") * (F.col("l_extendedprice") / F.col("l_quantity")) * 100)
+            ).cast("bigint") / F.count("*")
+        ).alias("average_cents")
+    )
+    month = lo.filter((F.year("o_orderdate") == 1998) & (F.month("o_orderdate") == 11))
+    g = (
+        month.join(cross_items, "l_partkey", "left_semi")
+        .crossJoin(F.broadcast(avg_sales))
+        .groupBy(
+            F.col("l_returnflag").alias("channel"),
+            F.col("l_partkey").alias("i_item_sk"),
+            "average_cents",
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("cnt"),
+            F.sum(F.round(F.col("l_extendedprice") * 100)).cast("bigint").alias("sales_cents"),
+        )
+    )
+    return (
+        g.filter(F.col("sales_cents") > F.col("average_cents"))
+        .select("channel", "i_item_sk", "cnt", "sales_cents")
+        .orderBy("channel", "i_item_sk")
+        .limit(100)
+    )
