@@ -2448,3 +2448,185 @@ def tpcds_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("channel", "i_item_sk")
         .limit(100)
     )
+
+
+# --- q54: revenue-bucket histogram of customer spend -----------------------
+
+@_q(
+    "tpcds_q54",
+    """
+WITH my_customers AS (
+  SELECT DISTINCT o.o_custkey
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_size = 28 AND year(o.o_orderdate) = 1996
+), my_revenue AS (
+  SELECT o.o_custkey, CAST(sum(round(o.o_totalprice * 100)) AS BIGINT) AS revenue_cents
+  FROM (SELECT DISTINCT o_orderkey, o_custkey, o_totalprice FROM orders
+        WHERE year(o_orderdate) = 1996 AND month(o_orderdate) BETWEEN 1 AND 3) o
+  JOIN my_customers mc ON o.o_custkey = mc.o_custkey
+  GROUP BY o.o_custkey
+)
+SELECT CAST(revenue_cents // 5000000 AS BIGINT) AS segment,
+       CAST(count(*) AS BIGINT) AS num_customers,
+       CAST(revenue_cents // 5000000 AS BIGINT) * 50000 AS segment_base
+FROM my_revenue
+GROUP BY revenue_cents // 5000000
+ORDER BY segment, num_customers
+LIMIT 100
+""",
+)
+def tpcds_q54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q54 shape (tpcds/q54.sql: customers who bought a target
+    category, their next-quarter store revenue bucketed into $50 segments,
+    count of customers per segment — a histogram OF aggregates). Buckets
+    are exact integer cent division. Scale: my_customers is a distinct
+    semi-join gate; revenue is one shuffle on customer; the segment
+    histogram aggregates the (already small) per-customer rollup."""
+    li, orders, part = _t(spark, sf_dir, "lineitem", "orders", "part")
+    my_customers = (
+        li.join(orders.filter(F.year("o_orderdate") == 1996),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(part.filter(F.col("p_size") == 28),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .select("o_custkey").distinct()
+    )
+    q1 = orders.filter(
+        (F.year("o_orderdate") == 1996) & (F.month("o_orderdate").between(1, 3))
+    ).select("o_orderkey", "o_custkey", "o_totalprice").distinct()
+    my_revenue = (
+        q1.join(my_customers, "o_custkey", "left_semi")
+        .groupBy("o_custkey")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100)).cast("bigint").alias("revenue_cents"))
+    )
+    seg = F.expr("revenue_cents DIV 5000000").cast("bigint")
+    return (
+        my_revenue.groupBy(seg.alias("segment"))
+        .agg(F.count("*").cast("bigint").alias("num_customers"))
+        .select("segment", "num_customers", (F.col("segment") * 50000).alias("segment_base"))
+        .orderBy("segment", "num_customers")
+        .limit(100)
+    )
+
+
+# --- q58: items selling evenly across all three channels -------------------
+
+def _q58_channel_sql(flag: str, name: str) -> str:
+    return f"""
+   SELECT l.l_partkey AS item_sk, CAST(sum(round(l.l_extendedprice * 100)) AS BIGINT) AS {name}_rev
+   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+   WHERE l.l_returnflag = '{flag}' AND year(o.o_orderdate) = 1996
+   GROUP BY l.l_partkey"""
+
+
+@_q(
+    "tpcds_q58",
+    f"""
+WITH ss_items AS ({_q58_channel_sql('N', 'ss')}),
+     cs_items AS ({_q58_channel_sql('A', 'cs')}),
+     ws_items AS ({_q58_channel_sql('R', 'ws')})
+SELECT ss.item_sk AS item_id, ss_rev, cs_rev, ws_rev,
+       round(CAST(ss_rev + cs_rev + ws_rev AS DOUBLE) / 3, 2) AS average
+FROM ss_items ss
+JOIN cs_items cs ON ss.item_sk = cs.item_sk
+JOIN ws_items ws ON ss.item_sk = ws.item_sk
+WHERE ss_rev * 30 BETWEEN 9 * (ss_rev + cs_rev + ws_rev) AND 11 * (ss_rev + cs_rev + ws_rev)
+  AND cs_rev * 30 BETWEEN 9 * (ss_rev + cs_rev + ws_rev) AND 11 * (ss_rev + cs_rev + ws_rev)
+  AND ws_rev * 30 BETWEEN 9 * (ss_rev + cs_rev + ws_rev) AND 11 * (ss_rev + cs_rev + ws_rev)
+ORDER BY item_id
+LIMIT 100
+""",
+)
+def tpcds_q58(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q58 shape (tpcds/q58.sql: items whose store/catalog/web
+    revenues each sit within 10% of the three-channel average — the
+    symmetric-band three-way join). The band test is cross-multiplied to
+    exact integers (rev*30 BETWEEN 9*sum AND 11*sum ⇔ rev within ±10% of
+    sum/3). Scale: three channel rollups on the item key, then narrow
+    equi-joins of the aggregates."""
+    li, orders = _t(spark, sf_dir, "lineitem", "orders")
+    lo = li.join(orders.filter(F.year("o_orderdate") == 1996),
+                 F.col("l_orderkey") == F.col("o_orderkey"))
+
+    def channel(flag: str, name: str) -> DataFrame:
+        return (
+            lo.filter(F.col("l_returnflag") == flag)
+            .groupBy(F.col("l_partkey").alias("item_sk"))
+            .agg(F.sum(F.round(F.col("l_extendedprice") * 100)).cast("bigint")
+                 .alias(f"{name}_rev"))
+        )
+
+    ss, cs, ws = channel("N", "ss"), channel("A", "cs"), channel("R", "ws")
+    j = ss.join(cs, "item_sk").join(ws, "item_sk")
+    tot = F.col("ss_rev") + F.col("cs_rev") + F.col("ws_rev")
+    band = (
+        (F.col("ss_rev") * 30).between(9 * tot, 11 * tot)
+        & (F.col("cs_rev") * 30).between(9 * tot, 11 * tot)
+        & (F.col("ws_rev") * 30).between(9 * tot, 11 * tot)
+    )
+    return (
+        j.filter(band)
+        .select(
+            F.col("item_sk").alias("item_id"), "ss_rev", "cs_rev", "ws_rev",
+            F.round(tot.cast("double") / 3, 2).alias("average"),
+        )
+        .orderBy("item_id")
+        .limit(100)
+    )
+
+
+# --- q79: per-customer most-profitable trip --------------------------------
+
+@_q(
+    "tpcds_q79",
+    """
+WITH ms AS (
+  SELECT l.l_orderkey AS ticket, o.o_custkey, s.s_nationkey AS city,
+         CAST(sum(round(l.l_extendedprice * l.l_discount * 100)) AS BIGINT) AS amt,
+         CAST(sum(round(l.l_extendedprice * (1 - l.l_discount) * 100)) AS BIGINT) AS profit
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE dayofweek(o.o_orderdate) = 1 AND year(o.o_orderdate) BETWEEN 1996 AND 1998
+    AND (l.l_quantity >= 30 OR l.l_discount > 0.08)
+  GROUP BY l.l_orderkey, o.o_custkey, s.s_nationkey
+)
+SELECT c.c_name, ms.city, ms.ticket, ms.amt, ms.profit
+FROM ms JOIN customer c ON ms.o_custkey = c.c_custkey
+ORDER BY c.c_name, ms.profit, ms.ticket, ms.city
+LIMIT 100
+""",
+)
+def tpcds_q79(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q79 shape (tpcds/q79.sql: per-(ticket, customer, store-city)
+    coupon/profit rollup under demographic + day-of-week filters, joined
+    to the customer dim for the name-ordered report). Monday trips map to
+    dayofweek=2; the demographic OR gate maps to quantity/discount.
+    Scale: filters prune the fact scan; one shuffle to the trip grouping;
+    customer join is broadcastable."""
+    li, orders, supp, cust = _t(spark, sf_dir, "lineitem", "orders", "supplier", "customer")
+    ms = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(
+            (F.dayofweek("o_orderdate") == 2)
+            & F.year("o_orderdate").between(1996, 1998)
+            & ((F.col("l_quantity") >= 30) | (F.col("l_discount") > 0.08))
+        )
+        .groupBy(
+            F.col("l_orderkey").alias("ticket"),
+            "o_custkey",
+            F.col("s_nationkey").alias("city"),
+        )
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * F.col("l_discount") * 100))
+            .cast("bigint").alias("amt"),
+            F.sum(F.round(_rev() * 100)).cast("bigint").alias("profit"),
+        )
+    )
+    return (
+        ms.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_name", "city", "ticket", "amt", "profit")
+        .orderBy("c_name", "profit", "ticket", "city")
+        .limit(100)
+    )
