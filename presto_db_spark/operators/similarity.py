@@ -405,20 +405,29 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     assign_udf = F.pandas_udf(_assign_probe, "struct<cid: long, probes: array<long>>")
-    # Explicit exchange ABOVE the UDF so both consumers (assignment side
-    # and query-probe side) reuse one computed pass — same ReuseExchange
-    # pattern as dedup_minhash_lsh's signature stage.
     ap = emb.select(
         "vec_id", "embedding", assign_udf(F.col("embedding")).alias("ap")
-    ).repartition("vec_id")
+    )
     assigned = ap.select("vec_id", "embedding", F.col("ap.cid").alias("cid"))
-    q_probe = (
-        ap.filter(F.col("vec_id") < N_QUERIES)
-        .select(
-            F.col("vec_id").alias("qid"),
-            F.col("embedding").alias("qe"),
-            F.explode("ap.probes").alias("cid"),
-        )
+    # The query side is N_QUERIES rows: compute its probe lists DRIVER-SIDE
+    # with the same function (identical math ⇒ identical probes), so the
+    # Arrow assignment pass has exactly ONE consumer — the earlier
+    # shared-exchange formulation let the broadcast branch re-execute the
+    # UDF stage concurrently, which showed up as bimodal wall times.
+    import pandas as pd
+
+    q_rows = sorted(
+        emb.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding").collect(),
+        key=lambda r: r.vec_id,
+    )
+    q_ap = _assign_probe(pd.Series([[float(x) for x in r.embedding] for r in q_rows]))
+    q_probe = spark.createDataFrame(
+        [
+            (int(r.vec_id), [float(x) for x in r.embedding], int(cid))
+            for r, probes in zip(q_rows, q_ap["probes"])
+            for cid in probes
+        ],
+        "qid bigint, qe array<double>, cid bigint",
     )
     cand = (
         F.broadcast(q_probe.alias("qp"))
