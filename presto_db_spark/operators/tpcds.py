@@ -2630,3 +2630,244 @@ def tpcds_q79(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("c_name", "profit", "ticket", "city")
         .limit(100)
     )
+
+
+# --- q33: per-manufacturer revenue unioned across three channels -----------
+
+def _q33_channel_sql(flag: str) -> str:
+    return f"""
+   SELECT p.p_size AS manufact, sum(round(l.l_extendedprice * 100)) AS cents
+   FROM lineitem l
+   JOIN orders o ON l.l_orderkey = o.o_orderkey
+   JOIN part p ON l.l_partkey = p.p_partkey
+   WHERE l.l_returnflag = '{flag}' AND year(o.o_orderdate) = 1996 AND month(o.o_orderdate) = 5
+     AND p.p_size IN (SELECT p_size FROM part WHERE p_type LIKE '%ECO%')
+   GROUP BY p.p_size"""
+
+
+@_q(
+    "tpcds_q33",
+    f"""
+WITH ss AS ({_q33_channel_sql('N')}),
+     cs AS ({_q33_channel_sql('A')}),
+     ws AS ({_q33_channel_sql('R')})
+SELECT manufact, CAST(sum(cents) AS BIGINT) AS total_cents
+FROM (SELECT * FROM ss UNION ALL SELECT * FROM cs UNION ALL SELECT * FROM ws) tmp
+GROUP BY manufact
+ORDER BY total_cents, manufact
+LIMIT 100
+""",
+)
+def tpcds_q33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q33 shape (tpcds/q33.sql: per-manufacturer revenue computed
+    independently in each of the three channels — each arm gated by an
+    IN-subquery over the category dim — UNION ALL'd and re-aggregated).
+    Scale: the category IN-list is a dim-only semi-join (broadcast); each
+    arm is one star shuffle; the re-agg runs on three small aggregates."""
+    li, orders, part = _t(spark, sf_dir, "lineitem", "orders", "part")
+    sizes = part.filter(F.col("p_type").like("%ECO%")).select("p_size").distinct()
+
+    def channel(flag: str) -> DataFrame:
+        return (
+            li.filter(F.col("l_returnflag") == flag)
+            .join(orders.filter(
+                (F.year("o_orderdate") == 1996) & (F.month("o_orderdate") == 5)),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(part, F.col("l_partkey") == F.col("p_partkey"))
+            .join(F.broadcast(sizes), "p_size", "left_semi")
+            .groupBy(F.col("p_size").alias("manufact"))
+            .agg(F.sum(F.round(F.col("l_extendedprice") * 100)).alias("cents"))
+        )
+
+    u = channel("N").unionByName(channel("A")).unionByName(channel("R"))
+    return (
+        u.groupBy("manufact")
+        .agg(F.sum("cents").cast("bigint").alias("total_cents"))
+        .orderBy("total_cents", "manufact")
+        .limit(100)
+    )
+
+
+# --- q75: year-over-year decline by brand, returns-netted ------------------
+
+def _q75_channel_sql(mod: int) -> str:
+    return f"""
+      SELECT year(o.o_orderdate) AS d_year, p.p_brand AS brand, p.p_size AS manufact,
+             CAST(l.l_quantity AS BIGINT) - coalesce(r.ret_qty, 0) AS sales_cnt,
+             CAST(round(l.l_extendedprice * 100) AS BIGINT) - coalesce(r.ret_cents, 0) AS sales_amt
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      LEFT JOIN (
+        SELECT li.l_orderkey AS rok, li.l_linenumber AS rln,
+               CAST(floor(li.l_quantity / 2) AS BIGINT) AS ret_qty,
+               CAST(round(li.l_extendedprice * 100) AS BIGINT) // 2 AS ret_cents
+        FROM lineitem li WHERE li.l_linenumber % 3 = {mod} AND li.l_returnflag = 'R'
+      ) r ON r.rok = l.l_orderkey AND r.rln = l.l_linenumber
+      WHERE l.l_linenumber % 3 = {mod} AND p.p_type LIKE '%DARD%'"""
+
+
+@_q(
+    "tpcds_q75",
+    f"""
+WITH all_sales AS (
+  SELECT d_year, brand, manufact,
+         CAST(sum(sales_cnt) AS BIGINT) AS sales_cnt, CAST(sum(sales_amt) AS BIGINT) AS sales_amt
+  FROM (
+    {_q75_channel_sql(0)}
+    UNION
+    {_q75_channel_sql(1)}
+    UNION
+    {_q75_channel_sql(2)}
+  ) sales_detail
+  GROUP BY d_year, brand, manufact
+)
+SELECT prev_yr.d_year AS prev_year, curr_yr.d_year AS year_,
+       curr_yr.brand, curr_yr.manufact,
+       prev_yr.sales_cnt AS prev_yr_cnt, curr_yr.sales_cnt AS curr_yr_cnt,
+       curr_yr.sales_cnt - prev_yr.sales_cnt AS sales_cnt_diff,
+       curr_yr.sales_amt - prev_yr.sales_amt AS sales_amt_diff
+FROM all_sales curr_yr
+JOIN all_sales prev_yr
+  ON curr_yr.brand = prev_yr.brand AND curr_yr.manufact = prev_yr.manufact
+ AND curr_yr.d_year = 1997 AND prev_yr.d_year = 1996
+WHERE curr_yr.sales_cnt * 10 < 9 * prev_yr.sales_cnt
+ORDER BY sales_cnt_diff, sales_amt_diff, curr_yr.brand, curr_yr.manufact
+LIMIT 100
+""",
+)
+def tpcds_q75(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q75 shape (tpcds/q75.sql: per-(year, brand, manufact) sales
+    NET of returns — sales LEFT JOIN returns with COALESCE subtraction —
+    UNION'd (distinct, as the reference spells it) across the three
+    channels, then current-year vs prior-year self-join keeping brands
+    that declined more than 10%). The decline test is cross-multiplied
+    exact (curr*10 < 9*prev). Channels are l_linenumber mod 3; returns
+    are the channel's R rows at half quantity. Scale: per-channel star
+    joins with an equi-join to returns; the YoY comparison joins two
+    year-slices of one grouped frame."""
+    li, orders, part = _t(spark, sf_dir, "lineitem", "orders", "part")
+
+    def channel(mod: int) -> DataFrame:
+        sales = li.filter(F.col("l_linenumber") % 3 == mod)
+        rets = sales.filter(F.col("l_returnflag") == "R").select(
+            F.col("l_orderkey").alias("rok"),
+            F.col("l_linenumber").alias("rln"),
+            F.floor(F.col("l_quantity") / 2).cast("bigint").alias("ret_qty"),
+            F.expr("CAST(round(l_extendedprice * 100) AS BIGINT) DIV 2").alias("ret_cents"),
+        )
+        return (
+            sales.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(part.filter(F.col("p_type").like("%DARD%")),
+                  F.col("l_partkey") == F.col("p_partkey"))
+            .join(rets, (F.col("rok") == F.col("l_orderkey"))
+                  & (F.col("rln") == F.col("l_linenumber")), "left")
+            .select(
+                F.year("o_orderdate").alias("d_year"),
+                F.col("p_brand").alias("brand"),
+                F.col("p_size").alias("manufact"),
+                (F.col("l_quantity").cast("bigint")
+                 - F.coalesce(F.col("ret_qty"), F.lit(0))).alias("sales_cnt"),
+                (F.round(F.col("l_extendedprice") * 100).cast("bigint")
+                 - F.coalesce(F.col("ret_cents"), F.lit(0))).alias("sales_amt"),
+            )
+        )
+
+    detail = channel(0).unionByName(channel(1)).unionByName(channel(2)).distinct()
+    all_sales = detail.groupBy("d_year", "brand", "manufact").agg(
+        F.sum("sales_cnt").cast("bigint").alias("sales_cnt"),
+        F.sum("sales_amt").cast("bigint").alias("sales_amt"),
+    )
+    curr = all_sales.filter(F.col("d_year") == 1997).alias("c")
+    prev = all_sales.filter(F.col("d_year") == 1996).alias("p")
+    j = curr.join(
+        prev,
+        (F.col("c.brand") == F.col("p.brand")) & (F.col("c.manufact") == F.col("p.manufact")),
+    ).filter(F.col("c.sales_cnt") * 10 < 9 * F.col("p.sales_cnt"))
+    return (
+        j.select(
+            F.col("p.d_year").alias("prev_year"),
+            F.col("c.d_year").alias("year_"),
+            F.col("c.brand").alias("brand"),
+            F.col("c.manufact").alias("manufact"),
+            F.col("p.sales_cnt").alias("prev_yr_cnt"),
+            F.col("c.sales_cnt").alias("curr_yr_cnt"),
+            (F.col("c.sales_cnt") - F.col("p.sales_cnt")).alias("sales_cnt_diff"),
+            (F.col("c.sales_amt") - F.col("p.sales_amt")).alias("sales_amt_diff"),
+        )
+        .orderBy("sales_cnt_diff", "sales_amt_diff", "brand", "manufact")
+        .limit(100)
+    )
+
+
+# --- q76: anomaly (null-key analog) counts unioned across channels ---------
+
+_Q76_ARMS = [
+    ("store", "l_discount", "N", "l.l_discount = 0"),
+    ("web", "l_tax", "R", "l.l_tax = 0"),
+    ("catalog", "l_quantity", "A", "l.l_quantity >= 49"),
+]
+
+
+def _q76_arm_sql(channel: str, col_name: str, flag: str, pred: str) -> str:
+    return f"""
+   SELECT '{channel}' AS channel, '{col_name}' AS col_name,
+          year(o.o_orderdate) AS d_year, quarter(o.o_orderdate) AS d_qoy,
+          p.p_type AS i_category, round(l.l_extendedprice * 100) AS ext_cents
+   FROM lineitem l
+   JOIN orders o ON l.l_orderkey = o.o_orderkey
+   JOIN part p ON l.l_partkey = p.p_partkey
+   WHERE l.l_returnflag = '{flag}' AND {pred}"""
+
+
+@_q(
+    "tpcds_q76",
+    f"""
+SELECT channel, col_name, d_year, d_qoy, i_category,
+       CAST(count(*) AS BIGINT) AS sales_cnt,
+       CAST(sum(ext_cents) AS BIGINT) AS sales_amt_cents
+FROM (
+  {" UNION ALL ".join(_q76_arm_sql(*a) for a in _Q76_ARMS)}
+) foo
+GROUP BY channel, col_name, d_year, d_qoy, i_category
+ORDER BY channel, col_name, d_year, d_qoy, i_category
+LIMIT 100
+""",
+)
+def tpcds_q76(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q76 shape (tpcds/q76.sql: per-channel anomaly rows — the
+    reference filters ss_store_sk IS NULL etc.; the driver data has no
+    NULL keys, so each channel gets a sparse 'degenerate value' predicate
+    — UNION ALL'd and rolled up by (channel, col_name, year, quarter,
+    category)). Scale: three pruned star scans, one rollup shuffle."""
+    li, orders, part = _t(spark, sf_dir, "lineitem", "orders", "part")
+    preds = {
+        "store": F.col("l_discount") == 0,
+        "web": F.col("l_tax") == 0,
+        "catalog": F.col("l_quantity") >= 49,
+    }
+    arms = []
+    for channel, col_name, flag, _ in _Q76_ARMS:
+        arms.append(
+            li.filter((F.col("l_returnflag") == flag) & preds[channel])
+            .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(part, F.col("l_partkey") == F.col("p_partkey"))
+            .select(
+                F.lit(channel).alias("channel"),
+                F.lit(col_name).alias("col_name"),
+                F.year("o_orderdate").alias("d_year"),
+                F.quarter("o_orderdate").alias("d_qoy"),
+                F.col("p_type").alias("i_category"),
+                F.round(F.col("l_extendedprice") * 100).alias("ext_cents"),
+            )
+        )
+    u = arms[0].unionByName(arms[1]).unionByName(arms[2])
+    return (
+        u.groupBy("channel", "col_name", "d_year", "d_qoy", "i_category")
+        .agg(
+            F.count("*").cast("bigint").alias("sales_cnt"),
+            F.sum("ext_cents").cast("bigint").alias("sales_amt_cents"),
+        )
+        .orderBy("channel", "col_name", "d_year", "d_qoy", "i_category")
+        .limit(100)
+    )

@@ -22,7 +22,8 @@ def test_tpcds_nonempty_at_any_sf(spark, sf_dir):
     """The filter constants must select real data, or the oracle match is
     vacuous — q03/q42/q52 may legitimately be empty at sf0.001, but the
     bulk queries must produce rows."""
-    for name in ["tpcds_q07", "tpcds_q11", "tpcds_q95"]:
+    for name in ["tpcds_q07", "tpcds_q11", "tpcds_q95", "tpcds_q33",
+                 "tpcds_q75", "tpcds_q76"]:
         assert tpcds.QUERIES[name](spark, sf_dir).count() > 0, name
 
 
