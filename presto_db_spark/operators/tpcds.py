@@ -2871,3 +2871,134 @@ def tpcds_q76(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("channel", "col_name", "d_year", "d_qoy", "i_category")
         .limit(100)
     )
+
+
+# --- q12: item revenue share within class (windowed share) -----------------
+
+@_q(
+    "tpcds_q12",
+    """
+SELECT p.p_name AS i_item_id, p.p_type AS i_category, p.p_brand AS i_class,
+       p.p_retailprice AS i_current_price,
+       CAST(sum(round(l.l_extendedprice * 100)) AS BIGINT) AS itemrevenue_cents,
+       CAST(sum(round(l.l_extendedprice * 100)) AS DOUBLE) * 100
+         / sum(CAST(sum(round(l.l_extendedprice * 100)) AS BIGINT)) OVER (PARTITION BY p.p_brand)
+         AS revenueratio
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_type IN ('ECONOMY', 'PROMO', 'SMALL')
+  AND CAST(o.o_orderdate AS DATE) BETWEEN DATE '1996-02-22' AND DATE '1996-03-23'
+GROUP BY p.p_name, p.p_type, p.p_brand, p.p_retailprice
+ORDER BY i_category, i_class, i_item_id, revenueratio
+LIMIT 100
+""",
+)
+def tpcds_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q12 shape (tpcds/q12.sql: per-item revenue over a 30-day
+    window for three categories, each item's share of its class via
+    sum(sum()) OVER (PARTITION BY class) — the windowed-share-of-parent
+    idiom, here over a grouped frame rather than q36/q86's rollup).
+    Scale: one star shuffle to the item grouping; the share window
+    re-partitions the (small) aggregate by class."""
+    li, orders, part = _t(spark, sf_dir, "lineitem", "orders", "part")
+    g = (
+        li.join(orders.filter(
+            F.col("o_orderdate").cast("date").between("1996-02-22", "1996-03-23")),
+            F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(part.filter(F.col("p_type").isin("ECONOMY", "PROMO", "SMALL")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            F.col("p_name").alias("i_item_id"),
+            F.col("p_type").alias("i_category"),
+            F.col("p_brand").alias("i_class"),
+            F.col("p_retailprice").alias("i_current_price"),
+        )
+        .agg(F.sum(F.round(F.col("l_extendedprice") * 100)).cast("bigint")
+             .alias("itemrevenue_cents"))
+    )
+    w = W.partitionBy("i_class")
+    return (
+        g.withColumn(
+            "revenueratio",
+            F.col("itemrevenue_cents").cast("double") * 100
+            / F.sum("itemrevenue_cents").over(w),
+        )
+        .select("i_item_id", "i_category", "i_class", "i_current_price",
+                "itemrevenue_cents", "revenueratio")
+        .orderBy("i_category", "i_class", "i_item_id", "revenueratio")
+        .limit(100)
+    )
+
+
+# --- q90: am/pm activity ratio (events table) ------------------------------
+
+@_q(
+    "tpcds_q90",
+    """
+SELECT CAST(amc AS DOUBLE) / pmc AS am_pm_ratio
+FROM (
+  SELECT count(*) AS amc FROM events
+  WHERE hour(ts) BETWEEN 8 AND 9 AND event_type = 'click' AND value BETWEEN 10 AND 90
+) am, (
+  SELECT count(*) AS pmc FROM events
+  WHERE hour(ts) BETWEEN 19 AND 20 AND event_type = 'click' AND value BETWEEN 10 AND 90
+) pm
+""",
+)
+def tpcds_q90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q90 shape (tpcds/q90.sql: morning vs evening activity counts
+    under demographic/page-size bands, ratioed — two single-row filtered
+    aggregates cross-joined). Runs on the events table (the only source
+    with time-of-day); the hd_dep_count/wp_char_count bands map to
+    event_type + value bands. Scale: two pruned scans, 1x1 cross join."""
+    events = load_table(spark, sf_dir, "events")
+    base = events.filter(
+        (F.col("event_type") == "click") & F.col("value").between(10, 90)
+    )
+    am = base.filter(F.hour("ts").between(8, 9)).agg(F.count("*").alias("amc"))
+    pm = base.filter(F.hour("ts").between(19, 20)).agg(F.count("*").alias("pmc"))
+    return am.crossJoin(pm).select(
+        (F.col("amc").cast("double") / F.col("pmc")).alias("am_pm_ratio")
+    )
+
+
+# --- q92: excess-discount amount (correlated 1.3x avg) ---------------------
+
+@_q(
+    "tpcds_q92",
+    """
+SELECT CAST(sum(disc_cents) AS BIGINT) AS excess_discount_cents
+FROM (
+  SELECT l.l_partkey, round(l.l_extendedprice * l.l_discount * 100) AS disc_cents,
+         sum(round(l.l_extendedprice * l.l_discount * 100)) OVER (PARTITION BY l.l_partkey) AS item_sum,
+         count(*) OVER (PARTITION BY l.l_partkey) AS item_cnt
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE year(o.o_orderdate) = 1996
+) t
+WHERE disc_cents * 10 * item_cnt > 13 * item_sum
+""",
+)
+def tpcds_q92(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q92 shape (tpcds/q92.sql: total web discount on rows whose
+    discount exceeds 1.3x the item's average discount over the period —
+    the correlated scalar-average threshold, decorrelated to a window).
+    The 1.3x test is cross-multiplied exact integers. Scale: one window
+    shuffle on the item key; no self-join of the fact."""
+    li, orders = _t(spark, sf_dir, "lineitem", "orders")
+    w = W.partitionBy("l_partkey")
+    t = (
+        li.join(orders.filter(F.year("o_orderdate") == 1996),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_partkey",
+            F.round(F.col("l_extendedprice") * F.col("l_discount") * 100).alias("disc_cents"),
+        )
+        .withColumn("item_sum", F.sum("disc_cents").over(w))
+        .withColumn("item_cnt", F.count("*").over(w))
+    )
+    return (
+        t.filter(F.col("disc_cents") * 10 * F.col("item_cnt") > 13 * F.col("item_sum"))
+        .agg(F.sum("disc_cents").cast("bigint").alias("excess_discount_cents"))
+    )
