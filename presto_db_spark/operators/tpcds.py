@@ -3002,3 +3002,223 @@ def tpcds_q92(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.filter(F.col("disc_cents") * 10 * F.col("item_cnt") > 13 * F.col("item_sum"))
         .agg(F.sum("disc_cents").cast("bigint").alias("excess_discount_cents"))
     )
+
+
+# --- q4: year_total battery over THREE channels ----------------------------
+
+_Q04_CHANNELS_SQL = f"""
+  SELECT c.c_custkey AS customer_id, c.c_name AS customer_name,
+         year(o.o_orderdate) AS dyear,
+         {_csum_sql(_REV_SQL)} AS year_total, 's' AS sale_type
+  FROM customer c
+  JOIN orders o ON o.o_custkey = c.c_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY customer_id, customer_name, dyear
+  UNION ALL
+  SELECT c.c_custkey, c.c_name, year(o.o_orderdate),
+         {_csum_sql("o.o_totalprice")}, 'w'
+  FROM customer c
+  JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2, 3
+  UNION ALL
+  SELECT c.c_custkey, c.c_name, year(o.o_orderdate),
+         {_csum_sql("l.l_extendedprice * l.l_tax")}, 'c'
+  FROM customer c
+  JOIN orders o ON o.o_custkey = c.c_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag = 'R'
+  GROUP BY 1, 2, 3"""
+
+
+@_q(
+    "tpcds_q04",
+    f"""
+WITH year_total AS ({_Q04_CHANNELS_SQL})
+SELECT s2.customer_id, s2.customer_name
+FROM year_total s1
+JOIN year_total s2 ON s2.customer_id = s1.customer_id
+JOIN year_total c1 ON c1.customer_id = s1.customer_id
+JOIN year_total c2 ON c2.customer_id = s1.customer_id
+JOIN year_total w1 ON w1.customer_id = s1.customer_id
+JOIN year_total w2 ON w2.customer_id = s1.customer_id
+WHERE s1.sale_type = 's' AND s2.sale_type = 's'
+  AND c1.sale_type = 'c' AND c2.sale_type = 'c'
+  AND w1.sale_type = 'w' AND w2.sale_type = 'w'
+  AND s1.dyear = 1999 AND s2.dyear = 2000
+  AND c1.dyear = 1999 AND c2.dyear = 2000
+  AND w1.dyear = 1999 AND w2.dyear = 2000
+  AND s1.year_total > 0 AND c1.year_total > 0 AND w1.year_total > 0
+  AND c2.year_total * s1.year_total > s2.year_total * c1.year_total
+  AND w2.year_total * s1.year_total > s2.year_total * w1.year_total
+ORDER BY s2.customer_id
+LIMIT 100
+""",
+)
+def tpcds_q04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q04 shape (tpcds/q04.sql: q11's year_total CTE extended to
+    THREE channels, self-joined SIX times — customers whose catalog AND
+    web growth both beat store growth). Growth comparisons are
+    cross-multiplied exact integers. The third channel is the R-rows tax
+    total (a distinct measure, as the reference's catalog channel is).
+    Scale: same materialization story as q11 (cte_materialization_enabled
+    persists the grouped frame before the six slices)."""
+    customer, orders, lineitem = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    co = customer.join(orders, F.col("o_custkey") == F.col("c_custkey"))
+    keys = [
+        F.col("c_custkey").alias("customer_id"),
+        F.col("c_name").alias("customer_name"),
+        F.year("o_orderdate").alias("dyear"),
+    ]
+    store = (
+        co.join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(*keys).agg(_csum(_rev()).alias("year_total"))
+        .withColumn("sale_type", F.lit("s"))
+    )
+    web = (
+        co.groupBy(*keys).agg(_csum(F.col("o_totalprice")).alias("year_total"))
+        .withColumn("sale_type", F.lit("w"))
+    )
+    catalog = (
+        co.join(lineitem.filter(F.col("l_returnflag") == "R"),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(*keys)
+        .agg(_csum(F.col("l_extendedprice") * F.col("l_tax")).alias("year_total"))
+        .withColumn("sale_type", F.lit("c"))
+    )
+    year_total = store.unionByName(web).unionByName(catalog)
+    if spark.conf.get("spark.presto_db.cte.materialize", "false") == "true":
+        from pyspark import StorageLevel
+
+        year_total = year_total.persist(StorageLevel.MEMORY_AND_DISK)
+
+    def leg(alias: str, st: str, dyear: int) -> DataFrame:
+        return (
+            year_total.filter((F.col("sale_type") == st) & (F.col("dyear") == dyear))
+            .select("customer_id", "customer_name", "year_total")
+            .alias(alias)
+        )
+
+    s1, s2 = leg("s1", "s", 1999), leg("s2", "s", 2000)
+    c1, c2 = leg("c1", "c", 1999), leg("c2", "c", 2000)
+    w1, w2 = leg("w1", "w", 1999), leg("w2", "w", 2000)
+    j = (
+        s1.join(s2, F.col("s2.customer_id") == F.col("s1.customer_id"))
+        .join(c1, F.col("c1.customer_id") == F.col("s1.customer_id"))
+        .join(c2, F.col("c2.customer_id") == F.col("s1.customer_id"))
+        .join(w1, F.col("w1.customer_id") == F.col("s1.customer_id"))
+        .join(w2, F.col("w2.customer_id") == F.col("s1.customer_id"))
+        .filter(
+            (F.col("s1.year_total") > 0) & (F.col("c1.year_total") > 0)
+            & (F.col("w1.year_total") > 0)
+            & (F.col("c2.year_total") * F.col("s1.year_total")
+               > F.col("s2.year_total") * F.col("c1.year_total"))
+            & (F.col("w2.year_total") * F.col("s1.year_total")
+               > F.col("s2.year_total") * F.col("w1.year_total"))
+        )
+    )
+    return (
+        j.select(
+            F.col("s2.customer_id").alias("customer_id"),
+            F.col("s2.customer_name").alias("customer_name"),
+        )
+        .orderBy("customer_id")
+        .limit(100)
+    )
+
+
+# --- q17: sale -> return -> repurchase three-fact chain --------------------
+
+def _exact_stats_sql(q: str) -> str:
+    """count / avg / sample-stddev from exact integer sums — identical
+    doubles in both engines (no accumulation-order dependence)."""
+    return (
+        f"CAST(count({q}) AS BIGINT) AS {q}_cnt, "
+        f"CAST(sum(CAST({q} AS BIGINT)) AS DOUBLE) / count({q}) AS {q}_avg, "
+        f"CASE WHEN count({q}) > 1 THEN sqrt("
+        f"CAST(count({q}) * sum(CAST({q} AS BIGINT) * CAST({q} AS BIGINT)) "
+        f"- sum(CAST({q} AS BIGINT)) * sum(CAST({q} AS BIGINT)) AS DOUBLE) "
+        f"/ (count({q}) * (count({q}) - 1))) END AS {q}_stdev"
+    )
+
+
+@_q(
+    "tpcds_q17",
+    f"""
+WITH s AS (
+  SELECT o.o_custkey AS ck, l.l_partkey % 10 AS pk, CAST(l.l_quantity AS BIGINT) AS qty_s,
+         CAST(o.o_orderdate AS DATE) AS sdate
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag = 'A' AND year(o.o_orderdate) = 1996 AND quarter(o.o_orderdate) = 1
+), r AS (
+  SELECT o.o_custkey AS ck, l.l_partkey % 10 AS pk, CAST(l.l_quantity AS BIGINT) AS qty_r,
+         CAST(o.o_orderdate AS DATE) AS rdate
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag = 'R' AND year(o.o_orderdate) = 1996 AND quarter(o.o_orderdate) <= 3
+), c2 AS (
+  SELECT o.o_custkey AS ck, l.l_partkey % 10 AS pk, CAST(l.l_quantity AS BIGINT) AS qty_c,
+         CAST(o.o_orderdate AS DATE) AS cdate
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag = 'N' AND year(o.o_orderdate) BETWEEN 1996 AND 1997
+)
+SELECT s.pk AS i_item_id,
+       {_exact_stats_sql('qty_s')},
+       {_exact_stats_sql('qty_r')},
+       {_exact_stats_sql('qty_c')}
+FROM s
+JOIN r ON r.ck = s.ck AND r.pk = s.pk AND r.rdate >= s.sdate
+JOIN c2 ON c2.ck = s.ck AND c2.pk = s.pk AND c2.cdate >= r.rdate
+GROUP BY s.pk
+ORDER BY i_item_id
+LIMIT 100
+""",
+)
+def tpcds_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q17 shape (tpcds/q17.sql: items bought in Q1, returned in
+    Q1-Q3, repurchased from the catalog within two years — a THREE-fact
+    chain joined on (customer, item-group) with date ordering — then
+    per-item-group count/avg/stdev of the quantities at each stage; the
+    part key is coarsened to groups so the chain fires at test scale). Stddev is computed
+    from exact integer sums (n·Σx² − (Σx)² form), so both engines emit
+    identical doubles with no accumulation-order drift. Scale: the chain
+    is two equi-joins on (customer, item) of quarter-pruned slices — the
+    date ordering is a residual predicate, not a join explosion."""
+    li, orders = _t(spark, sf_dir, "lineitem", "orders")
+    lo = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+
+    def stage(flag, pred, qty_name, date_name):
+        return lo.filter((F.col("l_returnflag") == flag) & pred).select(
+            F.col("o_custkey").alias("ck"),
+            (F.col("l_partkey") % 10).alias("pk"),
+            F.col("l_quantity").cast("bigint").alias(qty_name),
+            F.col("o_orderdate").cast("date").alias(date_name),
+        )
+
+    s = stage("A", (F.year("o_orderdate") == 1996) & (F.quarter("o_orderdate") == 1),
+              "qty_s", "sdate").alias("s")
+    r = stage("R", (F.year("o_orderdate") == 1996) & (F.quarter("o_orderdate") <= 3),
+              "qty_r", "rdate").alias("r")
+    c2 = stage("N", F.year("o_orderdate").between(1996, 1997), "qty_c", "cdate").alias("c2")
+    chain = (
+        s.join(r, (F.col("r.ck") == F.col("s.ck")) & (F.col("r.pk") == F.col("s.pk"))
+               & (F.col("rdate") >= F.col("sdate")))
+        .join(c2, (F.col("c2.ck") == F.col("s.ck")) & (F.col("c2.pk") == F.col("s.pk"))
+              & (F.col("cdate") >= F.col("rdate")))
+    )
+
+    def stats(q):
+        cnt = F.count(q)
+        sm = F.sum(F.col(q))
+        ss = F.sum(F.col(q) * F.col(q))
+        return [
+            cnt.cast("bigint").alias(f"{q}_cnt"),
+            (sm.cast("double") / cnt).alias(f"{q}_avg"),
+            F.when(cnt > 1, F.sqrt((cnt * ss - sm * sm).cast("double")
+                                   / (cnt * (cnt - 1)))).alias(f"{q}_stdev"),
+        ]
+
+    return (
+        chain.groupBy(F.col("s.pk").alias("i_item_id"))
+        .agg(*(stats("qty_s") + stats("qty_r") + stats("qty_c")))
+        .orderBy("i_item_id")
+        .limit(100)
+    )
