@@ -3222,3 +3222,68 @@ def tpcds_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("i_item_id")
         .limit(100)
     )
+
+
+# --- q55: brand revenue for one month (minimal star rollup) ----------------
+
+@_q(
+    "tpcds_q55",
+    f"""
+SELECT p.p_brand AS brand, {_msum_sql("l.l_extendedprice * (1 - l.l_discount)")} AS ext_price
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_size BETWEEN 20 AND 30 AND year(o.o_orderdate) = 1996 AND month(o.o_orderdate) = 11
+GROUP BY p.p_brand
+ORDER BY ext_price DESC, brand
+LIMIT 100
+""",
+)
+def tpcds_q55(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q55 shape (tpcds/q55.sql: single-month brand revenue for one
+    manager's items — the minimal dim-filtered star rollup). Broadcast
+    star join, one shuffle."""
+    li, orders, part = _t(spark, sf_dir, "lineitem", "orders", "part")
+    return (
+        li.join(orders.filter(
+            (F.year("o_orderdate") == 1996) & (F.month("o_orderdate") == 11)),
+            F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(part.filter(F.col("p_size").between(20, 30)),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(_msum(_rev()).alias("ext_price"))
+        .orderBy(F.desc("ext_price"), "brand")
+        .limit(100)
+    )
+
+
+# --- q96: filtered count through three broadcast dims ----------------------
+
+@_q(
+    "tpcds_q96",
+    """
+SELECT CAST(count(*) AS BIGINT) AS cnt
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE month(o.o_orderdate) = 8 AND c.c_mktsegment = 'BUILDING'
+  AND s.s_nationkey < 10 AND l.l_quantity BETWEEN 20 AND 30
+""",
+)
+def tpcds_q96(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q96 shape (tpcds/q96.sql: a bare count(*) through three
+    broadcast dimension filters — the selectivity-pipeline microbench).
+    All three dims broadcast; the fact scan carries the residual
+    predicates; a single global count."""
+    li, orders, supp, cust = _t(spark, sf_dir, "lineitem", "orders", "supplier", "customer")
+    return (
+        li.filter(F.col("l_quantity").between(20, 30))
+        .join(orders.filter(F.month("o_orderdate") == 8),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supp.filter(F.col("s_nationkey") < 10),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust.filter(F.col("c_mktsegment") == "BUILDING"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
