@@ -8,6 +8,15 @@ local[$SPARK_GRAFT_CPUS], AQE on, and prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
 Per query: PREWARM_RUNS unmeasured + RUNS measured, median reported.
+
+Isolation: BENCH_SUBPROCESS=1 runs every query in a FRESH SUBPROCESS (its
+own JVM). Measured r4 result of that mode: it does NOT remove the sim_ivf
+tail (1.4-5.1 s spread INSIDE one fresh JVM — the variance is intra-query,
+not suite-position pollution) and it costs every short query its share of
+the amortized JIT warmup (+25-100% on sub-second medians), so the default
+stays the shared session with per-query clearCache+GC. The per-query
+min/median/max spread in the output is the noise-visibility mechanism
+either way: a wide band = session noise, not a regression.
 """
 
 from __future__ import annotations
@@ -16,6 +25,7 @@ import gc
 import json
 import os
 import statistics
+import subprocess
 import sys
 import time
 
@@ -26,6 +36,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # r2 showed runs=3/prewarm=1 admits ±2x session-GC noise into the medians.
 PREWARM_RUNS = int(os.environ.get("BENCH_PREWARM", "2"))
 RUNS = int(os.environ.get("BENCH_RUNS", "6"))
+SUBPROCESS = os.environ.get("BENCH_SUBPROCESS", "0") == "1"
 
 # Headline set: the TPC-H spine (scan-agg, multi-join, semi-join, having,
 # top-k) + the extension operators (dedup, ANN, sessionization, fingerprint).
@@ -50,45 +61,73 @@ HEADLINE = [
 ]
 
 
-def main() -> None:
+def _measure(name: str) -> list[float]:
+    """Prewarm + measure one query in the current session; returns samples."""
     from presto_db_spark.registry import all_queries
     from presto_db_spark.session import get_spark
 
     spark = get_spark("presto_db_spark_bench")
-    queries = all_queries()
-
+    fn = all_queries()[name]
     # JVM/session warmup outside any query's timing.
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+    spark.catalog.clearCache()
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
+    for _ in range(PREWARM_RUNS):
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    samples = []
+    for _ in range(RUNS):
+        t0 = time.perf_counter()
+        # noop sink = full execution without driver-side materialization
+        # cost (the reference's DevNullOperator / blackhole pattern).
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        samples.append(time.perf_counter() - t0)
+    return samples
 
+
+def _child(name: str) -> None:
+    print("BENCH_CHILD " + json.dumps({"query": name, "samples": _measure(name)}))
+
+
+def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     times: dict[str, float] = {}
     spread: dict[str, dict[str, float]] = {}
-    for name in HEADLINE:
-        fn = queries[name]
-        # Isolate queries from each other: drop cached plans/blocks and ask
-        # the JVM to collect before timing, so query N's garbage doesn't
-        # land in query N+1's measured runs (the r2 +43% was exactly this).
-        spark.catalog.clearCache()
-        gc.collect()
-        spark.sparkContext._jvm.System.gc()
-        for _ in range(PREWARM_RUNS):
-            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        samples = []
-        for _ in range(RUNS):
-            t0 = time.perf_counter()
-            # noop sink = full execution without driver-side materialization
-            # cost (the reference's DevNullOperator / blackhole pattern).
-            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            samples.append(time.perf_counter() - t0)
-        times[name] = round(statistics.median(samples), 4)
-        # Per-query spread so suite-position noise is visible in the
-        # artifact itself (a wide max/min band = session noise, not a
-        # regression; see SCALING.md bench-methodology note).
-        spread[name] = {
-            "min": round(min(samples), 4),
-            "median": times[name],
-            "max": round(max(samples), 4),
-        }
+
+    if SUBPROCESS:
+        env = dict(os.environ)
+        for name in HEADLINE:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child", name],
+                capture_output=True, text=True, env=env, timeout=600,
+            )
+            line = next(
+                (ln for ln in proc.stdout.splitlines() if ln.startswith("BENCH_CHILD ")),
+                None,
+            )
+            if line is None:
+                raise RuntimeError(
+                    f"bench child for {name} produced no result "
+                    f"(rc={proc.returncode}): {proc.stderr[-500:]}"
+                )
+            samples = json.loads(line[len("BENCH_CHILD "):])["samples"]
+            times[name] = round(statistics.median(samples), 4)
+            spread[name] = {
+                "min": round(min(samples), 4),
+                "median": times[name],
+                "max": round(max(samples), 4),
+            }
+    else:
+        from presto_db_spark.registry import all_queries  # noqa: F401 (session mode)
+
+        for name in HEADLINE:
+            samples = _measure(name)
+            times[name] = round(statistics.median(samples), 4)
+            spread[name] = {
+                "min": round(min(samples), 4),
+                "median": times[name],
+                "max": round(max(samples), 4),
+            }
 
     total = round(sum(times.values()), 4)
     print(
@@ -102,10 +141,14 @@ def main() -> None:
                 "sf": float(sf),
                 "runs": RUNS,
                 "prewarm": PREWARM_RUNS,
+                "isolation": "subprocess" if SUBPROCESS else "session",
             }
         )
     )
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) == 3 and sys.argv[1] == "--child":
+        _child(sys.argv[2])
+    else:
+        main()
