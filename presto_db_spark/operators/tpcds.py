@@ -3287,3 +3287,129 @@ def tpcds_q96(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.col("o_custkey") == F.col("c_custkey"))
         .agg(F.count("*").cast("bigint").alias("cnt"))
     )
+
+
+# --- q18: multi-measure AVG over a ROLLUP hierarchy ------------------------
+
+_Q18_MEASURES = [
+    ("agg1", "CAST(l.l_quantity AS BIGINT)"),
+    ("agg2", "CAST(round(l.l_extendedprice * 100) AS BIGINT)"),
+    ("agg3", "CAST(round(l.l_extendedprice * l.l_discount * 100) AS BIGINT)"),
+    ("agg4", "CAST(round(l.l_extendedprice * l.l_tax * 100) AS BIGINT)"),
+    ("agg5", "CAST(o.o_custkey AS BIGINT)"),
+]
+
+
+@_q(
+    "tpcds_q18",
+    f"""
+SELECT p.p_brand AS i_item_id, n.n_name AS ca_country, c.c_mktsegment AS ca_state,
+       {", ".join(f"CAST(sum({e}) AS DOUBLE) / count(*) AS {n}" for n, e in _Q18_MEASURES)}
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY', 'HOUSEHOLD')
+  AND month(o.o_orderdate) IN (1, 2, 6, 8, 9, 12) AND year(o.o_orderdate) = 1996
+GROUP BY ROLLUP (p.p_brand, n.n_name, c.c_mktsegment)
+ORDER BY ca_country, ca_state, i_item_id
+""",
+)
+def tpcds_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q18 shape (tpcds/q18.sql: seven AVG measures over a ROLLUP of
+    the item x geography hierarchy under demographic filters). Averages
+    are exact-int sums divided by the group count — identical doubles in
+    both engines at every rollup level. No LIMIT: the rollup output is
+    dim-bounded (~brands x nations x segments), and dropping it avoids
+    engine NULLS-ordering differences in top-k selection. Scale: one
+    ROLLUP shuffle over a dim-pruned star join."""
+    li, orders, cust, nation, part = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation", "part"
+    )
+    j = (
+        li.join(orders.filter(
+            F.month("o_orderdate").isin(1, 2, 6, 8, 9, 12)
+            & (F.year("o_orderdate") == 1996)),
+            F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust.filter(
+            F.col("c_mktsegment").isin("BUILDING", "MACHINERY", "HOUSEHOLD")),
+            F.col("o_custkey") == F.col("c_custkey"))
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+    )
+    measures = {
+        "agg1": F.col("l_quantity").cast("bigint"),
+        "agg2": F.round(F.col("l_extendedprice") * 100).cast("bigint"),
+        "agg3": F.round(F.col("l_extendedprice") * F.col("l_discount") * 100).cast("bigint"),
+        "agg4": F.round(F.col("l_extendedprice") * F.col("l_tax") * 100).cast("bigint"),
+        "agg5": F.col("o_custkey").cast("bigint"),
+    }
+    pre = j.select(
+        F.col("p_brand").alias("i_item_id"),
+        F.col("n_name").alias("ca_country"),
+        F.col("c_mktsegment").alias("ca_state"),
+        *[v.alias(k) for k, v in measures.items()],
+    )
+    return (
+        pre.rollup("i_item_id", "ca_country", "ca_state")
+        .agg(*[
+            (F.sum(k).cast("double") / F.count("*")).alias(k) for k in measures
+        ])
+        .orderBy("ca_country", "ca_state", "i_item_id")
+    )
+
+
+# --- q45: disjunctive gate across two dimensions ---------------------------
+
+@_q(
+    "tpcds_q45",
+    """
+SELECT c.c_nationkey AS ca_zip, c.c_mktsegment AS ca_city,
+       CAST(sum(round(l.l_extendedprice * 100)) AS BIGINT) AS sum_cents
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE (c.c_nationkey IN (3, 7, 11, 15, 19)
+       OR l.l_partkey IN (SELECT p_partkey FROM part
+                          WHERE p_partkey IN (2, 3, 5, 7, 11, 13, 17, 19, 23, 29)))
+  AND quarter(o.o_orderdate) = 2 AND year(o.o_orderdate) = 1996
+GROUP BY c.c_nationkey, c.c_mktsegment
+ORDER BY ca_zip, ca_city
+LIMIT 100
+""",
+)
+def tpcds_q45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q45 shape (tpcds/q45.sql: revenue by geography where the row
+    passes EITHER a literal zip-list filter OR membership in an
+    IN-subquery item list — the disjunctive cross-dimension gate that
+    can't become a plain semi-join). The item list is dim-derived and
+    broadcast as an isin (the reference's IN-subquery over item); the OR
+    stays a residual predicate on the joined frame. Scale: quarter
+    pruning first, broadcast dim joins, one rollup shuffle."""
+    li, orders, cust, part = _t(spark, sf_dir, "lineitem", "orders", "customer", "part")
+    item_ids = [
+        r.p_partkey
+        for r in part.filter(
+            F.col("p_partkey").isin(2, 3, 5, 7, 11, 13, 17, 19, 23, 29)
+        ).select("p_partkey").collect()
+    ]
+    j = (
+        li.join(orders.filter(
+            (F.quarter("o_orderdate") == 2) & (F.year("o_orderdate") == 1996)),
+            F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            F.col("c_nationkey").isin(3, 7, 11, 15, 19)
+            | F.col("l_partkey").isin(item_ids)
+        )
+    )
+    return (
+        j.groupBy(
+            F.col("c_nationkey").alias("ca_zip"),
+            F.col("c_mktsegment").alias("ca_city"),
+        )
+        .agg(F.sum(F.round(F.col("l_extendedprice") * 100)).cast("bigint").alias("sum_cents"))
+        .orderBy("ca_zip", "ca_city")
+        .limit(100)
+    )
