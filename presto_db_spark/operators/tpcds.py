@@ -3413,3 +3413,67 @@ def tpcds_q45(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ca_zip", "ca_city")
         .limit(100)
     )
+
+
+# --- q13: three OR'd demographic bands, multi-avg output -------------------
+
+_Q13_BANDS_SQL = """(
+     (c.c_mktsegment = 'BUILDING' AND l.l_quantity BETWEEN 1 AND 20
+      AND o.o_totalprice BETWEEN 10000 AND 150000)
+  OR (c.c_mktsegment = 'MACHINERY' AND l.l_quantity BETWEEN 21 AND 35
+      AND o.o_totalprice BETWEEN 20000 AND 200000)
+  OR (c.c_mktsegment = 'HOUSEHOLD' AND l.l_quantity BETWEEN 36 AND 50
+      AND o.o_totalprice BETWEEN 50000 AND 250000)
+)"""
+
+
+@_q(
+    "tpcds_q13",
+    f"""
+SELECT CAST(sum(CAST(l.l_quantity AS BIGINT)) AS DOUBLE) / count(*) AS avg_qty,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / count(*) AS avg_price_cents,
+       CAST(sum(CAST(round(l.l_extendedprice * l.l_discount * 100) AS BIGINT)) AS DOUBLE) / count(*) AS avg_disc_cents,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS net_cents
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+WHERE s.s_nationkey < 15 AND year(o.o_orderdate) = 1996 AND {_Q13_BANDS_SQL}
+""",
+)
+def tpcds_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q13 shape (tpcds/q13.sql: one global aggregate row of
+    averages under THREE OR'd demographic x quantity x price bands — the
+    disjunctive band predicate that defeats single-range pushdown and
+    must evaluate as a residual). Averages are exact-int sums over the
+    joint count, identical doubles in both engines. Scale: the bands sit
+    as one residual filter on a broadcast star join; a single global
+    aggregate."""
+    li, orders, cust, supp = _t(spark, sf_dir, "lineitem", "orders", "customer", "supplier")
+    bands = (
+        ((F.col("c_mktsegment") == "BUILDING") & F.col("l_quantity").between(1, 20)
+         & F.col("o_totalprice").between(10000, 150000))
+        | ((F.col("c_mktsegment") == "MACHINERY") & F.col("l_quantity").between(21, 35)
+           & F.col("o_totalprice").between(20000, 200000))
+        | ((F.col("c_mktsegment") == "HOUSEHOLD") & F.col("l_quantity").between(36, 50)
+           & F.col("o_totalprice").between(50000, 250000))
+    )
+    j = (
+        li.join(orders.filter(F.year("o_orderdate") == 1996),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp.filter(F.col("s_nationkey") < 15),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(bands)
+    )
+    cnt = F.count("*")
+    qty = F.sum(F.col("l_quantity").cast("bigint"))
+    price = F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+    disc = F.sum(F.round(F.col("l_extendedprice") * F.col("l_discount") * 100).cast("bigint"))
+    net = F.sum(F.round(_rev() * 100).cast("bigint"))
+    return j.agg(
+        (qty.cast("double") / cnt).alias("avg_qty"),
+        (price.cast("double") / cnt).alias("avg_price_cents"),
+        (disc.cast("double") / cnt).alias("avg_disc_cents"),
+        net.cast("bigint").alias("net_cents"),
+    )
