@@ -3477,3 +3477,78 @@ def tpcds_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
         (disc.cast("double") / cnt).alias("avg_disc_cents"),
         net.cast("bigint").alias("net_cents"),
     )
+
+
+# --- q47: monthly deviation from yearly average, with lag/lead neighbors ---
+
+@_q(
+    "tpcds_q47",
+    """
+WITH v1 AS (
+  SELECT p.p_type AS i_category, p.p_brand AS i_brand,
+         year(o.o_orderdate) AS d_year, month(o.o_orderdate) AS d_moy,
+         CAST(sum(round(l.l_extendedprice * 100)) AS BIGINT) AS sum_sales,
+         CAST(sum(CAST(sum(round(l.l_extendedprice * 100)) AS BIGINT))
+              OVER (PARTITION BY p.p_type, p.p_brand, year(o.o_orderdate)) AS BIGINT) AS year_sum,
+         count(*) OVER (PARTITION BY p.p_type, p.p_brand, year(o.o_orderdate)) AS year_cnt,
+         lag(CAST(sum(round(l.l_extendedprice * 100)) AS BIGINT))
+           OVER (PARTITION BY p.p_type, p.p_brand ORDER BY year(o.o_orderdate), month(o.o_orderdate)) AS psum,
+         lead(CAST(sum(round(l.l_extendedprice * 100)) AS BIGINT))
+           OVER (PARTITION BY p.p_type, p.p_brand ORDER BY year(o.o_orderdate), month(o.o_orderdate)) AS nsum
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_type, p.p_brand, year(o.o_orderdate), month(o.o_orderdate)
+)
+SELECT i_category, i_brand, d_year, d_moy, sum_sales,
+       CAST(year_sum AS DOUBLE) / year_cnt AS avg_monthly_sales, psum, nsum
+FROM v1
+WHERE d_year = 1997 AND year_sum > 0
+  AND 10 * abs(sum_sales * year_cnt - year_sum) > year_sum
+ORDER BY i_category, i_brand, d_year, d_moy
+LIMIT 100
+""",
+)
+def tpcds_q47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q47 shape (tpcds/q47.sql: months whose sales deviate more
+    than 10% from their (category, brand, year) average, reported with
+    the neighboring months' sales — the reference formulates lag/lead as
+    rank self-joins; lag()/lead() over the same ordering is the
+    equivalent single-pass plan, and the oracle uses the same spelling).
+    The deviation test is cross-multiplied exact integers
+    (10·|sum·cnt − Σ| > Σ). Scale: one shuffle to the month grouping;
+    all three windows share the (category, brand) partitioning."""
+    li, orders, part = _t(spark, sf_dir, "lineitem", "orders", "part")
+    g = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            F.col("p_type").alias("i_category"),
+            F.col("p_brand").alias("i_brand"),
+            F.year("o_orderdate").alias("d_year"),
+            F.month("o_orderdate").alias("d_moy"),
+        )
+        .agg(F.sum(F.round(F.col("l_extendedprice") * 100)).cast("bigint").alias("sum_sales"))
+    )
+    wy = W.partitionBy("i_category", "i_brand", "d_year")
+    ws = W.partitionBy("i_category", "i_brand").orderBy("d_year", "d_moy")
+    v1 = (
+        g.withColumn("year_sum", F.sum("sum_sales").over(wy).cast("bigint"))
+        .withColumn("year_cnt", F.count("*").over(wy))
+        .withColumn("psum", F.lag("sum_sales").over(ws))
+        .withColumn("nsum", F.lead("sum_sales").over(ws))
+    )
+    return (
+        v1.filter(
+            (F.col("d_year") == 1997) & (F.col("year_sum") > 0)
+            & (10 * F.abs(F.col("sum_sales") * F.col("year_cnt") - F.col("year_sum"))
+               > F.col("year_sum"))
+        )
+        .select(
+            "i_category", "i_brand", "d_year", "d_moy", "sum_sales",
+            (F.col("year_sum").cast("double") / F.col("year_cnt")).alias("avg_monthly_sales"),
+            "psum", "nsum",
+        )
+        .orderBy("i_category", "i_brand", "d_year", "d_moy")
+        .limit(100)
+    )
