@@ -148,9 +148,9 @@ class Engine(DdlMixin):
         toks = _TOKEN.findall(args_text)
         out, cur, depth = [], [], 0
         for t in toks:
-            if t == "(":
+            if t in ("(", "["):
                 depth += 1
-            elif t == ")":
+            elif t in (")", "]"):
                 depth -= 1
             if t == "," and depth == 0:
                 out.append("".join(cur).strip())

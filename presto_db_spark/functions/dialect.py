@@ -264,7 +264,18 @@ def _pass_function_ddl(tokens: list[str]) -> list[str]:
         out += head + [" ", "TEMPORARY", " ", tokens[j]]
         i = j + 1
         if low == "drop":
-            continue  # name (+ IF EXISTS) passes through untouched
+            # Presto allows DROP FUNCTION f(int, varchar); Spark's DROP
+            # TEMPORARY FUNCTION takes a bare name — strip the signature.
+            while i < len(tokens):
+                if tokens[i] == "(":
+                    close, _ = _split_args(tokens, i)
+                    i = close + 1
+                    continue
+                if tokens[i] == ";":
+                    break
+                out.append(tokens[i])
+                i += 1
+            continue  # name (+ IF EXISTS) passes through, signature dropped
         # CREATE path: collect param names, then handle the null-call clause
         open_idx = None
         for k in range(i, len(tokens)):
@@ -311,8 +322,14 @@ def _pass_function_ddl(tokens: list[str]) -> list[str]:
                 if _is_ident(tok) and _ident_name(tok) == "return":
                     guard = " OR ".join(f"{p} IS NULL" for p in params)
                     body = "".join(tail[k + 1 :]).strip()
+                    # a trailing statement terminator must stay OUTSIDE the
+                    # parenthesized body ('(x + 1;)' is a parse error)
+                    suffix = ""
+                    while body.endswith(";"):
+                        body = body[:-1].rstrip()
+                        suffix = ";"
                     tail = tail[: k + 1] + [
-                        f" CASE WHEN {guard} THEN NULL ELSE ({body}) END"
+                        f" CASE WHEN {guard} THEN NULL ELSE ({body}) END{suffix}"
                     ]
                     break
         out += tail

@@ -305,14 +305,18 @@ _SQL_FUNCTIONS = [
     # A missing/unknown unit raises, matching the reference's PrestoException
     # (io.airlift.units.Duration accepts ns..d only) instead of silent NULL.
     "CREATE OR REPLACE TEMPORARY FUNCTION parse_duration(s STRING) "
-    "RETURNS DOUBLE RETURN CASE WHEN s IS NULL THEN CAST(NULL AS DOUBLE) ELSE "
+    "RETURNS DOUBLE RETURN CASE WHEN s IS NULL THEN CAST(NULL AS DOUBLE) "
+    # full-string anchor: number immediately followed (optional ws) by a known
+    # unit; anything else — exponents ('1.5e2s'), embedded digits, garbage —
+    # raises like airlift Duration's IllegalArgumentException.
+    "WHEN trim(s) NOT RLIKE '^[0-9]*\\\\.?[0-9]+\\\\s*(ns|us|ms|s|m|h|d)$' "
+    "THEN CAST(raise_error(concat('parse_duration: invalid duration ', s)) "
+    "AS DOUBLE) ELSE "
     "CAST(regexp_extract(trim(s), '^([0-9]*\\\\.?[0-9]+)', 1) AS DOUBLE) * "
     "CASE regexp_extract(trim(s), '([a-z]+)$', 1) "
     "  WHEN 'ns' THEN 1e-9 WHEN 'us' THEN 1e-6 WHEN 'ms' THEN 1e-3 "
     "  WHEN 's' THEN 1.0 WHEN 'm' THEN 60.0 WHEN 'h' THEN 3600.0 "
-    "  WHEN 'd' THEN 86400.0 "
-    "  ELSE CAST(raise_error(concat('parse_duration: unknown time unit in ', "
-    "s)) AS DOUBLE) END END",
+    "  WHEN 'd' THEN 86400.0 END END",
     # Presto at_timezone(ts, tz) — Spark timestamps are zone-less instants,
     # so the observable display-zone change is the wall-clock shift
     # (operators/timetypes.py documents the full time/timetz model).

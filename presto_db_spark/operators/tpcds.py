@@ -66,6 +66,33 @@ def _rev():
     return F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
 
+# Persisted-CTE bookkeeping: with cte_materialization_enabled on, q04/q11
+# persist their year_total frame.  A long-lived session invoking them
+# repeatedly must not accumulate cached blocks, so each new materialization
+# releases the previous one (at most ONE outstanding handle), and
+# release_materialized_ctes() lets callers drop it eagerly.
+_MATERIALIZED_CTES: list[DataFrame] = []
+
+
+def _materialize_cte(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Persist ``df`` MEMORY_AND_DISK when the cte_materialization session
+    property is on, unpersisting any previously-materialized CTE first."""
+    if spark.conf.get("spark.presto_db.cte.materialize", "false") != "true":
+        return df
+    from pyspark import StorageLevel
+
+    release_materialized_ctes()
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _MATERIALIZED_CTES.append(df)
+    return df
+
+
+def release_materialized_ctes() -> None:
+    """Unpersist every CTE frame persisted by cte_materialization_enabled."""
+    while _MATERIALIZED_CTES:
+        _MATERIALIZED_CTES.pop().unpersist()
+
+
 _REV_SQL = "l_extendedprice * (1 - l_discount)"
 
 
@@ -389,11 +416,7 @@ def tpcds_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(_csum(F.col("o_totalprice")).alias("year_total"))
         .withColumn("sale_type", F.lit("w"))
     )
-    year_total = store.unionByName(web)
-    if spark.conf.get("spark.presto_db.cte.materialize", "false") == "true":
-        from pyspark import StorageLevel
-
-        year_total = year_total.persist(StorageLevel.MEMORY_AND_DISK)
+    year_total = _materialize_cte(spark, store.unionByName(web))
 
     def leg(alias: str, sale_type: str, dyear: int) -> DataFrame:
         return (
@@ -3085,11 +3108,7 @@ def tpcds_q04(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(_csum(F.col("l_extendedprice") * F.col("l_tax")).alias("year_total"))
         .withColumn("sale_type", F.lit("c"))
     )
-    year_total = store.unionByName(web).unionByName(catalog)
-    if spark.conf.get("spark.presto_db.cte.materialize", "false") == "true":
-        from pyspark import StorageLevel
-
-        year_total = year_total.persist(StorageLevel.MEMORY_AND_DISK)
+    year_total = _materialize_cte(spark, store.unionByName(web).unionByName(catalog))
 
     def leg(alias: str, st: str, dyear: int) -> DataFrame:
         return (

@@ -140,9 +140,23 @@ def test_create_function_presto_grammar(engine):
     row = engine.sql("SELECT nn(4) a, nn(CAST(NULL AS INT)) b").collect()[0]
     assert (row.a, row.b) == (5, None)
 
+    # trailing-semicolon statement with the null-call clause: the ';' must
+    # not be swallowed into the parenthesized guard body (ADVICE r04)
+    engine.sql(
+        "CREATE OR REPLACE FUNCTION nn2(x INT) RETURNS INT "
+        "RETURNS NULL ON NULL INPUT RETURN x + 1;"
+    )
+    row2 = engine.sql("SELECT nn2(4) a, nn2(CAST(NULL AS INT)) b").collect()[0]
+    assert (row2.a, row2.b) == (5, None)
+
     engine.sql("DROP FUNCTION example.default.tan_deg")
     engine.sql("DROP FUNCTION IF EXISTS nn")
+    # Presto grammar allows a parameter-type signature on DROP FUNCTION;
+    # Spark's DROP TEMPORARY FUNCTION doesn't — the dialect strips it
+    engine.sql("DROP FUNCTION nn2(int)")
+    engine.sql("DROP FUNCTION IF EXISTS nn2(int, varchar);")
     assert "tan_deg" not in engine.show_functions(like="tan%")
+    assert "nn2" not in engine.show_functions(like="nn%")
 
 
 def test_prepared_statement_lifecycle(engine):
@@ -161,6 +175,11 @@ def test_prepared_statement_lifecycle(engine):
     ).collect()
     assert engine.sql("EXECUTE q1 USING 7").collect() == direct
     assert engine.sql("EXECUTE q1 USING 3 + 4").collect() == direct
+    # bracketed constructors in a USING argument must not split on their
+    # internal commas (ADVICE r04: ARRAY[1, 2] is ONE argument)
+    assert engine.sql(
+        "EXECUTE q1 USING element_at(ARRAY[7, 99], 1)"
+    ).collect() == direct
 
     rows = engine.sql("DESCRIBE INPUT q1").collect()
     assert [(r.position, r.type) for r in rows] == [(0, "unknown")]

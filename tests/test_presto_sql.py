@@ -246,11 +246,15 @@ def test_parse_duration(engine):
         "       parse_duration('42s') e"
     ).collect()[0]
     assert (r.a, r.b, r.c, r.d, r.e) == (150.0, 0.5, 5400.0, 259200.0, 42.0)
-    # unknown / missing unit raises (reference: PrestoException via
-    # io.airlift.units.Duration — ns..d only), not silent NULL
-    for bad in ("'2w'", "'42'"):
-        with pytest.raises(Exception, match="unknown time unit"):
+    # unknown / missing unit, exponents, or embedded digits raise
+    # (reference: PrestoException via io.airlift.units.Duration — ns..d
+    # only, strict full-string grammar), not silent NULL or a silent
+    # prefix-parse ('1.5e2s' must NOT become 1.5 seconds)
+    for bad in ("'2w'", "'42'", "'1.5e2s'", "'1x5s'", "'s5'"):
+        with pytest.raises(Exception, match="invalid duration"):
             engine.sql(f"SELECT parse_duration({bad}) x").collect()
+    # airlift allows whitespace between value and unit
+    assert engine.sql("SELECT parse_duration('1.5 m') x").collect()[0].x == 90.0
     assert engine.sql("SELECT parse_duration(CAST(NULL AS STRING)) x").collect()[0].x is None
 
 

@@ -41,6 +41,15 @@ def test_tpcds_q11_cte_materialization_prop(spark, sf_dir):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "InMemoryTableScan" in plan, plan
         assert sorted(map(tuple, df.collect())) == baseline
+        # repeated invocation in a long-lived session must not accumulate
+        # cached blocks: each materialization releases the previous handle
+        # (ADVICE r04), so at most ONE CTE frame is ever persisted
+        tpcds.QUERIES["tpcds_q11"](spark, sf_dir)
+        tpcds.QUERIES["tpcds_q04"](spark, sf_dir)
+        jsc = spark.sparkContext._jsc.sc()
+        assert jsc.getPersistentRDDs().size() <= 1
+        tpcds.release_materialized_ctes()
+        assert jsc.getPersistentRDDs().size() == 0
     finally:
         eng.set_session("cte_materialization_enabled", False)
         spark.catalog.clearCache()
