@@ -245,62 +245,100 @@ WHERE CAST(len(list_intersect(ga, gb)) AS DOUBLE)
 """
 
 
-_MINHASH_SIG_UDF = None
+_MINHASH_MH_UDF = None
+_MINHASH_GRAMS_UDF = None
 
 
-def _minhash_sig_pd():
+def _minhash_mh_pd():
     """Lazily-built pandas UDF (the decorator needs an active session)."""
-    global _MINHASH_SIG_UDF
-    if _MINHASH_SIG_UDF is None:
-        _MINHASH_SIG_UDF = F.pandas_udf(
-            _minhash_sig_impl, "struct<grams: array<string>, mh: array<long>>"
-        )
-    return _MINHASH_SIG_UDF
+    global _MINHASH_MH_UDF
+    if _MINHASH_MH_UDF is None:
+        _MINHASH_MH_UDF = F.pandas_udf(_minhash_mh_impl, "array<long>")
+    return _MINHASH_MH_UDF
 
 
-def _minhash_sig_impl(texts):
-    """text → (distinct 3-gram shingles, 16 minhash values), Arrow-batched.
+def _minhash_grams_pd():
+    global _MINHASH_GRAMS_UDF
+    if _MINHASH_GRAMS_UDF is None:
+        _MINHASH_GRAMS_UDF = F.pandas_udf(_minhash_grams_impl, "array<string>")
+    return _MINHASH_GRAMS_UDF
 
-    Exactly the oracle SQL's math in Python ints (no floats — parity is
-    exact): per-word 50-bit rolling hash (memoized per batch), 3-word
-    shingle hash composition mod MERSENNE31, first-occurrence-order
-    distinct (matching array_distinct/list_distinct), and the 16 affine
-    permutation minima. Out-of-range word hashes contribute 0, matching
-    the SQL's coalesce(wh[i], 0) for docs shorter than 3 words."""
+
+# Worker-process-global word-hash memo: vocabulary repeats across batches
+# and tasks (Heaps' law), and the hash is pure, so caching across the
+# worker's lifetime is safe. Capped so a worker that sees an unbounded
+# vocabulary (100 TB corpus) cannot grow the dict without limit.
+_WHASH_MEMO: dict[str, int] = {}
+_WHASH_MEMO_CAP = 1 << 20
+
+_WS_SPLIT = re.compile(r"\s+", re.ASCII)
+
+
+def _whash(w: str) -> int:
+    h = _WHASH_MEMO.get(w)
+    if h is None:
+        h = 0
+        for ch in w:
+            h = (h * 31 + ord(ch)) % MOD50
+        h %= MERSENNE31
+        if len(_WHASH_MEMO) < _WHASH_MEMO_CAP:
+            _WHASH_MEMO[w] = h
+    return h
+
+
+def _minhash_mh_impl(texts):
+    """text → 16 minhash values, Arrow-batched.
+
+    Exactly the oracle SQL's math (parity is exact): per-word 50-bit
+    rolling hash in Python ints (memoized per worker), 3-word shingle hash
+    composition mod MERSENNE31, first-occurrence-order distinct (matching
+    list_distinct), and the 16 affine permutation minima vectorized in
+    int64 numpy (a < 2^6, x < 2^31 → a*x+b < 2^38: no overflow, integer
+    ops bit-identical to the Python loop). Out-of-range word hashes
+    contribute 0, matching the SQL's coalesce(wh[i], 0) for docs shorter
+    than 3 words.
+
+    Deliberately does NOT emit the gram strings: the signature stage stays
+    narrow (doc_id + 16 longs) for the band shuffle; grams are computed
+    separately on the candidate subset only."""
+    import numpy as np
     import pandas as pd
 
-    memo: dict[str, int] = {}
-
-    def whash(w: str) -> int:
-        h = memo.get(w)
-        if h is None:
-            h = 0
-            for ch in w:
-                h = (h * 31 + ord(ch)) % MOD50
-            h %= MERSENNE31
-            memo[w] = h
-        return h
-
-    out_grams, out_mh = [], []
+    perm_a = np.array([a for a, _ in MINHASH_PERMS], dtype=np.int64).reshape(-1, 1)
+    perm_b = np.array([b for _, b in MINHASH_PERMS], dtype=np.int64).reshape(-1, 1)
+    out_mh = []
     for text in texts:
-        words = re.split(r"\s+", (text or "").strip(" "), flags=re.ASCII)
+        words = _WS_SPLIT.split((text or "").strip(" "))
         n = max(len(words) - 2, 1)
-        grams = list(dict.fromkeys(" ".join(words[i : i + 3]) for i in range(n)))
-        wh = [whash(w) for w in words]
+        wh = [_whash(w) for w in words]
 
         def at(i: int) -> int:
             return wh[i] if 0 <= i < len(wh) else 0
 
-        hs = list(
+        hs = np.fromiter(
             dict.fromkeys(
                 ((at(i) * WORD_COMBINE + at(i + 1)) % MERSENNE31 * WORD_COMBINE + at(i + 2))
                 % MERSENNE31
                 for i in range(n)
-            )
+            ),
+            dtype=np.int64,
         )
-        out_grams.append(grams)
-        out_mh.append([min((a * x + b) % MERSENNE31 for x in hs) for a, b in MINHASH_PERMS])
-    return pd.DataFrame({"grams": out_grams, "mh": out_mh})
+        out_mh.append(((perm_a * hs + perm_b) % MERSENNE31).min(axis=1).tolist())
+    return pd.Series(out_mh)
+
+
+def _minhash_grams_impl(texts):
+    """text → distinct 3-gram shingle strings (first-occurrence order,
+    matching list_distinct). Runs only on LSH candidate docs — a tiny
+    semi-joined subset — never the full corpus."""
+    import pandas as pd
+
+    out_grams = []
+    for text in texts:
+        words = _WS_SPLIT.split((text or "").strip(" "))
+        n = max(len(words) - 2, 1)
+        out_grams.append(list(dict.fromkeys(" ".join(words[i : i + 3]) for i in range(n))))
+    return pd.Series(out_grams)
 
 
 @_q("dedup_minhash_lsh", _MINHASH_SQL)
@@ -317,33 +355,47 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     * candidate pairs are deduped as scalar ``(id_a, id_b)`` BEFORE the
       arrays are fetched back by key for Jaccard verification.
     """
-    # Signature stage = ONE Arrow-batched pandas UDF (text → grams + 16
-    # minhashes). Pure integer math identical to the oracle SQL, so parity
-    # is exact. Rationale for leaving the JVM here: the equivalent
-    # higher-order expressions (per-char aggregate + 16 transform passes)
-    # are CodegenFallback — interpreted, boxed, and measured to destabilize
+    # Signature stage = ONE Arrow-batched pandas UDF (text → 16 minhashes).
+    # Pure integer math identical to the oracle SQL, so parity is exact.
+    # Rationale for leaving the JVM here: the equivalent higher-order
+    # expressions (per-char aggregate + 16 transform passes) are
+    # CodegenFallback — interpreted, boxed, and measured to destabilize
     # the whole session under JIT profile pollution (0.6 s ↔ 40 s swings on
     # identical plans). The UDF batches via Arrow, memoizes word hashes per
-    # batch (vocabulary repeats heavily — Heaps' law — so the per-char work
-    # collapses to the batch's distinct words), and is shuffle-free.
-    docs = load_table(spark, sf_dir, "documents")
-    # One frame carrying signature + grams, cut by an EXPLICIT exchange:
-    # all four downstream consumers (both sides of the band self-join, both
-    # gram fetches) sit above this one repartition, so Spark's
-    # ReuseExchange evaluates the expensive UDF stage exactly once instead
-    # of once per consumer — the difference between 1× and 4× the whole
-    # signature computation at any scale.
-    sig = (
-        docs.select("doc_id", _minhash_sig_pd()(F.col("text")).alias("s"))
+    # worker (vocabulary repeats heavily — Heaps' law — so the per-char work
+    # collapses to the corpus's distinct words), and is shuffle-free.
+    from .stagecache import materialize_stage
+
+    raw_docs = load_table(spark, sf_dir, "documents")
+    docs = raw_docs
+    # The signature UDF is CPU-bound: make sure it runs with full-cluster
+    # parallelism. A small corpus arrives as one file split — fan it out
+    # first. Conditional on the scan's natural split count so a 100 TB
+    # input (millions of splits) pays NO extra text shuffle.
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par, "doc_id")
+    # The full-corpus signature is NARROW (doc_id + 16 longs ≈ 140 B/doc)
+    # and fans into both sides of the band self-join. ReuseExchange cannot
+    # be relied on here — AQE turns the self-join into a broadcast join, so
+    # there is no pair of identical shuffle exchanges to reuse, and the UDF
+    # stage re-executes per consumer (measured 4× in the r04 executed
+    # plan). A lazy localCheckpoint cuts the lineage ONCE: the UDF runs a
+    # single time when the blocks materialize, every consumer reads the
+    # stored narrow rows (measured cheaper than a columnar .persist() for
+    # this row-shape), and the blocks are reclaimed by ContextCleaner when
+    # the frame is released. ~140 B/doc means even 10^10 docs store ~1.4 TB
+    # across a 1000-executor cluster — MEMORY_AND_DISK-safe.
+    sig_mh = (
+        docs.select("doc_id", _minhash_mh_pd()(F.col("text")).alias("mh"))
         .select(
             "doc_id",
-            F.col("s.grams").alias("grams"),
-            *[F.col("s.mh").getItem(k).alias(f"mh{k}") for k in range(len(MINHASH_PERMS))],
+            *[F.col("mh").getItem(k).alias(f"mh{k}") for k in range(len(MINHASH_PERMS))],
         )
-        .repartition("doc_id")
+        .localCheckpoint(eager=False)
     )
     # Narrow band table: one shuffle of ~(8B + 8B + ~40B) rows per band.
-    bands = sig.select(
+    bands = sig_mh.select(
         "doc_id",
         F.explode(
             F.array(
@@ -355,7 +407,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bb"),
     ).select("doc_id", F.col("bb.band_id").alias("band_id"), F.col("bb.bkey").alias("bkey"))
 
-    pairs = (
+    # `pairs` is itself a diamond: it feeds BOTH the candidate-id fetch and
+    # the final verification join. Materialize it too (it is tiny — two
+    # longs per near-dup candidate pair, proportional to the dup rate, not
+    # the corpus) or the whole band join re-executes per consumer.
+    pairs = materialize_stage(
+        "dedup_minhash_lsh.pairs",
         bands.alias("a")
         .join(
             bands.alias("b"),
@@ -364,10 +421,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .distinct()
+        .distinct(),
     )
-    ga = sig.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("ga"))
-    gb = sig.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("gb"))
+    # Gram strings (the heavy column) are computed ONLY for candidate docs:
+    # semi-join the corpus down to ids that appear in some pair, then run
+    # the cheap grams UDF on that small subset. At 100 TB the candidate set
+    # is proportional to the near-dup rate, not the corpus. The semi-join
+    # reads the RAW scan (not the repartitioned frame): the id set is small
+    # → AQE broadcasts it, so no text ever shuffles for this path.
+    cand_ids = pairs.select(F.explode(F.array("id_a", "id_b")).alias("doc_id")).distinct()
+    cand_grams = raw_docs.join(cand_ids, "doc_id", "left_semi").select(
+        "doc_id", _minhash_grams_pd()(F.col("text")).alias("grams")
+    )
+    ga = cand_grams.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("ga"))
+    gb = cand_grams.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("gb"))
     cand = pairs.join(ga, "id_a").join(gb, "id_b")
     inter = F.size(F.array_intersect("ga", "gb"))
     union = F.size("ga") + F.size("gb") - inter
