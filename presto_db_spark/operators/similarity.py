@@ -369,10 +369,17 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # accumulation keeps every centroid similarity bit-identical to the
     # oracle's fold; ties break on ascending cid exactly as the oracle's
     # (csim DESC, cid) row_number does.
-    cent_rows = sorted(
-        emb.filter(F.col("vec_id") < N_CENTROIDS).select("vec_id", "embedding").collect(),
+    # ONE driver-side fetch against the RAW scan (pushed filter on vec_id,
+    # no repartition shuffle in the way) serves both the K centroids and
+    # the N_QUERIES query vectors.
+    raw = load_table(spark, sf_dir, "embeddings")
+    head_rows = sorted(
+        raw.filter(F.col("vec_id") < max(N_CENTROIDS, N_QUERIES))
+        .select("vec_id", "embedding")
+        .collect(),
         key=lambda r: r.vec_id,
     )
+    cent_rows = [r for r in head_rows if r.vec_id < N_CENTROIDS]
     cent_ids = [int(r.vec_id) for r in cent_rows]
     cent_vecs = [[float(x) for x in r.embedding] for r in cent_rows]
 
@@ -416,10 +423,7 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # UDF stage concurrently, which showed up as bimodal wall times.
     import pandas as pd
 
-    q_rows = sorted(
-        emb.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding").collect(),
-        key=lambda r: r.vec_id,
-    )
+    q_rows = [r for r in head_rows if r.vec_id < N_QUERIES]
     q_ap = _assign_probe(pd.Series([[float(x) for x in r.embedding] for r in q_rows]))
     q_probe = spark.createDataFrame(
         [
@@ -429,6 +433,11 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "qid bigint, qe array<double>, cid bigint",
     )
+    # No .distinct() here: every vector is assigned to exactly ONE cid and
+    # the probe list holds distinct cids, so (qid, vec_id) pairs cannot
+    # repeat — the oracle's DISTINCT is equally a no-op. Dropping it saves
+    # a full shuffle of the WIDE candidate rows (two 64-dim arrays each),
+    # the most expensive exchange this operator had (r04 verdict item).
     cand = (
         F.broadcast(q_probe.alias("qp"))
         .join(
@@ -436,7 +445,6 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("qp.cid") == F.col("av.cid")) & (F.col("av.vec_id") != F.col("qp.qid")),
         )
         .select("qid", "qe", "vec_id", F.col("av.embedding").alias("ce"))
-        .distinct()
     )
     scored = cand.select(
         "qid", "vec_id", F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("sim")
