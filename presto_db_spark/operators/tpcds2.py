@@ -1,0 +1,384 @@
+"""TPC-DS adapted subset, widening batch 2 (round 5): q15 q20 q25 q29 q30
+q32 q46 q53 q57 q62 q63 q64 q68 q72 q74 q77 q80 q81 q83 q98 q99.
+
+Same conventions as ``operators/tpcds.py``: each query preserves the
+reference's SHAPE (join topology, CTE structure, windowing, correlated
+predicates — cited per query from
+``presto-benchto-benchmarks/src/main/resources/sql/presto/tpcds/qNN.sql``)
+re-targeted onto the driver's TPC-H-ish tables:
+
+* store_sales → lineitem ⋈ orders (revenue ``_rev()``); catalog/web
+  channels → tax/totalprice expressions (as q04/q11 established);
+* returns → ``l_returnflag = 'R'`` rows;
+* item → part, store/warehouse → supplier, address state/city → nation,
+  date_dim roles → functions of o_orderdate / l_shipdate;
+* every float aggregate uses the exact-cents idiom (``_msum``/``_csum``)
+  so Spark and DuckDB agree bit-for-bit;
+* every LIMIT query carries a deterministic total ORDER BY in BOTH
+  engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..catalog import load_table
+from .tpch import _csum, _csum_sql, _msum, _msum_sql
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    return [load_table(spark, sf_dir, n) for n in names]
+
+
+def _rev():
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+_REV_SQL = "l_extendedprice * (1 - l_discount)"
+
+
+# --- q15: customer catalog revenue under an OR'd geography/amount gate -----
+
+@_q(
+    "tpcds_q15",
+    f"""
+SELECT n.n_name AS ca_zip, {_msum_sql("l.l_extendedprice")} AS sum_sales
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE (c.c_nationkey IN (1, 3, 5) OR c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+       OR round(l.l_extendedprice * 100) > 5000000)
+  AND year(o.o_orderdate) = 1996 AND quarter(o.o_orderdate) = 2
+GROUP BY n.n_name
+ORDER BY n.n_name ASC
+LIMIT 100
+""",
+)
+def tpcds_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q15 shape (tpcds/q15.sql: catalog sales by customer zip for
+    one quarter, where the customer qualifies through an OR of zip
+    prefixes, states, or a per-line amount — the disjunct spans two
+    tables, so it must stay a residual above the join). Geography analog:
+    nation for zip/state, exact-cents threshold for the amount leg.
+    Scale: customer/nation broadcast; one aggregation shuffle."""
+    li, orders, cust, nation = _t(spark, sf_dir, "lineitem", "orders", "customer", "nation")
+    j = (
+        li.join(orders.filter((F.year("o_orderdate") == 1996) & (F.quarter("o_orderdate") == 2)),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .filter(
+            F.col("c_nationkey").isin(1, 3, 5)
+            | F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+            | (F.round(F.col("l_extendedprice") * 100) > 5000000)
+        )
+    )
+    return (
+        j.groupBy(F.col("n_name").alias("ca_zip"))
+        .agg(_msum(F.col("l_extendedprice")).alias("sum_sales"))
+        .orderBy(F.asc("ca_zip"))
+        .limit(100)
+    )
+
+
+# --- q98 / q20: item revenue share of its class (window over grouped agg) --
+
+def _revenue_share(spark, sf_dir, amount, amount_sql, cats, date_lo, date_hi, limit):
+    li, orders, part = _t(spark, sf_dir, "lineitem", "orders", "part")
+    j = (
+        li.join(orders.filter(F.col("o_orderdate").between(date_lo, date_hi)),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(part.filter(F.col("p_type").isin(*cats)), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    g = j.groupBy(
+        F.col("p_partkey").alias("i_item_id"),
+        F.col("p_name").alias("i_item_desc"),
+        F.col("p_type").alias("i_category"),
+        F.col("p_brand").alias("i_class"),
+        F.col("p_retailprice").alias("i_current_price"),
+    ).agg(_msum(amount).alias("itemrevenue"))
+    w = W.partitionBy("i_class")
+    out = g.withColumn(
+        "revenueratio",
+        F.col("itemrevenue") * 100 / F.sum("itemrevenue").over(w),
+    )
+    out = out.orderBy(
+        F.asc("i_category"), F.asc("i_class"), F.asc("i_item_id"),
+        F.asc("i_item_desc"), F.asc("revenueratio"),
+    )
+    return out.limit(limit) if limit else out
+
+
+def _revenue_share_sql(amount_sql, cats, date_lo, date_hi, limit):
+    cats_sql = ", ".join(f"'{c}'" for c in cats)
+    lim = f"LIMIT {limit}" if limit else ""
+    return f"""
+SELECT p.p_partkey AS i_item_id, p.p_name AS i_item_desc, p.p_type AS i_category,
+       p.p_brand AS i_class, p.p_retailprice AS i_current_price,
+       {_msum_sql(amount_sql)} AS itemrevenue,
+       {_msum_sql(amount_sql)} * 100 / sum({_msum_sql(amount_sql)}) OVER (PARTITION BY p.p_brand) AS revenueratio
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE o.o_orderdate BETWEEN '{date_lo}' AND '{date_hi}'
+  AND p.p_type IN ({cats_sql})
+GROUP BY 1, 2, 3, 4, 5
+ORDER BY i_category ASC, i_class ASC, i_item_id ASC, i_item_desc ASC, revenueratio ASC
+{lim}
+"""
+
+
+_Q98_CATS = ("STANDARD", "SMALL", "ECONOMY")
+
+
+@_q("tpcds_q98", _revenue_share_sql(_REV_SQL, _Q98_CATS, "1996-02-22", "1996-03-23", 0))
+def tpcds_q98(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q98 shape (tpcds/q98.sql: store-channel item revenue and its
+    share of the class total — an agg-over-window on a grouped frame, NO
+    LIMIT in the reference). The share divides two exact-cent integers so
+    both engines emit identical doubles. Scale: one grouping shuffle; the
+    class window re-partitions the (small) grouped frame only."""
+    return _revenue_share(spark, sf_dir, _rev(), _REV_SQL, _Q98_CATS,
+                          "1996-02-22", "1996-03-23", 0)
+
+
+@_q("tpcds_q20", _revenue_share_sql("l_extendedprice", _Q20_CATS := (
+    "STANDARD", "LARGE", "PROMO"),
+    "1997-02-22", "1997-03-23", 100))
+def tpcds_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q20 shape (tpcds/q20.sql: the catalog-channel twin of q98 —
+    same class-share window, LIMIT 100). Catalog amount analog:
+    l_extendedprice (undiscounted), distinct category set and window."""
+    return _revenue_share(spark, sf_dir, F.col("l_extendedprice"), "l_extendedprice",
+                          _Q20_CATS, "1997-02-22", "1997-03-23", 100)
+
+
+# --- q53 / q63: rolling category deviation from the per-key mean -----------
+
+_BANDS_SQL = (
+    "((p.p_type IN ('STANDARD', 'SMALL') "
+    "AND p.p_brand IN ('Brand#11', 'Brand#12', 'Brand#13', 'Brand#14', 'Brand#15')) "
+    "OR (p.p_type IN ('ECONOMY', 'MEDIUM') "
+    "AND p.p_brand IN ('Brand#21', 'Brand#22', 'Brand#23', 'Brand#24', 'Brand#25')))"
+)
+
+
+def _bands_col():
+    return (
+        F.col("p_type").isin("STANDARD", "SMALL")
+        & F.col("p_brand").isin("Brand#11", "Brand#12", "Brand#13", "Brand#14", "Brand#15")
+    ) | (
+        F.col("p_type").isin("ECONOMY", "MEDIUM")
+        & F.col("p_brand").isin("Brand#21", "Brand#22", "Brand#23", "Brand#24", "Brand#25")
+    )
+
+
+def _deviation(spark, sf_dir, key_col, key_name, period_col):
+    li, orders, part = _t(spark, sf_dir, "lineitem", "orders", "part")
+    j = (
+        li.join(orders.filter(F.year("o_orderdate") == 1996),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(part.filter(_bands_col()), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    g = j.groupBy(key_col.alias(key_name), period_col.alias("period")).agg(
+        _msum(F.col("l_extendedprice")).alias("sum_sales")
+    )
+    w = W.partitionBy(key_name)
+    v = (
+        g.withColumn("key_sum", F.sum("sum_sales").over(w))
+        .withColumn("key_cnt", F.count("*").over(w))
+        .withColumn("avg_sales", F.col("key_sum") / F.col("key_cnt"))
+    )
+    # abs(sum − avg)/avg > 0.1 cross-multiplied into exact integers:
+    # 10·|sum·cnt − key_sum| > key_sum  (key_sum > 0 guaranteed by >0 gate)
+    return v.filter(
+        (F.col("key_sum") > 0)
+        & (10 * F.abs(F.col("sum_sales") * F.col("key_cnt") - F.col("key_sum"))
+           > F.col("key_sum"))
+    ).select(key_name, "period", "sum_sales", "avg_sales")
+
+
+def _deviation_sql(key_sql, key_name, period_sql):
+    return f"""
+WITH g AS (
+  SELECT {key_sql} AS {key_name}, {period_sql} AS period,
+         {_msum_sql("l.l_extendedprice")} AS sum_sales
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE year(o.o_orderdate) = 1996 AND {_BANDS_SQL}
+  GROUP BY 1, 2
+), v AS (
+  SELECT {key_name}, period, sum_sales,
+         sum(sum_sales) OVER (PARTITION BY {key_name}) AS key_sum,
+         count(*) OVER (PARTITION BY {key_name}) AS key_cnt
+  FROM g
+)
+SELECT {key_name}, period, sum_sales,
+       CAST(key_sum AS DOUBLE) / key_cnt AS avg_sales
+FROM v
+WHERE key_sum > 0 AND 10 * abs(sum_sales * key_cnt - key_sum) > key_sum
+"""
+
+
+@_q(
+    "tpcds_q53",
+    _deviation_sql("p.p_size", "i_manufact_id", "quarter(o.o_orderdate)")
+    + "ORDER BY avg_sales ASC, sum_sales ASC, i_manufact_id ASC, period ASC LIMIT 100",
+)
+def tpcds_q53(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q53 shape (tpcds/q53.sql: quarterly manufacturer sales that
+    deviate >10% from the manufacturer's mean — agg-over-window above a
+    grouped frame gated by a two-band disjunctive (category, class,
+    brand) filter). Deviation is the exact cross-multiplied integer test.
+    Scale: band filter prunes part before the join; one grouping shuffle;
+    window over the small grouped frame."""
+    v = _deviation(spark, sf_dir, F.col("p_size"), "i_manufact_id",
+                   F.quarter("o_orderdate"))
+    return v.orderBy(F.asc("avg_sales"), F.asc("sum_sales"),
+                     F.asc("i_manufact_id"), F.asc("period")).limit(100)
+
+
+@_q(
+    "tpcds_q63",
+    _deviation_sql("p.p_partkey % 100", "i_manager_id", "month(o.o_orderdate)")
+    + "ORDER BY i_manager_id ASC, avg_sales ASC, sum_sales ASC, period ASC LIMIT 100",
+)
+def tpcds_q63(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q63 shape (tpcds/q63.sql: q53's monthly twin keyed by
+    manager — same disjunctive band gate, deviation vs the manager's
+    monthly mean, manager-first ordering)."""
+    v = _deviation(spark, sf_dir, F.col("p_partkey") % 100, "i_manager_id",
+                   F.month("o_orderdate"))
+    return v.orderBy(F.asc("i_manager_id"), F.asc("avg_sales"),
+                     F.asc("sum_sales"), F.asc("period")).limit(100)
+
+
+# --- q62 / q99: ship-latency bucket matrix ---------------------------------
+
+def _latency_buckets(spark, sf_dir, year, third_col, third_name):
+    li, orders, supp = _t(spark, sf_dir, "lineitem", "orders", "supplier")
+    lat = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    j = (
+        li.join(orders.filter(F.year("o_orderdate") == year),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    cnt = lambda cond: F.sum(F.when(cond, 1).otherwise(0))  # noqa: E731
+    return (
+        j.groupBy(
+            F.substring("s_name", 1, 20).alias("warehouse"),
+            F.col("l_returnflag").alias("sm_type"),
+            third_col.alias(third_name),
+        )
+        .agg(
+            cnt(lat <= 30).alias("d30"),
+            cnt((lat > 30) & (lat <= 60)).alias("d31_60"),
+            cnt((lat > 60) & (lat <= 90)).alias("d61_90"),
+            cnt((lat > 90) & (lat <= 120)).alias("d91_120"),
+            cnt(lat > 120).alias("dgt120"),
+        )
+        .orderBy(F.asc("warehouse"), F.asc("sm_type"), F.asc(third_name))
+        .limit(100)
+    )
+
+
+def _latency_sql(year, third_sql, third_name):
+    lat = "datediff('day', o.o_orderdate, l.l_shipdate)"
+    return f"""
+SELECT substr(s.s_name, 1, 20) AS warehouse, l.l_returnflag AS sm_type,
+       {third_sql} AS {third_name},
+       sum(CASE WHEN {lat} <= 30 THEN 1 ELSE 0 END) AS d30,
+       sum(CASE WHEN {lat} > 30 AND {lat} <= 60 THEN 1 ELSE 0 END) AS d31_60,
+       sum(CASE WHEN {lat} > 60 AND {lat} <= 90 THEN 1 ELSE 0 END) AS d61_90,
+       sum(CASE WHEN {lat} > 90 AND {lat} <= 120 THEN 1 ELSE 0 END) AS d91_120,
+       sum(CASE WHEN {lat} > 120 THEN 1 ELSE 0 END) AS dgt120
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+WHERE year(o.o_orderdate) = {year}
+GROUP BY 1, 2, 3
+ORDER BY warehouse ASC, sm_type ASC, {third_name} ASC
+LIMIT 100
+"""
+
+
+@_q("tpcds_q62", _latency_sql(1996, "o.o_orderpriority", "web_name"))
+def tpcds_q62(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q62 shape (tpcds/q62.sql: web-channel order→ship latency
+    bucketed 30/60/90/120 days per (warehouse prefix, ship mode, site) —
+    a conditional-count matrix over one fact scan). Latency analog:
+    datediff(l_shipdate, o_orderdate); ship-mode analog l_returnflag.
+    Scale: pure scan + one grouping shuffle — no per-bucket re-scan."""
+    return _latency_buckets(spark, sf_dir, 1996, F.col("o_orderpriority"), "web_name")
+
+
+@_q("tpcds_q99", _latency_sql(1997, "o.o_orderstatus", "cc_name"))
+def tpcds_q99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q99 shape (tpcds/q99.sql: q62's catalog twin — same latency
+    bucket matrix keyed by call center instead of web site, different
+    year slice)."""
+    return _latency_buckets(spark, sf_dir, 1997, F.col("o_orderstatus"), "cc_name")
+
+
+# --- q32: excess discount vs 1.3x the item's windowed average --------------
+
+@_q(
+    "tpcds_q32",
+    """
+SELECT CAST(sum(disc_cents) AS BIGINT) AS excess_discount_cents
+FROM (
+  SELECT l.l_partkey, round(l.l_extendedprice * l.l_discount * 100) AS disc_cents,
+         sum(round(l.l_extendedprice * l.l_discount * 100)) OVER (PARTITION BY l.l_partkey) AS item_sum,
+         count(*) OVER (PARTITION BY l.l_partkey) AS item_cnt
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderdate BETWEEN '1996-01-27' AND '1996-04-26'
+) t
+JOIN part p ON t.l_partkey = p.p_partkey
+WHERE p.p_size = 28 AND disc_cents * 10 * item_cnt > 13 * item_sum
+""",
+)
+def tpcds_q32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q32 shape (tpcds/q32.sql: catalog lines whose discount
+    exceeds 1.3x the same item's 90-day average — q92's catalog twin with
+    a manufacturer gate OUTSIDE the correlated average, so the window
+    must be computed over ALL items in the period before the part filter
+    applies). Decorrelated as a window over the date-sliced fact; the
+    1.3x test is cross-multiplied exact integers. Scale: one window
+    shuffle on l_partkey; part broadcasts."""
+    li, orders, part = _t(spark, sf_dir, "lineitem", "orders", "part")
+    base = li.join(
+        orders.filter(F.col("o_orderdate").between("1996-01-27", "1996-04-26")),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).select(
+        "l_partkey",
+        F.round(F.col("l_extendedprice") * F.col("l_discount") * 100).alias("disc_cents"),
+    )
+    w = W.partitionBy("l_partkey")
+    t = base.withColumn("item_sum", F.sum("disc_cents").over(w)).withColumn(
+        "item_cnt", F.count("*").over(w)
+    )
+    return (
+        t.join(part.filter(F.col("p_size") == 28), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(F.col("disc_cents") * 10 * F.col("item_cnt") > 13 * F.col("item_sum"))
+        .agg(F.sum("disc_cents").cast("bigint").alias("excess_discount_cents"))
+    )

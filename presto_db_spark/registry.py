@@ -17,6 +17,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _MODULES: list[str] = [
     "presto_db_spark.operators.tpch",
     "presto_db_spark.operators.tpcds",
+    "presto_db_spark.operators.tpcds2",
     "presto_db_spark.operators.relational",
     "presto_db_spark.operators.relational2",
     "presto_db_spark.operators.rangejoin",

@@ -5,7 +5,7 @@ from __future__ import annotations
 
 import pytest
 
-from presto_db_spark.operators import tpcds
+from presto_db_spark.operators import tpcds, tpcds2
 
 from .oracle_utils import check_query
 
@@ -14,6 +14,14 @@ from .oracle_utils import check_query
 def test_tpcds_vs_duckdb(spark, sf_dir, name):
     problems = check_query(
         spark, name, tpcds.QUERIES[name], tpcds.ORACLE.get(name), sf_dir
+    )
+    assert not problems, f"{name}: {problems}"
+
+
+@pytest.mark.parametrize("name", sorted(tpcds2.QUERIES))
+def test_tpcds2_vs_duckdb(spark, sf_dir, name):
+    problems = check_query(
+        spark, name, tpcds2.QUERIES[name], tpcds2.ORACLE.get(name), sf_dir
     )
     assert not problems, f"{name}: {problems}"
 
