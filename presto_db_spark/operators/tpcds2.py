@@ -382,3 +382,238 @@ def tpcds_q32(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("disc_cents") * 10 * F.col("item_cnt") > 13 * F.col("item_sum"))
         .agg(F.sum("disc_cents").cast("bigint").alias("excess_discount_cents"))
     )
+
+
+# --- q30 / q81: customer returns above 1.2x their state's average ----------
+
+def _ctr(spark, sf_dir, year, amount, amount_sql):
+    """customer_total_return CTE: returns by (customer, state), the state
+    coming from the returning customer's address (nation analog)."""
+    li, orders, cust = _t(spark, sf_dir, "lineitem", "orders", "customer")
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(orders.filter(F.year("o_orderdate") == year),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.col("c_custkey").alias("ctr_customer_sk"),
+                 F.col("c_nationkey").alias("ctr_state"))
+        .agg(_csum(amount).alias("ctr_total_return"))
+    )
+
+
+def _ctr_sql(year, amount_sql):
+    return f"""
+  SELECT c.c_custkey AS ctr_customer_sk, c.c_nationkey AS ctr_state,
+         {_csum_sql(amount_sql)} AS ctr_total_return
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE l.l_returnflag = 'R' AND year(o.o_orderdate) = {year}
+  GROUP BY 1, 2
+"""
+
+
+def _ctr_hot(ctr):
+    """ctr rows above 1.2x their state's average — the correlated scalar
+    subquery decorrelated as a window (exact integer cross-multiply:
+    10·ret·cnt > 12·state_sum)."""
+    w = W.partitionBy("ctr_state")
+    return (
+        ctr.withColumn("state_sum", F.sum("ctr_total_return").over(w))
+        .withColumn("state_cnt", F.count("*").over(w))
+        .filter(F.col("ctr_total_return") * 10 * F.col("state_cnt")
+                > 12 * F.col("state_sum"))
+    )
+
+
+_CTR_HOT_SQL = """
+  SELECT ctr_customer_sk, ctr_state, ctr_total_return
+  FROM (
+    SELECT ctr_customer_sk, ctr_state, ctr_total_return,
+           sum(ctr_total_return) OVER (PARTITION BY ctr_state) AS state_sum,
+           count(*) OVER (PARTITION BY ctr_state) AS state_cnt
+    FROM ctr
+  ) WHERE ctr_total_return * 10 * state_cnt > 12 * state_sum
+"""
+
+
+@_q(
+    "tpcds_q30",
+    f"""
+WITH ctr AS ({_ctr_sql(1996, "l.l_extendedprice")}),
+hot AS ({_CTR_HOT_SQL})
+SELECT c.c_name, c.c_mktsegment, c.c_acctbal,
+       CAST(hot.ctr_total_return AS BIGINT) AS ctr_total_return
+FROM hot
+JOIN customer c ON hot.ctr_customer_sk = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE n.n_name = 'NATION_5'
+ORDER BY c.c_name ASC, ctr_total_return ASC
+LIMIT 100
+""",
+)
+def tpcds_q30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q30 shape (tpcds/q30.sql: web-channel customer_total_return
+    CTE keyed by the returning address state, customers above 1.2x their
+    state's average return, re-joined to customer + current address
+    filtered to one state). State analog: nation; the correlated AVG
+    decorrelates to a state-partitioned window; the 1.2x gate is exact
+    integer cross-multiplication. Scale: one grouping + one window
+    shuffle on the CTE; customer/nation broadcast into the outer join."""
+    ctr = _ctr(spark, sf_dir, 1996, F.col("l_extendedprice"), "l.l_extendedprice")
+    hot = _ctr_hot(ctr)
+    cust, nation = _t(spark, sf_dir, "customer", "nation")
+    return (
+        hot.join(cust, F.col("ctr_customer_sk") == F.col("c_custkey"))
+        .join(nation.filter(F.col("n_name") == "NATION_5"),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_name", "c_mktsegment", "c_acctbal",
+                F.col("ctr_total_return").cast("bigint").alias("ctr_total_return"))
+        .orderBy(F.asc("c_name"), F.asc("ctr_total_return"))
+        .limit(100)
+    )
+
+
+@_q(
+    "tpcds_q81",
+    f"""
+WITH ctr AS ({_ctr_sql(1997, "l.l_extendedprice * (1 + l.l_tax)")}),
+hot AS ({_CTR_HOT_SQL})
+SELECT c.c_name, n.n_name AS ca_state, c.c_acctbal,
+       CAST(hot.ctr_total_return AS BIGINT) AS ctr_total_return
+FROM hot
+JOIN customer c ON hot.ctr_customer_sk = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE n.n_name = 'NATION_7'
+ORDER BY c.c_name ASC, ctr_total_return ASC
+LIMIT 100
+""",
+)
+def tpcds_q81(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q81 shape (tpcds/q81.sql: q30's catalog twin — the returned
+    amount includes tax (cr_return_amt_inc_tax), different year and
+    state, address columns in the output)."""
+    ctr = _ctr(spark, sf_dir, 1997,
+               F.col("l_extendedprice") * (1 + F.col("l_tax")),
+               "l.l_extendedprice * (1 + l.l_tax)")
+    hot = _ctr_hot(ctr)
+    cust, nation = _t(spark, sf_dir, "customer", "nation")
+    return (
+        hot.join(cust, F.col("ctr_customer_sk") == F.col("c_custkey"))
+        .join(nation.filter(F.col("n_name") == "NATION_7"),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_name", F.col("n_name").alias("ca_state"), "c_acctbal",
+                F.col("ctr_total_return").cast("bigint").alias("ctr_total_return"))
+        .orderBy(F.asc("c_name"), F.asc("ctr_total_return"))
+        .limit(100)
+    )
+
+
+# --- q25 / q29: store sale -> store return -> catalog repurchase chain -----
+
+def _three_fact(spark, sf_dir, year, moy, agg1, agg2, agg3, d3_cond_col):
+    """Three slices of the fact joined on (customer, item): a sale in one
+    month, its return in the following months, and a repurchase later."""
+    li, orders, part, supp = _t(spark, sf_dir, "lineitem", "orders", "part", "supplier")
+    s = (
+        li.alias("l1")
+        .join(orders.alias("o1"),
+              F.col("l1.l_orderkey") == F.col("o1.o_orderkey"))
+        .filter((F.year("o1.o_orderdate") == year) & (F.month("o1.o_orderdate") == moy)
+                & (F.col("l1.l_returnflag") != "R"))
+    )
+    r = (
+        li.alias("l2")
+        .join(orders.alias("o2"),
+              F.col("l2.l_orderkey") == F.col("o2.o_orderkey"))
+        .filter((F.year("o2.o_orderdate") == year)
+                & F.month("o2.o_orderdate").between(moy, moy + 3)
+                & (F.col("l2.l_returnflag") == "R"))
+    )
+    c = (
+        li.alias("l3")
+        .join(orders.alias("o3"),
+              F.col("l3.l_orderkey") == F.col("o3.o_orderkey"))
+        .filter(d3_cond_col)
+    )
+    j = (
+        s.join(r, F.col("l2.l_partkey") == F.col("l1.l_partkey"))
+        .join(c, F.col("l3.l_partkey") == F.col("l2.l_partkey"))
+        .join(part, F.col("l1.l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l1.l_suppkey") == F.col("s_suppkey"))
+    )
+    return (
+        j.groupBy(F.col("p_name").alias("i_item_desc"), F.col("s_name").alias("s_store_name"))
+        .agg(agg1, agg2, agg3)
+        .orderBy(F.asc("i_item_desc"), F.asc("s_store_name"))
+        .limit(100)
+    )
+
+
+def _three_fact_sql(year, moy, sel, d3_cond_sql):
+    return f"""
+SELECT p.p_name AS i_item_desc, s.s_name AS s_store_name, {sel}
+FROM lineitem l1
+JOIN orders o1 ON l1.l_orderkey = o1.o_orderkey
+JOIN lineitem l2 ON l2.l_partkey = l1.l_partkey
+JOIN orders o2 ON l2.l_orderkey = o2.o_orderkey
+JOIN lineitem l3 ON l3.l_partkey = l2.l_partkey
+JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+JOIN part p ON l1.l_partkey = p.p_partkey
+JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+WHERE year(o1.o_orderdate) = {year} AND month(o1.o_orderdate) = {moy}
+  AND l1.l_returnflag <> 'R'
+  AND year(o2.o_orderdate) = {year}
+  AND month(o2.o_orderdate) BETWEEN {moy} AND {moy + 3}
+  AND l2.l_returnflag = 'R'
+  AND {d3_cond_sql}
+GROUP BY 1, 2
+ORDER BY i_item_desc ASC, s_store_name ASC
+LIMIT 100
+"""
+
+
+@_q(
+    "tpcds_q25",
+    _three_fact_sql(
+        1996, 4,
+        f"{_msum_sql('l1.l_extendedprice * (1 - l1.l_discount)')} AS store_sales_profit, "
+        f"{_msum_sql('l2.l_extendedprice')} AS store_returns_loss, "
+        f"{_msum_sql('l3.l_extendedprice * (1 - l3.l_discount)')} AS catalog_sales_profit",
+        "year(o3.o_orderdate) = 1996 AND month(o3.o_orderdate) BETWEEN 4 AND 7",
+    ),
+)
+def tpcds_q25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q25 shape (tpcds/q25.sql: store sale in April, its return
+    within the following months, and the same customer's catalog
+    repurchase of the same item — a three-fact chain joined on
+    (customer, item) with three date roles, profit/loss sums per
+    (item, store)). Scale: the fact self-joins are equi-joins on
+    (custkey, partkey); month filters prune each slice before the join;
+    part/supplier broadcast."""
+    m1 = _msum(F.col("l1.l_extendedprice") * (1 - F.col("l1.l_discount"))).alias("store_sales_profit")
+    m2 = _msum(F.col("l2.l_extendedprice")).alias("store_returns_loss")
+    m3 = _msum(F.col("l3.l_extendedprice") * (1 - F.col("l3.l_discount"))).alias("catalog_sales_profit")
+    d3 = (F.year("o3.o_orderdate") == 1996) & F.month("o3.o_orderdate").between(4, 7)
+    return _three_fact(spark, sf_dir, 1996, 4, m1, m2, m3, d3)
+
+
+@_q(
+    "tpcds_q29",
+    _three_fact_sql(
+        1996, 9,
+        "CAST(sum(l1.l_quantity) AS BIGINT) AS store_sales_quantity, "
+        "CAST(sum(l2.l_quantity) AS BIGINT) AS store_returns_quantity, "
+        "CAST(sum(l3.l_quantity) AS BIGINT) AS catalog_sales_quantity",
+        "year(o3.o_orderdate) IN (1996, 1997, 1998)",
+    ),
+)
+def tpcds_q29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q29 shape (tpcds/q29.sql: q25's quantity twin — same
+    three-fact (customer, item) chain, quantity sums, and a three-year
+    window on the repurchase slice instead of a month band)."""
+    m1 = F.sum("l1.l_quantity").cast("bigint").alias("store_sales_quantity")
+    m2 = F.sum("l2.l_quantity").cast("bigint").alias("store_returns_quantity")
+    m3 = F.sum("l3.l_quantity").cast("bigint").alias("catalog_sales_quantity")
+    d3 = F.year("o3.o_orderdate").isin(1996, 1997, 1998)
+    return _three_fact(spark, sf_dir, 1996, 9, m1, m2, m3, d3)
