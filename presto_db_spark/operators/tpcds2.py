@@ -617,3 +617,319 @@ def tpcds_q29(spark: SparkSession, sf_dir: str) -> DataFrame:
     m3 = F.sum("l3.l_quantity").cast("bigint").alias("catalog_sales_quantity")
     d3 = F.year("o3.o_orderdate").isin(1996, 1997, 1998)
     return _three_fact(spark, sf_dir, 1996, 9, m1, m2, m3, d3)
+
+
+# --- q46 / q68: per-trip city-mismatch report ------------------------------
+
+def _trip_mismatch(spark, sf_dir, inner_filter, inner_filter_sql, aggs, aggs_sql,
+                   out_cols, order_cols, store_nations):
+    """dn = per-(trip, customer, bought_city) sums under a demographic OR
+    filter; outer join to the customer's CURRENT city, keep mismatches."""
+    li, orders, supp, nation, cust = _t(
+        spark, sf_dir, "lineitem", "orders", "supplier", "nation", "customer")
+    n1 = nation.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("bought_city"))
+    n2 = nation.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("ca_city"))
+    dn = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supp.filter(F.col("s_nationkey").isin(*store_nations)),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .filter(inner_filter)
+        .groupBy(F.col("o_orderkey").alias("ss_ticket_number"),
+                 F.col("o_custkey").alias("ss_customer_sk"),
+                 F.col("bought_city"))
+        .agg(*aggs)
+    )
+    out = (
+        dn.join(cust, F.col("ss_customer_sk") == F.col("c_custkey"))
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .filter(F.col("ca_city") != F.col("bought_city"))
+        .select(*out_cols)
+        .orderBy(*order_cols)
+        .limit(100)
+    )
+    return out
+
+
+def _trip_mismatch_sql(inner_filter_sql, aggs_sql, out_sql, order_sql, store_nations):
+    nat = ", ".join(str(n) for n in store_nations)
+    return f"""
+WITH dn AS (
+  SELECT o.o_orderkey AS ss_ticket_number, o.o_custkey AS ss_customer_sk,
+         n1.n_name AS bought_city, {aggs_sql}
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+  WHERE s.s_nationkey IN ({nat}) AND {inner_filter_sql}
+  GROUP BY 1, 2, 3
+)
+SELECT {out_sql}
+FROM dn
+JOIN customer c ON dn.ss_customer_sk = c.c_custkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE n2.n_name <> dn.bought_city
+ORDER BY {order_sql}
+LIMIT 100
+"""
+
+
+@_q(
+    "tpcds_q46",
+    _trip_mismatch_sql(
+        "(l.l_quantity = 4 OR l.l_linenumber = 3) AND year(o.o_orderdate) IN (1996, 1997, 1998)"
+        " AND (datediff('day', DATE '1970-01-01', o.o_orderdate) % 7) IN (2, 3)",
+        f"{_csum_sql('l.l_extendedprice * l.l_discount')} AS amt, "
+        f"{_msum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS profit",
+        "c.c_name, n2.n_name AS ca_city, dn.bought_city, dn.ss_ticket_number, "
+        "CAST(dn.amt AS BIGINT) AS amt, dn.profit",
+        "c.c_name ASC, ca_city ASC, bought_city ASC, ss_ticket_number ASC",
+        (1, 2, 3, 4, 5),
+    ),
+)
+def tpcds_q46(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q46 shape (tpcds/q46.sql: weekend store trips in a few
+    cities under an OR'd household-demographic gate, summed per trip,
+    then joined to the customer's current address keeping trips bought in
+    a DIFFERENT city). City analog: supplier/customer nation; weekend =
+    epoch-day mod 7 (identical formula both engines, no dow-convention
+    skew); demographic OR analog on (quantity, linenumber). Scale: one
+    grouping per trip, dims broadcast, mismatch filter is a residual
+    above a broadcast join."""
+    weekend = (F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date")) % 7).isin(2, 3)
+    inner = (
+        ((F.col("l_quantity") == 4) | (F.col("l_linenumber") == 3))
+        & F.year("o_orderdate").isin(1996, 1997, 1998) & weekend
+    )
+    aggs = [
+        _csum(F.col("l_extendedprice") * F.col("l_discount")).cast("bigint").alias("amt"),
+        _msum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("profit"),
+    ]
+    out_cols = ["c_name", "ca_city", "bought_city", "ss_ticket_number", "amt", "profit"]
+    order_cols = [F.asc("c_name"), F.asc("ca_city"), F.asc("bought_city"),
+                  F.asc("ss_ticket_number")]
+    return _trip_mismatch(spark, sf_dir, inner, None, aggs, None, out_cols,
+                          order_cols, (1, 2, 3, 4, 5))
+
+
+@_q(
+    "tpcds_q68",
+    _trip_mismatch_sql(
+        "(l.l_quantity = 4 OR l.l_linenumber = 3) AND year(o.o_orderdate) IN (1996, 1997, 1998)"
+        " AND day(o.o_orderdate) BETWEEN 1 AND 2",
+        f"{_msum_sql('l.l_extendedprice')} AS extended_price, "
+        f"{_msum_sql('l.l_extendedprice * (1 + l.l_tax)')} AS list_price, "
+        f"{_msum_sql('l.l_extendedprice * l.l_tax')} AS extended_tax",
+        "c.c_name, n2.n_name AS ca_city, dn.bought_city, dn.ss_ticket_number, "
+        "dn.extended_price, dn.extended_tax, dn.list_price",
+        "c.c_name ASC, ss_ticket_number ASC, ca_city ASC, bought_city ASC",
+        (6, 7),
+    ),
+)
+def tpcds_q68(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q68 shape (tpcds/q68.sql: q46's month-start twin — trips on
+    the first two days of the month in two cities, price/tax/list sums,
+    same current-vs-bought city mismatch)."""
+    inner = (
+        ((F.col("l_quantity") == 4) | (F.col("l_linenumber") == 3))
+        & F.year("o_orderdate").isin(1996, 1997, 1998)
+        & F.dayofmonth("o_orderdate").between(1, 2)
+    )
+    aggs = [
+        _msum(F.col("l_extendedprice")).alias("extended_price"),
+        _msum(F.col("l_extendedprice") * (1 + F.col("l_tax"))).alias("list_price"),
+        _msum(F.col("l_extendedprice") * F.col("l_tax")).alias("extended_tax"),
+    ]
+    out_cols = ["c_name", "ca_city", "bought_city", "ss_ticket_number",
+                "extended_price", "extended_tax", "list_price"]
+    order_cols = [F.asc("c_name"), F.asc("ss_ticket_number"), F.asc("ca_city"),
+                  F.asc("bought_city")]
+    return _trip_mismatch(spark, sf_dir, inner, None, aggs, None, out_cols,
+                          order_cols, (6, 7))
+
+
+# --- q57: monthly deviation with lag/lead neighbors, per call center -------
+
+@_q(
+    "tpcds_q57",
+    f"""
+WITH v1 AS (
+  SELECT p.p_type AS i_category, p.p_brand AS i_brand, n.n_name AS cc_name,
+         year(o.o_orderdate) AS d_year, month(o.o_orderdate) AS d_moy,
+         {_csum_sql("l.l_extendedprice")} AS sum_sales,
+         CAST(sum({_csum_sql("l.l_extendedprice")})
+              OVER (PARTITION BY p.p_type, p.p_brand, n.n_name, year(o.o_orderdate)) AS BIGINT) AS year_sum,
+         count(*) OVER (PARTITION BY p.p_type, p.p_brand, n.n_name, year(o.o_orderdate)) AS year_cnt,
+         lag(CAST({_csum_sql("l.l_extendedprice")} AS BIGINT))
+           OVER (PARTITION BY p.p_type, p.p_brand, n.n_name
+                 ORDER BY year(o.o_orderdate), month(o.o_orderdate)) AS psum,
+         lead(CAST({_csum_sql("l.l_extendedprice")} AS BIGINT))
+           OVER (PARTITION BY p.p_type, p.p_brand, n.n_name
+                 ORDER BY year(o.o_orderdate), month(o.o_orderdate)) AS nsum
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE year(o.o_orderdate) = 1996
+     OR (year(o.o_orderdate) = 1995 AND month(o.o_orderdate) = 12)
+     OR (year(o.o_orderdate) = 1997 AND month(o.o_orderdate) = 1)
+  GROUP BY 1, 2, 3, 4, 5
+)
+SELECT i_category, i_brand, cc_name, d_year, d_moy, sum_sales,
+       CAST(year_sum AS DOUBLE) / year_cnt AS avg_monthly_sales, psum, nsum
+FROM v1
+WHERE d_year = 1996 AND year_sum > 0
+  AND 10 * abs(sum_sales * year_cnt - year_sum) > year_sum
+ORDER BY sum_sales * year_cnt - year_sum ASC, cc_name ASC, i_category ASC,
+         i_brand ASC, d_moy ASC
+LIMIT 100
+""",
+)
+def tpcds_q57(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q57 shape (tpcds/q57.sql: catalog months per (category,
+    brand, call center) deviating >10% from the year average, with the
+    neighbor months via rank self-joins — expressed as lag/lead over the
+    same ordering, the equivalent single-pass plan; the extra Dec/Jan
+    boundary months exist only to feed the lag/lead edges, exactly as the
+    reference's OR'd date filter does). Call-center analog: supplier
+    nation. Deviation and ordering keys are exact integers. Scale: one
+    grouping shuffle; all three windows share one (cat, brand, cc)
+    partitioning."""
+    li, orders, part, supp, nation = _t(
+        spark, sf_dir, "lineitem", "orders", "part", "supplier", "nation")
+    datef = (
+        (F.year("o_orderdate") == 1996)
+        | ((F.year("o_orderdate") == 1995) & (F.month("o_orderdate") == 12))
+        | ((F.year("o_orderdate") == 1997) & (F.month("o_orderdate") == 1))
+    )
+    g = (
+        li.join(orders.filter(datef), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("p_type").alias("i_category"), F.col("p_brand").alias("i_brand"),
+            F.col("n_name").alias("cc_name"),
+            F.year("o_orderdate").alias("d_year"), F.month("o_orderdate").alias("d_moy"),
+        )
+        .agg(_csum(F.col("l_extendedprice")).alias("sum_sales"))
+    )
+    wy = W.partitionBy("i_category", "i_brand", "cc_name", "d_year")
+    ws = W.partitionBy("i_category", "i_brand", "cc_name").orderBy("d_year", "d_moy")
+    v1 = (
+        g.withColumn("year_sum", F.sum("sum_sales").over(wy).cast("bigint"))
+        .withColumn("year_cnt", F.count("*").over(wy))
+        .withColumn("psum", F.lag("sum_sales").over(ws).cast("bigint"))
+        .withColumn("nsum", F.lead("sum_sales").over(ws).cast("bigint"))
+    )
+    return (
+        v1.filter(
+            (F.col("d_year") == 1996) & (F.col("year_sum") > 0)
+            & (10 * F.abs(F.col("sum_sales") * F.col("year_cnt") - F.col("year_sum"))
+               > F.col("year_sum"))
+        )
+        .select(
+            "i_category", "i_brand", "cc_name", "d_year", "d_moy", "sum_sales",
+            (F.col("year_sum").cast("double") / F.col("year_cnt")).alias("avg_monthly_sales"),
+            "psum", "nsum",
+        )
+        .orderBy(
+            F.asc(F.col("sum_sales") * F.col("year_cnt") - F.col("year_sum")),
+            F.asc("cc_name"), F.asc("i_category"), F.asc("i_brand"), F.asc("d_moy"),
+        )
+        .limit(100)
+    )
+
+
+# --- q74: two-channel year-over-year growth (q11's lean twin) --------------
+
+@_q(
+    "tpcds_q74",
+    f"""
+WITH year_total AS (
+  SELECT c.c_custkey AS customer_id, c.c_name AS customer_name,
+         year(o.o_orderdate) AS dyear,
+         {_csum_sql("l.l_extendedprice")} AS year_total, 's' AS sale_type
+  FROM customer c
+  JOIN orders o ON o.o_custkey = c.c_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE year(o.o_orderdate) IN (1996, 1997)
+  GROUP BY 1, 2, 3
+  UNION ALL
+  SELECT c.c_custkey AS customer_id, c.c_name AS customer_name,
+         year(o.o_orderdate) AS dyear,
+         {_csum_sql("o.o_totalprice")} AS year_total, 'w' AS sale_type
+  FROM customer c
+  JOIN orders o ON o.o_custkey = c.c_custkey
+  WHERE year(o.o_orderdate) IN (1996, 1997)
+  GROUP BY 1, 2, 3
+)
+SELECT s2.customer_id, s2.customer_name
+FROM year_total s1
+JOIN year_total s2 ON s2.customer_id = s1.customer_id
+JOIN year_total w1 ON w1.customer_id = s1.customer_id
+JOIN year_total w2 ON w2.customer_id = s1.customer_id
+WHERE s1.sale_type = 's' AND s2.sale_type = 's'
+  AND w1.sale_type = 'w' AND w2.sale_type = 'w'
+  AND s1.dyear = 1996 AND s2.dyear = 1997
+  AND w1.dyear = 1996 AND w2.dyear = 1997
+  AND s1.year_total > 0 AND w1.year_total > 0
+  AND CAST(w2.year_total AS DOUBLE) / w1.year_total
+      > CAST(s2.year_total AS DOUBLE) / s1.year_total
+ORDER BY s2.customer_id ASC
+LIMIT 100
+""",
+)
+def tpcds_q74(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q74 shape (tpcds/q74.sql: the two-year, two-channel lean
+    variant of q11 — year_total over net-paid (undiscounted price here,
+    distinguishing it from q11's revenue), 4-way self-join comparing
+    web vs store growth ratios). Ratios divide exact cents → identical
+    doubles. Scale: same materialization story as q11 (the CTE feeds four
+    consumers; cte_materialization_enabled persists it)."""
+    customer, orders, lineitem = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    o96 = orders.filter(F.year("o_orderdate").isin(1996, 1997))
+    store = (
+        customer.join(o96, F.col("o_custkey") == F.col("c_custkey"))
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("c_custkey").alias("customer_id"),
+                 F.col("c_name").alias("customer_name"),
+                 F.year("o_orderdate").alias("dyear"))
+        .agg(_csum(F.col("l_extendedprice")).alias("year_total"))
+        .withColumn("sale_type", F.lit("s"))
+    )
+    web = (
+        customer.join(o96, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.col("c_custkey").alias("customer_id"),
+                 F.col("c_name").alias("customer_name"),
+                 F.year("o_orderdate").alias("dyear"))
+        .agg(_csum(F.col("o_totalprice")).alias("year_total"))
+        .withColumn("sale_type", F.lit("w"))
+    )
+    from .tpcds import _materialize_cte
+
+    year_total = _materialize_cte(spark, store.unionByName(web))
+
+    def leg(alias, st, yr):
+        return (
+            year_total.filter((F.col("sale_type") == st) & (F.col("dyear") == yr))
+            .select("customer_id", "customer_name", "year_total")
+            .alias(alias)
+        )
+
+    s1, s2, w1, w2 = leg("s1", "s", 1996), leg("s2", "s", 1997), leg("w1", "w", 1996), leg("w2", "w", 1997)
+    joined = (
+        s1.join(s2, F.col("s2.customer_id") == F.col("s1.customer_id"))
+        .join(w1, F.col("w1.customer_id") == F.col("s1.customer_id"))
+        .join(w2, F.col("w2.customer_id") == F.col("s1.customer_id"))
+        .filter((F.col("s1.year_total") > 0) & (F.col("w1.year_total") > 0))
+        .filter(F.col("w2.year_total").cast("double") / F.col("w1.year_total")
+                > F.col("s2.year_total").cast("double") / F.col("s1.year_total"))
+    )
+    return (
+        joined.select(F.col("s2.customer_id").alias("customer_id"),
+                      F.col("s2.customer_name").alias("customer_name"))
+        .orderBy(F.asc("customer_id"))
+        .limit(100)
+    )
