@@ -933,3 +933,327 @@ def tpcds_q74(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("customer_id"))
         .limit(100)
     )
+
+
+# --- q77: per-channel sales/returns profit rollup --------------------------
+
+_Q77_WIN = ("1996-08-23", "1996-09-22")
+
+
+@_q(
+    "tpcds_q77",
+    f"""
+WITH ss AS (
+  SELECT l.l_suppkey AS sk, {_msum_sql("l.l_extendedprice")} AS sales,
+         {_msum_sql("l.l_extendedprice * (1 - l.l_discount)")} AS profit
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderdate BETWEEN '{_Q77_WIN[0]}' AND '{_Q77_WIN[1]}' GROUP BY 1
+), sr AS (
+  SELECT l.l_suppkey AS sk, {_msum_sql("l.l_extendedprice")} AS returns_,
+         {_msum_sql("l.l_extendedprice * l.l_tax")} AS profit_loss
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag = 'R'
+    AND o.o_orderdate BETWEEN '{_Q77_WIN[0]}' AND '{_Q77_WIN[1]}' GROUP BY 1
+), cs AS (
+  SELECT o.o_orderpriority AS ck, {_msum_sql("l.l_extendedprice")} AS sales,
+         {_msum_sql("l.l_extendedprice * (1 - l.l_discount)")} AS profit
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderdate BETWEEN '{_Q77_WIN[0]}' AND '{_Q77_WIN[1]}' GROUP BY 1
+), cr AS (
+  SELECT o.o_orderpriority AS ck, {_msum_sql("l.l_extendedprice")} AS returns_,
+         {_msum_sql("l.l_extendedprice * l.l_tax")} AS profit_loss
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag = 'R'
+    AND o.o_orderdate BETWEEN '{_Q77_WIN[0]}' AND '{_Q77_WIN[1]}' GROUP BY 1
+), ws AS (
+  SELECT l.l_linestatus AS wk, {_msum_sql("l.l_extendedprice")} AS sales,
+         {_msum_sql("l.l_extendedprice * (1 - l.l_discount)")} AS profit
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderdate BETWEEN '{_Q77_WIN[0]}' AND '{_Q77_WIN[1]}' GROUP BY 1
+), wr AS (
+  SELECT l.l_linestatus AS wk, {_msum_sql("l.l_extendedprice")} AS returns_,
+         {_msum_sql("l.l_extendedprice * l.l_tax")} AS profit_loss
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag = 'R'
+    AND o.o_orderdate BETWEEN '{_Q77_WIN[0]}' AND '{_Q77_WIN[1]}' GROUP BY 1
+), x AS (
+  SELECT 'store channel' AS channel, CAST(ss.sk AS VARCHAR) AS id, ss.sales,
+         coalesce(sr.returns_, 0) AS returns_,
+         ss.profit - coalesce(sr.profit_loss, 0) AS profit
+  FROM ss LEFT JOIN sr ON ss.sk = sr.sk
+  UNION ALL
+  SELECT 'catalog channel' AS channel, CAST(cs.ck AS VARCHAR) AS id, cs.sales,
+         cr.returns_ AS returns_, cs.profit - cr.profit_loss AS profit
+  FROM cs, cr
+  UNION ALL
+  SELECT 'web channel' AS channel, CAST(ws.wk AS VARCHAR) AS id, ws.sales,
+         coalesce(wr.returns_, 0) AS returns_,
+         ws.profit - coalesce(wr.profit_loss, 0) AS profit
+  FROM ws LEFT JOIN wr ON ws.wk = wr.wk
+)
+SELECT channel, id, sum(sales) AS sales, sum(returns_) AS returns_,
+       sum(profit) AS profit
+FROM x
+GROUP BY ROLLUP (channel, id)
+ORDER BY channel ASC NULLS FIRST, id ASC NULLS FIRST, sales ASC
+LIMIT 100
+""",
+)
+def tpcds_q77(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q77 shape (tpcds/q77.sql: six 30-day CTEs — sales and
+    returns per store / call center / web page — unioned with channel
+    labels under a ROLLUP(channel, id), including the reference's odd
+    catalog-channel CROSS join of its sales and returns CTEs). Channel
+    keys: supplier / order priority / line status. Scale: each CTE is one
+    pruned scan + tiny grouping; the rollup runs over dozens of rows."""
+    li, orders = _t(spark, sf_dir, "lineitem", "orders")
+    base = li.join(
+        orders.filter(F.col("o_orderdate").between(*_Q77_WIN)),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    rets = base.filter(F.col("l_returnflag") == "R")
+    sales_aggs = [
+        _msum(F.col("l_extendedprice")).alias("sales"),
+        _msum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("profit"),
+    ]
+    ret_aggs = [
+        _msum(F.col("l_extendedprice")).alias("returns_"),
+        _msum(F.col("l_extendedprice") * F.col("l_tax")).alias("profit_loss"),
+    ]
+    ss = base.groupBy(F.col("l_suppkey").alias("sk")).agg(*sales_aggs)
+    sr = rets.groupBy(F.col("l_suppkey").alias("sk")).agg(*ret_aggs)
+    cs = base.groupBy(F.col("o_orderpriority").alias("ck")).agg(*sales_aggs)
+    cr = rets.groupBy(F.col("o_orderpriority").alias("ck")).agg(*ret_aggs)
+    ws = base.groupBy(F.col("l_linestatus").alias("wk")).agg(*sales_aggs)
+    wr = rets.groupBy(F.col("l_linestatus").alias("wk")).agg(*ret_aggs)
+    store = (
+        ss.alias("ss").join(sr.alias("sr"), F.col("ss.sk") == F.col("sr.sk"), "left")
+        .select(F.lit("store channel").alias("channel"),
+                F.col("ss.sk").cast("string").alias("id"),
+                F.col("sales"),
+                F.coalesce(F.col("returns_"), F.lit(0)).alias("returns_"),
+                (F.col("profit") - F.coalesce(F.col("profit_loss"), F.lit(0))).alias("profit"))
+    )
+    catalog = (
+        cs.alias("cs").crossJoin(cr.alias("cr"))
+        .select(F.lit("catalog channel").alias("channel"),
+                F.col("cs.ck").cast("string").alias("id"),
+                F.col("sales"), F.col("returns_"),
+                (F.col("profit") - F.col("profit_loss")).alias("profit"))
+    )
+    web = (
+        ws.alias("ws").join(wr.alias("wr"), F.col("ws.wk") == F.col("wr.wk"), "left")
+        .select(F.lit("web channel").alias("channel"),
+                F.col("ws.wk").cast("string").alias("id"),
+                F.col("sales"),
+                F.coalesce(F.col("returns_"), F.lit(0)).alias("returns_"),
+                (F.col("profit") - F.coalesce(F.col("profit_loss"), F.lit(0))).alias("profit"))
+    )
+    x = store.unionByName(catalog).unionByName(web)
+    return (
+        x.rollup("channel", "id")
+        .agg(F.sum("sales").alias("sales"), F.sum("returns_").alias("returns_"),
+             F.sum("profit").alias("profit"))
+        .orderBy(F.asc_nulls_first("channel"), F.asc_nulls_first("id"), F.asc("sales"))
+        .limit(100)
+    )
+
+
+# --- q80: row-level sale-return left joins per channel, rollup -------------
+
+@_q(
+    "tpcds_q80",
+    f"""
+WITH base AS (
+  SELECT l.*, o.o_orderpriority, o.o_orderdate FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE o.o_orderdate BETWEEN '{_Q77_WIN[0]}' AND '{_Q77_WIN[1]}'
+    AND p.p_retailprice > 905 AND o.o_orderpriority <> '1-URGENT'
+    AND l.l_returnflag <> 'R'
+), ret AS (
+  SELECT l_orderkey, l_partkey, l_extendedprice AS r_price,
+         l_extendedprice * l_discount AS r_loss
+  FROM lineitem WHERE l_returnflag = 'R'
+), joined AS (
+  SELECT b.*, r.r_price, r.r_loss
+  FROM base b LEFT JOIN ret r
+    ON b.l_orderkey = r.l_orderkey AND b.l_partkey = r.l_partkey
+), ssr AS (
+  SELECT CAST(l_suppkey AS VARCHAR) AS id, {_msum_sql("l_extendedprice")} AS sales,
+         CAST(sum(coalesce(round(r_price * 100), 0)) AS BIGINT) AS returns_,
+         CAST(sum(round(l_extendedprice * (1 - l_discount) * 100)
+              - coalesce(round(r_loss * 100), 0)) AS BIGINT) AS profit
+  FROM joined GROUP BY 1
+), csr AS (
+  SELECT o_orderpriority AS id, {_msum_sql("l_extendedprice")} AS sales,
+         CAST(sum(coalesce(round(r_price * 100), 0)) AS BIGINT) AS returns_,
+         CAST(sum(round(l_extendedprice * (1 - l_discount) * 100)
+              - coalesce(round(r_loss * 100), 0)) AS BIGINT) AS profit
+  FROM joined GROUP BY 1
+), wsr AS (
+  SELECT l_linestatus AS id, {_msum_sql("l_extendedprice")} AS sales,
+         CAST(sum(coalesce(round(r_price * 100), 0)) AS BIGINT) AS returns_,
+         CAST(sum(round(l_extendedprice * (1 - l_discount) * 100)
+              - coalesce(round(r_loss * 100), 0)) AS BIGINT) AS profit
+  FROM joined GROUP BY 1
+), x AS (
+  SELECT 'store channel' AS channel, concat('store', id) AS id, sales, returns_, profit FROM ssr
+  UNION ALL
+  SELECT 'catalog channel' AS channel, concat('catalog_page', id) AS id, sales, returns_, profit FROM csr
+  UNION ALL
+  SELECT 'web channel' AS channel, concat('web_site', id) AS id, sales, returns_, profit FROM wsr
+)
+SELECT channel, id, sum(sales) AS sales, sum(returns_) AS returns_, sum(profit) AS profit
+FROM x
+GROUP BY ROLLUP (channel, id)
+ORDER BY channel ASC NULLS FIRST, id ASC NULLS FIRST, sales ASC
+LIMIT 100
+""",
+)
+def tpcds_q80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q80 shape (tpcds/q80.sql: per-channel 30-day sales with each
+    sale row LEFT-joined to its return (same order + item) before
+    aggregation — returns and net profit ride the row-level join, unlike
+    q77's pre-aggregated CTEs — item-price and promotion gates, then the
+    same ROLLUP(channel, id) union). Promotion analog: order priority;
+    the row-level return join is (l_orderkey, l_partkey) equi. Scale: the
+    sale→return join is a co-partitioned equi-join on the fact keys; the
+    rollup input is small."""
+    li, orders, part = _t(spark, sf_dir, "lineitem", "orders", "part")
+    base = (
+        li.filter(F.col("l_returnflag") != "R")
+        .join(orders.filter(F.col("o_orderdate").between(*_Q77_WIN)
+                            & (F.col("o_orderpriority") != "1-URGENT")),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(part.filter(F.col("p_retailprice") > 905),
+              F.col("l_partkey") == F.col("p_partkey"))
+    )
+    ret = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("r_orderkey"),
+                F.col("l_partkey").alias("r_partkey"),
+                F.col("l_extendedprice").alias("r_price"),
+                (F.col("l_extendedprice") * F.col("l_discount")).alias("r_loss"))
+    )
+    joined = base.join(
+        ret,
+        (F.col("l_orderkey") == F.col("r_orderkey"))
+        & (F.col("l_partkey") == F.col("r_partkey")),
+        "left",
+    )
+    sales = _msum(F.col("l_extendedprice")).alias("sales")
+    returns_ = F.sum(F.coalesce(F.round(F.col("r_price") * 100), F.lit(0))).cast("bigint").alias("returns_")
+    profit = F.sum(
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        - F.coalesce(F.round(F.col("r_loss") * 100), F.lit(0))
+    ).cast("bigint").alias("profit")
+
+    def channel(key_col, label, prefix):
+        return joined.groupBy(key_col.cast("string").alias("k")).agg(sales, returns_, profit).select(
+            F.lit(label).alias("channel"), F.concat(F.lit(prefix), F.col("k")).alias("id"),
+            "sales", "returns_", "profit",
+        )
+
+    x = (
+        channel(F.col("l_suppkey"), "store channel", "store")
+        .unionByName(channel(F.col("o_orderpriority"), "catalog channel", "catalog_page"))
+        .unionByName(channel(F.col("l_linestatus"), "web channel", "web_site"))
+    )
+    return (
+        x.rollup("channel", "id")
+        .agg(F.sum("sales").alias("sales"), F.sum("returns_").alias("returns_"),
+             F.sum("profit").alias("profit"))
+        .orderBy(F.asc_nulls_first("channel"), F.asc_nulls_first("id"), F.asc("sales"))
+        .limit(100)
+    )
+
+
+# --- q83: three return channels joined per item over shared weeks ----------
+
+@_q(
+    "tpcds_q83",
+    """
+WITH weeks AS (
+  SELECT DISTINCT weekofyear(d) AS wk FROM (
+    SELECT CAST('1996-06-30' AS DATE) AS d
+    UNION ALL SELECT CAST('1996-09-27' AS DATE)
+    UNION ALL SELECT CAST('1996-11-17' AS DATE))
+), sr_items AS (
+  SELECT l.l_partkey AS item_id, CAST(sum(l.l_quantity) AS BIGINT) AS sr_item_qty
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag = 'R' AND l.l_linenumber % 3 = 1
+    AND weekofyear(o.o_orderdate) IN (SELECT wk FROM weeks)
+  GROUP BY 1
+), cr_items AS (
+  SELECT l.l_partkey AS item_id, CAST(sum(l.l_quantity) AS BIGINT) AS cr_item_qty
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag = 'R' AND l.l_linenumber % 3 = 2
+    AND weekofyear(o.o_orderdate) IN (SELECT wk FROM weeks)
+  GROUP BY 1
+), wr_items AS (
+  SELECT l.l_partkey AS item_id, CAST(sum(l.l_quantity) AS BIGINT) AS wr_item_qty
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag = 'R' AND l.l_linenumber % 3 = 0
+    AND weekofyear(o.o_orderdate) IN (SELECT wk FROM weeks)
+  GROUP BY 1
+)
+SELECT s.item_id, sr_item_qty,
+       round(CAST(sr_item_qty AS DOUBLE) / (sr_item_qty + cr_item_qty + wr_item_qty) / 3.0 * 100, 6) AS sr_dev,
+       cr_item_qty,
+       round(CAST(cr_item_qty AS DOUBLE) / (sr_item_qty + cr_item_qty + wr_item_qty) / 3.0 * 100, 6) AS cr_dev,
+       wr_item_qty,
+       round(CAST(wr_item_qty AS DOUBLE) / (sr_item_qty + cr_item_qty + wr_item_qty) / 3.0 * 100, 6) AS wr_dev,
+       CAST(sr_item_qty + cr_item_qty + wr_item_qty AS DOUBLE) / 3.0 AS average
+FROM sr_items s
+JOIN cr_items c ON s.item_id = c.item_id
+JOIN wr_items w ON s.item_id = w.item_id
+ORDER BY s.item_id ASC, sr_item_qty ASC
+LIMIT 100
+""",
+)
+def tpcds_q83(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q83 shape (tpcds/q83.sql: returned quantities per item in
+    three channels over the weeks containing three given dates — the
+    nested date_dim week subquery — inner-joined per item with each
+    channel's share of the three-channel total). Channel analog:
+    l_linenumber mod 3 slices of the R rows; week filter via weekofyear
+    (ISO in both engines). Shares divide exact integers. Scale: three
+    pruned scans + one 3-way equi-join on item."""
+    import datetime
+
+    li, orders = _t(spark, sf_dir, "lineitem", "orders")
+    weeks = sorted({datetime.date(1996, 6, 30).isocalendar()[1],
+                    datetime.date(1996, 9, 27).isocalendar()[1],
+                    datetime.date(1996, 11, 17).isocalendar()[1]})
+    r = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(orders.filter(F.weekofyear("o_orderdate").isin(weeks)),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+
+    def channel(mod, name):
+        return (
+            r.filter(F.col("l_linenumber") % 3 == mod)
+            .groupBy(F.col("l_partkey").alias(f"{name}_key"))
+            .agg(F.sum("l_quantity").cast("bigint").alias(f"{name}_item_qty"))
+        )
+
+    s, c, w = channel(1, "sr"), channel(2, "cr"), channel(0, "wr")
+    j = (
+        s.join(c, F.col("sr_key") == F.col("cr_key"))
+        .join(w, F.col("sr_key") == F.col("wr_key"))
+    )
+    total = F.col("sr_item_qty") + F.col("cr_item_qty") + F.col("wr_item_qty")
+    dev = lambda q: F.round(q.cast("double") / total / 3.0 * 100, 6)  # noqa: E731
+    return (
+        j.select(
+            F.col("sr_key").alias("item_id"),
+            "sr_item_qty", dev(F.col("sr_item_qty")).alias("sr_dev"),
+            "cr_item_qty", dev(F.col("cr_item_qty")).alias("cr_dev"),
+            "wr_item_qty", dev(F.col("wr_item_qty")).alias("wr_dev"),
+            (total.cast("double") / 3.0).alias("average"),
+        )
+        .orderBy(F.asc("item_id"), F.asc("sr_item_qty"))
+        .limit(100)
+    )
