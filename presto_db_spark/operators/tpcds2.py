@@ -1257,3 +1257,238 @@ def tpcds_q83(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("item_id"), F.asc("sr_item_qty"))
         .limit(100)
     )
+
+
+# --- q72: fact-to-fact inventory join on (item, week) ----------------------
+
+@_q(
+    "tpcds_q72",
+    """
+SELECT p.p_name AS i_item_desc, s.s_name AS w_warehouse_name,
+       weekofyear(o1.o_orderdate) AS d_week_seq,
+       CAST(sum(CASE WHEN pr.l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS no_promo,
+       CAST(sum(CASE WHEN pr.l_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS promo,
+       CAST(count(*) AS BIGINT) AS total_cnt
+FROM lineitem l1
+JOIN orders o1 ON l1.l_orderkey = o1.o_orderkey
+JOIN customer c ON o1.o_custkey = c.c_custkey
+JOIN lineitem l2 ON l2.l_partkey = l1.l_partkey
+JOIN orders o2 ON l2.l_orderkey = o2.o_orderkey
+JOIN part p ON l1.l_partkey = p.p_partkey
+JOIN supplier s ON l2.l_suppkey = s.s_suppkey
+LEFT JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+           WHERE l_returnflag = 'R') pr
+  ON pr.l_orderkey = l1.l_orderkey AND pr.l_partkey = l1.l_partkey
+WHERE year(o1.o_orderdate) = 1996
+  AND year(o2.o_orderdate) = 1996
+  AND weekofyear(o2.o_orderdate) = weekofyear(o1.o_orderdate)
+  AND l2.l_quantity < l1.l_quantity
+  AND l1.l_shipdate > o1.o_orderdate + INTERVAL 5 DAY
+  AND o1.o_orderpriority IN ('1-URGENT', '2-HIGH')
+  AND c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+GROUP BY 1, 2, 3
+ORDER BY total_cnt DESC, i_item_desc ASC, w_warehouse_name ASC, d_week_seq ASC
+LIMIT 100
+""",
+)
+def tpcds_q72(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q72 shape (tpcds/q72.sql: the notorious catalog-sales ×
+    inventory fact-to-fact join — same item, same WEEK, on-hand quantity
+    below the ordered quantity — with demographic gates, a ship-after-5-
+    days date inequality across two date roles, and a LEFT join to
+    promotion counted into promo/no-promo buckets). Inventory analog: a
+    second lineitem slice keyed by (partkey, week); warehouse = that
+    slice's supplier; promotion = the order's R-flagged return line.
+    Scale: THE planner stress — the only safe plan is the equi-join on
+    (partkey, week-bucket) with the quantity inequality as residual;
+    dims broadcast; no date-range cross join ever materializes."""
+    li, orders, part, supp, cust = _t(
+        spark, sf_dir, "lineitem", "orders", "part", "supplier", "customer")
+    l1 = (
+        li.alias("l1")
+        .join(orders.alias("o1").filter((F.year("o1.o_orderdate") == 1996)
+                                        & F.col("o1.o_orderpriority").isin("1-URGENT", "2-HIGH")),
+              F.col("l1.l_orderkey") == F.col("o1.o_orderkey"))
+        .join(cust.filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY")),
+              F.col("o1.o_custkey") == F.col("c_custkey"))
+        .filter(F.col("l1.l_shipdate")
+                > F.date_add(F.col("o1.o_orderdate"), 5))
+    )
+    l2 = (
+        li.alias("l2")
+        .join(orders.alias("o2").filter(F.year("o2.o_orderdate") == 1996),
+              F.col("l2.l_orderkey") == F.col("o2.o_orderkey"))
+    )
+    pr = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("pr_orderkey"),
+                F.col("l_partkey").alias("pr_partkey"))
+        .distinct()
+    )
+    j = (
+        l1.join(
+            l2,
+            (F.col("l2.l_partkey") == F.col("l1.l_partkey"))
+            & (F.weekofyear("o2.o_orderdate") == F.weekofyear("o1.o_orderdate"))
+            & (F.col("l2.l_quantity") < F.col("l1.l_quantity")),
+        )
+        .join(part, F.col("l1.l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l2.l_suppkey") == F.col("s_suppkey"))
+        .join(pr, (F.col("pr_orderkey") == F.col("l1.l_orderkey"))
+              & (F.col("pr_partkey") == F.col("l1.l_partkey")), "left")
+    )
+    return (
+        j.groupBy(F.col("p_name").alias("i_item_desc"),
+                  F.col("s_name").alias("w_warehouse_name"),
+                  F.weekofyear("o1.o_orderdate").alias("d_week_seq"))
+        .agg(
+            F.sum(F.when(F.col("pr_orderkey").isNull(), 1).otherwise(0)).cast("bigint").alias("no_promo"),
+            F.sum(F.when(F.col("pr_orderkey").isNotNull(), 1).otherwise(0)).cast("bigint").alias("promo"),
+            F.count("*").cast("bigint").alias("total_cnt"),
+        )
+        .orderBy(F.desc("total_cnt"), F.asc("i_item_desc"),
+                 F.asc("w_warehouse_name"), F.asc("d_week_seq"))
+        .limit(100)
+    )
+
+
+# --- q64: two-year cross_sales CTE self-join -------------------------------
+
+@_q(
+    "tpcds_q64",
+    f"""
+WITH cs_ui AS (
+  SELECT l1.l_partkey AS cs_item_sk,
+         {_csum_sql("l1.l_extendedprice")} AS sale,
+         {_csum_sql("l2.l_extendedprice * l2.l_tax")} AS refund
+  FROM lineitem l1
+  JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+   AND l1.l_partkey = l2.l_partkey AND l2.l_returnflag = 'R'
+  GROUP BY 1
+  HAVING {_csum_sql("l1.l_extendedprice")}
+         > 2 * {_csum_sql("l2.l_extendedprice * l2.l_tax")}
+), cross_sales AS (
+  SELECT p.p_name AS product_name, p.p_partkey AS item_sk,
+         s.s_name AS store_name, s.s_nationkey AS store_zip,
+         n1.n_name AS b_city, n2.n_name AS c_city,
+         year(o.o_orderdate) AS syear,
+         CAST(count(*) AS BIGINT) AS cnt,
+         {_csum_sql("l.l_extendedprice * (1 - l.l_discount)")} AS s1,
+         {_csum_sql("l.l_extendedprice")} AS s2,
+         {_csum_sql("l.l_extendedprice * l.l_discount")} AS s3
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN cs_ui ON l.l_partkey = cs_ui.cs_item_sk
+  JOIN part p ON l.l_partkey = p.p_partkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+  WHERE p.p_retailprice BETWEEN 905 AND 915
+    AND p.p_brand IN ('Brand#11', 'Brand#12', 'Brand#13', 'Brand#21', 'Brand#22', 'Brand#23')
+    AND c.c_mktsegment <> 'BUILDING'
+  GROUP BY 1, 2, 3, 4, 5, 6, 7
+)
+SELECT cs1.product_name, cs1.store_name, cs1.store_zip, cs1.b_city, cs1.c_city,
+       cs1.syear AS syear1, cs1.cnt AS cnt1,
+       CAST(cs1.s1 AS BIGINT) AS s11, CAST(cs1.s2 AS BIGINT) AS s21,
+       CAST(cs1.s3 AS BIGINT) AS s31,
+       CAST(cs2.s1 AS BIGINT) AS s12, CAST(cs2.s2 AS BIGINT) AS s22,
+       CAST(cs2.s3 AS BIGINT) AS s32,
+       cs2.syear AS syear2, cs2.cnt AS cnt2
+FROM cross_sales cs1
+JOIN cross_sales cs2 ON cs1.item_sk = cs2.item_sk
+ AND cs1.store_name = cs2.store_name AND cs1.store_zip = cs2.store_zip
+WHERE cs1.syear = 1996 AND cs2.syear = 1997 AND cs2.cnt <= cs1.cnt
+ORDER BY cs1.product_name ASC, cs1.store_name ASC, cs2.cnt ASC,
+         cs1.b_city ASC, cs1.c_city ASC, s11 ASC, s12 ASC
+LIMIT 100
+""",
+)
+def tpcds_q64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q64 shape (tpcds/q64.sql: the widest query in the corpus —
+    a cs_ui CTE of items whose sales more than double their refunds
+    (HAVING over a sale-return join), feeding a cross_sales CTE that
+    joins the store fact through customer, two address roles, store,
+    item and the demographic mismatch gate, grouped per (item, store,
+    year); finally cross_sales SELF-JOINED across two years on (item,
+    store) with cnt2 <= cnt1). Address roles: supplier nation (bought) /
+    customer nation (current); demographic mismatch: mktsegment gate.
+    The cross_sales CTE feeds BOTH sides of the year self-join, so the
+    cte-materialization session property applies (same story as q04/q11).
+    Scale: cs_ui is a co-partitioned fact self-join on (order, item); the
+    year self-join shuffles only the small grouped frame."""
+    li, orders, part, supp, cust, nation = _t(
+        spark, sf_dir, "lineitem", "orders", "part", "supplier", "customer", "nation")
+    l2 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("r_orderkey"),
+                F.col("l_partkey").alias("r_partkey"),
+                F.col("l_extendedprice").alias("r_price"),
+                F.col("l_tax").alias("r_tax"))
+    )
+    cs_ui = (
+        li.join(l2, (F.col("l_orderkey") == F.col("r_orderkey"))
+                & (F.col("l_partkey") == F.col("r_partkey")))
+        .groupBy(F.col("l_partkey").alias("cs_item_sk"))
+        .agg(_csum(F.col("l_extendedprice")).alias("sale"),
+             _csum(F.col("r_price") * F.col("r_tax")).alias("refund"))
+        .filter(F.col("sale") > 2 * F.col("refund"))
+        .select("cs_item_sk")
+    )
+    n1 = nation.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("b_city"))
+    n2 = nation.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("c_city"))
+    base = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust.filter(F.col("c_mktsegment") != "BUILDING"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(cs_ui, F.col("l_partkey") == F.col("cs_item_sk"))
+        .join(part.filter(F.col("p_retailprice").between(905, 915)
+                          & F.col("p_brand").isin("Brand#11", "Brand#12", "Brand#13",
+                                                  "Brand#21", "Brand#22", "Brand#23")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+    )
+    cross_sales = base.groupBy(
+        F.col("p_name").alias("product_name"), F.col("p_partkey").alias("item_sk"),
+        F.col("s_name").alias("store_name"), F.col("s_nationkey").alias("store_zip"),
+        F.col("b_city"), F.col("c_city"), F.year("o_orderdate").alias("syear"),
+    ).agg(
+        F.count("*").cast("bigint").alias("cnt"),
+        _csum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("s1"),
+        _csum(F.col("l_extendedprice")).alias("s2"),
+        _csum(F.col("l_extendedprice") * F.col("l_discount")).alias("s3"),
+    )
+    from .tpcds import _materialize_cte
+
+    cross_sales = _materialize_cte(spark, cross_sales)
+    cs1 = cross_sales.filter(F.col("syear") == 1996).alias("cs1")
+    cs2 = cross_sales.filter(F.col("syear") == 1997).alias("cs2")
+    j = cs1.join(
+        cs2,
+        (F.col("cs1.item_sk") == F.col("cs2.item_sk"))
+        & (F.col("cs1.store_name") == F.col("cs2.store_name"))
+        & (F.col("cs1.store_zip") == F.col("cs2.store_zip"))
+        & (F.col("cs2.cnt") <= F.col("cs1.cnt")),
+    )
+    return (
+        j.select(
+            F.col("cs1.product_name").alias("product_name"),
+            F.col("cs1.store_name").alias("store_name"),
+            F.col("cs1.store_zip").alias("store_zip"),
+            F.col("cs1.b_city").alias("b_city"), F.col("cs1.c_city").alias("c_city"),
+            F.col("cs1.syear").alias("syear1"), F.col("cs1.cnt").alias("cnt1"),
+            F.col("cs1.s1").cast("bigint").alias("s11"),
+            F.col("cs1.s2").cast("bigint").alias("s21"),
+            F.col("cs1.s3").cast("bigint").alias("s31"),
+            F.col("cs2.s1").cast("bigint").alias("s12"),
+            F.col("cs2.s2").cast("bigint").alias("s22"),
+            F.col("cs2.s3").cast("bigint").alias("s32"),
+            F.col("cs2.syear").alias("syear2"), F.col("cs2.cnt").alias("cnt2"),
+        )
+        .orderBy(F.asc("product_name"), F.asc("store_name"), F.asc("cnt2"),
+                 F.asc("b_city"), F.asc("c_city"), F.asc("s11"), F.asc("s12"))
+        .limit(100)
+    )
