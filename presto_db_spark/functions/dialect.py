@@ -87,6 +87,15 @@ _TOKEN = re.compile(
 # "yyyy-MM-dd'T'HH" (non-identifier chars) is left alone.
 _IDENTISH = re.compile(r'^"[A-Za-z_][A-Za-z0-9_]*"$')
 
+# Quoted ALIAS-shaped content: Presto aliases like "30 days",
+# "31-60 days", ">120 days", "a.b.c" (a dot-qualified quoted alias) are
+# identifiers too (Presto double quotes are ALWAYS identifiers). The
+# conservative guard keeps genuinely-Spark string literals alone: any
+# content with a single quote or colon (the format-string tells —
+# "yyyy-MM-dd'T'HH:mm:ss") is NOT converted, and plain dash-only words
+# like "yyyy-MM-dd" need the space/dot/> marker to convert.
+_ALIASISH = re.compile(r'^"[^"\':]*[ .>][^"\':]*"$')
+
 _BARE_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
 
@@ -177,9 +186,32 @@ def _single_string_arg(tokens: list[str], span: tuple[int, int]) -> str | None:
 
 def _pass_quoted_idents(tokens: list[str]) -> list[str]:
     return [
-        "`" + t[1:-1] + "`" if t.startswith('"') and _IDENTISH.match(t) else t
+        "`" + t[1:-1] + "`"
+        if t.startswith('"') and (_IDENTISH.match(t) or _ALIASISH.match(t))
+        else t
         for t in tokens
     ]
+
+
+def _pass_decimal_literals(tokens: list[str]) -> list[str]:
+    """Presto ``DECIMAL '1.23'`` typed literals → bare numeric literals
+    (Spark's parser rejects the DECIMAL'…' constructor, but parses exact
+    numeric literals as DECIMAL by default — same type, same value)."""
+    out: list[str] = []
+    i = 0
+    while i < len(tokens):
+        t = tokens[i]
+        if _is_ident(t) and _ident_name(t) == "decimal":
+            j = _next(tokens, i + 1)
+            if j < len(tokens) and tokens[j].startswith("'"):
+                body = tokens[j][1:-1].strip()
+                if re.fullmatch(r"[+-]?\d+(\.\d*)?|[+-]?\.\d+", body):
+                    out.append(f"({body})")
+                    i = j + 1
+                    continue
+        out.append(t)
+        i += 1
+    return out
 
 
 def _pass_strip_catalog(tokens: list[str], catalogs: frozenset[str]) -> list[str]:
@@ -673,6 +705,7 @@ def rewrite_presto_sql(query: str, *, catalogs: frozenset[str] = DEFAULT_CATALOG
     tokens = _TOKEN.findall(query)
     tokens = _pass_quoted_idents(tokens)
     tokens = _pass_strip_catalog(tokens, catalogs)
+    tokens = _pass_decimal_literals(tokens)
     tokens = _pass_function_ddl(tokens)
     tokens = _TOKEN.findall("".join(tokens))
     tokens = _pass_array_brackets(tokens)
