@@ -655,6 +655,117 @@ _LITERAL_FORMAT_REWRITES: dict[str, tuple[str, object]] = {
 }
 
 
+def _pass_order_nulls(tokens: list[str]) -> list[str]:
+    """Presto's default NULL ordering is nulls-largest (NULLS LAST for
+    ASC, NULLS FIRST for DESC — product-test golden corpus
+    ``order_by/orderByDefaultNullsDefault``); Spark's is nulls-smallest.
+    Make the default explicit on every ORDER BY sort item (top-level
+    query, OVER clauses, and ordered aggregates alike) that doesn't spell
+    its own NULLS clause."""
+    _STOP = {"limit", "offset", "fetch", "rows", "range", "groups"}
+    out: list[str] = []
+    i = 0
+    while i < len(tokens):
+        t = tokens[i]
+        if _is_ident(t) and _ident_name(t) == "order":
+            j = _next(tokens, i + 1)
+            if j < len(tokens) and _is_ident(tokens[j]) and _ident_name(tokens[j]) == "by":
+                out += tokens[i : j + 1]
+                i = j + 1
+                # walk sort items at this nesting depth
+                depth = 0
+                item: list[str] = []
+                has_nulls = False
+
+                def flush():
+                    nonlocal item, has_nulls
+                    if not has_nulls and any(tok.strip() for tok in item):
+                        direction = next(
+                            (
+                                _ident_name(tok)
+                                for tok in reversed(item)
+                                if _is_ident(tok)
+                            ),
+                            "",
+                        )
+                        kw = " NULLS FIRST" if direction == "desc" else " NULLS LAST"
+                        # keep trailing whitespace after the appended clause
+                        trail = []
+                        while item and not item[-1].strip():
+                            trail.insert(0, item.pop())
+                        item.append(kw)
+                        item += trail
+                    out.extend(item)
+                    item, has_nulls = [], False
+
+                while i < len(tokens):
+                    tok = tokens[i]
+                    if tok == "(" or tok == "[":
+                        depth += 1
+                    elif tok == ")" or tok == "]":
+                        if depth == 0:
+                            break  # end of enclosing call / subquery
+                        depth -= 1
+                    elif depth == 0 and tok == ",":
+                        flush()
+                        out.append(tok)
+                        i += 1
+                        continue
+                    elif depth == 0 and _is_ident(tok):
+                        name = _ident_name(tok)
+                        if name in _STOP or name == "union" or name == "except" \
+                                or name == "intersect":
+                            break
+                        if name == "nulls":
+                            has_nulls = True
+                    item.append(tok)
+                    i += 1
+                flush()
+                continue
+        out.append(t)
+        i += 1
+    return out
+
+
+# Aggregates whose Presto definition differs from Spark's same-named
+# builtin, rewritten as arg-templated expressions over Spark aggregates.
+# kurtosis: Presto returns the SAMPLE excess kurtosis
+# (CentralMomentsAggregation.java:84 — ((n-1)n(n+1))/((n-2)(n-3))·m4/m2²
+# − 3(n-1)²/((n-2)(n-3)), NULL for n<4); Spark's kurtosis is the
+# population form n·m4/m2² − 3. Algebra: presto = (n−1)/((n−2)(n−3)) ·
+# ((n+1)(spark+3) − 3(n−1)) — numerically stable because Spark's moment
+# state is, no raw power sums.
+_ARG_TEMPLATES: dict[str, str] = {
+    "kurtosis": (
+        "(CASE WHEN count({a}) < 4 THEN CAST(NULL AS DOUBLE) ELSE "
+        "((count({a}) - 1.0) / ((count({a}) - 2.0) * (count({a}) - 3.0))) * "
+        "((count({a}) + 1.0) * (kurtosis({a}) + 3.0) - 3.0 * (count({a}) - 1.0)) "
+        "END)"
+    ),
+}
+
+
+def _pass_arg_templates(tokens: list[str]) -> list[str]:
+    """Single-argument template rewrites (run ONCE, outside the call-pass
+    fixpoint, so a template may legally mention its own source name)."""
+    out: list[str] = []
+    i = 0
+    while i < len(tokens):
+        t = tokens[i]
+        low = t.lower()
+        j = _next(tokens, i + 1)
+        if low in _ARG_TEMPLATES and j < len(tokens) and tokens[j] == "(":
+            close, arg_spans = _split_args(tokens, j)
+            if len(arg_spans) == 1:
+                arg = "".join(tokens[arg_spans[0][0] : arg_spans[0][1]]).strip()
+                out.append(_ARG_TEMPLATES[low].format(a=arg))
+                i = close + 1
+                continue
+        out.append(t)
+        i += 1
+    return out
+
+
 def _pass_calls(tokens: list[str]) -> list[str]:
     # json_size/json_format/json_parse/json_extract need no rewriting here:
     # they are registered as pure-JVM SQL functions (variant expressions,
@@ -715,6 +826,9 @@ def rewrite_presto_sql(query: str, *, catalogs: frozenset[str] = DEFAULT_CATALOG
     tokens = _pass_at_time_zone(tokens)
     tokens = _TOKEN.findall("".join(tokens))
     tokens = _pass_unnest(tokens)
+    tokens = _TOKEN.findall("".join(tokens))
+    tokens = _pass_order_nulls(tokens)
+    tokens = _pass_arg_templates(tokens)
     tokens = _TOKEN.findall("".join(tokens))
     # to fixpoint: a rewritten call may carry nested rewritable calls
     # inside its argument text

@@ -1,0 +1,270 @@
+"""Replay of the reference's product-test golden corpus through Engine.sql.
+
+The reference's own per-feature acceptance surface is
+``presto-product-tests/src/main/resources/sql-tests/testcases/<area>/``:
+``X.sql`` (a header comment + one query) paired with ``X.result`` (an
+options header — delimiter / ignoreOrder / ignoreExcessRows / trimValues —
+plus delimiter-separated expected rows, produced by Presto itself). This
+harness parses those pairs VERBATIM from ``/root/reference`` at test time,
+runs each query through :meth:`Engine.sql`, and compares against the
+shipped expected rows with the same comparison options the reference's
+SqlResultComparator applies (value-tolerant on floats).
+
+Tables: the corpus runs against the TPC-H *tiny* ``nation``/``region``
+(fixed public spec content — 25/5 rows, embedded below) and the
+reference's own ``workers`` / ``datatype`` fixtures
+(``sql-tests/datasets/*.ddl|.data`` — parsed from the reference at test
+time, '\\N' = NULL). Pairs that need tables whose tiny-SF content we
+don't have (part, orders, partsupp) are skipped with the reason recorded.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import re
+from datetime import date, datetime
+from decimal import Decimal
+
+import pytest
+
+ROOT = "/root/reference/presto-product-tests/src/main/resources/sql-tests"
+CASES = f"{ROOT}/testcases"
+DATASETS = f"{ROOT}/datasets"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(CASES), reason="reference product tests not present"
+)
+
+# TPC-H spec fixture: the fixed 25-nation / 5-region tables (public spec
+# Section 4.2.3 content; same rows the tpch tiny connector serves).
+SPEC_NATIONS = [
+    (0, "ALGERIA", 0), (1, "ARGENTINA", 1), (2, "BRAZIL", 1), (3, "CANADA", 1),
+    (4, "EGYPT", 4), (5, "ETHIOPIA", 0), (6, "FRANCE", 3), (7, "GERMANY", 3),
+    (8, "INDIA", 2), (9, "INDONESIA", 2), (10, "IRAN", 4), (11, "IRAQ", 4),
+    (12, "JAPAN", 2), (13, "JORDAN", 4), (14, "KENYA", 0), (15, "MOROCCO", 0),
+    (16, "MOZAMBIQUE", 0), (17, "PERU", 1), (18, "CHINA", 2), (19, "ROMANIA", 3),
+    (20, "SAUDI ARABIA", 4), (21, "VIETNAM", 2), (22, "RUSSIA", 3),
+    (23, "UNITED KINGDOM", 3), (24, "UNITED STATES", 1),
+]
+SPEC_REGIONS = [(0, "AFRICA"), (1, "AMERICA"), (2, "ASIA"), (3, "EUROPE"),
+                (4, "MIDDLE EAST")]
+
+# Directories replayed; within them, a pair is skipped when it needs an
+# unavailable table or is a SHOW FUNCTIONS registration dump (signature
+# format, not values).
+DIRS = ["select_no_from", "horology_functions", "order_by", "group-by",
+        "distinct", "limit", "aggregate", "string_functions",
+        "math_functions", "array_functions"]
+AVAILABLE = {"nation", "region", "workers", "datatype"}
+# tpch.tiny.<t> references rewritten to tiny_<t> (unprefixed columns).
+TINY_OK = {"nation"}
+
+
+def _pairs():
+    out = []
+    for d in DIRS:
+        dpath = f"{CASES}/{d}"
+        if not os.path.isdir(dpath):
+            continue
+        for f in sorted(os.listdir(dpath)):
+            if f.endswith(".sql") and os.path.exists(f"{dpath}/{f[:-4]}.result"):
+                out.append(f"{d}/{f[:-4]}")
+    return out
+
+
+def _load_case(case: str):
+    with open(f"{CASES}/{case}.sql") as f:
+        sql_text = f.read()
+    header = ""
+    body_lines = []
+    for line in sql_text.splitlines():
+        if line.strip().startswith("--"):
+            header += line + "\n"
+        else:
+            body_lines.append(line)
+    query = "\n".join(body_lines).strip().rstrip(";")
+    m = re.search(r"tables:\s*([A-Za-z0-9_, ]+)", header)
+    tables = {t.strip() for t in m.group(1).split(",")} if m else set()
+
+    with open(f"{CASES}/{case}.result") as f:
+        res_text = f.read()
+    opts = {"delimiter": "|", "ignoreOrder": False, "ignoreExcessRows": False,
+            "trimValues": False}
+    rows = []
+    for line in res_text.splitlines():
+        s = line.strip()
+        if s.startswith("--"):
+            if "delimiter:" in s:
+                opts["delimiter"] = re.search(r"delimiter:\s*(.)", s).group(1)
+            if re.search(r"ignoreOrder:\s*true", s):
+                opts["ignoreOrder"] = True
+            if re.search(r"ignoreExcessRows:\s*true", s):
+                opts["ignoreExcessRows"] = True
+            if re.search(r"trimValues:\s*true", s):
+                opts["trimValues"] = True
+            continue
+        if not s and not rows:
+            continue
+        if s:
+            cells = line.split(opts["delimiter"])
+            if cells and cells[-1].strip() == "":
+                cells = cells[:-1]
+            rows.append([c.strip() if opts["trimValues"] else c.strip(" ")
+                         for c in cells])
+    return query, tables, opts, rows
+
+
+def _fmt(v) -> str:
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, Decimal):
+        return str(v)
+    if isinstance(v, datetime):
+        s = v.strftime("%Y-%m-%d %H:%M:%S.%f").rstrip("0").rstrip(".")
+        return s
+    if isinstance(v, date):
+        return v.isoformat()
+    return str(v)
+
+
+def _cell_match(exp: str, act: str) -> bool:
+    if exp == act:
+        return True
+    try:
+        return math.isclose(float(exp), float(act), rel_tol=1e-6, abs_tol=1e-9)
+    except ValueError:
+        pass
+    # timestamp normalization: '1999-01-08 02:05:06' vs '...06.0' etc.
+    return exp.rstrip("0").rstrip(".") == act.rstrip("0").rstrip(".")
+
+
+_ALL = _pairs()
+
+# Documented deviations (pair -> reason) — recorded, not silently skipped.
+DEVIATIONS = {
+    "horology_functions/atTimeZoneAccessible":
+        "timezone_hour/timezone_minute need the retained zone of a "
+        "timestamp-with-time-zone value; Spark timestamps are zone-less "
+        "instants (documented model in operators/timetypes.py)",
+    "array_functions/arrayCreationAccessible":
+        "reference file actually contains the at-time-zone horology query "
+        "(mislabeled in the reference tree); same deviation as above",
+    "horology_functions/dateTimeOperatorsAccessible":
+        "TIME '01:00' + interval arithmetic: Spark has no TIME type "
+        "(modeled as millis-of-day in operators/timetypes.py; the "
+        "reference's own .result file is empty with a 'cannot parse "
+        "interval results' todo)",
+}
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    from presto_db_spark.engine import Engine
+
+    spark.createDataFrame(SPEC_NATIONS, "n_nationkey int, n_name string, n_regionkey int") \
+        .createOrReplaceTempView("nation")
+    spark.createDataFrame(SPEC_REGIONS, "r_regionkey int, r_name string") \
+        .createOrReplaceTempView("region")
+    spark.createDataFrame(SPEC_NATIONS, "nationkey int, name string, regionkey int") \
+        .createOrReplaceTempView("tiny_nation")
+
+    def load_fixture(name, schema, parse_row):
+        rows = []
+        with open(f"{DATASETS}/{name}.data") as f:
+            for line in f:
+                line = line.rstrip("\n")
+                if not line:
+                    continue
+                cells = line.split("|")
+                rows.append(parse_row([None if c == "\\N" else c for c in cells]))
+        spark.createDataFrame(rows, schema).createOrReplaceTempView(name)
+
+    load_fixture(
+        "workers",
+        "id_employee int, first_name string, last_name string, "
+        "date_of_employment string, department int, id_department int, "
+        "name string, salary int",
+        lambda c: (
+            None if c[0] is None else int(c[0]), c[1], c[2], c[3],
+            None if c[4] is None else int(c[4]),
+            None if c[5] is None else int(c[5]), c[6],
+            None if c[7] is None else int(c[7]),
+        ),
+    )
+    load_fixture(
+        "datatype",
+        "c_bigint long, c_double double, c_string string, c_date date, "
+        "c_timestamp timestamp, c_boolean boolean, "
+        "c_short_decimal decimal(5,2), c_long_decimal decimal(30,10)",
+        lambda c: (
+            None if c[0] is None else int(c[0]),
+            None if c[1] is None else float(c[1]),
+            c[2],
+            None if c[3] is None else date.fromisoformat(c[3]),
+            None if c[4] is None else datetime.strptime(c[4], "%Y-%m-%d %H:%M:%S"),
+            None if c[5] is None else c[5].upper() == "TRUE",
+            None if c[6] is None else Decimal(c[6]),
+            None if c[7] is None else Decimal(c[7]),
+        ),
+    )
+    return Engine(spark)
+
+
+@pytest.mark.parametrize("case", _ALL)
+def test_product_golden(engine, case):
+    query, tables, opts, expected = _load_case(case)
+    if case in DEVIATIONS:
+        pytest.skip(f"documented deviation: {DEVIATIONS[case]}")
+    if "show functions" in query.lower():
+        pytest.skip("SHOW FUNCTIONS registration dump (signature format)")
+    missing = tables - AVAILABLE
+    tiny_refs = set(re.findall(r"tpch\.tiny\.(\w+)", query))
+    if missing or (tiny_refs - TINY_OK):
+        pytest.skip(f"needs tables without tiny-SF content: {missing or tiny_refs}")
+    query = re.sub(r"tpch\.tiny\.(\w+)", r"tiny_\1", query)
+
+    rows = [[_fmt(v) for v in r] for r in engine.sql(query).collect()]
+    if opts["ignoreExcessRows"]:
+        if not expected:
+            return  # reference ships an empty expectation: success == pass
+        # keep only actual rows that match some expected row
+    assert (len(rows) == len(expected)) or opts["ignoreExcessRows"], (
+        f"{case}: {len(rows)} rows vs expected {len(expected)}\n"
+        f"got={rows[:5]}\nexp={expected[:5]}"
+    )
+    if opts["ignoreOrder"] or opts["ignoreExcessRows"]:
+        remaining = [tuple(r) for r in rows]
+        for erow in expected:
+            hit = next(
+                (arow for arow in remaining
+                 if len(arow) == len(erow)
+                 and all(_cell_match(e, a) for e, a in zip(erow, arow))),
+                None,
+            )
+            assert hit is not None, f"{case}: expected row {erow} not found in {remaining[:10]}"
+            remaining.remove(hit)
+    else:
+        for i, (erow, arow) in enumerate(zip(expected, rows)):
+            assert len(erow) == len(arow), f"{case} row {i}: arity {erow} vs {arow}"
+            for e, a in zip(erow, arow):
+                assert _cell_match(e, a), f"{case} row {i}: {erow} vs {arow} ({e!r}≠{a!r})"
+
+
+def test_product_golden_coverage():
+    """At least 50 of the corpus pairs must actually replay (not skip) —
+    the gate is meaningful only if the bulk of the corpus runs."""
+    runnable = 0
+    for case in _ALL:
+        query, tables, opts, expected = _load_case(case)
+        if case in DEVIATIONS or "show functions" in query.lower():
+            continue
+        tiny_refs = set(re.findall(r"tpch\.tiny\.(\w+)", query))
+        if (tables - AVAILABLE) or (tiny_refs - TINY_OK):
+            continue
+        runnable += 1
+    assert runnable >= 50, f"only {runnable} of {len(_ALL)} pairs replayable"
