@@ -178,3 +178,50 @@ def test_adaptive_digest_accuracy_bound_on_skew(spark, sf_dir):
             fixed_p50 = lo + r["bin"] * bin_w
             break
     assert abs(rank_of(fixed_p50) - 0.5) > bound, "fixed grid unexpectedly fine"
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["geo_wkt_multi", "geo_wkt_polygon_holes", "geo_union_agg_points",
+     "geo_union_envelope_area", "geo_simplify"],
+)
+def test_wkt2_vs_duckdb(spark, sf_dir, name):
+    from presto_db_spark.operators import wkt2
+
+    problems = check_query(spark, name, wkt2.QUERIES[name], wkt2.ORACLE.get(name), sf_dir)
+    assert not problems, f"{name}: {problems}"
+
+
+def test_union_envelope_dissolves_overlap(spark, sf_dir):
+    """The union area must be at most the SUM of the envelope areas, and
+    strictly less when envelopes overlap in a group — i.e. the slab sweep
+    dissolves, it doesn't just add."""
+    from pyspark.sql import functions as F
+
+    from presto_db_spark.operators import wkt2
+
+    union = {
+        r.grp: r.union_area
+        for r in wkt2.QUERIES["geo_union_envelope_area"](spark, sf_dir).collect()
+    }
+    # independent per-rect sum over the same fixture
+    from presto_db_spark.catalog import load_table
+    from presto_db_spark.operators.wkt import _wkt_pentagon, st_xs, st_ys
+
+    nation = load_table(spark, sf_dir, "nation")
+    g = nation.selectExpr(
+        "n_regionkey AS grp", f"{_wkt_pentagon('n_nationkey')} AS w"
+    ).select("grp", st_xs(F.col("w")).alias("xs"), st_ys(F.col("w")).alias("ys"))
+    sums = {
+        r.grp: r.s
+        for r in g.select(
+            "grp",
+            ((F.array_max("xs") - F.array_min("xs"))
+             * (F.array_max("ys") - F.array_min("ys"))).alias("a"),
+        ).groupBy("grp").agg(F.sum("a").alias("s")).collect()
+    }
+    assert set(union) == set(sums)
+    for grp in union:
+        assert union[grp] <= sums[grp] + 1e-9
+    assert any(union[g_] < sums[g_] - 1e-9 for g_ in union), (
+        "fixture has no overlapping envelopes; dissolve untested")
