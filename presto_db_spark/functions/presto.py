@@ -530,3 +530,6 @@ def register_presto_functions(spark: SparkSession) -> None:
     spark.udf.register("to_timestamp_td", _td_to_timestamp, T.TimestampType())
     spark.udf.register("to_date_td", _td_to_date, T.DateType())
     spark.udf.register("parse_datetime", _parse_datetime_py, T.TimestampType())
+    from .digest import register_tdigest_functions
+
+    register_tdigest_functions(spark)

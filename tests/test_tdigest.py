@@ -68,3 +68,42 @@ def test_tdigest_weighted_and_edges():
     v = np.r_[np.zeros(10), np.full(90, 100.0)]
     me, we = tdigest.build_digest(v, np.ones(100))
     assert tdigest.digest_quantile(me, we, 0.95) == tdigest.digest_quantile(m, w, 0.95)
+
+
+def test_tdigest_sql_surface(spark, sf_dir):
+    """The reference's digest function names through Engine.sql
+    (TDigestFunctions.java / TDigestAggregationFunction.java): a pasted
+    Presto digest query runs — tdigest_agg in GROUP BY, value_at_quantile
+    / values_at_quantiles / quantile_at_value accessors, and merge() of
+    per-group digests equaling the global digest within the rank-error
+    bound."""
+    import duckdb
+    import numpy as np
+
+    from presto_db_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir=sf_dir)
+    rows = eng.sql(
+        "SELECT o_orderpriority, "
+        "value_at_quantile(tdigest_agg(o_totalprice), 0.5) AS p50, "
+        "values_at_quantiles(tdigest_agg(o_totalprice), ARRAY[0.25, 0.75]) AS pq, "
+        "quantile_at_value(tdigest_agg(o_totalprice), 100000.0) AS r "
+        "FROM orders GROUP BY o_orderpriority"
+    ).collect()
+    assert len(rows) == 5
+    for row in rows:
+        assert row.pq[0] < row.p50 < row.pq[1]
+        assert 0.0 <= row.r <= 1.0
+
+    merged = eng.sql(
+        "WITH monthly AS (SELECT month(o_orderdate) AS m, "
+        "tdigest_agg(o_totalprice) AS d FROM orders GROUP BY month(o_orderdate)) "
+        "SELECT value_at_quantile(merge(d), 0.5) AS p50 FROM monthly"
+    ).collect()[0].p50
+    vals = np.sort(
+        duckdb.sql(
+            f"SELECT o_totalprice FROM read_parquet('{sf_dir}/orders.parquet')"
+        ).fetchnumpy()["o_totalprice"]
+    )
+    rank = np.searchsorted(vals, merged) / len(vals)
+    assert abs(rank - 0.5) < 0.02, f"merged digest rank error {abs(rank - 0.5)}"
