@@ -1492,3 +1492,469 @@ def tpcds_q64(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.asc("b_city"), F.asc("c_city"), F.asc("s11"), F.asc("s12"))
         .limit(100)
     )
+
+
+# --- q16 / q94: multi-warehouse shipped, never-returned orders -------------
+
+def _ship_orders(spark, sf_dir, date_lo, date_hi, nations, prio):
+    li, orders, cust = _t(spark, sf_dir, "lineitem", "orders", "customer")
+    l1 = (
+        li.filter(F.col("l_shipdate").between(date_lo, date_hi))
+        .join(orders.filter(F.col("o_orderpriority") == prio),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust.filter(F.col("c_nationkey").isin(*nations)),
+              F.col("o_custkey") == F.col("c_custkey"))
+    )
+    # EXISTS: another line of the order shipped from a DIFFERENT warehouse
+    l2 = li.select(F.col("l_orderkey").alias("e_orderkey"),
+                   F.col("l_suppkey").alias("e_suppkey"))
+    with_other = l1.join(
+        l2,
+        (F.col("e_orderkey") == F.col("l_orderkey"))
+        & (F.col("e_suppkey") != F.col("l_suppkey")),
+        "left_semi",
+    )
+    # NOT EXISTS: the order has no return line
+    returned = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("r_orderkey")
+    )
+    kept = with_other.join(
+        returned, F.col("r_orderkey") == F.col("l_orderkey"), "left_anti"
+    )
+    return kept.agg(
+        F.countDistinct("l_orderkey").cast("bigint").alias("order_count"),
+        _msum(F.col("l_extendedprice") * F.col("l_discount")).alias("total_ship_cost"),
+        _msum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_net_profit"),
+    )
+
+
+def _ship_orders_sql(date_lo, date_hi, nations, prio):
+    nat = ", ".join(str(n) for n in nations)
+    return f"""
+SELECT CAST(count(DISTINCT l1.l_orderkey) AS BIGINT) AS order_count,
+       {_msum_sql("l1.l_extendedprice * l1.l_discount")} AS total_ship_cost,
+       {_msum_sql("l1.l_extendedprice * (1 - l1.l_discount)")} AS total_net_profit
+FROM lineitem l1
+JOIN orders o ON l1.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE l1.l_shipdate BETWEEN '{date_lo}' AND '{date_hi}'
+  AND o.o_orderpriority = '{prio}'
+  AND c.c_nationkey IN ({nat})
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem r
+                  WHERE r.l_orderkey = l1.l_orderkey AND r.l_returnflag = 'R')
+"""
+
+
+@_q("tpcds_q16", _ship_orders_sql("1996-02-01", "1996-04-01", (1, 2, 3), "2-HIGH"))
+def tpcds_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q16 shape (tpcds/q16.sql: catalog orders shipped in a 60-day
+    window to one state from one county's call centers, that shipped from
+    MULTIPLE warehouses — a correlated EXISTS on the same fact — and were
+    NEVER returned — a NOT EXISTS anti-join — reported as distinct-order
+    count + cost sums). Warehouse analog: l_suppkey; the EXISTS becomes a
+    residual-conditioned semi-join on the order key, the NOT EXISTS a
+    broadcast anti-join. Scale: both sub-lookups co-partition with the
+    fact on l_orderkey — no row explosion."""
+    return _ship_orders(spark, sf_dir, "1996-02-01", "1996-04-01", (1, 2, 3), "2-HIGH")
+
+
+@_q("tpcds_q94", _ship_orders_sql("1997-02-01", "1997-04-01", (5, 7, 9), "5-LOW"))
+def tpcds_q94(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q94 shape (tpcds/q94.sql: q16's web twin — identical
+    multi-warehouse EXISTS / never-returned NOT EXISTS skeleton on the
+    web channel, different window/state/site gate)."""
+    return _ship_orders(spark, sf_dir, "1997-02-01", "1997-04-01", (5, 7, 9), "5-LOW")
+
+
+# --- q21: inventory before/after a pivot date ------------------------------
+
+@_q(
+    "tpcds_q21",
+    """
+SELECT * FROM (
+  SELECT s.s_name AS w_warehouse_name, p.p_partkey AS i_item_id,
+         CAST(sum(CASE WHEN l.l_shipdate < '1996-03-11' THEN l.l_quantity ELSE 0 END) AS BIGINT) AS inv_before,
+         CAST(sum(CASE WHEN l.l_shipdate >= '1996-03-11' THEN l.l_quantity ELSE 0 END) AS BIGINT) AS inv_after
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_retailprice BETWEEN 905 AND 911
+    AND l.l_shipdate BETWEEN '1996-01-10' AND '1996-05-10'
+  GROUP BY 1, 2
+) x
+WHERE inv_before > 0
+  AND CAST(inv_after AS DOUBLE) / inv_before BETWEEN 1.0 / 2.0 AND 2.0 / 1.0
+ORDER BY w_warehouse_name ASC, i_item_id ASC
+LIMIT 100
+""",
+)
+def tpcds_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q21 shape (tpcds/q21.sql: per (warehouse, item) on-hand
+    quantity split into before/after a pivot date over a ±30-day window,
+    keeping items whose after/before ratio stays within a band — widened to [1/2, 2] for the synthetic data's sparser per-(warehouse, item) groups).
+    Inventory analog: lineitem quantities by ship date; warehouse =
+    supplier. The ratio divides exact integers → identical doubles.
+    Scale: one grouping; price band prunes part before the join."""
+    li, supp, part = _t(spark, sf_dir, "lineitem", "supplier", "part")
+    x = (
+        li.filter(F.col("l_shipdate").between("1996-01-10", "1996-05-10"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(part.filter(F.col("p_retailprice").between(905, 911)),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("s_name").alias("w_warehouse_name"),
+                 F.col("p_partkey").alias("i_item_id"))
+        .agg(
+            F.sum(F.when(F.col("l_shipdate") < "1996-03-11", F.col("l_quantity"))
+                  .otherwise(0)).cast("bigint").alias("inv_before"),
+            F.sum(F.when(F.col("l_shipdate") >= "1996-03-11", F.col("l_quantity"))
+                  .otherwise(0)).cast("bigint").alias("inv_after"),
+        )
+    )
+    ratio = F.col("inv_after").cast("double") / F.col("inv_before")
+    return (
+        x.filter((F.col("inv_before") > 0)
+                 & ratio.between(F.lit(1.0) / 2.0, F.lit(2.0) / 1.0))
+        .orderBy(F.asc("w_warehouse_name"), F.asc("i_item_id"))
+        .limit(100)
+    )
+
+
+# --- q37 / q82: in-stock items also selling in a channel -------------------
+
+def _instock(spark, sf_dir, date_lo, date_hi, sizes, chan_flag):
+    li, part = _t(spark, sf_dir, "lineitem", "part")
+    inv = li.filter(
+        F.col("l_shipdate").between(date_lo, date_hi)
+        & F.col("l_quantity").between(10, 40)
+    )
+    chan = li.filter(F.col("l_linestatus") == chan_flag).select(
+        F.col("l_partkey").alias("ch_partkey")
+    )
+    return (
+        inv.join(part.filter(F.col("p_retailprice").between(905, 915)
+                             & F.col("p_size").isin(*sizes)),
+                 F.col("l_partkey") == F.col("p_partkey"))
+        .join(chan, F.col("ch_partkey") == F.col("l_partkey"), "left_semi")
+        .groupBy(F.col("p_partkey").alias("i_item_id"),
+                 F.col("p_name").alias("i_item_desc"),
+                 F.col("p_retailprice").alias("i_current_price"))
+        .agg(F.count("*").alias("_cnt"))
+        .select("i_item_id", "i_item_desc", "i_current_price")
+        .orderBy(F.asc("i_item_id"))
+        .limit(100)
+    )
+
+
+def _instock_sql(date_lo, date_hi, sizes, chan_flag):
+    sz = ", ".join(str(s) for s in sizes)
+    return f"""
+SELECT p.p_partkey AS i_item_id, p.p_name AS i_item_desc,
+       p.p_retailprice AS i_current_price
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate BETWEEN '{date_lo}' AND '{date_hi}'
+  AND l.l_quantity BETWEEN 10 AND 40
+  AND p.p_retailprice BETWEEN 905 AND 915
+  AND p.p_size IN ({sz})
+  AND EXISTS (SELECT 1 FROM lineitem c
+              WHERE c.l_partkey = l.l_partkey AND c.l_linestatus = '{chan_flag}')
+GROUP BY 1, 2, 3
+ORDER BY i_item_id ASC
+LIMIT 100
+"""
+
+
+@_q("tpcds_q37", _instock_sql("1996-02-01", "1996-04-01", (7, 14, 21, 28), "O"))
+def tpcds_q37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q37 shape (tpcds/q37.sql: items from four manufacturers in a
+    price band, held in inventory at 100-500 units during a 60-day
+    window, that ALSO sell in the catalog channel — the fact semi-join).
+    Inventory analog: lineitem quantity band by ship date; channel =
+    linestatus slice. Scale: part prunes first; the channel check is a
+    semi-join on partkey."""
+    return _instock(spark, sf_dir, "1996-02-01", "1996-04-01", (7, 14, 21, 28), "O")
+
+
+@_q("tpcds_q82", _instock_sql("1997-05-25", "1997-07-24", (5, 10, 15, 20), "F"))
+def tpcds_q82(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q82 shape (tpcds/q82.sql: q37's store twin — same in-stock
+    + also-selling skeleton against the store channel, different window
+    and manufacturer set)."""
+    return _instock(spark, sf_dir, "1997-05-25", "1997-07-24", (5, 10, 15, 20), "F")
+
+
+# --- q26: demographic-gated catalog item averages --------------------------
+
+@_q(
+    "tpcds_q26",
+    """
+SELECT p.p_partkey AS i_item_id,
+       round(avg(l.l_quantity), 6) AS agg1,
+       round(avg(round(l.l_extendedprice * (1 + l.l_tax) * 100)), 6) AS agg2,
+       round(avg(round(l.l_extendedprice * l.l_discount * 100)), 6) AS agg3,
+       round(avg(round(l.l_extendedprice * 100)), 6) AS agg4
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE c.c_mktsegment = 'AUTOMOBILE' AND o.o_orderstatus = 'F'
+  AND (o.o_orderpriority = '3-MEDIUM' OR o.o_orderpriority = '4-NOT SPECIFIED')
+  AND year(o.o_orderdate) = 1997
+GROUP BY 1
+ORDER BY i_item_id ASC
+LIMIT 100
+""",
+)
+def tpcds_q26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q26 shape (tpcds/q26.sql: q07's catalog twin — per-item
+    quantity/list/coupon/sales averages under a three-way demographic
+    gate plus an OR'd promotion-channel gate). Demographics analog:
+    mktsegment + orderstatus; promotion OR: order priority. Averages
+    divide exact cents by counts → identical doubles."""
+    li, orders, cust, part = _t(spark, sf_dir, "lineitem", "orders", "customer", "part")
+    j = (
+        li.join(orders.filter((F.col("o_orderstatus") == "F")
+                              & (F.year("o_orderdate") == 1997)
+                              & F.col("o_orderpriority").isin("3-MEDIUM", "4-NOT SPECIFIED")),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust.filter(F.col("c_mktsegment") == "AUTOMOBILE"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+    )
+    return (
+        j.groupBy(F.col("p_partkey").alias("i_item_id"))
+        .agg(
+            F.round(F.avg("l_quantity"), 6).alias("agg1"),
+            F.round(F.avg(F.round(F.col("l_extendedprice") * (1 + F.col("l_tax")) * 100)), 6).alias("agg2"),
+            F.round(F.avg(F.round(F.col("l_extendedprice") * F.col("l_discount") * 100)), 6).alias("agg3"),
+            F.round(F.avg(F.round(F.col("l_extendedprice") * 100)), 6).alias("agg4"),
+        )
+        .orderBy(F.asc("i_item_id"))
+        .limit(100)
+    )
+
+
+# --- q27: rollup with GROUPING() over item x state -------------------------
+
+@_q(
+    "tpcds_q27",
+    """
+SELECT p.p_brand AS i_item_id, n.n_name AS s_state,
+       CAST(grouping(n.n_name) AS INTEGER) AS g_state,
+       round(avg(l.l_quantity), 6) AS agg1,
+       round(avg(round(l.l_extendedprice * (1 + l.l_tax) * 100)), 6) AS agg2,
+       round(avg(round(l.l_extendedprice * l.l_discount * 100)), 6) AS agg3,
+       round(avg(round(l.l_extendedprice * 100)), 6) AS agg4
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE c.c_mktsegment = 'BUILDING' AND year(o.o_orderdate) = 1996
+  AND s.s_nationkey IN (3, 7, 11)
+GROUP BY ROLLUP (p.p_brand, n.n_name)
+ORDER BY i_item_id ASC NULLS FIRST, s_state ASC NULLS FIRST
+LIMIT 100
+""",
+)
+def tpcds_q27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q27 shape (tpcds/q27.sql: demographic-gated store averages
+    under ROLLUP(item, state) with the GROUPING(s_state) marker column —
+    the rollup + grouping-function pairing). State analog: supplier
+    nation, three states. Scale: one rollup aggregation; dims
+    broadcast."""
+    li, orders, cust, supp, nation, part = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation", "part")
+    j = (
+        li.join(orders.filter(F.year("o_orderdate") == 1996),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust.filter(F.col("c_mktsegment") == "BUILDING"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp.filter(F.col("s_nationkey").isin(3, 7, 11)),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+    )
+    return (
+        j.rollup("p_brand", "n_name")
+        .agg(
+            F.grouping("n_name").cast("int").alias("g_state"),
+            F.round(F.avg("l_quantity"), 6).alias("agg1"),
+            F.round(F.avg(F.round(F.col("l_extendedprice") * (1 + F.col("l_tax")) * 100)), 6).alias("agg2"),
+            F.round(F.avg(F.round(F.col("l_extendedprice") * F.col("l_discount") * 100)), 6).alias("agg3"),
+            F.round(F.avg(F.round(F.col("l_extendedprice") * 100)), 6).alias("agg4"),
+        )
+        .select(F.col("p_brand").alias("i_item_id"), F.col("n_name").alias("s_state"),
+                "g_state", "agg1", "agg2", "agg3", "agg4")
+        .orderBy(F.asc_nulls_first("i_item_id"), F.asc_nulls_first("s_state"))
+        .limit(100)
+    )
+
+
+# --- q28: six quantity-band list-price buckets (single pass) ---------------
+
+_Q28_BANDS = [
+    (1, 0, 5, 90500, 91500), (2, 6, 10, 90800, 91800), (3, 11, 15, 91100, 92100),
+    (4, 16, 20, 91400, 92400), (5, 21, 25, 91700, 92700), (6, 26, 30, 92000, 93000),
+]
+
+
+def _q28_cond_sql(lo, hi, plo, phi):
+    return (f"l_quantity BETWEEN {lo} AND {hi} AND "
+            f"(round(l_extendedprice * 100) BETWEEN {plo} AND {phi} "
+            f"OR round(l_extendedprice * l_discount * 100) BETWEEN 200 AND 5200 "
+            f"OR round(l_extendedprice * l_tax * 100) BETWEEN 100 AND 4100)")
+
+
+@_q(
+    "tpcds_q28",
+    "SELECT "
+    + ", ".join(
+        f"round(avg(CASE WHEN {_q28_cond_sql(lo, hi, plo, phi)} THEN round(l_extendedprice * 100) END), 6) AS b{b}_lp, "
+        f"CAST(count(CASE WHEN {_q28_cond_sql(lo, hi, plo, phi)} THEN 1 END) AS BIGINT) AS b{b}_cnt, "
+        f"CAST(count(DISTINCT CASE WHEN {_q28_cond_sql(lo, hi, plo, phi)} THEN round(l_extendedprice * 100) END) AS BIGINT) AS b{b}_cntd"
+        for b, lo, hi, plo, phi in _Q28_BANDS
+    )
+    + " FROM lineitem",
+)
+def tpcds_q28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q28 shape (tpcds/q28.sql: six quantity-band buckets — each
+    with an OR'd price/coupon/wholesale gate — reporting avg list price,
+    count and DISTINCT count per bucket in one row). The reference spells
+    six derived-table scans cross-joined; implemented as ONE scan with
+    conditional aggregation — six fact scans collapse to a single pass
+    (the q88 pattern; 6x less IO at scale, same single-row result).
+    List-price cents keep the averages exact."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    aggs = []
+    for b, lo, hi, plo, phi in _Q28_BANDS:
+        cond = (
+            F.col("l_quantity").between(lo, hi)
+            & (
+                F.round(F.col("l_extendedprice") * 100).between(plo, phi)
+                | F.round(F.col("l_extendedprice") * F.col("l_discount") * 100).between(200, 5200)
+                | F.round(F.col("l_extendedprice") * F.col("l_tax") * 100).between(100, 4100)
+            )
+        )
+        lp = F.when(cond, F.round(F.col("l_extendedprice") * 100))
+        aggs += [
+            F.round(F.avg(lp), 6).alias(f"b{b}_lp"),
+            F.count(F.when(cond, 1)).cast("bigint").alias(f"b{b}_cnt"),
+            F.countDistinct(lp).cast("bigint").alias(f"b{b}_cntd"),
+        ]
+    return li.agg(*aggs)
+
+
+# --- q43: weekday sales matrix per store -----------------------------------
+
+@_q(
+    "tpcds_q43",
+    f"""
+SELECT s.s_name AS s_store_name, s.s_suppkey AS s_store_id,
+       {", ".join(
+           f"CAST(sum(CASE WHEN (datediff('day', DATE '1970-01-01', o.o_orderdate) + 4) % 7 = {d} "
+           f"THEN round(l.l_extendedprice * 100) ELSE NULL END) AS BIGINT) AS {n}_sales"
+           for d, n in [(0, "sun"), (1, "mon"), (2, "tue"), (3, "wed"),
+                        (4, "thu"), (5, "fri"), (6, "sat")])}
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+WHERE s.s_nationkey < 12 AND year(o.o_orderdate) = 1996
+GROUP BY 1, 2
+ORDER BY s_store_name ASC, s_store_id ASC
+LIMIT 100
+""",
+)
+def tpcds_q43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q43 shape (tpcds/q43.sql: per-store Sunday..Saturday sales
+    matrix for one year in one timezone band — seven conditional sums off
+    the day name). Day-of-week via epoch-day mod 7 (identical formula in
+    both engines — no dow-convention skew); timezone gate: supplier
+    nation band. Scale: one scan, one grouping — not seven."""
+    li, orders, supp = _t(spark, sf_dir, "lineitem", "orders", "supplier")
+    j = (
+        li.join(orders.filter(F.year("o_orderdate") == 1996),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supp.filter(F.col("s_nationkey") < 12),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    dow = (F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date")) + 4) % 7
+    names = ["sun", "mon", "tue", "wed", "thu", "fri", "sat"]
+    return (
+        j.groupBy(F.col("s_name").alias("s_store_name"),
+                  F.col("s_suppkey").alias("s_store_id"))
+        .agg(*[
+            F.sum(F.when(dow == d, F.round(F.col("l_extendedprice") * 100)))
+            .cast("bigint").alias(f"{n}_sales")
+            for d, n in enumerate(names)
+        ])
+        .orderBy(F.asc("s_store_name"), F.asc("s_store_id"))
+        .limit(100)
+    )
+
+
+# --- q89: monthly deviation from the (item, store) mean --------------------
+
+@_q(
+    "tpcds_q89",
+    f"""
+WITH g AS (
+  SELECT p.p_type AS i_category, p.p_brand AS i_brand, s.s_name AS s_store_name,
+         month(o.o_orderdate) AS d_moy,
+         {_msum_sql("l.l_extendedprice")} AS sum_sales
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE year(o.o_orderdate) = 1996 AND {_BANDS_SQL}
+  GROUP BY 1, 2, 3, 4
+), v AS (
+  SELECT *, sum(sum_sales) OVER (PARTITION BY i_category, i_brand, s_store_name) AS key_sum,
+         count(*) OVER (PARTITION BY i_category, i_brand, s_store_name) AS key_cnt
+  FROM g
+)
+SELECT i_category, i_brand, s_store_name, d_moy, sum_sales,
+       CAST(key_sum AS DOUBLE) / key_cnt AS avg_monthly_sales
+FROM v
+WHERE key_sum <> 0 AND 10 * abs(sum_sales * key_cnt - key_sum) > abs(key_sum)
+ORDER BY sum_sales * key_cnt - key_sum ASC, s_store_name ASC, i_category ASC,
+         i_brand ASC, d_moy ASC
+LIMIT 100
+""",
+)
+def tpcds_q89(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q89 shape (tpcds/q89.sql: months whose store-item-class
+    sales deviate >10% from the (category, brand, store) yearly mean —
+    agg-over-window above a grouped frame gated by the two-band
+    disjunctive category/class filter, ordered by the signed deviation).
+    Deviation and ordering keys are exact cross-multiplied integers."""
+    li, orders, part, supp = _t(spark, sf_dir, "lineitem", "orders", "part", "supplier")
+    g = (
+        li.join(orders.filter(F.year("o_orderdate") == 1996),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(part.filter(_bands_col()), F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("p_type").alias("i_category"), F.col("p_brand").alias("i_brand"),
+                 F.col("s_name").alias("s_store_name"),
+                 F.month("o_orderdate").alias("d_moy"))
+        .agg(_msum(F.col("l_extendedprice")).alias("sum_sales"))
+    )
+    w = W.partitionBy("i_category", "i_brand", "s_store_name")
+    v = g.withColumn("key_sum", F.sum("sum_sales").over(w)).withColumn(
+        "key_cnt", F.count("*").over(w)
+    )
+    return (
+        v.filter((F.col("key_sum") != 0)
+                 & (10 * F.abs(F.col("sum_sales") * F.col("key_cnt") - F.col("key_sum"))
+                    > F.abs(F.col("key_sum"))))
+        .select("i_category", "i_brand", "s_store_name", "d_moy", "sum_sales",
+                (F.col("key_sum").cast("double") / F.col("key_cnt")).alias("avg_monthly_sales"))
+        .orderBy(F.asc(F.col("sum_sales") * F.col("key_cnt") - F.col("key_sum")),
+                 F.asc("s_store_name"), F.asc("i_category"), F.asc("i_brand"),
+                 F.asc("d_moy"))
+        .limit(100)
+    )
