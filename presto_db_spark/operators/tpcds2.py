@@ -1958,3 +1958,376 @@ def tpcds_q89(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.asc("d_moy"))
         .limit(100)
     )
+
+
+# --- q22: four-level rollup of average on-hand quantity --------------------
+
+@_q(
+    "tpcds_q22",
+    """
+SELECT p.p_name AS i_product_name, p.p_brand AS i_brand, p.p_type AS i_class,
+       CAST(p.p_size AS INTEGER) AS i_category,
+       round(avg(l.l_quantity), 6) AS qoh
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE year(o.o_orderdate) = 1996
+GROUP BY ROLLUP (p.p_name, p.p_brand, p.p_type, CAST(p.p_size AS INTEGER))
+ORDER BY qoh ASC, i_product_name ASC NULLS FIRST, i_brand ASC NULLS FIRST,
+         i_class ASC NULLS FIRST, i_category ASC NULLS FIRST
+LIMIT 100
+""",
+)
+def tpcds_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q22 shape (tpcds/q22.sql: average on-hand inventory under a
+    FOUR-level ROLLUP(product, brand, class, category) over a 12-month
+    window — the deepest rollup in the corpus). Inventory analog:
+    lineitem quantities. The average divides exact ints → identical
+    doubles. Scale: one rollup aggregation (Spark expands grouping sets
+    in a single Expand+HashAggregate pass)."""
+    li, orders, part = _t(spark, sf_dir, "lineitem", "orders", "part")
+    j = (
+        li.join(orders.filter(F.year("o_orderdate") == 1996),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+    )
+    return (
+        j.rollup("p_name", "p_brand", "p_type", F.col("p_size").cast("int"))
+        .agg(F.round(F.avg("l_quantity"), 6).alias("qoh"))
+        .select(
+            F.col("p_name").alias("i_product_name"), F.col("p_brand").alias("i_brand"),
+            F.col("p_type").alias("i_class"),
+            F.col("p_size").alias("i_category"), "qoh",
+        )
+        .orderBy(F.asc("qoh"), F.asc_nulls_first("i_product_name"),
+                 F.asc_nulls_first("i_brand"), F.asc_nulls_first("i_class"),
+                 F.asc_nulls_first("i_category"))
+        .limit(100)
+    )
+
+
+# --- q39: month-over-month inventory variability self-join -----------------
+
+@_q(
+    "tpcds_q39",
+    """
+WITH foo AS (
+  SELECT s.s_nationkey % 5 AS w_warehouse_sk,
+         l.l_partkey % 20 AS i_item_sk, month(o.o_orderdate) AS d_moy,
+         stddev_samp(l.l_quantity) AS stdev, avg(l.l_quantity) AS mean
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE year(o.o_orderdate) = 1996
+  GROUP BY 1, 2, 3
+), inv AS (
+  SELECT w_warehouse_sk, i_item_sk, d_moy,
+         round(mean, 6) AS mean,
+         round(CASE WHEN mean = 0 THEN NULL ELSE stdev / mean END, 6) AS cov
+  FROM foo
+  WHERE (CASE WHEN mean = 0 THEN 0 ELSE stdev / mean END) > 0.5
+)
+SELECT inv1.w_warehouse_sk AS wsk1, inv1.i_item_sk AS isk1, inv1.d_moy AS moy1,
+       inv1.mean AS mean1, inv1.cov AS cov1,
+       inv2.d_moy AS moy2, inv2.mean AS mean2, inv2.cov AS cov2
+FROM inv inv1
+JOIN inv inv2 ON inv1.i_item_sk = inv2.i_item_sk
+ AND inv1.w_warehouse_sk = inv2.w_warehouse_sk
+WHERE inv1.d_moy = 1 AND inv2.d_moy = 2
+ORDER BY wsk1, isk1, mean1, cov1, mean2, cov2
+LIMIT 100
+""",
+)
+def tpcds_q39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q39 shape (tpcds/q39_1.sql: per (warehouse, item, month)
+    inventory mean and stddev, keep high coefficient-of-variation groups,
+    self-join January against February of the same (warehouse, item) —
+    the variability screen). Warehouse analog: supplier-nation band, item
+    bucket: partkey mod 20 (the synthetic data is too sparse for
+    per-(supplier, part, month) stddevs); threshold 0.5 (the reference's
+    1.0 is above the uniform quantities' cov). Scale: one
+    grouping, then a self-join of the small filtered frame."""
+    li, orders, supp = _t(spark, sf_dir, "lineitem", "orders", "supplier")
+    foo = (
+        li.join(orders.filter(F.year("o_orderdate") == 1996),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy((F.col("s_nationkey") % 5).alias("w_warehouse_sk"),
+                 (F.col("l_partkey") % 20).alias("i_item_sk"),
+                 F.month("o_orderdate").alias("d_moy"))
+        .agg(F.stddev_samp("l_quantity").alias("stdev"), F.avg("l_quantity").alias("mean"))
+    )
+    inv = (
+        foo.filter(F.when(F.col("mean") == 0, F.lit(0.0))
+                   .otherwise(F.col("stdev") / F.col("mean")) > 0.5)
+        .select("w_warehouse_sk", "i_item_sk", "d_moy",
+                F.round("mean", 6).alias("mean"),
+                F.round(F.when(F.col("mean") == 0, F.lit(None))
+                        .otherwise(F.col("stdev") / F.col("mean")), 6).alias("cov"))
+    )
+    i1 = inv.filter(F.col("d_moy") == 1).alias("inv1")
+    i2 = inv.filter(F.col("d_moy") == 2).alias("inv2")
+    return (
+        i1.join(i2, (F.col("inv1.i_item_sk") == F.col("inv2.i_item_sk"))
+                & (F.col("inv1.w_warehouse_sk") == F.col("inv2.w_warehouse_sk")))
+        .select(F.col("inv1.w_warehouse_sk").alias("wsk1"),
+                F.col("inv1.i_item_sk").alias("isk1"),
+                F.col("inv1.d_moy").alias("moy1"),
+                F.col("inv1.mean").alias("mean1"), F.col("inv1.cov").alias("cov1"),
+                F.col("inv2.d_moy").alias("moy2"),
+                F.col("inv2.mean").alias("mean2"), F.col("inv2.cov").alias("cov2"))
+        .orderBy("wsk1", "isk1", "mean1", "cov1", "mean2", "cov2")
+        .limit(100)
+    )
+
+
+# --- q40: net catalog sales before/after a pivot, returns subtracted -------
+
+@_q(
+    "tpcds_q40",
+    """
+SELECT n.n_name AS w_state, p.p_partkey AS i_item_id,
+       CAST(sum(CASE WHEN o.o_orderdate < '1996-03-11'
+                THEN round(l.l_extendedprice * 100) - coalesce(round(r.r_price * 100), 0)
+                ELSE 0 END) AS BIGINT) AS sales_before,
+       CAST(sum(CASE WHEN o.o_orderdate >= '1996-03-11'
+                THEN round(l.l_extendedprice * 100) - coalesce(round(r.r_price * 100), 0)
+                ELSE 0 END) AS BIGINT) AS sales_after
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+LEFT JOIN (SELECT l_orderkey AS r_orderkey, l_partkey AS r_partkey,
+                  l_extendedprice * l_discount AS r_price
+           FROM lineitem WHERE l_returnflag = 'R') r
+  ON l.l_orderkey = r.r_orderkey AND l.l_partkey = r.r_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_returnflag <> 'R'
+  AND p.p_retailprice BETWEEN 905 AND 911
+  AND o.o_orderdate BETWEEN '1996-02-10' AND '1996-04-10'
+GROUP BY 1, 2
+ORDER BY w_state ASC, i_item_id ASC
+LIMIT 100
+""",
+)
+def tpcds_q40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q40 shape (tpcds/q40.sql: catalog sales net of their
+    row-level returns (LEFT join on order+item), split before/after a
+    pivot date per (warehouse state, item) over a ±30-day window with an
+    item price band). Warehouse state analog: supplier nation. All cents
+    exact."""
+    li, orders, supp, nation, part = _t(
+        spark, sf_dir, "lineitem", "orders", "supplier", "nation", "part")
+    r = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("r_orderkey"),
+        F.col("l_partkey").alias("r_partkey"),
+        (F.col("l_extendedprice") * F.col("l_discount")).alias("r_price"),
+    )
+    j = (
+        li.filter(F.col("l_returnflag") != "R")
+        .join(orders.filter(F.col("o_orderdate").between("1996-02-10", "1996-04-10")),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(r, (F.col("l_orderkey") == F.col("r_orderkey"))
+              & (F.col("l_partkey") == F.col("r_partkey")), "left")
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(part.filter(F.col("p_retailprice").between(905, 911)),
+              F.col("l_partkey") == F.col("p_partkey"))
+    )
+    net = (F.round(F.col("l_extendedprice") * 100)
+           - F.coalesce(F.round(F.col("r_price") * 100), F.lit(0)))
+    return (
+        j.groupBy(F.col("n_name").alias("w_state"), F.col("p_partkey").alias("i_item_id"))
+        .agg(
+            F.sum(F.when(F.col("o_orderdate") < "1996-03-11", net).otherwise(0))
+            .cast("bigint").alias("sales_before"),
+            F.sum(F.when(F.col("o_orderdate") >= "1996-03-11", net).otherwise(0))
+            .cast("bigint").alias("sales_after"),
+        )
+        .orderBy(F.asc("w_state"), F.asc("i_item_id"))
+        .limit(100)
+    )
+
+
+# --- q41: manufacturers with items matching a deep attribute battery -------
+
+_Q41_BATTERY_SQL = (
+    "((p_type = 'STANDARD' AND p_brand IN ('Brand#11', 'Brand#12', 'Brand#13')) "
+    "OR (p_type = 'SMALL' AND p_brand IN ('Brand#14', 'Brand#15', 'Brand#21')) "
+    "OR (p_type = 'ECONOMY' AND p_brand IN ('Brand#22', 'Brand#23', 'Brand#24')) "
+    "OR (p_type = 'MEDIUM' AND p_brand IN ('Brand#25', 'Brand#31', 'Brand#32')))"
+)
+
+
+@_q(
+    "tpcds_q41",
+    f"""
+SELECT DISTINCT i1.p_name AS i_product_name
+FROM part i1
+WHERE i1.p_size BETWEEN 10 AND 30
+  AND (SELECT count(*) FROM part i2
+       WHERE i2.p_size = i1.p_size AND {_Q41_BATTERY_SQL.replace('p_type', 'i2.p_type').replace('p_brand', 'i2.p_brand')}) > 0
+ORDER BY i_product_name ASC
+LIMIT 100
+""",
+)
+def tpcds_q41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q41 shape (tpcds/q41.sql: DISTINCT product names whose
+    MANUFACTURER has at least one item matching a deep OR'd
+    (category, color, units, size) attribute battery — a correlated
+    count(*) > 0 on the item dimension itself, i.e. a self semi-join of
+    the dim). Manufacturer analog: p_size; battery: (type, brand) bands.
+    Decorrelated as a distinct-key semi-join — the exact plan Presto's
+    optimizer builds."""
+    (part,) = _t(spark, sf_dir, "part")
+    battery = (
+        ((F.col("p_type") == "STANDARD") & F.col("p_brand").isin("Brand#11", "Brand#12", "Brand#13"))
+        | ((F.col("p_type") == "SMALL") & F.col("p_brand").isin("Brand#14", "Brand#15", "Brand#21"))
+        | ((F.col("p_type") == "ECONOMY") & F.col("p_brand").isin("Brand#22", "Brand#23", "Brand#24"))
+        | ((F.col("p_type") == "MEDIUM") & F.col("p_brand").isin("Brand#25", "Brand#31", "Brand#32"))
+    )
+    matching = part.filter(battery).select(F.col("p_size").alias("m_size")).distinct()
+    return (
+        part.filter(F.col("p_size").between(10, 30))
+        .join(matching, F.col("m_size") == F.col("p_size"), "left_semi")
+        .select(F.col("p_name").alias("i_product_name"))
+        .distinct()
+        .orderBy(F.asc("i_product_name"))
+        .limit(100)
+    )
+
+
+# --- q73: trip party-size counts between 1 and 5 ---------------------------
+
+@_q(
+    "tpcds_q73",
+    """
+WITH dj AS (
+  SELECT o.o_orderkey AS ss_ticket_number, o.o_custkey AS ss_customer_sk,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE day(o.o_orderdate) BETWEEN 1 AND 2
+    AND (l.l_quantity = 4 OR l.l_linenumber = 3)
+    AND year(o.o_orderdate) IN (1996, 1997, 1998)
+    AND s.s_nationkey IN (2, 4, 6, 8)
+  GROUP BY 1, 2
+)
+SELECT c.c_name, c.c_mktsegment, dj.ss_ticket_number, dj.cnt
+FROM dj
+JOIN customer c ON dj.ss_customer_sk = c.c_custkey
+WHERE dj.cnt BETWEEN 1 AND 5
+ORDER BY dj.cnt DESC, c.c_name ASC, dj.ss_ticket_number ASC
+""",
+)
+def tpcds_q73(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q73 shape (tpcds/q73.sql: month-start store trips under a
+    household-demographic OR gate in four counties, keeping trips with
+    1-5 qualifying lines, reported with the customer — q46's counting
+    sibling; no LIMIT in the reference, deterministic total order
+    added)."""
+    li, orders, supp, cust = _t(spark, sf_dir, "lineitem", "orders", "supplier", "customer")
+    dj = (
+        li.filter((F.col("l_quantity") == 4) | (F.col("l_linenumber") == 3))
+        .join(orders.filter(F.dayofmonth("o_orderdate").between(1, 2)
+                            & F.year("o_orderdate").isin(1996, 1997, 1998)),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supp.filter(F.col("s_nationkey").isin(2, 4, 6, 8)),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("o_orderkey").alias("ss_ticket_number"),
+                 F.col("o_custkey").alias("ss_customer_sk"))
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    return (
+        dj.filter(F.col("cnt").between(1, 5))
+        .join(cust, F.col("ss_customer_sk") == F.col("c_custkey"))
+        .select("c_name", "c_mktsegment", "ss_ticket_number", "cnt")
+        .orderBy(F.desc("cnt"), F.asc("c_name"), F.asc("ss_ticket_number"))
+    )
+
+
+# --- q84: income-band customers with a recorded return ---------------------
+
+@_q(
+    "tpcds_q84",
+    """
+SELECT c.c_custkey AS customer_id,
+       c.c_name || ', ' || c.c_mktsegment AS customername
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE n.n_name = 'NATION_3'
+  AND c.c_acctbal BETWEEN 1000 AND 6000
+  AND EXISTS (SELECT 1 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+              WHERE o.o_custkey = c.c_custkey AND l.l_returnflag = 'R')
+ORDER BY customer_id ASC
+LIMIT 100
+""",
+)
+def tpcds_q84(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q84 shape (tpcds/q84.sql: customers in one city whose
+    household income band sits in a 50k window and who appear in
+    store_returns — a five-dim chain ending in a fact semi-join).
+    City analog: nation; income band: acctbal window; the returns
+    check is a semi-join through orders. Output concatenates the
+    name as the reference does."""
+    cust, nation, li, orders = _t(spark, sf_dir, "customer", "nation", "lineitem", "orders")
+    returned_cust = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("o_custkey").alias("rc_custkey"))
+    )
+    return (
+        cust.filter(F.col("c_acctbal").between(1000, 6000))
+        .join(nation.filter(F.col("n_name") == "NATION_3"),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(returned_cust, F.col("rc_custkey") == F.col("c_custkey"), "left_semi")
+        .select(F.col("c_custkey").alias("customer_id"),
+                F.concat(F.col("c_name"), F.lit(", "), F.col("c_mktsegment")).alias("customername"))
+        .orderBy(F.asc("customer_id"))
+        .limit(100)
+    )
+
+
+# --- q91: call-center return losses under demographic bands ----------------
+
+@_q(
+    "tpcds_q91",
+    f"""
+SELECT o.o_orderpriority AS call_center, c.c_mktsegment AS cd_marital_status,
+       {_csum_sql("l.l_extendedprice")} AS returns_loss
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE l.l_returnflag = 'R'
+  AND year(o.o_orderdate) = 1996 AND month(o.o_orderdate) = 11
+  AND (c.c_mktsegment = 'BUILDING' OR c.c_mktsegment = 'MACHINERY')
+  AND c.c_nationkey < 12
+GROUP BY 1, 2
+ORDER BY returns_loss DESC, call_center ASC, cd_marital_status ASC
+""",
+)
+def tpcds_q91(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q91 shape (tpcds/q91.sql: catalog return losses per call
+    center for one month, customers gated by an OR of
+    (marital, education) bands plus buy-potential and gmt-offset
+    filters, ordered by loss). Call center analog: order priority;
+    demographic bands: mktsegment; gmt band: nationkey. No LIMIT in the
+    reference; ordering keys are exact cents + text."""
+    li, orders, cust = _t(spark, sf_dir, "lineitem", "orders", "customer")
+    j = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(orders.filter((F.year("o_orderdate") == 1996)
+                            & (F.month("o_orderdate") == 11)),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust.filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+                          & (F.col("c_nationkey") < 12)),
+              F.col("o_custkey") == F.col("c_custkey"))
+    )
+    return (
+        j.groupBy(F.col("o_orderpriority").alias("call_center"),
+                  F.col("c_mktsegment").alias("cd_marital_status"))
+        .agg(_csum(F.col("l_extendedprice")).alias("returns_loss"))
+        .orderBy(F.desc("returns_loss"), F.asc("call_center"),
+                 F.asc("cd_marital_status"))
+    )
