@@ -2331,3 +2331,455 @@ def tpcds_q91(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("returns_loss"), F.asc("call_center"),
                  F.asc("cd_marital_status"))
     )
+
+
+# --- q56 / q60: three-channel totals for an item subset --------------------
+
+def _chan3_sql(item_cond_sql, year, moy, nat_band):
+    def chan(flag):
+        return f"""
+  SELECT l.l_partkey AS i_item_id, {_csum_sql("l.l_extendedprice")} AS total_sales
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE {item_cond_sql})
+    AND l.l_returnflag = '{flag}'
+    AND year(o.o_orderdate) = {year} AND month(o.o_orderdate) = {moy}
+    AND c.c_nationkey < {nat_band}
+  GROUP BY 1"""
+
+    return f"""
+WITH ss AS ({chan('N')}), cs AS ({chan('A')}), ws AS ({chan('R')})
+SELECT i_item_id, CAST(sum(total_sales) AS BIGINT) AS total_sales
+FROM (SELECT * FROM ss UNION ALL SELECT * FROM cs UNION ALL SELECT * FROM ws) tmp
+GROUP BY i_item_id
+"""
+
+
+def _chan3(spark, sf_dir, item_cond, year, moy, nat_band):
+    li, orders, cust, part = _t(spark, sf_dir, "lineitem", "orders", "customer", "part")
+    items = part.filter(item_cond).select(F.col("p_partkey").alias("sel_partkey"))
+    base = (
+        li.join(orders.filter((F.year("o_orderdate") == year)
+                              & (F.month("o_orderdate") == moy)),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust.filter(F.col("c_nationkey") < nat_band),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(items, F.col("sel_partkey") == F.col("l_partkey"), "left_semi")
+    )
+
+    def chan(flag):
+        return (
+            base.filter(F.col("l_returnflag") == flag)
+            .groupBy(F.col("l_partkey").alias("i_item_id"))
+            .agg(_csum(F.col("l_extendedprice")).alias("total_sales"))
+        )
+
+    return (
+        chan("N").unionByName(chan("A")).unionByName(chan("R"))
+        .groupBy("i_item_id")
+        .agg(F.sum("total_sales").cast("bigint").alias("total_sales"))
+    )
+
+
+@_q(
+    "tpcds_q56",
+    _chan3_sql("p_brand IN ('Brand#11', 'Brand#21', 'Brand#31')", 1996, 2, 13)
+    + "ORDER BY total_sales ASC, i_item_id ASC LIMIT 100",
+)
+def tpcds_q56(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q56 shape (tpcds/q56.sql: per-item totals across the three
+    sales channels for items in three colors, one month, one gmt band —
+    three structurally identical CTEs (each with an item-id IN subquery)
+    UNION ALL'd and re-grouped). Color analog: brand set; channels:
+    returnflag slices; gmt: nation band."""
+    return _chan3(
+        spark, sf_dir,
+        F.col("p_brand").isin("Brand#11", "Brand#21", "Brand#31"), 1996, 2, 13,
+    ).orderBy(F.asc("total_sales"), F.asc("i_item_id")).limit(100)
+
+
+@_q(
+    "tpcds_q60",
+    _chan3_sql("p_type = 'ECONOMY'", 1997, 9, 11)
+    + "ORDER BY i_item_id ASC, total_sales ASC LIMIT 100",
+)
+def tpcds_q60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q60 shape (tpcds/q60.sql: q56's category twin — same
+    three-channel CTE union for one category/month/gmt band, item-first
+    ordering)."""
+    return _chan3(
+        spark, sf_dir, F.col("p_type") == "ECONOMY", 1997, 9, 11,
+    ).orderBy(F.asc("i_item_id"), F.asc("total_sales")).limit(100)
+
+
+# --- q69: store-only customers' demographic profile ------------------------
+
+@_q(
+    "tpcds_q69",
+    """
+SELECT c.c_mktsegment AS cd_gender,
+       CAST(floor(c.c_acctbal / 1000) * 1000 AS BIGINT) AS cd_purchase_estimate,
+       CAST(c.c_nationkey % 3 AS INTEGER) AS cd_credit_rating,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM customer c
+WHERE c.c_nationkey IN (2, 5, 8)
+  AND EXISTS (SELECT 1 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+              WHERE o.o_custkey = c.c_custkey AND l.l_returnflag = 'A'
+                AND year(o.o_orderdate) = 1996
+                AND month(o.o_orderdate) BETWEEN 4 AND 6)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+                  WHERE o.o_custkey = c.c_custkey AND l.l_returnflag = 'N'
+                    AND year(o.o_orderdate) = 1996
+                    AND month(o.o_orderdate) BETWEEN 4 AND 6)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+                  WHERE o.o_custkey = c.c_custkey AND l.l_returnflag = 'R'
+                    AND year(o.o_orderdate) = 1996
+                    AND month(o.o_orderdate) BETWEEN 4 AND 6)
+GROUP BY 1, 2, 3
+ORDER BY cd_gender ASC, cd_purchase_estimate ASC, cd_credit_rating ASC
+LIMIT 100
+""",
+)
+def tpcds_q69(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q69 shape (tpcds/q69.sql: the demographic profile of
+    customers in three states who bought in the STORE channel during one
+    quarter but NOT in the web or catalog channels — one EXISTS plus two
+    NOT EXISTS on the fact). Channels: returnflag slices; demographics:
+    mktsegment / acctbal band / nation band. Scale: one semi-join + two
+    anti-joins on the customer key, then a small grouping."""
+    li, orders, cust = _t(spark, sf_dir, "lineitem", "orders", "customer")
+
+    def bought(flag):
+        return (
+            li.filter(F.col("l_returnflag") == flag)
+            .join(orders.filter((F.year("o_orderdate") == 1996)
+                                & F.month("o_orderdate").between(4, 6)),
+                  F.col("l_orderkey") == F.col("o_orderkey"))
+            .select(F.col("o_custkey").alias(f"{flag}_custkey"))
+        )
+
+    out = (
+        cust.filter(F.col("c_nationkey").isin(2, 5, 8))
+        .join(bought("A"), F.col("A_custkey") == F.col("c_custkey"), "left_semi")
+        .join(bought("N"), F.col("N_custkey") == F.col("c_custkey"), "left_anti")
+        .join(bought("R"), F.col("R_custkey") == F.col("c_custkey"), "left_anti")
+    )
+    return (
+        out.groupBy(
+            F.col("c_mktsegment").alias("cd_gender"),
+            (F.floor(F.col("c_acctbal") / 1000) * 1000).cast("bigint").alias("cd_purchase_estimate"),
+            (F.col("c_nationkey") % 3).cast("int").alias("cd_credit_rating"),
+        )
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .orderBy(F.asc("cd_gender"), F.asc("cd_purchase_estimate"),
+                 F.asc("cd_credit_rating"))
+        .limit(100)
+    )
+
+
+# --- q70: state/county profit rollup with rank-within-parent ---------------
+
+@_q(
+    "tpcds_q70",
+    f"""
+WITH agg AS (
+  SELECT n.n_name AS s_state, s.s_name AS s_county,
+         {_msum_sql("l.l_extendedprice * (1 - l.l_discount)")} AS total_sum,
+         CAST(grouping(n.n_name) AS INTEGER) AS g_state,
+         CAST(grouping(s.s_name) AS INTEGER) AS g_county
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE year(o.o_orderdate) = 1996
+    AND n.n_name IN (
+      SELECT s_state FROM (
+        SELECT n2.n_name AS s_state,
+               rank() OVER (PARTITION BY n2.n_name
+                            ORDER BY sum(round(l2.l_extendedprice * 100)) DESC) AS ranking
+        FROM lineitem l2
+        JOIN orders o2 ON l2.l_orderkey = o2.o_orderkey
+        JOIN supplier s2 ON l2.l_suppkey = s2.s_suppkey
+        JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+        WHERE year(o2.o_orderdate) = 1996
+        GROUP BY n2.n_name
+      ) tmp1 WHERE ranking <= 5
+    )
+  GROUP BY ROLLUP (n.n_name, s.s_name)
+)
+SELECT total_sum, s_state, s_county,
+       g_state + g_county AS lochierarchy,
+       CAST(rank() OVER (
+         PARTITION BY g_state + g_county,
+                      CASE WHEN g_county = 0 THEN s_state END
+         ORDER BY total_sum DESC) AS INTEGER) AS rank_within_parent
+FROM agg
+ORDER BY lochierarchy DESC,
+         CASE WHEN g_state + g_county = 0 THEN s_state END ASC NULLS FIRST,
+         rank_within_parent ASC, s_state ASC NULLS FIRST, s_county ASC NULLS FIRST
+LIMIT 100
+""",
+)
+def tpcds_q70(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q70 shape (tpcds/q70.sql: profit under ROLLUP(state, county)
+    with rank() partitioned by the GROUPING-function hierarchy level —
+    rank-within-parent — plus the reference's famous degenerate top-5
+    state subquery (rank() PARTITION BY the grouped key itself is always
+    1, so the IN keeps every state — faithfully reproduced). Scale:
+    rollup + one window over the small grouped frame."""
+    li, orders, supp, nation = _t(spark, sf_dir, "lineitem", "orders", "supplier", "nation")
+    j96 = (
+        li.join(orders.filter(F.year("o_orderdate") == 1996),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    top5 = (
+        j96.groupBy(F.col("n_name").alias("s_state"))
+        .agg(F.sum(F.round(F.col("l_extendedprice") * 100)).alias("t"))
+        .withColumn("ranking", F.rank().over(W.partitionBy("s_state").orderBy(F.desc("t"))))
+        .filter(F.col("ranking") <= 5)
+        .select(F.col("s_state").alias("sel_state"))
+    )
+    agg = (
+        j96.join(top5, F.col("sel_state") == F.col("n_name"), "left_semi")
+        .rollup("n_name", "s_name")
+        .agg(
+            _msum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_sum"),
+            F.grouping("n_name").cast("int").alias("g_state"),
+            F.grouping("s_name").cast("int").alias("g_county"),
+        )
+    )
+    lo = F.col("g_state") + F.col("g_county")
+    wr = W.partitionBy(lo, F.when(F.col("g_county") == 0, F.col("n_name"))).orderBy(
+        F.desc("total_sum")
+    )
+    return (
+        agg.select(
+            "total_sum",
+            F.col("n_name").alias("s_state"), F.col("s_name").alias("s_county"),
+            lo.alias("lochierarchy"),
+            F.rank().over(wr).cast("int").alias("rank_within_parent"),
+            F.col("g_state"), F.col("g_county"),
+        )
+        .orderBy(
+            F.desc("lochierarchy"),
+            F.asc_nulls_first(F.when(F.col("g_state") + F.col("g_county") == 0,
+                                     F.col("s_state"))),
+            F.asc("rank_within_parent"),
+            F.asc_nulls_first("s_state"), F.asc_nulls_first("s_county"),
+        )
+        .select("total_sum", "s_state", "s_county", "lochierarchy", "rank_within_parent")
+        .limit(100)
+    )
+
+
+# --- q71: brand revenue by hour across three unioned channels --------------
+
+@_q(
+    "tpcds_q71",
+    f"""
+WITH tmp AS (
+  SELECT round(l.l_extendedprice * 100) AS ext_price, l.l_partkey AS sold_item_sk,
+         (l.l_orderkey * 7 + l.l_linenumber * 3) % 24 AS t_hour
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag = 'N' AND month(o.o_orderdate) = 11 AND year(o.o_orderdate) = 1996
+  UNION ALL
+  SELECT round(l.l_extendedprice * 100), l.l_partkey,
+         (l.l_orderkey * 7 + l.l_linenumber * 3) % 24
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag = 'A' AND month(o.o_orderdate) = 11 AND year(o.o_orderdate) = 1996
+  UNION ALL
+  SELECT round(l.l_extendedprice * 100), l.l_partkey,
+         (l.l_orderkey * 7 + l.l_linenumber * 3) % 24
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag = 'R' AND month(o.o_orderdate) = 11 AND year(o.o_orderdate) = 1996
+)
+SELECT p.p_brand AS brand, CAST(t_hour AS INTEGER) AS t_hour,
+       CAST(sum(ext_price) AS BIGINT) AS ext_price
+FROM tmp
+JOIN part p ON tmp.sold_item_sk = p.p_partkey
+WHERE p.p_partkey % 100 < 20
+  AND (t_hour BETWEEN 6 AND 9 OR t_hour BETWEEN 17 AND 20)
+GROUP BY 1, 2
+ORDER BY ext_price DESC, brand ASC, t_hour ASC
+""",
+)
+def tpcds_q71(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q71 shape (tpcds/q71.sql: one manager's brand revenue at
+    breakfast/dinner hours, the fact being a UNION ALL of all three
+    channels joined to time_dim — the all-channel hourly profile).
+    Hour analog: deterministic per-line hash mod 24 (the same synthetic
+    time the benchto adapter uses); meal bands 6-9/17-20; manager:
+    partkey band. No LIMIT in the reference."""
+    li, orders, part = _t(spark, sf_dir, "lineitem", "orders", "part")
+    o_nov = orders.filter((F.month("o_orderdate") == 11) & (F.year("o_orderdate") == 1996))
+
+    def chan(flag):
+        return (
+            li.filter(F.col("l_returnflag") == flag)
+            .join(o_nov, F.col("l_orderkey") == F.col("o_orderkey"))
+            .select(
+                F.round(F.col("l_extendedprice") * 100).alias("ext_price"),
+                F.col("l_partkey").alias("sold_item_sk"),
+                ((F.col("l_orderkey") * 7 + F.col("l_linenumber") * 3) % 24).alias("t_hour"),
+            )
+        )
+
+    tmp = chan("N").unionByName(chan("A")).unionByName(chan("R"))
+    return (
+        tmp.join(part.filter(F.col("p_partkey") % 100 < 20),
+                 F.col("sold_item_sk") == F.col("p_partkey"))
+        .filter(F.col("t_hour").between(6, 9) | F.col("t_hour").between(17, 20))
+        .groupBy(F.col("p_brand").alias("brand"), F.col("t_hour").cast("int").alias("t_hour"))
+        .agg(F.sum("ext_price").cast("bigint").alias("ext_price"))
+        .orderBy(F.desc("ext_price"), F.asc("brand"), F.asc("t_hour"))
+    )
+
+
+# --- q85: returns under paired-demographic and address band ORs ------------
+
+@_q(
+    "tpcds_q85",
+    """
+SELECT concat('reason_', CAST(l.l_linenumber % 5 AS STRING)) AS r_reason_desc,
+       round(avg(l.l_quantity), 6) AS avg_quantity,
+       round(avg(round(l.l_extendedprice * l.l_discount * 100)), 6) AS avg_refunded,
+       round(avg(round(l.l_extendedprice * l.l_tax * 100)), 6) AS avg_fee
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE l.l_returnflag = 'R' AND year(o.o_orderdate) = 1996
+  AND ((c.c_mktsegment = 'BUILDING' AND o.o_orderstatus = 'F'
+        AND round(l.l_extendedprice * 100) BETWEEN 1000000 AND 5000000)
+    OR (c.c_mktsegment = 'MACHINERY' AND o.o_orderstatus = 'O'
+        AND round(l.l_extendedprice * 100) BETWEEN 500000 AND 3000000)
+    OR (c.c_mktsegment = 'AUTOMOBILE' AND o.o_orderstatus = 'P'
+        AND round(l.l_extendedprice * 100) BETWEEN 1500000 AND 6000000))
+  AND ((c.c_nationkey IN (1, 4, 7) AND round(l.l_extendedprice * (1 - l.l_discount) * 100) BETWEEN 100000 AND 20000000)
+    OR (c.c_nationkey IN (10, 13, 16) AND round(l.l_extendedprice * (1 - l.l_discount) * 100) BETWEEN 150000 AND 30000000)
+    OR (c.c_nationkey IN (19, 22, 24) AND round(l.l_extendedprice * (1 - l.l_discount) * 100) BETWEEN 50000 AND 25000000))
+GROUP BY 1
+ORDER BY r_reason_desc ASC, avg_quantity ASC, avg_refunded ASC, avg_fee ASC
+LIMIT 100
+""",
+)
+def tpcds_q85(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q85 shape (tpcds/q85.sql: web returns joined back to their
+    sales with PAIRED demographic bands — marital/education must match
+    across the refunding and returning demographics AND gate a price band
+    — plus an OR'd (state set, profit band) address gate, averaged per
+    return reason). Demographic pairing analog: (mktsegment, orderstatus)
+    bands; reason dim: linenumber mod 5. All band arithmetic exact
+    cents."""
+    li, orders, cust = _t(spark, sf_dir, "lineitem", "orders", "customer")
+    price = F.round(F.col("l_extendedprice") * 100)
+    profit = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+    demo = (
+        ((F.col("c_mktsegment") == "BUILDING") & (F.col("o_orderstatus") == "F")
+         & price.between(1000000, 5000000))
+        | ((F.col("c_mktsegment") == "MACHINERY") & (F.col("o_orderstatus") == "O")
+           & price.between(500000, 3000000))
+        | ((F.col("c_mktsegment") == "AUTOMOBILE") & (F.col("o_orderstatus") == "P")
+           & price.between(1500000, 6000000))
+    )
+    addr = (
+        (F.col("c_nationkey").isin(1, 4, 7) & profit.between(100000, 20000000))
+        | (F.col("c_nationkey").isin(10, 13, 16) & profit.between(150000, 30000000))
+        | (F.col("c_nationkey").isin(19, 22, 24) & profit.between(50000, 25000000))
+    )
+    j = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(orders.filter(F.year("o_orderdate") == 1996),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(demo & addr)
+    )
+    return (
+        j.groupBy(
+            F.concat(F.lit("reason_"), (F.col("l_linenumber") % 5).cast("string"))
+            .alias("r_reason_desc")
+        )
+        .agg(
+            F.round(F.avg("l_quantity"), 6).alias("avg_quantity"),
+            F.round(F.avg(F.round(F.col("l_extendedprice") * F.col("l_discount") * 100)), 6).alias("avg_refunded"),
+            F.round(F.avg(F.round(F.col("l_extendedprice") * F.col("l_tax") * 100)), 6).alias("avg_fee"),
+        )
+        .orderBy(F.asc("r_reason_desc"), F.asc("avg_quantity"),
+                 F.asc("avg_refunded"), F.asc("avg_fee"))
+        .limit(100)
+    )
+
+
+# --- q24: per-color netpaid vs 5% of the all-color average -----------------
+
+@_q(
+    "tpcds_q24",
+    f"""
+WITH ssales AS (
+  SELECT c.c_name AS c_last_name, s.s_name AS s_store_name,
+         p.p_brand AS i_color,
+         {_csum_sql("l.l_extendedprice * (1 - l.l_discount)")} AS netpaid
+  FROM lineitem l
+  JOIN (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'R') r
+    ON l.l_orderkey = r.l_orderkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l.l_returnflag <> 'R' AND s.s_nationkey % 5 = c.c_nationkey % 5
+  GROUP BY 1, 2, 3
+)
+SELECT c_last_name, s_store_name, CAST(sum(netpaid) AS BIGINT) AS paid
+FROM ssales
+WHERE i_color IN ('Brand#11', 'Brand#12', 'Brand#13', 'Brand#14', 'Brand#15')
+GROUP BY 1, 2
+HAVING sum(netpaid) > (SELECT 0.05 * avg(netpaid) FROM ssales)
+ORDER BY c_last_name ASC, s_store_name ASC
+""",
+)
+def tpcds_q24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q24 shape (tpcds/q24_1.sql: store purchases in RETURNED
+    orders (ticket-level return match — the per-(ticket, item) pair is
+    vacuous in the synthetic data) where
+    the customer's birth country matches the store's address, net paid
+    grouped per (customer, store, color, ...); the outer query keeps one
+    color band and reports (customer, store) totals exceeding 5% of the
+    ALL-color average — a scalar subquery over the same CTE, so the CTE
+    has TWO consumers and the cte-materialization property applies).
+    Color analog: brand; country-match: supplier region = customer
+    region (nation-level equality is vacuous in the synthetic data). Scale: sale-return join co-partitions on (order, item); the
+    global average is a broadcast scalar."""
+    li, orders, cust, supp, part = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "part")
+    r = (li.filter(F.col("l_returnflag") == "R")
+         .select(F.col("l_orderkey").alias("r_orderkey")).distinct())
+    ssales = (
+        li.filter(F.col("l_returnflag") != "R")
+        .join(r, F.col("l_orderkey") == F.col("r_orderkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("s_nationkey") % 5 == F.col("c_nationkey") % 5)
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("c_name").alias("c_last_name"),
+                 F.col("s_name").alias("s_store_name"),
+                 F.col("p_brand").alias("i_color"))
+        .agg(_csum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("netpaid"))
+    )
+    from .tpcds import _materialize_cte
+
+    ssales = _materialize_cte(spark, ssales)
+    threshold = ssales.agg((F.avg("netpaid") * 0.05).alias("thr"))
+    out = (
+        ssales.filter(F.col("i_color").isin("Brand#11", "Brand#12", "Brand#13",
+                                            "Brand#14", "Brand#15"))
+        .groupBy("c_last_name", "s_store_name")
+        .agg(F.sum("netpaid").cast("bigint").alias("paid"))
+        .crossJoin(F.broadcast(threshold))
+        .filter(F.col("paid") > F.col("thr"))
+        .select("c_last_name", "s_store_name", "paid")
+        .orderBy(F.asc("c_last_name"), F.asc("s_store_name"))
+    )
+    return out
