@@ -16,7 +16,8 @@ Synthesized columns are deterministic pure expressions of the key columns
 TPC-DS spec (store names 'ought'/'able'/'ese'…, category list, buy
 potential bands, 'Williamson County') so the reference predicates select
 non-trivial subsets. The driver data spans 1995-2001, which covers the
-TPC-DS predicates' 1998-2002 windows without date shifting.
+TPC-DS predicates' 1998-2001 windows without date shifting (d_year =
+2002 gates are beyond the data — see the q27 skip).
 
 At 100 TB the fact views are one fused scan-join (lineitem ⋈ orders on
 the order key — co-partitioned), every synthesized column is a JVM
@@ -44,6 +45,13 @@ _MARITAL = ["M", "S", "D", "W", "U"]
 _BUY_POTENTIAL = ["Unknown", ">10000", "1001-5000", "5001-10000", "0-500", "501-1000"]
 _SALUTATIONS = ["Mr.", "Mrs.", "Ms.", "Dr.", "Miss", "Sir"]
 _SM_TYPES = ["EXPRESS", "NEXT DAY", "OVERNIGHT", "REGULAR", "LIBRARY"]
+_COLORS = ["slate", "blanched", "burnished", "pale", "powder", "khaki",
+           "brown", "honeydew", "floral", "deep", "light", "cornflower",
+           "midnight", "snow", "cyan", "papaya", "orange", "frosted",
+           "forest", "ghost"]
+_UNITS = ["Ounce", "Oz", "Bunch", "Ton", "N/A", "Dozen", "Box", "Pound",
+          "Pallet", "Gross", "Cup", "Dram", "Each", "Tbl", "Lb", "Bundle"]
+_SIZES = ["medium", "extra large", "N/A", "small", "petite", "large", "economy"]
 
 
 def _case_mod(expr: str, values: list[str]) -> str:
@@ -64,6 +72,7 @@ def view_definitions(raw, s, dd, idiv, ser, dser) -> dict[str, str]:
     fact = f"{raw('lineitem')} l JOIN {raw('orders')} o ON l.l_orderkey = o.o_orderkey"
     sold = dd("CAST(o.o_orderdate AS DATE)")
     shipped = dd("CAST(l.l_shipdate AS DATE)")
+    rfact = fact + " AND l.l_returnflag = 'R'"
     return {
         "date_dim": f"""
             SELECT {dd('d')} AS d_date_sk, d AS d_date,
@@ -76,8 +85,20 @@ def view_definitions(raw, s, dd, idiv, ser, dser) -> dict[str, str]:
         "time_dim": f"""
             SELECT i AS t_time_sk, {idiv('i', 3600)} AS t_hour,
                    mod({idiv('i', 60)}, 60) AS t_minute,
-                   mod(i, 60) AS t_second
+                   mod(i, 60) AS t_second,
+                   CASE WHEN {idiv('i', 3600)} BETWEEN 6 AND 8 THEN 'breakfast'
+                        WHEN {idiv('i', 3600)} BETWEEN 17 AND 19 THEN 'dinner'
+                        ELSE NULL END AS t_meal_time
             FROM {ser(0, 86399)}""",
+        "reason": f"""
+            SELECT i AS r_reason_sk, 'reason_' || {s('i')} AS r_reason_id,
+                   'reason_description_' || {s('i')} AS r_reason_desc
+            FROM {ser(0, 54)}""",
+        "web_page": f"""
+            SELECT i AS wp_web_page_sk, 'page_' || {s('i')} AS wp_web_page_id,
+                   CASE mod(i, 2) WHEN 0 THEN 'Y' ELSE 'N' END AS wp_autogen_flag,
+                   4900 + mod(i * 7, 400) AS wp_char_count
+            FROM {ser(0, 59)}""",
         "item": f"""
             SELECT p_partkey AS i_item_sk,
                    'item_' || {s('p_partkey')} AS i_item_id,
@@ -92,7 +113,10 @@ def view_definitions(raw, s, dd, idiv, ser, dser) -> dict[str, str]:
                    mod(p_partkey, 100) AS i_manager_id,
                    p_retailprice / 10 AS i_current_price,
                    p_retailprice / 15 AS i_wholesale_cost,
-                   'product_' || p_name AS i_product_name
+                   'product_' || p_name AS i_product_name,
+                   {_case_mod('p_partkey * 3 + 1', _COLORS)} AS i_color,
+                   {_case_mod('p_partkey * 7 + 2', _UNITS)} AS i_units,
+                   {_case_mod('p_partkey * 11 + 3', _SIZES)} AS i_size
             FROM {raw('part')}""",
         "store": f"""
             SELECT s_suppkey AS s_store_sk,
@@ -103,7 +127,14 @@ def view_definitions(raw, s, dd, idiv, ser, dser) -> dict[str, str]:
                    {_case_mod('s_suppkey * 7 + 2', _STATES)} AS s_state,
                    'zip_' || {s('mod(s_suppkey, 100)')} AS s_zip,
                    200 + mod(s_suppkey * 7, 100) AS s_number_employees,
-                   -5.0 - mod(s_suppkey, 4) AS s_gmt_offset
+                   -5.0 - mod(s_suppkey, 4) AS s_gmt_offset,
+                   1 + mod(s_suppkey, 6) AS s_company_id,
+                   'company_' || {s('1 + mod(s_suppkey, 6)')} AS s_company_name,
+                   1 + mod(s_suppkey, 10) AS s_market_id,
+                   {s('1 + mod(s_suppkey * 13, 999)')} AS s_street_number,
+                   'Street_' || {s('mod(s_suppkey * 3, 40)')} AS s_street_name,
+                   {_case_mod('s_suppkey', ['Ave', 'Blvd', 'Ct', 'Dr', 'Ln', 'St', 'Way'])} AS s_street_type,
+                   'Suite ' || {s('mod(s_suppkey, 100)')} AS s_suite_number
             FROM {raw('supplier')}""",
         "customer": f"""
             SELECT c_custkey AS c_customer_sk,
@@ -137,7 +168,10 @@ def view_definitions(raw, s, dd, idiv, ser, dser) -> dict[str, str]:
                    {_case_mod('i', _MARITAL)} AS cd_marital_status,
                    {_case_mod('i', _EDUCATION)} AS cd_education_status,
                    500 + 500 * mod(i, 11) AS cd_purchase_estimate,
-                   mod(i, 7) AS cd_dep_count
+                   mod(i, 7) AS cd_dep_count,
+                   {_case_mod('i', ['Good', 'Low Risk', 'High Risk', 'Unknown'])} AS cd_credit_rating,
+                   mod(i, 6) AS cd_dep_employed_count,
+                   mod(i, 4) AS cd_dep_college_count
             FROM {ser(0, 7199)}""",
         "household_demographics": f"""
             SELECT i AS hd_demo_sk,
@@ -162,11 +196,19 @@ def view_definitions(raw, s, dd, idiv, ser, dser) -> dict[str, str]:
             SELECT i AS sm_ship_mode_sk, {_case_mod('i', _SM_TYPES)} AS sm_type
             FROM {ser(0, 19)}""",
         "web_site": f"""
-            SELECT i AS web_site_sk, 'site_' || {s('i')} AS web_name
+            SELECT i AS web_site_sk, 'site_' || {s('i')} AS web_name,
+                   {_case_mod('i', _STORE_NAMES)} AS web_company_name
             FROM {ser(0, 29)}""",
         "call_center": f"""
-            SELECT i AS cc_call_center_sk, 'call_center_' || {s('i')} AS cc_name
+            SELECT i AS cc_call_center_sk, 'call_center_' || {s('i')} AS cc_name,
+                   'cc_id_' || {s('i')} AS cc_call_center_id,
+                   'Manager_' || {s('mod(i * 7, 20)')} AS cc_manager,
+                   {_case_mod('i * 3 + 1', _COUNTIES)} AS cc_county
             FROM {ser(0, 5)}""",
+        "income_band": f"""
+            SELECT i AS ib_income_band_sk, i * 10000 AS ib_lower_bound,
+                   (i + 1) * 10000 - 1 AS ib_upper_bound
+            FROM {ser(0, 19)}""",
         "store_sales": f"""
             SELECT {sold} AS ss_sold_date_sk,
                    mod(l.l_orderkey * 181 + l.l_linenumber * 7919, 86400)
@@ -200,8 +242,15 @@ def view_definitions(raw, s, dd, idiv, ser, dser) -> dict[str, str]:
                    mod(l.l_suppkey, 5) AS cs_warehouse_sk,
                    mod(l.l_orderkey + l.l_linenumber, 20) AS cs_ship_mode_sk,
                    mod(l.l_orderkey * 7 + l.l_linenumber * 11, 300) AS cs_promo_sk,
+                   o.o_custkey AS cs_bill_addr_sk,
+                   o.o_custkey AS cs_ship_addr_sk,
+                   o.o_custkey AS cs_ship_customer_sk,
+                   mod(l.l_orderkey * 181 + l.l_linenumber * 7919, 86400)
+                       AS cs_sold_time_sk,
+                   l.l_extendedprice * l.l_discount AS cs_coupon_amt,
                    l.l_orderkey AS cs_order_number,
                    l.l_quantity AS cs_quantity,
+                   l.l_extendedprice * l.l_tax AS cs_ext_ship_cost,
                    l.l_extendedprice / l.l_quantity AS cs_sales_price,
                    l.l_extendedprice * (1 + l.l_tax) / l.l_quantity AS cs_list_price,
                    l.l_extendedprice AS cs_ext_sales_price,
@@ -211,6 +260,46 @@ def view_definitions(raw, s, dd, idiv, ser, dser) -> dict[str, str]:
                    l.l_extendedprice * (0.2 - l.l_discount) AS cs_net_profit
             FROM {fact}
             WHERE l.l_returnflag <> 'R'""",
+        "store_returns": f"""
+            SELECT {shipped} AS sr_returned_date_sk,
+                   l.l_partkey AS sr_item_sk, l.l_orderkey AS sr_ticket_number,
+                   o.o_custkey AS sr_customer_sk, l.l_suppkey AS sr_store_sk,
+                   mod(l.l_orderkey * 13 + l.l_linenumber * 31, 7200) AS sr_cdemo_sk,
+                   mod(l.l_linenumber * 11 + l.l_orderkey, 55) AS sr_reason_sk,
+                   l.l_quantity AS sr_return_quantity,
+                   l.l_extendedprice * l.l_discount AS sr_return_amt,
+                   l.l_extendedprice * l.l_tax AS sr_net_loss,
+                   l.l_extendedprice * 0.05 AS sr_fee
+            FROM {rfact}""",
+        "catalog_returns": f"""
+            SELECT {shipped} AS cr_returned_date_sk,
+                   l.l_partkey AS cr_item_sk, l.l_orderkey AS cr_order_number,
+                   o.o_custkey AS cr_returning_customer_sk,
+                   o.o_custkey AS cr_returning_addr_sk,
+                   mod(l.l_suppkey, 6) AS cr_call_center_sk,
+                   l.l_quantity AS cr_return_quantity,
+                   l.l_extendedprice * l.l_discount AS cr_return_amount,
+                   l.l_extendedprice * (l.l_discount + l.l_tax) AS cr_return_amt_inc_tax,
+                   l.l_extendedprice * l.l_tax AS cr_net_loss,
+                   l.l_extendedprice * l.l_discount * 0.5 AS cr_refunded_cash,
+                   l.l_extendedprice * l.l_discount * 0.3 AS cr_reversed_charge,
+                   l.l_extendedprice * l.l_discount * 0.2 AS cr_store_credit
+            FROM {rfact}""",
+        "web_returns": f"""
+            SELECT {shipped} AS wr_returned_date_sk,
+                   l.l_partkey AS wr_item_sk, l.l_orderkey AS wr_order_number,
+                   o.o_custkey AS wr_returning_customer_sk,
+                   o.o_custkey AS wr_refunded_addr_sk,
+                   mod(l.l_orderkey * 13 + l.l_linenumber * 31, 7200) AS wr_refunded_cdemo_sk,
+                   mod(l.l_orderkey * 17 + l.l_linenumber * 23, 7200) AS wr_returning_cdemo_sk,
+                   mod(l.l_orderkey * 3, 60) AS wr_web_page_sk,
+                   mod(l.l_linenumber * 11 + l.l_orderkey, 55) AS wr_reason_sk,
+                   l.l_quantity AS wr_return_quantity,
+                   l.l_extendedprice * l.l_discount AS wr_return_amt,
+                   l.l_extendedprice * l.l_tax AS wr_net_loss,
+                   l.l_extendedprice * l.l_discount * 0.5 AS wr_refunded_cash,
+                   l.l_extendedprice * 0.05 AS wr_fee
+            FROM {rfact}""",
         "web_sales": f"""
             SELECT {sold} AS ws_sold_date_sk,
                    {shipped} AS ws_ship_date_sk,
@@ -220,9 +309,17 @@ def view_definitions(raw, s, dd, idiv, ser, dser) -> dict[str, str]:
                    mod(l.l_orderkey + l.l_linenumber, 20) AS ws_ship_mode_sk,
                    mod(l.l_orderkey, 30) AS ws_web_site_sk,
                    mod(l.l_orderkey * 3, 60) AS ws_web_page_sk,
+                   o.o_custkey AS ws_bill_addr_sk,
+                   o.o_custkey AS ws_ship_addr_sk,
+                   mod(l.l_orderkey * 181 + l.l_linenumber * 7919, 86400)
+                       AS ws_sold_time_sk,
+                   mod(l.l_orderkey * 17 + l.l_linenumber * 23, 7200) AS ws_ship_hdemo_sk,
                    l.l_orderkey AS ws_order_number,
                    l.l_quantity AS ws_quantity,
+                   l.l_extendedprice / l.l_quantity AS ws_sales_price,
                    l.l_extendedprice AS ws_ext_sales_price,
+                   l.l_extendedprice * l.l_discount AS ws_ext_discount_amt,
+                   l.l_extendedprice * l.l_tax AS ws_ext_ship_cost,
                    l.l_extendedprice * (1 - l.l_discount) AS ws_net_paid,
                    l.l_extendedprice * (0.2 - l.l_discount) AS ws_net_profit
             FROM {fact}
@@ -237,7 +334,7 @@ def _spark_lambdas(sf_dir_tables: bool):
         idiv=lambda a, b: f"({a} DIV {b})",
         ser=lambda lo, hi: f"(SELECT explode(sequence({lo}, {hi})) AS i)",
         dser=lambda: ("(SELECT explode(sequence(DATE '1995-01-01', "
-                      "DATE '2001-12-31', INTERVAL 1 DAY)) AS d)"),
+                      "DATE '2002-12-31', INTERVAL 1 DAY)) AS d)"),
     )
 
 
@@ -273,7 +370,7 @@ def register_tpcds_duckdb(con, sf_dir: str, database: str = "tpcds",
         idiv=lambda a, b: f"({a} // {b})",
         ser=lambda lo, hi: f"(SELECT unnest(generate_series({lo}, {hi})) AS i)",
         dser=lambda: ("(SELECT CAST(unnest(generate_series(DATE '1995-01-01', "
-                      "DATE '2001-12-31', INTERVAL 1 DAY)) AS DATE) AS d)"),
+                      "DATE '2002-12-31', INTERVAL 1 DAY)) AS DATE) AS d)"),
     )
     for table, body in defs.items():
         con.execute(

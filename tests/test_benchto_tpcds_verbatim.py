@@ -31,11 +31,22 @@ pytestmark = pytest.mark.skipif(
     not os.path.isdir(BENCHTO_DIR), reason="reference benchto SQL not present"
 )
 
-# The subset whose tables the adapter synthesizes (mix of simple star
+# Every reference file whose tables the adapter synthesizes — star
 # aggregates, demographic joins, derived-table towers, latency buckets,
-# and the q65 below-store-average correlated shape).
-QUERIES = ["q03", "q07", "q20", "q42", "q52", "q55",
-           "q62", "q65", "q73", "q79", "q96", "q98"]
+# correlated averages, EXISTS batteries, returns joins, rollups, and the
+# q65 below-store-average shape. 45 of the reference's 99 files run
+# VERBATIM. q27 is excluded: its d_year = 2002 gate is beyond the driver
+# data's 1995-2001 span, making the base empty — and GROUP BY ROLLUP over
+# an EMPTY input is an engine semantic difference (DuckDB/standard emit
+# the grand-total grouping-set row, Spark emits none), so the file cannot
+# value-match on this data. The q27 SHAPE is covered by the adapted
+# registry query tpcds_q27 (operators/tpcds2.py).
+QUERIES = ["q03", "q06", "q07", "q09", "q13", "q19", "q20", "q26",
+           "q33", "q34", "q35", "q36", "q41", "q42", "q45", "q46", "q48",
+           "q50", "q52", "q53", "q55", "q56", "q60", "q61", "q62", "q63",
+           "q65", "q68", "q69", "q71", "q73", "q79", "q84", "q85", "q88",
+           "q90", "q91", "q92", "q93", "q94", "q95", "q96", "q97", "q98",
+           "q99"]
 
 
 def _load(name: str) -> str:
@@ -93,6 +104,7 @@ def test_benchto_tpcds_file_verbatim(engine, oracle, name):
 
 def test_benchto_tpcds_nonempty_coverage(oracle):
     """The adapter's synthesized domains must make the reference predicates
-    select data: at least 10 of the 12 files return ≥1 row."""
+    select data: at least 30 of the files return ≥1 row (a handful are
+    legitimately empty at sf0.001 — ultra-selective attribute batteries)."""
     nonempty = sum(1 for name in QUERIES if oracle.execute(_load(name)).fetchall())
-    assert nonempty >= 10, f"only {nonempty}/{len(QUERIES)} files return rows"
+    assert nonempty >= 30, f"only {nonempty}/{len(QUERIES)} files return rows"
