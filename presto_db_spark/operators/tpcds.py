@@ -3402,25 +3402,25 @@ def tpcds_q45(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q45 shape (tpcds/q45.sql: revenue by geography where the row
     passes EITHER a literal zip-list filter OR membership in an
     IN-subquery item list — the disjunctive cross-dimension gate that
-    can't become a plain semi-join). The item list is dim-derived and
-    broadcast as an isin (the reference's IN-subquery over item); the OR
-    stays a residual predicate on the joined frame. Scale: quarter
-    pruning first, broadcast dim joins, one rollup shuffle."""
+    can't become a plain semi-join). The item list stays DISTRIBUTED: the
+    filtered dim broadcasts into a LEFT join and the OR tests the join
+    key's non-nullness — no driver-side collect, so the pattern survives
+    a selective-on-a-big-dim subquery at 100 TB (r04 verdict wart #1).
+    Scale: quarter pruning first, broadcast dim joins, one rollup
+    shuffle."""
     li, orders, cust, part = _t(spark, sf_dir, "lineitem", "orders", "customer", "part")
-    item_ids = [
-        r.p_partkey
-        for r in part.filter(
-            F.col("p_partkey").isin(2, 3, 5, 7, 11, 13, 17, 19, 23, 29)
-        ).select("p_partkey").collect()
-    ]
+    sel_items = part.filter(
+        F.col("p_partkey").isin(2, 3, 5, 7, 11, 13, 17, 19, 23, 29)
+    ).select(F.col("p_partkey").alias("sel_partkey"))
     j = (
         li.join(orders.filter(
             (F.quarter("o_orderdate") == 2) & (F.year("o_orderdate") == 1996)),
             F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(sel_items), F.col("sel_partkey") == F.col("l_partkey"), "left")
         .filter(
             F.col("c_nationkey").isin(3, 7, 11, 15, 19)
-            | F.col("l_partkey").isin(item_ids)
+            | F.col("sel_partkey").isNotNull()
         )
     )
     return (
