@@ -655,6 +655,41 @@ _LITERAL_FORMAT_REWRITES: dict[str, tuple[str, object]] = {
 }
 
 
+def _pass_bare_varchar(tokens: list[str]) -> list[str]:
+    """Presto allows unparameterized ``VARCHAR`` in CAST/type positions
+    (product-test ``castAccessible``); Spark's parser requires a length or
+    STRING. Rewrite bare VARCHAR (not followed by '(') to STRING."""
+    out = list(tokens)
+    for i, t in enumerate(out):
+        if _is_ident(t) and _ident_name(t) == "varchar":
+            j = _next(out, i + 1)
+            if not (j < len(out) and out[j] == "("):
+                out[i] = "STRING"
+    return out
+
+
+def _pass_map_constructor(tokens: list[str]) -> list[str]:
+    """Presto's two-argument ``MAP(ARRAY[...], ARRAY[...])`` constructor →
+    Spark ``map_from_arrays`` (Spark's own ``map(k, v, ...)`` takes
+    interleaved pairs, so a 2-arg Presto MAP is unambiguous: Presto has no
+    other 2-arg MAP form)."""
+    out: list[str] = []
+    i = 0
+    while i < len(tokens):
+        t = tokens[i]
+        j = _next(tokens, i + 1)
+        if (_is_ident(t) and _ident_name(t) == "map"
+                and j < len(tokens) and tokens[j] == "("):
+            close, arg_spans = _split_args(tokens, j)
+            if len(arg_spans) == 2:
+                out.append("map_from_arrays")
+                i += 1
+                continue
+        out.append(t)
+        i += 1
+    return out
+
+
 def _pass_order_nulls(tokens: list[str]) -> list[str]:
     """Presto's default NULL ordering is nulls-largest (NULLS LAST for
     ASC, NULLS FIRST for DESC — product-test golden corpus
@@ -828,6 +863,8 @@ def rewrite_presto_sql(query: str, *, catalogs: frozenset[str] = DEFAULT_CATALOG
     tokens = _pass_unnest(tokens)
     tokens = _TOKEN.findall("".join(tokens))
     tokens = _pass_order_nulls(tokens)
+    tokens = _pass_bare_varchar(tokens)
+    tokens = _pass_map_constructor(tokens)
     tokens = _pass_arg_templates(tokens)
     tokens = _TOKEN.findall("".join(tokens))
     # to fixpoint: a rewritten call may carry nested rewritable calls

@@ -55,8 +55,9 @@ SPEC_REGIONS = [(0, "AFRICA"), (1, "AMERICA"), (2, "ASIA"), (3, "EUROPE"),
 # format, not values).
 DIRS = ["select_no_from", "horology_functions", "order_by", "group-by",
         "distinct", "limit", "aggregate", "string_functions",
-        "math_functions", "array_functions"]
-AVAILABLE = {"nation", "region", "workers", "datatype"}
+        "math_functions", "array_functions", "convertion_functions",
+        "map_functions", "empty_table", "functions/conditional-expressions"]
+AVAILABLE = {"nation", "region", "workers", "datatype", "empty"}
 # tpch.tiny.<t> references rewritten to tiny_<t> (unprefixed columns).
 TINY_OK = {"nation"}
 
@@ -196,6 +197,7 @@ def engine(spark):
             None if c[7] is None else int(c[7]),
         ),
     )
+    spark.createDataFrame([], "c1 int, c2 string").createOrReplaceTempView("empty")
     load_fixture(
         "datatype",
         "c_bigint long, c_double double, c_string string, c_date date, "
