@@ -29,6 +29,11 @@ _EXECUTE_RE = re.compile(r"(?is)^\s*EXECUTE\s+([A-Za-z_][A-Za-z0-9_]*)\s*(?:\s+U
 _DEALLOCATE_RE = re.compile(r"(?is)^\s*DEALLOCATE\s+PREPARE\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$")
 _DESCRIBE_IO_RE = re.compile(r"(?is)^\s*DESCRIBE\s+(INPUT|OUTPUT)\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$")
 _SHOW_STATS_RE = re.compile(r"(?is)^\s*SHOW\s+STATS\s+FOR\s+([A-Za-z_][A-Za-z0-9_.]*)\s*;?\s*$")
+_SET_SESSION_RE = re.compile(
+    r"(?is)^\s*SET\s+SESSION\s+([A-Za-z_][A-Za-z0-9_.]*)\s*=\s*(.+?)\s*;?\s*$")
+_RESET_SESSION_RE = re.compile(
+    r"(?is)^\s*RESET\s+SESSION\s+([A-Za-z_][A-Za-z0-9_.]*)\s*;?\s*$")
+_SHOW_SESSION_RE = re.compile(r"(?is)^\s*SHOW\s+SESSION\s*;?\s*$")
 
 
 class Engine(DdlMixin):
@@ -43,6 +48,8 @@ class Engine(DdlMixin):
         # pm/execution/PrepareTask.java) — raw text, parameters bound and
         # the dialect applied at EXECUTE time.
         self.prepared: dict[str, str] = {}
+        # SET SESSION overrides, surfaced by SHOW SESSION.
+        self.session_props: dict[str, str] = {}
         if sf_dir:
             self.attach(sf_dir)
 
@@ -129,6 +136,28 @@ class Engine(DdlMixin):
             # SHOW STATS FOR t (ShowStatsRewrite.java) — Spark has no such
             # statement; computed by DdlMixin.show_stats.
             return self.show_stats(m.group(1).split(".")[-1])
+        m = _SET_SESSION_RE.match(query)
+        if m:
+            # SET SESSION prop = value (SqlBase.g4 setSession;
+            # pm/execution/SetSessionTask.java) — value is a literal.
+            name, raw = m.group(1).lower(), m.group(2).strip()
+            value = raw[1:-1] if raw.startswith("'") and raw.endswith("'") else raw
+            if value.lower() in ("true", "false"):
+                value = value.lower() == "true"
+            self.set_session(name, value)
+            self.session_props[name] = str(value)
+            return self.spark.createDataFrame([("SET SESSION",)], "result: string")
+        m = _RESET_SESSION_RE.match(query)
+        if m:
+            # RESET SESSION prop (ResetSessionTask.java): drop the override.
+            self.session_props.pop(m.group(1).lower(), None)
+            return self.spark.createDataFrame([("RESET SESSION",)], "result: string")
+        if _SHOW_SESSION_RE.match(query):
+            # SHOW SESSION (ShowSessionTask...): the properties this session
+            # has explicitly set (name, value) — the reference also lists
+            # defaults; ours shows the overridden subset.
+            rows = sorted(self.session_props.items())
+            return self.spark.createDataFrame(rows or [], "name: string, value: string")
         return None
 
     def _lookup_prepared(self, name: str) -> str:

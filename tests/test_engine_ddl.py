@@ -220,3 +220,28 @@ def test_show_stats(engine):
     assert abs(ck.distinct_values_count - n) / n < 0.1
     assert rows["c_mktsegment"].data_size > 0
     assert engine.show_stats("nation").count() == 4  # 3 cols + summary
+
+
+def test_session_statements(engine):
+    """SET SESSION / SHOW SESSION / RESET SESSION through Engine.sql
+    (SqlBase.g4 setSession/resetSession; SetSessionTask.java): property
+    names map to Spark confs via the session-property table, overrides are
+    visible in SHOW SESSION, and RESET drops them."""
+    assert engine.sql(
+        "SET SESSION hash_partition_count = 16"
+    ).collect()[0].result == "SET SESSION"
+    assert engine.spark.conf.get("spark.sql.shuffle.partitions") == "16"
+    assert engine.sql(
+        "SET SESSION join_distribution_type = 'BROADCAST';"
+    ).collect()[0].result == "SET SESSION"
+    rows = {r.name: r.value for r in engine.sql("SHOW SESSION").collect()}
+    assert rows["hash_partition_count"] == "16"
+    assert rows["join_distribution_type"] == "BROADCAST"
+    assert engine.sql(
+        "RESET SESSION hash_partition_count"
+    ).collect()[0].result == "RESET SESSION"
+    rows = {r.name: r.value for r in engine.sql("SHOW SESSION").collect()}
+    assert "hash_partition_count" not in rows
+    # restore defaults for the shared session
+    engine.set_session("hash_partition_count", 32)
+    engine.set_session("join_distribution_type", "AUTOMATIC")
