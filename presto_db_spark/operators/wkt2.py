@@ -547,3 +547,93 @@ def geo_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(keep, lambda i: F.round(F.element_at(xs, i), 6)).alias("out_xs"),
         F.transform(keep, lambda i: F.round(F.element_at(ys, i), 6)).alias("out_ys"),
     ).orderBy("gid")
+
+
+# --- accessor battery: Start/End/PointN/Dimension/IsEmpty/CoordDim ---------
+
+@_q(
+    "geo_wkt_accessors",
+    f"""
+WITH g AS (
+  SELECT c_custkey AS gid,
+         ('LINESTRING (' || CAST((c_custkey * 11) % 500 AS STRING) || ' ' ||
+          CAST((c_custkey * 19) % 500 AS STRING) || ', ' ||
+          CAST((c_custkey * 23) % 500 AS STRING) || ' ' ||
+          CAST((c_custkey * 29) % 500 AS STRING) || ', ' ||
+          CAST((c_custkey * 31) % 500 AS STRING) || ' ' ||
+          CAST((c_custkey * 41) % 500 AS STRING) || ')') AS lw,
+         ('POINT (' || CAST((c_custkey * 37) % 1000 AS STRING) || ' ' ||
+          CAST((c_custkey * 73) % 1000 AS STRING) || ')') AS pw
+  FROM customer WHERE c_custkey < 400
+), parsed AS (
+  SELECT gid, lw, pw,
+         regexp_extract(lw, '^\\s*([A-Z]+)', 1) AS ltype,
+         regexp_extract(pw, '^\\s*([A-Z]+)', 1) AS ptype,
+         list_transform(string_split(trim(regexp_replace(lw, '[^0-9,.\\- ]', '', 'g')), ','), p -> CAST(string_split_regex(trim(p), ' +')[1] AS DOUBLE)) AS xs,
+         list_transform(string_split(trim(regexp_replace(lw, '[^0-9,.\\- ]', '', 'g')), ','), p -> CAST(string_split_regex(trim(p), ' +')[2] AS DOUBLE)) AS ys
+  FROM g
+)
+SELECT gid,
+       'ST_' || ltype AS l_geometry_type,
+       'ST_' || ptype AS p_geometry_type,
+       CASE ltype WHEN 'POINT' THEN 0 WHEN 'LINESTRING' THEN 1 ELSE 2 END AS l_dimension,
+       CASE ptype WHEN 'POINT' THEN 0 WHEN 'LINESTRING' THEN 1 ELSE 2 END AS p_dimension,
+       2 AS coord_dim,
+       (len(xs) = 0) AS is_empty,
+       round(xs[1], 6) AS start_x, round(ys[1], 6) AS start_y,
+       round(xs[-1], 6) AS end_x, round(ys[-1], 6) AS end_y,
+       round(xs[2], 6) AS p2_x, round(ys[2], 6) AS p2_y,
+       'MULTIPOINT ((' || CAST(CAST(xs[1] AS BIGINT) AS STRING) || ' ' ||
+         CAST(CAST(ys[1] AS BIGINT) AS STRING) || '), (' ||
+         CAST(CAST(xs[-1] AS BIGINT) AS STRING) || ' ' ||
+         CAST(CAST(ys[-1] AS BIGINT) AS STRING) || '))' AS boundary
+FROM parsed
+ORDER BY gid
+""",
+)
+def geo_wkt_accessors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometry accessor battery (GeoFunctions.java): ST_GeometryType
+    (:~type prefix with the reference's 'ST_' spelling), ST_Dimension
+    (:340), ST_CoordDim (:332 — always 2 in the planar model), ST_IsEmpty
+    (:368), ST_StartPoint (:745) / ST_EndPoint (:779) / ST_PointN (:668)
+    on the LINESTRING subtype, and ST_Boundary (:859) of a linestring =
+    the MULTIPOINT of its endpoints. Pure projections — fuse into the
+    scan."""
+    (cust,) = _t(spark, sf_dir, "customer")
+    from .wkt import st_geometry_type, st_xs, st_ys
+
+    g = cust.filter(F.col("c_custkey") < 400).selectExpr(
+        "c_custkey AS gid",
+        "('LINESTRING (' || CAST((c_custkey * 11) % 500 AS STRING) || ' ' || "
+        "CAST((c_custkey * 19) % 500 AS STRING) || ', ' || "
+        "CAST((c_custkey * 23) % 500 AS STRING) || ' ' || "
+        "CAST((c_custkey * 29) % 500 AS STRING) || ', ' || "
+        "CAST((c_custkey * 31) % 500 AS STRING) || ' ' || "
+        "CAST((c_custkey * 41) % 500 AS STRING) || ')') AS lw",
+        "('POINT (' || CAST((c_custkey * 37) % 1000 AS STRING) || ' ' || "
+        "CAST((c_custkey * 73) % 1000 AS STRING) || ')') AS pw",
+    )
+    xs, ys = st_xs(F.col("lw")), st_ys(F.col("lw"))
+    ltype = st_geometry_type(F.col("lw"))
+    ptype = st_geometry_type(F.col("pw"))
+    dim = lambda t: F.when(t == "POINT", 0).when(t == "LINESTRING", 1).otherwise(2)  # noqa: E731
+    bpt = lambda v: F.element_at(v, 1).cast("bigint").cast("string")  # noqa: E731
+    ept = lambda v: F.element_at(v, -1).cast("bigint").cast("string")  # noqa: E731
+    return g.select(
+        "gid",
+        F.concat(F.lit("ST_"), ltype).alias("l_geometry_type"),
+        F.concat(F.lit("ST_"), ptype).alias("p_geometry_type"),
+        dim(ltype).alias("l_dimension"), dim(ptype).alias("p_dimension"),
+        F.lit(2).alias("coord_dim"),
+        (F.size(xs) == 0).alias("is_empty"),
+        F.round(F.element_at(xs, 1), 6).alias("start_x"),
+        F.round(F.element_at(ys, 1), 6).alias("start_y"),
+        F.round(F.element_at(xs, -1), 6).alias("end_x"),
+        F.round(F.element_at(ys, -1), 6).alias("end_y"),
+        F.round(F.element_at(xs, 2), 6).alias("p2_x"),
+        F.round(F.element_at(ys, 2), 6).alias("p2_y"),
+        F.concat(
+            F.lit("MULTIPOINT (("), bpt(xs), F.lit(" "), bpt(ys),
+            F.lit("), ("), ept(xs), F.lit(" "), ept(ys), F.lit("))"),
+        ).alias("boundary"),
+    ).orderBy("gid")

@@ -183,7 +183,7 @@ def test_adaptive_digest_accuracy_bound_on_skew(spark, sf_dir):
 @pytest.mark.parametrize(
     "name",
     ["geo_wkt_multi", "geo_wkt_polygon_holes", "geo_union_agg_points",
-     "geo_union_envelope_area", "geo_simplify"],
+     "geo_union_envelope_area", "geo_simplify", "geo_wkt_accessors"],
 )
 def test_wkt2_vs_duckdb(spark, sf_dir, name):
     from presto_db_spark.operators import wkt2
