@@ -58,6 +58,18 @@ RENAMES: dict[str, str] = {
     "approx_distinct": "approx_count_distinct",
     # ROW(a, b) constructor (SqlBase.g4 rowConstructor) → struct(a, b).
     "row": "struct",
+    # StringFunctions.java levenshtein_distance → Spark levenshtein
+    "levenshtein_distance": "levenshtein",
+    # DateTimeFunctions.java last_day_of_month → Spark last_day
+    "last_day_of_month": "last_day",
+    # StringFunctions.java format (printf-style) → Spark format_string
+    "format": "format_string",
+    # MathFunctions.java is_nan → Spark isnan
+    "is_nan": "isnan",
+    # ZipFunction.java zip → Spark arrays_zip (struct field names differ:
+    # Spark uses the source column names / ordinals — positional access
+    # is identical)
+    "zip": "arrays_zip",
 }
 
 # name -> {arity: trailing args to append}. Fires only at the given arity.
@@ -770,18 +782,36 @@ def _pass_order_nulls(tokens: list[str]) -> list[str]:
 # population form n·m4/m2² − 3. Algebra: presto = (n−1)/((n−2)(n−3)) ·
 # ((n+1)(spark+3) − 3(n−1)) — numerically stable because Spark's moment
 # state is, no raw power sums.
-_ARG_TEMPLATES: dict[str, str] = {
-    "kurtosis": (
+_ARG_TEMPLATES: dict[str, dict[int, str]] = {
+    "kurtosis": {1: (
         "(CASE WHEN count({a}) < 4 THEN CAST(NULL AS DOUBLE) ELSE "
         "((count({a}) - 1.0) / ((count({a}) - 2.0) * (count({a}) - 3.0))) * "
         "((count({a}) + 1.0) * (kurtosis({a}) + 3.0) - 3.0 * (count({a}) - 1.0)) "
         "END)"
-    ),
+    )},
+    # MathFunctions.java truncate(double): round toward zero.
+    "truncate": {1: (
+        "(CASE WHEN ({a}) >= 0 THEN floor({a}) ELSE ceil({a}) END)"
+    )},
+    # BitwiseFunctions.java bit_count(x, bits): population count of x's
+    # low `bits` two's-complement bits; Spark's bit_count is 64-bit only,
+    # so mask to the width (for 64 the mask is -1 = all bits).
+    "bit_count": {2: (
+        "bit_count(({a}) & (CASE WHEN ({b}) = 64 THEN -1 "
+        "ELSE (CAST(1 AS BIGINT) << ({b})) - 1 END))"
+    )},
 }
+
+# DateTimeFunctions.java date_add('unit', n, x) / date_diff('unit', a, b):
+# the unit is a string literal; Spark spells these timestampadd /
+# timestampdiff with an IDENTIFIER unit. Only literal units rewrite.
+_DATE_UNIT_FNS = {"date_add": "timestampadd", "date_diff": "timestampdiff"}
+_DATE_UNITS = {"millisecond", "second", "minute", "hour", "day", "week",
+               "month", "quarter", "year"}
 
 
 def _pass_arg_templates(tokens: list[str]) -> list[str]:
-    """Single-argument template rewrites (run ONCE, outside the call-pass
+    """Arity-keyed template rewrites (run ONCE, outside the call-pass
     fixpoint, so a template may legally mention its own source name)."""
     out: list[str] = []
     i = 0
@@ -789,13 +819,26 @@ def _pass_arg_templates(tokens: list[str]) -> list[str]:
         t = tokens[i]
         low = t.lower()
         j = _next(tokens, i + 1)
-        if low in _ARG_TEMPLATES and j < len(tokens) and tokens[j] == "(":
+        is_call = j < len(tokens) and tokens[j] == "("
+        if is_call and low in _ARG_TEMPLATES:
             close, arg_spans = _split_args(tokens, j)
-            if len(arg_spans) == 1:
-                arg = "".join(tokens[arg_spans[0][0] : arg_spans[0][1]]).strip()
-                out.append(_ARG_TEMPLATES[low].format(a=arg))
+            tmpl = _ARG_TEMPLATES[low].get(len(arg_spans))
+            if tmpl is not None:
+                args = ["".join(tokens[s:e]).strip() for s, e in arg_spans]
+                names = dict(zip("abc", args))
+                out.append(tmpl.format(**names))
                 i = close + 1
                 continue
+        if is_call and low in _DATE_UNIT_FNS:
+            close, arg_spans = _split_args(tokens, j)
+            if len(arg_spans) == 3:
+                unit = _single_string_arg(tokens, arg_spans[0])
+                if unit is not None and unit.lower() in _DATE_UNITS:
+                    a2 = "".join(tokens[arg_spans[1][0] : arg_spans[1][1]]).strip()
+                    a3 = "".join(tokens[arg_spans[2][0] : arg_spans[2][1]]).strip()
+                    out.append(f"{_DATE_UNIT_FNS[low]}({unit.upper()}, {a2}, {a3})")
+                    i = close + 1
+                    continue
         out.append(t)
         i += 1
     return out

@@ -375,6 +375,31 @@ _SQL_FUNCTIONS = [
     "aggregate(zip_with(a, b, (x, y) -> x * y), cast(0.0 as double), (s, v) -> s + v) / "
     "(sqrt(aggregate(a, cast(0.0 as double), (s, v) -> s + v * v)) * "
     " sqrt(aggregate(b, cast(0.0 as double), (s, v) -> s + v * v)))",
+    # cosine_similarity over SPARSE maps — the reference's native form
+    # (MathFunctions.java cosineSimilarity(map, map)): dot over the key
+    # intersection, norms over each map's values.
+    "CREATE OR REPLACE TEMPORARY FUNCTION cosine_similarity"
+    "(a MAP<STRING, DOUBLE>, b MAP<STRING, DOUBLE>) RETURNS DOUBLE RETURN "
+    "aggregate(map_keys(a), cast(0.0 as double), "
+    " (s, k) -> s + element_at(a, k) * coalesce(element_at(b, k), cast(0.0 as double))) / "
+    "(sqrt(aggregate(map_values(a), cast(0.0 as double), (s, v) -> s + v * v)) * "
+    " sqrt(aggregate(map_values(b), cast(0.0 as double), (s, v) -> s + v * v)))",
+    # MathFunctions.java nan()/infinity()/is_finite/is_infinite.
+    "CREATE OR REPLACE TEMPORARY FUNCTION nan() RETURNS DOUBLE "
+    "RETURN CAST('NaN' AS DOUBLE)",
+    "CREATE OR REPLACE TEMPORARY FUNCTION infinity() RETURNS DOUBLE "
+    "RETURN CAST('Infinity' AS DOUBLE)",
+    "CREATE OR REPLACE TEMPORARY FUNCTION is_finite(x DOUBLE) RETURNS BOOLEAN "
+    "RETURN NOT isnan(x) AND abs(x) <> CAST('Infinity' AS DOUBLE)",
+    "CREATE OR REPLACE TEMPORARY FUNCTION is_infinite(x DOUBLE) RETURNS BOOLEAN "
+    "RETURN abs(x) = CAST('Infinity' AS DOUBLE)",
+    # StringFunctions.java strrpos: 1-based position of the LAST occurrence
+    # (0 when absent) — found by searching the reversed strings.
+    "CREATE OR REPLACE TEMPORARY FUNCTION strrpos(s STRING, sub STRING) "
+    "RETURNS BIGINT RETURN CASE "
+    "WHEN length(sub) = 0 THEN length(s) + 1 "
+    "WHEN position(reverse(sub), reverse(s)) = 0 THEN 0 "
+    "ELSE length(s) - position(reverse(sub), reverse(s)) - length(sub) + 2 END",
 ]
 
 

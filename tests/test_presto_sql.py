@@ -464,3 +464,36 @@ def test_dialect_json_size_literal_path_jvm(engine):
         "       json_size('{\"a\": 7}', '$.missing') d"
     ).collect()[0]
     assert (rows.a, rows.b, rows.c, rows.d) == (3, 1, 0, None)
+
+
+def test_function_surface_widening_r5(engine):
+    """Round-5 SQL-surface additions (reference citations in
+    functions/presto.py + dialect.py): levenshtein_distance,
+    unit-literal date_add/date_diff, last_day_of_month, 2-arg bit_count,
+    truncate, sparse-map cosine_similarity, zip, strrpos, format,
+    nan/infinity/is_nan/is_finite/is_infinite."""
+    r = engine.sql(
+        "SELECT levenshtein_distance('kitten', 'sitting') AS lev, "
+        "date_diff('day', DATE '2020-01-01', DATE '2020-02-01') AS dd, "
+        "CAST(date_add('day', 5, DATE '2020-01-01') AS DATE) AS da, "
+        "last_day_of_month(DATE '2020-02-10') AS ld, "
+        "bit_count(9, 64) AS bc64, bit_count(-7, 8) AS bc8, "
+        "truncate(8.91) AS tp, truncate(-8.91) AS tn, "
+        "round(cosine_similarity(MAP(ARRAY['a','b'], ARRAY[1.0, 2.0]), "
+        "      MAP(ARRAY['a'], ARRAY[2.0])), 4) AS cs, "
+        "strrpos('ababa', 'a') AS rp, strrpos('hello', 'z') AS rp0, "
+        "is_nan(nan()) AS nn, is_finite(infinity()) AS fin, "
+        "is_infinite(infinity()) AS inf"
+    ).collect()[0]
+    import datetime
+    assert r.lev == 3 and r.dd == 31
+    assert r.da == datetime.date(2020, 1, 6)
+    assert r.ld == datetime.date(2020, 2, 29)
+    assert (r.bc64, r.bc8) == (2, 6)
+    assert (float(r.tp), float(r.tn)) == (8.0, -8.0)
+    assert r.cs == 0.4472
+    assert (r.rp, r.rp0) == (5, 0)
+    assert r.nn is True and r.fin is False and r.inf is True
+    # zip → arrays_zip: positional struct access identical
+    z = engine.sql("SELECT zip(ARRAY[1, 2], ARRAY['a', 'b'])[1] AS p").collect()[0].p
+    assert tuple(z) == (2, "b")
