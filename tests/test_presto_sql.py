@@ -494,6 +494,9 @@ def test_function_surface_widening_r5(engine):
     assert r.cs == 0.4472
     assert (r.rp, r.rp0) == (5, 0)
     assert r.nn is True and r.fin is False and r.inf is True
-    # zip → arrays_zip: positional struct access identical
-    z = engine.sql("SELECT zip(ARRAY[1, 2], ARRAY['a', 'b'])[1] AS p").collect()[0].p
+    # zip → arrays_zip: positional struct access identical (element_at is
+    # 1-based in both engines)
+    z = engine.sql(
+        "SELECT element_at(zip(ARRAY[1, 2], ARRAY['a', 'b']), 2) AS p"
+    ).collect()[0].p
     assert tuple(z) == (2, "b")
