@@ -70,6 +70,15 @@ RENAMES: dict[str, str] = {
     # Spark uses the source column names / ordinals — positional access
     # is identical)
     "zip": "arrays_zip",
+    # ArrayFunctions any_match/all_match → Spark exists/forall
+    "any_match": "exists",
+    "all_match": "forall",
+    # ArrayContains.java contains(array, x) → array_contains (Presto's
+    # `contains` IS array membership; string containment is strpos)
+    "contains": "array_contains",
+    # DateTimeFunctions.java week / day_of_month
+    "week": "weekofyear",
+    "day_of_month": "dayofmonth",
 }
 
 # name -> {arity: trailing args to append}. Fires only at the given arity.
@@ -667,6 +676,20 @@ _LITERAL_FORMAT_REWRITES: dict[str, tuple[str, object]] = {
 }
 
 
+def _pass_bare_keywords(tokens: list[str]) -> list[str]:
+    """Presto's parenthesis-free datetime keywords Spark doesn't accept
+    bare: ``localtimestamp`` → ``localtimestamp()`` (current_date /
+    current_timestamp are bare-valid in Spark already)."""
+    out: list[str] = []
+    for i, t in enumerate(tokens):
+        out.append(t)
+        if _is_ident(t) and _ident_name(t) == "localtimestamp":
+            j = _next(tokens, i + 1)
+            if not (j < len(tokens) and tokens[j] == "("):
+                out.append("()")
+    return out
+
+
 def _pass_bare_varchar(tokens: list[str]) -> list[str]:
     """Presto allows unparameterized ``VARCHAR`` in CAST/type positions
     (product-test ``castAccessible``); Spark's parser requires a length or
@@ -800,6 +823,33 @@ _ARG_TEMPLATES: dict[str, dict[int, str]] = {
         "bit_count(({a}) & (CASE WHEN ({b}) = 64 THEN -1 "
         "ELSE (CAST(1 AS BIGINT) << ({b})) - 1 END))"
     )},
+    # ArrayFunctions none_match → NOT exists.
+    "none_match": {2: "(NOT exists({a}, {b}))"},
+    # ArrayAverageFunction / ArraySumFunction (null elements ignored for
+    # average, treated as 0 for sum — the reference's documented behavior).
+    "array_average": {1: (
+        "(aggregate(filter({a}, x -> x IS NOT NULL), CAST(0.0 AS DOUBLE), "
+        "(s, x) -> s + x) / size(filter({a}, x -> x IS NOT NULL)))"
+    )},
+    "array_sum": {1: (
+        "aggregate({a}, CAST(0.0 AS DOUBLE), (s, x) -> s + coalesce(x, CAST(0.0 AS DOUBLE)))"
+    )},
+    # DateTimeFunctions.java millisecond(ts).
+    "millisecond": {1: "CAST(date_format({a}, 'SSS') AS INT)"},
+    # DateTimeFunctions.java to_milliseconds(interval day to second):
+    # decomposed via extract (Spark has no interval/interval division).
+    "to_milliseconds": {1: (
+        "CAST((extract(DAY FROM CAST({a} AS INTERVAL DAY TO SECOND)) * 86400 "
+        "+ extract(HOUR FROM CAST({a} AS INTERVAL DAY TO SECOND)) * 3600 "
+        "+ extract(MINUTE FROM CAST({a} AS INTERVAL DAY TO SECOND)) * 60 "
+        "+ extract(SECOND FROM CAST({a} AS INTERVAL DAY TO SECOND))) * 1000 AS BIGINT)"
+    )},
+    # ArrayNgramsFunction ngrams(array, n): n-element sliding windows; n
+    # beyond the array length yields one window of the whole array.
+    "ngrams": {2: (
+        "transform(sequence(1, greatest(size({a}) - ({b}) + 1, 1)), "
+        "i -> slice({a}, i, {b}))"
+    )},
 }
 
 # DateTimeFunctions.java date_add('unit', n, x) / date_diff('unit', a, b):
@@ -906,6 +956,7 @@ def rewrite_presto_sql(query: str, *, catalogs: frozenset[str] = DEFAULT_CATALOG
     tokens = _pass_unnest(tokens)
     tokens = _TOKEN.findall("".join(tokens))
     tokens = _pass_order_nulls(tokens)
+    tokens = _pass_bare_keywords(tokens)
     tokens = _pass_bare_varchar(tokens)
     tokens = _pass_map_constructor(tokens)
     tokens = _pass_arg_templates(tokens)

@@ -500,3 +500,29 @@ def test_function_surface_widening_r5(engine):
         "SELECT element_at(zip(ARRAY[1, 2], ARRAY['a', 'b']), 2) AS p"
     ).collect()[0].p
     assert tuple(z) == (2, "b")
+
+
+def test_function_surface_widening_r5b(engine):
+    """Second round-5 batch: ngrams, any/all/none_match, array_average/
+    array_sum, array contains, week/day_of_month, millisecond,
+    to_milliseconds, bare localtimestamp."""
+    r = engine.sql(
+        "SELECT ngrams(ARRAY['a','b','c'], 2) AS ng, "
+        "ngrams(ARRAY['a','b'], 5) AS ngbig, "
+        "any_match(ARRAY[1,2], x -> x > 1) AS am, "
+        "all_match(ARRAY[1,2], x -> x > 0) AS alm, "
+        "none_match(ARRAY[1,2], x -> x > 5) AS nm, "
+        "array_average(ARRAY[1.0, 2.0, NULL]) AS avg_, "
+        "array_sum(ARRAY[1, 2, NULL]) AS sum_, "
+        "contains(ARRAY[1,2], 2) AS c, "
+        "week(DATE '2020-03-05') AS wk, day_of_month(DATE '2020-03-05') AS dm, "
+        "millisecond(TIMESTAMP '2020-01-01 00:00:00.123') AS ms, "
+        "to_milliseconds(INTERVAL '2' DAY) AS tms, "
+        "(localtimestamp IS NOT NULL) AS lt"
+    ).collect()[0]
+    assert [list(g) for g in r.ng] == [["a", "b"], ["b", "c"]]
+    assert [list(g) for g in r.ngbig] == [["a", "b"]]
+    assert (r.am, r.alm, r.nm) == (True, True, True)
+    assert (r.avg_, r.sum_) == (1.5, 3.0)
+    assert r.c is True and (r.wk, r.dm) == (10, 5)
+    assert r.ms == 123 and r.tms == 172800000 and r.lt is True
