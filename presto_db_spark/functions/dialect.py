@@ -79,6 +79,11 @@ RENAMES: dict[str, str] = {
     # DateTimeFunctions.java week / day_of_month
     "week": "weekofyear",
     "day_of_month": "dayofmonth",
+    # ArbitraryAggregationFunction → any_value
+    "arbitrary": "any_value",
+    # BitwiseAndAggregation / BitwiseOrAggregation
+    "bitwise_and_agg": "bit_and",
+    "bitwise_or_agg": "bit_or",
 }
 
 # name -> {arity: trailing args to append}. Fires only at the given arity.
@@ -849,6 +854,65 @@ _ARG_TEMPLATES: dict[str, dict[int, str]] = {
     "ngrams": {2: (
         "transform(sequence(1, greatest(size({a}) - ({b}) + 1, 1)), "
         "i -> slice({a}, i, {b}))"
+    )},
+    # --- aggregate spellings (MapAggAggregationFunction & friends):
+    # Presto aggregates Spark lacks, expressed over collect_list.
+    # map_agg(k, v): one entry per distinct key (arbitrary value on dups —
+    # here the first-collected, matching Presto's arbitrary-wins contract).
+    "map_agg": {2: (
+        "map_from_arrays(array_distinct(collect_list({a})), "
+        "transform(array_distinct(collect_list({a})), k -> "
+        "element_at(filter(collect_list(struct({a} AS k, {b} AS v)), "
+        "e -> e.k <=> k), 1).v))"
+    )},
+    # MultimapAggAggregationFunction multimap_agg(k, v): k → array of v.
+    "multimap_agg": {2: (
+        "map_from_arrays(array_distinct(collect_list({a})), "
+        "transform(array_distinct(collect_list({a})), k -> "
+        "transform(filter(collect_list(struct({a} AS k, {b} AS v)), "
+        "e -> e.k <=> k), e -> e.v)))"
+    )},
+    # Histogram.java histogram(x): value → occurrence count.
+    "histogram": {1: (
+        "map_from_arrays(array_distinct(collect_list({a})), "
+        "transform(array_distinct(collect_list({a})), k -> "
+        "size(filter(collect_list({a}), y -> y <=> k))))"
+    )},
+    # GeometricMeanAggregations.java.
+    "geometric_mean": {1: "exp(avg(ln({a})))"},
+    # EntropyAggregation.java entropy(c): log-2 entropy of count weights
+    # (zero/negative counts ignored, as the reference validates).
+    "entropy": {1: (
+        "(log2(sum(CASE WHEN {a} > 0 THEN CAST({a} AS DOUBLE) END)) "
+        "- sum(CASE WHEN {a} > 0 THEN CAST({a} AS DOUBLE) * log2({a}) END) "
+        "/ sum(CASE WHEN {a} > 0 THEN CAST({a} AS DOUBLE) END))"
+    )},
+    # ChecksumAggregationFunction (:111-114 — state += hash·PRIME, an
+    # order-independent duplicate-sensitive sum): same contract with
+    # xxhash64 summed in unbounded decimal mod 2^64 (the VALUE is
+    # engine-specific, as with all hash checksums; NULL contributes 1).
+    "checksum": {1: (
+        "pmod(sum(CAST(CASE WHEN ({a}) IS NULL THEN 1 "
+        "ELSE xxhash64({a}) END AS DECIMAL(38,0))), "
+        "CAST('18446744073709551616' AS DECIMAL(38,0)))"
+    )},
+    # ReduceAggregationFunction reduce_agg(v, init, merge_in, merge_states):
+    # folded over the collected inputs; the state-merge lambda is not
+    # needed in the fold form (Spark's aggregate() is the sequential fold).
+    "reduce_agg": {4: "aggregate(collect_list({a}), {b}, {c})"},
+    # SetAggregationFunction set_agg / set_union.
+    "set_agg": {1: "array_distinct(collect_list({a}))"},
+    "set_union": {1: "array_distinct(flatten(collect_list({a})))"},
+    # MaxByNAggregationFunction max_by(x, y, n) / min_by(x, y, n).
+    "max_by": {3: (
+        "slice(transform(array_sort(collect_list(struct({b} AS k, {a} AS v)), "
+        "(l, r) -> CASE WHEN l.k > r.k THEN -1 WHEN l.k < r.k THEN 1 ELSE 0 END), "
+        "e -> e.v), 1, {c})"
+    )},
+    "min_by": {3: (
+        "slice(transform(array_sort(collect_list(struct({b} AS k, {a} AS v)), "
+        "(l, r) -> CASE WHEN l.k < r.k THEN -1 WHEN l.k > r.k THEN 1 ELSE 0 END), "
+        "e -> e.v), 1, {c})"
     )},
 }
 

@@ -526,3 +526,45 @@ def test_function_surface_widening_r5b(engine):
     assert (r.avg_, r.sum_) == (1.5, 3.0)
     assert r.c is True and (r.wk, r.dm) == (10, 5)
     assert r.ms == 123 and r.tms == 172800000 and r.lt is True
+
+
+def test_aggregate_surface_widening_r5(engine):
+    """Round-5 aggregate spellings through Engine.sql (Presto aggregation
+    names Spark lacks, expressed over collect_list — reference classes in
+    functions/dialect.py): arbitrary, map_agg, multimap_agg, histogram,
+    geometric_mean, bitwise_*_agg, checksum, entropy, reduce_agg,
+    set_agg/set_union, 3-arg max_by/min_by."""
+    r = engine.sql(
+        "SELECT map_agg(t.k, t.v) AS m, multimap_agg(t.g, t.v) AS mm, "
+        "histogram(t.g) AS h, round(geometric_mean(t.d), 4) AS gm, "
+        "bitwise_and_agg(t.v) AS ba, bitwise_or_agg(t.v) AS bo, "
+        "checksum(t.v) IS NOT NULL AS ck, "
+        "reduce_agg(t.v, 0, (a, b) -> a + b, (a, b) -> a + b) AS ra, "
+        "array_sort(set_agg(t.g)) AS sa, max_by(t.v, t.d, 2) AS m2, "
+        "arbitrary(t.g2) AS arb "
+        "FROM (VALUES (1, 10, 'a', 2.0, 'z'), (2, 12, 'b', 8.0, 'z'), "
+        "(3, 14, 'a', 4.0, 'z')) t(k, v, g, d, g2)"
+    ).collect()[0]
+    assert r.m == {1: 10, 2: 12, 3: 14}
+    assert sorted(r.mm["a"]) == [10, 14] and r.mm["b"] == [12]
+    assert r.h == {"a": 2, "b": 1}
+    assert float(r.gm) == 4.0
+    assert (r.ba, r.bo) == (10 & 12 & 14, 10 | 12 | 14)
+    assert r.ck is True and r.ra == 36
+    assert r.sa == ["a", "b"] and r.m2 == [12, 14] and r.arb == "z"
+    # entropy: log-2 entropy of count weights
+    e = engine.sql(
+        "SELECT round(entropy(t.c), 4) AS x FROM (VALUES (1), (1)) t(c)"
+    ).collect()[0].x
+    assert e == 1.0
+    # checksum is order-independent and duplicate-sensitive
+    r2 = engine.sql(
+        "SELECT checksum(t.v) AS a FROM (VALUES (1), (2), (2)) t(v)"
+    ).collect()[0].a
+    r3 = engine.sql(
+        "SELECT checksum(t.v) AS a FROM (VALUES (2), (2), (1)) t(v)"
+    ).collect()[0].a
+    r4 = engine.sql(
+        "SELECT checksum(t.v) AS a FROM (VALUES (1), (2)) t(v)"
+    ).collect()[0].a
+    assert r2 == r3 and r2 != r4
