@@ -34,6 +34,9 @@ _SET_SESSION_RE = re.compile(
 _RESET_SESSION_RE = re.compile(
     r"(?is)^\s*RESET\s+SESSION\s+([A-Za-z_][A-Za-z0-9_.]*)\s*;?\s*$")
 _SHOW_SESSION_RE = re.compile(r"(?is)^\s*SHOW\s+SESSION\s*;?\s*$")
+_EXPLAIN_RE = re.compile(
+    r"(?is)^\s*EXPLAIN\s+(?:\(\s*TYPE\s+(LOGICAL|DISTRIBUTED|IO|VALIDATE)\s*\)\s+"
+    r"|(ANALYZE)\s+)?(SELECT.+|WITH.+|VALUES.+)$")
 
 
 class Engine(DdlMixin):
@@ -152,6 +155,26 @@ class Engine(DdlMixin):
             # RESET SESSION prop (ResetSessionTask.java): drop the override.
             self.session_props.pop(m.group(1).lower(), None)
             return self.spark.createDataFrame([("RESET SESSION",)], "result: string")
+        m = _EXPLAIN_RE.match(query)
+        if m:
+            # Presto EXPLAIN [(TYPE …)] / EXPLAIN ANALYZE (SqlBase.g4
+            # explain; ExplainTask.java). TYPE LOGICAL → optimized logical
+            # plan, DISTRIBUTED/IO → the physical (exchange-annotated) plan,
+            # VALIDATE → analysis only, ANALYZE → executed plan + metrics.
+            etype, analyze, body = m.group(1), m.group(2), m.group(3)
+            body = rewrite_presto_sql(body.rstrip("; \n"),
+                                      catalogs=frozenset(self.catalogs))
+            if analyze:
+                text = self.explain_analyze(body)
+            elif etype and etype.upper() == "VALIDATE":
+                self.spark.sql(body).schema  # analyze; raises on invalid
+                return self.spark.createDataFrame([(True,)], "valid: boolean")
+            elif etype and etype.upper() == "LOGICAL":
+                text = self.explain(body, mode="extended")
+            else:
+                text = self.explain(body, mode="formatted")
+            return self.spark.createDataFrame(
+                [(text,)], "`Query Plan`: string")
         if _SHOW_SESSION_RE.match(query):
             # SHOW SESSION (ShowSessionTask...): the properties this session
             # has explicitly set (name, value) — the reference also lists

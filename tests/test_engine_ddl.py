@@ -245,3 +245,31 @@ def test_session_statements(engine):
     # restore defaults for the shared session
     engine.set_session("hash_partition_count", 32)
     engine.set_session("join_distribution_type", "AUTOMATIC")
+
+
+def test_explain_statements(engine):
+    """Presto EXPLAIN spellings through Engine.sql (SqlBase.g4 explain;
+    ExplainTask.java): plain, (TYPE LOGICAL|DISTRIBUTED|VALIDATE), and
+    EXPLAIN ANALYZE — all over dialect-rewritten bodies."""
+    import pytest
+
+    plan = engine.sql(
+        "EXPLAIN SELECT approx_distinct(c_mktsegment) FROM customer"
+    ).collect()[0][0]
+    assert "HashAggregate" in plan or "Aggregate" in plan
+    logical = engine.sql(
+        "EXPLAIN (TYPE LOGICAL) SELECT count(*) FROM customer"
+    ).collect()[0][0]
+    assert "Optimized Logical Plan" in logical or "Aggregate" in logical
+    dist = engine.sql(
+        "EXPLAIN (TYPE DISTRIBUTED) SELECT c_nationkey, count(*) "
+        "FROM customer GROUP BY 1"
+    ).collect()[0][0]
+    assert "Exchange" in dist
+    assert engine.sql(
+        "EXPLAIN (TYPE VALIDATE) SELECT 1"
+    ).collect()[0].valid is True
+    ran = engine.sql(
+        "EXPLAIN ANALYZE SELECT c_mktsegment, count(*) FROM customer GROUP BY 1"
+    ).collect()[0][0]
+    assert "HashAggregate" in ran
