@@ -637,3 +637,87 @@ def geo_wkt_accessors(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("), ("), ept(xs), F.lit(" "), ept(ys), F.lit("))"),
         ).alias("boundary"),
     ).orderBy("gid")
+
+
+# --- KdbTree-style adaptive spatial partitioning ---------------------------
+
+_KDB_RADIUS = 3.0
+
+
+@_q(
+    "geo_kdb_radius_join",
+    f"""
+WITH pts AS (
+  SELECT c_custkey AS pid,
+         CAST(c_custkey * 37 % 1000 AS DOUBLE) / 10 AS x,
+         CAST(c_custkey * 73 % 1000 AS DOUBLE) / 10 AS y
+  FROM customer WHERE c_custkey < 1500
+)
+SELECT a.pid AS id_a, b.pid AS id_b,
+       round(sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)), 6) AS dist
+FROM pts a JOIN pts b
+  ON a.pid < b.pid
+ AND sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) <= {_KDB_RADIUS}
+""",
+)
+def geo_kdb_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-radius self-join under KdbTree-STYLE adaptive spatial
+    partitioning (the reference's ``spatial_partitioning`` /
+    ``common/type/KdbTreeType.java`` + partitioned
+    ``SpatialJoinOperator``): space splits at the DATA MEDIANS — x median,
+    then per-half y medians — into 4 leaf cells, so skewed point clouds
+    get balanced partitions where a fixed grid would hotspot. The build
+    side lands in its single containing leaf; the probe side explodes to
+    every leaf its radius-envelope overlaps; the only pair-producing join
+    is the equi-join on leaf id. Pair-completeness is the oracle: DuckDB
+    runs the NAIVE O(n²) theta-join and results must match exactly.
+    Deeper trees recurse the same split; two levels demonstrate the
+    machinery. Scale: two tiny median aggregations broadcast as scalars
+    (the distributed analog of the reference's build-side tree sample);
+    no cartesian product anywhere."""
+    (cust,) = _t(spark, sf_dir, "customer")
+    ck = F.col("c_custkey")
+    pts = cust.filter(ck < 1500).select(
+        ck.alias("pid"),
+        ((ck * 37 % 1000).cast("double") / 10).alias("x"),
+        ((ck * 73 % 1000).cast("double") / 10).alias("y"),
+    )
+    r = _KDB_RADIUS
+    xm = pts.agg(F.expr("percentile(x, 0.5)").alias("xm"))
+    yms = (
+        pts.crossJoin(F.broadcast(xm))
+        .groupBy((F.col("x") < F.col("xm")).alias("left_side"))
+        .agg(F.expr("percentile(y, 0.5)").alias("ym"))
+        .agg(
+            F.max(F.when(F.col("left_side"), F.col("ym"))).alias("ym_lo"),
+            F.max(F.when(~F.col("left_side"), F.col("ym"))).alias("ym_hi"),
+        )
+    )
+    base = pts.crossJoin(F.broadcast(xm)).crossJoin(F.broadcast(yms))
+    x, y = F.col("x"), F.col("y")
+    xmv, ylo, yhi = F.col("xm"), F.col("ym_lo"), F.col("ym_hi")
+    cell = F.when(x < xmv, F.when(y < ylo, 0).otherwise(1)).otherwise(
+        F.when(y < yhi, 2).otherwise(3)
+    )
+    build = base.select(F.col("pid").alias("id_b"), x.alias("xb"), y.alias("yb"),
+                        cell.alias("cell"))
+    cand = F.filter(
+        F.array(F.lit(0), F.lit(1), F.lit(2), F.lit(3)),
+        lambda c: (
+            F.when(c == 0, (x - r < xmv) & (y - r < ylo))
+            .when(c == 1, (x - r < xmv) & (y + r >= ylo))
+            .when(c == 2, (x + r >= xmv) & (y - r < yhi))
+            .otherwise((x + r >= xmv) & (y + r >= yhi))
+        ),
+    )
+    probe = base.select(F.col("pid").alias("id_a"), x.alias("xa"), y.alias("ya"),
+                        F.explode(cand).alias("cell"))
+    dist = F.sqrt(
+        (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb"))
+        + (F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb"))
+    )
+    return (
+        probe.join(build, "cell")
+        .filter((F.col("id_a") < F.col("id_b")) & (dist <= r))
+        .select("id_a", "id_b", F.round(dist, 6).alias("dist"))
+    )

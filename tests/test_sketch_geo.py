@@ -225,3 +225,20 @@ def test_union_envelope_dissolves_overlap(spark, sf_dir):
         assert union[grp] <= sums[grp] + 1e-9
     assert any(union[g_] < sums[g_] - 1e-9 for g_ in union), (
         "fixture has no overlapping envelopes; dissolve untested")
+
+
+def test_kdb_radius_join_partitioned_no_cartesian(spark, sf_dir):
+    """The KdbTree-style spatial join's only pair-producing join must be
+    the leaf-cell equi-join — no CartesianProduct (the scalar-median
+    broadcast attaches are 1-row BroadcastNestedLoops, which is the
+    intended scalar pattern)."""
+    from presto_db_spark.operators import wkt2
+
+    df = wkt2.QUERIES["geo_kdb_radius_join"](spark, sf_dir)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    problems = check_query(
+        spark, "geo_kdb_radius_join", wkt2.QUERIES["geo_kdb_radius_join"],
+        wkt2.ORACLE.get("geo_kdb_radius_join"), sf_dir)
+    assert not problems, problems
