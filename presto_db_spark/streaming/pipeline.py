@@ -458,3 +458,145 @@ def streaming_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the documents table, staged as TWO parquet files so
+    availableNow produces TWO microbatches (maxFilesPerTrigger=1) — the
+    stateful operators genuinely carry state across batches."""
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    cache_key = "docs2:" + os.path.abspath(sf_dir)
+    stage = _STAGE_CACHE.get(cache_key)
+    if stage is None:
+        stage = tempfile.mkdtemp(prefix="docsrc_", dir=_tmp_root())
+        (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .repartitionByRange(2, "doc_id")
+            .write.mode("overwrite").parquet(stage)
+        )
+        _STAGE_CACHE[cache_key] = stage
+    schema = spark.read.parquet(stage).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+
+
+_STREAM_MINHASH_SQL = None
+
+
+def _stream_minhash_oracle() -> str:
+    from ..operators.dedup import (
+        _MH_BANDS_SQL,
+        _MH_PERM_SQL,
+        _SQL_ROLL,
+        MERSENNE31,
+        WORD_COMBINE,
+    )
+
+    bands_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, band{b} AS bkey FROM banded"
+        for b in range(4)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id,
+         string_split_regex(trim(text), '\\s+') AS words,
+         list_transform(words, w -> {_SQL_ROLL.format(s="w")} % {MERSENNE31}) AS wh,
+         list_distinct(list_transform(generate_series(1, greatest(len(words) - 2, 1)),
+             i -> ((coalesce(wh[i], 0) * {WORD_COMBINE} + coalesce(wh[i+1], 0))
+                   % {MERSENNE31} * {WORD_COMBINE} + coalesce(wh[i+2], 0))
+                  % {MERSENNE31})) AS hs
+  FROM documents
+), sigs AS (
+  SELECT doc_id, {_MH_PERM_SQL} FROM sh
+), banded AS (
+  SELECT doc_id, {_MH_BANDS_SQL} FROM sigs
+), bands AS ({bands_union})
+SELECT a.band_id AS band_id, a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b
+  ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+"""
+
+
+@_q("streaming_minhash_pairs", None)
+def streaming_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING MinHash-LSH candidate generation — the training-pipeline
+    near-dup detector as an INCREMENTAL operator: documents arrive as a
+    stream, each microbatch computes the 16-permutation signature (the
+    same Arrow UDF as batch `dedup_minhash_lsh` — math identical to the
+    oracle), band keys explode, and an applyInPandasWithState bucket
+    keeps the doc_ids previously seen per (band, key): every NEW document
+    emits a candidate pair against each EARLIER member of its bucket, so
+    near-dups are flagged the moment the second copy arrives. Output =
+    per-band candidate pairs as unordered (min, max) ids — a SET, so it
+    is arrival-order-independent and equals the batch band self-join
+    (the DuckDB oracle). Scale: state per bucket is the doc_id list —
+    ∝ collision rate, the same band-bucket bound as the batch design;
+    emission is incremental (new × earlier), never a bucket re-scan."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import ArrayType, LongType, StringType, StructField, StructType
+
+    from ..operators.dedup import N_BANDS, _band_expr, _minhash_mh_pd
+
+    stream = documents_stream(spark, sf_dir)
+    sig = stream.select(
+        "doc_id", _minhash_mh_pd()(F.col("text")).alias("mh")
+    ).select(
+        "doc_id", *[F.col("mh").getItem(k).alias(f"mh{k}") for k in range(16)]
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(bi).alias("band_id"), _band_expr("", bi).alias("bkey"))
+                    for bi in range(N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band_id").alias("band_id"), F.col("bb.bkey").alias("bkey"))
+
+    out_schema = StructType(
+        [
+            StructField("band_id", LongType()),
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+        ]
+    )
+    state_schema = StructType([StructField("ids", ArrayType(LongType()))])
+
+    def update(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        (seen,) = state.get if state.exists else ([],)
+        seen = list(seen)
+        band_id = int(key[0])
+        out_a, out_b = [], []
+        for pdf in pdf_iter:
+            for doc_id in pdf["doc_id"].astype("int64"):
+                doc_id = int(doc_id)
+                for prev in seen:
+                    lo, hi = (prev, doc_id) if prev < doc_id else (doc_id, prev)
+                    out_a.append(lo)
+                    out_b.append(hi)
+                seen.append(doc_id)
+        state.update((seen,))
+        if out_a:
+            yield pd.DataFrame(
+                {"band_id": [band_id] * len(out_a), "id_a": out_a, "id_b": out_b}
+            )
+
+    res = bands.groupBy("band_id", "bkey").applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+    raw = _run_to_completion(res, "stream_minhash", "append")
+    # a pair can only form once per bucket (new × earlier), but the same
+    # unordered pair may appear under several bands — exactly like the
+    # batch band join; keep per-band rows distinct as the oracle does.
+    return raw.select("band_id", "id_a", "id_b").distinct()
+
+
+ORACLE["streaming_minhash_pairs"] = _stream_minhash_oracle()
