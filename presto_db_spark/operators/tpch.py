@@ -867,12 +867,18 @@ LIMIT 100
 
 
 def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q22 shape (scalar-subquery average gate + NOT EXISTS anti-join).
+    The anti-join side is orders SINCE 1998 — every synthetic customer
+    has at least one lifetime order, so the reference's no-orders-ever
+    gate would be vacuously empty; 'no recent orders' keeps the
+    anti-join live (r05 vacuousness audit)."""
     cust, orders = _t(spark, sf_dir, "customer", "orders")
     avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("ab"))
     return (
         cust.crossJoin(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("ab"))
-        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(orders.filter(F.year("o_orderdate") >= 1998),
+              F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .groupBy(F.col("c_nationkey").alias("cntry"))
         .agg(
             F.count("*").alias("numcust"),
@@ -886,7 +892,8 @@ SELECT CAST(c_nationkey AS INTEGER) AS cntry, count(*) AS numcust,
        round(sum(round(c_acctbal * 100)) / 100, 2) AS totacctbal
 FROM customer
 WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
-  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND year(o_orderdate) >= 1998)
 GROUP BY c_nationkey
 """
 
