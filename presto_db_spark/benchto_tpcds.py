@@ -38,7 +38,10 @@ _STORE_NAMES = ["ought", "able", "pri", "ese", "anti",
 _CITIES = ["Fairview", "Midway", "Pleasant Hill", "Centerville", "Oakland", "Riverside"]
 _COUNTIES = ["Williamson County", "Franklin Parish", "Bronx County",
              "Orange County", "Salem County"]
-_STATES = ["TN", "SD", "AL", "GA", "TX", "OH", "OR", "WA"]
+# Chosen to intersect the corpus's state gates (q18 MS/IN/ND/OK/NM/VA,
+# q16/q30 GA, q94 IL, q69 KY/GA/NM, q85 IN/OH/NJ/WI/CT/KY/LA, q27 TN).
+_STATES = ["TN", "GA", "IN", "NM", "OH", "TX", "KY", "IL",
+           "MS", "ND", "OK", "VA", "WI", "LA", "NJ", "SD"]
 _EDUCATION = ["Primary", "Secondary", "College", "2 yr Degree",
               "4 yr Degree", "Advanced Degree", "Unknown"]
 _MARITAL = ["M", "S", "D", "W", "U"]
@@ -51,6 +54,8 @@ _COLORS = ["slate", "blanched", "burnished", "pale", "powder", "khaki",
            "forest", "ghost"]
 _UNITS = ["Ounce", "Oz", "Bunch", "Ton", "N/A", "Dozen", "Box", "Pound",
           "Pallet", "Gross", "Cup", "Dram", "Each", "Tbl", "Lb", "Bundle"]
+_DAY_NAMES = ["Thursday", "Friday", "Saturday", "Sunday",
+              "Monday", "Tuesday", "Wednesday"]
 _SIZES = ["medium", "extra large", "N/A", "small", "petite", "large", "economy"]
 
 
@@ -80,10 +85,12 @@ def view_definitions(raw, s, dd, idiv, ser, dser) -> dict[str, str]:
                    mod({dd('d')} + 4, 7) AS d_dow,
                    (year(d) - 1900) * 12 + month(d) - 1 AS d_month_seq,
                    (year(d) - 1900) * 54 + weekofyear(d) AS d_week_seq,
-                   quarter(d) AS d_qoy
+                   quarter(d) AS d_qoy,
+                   {_case_mod(dd('d') + ' + 4', _DAY_NAMES)} AS d_day_name,
+                   {s('year(d)')} || 'Q' || {s('quarter(d)')} AS d_quarter_name
             FROM {dser()}""",
         "time_dim": f"""
-            SELECT i AS t_time_sk, {idiv('i', 3600)} AS t_hour,
+            SELECT i AS t_time_sk, i AS t_time, {idiv('i', 3600)} AS t_hour,
                    mod({idiv('i', 60)}, 60) AS t_minute,
                    mod(i, 60) AS t_second,
                    CASE WHEN {idiv('i', 3600)} BETWEEN 6 AND 8 THEN 'breakfast'
@@ -94,6 +101,10 @@ def view_definitions(raw, s, dd, idiv, ser, dser) -> dict[str, str]:
             SELECT i AS r_reason_sk, 'reason_' || {s('i')} AS r_reason_id,
                    'reason_description_' || {s('i')} AS r_reason_desc
             FROM {ser(0, 54)}""",
+        "catalog_page": f"""
+            SELECT i AS cp_catalog_page_sk,
+                   'cp_id_' || {s('i')} AS cp_catalog_page_id
+            FROM {ser(0, 59)}""",
         "web_page": f"""
             SELECT i AS wp_web_page_sk, 'page_' || {s('i')} AS wp_web_page_id,
                    CASE mod(i, 2) WHEN 0 THEN 'Y' ELSE 'N' END AS wp_autogen_flag,
@@ -147,6 +158,12 @@ def view_definitions(raw, s, dd, idiv, ser, dser) -> dict[str, str]:
                    c_custkey AS c_current_addr_sk,
                    mod(c_custkey * 13, 7200) AS c_current_cdemo_sk,
                    mod(c_custkey * 17, 7200) AS c_current_hdemo_sk,
+                   'UNITED STATES' AS c_birth_country,
+                   'c_login_' || {s('c_custkey')} AS c_login,
+                   'c' || {s('c_custkey')} || '@example.com' AS c_email_address,
+                   34698 + mod(c_custkey * 7, 2500) AS c_first_sales_date_sk,
+                   34698 + mod(c_custkey * 11, 2500) AS c_first_shipto_date_sk,
+                   34698 + mod(c_custkey * 13, 2500) AS c_last_review_date_sk,
                    1 + mod(c_custkey, 28) AS c_birth_day,
                    1 + mod(c_custkey * 5, 12) AS c_birth_month,
                    1924 + mod(c_custkey * 7, 70) AS c_birth_year
@@ -158,6 +175,11 @@ def view_definitions(raw, s, dd, idiv, ser, dser) -> dict[str, str]:
                    {_case_mod('c_custkey * 7 + 2', _STATES)} AS ca_state,
                    'zip_' || {s('mod(c_custkey, 100)')} AS ca_zip,
                    'United States' AS ca_country,
+                   {s('1 + mod(c_custkey * 13, 999)')} AS ca_street_number,
+                   'Street_' || {s('mod(c_custkey * 3, 40)')} AS ca_street_name,
+                   {_case_mod('c_custkey', ['Ave', 'Blvd', 'Ct', 'Dr', 'Ln', 'St', 'Way'])} AS ca_street_type,
+                   'Suite ' || {s('mod(c_custkey, 100)')} AS ca_suite_number,
+                   {_case_mod('c_custkey * 5 + 1', ['apartment', 'condo', 'single family'])} AS ca_location_type,
                    -5.0 - mod(c_custkey, 4) AS ca_gmt_offset
             FROM {raw('customer')}""",
         # CRT domains (2·5·7 | 70, all coprime) so every (gender, marital,
@@ -190,13 +212,20 @@ def view_definitions(raw, s, dd, idiv, ser, dser) -> dict[str, str]:
             FROM {ser(0, 299)}""",
         "warehouse": f"""
             SELECT i AS w_warehouse_sk,
-                   'warehouse_number_' || {s('i')} AS w_warehouse_name
+                   'warehouse_number_' || {s('i')} AS w_warehouse_name,
+                   {_case_mod('i * 7 + 2', _STATES)} AS w_state,
+                   {_case_mod('i', _CITIES)} AS w_city,
+                   {_case_mod('i * 3 + 1', _COUNTIES)} AS w_county,
+                   'United States' AS w_country,
+                   1000 + i * 500 AS w_warehouse_sq_ft
             FROM {ser(0, 4)}""",
         "ship_mode": f"""
-            SELECT i AS sm_ship_mode_sk, {_case_mod('i', _SM_TYPES)} AS sm_type
+            SELECT i AS sm_ship_mode_sk, {_case_mod('i', _SM_TYPES)} AS sm_type,
+                   {_case_mod('i * 3 + 1', ['DHL', 'BARIAN', 'UPS', 'FEDEX', 'AIRBORNE', 'USPS'])} AS sm_carrier
             FROM {ser(0, 19)}""",
         "web_site": f"""
             SELECT i AS web_site_sk, 'site_' || {s('i')} AS web_name,
+                   'site_id_' || {s('i')} AS web_site_id,
                    {_case_mod('i', _STORE_NAMES)} AS web_company_name
             FROM {ser(0, 29)}""",
         "call_center": f"""
@@ -209,6 +238,14 @@ def view_definitions(raw, s, dd, idiv, ser, dser) -> dict[str, str]:
             SELECT i AS ib_income_band_sk, i * 10000 AS ib_lower_bound,
                    (i + 1) * 10000 - 1 AS ib_upper_bound
             FROM {ser(0, 19)}""",
+        # Inventory: one on-hand row per (item, warehouse, ship-date) from
+        # the fact — quantity plays on-hand stock.
+        "inventory": f"""
+            SELECT {shipped} AS inv_date_sk,
+                   l.l_partkey AS inv_item_sk,
+                   mod(l.l_suppkey, 5) AS inv_warehouse_sk,
+                   l.l_quantity * 10 AS inv_quantity_on_hand
+            FROM {fact}""",
         "store_sales": f"""
             SELECT {sold} AS ss_sold_date_sk,
                    mod(l.l_orderkey * 181 + l.l_linenumber * 7919, 86400)
@@ -228,6 +265,7 @@ def view_definitions(raw, s, dd, idiv, ser, dser) -> dict[str, str]:
                    l.l_extendedprice * l.l_tax AS ss_ext_tax,
                    l.l_extendedprice * l.l_discount AS ss_coupon_amt,
                    l.l_extendedprice * 0.8 AS ss_ext_wholesale_cost,
+                   l.l_extendedprice * 0.8 / l.l_quantity AS ss_wholesale_cost,
                    l.l_extendedprice * (1 - l.l_discount) AS ss_net_paid,
                    l.l_extendedprice * (0.2 - l.l_discount) AS ss_net_profit
             FROM {fact}""",
@@ -253,6 +291,11 @@ def view_definitions(raw, s, dd, idiv, ser, dser) -> dict[str, str]:
                    l.l_extendedprice * l.l_tax AS cs_ext_ship_cost,
                    l.l_extendedprice / l.l_quantity AS cs_sales_price,
                    l.l_extendedprice * (1 + l.l_tax) / l.l_quantity AS cs_list_price,
+                   l.l_extendedprice * 0.8 / l.l_quantity AS cs_wholesale_cost,
+                   l.l_extendedprice * 0.8 AS cs_ext_wholesale_cost,
+                   l.l_extendedprice * (1 - l.l_discount) * (1 + l.l_tax)
+                       AS cs_net_paid_inc_tax,
+                   mod(l.l_orderkey * 3, 60) AS cs_catalog_page_sk,
                    l.l_extendedprice AS cs_ext_sales_price,
                    l.l_extendedprice * (1 + l.l_tax) AS cs_ext_list_price,
                    l.l_extendedprice * l.l_discount AS cs_ext_discount_amt,
@@ -277,6 +320,7 @@ def view_definitions(raw, s, dd, idiv, ser, dser) -> dict[str, str]:
                    o.o_custkey AS cr_returning_customer_sk,
                    o.o_custkey AS cr_returning_addr_sk,
                    mod(l.l_suppkey, 6) AS cr_call_center_sk,
+                   mod(l.l_orderkey * 3, 60) AS cr_catalog_page_sk,
                    l.l_quantity AS cr_return_quantity,
                    l.l_extendedprice * l.l_discount AS cr_return_amount,
                    l.l_extendedprice * (l.l_discount + l.l_tax) AS cr_return_amt_inc_tax,
@@ -290,6 +334,7 @@ def view_definitions(raw, s, dd, idiv, ser, dser) -> dict[str, str]:
                    l.l_partkey AS wr_item_sk, l.l_orderkey AS wr_order_number,
                    o.o_custkey AS wr_returning_customer_sk,
                    o.o_custkey AS wr_refunded_addr_sk,
+                   o.o_custkey AS wr_returning_addr_sk,
                    mod(l.l_orderkey * 13 + l.l_linenumber * 31, 7200) AS wr_refunded_cdemo_sk,
                    mod(l.l_orderkey * 17 + l.l_linenumber * 23, 7200) AS wr_returning_cdemo_sk,
                    mod(l.l_orderkey * 3, 60) AS wr_web_page_sk,
@@ -316,7 +361,15 @@ def view_definitions(raw, s, dd, idiv, ser, dser) -> dict[str, str]:
                    mod(l.l_orderkey * 17 + l.l_linenumber * 23, 7200) AS ws_ship_hdemo_sk,
                    l.l_orderkey AS ws_order_number,
                    l.l_quantity AS ws_quantity,
+                   o.o_custkey AS ws_ship_customer_sk,
                    l.l_extendedprice / l.l_quantity AS ws_sales_price,
+                   l.l_extendedprice * (1 + l.l_tax) / l.l_quantity AS ws_list_price,
+                   l.l_extendedprice * (1 + l.l_tax) AS ws_ext_list_price,
+                   l.l_extendedprice * 0.8 AS ws_ext_wholesale_cost,
+                   l.l_extendedprice * (1 - l.l_discount) * (1 + l.l_tax)
+                       AS ws_net_paid_inc_tax,
+                   mod(l.l_orderkey * 7 + l.l_linenumber * 11, 300) AS ws_promo_sk,
+                   l.l_extendedprice * 0.8 / l.l_quantity AS ws_wholesale_cost,
                    l.l_extendedprice AS ws_ext_sales_price,
                    l.l_extendedprice * l.l_discount AS ws_ext_discount_amt,
                    l.l_extendedprice * l.l_tax AS ws_ext_ship_cost,

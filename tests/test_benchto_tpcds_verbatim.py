@@ -31,22 +31,33 @@ pytestmark = pytest.mark.skipif(
     not os.path.isdir(BENCHTO_DIR), reason="reference benchto SQL not present"
 )
 
-# Every reference file whose tables the adapter synthesizes — star
-# aggregates, demographic joins, derived-table towers, latency buckets,
-# correlated averages, EXISTS batteries, returns joins, rollups, and the
-# q65 below-store-average shape. 45 of the reference's 99 files run
-# VERBATIM. q27 is excluded: its d_year = 2002 gate is beyond the driver
-# data's 1995-2001 span, making the base empty — and GROUP BY ROLLUP over
-# an EMPTY input is an engine semantic difference (DuckDB/standard emit
-# the grand-total grouping-set row, Spark emits none), so the file cannot
-# value-match on this data. The q27 SHAPE is covered by the adapted
-# registry query tpcds_q27 (operators/tpcds2.py).
-QUERIES = ["q03", "q06", "q07", "q09", "q13", "q19", "q20", "q26",
-           "q33", "q34", "q35", "q36", "q41", "q42", "q45", "q46", "q48",
-           "q50", "q52", "q53", "q55", "q56", "q60", "q61", "q62", "q63",
-           "q65", "q68", "q69", "q71", "q73", "q79", "q84", "q85", "q88",
-           "q90", "q91", "q92", "q93", "q94", "q95", "q96", "q97", "q98",
-           "q99"]
+# EVERY file of the reference's TPC-DS benchto corpus (103 files — the
+# 99 queries, four shipped as _1/_2 variants) runs VERBATIM over the
+# adapter and value-checks against DuckDB, except two documented
+# exclusions:
+#
+# * q27, q14_1 — their gates leave the aggregation input EMPTY at this
+#   data (q27's d_year = 2002 is beyond the driver data's 1995-2001
+#   span), and GROUP BY ROLLUP over an EMPTY input is an engine semantic
+#   difference: DuckDB (per the standard's grand-total grouping set)
+#   emits one all-NULL row, Spark emits none — so the files cannot
+#   value-match HERE while both engines behave per their own semantics.
+#   Both SHAPES are covered by adapted registry queries (tpcds_q27,
+#   tpcds_q14).
+# * q78 — its ratio is round(DECIMAL / BIGINT, 2) and the data hits the
+#   exact tie 23/40 = 0.575: Spark divides in EXACT decimal and rounds
+#   HALF_UP to 0.58 — the same thing Presto's decimal arithmetic does —
+#   while DuckDB evaluates the division in double (0.5749999…) and emits
+#   0.57. Spark matches the reference here; the ORACLE is the deviant
+#   engine, so the file is excluded rather than loosening the comparator
+#   to absorb a 0.01 difference. The q78 shape is covered by the adapted
+#   registry query tpcds_q78 (exact-cents idiom on both sides).
+EXCLUDED = {"q27", "q14_1", "q78"}
+QUERIES = sorted(
+    f[:-4]
+    for f in os.listdir(BENCHTO_DIR)
+    if f.endswith(".sql") and f[:-4] not in EXCLUDED
+) if os.path.isdir(BENCHTO_DIR) else []
 
 
 def _load(name: str) -> str:
@@ -104,7 +115,7 @@ def test_benchto_tpcds_file_verbatim(engine, oracle, name):
 
 def test_benchto_tpcds_nonempty_coverage(oracle):
     """The adapter's synthesized domains must make the reference predicates
-    select data: at least 30 of the files return ≥1 row (a handful are
+    select data: at least 55 of the files return ≥1 row (the rest are
     legitimately empty at sf0.001 — ultra-selective attribute batteries)."""
     nonempty = sum(1 for name in QUERIES if oracle.execute(_load(name)).fetchall())
-    assert nonempty >= 30, f"only {nonempty}/{len(QUERIES)} files return rows"
+    assert nonempty >= 55, f"only {nonempty}/{len(QUERIES)} files return rows"
