@@ -684,9 +684,20 @@ _LITERAL_FORMAT_REWRITES: dict[str, tuple[str, object]] = {
 def _pass_bare_keywords(tokens: list[str]) -> list[str]:
     """Presto's parenthesis-free datetime keywords Spark doesn't accept
     bare: ``localtimestamp`` → ``localtimestamp()`` (current_date /
-    current_timestamp are bare-valid in Spark already)."""
+    current_timestamp are bare-valid in Spark already). Also the ANSI
+    ``DOUBLE PRECISION`` type name → ``DOUBLE``."""
     out: list[str] = []
+    skip = -1
     for i, t in enumerate(tokens):
+        if i == skip:
+            continue
+        if _is_ident(t) and _ident_name(t) == "double":
+            j = _next(tokens, i + 1)
+            if j < len(tokens) and _is_ident(tokens[j]) \
+                    and _ident_name(tokens[j]) == "precision":
+                out.append(t)
+                skip = j
+                continue
         out.append(t)
         if _is_ident(t) and _ident_name(t) == "localtimestamp":
             j = _next(tokens, i + 1)
@@ -817,6 +828,10 @@ _ARG_TEMPLATES: dict[str, dict[int, str]] = {
         "((count({a}) + 1.0) * (kurtosis({a}) + 3.0) - 3.0 * (count({a}) - 1.0)) "
         "END)"
     )},
+    # MathFunctions.java from_base / to_base (conv with fixed base-10 leg;
+    # Presto prints to_base digits lowercase, conv uppercase).
+    "from_base": {2: "CAST(conv({a}, {b}, 10) AS BIGINT)"},
+    "to_base": {2: "lower(conv({a}, 10, {b}))"},
     # MathFunctions.java truncate(double): round toward zero.
     "truncate": {1: (
         "(CASE WHEN ({a}) >= 0 THEN floor({a}) ELSE ceil({a}) END)"
