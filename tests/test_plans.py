@@ -181,3 +181,39 @@ def test_minhash_signature_single_execution(spark, sf_dir):
     s = plan.toString()
     assert "_minhash_mh_impl" not in s, "signature UDF re-executes in live plan"
     assert s.count("_minhash_grams_impl") == 2
+
+
+def test_tpcds_q72_fact_to_fact_no_cartesian(spark, sf_dir):
+    """q72 (the fact-to-fact inventory join): the only safe plan is the
+    equi-join on (partkey, week-bucket) with the quantity inequality as a
+    residual — never a cartesian/nested-loop between the two fact sides."""
+    from presto_db_spark.operators import tpcds2
+
+    df = tpcds2.QUERIES["tpcds_q72"](spark, sf_dir)
+    plan = _plan(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpcds_q64_dims_broadcast(spark, sf_dir):
+    """q64 (widest query in the corpus): every dimension side of the
+    cross_sales spine must broadcast at test scale — the fact never
+    shuffles for a dim."""
+    from presto_db_spark.operators import tpcds2
+
+    df = tpcds2.QUERIES["tpcds_q64"](spark, sf_dir)
+    plan = _plan(df, "simple")
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ship_orders_semi_anti_shape(spark, sf_dir):
+    """q16/q94: the multi-warehouse EXISTS must plan as a semi join and
+    the never-returned NOT EXISTS as an anti join — not subquery
+    re-execution."""
+    from presto_db_spark.operators import tpcds2
+
+    df = tpcds2.QUERIES["tpcds_q16"](spark, sf_dir)
+    plan = _plan(df, "simple")
+    assert "LeftSemi" in plan or "Semi" in plan
+    assert "LeftAnti" in plan or "Anti" in plan
