@@ -765,7 +765,10 @@ def _pass_order_nulls(tokens: list[str]) -> list[str]:
 
                 def flush():
                     nonlocal item, has_nulls
-                    if not has_nulls and any(tok.strip() for tok in item):
+                    # depth != 0 means the item's parens never closed
+                    # (malformed/truncated input) — leave it untouched so
+                    # the rewrite stays idempotent even on garbage.
+                    if depth == 0 and not has_nulls and any(tok.strip() for tok in item):
                         direction = next(
                             (
                                 _ident_name(tok)

@@ -127,12 +127,19 @@ _sql_fragments = st.lists(
     st.one_of(
         st.sampled_from(
             ["SELECT ", " FROM t", " WHERE x ", "(", ")", ",", " + ", "1", "abc",
-             "approx_distinct", "regexp_extract_all", "count", " ", "\n"]
+             "approx_distinct", "regexp_extract_all", "count", " ", "\n",
+             # round-5 rewriter surface: templates, renames, ORDER BY
+             # null-ordering, bare keywords, typed literals
+             "kurtosis", "map_agg", "histogram", "truncate", "bit_count",
+             "ngrams", "date_add", "zip", "contains", "localtimestamp",
+             " ORDER BY ", " DESC", " NULLS LAST", "DECIMAL ", "'1.5'",
+             "VARCHAR", " MAP", " x -> x"]
         ),
         # string literals / quoted identifiers / comments with tricky content
         st.sampled_from(
             ["'approx_distinct(x)'", "'it''s'", '"col_name"', '"not-ident"',
-             "-- try(1)\n", "/* regexp_extract_all(a,b) */"]
+             "-- try(1)\n", "/* regexp_extract_all(a,b) */",
+             "'yyyy-MM-dd''T''HH:mm'", '"30 days"', '"a.b.c"']
         ),
     ),
     min_size=1,
