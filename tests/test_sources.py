@@ -155,3 +155,40 @@ def test_parse_kafka_records_batch_and_stream(spark, tmp_path):
     q.awaitTermination(60)
     got = spark.sql("SELECT value.user_id FROM kafka_decoded").collect()
     assert sorted(r.user_id for r in got if r.user_id is not None) == [7, 8, 9]
+
+
+def test_jdbc_live_roundtrip_derby(spark, sf_dir):
+    """LIVE JDBC connector test against the bundled embedded Derby driver
+    (presto-base-jdbc parity, previously environment-gated): write a
+    table over JDBC, read it back, read it PARTITIONED (4 parallel
+    splits on the key — the reference's ConnectorSplitSource analog),
+    and prove source-side filter pushdown reaches the JDBC scan."""
+    import tempfile
+
+    from presto_db_spark.sources.io import read_jdbc, write_jdbc
+
+    db = tempfile.mkdtemp(prefix="derby_") + "/pds_testdb"
+    url = f"jdbc:derby:{db};create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    write_jdbc(nation, url, "nation_jdbc", driver=driver)
+
+    back = read_jdbc(spark, url, "nation_jdbc", driver=driver)
+    assert back.count() == nation.count()
+    assert sorted(c.lower() for c in back.columns) == sorted(
+        c.lower() for c in nation.columns)
+
+    part = read_jdbc(
+        spark, url, "nation_jdbc", driver=driver,
+        partitionColumn="N_NATIONKEY", lowerBound=0, upperBound=25,
+        numPartitions=4,
+    )
+    assert part.rdd.getNumPartitions() == 4
+    assert part.count() == nation.count()
+
+    flt = back.filter("N_REGIONKEY = 2")
+    plan = flt._sc._jvm.PythonSQLUtils.explainString(
+        flt._jdf.queryExecution(), "formatted")
+    assert "PushedFilters" in plan and "EqualTo(n_regionkey,2)" in plan
+    exact = nation.filter("n_regionkey = 2").count()
+    assert flt.count() == exact
