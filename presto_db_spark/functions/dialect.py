@@ -34,6 +34,24 @@ registration cannot express:
   whole-stage codegen instead of silently hitting the row-at-a-time Python
   fallback UDFs (which remain only for non-literal formats).
 
+* **Presto default NULL ordering** — nulls-largest (NULLS LAST for ASC,
+  NULLS FIRST for DESC) made explicit on every ORDER BY sort item, since
+  Spark defaults to nulls-smallest (proven by the product-test golden
+  corpus's orderBy*NullsDefault pairs).
+* **aggregate/scalar spellings Spark lacks**, expressed as arg-templated
+  expressions (``_ARG_TEMPLATES``): sample-excess ``kurtosis``,
+  ``map_agg``/``multimap_agg``/``histogram``/``set_agg``/``set_union``/
+  ``reduce_agg``/``checksum``/``entropy``/``geometric_mean`` over
+  collect_list (NOTE: like Presto's own map/array aggregation state,
+  these hold one group's values in memory), 3-arg ``max_by``/``min_by``,
+  2-arg ``bit_count``, ``truncate``, ``ngrams``, ``array_average``/
+  ``array_sum``, ``none_match``, ``millisecond``, ``to_milliseconds``,
+  ``from_base``/``to_base``, and unit-literal ``date_add``/``date_diff``
+  → ``timestampadd``/``timestampdiff``.
+* ``DECIMAL '1.5'`` typed literals, bare ``VARCHAR`` casts, ``DOUBLE
+  PRECISION``, two-argument ``MAP(array, array)`` → ``map_from_arrays``,
+  bare ``localtimestamp``, quoted aliases with spaces/dots ("30 days").
+
 The rewriter is deliberately conservative: it tokenizes string literals,
 quoted identifiers and comments so rewrites never fire inside them, and it
 only touches the registered shapes. ``TRY(expr)`` has NO generic Spark
