@@ -1,5 +1,7 @@
-"""TPC-DS adapted subset, widening batch 2 (round 5): q15 q20 q25 q29 q30
-q32 q46 q53 q57 q62 q63 q64 q68 q72 q74 q77 q80 q81 q83 q98 q99.
+"""TPC-DS adapted, round-5 widening — the 45 queries that complete the
+corpus at 99/99: q15 q16 q20 q21 q22 q24 q25 q26 q27 q28 q29 q30 q32 q37
+q39 q40 q41 q43 q46 q53 q56 q57 q60 q62 q63 q64 q68 q69 q70 q71 q72 q73
+q74 q77 q80 q81 q82 q83 q84 q85 q89 q91 q94 q98 q99.
 
 Same conventions as ``operators/tpcds.py``: each query preserves the
 reference's SHAPE (join topology, CTE structure, windowing, correlated
