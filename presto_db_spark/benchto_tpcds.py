@@ -15,9 +15,10 @@ Synthesized columns are deterministic pure expressions of the key columns
 (same text evaluated by both engines), with domains styled after the
 TPC-DS spec (store names 'ought'/'able'/'ese'…, category list, buy
 potential bands, 'Williamson County') so the reference predicates select
-non-trivial subsets. The driver data spans 1995-2001, which covers the
-TPC-DS predicates' 1998-2001 windows without date shifting (d_year =
-2002 gates are beyond the data — see the q27 skip).
+non-trivial subsets. The driver FACT data spans 1995-2001, which covers the
+TPC-DS predicates' 1998-2001 windows without date shifting (the
+date_dim series extends through 2002 so every date ROLE resolves, but
+d_year = 2002 fact gates are empty — see the q27 exclusion).
 
 At 100 TB the fact views are one fused scan-join (lineitem ⋈ orders on
 the order key — co-partitioned), every synthesized column is a JVM
@@ -71,7 +72,7 @@ def view_definitions(raw, s, dd, idiv, ser, dser) -> dict[str, str]:
     ``raw(t)`` raw-table ref · ``s(x)`` int→string cast · ``dd(x)`` days
     since 1900-01-01 of date-expr x · ``idiv(a, b)`` integer division ·
     ``ser(lo, hi)`` integer series relation with column ``i`` ·
-    ``dser()`` date series 1995-01-01..2001-12-31 with column ``d``.
+    ``dser()`` date series 1995-01-01..2002-12-31 with column ``d``.
     """
     # Fact spine: lineitem ⋈ orders (the TPC-H-ish driver tables).
     fact = f"{raw('lineitem')} l JOIN {raw('orders')} o ON l.l_orderkey = o.o_orderkey"
@@ -380,7 +381,7 @@ def view_definitions(raw, s, dd, idiv, ser, dser) -> dict[str, str]:
     }
 
 
-def _spark_lambdas(sf_dir_tables: bool):
+def _spark_lambdas():
     return dict(
         s=lambda x: f"CAST({x} AS STRING)",
         dd=lambda x: f"datediff({x}, DATE '1900-01-01')",
@@ -400,9 +401,9 @@ def register_tpcds_views(spark: SparkSession, sf_dir: str) -> list[str]:
     # The adapter defines a view literally NAMED `customer` over the raw
     # `customer` table — register the raw tables under a __raw_ prefix so
     # the adapter views never shadow their own inputs.
-    for t in ("lineitem", "orders", "part", "supplier", "customer", "nation"):
+    for t in ("lineitem", "orders", "part", "supplier", "customer"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(f"__raw_{t}")
-    defs = view_definitions(raw=lambda t: f"__raw_{t}", **_spark_lambdas(False))
+    defs = view_definitions(raw=lambda t: f"__raw_{t}", **_spark_lambdas())
     names = []
     for table, body in defs.items():
         spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {table} AS {body}")

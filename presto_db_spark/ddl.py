@@ -32,6 +32,14 @@ from pyspark.sql import DataFrame, SparkSession
 
 # Presto session property -> setter(spark, value). Reference:
 # pm/SystemSessionProperties.java (property names at :66-:127).
+# _SESSION_PROPERTY_CONFS: the Spark conf keys a property touches, so
+# RESET SESSION can restore the pre-override values (ResetSessionTask).
+_SESSION_PROPERTY_CONFS: dict[str, list[str]] = {
+    "hash_partition_count": ["spark.sql.shuffle.partitions"],
+    "join_distribution_type": ["spark.sql.autoBroadcastJoinThreshold"],
+    "join_reordering_strategy": ["spark.sql.cbo.joinReorder.enabled"],
+    "cte_materialization_enabled": ["spark.presto_db.cte.materialize"],
+}
 _SESSION_PROPERTY_MAP = {
     # hash_partition_count (SystemSessionProperties.java:66)
     "hash_partition_count": lambda s, v: s.conf.set("spark.sql.shuffle.partitions", str(v)),

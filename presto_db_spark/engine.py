@@ -19,7 +19,7 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 
 from .catalog import TABLES, register_tables
-from .ddl import DdlMixin
+from .ddl import _SESSION_PROPERTY_CONFS, _SESSION_PROPERTY_MAP, DdlMixin
 from .functions.dialect import _TOKEN, DEFAULT_CATALOGS, rewrite_presto_sql
 from .functions.presto import register_presto_functions
 from .session import get_spark
@@ -51,8 +51,11 @@ class Engine(DdlMixin):
         # pm/execution/PrepareTask.java) — raw text, parameters bound and
         # the dialect applied at EXECUTE time.
         self.prepared: dict[str, str] = {}
-        # SET SESSION overrides, surfaced by SHOW SESSION.
+        # SET SESSION overrides, surfaced by SHOW SESSION; _session_saved
+        # snapshots the pre-override conf values so RESET SESSION can
+        # restore them (ResetSessionTask parity).
         self.session_props: dict[str, str] = {}
+        self._session_saved: dict[str, list[tuple[str, str | None]]] = {}
         if sf_dir:
             self.attach(sf_dir)
 
@@ -144,16 +147,38 @@ class Engine(DdlMixin):
             # SET SESSION prop = value (SqlBase.g4 setSession;
             # pm/execution/SetSessionTask.java) — value is a literal.
             name, raw = m.group(1).lower(), m.group(2).strip()
-            value = raw[1:-1] if raw.startswith("'") and raw.endswith("'") else raw
-            if value.lower() in ("true", "false"):
-                value = value.lower() == "true"
+            if raw.startswith("'") and raw.endswith("'"):
+                value: object = raw[1:-1].replace("''", "'")
+                display = str(value)
+            elif raw.lower() in ("true", "false"):
+                value = raw.lower() == "true"
+                display = raw.lower()
+            else:
+                value = raw
+                display = raw
+            # snapshot the affected conf values BEFORE the first override
+            # of this property, so RESET restores the session defaults
+            if name not in self._session_saved:
+                confs = _SESSION_PROPERTY_CONFS.get(
+                    name, [] if name in _SESSION_PROPERTY_MAP else [name]
+                )
+                self._session_saved[name] = [
+                    (c, self.spark.conf.get(c, None)) for c in confs
+                ]
             self.set_session(name, value)
-            self.session_props[name] = str(value)
+            self.session_props[name] = display
             return self.spark.createDataFrame([("SET SESSION",)], "result: string")
         m = _RESET_SESSION_RE.match(query)
         if m:
-            # RESET SESSION prop (ResetSessionTask.java): drop the override.
-            self.session_props.pop(m.group(1).lower(), None)
+            # RESET SESSION prop (ResetSessionTask.java): drop the override
+            # AND restore the pre-override Spark conf values.
+            name = m.group(1).lower()
+            self.session_props.pop(name, None)
+            for conf_key, old in self._session_saved.pop(name, []):
+                if old is None:
+                    self.spark.conf.unset(conf_key)
+                else:
+                    self.spark.conf.set(conf_key, old)
             return self.spark.createDataFrame([("RESET SESSION",)], "result: string")
         m = _EXPLAIN_RE.match(query)
         if m:

@@ -738,22 +738,39 @@ def _pass_bare_varchar(tokens: list[str]) -> list[str]:
 
 
 def _pass_map_constructor(tokens: list[str]) -> list[str]:
-    """Presto's two-argument ``MAP(ARRAY[...], ARRAY[...])`` constructor →
-    Spark ``map_from_arrays`` (Spark's own ``map(k, v, ...)`` takes
-    interleaved pairs, so a 2-arg Presto MAP is unambiguous: Presto has no
-    other 2-arg MAP form)."""
+    """Presto's two-argument ``MAP(ARRAY[...], ARRAY[...])`` VALUE
+    constructor → Spark ``map_from_arrays`` (Spark's own ``map(k, v, …)``
+    takes interleaved pairs, so a 2-arg Presto MAP value is unambiguous).
+    In a TYPE position — ``CAST(x AS MAP(VARCHAR, BIGINT))`` — the parens
+    become Spark's angle-bracket type syntax ``MAP<…, …>`` instead
+    (recursively, for nested ``array(…)``/``map(…)`` element types)."""
     out: list[str] = []
     i = 0
     while i < len(tokens):
         t = tokens[i]
         j = _next(tokens, i + 1)
-        if (_is_ident(t) and _ident_name(t) == "map"
-                and j < len(tokens) and tokens[j] == "("):
-            close, arg_spans = _split_args(tokens, j)
-            if len(arg_spans) == 2:
-                out.append("map_from_arrays")
-                i += 1
+        is_call = (_is_ident(t) and _ident_name(t) in ("map", "array")
+                   and j < len(tokens) and tokens[j] == "(")
+        if is_call:
+            p = _prev(tokens, i)
+            in_type = p >= 0 and _is_ident(tokens[p]) and _ident_name(tokens[p]) == "as"
+            if in_type:
+                close = _match_paren(tokens, j)
+                span = list(tokens[i:close + 1])
+                for k, tok in enumerate(span):
+                    if tok == "(":
+                        span[k] = "<"
+                    elif tok == ")":
+                        span[k] = ">"
+                out.append("".join(span))
+                i = close + 1
                 continue
+            if _ident_name(t) == "map":
+                close, arg_spans = _split_args(tokens, j)
+                if len(arg_spans) == 2:
+                    out.append("map_from_arrays")
+                    i += 1
+                    continue
         out.append(t)
         i += 1
     return out
@@ -786,19 +803,27 @@ def _pass_order_nulls(tokens: list[str]) -> list[str]:
                     # depth != 0 means the item's parens never closed
                     # (malformed/truncated input) — leave it untouched so
                     # the rewrite stays idempotent even on garbage.
-                    if depth == 0 and not has_nulls and any(tok.strip() for tok in item):
-                        direction = next(
-                            (
-                                _ident_name(tok)
-                                for tok in reversed(item)
-                                if _is_ident(tok)
-                            ),
-                            "",
-                        )
+                    def _meaningful(tok: str) -> bool:
+                        return bool(tok.strip()) and not tok.startswith(("--", "/*"))
+
+                    if depth == 0 and not has_nulls and any(_meaningful(tok) for tok in item):
+                        # the direction is only the TRAILING asc/desc
+                        # KEYWORD of the item — a column literally named
+                        # desc (t.desc) or an identifier inside a call is
+                        # not a direction
+                        last = _prev(item, len(item))
+                        direction = ""
+                        if last >= 0 and _is_ident(item[last]) \
+                                and _ident_name(item[last]) in ("asc", "desc"):
+                            before = _prev(item, last)
+                            if before < 0 or item[before] != ".":
+                                direction = _ident_name(item[last])
                         kw = " NULLS FIRST" if direction == "desc" else " NULLS LAST"
-                        # keep trailing whitespace after the appended clause
+                        # keep trailing whitespace AND comments after the
+                        # appended clause (a keyword appended on a line-
+                        # comment's line would be swallowed by it)
                         trail = []
-                        while item and not item[-1].strip():
+                        while item and not _meaningful(item[-1]):
                             trail.insert(0, item.pop())
                         item.append(kw)
                         item += trail
@@ -869,11 +894,13 @@ _ARG_TEMPLATES: dict[str, dict[int, str]] = {
     # ArrayAverageFunction / ArraySumFunction (null elements ignored for
     # average, treated as 0 for sum — the reference's documented behavior).
     "array_average": {1: (
-        "(aggregate(filter({a}, x -> x IS NOT NULL), CAST(0.0 AS DOUBLE), "
-        "(s, x) -> s + x) / size(filter({a}, x -> x IS NOT NULL)))"
+        "(aggregate(filter({a}, __pds_x -> __pds_x IS NOT NULL), CAST(0.0 AS DOUBLE), "
+        "(__pds_s, __pds_x) -> __pds_s + __pds_x) "
+        "/ size(filter({a}, __pds_x -> __pds_x IS NOT NULL)))"
     )},
     "array_sum": {1: (
-        "aggregate({a}, CAST(0.0 AS DOUBLE), (s, x) -> s + coalesce(x, CAST(0.0 AS DOUBLE)))"
+        "aggregate({a}, CAST(0.0 AS DOUBLE), "
+        "(__pds_s, __pds_x) -> __pds_s + coalesce(__pds_x, CAST(0.0 AS DOUBLE)))"
     )},
     # DateTimeFunctions.java millisecond(ts).
     "millisecond": {1: "CAST(date_format({a}, 'SSS') AS INT)"},
@@ -889,7 +916,7 @@ _ARG_TEMPLATES: dict[str, dict[int, str]] = {
     # beyond the array length yields one window of the whole array.
     "ngrams": {2: (
         "transform(sequence(1, greatest(size({a}) - ({b}) + 1, 1)), "
-        "i -> slice({a}, i, {b}))"
+        "__pds_i -> slice({a}, __pds_i, {b}))"
     )},
     # --- aggregate spellings (MapAggAggregationFunction & friends):
     # Presto aggregates Spark lacks, expressed over collect_list.
@@ -897,22 +924,22 @@ _ARG_TEMPLATES: dict[str, dict[int, str]] = {
     # here the first-collected, matching Presto's arbitrary-wins contract).
     "map_agg": {2: (
         "map_from_arrays(array_distinct(collect_list({a})), "
-        "transform(array_distinct(collect_list({a})), k -> "
+        "transform(array_distinct(collect_list({a})), __pds_k -> "
         "element_at(filter(collect_list(struct({a} AS k, {b} AS v)), "
-        "e -> e.k <=> k), 1).v))"
+        "__pds_e -> __pds_e.k <=> __pds_k), 1).v))"
     )},
     # MultimapAggAggregationFunction multimap_agg(k, v): k → array of v.
     "multimap_agg": {2: (
         "map_from_arrays(array_distinct(collect_list({a})), "
-        "transform(array_distinct(collect_list({a})), k -> "
+        "transform(array_distinct(collect_list({a})), __pds_k -> "
         "transform(filter(collect_list(struct({a} AS k, {b} AS v)), "
-        "e -> e.k <=> k), e -> e.v)))"
+        "__pds_e -> __pds_e.k <=> __pds_k), __pds_e -> __pds_e.v)))"
     )},
     # Histogram.java histogram(x): value → occurrence count.
     "histogram": {1: (
         "map_from_arrays(array_distinct(collect_list({a})), "
-        "transform(array_distinct(collect_list({a})), k -> "
-        "size(filter(collect_list({a}), y -> y <=> k))))"
+        "transform(array_distinct(collect_list({a})), __pds_k -> "
+        "size(filter(collect_list({a}), __pds_y -> __pds_y <=> __pds_k))))"
     )},
     # GeometricMeanAggregations.java.
     "geometric_mean": {1: "exp(avg(ln({a})))"},
@@ -942,13 +969,15 @@ _ARG_TEMPLATES: dict[str, dict[int, str]] = {
     # MaxByNAggregationFunction max_by(x, y, n) / min_by(x, y, n).
     "max_by": {3: (
         "slice(transform(array_sort(collect_list(struct({b} AS k, {a} AS v)), "
-        "(l, r) -> CASE WHEN l.k > r.k THEN -1 WHEN l.k < r.k THEN 1 ELSE 0 END), "
-        "e -> e.v), 1, {c})"
+        "(__pds_l, __pds_r) -> CASE WHEN __pds_l.k > __pds_r.k THEN -1 "
+        "WHEN __pds_l.k < __pds_r.k THEN 1 ELSE 0 END), "
+        "__pds_e -> __pds_e.v), 1, {c})"
     )},
     "min_by": {3: (
         "slice(transform(array_sort(collect_list(struct({b} AS k, {a} AS v)), "
-        "(l, r) -> CASE WHEN l.k < r.k THEN -1 WHEN l.k > r.k THEN 1 ELSE 0 END), "
-        "e -> e.v), 1, {c})"
+        "(__pds_l, __pds_r) -> CASE WHEN __pds_l.k < __pds_r.k THEN -1 "
+        "WHEN __pds_l.k > __pds_r.k THEN 1 ELSE 0 END), "
+        "__pds_e -> __pds_e.v), 1, {c})"
     )},
 }
 
@@ -974,8 +1003,16 @@ def _pass_arg_templates(tokens: list[str]) -> list[str]:
             close, arg_spans = _split_args(tokens, j)
             tmpl = _ARG_TEMPLATES[low].get(len(arg_spans))
             if tmpl is not None:
-                args = ["".join(tokens[s:e]).strip() for s, e in arg_spans]
-                names = dict(zip("abc", args))
+                # rewrite each argument's OWN templated calls first
+                # (bottom-up), so nested spellings like
+                # array_sum(transform(a, x -> array_average(x))) resolve;
+                # template OUTPUT is never reprocessed, so a template may
+                # safely mention its own source name (kurtosis).
+                args = [
+                    "".join(_pass_arg_templates(tokens[s:e])).strip()
+                    for s, e in arg_spans
+                ]
+                names = dict(zip("abcd", args))
                 out.append(tmpl.format(**names))
                 i = close + 1
                 continue

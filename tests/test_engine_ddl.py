@@ -242,9 +242,18 @@ def test_session_statements(engine):
     ).collect()[0].result == "RESET SESSION"
     rows = {r.name: r.value for r in engine.sql("SHOW SESSION").collect()}
     assert "hash_partition_count" not in rows
-    # restore defaults for the shared session
-    engine.set_session("hash_partition_count", 32)
-    engine.set_session("join_distribution_type", "AUTOMATIC")
+    # RESET must restore the UNDERLYING conf, not just the SHOW entry
+    assert engine.spark.conf.get("spark.sql.shuffle.partitions") != "16"
+    engine.sql("RESET SESSION join_distribution_type")
+    # boolean literals display lowercase, Presto-style; escaped quotes
+    # in string values unescape
+    engine.sql("SET SESSION spill_enabled = true")
+    engine.sql("SET SESSION my_note = 'O''Brien'")
+    rows = {r.name: r.value for r in engine.sql("SHOW SESSION").collect()}
+    assert rows["spill_enabled"] == "true"
+    assert rows["my_note"] == "O'Brien"
+    engine.sql("RESET SESSION spill_enabled")
+    engine.sql("RESET SESSION my_note")
 
 
 def test_explain_statements(engine):
