@@ -274,3 +274,77 @@ def test_product_golden_coverage():
             continue
         runnable += 1
     assert runnable >= 50, f"only {runnable} of {len(_ALL)} pairs replayable"
+
+
+# --- insert corpus: the --!-separated mutable-table format ------------------
+
+INSERT_DIR = f"{CASES}/insert"
+_INSERT_CASES = sorted(
+    f[:-4] for f in os.listdir(INSERT_DIR) if f.endswith(".sql")
+) if os.path.isdir(INSERT_DIR) else []
+
+_DATATYPE_DDL = (
+    "c_bigint bigint, c_double double, c_string string, c_date date, "
+    "c_timestamp timestamp, c_boolean boolean, "
+    "c_short_decimal decimal(5,2), c_long_decimal decimal(30,10)"
+)
+
+
+def _load_insert_case(case: str):
+    """The insert testcases are self-contained: header options, then
+    `--!`-separated sections — statements (';'-separated, the last being
+    the verification SELECT) and the expected delimiter-rows."""
+    text = open(f"{INSERT_DIR}/{case}.sql").read()
+    header, stmts, expected_text = text.split("--!")
+    m = re.search(r"mutable_tables:\s*datatype\|(\w+)", header)
+    state = m.group(1) if m else "created"
+    statements = [s.strip() for s in stmts.split(";") if s.strip()
+                  and not s.strip().startswith("--")]
+    rows = []
+    for line in expected_text.splitlines():
+        s = line.strip()
+        if not s or s.startswith("--"):
+            continue
+        cells = line.split("|")
+        if cells and cells[-1].strip() == "":
+            cells = cells[:-1]
+        rows.append([c.strip() for c in cells])
+    return state, statements, rows
+
+
+@pytest.mark.parametrize("case", _INSERT_CASES)
+def test_product_golden_insert(engine, case):
+    """Replay the reference's INSERT golden corpus through Engine.sql: a
+    fresh mutable table per case ('created' = empty, 'loaded' =
+    pre-filled with the datatype fixture), the file's INSERT statements,
+    then its verification SELECT against the embedded expected rows
+    (ignoreOrder — the corpus header declares it for every pair)."""
+    import uuid
+
+    state, statements, expected = _load_insert_case(case)
+    spark = engine.spark
+    tbl = "mut_" + uuid.uuid4().hex[:10]
+    spark.sql(f"CREATE TABLE {tbl} ({_DATATYPE_DDL}) USING parquet")
+    try:
+        if state == "loaded":
+            spark.table("datatype").write.insertInto(tbl)
+        res = None
+        for stmt in statements:
+            stmt = stmt.replace("${mutableTables.hive.datatype}", tbl)
+            res = engine.sql(stmt)
+        rows = [[_fmt(v) for v in r] for r in res.collect()]
+        assert len(rows) == len(expected), (
+            f"{case}: {len(rows)} rows vs expected {len(expected)}")
+        remaining = [tuple(r) for r in rows]
+        for erow in expected:
+            hit = next(
+                (arow for arow in remaining
+                 if len(arow) == len(erow)
+                 and all(_cell_match(e, a) for e, a in zip(erow, arow))),
+                None,
+            )
+            assert hit is not None, (
+                f"{case}: expected row {erow} not found in {remaining[:8]}")
+            remaining.remove(hit)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
