@@ -60,6 +60,12 @@ HEADLINE = [
     "text_fingerprint",
 ]
 
+# Local-iteration escape hatch: BENCH_ONLY=a,b,c restricts the suite to a
+# subset (the driver never sets it, so the recorded artifact is unaffected).
+if os.environ.get("BENCH_ONLY"):
+    _only = [q.strip() for q in os.environ["BENCH_ONLY"].split(",") if q.strip()]
+    HEADLINE = [q for q in HEADLINE if q in _only] or _only
+
 
 def _measure(name: str) -> list[float]:
     """Prewarm + measure one query in the current session; returns samples."""

@@ -242,3 +242,47 @@ def test_kdb_radius_join_partitioned_no_cartesian(spark, sf_dir):
         spark, "geo_kdb_radius_join", wkt2.QUERIES["geo_kdb_radius_join"],
         wkt2.ORACLE.get("geo_kdb_radius_join"), sf_dir)
     assert not problems, problems
+
+
+@pytest.mark.parametrize(
+    "name", ["geo_spherical_distance", "geo_spherical_area", "geo_buffer"]
+)
+def test_wkt3_vs_duckdb(spark, sf_dir, name):
+    from presto_db_spark.operators import wkt3
+
+    problems = check_query(spark, name, wkt3.QUERIES[name], wkt3.ORACLE.get(name), sf_dir)
+    assert not problems, f"{name}: {problems}"
+
+
+def test_spherical_distance_properties(spark, sf_dir):
+    """great_circle_distance contracts: symmetric, bounded by half the
+    Earth's circumference, zero iff the points coincide; the spherical
+    meters column is exactly km × 1000 before rounding."""
+    from presto_db_spark.operators import wkt3
+
+    rows = wkt3.QUERIES["geo_spherical_distance"](spark, sf_dir).collect()
+    assert rows
+    import math
+    half = wkt3.EARTH_RADIUS_KM * math.pi
+    for r in rows:
+        assert 0.0 <= r.gc_km <= half + 1e-6
+        assert r.within_half_earth
+        assert abs(r.sph_dist_m - round(r.gc_km * 1000, 0)) < 1.0
+
+
+def test_buffer_ring_closed_and_area(spark, sf_dir):
+    """The buffer polygon is a closed ring of N+1 points whose inscribed
+    area is sin(2π/N)·N/(2π) of the disk area (≈ 0.974 at N=16)."""
+    import math
+
+    from presto_db_spark.operators import wkt3
+
+    rows = wkt3.QUERIES["geo_buffer"](spark, sf_dir).collect()
+    assert rows
+    ratio = math.sin(2 * math.pi / wkt3.N_BUFFER_SEGMENTS) * wkt3.N_BUFFER_SEGMENTS / (2 * math.pi)
+    for r in rows[:50]:
+        body = r.buffer_wkt.removeprefix("POLYGON ((").removesuffix("))")
+        pts = body.split(", ")
+        assert len(pts) == wkt3.N_BUFFER_SEGMENTS + 1 == r.num_points
+        assert pts[0] == pts[-1], "ring must close on the first vertex"
+        assert abs(r.buffer_area / r.disk_area - ratio) < 1e-3
