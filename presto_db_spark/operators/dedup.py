@@ -491,3 +491,89 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sig.groupBy("simhash").agg(
         F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_id")
     )
+
+
+# --- connected-components cluster assignment over the LSH pairs ------------
+
+MAX_CC_ITERS = 20
+
+_CLUSTER_SQL = f"""
+WITH RECURSIVE pb AS ({_MINHASH_SQL}
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pb
+  UNION
+  SELECT id_b, id_a FROM pb
+), nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+), reach(node, v) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.v
+)
+SELECT node AS doc_id, min(v) AS cluster_id, (min(v) = node) AS is_keep
+FROM reach GROUP BY node ORDER BY doc_id
+"""
+
+
+@_q("dedup_cluster", _CLUSTER_SQL)
+def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS from the MinHash-LSH pair list.
+
+    Pair detection (dedup_minhash_lsh) yields edges; a training-corpus
+    dedup needs the transitive closure — one representative per connected
+    component (keep ``min(doc_id)``, drop the rest).  Implemented as
+    distributed min-label propagation:
+
+    * iteration = one equi-join (edges ⋈ labels on dst) + one min-groupBy
+      — both shuffle on doc_id, no global structure on the driver;
+    * converges in O(component diameter) rounds; near-dup clusters are
+      small and dense, so diameter is tiny (the 100 TB-scale alternative,
+      large-star/small-star, halves path lengths per round for the rare
+      giant component — same join/groupBy primitives, swap-in compatible);
+    * per-round ``localCheckpoint`` cuts the growing lineage exactly the
+      way iterative graph algorithms on Spark must (GraphFrames' CC does
+      the same); the convergence probe is a LIMIT-1 count, not a collect;
+    * the driver holds only the loop counter — label state never leaves
+      the cluster.
+
+    Oracle: DuckDB ``WITH RECURSIVE`` transitive closure over the SAME
+    pair SQL, labeling each node with ``min`` over its reachable set —
+    the declarative fixpoint the iterative join computes.
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
+    edges = (
+        pairs.union(pairs.select(F.col("id_b"), F.col("id_a")))
+        .toDF("src", "dst")
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(MAX_CC_ITERS):
+        msgs = edges.join(labels, edges.dst == labels.node).select(
+            edges.src.alias("node"), "label"
+        )
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("node") == F.col("label")).alias("is_keep"),
+    ).orderBy("doc_id")
