@@ -311,3 +311,144 @@ def text_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_docs"))
         .orderBy("part", "lang")
     )
+
+
+# --- repetition-ratio quality filter ---------------------------------------
+
+REP_RATIO_MAX = 0.6
+TOP_BIGRAM_MAX = 0.08
+
+_REP_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+), s AS (
+  SELECT doc_id, len(toks) AS n_tok, len(list_distinct(toks)) AS n_distinct,
+         list_transform(generate_series(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i+1]) AS bg
+  FROM t
+), b AS (
+  SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+         1 - CAST(n_distinct AS DOUBLE) / n_tok AS rep_ratio,
+         CAST(list_max(list_transform(list_distinct(bg),
+              x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE) / len(bg)
+           AS top_bigram_share
+  FROM s
+)
+SELECT doc_id, n_tok, round(rep_ratio, 6) AS rep_ratio,
+       round(top_bigram_share, 6) AS top_bigram_share,
+       (rep_ratio > {REP_RATIO_MAX} OR top_bigram_share > {TOP_BIGRAM_MAX})
+         AS is_repetitive
+FROM b ORDER BY doc_id
+"""
+
+
+@_q("text_repetition_filter", _REP_SQL)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality gate — the boilerplate/spam filter every
+    training-data pipeline runs before dedup: token repetition ratio
+    (1 − distinct/total) and the most-frequent-bigram share, thresholded.
+
+    Scale: a pure projection (the bigram count is a per-row array fold
+    inside codegen — no explode, no shuffle); at 100 TB this is one map
+    pass over the text, same shape as text_quality.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    df = docs.select("doc_id", toks.alias("toks"))
+    bg = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(F.col("toks"), i), F.element_at(F.col("toks"), i + 1)
+        ),
+    )
+    df = df.select("doc_id", F.size("toks").alias("n_tok_i"),
+                   F.size(F.array_distinct("toks")).alias("n_distinct"),
+                   bg.alias("bg"))
+    top = F.array_max(
+        F.transform(
+            F.array_distinct("bg"),
+            lambda x: F.size(F.filter(F.col("bg"), lambda y: y == x)),
+        )
+    ).cast("double") / F.size("bg")
+    rep = 1 - F.col("n_distinct").cast("double") / F.col("n_tok_i")
+    return df.select(
+        "doc_id",
+        F.col("n_tok_i").cast("bigint").alias("n_tok"),
+        F.round(rep, 6).alias("rep_ratio"),
+        F.round(top, 6).alias("top_bigram_share"),
+        ((rep > REP_RATIO_MAX) | (top > TOP_BIGRAM_MAX)).alias("is_repetitive"),
+    ).orderBy("doc_id")
+
+
+# --- PII scrubbing ----------------------------------------------------------
+
+# The driver's slim customer table has no contact columns, so PII-shaped
+# text is synthesized DETERMINISTICALLY from c_custkey (the same established
+# pattern as the geo operators' coordinates) — the operator under test is
+# the regex scrubber, which at 100 TB is a pure projection.
+_PII_PROFILE_SQL = (
+    "(c_name || ' reachable at +1-' || "
+    "lpad(CAST(c_custkey * 7 % 1000 AS VARCHAR), 3, '0') || '-' || "
+    "lpad(CAST(c_custkey * 13 % 1000 AS VARCHAR), 3, '0') || '-' || "
+    "lpad(CAST(c_custkey * 31 % 10000 AS VARCHAR), 4, '0') || "
+    "' or user' || CAST(c_custkey AS VARCHAR) || '@example.com from host ' || "
+    "CAST(c_custkey % 256 AS VARCHAR) || '.' || CAST(c_custkey * 3 % 256 AS VARCHAR) "
+    "|| '.' || CAST(c_custkey * 5 % 256 AS VARCHAR) || '.' || "
+    "CAST(c_custkey * 7 % 256 AS VARCHAR) || ' segment ' || c_mktsegment)"
+)
+
+_RE_EMAIL = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_RE_PHONE = "\\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+_RE_IP = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+_PII_SQL = f"""
+WITH p AS (
+  SELECT c_custkey AS id, {_PII_PROFILE_SQL} AS profile
+  FROM customer WHERE c_custkey < 2000
+)
+SELECT id,
+       regexp_replace(regexp_replace(regexp_replace(profile,
+         '{_RE_EMAIL}', '<EMAIL>', 'g'),
+         '{_RE_PHONE}', '<PHONE>', 'g'),
+         '{_RE_IP}', '<IP>', 'g') AS scrubbed,
+       CAST(len(regexp_extract_all(profile, '{_RE_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(profile, '{_RE_PHONE}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(profile, '{_RE_IP}')) AS BIGINT) AS n_ips
+FROM p ORDER BY id
+"""
+
+
+@_q("text_pii_scrub", _PII_SQL)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: emails → <EMAIL>, NANP phones → <PHONE>,
+    IPv4 → <IP>, plus per-document match counts (the audit trail a
+    compliance pipeline keeps). Pure regex projection — zero shuffle at
+    any scale; the regexes are dialect-neutral (Java + RE2 identical)."""
+    cust = load_table(spark, sf_dir, "customer")
+    ck = F.col("c_custkey")
+    pad3 = lambda c: F.lpad(c.cast("string"), 3, "0")  # noqa: E731
+    profile = F.concat(
+        F.col("c_name"), F.lit(" reachable at +1-"),
+        pad3(ck * 7 % 1000), F.lit("-"), pad3(ck * 13 % 1000), F.lit("-"),
+        F.lpad((ck * 31 % 10000).cast("string"), 4, "0"),
+        F.lit(" or user"), ck.cast("string"), F.lit("@example.com from host "),
+        (ck % 256).cast("string"), F.lit("."), (ck * 3 % 256).cast("string"),
+        F.lit("."), (ck * 5 % 256).cast("string"), F.lit("."),
+        (ck * 7 % 256).cast("string"), F.lit(" segment "), F.col("c_mktsegment"),
+    )
+    p = cust.filter(ck < 2000).select(ck.alias("id"), profile.alias("profile"))
+    scrub = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("profile"), _RE_EMAIL, "<EMAIL>"),
+            _RE_PHONE, "<PHONE>"),
+        _RE_IP, "<IP>")
+    cnt = lambda pat: F.size(F.expr(  # noqa: E731
+        f"regexp_extract_all(profile, '{pat.replace(chr(92), chr(92) * 2)}', 0)"
+    )).cast("bigint")
+    return p.select(
+        "id",
+        scrub.alias("scrubbed"),
+        cnt(_RE_EMAIL).alias("n_emails"),
+        cnt(_RE_PHONE).alias("n_phones"),
+        cnt(_RE_IP).alias("n_ips"),
+    ).orderBy("id")

@@ -36,3 +36,29 @@ def test_split_deterministic_and_proportional(spark, sf_dir):
     n_val = sum(r[2] for r in a if r[0] == "val")
     frac = n_val / (n_train + n_val)
     assert 0.03 < frac < 0.20, frac
+
+
+def test_repetition_filter_nonvacuous(spark, sf_dir):
+    """Both outcomes of the repetition gate must occur on the corpus, and
+    the ratio columns must be internally consistent."""
+    rows = tx.QUERIES["text_repetition_filter"](spark, sf_dir).collect()
+    flags = {r.is_repetitive for r in rows}
+    assert flags == {True, False}, f"gate is vacuous: {flags}"
+    for r in rows:
+        assert 0.0 <= r.rep_ratio < 1.0
+        assert 0.0 < r.top_bigram_share <= 1.0
+
+
+def test_pii_scrub_removes_all_patterns(spark, sf_dir):
+    """After scrubbing, no email/phone/IPv4 pattern survives, and every
+    profile had exactly one of each (the synthesis guarantees it)."""
+    import re
+
+    rows = tx.QUERIES["text_pii_scrub"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert (r.n_emails, r.n_phones, r.n_ips) == (1, 1, 1)
+        assert "<EMAIL>" in r.scrubbed and "<PHONE>" in r.scrubbed and "<IP>" in r.scrubbed
+        assert not re.search(r"[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}", r.scrubbed)
+        assert not re.search(r"\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}", r.scrubbed)
+        assert not re.search(r"([0-9]{1,3}\.){3}[0-9]{1,3}", r.scrubbed)
