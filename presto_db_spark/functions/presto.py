@@ -555,6 +555,21 @@ def register_presto_functions(spark: SparkSession) -> None:
     spark.udf.register("to_timestamp_td", _td_to_timestamp, T.TimestampType())
     spark.udf.register("to_date_td", _td_to_date, T.DateType())
     spark.udf.register("parse_datetime", _parse_datetime_py, T.TimestampType())
+    from .color import bar_py, parse_color, render_py, rgb_int
+
+    # ColorFunctions.java surface — paste-compat SQL names. The color type
+    # is its bigint encoding (rgb >= 0, system colors negative), matching
+    # the reference's ColorType long representation.
+    spark.udf.register("color", lambda s: parse_color(s), T.LongType())
+    spark.udf.register("rgb", lambda r, g, b: rgb_int(r, g, b), T.LongType())
+    spark.udf.register(
+        "render", lambda v, c: render_py(str(v), int(c)), T.StringType()
+    )
+    spark.udf.register(
+        "bar",
+        lambda p, w, lo=0xFF0000, hi=0x00FF00: bar_py(p, int(w), int(lo), int(hi)),
+        T.StringType(),
+    )
     from .digest import register_tdigest_functions
 
     register_tdigest_functions(spark)

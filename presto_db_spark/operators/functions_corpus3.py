@@ -468,3 +468,61 @@ def agg_classification_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(es, lambda e: e.mr).alias("miss_rate"),
         F.transform(es, lambda e: e.fo).alias("fall_out"),
     )
+
+
+# --- color/bar/render (ColorFunctions.java) --------------------------------
+
+def _color_bar_parts():
+    from ..functions import color as C
+
+    pct = "(CAST(c_custkey % 101 AS DOUBLE) / 100)"
+    code_teal = C.parse_color("#1a9")
+    code_blue = C.rgb_int(0, 0, 255)
+    sql = f"""
+WITH p AS (
+  SELECT c_custkey AS id, {pct} AS pct, c_mktsegment AS seg
+  FROM customer WHERE c_custkey < 200
+)
+SELECT id,
+       {C.bar_sql('pct', 10)} AS bar10,
+       {C.bar_sql('pct', 5, C.parse_color('#f00'), code_blue)} AS bar5,
+       {C.render_sql('seg', C.parse_color('green'))} AS badge,
+       (CASE WHEN id % 2 = 0 THEN '{C.RENDERED_TRUE}' ELSE '{C.RENDERED_FALSE}' END) AS ok,
+       CAST({code_teal} AS BIGINT) AS code_hex,
+       CAST({C.parse_color('magenta')} AS BIGINT) AS code_sys
+FROM p ORDER BY id
+"""
+    return C, pct, code_teal, code_blue, sql
+
+
+_COLOR_SQL = _color_bar_parts()[4]
+
+
+@_q("func_color_bar", _COLOR_SQL)
+def func_color_bar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """color/rgb/render/bar (ColorFunctions.java:85-233).
+
+    The bar gradient's float32 HSB interpolation is verified bit-exact
+    against java.awt.Color (tests/test_functions_corpus3 cross-check);
+    block escapes are plan-time literals shared with the oracle, so the
+    runtime is a pure JVM string projection — no UDF, no shuffle.
+    """
+    from ..functions import color as C
+
+    (cust,) = _t(spark, sf_dir, "customer")
+    ck = F.col("c_custkey")
+    p = cust.filter(ck < 200).select(
+        ck.alias("id"),
+        ((ck % 101).cast("double") / 100).alias("pct"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    return p.select(
+        "id",
+        C.bar_expr(F.col("pct"), 10).alias("bar10"),
+        C.bar_expr(F.col("pct"), 5, C.parse_color("#f00"), C.rgb_int(0, 0, 255)).alias("bar5"),
+        C.render_expr(F.col("seg"), C.parse_color("green")).alias("badge"),
+        F.when(F.col("id") % 2 == 0, F.lit(C.RENDERED_TRUE))
+         .otherwise(F.lit(C.RENDERED_FALSE)).alias("ok"),
+        F.lit(C.parse_color("#1a9")).cast("bigint").alias("code_hex"),
+        F.lit(C.parse_color("magenta")).cast("bigint").alias("code_sys"),
+    ).orderBy("id")
