@@ -265,7 +265,14 @@ SELECT qid, vec_id, sim, CAST(rn AS INTEGER) AS rn FROM ranked WHERE rn <= {TOP_
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     bucket = _srp_bucket_pd()(F.col("embedding"))
-    hashed = emb.select("vec_id", "embedding", bucket.alias("bucket"))
+    # The bucket UDF fans into BOTH self-join sides, and the join's
+    # isnotnull(bucket) pushes through the repartition exchange — without a
+    # barrier the Arrow stage executed 4x (2 sides × filter duplication).
+    # The lazy localCheckpoint runs it once; both sides read the blocks
+    # (same fix as the MinHash signature, plan-pinned below).
+    hashed = emb.select(
+        "vec_id", "embedding", bucket.alias("bucket")
+    ).localCheckpoint(eager=False)
     q = hashed.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qe"),
@@ -438,11 +445,18 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # repeat — the oracle's DISTINCT is equally a no-op. Dropping it saves
     # a full shuffle of the WIDE candidate rows (two 64-dim arrays each),
     # the most expensive exchange this operator had (r04 verdict item).
+    # Null-safe equality (<=>), not ==, as the bucket key: plain == makes
+    # the join emit an isnotnull(cid) filter that Catalyst pushes BELOW the
+    # repartition exchange, re-evaluating the assignment UDF a second time
+    # just to feed the filter (observed as a stacked ArrowEvalPython pair —
+    # the r04 bimodality). cid is never null, so <=> is semantically
+    # identical, still hash-joins on the key, and leaves no filter to push.
     cand = (
         F.broadcast(q_probe.alias("qp"))
         .join(
             assigned.alias("av"),
-            (F.col("qp.cid") == F.col("av.cid")) & (F.col("av.vec_id") != F.col("qp.qid")),
+            (F.col("qp.cid").eqNullSafe(F.col("av.cid")))
+            & (F.col("av.vec_id") != F.col("qp.qid")),
         )
         .select("qid", "qe", "vec_id", F.col("av.embedding").alias("ce"))
     )
@@ -462,15 +476,25 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     key — the only shuffle), threshold at 0.35 (the synthetic embeddings have no true dups; the threshold is set where the data has pairs so the operator is exercised non-vacuously)."""
     emb = _emb(spark, sf_dir)
     bucket = _srp_bucket_pd()(F.col("embedding"))
-    hashed = emb.select("vec_id", "embedding", bucket.alias("bucket"))
+    # Same single-execution barrier as sim_ann_lsh: one Arrow bucket pass,
+    # both self-join sides read the checkpointed narrow rows.
+    hashed = emb.select(
+        "vec_id", "embedding", bucket.alias("bucket")
+    ).localCheckpoint(eager=False)
     a = hashed.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"), F.col("bucket").alias("ba")
     )
     b = hashed.select(
         F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"), F.col("bucket").alias("bb")
     )
-    return (
+    scored = (
         a.join(b, (F.col("ba") == F.col("bb")) & (F.col("id_a") < F.col("id_b")))
         .select("id_a", "id_b", F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("sim"))
-        .filter(F.col("sim") >= 0.35)
+        # barrier: PushDownPredicates substitutes the sim alias into the
+        # threshold filter, re-running the cosine UDF once for the filter
+        # and once for the projection (observed 2x). The checkpointed frame
+        # is (id_a, id_b, sim) per CANDIDATE pair — ∝ bucket collision
+        # rate, not the corpus — so the barrier is cheap at any scale.
+        .localCheckpoint(eager=False)
     )
+    return scored.filter(F.col("sim") >= 0.35)

@@ -217,3 +217,38 @@ def test_ship_orders_semi_anti_shape(spark, sf_dir):
     plan = _plan(df, "simple")
     assert "LeftSemi" in plan or "Semi" in plan
     assert "LeftAnti" in plan or "Anti" in plan
+
+
+def test_sim_ivf_assignment_single_execution(spark, sf_dir):
+    """sim_ivf (r04 verdict: bimodal re-execution): the Arrow assignment
+    pass over the corpus must appear exactly once in the executed plan —
+    the query-side probe lists are computed driver-side so the broadcast
+    branch cannot re-run the UDF stage — and the only other Python stage
+    is the candidate-subset cosine rerank."""
+    from presto_db_spark.operators.similarity import sim_ivf
+
+    df = sim_ivf(spark, sf_dir)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan()
+    live = []
+    _walk_physical(plan, live)
+    s = plan.toString()
+    assert s.count("_assign_probe") == 1, "assignment UDF must run exactly once"
+    assert live.count("ArrowEvalPython") == 2, live
+
+
+def test_srp_bucket_single_execution(spark, sf_dir):
+    """sim_ann_lsh / dedup_embedding_cosine: the SRP bucket UDF fans into
+    both self-join sides and its isnotnull filter pushes through the
+    repartition exchange — unchecked, the Arrow stage ran 4x. Behind the
+    checkpoint barrier the live plan carries NO bucket UDF, and the
+    cosine rerank runs exactly once (the threshold filter must not
+    re-evaluate it)."""
+    from presto_db_spark.operators import similarity as S
+
+    for name, cosine_runs in [("sim_ann_lsh", 1), ("dedup_embedding_cosine", 0)]:
+        df = S.QUERIES[name](spark, sf_dir)
+        df.count()
+        s = df._jdf.queryExecution().executedPlan().toString()
+        assert s.count("_srp_bucket_impl") == 0, f"{name}: bucket UDF re-executes"
+        assert s.count("_cosine_impl") == cosine_runs, f"{name}: cosine duplicated"
