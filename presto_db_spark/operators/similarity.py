@@ -312,6 +312,40 @@ SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.35
 N_CENTROIDS = 16
 N_PROBE = 2
 
+
+def _assign_probe_impl(vecs, cent_ids, cent_vecs, n_probe):
+    """Vectorized nearest-centroid assignment + probe lists, one Arrow
+    pass. Per-dimension sequential accumulation keeps every centroid
+    similarity bit-identical to the oracle's left-to-right fold; ties
+    break on ascending centroid id exactly as the oracle's
+    (csim DESC, cid) row_number does."""
+    import numpy as np
+    import pandas as pd
+
+    E = np.vstack(vecs.to_numpy()).astype(np.float64)
+    n, dim = E.shape
+    K = len(cent_vecs)
+    dots = np.zeros((n, K))
+    ne = np.zeros(n)
+    nc = [0.0] * K
+    for d in range(dim):
+        x = E[:, d]
+        ne += x * x
+        for c in range(K):
+            dots[:, c] += x * cent_vecs[c][d]
+            nc[c] += cent_vecs[c][d] * cent_vecs[c][d]
+    sims = dots / (np.sqrt(ne)[:, None] * np.sqrt(nc)[None, :])
+    # stable argsort by (-sim, cid): cent_ids ascending is the input
+    # order, and np.argsort(kind='stable') keeps it on ties
+    order = np.argsort(-sims, axis=1, kind="stable")
+    cids = np.asarray(cent_ids)
+    return pd.DataFrame(
+        {
+            "cid": cids[order[:, 0]],
+            "probes": [cids[order[r, :n_probe]].tolist() for r in range(n)],
+        }
+    )
+
 _IVF_SQL = f"""
 WITH c AS (
   SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < {N_CENTROIDS}
@@ -391,32 +425,7 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent_vecs = [[float(x) for x in r.embedding] for r in cent_rows]
 
     def _assign_probe(vecs):
-        import numpy as np
-        import pandas as pd
-
-        E = np.vstack(vecs.to_numpy()).astype(np.float64)
-        n, dim = E.shape
-        K = len(cent_vecs)
-        dots = np.zeros((n, K))
-        ne = np.zeros(n)
-        nc = [0.0] * K
-        for d in range(dim):
-            x = E[:, d]
-            ne += x * x
-            for c in range(K):
-                dots[:, c] += x * cent_vecs[c][d]
-                nc[c] += cent_vecs[c][d] * cent_vecs[c][d]
-        sims = dots / (np.sqrt(ne)[:, None] * np.sqrt(nc)[None, :])
-        # stable argsort by (-sim, cid): cent_ids ascending is the input
-        # order, and np.argsort(kind='stable') keeps it on ties
-        order = np.argsort(-sims, axis=1, kind="stable")
-        cids = np.asarray(cent_ids)
-        return pd.DataFrame(
-            {
-                "cid": cids[order[:, 0]],
-                "probes": [cids[order[r, :N_PROBE]].tolist() for r in range(n)],
-            }
-        )
+        return _assign_probe_impl(vecs, cent_ids, cent_vecs, N_PROBE)
 
     assign_udf = F.pandas_udf(_assign_probe, "struct<cid: long, probes: array<long>>")
     ap = emb.select(
@@ -498,3 +507,188 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     return scored.filter(F.col("sim") >= 0.35)
+
+
+# --- IVF with a REAL Lloyd's k-means trainer -------------------------------
+
+KMEANS_ITERS = 2
+KM_SCALE = 1000000  # centroid quantization: exact integer sums
+
+
+def _sql_cos(a: str, b: str) -> str:
+    return (
+        f"({_SQL_DOT.format(a=a, b=b)}"
+        f" / ({_SQL_NORM.format(a=a)} * {_SQL_NORM.format(a=b)}))"
+    )
+
+
+def _km_iter_sql(prev_c: str, a: str, s: str, c: str) -> str:
+    """One Lloyd iteration as SQL CTEs: cosine argmax assignment, exact
+    integer-quantized per-dimension sums, carry-forward for empty
+    clusters."""
+    sums = ", ".join(
+        f"sum(CAST(floor(CAST(embedding[{d + 1}] AS DOUBLE) * {KM_SCALE} + 0.5)"
+        f" AS BIGINT)) AS s{d}"
+        for d in range(DIM)
+    )
+    newvec = ", ".join(
+        f"CAST(s.s{d} AS DOUBLE) / (s.n * {KM_SCALE}.0)" for d in range(DIM)
+    )
+    return f"""{a} AS (
+  SELECT vec_id, embedding, cidx FROM (
+    SELECT e.vec_id, e.embedding, c.cidx,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_sql_cos('e.embedding', 'c.cv')} DESC, c.cidx) AS rn
+    FROM embeddings e CROSS JOIN {prev_c} c
+  ) WHERE rn = 1
+), {s} AS (
+  SELECT cidx, count(*) AS n, {sums} FROM {a} GROUP BY cidx
+), {c} AS (
+  SELECT p.cidx, CASE WHEN s.n IS NULL THEN p.cv ELSE [{newvec}] END AS cv
+  FROM {prev_c} p LEFT JOIN {s} s ON s.cidx = p.cidx
+)"""
+
+
+_KM_FINAL_C = f"c{KMEANS_ITERS}"
+_IVF_KM_SQL = (
+    f"""
+WITH c0 AS (
+  SELECT vec_id AS cidx, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings WHERE vec_id < {N_CENTROIDS}
+), """
+    + ", ".join(
+        _km_iter_sql(f"c{i}", f"a{i}", f"s{i}", f"c{i + 1}")
+        for i in range(KMEANS_ITERS)
+    )
+    + f""", assigned AS (
+  SELECT vec_id, embedding, cidx FROM (
+    SELECT e.vec_id, e.embedding, c.cidx,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_sql_cos('e.embedding', 'c.cv')} DESC, c.cidx) AS rn
+    FROM embeddings e CROSS JOIN {_KM_FINAL_C} c
+  ) WHERE rn = 1
+), q_probe AS (
+  SELECT vec_id AS qid, embedding AS qe, cidx FROM (
+    SELECT e.vec_id, e.embedding, c.cidx,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_sql_cos('e.embedding', 'c.cv')} DESC, c.cidx) AS prn
+    FROM embeddings e CROSS JOIN {_KM_FINAL_C} c
+    WHERE e.vec_id < {N_QUERIES}
+  ) WHERE prn <= {N_PROBE}
+), cand AS (
+  SELECT q.qid, q.qe, a.vec_id, a.embedding AS ce
+  FROM q_probe q JOIN assigned a ON a.cidx = q.cidx AND a.vec_id <> q.qid
+), scored AS (
+  SELECT qid, vec_id,
+         round({_SQL_DOT.format(a="qe", b="ce")}
+               / ({_SQL_NORM.format(a="qe")} * {_SQL_NORM.format(a="ce")}), 6) AS sim
+  FROM cand
+), ranked AS (
+  SELECT qid, vec_id, sim,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+  FROM scored
+)
+SELECT qid, vec_id, sim, CAST(rn AS INTEGER) AS rn FROM ranked WHERE rn <= {TOP_K}
+"""
+)
+
+
+@_q("sim_ivf_kmeans", _IVF_KM_SQL)
+def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a REAL Lloyd's k-means trainer (vs sim_ivf's fixed
+    first-K centroids): KMEANS_ITERS spherical iterations, then the same
+    nprobe partition-pruned search.
+
+    The distributed-determinism trick that makes an EXACT oracle possible:
+    the new centroid is the mean of its members, but a float mean over a
+    shuffle is summation-order-dependent (different runs, different
+    engines → different last ulps). Components are therefore quantized to
+    integers (``floor(x·10⁶ + 0.5)``) and summed EXACTLY — int64 addition
+    is commutative — then divided once in double precision. Both engines
+    produce bit-identical centroids at any partitioning, any cluster
+    size, any scale.
+
+    Scale: per iteration = one Arrow assignment pass (centroid broadcast)
+    + one 16-row groupBy collect (the standard k-means driver pattern,
+    bounded by K·DIM, never by the corpus).
+    """
+    emb = _emb(spark, sf_dir)
+    raw = load_table(spark, sf_dir, "embeddings")
+    head_rows = sorted(
+        raw.filter(F.col("vec_id") < max(N_CENTROIDS, N_QUERIES))
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    cent_ids = list(range(N_CENTROIDS))
+    cents = [
+        [float(x) for x in r.embedding]
+        for r in head_rows
+        if r.vec_id < N_CENTROIDS
+    ]
+
+    def _make_assign(cv):
+        def impl(vecs):
+            return _assign_probe_impl(vecs, cent_ids, cv, N_PROBE)
+
+        return F.pandas_udf(impl, "struct<cid: long, probes: array<long>>")
+
+    sum_exprs = [
+        F.sum(
+            F.floor(F.element_at("embedding", d + 1).cast("double") * KM_SCALE + 0.5)
+            .cast("long")
+        ).alias(f"s{d}")
+        for d in range(DIM)
+    ]
+    for _ in range(KMEANS_ITERS):
+        assign = _make_assign([list(c) for c in cents])
+        rows = (
+            emb.select(assign(F.col("embedding")).alias("ap"), "embedding")
+            .select(F.col("ap.cid").alias("cidx"), "embedding")
+            .groupBy("cidx")
+            .agg(F.count("*").alias("n"), *sum_exprs)
+            .collect()
+        )
+        new = {
+            int(r.cidx): [r[f"s{d}"] / (r.n * KM_SCALE) for d in range(DIM)]
+            for r in rows
+        }
+        cents = [new.get(i, cents[i]) for i in range(N_CENTROIDS)]
+
+    # final index assignment + probe (same pruned-search tail as sim_ivf)
+    assign = _make_assign([list(c) for c in cents])
+    assigned = emb.select(
+        "vec_id", "embedding", assign(F.col("embedding")).alias("ap")
+    ).select("vec_id", "embedding", F.col("ap.cid").alias("cid"))
+    import pandas as pd
+
+    q_rows = [r for r in head_rows if r.vec_id < N_QUERIES]
+    q_ap = _assign_probe_impl(
+        pd.Series([[float(x) for x in r.embedding] for r in q_rows]),
+        cent_ids, cents, N_PROBE,
+    )
+    q_probe = spark.createDataFrame(
+        [
+            (int(r.vec_id), [float(x) for x in r.embedding], int(cid))
+            for r, probes in zip(q_rows, q_ap["probes"])
+            for cid in probes
+        ],
+        "qid bigint, qe array<double>, cid bigint",
+    )
+    cand = (
+        F.broadcast(q_probe.alias("qp"))
+        .join(
+            assigned.alias("av"),
+            (F.col("qp.cid").eqNullSafe(F.col("av.cid")))
+            & (F.col("av.vec_id") != F.col("qp.qid")),
+        )
+        .select("qid", "qe", "vec_id", F.col("av.embedding").alias("ce"))
+    )
+    scored = cand.select(
+        "qid", "vec_id", F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("sim")
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("sim"), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= TOP_K)
+    )

@@ -11,3 +11,41 @@ from .oracle_utils import check_query
 def test_similarity_vs_duckdb(spark, sf_dir, name):
     problems = check_query(spark, name, sm.QUERIES[name], sm.ORACLE.get(name), sf_dir)
     assert not problems, f"{name}: {problems}"
+
+
+def test_kmeans_improves_or_matches_quantization(spark, sf_dir):
+    """The trained centroids must describe the corpus at least as well as
+    the untrained first-K init: mean best-centroid cosine over all vectors
+    must not decrease after Lloyd iterations (spherical k-means ascent),
+    and the trained partitions must be non-degenerate (>= 2 non-empty)."""
+    import numpy as np
+
+    from presto_db_spark.operators import similarity as S
+
+    emb = [
+        (r.vec_id, np.array(r.embedding, dtype=np.float64))
+        for r in S._emb(spark, sf_dir).select("vec_id", "embedding").collect()
+    ]
+    vecs = np.vstack([v for _, v in emb])
+    init = vecs[np.argsort([i for i, _ in emb])[: S.N_CENTROIDS]]
+
+    def mean_best(cents):
+        sims = (vecs @ cents.T) / (
+            np.linalg.norm(vecs, axis=1)[:, None] * np.linalg.norm(cents, axis=1)[None, :]
+        )
+        return sims.max(axis=1).mean()
+
+    # run the same quantized Lloyd iterations locally
+    cents = init.copy()
+    for _ in range(S.KMEANS_ITERS):
+        sims = (vecs @ cents.T) / (
+            np.linalg.norm(vecs, axis=1)[:, None] * np.linalg.norm(cents, axis=1)[None, :]
+        )
+        assign = sims.argmax(axis=1)
+        for c in range(S.N_CENTROIDS):
+            members = vecs[assign == c]
+            if len(members):
+                q = np.floor(members * S.KM_SCALE + 0.5).sum(axis=0)
+                cents[c] = q / (len(members) * S.KM_SCALE)
+    assert mean_best(cents) >= mean_best(init) - 1e-9
+    assert len({int(c) for c in sims.argmax(axis=1)}) >= 2
