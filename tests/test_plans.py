@@ -252,3 +252,27 @@ def test_srp_bucket_single_execution(spark, sf_dir):
         s = df._jdf.queryExecution().executedPlan().toString()
         assert s.count("_srp_bucket_impl") == 0, f"{name}: bucket UDF re-executes"
         assert s.count("_cosine_impl") == cosine_runs, f"{name}: cosine duplicated"
+
+
+def test_no_cartesian_across_tpc_corpus(spark, sf_dir):
+    """Blanket plan-hygiene gate over ALL 121 TPC-H + TPC-DS queries: no
+    CartesianProduct anywhere (BroadcastNestedLoopJoin is allowed — it is
+    the 1-row scalar-subquery attach pattern). Sole exception: tpcds_q77,
+    whose CROSS JOIN of the catalog sales/returns CTEs is the reference's
+    own query text (tpcds/q77.sql) — and there both sides must be grouped
+    aggregates (bounded by channel-key cardinality), never raw scans."""
+    from presto_db_spark.operators import tpcds, tpcds2, tpch
+
+    offenders = []
+    for mod in (tpch, tpcds, tpcds2):
+        for name, fn in mod.QUERIES.items():
+            plan = fn(spark, sf_dir)._jdf.queryExecution().sparkPlan().toString()
+            if "CartesianProduct" not in plan:
+                continue
+            if name == "tpcds_q77":
+                seg = plan.split("CartesianProduct", 1)[1]
+                assert "HashAggregate" in seg.split("FileScan", 1)[0], (
+                    "q77 cross side is not a grouped aggregate")
+                continue
+            offenders.append(name)
+    assert not offenders, f"unexpected CartesianProduct in: {offenders}"
