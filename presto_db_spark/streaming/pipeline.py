@@ -600,3 +600,111 @@ def streaming_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE["streaming_minhash_pairs"] = _stream_minhash_oracle()
+
+
+# --- watermark late-data semantics -----------------------------------------
+
+_LATE_SQL = """
+WITH bounds AS (
+  SELECT date_trunc('hour', max(ts)) AS cut, max(ts) AS gm FROM events
+), s0max AS (
+  SELECT max(e.ts) AS m FROM events e, bounds b
+  WHERE e.event_id % 2 = 0 AND e.ts < b.cut
+), kept AS (
+  SELECT e.ts FROM events e, bounds b
+  WHERE (e.event_id % 2 = 0 AND e.ts < b.cut) OR e.ts >= b.cut
+  UNION ALL
+  SELECT e.ts FROM events e, bounds b, s0max
+  WHERE e.event_id % 2 = 1 AND e.ts < b.cut
+    AND date_trunc('hour', e.ts) + INTERVAL 1 HOUR > s0max.m - INTERVAL 1 HOUR
+)
+SELECT date_trunc('hour', kept.ts) AS hour_start, CAST(count(*) AS BIGINT) AS cnt
+FROM kept, bounds b
+WHERE date_trunc('hour', kept.ts) + INTERVAL 1 HOUR <= b.gm - INTERVAL 1 HOUR
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def events_three_batch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events staged as THREE parquet files with ORDERED modification times
+    (FileStreamSource processes oldest-first), so availableNow yields three
+    deterministic microbatches:
+
+    * batch 0 — even event_ids before the final hour (establishes windows
+      and the max event time that will gate the late slice),
+    * batch 1 — everything in the final hour (the fresh tail; its own
+      late-filter threshold is still epoch, and it pushes the FINAL
+      watermark high enough to flush kept-late windows),
+    * batch 2 — odd event_ids before the final hour (the LATE slice: its
+      filter threshold is the watermark in effect during batch 1, i.e.
+      ``max(batch 0) − delay``).
+    """
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    cache_key = "events3:" + os.path.abspath(sf_dir)
+    stage = _STAGE_CACHE.get(cache_key)
+    if stage is None:
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        stage = tempfile.mkdtemp(prefix="evsrc_", dir=_tmp_root())
+        tbl = pq.read_table(f"{sf_dir}/events.parquet")
+        ts = tbl.column("ts")
+        cut = pc.floor_temporal(pc.max(ts), unit="hour")
+        old = pc.less(ts, cut)
+        even = pc.equal(pc.bit_wise_and(tbl.column("event_id"), 1), 0)
+        # Order matters: the late filter in batch M uses the watermark in
+        # effect during batch M-1, which is max(ts through batch M-2) —
+        # victims must therefore arrive in batch 2 for batch 0's max to
+        # gate them. The fresh tail rides in batch 1 so the FINAL
+        # watermark (max all ts − delay) flushes the kept-late windows.
+        parts = [
+            ("batch-0.parquet", pc.and_(old, even)),
+            ("batch-1.parquet", pc.invert(old)),
+            ("batch-2.parquet", pc.and_(old, pc.invert(even))),
+        ]
+        now = os.stat(f"{sf_dir}/events.parquet").st_mtime
+        for i, (name, mask) in enumerate(parts):
+            p = os.path.join(stage, name)
+            pq.write_table(tbl.filter(mask), p)
+            os.utime(p, (now + 100 * i, now + 100 * i))
+        _STAGE_CACHE[cache_key] = stage
+    schema = spark.read.parquet(stage).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    if dict(stream.dtypes)["ts"] == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+@_q("streaming_late_data", _LATE_SQL)
+def streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-DATA semantics, value-checked against Spark's actual
+    drop/flush rules (probed empirically, Spark 4.1):
+
+    * the late-input filter in micro-batch M uses the watermark in effect
+      during batch M−1 (``max(ts through batch M−2) − delay``) — one
+      batch behind the eviction watermark;
+    * eviction/emission in batch M uses the CURRENT watermark
+      (``max(ts through batch M−1) − delay``);
+    * availableNow's final empty batch flushes windows whose end ≤
+      ``max(all ts) − delay``.
+
+    Topology: batch 0 = on-time evens, batch 1 = the final hour (fresh
+    tail), batch 2 = the late odd slice (dropped iff its hour-window end
+    ≤ max(batch 0) − 1 h — BOTH outcomes occur: old odds drop, near-cut
+    odds merge into still-live windows and flush with the final
+    watermark). The oracle reproduces all three rules in batch SQL, so this
+    pins Spark's real late semantics — not just a drained stream. Scale:
+    state is the open windows only (bounded by the delay), the same
+    contract as streaming_tumbling."""
+    stream = events_three_batch_stream(spark, sf_dir)
+    res = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .select(F.col("win.start").alias("hour_start"), "cnt")
+    )
+    return _run_to_completion(res, "stream_late", "append").orderBy("hour_start")

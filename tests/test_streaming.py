@@ -11,3 +11,30 @@ from .oracle_utils import check_query
 def test_streaming_vs_duckdb(spark, sf_dir, name):
     problems = check_query(spark, name, sp.QUERIES[name], sp.ORACLE.get(name), sf_dir)
     assert not problems, f"{name}: {problems}"
+
+
+def test_late_data_drops_and_keeps(spark, sf_dir):
+    """The late slice must exercise BOTH outcomes: some odd rows dropped
+    by the watermark (engine metric > 0), some merged into still-live
+    windows — and the total emitted count must sit strictly between
+    drop-everything-late and drop-nothing bounds."""
+    from presto_db_spark.streaming import pipeline as P
+    from .oracle_utils import run_oracle
+
+    df = P.QUERIES["streaming_late_data"](spark, sf_dir)
+    emitted = sum(r.cnt for r in df.collect())
+
+    no_drop_sql = """
+    WITH bounds AS (SELECT date_trunc('hour', max(ts)) AS cut, max(ts) AS gm FROM events)
+    SELECT CAST(count(*) AS BIGINT) AS n FROM events e, bounds b
+    WHERE date_trunc('hour', e.ts) + INTERVAL 1 HOUR <= b.gm - INTERVAL 1 HOUR
+    """
+    all_late_dropped_sql = """
+    WITH bounds AS (SELECT date_trunc('hour', max(ts)) AS cut, max(ts) AS gm FROM events)
+    SELECT CAST(count(*) AS BIGINT) AS n FROM events e, bounds b
+    WHERE (e.event_id % 2 = 0 OR e.ts >= b.cut)
+      AND date_trunc('hour', e.ts) + INTERVAL 1 HOUR <= b.gm - INTERVAL 1 HOUR
+    """
+    (_, [(upper,)]) = run_oracle(no_drop_sql, sf_dir)
+    (_, [(lower,)]) = run_oracle(all_late_dropped_sql, sf_dir)
+    assert lower < emitted < upper, (lower, emitted, upper)
