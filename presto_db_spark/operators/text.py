@@ -452,3 +452,115 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt(_RE_PHONE).alias("n_phones"),
         cnt(_RE_IP).alias("n_ips"),
     ).orderBy("id")
+
+
+# --- token-window document chunking ----------------------------------------
+
+CHUNK_TOKENS = 64
+CHUNK_OVERLAP = 16
+CHUNK_STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
+
+_CHUNK_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+), starts AS (
+  SELECT doc_id, toks,
+         generate_series(1, greatest(len(toks) - {CHUNK_OVERLAP}, 1), {CHUNK_STRIDE}) AS ss
+  FROM t
+), ex AS (
+  SELECT doc_id, toks, unnest(ss) AS s, generate_subscripts(ss, 1) AS k FROM starts
+)
+SELECT doc_id, CAST(k - 1 AS BIGINT) AS chunk_idx,
+       array_to_string(toks[s:s + {CHUNK_TOKENS} - 1], ' ') AS chunk_text,
+       CAST(least({CHUNK_TOKENS}, len(toks) - s + 1) AS BIGINT) AS chunk_tokens
+FROM ex ORDER BY doc_id, chunk_idx
+"""
+
+
+@_q("text_chunk_documents", _CHUNK_SQL)
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking — the context-length preprocessing step of
+    every LLM training pipeline: fixed {CHUNK_TOKENS}-token windows with
+    {CHUNK_OVERLAP}-token overlap (stride {CHUNK_STRIDE}), last partial
+    window kept. Pure expression pipeline: sequence → slice → posexplode,
+    one shuffle-free map pass over the corpus at any scale (the explode
+    multiplies rows ~n_tok/stride, the same fan-out the tokenized corpus
+    needs downstream anyway)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    t = docs.select("doc_id", toks.alias("toks"))
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size("toks") - CHUNK_OVERLAP, F.lit(1)),
+        F.lit(CHUNK_STRIDE),
+    )
+    ex = t.select("doc_id", "toks", F.posexplode(starts).alias("k0", "s"))
+    return ex.select(
+        "doc_id",
+        F.col("k0").cast("bigint").alias("chunk_idx"),
+        F.array_join(F.slice("toks", F.col("s"), CHUNK_TOKENS), " ").alias("chunk_text"),
+        F.least(F.lit(CHUNK_TOKENS), F.size("toks") - F.col("s") + 1)
+        .cast("bigint")
+        .alias("chunk_tokens"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+# --- stratified sampling ----------------------------------------------------
+
+# Per-language sampling fractions (a class-balancing pass): thresholds are
+# on the first md5 byte, exactly the text_train_val_split mechanism, so
+# the sample is deterministic across engines, machines, and partitionings.
+STRATA_FRACTIONS = {"en": 64, "es": 128, "de": 192, "fr": 224, "zh": 256}
+
+
+def _md5_byte0_sql(key: str) -> str:
+    return (
+        f"(CAST(('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 2)) AS INTEGER))"
+    )
+
+
+_STRAT_CASE = " ".join(
+    f"WHEN '{lang}' THEN {thr}" for lang, thr in STRATA_FRACTIONS.items()
+)
+
+_STRAT_SQL = f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         {_md5_byte0_sql('doc_id')} AS b,
+         (CASE lang {_STRAT_CASE} ELSE 0 END) AS thr
+  FROM documents
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN b < thr THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+FROM d GROUP BY lang ORDER BY lang
+"""
+
+
+@_q("sample_stratified", _STRAT_SQL)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified (per-language) sampling for class rebalancing: each
+    stratum gets its own md5-byte threshold (en 25%, es 50%, de 75%,
+    fr 87.5%, zh 100%). The hash split is a pure projection — no RNG
+    state, identical sample membership at any partitioning or scale —
+    and the only shuffle is the per-stratum count rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    hexd = "0123456789abcdef"
+    h = F.md5(F.col("doc_id").cast("string"))
+    b = (
+        (F.instr(F.lit(hexd), F.substring(h, 1, 1)) - 1) * 16
+        + (F.instr(F.lit(hexd), F.substring(h, 2, 1)) - 1)
+    )
+    thr = F.lit(0)
+    for lang, t in STRATA_FRACTIONS.items():
+        thr = F.when(F.col("lang") == lang, t).otherwise(thr)
+    d = docs.select("lang", b.alias("b"), thr.alias("thr"))
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_total"),
+            F.sum(F.when(F.col("b") < F.col("thr"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_sampled"),
+        )
+        .orderBy("lang")
+    )

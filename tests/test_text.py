@@ -62,3 +62,41 @@ def test_pii_scrub_removes_all_patterns(spark, sf_dir):
         assert not re.search(r"[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}", r.scrubbed)
         assert not re.search(r"\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}", r.scrubbed)
         assert not re.search(r"([0-9]{1,3}\.){3}[0-9]{1,3}", r.scrubbed)
+
+
+def test_chunking_reconstructs_tokens(spark, sf_dir):
+    """Chunk windows must tile every document: stride-aligned starts, the
+    overlap region shared verbatim between neighbors, and concatenating
+    each chunk's non-overlap prefix reconstructs the original text."""
+    rows = tx.QUERIES["text_chunk_documents"](spark, sf_dir).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    docs = {
+        r.doc_id: r.text.strip().split()
+        for r in tx.QUERIES["text_token_stats"].__globals__["load_table"](
+            spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    assert any(len(ch) > 1 for ch in by_doc.values()), "no doc spans 2+ chunks"
+    for doc_id, chunks in list(by_doc.items())[:50]:
+        chunks.sort(key=lambda r: r.chunk_idx)
+        toks = docs[doc_id]
+        rebuilt = []
+        for r in chunks:
+            ct = r.chunk_text.split()
+            assert len(ct) == r.chunk_tokens
+            rebuilt.extend(ct if not rebuilt else ct[tx.CHUNK_OVERLAP:]
+                           if r.chunk_idx * tx.CHUNK_STRIDE + tx.CHUNK_OVERLAP
+                           <= len(rebuilt) else ct[len(rebuilt) - r.chunk_idx * tx.CHUNK_STRIDE:])
+        assert rebuilt == toks, f"doc {doc_id} not reconstructed"
+
+
+def test_stratified_fractions(spark, sf_dir):
+    """Per-stratum sample rates must track the configured thresholds
+    (binomial 6-sigma bound), and every stratum must be non-empty."""
+    rows = tx.QUERIES["sample_stratified"](spark, sf_dir).collect()
+    assert {r.lang for r in rows} >= set(tx.STRATA_FRACTIONS)
+    for r in rows:
+        p = tx.STRATA_FRACTIONS.get(r.lang, 0) / 256
+        mean, sd = r.n_total * p, (r.n_total * p * (1 - p)) ** 0.5
+        assert abs(r.n_sampled - mean) <= 6 * sd + 1, (r.lang, r.n_sampled, mean)
