@@ -542,6 +542,37 @@ def _td_to_date(s: str | None, fmt: str | None):
     return out.date() if out is not None else None
 
 
+# DataSizeFunctions.java parse_presto_data_size: leading digits/dots are
+# the value (BigDecimal), the exact-case remainder is the unit (B..YB,
+# powers of 1024), result truncated toward zero as decimal(38,0). Python
+# ints/Decimal reproduce the reference's arbitrary-precision math exactly
+# (a pure-expression form would overflow DECIMAL(38) intermediates at YB).
+_DS_FACTORS = {
+    "B": 1, "kB": 1 << 10, "MB": 1 << 20, "GB": 1 << 30, "TB": 1 << 40,
+    "PB": 1 << 50, "EB": 1 << 60, "ZB": 1 << 70, "YB": 1 << 80,
+}
+
+
+def _parse_presto_data_size(s: str | None):
+    import decimal
+
+    if s is None:
+        return None
+    i = 0
+    while i < len(s) and s[i] in "0123456789.":
+        i += 1
+    if i == 0:
+        raise ValueError(f"Invalid data size: '{s}'")
+    try:
+        value = decimal.Decimal(s[:i])
+    except decimal.InvalidOperation:
+        raise ValueError(f"Invalid data size: '{s}'") from None
+    factor = _DS_FACTORS.get(s[i:])
+    if factor is None:
+        raise ValueError(f"Invalid data size: '{s}'")
+    return decimal.Decimal(int(value * factor))
+
+
 def register_presto_functions(spark: SparkSession) -> None:
     """Install the compat layer into the session's function registry."""
     for stmt in _SQL_FUNCTIONS:
@@ -555,6 +586,9 @@ def register_presto_functions(spark: SparkSession) -> None:
     spark.udf.register("to_timestamp_td", _td_to_timestamp, T.TimestampType())
     spark.udf.register("to_date_td", _td_to_date, T.DateType())
     spark.udf.register("parse_datetime", _parse_datetime_py, T.TimestampType())
+    spark.udf.register(
+        "parse_presto_data_size", _parse_presto_data_size, T.DecimalType(38, 0)
+    )
     from .color import bar_py, parse_color, render_py, rgb_int
 
     # ColorFunctions.java surface — paste-compat SQL names. The color type

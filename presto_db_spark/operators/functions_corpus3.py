@@ -526,3 +526,51 @@ def func_color_bar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(C.parse_color("#1a9")).cast("bigint").alias("code_hex"),
         F.lit(C.parse_color("magenta")).cast("bigint").alias("code_sys"),
     ).orderBy("id")
+
+
+# --- parse_presto_data_size (DataSizeFunctions.java) -----------------------
+
+_DATA_SIZE_SQL = """
+WITH p AS (
+  SELECT c_custkey AS id,
+         (CAST(c_custkey % 900 + 1 AS VARCHAR) || '.'
+          || CAST(c_custkey % 10 AS VARCHAR)
+          || (CASE c_custkey % 5 WHEN 0 THEN 'B' WHEN 1 THEN 'kB'
+              WHEN 2 THEN 'MB' WHEN 3 THEN 'GB' ELSE 'TB' END)) AS ds,
+         (c_custkey % 900 + 1) * 10 + c_custkey % 10 AS tenths,
+         (CASE c_custkey % 5 WHEN 0 THEN CAST(1 AS BIGINT) WHEN 1 THEN 1024
+           WHEN 2 THEN 1048576 WHEN 3 THEN 1073741824 ELSE 1099511627776 END)
+           AS factor
+  FROM customer WHERE c_custkey < 2000
+)
+SELECT id, ds,
+       CAST(CAST(tenths AS HUGEINT) * factor // 10 AS DECIMAL(38, 0)) AS bytes
+FROM p ORDER BY id
+"""
+
+
+@_q("func_data_size", _DATA_SIZE_SQL)
+def func_data_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse_presto_data_size over synthesized '<v>.<t><unit>' strings.
+    The oracle reproduces the exact truncating decimal math with integer
+    tenths (value*factor//10), so parity is exact at every unit."""
+    from ..functions.presto import register_presto_functions
+
+    (cust,) = _t(spark, sf_dir, "customer")
+    register_presto_functions(spark)
+    cust.filter(F.col("c_custkey") < 2000).createOrReplaceTempView("_ds_cust")
+    return spark.sql("""
+        SELECT c_custkey AS id,
+               CONCAT(CAST(c_custkey % 900 + 1 AS STRING), '.',
+                      CAST(c_custkey % 10 AS STRING),
+                      CASE CAST(c_custkey % 5 AS INT) WHEN 0 THEN 'B'
+                        WHEN 1 THEN 'kB' WHEN 2 THEN 'MB'
+                        WHEN 3 THEN 'GB' ELSE 'TB' END) AS ds,
+               parse_presto_data_size(
+                 CONCAT(CAST(c_custkey % 900 + 1 AS STRING), '.',
+                        CAST(c_custkey % 10 AS STRING),
+                        CASE CAST(c_custkey % 5 AS INT) WHEN 0 THEN 'B'
+                          WHEN 1 THEN 'kB' WHEN 2 THEN 'MB'
+                          WHEN 3 THEN 'GB' ELSE 'TB' END)) AS bytes
+        FROM _ds_cust ORDER BY id
+    """)
