@@ -708,3 +708,109 @@ def streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("win.start").alias("hour_start"), "cnt")
     )
     return _run_to_completion(res, "stream_late", "append").orderBy("hour_start")
+
+
+# --- incremental per-group top-k -------------------------------------------
+
+STREAM_TOP_K = 5
+
+_STREAM_TOPK_SQL = f"""
+WITH ranked AS (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id) AS rank
+  FROM events
+)
+SELECT event_type, CAST(rank AS INTEGER) AS rank, event_id,
+       round(value, 6) AS value
+FROM ranked WHERE rank <= {STREAM_TOP_K}
+ORDER BY event_type, rank
+"""
+
+
+@_q("streaming_topk", _STREAM_TOPK_SQL)
+def streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental per-group TOP-K (the streaming face of
+    win_topn_per_group): GroupState holds each event_type's current top-5
+    (value DESC, event_id tie-break) as fixed-width parallel arrays —
+    K·16 B per key, bounded at any scale — merged with each microbatch's
+    candidates (pre-pruned to its own top-5 in numpy before touching
+    state). Each batch emits the running top-k stamped with n_seen; the
+    final answer per key is the emission with the largest n_seen (a
+    deterministic reduce — top-k merge is associative and
+    arrival-order-insensitive, which is what makes the batch window query
+    the exact oracle). Three deterministic microbatches exercise real
+    cross-batch state merging."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    stream = events_three_batch_stream(spark, sf_dir).select(
+        "event_type", "event_id", "value"
+    )
+    out_schema = StructType(
+        [
+            StructField("event_type", StringType()),
+            StructField("n_seen", LongType()),
+            StructField("rank", IntegerType()),
+            StructField("event_id", LongType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("ids", ArrayType(LongType())),
+            StructField("vals", ArrayType(DoubleType())),
+        ]
+    )
+
+    def update(key, pdf_iter, state: GroupState):
+        import numpy as np
+        import pandas as pd
+
+        n, ids, vals = state.get if state.exists else (0, [], [])
+        pairs = list(zip(vals, [-i for i in ids]))  # sort key: value DESC, id ASC
+        for pdf in pdf_iter:
+            n += len(pdf)
+            bv = pdf["value"].to_numpy()
+            bi = pdf["event_id"].to_numpy()
+            # pre-prune the batch to its own top-K before merging
+            order = np.lexsort((bi, -bv))[:STREAM_TOP_K]
+            pairs.extend((float(bv[j]), -int(bi[j])) for j in order)
+        pairs.sort(reverse=True)
+        pairs = pairs[:STREAM_TOP_K]
+        state.update((n, [-p[1] for p in pairs], [p[0] for p in pairs]))
+        yield pd.DataFrame(
+            {
+                "event_type": key[0],
+                "n_seen": n,
+                "rank": range(1, len(pairs) + 1),
+                "event_id": [-p[1] for p in pairs],
+                "value": [p[0] for p in pairs],
+            }
+        )
+
+    res = stream.groupBy("event_type").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    raw = _run_to_completion(res, "stream_topk", "update")
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("event_type")
+    return (
+        raw.withColumn("max_n", F.max("n_seen").over(w))
+        .filter(F.col("n_seen") == F.col("max_n"))
+        .select(
+            "event_type", "rank", "event_id", F.round("value", 6).alias("value")
+        )
+        .orderBy("event_type", "rank")
+    )
