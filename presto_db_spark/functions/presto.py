@@ -589,16 +589,40 @@ def register_presto_functions(spark: SparkSession) -> None:
     spark.udf.register(
         "parse_presto_data_size", _parse_presto_data_size, T.DecimalType(38, 0)
     )
-    from .color import bar_py, parse_color, render_py, rgb_int
+    from .color import (
+        RENDERED_FALSE,
+        RENDERED_TRUE,
+        bar_py,
+        color_interp,
+        parse_color,
+        render_py,
+        rgb_int,
+    )
 
-    # ColorFunctions.java surface — paste-compat SQL names. The color type
+    # ColorFunctions.java surface — paste-compat SQL names with the
+    # reference's overloads (ColorFunctions.java:85-186). The color type
     # is its bigint encoding (rgb >= 0, system colors negative), matching
     # the reference's ColorType long representation.
-    spark.udf.register("color", lambda s: parse_color(s), T.LongType())
+    def _color(a, b=None, c=None, d=None, e=None):
+        if b is None:
+            return parse_color(a)
+        if d is None:  # color(fraction, lowColor, highColor)
+            return color_interp(float(a), int(b), int(c))
+        # color(value, low, high, lowColor, highColor)
+        return color_interp(
+            (float(a) - float(b)) / (float(c) - float(b)), int(d), int(e)
+        )
+
+    def _render(v, c=None):
+        if c is None:
+            return RENDERED_TRUE if v else RENDERED_FALSE
+        if isinstance(v, float):  # Java Double.toString: always a decimal point
+            v = repr(v)
+        return render_py(str(v), int(c))
+
+    spark.udf.register("color", _color, T.LongType())
     spark.udf.register("rgb", lambda r, g, b: rgb_int(r, g, b), T.LongType())
-    spark.udf.register(
-        "render", lambda v, c: render_py(str(v), int(c)), T.StringType()
-    )
+    spark.udf.register("render", _render, T.StringType())
     spark.udf.register(
         "bar",
         lambda p, w, lo=0xFF0000, hi=0x00FF00: bar_py(p, int(w), int(lo), int(hi)),

@@ -56,7 +56,10 @@ SPEC_REGIONS = [(0, "AFRICA"), (1, "AMERICA"), (2, "ASIA"), (3, "EUROPE"),
 DIRS = ["select_no_from", "horology_functions", "order_by", "group-by",
         "distinct", "limit", "aggregate", "string_functions",
         "math_functions", "array_functions", "convertion_functions",
-        "map_functions", "empty_table", "functions/conditional-expressions", "join"]
+        "map_functions", "empty_table", "functions/conditional-expressions", "join",
+        "json_functions", "regex_functions", "url_functions",
+        "binary_functions", "set_operation", "union", "with_clause",
+        "window_functions", "color_functions"]
 AVAILABLE = {"nation", "region", "workers", "datatype", "empty"}
 # tpch.tiny.<t> references rewritten to tiny_<t> (unprefixed columns).
 TINY_OK = {"nation"}
@@ -96,13 +99,14 @@ def _load_case(case: str):
     for line in res_text.splitlines():
         s = line.strip()
         if s.startswith("--"):
-            if "delimiter:" in s:
-                opts["delimiter"] = re.search(r"delimiter:\s*(.)", s).group(1)
-            if re.search(r"ignoreOrder:\s*true", s):
+            # option spellings vary: 'ignoreOrder: true', 'ignoreOrder : true'
+            if re.search(r"delimiter\s*:", s):
+                opts["delimiter"] = re.search(r"delimiter\s*:\s*(.)", s).group(1)
+            if re.search(r"ignoreOrder\s*:\s*true", s):
                 opts["ignoreOrder"] = True
-            if re.search(r"ignoreExcessRows:\s*true", s):
+            if re.search(r"ignoreExcessRows\s*:\s*true", s):
                 opts["ignoreExcessRows"] = True
-            if re.search(r"trimValues:\s*true", s):
+            if re.search(r"trimValues\s*:\s*true", s):
                 opts["trimValues"] = True
             continue
         if not s and not rows:
@@ -160,23 +164,48 @@ DEVIATIONS = {
         "(modeled as millis-of-day in operators/timetypes.py; the "
         "reference's own .result file is empty with a 'cannot parse "
         "interval results' todo)",
-    "join/explicit_inner_join_select_star":
-        "SELECT * exposes n_comment/r_comment — dbgen-generated text the "
-        "embedded spec fixture (keys/names/regions only) doesn't carry; "
-        "every projected-column join pair in the same directory replays",
 }
+
+
+def _comment_fixtures():
+    """The dbgen-generated tiny nation/region comment text is shipped by
+    the reference itself inside its expected results (the select-star
+    pairs); parse it back so select-star pairs replay verbatim."""
+    nation_comments: dict[int, str] = {}
+    with open(f"{CASES}/union/unionAllSameTable.result") as f:
+        for line in f:
+            s = line.rstrip("\n")
+            if s.startswith("--") or not s.strip():
+                continue
+            cells = s.split("|")
+            nation_comments[int(cells[0])] = cells[3]  # RAW: leading spaces are real dbgen text and order comparisons depend on them
+    region_comments: dict[int, str] = {}
+    with open(f"{CASES}/join/explicit_inner_join_select_star.result") as f:
+        for line in f:
+            s = line.rstrip("\n")
+            if s.startswith("--") or not s.strip():
+                continue
+            cells = s.split("|")
+            region_comments[int(cells[4])] = cells[6]
+    return nation_comments, region_comments
 
 
 @pytest.fixture(scope="module")
 def engine(spark):
     from presto_db_spark.engine import Engine
 
-    spark.createDataFrame(SPEC_NATIONS, "n_nationkey int, n_name string, n_regionkey int") \
-        .createOrReplaceTempView("nation")
-    spark.createDataFrame(SPEC_REGIONS, "r_regionkey int, r_name string") \
-        .createOrReplaceTempView("region")
-    spark.createDataFrame(SPEC_NATIONS, "nationkey int, name string, regionkey int") \
-        .createOrReplaceTempView("tiny_nation")
+    ncom, rcom = _comment_fixtures()
+    nations4 = [(k, n, r, ncom.get(k)) for k, n, r in SPEC_NATIONS]
+    regions3 = [(k, n, rcom.get(k)) for k, n in SPEC_REGIONS]
+    spark.createDataFrame(
+        nations4, "n_nationkey int, n_name string, n_regionkey int, n_comment string"
+    ).createOrReplaceTempView("nation")
+    spark.createDataFrame(
+        regions3, "r_regionkey int, r_name string, r_comment string"
+    ).createOrReplaceTempView("region")
+    spark.createDataFrame(
+        nations4, "nationkey int, name string, regionkey int, comment string"
+    ).createOrReplaceTempView("tiny_nation")
 
     def load_fixture(name, schema, parse_row):
         rows = []
@@ -234,7 +263,8 @@ def test_product_golden(engine, case):
         pytest.skip(f"needs tables without tiny-SF content: {missing or tiny_refs}")
     query = re.sub(r"tpch\.tiny\.(\w+)", r"tiny_\1", query)
 
-    rows = [[_fmt(v) for v in r] for r in engine.sql(query).collect()]
+    # actual cells are space-stripped like the parsed expected cells
+    rows = [[_fmt(v).strip(" ") for v in r] for r in engine.sql(query).collect()]
     if opts["ignoreExcessRows"]:
         if not expected:
             return  # reference ships an empty expectation: success == pass
