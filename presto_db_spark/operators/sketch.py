@@ -513,3 +513,102 @@ def agg_set_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.join(ex, ["grp_a", "grp_b"]).orderBy("grp_a", "grp_b")
+
+
+# --- KHyperLogLog (type/khyperloglog/KHyperLogLog.java) --------------------
+
+KHLL_K = 256  # bottom-k value sample (reference DEFAULT_MAX_SIZE=4096)
+KHLL_HIST = 8  # uniqueness histogram size (buckets 1..8, 8 = overflow)
+KHLL_REID_T = 2  # reidentification threshold
+
+
+def _khll_sql() -> str:
+    hv = "CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 12)) AS BIGINT)"
+    return f"""
+WITH vals AS (
+  SELECT DISTINCT l_orderkey, {hv} AS hv FROM lineitem
+), ranked AS (
+  SELECT l_orderkey, hv, row_number() OVER (ORDER BY hv) AS rn FROM vals
+), sampled AS (
+  SELECT l_orderkey FROM ranked WHERE rn <= {KHLL_K}
+), per_key AS (
+  SELECT li.l_orderkey, CAST(count(DISTINCT li.l_suppkey) AS BIGINT) AS card
+  FROM lineitem li JOIN sampled s ON li.l_orderkey = s.l_orderkey
+  GROUP BY li.l_orderkey
+), sz AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         round(CAST(sum(CASE WHEN card <= {KHLL_REID_T} THEN 1 ELSE 0 END)
+               AS DOUBLE) / count(*), 6) AS reid
+  FROM per_key
+), hist AS (
+  SELECT least(card, {KHLL_HIST}) AS bucket, count(*) AS c FROM per_key GROUP BY 1
+)
+SELECT b.bucket, round(coalesce(h.c, 0) / CAST(sz.n AS DOUBLE), 6) AS fraction,
+       sz.reid AS reid_potential, sz.n AS n_sampled
+FROM (SELECT unnest(generate_series(1, {KHLL_HIST})) AS bucket) b
+LEFT JOIN hist h ON h.bucket = b.bucket, sz
+ORDER BY b.bucket
+"""
+
+
+@_q("agg_khyperloglog", _khll_sql())
+def agg_khyperloglog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KHyperLogLog (``type/khyperloglog/KHyperLogLog.java``) — the
+    reidentification-risk digest: a bottom-k minhash sample of the VALUE
+    column where every retained value carries the cardinality of its
+    associated entity column. Reproduced here over (l_partkey →
+    distinct l_suppkey):
+
+    * ``uniqueness_distribution`` (`KHyperLogLog.java:312-327`): for each
+      sampled value, bucket ``min(cardinality, histogramSize)``; emit the
+      fraction of samples per bucket (zero-filled buckets included);
+    * ``reidentification_potential`` (`:297-305`): fraction of sampled
+      values whose entity cardinality ≤ threshold.
+
+    Substitution (documented): the reference pairs each retained key with
+    a per-key HyperLogLog; here the per-key count is EXACT
+    ``count(DISTINCT)`` — the per-key sets are small by construction and
+    the digest's state bound comes from the bottom-k sample, which is
+    kept (K={KHLL_K} via the WindowGroupLimit pattern, uniform 48-bit
+    md5-prefix hash). Only sampled keys are aggregated: the join is a
+    broadcast semi over K keys, so 100 TB of fact rows reduce to K
+    groups."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    hv = F.conv(
+        F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 12), 16, 10
+    ).cast("long")
+    vals = li.select("l_orderkey").distinct().select("l_orderkey", hv.alias("hv"))
+    sampled = (
+        vals.withColumn("rn", F.row_number().over(W.orderBy("hv")))
+        .filter(F.col("rn") <= KHLL_K)
+        .select("l_orderkey")
+    )
+    per_key = (
+        li.join(F.broadcast(sampled), "l_orderkey")
+        .groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("card"))
+    )
+    sz = per_key.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(
+            F.sum(F.when(F.col("card") <= KHLL_REID_T, 1).otherwise(0)).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("reid"),
+    )
+    hist = per_key.groupBy(
+        F.least(F.col("card"), F.lit(KHLL_HIST)).alias("bucket")
+    ).agg(F.count("*").alias("c"))
+    buckets = spark.range(1, KHLL_HIST + 1).select(F.col("id").alias("bucket"))
+    return (
+        buckets.join(hist, "bucket", "left")
+        .crossJoin(F.broadcast(sz))
+        .select(
+            "bucket",
+            F.round(F.coalesce(F.col("c"), F.lit(0)) / F.col("n").cast("double"), 6)
+            .alias("fraction"),
+            F.col("reid").alias("reid_potential"),
+            F.col("n").alias("n_sampled"),
+        )
+        .orderBy("bucket")
+    )

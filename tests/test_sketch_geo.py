@@ -303,3 +303,18 @@ def test_set_digest_estimator_accuracy(spark, sf_dir):
         if r.union_card_est != 0:
             est_path += 1
     assert est_path == len(rows)
+
+
+def test_khll_distribution_properties(spark, sf_dir):
+    """KHLL contracts: fractions sum to 1, multiple buckets populated,
+    reid_potential equals the mass of buckets <= threshold (buckets below
+    the overflow bucket are exact cardinalities)."""
+    from presto_db_spark.operators import sketch as sk
+
+    rows = sk.QUERIES["agg_khyperloglog"](spark, sf_dir).collect()
+    assert [r.bucket for r in rows] == list(range(1, sk.KHLL_HIST + 1))
+    total = sum(r.fraction for r in rows)
+    assert abs(total - 1.0) < 1e-4
+    assert sum(1 for r in rows if r.fraction > 0) >= 2, "degenerate histogram"
+    low_mass = sum(r.fraction for r in rows if r.bucket <= sk.KHLL_REID_T)
+    assert abs(low_mass - rows[0].reid_potential) < 1e-4
