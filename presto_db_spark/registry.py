@@ -57,11 +57,14 @@ _MODULES: list[str] = [
 _BATTERY_HEAD: list[str] = [
     # TPC-H spine (scan-agg, 6-way join, semi/anti, having, top-k)
     "tpch_q01", "tpch_q03", "tpch_q05", "tpch_q06", "tpch_q09",
-    "tpch_q13", "tpch_q18", "tpch_q21",
+    "tpch_q18", "tpch_q21",
     # TPC-DS hardest shapes (cross_sales self-join, fact-to-fact inventory,
-    # year_total battery, CTE-reuse, windowed curves, rollup+rank)
-    "tpcds_q64", "tpcds_q72", "tpcds_q04", "tpcds_q23", "tpcds_q47",
-    "tpcds_q51", "tpcds_q67", "tpcds_q88",
+    # year_total battery, CTE-reuse, rollup+rank)
+    "tpcds_q64", "tpcds_q72", "tpcds_q04", "tpcds_q23", "tpcds_q67",
+    # round-5 flagship extensions (connected-components dedup, trained IVF,
+    # set digest, watermark late-data semantics)
+    "dedup_cluster", "sim_ivf_kmeans", "agg_set_digest",
+    "streaming_late_data",
     # relational batteries
     "join_full_outer", "subq_not_in_null", "grouping_sets", "win_frames",
     "setop_intersect_all", "agg_multi_distinct", "unnest_multi_zip",
