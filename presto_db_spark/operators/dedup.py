@@ -556,20 +556,20 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         msgs = edges.join(labels, edges.dst == labels.node).select(
             edges.src.alias("node"), "label"
         )
+        # Each node's OWN row carries its previous label through the min-agg
+        # (messages carry NULL), so convergence is read off the aggregated
+        # frame itself — no second join per round. Labels only decrease, so
+        # `label < old` detects any change.
+        merged = labels.select(
+            "node", "label", F.col("label").alias("old")
+        ).unionByName(msgs.withColumn("old", F.lit(None).cast("long")))
         new_labels = (
-            labels.unionByName(msgs)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            merged.groupBy("node")
+            .agg(F.min("label").alias("label"), F.min("old").alias("old"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("label") < F.col("old")).limit(1).count()
+        labels = new_labels.select("node", "label")
         if changed == 0:
             break
     return labels.select(
