@@ -236,3 +236,40 @@ def events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(
         probes, priors, ["user_id"], "ts", "prior_ts", ["prior_event"]
     ).select("event_id", "prior_event", "prior_ts")
+
+
+# --- user-journey transition matrix ----------------------------------------
+
+_TRANSITION_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM events
+)
+SELECT event_type AS from_type, next_type AS to_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM seq WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+ORDER BY from_type, to_type
+"""
+
+
+@_q("events_transition_matrix", _TRANSITION_SQL)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey transition counts (the Markov-matrix build every
+    product-analytics pipeline runs): consecutive event pairs per user via
+    lead() over (user, ts) — one shuffle on user_id, windows scoped to a
+    single user's rows (never a self-join), then a tiny type×type rollup.
+    Deterministic ordering ties break on event_id."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    return (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy("from_type", "to_type")
+    )

@@ -265,3 +265,43 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "offset", "chunk_len"])
 
     return media.mapInPandas(sample, schema=schema)
+
+
+@_q(
+    "multimodal_dedup",
+    """
+WITH hashed AS (
+  SELECT doc_id, md5(substr(text, 1, 16)) AS block_hash,
+         octet_length(encode(substr(text, 1, 16))) AS n
+  FROM documents
+)
+SELECT block_hash, CAST(count(*) AS BIGINT) AS n_copies,
+       min(doc_id) AS keep_id,
+       CAST((count(*) - 1) * min(n) AS BIGINT) AS bytes_saved
+FROM hashed GROUP BY block_hash
+""",
+)
+def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-block content-hash dedup on the BINARY payload — the
+    storage-dedup primitive for media tables: hash each payload's leading
+    16-byte block (real systems chunk the whole payload; one block keeps
+    the fixture non-vacuous — ~27 colliding blocks at sf0.01), groupBy
+    the hash, report copies + reclaimable bytes. One hash-groupBy
+    shuffle; at 100 TB the hash is computed in the scan projection and
+    only (hash, 16 B) rows shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = with_binary_payload(docs)
+    block = F.substring(F.col("payload").cast("string"), 1, 16)
+    return (
+        media.select(
+            "doc_id",
+            F.md5(F.encode(block, "UTF-8")).alias("block_hash"),
+            F.octet_length(F.encode(block, "UTF-8")).alias("n"),
+        )
+        .groupBy("block_hash")
+        .agg(
+            F.count("*").cast("bigint").alias("n_copies"),
+            F.min("doc_id").alias("keep_id"),
+            ((F.count("*") - 1) * F.min("n")).cast("bigint").alias("bytes_saved"),
+        )
+    )
