@@ -388,3 +388,76 @@ def unnest_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") < 200)
         .select("doc_id", F.explode(m).alias("k", "v"))
     )
+
+
+# --- distributed global sort acceptance ------------------------------------
+
+_SORT_SQL = """
+WITH ranked AS (
+  SELECT l_orderkey, l_linenumber, l_shipdate, l_extendedprice,
+         row_number() OVER (ORDER BY l_shipdate, l_orderkey, l_linenumber)
+           AS rn
+  FROM lineitem
+)
+SELECT rn, l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       l_shipdate, l_extendedprice
+FROM ranked WHERE rn % 1000 = 1 ORDER BY rn
+"""
+
+
+@_q("sort_distributed_sample", _SORT_SQL)
+def sort_distributed_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed full-table sort acceptance (the reference ships a
+    dedicated ``distributed_sort.yaml`` benchto suite): globally sort the
+    fact on a unique 3-key composite and emit every 1000th row — the
+    sampled rows pin the GLOBAL order (any mis-merged range partition
+    shifts them) while the output stays tiny.
+
+    The global index is built the way a 1000-executor sort must be —
+    NOT a single-partition window: range-partition on the sort key,
+    sort within partitions, rank locally per partition, then add the
+    per-partition row-count prefix offsets (a #partitions-sized
+    broadcast — the only driver-side state). The composite key is
+    unique, so the global index is deterministic regardless of the
+    sampled range boundaries."""
+    from pyspark.sql.window import Window as W
+
+    from ..catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice"
+    )
+    keys = ["l_shipdate", "l_orderkey", "l_linenumber"]
+    parts = (
+        li.repartitionByRange(spark.sparkContext.defaultParallelism, *keys)
+        .sortWithinPartitions(*keys)
+        .withColumn("pid", F.spark_partition_id())
+    )
+    local = parts.withColumn(
+        "lrn", F.row_number().over(W.partitionBy("pid").orderBy(*keys))
+        # one materialization: `local` feeds BOTH the offset counts and the
+        # final join, and repartitionByRange re-SAMPLES boundaries per
+        # execution — without the barrier the two consumers could see
+        # different partitionings and produce inconsistent offsets
+    ).localCheckpoint(eager=False)
+    counts = local.groupBy("pid").agg(F.count("*").alias("c"))
+    offs = counts.withColumn(
+        "off",
+        F.coalesce(
+            F.sum("c").over(
+                W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("pid", "off")
+    return (
+        local.join(F.broadcast(offs), "pid")
+        .withColumn("rn", (F.col("lrn") + F.col("off")).cast("long"))
+        .filter((F.col("rn") % 1000) == 1)
+        .select(
+            "rn", "l_orderkey",
+            F.col("l_linenumber").cast("bigint").alias("l_linenumber"),
+            "l_shipdate", "l_extendedprice",
+        )
+        .orderBy("rn")
+    )
