@@ -577,3 +577,109 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("cluster_id"),
         (F.col("node") == F.col("label")).alias("is_keep"),
     ).orderBy("doc_id")
+
+
+# --- PageRank (integer-deterministic, supply bipartite graph) --------------
+
+PR_ITERS = 5
+PR_SCALE = 10**12  # fixed-point rank quantum — all arithmetic stays integer
+PR_SUPP_OFFSET = 10**7  # supplier node ids live above the part-key space
+PR_NSUPP = 8
+
+
+def _pr_iter_sql(prev: str, out: str) -> str:
+    return f"""{out} AS (
+  SELECT e.dst AS node,
+         (15 * {PR_SCALE}) // 100 + (85 * sum(r.rank // d.deg)) // 100 AS rank
+  FROM edges e
+  JOIN {prev} r ON r.node = e.src
+  JOIN deg d ON d.node = e.src
+  GROUP BY e.dst
+)"""
+
+
+_PAGERANK_SQL = (
+    f"""
+WITH pb AS (
+  SELECT DISTINCT CAST(l_suppkey + {PR_SUPP_OFFSET} AS BIGINT) AS s,
+         CAST(l_partkey AS BIGINT) AS p
+  FROM lineitem WHERE l_suppkey < {PR_NSUPP}
+), edges AS (
+  SELECT s AS src, p AS dst FROM pb
+  UNION ALL
+  SELECT p, s FROM pb
+), deg AS (
+  SELECT src AS node, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src
+), r0 AS (
+  SELECT node, CAST({PR_SCALE} AS BIGINT) AS rank FROM deg
+), """
+    + ", ".join(_pr_iter_sql(f"r{i}", f"r{i + 1}") for i in range(PR_ITERS))
+    + f"""
+SELECT node AS node_id, rank AS rank_e12
+FROM r{PR_ITERS} ORDER BY node_id
+"""
+)
+
+
+@_q("rank_pagerank", _PAGERANK_SQL)
+def rank_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the supplier↔part bipartite graph (suppliers are hub
+    nodes with ~500 edges, parts have 1-{PR_NSUPP} — real degree variance,
+    so the ranks genuinely separate). The iterative-algorithm determinism
+    story:
+
+    * ranks are FIXED-POINT integers (quantum 10⁻¹²); each Jacobi
+      iteration is ``rank' = ⌊15·S/100⌋ + ⌊85·Σ⌊rank/deg⌋/100⌋`` — every
+      operation is int64 (sums commute exactly), so five iterations
+      produce bit-identical ranks at ANY partitioning, engine, or scale —
+      the same technique as sim_ivf_kmeans' quantized centroid means;
+    * per iteration: one equi-join (edges ⋈ ranks) + one sum-groupBy —
+      the CC/k-means primitive pair; edges and degrees are checkpointed
+      once; no driver-side graph state, no convergence probe (fixed
+      Jacobi sweep).
+
+    Oracle: the five iterations unrolled as chained CTEs over the same
+    edge list."""
+    (li,) = _t_li(spark, sf_dir)
+    pb = (
+        li.filter(F.col("l_suppkey") < PR_NSUPP)
+        .select(
+            (F.col("l_suppkey") + PR_SUPP_OFFSET).cast("long").alias("s"),
+            F.col("l_partkey").cast("long").alias("p"),
+        )
+        .distinct()
+    )
+    edges = (
+        pb.select(F.col("s").alias("src"), F.col("p").alias("dst"))
+        .unionByName(pb.select(F.col("p").alias("src"), F.col("s").alias("dst")))
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.count("*").cast("long").alias("deg"))
+        .localCheckpoint(eager=False)
+    )
+    ranks = deg.select("node", F.lit(PR_SCALE).cast("long").alias("rank"))
+    base = F.lit(15 * PR_SCALE // 100).cast("long")
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(deg.withColumnRenamed("node", "dnode"), F.col("src") == F.col("dnode"))
+            .select(
+                F.col("dst").alias("node"),
+                # integer floor division (Spark `div`), NOT double `/` +
+                # cast — a double quotient can round up across an integer
+                # before truncation, diverging from the oracle's `//`
+                F.expr("rank div deg").alias("c"),
+            )
+        )
+        ranks = contrib.groupBy("node").agg(
+            (base + F.expr("(85 * sum(c)) div 100")).cast("long").alias("rank")
+        )
+    return ranks.select(
+        F.col("node").alias("node_id"), F.col("rank").alias("rank_e12")
+    ).orderBy("node_id")
+
+
+def _t_li(spark: SparkSession, sf_dir: str):
+    return [load_table(spark, sf_dir, "lineitem")]
