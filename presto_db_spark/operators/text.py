@@ -564,3 +564,66 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --- TF-IDF top-k terms -----------------------------------------------------
+
+TFIDF_TOP_K = 3
+TFIDF_SCALE = 10**6
+
+_TFIDF_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+  FROM documents
+), tf AS (
+  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, word
+), df AS (
+  SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY word
+), n AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.word,
+         CAST(tf.tf * (n.n + 1) * {TFIDF_SCALE} // (df.df + 1) AS BIGINT) AS score_e6
+  FROM tf JOIN df ON tf.word = df.word, n
+), ranked AS (
+  SELECT doc_id, word, score_e6,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score_e6 DESC, word) AS rk
+  FROM scored
+)
+SELECT doc_id, CAST(rk AS INTEGER) AS rk, word, score_e6
+FROM ranked WHERE rk <= {TFIDF_TOP_K} ORDER BY doc_id, rk
+"""
+
+
+@_q("text_tfidf_topk", _TFIDF_SQL)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TFIDF_TOP_K} characteristic terms per document by TF-IDF —
+    the keyword-extraction pass of a corpus pipeline. The score is the
+    EXACT-integer linear-IDF form ``tf·(N+1)·10⁶ ÷ (df+1)`` (floor): no
+    transcendental in the ranking key, so term ranks are bit-deterministic
+    across engines (log-IDF only reweights per-term monotonically; the
+    linear form keeps the oracle exact). Shape: tf and df are one groupBy
+    each, the tf⋈df join shuffles on word, the corpus size N is one
+    driver-side scalar (the standard corpus constant), and the per-doc
+    top-k is the WindowGroupLimit pattern — k rows per doc survive the
+    sort buffer at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("word"))
+    tf = tok.groupBy("doc_id", "word").agg(F.count("*").cast("long").alias("tf"))
+    df = tok.groupBy("word").agg(
+        F.countDistinct("doc_id").cast("long").alias("df")
+    )
+    n = docs.count()  # one scalar — the standard corpus-size constant
+    scored = tf.join(df, "word").select(
+        "doc_id", "word",
+        F.expr(f"tf * ({n} + 1) * {TFIDF_SCALE} div (df + 1)").alias("score_e6"),
+    )
+    from pyspark.sql.window import Window as W2
+
+    w = W2.partitionBy("doc_id").orderBy(F.desc("score_e6"), "word")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= TFIDF_TOP_K)
+        .select("doc_id", "rk", "word", "score_e6")
+        .orderBy("doc_id", "rk")
+    )
