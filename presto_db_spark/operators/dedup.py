@@ -18,6 +18,12 @@ Training-data-pipeline dedup (BASELINE.json north-star) designed for
   the band-bucket equi-join.
 * **simhash** — 16-bit sign-sum fingerprint over token hashes, grouped to
   find colliding docs; same portable hash, fully oracle-checked.
+* **cluster** — connected components over the LSH pair list (min-label
+  propagation; DuckDB recursive-CTE transitive-closure oracle) — one
+  representative per near-dup component.
+* **pagerank** — fixed-point integer Jacobi PageRank (bit-deterministic
+  at any partitioning; unrolled-CTE oracle) over the supply bipartite
+  graph — the iterative-graph-algorithm primitive next to the CC loop.
 
 The reference has no near-dup machinery (nothing comparable exists in
 /root/reference — checked); these are the extension operators the project
