@@ -866,12 +866,15 @@ def _pass_order_nulls(tokens: list[str]) -> list[str]:
 # − 3(n-1)²/((n-2)(n-3)), NULL for n<4); Spark's kurtosis is the
 # population form n·m4/m2² − 3. Algebra: presto = (n−1)/((n−2)(n−3)) ·
 # ((n+1)(spark+3) − 3(n−1)) — numerically stable because Spark's moment
-# state is, no raw power sums.
+# state is, no raw power sums. The inner Spark call is spelled
+# `kurtosis` (backquoted — same builtin to Spark's parser) so a second
+# rewrite pass over the OUTPUT cannot re-match the name token: full
+# rewrite_presto_sql(rewrite_presto_sql(q)) idempotence.
 _ARG_TEMPLATES: dict[str, dict[int, str]] = {
     "kurtosis": {1: (
         "(CASE WHEN count({a}) < 4 THEN CAST(NULL AS DOUBLE) ELSE "
         "((count({a}) - 1.0) / ((count({a}) - 2.0) * (count({a}) - 3.0))) * "
-        "((count({a}) + 1.0) * (kurtosis({a}) + 3.0) - 3.0 * (count({a}) - 1.0)) "
+        "((count({a}) + 1.0) * (`kurtosis`({a}) + 3.0) - 3.0 * (count({a}) - 1.0)) "
         "END)"
     )},
     # MathFunctions.java from_base / to_base (conv with fixed base-10 leg;
