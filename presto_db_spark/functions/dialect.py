@@ -894,6 +894,60 @@ _ARG_TEMPLATES: dict[str, dict[int, str]] = {
     )},
     # ArrayFunctions none_match → NOT exists.
     "none_match": {2: "(NOT exists({a}, {b}))"},
+    # MathFunctions.java random()/rand(): zero-arg → double [0,1) (same
+    # as Spark rand()); one-arg → uniform BIGINT in [0, n) (Spark's
+    # one-arg rand(seed) is a SEED, different semantics — Presto input
+    # gets Presto semantics).
+    "random": {0: "rand()", 1: "CAST(floor(rand() * ({a})) AS BIGINT)"},
+    "rand": {1: "CAST(floor(rand() * ({a})) AS BIGINT)"},
+    # presto-ml (MLFunctions.java:41-73, LearnClassifierAggregation /
+    # LearnRegressorAggregation): learn aggregates gather the training
+    # set — the reference's own aggregation state does exactly this
+    # (LearnState.java) before handing it to in-process libsvm — and
+    # train via functions/mlcompat.py (nearest-centroid / exact OLS,
+    # documented substitution). classify/regress apply the JSON model.
+    "learn_classifier": {2: (
+        "ml_learn_classifier(collect_list(named_struct("
+        "'l', CAST(({a}) AS STRING), 'f', ({b}))), 'bigint')"
+    )},
+    "learn_varchar_classifier": {2: (
+        "ml_learn_classifier(collect_list(named_struct("
+        "'l', CAST(({a}) AS STRING), 'f', ({b}))), 'varchar')"
+    )},
+    # libsvm-parameterized forms: the params string selects libsvm
+    # hyperparameters in the reference; the deterministic substitute
+    # has none, so it is accepted and ignored.
+    "learn_libsvm_classifier": {3: (
+        "ml_learn_classifier(collect_list(named_struct("
+        "'l', CAST(({a}) AS STRING), 'f', ({b}))), 'bigint')"
+    )},
+    "learn_libsvm_varchar_classifier": {3: (
+        "ml_learn_classifier(collect_list(named_struct("
+        "'l', CAST(({a}) AS STRING), 'f', ({b}))), 'varchar')"
+    )},
+    "learn_regressor": {2: (
+        "ml_learn_regressor(collect_list(named_struct("
+        "'l', CAST(({a}) AS STRING), 'f', ({b}))))"
+    )},
+    "learn_libsvm_regressor": {3: (
+        "ml_learn_regressor(collect_list(named_struct("
+        "'l', CAST(({a}) AS STRING), 'f', ({b}))))"
+    )},
+    "classify": {2: "ml_classify_apply({a}, {b})"},
+    "regress": {2: "ml_regress_apply({a}, {b})"},
+    # MLFeaturesFunctions.java features(d1..dN) → map(bigint,double)
+    # with keys 0..N-1 — a pure JVM map constructor. Spelled
+    # map_from_arrays (not interleaved map(k,v,…)) so the 2-arg
+    # MAP(array,array)→map_from_arrays constructor pass can never
+    # re-match the single-feature expansion (idempotence).
+    "features": {
+        n: "map_from_arrays(array("
+        + ", ".join(f"CAST({i} AS BIGINT)" for i in range(n))
+        + "), array("
+        + ", ".join(f"CAST(({{{letter}}}) AS DOUBLE)" for letter in "abcdefghij"[:n])
+        + "))"
+        for n in range(1, 11)
+    },
     # ArrayAverageFunction / ArraySumFunction (null elements ignored for
     # average, treated as 0 for sum — the reference's documented behavior).
     "array_average": {1: (
@@ -1015,7 +1069,7 @@ def _pass_arg_templates(tokens: list[str]) -> list[str]:
                     "".join(_pass_arg_templates(tokens[s:e])).strip()
                     for s, e in arg_spans
                 ]
-                names = dict(zip("abcd", args))
+                names = dict(zip("abcdefghij", args))
                 out.append(tmpl.format(**names))
                 i = close + 1
                 continue

@@ -1,0 +1,365 @@
+"""Distributed ML operators — the presto-ml surface, Spark-first.
+
+The reference's ML module (``presto-ml/src/main/java/com/facebook/presto/
+ml/``) trains SINGLE-NODE: ``LearnClassifierAggregation`` /
+``LearnRegressorAggregation`` gather every row into aggregation state
+(``LearnState.java``) and hand the materialized dataset to in-process
+libsvm (``AbstractSvmModel.java``).  That collect-then-train shape is
+reproduced faithfully for pasted SQL by :mod:`functions.mlcompat`; THESE
+operators are the scale path the reference does not have — model fitting
+as pure DataFrame aggregation:
+
+* ``ml_regress_ols`` — grouped least-squares (one model per group) from
+  EXACT integer power sums (map-side partial agg, one shuffle of 5
+  numbers per group), closed form in deterministic IEEE doubles.
+* ``ml_classify_centroid`` — nearest-centroid classifier
+  (train: groupBy mean over exact integer sums; apply: broadcast the
+  k-row centroid table, map-side ``min(struct(d², label))`` — the
+  shuffle carries one candidate per (row, centroid) pair pre-collapsed
+  by partial aggregation).
+* ``ml_evaluate_classifier`` — ``evaluate_classifier_predictions``
+  (``EvaluateClassifierPredictionsAggregation.java:96-117``): per-class
+  precision/recall lines and the accuracy line in the reference's exact
+  string format, with the percent rendered by EXACT integer half-up
+  rounding so the DuckDB oracle matches bit-for-bit.
+
+Determinism contract (why the oracles hash-match): every statistic is a
+BIGINT/DECIMAL(38,0) sum of per-row integers (cents / keys), and every
+double is derived from those exact integers by a fixed sequence of IEEE
+operations (cast, subtract, multiply, divide) that Spark and DuckDB
+evaluate identically.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .tpch import _t
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+# --- grouped OLS regression --------------------------------------------------
+
+@_q(
+    "ml_regress_ols",
+    """
+WITH s AS (
+  SELECT l_returnflag AS flag,
+         COUNT(*) AS n,
+         SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS sx,
+         SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sy,
+         SUM(CAST(round(l_quantity * 100) AS BIGINT)
+             * CAST(round(l_extendedprice * 100) AS BIGINT)) AS sxy,
+         SUM(CAST(round(l_quantity * 100) AS BIGINT)
+             * CAST(round(l_quantity * 100) AS BIGINT)) AS sxx
+  FROM lineitem GROUP BY l_returnflag
+), m AS (
+  SELECT flag, n, sx, sy,
+         CAST(CAST(n AS HUGEINT) * CAST(sxy AS HUGEINT)
+              - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS DOUBLE)
+         / CAST(CAST(n AS HUGEINT) * CAST(sxx AS HUGEINT)
+              - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS DOUBLE) AS slope
+  FROM s
+)
+SELECT flag, CAST(n AS BIGINT) AS n,
+       round(slope, 9) AS slope,
+       round((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE), 4) AS icept,
+       round((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE) + slope * 2500.0, 4) AS pred_q25
+FROM m ORDER BY flag
+""",
+)
+def ml_regress_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One least-squares model per l_returnflag: price-cents ~ a +
+    b*quantity-cents, fitted from exact BIGINT power sums (the whole
+    training pass is one partial-aggregated groupBy — at 100 TB the
+    shuffle moves 5 numbers per group).  Closed form evaluated in a
+    fixed IEEE order; DECIMAL(38,0) carries the cross products the
+    oracle holds in HUGEINT (both exact at ~1e22)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    xq = F.round(F.col("l_quantity") * 100).cast("long")
+    y = F.round(F.col("l_extendedprice") * 100).cast("long")
+    s = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.count("*").alias("n"),
+        F.sum(xq).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(xq * y).alias("sxy"),
+        F.sum(xq * xq).alias("sxx"),
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    slope = (
+        (d("n") * d("sxy") - d("sx") * d("sy")).cast("double")
+        / (d("n") * d("sxx") - d("sx") * d("sx")).cast("double")
+    )
+    m = s.select("flag", "n", "sx", "sy", slope.alias("slope"))
+    icept = (
+        F.col("sy").cast("double") - F.col("slope") * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    return m.select(
+        "flag",
+        F.col("n").cast("long").alias("n"),
+        F.round("slope", 9).alias("slope"),
+        F.round(icept, 4).alias("icept"),
+        F.round(icept + F.col("slope") * F.lit(2500.0), 4).alias("pred_q25"),
+    ).orderBy("flag")
+
+
+# --- nearest-centroid classifier --------------------------------------------
+
+_CENTROID_SQL = """
+  SELECT c_mktsegment AS label,
+         CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS c1,
+         CAST(SUM(CAST(c_nationkey AS BIGINT)) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS c2
+  FROM customer GROUP BY c_mktsegment
+"""
+
+
+@_q(
+    "ml_classify_centroid",
+    f"""
+WITH cen AS ({_CENTROID_SQL}),
+feat AS (
+  SELECT s_suppkey,
+         CAST(CAST(round(s_acctbal * 100) AS BIGINT) AS DOUBLE) AS x1,
+         CAST(s_nationkey AS DOUBLE) AS x2
+  FROM supplier
+), scored AS (
+  SELECT s_suppkey, label,
+         ((x1 - c1) * (x1 - c1)) + ((x2 - c2) * (x2 - c2)) AS d2
+  FROM feat CROSS JOIN cen
+), best AS (
+  SELECT s_suppkey, label,
+         row_number() OVER (PARTITION BY s_suppkey ORDER BY d2, label) AS rn
+  FROM scored
+)
+SELECT label AS predicted, COUNT(*) AS n
+FROM best WHERE rn = 1 GROUP BY label ORDER BY label
+""",
+)
+def ml_classify_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train nearest-centroid on customer (label = mktsegment, features
+    = [acctbal-cents, nationkey]), classify every supplier.  The model
+    is a k-row DataFrame (k = |labels|) broadcast into the apply join;
+    the argmin is ``min(struct(d², label))`` so partial aggregation
+    collapses the k candidates map-side — no window sort, and the only
+    shuffle is the final label count.  Centroids are exact-integer sums
+    divided once in IEEE double (identical in the oracle)."""
+    cust, supp = _t(spark, sf_dir, "customer", "supplier")
+    cen = cust.groupBy(F.col("c_mktsegment").alias("label")).agg(
+        (
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("c1"),
+        (
+            F.sum(F.col("c_nationkey").cast("long")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("c2"),
+    )
+    feat = supp.select(
+        "s_suppkey",
+        F.round(F.col("s_acctbal") * 100).cast("long").cast("double").alias("x1"),
+        F.col("s_nationkey").cast("double").alias("x2"),
+    )
+    dx1 = F.col("x1") - F.col("c1")
+    dx2 = F.col("x2") - F.col("c2")
+    scored = feat.crossJoin(F.broadcast(cen)).select(
+        "s_suppkey", "label", ((dx1 * dx1) + (dx2 * dx2)).alias("d2")
+    )
+    best = scored.groupBy("s_suppkey").agg(
+        F.min(F.struct("d2", "label")).alias("b")
+    )
+    return (
+        best.select(F.col("b.label").alias("predicted"))
+        .groupBy("predicted")
+        .agg(F.count("*").alias("n"))
+        .orderBy("predicted")
+    )
+
+
+# --- evaluate_classifier_predictions ----------------------------------------
+
+# Exact half-up percent with two decimals from integers p/q:
+# hundredths = (20000*p + q) // (2*q); rendered as "D.dd".
+_PCT = (
+    "CAST(({p}) * 20000 + ({q}) AS BIGINT) // CAST(2 * ({q}) AS BIGINT)"
+)
+
+
+def _pct_str(p: str, q: str) -> str:
+    h = _PCT.format(p=p, q=q)
+    return (
+        f"CASE WHEN ({q}) = 0 THEN 'NaN' ELSE "
+        f"CAST(({h}) // 100 AS VARCHAR) || '.' || "
+        f"lpad(CAST(({h}) % 100 AS VARCHAR), 2, '0') END"
+    )
+
+
+@_q(
+    "ml_evaluate_classifier",
+    f"""
+WITH cen AS ({_CENTROID_SQL}),
+feat AS (
+  SELECT c_custkey, c_mktsegment AS truth,
+         CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS DOUBLE) AS x1,
+         CAST(c_nationkey AS DOUBLE) AS x2
+  FROM customer
+), scored AS (
+  SELECT c_custkey, truth, label,
+         ((x1 - c1) * (x1 - c1)) + ((x2 - c2) * (x2 - c2)) AS d2
+  FROM feat CROSS JOIN cen
+), pred AS (
+  SELECT c_custkey, truth, label AS predicted
+  FROM (SELECT c_custkey, truth, label,
+               row_number() OVER (PARTITION BY c_custkey
+                                  ORDER BY d2, label) AS rn
+        FROM scored) z
+  WHERE rn = 1
+), counts AS (
+  SELECT l AS label,
+         SUM(CASE WHEN truth = predicted AND predicted = l THEN 1 ELSE 0 END) AS tp,
+         SUM(CASE WHEN predicted = l AND truth <> l THEN 1 ELSE 0 END) AS fp,
+         SUM(CASE WHEN truth = l AND predicted <> l THEN 1 ELSE 0 END) AS fn
+  FROM pred CROSS JOIN (SELECT DISTINCT truth AS l FROM pred) labels
+  GROUP BY l
+)
+SELECT label,
+       CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(fn AS BIGINT) AS fn,
+       'Precision: ' || CAST(tp AS VARCHAR) || '/' ||
+         CAST(tp + fp AS VARCHAR) || ' (' ||
+         ({_pct_str('tp', 'tp + fp')}) || '%)' AS precision_line,
+       'Recall: ' || CAST(tp AS VARCHAR) || '/' ||
+         CAST(tp + fn AS VARCHAR) || ' (' ||
+         ({_pct_str('tp', 'tp + fn')}) || '%)' AS recall_line
+FROM counts
+UNION ALL
+SELECT '(all)', SUM(tp), SUM(fp), SUM(fn),
+       'Accuracy: ' || CAST(SUM(tp) AS VARCHAR) || '/' ||
+         CAST(SUM(tp) + SUM(fp) AS VARCHAR) || ' (' ||
+         ({_pct_str('SUM(tp)', 'SUM(tp) + SUM(fp)')}) || '%)',
+       ''
+FROM counts
+ORDER BY label
+""",
+)
+def ml_evaluate_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``evaluate_classifier_predictions`` parity
+    (``EvaluateClassifierPredictionsAggregation.java:96-117``): the
+    centroid model applied back to its training set, per-class
+    ``Precision: p/q (xx.xx%)`` / ``Recall: ...`` lines plus the
+    ``Accuracy`` line in the reference's exact format — except the
+    class order: the reference iterates a Java HashSet union (arbitrary
+    order), here one ROW PER CLASS sorted by label (and the reference's
+    ``%.2f`` of a double ratio is rendered by exact-rational half-up —
+    equal wherever the double arithmetic is not on a tie knife-edge).
+    Truth and prediction stay distributed; only per-class counters
+    (the reference's own aggregation state) reach the driver."""
+    cust, = _t(spark, sf_dir, "customer")
+    cen = cust.groupBy(F.col("c_mktsegment").alias("label")).agg(
+        (
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("c1"),
+        (
+            F.sum(F.col("c_nationkey").cast("long")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("c2"),
+    )
+    feat = cust.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("truth"),
+        F.round(F.col("c_acctbal") * 100).cast("long").cast("double").alias("x1"),
+        F.col("c_nationkey").cast("double").alias("x2"),
+    )
+    dx1 = F.col("x1") - F.col("c1")
+    dx2 = F.col("x2") - F.col("c2")
+    scored = feat.crossJoin(F.broadcast(cen)).select(
+        "c_custkey", "truth", "label", ((dx1 * dx1) + (dx2 * dx2)).alias("d2")
+    )
+    pred = (
+        scored.groupBy("c_custkey", "truth")
+        .agg(F.min(F.struct("d2", "label")).alias("b"))
+        .select("truth", F.col("b.label").alias("predicted"))
+    )
+    labels = pred.select(F.col("truth").alias("l")).distinct()
+    counts = (
+        pred.crossJoin(F.broadcast(labels))
+        .groupBy("l")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("truth") == F.col("predicted"))
+                    & (F.col("predicted") == F.col("l")),
+                    1,
+                ).otherwise(0)
+            ).alias("tp"),
+            F.sum(
+                F.when(
+                    (F.col("predicted") == F.col("l"))
+                    & (F.col("truth") != F.col("l")),
+                    1,
+                ).otherwise(0)
+            ).alias("fp"),
+            F.sum(
+                F.when(
+                    (F.col("truth") == F.col("l"))
+                    & (F.col("predicted") != F.col("l")),
+                    1,
+                ).otherwise(0)
+            ).alias("fn"),
+        )
+        .withColumnRenamed("l", "label")
+    )
+
+    # Exact integer half-up "D.dd" percent (Spark `div` = DuckDB `//`).
+    def pct(p: str, q: str) -> str:
+        h = f"(({p}) * 20000 + ({q})) div (2 * ({q}))"
+        return (
+            f"CASE WHEN ({q}) = 0 THEN 'NaN' ELSE "
+            f"CAST(({h}) div 100 AS STRING) || '.' || "
+            f"lpad(CAST(({h}) % 100 AS STRING), 2, '0') END"
+        )
+
+    per_label = counts.selectExpr(
+        "label",
+        "CAST(tp AS LONG) AS tp",
+        "CAST(fp AS LONG) AS fp",
+        "CAST(fn AS LONG) AS fn",
+        "'Precision: ' || CAST(tp AS STRING) || '/' || "
+        "CAST(tp + fp AS STRING) || ' (' || "
+        f"({pct('tp', 'tp + fp')}) || '%)' AS precision_line",
+        "'Recall: ' || CAST(tp AS STRING) || '/' || "
+        "CAST(tp + fn AS STRING) || ' (' || "
+        f"({pct('tp', 'tp + fn')}) || '%)' AS recall_line",
+    )
+    tot = counts.agg(
+        F.sum("tp").alias("tp"), F.sum("fp").alias("fp"), F.sum("fn").alias("fn")
+    ).selectExpr(
+        "'(all)' AS label",
+        "CAST(tp AS LONG) AS tp",
+        "CAST(fp AS LONG) AS fp",
+        "CAST(fn AS LONG) AS fn",
+        "'Accuracy: ' || CAST(tp AS STRING) || '/' || "
+        "CAST(tp + fp AS STRING) || ' (' || "
+        f"({pct('tp', 'tp + fp')}) || '%)' AS precision_line",
+        "'' AS recall_line",
+    )
+    return per_label.unionAll(tot).orderBy("label")

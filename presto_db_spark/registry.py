@@ -38,6 +38,7 @@ _MODULES: list[str] = [
     "presto_db_spark.operators.dedup",
     "presto_db_spark.operators.pipeline_corpus",
     "presto_db_spark.operators.similarity",
+    "presto_db_spark.operators.ml",
     "presto_db_spark.operators.multimodal",
     "presto_db_spark.streaming.pipeline",
 ]

@@ -133,7 +133,10 @@ _sql_fragments = st.lists(
              "kurtosis", "map_agg", "histogram", "truncate", "bit_count",
              "ngrams", "date_add", "zip", "contains", "localtimestamp",
              " ORDER BY ", " DESC", " NULLS LAST", "DECIMAL ", "'1.5'",
-             "VARCHAR", " MAP", " x -> x"]
+             "VARCHAR", " MAP", " x -> x",
+             # presto-ml + bounded random surface
+             "features", "classify", "regress", "learn_classifier",
+             "learn_regressor", "random", "rand"]
         ),
         # string literals / quoted identifiers / comments with tricky content
         st.sampled_from(
