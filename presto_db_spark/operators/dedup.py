@@ -378,8 +378,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parallelism. A small corpus arrives as one file split — fan it out
     # first. Conditional on the scan's natural split count so a 100 TB
     # input (millions of splits) pays NO extra text shuffle.
+    # inputFiles() is a pure metadata probe; df.rdd.getNumPartitions()
+    # forces plan->RDD conversion (~0.8 s cold per fresh lineage).
     par = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
+    if len(raw_docs.inputFiles()) < par:
         docs = docs.repartition(par, "doc_id")
     # The full-corpus signature is NARROW (doc_id + 16 longs ≈ 140 B/doc)
     # and fans into both sides of the band self-join. ReuseExchange cannot
@@ -436,8 +438,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reads the RAW scan (not the repartitioned frame): the id set is small
     # → AQE broadcasts it, so no text ever shuffles for this path.
     cand_ids = pairs.select(F.explode(F.array("id_a", "id_b")).alias("doc_id")).distinct()
-    cand_grams = raw_docs.join(cand_ids, "doc_id", "left_semi").select(
-        "doc_id", _minhash_grams_pd()(F.col("text")).alias("grams")
+    # The grams frame fans into BOTH sides of the pair join (ga/gb); a
+    # lazy localCheckpoint runs the semi-join + grams UDF once and lets
+    # both consumers read the stored rows (same rationale as sig_mh —
+    # measured ~0.25 s at sf0.1, and at scale it halves the candidate
+    # text decode).
+    cand_grams = (
+        raw_docs.join(cand_ids, "doc_id", "left_semi")
+        .select("doc_id", _minhash_grams_pd()(F.col("text")).alias("grams"))
+        .localCheckpoint(eager=False)
     )
     ga = cand_grams.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("ga"))
     gb = cand_grams.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("gb"))

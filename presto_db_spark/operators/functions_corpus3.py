@@ -574,3 +574,113 @@ def func_data_size(spark: SparkSession, sf_dir: str) -> DataFrame:
                           WHEN 3 THEN 'GB' ELSE 'TB' END)) AS bytes
         FROM _ds_cust ORDER BY id
     """)
+
+
+# --- differential_entropy ----------------------------------------------------
+
+# Both reference strategies (pm/operator/aggregation/differentialentropy/):
+#   * fixed-histogram MLE (FixedHistogramMleStateStrategy.calculateEntropy
+#     :87-102): bucket x into `bins` equal cells over [lo, hi], entropy =
+#     (-SUM (w/n)*ln(w/n) + ln(width)) / ln 2.
+#   * Vasicek spacing estimator over a bounded sample
+#     (EntropyCalculations.calculateFromSamplesUsingVasicek:28-45, used by
+#     UnweightedReservoirSampleStateStrategy): sort samples s[0..n-1],
+#     m = round(sqrt(n)), sum ln(n/(a_i m) * (s[i+m]-s[i-m])) / n / ln 2
+#     with edge clamping and a_i = 2 iff both neighbors in range.
+# The reference's reservoir is RNG-seeded; the deterministic stand-in
+# samples the N smallest md5(value-cents) DISTINCT prices — a fixed
+# pseudo-random subset both engines agree on (and DISTINCT guarantees
+# strictly increasing spacings, so ln() never sees 0).
+_DE_BINS, _DE_LO, _DE_HI = 64, 0.0, 120000.0
+_DE_N, _DE_M = 1024, 32  # m = round(sqrt(1024))
+
+@_q(
+    "agg_differential_entropy",
+    f"""
+WITH b AS (
+  SELECT least({_DE_BINS - 1},
+               greatest(0, CAST(floor((l_extendedprice - {_DE_LO})
+                    / (({_DE_HI} - {_DE_LO}) / {_DE_BINS})) AS BIGINT))) AS bin,
+         count(*) AS w
+  FROM lineitem GROUP BY 1
+), hist AS (
+  SELECT (-SUM((CAST(w AS DOUBLE) / CAST(t AS DOUBLE))
+               * ln(CAST(w AS DOUBLE) / CAST(t AS DOUBLE)))
+          + ln(({_DE_HI} - {_DE_LO}) / {_DE_BINS})) / ln(2) AS de
+  FROM (SELECT bin, w, SUM(w) OVER () AS t FROM b) z
+), samp AS (
+  SELECT v, row_number() OVER (ORDER BY v) - 1 AS i
+  FROM (SELECT DISTINCT l_extendedprice AS v,
+               md5(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR)) AS h
+        FROM lineitem
+        ORDER BY h LIMIT {_DE_N}) s
+), terms AS (
+  SELECT ln(({_DE_N}.0 / ((CASE WHEN i + {_DE_M} < {_DE_N} AND i - {_DE_M} > 0
+                            THEN 2.0 ELSE 1.0 END) * {_DE_M}))
+            * (coalesce(lead(v, {_DE_M}) OVER (ORDER BY v), MAX(v) OVER ())
+               - coalesce(lag(v, {_DE_M}) OVER (ORDER BY v), MIN(v) OVER ()))) AS t
+  FROM samp
+), vas AS (
+  SELECT SUM(t) / {_DE_N} / ln(2) AS de FROM terms
+)
+SELECT round(hist.de, 6) AS de_hist, round(vas.de, 6) AS de_vasicek
+FROM hist CROSS JOIN vas
+""",
+)
+def agg_differential_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``differential_entropy`` — both reference strategies (see module
+    notes above): the fixed-histogram MLE form is a pure two-level
+    aggregation (bin counts partial-combine map-side; at 100 TB the
+    shuffle carries ≤64 rows), and the Vasicek spacing estimator runs
+    over a BOUNDED deterministic 1024-value sample (the reference's own
+    reservoir strategy is bounded the same way, default 9999), so the
+    single-partition sort window is over 1024 rows by construction."""
+    from pyspark.sql import Window
+
+    (li,) = _t(spark, sf_dir, "lineitem")
+    width = (_DE_HI - _DE_LO) / _DE_BINS
+    bins = li.groupBy(
+        F.least(
+            F.lit(_DE_BINS - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col("l_extendedprice") - _DE_LO) / width).cast("long"),
+            ),
+        ).alias("bin")
+    ).agg(F.count("*").alias("w"))
+    p = F.col("w").cast("double") / F.sum("w").over(Window.partitionBy()).cast("double")
+    hist = bins.select(p.alias("p")).agg(
+        ((-F.sum(F.col("p") * F.log("p")) + F.log(F.lit(width))) / F.log(F.lit(2.0)))
+        .alias("de")
+    )
+
+    samp = (
+        li.select(
+            F.col("l_extendedprice").alias("v"),
+            F.md5(
+                F.round(F.col("l_extendedprice") * 100).cast("long").cast("string")
+            ).alias("h"),
+        )
+        .dropDuplicates(["v"])
+        .orderBy("h")
+        .limit(_DE_N)
+    )
+    w_sort = Window.orderBy("v")
+    w_all = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    i = F.row_number().over(w_sort) - 1
+    a = F.when(
+        (i + _DE_M < _DE_N) & (i - _DE_M > 0), F.lit(2.0)
+    ).otherwise(F.lit(1.0))
+    s_plus = F.coalesce(F.lead("v", _DE_M).over(w_sort), F.max("v").over(w_all))
+    s_minus = F.coalesce(F.lag("v", _DE_M).over(w_sort), F.min("v").over(w_all))
+    vas = (
+        samp.select(
+            F.log((F.lit(float(_DE_N)) / (a * _DE_M)) * (s_plus - s_minus)).alias("t")
+        )
+        .agg((F.sum("t") / _DE_N / F.log(F.lit(2.0))).alias("de"))
+    )
+    return hist.crossJoin(vas).select(
+        F.round(hist.de, 6).alias("de_hist"), F.round(vas.de, 6).alias("de_vasicek")
+    )

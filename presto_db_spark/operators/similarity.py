@@ -50,13 +50,38 @@ def _q(name: str, sql: str | None = None):
     return deco
 
 
+_EMB_FANOUT_MIN_BYTES = 256 << 20  # one shuffle only pays off past this
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embeddings scan, spread across cores: the cosine folds are CPU-bound
-    and a small corpus arrives as one file split (at cluster scale the input
-    has many splits; hashing by vec_id doubles as skew leveling)."""
-    return load_table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism, "vec_id"
-    )
+    """Embeddings scan. Parquet is splittable — Spark's split planner
+    (``spark.sql.files.maxPartitionBytes``) already fans a large input
+    across the cluster, so an explicit repartition is a pure extra
+    exchange there. The one case it helps is a big input arriving as
+    FEWER splits than cores (e.g. a handful of huge row groups):
+    repartition only then. A small input (< 256 MB) never benefits —
+    the Arrow passes on it are sub-second and the shuffle is pure
+    overhead (measured 0.9 s → 0.5-0.6 s across the similarity suite at
+    sf0.1). Files that cannot be stat'ed locally (object storage) are
+    conservatively treated as large."""
+    import os
+
+    df = load_table(spark, sf_dir, "embeddings")
+    par = spark.sparkContext.defaultParallelism
+    files = df.inputFiles()
+    if len(files) >= par:
+        return df  # enough natural splits
+    total = 0
+    for f in files:
+        p = f.removeprefix("file:")
+        try:
+            total += os.path.getsize(p)
+        except OSError:
+            total = _EMB_FANOUT_MIN_BYTES  # unstat-able → assume large
+            break
+    if total >= _EMB_FANOUT_MIN_BYTES:
+        return df.repartition(par, "vec_id")
+    return df
 
 
 def dot(a: Column, b: Column) -> Column:
