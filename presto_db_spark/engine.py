@@ -56,6 +56,10 @@ class Engine(DdlMixin):
         # restore them (ResetSessionTask parity).
         self.session_props: dict[str, str] = {}
         self._session_saved: dict[str, list[tuple[str, str | None]]] = {}
+        # system.runtime.queries backing store: one tuple per completed
+        # Engine.sql call (QuerySystemTable.java surface).
+        self.query_log: list[tuple] = []
+        self._query_seq = 0
         if sf_dir:
             self.attach(sf_dir)
 
@@ -81,7 +85,20 @@ class Engine(DdlMixin):
         handled = self._prepared_statement(query)
         if handled is not None:
             return handled
+        handled = self._system_statement(query)
+        if handled is not None:
+            return handled
         if dialect:
+            # system-catalog table references must be resolved BEFORE the
+            # dialect pass (its catalog-prefix stripping would swallow the
+            # `system.` qualifier and leave an unresolvable 2-part name).
+            from . import systemcat
+
+            query, sys_used = systemcat.rewrite_system_refs(query)
+            for schema, table in sys_used:
+                systemcat.register_system_table(
+                    self.spark, schema, table, engine=self
+                )
             # Presto REQUIRES SQL-invoked functions to live in a namespace
             # (CREATE FUNCTION example.default.tan — SqlBase.g4:62). Learn
             # the namespace's catalog from the DDL so this statement's and
@@ -95,7 +112,60 @@ class Engine(DdlMixin):
             ):
                 self.catalogs.add(m.group(1).lower())
             query = rewrite_presto_sql(query, catalogs=frozenset(self.catalogs))
-        return self.spark.sql(query)
+        df = self.spark.sql(query)
+        self._log_query(query)
+        return df
+
+    def _log_query(self, text: str) -> None:
+        """Append to the system.runtime.queries backing log
+        (QuerySystemTable.java surface; 'FINISHED' = analysis/planning
+        completed — execution is lazy in Spark)."""
+        from datetime import datetime
+
+        from . import systemcat
+
+        self._query_seq += 1
+        now = datetime.now()
+        self.query_log.append(
+            (
+                systemcat.next_query_id(self._query_seq),
+                "FINISHED",
+                self.spark.sparkContext.sparkUser(),
+                "presto-db-spark",
+                text,
+                ["global"],
+                0,
+                0,
+                now,
+                now,
+                now,
+                now,
+            )
+        )
+        del self.query_log[:-100]  # bounded, like the reference's history
+
+    def _system_statement(self, query: str) -> DataFrame | None:
+        """SHOW SCHEMAS FROM system / SHOW TABLES FROM system.<schema>
+        (ShowSchemasTask / ShowTablesTask against the system connector —
+        `pm/connector/system/`)."""
+        from . import systemcat
+
+        m = re.match(r"(?is)^\s*SHOW\s+SCHEMAS\s+FROM\s+system\s*;?\s*$", query)
+        if m:
+            return self.spark.createDataFrame(
+                [(s,) for s in systemcat.SYSTEM_SCHEMAS], "`Schema`: string"
+            )
+        m = re.match(
+            r"(?is)^\s*SHOW\s+TABLES\s+FROM\s+system\.([A-Za-z_]+)\s*;?\s*$",
+            query,
+        )
+        if m:
+            schema = m.group(1).lower()
+            if schema not in systemcat.SYSTEM_SCHEMAS:
+                raise ValueError(f"Schema 'system.{schema}' does not exist")
+            rows = [(t,) for (s, t) in systemcat.SYSTEM_TABLES if s == schema]
+            return self.spark.createDataFrame(rows or [], "`Table`: string")
+        return None
 
     def _prepared_statement(self, query: str) -> DataFrame | None:
         """Intercept the PREPARE/EXECUTE/DEALLOCATE/DESCRIBE-IO statements;

@@ -59,7 +59,7 @@ DIRS = ["select_no_from", "horology_functions", "order_by", "group-by",
         "map_functions", "empty_table", "functions/conditional-expressions", "join",
         "json_functions", "regex_functions", "url_functions",
         "binary_functions", "set_operation", "union", "with_clause",
-        "window_functions", "color_functions"]
+        "window_functions", "color_functions", "system"]
 AVAILABLE = {"nation", "region", "workers", "datatype", "empty"}
 # tpch.tiny.<t> references rewritten to tiny_<t> (unprefixed columns).
 TINY_OK = {"nation"}
