@@ -150,6 +150,13 @@ class Engine(DdlMixin):
         `pm/connector/system/`)."""
         from . import systemcat
 
+        m = re.match(r"(?is)^\s*SHOW\s+CATALOGS\s*;?\s*$", query)
+        if m:
+            # ShowCatalogsTask: the engine's known catalogs + system.
+            rows = sorted(set(self.catalogs) | {"system"})
+            return self.spark.createDataFrame(
+                [(c,) for c in rows], "`Catalog`: string"
+            )
         m = re.match(r"(?is)^\s*SHOW\s+SCHEMAS\s+FROM\s+system\s*;?\s*$", query)
         if m:
             return self.spark.createDataFrame(

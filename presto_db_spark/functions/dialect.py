@@ -935,6 +935,11 @@ _ARG_TEMPLATES: dict[str, dict[int, str]] = {
     )},
     "classify": {2: "ml_classify_apply({a}, {b})"},
     "regress": {2: "ml_regress_apply({a}, {b})"},
+    # QuantileDigestAggregationFunction.java weighted/accuracy forms:
+    # 2-arg routes to the weighted UDAF; the 3-arg accuracy parameter is
+    # absorbed (the digest's compression is fixed — functions/digest.py).
+    "qdigest_agg": {2: "qdigest_agg_w({a}, {b})",
+                    3: "qdigest_agg_w({a}, {b})"},
     # MLFeaturesFunctions.java features(d1..dN) → map(bigint,double)
     # with keys 0..N-1 — a pure JVM map constructor. Spelled
     # map_from_arrays (not interleaved map(k,v,…)) so the 2-arg

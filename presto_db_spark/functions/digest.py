@@ -60,6 +60,16 @@ def _tdigest_agg_impl(v: pd.Series) -> bytes:
     return serialize_digest(m, w)
 
 
+def _qdigest_agg_w_impl(v: pd.Series, w: pd.Series) -> bytes:
+    """Weighted qdigest_agg(x, w) (QuantileDigestAggregationFunction
+    weighted form): weights fold straight into the centroid clustering."""
+    mask = v.notna() & w.notna()
+    vals = v[mask].to_numpy(dtype=np.float64)
+    wts = w[mask].to_numpy(dtype=np.float64)
+    m, ws = build_digest(vals, wts, COMPRESSION)
+    return serialize_digest(m, ws)
+
+
 def _merge_impl(d: pd.Series) -> bytes:
     parts = [deserialize_digest(b) for b in d if b is not None]
     if not parts:
@@ -125,6 +135,15 @@ def _quantile_at_value_impl(d: pd.Series, x: pd.Series) -> pd.Series:
 def register_tdigest_functions(spark: SparkSession) -> None:
     """Register the digest SQL surface in the session function registry."""
     spark.udf.register("tdigest_agg", F.pandas_udf(_tdigest_agg_impl, "binary"))
+    # qdigest surface (QuantileDigestFunctions.java /
+    # QuantileDigestAggregationFunction.java): both Presto quantile
+    # sketches serve the same accessors here — the value IS a t-digest
+    # (documented substitution: rank-error-bounded vs qdigest's
+    # value-error bound; same mergeable-sketch lifecycle). The weighted
+    # 2-arg form is qdigest_agg_w via a dialect arity template; the
+    # 3-arg accuracy parameter maps to the fixed compression.
+    spark.udf.register("qdigest_agg", F.pandas_udf(_tdigest_agg_impl, "binary"))
+    spark.udf.register("qdigest_agg_w", F.pandas_udf(_qdigest_agg_w_impl, "binary"))
     spark.udf.register("merge_tdigest", F.pandas_udf(_merge_impl, "binary"))
     # Presto spells the digest-merging aggregation just `merge` (dispatch
     # on the tdigest argument type); Spark has no overload-by-type for

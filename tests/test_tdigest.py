@@ -107,3 +107,23 @@ def test_tdigest_sql_surface(spark, sf_dir):
     )
     rank = np.searchsorted(vals, merged) / len(vals)
     assert abs(rank - 0.5) < 0.02, f"merged digest rank error {abs(rank - 0.5)}"
+
+
+def test_qdigest_sql_surface(spark, sf_dir):
+    """qdigest spellings (QuantileDigestFunctions.java /
+    QuantileDigestAggregationFunction.java): plain, weighted (x, w) and
+    accuracy (x, w, e) forms all run; uniform weight == unweighted; a
+    2x-weighted upper half shifts the median up."""
+    from presto_db_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir=sf_dir)
+    row = eng.sql(
+        "SELECT value_at_quantile(qdigest_agg(o_totalprice), 0.5) AS p,"
+        "       value_at_quantile(qdigest_agg(o_totalprice, 1), 0.5) AS pw,"
+        "       value_at_quantile(qdigest_agg(o_totalprice, 1, 0.01), 0.5) AS pa,"
+        "       value_at_quantile(qdigest_agg(o_totalprice,"
+        "         CASE WHEN o_totalprice > 200000 THEN 3 ELSE 1 END), 0.5) AS pskew"
+        " FROM orders"
+    ).collect()[0]
+    assert row.p == row.pw == row.pa
+    assert row.pskew > row.p
