@@ -99,6 +99,8 @@ RENAMES: dict[str, str] = {
     "day_of_month": "dayofmonth",
     # ArbitraryAggregationFunction → any_value
     "arbitrary": "any_value",
+    # RegexpFunctions regexp_split → Spark split (already regex-based)
+    "regexp_split": "split",
     # BitwiseAndAggregation / BitwiseOrAggregation
     "bitwise_and_agg": "bit_and",
     "bitwise_or_agg": "bit_or",
@@ -716,6 +718,13 @@ def _pass_bare_keywords(tokens: list[str]) -> list[str]:
                 out.append(t)
                 skip = j
                 continue
+        if _is_ident(t) and _ident_name(t) == "localtime":
+            j = _next(tokens, i + 1)
+            if not (j < len(tokens) and tokens[j] == "("):
+                # Presto's bare TIME-typed localtime; rendered form
+                # (operators/timetypes.py models TIME as millis-of-day).
+                out.append("date_format(now(), 'HH:mm:ss.SSS')")
+                continue
         out.append(t)
         if _is_ident(t) and _ident_name(t) == "localtimestamp":
             j = _next(tokens, i + 1)
@@ -727,13 +736,18 @@ def _pass_bare_keywords(tokens: list[str]) -> list[str]:
 def _pass_bare_varchar(tokens: list[str]) -> list[str]:
     """Presto allows unparameterized ``VARCHAR`` in CAST/type positions
     (product-test ``castAccessible``); Spark's parser requires a length or
-    STRING. Rewrite bare VARCHAR (not followed by '(') to STRING."""
+    STRING. Rewrite bare VARCHAR (not followed by '(') to STRING.
+    Presto's VARBINARY type name → Spark BINARY (always bare)."""
     out = list(tokens)
     for i, t in enumerate(out):
         if _is_ident(t) and _ident_name(t) == "varchar":
             j = _next(out, i + 1)
             if not (j < len(out) and out[j] == "("):
                 out[i] = "STRING"
+        elif _is_ident(t) and _ident_name(t) == "varbinary":
+            j = _next(out, i + 1)
+            if not (j < len(out) and out[j] == "("):
+                out[i] = "BINARY"
     return out
 
 
@@ -940,6 +954,21 @@ _ARG_TEMPLATES: dict[str, dict[int, str]] = {
     # absorbed (the digest's compression is fixed — functions/digest.py).
     "qdigest_agg": {2: "qdigest_agg_w({a}, {b})",
                     3: "qdigest_agg_w({a}, {b})"},
+    # FailureFunction.java fail(msg) / fail(code, msg) → raise_error.
+    "fail": {1: "raise_error({a})", 2: "raise_error({b})"},
+    # StringFunctions.java normalize(s[, form]) — the 2-arg form takes a
+    # bare KEYWORD (NFC/NFD/NFKC/NFKD, SqlBase.g4 normalForm), quoted
+    # here into the normalize_form UDF's string argument.
+    "normalize": {1: "normalize_form({a}, 'NFC')",
+                  2: "normalize_form({a}, '{b}')"},
+    # MultimapFromEntriesFunction.java over ROW() arrays (struct fields
+    # col1/col2 from the ROW constructor): grouped values per distinct
+    # key. O(k·n) expression — fine for scalar arrays.
+    "multimap_from_entries": {1: (
+        "map_from_arrays(array_distinct(transform({a}, e -> e.col1)), "
+        "transform(array_distinct(transform({a}, e -> e.col1)), "
+        "k -> transform(filter({a}, e2 -> e2.col1 <=> k), e2 -> e2.col2)))"
+    )},
     # MLFeaturesFunctions.java features(d1..dN) → map(bigint,double)
     # with keys 0..N-1 — a pure JVM map constructor. Spelled
     # map_from_arrays (not interleaved map(k,v,…)) so the 2-arg

@@ -102,6 +102,37 @@ def _values_at_quantiles_impl(d: pd.Series, qs: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def _quantiles_at_values_impl(d: pd.Series, xs: pd.Series) -> pd.Series:
+    """quantiles_at_values(digest, array(v)) — vector form of the
+    inverse accessor (QuantileDigestFunctions.java)."""
+    out = []
+    for b, xlist in zip(d, xs):
+        if b is None or xlist is None:
+            out.append(None)
+            continue
+        ranks = _quantile_at_value_impl(
+            pd.Series([b] * len(xlist)), pd.Series(list(xlist))
+        )
+        out.append([None if pd.isna(r) else float(r) for r in ranks])
+    return pd.Series(out)
+
+
+def _scale_qdigest_impl(d: pd.Series, f: pd.Series) -> pd.Series:
+    """scale_qdigest(digest, factor): multiply every centroid weight
+    (QuantileDigestFunctions.java scale_qdigest — rank queries are
+    unchanged, merge contributions scale)."""
+    out = []
+    for b, factor in zip(d, f):
+        if b is None or factor is None:
+            out.append(None)
+            continue
+        if factor <= 0:
+            raise ValueError("scale factor should be positive")
+        m, w = deserialize_digest(b)
+        out.append(serialize_digest(m, w * float(factor)))
+    return pd.Series(out)
+
+
 def _quantile_at_value_impl(d: pd.Series, x: pd.Series) -> pd.Series:
     """Inverse accessor: the estimated rank (0..1) of a value — linear
     interpolation between centroid centers (TDigestFunctions.java:56)."""
@@ -157,4 +188,11 @@ def register_tdigest_functions(spark: SparkSession) -> None:
     )
     spark.udf.register(
         "quantile_at_value", F.pandas_udf(_quantile_at_value_impl, "double")
+    )
+    spark.udf.register(
+        "quantiles_at_values",
+        F.pandas_udf(_quantiles_at_values_impl, "array<double>"),
+    )
+    spark.udf.register(
+        "scale_qdigest", F.pandas_udf(_scale_qdigest_impl, "binary")
     )

@@ -136,7 +136,8 @@ _sql_fragments = st.lists(
              "VARCHAR", " MAP", " x -> x",
              # presto-ml + bounded random surface
              "features", "classify", "regress", "learn_classifier",
-             "learn_regressor", "random", "rand"]
+             "learn_regressor", "random", "rand", "fail", "normalize",
+             "multimap_from_entries", "qdigest_agg", "VARBINARY"]
         ),
         # string literals / quoted identifiers / comments with tricky content
         st.sampled_from(

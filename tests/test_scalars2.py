@@ -1,0 +1,124 @@
+"""Late scalar-surface stragglers (functions/scalars2.py): every name
+from the reference scalar-registry probe is SQL-callable and gives the
+reference's values (pinned constants where the algorithm has published
+test vectors)."""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    from presto_db_spark.engine import Engine
+
+    return Engine(spark)
+
+
+def _one(engine, q):
+    return tuple(engine.sql(q).collect()[0])
+
+
+def test_bitwise(engine):
+    assert _one(engine, "SELECT bitwise_and(19,25), bitwise_or(19,25), "
+                        "bitwise_xor(19,25), bitwise_not(4), "
+                        "bitwise_shift_left(1,7)") == (17, 27, 10, -5, 128)
+
+
+def test_binary_spellings(engine):
+    b64, hx, sha = _one(engine, "SELECT to_base64(CAST('hello' AS VARBINARY)), "
+                                "to_hex(CAST('ab' AS VARBINARY)), "
+                                "to_hex(sha256(CAST('' AS VARBINARY)))")
+    assert b64 == "aGVsbG8="
+    assert hx == "6162"
+    # SHA-256 of empty input — published constant
+    assert sha == "E3B0C44298FC1C149AFBF4C8996FB92427AE41E4649B934CA495991B7852B855"
+    rt = _one(engine, "SELECT from_base64(to_base64(CAST('xy' AS VARBINARY))), "
+                      "from_hex(to_hex(CAST('zq' AS VARBINARY))), "
+                      "from_base64url(to_base64url(CAST('x>y?~' AS VARBINARY)))")
+    assert [bytes(v) for v in rt] == [b"xy", b"zq", b"x>y?~"]
+
+
+def test_big_endian_ieee754(engine):
+    assert _one(engine, "SELECT from_big_endian_64(to_big_endian_64(-123456789)), "
+                        "from_big_endian_32(to_big_endian_32(77)), "
+                        "from_ieee754_64(to_ieee754_64(3.1415))") == (-123456789, 77, 3.1415)
+
+
+def test_fnv_hmac(engine):
+    f1, f1a = _one(engine, "SELECT fnv1_64(CAST('hello' AS VARBINARY)), "
+                           "fnv1a_64(CAST('hello' AS VARBINARY))")
+    # standard FNV-1 / FNV-1a 64-bit test vectors for 'hello'
+    assert f1 == 8883723591023973575
+    assert (f1a + (1 << 64)) % (1 << 64) == 0xA430D84680AABD0B
+    import hashlib
+    import hmac as hm
+
+    got = bytes(_one(engine, "SELECT hmac_sha256(CAST('abc' AS VARBINARY), "
+                             "CAST('key' AS VARBINARY))")[0])
+    assert got == hm.new(b"key", b"abc", hashlib.sha256).digest()
+
+
+def test_combine_hash_wraps(engine):
+    # Java long wraparound: 31 * Long.MAX_VALUE + 17
+    assert _one(engine, "SELECT combine_hash(9223372036854775807, 17)")[0] \
+        == ((31 * 9223372036854775807 + 17 + (1 << 63)) % (1 << 64)) - (1 << 63)
+
+
+def test_normalize_and_multimaps(engine):
+    n, d = _one(engine, "SELECT normalize('e\\u0301'), normalize('Å', NFD)")
+    assert n == "é" and len(d) == 2  # NFD decomposes the ring
+    m = _one(engine, "SELECT split_to_multimap('a=1,a=2,b=3', ',', '=')")[0]
+    assert m == {"a": ["1", "2"], "b": ["3"]}
+    mm = _one(engine, "SELECT multimap_from_entries("
+                      "ARRAY[ROW('k1', 1), ROW('k2', 2), ROW('k1', 3)])")[0]
+    assert mm == {"k1": [1, 3], "k2": [2]}
+
+
+def test_ip_prefix_family(engine):
+    assert _one(engine, "SELECT ip_prefix('192.168.43.17', 24), "
+                        "ip_subnet_min('192.168.43.0/24'), "
+                        "ip_subnet_max('192.168.43.0/24'), "
+                        "is_subnet_of('192.0.0.0/8', '192.168.1.1'), "
+                        "is_subnet_of('10.0.0.0/8', '192.168.1.1')") == (
+        "192.168.43.0/24", "192.168.43.0", "192.168.43.255", True, False)
+    rng = _one(engine, "SELECT ip_subnet_range('2001:db8::/48')")[0]
+    assert rng[0] == "2001:db8::"
+
+
+def test_distribution_cdfs(engine):
+    b, ib, inz = _one(engine, "SELECT round(beta_cdf(2.0, 5.0, 0.3), 6), "
+                              "round(inverse_beta_cdf(2.0, 5.0, 0.5), 6), "
+                              "round(inverse_normal_cdf(0, 1, 0.975), 4)")
+    assert b == pytest.approx(0.579825, abs=1e-6)   # scipy.stats.beta.cdf(0.3,2,5)
+    assert ib == pytest.approx(0.264450, abs=1e-5)  # beta.ppf(0.5,2,5)
+    assert inz == pytest.approx(1.9600, abs=1e-4)
+    # round-trip: inverse(beta_cdf(x)) == x
+    rt = _one(engine, "SELECT round(inverse_beta_cdf(3.0, 2.0, "
+                      "beta_cdf(3.0, 2.0, 0.42)), 6)")[0]
+    assert rt == pytest.approx(0.42, abs=1e-5)
+
+
+def test_misc_spellings(engine):
+    assert _one(engine, "SELECT regexp_split('a1b2c', '[0-9]')")[0] == ["a", "b", "c"]
+    wl, wu = _one(engine, "SELECT round(wilson_interval_lower(100, 1000, 1.96), 6), "
+                          "round(wilson_interval_upper(100, 1000, 1.96), 6)")
+    assert wl == pytest.approx(0.082909, abs=1e-6)
+    assert wu == pytest.approx(0.120152, abs=1e-6)
+    p, q = _one(engine, "SELECT url_extract_port('http://example.com:8080/x'), "
+                        "url_extract_port('http://example.com/x')")
+    assert (p, q) == (8080, None)
+    t = _one(engine, "SELECT localtime")[0]
+    assert len(t.split(":")) == 3
+    with pytest.raises(Exception):
+        engine.sql("SELECT fail('boom')").collect()
+
+
+def test_qdigest_accessors(engine):
+    qs = _one(engine, "SELECT quantiles_at_values(tdigest_agg(x), "
+                      "ARRAY[1.0, 3.0]) FROM (VALUES (1.0),(2.0),(3.0)) t(x)")[0]
+    assert qs[0] < 0.5 < qs[1]
+    v = _one(engine, "SELECT value_at_quantile("
+                     "scale_qdigest(qdigest_agg(x), 2.0), 0.5) "
+                     "FROM (VALUES (1.0),(2.0),(3.0)) t(x)")[0]
+    assert v == 2.0
