@@ -954,6 +954,24 @@ _ARG_TEMPLATES: dict[str, dict[int, str]] = {
     # absorbed (the digest's compression is fixed — functions/digest.py).
     "qdigest_agg": {2: "qdigest_agg_w({a}, {b})",
                     3: "qdigest_agg_w({a}, {b})"},
+    # ApproximateSetAggregation.java approx_set → Spark's native HLL
+    # sketch aggregate (same mergeable lifecycle; the optional 2-arg
+    # maxStandardError tunes Presto's HLL precision — Spark's lgConfigK
+    # default stands in, documented).
+    "approx_set": {1: "hll_sketch_agg({a})", 2: "hll_sketch_agg({a})"},
+    # MergeHyperLogLogAggregation (merge of HLL values).
+    "merge_hll": {1: "hll_union_agg({a})"},
+    # MapUnionAggregation.java — fold collected maps, FIRST-seen key
+    # wins (filter-before-concat keeps duplicate keys out, so ANSI
+    # EXCEPTION dedup policy never fires).
+    # (slice length is INT_MAX-2: Spark computes start+length in int, so
+    # INT_MAX itself overflows and yields an EMPTY slice.)
+    "map_union": {1: (
+        "aggregate(slice(collect_list({a}), 2, 2147483645), "
+        "element_at(collect_list({a}), 1), "
+        "(acc, m0) -> map_concat(acc, "
+        "map_filter(m0, (k0, v0) -> NOT array_contains(map_keys(acc), k0))))"
+    )},
     # FailureFunction.java fail(msg) / fail(code, msg) → raise_error.
     "fail": {1: "raise_error({a})", 2: "raise_error({b})"},
     # StringFunctions.java normalize(s[, form]) — the 2-arg form takes a

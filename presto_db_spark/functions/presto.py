@@ -575,6 +575,7 @@ def _parse_presto_data_size(s: str | None):
 
 def register_presto_functions(spark: SparkSession) -> None:
     """Install the compat layer into the session's function registry."""
+    from .aggcompat import register_agg_compat
     from .mlcompat import register_ml_functions
     from .scalars2 import register_scalar_stragglers
 
@@ -582,6 +583,7 @@ def register_presto_functions(spark: SparkSession) -> None:
         spark.sql(stmt)
     register_ml_functions(spark)
     register_scalar_stragglers(spark)
+    register_agg_compat(spark)
     spark.udf.register("word_stem", _word_stem, T.StringType())
     spark.udf.register("normal_cdf", _normal_cdf, T.DoubleType())
     spark.udf.register("hamming_distance", _hamming_distance, T.LongType())

@@ -137,7 +137,8 @@ _sql_fragments = st.lists(
              # presto-ml + bounded random surface
              "features", "classify", "regress", "learn_classifier",
              "learn_regressor", "random", "rand", "fail", "normalize",
-             "multimap_from_entries", "qdigest_agg", "VARBINARY"]
+             "multimap_from_entries", "qdigest_agg", "VARBINARY",
+             "map_union", "approx_set", "merge_hll"]
         ),
         # string literals / quoted identifiers / comments with tricky content
         st.sampled_from(

@@ -122,3 +122,30 @@ def test_qdigest_accessors(engine):
                      "scale_qdigest(qdigest_agg(x), 2.0), 0.5) "
                      "FROM (VALUES (1.0),(2.0),(3.0)) t(x)")[0]
     assert v == 2.0
+
+
+def test_agg_compat_surface(engine):
+    """Aggregate-registry stragglers (functions/aggcompat.py +
+    dialect templates): approx_set/merge_hll over Spark's native HLL,
+    first-seen-wins map_union, bounded-state pandas aggs."""
+    e1 = _one(engine, "SELECT hll_sketch_estimate(approx_set(x)) "
+                      "FROM (VALUES (1),(2),(3),(2)) t(x)")[0]
+    assert e1 == 3
+    e2 = _one(engine, "SELECT hll_sketch_estimate(merge_hll(s)) FROM "
+                      "(SELECT approx_set(x) s FROM (VALUES (1,1),(2,1),(3,2)) "
+                      "t(x, g) GROUP BY g)")[0]
+    assert e2 == 3
+    u = _one(engine, "SELECT map_union(m) FROM (VALUES "
+                     "(MAP(ARRAY['a','b'], ARRAY[1,2])), "
+                     "(MAP(ARRAY['b','c'], ARRAY[9,3]))) t(m)")[0]
+    assert u == {"a": 1, "b": 2, "c": 3}  # first-seen b wins
+    h = _one(engine, "SELECT numeric_histogram(5, x) FROM "
+                     "(VALUES (1.0),(2.0),(3.0),(9.0),(10.0)) t(x)")[0]
+    assert sum(h.values()) == 5.0 and len(h) <= 5
+    de = _one(engine, "SELECT differential_entropy(100, x) FROM "
+                      "(VALUES (1.0),(2.0),(3.0),(4.0),(5.0),(6.0)) t(x)")[0]
+    assert de == pytest.approx(2.58, abs=0.5)  # ~log2(6) for uniform spacing
+    s = _one(engine, "SELECT evaluate_classifier_predictions(t, p) FROM "
+                     "(VALUES ('a','a'),('a','b'),('b','b')) z(t, p)")[0]
+    assert s.startswith("Accuracy: 2/3 (66.67%)\n")
+    assert "Class 'a'\nPrecision: 1/1 (100.00%)\nRecall: 1/2 (50.00%)" in s
