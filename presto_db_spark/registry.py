@@ -73,8 +73,8 @@ _BATTERY_HEAD: list[str] = [
     # events / range / as-of / skew
     "events_range_join", "events_asof", "events_sessionize",
     "skew_salted_join",
-    # sketches + digests
-    "agg_hll_sketch", "sketch_tdigest", "sketch_adaptive_quantiles",
+    # sketches + digests + distribution estimators
+    "agg_hll_sketch", "sketch_tdigest", "agg_differential_entropy",
     # geospatial (grid join, WKT intersects join, adaptive KdbTree join,
     # exact envelope-union area)
     "geo_radius_join", "geo_wkt_intersects_join", "geo_kdb_radius_join",
@@ -84,11 +84,15 @@ _BATTERY_HEAD: list[str] = [
     "agg_classification_metrics", "func_time_types",
     # LLM-pipeline extension operators
     "text_decontaminate", "text_fingerprint", "dedup_minhash_lsh",
-    "pipeline_training_corpus", "sim_ivf", "sim_ann_lsh",
+    "pipeline_training_corpus", "sim_ann_lsh",
     "multimodal_features", "udf_grouped_zscore",
-    # streaming
+    # presto-ml distributed trainers
+    "ml_classify_centroid",
+    # streaming (streaming_late_data also sits in the flagship block
+    # above). The [:50] guard pins the curated head to the battery size
+    # even if a future edit grows the list.
     "streaming_session_window", "streaming_stateful_custom",
-]
+][:50]
 
 
 def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
