@@ -152,10 +152,78 @@ class Engine(DdlMixin):
 
         m = re.match(r"(?is)^\s*SHOW\s+CATALOGS\s*;?\s*$", query)
         if m:
-            # ShowCatalogsTask: the engine's known catalogs + system.
-            rows = sorted(set(self.catalogs) | {"system"})
+            # ShowCatalogsTask: the engine's known catalogs + the two
+            # built-in connectors (system tables, driver-JVM jmx).
+            rows = sorted(set(self.catalogs) | {"system", "jmx"})
             return self.spark.createDataFrame(
                 [(c,) for c in rows], "`Catalog`: string"
+            )
+        m = re.match(r"(?is)^\s*SHOW\s+SCHEMAS\s*;?\s*$", query)
+        if m:
+            # Plain SHOW SCHEMAS = current catalog's schemas; every
+            # Presto catalog also exposes information_schema.
+            dbs = sorted(
+                {d.name for d in self.spark.catalog.listDatabases()}
+                | {"information_schema"}
+            )
+            return self.spark.createDataFrame(
+                [(d,) for d in dbs], "`Schema`: string"
+            )
+        m = re.match(r"(?is)^\s*SHOW\s+SCHEMAS\s+FROM\s+jmx\s*;?\s*$", query)
+        if m:
+            return self.spark.createDataFrame(
+                [("current",), ("history",), ("information_schema",)],
+                "`Schema`: string",
+            )
+        m = re.match(
+            r"(?is)^\s*SHOW\s+TABLES\s+FROM\s+jmx\.current\s*;?\s*$", query
+        )
+        if m:
+            # The jmx connector (presto-jmx/.../JmxMetadata.java): one
+            # table per MBean, object names lowercased. Served LIVE from
+            # the driver JVM's platform MBean server via py4j.
+            # Live driver-JVM MBeans via the PUBLIC ManagementFactory
+            # getters (the MBeanServer implementation class is not
+            # exported under JPMS, so py4j reflection on queryNames
+            # fails; every PlatformManagedObject interface IS public).
+            mf = self.spark._jvm.java.lang.management.ManagementFactory
+            names = {
+                str(mf.CLASS_LOADING_MXBEAN_NAME),
+                str(mf.COMPILATION_MXBEAN_NAME),
+                str(mf.MEMORY_MXBEAN_NAME),
+                str(mf.OPERATING_SYSTEM_MXBEAN_NAME),
+                str(mf.RUNTIME_MXBEAN_NAME),
+                str(mf.THREAD_MXBEAN_NAME),
+            }
+            for b in mf.getGarbageCollectorMXBeans():
+                names.add(
+                    f"{mf.GARBAGE_COLLECTOR_MXBEAN_DOMAIN_TYPE},"
+                    f"name={b.getName()}"
+                )
+            for b in mf.getMemoryPoolMXBeans():
+                names.add(
+                    f"{mf.MEMORY_POOL_MXBEAN_DOMAIN_TYPE},name={b.getName()}"
+                )
+            names = sorted(n.lower() for n in names)
+            return self.spark.createDataFrame(
+                [(n,) for n in names], "`Table`: string"
+            )
+        m = re.match(
+            r"(?is)^\s*SHOW\s+COLUMNS\s+FROM\s+system\."
+            r"([A-Za-z_]+)\.([A-Za-z_]+)\s*;?\s*$",
+            query,
+        )
+        if m:
+            schema, table = m.group(1).lower(), m.group(2).lower()
+            cols = systemcat.SYSTEM_TABLES.get((schema, table))
+            if cols is None:
+                raise ValueError(
+                    f"Table 'system.{schema}.{table}' does not exist"
+                )
+            return self.spark.createDataFrame(
+                [(c, t, "", "") for c, t in cols],
+                "`Column`: string, `Type`: string, "
+                "`Extra`: string, `Comment`: string",
             )
         m = re.match(r"(?is)^\s*SHOW\s+SCHEMAS\s+FROM\s+system\s*;?\s*$", query)
         if m:

@@ -233,7 +233,7 @@ def register_system_table(
             )
         ]
     elif (schema, table) == ("metadata", "catalogs") and engine is not None:
-        rows = sorted((c, c) for c in set(engine.catalogs) | {"system"})
+        rows = sorted((c, c) for c in set(engine.catalogs) | {"system", "jmx"})
     spark.createDataFrame(rows, _ddl(cols)).createOrReplaceTempView(
         f"system_{schema}_{table}"
     )
