@@ -370,7 +370,6 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # identical plans). The UDF batches via Arrow, memoizes word hashes per
     # worker (vocabulary repeats heavily — Heaps' law — so the per-char work
     # collapses to the corpus's distinct words), and is shuffle-free.
-    from .stagecache import materialize_stage
 
     raw_docs = load_table(spark, sf_dir, "documents")
     docs = raw_docs
@@ -418,9 +417,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # `pairs` is itself a diamond: it feeds BOTH the candidate-id fetch and
     # the final verification join. Materialize it too (it is tiny — two
     # longs per near-dup candidate pair, proportional to the dup rate, not
-    # the corpus) or the whole band join re-executes per consumer.
-    pairs = materialize_stage(
-        "dedup_minhash_lsh.pairs",
+    # the corpus) or the whole band join re-executes per consumer. A lazy
+    # localCheckpoint (like sig_mh/cand_grams) beats the earlier tracked
+    # persist(): no columnar cache build, no unpersist bookkeeping —
+    # ContextCleaner reclaims the blocks when the frame is released
+    # (measured ~0.2-0.4 s at sf0.1).
+    pairs = (
         bands.alias("a")
         .join(
             bands.alias("b"),
@@ -429,7 +431,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .distinct(),
+        .distinct()
+        .localCheckpoint(eager=False)
     )
     # Gram strings (the heavy column) are computed ONLY for candidate docs:
     # semi-join the corpus down to ids that appear in some pair, then run
