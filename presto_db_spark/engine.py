@@ -99,6 +99,9 @@ class Engine(DdlMixin):
                 systemcat.register_system_table(
                     self.spark, schema, table, engine=self
                 )
+            query, jmx_used = systemcat.rewrite_jmx_refs(query)
+            for objname in jmx_used:
+                systemcat.register_jmx_table(self.spark, objname)
             # Presto REQUIRES SQL-invoked functions to live in a namespace
             # (CREATE FUNCTION example.default.tan — SqlBase.g4:62). Learn
             # the namespace's catalog from the DDL so this statement's and

@@ -247,3 +247,134 @@ def next_query_id(seq: int) -> str:
         + f"_{seq:05d}_"
         + uuid.uuid4().hex[:5]
     )
+
+
+# --- jmx connector (presto-jmx/.../JmxMetadata.java) -------------------------
+# SELECT surface for the platform singleton MXBeans: one row per node
+# (here: the driver JVM), columns = lowercased attribute names plus the
+# connector's node/object_name columns, values read LIVE through the
+# PUBLIC java.lang.management interfaces (the MBeanServer impl class is
+# JPMS-encapsulated, so generic attribute reflection is unavailable to
+# py4j — the singleton beans' interfaces are exported and cover the
+# attributes the reference's jmx tables are actually queried for).
+
+def _jmx_runtime(mf, _spark):
+    rt = mf.getRuntimeMXBean()
+    return [
+        ("name", "string", str(rt.getName())),
+        ("vmname", "string", str(rt.getVmName())),
+        ("vmvendor", "string", str(rt.getVmVendor())),
+        ("vmversion", "string", str(rt.getVmVersion())),
+        ("specname", "string", str(rt.getSpecName())),
+        ("specversion", "string", str(rt.getSpecVersion())),
+        ("uptime", "long", int(rt.getUptime())),
+        ("starttime", "long", int(rt.getStartTime())),
+    ]
+
+
+def _jmx_memory(mf, _spark):
+    mem = mf.getMemoryMXBean()
+    h, n = mem.getHeapMemoryUsage(), mem.getNonHeapMemoryUsage()
+    return [
+        ("heapmemoryusage.committed", "long", int(h.getCommitted())),
+        ("heapmemoryusage.init", "long", int(h.getInit())),
+        ("heapmemoryusage.max", "long", int(h.getMax())),
+        ("heapmemoryusage.used", "long", int(h.getUsed())),
+        ("nonheapmemoryusage.committed", "long", int(n.getCommitted())),
+        ("nonheapmemoryusage.used", "long", int(n.getUsed())),
+        ("objectpendingfinalizationcount", "long",
+         int(mem.getObjectPendingFinalizationCount())),
+    ]
+
+
+def _jmx_threading(mf, _spark):
+    th = mf.getThreadMXBean()
+    return [
+        ("threadcount", "long", int(th.getThreadCount())),
+        ("peakthreadcount", "long", int(th.getPeakThreadCount())),
+        ("daemonthreadcount", "long", int(th.getDaemonThreadCount())),
+        ("totalstartedthreadcount", "long",
+         int(th.getTotalStartedThreadCount())),
+    ]
+
+
+def _jmx_os(mf, _spark):
+    os_ = mf.getOperatingSystemMXBean()
+    return [
+        ("name", "string", str(os_.getName())),
+        ("arch", "string", str(os_.getArch())),
+        ("version", "string", str(os_.getVersion())),
+        ("availableprocessors", "long", int(os_.getAvailableProcessors())),
+        ("systemloadaverage", "double", float(os_.getSystemLoadAverage())),
+    ]
+
+
+def _jmx_classloading(mf, _spark):
+    cl = mf.getClassLoadingMXBean()
+    return [
+        ("loadedclasscount", "long", int(cl.getLoadedClassCount())),
+        ("totalloadedclasscount", "long", int(cl.getTotalLoadedClassCount())),
+        ("unloadedclasscount", "long", int(cl.getUnloadedClassCount())),
+    ]
+
+
+def _jmx_compilation(mf, _spark):
+    c = mf.getCompilationMXBean()
+    return [
+        ("name", "string", str(c.getName())),
+        ("totalcompilationtime", "long", int(c.getTotalCompilationTime())),
+    ]
+
+
+JMX_TABLES = {
+    "java.lang:type=runtime": _jmx_runtime,
+    "java.lang:type=memory": _jmx_memory,
+    "java.lang:type=threading": _jmx_threading,
+    "java.lang:type=operatingsystem": _jmx_os,
+    "java.lang:type=classloading": _jmx_classloading,
+    "java.lang:type=compilation": _jmx_compilation,
+}
+
+
+def _jmx_view_name(objname: str) -> str:
+    return "jmx_current_" + re.sub(r"[^a-z0-9]+", "_", objname.lower())
+
+
+def rewrite_jmx_refs(query: str) -> tuple[str, set[str]]:
+    """Literal-safe rewrite of ``jmx.current."<object-name>"`` table
+    references to flat view names; returns (rewritten, used names)."""
+    from .functions.dialect import _TOKEN
+
+    tokens = _TOKEN.findall(query)
+    out: list[str] = []
+    used: set[str] = set()
+    i = 0
+    while i < len(tokens):
+        t = tokens[i]
+        if (
+            t.lower() == "jmx"
+            and i + 4 < len(tokens)
+            and tokens[i + 1] == "."
+            and tokens[i + 2].lower() == "current"
+            and tokens[i + 3] == "."
+            and tokens[i + 4].startswith('"')
+        ):
+            objname = tokens[i + 4][1:-1].replace('""', '"').lower()
+            if objname in JMX_TABLES:
+                out.append(_jmx_view_name(objname))
+                used.add(objname)
+                i += 5
+                continue
+        out.append(t)
+        i += 1
+    return "".join(out), used
+
+
+def register_jmx_table(spark: SparkSession, objname: str) -> None:
+    mf = spark._jvm.java.lang.management.ManagementFactory
+    attrs = JMX_TABLES[objname](mf, spark)
+    cols = [("node", "string", spark.sparkContext.applicationId),
+            ("object_name", "string", objname)] + attrs
+    ddl = ", ".join(f"`{c}` {t}" for c, t, _ in cols)
+    spark.createDataFrame([tuple(v for _, _, v in cols)], ddl) \
+        .createOrReplaceTempView(_jmx_view_name(objname))

@@ -96,3 +96,30 @@ def test_system_refs_are_literal_safe(engine):
         "FROM system.runtime.nodes"
     ).collect()[0]
     assert row.s == "system.runtime.queries" and row.ok
+
+
+def test_jmx_select_live_attributes(engine):
+    """SELECT over jmx.current singleton MXBean tables returns live
+    driver-JVM values (presto-jmx JmxRecordSetProvider analog)."""
+    r = engine.sql(
+        'SELECT node, object_name, vmname, uptime '
+        'FROM jmx.current."java.lang:type=runtime"'
+    ).collect()[0]
+    assert r.node == engine.spark.sparkContext.applicationId
+    assert r.object_name == "java.lang:type=runtime"
+    assert "VM" in r.vmname and r.uptime > 0
+    m = engine.sql(
+        'SELECT `heapmemoryusage.used` AS used, `heapmemoryusage.max` AS mx '
+        'FROM jmx.current."java.lang:type=memory"'
+    ).collect()[0]
+    assert 0 < m.used <= m.mx
+    o = engine.sql(
+        'SELECT availableprocessors, name '
+        'FROM jmx.current."java.lang:type=operatingsystem"'
+    ).collect()[0]
+    assert o.availableprocessors >= 1 and o.name
+    # literal safety: the quoted object name inside a string is untouched
+    s = engine.sql(
+        """SELECT 'jmx.current."java.lang:type=runtime"' AS s"""
+    ).collect()[0].s
+    assert s == 'jmx.current."java.lang:type=runtime"'
