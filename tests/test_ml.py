@@ -138,3 +138,25 @@ def test_dialect_ml_idempotent():
     assert "ml_classify_apply" in once and "ml_regress_apply" in once
     for frag in ("map_from_arrays(array(CAST(0 AS BIGINT)", "floor(rand() * (5))"):
         assert frag in once, once
+
+
+def test_ml_plans_scale_shape(spark):
+    """Plan gates for the distributed trainers: the centroid apply is a
+    BROADCAST of the k-row model with the argmin collapsed map-side
+    (partial_min before the suppkey exchange), the scan is
+    column-pruned, and no Python stage exists anywhere."""
+    sf = SF_DIR
+    df = ml.ml_classify_centroid(spark, sf)
+    df.collect()
+    s = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin BuildRight" in s, s[:1500]
+    assert "partial_min" in s, s[:1500]
+    assert "EvalPython" not in s
+    assert "s_name" not in s  # supplier scan pruned to 3 columns
+
+    df2 = ml.ml_regress_ols(spark, sf)
+    df2.collect()
+    s2 = df2._jdf.queryExecution().executedPlan().toString()
+    assert "partial_sum" in s2 or "partial_count" in s2, s2[:1500]
+    assert "EvalPython" not in s2
+    assert "l_shipdate" not in s2  # lineitem scan pruned
