@@ -153,6 +153,40 @@ class Engine(DdlMixin):
         `pm/connector/system/`)."""
         from . import systemcat
 
+        m = re.match(
+            r"(?is)^\s*SHOW\s+CREATE\s+(TABLE|VIEW)\s+"
+            r"([A-Za-z_][A-Za-z0-9_.]*)\s*;?\s*$",
+            query,
+        )
+        if m:
+            # ShowCreate (pm/execution/... via ShowQueriesRewrite):
+            # Presto-dialect DDL synthesized from the live schema —
+            # works for temp views too (Spark's own SHOW CREATE TABLE
+            # rejects those).
+            kind, name = m.group(1).upper(), m.group(2).split(".")[-1]
+            schema = self.spark.table(name).schema
+            to_presto = {
+                "string": "varchar", "long": "bigint", "int": "integer",
+                "double": "double", "float": "real", "boolean": "boolean",
+                "date": "date", "timestamp": "timestamp", "binary": "varbinary",
+                "short": "smallint", "byte": "tinyint",
+            }
+
+            def pt(dt):
+                s = dt.simpleString()
+                for spark_t, presto_t in to_presto.items():
+                    if s == spark_t:
+                        return presto_t
+                return s  # decimal(p,s), array<...>, struct<...> as-is
+
+            cols = ",\n".join(
+                f'   "{f.name}" {pt(f.dataType)}' for f in schema.fields
+            )
+            noun = "VIEW" if kind == "VIEW" else "TABLE"
+            text = f'CREATE {noun} {name} (\n{cols}\n)'
+            return self.spark.createDataFrame(
+                [(text,)], "`Create Table`: string"
+            )
         m = re.match(r"(?is)^\s*SHOW\s+CATALOGS\s*;?\s*$", query)
         if m:
             # ShowCatalogsTask: the engine's known catalogs + the two

@@ -123,3 +123,15 @@ def test_jmx_select_live_attributes(engine):
         """SELECT 'jmx.current."java.lang:type=runtime"' AS s"""
     ).collect()[0].s
     assert s == 'jmx.current."java.lang:type=runtime"'
+
+
+def test_show_create_table(engine):
+    engine.spark.sql(
+        "SELECT CAST(1 AS BIGINT) AS id, 'x' AS name, CAST(1.5 AS DOUBLE) AS v"
+    ).createOrReplaceTempView("sct_demo")
+    text = engine.sql("SHOW CREATE TABLE sct_demo").collect()[0][0]
+    assert text.startswith("CREATE TABLE sct_demo (")
+    assert '"id" bigint' in text and '"name" varchar' in text \
+        and '"v" double' in text
+    vtext = engine.sql("SHOW CREATE VIEW sct_demo").collect()[0][0]
+    assert vtext.startswith("CREATE VIEW sct_demo (")
