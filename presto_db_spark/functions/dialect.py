@@ -1140,6 +1140,52 @@ def _pass_arg_templates(tokens: list[str]) -> list[str]:
     return out
 
 
+_TRY_FULL_CALLS = {"cast": "try_cast", "element_at": "try_element_at",
+                   "to_timestamp": "try_to_timestamp",
+                   "to_number": "try_to_number"}
+_TRY_OPS = {"/": "try_divide", "*": "try_multiply",
+            "+": "try_add", "-": "try_subtract"}
+
+
+def _try_rewrite(inner: list[str]) -> str | None:
+    """TRY(expr) → Spark try_* when expr is a single rewritable
+    operation; None = not a recognized shape (caller raises guidance)."""
+    lo = _next(inner, 0)
+    hi = _prev(inner, len(inner))
+    if lo > hi:
+        return None
+    # whole-arg call: CAST(...), element_at(...), to_timestamp(...)
+    name = _ident_name(inner[lo]) if _is_ident(inner[lo]) else None
+    if name in _TRY_FULL_CALLS:
+        p = _next(inner, lo + 1)
+        if p <= hi and inner[p] == "(" and _match_paren(inner, p) == hi:
+            return _TRY_FULL_CALLS[name] + "".join(inner[lo + 1 : hi + 1])
+    # exactly ONE top-level binary arithmetic operator
+    depth = 0
+    op_idx = None
+    for k in range(lo, hi + 1):
+        t = inner[k]
+        if t in ("(", "["):
+            depth += 1
+        elif t in (")", "]"):
+            depth -= 1
+        elif depth == 0 and t in _TRY_OPS:
+            prev = _prev(inner, k)
+            if t in ("+", "-") and (
+                prev < lo or inner[prev] in ("(", "[", ",") or inner[prev] in _TRY_OPS
+            ):
+                continue  # unary sign, not a binary operator
+            if op_idx is not None:
+                return None  # multiple operators — ambiguous, refuse
+            op_idx = k
+    if op_idx is not None:
+        left = "".join(inner[lo:op_idx]).strip()
+        right = "".join(inner[op_idx + 1 : hi + 1]).strip()
+        if left and right:
+            return f"{_TRY_OPS[inner[op_idx]]}({left}, {right})"
+    return None
+
+
 def _pass_calls(tokens: list[str]) -> list[str]:
     # json_size/json_format/json_parse/json_extract need no rewriting here:
     # they are registered as pure-JVM SQL functions (variant expressions,
@@ -1152,11 +1198,28 @@ def _pass_calls(tokens: list[str]) -> list[str]:
         j = _next(tokens, i + 1)
         is_call = j < len(tokens) and tokens[j] == "("
         if is_call and low == "try":
+            # Presto TRY(expr) (pm/sql/relational TRY special form) has
+            # no GENERIC Spark equivalent, but the overwhelmingly common
+            # shapes map 1:1 onto Spark's try_* family — rewrite those;
+            # anything else still gets the explicit guidance error
+            # rather than silently changing semantics.
+            close, arg_spans = _split_args(tokens, j)
+            if len(arg_spans) == 1:
+                inner = _pass_calls(
+                    tokens[arg_spans[0][0] : arg_spans[0][1]]
+                )
+                rewritten = _try_rewrite(inner)
+                if rewritten is not None:
+                    out.append(rewritten)
+                    i = close + 1
+                    continue
             raise ValueError(
-                "Presto TRY(expr) has no generic Spark equivalent; use the "
-                "operation-specific try_* function (try_cast, try_add, "
-                "try_subtract, try_multiply, try_divide, try_element_at, "
-                "try_to_timestamp) for the failing sub-expression."
+                "Presto TRY(expr) maps to Spark try_* only for "
+                "single-operation shapes (CAST, one top-level + - * /, "
+                "element_at, to_timestamp/to_number — rewritten "
+                "automatically); for this expression use the "
+                "operation-specific try_* function on the failing "
+                "sub-expression."
             )
         if is_call and low in RENAMES:
             out.append(RENAMES[low])

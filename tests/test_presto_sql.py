@@ -133,15 +133,25 @@ def test_dialect_never_rewrites_inside_literals(engine):
     assert r.s == "approx_distinct(x)" and r.n == 24
 
 
-def test_dialect_try_raises_with_guidance(engine):
-    with pytest.raises(ValueError, match="try_cast"):
-        engine.sql("SELECT TRY(1 / 0)")
-    # the operation-specific forms Presto users should switch to:
+def test_dialect_try_single_op_shapes(engine):
+    """TRY(expr) rewrites automatically for the single-operation shapes
+    (CAST / one top-level arithmetic op / element_at) and still raises
+    guidance for compound expressions."""
     r = engine.sql(
+        "SELECT TRY(1 / 0) a, TRY(CAST('xx' AS INTEGER)) b, "
+        "TRY(9223372036854775807 + 1) c, TRY(CAST('7' AS INTEGER)) d, "
+        "TRY(element_at(MAP(ARRAY['k'], ARRAY[1]), 'missing')) e, "
+        "TRY(-1 / 0) f"
+    ).collect()[0]
+    assert (r.a, r.b, r.c, r.d, r.e, r.f) == (None, None, None, 7, None, None)
+    with pytest.raises(ValueError, match="try_"):
+        engine.sql("SELECT TRY(a + b + c) FROM nation")
+    # the operation-specific forms remain available directly:
+    r2 = engine.sql(
         "SELECT try_divide(1, 0) a, try_cast('xx' AS INT) b, "
         "try_add(9223372036854775807, 1) c"
     ).collect()[0]
-    assert (r.a, r.b, r.c) == (None, None, None)
+    assert (r2.a, r2.b, r2.c) == (None, None, None)
 
 
 def test_json_extract_format_size(engine):
