@@ -32,6 +32,49 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# --- ambient calibration -----------------------------------------------
+# r05 post-mortem: the suite total moved +27% vs r04 with ZERO code diff on
+# the slowed queries — the uniform shift was (almost certainly) hypervisor
+# vCPU stealing, but the artifact had no way to prove it.  Two fixed-cost
+# probes now run before and after the suite and are recorded in the JSON:
+#   * numpy: pinned 1024x1024 matmul (BLAS / memory-bandwidth sensitive)
+#   * spark: pinned JVM-only codegen aggregation over range(400M), no I/O
+# AMBIENT_*_REF are this machine's idle-state values (pinned r06); the
+# emitted "factor" is measured/ref for the spark probe, and
+# value_normalized = value / factor makes rounds comparable when the host
+# is slow.  Raw values stay the headline metric.
+AMBIENT_NUMPY_REF_MS = 3.1
+AMBIENT_SPARK_REF_SEC = 0.14
+
+
+def _ambient_probe(spark) -> dict[str, float]:
+    import numpy as np
+
+    rs = np.random.RandomState(0)
+    a = rs.rand(1024, 1024)
+    best_np = float("inf")
+    for _ in range(7):
+        t0 = time.perf_counter()
+        a @ a
+        best_np = min(best_np, time.perf_counter() - t0)
+    # the codegen probe is JIT-sensitive (measured r06: 0.25 cold → 0.14
+    # after ~10 executions), so warm it PAST the C2 tier before timing,
+    # and take the MIN — scheduler steal only ever inflates a sample.
+    q = lambda: spark.range(0, 400_000_000, 1, 32).selectExpr(  # noqa: E731
+        "sum(id % 7) AS s"
+    ).collect()
+    for _ in range(10):
+        q()
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        q()
+        best = min(best, time.perf_counter() - t0)
+    return {
+        "numpy_ms": round(best_np * 1000, 3),
+        "spark_sec": round(best, 4),
+    }
 # Mirror the reference methodology (tpch.yaml: runs: 6, prewarm-runs: 2) —
 # r2 showed runs=3/prewarm=1 admits ±2x session-GC noise into the medians.
 PREWARM_RUNS = int(os.environ.get("BENCH_PREWARM", "2"))
@@ -100,6 +143,10 @@ def main() -> None:
     times: dict[str, float] = {}
     spread: dict[str, dict[str, float]] = {}
 
+    from presto_db_spark.session import get_spark
+
+    probe_spark = get_spark("presto_db_spark_bench")
+    ambient_before = _ambient_probe(probe_spark)
     if SUBPROCESS:
         env = dict(os.environ)
         for name in HEADLINE:
@@ -135,7 +182,13 @@ def main() -> None:
                 "max": round(max(samples), 4),
             }
 
+    ambient_after = _ambient_probe(probe_spark)
+    # spark probe = JVM throughput under the same scheduler conditions the
+    # queries saw; the factor averages the before/after best-of-5 runs.
+    probe = (ambient_before["spark_sec"] + ambient_after["spark_sec"]) / 2
+    factor = round(probe / AMBIENT_SPARK_REF_SEC, 4)
     total = round(sum(times.values()), 4)
+    norm = {q: round(t / factor, 4) for q, t in times.items()}
     print(
         json.dumps(
             {
@@ -148,6 +201,15 @@ def main() -> None:
                 "runs": RUNS,
                 "prewarm": PREWARM_RUNS,
                 "isolation": "subprocess" if SUBPROCESS else "session",
+                "ambient": {
+                    "before": ambient_before,
+                    "after": ambient_after,
+                    "numpy_ref_ms": AMBIENT_NUMPY_REF_MS,
+                    "spark_ref_sec": AMBIENT_SPARK_REF_SEC,
+                    "factor": factor,
+                },
+                "value_normalized": round(total / factor, 4),
+                "queries_normalized": norm,
             }
         )
     )

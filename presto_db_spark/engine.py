@@ -56,6 +56,9 @@ class Engine(DdlMixin):
         # restore them (ResetSessionTask parity).
         self.session_props: dict[str, str] = {}
         self._session_saved: dict[str, list[tuple[str, str | None]]] = {}
+        # view name → original (as-submitted) defining SELECT text, used by
+        # SHOW CREATE VIEW (ShowQueriesRewrite returns the stored view SQL)
+        self.view_defs: dict[str, str] = {}
         # system.runtime.queries backing store: one tuple per completed
         # Engine.sql call (QuerySystemTable.java surface).
         self.query_log: list[tuple] = []
@@ -82,12 +85,18 @@ class Engine(DdlMixin):
         no session statement store. Positional ``?`` parameters are bound
         textually left-to-right, literal-safe (a ``?`` inside a string
         stays data)."""
+        original = query  # as submitted — system.runtime.queries logs THIS
         handled = self._prepared_statement(query)
         if handled is not None:
             return handled
-        handled = self._system_statement(query)
-        if handled is not None:
-            return handled
+        if dialect:
+            # SHOW CREATE / SHOW CATALOGS / system-schema SHOWs are part of
+            # the Presto dialect surface; with dialect=False the statement
+            # falls through untouched so Spark's native SHOW output (e.g.
+            # the 'namespace' column) is preserved.
+            handled = self._system_statement(query)
+            if handled is not None:
+                return handled
         if dialect:
             # system-catalog table references must be resolved BEFORE the
             # dialect pass (its catalog-prefix stripping would swallow the
@@ -116,7 +125,18 @@ class Engine(DdlMixin):
                 self.catalogs.add(m.group(1).lower())
             query = rewrite_presto_sql(query, catalogs=frozenset(self.catalogs))
         df = self.spark.sql(query)
-        self._log_query(query)
+        # remember view definitions so SHOW CREATE VIEW can return the
+        # original view text (ShowQueriesRewrite emits the stored SQL)
+        m = re.match(
+            r"(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:GLOBAL\s+)?"
+            r"(?:TEMP(?:ORARY)?\s+)?VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+            r'([A-Za-z_"][A-Za-z0-9_."]*)\s*(?:\([^)]*\)\s*)?AS\s+(.+?)\s*;?\s*$',
+            original,
+        )
+        if m:
+            vname = m.group(1).replace('"', "").split(".")[-1].lower()
+            self.view_defs[vname] = m.group(2).strip()
+        self._log_query(original)
         return df
 
     def _log_query(self, text: str) -> None:
@@ -164,6 +184,21 @@ class Engine(DdlMixin):
             # works for temp views too (Spark's own SHOW CREATE TABLE
             # rejects those).
             kind, name = m.group(1).upper(), m.group(2).split(".")[-1]
+            if kind == "VIEW":
+                # ShowCreate for views returns the STORED view SQL under a
+                # 'Create View' column (ShowQueriesRewrite), not a column
+                # list. Definitions are captured by Engine.sql when the
+                # CREATE VIEW passes through this session.
+                body = self.view_defs.get(name.lower())
+                if body is None:
+                    raise ValueError(
+                        f"View '{name}' not found (not created through "
+                        f"this engine session)"
+                    )
+                text = f"CREATE VIEW {name} AS\n{body}"
+                return self.spark.createDataFrame(
+                    [(text,)], "`Create View`: string"
+                )
             schema = self.spark.table(name).schema
             to_presto = {
                 "string": "varchar", "long": "bigint", "int": "integer",
@@ -182,8 +217,7 @@ class Engine(DdlMixin):
             cols = ",\n".join(
                 f'   "{f.name}" {pt(f.dataType)}' for f in schema.fields
             )
-            noun = "VIEW" if kind == "VIEW" else "TABLE"
-            text = f'CREATE {noun} {name} (\n{cols}\n)'
+            text = f'CREATE TABLE {name} (\n{cols}\n)'
             return self.spark.createDataFrame(
                 [(text,)], "`Create Table`: string"
             )

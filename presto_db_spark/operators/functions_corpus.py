@@ -213,7 +213,7 @@ SELECT vec_id,
        embedding[1] AS first_el,
        list_max(embedding) AS mx,
        list_min(embedding) AS mn,
-       embedding[3:5] AS sl,
+       embedding[3] AS sl_1, embedding[4] AS sl_2, embedding[5] AS sl_3,
        list_contains(embedding, CAST(0.0 AS FLOAT)) AS has_zero,
        round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS sumsq,
        round(CAST(list_aggregate(list_filter(embedding, x -> x > 0), 'sum') AS DOUBLE), 6) AS possum
@@ -221,6 +221,9 @@ FROM embeddings WHERE vec_id < 100
 """,
 )
 def func_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array scalars over embeddings. The 3-element slice is emitted as
+    three scalar columns — the driver's pandas canonicalizer cannot sort
+    top-level list columns (r05 lesson), and raw floats stay bit-exact."""
     (emb,) = _t(spark, sf_dir, "embeddings")
     e = F.col("embedding")
     return emb.filter(F.col("vec_id") < 100).select(
@@ -229,7 +232,9 @@ def func_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(e, 1).alias("first_el"),
         F.array_max(e).alias("mx"),
         F.array_min(e).alias("mn"),
-        F.slice(e, 3, 3).alias("sl"),
+        F.element_at(e, 3).alias("sl_1"),
+        F.element_at(e, 4).alias("sl_2"),
+        F.element_at(e, 5).alias("sl_3"),
         F.array_contains(e, F.lit(0.0).cast("float")).alias("has_zero"),
         F.round(
             F.aggregate(
@@ -364,7 +369,7 @@ SELECT l_returnflag,
        bool_and(l_quantity > 0) AS all_pos,
        bool_or(l_discount > 0.09) AS any_big_disc,
        CAST(sum(CASE WHEN l_tax > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_taxy,
-       list_sort(list(DISTINCT l_linestatus)) AS statuses,
+       array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
        CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp
 FROM lineitem GROUP BY l_returnflag
 """,
@@ -375,7 +380,8 @@ def agg_bool_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_and(F.col("l_quantity") > 0).alias("all_pos"),
         F.bool_or(F.col("l_discount") > 0.09).alias("any_big_disc"),
         F.count_if(F.col("l_tax") > 0.05).alias("n_taxy"),
-        F.sort_array(F.collect_set("l_linestatus")).alias("statuses"),
+        # joined string, not array: driver-canonicalizer-safe shape
+        F.array_join(F.sort_array(F.collect_set("l_linestatus")), ",").alias("statuses"),
         F.countDistinct("l_suppkey").alias("n_supp"),
     )
 

@@ -201,7 +201,7 @@ def func_hash_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT o_orderkey,
        o_totalprice AS m_price,
-       ['key', 'price'] AS m_keys,
+       'key,price' AS m_keys,
        2 AS m_card,
        CAST(0.0 AS DOUBLE) AS m_zero,
        CAST((CASE WHEN o_totalprice > 1000 THEN 1 ELSE 0 END)
@@ -224,7 +224,7 @@ def func_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.filter(F.col("o_orderkey") < 200).select(
         "o_orderkey",
         F.element_at(m, "price").alias("m_price"),
-        F.array_sort(F.map_keys(m)).alias("m_keys"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("m_keys"),
         F.size(m).alias("m_card"),
         F.element_at(
             F.map_concat(m, F.create_map(F.lit("zero"), F.lit(0.0))), "zero"
@@ -415,14 +415,15 @@ p AS (
 ),
 m1 AS (
   SELECT l_orderkey,
-         list(l_linenumber ORDER BY l_linenumber) AS m_keys,
-         list(v ORDER BY l_linenumber) AS m_vals
+         array_to_string(list(l_linenumber ORDER BY l_linenumber), ',') AS m_keys,
+         array_to_string(list(CAST(round(v * 100) AS BIGINT)
+                              ORDER BY l_linenumber), ',') AS m_vals
   FROM p GROUP BY l_orderkey
 ),
 m2 AS (
   SELECT l_orderkey,
-         list(l_returnflag || ':' || CAST(l_linenumber AS VARCHAR)
-              ORDER BY l_returnflag || ':' || CAST(l_linenumber AS VARCHAR)) AS mm
+         array_to_string(list(l_returnflag || ':' || CAST(l_linenumber AS VARCHAR)
+              ORDER BY l_returnflag || ':' || CAST(l_linenumber AS VARCHAR)), ',') AS mm
   FROM base GROUP BY l_orderkey
 )
 SELECT m1.l_orderkey, m_keys, m_vals, mm FROM m1 JOIN m2 ON m1.l_orderkey = m2.l_orderkey
@@ -440,12 +441,23 @@ def agg_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = li.filter(F.col("l_orderkey") < 500)
     pairs = base.groupBy("l_orderkey", "l_linenumber").agg(F.min("l_quantity").alias("v"))
     m = F.map_from_entries(F.array_sort(F.collect_list(F.struct("l_linenumber", "v"))))
+    # battery shape: keys/values/entries serialized to joined strings
+    # (driver canonicalizer cannot sort list columns); values as exact cents
     mapped = pairs.groupBy("l_orderkey").agg(
-        F.map_keys(m).alias("m_keys"), F.map_values(m).alias("m_vals")
+        F.array_join(
+            F.transform(F.map_keys(m), lambda k: k.cast("string")), ","
+        ).alias("m_keys"),
+        F.array_join(
+            F.transform(
+                F.map_values(m),
+                lambda v: F.round(v * 100).cast("long").cast("string"),
+            ),
+            ",",
+        ).alias("m_vals"),
     )
     mm_entry = F.concat("l_returnflag", F.lit(":"), F.col("l_linenumber").cast("string"))
     mm = base.select("l_orderkey", mm_entry.alias("mme")).groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_list("mme")).alias("mm")
+        F.array_join(F.sort_array(F.collect_list("mme")), ",").alias("mm")
     )
     return mapped.join(mm, "l_orderkey")
 
@@ -464,8 +476,8 @@ e AS (
   FROM lineitem GROUP BY l_returnflag
 )
 SELECT c.l_returnflag,
-       list(c.l_linestatus ORDER BY c.l_linestatus) AS h_keys,
-       list(c.cnt ORDER BY c.l_linestatus) AS h_cnts,
+       array_to_string(list(c.l_linestatus ORDER BY c.l_linestatus), ',') AS h_keys,
+       array_to_string(list(c.cnt ORDER BY c.l_linestatus), ',') AS h_cnts,
        round(any_value(e.ent), 6) AS ent
 FROM c JOIN e ON e.l_returnflag = c.l_returnflag
 GROUP BY c.l_returnflag
@@ -482,13 +494,19 @@ def agg_hist_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = F.col("cnt") / F.sum("cnt").over(Window.partitionBy("l_returnflag"))
     counts = counts.withColumn("p", p)
     return counts.groupBy("l_returnflag").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("l_linestatus", "cnt"))),
-            lambda e: e.l_linestatus,
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("l_linestatus", "cnt"))),
+                lambda e: e.l_linestatus,
+            ),
+            ",",
         ).alias("h_keys"),
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("l_linestatus", "cnt"))),
-            lambda e: e.cnt,
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("l_linestatus", "cnt"))),
+                lambda e: e.cnt.cast("string"),
+            ),
+            ",",
         ).alias("h_cnts"),
         F.round(-F.sum(F.col("p") * F.log2("p")), 6).alias("ent"),
     )
@@ -576,10 +594,9 @@ def agg_moments_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_arrays_topn",
     """
 SELECT CAST(c_nationkey AS INTEGER) AS nat,
-       (list(c_custkey ORDER BY CAST(round(c_acctbal * 100) AS BIGINT) * 1000000
-             + c_custkey DESC))[1:3] AS top3,
-       list(c_custkey ORDER BY c_custkey) AS all_keys,
-       list_sort(list(DISTINCT c_mktsegment)) AS segs,
+       array_to_string((list(c_custkey ORDER BY CAST(round(c_acctbal * 100) AS BIGINT) * 1000000
+             + c_custkey DESC))[1:3], ',') AS top3,
+       array_to_string(list(c_custkey ORDER BY c_custkey), ',') AS all_keys,
        array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS seg_csv
 FROM customer GROUP BY c_nationkey
 """,
@@ -595,12 +612,19 @@ def agg_arrays_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     withk = cust.select(F.col("c_nationkey").cast("int").alias("nat"),
                         "c_custkey", "c_mktsegment", key.alias("k"))
     return withk.groupBy("nat").agg(
-        F.transform(
-            F.slice(F.sort_array(F.collect_list(F.struct("k", "c_custkey")), False), 1, 3),
-            lambda e: e.c_custkey,
+        F.array_join(
+            F.transform(
+                F.slice(F.sort_array(F.collect_list(F.struct("k", "c_custkey")), False), 1, 3),
+                lambda e: e.c_custkey.cast("string"),
+            ),
+            ",",
         ).alias("top3"),
-        F.sort_array(F.collect_list("c_custkey")).alias("all_keys"),
-        F.sort_array(F.collect_set("c_mktsegment")).alias("segs"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("c_custkey")), lambda k: k.cast("string")
+            ),
+            ",",
+        ).alias("all_keys"),
         F.array_join(F.sort_array(F.collect_set("c_mktsegment")), ",").alias("seg_csv"),
     )
 
@@ -617,8 +641,8 @@ WITH per_order AS (
   FROM per_order GROUP BY l_returnflag, l_linestatus
 )
 SELECT l_returnflag,
-       list(l_linestatus ORDER BY l_linestatus) AS m_keys,
-       list(v ORDER BY l_linestatus) AS m_vals
+       array_to_string(list(l_linestatus ORDER BY l_linestatus), ',') AS m_keys,
+       array_to_string(list(v ORDER BY l_linestatus), ',') AS m_vals
 FROM merged GROUP BY l_returnflag
 """,
 )
@@ -637,8 +661,10 @@ def agg_map_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = per_order.groupBy("l_returnflag", "l_linestatus").agg(F.max("cnt").alias("v"))
     es = F.array_sort(F.collect_list(F.struct("l_linestatus", "v")))
     return merged.groupBy("l_returnflag").agg(
-        F.transform(es, lambda e: e.l_linestatus).alias("m_keys"),
-        F.transform(es, lambda e: e.v).alias("m_vals"),
+        F.array_join(F.transform(es, lambda e: e.l_linestatus), ",").alias("m_keys"),
+        F.array_join(
+            F.transform(es, lambda e: e.v.cast("string")), ","
+        ).alias("m_vals"),
     )
 
 

@@ -270,12 +270,15 @@ WITH w AS (
   FROM documents WHERE doc_id < 60
 )
 SELECT doc_id,
-       list_transform(list_sort(list_transform(words, x -> {'k': len(x), 'w': x})),
-                      e -> e.w) AS by_len,
-       flatten(list_transform(words, (x, i) ->
-                list_transform(words[i+1:], y -> x || '|' || y))) AS pairs,
-       list_transform(generate_series(1, greatest(len(words) - 1, 0)),
-                      i -> words[i] || ' ' || words[i+1]) AS bigrams
+       array_to_string(
+         list_transform(list_sort(list_transform(words, x -> {'k': len(x), 'w': x})),
+                        e -> e.w), chr(31)) AS by_len,
+       array_to_string(
+         flatten(list_transform(words, (x, i) ->
+                  list_transform(words[i+1:], y -> x || '|' || y))), chr(31)) AS pairs,
+       array_to_string(
+         list_transform(generate_series(1, greatest(len(words) - 1, 0)),
+                        i -> words[i] || ' ' || words[i+1]), chr(31)) AS bigrams
 FROM w
 """,
 )
@@ -284,7 +287,12 @@ def func_array_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinations(a, 2) (``CombinationsFunction``), ngrams(a, 2)
     (``ArrayNgramsFunction``) — all as pure expressions. The comparator
     (by length, then value) is emulated in the oracle by sorting (key,
-    value) structs; combinations enumerate via index-slices."""
+    value) structs; combinations enumerate via index-slices.
+
+    Battery shape: the arrays are serialized to chr(31)-joined strings in
+    the final projection on BOTH sides — the driver's pandas canonicalizer
+    cannot sort top-level list columns (r05 ERR), and joined strings hash
+    identically with zero JSON-escaping parity risk."""
     from ..catalog import load_table
 
     docs = load_table(spark, sf_dir, "documents")
@@ -309,8 +317,12 @@ def func_array_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(1), F.greatest(F.size(wcol) - 1, F.lit(0))),
         lambda i: F.concat(F.element_at(wcol, i), F.lit(" "), F.element_at(wcol, i + 1)),
     )
+    sep = "\x1f"
     return base.select(
-        "doc_id", by_len.alias("by_len"), pairs.alias("pairs"), bigrams.alias("bigrams")
+        "doc_id",
+        F.array_join(by_len, sep).alias("by_len"),
+        F.array_join(pairs, sep).alias("pairs"),
+        F.array_join(bigrams, sep).alias("bigrams"),
     )
 
 
@@ -367,8 +379,8 @@ WITH scored AS (
 ),
 binned AS (
   SELECT CAST(floor(least(pred, 0.99999999999) * {N_CLS_BUCKETS}) AS BIGINT) AS b,
-         CAST(sum(CASE WHEN outcome THEN 1 ELSE 0 END) AS DOUBLE) AS tw,
-         CAST(sum(CASE WHEN outcome THEN 0 ELSE 1 END) AS DOUBLE) AS fw
+         CAST(sum(CASE WHEN outcome THEN 1 ELSE 0 END) AS BIGINT) AS tw,
+         CAST(sum(CASE WHEN outcome THEN 0 ELSE 1 END) AS BIGINT) AS fw
   FROM scored GROUP BY b
 ),
 spine AS (
@@ -386,11 +398,16 @@ cum AS (
   FROM spine
 ),
 emitted AS (SELECT * FROM cum WHERE tot_t - run_t > 0)
-SELECT list(round(CAST(b AS DOUBLE) / {N_CLS_BUCKETS}, 6) ORDER BY b) AS thresholds,
-       list(round((tot_t - run_t) / tot_t, 6) ORDER BY b) AS "precision",
-       list(round((tot_t - run_t) / tot_t, 6) ORDER BY b) AS recall,
-       list(round(run_t / tot_t, 6) ORDER BY b) AS miss_rate,
-       list(round((tot_f - run_f) / tot_f, 6) ORDER BY b) AS fall_out
+SELECT array_to_string(list(CAST(b * 100000 AS BIGINT) ORDER BY b), ',')
+         AS thresholds,
+       array_to_string(list(CAST(((tot_t - run_t) * 1000000) // tot_t AS BIGINT)
+                            ORDER BY b), ',') AS "precision",
+       array_to_string(list(CAST(((tot_t - run_t) * 1000000) // tot_t AS BIGINT)
+                            ORDER BY b), ',') AS recall,
+       array_to_string(list(CAST((run_t * 1000000) // tot_t AS BIGINT)
+                            ORDER BY b), ',') AS miss_rate,
+       array_to_string(list(CAST(((tot_f - run_f) * 1000000) // tot_f AS BIGINT)
+                            ORDER BY b), ',') AS fall_out
 FROM emitted
 """,
 )
@@ -412,7 +429,13 @@ def agg_classification_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale design: one groupBy(bucket) shuffle over the data (B=10 buckets),
     then all windowing happens on the B-row spine — the mergeable
     fixed-histogram property that lets the reference run this as
-    partial/final."""
+    partial/final.
+
+    Battery shape: every metric vector is emitted as a comma-joined string
+    of exact integer micro-units (rate × 1e6 via integer floor division on
+    BOTH sides) — the driver's pandas canonicalizer cannot sort top-level
+    list columns (r05 ERR), and integer-div micros are bit-identical
+    across engines where round(double, 6) is not guaranteed to be."""
     (cust,) = _t(spark, sf_dir, "customer")
     from pyspark.sql.window import Window as W
 
@@ -425,8 +448,8 @@ def agg_classification_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("b")
     ).agg(
-        F.sum(F.when(F.col("outcome"), 1).otherwise(0)).cast("double").alias("tw"),
-        F.sum(F.when(F.col("outcome"), 0).otherwise(1)).cast("double").alias("fw"),
+        F.sum(F.when(F.col("outcome"), 1).otherwise(0)).cast("long").alias("tw"),
+        F.sum(F.when(F.col("outcome"), 0).otherwise(1)).cast("long").alias("fw"),
     )
     spine = (
         scored.sparkSession.range(N_CLS_BUCKETS)
@@ -434,39 +457,40 @@ def agg_classification_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(binned, "b", "left")
         .select(
             "b",
-            F.coalesce("tw", F.lit(0.0)).alias("tw"),
-            F.coalesce("fw", F.lit(0.0)).alias("fw"),
+            F.coalesce("tw", F.lit(0)).cast("long").alias("tw"),
+            F.coalesce("fw", F.lit(0)).cast("long").alias("fw"),
         )
     )
     w_prev = W.orderBy("b").rowsBetween(W.unboundedPreceding, -1)
     w_all = W.partitionBy()
-    cum = spine.select(
-        "b",
-        F.coalesce(F.sum("tw").over(w_prev), F.lit(0.0)).alias("run_t"),
-        F.coalesce(F.sum("fw").over(w_prev), F.lit(0.0)).alias("run_f"),
-        F.sum("tw").over(w_all).alias("tot_t"),
-        F.sum("fw").over(w_all).alias("tot_f"),
-    ).filter(F.col("tot_t") - F.col("run_t") > 0)
-    tp_rate = F.round((F.col("tot_t") - F.col("run_t")) / F.col("tot_t"), 6)
-    es = F.array_sort(
-        F.collect_list(
-            F.struct(
-                "b",
-                F.round(F.col("b").cast("double") / N_CLS_BUCKETS, 6).alias("th"),
-                tp_rate.alias("pr"),
-                F.round(F.col("run_t") / F.col("tot_t"), 6).alias("mr"),
-                F.round((F.col("tot_f") - F.col("run_f")) / F.col("tot_f"), 6).alias(
-                    "fo"
-                ),
-            )
+    cum = (
+        spine.select(
+            "b",
+            F.coalesce(F.sum("tw").over(w_prev), F.lit(0)).cast("long").alias("run_t"),
+            F.coalesce(F.sum("fw").over(w_prev), F.lit(0)).cast("long").alias("run_f"),
+            F.sum("tw").over(w_all).cast("long").alias("tot_t"),
+            F.sum("fw").over(w_all).cast("long").alias("tot_f"),
+        )
+        .filter(F.col("tot_t") - F.col("run_t") > 0)
+        .select(
+            "b",
+            (F.col("b") * 100000).alias("th"),
+            F.expr("((tot_t - run_t) * 1000000) div tot_t").alias("pr"),
+            F.expr("(run_t * 1000000) div tot_t").alias("mr"),
+            F.expr("((tot_f - run_f) * 1000000) div tot_f").alias("fo"),
         )
     )
+    es = F.array_sort(F.collect_list(F.struct("b", "th", "pr", "mr", "fo")))
+
+    def _joined(field: str):
+        return F.array_join(F.transform(es, lambda e: e[field].cast("string")), ",")
+
     return cum.agg(
-        F.transform(es, lambda e: e.th).alias("thresholds"),
-        F.transform(es, lambda e: e.pr).alias("precision"),
-        F.transform(es, lambda e: e.pr).alias("recall"),
-        F.transform(es, lambda e: e.mr).alias("miss_rate"),
-        F.transform(es, lambda e: e.fo).alias("fall_out"),
+        _joined("th").alias("thresholds"),
+        _joined("pr").alias("precision"),
+        _joined("pr").alias("recall"),
+        _joined("mr").alias("miss_rate"),
+        _joined("fo").alias("fall_out"),
     )
 
 

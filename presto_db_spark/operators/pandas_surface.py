@@ -161,8 +161,8 @@ WITH b AS (
   FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag
 )
 SELECT l_returnflag,
-       list(bucket ORDER BY bucket) AS buckets,
-       list(cnt ORDER BY bucket) AS counts
+       array_to_string(list(bucket ORDER BY bucket), ',') AS buckets,
+       array_to_string(list(cnt ORDER BY bucket), ',') AS counts
 FROM (SELECT l_returnflag, bucket, CAST(count(*) AS BIGINT) AS cnt
       FROM binned GROUP BY l_returnflag, bucket)
 GROUP BY l_returnflag
@@ -187,6 +187,10 @@ def agg_numeric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = binned.groupBy("l_returnflag", "bucket").agg(F.count("*").alias("cnt"))
     es = F.array_sort(F.collect_list(F.struct("bucket", "cnt")))
     return counts.groupBy("l_returnflag").agg(
-        F.transform(es, lambda e: e.bucket).alias("buckets"),
-        F.transform(es, lambda e: e.cnt).alias("counts"),
+        F.array_join(
+            F.transform(es, lambda e: e.bucket.cast("string")), ","
+        ).alias("buckets"),
+        F.array_join(
+            F.transform(es, lambda e: e.cnt.cast("string")), ","
+        ).alias("counts"),
     )

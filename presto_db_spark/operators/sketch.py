@@ -153,7 +153,7 @@ WITH sk AS (
          sum(cnt) OVER (PARTITION BY l_returnflag) AS total
   FROM sk
 )
-SELECT q25.l_returnflag, [q25.v, q50.v, q75.v] AS quantiles
+SELECT q25.l_returnflag, q25.v AS p25, q50.v AS p50, q75.v AS p75
 FROM      (SELECT l_returnflag, min(bin) * {BIN} AS v FROM cum
            WHERE cum >= ceil(total * 0.25) GROUP BY l_returnflag) q25
 JOIN      (SELECT l_returnflag, min(bin) * {BIN} AS v FROM cum
@@ -166,7 +166,8 @@ JOIN      (SELECT l_returnflag, min(bin) * {BIN} AS v FROM cum
 )
 def sketch_quantile_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array form approx_percentile(x, ARRAY[0.25, 0.5, 0.75]) — one sketch
-    pass, one output row per group with the quantile vector."""
+    pass, one output row per group with the quantile vector (emitted as
+    three scalar columns: the driver's canonicalizer can't sort lists)."""
     (li,) = _t(spark, sf_dir, "lineitem")
     sk = sketch_histogram(li, ["l_returnflag"], "l_extendedprice")
     p25 = value_at_quantile(sk, ["l_returnflag"], 0.25, "p25")
@@ -175,9 +176,7 @@ def sketch_quantile_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         p25.join(p50, "l_returnflag")
         .join(p75, "l_returnflag")
-        .select(
-            "l_returnflag", F.array("p25", "p50", "p75").alias("quantiles")
-        )
+        .select("l_returnflag", "p25", "p50", "p75")
     )
 
 
@@ -214,22 +213,23 @@ def sketch_quantile_at_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     "func_decimal",
     """
 SELECT l_returnflag,
-       CAST(sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DECIMAL(18,2)) / 100)
-            AS DOUBLE) AS dec_sum,
-       CAST(sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DECIMAL(18,2)) / 100
-                * CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(9,0))) AS DOUBLE)
-         AS dec_weighted,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS dec_sum_cents,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * CAST(l_quantity AS BIGINT)) AS BIGINT) AS dec_weighted_cents,
        CAST(count(*) AS BIGINT) AS n
 FROM lineitem GROUP BY l_returnflag
 """,
 )
 def func_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact DECIMAL aggregation: prices as DECIMAL(18,2) built from exact
-    cents; the weighted sum exercises decimal×decimal precision growth.
-    All internal arithmetic is decimal (no float drift); the final sums are
-    cast to DOUBLE only because Spark's and DuckDB's decimal-division
-    typing rules assign different output scales (values are identical and
-    exactly representable).
+    """Exact DECIMAL aggregation compared in integer cents: prices become
+    exact cent counts (BIGINT), summed without any floating point.  On the
+    Spark side the arithmetic runs through DECIMAL(18,2)/DECIMAL(9,0)
+    (exercising decimal sum and decimal×decimal precision growth per the
+    reference's DecimalOperators), then converts to cents by an exact
+    ×100 at the very end.  The oracle stays in BIGINT cents throughout —
+    DuckDB decimal division decays to DOUBLE, so any in-sum division can
+    never hash-match; integer cents are bit-comparable on both engines.
     """
     (li,) = _t(spark, sf_dir, "lineitem")
     dec_price = (
@@ -237,8 +237,8 @@ def func_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dec_qty = F.col("l_quantity").cast("long").cast("decimal(9,0)")
     return li.groupBy("l_returnflag").agg(
-        F.sum(dec_price).cast("double").alias("dec_sum"),
-        F.sum(dec_price * dec_qty).cast("double").alias("dec_weighted"),
+        (F.sum(dec_price) * 100).cast("long").alias("dec_sum_cents"),
+        (F.sum(dec_price * dec_qty) * 100).cast("long").alias("dec_weighted_cents"),
         F.count("*").alias("n"),
     )
 
@@ -485,18 +485,22 @@ def agg_set_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("inter_k"),
     )
-    union_est = F.when(
+    # EXACT integer floor-division parity with the oracle's `//` — computing
+    # (K-1)*2^48 / u[K] in double then flooring can land one off when the
+    # true quotient sits within an ulp of an integer, so both estimates run
+    # through Spark's integral `div` on longs ((K-1)*2^48 < 2^52, and
+    # inter_k * union_est < 2^57, both long-safe).
+    numer = (SETDIGEST_K - 1) * _SD_MOD
+    est = est.withColumn("u_k", F.element_at("u", SETDIGEST_K).cast("long"))
+    union_est_i = F.when(
         F.size("u") >= SETDIGEST_K,
-        ((SETDIGEST_K - 1) * F.lit(_SD_MOD)).cast("long")
-        / F.element_at("u", SETDIGEST_K),
-    ).otherwise(F.size("u"))
-    # integer floor-division parity with the oracle's `//`
-    union_est_i = F.floor(union_est).cast("bigint")
-    out = est.select(
+        F.expr(f"CAST({numer} AS BIGINT) div u_k"),
+    ).otherwise(F.size("u").cast("long"))
+    out = est.withColumn("union_card_est", union_est_i).select(
         "grp_a", "grp_b",
         F.round(F.col("inter_k").cast("double") / F.col("smaller"), 6).alias("jaccard_est"),
-        union_est_i.alias("union_card_est"),
-        F.floor(F.col("inter_k") * union_est_i / F.col("smaller"))
+        "union_card_est",
+        F.expr("(inter_k * union_card_est) div smaller")
         .cast("bigint")
         .alias("intersection_card_est"),
     )

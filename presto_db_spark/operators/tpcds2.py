@@ -116,12 +116,17 @@ def _revenue_share(spark, sf_dir, amount, amount_sql, cats, date_lo, date_hi, li
         F.col("p_type").alias("i_category"),
         F.col("p_brand").alias("i_class"),
         F.col("p_retailprice").alias("i_current_price"),
-    ).agg(_msum(amount).alias("itemrevenue"))
+    ).agg(
+        _msum(amount).alias("itemrevenue"),
+        # the class-share window re-sums revenues in arbitrary order; only
+        # integer cents are order-independent, so the ratio is cents/cents
+        _csum(amount).alias("_itemrev_c"),
+    )
     w = W.partitionBy("i_class")
     out = g.withColumn(
         "revenueratio",
-        F.col("itemrevenue") * 100 / F.sum("itemrevenue").over(w),
-    )
+        F.col("_itemrev_c") * 100 / F.sum("_itemrev_c").over(w),
+    ).drop("_itemrev_c")
     out = out.orderBy(
         F.asc("i_category"), F.asc("i_class"), F.asc("i_item_id"),
         F.asc("i_item_desc"), F.asc("revenueratio"),
@@ -136,7 +141,7 @@ def _revenue_share_sql(amount_sql, cats, date_lo, date_hi, limit):
 SELECT p.p_partkey AS i_item_id, p.p_name AS i_item_desc, p.p_type AS i_category,
        p.p_brand AS i_class, p.p_retailprice AS i_current_price,
        {_msum_sql(amount_sql)} AS itemrevenue,
-       {_msum_sql(amount_sql)} * 100 / sum({_msum_sql(amount_sql)}) OVER (PARTITION BY p.p_brand) AS revenueratio
+       {_csum_sql(amount_sql)} * 100 / sum({_csum_sql(amount_sql)}) OVER (PARTITION BY p.p_brand) AS revenueratio
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 JOIN part p ON l.l_partkey = p.p_partkey
@@ -201,20 +206,25 @@ def _deviation(spark, sf_dir, key_col, key_name, period_col):
         .join(part.filter(_bands_col()), F.col("l_partkey") == F.col("p_partkey"))
     )
     g = j.groupBy(key_col.alias(key_name), period_col.alias("period")).agg(
-        _msum(F.col("l_extendedprice")).alias("sum_sales")
+        _msum(F.col("l_extendedprice")).alias("sum_sales"),
+        # the per-key window re-sums these in arbitrary order; only integer
+        # cents sum order-independently, so the window runs over cents
+        _csum(F.col("l_extendedprice")).alias("_c"),
     )
     w = W.partitionBy(key_name)
     v = (
-        g.withColumn("key_sum", F.sum("sum_sales").over(w))
+        g.withColumn("key_sum_c", F.sum("_c").over(w))
         .withColumn("key_cnt", F.count("*").over(w))
-        .withColumn("avg_sales", F.col("key_sum") / F.col("key_cnt"))
+        # one exact-integer division at the end — bit-identical across engines
+        .withColumn("avg_sales",
+                    F.col("key_sum_c") / (100 * F.col("key_cnt")))
     )
     # abs(sum − avg)/avg > 0.1 cross-multiplied into exact integers:
-    # 10·|sum·cnt − key_sum| > key_sum  (key_sum > 0 guaranteed by >0 gate)
+    # 10·|c·cnt − key_sum_c| > key_sum_c  (key_sum_c > 0 by the >0 gate)
     return v.filter(
-        (F.col("key_sum") > 0)
-        & (10 * F.abs(F.col("sum_sales") * F.col("key_cnt") - F.col("key_sum"))
-           > F.col("key_sum"))
+        (F.col("key_sum_c") > 0)
+        & (10 * F.abs(F.col("_c") * F.col("key_cnt") - F.col("key_sum_c"))
+           > F.col("key_sum_c"))
     ).select(key_name, "period", "sum_sales", "avg_sales")
 
 
@@ -222,22 +232,23 @@ def _deviation_sql(key_sql, key_name, period_sql):
     return f"""
 WITH g AS (
   SELECT {key_sql} AS {key_name}, {period_sql} AS period,
-         {_msum_sql("l.l_extendedprice")} AS sum_sales
+         {_msum_sql("l.l_extendedprice")} AS sum_sales,
+         {_csum_sql("l.l_extendedprice")} AS c
   FROM lineitem l
   JOIN orders o ON l.l_orderkey = o.o_orderkey
   JOIN part p ON l.l_partkey = p.p_partkey
   WHERE year(o.o_orderdate) = 1996 AND {_BANDS_SQL}
   GROUP BY 1, 2
 ), v AS (
-  SELECT {key_name}, period, sum_sales,
-         sum(sum_sales) OVER (PARTITION BY {key_name}) AS key_sum,
+  SELECT {key_name}, period, sum_sales, c,
+         sum(c) OVER (PARTITION BY {key_name}) AS key_sum_c,
          count(*) OVER (PARTITION BY {key_name}) AS key_cnt
   FROM g
 )
 SELECT {key_name}, period, sum_sales,
-       CAST(key_sum AS DOUBLE) / key_cnt AS avg_sales
+       CAST(key_sum_c AS DOUBLE) / (100 * key_cnt) AS avg_sales
 FROM v
-WHERE key_sum > 0 AND 10 * abs(sum_sales * key_cnt - key_sum) > key_sum
+WHERE key_sum_c > 0 AND 10 * abs(c * key_cnt - key_sum_c) > key_sum_c
 """
 
 
@@ -946,35 +957,35 @@ _Q77_WIN = ("1996-08-23", "1996-09-22")
     "tpcds_q77",
     f"""
 WITH ss AS (
-  SELECT l.l_suppkey AS sk, {_msum_sql("l.l_extendedprice")} AS sales,
-         {_msum_sql("l.l_extendedprice * (1 - l.l_discount)")} AS profit
+  SELECT l.l_suppkey AS sk, {_csum_sql("l.l_extendedprice")} AS sales,
+         {_csum_sql("l.l_extendedprice * (1 - l.l_discount)")} AS profit
   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
   WHERE o.o_orderdate BETWEEN '{_Q77_WIN[0]}' AND '{_Q77_WIN[1]}' GROUP BY 1
 ), sr AS (
-  SELECT l.l_suppkey AS sk, {_msum_sql("l.l_extendedprice")} AS returns_,
-         {_msum_sql("l.l_extendedprice * l.l_tax")} AS profit_loss
+  SELECT l.l_suppkey AS sk, {_csum_sql("l.l_extendedprice")} AS returns_,
+         {_csum_sql("l.l_extendedprice * l.l_tax")} AS profit_loss
   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
   WHERE l.l_returnflag = 'R'
     AND o.o_orderdate BETWEEN '{_Q77_WIN[0]}' AND '{_Q77_WIN[1]}' GROUP BY 1
 ), cs AS (
-  SELECT o.o_orderpriority AS ck, {_msum_sql("l.l_extendedprice")} AS sales,
-         {_msum_sql("l.l_extendedprice * (1 - l.l_discount)")} AS profit
+  SELECT o.o_orderpriority AS ck, {_csum_sql("l.l_extendedprice")} AS sales,
+         {_csum_sql("l.l_extendedprice * (1 - l.l_discount)")} AS profit
   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
   WHERE o.o_orderdate BETWEEN '{_Q77_WIN[0]}' AND '{_Q77_WIN[1]}' GROUP BY 1
 ), cr AS (
-  SELECT o.o_orderpriority AS ck, {_msum_sql("l.l_extendedprice")} AS returns_,
-         {_msum_sql("l.l_extendedprice * l.l_tax")} AS profit_loss
+  SELECT o.o_orderpriority AS ck, {_csum_sql("l.l_extendedprice")} AS returns_,
+         {_csum_sql("l.l_extendedprice * l.l_tax")} AS profit_loss
   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
   WHERE l.l_returnflag = 'R'
     AND o.o_orderdate BETWEEN '{_Q77_WIN[0]}' AND '{_Q77_WIN[1]}' GROUP BY 1
 ), ws AS (
-  SELECT l.l_linestatus AS wk, {_msum_sql("l.l_extendedprice")} AS sales,
-         {_msum_sql("l.l_extendedprice * (1 - l.l_discount)")} AS profit
+  SELECT l.l_linestatus AS wk, {_csum_sql("l.l_extendedprice")} AS sales,
+         {_csum_sql("l.l_extendedprice * (1 - l.l_discount)")} AS profit
   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
   WHERE o.o_orderdate BETWEEN '{_Q77_WIN[0]}' AND '{_Q77_WIN[1]}' GROUP BY 1
 ), wr AS (
-  SELECT l.l_linestatus AS wk, {_msum_sql("l.l_extendedprice")} AS returns_,
-         {_msum_sql("l.l_extendedprice * l.l_tax")} AS profit_loss
+  SELECT l.l_linestatus AS wk, {_csum_sql("l.l_extendedprice")} AS returns_,
+         {_csum_sql("l.l_extendedprice * l.l_tax")} AS profit_loss
   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
   WHERE l.l_returnflag = 'R'
     AND o.o_orderdate BETWEEN '{_Q77_WIN[0]}' AND '{_Q77_WIN[1]}' GROUP BY 1
@@ -993,8 +1004,9 @@ WITH ss AS (
          ws.profit - coalesce(wr.profit_loss, 0) AS profit
   FROM ws LEFT JOIN wr ON ws.wk = wr.wk
 )
-SELECT channel, id, sum(sales) AS sales, sum(returns_) AS returns_,
-       sum(profit) AS profit
+SELECT channel, id, round(sum(sales) / 100, 2) AS sales,
+       round(sum(returns_) / 100, 2) AS returns_,
+       round(sum(profit) / 100, 2) AS profit
 FROM x
 GROUP BY ROLLUP (channel, id)
 ORDER BY channel ASC NULLS FIRST, id ASC NULLS FIRST, sales ASC
@@ -1014,13 +1026,15 @@ def tpcds_q77(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey") == F.col("o_orderkey"),
     )
     rets = base.filter(F.col("l_returnflag") == "R")
+    # integer CENTS through the union — the rollup re-sums these values in
+    # arbitrary order, and only integer-valued doubles are order-independent
     sales_aggs = [
-        _msum(F.col("l_extendedprice")).alias("sales"),
-        _msum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("profit"),
+        _csum(F.col("l_extendedprice")).alias("sales"),
+        _csum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("profit"),
     ]
     ret_aggs = [
-        _msum(F.col("l_extendedprice")).alias("returns_"),
-        _msum(F.col("l_extendedprice") * F.col("l_tax")).alias("profit_loss"),
+        _csum(F.col("l_extendedprice")).alias("returns_"),
+        _csum(F.col("l_extendedprice") * F.col("l_tax")).alias("profit_loss"),
     ]
     ss = base.groupBy(F.col("l_suppkey").alias("sk")).agg(*sales_aggs)
     sr = rets.groupBy(F.col("l_suppkey").alias("sk")).agg(*ret_aggs)
@@ -1054,8 +1068,9 @@ def tpcds_q77(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = store.unionByName(catalog).unionByName(web)
     return (
         x.rollup("channel", "id")
-        .agg(F.sum("sales").alias("sales"), F.sum("returns_").alias("returns_"),
-             F.sum("profit").alias("profit"))
+        .agg(F.round(F.sum("sales") / 100, 2).alias("sales"),
+             F.round(F.sum("returns_") / 100, 2).alias("returns_"),
+             F.round(F.sum("profit") / 100, 2).alias("profit"))
         .orderBy(F.asc_nulls_first("channel"), F.asc_nulls_first("id"), F.asc("sales"))
         .limit(100)
     )
@@ -1082,19 +1097,19 @@ WITH base AS (
   FROM base b LEFT JOIN ret r
     ON b.l_orderkey = r.l_orderkey AND b.l_partkey = r.l_partkey
 ), ssr AS (
-  SELECT CAST(l_suppkey AS VARCHAR) AS id, {_msum_sql("l_extendedprice")} AS sales,
+  SELECT CAST(l_suppkey AS VARCHAR) AS id, {_csum_sql("l_extendedprice")} AS sales,
          CAST(sum(coalesce(round(r_price * 100), 0)) AS BIGINT) AS returns_,
          CAST(sum(round(l_extendedprice * (1 - l_discount) * 100)
               - coalesce(round(r_loss * 100), 0)) AS BIGINT) AS profit
   FROM joined GROUP BY 1
 ), csr AS (
-  SELECT o_orderpriority AS id, {_msum_sql("l_extendedprice")} AS sales,
+  SELECT o_orderpriority AS id, {_csum_sql("l_extendedprice")} AS sales,
          CAST(sum(coalesce(round(r_price * 100), 0)) AS BIGINT) AS returns_,
          CAST(sum(round(l_extendedprice * (1 - l_discount) * 100)
               - coalesce(round(r_loss * 100), 0)) AS BIGINT) AS profit
   FROM joined GROUP BY 1
 ), wsr AS (
-  SELECT l_linestatus AS id, {_msum_sql("l_extendedprice")} AS sales,
+  SELECT l_linestatus AS id, {_csum_sql("l_extendedprice")} AS sales,
          CAST(sum(coalesce(round(r_price * 100), 0)) AS BIGINT) AS returns_,
          CAST(sum(round(l_extendedprice * (1 - l_discount) * 100)
               - coalesce(round(r_loss * 100), 0)) AS BIGINT) AS profit
@@ -1106,7 +1121,9 @@ WITH base AS (
   UNION ALL
   SELECT 'web channel' AS channel, concat('web_site', id) AS id, sales, returns_, profit FROM wsr
 )
-SELECT channel, id, sum(sales) AS sales, sum(returns_) AS returns_, sum(profit) AS profit
+SELECT channel, id, round(sum(sales) / 100, 2) AS sales,
+       round(sum(returns_) / 100, 2) AS returns_,
+       round(sum(profit) / 100, 2) AS profit
 FROM x
 GROUP BY ROLLUP (channel, id)
 ORDER BY channel ASC NULLS FIRST, id ASC NULLS FIRST, sales ASC
@@ -1144,7 +1161,8 @@ def tpcds_q80(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_partkey") == F.col("r_partkey")),
         "left",
     )
-    sales = _msum(F.col("l_extendedprice")).alias("sales")
+    # cents through the union (rollup re-sums; see q77 note)
+    sales = _csum(F.col("l_extendedprice")).alias("sales")
     returns_ = F.sum(F.coalesce(F.round(F.col("r_price") * 100), F.lit(0))).cast("bigint").alias("returns_")
     profit = F.sum(
         F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
@@ -1164,8 +1182,9 @@ def tpcds_q80(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         x.rollup("channel", "id")
-        .agg(F.sum("sales").alias("sales"), F.sum("returns_").alias("returns_"),
-             F.sum("profit").alias("profit"))
+        .agg(F.round(F.sum("sales") / 100, 2).alias("sales"),
+             F.round(F.sum("returns_") / 100, 2).alias("returns_"),
+             F.round(F.sum("profit") / 100, 2).alias("profit"))
         .orderBy(F.asc_nulls_first("channel"), F.asc_nulls_first("id"), F.asc("sales"))
         .limit(100)
     )
@@ -1907,7 +1926,8 @@ def tpcds_q43(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH g AS (
   SELECT p.p_type AS i_category, p.p_brand AS i_brand, s.s_name AS s_store_name,
          month(o.o_orderdate) AS d_moy,
-         {_msum_sql("l.l_extendedprice")} AS sum_sales
+         {_msum_sql("l.l_extendedprice")} AS sum_sales,
+         {_csum_sql("l.l_extendedprice")} AS c
   FROM lineitem l
   JOIN orders o ON l.l_orderkey = o.o_orderkey
   JOIN part p ON l.l_partkey = p.p_partkey
@@ -1915,15 +1935,15 @@ WITH g AS (
   WHERE year(o.o_orderdate) = 1996 AND {_BANDS_SQL}
   GROUP BY 1, 2, 3, 4
 ), v AS (
-  SELECT *, sum(sum_sales) OVER (PARTITION BY i_category, i_brand, s_store_name) AS key_sum,
+  SELECT *, sum(c) OVER (PARTITION BY i_category, i_brand, s_store_name) AS key_sum_c,
          count(*) OVER (PARTITION BY i_category, i_brand, s_store_name) AS key_cnt
   FROM g
 )
 SELECT i_category, i_brand, s_store_name, d_moy, sum_sales,
-       CAST(key_sum AS DOUBLE) / key_cnt AS avg_monthly_sales
+       CAST(key_sum_c AS DOUBLE) / (100 * key_cnt) AS avg_monthly_sales
 FROM v
-WHERE key_sum <> 0 AND 10 * abs(sum_sales * key_cnt - key_sum) > abs(key_sum)
-ORDER BY sum_sales * key_cnt - key_sum ASC, s_store_name ASC, i_category ASC,
+WHERE key_sum_c <> 0 AND 10 * abs(c * key_cnt - key_sum_c) > abs(key_sum_c)
+ORDER BY c * key_cnt - key_sum_c ASC, s_store_name ASC, i_category ASC,
          i_brand ASC, d_moy ASC
 LIMIT 100
 """,
@@ -1943,22 +1963,26 @@ def tpcds_q89(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("p_type").alias("i_category"), F.col("p_brand").alias("i_brand"),
                  F.col("s_name").alias("s_store_name"),
                  F.month("o_orderdate").alias("d_moy"))
-        .agg(_msum(F.col("l_extendedprice")).alias("sum_sales"))
+        .agg(_msum(F.col("l_extendedprice")).alias("sum_sales"),
+             # window re-sums in arbitrary order → run it over exact cents
+             _csum(F.col("l_extendedprice")).alias("_c"))
     )
     w = W.partitionBy("i_category", "i_brand", "s_store_name")
-    v = g.withColumn("key_sum", F.sum("sum_sales").over(w)).withColumn(
+    v = g.withColumn("key_sum_c", F.sum("_c").over(w)).withColumn(
         "key_cnt", F.count("*").over(w)
     )
     return (
-        v.filter((F.col("key_sum") != 0)
-                 & (10 * F.abs(F.col("sum_sales") * F.col("key_cnt") - F.col("key_sum"))
-                    > F.abs(F.col("key_sum"))))
+        v.filter((F.col("key_sum_c") != 0)
+                 & (10 * F.abs(F.col("_c") * F.col("key_cnt") - F.col("key_sum_c"))
+                    > F.abs(F.col("key_sum_c"))))
         .select("i_category", "i_brand", "s_store_name", "d_moy", "sum_sales",
-                (F.col("key_sum").cast("double") / F.col("key_cnt")).alias("avg_monthly_sales"))
-        .orderBy(F.asc(F.col("sum_sales") * F.col("key_cnt") - F.col("key_sum")),
-                 F.asc("s_store_name"), F.asc("i_category"), F.asc("i_brand"),
-                 F.asc("d_moy"))
+                (F.col("key_sum_c").cast("double") / (100 * F.col("key_cnt")))
+                .alias("avg_monthly_sales"),
+                (F.col("_c") * F.col("key_cnt") - F.col("key_sum_c")).alias("_dev"))
+        .orderBy(F.asc("_dev"), F.asc("s_store_name"), F.asc("i_category"),
+                 F.asc("i_brand"), F.asc("d_moy"))
         .limit(100)
+        .drop("_dev")
     )
 
 

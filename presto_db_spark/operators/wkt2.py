@@ -508,8 +508,10 @@ WITH g AS (
 SELECT gid,
        CAST(len(xs) AS INTEGER) AS n_in,
        CAST(len(keep_idx) AS INTEGER) AS n_out,
-       list_transform(keep_idx, i -> round(xs[i], 6)) AS out_xs,
-       list_transform(keep_idx, i -> round(ys[i], 6)) AS out_ys
+       array_to_string(list_transform(keep_idx,
+         i -> CAST(round(xs[i] * 1000000) AS BIGINT)), ',') AS out_xs,
+       array_to_string(list_transform(keep_idx,
+         i -> CAST(round(ys[i] * 1000000) AS BIGINT)), ',') AS out_ys
 FROM kept
 ORDER BY gid
 """,
@@ -540,12 +542,30 @@ def geo_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(1), F.size(xs)),
         lambda i: (i == 1) | (i == F.size(xs)) | relevant(i),
     )
+    # surviving vertices serialized as integer-micro strings (driver
+    # canonicalizer can't sort list columns; micros are bit-comparable)
     return parsed.select(
         "gid",
         F.size(xs).cast("int").alias("n_in"),
         F.size(keep).cast("int").alias("n_out"),
-        F.transform(keep, lambda i: F.round(F.element_at(xs, i), 6)).alias("out_xs"),
-        F.transform(keep, lambda i: F.round(F.element_at(ys, i), 6)).alias("out_ys"),
+        F.array_join(
+            F.transform(
+                keep,
+                lambda i: F.round(F.element_at(xs, i) * 1000000)
+                .cast("long")
+                .cast("string"),
+            ),
+            ",",
+        ).alias("out_xs"),
+        F.array_join(
+            F.transform(
+                keep,
+                lambda i: F.round(F.element_at(ys, i) * 1000000)
+                .cast("long")
+                .cast("string"),
+            ),
+            ",",
+        ).alias("out_ys"),
     ).orderBy("gid")
 
 

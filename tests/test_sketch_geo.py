@@ -65,7 +65,7 @@ def test_sketch_accuracy_bound(spark, sf_dir):
         .collect()
     }
     est = {
-        r["l_returnflag"]: r["quantiles"]
+        r["l_returnflag"]: [r["p25"], r["p50"], r["p75"]]
         for r in sketch.QUERIES["sketch_quantile_array"](spark, sf_dir).collect()
     }
     assert set(est) == set(exact)

@@ -133,5 +133,22 @@ def test_show_create_table(engine):
     assert text.startswith("CREATE TABLE sct_demo (")
     assert '"id" bigint' in text and '"name" varchar' in text \
         and '"v" double' in text
-    vtext = engine.sql("SHOW CREATE VIEW sct_demo").collect()[0][0]
-    assert vtext.startswith("CREATE VIEW sct_demo (")
+
+
+def test_show_create_view(engine):
+    """ShowCreate for a VIEW returns the STORED view SQL under a 'Create
+    View' column (ShowQueriesRewrite.java), not a synthesized column list."""
+    engine.sql(
+        "CREATE OR REPLACE TEMP VIEW scv_demo AS "
+        "SELECT 1 AS a, 'x' AS b"
+    )
+    df = engine.sql("SHOW CREATE VIEW scv_demo")
+    assert df.columns == ["Create View"]
+    vtext = df.collect()[0][0]
+    assert vtext.startswith("CREATE VIEW scv_demo AS")
+    assert "SELECT 1 AS a, 'x' AS b" in vtext
+    # a view whose definition this session never saw cannot be synthesized
+    engine.spark.sql("SELECT 2 AS z").createOrReplaceTempView("scv_opaque")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="not created through"):
+        engine.sql("SHOW CREATE VIEW scv_opaque")
