@@ -184,8 +184,11 @@ def main() -> None:
 
     ambient_after = _ambient_probe(probe_spark)
     # spark probe = JVM throughput under the same scheduler conditions the
-    # queries saw; the factor averages the before/after best-of-5 runs.
-    probe = (ambient_before["spark_sec"] + ambient_after["spark_sec"]) / 2
+    # queries saw. The factor uses the MIN of the before/after probes:
+    # the before-probe on a fresh JVM can still carry JIT warmup (measured
+    # 0.22 vs 0.13 after the suite), and both steal and JIT only ever
+    # inflate — a genuinely slow host inflates the min too.
+    probe = min(ambient_before["spark_sec"], ambient_after["spark_sec"])
     factor = round(probe / AMBIENT_SPARK_REF_SEC, 4)
     total = round(sum(times.values()), 4)
     norm = {q: round(t / factor, 4) for q, t in times.items()}

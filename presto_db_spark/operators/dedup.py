@@ -32,6 +32,7 @@ brief adds on top of Presto parity.
 
 from __future__ import annotations
 
+import os
 import re
 from collections.abc import Callable
 
@@ -373,15 +374,30 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     raw_docs = load_table(spark, sf_dir, "documents")
     docs = raw_docs
-    # The signature UDF is CPU-bound: make sure it runs with full-cluster
+    # The signature UDF is CPU-bound: make sure it runs with real
     # parallelism. A small corpus arrives as one file split — fan it out
     # first. Conditional on the scan's natural split count so a 100 TB
     # input (millions of splits) pays NO extra text shuffle.
     # inputFiles() is a pure metadata probe; df.rdd.getNumPartitions()
     # forces plan->RDD conversion (~0.8 s cold per fresh lineage).
+    # Fan-out is sized from the input BYTES, not blindly to
+    # defaultParallelism: 32 tasks over a few thousand docs pay more in
+    # per-task scheduling + Arrow python-worker round-trips than they
+    # recover (measured r06 at sf0.1: 8 partitions ≈ 0.3 s faster than
+    # 32); ~256 KB of compressed text per task keeps every worker busy
+    # while the corpus is small, and large corpora hit the `par` cap.
     par = spark.sparkContext.defaultParallelism
-    if len(raw_docs.inputFiles()) < par:
-        docs = docs.repartition(par, "doc_id")
+    files = raw_docs.inputFiles()
+    if len(files) < par:
+        try:
+            nbytes = sum(
+                os.path.getsize(f[len("file:"):] if f.startswith("file:") else f)
+                for f in files
+            )
+            fan = min(par, max(8, nbytes // (256 * 1024)))
+        except OSError:  # non-local fs — metadata probe unavailable
+            fan = par
+        docs = docs.repartition(int(fan), "doc_id")
     # The full-corpus signature is NARROW (doc_id + 16 longs ≈ 140 B/doc)
     # and fans into both sides of the band self-join. ReuseExchange cannot
     # be relied on here — AQE turns the self-join into a broadcast join, so
@@ -440,7 +456,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is proportional to the near-dup rate, not the corpus. The semi-join
     # reads the RAW scan (not the repartitioned frame): the id set is small
     # → AQE broadcasts it, so no text ever shuffles for this path.
-    cand_ids = pairs.select(F.explode(F.array("id_a", "id_b")).alias("doc_id")).distinct()
+    # NO .distinct() here: the left-semi broadcast build collapses duplicate
+    # keys into its hash set anyway, so a pre-distinct is a pure extra
+    # shuffle (measured ~0.1-0.2 s at sf0.1, nothing saved at any scale).
+    cand_ids = pairs.select(F.explode(F.array("id_a", "id_b")).alias("doc_id"))
     # The grams frame fans into BOTH sides of the pair join (ga/gb); a
     # lazy localCheckpoint runs the semi-join + grams UDF once and lets
     # both consumers read the stored rows (same rationale as sig_mh —
