@@ -873,6 +873,78 @@ def _pass_order_nulls(tokens: list[str]) -> list[str]:
     return out
 
 
+# Window functions for which Presto parses (and ignores) an explicit
+# frame while Spark rejects it (WindowAnnotation: ranking/value functions
+# have a fixed frame). lead/lag included (presto-main allows the frame
+# text; Spark errors 'Cannot specify window frame for lag function').
+_NO_FRAME_FNS = frozenset(
+    ["rank", "dense_rank", "row_number", "percent_rank", "ntile",
+     "cume_dist", "lead", "lag"]
+)
+_RANK_FNS = frozenset(
+    ["rank", "dense_rank", "row_number", "percent_rank", "ntile", "cume_dist"]
+)
+
+
+def _pass_window_compat(tokens: list[str]) -> list[str]:
+    """Presto window-spec laxities Spark rejects (product-test
+    window_functions corpus):
+
+    * ranking / lead / lag with an explicit ROWS/RANGE frame — Presto
+      parses and ignores it, Spark raises → strip the frame clause;
+    * ranking functions with NO window ORDER BY — Presto treats every
+      partition row as a peer (all rank 1); Spark demands ORDER BY →
+      inject ``ORDER BY 1`` (a constant: all rows peers, identical
+      semantics, verified rank()=1 for every row)."""
+    out = list(tokens)
+    i = 0
+    while i < len(out):
+        t = out[i]
+        if not (_is_ident(t) and _ident_name(t) in _NO_FRAME_FNS):
+            i += 1
+            continue
+        j = _next(out, i + 1)
+        if not (j < len(out) and out[j] == "("):
+            i += 1
+            continue
+        close = _match_paren(out, j)
+        k = _next(out, close + 1)
+        if not (k < len(out) and _is_ident(out[k]) and _ident_name(out[k]) == "over"):
+            i = close + 1
+            continue
+        o = _next(out, k + 1)
+        if not (o < len(out) and out[o] == "("):
+            i = k + 1
+            continue
+        oclose = _match_paren(out, o)
+        has_order = False
+        frame_start = None
+        depth = 0
+        for m in range(o, oclose + 1):
+            tok = out[m]
+            if tok == "(":
+                depth += 1
+            elif tok == ")":
+                depth -= 1
+            elif depth == 1 and _is_ident(tok):
+                low = _ident_name(tok)
+                if low == "order":
+                    has_order = True
+                elif low in ("rows", "range", "groups") and frame_start is None:
+                    frame_start = m
+        if frame_start is not None:
+            del out[frame_start:oclose]  # keep the closing paren
+        if not has_order and _ident_name(t) in _RANK_FNS:
+            # NULLS LAST is a no-op on a constant but keeps the text a
+            # fixed point of the full rewrite (idempotence: the
+            # order-nulls pass would otherwise add it on a second run).
+            oc = _match_paren(out, o)
+            out[oc:oc] = [" ", "ORDER", " ", "BY", " ", "1",
+                          " ", "NULLS", " ", "LAST"]
+        i = _match_paren(out, o) + 1
+    return out
+
+
 # Aggregates whose Presto definition differs from Spark's same-named
 # builtin, rewritten as arg-templated expressions over Spark aggregates.
 # kurtosis: Presto returns the SAMPLE excess kurtosis
@@ -1265,6 +1337,7 @@ def rewrite_presto_sql(query: str, *, catalogs: frozenset[str] = DEFAULT_CATALOG
     tokens = _pass_unnest(tokens)
     tokens = _TOKEN.findall("".join(tokens))
     tokens = _pass_order_nulls(tokens)
+    tokens = _pass_window_compat(tokens)
     tokens = _pass_bare_keywords(tokens)
     tokens = _pass_bare_varchar(tokens)
     tokens = _pass_map_constructor(tokens)

@@ -86,3 +86,28 @@ def test_dialect_function_ddl_rewrites():
         "CREATE TEMPORARY FUNCTION f0() RETURNS INT RETURN 7"
     )
     assert r("CREATE TABLE t (x INT)") == "CREATE TABLE t (x INT)"
+
+
+def test_dialect_window_compat():
+    """Presto window laxities (product-test window_functions corpus):
+    frames on ranking/lead/lag stripped; rank without window ORDER BY
+    gets a constant one (all-peers semantics)."""
+    from presto_db_spark.functions.dialect import rewrite_presto_sql as r
+
+    # rank with no ORDER BY -> constant order injected
+    out = r("SELECT rank() OVER (PARTITION BY k) FROM t")
+    assert "ORDER BY 1" in out
+    # explicit frame on rank stripped, the injected/own order preserved
+    out = r("SELECT rank() OVER (ORDER BY d RANGE BETWEEN UNBOUNDED "
+            "PRECEDING AND CURRENT ROW) FROM t")
+    assert "RANGE" not in out.upper() and "ORDER BY d NULLS LAST" in out
+    # lag frame stripped (short RANGE CURRENT ROW form)
+    out = r("SELECT lag(x) OVER (PARTITION BY g ORDER BY x RANGE CURRENT ROW) FROM t")
+    assert "RANGE" not in out.upper()
+    # aggregate frames are untouched
+    out = r("SELECT sum(x) OVER (ORDER BY x ROWS BETWEEN 2 PRECEDING AND "
+            "CURRENT ROW) FROM t")
+    assert "ROWS BETWEEN 2 PRECEDING" in out
+    # idempotence
+    q = "SELECT rank() OVER (PARTITION BY k) , lag(x) OVER (ORDER BY x ROWS CURRENT ROW) FROM t"
+    assert r(r(q)) == r(q)
