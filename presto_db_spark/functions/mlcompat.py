@@ -162,6 +162,79 @@ def ml_regress_apply(f: dict | None, model: str | None) -> float | None:
     return v if math.isfinite(v) else None
 
 
+# --- Arrow-batched SQL apply path -------------------------------------------
+# classify()/regress() pasted over a big fact table must NOT run per-row
+# Python (MLFunctions.java applies the deserialized model JVM-side). The
+# registered UDFs below are pandas_udfs: one Arrow batch per task chunk,
+# the model JSON parsed ONCE per distinct model string per batch, and the
+# nearest-centroid argmin / OLS dot product computed as numpy matrix ops.
+# (The fully JVM-side broadcast-centroid join remains in operators/ml.py
+# for the groupwise-model pipeline; this is the scalar-call surface.)
+
+def _parsed_classifier(model: str):
+    import numpy as np
+
+    m = json.loads(model)
+    if not str(m.get("t", "")).startswith("classifier"):
+        raise ValueError(f"model is not a classifier: {m.get('t')}")
+    labs = sorted(m["centroids"])
+    cmat = np.array([m["centroids"][lab] for lab in labs], dtype=np.float64)
+    return m["dims"], labs, cmat
+
+
+def _ml_classify_batch(fs, models):
+    import numpy as np
+    import pandas as pd
+
+    out = [None] * len(fs)
+    cache: dict[str, tuple] = {}
+    for model, idx in pd.Series(range(len(models))).groupby(
+        models.reset_index(drop=True)
+    ):
+        dims, labs, cmat = cache.setdefault(model, _parsed_classifier(model))
+        rows = list(idx)
+        xs = np.array(
+            [_feat_vec(fs.iloc[i], dims) for i in rows], dtype=np.float64
+        )
+        if not labs:
+            continue
+        # ||x-c||² per (row, centroid); ties resolved toward the first
+        # (sorted) label within 1e-12, matching the scalar path
+        d2 = ((xs[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+        shifted = d2 - d2.min(axis=1, keepdims=True)
+        first_within = (shifted <= 1e-12).argmax(axis=1)
+        for i, k in zip(rows, first_within):
+            out[i] = labs[k]
+    return pd.Series(out, dtype=object)
+
+
+def _ml_regress_batch(fs, models):
+    import numpy as np
+    import pandas as pd
+
+    out = [None] * len(fs)
+    cache: dict[str, tuple] = {}
+
+    def parse(model):
+        m = json.loads(model)
+        if m.get("t") != "regressor":
+            raise ValueError(f"model is not a regressor: {m.get('t')}")
+        return m["dims"], np.array(m["w"], dtype=np.float64), float(m["b"])
+
+    for model, idx in pd.Series(range(len(models))).groupby(
+        models.reset_index(drop=True)
+    ):
+        dims, w, b = cache.setdefault(model, parse(model))
+        rows = list(idx)
+        xs = np.array(
+            [_feat_vec(fs.iloc[i], dims) for i in rows], dtype=np.float64
+        )
+        vs = xs @ w + b if len(dims) else np.full(len(rows), b)
+        for i, v in zip(rows, vs):
+            out[i] = float(v) if math.isfinite(v) else None
+    return pd.Series(out, dtype=object)
+
+
 def register_ml_functions(spark: SparkSession) -> None:
     struct = T.ArrayType(
         T.StructType(
@@ -174,7 +247,16 @@ def register_ml_functions(spark: SparkSession) -> None:
         )
     )
     del struct  # schema is inferred from the rewritten SQL; kept for docs
+    from pyspark.sql import functions as F
+
     spark.udf.register("ml_learn_classifier", ml_learn_classifier, T.StringType())
     spark.udf.register("ml_learn_regressor", ml_learn_regressor, T.StringType())
-    spark.udf.register("ml_classify_apply", ml_classify_apply, T.StringType())
-    spark.udf.register("ml_regress_apply", ml_regress_apply, T.DoubleType())
+    # Arrow-batched apply path: a pasted classify()/regress() over a fact
+    # table runs vectorized (ArrowEvalPython), never row-at-a-time
+    # BatchEvalPython — plan-asserted in tests/test_ml.py.
+    spark.udf.register(
+        "ml_classify_apply", F.pandas_udf(_ml_classify_batch, T.StringType())
+    )
+    spark.udf.register(
+        "ml_regress_apply", F.pandas_udf(_ml_regress_batch, T.DoubleType())
+    )
