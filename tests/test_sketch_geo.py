@@ -318,3 +318,35 @@ def test_khll_distribution_properties(spark, sf_dir):
     assert sum(1 for r in rows if r.fraction > 0) >= 2, "degenerate histogram"
     low_mass = sum(r.fraction for r in rows if r.bucket <= sk.KHLL_REID_T)
     assert abs(low_mass - rows[0].reid_potential) < 1e-4
+
+
+@pytest.mark.parametrize("name", ["geo_polygon_clip_ops", "geo_convex_hull"])
+def test_wkt4_vs_duckdb(spark, sf_dir, name):
+    from presto_db_spark.operators import wkt4
+
+    problems = check_query(
+        spark, name, wkt4.QUERIES[name], wkt4.ORACLE.get(name), sf_dir
+    )
+    assert not problems, f"{name}: {problems}"
+
+
+def test_polygon_clip_invariants(spark, sf_dir):
+    """Geometry sanity independent of the oracle: 0 < inter <= min(aA,aB),
+    union = aA + aB - inter < envelope union, symdiff = union - inter,
+    and the convex hull area dominates the pairwise union area."""
+    from presto_db_spark.operators import wkt4
+
+    clip = {r.gid: r for r in
+            wkt4.QUERIES["geo_polygon_clip_ops"](spark, sf_dir).collect()}
+    hull = {r.gid: r for r in
+            wkt4.QUERIES["geo_convex_hull"](spark, sf_dir).collect()}
+    assert clip and set(clip) == set(hull)
+    for gid, r in clip.items():
+        assert 0 < r.inter_area <= min(r.area_a, r.area_b) + 1e-9, r
+        assert r.union_area == pytest.approx(
+            r.area_a + r.area_b - r.inter_area, abs=1e-5)
+        assert r.symdiff_area == pytest.approx(
+            r.union_area - r.inter_area, abs=1e-5)
+        assert r.union_area < r.envelope_union_area, r
+        assert hull[gid].hull_area >= r.union_area - 1e-9, (r, hull[gid])
+        assert 3 <= hull[gid].n_hull <= hull[gid].n_points
