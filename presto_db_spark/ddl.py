@@ -220,6 +220,57 @@ class DdlMixin:
             df._jdf.queryExecution(), mode
         )
 
+    def explain_io(self, sql: str) -> str:
+        """EXPLAIN (TYPE IO): the tables a query reads with the pruned
+        column set and the filters pushed into each scan, as one JSON doc
+        (IOPlanPrinter.java shape: inputTableColumnInfos; constraints here
+        are the scan's PushedFilters — the Spark analog of the printer's
+        columnConstraints)."""
+        import json
+        import re as _re
+
+        text = self.explain(sql, mode="formatted")
+        infos = []
+        # each formatted scan block: "(n) Scan parquet ...", then Location/
+        # ReadSchema/PushedFilters lines until the next blank line
+        for block in _re.split(r"\n\s*\n", text):
+            if "Scan parquet" not in block and "Scan csv" not in block \
+                    and "Scan orc" not in block and "Scan json" not in block:
+                continue
+            loc = _re.search(r"Location:\s*\S+\s*\[([^\]]*)\]", block)
+            schema = _re.search(r"ReadSchema:\s*struct<([^>]*)>", block)
+            pushed = _re.search(r"PushedFilters:\s*\[([^\]]*)\]", block)
+            if not (loc and loc.group(1)):
+                continue  # the plan-tree section repeats the node names
+            path = loc.group(1).split(",")[0].strip()
+            table = path.rstrip("/").rsplit("/", 1)[-1]
+            table = _re.sub(r"\.(parquet|orc|csv|json)$", "", table)
+            cols = []
+            if schema and schema.group(1):
+                cols = [c.split(":")[0] for c in schema.group(1).split(",") if c]
+            filters = []
+            if pushed and pushed.group(1):
+                # split on commas OUTSIDE parens: GreaterThan(x, 1.0) is one
+                depth, cur = 0, ""
+                for ch in pushed.group(1) + ",":
+                    if ch == "," and depth == 0:
+                        if cur.strip():
+                            filters.append(cur.strip())
+                        cur = ""
+                        continue
+                    depth += ch == "("
+                    depth -= ch == ")"
+                    cur += ch
+            infos.append(
+                {
+                    "table": table,
+                    "columns": sorted(cols),
+                    "pushedFilters": filters,
+                }
+            )
+        infos.sort(key=lambda d: (d["table"], d["columns"]))
+        return json.dumps({"inputTableColumnInfos": infos}, sort_keys=True)
+
     def explain_analyze(self, sql: str) -> str:
         """EXPLAIN ANALYZE: execute, then render the plan with runtime metrics
         (rows, data size per operator) — ``ExplainAnalyzeOperator`` parity."""

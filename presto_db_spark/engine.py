@@ -412,6 +412,10 @@ class Engine(DdlMixin):
                 return self.spark.createDataFrame([(True,)], "valid: boolean")
             elif etype and etype.upper() == "LOGICAL":
                 text = self.explain(body, mode="extended")
+            elif etype and etype.upper() == "IO":
+                # IOPlanPrinter.java: JSON of tables read + pruned columns
+                # + per-scan pushed filters (columnConstraints analog)
+                text = self.explain_io(body)
             else:
                 text = self.explain(body, mode="formatted")
             return self.spark.createDataFrame(

@@ -282,3 +282,24 @@ def test_explain_statements(engine):
         "EXPLAIN ANALYZE SELECT c_mktsegment, count(*) FROM customer GROUP BY 1"
     ).collect()[0][0]
     assert "HashAggregate" in ran
+
+
+def test_explain_type_io(engine):
+    """EXPLAIN (TYPE IO) emits the IOPlanPrinter-shaped JSON: one entry per
+    scanned table with the PRUNED column set and the filters the scan
+    actually pushed — not the generic plan text."""
+    import json
+
+    out = engine.sql(
+        "EXPLAIN (TYPE IO) SELECT l_returnflag, sum(l_quantity) "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "WHERE o_totalprice > 1000 GROUP BY 1"
+    ).collect()[0][0]
+    doc = json.loads(out)
+    infos = {e["table"]: e for e in doc["inputTableColumnInfos"]}
+    assert set(infos) == {"lineitem", "orders"}
+    assert infos["lineitem"]["columns"] == [
+        "l_orderkey", "l_quantity", "l_returnflag"]  # pruned, not full
+    assert infos["orders"]["columns"] == ["o_orderkey", "o_totalprice"]
+    assert any("GreaterThan(o_totalprice" in f
+               for f in infos["orders"]["pushedFilters"])
