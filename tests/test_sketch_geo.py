@@ -350,3 +350,42 @@ def test_polygon_clip_invariants(spark, sf_dir):
         assert r.union_area < r.envelope_union_area, r
         assert hull[gid].hull_area >= r.union_area - 1e-9, (r, hull[gid])
         assert 3 <= hull[gid].n_hull <= hull[gid].n_points
+
+
+@pytest.mark.parametrize("name", ["geo_predicates2", "geo_line_locate"])
+def test_wkt5_vs_duckdb(spark, sf_dir, name):
+    from presto_db_spark.operators import wkt5
+
+    problems = check_query(
+        spark, name, wkt5.QUERIES[name], wkt5.ORACLE.get(name), sf_dir
+    )
+    assert not problems, f"{name}: {problems}"
+
+
+def test_spatial_predicates_cover_all_relations(spark, sf_dir):
+    """The cycling fixture must exercise every relationship class —
+    touching, disjoint and overlapping all occur, and they partition the
+    rows (exactly one true per row)."""
+    from presto_db_spark.operators import wkt5
+
+    rows = wkt5.QUERIES["geo_predicates2"](spark, sf_dir).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        flags = (r.st_disjoint, r.st_touches, r.st_overlaps)
+        assert sum(flags) == 1, r
+        seen.add(flags.index(True))
+        assert r.st_equals_self and r.st_is_valid and r.invalid_reason is None
+    assert seen == {0, 1, 2}
+
+
+def test_line_locate_interp_bounds(spark, sf_dir):
+    """locate_frac ∈ [0,1]; the interpolated point sits inside the
+    polyline's bounding box; endpoints match the coordinate formulas."""
+    from presto_db_spark.operators import wkt5
+
+    for r in wkt5.QUERIES["geo_line_locate"](spark, sf_dir).limit(200).collect():
+        assert 0.0 <= r.locate_frac <= 1.0, r
+        assert r.num_points == 4
+        if r.total_len > 0:
+            assert -1e-6 <= r.interp_x <= 100 and -1e-6 <= r.interp_y <= 100, r
