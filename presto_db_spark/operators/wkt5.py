@@ -424,3 +424,89 @@ def geo_line_locate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at(xs, 1), 6).alias("start_x"),
         F.round(F.element_at(ys, -1), 6).alias("end_y"),
     ).orderBy("gid")
+
+
+# --- ST_Crosses (line × line) ----------------------------------------------
+
+_CROSS_ORACLE = f"""
+WITH g AS (
+  SELECT c_custkey AS gid,
+         {_line_coord_sql('c_custkey', 'x')} AS axs,
+         {_line_coord_sql('c_custkey', 'y')} AS ays,
+         {_line_coord_sql('c_custkey * 3 + 1', 'x')} AS bxs,
+         {_line_coord_sql('c_custkey * 3 + 1', 'y')} AS bys
+  FROM customer WHERE c_custkey < 2000
+)
+SELECT gid,
+       (list_sum(list_transform(generate_series(1, len(axs) - 1), i ->
+          list_sum(list_transform(generate_series(1, len(bxs) - 1), j ->
+            CASE WHEN
+              ((bxs[j+1] - bxs[j]) * (ays[i] - bys[j])
+               - (bys[j+1] - bys[j]) * (axs[i] - bxs[j]))
+              * ((bxs[j+1] - bxs[j]) * (ays[i+1] - bys[j])
+               - (bys[j+1] - bys[j]) * (axs[i+1] - bxs[j])) < 0
+              AND
+              ((axs[i+1] - axs[i]) * (bys[j] - ays[i])
+               - (ays[i+1] - ays[i]) * (bxs[j] - axs[i]))
+              * ((axs[i+1] - axs[i]) * (bys[j+1] - ays[i])
+               - (ays[i+1] - ays[i]) * (bxs[j+1] - axs[i])) < 0
+            THEN 1 ELSE 0 END))))) > 0 AS st_crosses
+FROM g
+ORDER BY gid
+"""
+
+
+@_q("geo_crosses", _CROSS_ORACLE)
+def geo_crosses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Crosses for a linestring pair (GeoFunctions.java ST_Crosses —
+    for two lines, true iff their interiors share a point): any segment
+    pair intersects PROPERLY (strict straddle both ways — endpoint
+    touches and collinear overlap are Touches, not Crosses). Same
+    double-comprehension text in the oracle."""
+    cust = load_table(spark, sf_dir, "customer")
+    ck = F.col("c_custkey")
+
+    def coords(key, which):
+        if which == "x":
+            return F.array(
+                *[((key * 7 + i * 13) % 100).cast("double") for i in range(_NPTS)]
+            )
+        return F.array(
+            *[((key * 11 + i * 17 + i * i * 3) % 100).cast("double")
+              for i in range(_NPTS)]
+        )
+
+    g = cust.filter(ck < 2000).select(
+        ck.alias("gid"),
+        coords(ck, "x").alias("axs"), coords(ck, "y").alias("ays"),
+        coords(ck * 3 + 1, "x").alias("bxs"), coords(ck * 3 + 1, "y").alias("bys"),
+    )
+    axs, ays = F.col("axs"), F.col("ays")
+    bxs, bys = F.col("bxs"), F.col("bys")
+
+    def d(ox, oy, ax, ay, px, py):
+        return (ax - ox) * (py - oy) - (ay - oy) * (px - ox)
+
+    def pair(i, j):
+        a1x, a1y = F.element_at(axs, i), F.element_at(ays, i)
+        a2x, a2y = F.element_at(axs, i + 1), F.element_at(ays, i + 1)
+        b1x, b1y = F.element_at(bxs, j), F.element_at(bys, j)
+        b2x, b2y = F.element_at(bxs, j + 1), F.element_at(bys, j + 1)
+        proper = (
+            d(b1x, b1y, b2x, b2y, a1x, a1y) * d(b1x, b1y, b2x, b2y, a2x, a2y) < 0
+        ) & (
+            d(a1x, a1y, a2x, a2y, b1x, b1y) * d(a1x, a1y, a2x, a2y, b2x, b2y) < 0
+        )
+        return F.when(proper, 1).otherwise(0)
+
+    hits = F.aggregate(
+        F.sequence(F.lit(1), F.size(axs) - 1),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.aggregate(
+            F.sequence(F.lit(1), F.size(bxs) - 1),
+            F.lit(0),
+            lambda a2, j: a2 + pair(i, j),
+        ),
+    )
+    return g.select("gid", (hits > 0).alias("st_crosses")).orderBy("gid")

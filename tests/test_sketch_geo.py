@@ -389,3 +389,16 @@ def test_line_locate_interp_bounds(spark, sf_dir):
         assert r.num_points == 4
         if r.total_len > 0:
             assert -1e-6 <= r.interp_x <= 100 and -1e-6 <= r.interp_y <= 100, r
+
+
+def test_geo_crosses_both_values(spark, sf_dir):
+    from presto_db_spark.operators import wkt5
+
+    problems = check_query(
+        spark, "geo_crosses", wkt5.QUERIES["geo_crosses"],
+        wkt5.ORACLE.get("geo_crosses"), sf_dir,
+    )
+    assert not problems, problems
+    vals = {r.st_crosses for r in
+            wkt5.QUERIES["geo_crosses"](spark, sf_dir).collect()}
+    assert vals == {True, False}
