@@ -627,3 +627,85 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "rk", "word", "score_e6")
         .orderBy("doc_id", "rk")
     )
+
+
+# --- character-trigram LM coverage (quality filtering without logs) ---------
+
+_LM_SQL = """
+WITH bg AS (
+  SELECT t AS tri, CAST(count(*) AS BIGINT) AS cnt
+  FROM (
+    SELECT unnest(list_transform(generate_series(1, len(text) - 2),
+                  i -> substring(text, i, 3))) AS t
+    FROM documents WHERE doc_id % 10 = 0 AND len(text) >= 3
+  ) GROUP BY t
+), tris AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(text) - 2),
+                 i -> substring(text, i, 3))) AS tri
+  FROM documents WHERE doc_id < 500 AND len(text) >= 3
+), scored AS (
+  SELECT d.doc_id, count(*) AS n_tri,
+         CAST(sum(CASE WHEN bg.cnt IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_oov,
+         CAST(sum(coalesce(bg.cnt, 0)) AS BIGINT) AS sum_cnt
+  FROM tris d LEFT JOIN bg ON d.tri = bg.tri
+  GROUP BY d.doc_id
+)
+SELECT doc_id, CAST(n_tri AS BIGINT) AS n_tri,
+       (n_oov * 1000000) // n_tri AS oov_micros,
+       (sum_cnt * 1000000) // n_tri AS mean_freq_micros
+FROM scored
+ORDER BY doc_id
+"""
+
+
+@_q("text_lm_coverage", _LM_SQL)
+def text_lm_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram language-model coverage scoring — the
+    quality-filter pass of a training-data pipeline (the perplexity-proxy
+    family: docs whose trigrams are rare or absent in a background corpus
+    are boilerplate/noise candidates). The score is EXACT-integer: OOV
+    rate and mean background trigram frequency in micro-units (integer
+    floor division) — no logs, so every value is bit-identical in the
+    DuckDB oracle where a log-prob perplexity could drift by an ulp per
+    term.
+
+    Scale shape: the background model is one explode+groupBy over the
+    held-out 10% slice — trigram vocabulary is charset-bounded, so the
+    model table stays broadcastable no matter the corpus size (AQE picks
+    the broadcast side); scoring is one explode, one broadcast hash join,
+    one per-doc groupBy. No Python anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    tris = lambda: F.explode(  # noqa: E731
+        F.transform(
+            F.sequence(F.lit(1), F.length("text") - 2),
+            lambda i: F.col("text").substr(i, F.lit(3)),
+        )
+    )
+    bg = (
+        docs.filter((F.col("doc_id") % 10 == 0) & (F.length("text") >= 3))
+        .select(tris().alias("tri"))
+        .groupBy("tri")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    d = (
+        docs.filter((F.col("doc_id") < 500) & (F.length("text") >= 3))
+        .select("doc_id", tris().alias("tri"))
+    )
+    scored = (
+        d.join(bg, "tri", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tri"),
+            F.sum(F.when(F.col("cnt").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+            F.sum(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("sum_cnt"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_tri",
+        F.expr("(n_oov * 1000000) div n_tri").alias("oov_micros"),
+        F.expr("(sum_cnt * 1000000) div n_tri").alias("mean_freq_micros"),
+    ).orderBy("doc_id")

@@ -100,3 +100,19 @@ def test_stratified_fractions(spark, sf_dir):
         p = tx.STRATA_FRACTIONS.get(r.lang, 0) / 256
         mean, sd = r.n_total * p, (r.n_total * p * (1 - p)) ** 0.5
         assert abs(r.n_sampled - mean) <= 6 * sd + 1, (r.lang, r.n_sampled, mean)
+
+
+def test_lm_coverage_semantics(spark, sf_dir):
+    """Held-in docs (doc_id % 10 == 0, part of the background corpus) must
+    have zero OOV; scores are valid micro-rates; some doc has nonzero
+    background frequency (the join actually fires)."""
+    from presto_db_spark.operators import text
+
+    rows = text.QUERIES["text_lm_coverage"](spark, sf_dir).collect()
+    assert rows
+    assert any(r.mean_freq_micros > 0 for r in rows)
+    for r in rows:
+        assert 0 <= r.oov_micros <= 1_000_000, r
+        assert r.n_tri > 0
+        if r.doc_id % 10 == 0:
+            assert r.oov_micros == 0, r  # its own trigrams are in the model
