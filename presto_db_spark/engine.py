@@ -43,6 +43,9 @@ class Engine(DdlMixin):
     def __init__(self, spark: SparkSession | None = None, sf_dir: str | None = None):
         self.spark = spark or get_spark()
         register_presto_functions(self.spark)
+        from .functions.geosql import register_geo_functions
+
+        register_geo_functions(self.spark)
         self.tables: dict[str, DataFrame] = {}
         # Catalog names stripped from three-part table references by the
         # dialect rewriter (Presto catalog.schema.table → flat temp view).
