@@ -232,6 +232,57 @@ class Engine(DdlMixin):
             return self.spark.createDataFrame(
                 [(c,) for c in rows], "`Catalog`: string"
             )
+        m = re.match(
+            r"(?is)^\s*SHOW\s+FUNCTIONS(?:\s+LIKE\s+'([^']*)')?\s*;?\s*$",
+            query,
+        )
+        if m:
+            # ShowFunctionsTask / ShowQueriesRewrite: one row per function
+            # the session can call, Presto column shape (Function /
+            # Return Type / Argument Types / Function Type / Deterministic
+            # / Description). The registry here is Spark's session catalog
+            # (builtins + every Presto-compat registration); signature
+            # details Spark's catalog doesn't expose are left blank rather
+            # than fabricated — the LIST is the contract (the golden
+            # SHOW FUNCTIONS pairs compare the reference's registration
+            # dump, documented skip in test_product_golden).
+            import fnmatch as _fn
+
+            pat = m.group(1)
+            agg_names = {
+                "sum", "count", "avg", "min", "max", "min_by", "max_by",
+                "count_if", "bool_and", "bool_or", "every", "arbitrary",
+                "any_value", "stddev", "stddev_pop", "stddev_samp",
+                "variance", "var_pop", "var_samp", "skewness", "kurtosis",
+                "corr", "covar_pop", "covar_samp", "collect_list",
+                "collect_set", "approx_count_distinct", "percentile_approx",
+                "regr_slope", "regr_intercept", "regr_r2", "regr_count",
+                "regr_avgx", "regr_avgy",
+            }
+            rows = []
+            for f in self.spark.catalog.listFunctions():
+                name = f.name.lower()
+                if pat is not None and not _fn.fnmatch(
+                    name, pat.replace("%", "*").replace("_", "?")
+                ):
+                    continue
+                rows.append(
+                    (
+                        name,
+                        "",
+                        "",
+                        "aggregate" if name in agg_names else "scalar",
+                        True,
+                        f.description or "",
+                    )
+                )
+            rows.sort()
+            return self.spark.createDataFrame(
+                rows,
+                "`Function`: string, `Return Type`: string, "
+                "`Argument Types`: string, `Function Type`: string, "
+                "`Deterministic`: boolean, `Description`: string",
+            )
         m = re.match(r"(?is)^\s*SHOW\s+SCHEMAS\s*;?\s*$", query)
         if m:
             # Plain SHOW SCHEMAS = current catalog's schemas; every

@@ -78,9 +78,10 @@ _BATTERY_HEAD: list[str] = [
     # sketches + digests + distribution estimators
     "agg_hll_sketch", "sketch_tdigest", "agg_differential_entropy",
     # geospatial (grid join, WKT intersects join, adaptive KdbTree join,
-    # exact envelope-union area)
+    # true polygon union/intersection via Sutherland-Hodgman clipping —
+    # r06: replaces the envelope-union slot it supersedes)
     "geo_radius_join", "geo_wkt_intersects_join", "geo_kdb_radius_join",
-    "geo_union_envelope_area",
+    "geo_polygon_clip_ops",
     # scalar/aggregate corpus cross-section
     "func_datetime", "func_json", "func_array_advanced", "func_decimal",
     "agg_classification_metrics", "func_time_types",

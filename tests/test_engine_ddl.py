@@ -303,3 +303,19 @@ def test_explain_type_io(engine):
     assert infos["orders"]["columns"] == ["o_orderkey", "o_totalprice"]
     assert any("GreaterThan(o_totalprice" in f
                for f in infos["orders"]["pushedFilters"])
+
+
+def test_show_functions(engine):
+    """SHOW FUNCTIONS [LIKE pattern] — Presto column shape, one row per
+    callable session function (Spark builtins + every Presto-compat
+    registration), SQL-LIKE wildcard semantics."""
+    df = engine.sql("SHOW FUNCTIONS")
+    assert df.columns == ["Function", "Return Type", "Argument Types",
+                          "Function Type", "Deterministic", "Description"]
+    names = {r[0] for r in df.collect()}
+    assert {"strpos", "st_point", "parse_duration", "sum"} <= names
+    assert len(names) > 400
+    liked = [r[0] for r in engine.sql("SHOW FUNCTIONS LIKE 'approx%'").collect()]
+    assert liked and all(n.startswith("approx") for n in liked)
+    agg = {r[0]: r["Function Type"] for r in df.collect()}
+    assert agg["sum"] == "aggregate" and agg["strpos"] == "scalar"
