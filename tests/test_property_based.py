@@ -213,3 +213,88 @@ def test_asof_join_equals_naive(spark, probes, priors, strict):
         .collect()
     }
     assert fast == naive
+
+
+def _hull(points):
+    """Monotone-chain convex hull (host-side generator helper only)."""
+    pts = sorted(set(points))
+    if len(pts) < 3:
+        return []
+
+    def half(seq):
+        out = []
+        for p in seq:
+            while len(out) >= 2 and (
+                (out[-1][0] - out[-2][0]) * (p[1] - out[-2][1])
+                - (out[-1][1] - out[-2][1]) * (p[0] - out[-2][0])
+            ) <= 0:
+                out.pop()
+            out.append(p)
+        return out
+
+    lower, upper = half(pts), half(reversed(pts))
+    return lower[:-1] + upper[:-1]  # CCW
+
+
+@given(
+    a_raw=st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 20)), min_size=5, max_size=9
+    ),
+    b_raw=st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 20)), min_size=5, max_size=9
+    ),
+)
+@SLOW
+def test_polygon_clip_invariants_random(spark, a_raw, b_raw):
+    """Sutherland-Hodgman clip kernel on RANDOM convex polygons:
+    symmetric (area(A∩B) == area(B∩A)), idempotent on self
+    (area(A∩A) == area(A) for integer rings), bounded
+    (0 <= inter <= min areas), and every clipped vertex lies inside
+    both input polygons (independent containment check)."""
+    from hypothesis import assume
+    from pyspark.sql import functions as F
+
+    from presto_db_spark.operators.wkt4 import (
+        st_area_ring, st_intersection_pts,
+    )
+
+    a, b = _hull(a_raw), _hull(b_raw)
+    assume(len(a) >= 3 and len(b) >= 3)
+
+    def lit_ring(pts):
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(float(x)).alias("x"), F.lit(float(y)).alias("y")
+                )
+                for x, y in pts
+            ]
+        )
+
+    df = spark.range(1).select(
+        lit_ring(a).alias("pa"), lit_ring(b).alias("pb")
+    )
+    row = df.select(
+        st_area_ring(F.col("pa")).alias("aa"),
+        st_area_ring(F.col("pb")).alias("ab"),
+        st_area_ring(st_intersection_pts(F.col("pa"), F.col("pb"))).alias("iab"),
+        st_area_ring(st_intersection_pts(F.col("pb"), F.col("pa"))).alias("iba"),
+        st_area_ring(st_intersection_pts(F.col("pa"), F.col("pa"))).alias("iaa"),
+        st_intersection_pts(F.col("pa"), F.col("pb")).alias("cpts"),
+    ).collect()[0]
+    eps = 1e-7
+    assert abs(row.iab - row.iba) <= eps, (row.iab, row.iba, a, b)
+    assert abs(row.iaa - row.aa) <= eps, (row.iaa, row.aa, a)
+    assert -eps <= row.iab <= min(row.aa, row.ab) + eps
+
+    def inside(pts, px, py):
+        n = len(pts)
+        for i in range(n):
+            ax, ay = pts[i]
+            bx, by = pts[(i + 1) % n]
+            if (bx - ax) * (py - ay) - (by - ay) * (px - ax) < -1e-6:
+                return False
+        return True
+
+    for p in row.cpts:
+        assert inside(a, p.x, p.y) and inside(b, p.x, p.y), (p, a, b)
