@@ -1144,6 +1144,15 @@ _ARG_TEMPLATES: dict[str, dict[int, str]] = {
     # folded over the collected inputs; the state-merge lambda is not
     # needed in the fold form (Spark's aggregate() is the sequential fold).
     "reduce_agg": {4: "aggregate(collect_list({a}), {b}, {c})"},
+    # ApproximateMostFrequentFunction.java: approx_most_frequent(buckets,
+    # value, capacity) -> map(value -> approx count). Spark's approx_top_k
+    # carries the same Space-Saving-style state; its third argument
+    # (maxItemsTracked) IS Presto's capacity. Backquoted inner name keeps
+    # the double-rewrite idempotent.
+    "approx_most_frequent": {3: (
+        "map_from_entries(transform(`approx_top_k`({b}, {a}, {c}), "
+        "__amf_e -> struct(__amf_e.item, __amf_e.count)))"
+    )},
     # SetAggregationFunction set_agg / set_union.
     "set_agg": {1: "array_distinct(collect_list({a}))"},
     "set_union": {1: "array_distinct(flatten(collect_list({a})))"},

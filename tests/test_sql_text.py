@@ -111,3 +111,18 @@ def test_dialect_window_compat():
     # idempotence
     q = "SELECT rank() OVER (PARTITION BY k) , lag(x) OVER (ORDER BY x ROWS CURRENT ROW) FROM t"
     assert r(r(q)) == r(q)
+
+
+def test_dialect_approx_most_frequent(spark):
+    """approx_most_frequent(buckets, value, capacity) → capacity-bounded
+    approx_top_k rendered as the Presto value→count map; idempotent."""
+    from presto_db_spark.engine import Engine
+    from presto_db_spark.functions.dialect import rewrite_presto_sql as r
+
+    q = "SELECT approx_most_frequent(3, k, 15) AS m FROM amf_t"
+    assert r(r(q)) == r(q)
+    eng = Engine(spark)
+    spark.range(100).selectExpr("id % 7 AS k").createOrReplaceTempView("amf_t")
+    m = eng.sql(q).collect()[0].m
+    assert len(m) == 3 and all(v >= 14 for v in m.values())
+    spark.catalog.dropTempView("amf_t")
