@@ -224,6 +224,38 @@ class Engine(DdlMixin):
             return self.spark.createDataFrame(
                 [(text,)], "`Create Table`: string"
             )
+        m = re.match(
+            r"(?is)^\s*(START\s+TRANSACTION(?:\s+[A-Za-z ,]+)?|COMMIT"
+            r"(?:\s+WORK)?|ROLLBACK(?:\s+WORK)?)\s*;?\s*$",
+            query,
+        )
+        if m:
+            # TransactionManager surface (SqlBase.g4 startTransaction /
+            # commit / rollback). The engine is auto-commit (Spark writes
+            # are atomic per statement; there is no multi-statement
+            # transaction to scope), so these parse, validate and succeed
+            # as no-ops — the same observable behavior Presto gives on an
+            # auto-commit session over a connector without transaction
+            # support. Isolation/access-mode modifiers are accepted text.
+            verb = m.group(1).split()[0].upper()
+            word = {"START": "START TRANSACTION"}.get(verb, verb)
+            return self.spark.createDataFrame([(word,)], "result: string")
+        m = re.match(
+            r"(?is)^\s*SHOW\s+GRANTS(?:\s+ON\s+(?:TABLE\s+)?"
+            r"([A-Za-z_][A-Za-z0-9_.]*))?\s*;?\s*$",
+            query,
+        )
+        if m:
+            # ShowGrantsTask / information_schema.table_privileges shape.
+            # The session catalog has no grant store — truthfully empty
+            # with the reference's column layout.
+            return self.spark.createDataFrame(
+                [],
+                "`Grantor`: string, `Grantor Type`: string, "
+                "`Grantee`: string, `Grantee Type`: string, "
+                "`Catalog`: string, `Schema`: string, `Table`: string, "
+                "`Privilege`: string, `Grantable`: boolean",
+            )
         m = re.match(r"(?is)^\s*SHOW\s+CATALOGS\s*;?\s*$", query)
         if m:
             # ShowCatalogsTask: the engine's known catalogs + the two

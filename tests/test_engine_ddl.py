@@ -319,3 +319,20 @@ def test_show_functions(engine):
     assert liked and all(n.startswith("approx") for n in liked)
     agg = {r[0]: r["Function Type"] for r in df.collect()}
     assert agg["sum"] == "aggregate" and agg["strpos"] == "scalar"
+
+
+def test_transaction_statements_and_grants(engine):
+    """START TRANSACTION / COMMIT / ROLLBACK parse and succeed (auto-commit
+    no-ops — the observable Presto behavior on an auto-commit session);
+    SHOW GRANTS returns the reference's column layout, truthfully empty."""
+    assert engine.sql("START TRANSACTION").collect()[0][0] == "START TRANSACTION"
+    assert engine.sql(
+        "START TRANSACTION ISOLATION LEVEL READ COMMITTED"
+    ).collect()[0][0] == "START TRANSACTION"
+    assert engine.sql("COMMIT").collect()[0][0] == "COMMIT"
+    assert engine.sql("COMMIT WORK").collect()[0][0] == "COMMIT"
+    assert engine.sql("ROLLBACK").collect()[0][0] == "ROLLBACK"
+    g = engine.sql("SHOW GRANTS")
+    assert g.columns[:4] == ["Grantor", "Grantor Type", "Grantee", "Grantee Type"]
+    assert g.count() == 0
+    assert engine.sql("SHOW GRANTS ON TABLE customer").count() == 0
