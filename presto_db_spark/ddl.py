@@ -220,6 +220,37 @@ class DdlMixin:
             df._jdf.queryExecution(), mode
         )
 
+    def explain_graphviz(self, sql: str) -> str:
+        """EXPLAIN (FORMAT GRAPHVIZ): a dot digraph of the physical plan
+        tree (GraphvizPrinter.java analog) — one node per operator, edges
+        child→parent, labels = the operator's one-line description."""
+        import re as _re
+
+        text = self.explain(sql, mode="simple").strip()
+        lines = [
+            ln for ln in text.splitlines()
+            if ln.strip() and not ln.startswith("==")
+        ]
+        nodes: list[tuple[int, str]] = []  # (depth, label)
+        for ln in lines:
+            m = _re.match(r"^([ :+\-*]*)(.*)$", ln)
+            indent, label = m.group(1), m.group(2).strip()
+            if not label:
+                continue
+            nodes.append((len(indent), label.replace('"', "'")))
+        out = ["digraph plan {", "  node [shape=box];"]
+        stack: list[tuple[int, int]] = []  # (depth, node_id)
+        for i, (depth, label) in enumerate(nodes):
+            short = label if len(label) <= 80 else label[:77] + "..."
+            out.append(f'  n{i} [label="{short}"];')
+            while stack and stack[-1][0] >= depth:
+                stack.pop()
+            if stack:
+                out.append(f"  n{i} -> n{stack[-1][1]};")
+            stack.append((depth, i))
+        out.append("}")
+        return "\n".join(out)
+
     def explain_io(self, sql: str) -> str:
         """EXPLAIN (TYPE IO): the tables a query reads with the pruned
         column set and the filters pushed into each scan, as one JSON doc

@@ -35,8 +35,12 @@ _RESET_SESSION_RE = re.compile(
     r"(?is)^\s*RESET\s+SESSION\s+([A-Za-z_][A-Za-z0-9_.]*)\s*;?\s*$")
 _SHOW_SESSION_RE = re.compile(r"(?is)^\s*SHOW\s+SESSION\s*;?\s*$")
 _EXPLAIN_RE = re.compile(
-    r"(?is)^\s*EXPLAIN\s+(?:\(\s*TYPE\s+(LOGICAL|DISTRIBUTED|IO|VALIDATE)\s*\)\s+"
-    r"|(ANALYZE)\s+)?(SELECT.+|WITH.+|VALUES.+)$")
+    r"(?is)^\s*EXPLAIN\s+(?:\(\s*"
+    r"(?:TYPE\s+(LOGICAL|DISTRIBUTED|IO|VALIDATE)|"
+    r"FORMAT\s+(TEXT|GRAPHVIZ|JSON))"
+    r"(?:\s*,\s*(?:TYPE\s+(LOGICAL|DISTRIBUTED|IO|VALIDATE)|"
+    r"FORMAT\s+(TEXT|GRAPHVIZ|JSON)))?"
+    r"\s*\)\s+|(ANALYZE)\s+)?(SELECT.+|WITH.+|VALUES.+)$")
 
 
 class Engine(DdlMixin):
@@ -488,7 +492,13 @@ class Engine(DdlMixin):
             # explain; ExplainTask.java). TYPE LOGICAL → optimized logical
             # plan, DISTRIBUTED/IO → the physical (exchange-annotated) plan,
             # VALIDATE → analysis only, ANALYZE → executed plan + metrics.
-            etype, analyze, body = m.group(1), m.group(2), m.group(3)
+            # FORMAT TEXT|JSON|GRAPHVIZ (combinable with TYPE, either
+            # order): JSON = Catalyst's plan-tree JSON, GRAPHVIZ = a dot
+            # digraph of the plan tree (the reference's GraphvizPrinter
+            # analog).
+            etype = m.group(1) or m.group(3)
+            efmt = (m.group(2) or m.group(4) or "TEXT").upper()
+            analyze, body = m.group(5), m.group(6)
             body = rewrite_presto_sql(body.rstrip("; \n"),
                                       catalogs=frozenset(self.catalogs))
             if analyze:
@@ -496,12 +506,22 @@ class Engine(DdlMixin):
             elif etype and etype.upper() == "VALIDATE":
                 self.spark.sql(body).schema  # analyze; raises on invalid
                 return self.spark.createDataFrame([(True,)], "valid: boolean")
-            elif etype and etype.upper() == "LOGICAL":
-                text = self.explain(body, mode="extended")
             elif etype and etype.upper() == "IO":
                 # IOPlanPrinter.java: JSON of tables read + pruned columns
                 # + per-scan pushed filters (columnConstraints analog)
                 text = self.explain_io(body)
+            elif efmt == "JSON":
+                jqe = self.spark.sql(body)._jdf.queryExecution()
+                plan = (
+                    jqe.optimizedPlan()
+                    if etype and etype.upper() == "LOGICAL"
+                    else jqe.executedPlan()
+                )
+                text = plan.toJSON()
+            elif efmt == "GRAPHVIZ":
+                text = self.explain_graphviz(body)
+            elif etype and etype.upper() == "LOGICAL":
+                text = self.explain(body, mode="extended")
             else:
                 text = self.explain(body, mode="formatted")
             return self.spark.createDataFrame(

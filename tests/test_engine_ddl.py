@@ -336,3 +336,27 @@ def test_transaction_statements_and_grants(engine):
     assert g.columns[:4] == ["Grantor", "Grantor Type", "Grantee", "Grantee Type"]
     assert g.count() == 0
     assert engine.sql("SHOW GRANTS ON TABLE customer").count() == 0
+
+
+def test_explain_format_forms(engine):
+    """EXPLAIN (FORMAT JSON|GRAPHVIZ|TEXT), combinable with TYPE in either
+    order (SqlBase.g4 explainOption) — JSON is Catalyst's plan-tree JSON,
+    GRAPHVIZ a dot digraph with child->parent edges."""
+    import json
+
+    j = engine.sql(
+        "EXPLAIN (FORMAT JSON) SELECT count(*) FROM customer"
+    ).collect()[0][0]
+    assert json.loads(j)[0]["class"].startswith("org.apache.spark")
+    g = engine.sql(
+        "EXPLAIN (FORMAT GRAPHVIZ) "
+        "SELECT c_mktsegment, count(*) FROM customer GROUP BY 1"
+    ).collect()[0][0]
+    assert g.startswith("digraph plan {") and g.rstrip().endswith("}")
+    assert "HashAggregate" in g and "->" in g
+    lj = engine.sql(
+        "EXPLAIN (TYPE LOGICAL, FORMAT JSON) SELECT count(*) FROM customer"
+    ).collect()[0][0]
+    assert "catalyst.plans.logical" in lj
+    t = engine.sql("EXPLAIN (FORMAT TEXT) SELECT 1").collect()[0][0]
+    assert "Physical Plan" in t
