@@ -44,8 +44,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # emitted "factor" is measured/ref for the spark probe, and
 # value_normalized = value / factor makes rounds comparable when the host
 # is slow.  Raw values stay the headline metric.
-AMBIENT_NUMPY_REF_MS = 3.1
-AMBIENT_SPARK_REF_SEC = 0.14
+AMBIENT_NUMPY_REF_MS = 2.7
+AMBIENT_SPARK_REF_SEC = 0.104
 
 
 def _ambient_probe(spark) -> dict[str, float]:
@@ -189,7 +189,12 @@ def main() -> None:
     # 0.22 vs 0.13 after the suite), and both steal and JIT only ever
     # inflate — a genuinely slow host inflates the min too.
     probe = min(ambient_before["spark_sec"], ambient_after["spark_sec"])
-    factor = round(probe / AMBIENT_SPARK_REF_SEC, 4)
+    # the reference is the box's BEST observed idle probe (deep-JIT,
+    # nothing else running) — the box cannot beat it for real, so a
+    # probe below ref means the ref was conservative, not that the suite
+    # ran on magic hardware: clamp the factor at 1.0 so quiet runs report
+    # raw == normalized and only genuinely-slow hosts get corrected.
+    factor = round(max(1.0, probe / AMBIENT_SPARK_REF_SEC), 4)
     total = round(sum(times.values()), 4)
     norm = {q: round(t / factor, 4) for q, t in times.items()}
     print(
