@@ -305,3 +305,225 @@ def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.count("*") - 1) * F.min("n")).cast("bigint").alias("bytes_saved"),
         )
     )
+
+
+# --- REAL codec round-trips (stdlib codecs — no external libraries) --------
+# The container has no Pillow/libvips/soundfile, so PNG/JPEG/FLAC stay
+# honestly gated (decode_image above). BMP and WAV, however, are fully
+# decodable with the standard library (struct / wave), so these two
+# pipelines are REAL encode → opaque bytes → decode → feature paths:
+# generation and decode are SEPARATE mapInPandas stages that communicate
+# only through the serialized payload bytes, and the DuckDB oracle
+# predicts the decoded features CLOSED-FORM from the generation formulas —
+# a bug in either the encoder or the parser breaks the value hash.
+
+_BMP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+_BMP_FEAT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_payload_bytes", T.LongType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+    ]
+)
+
+
+def _bmp_encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """doc_id → a real 24-bit BI_RGB .bmp file (struct-assembled)."""
+    import struct
+
+    for pdf in batches:
+        payloads = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            w, h = 8 + d % 9, 4 + d % 5
+            row_pad = (-(w * 3)) % 4
+            rows = bytearray()
+            for y in range(h - 1, -1, -1):  # BMP stores rows bottom-up
+                for x in range(w):
+                    r = (d * 3 + x * 7 + y * 11) % 256
+                    g = (d * 5 + x * 13 + y * 3) % 256
+                    b = (d * 7 + x + y * 17) % 256
+                    rows += bytes((b, g, r))  # BGR on disk
+                rows += b"\x00" * row_pad
+            size = 14 + 40 + len(rows)
+            header = struct.pack("<2sIHHI", b"BM", size, 0, 0, 54)
+            info = struct.pack(
+                "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows), 2835, 2835, 0, 0
+            )
+            payloads.append(header + info + bytes(rows))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def _bmp_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Parse the BMP container for real: header offsets, bottom-up rows,
+    BGR order, 4-byte row padding — not an inverse of the encoder object,
+    a byte-level reader of the file format."""
+    import struct
+
+    for pdf in batches:
+        out = {k: [] for k in
+               ("doc_id", "width", "height", "n_payload_bytes",
+                "sum_r", "sum_g", "sum_b")}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            buf = bytes(payload)
+            magic, _size, _r1, _r2, off = struct.unpack_from("<2sIHHI", buf, 0)
+            assert magic == b"BM", "not a BMP payload"
+            _hsz, w, h, _pl, bpp = struct.unpack_from("<IiiHH", buf, 14)
+            assert bpp == 24
+            row_pad = (-(w * 3)) % 4
+            sr = sg = sb = 0
+            p = off
+            for _y in range(h):
+                for _x in range(w):
+                    b, g, r = buf[p], buf[p + 1], buf[p + 2]
+                    sr += r
+                    sg += g
+                    sb += b
+                    p += 3
+                p += row_pad
+            out["doc_id"].append(int(doc_id))
+            out["width"].append(w)
+            out["height"].append(h)
+            out["n_payload_bytes"].append(len(buf))
+            out["sum_r"].append(sr)
+            out["sum_g"].append(sg)
+            out["sum_b"].append(sb)
+        yield pd.DataFrame(out)
+
+
+_BMP_ORACLE = """
+WITH g AS (
+  SELECT doc_id, 8 + doc_id % 9 AS w, 4 + doc_id % 5 AS h
+  FROM documents WHERE doc_id < 300
+)
+SELECT doc_id,
+       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST(54 + h * (w * 3 + ((- (w * 3)) % 4 + 4) % 4) AS BIGINT)
+         AS n_payload_bytes,
+       CAST(list_sum(flatten(list_transform(generate_series(0, h - 1), y ->
+            list_transform(generate_series(0, w - 1), x ->
+              (doc_id * 3 + x * 7 + y * 11) % 256)))) AS BIGINT) AS sum_r,
+       CAST(list_sum(flatten(list_transform(generate_series(0, h - 1), y ->
+            list_transform(generate_series(0, w - 1), x ->
+              (doc_id * 5 + x * 13 + y * 3) % 256)))) AS BIGINT) AS sum_g,
+       CAST(list_sum(flatten(list_transform(generate_series(0, h - 1), y ->
+            list_transform(generate_series(0, w - 1), x ->
+              (doc_id * 7 + x + y * 17) % 256)))) AS BIGINT) AS sum_b
+FROM g
+ORDER BY doc_id
+"""
+
+
+@_q("multimodal_bmp_roundtrip", _BMP_ORACLE)
+def multimodal_bmp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image codec round-trip with zero external deps: synthesize a
+    24-bit .bmp per doc (struct-assembled file: headers, bottom-up rows,
+    BGR, 4-byte padding), ship it as opaque bytes, PARSE it back in a
+    separate Arrow stage, and emit pixel-sum features. The oracle predicts
+    every feature closed-form from the generation formulas, so encoder and
+    parser are both under the value hash. Shuffle-free at any scale."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    media = docs.select("doc_id").mapInPandas(_bmp_encode_batches, _BMP_SCHEMA)
+    feats = media.mapInPandas(_bmp_decode_batches, _BMP_FEAT_SCHEMA)
+    return feats.orderBy("doc_id")
+
+
+_WAV_FEAT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("sum_abs", T.LongType()),
+        T.StructField("peak", T.IntegerType()),
+    ]
+)
+
+
+def _wav_encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """doc_id → a real PCM16 mono .wav file via the stdlib wave module."""
+    import io
+    import struct
+    import wave
+
+    for pdf in batches:
+        payloads = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            n = 400 + (d % 5) * 80
+            samples = [((d * 31 + i * i * 7) % 2001) - 1000 for i in range(n)]
+            bio = io.BytesIO()
+            with wave.open(bio, "wb") as wf:
+                wf.setnchannels(1)
+                wf.setsampwidth(2)
+                wf.setframerate(8000)
+                wf.writeframes(struct.pack(f"<{n}h", *samples))
+            payloads.append(bio.getvalue())
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def _wav_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import io
+    import struct
+    import wave
+
+    for pdf in batches:
+        out = {k: [] for k in
+               ("doc_id", "n_frames", "sample_rate", "n_channels",
+                "sum_abs", "peak")}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            with wave.open(io.BytesIO(bytes(payload)), "rb") as wf:
+                n = wf.getnframes()
+                rate = wf.getframerate()
+                ch = wf.getnchannels()
+                raw = wf.readframes(n)
+            samples = struct.unpack(f"<{n * ch}h", raw)
+            out["doc_id"].append(int(doc_id))
+            out["n_frames"].append(n)
+            out["sample_rate"].append(rate)
+            out["n_channels"].append(ch)
+            out["sum_abs"].append(sum(abs(s) for s in samples))
+            out["peak"].append(max(abs(s) for s in samples))
+        yield pd.DataFrame(out)
+
+
+_WAV_ORACLE = """
+WITH g AS (
+  SELECT doc_id, 400 + (doc_id % 5) * 80 AS n
+  FROM documents WHERE doc_id < 300
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_frames,
+       8000 AS sample_rate, 1 AS n_channels,
+       CAST(list_sum(list_transform(generate_series(0, n - 1), i ->
+            abs(((doc_id * 31 + i * i * 7) % 2001) - 1000))) AS BIGINT)
+         AS sum_abs,
+       CAST(list_max(list_transform(generate_series(0, n - 1), i ->
+            abs(((doc_id * 31 + i * i * 7) % 2001) - 1000))) AS INTEGER)
+         AS peak
+FROM g
+ORDER BY doc_id
+"""
+
+
+@_q("multimodal_wav_roundtrip", _WAV_ORACLE)
+def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec round-trip via the stdlib wave module: PCM16 mono
+    .wav files synthesized per doc, decoded back from bytes in a separate
+    Arrow stage (frame count / rate / channels from the RIFF header,
+    amplitude features from the PCM frames), oracle closed-form from the
+    waveform formula. PNG/JPEG/FLAC remain honestly env-gated."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    media = docs.select("doc_id").mapInPandas(_wav_encode_batches, _BMP_SCHEMA)
+    feats = media.mapInPandas(_wav_decode_batches, _WAV_FEAT_SCHEMA)
+    return feats.orderBy("doc_id")
