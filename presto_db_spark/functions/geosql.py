@@ -28,6 +28,7 @@ Documented deviations (same model as the operator modules):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import SparkSession
 
 # -- shared body fragments (inlined into each function's RETURN) ------------
@@ -210,6 +211,144 @@ _GEO_FUNCTIONS: list[str] = [
 ]
 
 
+# ring / part strings of POLYGON / MULTI* (strip the type head + outer
+# parens, split on the ')...(' seams, drop residual parens)
+_PARTS_MULTI = (
+    "transform(split(regexp_replace(regexp_replace({g}, '^\\\\s*[A-Z]+\\\\s*\\\\(', "
+    "''), '\\\\)\\\\s*$', ''), '\\\\)\\\\s*,\\\\s*\\\\('), "
+    "p -> regexp_replace(p, '[()]', ''))"
+)
+
+_GEO_FUNCTIONS += [
+    # ST_LineFromText (GeoFunctions.java:137) — LINESTRING-only validation
+    _fn(
+        "st_linefromtext", "s STRING", "STRING",
+        "CASE WHEN trim(s) RLIKE '^LINESTRING' THEN trim(s) "
+        "ELSE CAST(raise_error(concat('ST_LineFromText: not a LINESTRING: ', s)) "
+        "AS STRING) END",
+    ),
+    # ST_Points (:793) — every vertex as a POINT, flat across parts
+    _fn(
+        "st_points", "g STRING", "ARRAY<STRING>",
+        "transform(" + _PARTS.format(g="g")
+        + ", p -> concat('POINT (', trim(p), ')'))",
+    ),
+    # ST_EnvelopeAsPts (:880) — [lower-left, upper-right]
+    _fn(
+        "st_envelopeaspts", "g STRING", "ARRAY<STRING>",
+        "array(" + _point("array_min(" + _XS_G + ")", "array_min(" + _YS_G + ")")
+        + ", " + _point("array_max(" + _XS_G + ")", "array_max(" + _YS_G + ")")
+        + ")",
+    ),
+    # ST_Geometries (:684) — parts of a MULTI* (single geometry → [g])
+    _fn(
+        "st_geometries", "g STRING", "ARRAY<STRING>",
+        "CASE WHEN " + _TYPE.format(g="g") + " = 'MULTIPOINT' THEN "
+        "transform(" + _PARTS_MULTI.format(g="g")
+        + ", p -> concat('POINT (', trim(p), ')')) "
+        "WHEN " + _TYPE.format(g="g") + " = 'MULTILINESTRING' THEN "
+        "transform(" + _PARTS_MULTI.format(g="g")
+        + ", p -> concat('LINESTRING (', trim(p), ')')) "
+        "WHEN " + _TYPE.format(g="g") + " = 'MULTIPOLYGON' THEN "
+        "transform(" + _PARTS_MULTI.format(g="g")
+        + ", p -> concat('POLYGON ((', trim(p), '))')) "
+        "ELSE array(g) END",
+    ),
+    # ST_InteriorRings (:550) / ST_InteriorRingN (:710) — polygon holes as
+    # LINESTRINGs (rings 2.. of the paren-part split)
+    _fn(
+        "st_interiorrings", "g STRING", "ARRAY<STRING>",
+        "transform(slice(" + _PARTS_MULTI.format(g="g") + ", 2, "
+        "greatest(size(" + _PARTS_MULTI.format(g="g") + ") - 1, 0)), "
+        "p -> concat('LINESTRING (', trim(p), ')'))",
+    ),
+    _fn(
+        "st_interiorringn", "g STRING, n INT", "STRING",
+        "CASE WHEN n >= 1 AND n <= size(" + _PARTS_MULTI.format(g="g") + ") - 1 "
+        "THEN concat('LINESTRING (', trim(element_at("
+        + _PARTS_MULTI.format(g="g") + ", n + 1)), ')') END",
+    ),
+    _fn(
+        "st_numgeometries", "g STRING", "INT",
+        "CAST(CASE WHEN " + _TYPE.format(g="g") + " LIKE 'MULTI%' THEN "
+        "size(" + _PARTS_MULTI.format(g="g") + ") ELSE 1 END AS INT)",
+    ),
+]
+
+
+def _register_wkb_codecs(spark: SparkSession) -> None:
+    """``ST_AsBinary`` / ``ST_GeomFromBinary`` (GeoFunctions.java:261,245)
+    for ARBITRARY doubles: Arrow-batched pandas UDFs over ``struct`` —
+    a serialization codec (the same exception class as the BMP/WAV
+    multimodal codecs), never a relational hot path.  The exact-integer
+    pure-SQL encoding lives in ``operators/wkt6.py``."""
+    import struct as _struct
+
+    from pyspark.sql.functions import pandas_udf
+
+    _TYPES = {"POINT": 1, "LINESTRING": 2}
+
+    def _coords(w: str) -> list[tuple[float, float]]:
+        body = w[w.index("(") + 1 :].rstrip(") \t")
+        return [
+            (float(p.split()[0]), float(p.split()[1]))
+            for p in body.replace("(", "").replace(")", "").split(",")
+        ]
+
+    @pandas_udf("binary")
+    def st_asbinary(col: pd.Series) -> pd.Series:
+        out = []
+        for w in col:
+            if w is None:
+                out.append(None)
+                continue
+            head = w.split()[0].split("(")[0].strip().upper()
+            code = _TYPES.get(head)
+            if code is None:
+                raise ValueError(f"ST_AsBinary: unsupported geometry {head}")
+            pts = _coords(w)
+            if code == 1:
+                out.append(_struct.pack("<BI2d", 1, 1, *pts[0]))
+            else:
+                buf = _struct.pack("<BII", 1, 2, len(pts))
+                for x, y in pts:
+                    buf += _struct.pack("<2d", x, y)
+                out.append(buf)
+        return pd.Series(out)
+
+    def _num(v: float) -> str:
+        return str(int(v)) if v == int(v) else repr(v)
+
+    @pandas_udf("string")
+    def st_geomfrombinary(col: pd.Series) -> pd.Series:
+        out = []
+        for b in col:
+            if b is None:
+                out.append(None)
+                continue
+            b = bytes(b)
+            (order,) = _struct.unpack_from("<B", b, 0)
+            fmt = "<" if order == 1 else ">"
+            (code,) = _struct.unpack_from(fmt + "I", b, 1)
+            if code == 1:
+                x, y = _struct.unpack_from(fmt + "2d", b, 5)
+                out.append(f"POINT ({_num(x)} {_num(y)})")
+            elif code == 2:
+                (n,) = _struct.unpack_from(fmt + "I", b, 5)
+                pts = _struct.unpack_from(fmt + f"{2 * n}d", b, 9)
+                body = ", ".join(
+                    f"{_num(pts[2 * i])} {_num(pts[2 * i + 1])}" for i in range(n)
+                )
+                out.append(f"LINESTRING ({body})")
+            else:
+                raise ValueError(f"ST_GeomFromBinary: unsupported type {code}")
+        return pd.Series(out)
+
+    spark.udf.register("st_asbinary", st_asbinary)
+    spark.udf.register("st_geomfrombinary", st_geomfrombinary)
+
+
 def register_geo_functions(spark: SparkSession) -> None:
     for stmt in _GEO_FUNCTIONS:
         spark.sql(stmt)
+    _register_wkb_codecs(spark)

@@ -30,6 +30,7 @@ _MODULES: list[str] = [
     "presto_db_spark.operators.wkt3",
     "presto_db_spark.operators.wkt4",
     "presto_db_spark.operators.wkt5",
+    "presto_db_spark.operators.wkt6",
     "presto_db_spark.operators.pandas_surface",
     "presto_db_spark.operators.functions_corpus",
     "presto_db_spark.operators.functions_corpus2",

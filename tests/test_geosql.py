@@ -61,6 +61,28 @@ PINNED = [
     # vertex-mean centroid for linestrings (documented deviation)
     ("ST_AsText(ST_Centroid(ST_GeometryFromText("
      "'LINESTRING (0 0, 2 0, 2 2, 0 2)')))", "POINT (1 1)"),
+    # --- r06: constructors / accessors (GeoFunctions:137,793,880,684,550,710)
+    ("ST_LineFromText('LINESTRING (0 0, 1 1)')", "LINESTRING (0 0, 1 1)"),
+    ("ST_Points(ST_GeometryFromText('LINESTRING (0 0, 1 1)'))",
+     ["POINT (0 0)", "POINT (1 1)"]),
+    ("ST_EnvelopeAsPts(ST_GeometryFromText('LINESTRING (-5 0, 3 4)'))",
+     ["POINT (-5 0)", "POINT (3 4)"]),
+    ("ST_Geometries(ST_GeometryFromText('MULTIPOINT ((1 2), (3 4))'))",
+     ["POINT (1 2)", "POINT (3 4)"]),
+    ("ST_Geometries(ST_GeometryFromText("
+     "'MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))'))",
+     ["LINESTRING (0 0, 1 1)", "LINESTRING (2 2, 3 3)"]),
+    ("ST_Geometries(ST_Point(9 ,8))", ["POINT (9 8)"]),
+    ("ST_NumGeometries(ST_GeometryFromText('MULTIPOINT ((1 2), (3 4))'))", 2),
+    ("ST_NumGeometries(ST_Point(1, 2))", 1),
+    ("ST_InteriorRings(ST_GeometryFromText("
+     "'POLYGON ((0 0, 9 0, 9 9, 0 9, 0 0), (2 2, 3 2, 3 3, 2 2))'))",
+     ["LINESTRING (2 2, 3 2, 3 3, 2 2)"]),
+    ("ST_InteriorRingN(ST_GeometryFromText("
+     "'POLYGON ((0 0, 9 0, 9 9, 0 9, 0 0), (2 2, 3 2, 3 3, 2 2))'), 1)",
+     "LINESTRING (2 2, 3 2, 3 3, 2 2)"),
+    ("ST_InteriorRingN(ST_GeometryFromText("
+     "'POLYGON ((0 0, 9 0, 9 9, 0 9, 0 0))'), 1)", None),
 ]
 
 
@@ -71,6 +93,22 @@ def test_st_scalar_pinned(engine, expr, expected):
         assert got == pytest.approx(expected, abs=1e-12), (expr, got)
     else:
         assert got == expected, (expr, got)
+
+
+def test_wkb_codec_roundtrip(engine):
+    """ST_AsBinary / ST_GeomFromBinary (GeoFunctions.java:261,245): the
+    Arrow codec round-trips arbitrary doubles and the point hex matches
+    the OGC little-endian layout."""
+    got = engine.sql(
+        "SELECT hex(ST_AsBinary(ST_Point(100, 2.5))) AS h, "
+        "ST_GeomFromBinary(ST_AsBinary(ST_GeometryFromText("
+        "'LINESTRING (1.25 -2, 3 4.75)'))) AS back"
+    ).collect()[0]
+    import struct
+
+    exp = struct.pack("<BI2d", 1, 1, 100.0, 2.5).hex().upper()
+    assert got["h"] == exp
+    assert got["back"] == "LINESTRING (1.25 -2, 3 4.75)"
 
 
 def test_st_geometryfromtext_rejects_garbage(engine):

@@ -402,3 +402,52 @@ def test_geo_crosses_both_values(spark, sf_dir):
     vals = {r.st_crosses for r in
             wkt5.QUERIES["geo_crosses"](spark, sf_dir).collect()}
     assert vals == {True, False}
+
+
+@pytest.mark.parametrize(
+    "name", ["geo_wkb_roundtrip", "geo_accessor_arrays", "geo_relate_de9im"]
+)
+def test_wkt6_vs_duckdb(spark, sf_dir, name):
+    from presto_db_spark.operators import wkt6
+
+    problems = check_query(
+        spark, name, wkt6.QUERIES[name], wkt6.ORACLE.get(name), sf_dir
+    )
+    assert not problems, f"{name}: {problems}"
+
+
+def test_wkb_hex_matches_struct_pack(spark, sf_dir):
+    """The pure-SQL integer IEEE-754 encode agrees with the platform's
+    struct.pack('<d') for every fixture value, and the canonical OGC
+    header bytes are in place."""
+    import struct
+
+    from presto_db_spark.operators import wkt6
+
+    for r in wkt6.QUERIES["geo_wkb_roundtrip"](spark, sf_dir).collect():
+        x, y = (r.gid * 37) % 100, (r.gid * 73) % 100
+        exp = (
+            "0101000000"
+            + struct.pack("<d", float(x)).hex()
+            + struct.pack("<d", float(y)).hex()
+        )
+        assert r.wkb_point == exp, (r.gid, r.wkb_point, exp)
+        assert r.roundtrip_ok and r.x_back == x and r.y_back == y
+        assert r.point_bytes == 21 and r.line_bytes == 9 + 2 * 16
+        assert r.wkb_line.startswith("010200000002000000")
+
+
+def test_de9im_canonical_matrices(spark, sf_dir):
+    """The derived DE-9IM strings are exactly the OGC canonical matrices
+    for the three fixture configurations, and each row satisfies exactly
+    one of disjoint/touches/overlaps."""
+    from presto_db_spark.operators import wkt6
+
+    seen = set()
+    for r in wkt6.QUERIES["geo_relate_de9im"](spark, sf_dir).collect():
+        assert r.de9im in {"FF2F01212", "FF2FF1212", "212101212"}, r
+        flags = (r.relate_disjoint, r.relate_touches, r.relate_overlaps)
+        assert sum(flags) == 1, r
+        seen.add(r.de9im)
+        assert r.de9im_self == "2FFF1FFF2" and r.relate_equals_self
+    assert seen == {"FF2F01212", "FF2FF1212", "212101212"}
