@@ -720,3 +720,84 @@ def rank_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _t_li(spark: SparkSession, sf_dir: str):
     return [load_table(spark, sf_dir, "lineitem")]
+
+
+# --- cross-document substring-span dedup ------------------------------------
+#
+# Position-level exact substring duplication (the suffix-array dedup of
+# "Deduplicating Training Data Makes Language Models Better", Lee et al.
+# 2022, re-expressed as a Spark shuffle pipeline): every W_SUB-token
+# sliding window is hashed; a window whose hash occurs in >= 2 DISTINCT
+# documents is a duplicated span. Per document we report how much of it is
+# covered by cross-document duplicated spans — the signal the suffix-array
+# method thresholds to cut spans out of training data.
+#
+# 100 TB shape: window rows ~= corpus token count, but each stage is
+# narrow — (1) map-side window explode (no shuffle), (2) partial-agg
+# groupBy (h, doc_id), (3) one window count over h (shuffle on h), (4)
+# groupBy doc_id (shuffle on doc_id). No joins, no driver state; the md5
+# key spreads uniformly so there is no skew. A doc shorter than W_SUB
+# tokens has no windows and drops out (both engines agree).
+
+W_SUB = 8  # tokens per window
+
+_SUBSTR_SQL = f"""
+WITH win AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(
+           string_split_regex(trim(text), '\\s+')[i:i+{W_SUB - 1}], ' ')) AS h
+  FROM documents,
+       LATERAL unnest(generate_series(1,
+         greatest(len(string_split_regex(trim(text), '\\s+')) - {W_SUB - 1}, 0)
+       )) AS t(i)
+), g AS (
+  SELECT h, doc_id, count(*) AS c, min(pos) AS mp FROM win GROUP BY h, doc_id
+), d AS (
+  SELECT h, doc_id, c, mp, count(*) OVER (PARTITION BY h) AS nd FROM g
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_windows,
+       CAST(sum(CASE WHEN nd >= 2 THEN c ELSE 0 END) AS BIGINT) AS n_dup_windows,
+       round(CAST(sum(CASE WHEN nd >= 2 THEN c ELSE 0 END) AS DOUBLE)
+             / sum(c), 6) AS dup_frac,
+       min(CASE WHEN nd >= 2 THEN mp END) AS first_dup_pos
+FROM d GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@_q("dedup_substring_spans", _SUBSTR_SQL)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    windows = F.when(
+        F.size(ws) >= W_SUB,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - (W_SUB - 1)),
+            lambda i: F.struct(
+                i.cast("long").alias("pos"),
+                F.md5(
+                    F.array_join(F.slice(ws, i, W_SUB), " ").cast("binary")
+                ).alias("h"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos: bigint, h: string>>"))
+    win = docs.select("doc_id", F.explode(windows).alias("w")).select(
+        "doc_id", F.col("w.pos").alias("pos"), F.col("w.h").alias("h")
+    )
+    g = win.groupBy("h", "doc_id").agg(
+        F.count("*").alias("c"), F.min("pos").alias("mp")
+    )
+    d = g.withColumn("nd", F.count("*").over(W.partitionBy("h")))
+    dup_c = F.when(F.col("nd") >= 2, F.col("c")).otherwise(F.lit(0))
+    return (
+        d.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_windows"),
+            F.sum(dup_c).cast("long").alias("n_dup_windows"),
+            F.round(
+                F.sum(dup_c).cast("double") / F.sum("c"), 6
+            ).alias("dup_frac"),
+            F.min(F.when(F.col("nd") >= 2, F.col("mp"))).alias("first_dup_pos"),
+        )
+        .orderBy("doc_id")
+    )

@@ -717,3 +717,193 @@ def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w).cast("int"))
         .filter(F.col("rn") <= TOP_K)
     )
+
+
+# --- SemDeDup: cluster-then-pairwise semantic dedup -------------------------
+#
+# Semantic deduplication (Abbas et al. 2023, "SemDeDup: Data-efficient
+# learning at web-scale through semantic deduplication"): cluster the
+# embedding space, compare pairs WITHIN a cluster only, call a pair a
+# semantic duplicate when cosine >= SEM_TAU, and from each duplicate pair
+# KEEP the member with the LOWER cosine to its cluster centroid (the
+# paper's keeper rule — the farther-from-centroid example is the more
+# informative one).
+#
+# 100 TB shape: nearest-centroid assignment is one broadcast Arrow pass
+# over the scan (no shuffle — same stage as sim_ivf); the pairwise stage
+# is an equi-self-join on cid, i.e. the LSH-bucket pattern — no global
+# cross join. The pairwise frontier is capped at SEM_CAP members per
+# cluster (deterministic vec_id order, QUALIFY row_number) — the
+# production-scale variant grows K with N (sim_ivf_kmeans is the trainer)
+# so clusters stay bounded; the cap makes the worst case explicit:
+# O(K * SEM_CAP^2) candidate pairs.
+
+SEM_TAU = 0.35  # cosine threshold (synthetic embeddings: no true dups;
+                # set where the fixture has pairs so the operator is
+                # exercised non-vacuously, like dedup_embedding_cosine)
+SEM_CAP = 64
+
+
+def _assign_sim_impl(vecs, cent_ids, cent_vecs):
+    """Nearest-centroid id AND the cosine to it, one Arrow pass — the
+    same sequential per-dimension accumulation as _assign_probe_impl so
+    both values are bit-identical to the oracle's fold."""
+    import numpy as np
+    import pandas as pd
+
+    E = np.vstack(vecs.to_numpy()).astype(np.float64)
+    n, dim = E.shape
+    K = len(cent_vecs)
+    dots = np.zeros((n, K))
+    ne = np.zeros(n)
+    nc = [0.0] * K
+    for d in range(dim):
+        x = E[:, d]
+        ne += x * x
+        for c in range(K):
+            dots[:, c] += x * cent_vecs[c][d]
+            nc[c] += cent_vecs[c][d] * cent_vecs[c][d]
+    sims = dots / (np.sqrt(ne)[:, None] * np.sqrt(nc)[None, :])
+    order = np.argsort(-sims, axis=1, kind="stable")
+    best = order[:, 0]
+    cids = np.asarray(cent_ids)
+    return pd.DataFrame(
+        {
+            "cid": cids[best],
+            "csim": np.round(sims[np.arange(n), best], 6),
+        }
+    )
+
+
+_SEMDEDUP_SQL = f"""
+WITH c AS (
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < {N_CENTROIDS}
+), assigned AS (
+  SELECT vec_id, embedding, cid, round(csim, 6) AS csim FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           {_SQL_DOT.format(a="e.embedding", b="c.ce")}
+             / ({_SQL_NORM.format(a="e.embedding")} * {_SQL_NORM.format(a="c.ce")}) AS csim,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             {_SQL_DOT.format(a="e.embedding", b="c.ce")}
+               / ({_SQL_NORM.format(a="e.embedding")} * {_SQL_NORM.format(a="c.ce")}) DESC,
+             c.cid) AS arn
+    FROM embeddings e CROSS JOIN c
+  ) WHERE arn = 1
+), capped AS (
+  SELECT vec_id, embedding, cid, csim FROM (
+    SELECT *, row_number() OVER (PARTITION BY cid ORDER BY vec_id) AS crn
+    FROM assigned
+  ) WHERE crn <= {SEM_CAP}
+), pairs AS (
+  SELECT a.cid, a.vec_id AS id_a, b.vec_id AS id_b, a.csim AS csim_a, b.csim AS csim_b
+  FROM capped a JOIN capped b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE round({_SQL_DOT.format(a="a.embedding", b="b.embedding")}
+              / ({_SQL_NORM.format(a="a.embedding")} * {_SQL_NORM.format(a="b.embedding")}), 6)
+        >= {SEM_TAU}
+), removed AS (
+  SELECT DISTINCT cid,
+         CASE WHEN csim_a > csim_b THEN id_a
+              WHEN csim_b > csim_a THEN id_b
+              ELSE greatest(id_a, id_b) END AS rid
+  FROM pairs
+)
+SELECT m.cid,
+       CAST(count(DISTINCT m.vec_id) AS BIGINT) AS n_members,
+       CAST(coalesce(p.n_pairs, 0) AS BIGINT) AS n_dup_pairs,
+       CAST(coalesce(r.n_removed, 0) AS BIGINT) AS n_removed,
+       CAST(count(DISTINCT m.vec_id) - coalesce(r.n_removed, 0) AS BIGINT) AS n_kept
+FROM capped m
+LEFT JOIN (SELECT cid, count(*) AS n_pairs FROM pairs GROUP BY cid) p ON p.cid = m.cid
+LEFT JOIN (SELECT cid, count(*) AS n_removed FROM removed GROUP BY cid) r ON r.cid = m.cid
+GROUP BY m.cid, p.n_pairs, r.n_removed
+ORDER BY m.cid
+"""
+
+
+@_q("dedup_semantic", _SEMDEDUP_SQL)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table; first N_CENTROIDS vectors are
+    the coarse clusters (deterministic stand-in — sim_ivf_kmeans is the
+    real trainer), keeper = lowest cosine-to-centroid per duplicate
+    pair."""
+    emb = _emb(spark, sf_dir)
+    raw = load_table(spark, sf_dir, "embeddings")
+    cent_rows = sorted(
+        raw.filter(F.col("vec_id") < N_CENTROIDS)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    cent_ids = [int(r.vec_id) for r in cent_rows]
+    cent_vecs = [[float(x) for x in r.embedding] for r in cent_rows]
+
+    def _assign(vecs):
+        return _assign_sim_impl(vecs, cent_ids, cent_vecs)
+
+    assign_udf = F.pandas_udf(_assign, "struct<cid: long, csim: double>")
+    assigned = emb.select(
+        "vec_id", "embedding", assign_udf(F.col("embedding")).alias("a")
+    ).select(
+        "vec_id",
+        "embedding",
+        F.col("a.cid").alias("cid"),
+        F.col("a.csim").alias("csim"),
+    )
+    # three consumers (members / pairs / removed) — a lazy localCheckpoint
+    # runs the Arrow assignment over the corpus ONCE instead of per branch
+    # (the dedup_minhash_lsh idiom; the capped frame is tiny: K * SEM_CAP
+    # narrow rows)
+    capped = (
+        assigned.withColumn(
+            "crn", F.row_number().over(W.partitionBy("cid").orderBy("vec_id"))
+        )
+        .filter(F.col("crn") <= SEM_CAP)
+        .drop("crn")
+        .localCheckpoint(eager=False)
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cid").eqNullSafe(F.col("b.cid")))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn(
+            "sim",
+            F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6),
+        )
+        .filter(F.col("sim") >= SEM_TAU)
+        .select(
+            F.col("a.cid").alias("cid"),
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.col("a.csim").alias("csim_a"),
+            F.col("b.csim").alias("csim_b"),
+        )
+    )
+    removed = pairs.select(
+        "cid",
+        F.when(F.col("csim_a") > F.col("csim_b"), F.col("id_a"))
+        .when(F.col("csim_b") > F.col("csim_a"), F.col("id_b"))
+        .otherwise(F.greatest("id_a", "id_b"))
+        .alias("rid"),
+    ).distinct()
+    members = capped.groupBy("cid").agg(
+        F.countDistinct("vec_id").cast("long").alias("n_members")
+    )
+    np_ = pairs.groupBy("cid").agg(F.count("*").alias("n_pairs"))
+    nr = removed.groupBy("cid").agg(F.count("*").alias("n_removed"))
+    return (
+        members.join(np_, "cid", "left")
+        .join(nr, "cid", "left")
+        .select(
+            "cid",
+            "n_members",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_dup_pairs"),
+            F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+            (F.col("n_members") - F.coalesce("n_removed", F.lit(0)))
+            .cast("long")
+            .alias("n_kept"),
+        )
+        .orderBy("cid")
+    )

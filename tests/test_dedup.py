@@ -35,3 +35,28 @@ def test_cluster_is_transitive_closure_of_pairs(spark, sf_dir):
         members[c].append(d)
     for c, docs in members.items():
         assert c == min(docs), "cluster id must be the min member"
+
+
+def test_substring_spans_invariants(spark, sf_dir):
+    """Cross-doc substring dedup: fractions bounded, the fixture is
+    non-vacuous (some duplicated spans exist), window counts equal
+    token_count - W_SUB + 1, and first_dup_pos is a valid position."""
+    rows = dd.QUERIES["dedup_substring_spans"](spark, sf_dir).collect()
+    assert rows
+    assert any(r.n_dup_windows > 0 for r in rows), "no duplicated spans"
+    texts = {
+        r.doc_id: r.text
+        for r in __import__("presto_db_spark.catalog", fromlist=["load_table"])
+        .load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    for r in rows:
+        assert 0 <= r.n_dup_windows <= r.n_windows
+        assert abs(r.dup_frac - round(r.n_dup_windows / r.n_windows, 6)) < 1e-12
+        ntok = len(texts[r.doc_id].strip().split())
+        assert r.n_windows == ntok - dd.W_SUB + 1
+        if r.n_dup_windows:
+            assert 1 <= r.first_dup_pos <= r.n_windows
+        else:
+            assert r.first_dup_pos is None

@@ -49,3 +49,17 @@ def test_kmeans_improves_or_matches_quantization(spark, sf_dir):
                 cents[c] = q / (len(members) * S.KM_SCALE)
     assert mean_best(cents) >= mean_best(init) - 1e-9
     assert len({int(c) for c in sims.argmax(axis=1)}) >= 2
+
+
+def test_semantic_dedup_invariants(spark, sf_dir):
+    """SemDeDup: kept + removed = members per cluster, the cap holds,
+    the fixture yields duplicate pairs somewhere (non-vacuous), and
+    removed can never exceed members - 1 (a cluster keeps >= 1)."""
+    rows = sm.QUERIES["dedup_semantic"](spark, sf_dir).collect()
+    assert rows and len(rows) <= sm.N_CENTROIDS
+    assert any(r.n_dup_pairs > 0 for r in rows), "no semantic dup pairs"
+    for r in rows:
+        assert 1 <= r.n_members <= sm.SEM_CAP
+        assert r.n_kept + r.n_removed == r.n_members
+        if r.n_members > 0:
+            assert r.n_removed <= r.n_members - 1 or r.n_members == 0
