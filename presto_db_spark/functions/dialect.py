@@ -698,6 +698,9 @@ _LITERAL_FORMAT_REWRITES: dict[str, tuple[str, object]] = {
     # wants Java patterns — translate when the format is a literal.
     "date_format": ("date_format", _translate_mysql),
     "date_format_mysql": ("date_format", _translate_mysql),
+    # format_datetime(x, joda) → date_format(x, java) — the output mirror
+    # of parse_datetime (DateTimeFunctions.java formatDatetime)
+    "format_datetime": ("date_format", _translate_joda),
 }
 
 
@@ -956,7 +959,40 @@ def _pass_window_compat(tokens: list[str]) -> list[str]:
 # `kurtosis` (backquoted — same builtin to Spark's parser) so a second
 # rewrite pass over the OUTPUT cannot re-match the name token: full
 # rewrite_presto_sql(rewrite_presto_sql(q)) idempotence.
+def _combo_branch(n: int) -> str:
+    """combinations({a}, n) for fixed n: nested indexed transforms emit
+    array(x_i1..x_in) when i1<..<in, flattened n-1 times, nulls filtered
+    — lexicographic by index, the reference's enumeration order
+    (CombinationsFunction.java). Type-generic: pure SQL, no UDF."""
+    if n == 1:
+        return "transform({a}, c_x1 -> array(c_x1))"
+    core = (
+        "CASE WHEN "
+        + " AND ".join(f"c_i{k} < c_i{k + 1}" for k in range(1, n))
+        + " THEN array("
+        + ", ".join(f"c_x{k}" for k in range(1, n + 1))
+        + ") END"
+    )
+    expr = core
+    for k in range(n, 0, -1):
+        expr = f"transform({{a}}, (c_x{k}, c_i{k}) -> {expr})"
+    for _ in range(n - 1):
+        expr = f"flatten({expr})"
+    return f"filter({expr}, c_c -> c_c IS NOT NULL)"
+
+
+_COMBINATIONS_TEMPLATE = (
+    "(CASE WHEN ({b}) = 0 THEN array(slice({a}, 1, 0)) "
+    + " ".join(
+        f"WHEN ({{b}}) = {n} THEN {_combo_branch(n)}" for n in range(1, 6)
+    )
+    # the reference caps n at 5 (CombinationsFunction.java MAX_COMBINATION_LENGTH)
+    + " ELSE raise_error('combinations: n must not be greater than 5') END)"
+)
+
+
 _ARG_TEMPLATES: dict[str, dict[int, str]] = {
+    "combinations": {2: _COMBINATIONS_TEMPLATE},
     "kurtosis": {1: (
         "(CASE WHEN count({a}) < 4 THEN CAST(NULL AS DOUBLE) ELSE "
         "((count({a}) - 1.0) / ((count({a}) - 2.0) * (count({a}) - 3.0))) * "

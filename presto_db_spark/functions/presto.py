@@ -490,6 +490,16 @@ def _parse_datetime_py(s: str | None, fmt: str | None):
     return datetime.datetime.strptime(s, _joda_to_py(fmt))
 
 
+def _format_datetime_py(ts, fmt: str | None):
+    """Presto format_datetime(timestamp, joda_format) — the output mirror
+    of parse_datetime (DateTimeFunctions.java formatDatetime). Literal
+    Joda formats are rewritten to JVM ``date_format`` by the dialect pass
+    (`_LITERAL_FORMAT_REWRITES`); this UDF is the non-literal fallback."""
+    if ts is None or fmt is None:
+        return None
+    return ts.strftime(_joda_to_py(fmt))
+
+
 # Teradata-compat date tokens (presto-teradata-functions/.../dateformat/
 # DateFormatParser.java:34-66): YYYY YY MM DD HH24 HH MI SS + literal text.
 _TD_TOKENS = [
@@ -593,6 +603,7 @@ def register_presto_functions(spark: SparkSession) -> None:
     spark.udf.register("to_timestamp_td", _td_to_timestamp, T.TimestampType())
     spark.udf.register("to_date_td", _td_to_date, T.DateType())
     spark.udf.register("parse_datetime", _parse_datetime_py, T.TimestampType())
+    spark.udf.register("format_datetime", _format_datetime_py, T.StringType())
     spark.udf.register(
         "parse_presto_data_size", _parse_presto_data_size, T.DecimalType(38, 0)
     )

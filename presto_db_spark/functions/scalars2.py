@@ -24,10 +24,9 @@ ieee754/hmac/fnv/spooky), ``BitwiseFunctions.java``, ``MathFunctions
 Documented non-registrations: ``spooky_hash_v2_*`` (nonstandard 128-bit
 mix, no consumer in the corpus), ``empty_approx_set``/``merge_hll``
 (HLL sketch VALUES are served by the Spark-native ``hll_sketch_agg`` /
-``hll_union`` family in ``operators/sketch.py``), ``combinations``
-(delivered as an expression composition in ``functions_corpus.py``;
-its return type is element-generic, which a single UDF registration
-cannot express), ``timezone_hour``/``timezone_minute`` (need the
+``hll_union`` family in ``operators/sketch.py``; ``combinations`` is a
+type-generic dialect template — ``_COMBINATIONS_TEMPLATE`` in
+``dialect.py``), ``timezone_hour``/``timezone_minute`` (need the
 retained zone of a timestamp-with-time-zone — the documented model gap
 in ``operators/timetypes.py``).
 """

@@ -149,3 +149,57 @@ def test_agg_compat_surface(engine):
                      "(VALUES ('a','a'),('a','b'),('b','b')) z(t, p)")[0]
     assert s.startswith("Accuracy: 2/3 (66.67%)\n")
     assert "Class 'a'\nPrecision: 1/1 (100.00%)\nRecall: 1/2 (50.00%)" in s
+
+
+def test_format_datetime_and_to_milliseconds(engine, spark):
+    """format_datetime mirrors parse_datetime (DateTimeFunctions.java
+    formatDatetime): a LITERAL Joda format rewrites to JVM date_format
+    (no Python stage), a non-literal format falls back to the UDF;
+    to_milliseconds converts INTERVAL DAY TO SECOND exactly."""
+    assert _one(
+        engine,
+        "SELECT format_datetime(TIMESTAMP '2001-02-03 04:05:06', "
+        "'yyyy/MM/dd HH:mm:ss')",
+    ) == ("2001/02/03 04:05:06",)
+    # round-trip with parse_datetime on the shared Joda subset
+    assert _one(
+        engine,
+        "SELECT format_datetime(parse_datetime('2019-11-27 08:30', "
+        "'yyyy-MM-dd HH:mm'), 'dd MMM yyyy')",
+    ) == ("27 Nov 2019",)
+    # literal path stays JVM-side
+    df = engine.sql(
+        "SELECT format_datetime(TIMESTAMP '2001-02-03 04:05:06', 'yyyy-MM-dd') v"
+    )
+    assert "EvalPython" not in df._jdf.queryExecution().executedPlan().toString()
+    # non-literal format goes through the UDF and still matches
+    assert _one(
+        engine,
+        "SELECT format_datetime(TIMESTAMP '2001-02-03 04:05:06', "
+        "concat('yyyy', '/MM'))",
+    ) == ("2001/02",)
+    assert _one(
+        engine,
+        "SELECT to_milliseconds(INTERVAL '1 02:03:04.5' DAY TO SECOND), "
+        "to_milliseconds(INTERVAL '2' DAY)",
+    ) == (93784500, 172800000)
+
+
+def test_combinations_template(engine):
+    """combinations(array, n) (CombinationsFunction.java): type-generic
+    dialect template, lexicographic index order, n capped at 5 like the
+    reference."""
+    assert _one(
+        engine, "SELECT combinations(ARRAY['foo','bar','baz'], 2)"
+    ) == ([["foo", "bar"], ["foo", "baz"], ["bar", "baz"]],)
+    assert _one(engine, "SELECT combinations(ARRAY[1,2,3,4], 3)") == (
+        [[1, 2, 3], [1, 2, 4], [1, 3, 4], [2, 3, 4]],
+    )
+    assert _one(engine, "SELECT combinations(ARRAY[1,2], 0)") == ([[]],)
+    assert _one(engine, "SELECT combinations(sequence(1,5), 5)") == (
+        [[1, 2, 3, 4, 5]],
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="must not be greater than 5"):
+        engine.sql("SELECT combinations(ARRAY[1], 6)").collect()
