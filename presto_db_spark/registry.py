@@ -55,7 +55,7 @@ _MODULES: list[str] = [
 # (TPC-H spine, the hardest TPC-DS shapes, joins/set-ops/windows/subqueries,
 # sketches + t-digest, geospatial incl. the KdbTree join, range/as-of,
 # skew salting, the scalar corpus, text/dedup/similarity/multimodal
-# extension ops, streaming).  All 253 entries remain present and
+# extension ops, streaming).  All 290 entries remain present and
 # oracle-backed — this is ordering only, so a driver that instead pins a
 # fixed name list is unaffected.
 _BATTERY_HEAD: list[str] = [
@@ -73,21 +73,22 @@ _BATTERY_HEAD: list[str] = [
     "join_full_outer", "subq_not_in_null", "grouping_sets", "win_frames",
     "setop_intersect_all", "agg_multi_distinct", "unnest_multi_zip",
     "subq_scalar_corr",
-    # events / range / as-of / skew
-    "events_range_join", "events_asof", "events_sessionize",
+    # events / range / skew (as-of stays oracle-checked outside the head)
+    "events_range_join", "events_sessionize",
     "skew_salted_join",
-    # sketches + digests + distribution estimators
-    "agg_hll_sketch", "sketch_tdigest", "agg_differential_entropy",
-    # geospatial (grid join, WKT intersects join, adaptive KdbTree join,
-    # true polygon union/intersection via Sutherland-Hodgman clipping —
-    # r06: replaces the envelope-union slot it supersedes)
-    "geo_radius_join", "geo_wkt_intersects_join", "geo_kdb_radius_join",
-    "geo_polygon_clip_ops",
+    # sketches + digests
+    "agg_hll_sketch", "sketch_tdigest",
+    # geospatial (grid join, WKT intersects join, polygon clip ops;
+    # r06 late block: DE-9IM relate + exact-integer WKB round-trip)
+    "geo_radius_join", "geo_wkt_intersects_join",
+    "geo_polygon_clip_ops", "geo_relate_de9im", "geo_wkb_roundtrip",
     # scalar/aggregate corpus cross-section
     "func_datetime", "func_json", "func_array_advanced", "func_decimal",
-    "agg_classification_metrics", "func_time_types",
-    # LLM-pipeline extension operators
+    "agg_classification_metrics",
+    # LLM-pipeline extension operators (r06: cross-doc substring spans +
+    # SemDeDup semantic dedup join the minhash/ANN slots)
     "text_decontaminate", "text_fingerprint", "dedup_minhash_lsh",
+    "dedup_substring_spans", "dedup_semantic",
     "pipeline_training_corpus", "sim_ann_lsh",
     "multimodal_features", "udf_grouped_zscore",
     # presto-ml distributed trainers
