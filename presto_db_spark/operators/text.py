@@ -709,3 +709,91 @@ def text_lm_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(n_oov * 1000000) div n_tri").alias("oov_micros"),
         F.expr("(sum_cnt * 1000000) div n_tri").alias("mean_freq_micros"),
     ).orderBy("doc_id")
+
+
+# --- curation mix report: per-source sampling weights -----------------------
+#
+# The data-mixing table a training pipeline derives before sampling: per
+# (source, lang) bucket — volume (docs, tokens), exact-dup rate, mean
+# quality, and a temperature-scaled sampling weight ∝ sqrt(tokens) (the
+# α=0.5 "square-root sampling" of the multilingual-training literature,
+# e.g. the mixing rule popularized by multilingual BERT/XLM-R).
+#
+# Float determinism: every cross-row reduction is an exact BIGINT sum
+# (token counts; per-doc quality quantized to integer micros BEFORE the
+# sum, so addition commutes), and sqrt is IEEE-754 correctly rounded in
+# both engines, so floor(sqrt(exact integer)) is bit-identical — the
+# weight denominator is a BIGINT sum of those.  One groupBy + one tiny
+# full-frame window (#buckets rows) — at 100 TB this is a scan + one
+# shuffle on (source, lang).
+
+_CURATION_SQL = """
+WITH per_doc AS (
+  SELECT source, lang,
+         md5(text) AS h,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tok,
+         CAST(round((least(len(string_split_regex(trim(text), '\\s+')) / 50.0, 1.0)
+              + (1 - least(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+                           / (length(text) + 1) * 5, 1.0))
+              + least(len(list_intersect(list_distinct(string_split_regex(trim(text), '\\s+')),
+                                         ['the', 'and', 'of', 'to', 'a'])) / 3.0, 1.0))
+              / 3 * 1000000) AS BIGINT) AS q_micros
+  FROM documents
+), g AS (
+  SELECT source, lang,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT h) AS BIGINT) AS n_distinct,
+         CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         CAST(sum(q_micros) AS BIGINT) AS sum_q_micros
+  FROM per_doc GROUP BY source, lang
+), w AS (
+  SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS wq FROM g
+)
+SELECT source, lang, n_docs, n_tokens,
+       round(1.0 - CAST(n_distinct AS DOUBLE) / n_docs, 6) AS dup_rate,
+       round(CAST(sum_q_micros AS DOUBLE) / n_docs / 1000000, 6) AS mean_quality,
+       round(CAST(wq AS DOUBLE) / sum(wq) OVER (), 6) AS sample_weight
+FROM w ORDER BY source, lang
+"""
+
+
+@_q("text_curation_mix", _CURATION_SQL)
+def text_curation_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        "lang",
+        F.md5(F.col("text").cast("binary")).alias("h"),
+        token_count(F.col("text")).cast("long").alias("n_tok"),
+        F.round(quality_score(F.col("text")) * 1000000)
+        .cast("long")
+        .alias("q_micros"),
+    )
+    g = per_doc.groupBy("source", "lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("h").cast("long").alias("n_distinct"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.sum("q_micros").cast("long").alias("sum_q_micros"),
+    )
+    w = g.withColumn(
+        "wq", F.floor(F.sqrt(F.col("n_tokens").cast("double"))).cast("long")
+    )
+    from pyspark.sql.window import Window as _W
+
+    return w.select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_docs"), 6
+        ).alias("dup_rate"),
+        F.round(
+            F.col("sum_q_micros").cast("double") / F.col("n_docs") / 1000000, 6
+        ).alias("mean_quality"),
+        F.round(
+            F.col("wq").cast("double")
+            / F.sum("wq").over(_W.partitionBy()),
+            6,
+        ).alias("sample_weight"),
+    ).orderBy("source", "lang")

@@ -814,3 +814,109 @@ def streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "rank")
     )
+
+
+# --- streaming cross-document substring-span dedup --------------------------
+
+_STREAM_SUBSTR_SQL = """
+WITH win AS (
+  SELECT DISTINCT doc_id,
+         md5(array_to_string(
+           string_split_regex(trim(text), '\\s+')[i:i+7], ' ')) AS h
+  FROM documents,
+       LATERAL unnest(generate_series(1,
+         greatest(len(string_split_regex(trim(text), '\\s+')) - 7, 0)
+       )) AS t(i)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(count(*) AS BIGINT) AS n_shared_windows
+FROM win a JOIN win b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+ORDER BY id_a, id_b
+"""
+
+
+@_q("streaming_substring_pairs", _STREAM_SUBSTR_SQL)
+def streaming_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING counterpart of ``dedup_substring_spans``: documents
+    arrive as a stream, each microbatch explodes its W_SUB=8-token
+    window hashes (identical md5 to the batch operator), and an
+    applyInPandasWithState bucket keyed on the window hash keeps the
+    DISTINCT doc_ids previously seen for that hash — a NEW document
+    sharing a span with EARLIER documents is flagged the moment it
+    arrives (new × earlier emission, never a bucket re-scan). The
+    per-pair shared-window counts are finalized batch-side from the
+    sink, so the result is a SET — arrival-order-independent and equal
+    to the batch self-join (the DuckDB oracle). State per hash is the
+    distinct-doc list, ∝ cross-doc dup rate — the same bound as the
+    batch design's groupBy."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..operators.dedup import W_SUB
+
+    stream = documents_stream(spark, sf_dir)
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    windows = F.when(
+        F.size(ws) >= W_SUB,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(ws) - (W_SUB - 1)),
+                lambda i: F.md5(
+                    F.array_join(F.slice(ws, i, W_SUB), " ").cast("binary")
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    win = stream.select("doc_id", F.explode(windows).alias("h"))
+
+    out_schema = StructType(
+        [
+            StructField("h", StringType()),
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+        ]
+    )
+    state_schema = StructType([StructField("ids", ArrayType(LongType()))])
+
+    def update(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        (seen,) = state.get if state.exists else ([],)
+        seen = list(seen)
+        h = key[0]
+        out_a, out_b = [], []
+        for pdf in pdf_iter:
+            for doc_id in pdf["doc_id"].astype("int64"):
+                doc_id = int(doc_id)
+                if doc_id in seen:
+                    continue  # distinct (h, doc) — batch DISTINCT semantics
+                for prev in seen:
+                    lo, hi = (prev, doc_id) if prev < doc_id else (doc_id, prev)
+                    out_a.append(lo)
+                    out_b.append(hi)
+                seen.append(doc_id)
+        state.update((seen,))
+        if out_a:
+            yield pd.DataFrame(
+                {"h": [h] * len(out_a), "id_a": out_a, "id_b": out_b}
+            )
+
+    res = win.groupBy("h").applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+    raw = _run_to_completion(res, "stream_substr", "append")
+    # batch-side finalize: one (h, pair) row can only form once, so the
+    # per-pair count of rows IS the shared-window count.
+    return (
+        raw.groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("n_shared_windows"))
+        .orderBy("id_a", "id_b")
+    )

@@ -116,3 +116,20 @@ def test_lm_coverage_semantics(spark, sf_dir):
         assert r.n_tri > 0
         if r.doc_id % 10 == 0:
             assert r.oov_micros == 0, r  # its own trigrams are in the model
+
+
+def test_curation_mix_weights_sum_to_one(spark, sf_dir):
+    """Sampling weights are a distribution (sum ≈ 1 up to per-bucket
+    rounding), sqrt-temperature flattens the mix (largest bucket's
+    weight share < its token share), and dup/quality stay in range."""
+    rows = tx.QUERIES["text_curation_mix"](spark, sf_dir).collect()
+    assert rows
+    total_w = sum(r.sample_weight for r in rows)
+    assert abs(total_w - 1.0) < 1e-4 * len(rows)
+    total_tok = sum(r.n_tokens for r in rows)
+    big = max(rows, key=lambda r: r.n_tokens)
+    if len(rows) > 1:
+        assert big.sample_weight < big.n_tokens / total_tok + 1e-9
+    for r in rows:
+        assert 0.0 <= r.dup_rate <= 1.0
+        assert 0.0 <= r.mean_quality <= 1.0
