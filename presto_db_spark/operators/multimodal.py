@@ -527,3 +527,153 @@ def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = docs.select("doc_id").mapInPandas(_wav_encode_batches, _BMP_SCHEMA)
     feats = media.mapInPandas(_wav_decode_batches, _WAV_FEAT_SCHEMA)
     return feats.orderBy("doc_id")
+
+
+# --- PPM (P6) codec round-trip + integer box downsample ---------------------
+# A third stdlib-decodable container next to BMP/WAV: Netpbm P6 has an
+# ASCII header (magic, optional comments, arbitrary whitespace) in front
+# of raw big-endian RGB bytes — the decode stage exercises a real
+# tokenizing header parser, not fixed struct offsets. The feature stage
+# then 2x2 box-downsamples the decoded raster with integer floor means —
+# the resize primitive a training pipeline runs after decode — and the
+# oracle predicts the downsampled channel sums closed-form.
+
+_PPM_FEAT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_payload_bytes", T.LongType()),
+        T.StructField("ds_width", T.IntegerType()),
+        T.StructField("ds_height", T.IntegerType()),
+        T.StructField("ds_sum_r", T.LongType()),
+        T.StructField("ds_sum_g", T.LongType()),
+        T.StructField("ds_sum_b", T.LongType()),
+    ]
+)
+
+
+def _ppm_encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """doc_id → a real P6 .ppm file (ASCII header incl. a comment line,
+    then raw RGB). Even dimensions so the 2x2 downsample is exact."""
+    for pdf in batches:
+        payloads = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            w, h = 8 + 2 * (d % 5), 4 + 2 * (d % 3)
+            header = b"P6\n# synth\n" + f"{w} {h}\n255\n".encode()
+            raster = bytearray()
+            for y in range(h):
+                for x in range(w):
+                    raster += bytes(
+                        (
+                            (d * 3 + x * 7 + y * 11) % 256,
+                            (d * 5 + x * 13 + y * 3) % 256,
+                            (d * 7 + x + y * 17) % 256,
+                        )
+                    )
+            payloads.append(header + bytes(raster))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def _ppm_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Tokenizing P6 parser: skip comments/whitespace, read magic + dims +
+    maxval, then the raster; 2x2 integer box means (floor of the 4-pixel
+    sum / 4) feed the downsampled channel sums."""
+    for pdf in batches:
+        out = {k: [] for k in (
+            "doc_id", "width", "height", "n_payload_bytes",
+            "ds_width", "ds_height", "ds_sum_r", "ds_sum_g", "ds_sum_b")}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            buf = bytes(payload)
+            pos = 0
+
+            def token():
+                nonlocal pos
+                while True:
+                    while pos < len(buf) and buf[pos : pos + 1].isspace():
+                        pos += 1
+                    if pos < len(buf) and buf[pos : pos + 1] == b"#":
+                        while pos < len(buf) and buf[pos] != 0x0A:
+                            pos += 1
+                        continue
+                    break
+                start = pos
+                while pos < len(buf) and not buf[pos : pos + 1].isspace():
+                    pos += 1
+                return buf[start:pos]
+
+            assert token() == b"P6", "not a P6 payload"
+            w, h, maxval = int(token()), int(token()), int(token())
+            assert maxval == 255
+            pos += 1  # single whitespace after maxval
+            raster = buf[pos:]
+            assert len(raster) == 3 * w * h
+            dw, dh = w // 2, h // 2
+            sr = sg = sb = 0
+            for by in range(dh):
+                for bx in range(dw):
+                    cr = cg = cb = 0
+                    for dy in (0, 1):
+                        for dx in (0, 1):
+                            p = 3 * ((2 * by + dy) * w + (2 * bx + dx))
+                            cr += raster[p]
+                            cg += raster[p + 1]
+                            cb += raster[p + 2]
+                    sr += cr // 4
+                    sg += cg // 4
+                    sb += cb // 4
+            out["doc_id"].append(int(doc_id))
+            out["width"].append(w)
+            out["height"].append(h)
+            out["n_payload_bytes"].append(len(buf))
+            out["ds_width"].append(dw)
+            out["ds_height"].append(dh)
+            out["ds_sum_r"].append(sr)
+            out["ds_sum_g"].append(sg)
+            out["ds_sum_b"].append(sb)
+        yield pd.DataFrame(out)
+
+
+def _ppm_chan_sql(a: int, xm: int, ym: int) -> str:
+    """Closed-form downsampled channel sum: per 2x2 block, floor of the
+    4-pixel sum of ((doc_id*a + x*xm + y*ym) % 256) over 4."""
+    px = f"((doc_id * {a} + (2 * bx + dx) * {xm} + (2 * by + dy) * {ym}) % 256)"
+    return (
+        "CAST(list_sum(flatten(list_transform(generate_series(0, h//2 - 1), by -> "
+        "list_transform(generate_series(0, w//2 - 1), bx -> "
+        f"list_sum(flatten(list_transform([0, 1], dy -> "
+        f"list_transform([0, 1], dx -> {px})))) // 4)))) AS BIGINT)"
+    )
+
+
+_PPM_ORACLE = f"""
+WITH g AS (
+  SELECT doc_id, 8 + 2 * (doc_id % 5) AS w, 4 + 2 * (doc_id % 3) AS h
+  FROM documents WHERE doc_id < 300
+)
+SELECT doc_id,
+       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST(17 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR))
+            + 3 * w * h AS BIGINT) AS n_payload_bytes,
+       CAST(w // 2 AS INTEGER) AS ds_width,
+       CAST(h // 2 AS INTEGER) AS ds_height,
+       {_ppm_chan_sql(3, 7, 11)} AS ds_sum_r,
+       {_ppm_chan_sql(5, 13, 3)} AS ds_sum_g,
+       {_ppm_chan_sql(7, 1, 17)} AS ds_sum_b
+FROM g
+ORDER BY doc_id
+"""
+
+
+@_q("multimodal_ppm_downsample", _PPM_ORACLE)
+def multimodal_ppm_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL P6 codec + resize primitive: encode a .ppm per doc (ASCII
+    header with a comment line + raw RGB), PARSE it back with a
+    tokenizing header reader in a separate Arrow stage, 2x2 integer box
+    downsample, and emit downsampled channel sums the oracle predicts
+    closed-form. Shuffle-free at any scale (two chained mapInPandas)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    media = docs.select("doc_id").mapInPandas(_ppm_encode_batches, _BMP_SCHEMA)
+    feats = media.mapInPandas(_ppm_decode_batches, _PPM_FEAT_SCHEMA)
+    return feats.orderBy("doc_id")
