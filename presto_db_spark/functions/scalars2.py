@@ -26,9 +26,11 @@ mix, no consumer in the corpus), ``empty_approx_set``/``merge_hll``
 (HLL sketch VALUES are served by the Spark-native ``hll_sketch_agg`` /
 ``hll_union`` family in ``operators/sketch.py``; ``combinations`` is a
 type-generic dialect template — ``_COMBINATIONS_TEMPLATE`` in
-``dialect.py``), ``timezone_hour``/``timezone_minute`` (need the
-retained zone of a timestamp-with-time-zone — the documented model gap
-in ``operators/timetypes.py``).
+``dialect.py``).  ``timezone_hour``/``timezone_minute`` are registered
+with SESSION-zone semantics (the retained-zone form needs a
+timestamp-with-time-zone type — the documented model gap in
+``operators/timetypes.py``; for zone-less literals the session-zone
+offset is exactly the reference's answer).
 """
 
 from __future__ import annotations
@@ -86,6 +88,22 @@ SQL_FUNCTIONS_2 = [
     "CREATE OR REPLACE TEMPORARY FUNCTION url_extract_port(u STRING) "
     "RETURNS BIGINT RETURN cast(nullif(regexp_extract("
     "parse_url(u, 'AUTHORITY'), ':([0-9]+)$', 1), '') AS BIGINT)",
+    # DateTimeFunctions.java week_of_year alias (= week = weekofyear).
+    "CREATE OR REPLACE TEMPORARY FUNCTION week_of_year(x DATE) "
+    "RETURNS INT RETURN weekofyear(x)",
+    # DateTimeFunctions.java timezone_hour/minute: the reference reads the
+    # RETAINED zone of a timestamp-with-time-zone value; Spark timestamps
+    # are zone-less instants (documented model, operators/timetypes.py),
+    # so these return the SESSION zone's offset at that instant — exactly
+    # what the reference gives for a zone-less timestamp literal.
+    "CREATE OR REPLACE TEMPORARY FUNCTION timezone_hour(x TIMESTAMP) "
+    "RETURNS BIGINT RETURN CAST((to_unix_timestamp(x) - "
+    "to_unix_timestamp(to_utc_timestamp(x, current_timezone()))) div 3600 "
+    "AS BIGINT)",
+    "CREATE OR REPLACE TEMPORARY FUNCTION timezone_minute(x TIMESTAMP) "
+    "RETURNS BIGINT RETURN CAST(((to_unix_timestamp(x) - "
+    "to_unix_timestamp(to_utc_timestamp(x, current_timezone()))) % 3600) "
+    "div 60 AS BIGINT)",
 ]
 
 

@@ -383,3 +383,169 @@ def test_product_golden_insert(engine, case):
             remaining.remove(hit)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+# --- SHOW FUNCTIONS registration dumps, replayed as a coverage gate ---------
+# The 10 check*FunctionsRegistered pairs carry `ignoreExcessRows: true` —
+# the reference's own check is "every listed function appears in SHOW
+# FUNCTIONS", not a full-table compare. The signature TEXT cannot be
+# replayed without copying reference metadata into the repo, so the gate
+# here asserts the SEMANTIC content: every function name the reference's
+# dumps list is actually invocable through Engine.sql.
+
+_DUMP_PROBE_ARGS = {
+    # families whose canonical probe needs specific argument shapes
+    "approx_percentile": "approx_percentile(x, 0.5)",
+    "approx_distinct": "approx_distinct(x)",
+    "approx_set": "approx_set(x)",
+    "pi": "pi()",
+    "nan": "nan()",
+    "infinity": "infinity()",
+    "e": "e()",
+    "map": "map(ARRAY[1], ARRAY[2])",
+    "map_agg": "map_agg(x, x)",
+    "map_keys": "map_keys(map(ARRAY[1], ARRAY[2]))",
+    "map_values": "map_values(map(ARRAY[1], ARRAY[2]))",
+    "regexp_extract": "regexp_extract('ab1', '[0-9]')",
+    "regexp_extract_all": "regexp_extract_all('ab1', '[0-9]')",
+    "regexp_like": "regexp_like('ab1', '[0-9]')",
+    "regexp_replace": "regexp_replace('ab1', '[0-9]', '')",
+    "regexp_split": "regexp_split('a1b', '[0-9]')",
+    "split": "split('a,b', ',')",
+    "split_part": "split_part('a,b', ',', 1)",
+    "nth_value": "nth_value(x, 1) OVER (ORDER BY x)",
+    "ntile": "ntile(2) OVER (ORDER BY x)",
+    "rank": "rank() OVER (ORDER BY x)",
+    "dense_rank": "dense_rank() OVER (ORDER BY x)",
+    "row_number": "row_number() OVER (ORDER BY x)",
+    "percent_rank": "percent_rank() OVER (ORDER BY x)",
+    "cume_dist": "cume_dist() OVER (ORDER BY x)",
+    "max_by": "max_by(x, x)",
+    "min_by": "min_by(x, x)",
+    "corr": "corr(x, x)",
+    "covar_pop": "covar_pop(x, x)",
+    "covar_samp": "covar_samp(x, x)",
+    "regr_intercept": "regr_intercept(x, x)",
+    "regr_slope": "regr_slope(x, x)",
+    "date_add": "date_add('day', 1, DATE '2001-01-01')",
+    "date_diff": "date_diff('day', DATE '2001-01-01', DATE '2001-01-02')",
+    "date_format": "date_format(TIMESTAMP '2001-01-01 00:00:00', '%Y')",
+    "date_parse": "date_parse('2001-01-01', '%Y-%m-%d')",
+    "date_trunc": "date_trunc('day', TIMESTAMP '2001-01-01 01:02:03')",
+    "format_datetime": "format_datetime(TIMESTAMP '2001-01-01 00:00:00', 'yyyy')",
+    "parse_datetime": "parse_datetime('2001-01-01', 'yyyy-MM-dd')",
+    "from_unixtime": "from_unixtime(0)",
+    "to_unixtime": "to_unixtime(TIMESTAMP '2001-01-01 00:00:00')",
+    "from_iso8601_date": "from_iso8601_date('2001-01-01')",
+    "from_iso8601_timestamp": "from_iso8601_timestamp('2001-01-01T01:02:03Z')",
+    "from_base64": "from_base64(to_base64(CAST('x' AS VARBINARY)))",
+    "from_base64url": "from_base64url(to_base64url(CAST('x' AS VARBINARY)))",
+    "to_base64": "to_base64(CAST('x' AS VARBINARY))",
+    "to_base64url": "to_base64url(CAST('x' AS VARBINARY))",
+    "to_hex": "to_hex(CAST('x' AS VARBINARY))",
+    "json_array_contains": "json_array_contains('[1]', 1)",
+    "json_array_get": "json_array_get('[1]', 0)",
+    "json_array_length": "json_array_length('[1]')",
+    "json_extract": "json_extract('{\"a\": 1}', '$.a')",
+    "json_extract_scalar": "json_extract_scalar('{\"a\": 1}', '$.a')",
+    "json_format": "json_format(json_parse('[1]'))",
+    "json_parse": "json_parse('[1]')",
+    "json_size": "json_size('{\"a\": [1]}', '$.a')",
+    "url_extract_parameter": "url_extract_parameter('http://h/p?k=v', 'k')",
+    "array_distinct": "array_distinct(ARRAY[1, 1])",
+    "array_intersect": "array_intersect(ARRAY[1], ARRAY[1])",
+    "array_sort": "array_sort(ARRAY[2, 1])",
+    "contains": "contains(ARRAY[1], 1)",
+    "concat": "concat('a', 'b')",
+    "cardinality": "cardinality(ARRAY[1])",
+    "substr": "substr('abc', 1, 2)",
+    "strpos": "strpos('abc', 'b')",
+    "strrpos": "strrpos('abc', 'b')",
+    "replace": "replace('abc', 'b', '')",
+    "mod": "mod(7, 3)",
+    "pow": "pow(2, 3)",
+    "power": "power(2, 3)",
+    "atan2": "atan2(1, 1)",
+    "round": "round(1.5)",
+    "truncate": "truncate(1.5)",
+    "width_bucket": "width_bucket(3, 0, 10, 5)",
+    "greatest": "greatest(1, 2)",
+    "count_if": "count_if(x > 0)",
+    "bool_and": "bool_and(x > 0)",
+    "bool_or": "bool_or(x > 0)",
+    "every": "every(x > 0)",
+    "chr": "chr(65)",
+    "day_of_week": "day_of_week(DATE '2001-01-01')",
+    "minute": "minute(TIMESTAMP '2001-01-01 01:02:03')",
+    "hour": "hour(TIMESTAMP '2001-01-01 01:02:03')",
+    "second": "second(TIMESTAMP '2001-01-01 01:02:03')",
+    "day": "day(DATE '2001-01-01')",
+    "month": "month(DATE '2001-01-01')",
+    "year": "year(DATE '2001-01-01')",
+    "quarter": "quarter(DATE '2001-01-01')",
+    "week": "week(DATE '2001-01-01')",
+    "dow": "dow(DATE '2001-01-01')",
+    "doy": "doy(DATE '2001-01-01')",
+    "yow": "yow(DATE '2001-01-01')",
+    "day_of_month": "day_of_month(DATE '2001-01-01')",
+    "day_of_year": "day_of_year(DATE '2001-01-01')",
+    "week_of_year": "week_of_year(DATE '2001-01-01')",
+    "year_of_week": "year_of_week(DATE '2001-01-01')",
+    "timezone_hour": "timezone_hour(TIMESTAMP '2001-01-01 00:00:00')",
+    "timezone_minute": "timezone_minute(TIMESTAMP '2001-01-01 00:00:00')",
+    "current_timezone": "current_timezone()",
+    "localtime": "localtime",
+    "localtimestamp": "localtimestamp",
+    "current_date": "current_date",
+    "current_time": "current_time",
+    "current_timestamp": "current_timestamp",
+    "now": "now()",
+    "rand": "rand()",
+    "random": "random()",
+    "url_extract_fragment": "url_extract_fragment('http://h/p#f')",
+    "url_extract_host": "url_extract_host('http://h/p')",
+    "url_extract_path": "url_extract_path('http://h/p')",
+    "url_extract_port": "url_extract_port('http://h:80/p')",
+    "url_extract_protocol": "url_extract_protocol('http://h/p')",
+    "url_extract_query": "url_extract_query('http://h/p?a=1')",
+    "length": "length('abc')",
+}
+
+_AGGS = {
+    "avg", "sum", "min", "max", "count", "arbitrary", "geometric_mean",
+    "stddev", "stddev_pop", "stddev_samp", "var_pop", "var_samp",
+    "variance",
+}
+
+
+def _dump_names():
+    import glob
+
+    names = set()
+    for f in glob.glob(f"{ROOT}/testcases/*/*.sql"):
+        if "show functions" not in open(f).read().lower():
+            continue
+        res = f[:-4] + ".result"
+        for line in open(res):
+            m = re.match(r"\s*([a-z_0-9]+)\s*\|", line)
+            if m:
+                names.add(m.group(1))
+    return sorted(names)
+
+
+def test_show_functions_dumps_all_invocable(engine):
+    names = _dump_names()
+    assert len(names) >= 140, f"dump parse broke: {len(names)}"
+    failures = []
+    for n in names:
+        if n in _DUMP_PROBE_ARGS:
+            expr = _DUMP_PROBE_ARGS[n]
+        elif n in _AGGS:
+            expr = f"{n}(x)"
+        else:
+            expr = f"{n}(CAST(x AS DOUBLE))"  # unary math default
+        try:
+            engine.sql(f"SELECT {expr} AS v FROM (VALUES 1, 2) t(x)").collect()
+        except Exception as e:
+            failures.append((n, str(e).split(chr(10))[0][:90]))
+    assert not failures, failures

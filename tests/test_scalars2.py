@@ -203,3 +203,14 @@ def test_combinations_template(engine):
 
     with _pytest.raises(Exception, match="must not be greater than 5"):
         engine.sql("SELECT combinations(ARRAY[1], 6)").collect()
+
+
+def test_timezone_offset_and_week_of_year(engine):
+    """timezone_hour/minute = session-zone offset (UTC session → 0; the
+    documented zone-less-timestamp model), week_of_year = ISO week."""
+    assert _one(
+        engine,
+        "SELECT timezone_hour(TIMESTAMP '2001-08-22 03:04:05'), "
+        "timezone_minute(TIMESTAMP '2001-08-22 03:04:05'), "
+        "week_of_year(DATE '2001-08-22'), week(DATE '2001-08-22')",
+    ) == (0, 0, 34, 34)
