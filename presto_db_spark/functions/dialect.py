@@ -982,12 +982,17 @@ def _combo_branch(n: int) -> str:
 
 
 _COMBINATIONS_TEMPLATE = (
-    "(CASE WHEN ({b}) = 0 THEN array(slice({a}, 1, 0)) "
+    # NULL n propagates NULL (scalar null semantics); the two error
+    # branches carry the reference's own messages
+    # (ArrayCombinationsFunction.java:59-60, MAX_COMBINATION_LENGTH = 5)
+    "(CASE WHEN ({b}) IS NULL THEN NULL "
+    "WHEN ({b}) < 0 THEN "
+    "raise_error('combination size must not be negative') "
+    "WHEN ({b}) = 0 THEN array(slice({a}, 1, 0)) "
     + " ".join(
         f"WHEN ({{b}}) = {n} THEN {_combo_branch(n)}" for n in range(1, 6)
     )
-    # the reference caps n at 5 (CombinationsFunction.java MAX_COMBINATION_LENGTH)
-    + " ELSE raise_error('combinations: n must not be greater than 5') END)"
+    + " ELSE raise_error('combination size must not exceed 5') END)"
 )
 
 

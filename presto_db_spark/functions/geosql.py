@@ -211,19 +211,38 @@ _GEO_FUNCTIONS: list[str] = [
 ]
 
 
-# ring / part strings of POLYGON / MULTI* (strip the type head + outer
-# parens, split on the ')...(' seams, drop residual parens)
+# body of a geometry = text after the type head and outer paren pair
+_GBODY = (
+    "regexp_replace(regexp_replace({g}, '^\\\\s*[A-Z]+\\\\s*\\\\(', ''), "
+    "'\\\\)\\\\s*$', '')"
+)
+# ring / part strings of POLYGON / MULTILINESTRING (split the body on the
+# ')...(' seams, drop residual parens)
 _PARTS_MULTI = (
-    "transform(split(regexp_replace(regexp_replace({g}, '^\\\\s*[A-Z]+\\\\s*\\\\(', "
-    "''), '\\\\)\\\\s*$', ''), '\\\\)\\\\s*,\\\\s*\\\\('), "
+    "transform(split(" + _GBODY + ", '\\\\)\\\\s*,\\\\s*\\\\('), "
     "p -> regexp_replace(p, '[()]', ''))"
+)
+# MULTIPOINT accepts BOTH WKT forms — '((1 2), (3 4))' and flat
+# '(1 2, 3 4)' — so its parts split on commas, parens stripped per element
+_PARTS_MPOINT = (
+    "transform(split(" + _GBODY + ", ','), "
+    "p -> trim(regexp_replace(p, '[()]', '')))"
+)
+# MULTIPOLYGON parts split on the POLYGON seams '))...((' so a polygon's
+# interior rings stay inside their own part; per-part cleanup strips the
+# residual outer paren pair only
+_PARTS_MPOLY = (
+    "transform(split(" + _GBODY + ", '\\\\)\\\\)\\\\s*,\\\\s*\\\\(\\\\('), "
+    "p -> regexp_replace(regexp_replace(p, '^\\\\s*\\\\(\\\\(', ''), "
+    "'\\\\)\\\\)\\\\s*$', ''))"
 )
 
 _GEO_FUNCTIONS += [
     # ST_LineFromText (GeoFunctions.java:137) — LINESTRING-only validation
+    # (word-boundary anchor: 'LINESTRINGX...' must NOT pass)
     _fn(
         "st_linefromtext", "s STRING", "STRING",
-        "CASE WHEN trim(s) RLIKE '^LINESTRING' THEN trim(s) "
+        "CASE WHEN trim(s) RLIKE '^LINESTRING\\\\s*\\\\(' THEN trim(s) "
         "ELSE CAST(raise_error(concat('ST_LineFromText: not a LINESTRING: ', s)) "
         "AS STRING) END",
     ),
@@ -244,13 +263,13 @@ _GEO_FUNCTIONS += [
     _fn(
         "st_geometries", "g STRING", "ARRAY<STRING>",
         "CASE WHEN " + _TYPE.format(g="g") + " = 'MULTIPOINT' THEN "
-        "transform(" + _PARTS_MULTI.format(g="g")
-        + ", p -> concat('POINT (', trim(p), ')')) "
+        "transform(" + _PARTS_MPOINT.format(g="g")
+        + ", p -> concat('POINT (', p, ')')) "
         "WHEN " + _TYPE.format(g="g") + " = 'MULTILINESTRING' THEN "
         "transform(" + _PARTS_MULTI.format(g="g")
         + ", p -> concat('LINESTRING (', trim(p), ')')) "
         "WHEN " + _TYPE.format(g="g") + " = 'MULTIPOLYGON' THEN "
-        "transform(" + _PARTS_MULTI.format(g="g")
+        "transform(" + _PARTS_MPOLY.format(g="g")
         + ", p -> concat('POLYGON ((', trim(p), '))')) "
         "ELSE array(g) END",
     ),
@@ -270,7 +289,11 @@ _GEO_FUNCTIONS += [
     ),
     _fn(
         "st_numgeometries", "g STRING", "INT",
-        "CAST(CASE WHEN " + _TYPE.format(g="g") + " LIKE 'MULTI%' THEN "
+        "CAST(CASE WHEN " + _TYPE.format(g="g") + " = 'MULTIPOINT' THEN "
+        "size(" + _PARTS_MPOINT.format(g="g") + ") "
+        "WHEN " + _TYPE.format(g="g") + " = 'MULTIPOLYGON' THEN "
+        "size(" + _PARTS_MPOLY.format(g="g") + ") "
+        "WHEN " + _TYPE.format(g="g") + " LIKE 'MULTI%' THEN "
         "size(" + _PARTS_MULTI.format(g="g") + ") ELSE 1 END AS INT)",
     ),
 ]

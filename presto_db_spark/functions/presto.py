@@ -490,14 +490,66 @@ def _parse_datetime_py(s: str | None, fmt: str | None):
     return datetime.datetime.strptime(s, _joda_to_py(fmt))
 
 
+_MONTHS = ["January", "February", "March", "April", "May", "June", "July",
+           "August", "September", "October", "November", "December"]
+_DAYS = ["Monday", "Tuesday", "Wednesday", "Thursday", "Friday",
+         "Saturday", "Sunday"]
+
+# Format-direction Joda fields with JODA WIDTH SEMANTICS (single letter =
+# no padding — 'M/d' renders 2/3, matching what the literal path's JVM
+# date_format produces; strftime cannot express unpadded or 3-digit-milli
+# fields portably, so this is a direct field walker, not a strftime map).
+_JODA_FMT_FIELDS = [
+    ("yyyy", lambda t: f"{t.year:04d}"), ("yy", lambda t: f"{t.year % 100:02d}"),
+    ("MMMM", lambda t: _MONTHS[t.month - 1]),
+    ("MMM", lambda t: _MONTHS[t.month - 1][:3]),
+    ("MM", lambda t: f"{t.month:02d}"), ("M", lambda t: str(t.month)),
+    ("dd", lambda t: f"{t.day:02d}"), ("d", lambda t: str(t.day)),
+    ("HH", lambda t: f"{t.hour:02d}"), ("H", lambda t: str(t.hour)),
+    ("hh", lambda t: f"{(t.hour % 12) or 12:02d}"),
+    ("h", lambda t: str((t.hour % 12) or 12)),
+    ("mm", lambda t: f"{t.minute:02d}"), ("m", lambda t: str(t.minute)),
+    ("ss", lambda t: f"{t.second:02d}"), ("s", lambda t: str(t.second)),
+    ("SSS", lambda t: f"{t.microsecond // 1000:03d}"),
+    ("a", lambda t: "AM" if t.hour < 12 else "PM"),
+    ("EEEE", lambda t: _DAYS[t.weekday()]),
+    ("EEE", lambda t: _DAYS[t.weekday()][:3]),
+    # zone-less instants carry the session zone (UTC) — offset +0000
+    ("ZZ", lambda t: "+00:00"), ("Z", lambda t: "+0000"),
+]
+
+
 def _format_datetime_py(ts, fmt: str | None):
     """Presto format_datetime(timestamp, joda_format) — the output mirror
     of parse_datetime (DateTimeFunctions.java formatDatetime). Literal
     Joda formats are rewritten to JVM ``date_format`` by the dialect pass
-    (`_LITERAL_FORMAT_REWRITES`); this UDF is the non-literal fallback."""
+    (`_LITERAL_FORMAT_REWRITES`); this UDF is the non-literal fallback and
+    walks the Joda fields directly so widths match the literal path
+    (strftime would zero-pad single-letter fields and cannot emit
+    3-digit milliseconds)."""
     if ts is None or fmt is None:
         return None
-    return ts.strftime(_joda_to_py(fmt))
+    out: list[str] = []
+    i = 0
+    while i < len(fmt):
+        if fmt[i] == "'":  # Joda literal quoting: 'T', '' = literal quote
+            end = fmt.find("'", i + 1)
+            if end == i + 1:
+                out.append("'")
+                i += 2
+                continue
+            out.append(fmt[i + 1 : end if end != -1 else len(fmt)])
+            i = (end if end != -1 else len(fmt)) + 1
+            continue
+        for joda, render in _JODA_FMT_FIELDS:
+            if fmt.startswith(joda, i):
+                out.append(render(ts))
+                i += len(joda)
+                break
+        else:
+            out.append(fmt[i])
+            i += 1
+    return "".join(out)
 
 
 # Teradata-compat date tokens (presto-teradata-functions/.../dateformat/

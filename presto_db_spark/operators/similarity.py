@@ -767,10 +767,13 @@ def _assign_sim_impl(vecs, cent_ids, cent_vecs):
     order = np.argsort(-sims, axis=1, kind="stable")
     best = order[:, 0]
     cids = np.asarray(cent_ids)
+    # RAW csim — rounding happens in the plan via F.round so it matches
+    # the oracle's round() exactly (np.round is half-to-even, a different
+    # rule at .5 boundaries, and the rounded value drives the keeper rule)
     return pd.DataFrame(
         {
             "cid": cids[best],
-            "csim": np.round(sims[np.arange(n), best], 6),
+            "csim": sims[np.arange(n), best],
         }
     )
 
@@ -847,7 +850,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "embedding",
         F.col("a.cid").alias("cid"),
-        F.col("a.csim").alias("csim"),
+        F.round(F.col("a.csim"), 6).alias("csim"),
     )
     # three consumers (members / pairs / removed) — a lazy localCheckpoint
     # runs the Arrow assignment over the corpus ONCE instead of per branch

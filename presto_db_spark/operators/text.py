@@ -732,12 +732,12 @@ WITH per_doc AS (
   SELECT source, lang,
          md5(text) AS h,
          len(string_split_regex(trim(text), '\\s+')) AS n_tok,
-         CAST(round((least(len(string_split_regex(trim(text), '\\s+')) / 50.0, 1.0)
+         CAST(round(round((least(len(string_split_regex(trim(text), '\\s+')) / 50.0, 1.0)
               + (1 - least(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
                            / (length(text) + 1) * 5, 1.0))
               + least(len(list_intersect(list_distinct(string_split_regex(trim(text), '\\s+')),
                                          ['the', 'and', 'of', 'to', 'a'])) / 3.0, 1.0))
-              / 3 * 1000000) AS BIGINT) AS q_micros
+              / 3, 6) * 1000000) AS BIGINT) AS q_micros
   FROM documents
 ), g AS (
   SELECT source, lang,

@@ -818,14 +818,16 @@ def streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- streaming cross-document substring-span dedup --------------------------
 
-_STREAM_SUBSTR_SQL = """
+from ..operators.dedup import W_SUB as _W_SUB
+
+_STREAM_SUBSTR_SQL = f"""
 WITH win AS (
   SELECT DISTINCT doc_id,
          md5(array_to_string(
-           string_split_regex(trim(text), '\\s+')[i:i+7], ' ')) AS h
+           string_split_regex(trim(text), '\\s+')[i:i+{_W_SUB - 1}], ' ')) AS h
   FROM documents,
        LATERAL unnest(generate_series(1,
-         greatest(len(string_split_regex(trim(text), '\\s+')) - 7, 0)
+         greatest(len(string_split_regex(trim(text), '\\s+')) - {_W_SUB - 1}, 0)
        )) AS t(i)
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,

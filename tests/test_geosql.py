@@ -132,3 +132,28 @@ def test_st_functions_stay_jvm(engine, spark, sf_dir):
     s = df._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in s, s[:1500]
     spark.catalog.dropTempView("cust_geo")
+
+
+def test_multi_geometry_forms(engine):
+    """Review regressions: flat MULTIPOINT form, MULTIPOLYGON with
+    interior rings (ring seams must NOT split a polygon), LINESTRING
+    word-boundary validation."""
+    assert engine.sql(
+        "SELECT ST_NumGeometries(ST_GeometryFromText('MULTIPOINT (1 2, 3 4)')) v"
+    ).collect()[0][0] == 2
+    assert engine.sql(
+        "SELECT ST_Geometries(ST_GeometryFromText('MULTIPOINT (1 2, 3 4)')) v"
+    ).collect()[0][0] == ["POINT (1 2)", "POINT (3 4)"]
+    mp = ("MULTIPOLYGON (((0 0, 4 0, 4 4, 0 0), (1 1, 2 1, 1 2, 1 1)), "
+          "((9 9, 10 9, 9 10, 9 9)))")
+    assert engine.sql(
+        f"SELECT ST_NumGeometries(ST_GeometryFromText('{mp}')) v"
+    ).collect()[0][0] == 2
+    assert engine.sql(
+        f"SELECT ST_Geometries(ST_GeometryFromText('{mp}')) v"
+    ).collect()[0][0] == [
+        "POLYGON ((0 0, 4 0, 4 4, 0 0), (1 1, 2 1, 1 2, 1 1))",
+        "POLYGON ((9 9, 10 9, 9 10, 9 9))",
+    ]
+    with pytest.raises(Exception, match="not a LINESTRING"):
+        engine.sql("SELECT ST_LineFromText('LINESTRINGXYZ') v").collect()

@@ -201,7 +201,7 @@ def test_combinations_template(engine):
     )
     import pytest as _pytest
 
-    with _pytest.raises(Exception, match="must not be greater than 5"):
+    with _pytest.raises(Exception, match="must not exceed 5"):
         engine.sql("SELECT combinations(ARRAY[1], 6)").collect()
 
 
@@ -214,3 +214,27 @@ def test_timezone_offset_and_week_of_year(engine):
         "timezone_minute(TIMESTAMP '2001-08-22 03:04:05'), "
         "week_of_year(DATE '2001-08-22'), week(DATE '2001-08-22')",
     ) == (0, 0, 34, 34)
+
+
+def test_format_datetime_joda_widths_nonliteral(engine):
+    """Review regression: the non-literal UDF path must match the
+    literal JVM path's Joda width semantics — single-letter fields
+    unpadded, SSS = 3-digit milliseconds."""
+    got = _one(
+        engine,
+        "SELECT format_datetime(TIMESTAMP '2001-02-03 04:05:06.007', "
+        "concat('M', '/d/yyyy H:m:s.SSS')), "
+        "format_datetime(TIMESTAMP '2001-02-03 04:05:06.007', "
+        "'M/d/yyyy H:m:s.SSS')",
+    )
+    assert got[0] == got[1] == "2/3/2001 4:5:6.007"
+
+
+def test_combinations_null_and_negative(engine):
+    """NULL n propagates NULL; negative n carries the reference's
+    message (ArrayCombinationsFunction.java:59)."""
+    assert _one(engine, "SELECT combinations(ARRAY[1,2], CAST(NULL AS INT))") == (None,)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="must not be negative"):
+        engine.sql("SELECT combinations(ARRAY[1], -1)").collect()
