@@ -797,3 +797,124 @@ def text_curation_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("sample_weight"),
     ).orderBy("source", "lang")
+
+
+# --- DSIR-style importance weights (hashed n-gram target/background) --------
+#
+# Data Selection via Importance Resampling (Xie et al. 2023): score every
+# document by how much more likely its features are under a TARGET domain
+# distribution than under the BACKGROUND distribution, then keep the
+# top-scoring quarter. DSIR's features are HASHED n-grams — here character
+# trigrams bucketed by a portable integer hash into 256 buckets, so both
+# model tables are fixed-width (256 rows) and BROADCAST at any corpus
+# size. The weight is the log-free exact-rational variant: per bucket,
+# the add-one-smoothed count ratio in integer micros (integer floor
+# division — no ln(), whose last-ulp varies between libm and the JVM and
+# would break oracle bit-parity), accumulated with exact BIGINT sums.
+# Overflow bound: ratio ≤ (t_b+1)·10^6 needs t_b < 9.2·10^12 per bucket —
+# at 100 TB of text (~10^14 chars / 256 buckets ≈ 4·10^11) still safe.
+#
+# target = lang='en' documents; background = the held-out doc_id%10=0
+# slice (same slice the lm_coverage model uses). Selection = top quarter
+# by (score, doc_id) — an exact integer rank, not a float percentile.
+
+_TRI_BUCKET = (
+    "((ascii(substring({t}, 1, 1)) * 961 + ascii(substring({t}, 2, 1)) * 31"
+    " + ascii(substring({t}, 3, 1))) % 256)"
+)
+
+_DSIR_SQL = f"""
+WITH tri AS (
+  SELECT doc_id, lang,
+         {_TRI_BUCKET.format(t='t')} AS b
+  FROM (
+    SELECT doc_id, lang,
+           unnest(list_transform(generate_series(1, len(text) - 2),
+                  i -> substring(text, i, 3))) AS t
+    FROM documents WHERE len(text) >= 3
+  )
+), tgt AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS tc FROM tri WHERE lang = 'en' GROUP BY b
+), bg AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS bc FROM tri
+  WHERE doc_id % 10 = 0 GROUP BY b
+), doc AS (
+  SELECT doc_id, b, CAST(count(*) AS BIGINT) AS n FROM tri
+  WHERE doc_id < 500 GROUP BY doc_id, b
+), scored AS (
+  SELECT d.doc_id,
+         CAST(sum(d.n) AS BIGINT) AS n_tris,
+         CAST(sum(d.n * (((coalesce(t.tc, 0) + 1) * 1000000)
+                         // (coalesce(g.bc, 0) + 1))) AS BIGINT) AS raw
+  FROM doc d
+  LEFT JOIN tgt t ON t.b = d.b
+  LEFT JOIN bg g ON g.b = d.b
+  GROUP BY d.doc_id
+), ranked AS (
+  SELECT doc_id, n_tris, raw // n_tris AS score_micros,
+         row_number() OVER (ORDER BY raw // n_tris DESC, doc_id) AS rn,
+         count(*) OVER () AS n_total
+  FROM scored
+)
+SELECT doc_id, n_tris, score_micros, (rn <= n_total // 4) AS selected
+FROM ranked ORDER BY doc_id
+"""
+
+
+@_q("text_dsir_weights", _DSIR_SQL)
+def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tri = docs.filter(F.length("text") >= 3).select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text") - 2),
+                lambda i: F.col("text").substr(i, F.lit(3)),
+            )
+        ).alias("t"),
+    ).selectExpr("doc_id", "lang", _TRI_BUCKET.format(t="t") + " AS b")
+    tgt = (
+        tri.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count("*").cast("long").alias("tc"))
+    )
+    bg = (
+        tri.filter(F.col("doc_id") % 10 == 0)
+        .groupBy("b")
+        .agg(F.count("*").cast("long").alias("bc"))
+    )
+    doc = (
+        tri.filter(F.col("doc_id") < 500)
+        .groupBy("doc_id", "b")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    scored = (
+        doc.join(F.broadcast(tgt), "b", "left")
+        .join(F.broadcast(bg), "b", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("long").alias("n_tris"),
+            F.sum(
+                F.expr("n * (((coalesce(tc, 0) + 1) * 1000000) div (coalesce(bc, 0) + 1))")
+            )
+            .cast("long")
+            .alias("raw"),
+        )
+    )
+    from pyspark.sql.window import Window as _W
+
+    ranked = scored.select(
+        "doc_id",
+        "n_tris",
+        F.expr("raw div n_tris").alias("score_micros"),
+    ).withColumn(
+        "rn",
+        F.row_number().over(_W.orderBy(F.desc("score_micros"), "doc_id")),
+    ).withColumn("n_total", F.count("*").over(_W.partitionBy()))
+    return ranked.select(
+        "doc_id",
+        "n_tris",
+        "score_micros",
+        F.expr("rn <= n_total div 4").alias("selected"),
+    ).orderBy("doc_id")
