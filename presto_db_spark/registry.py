@@ -21,6 +21,7 @@ _MODULES: list[str] = [
     "presto_db_spark.operators.relational",
     "presto_db_spark.operators.relational2",
     "presto_db_spark.operators.rangejoin",
+    "presto_db_spark.operators.indexjoin",
     "presto_db_spark.operators.skew",
     "presto_db_spark.operators.sketch",
     "presto_db_spark.operators.tdigest",
@@ -55,7 +56,7 @@ _MODULES: list[str] = [
 # (TPC-H spine, the hardest TPC-DS shapes, joins/set-ops/windows/subqueries,
 # sketches + t-digest, geospatial incl. the KdbTree join, range/as-of,
 # skew salting, the scalar corpus, text/dedup/similarity/multimodal
-# extension ops, streaming).  All 294 entries remain present and
+# extension ops, streaming).  All 295 entries remain present and
 # oracle-backed — this is ordering only, so a driver that instead pins a
 # fixed name list is unaffected.
 _BATTERY_HEAD: list[str] = [

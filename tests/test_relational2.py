@@ -32,3 +32,27 @@ def test_range_join_no_duplicates(spark, sf_dir):
     total = df.count()
     distinct = df.select("click_id", "purchase_id").distinct().count()
     assert total == distinct
+
+
+def test_index_lookup_join_plan_and_gate(spark, sf_dir):
+    """IndexJoinOperator analog (operators/indexjoin.py): the probe keys
+    must reach the indexed side's parquet scan as a pushed In() filter
+    (the row-group point-lookup), the probe side must broadcast, and the
+    applicability gate must refuse unbounded probes."""
+    import pytest as _pytest
+
+    from presto_db_spark.catalog import load_table
+    from presto_db_spark.operators import indexjoin as ij
+
+    df = ij.QUERIES["join_index_lookup"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert ("In(o_custkey" in plan) or ("EqualTo(o_custkey" in plan), plan[:2000]  # 1 key -> EqualTo
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    with _pytest.raises(ValueError, match="applicability bound"):
+        ij.index_lookup_join(
+            cust.select("c_custkey", "c_name"), orders,
+            "c_custkey", "o_custkey", max_keys=3,
+        )
