@@ -138,7 +138,10 @@ _sql_fragments = st.lists(
              "features", "classify", "regress", "learn_classifier",
              "learn_regressor", "random", "rand", "fail", "normalize",
              "multimap_from_entries", "qdigest_agg", "VARBINARY",
-             "map_union", "approx_set", "merge_hll"]
+             "map_union", "approx_set", "merge_hll",
+             # round-6 rewriter surface
+             "combinations", "format_datetime", "week_of_year",
+             "timezone_hour"]
         ),
         # string literals / quoted identifiers / comments with tricky content
         st.sampled_from(
@@ -298,3 +301,24 @@ def test_polygon_clip_invariants_random(spark, a_raw, b_raw):
 
     for p in row.cpts:
         assert inside(a, p.x, p.y) and inside(b, p.x, p.y), (p, a, b)
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**31 - 1),
+             min_size=1, max_size=8)
+)
+@settings(max_examples=60, deadline=None)
+def test_wkb_integer_bits_match_struct_pack(spark, vals):
+    """The pure-SQL exact-integer IEEE-754 encode (operators/wkt6.py
+    _SPARK_F64LE) equals struct.pack('<d') for ANY non-negative int
+    < 2^31, not just the fixture values — the formula's documented
+    domain."""
+    import struct
+
+    from presto_db_spark.operators.wkt6 import _SPARK_F64LE
+
+    rows = spark.createDataFrame([(v,) for v in vals], "v bigint").selectExpr(
+        "v", _SPARK_F64LE.format(v="v") + " AS h"
+    ).collect()
+    for r in rows:
+        assert r.h == struct.pack("<d", float(r.v)).hex(), r
