@@ -11,8 +11,10 @@ formula is written in the same operation order on the Spark side and in
 the DuckDB oracle, so intermediate doubles are bit-identical and the
 whole pipeline is value-checked, not rows-only.
 
-Algorithms (documented scope — convex rings, the shape every geometry in
-the driver corpus has):
+Algorithms (documented scope — convex CLIP rings; the SUBJECT ring may be
+concave, the algorithm's full Sutherland-Hodgman domain, pinned by analytic
+concave fixtures in ``tests/test_sketch_geo.py``; every geometry in the
+driver corpus is convex so oracle parity holds there too):
 
 * **clip** — Sutherland-Hodgman: fold the subject ring through the clip
   ring's 5 half-planes. Spark: one ``F.aggregate`` over the edge array
@@ -139,7 +141,8 @@ def _clip_once(pts: Column, ax, ay, bx, by) -> Column:
 
 
 def st_intersection_pts(subject: Column, clip: Column) -> Column:
-    """ST_Intersection of two convex open rings (clip ring CCW)."""
+    """ST_Intersection of two open rings (clip ring convex CCW; subject may
+    be concave — full Sutherland-Hodgman domain)."""
     return F.aggregate(
         _edges(clip),
         subject,

@@ -451,3 +451,37 @@ def test_de9im_canonical_matrices(spark, sf_dir):
         seen.add(r.de9im)
         assert r.de9im_self == "2FFF1FFF2" and r.relate_equals_self
     assert seen == {"FF2F01212", "FF2FF1212", "212101212"}
+
+
+def test_clip_kernel_concave_subject_analytic(spark):
+    """Sutherland-Hodgman's documented domain is wider than the convex
+    fixture: the SUBJECT ring may be concave (only the clip ring must be
+    convex). Pinned against hand-computed areas: an L-shape clipped by an
+    offset square (area 5), and a concave arrow fully inside the clip
+    (area 12 — the kernel must not destroy the notch)."""
+    from pyspark.sql import functions as F
+
+    from presto_db_spark.operators.wkt4 import st_area_ring, st_intersection_pts
+
+    def pts(coords):
+        body = ", ".join(
+            f"struct({x}d as x, {y}d as y)" for x, y in coords
+        )
+        return F.expr(f"array({body})")
+
+    df = spark.range(1).select(
+        st_area_ring(
+            st_intersection_pts(
+                pts([(0, 0), (4, 0), (4, 2), (2, 2), (2, 4), (0, 4)]),
+                pts([(1, 1), (5, 1), (5, 5), (1, 5)]),
+            )
+        ).alias("l_clip"),
+        st_area_ring(
+            st_intersection_pts(
+                pts([(0, 0), (4, 0), (2, 2), (4, 4), (0, 4)]),
+                pts([(-1, -1), (5, -1), (5, 5), (-1, 5)]),
+            )
+        ).alias("arrow_full"),
+    ).collect()[0]
+    assert df.l_clip == 5.0
+    assert df.arrow_full == 12.0
