@@ -625,9 +625,12 @@ PR_NSUPP = 8
 
 
 def _pr_iter_sql(prev: str, out: str) -> str:
+    # sum(BIGINT) is HUGEINT in DuckDB — CAST back so rank never decays to
+    # float64 in the driver's pandas canonicalization.
     return f"""{out} AS (
   SELECT e.dst AS node,
-         (15 * {PR_SCALE}) // 100 + (85 * sum(r.rank // d.deg)) // 100 AS rank
+         CAST((15 * {PR_SCALE}) // 100 + (85 * sum(r.rank // d.deg)) // 100
+              AS BIGINT) AS rank
   FROM edges e
   JOIN {prev} r ON r.node = e.src
   JOIN deg d ON d.node = e.src

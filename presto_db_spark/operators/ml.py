@@ -251,7 +251,10 @@ SELECT label,
          ({_pct_str('tp', 'tp + fn')}) || '%)' AS recall_line
 FROM counts
 UNION ALL
-SELECT '(all)', SUM(tp), SUM(fp), SUM(fn),
+SELECT '(all)',
+       -- SUM(BIGINT) is HUGEINT in DuckDB and would widen the whole UNION's
+       -- tp/fp/fn to HUGEINT (float64 under pandas) — CAST keeps them BIGINT
+       CAST(SUM(tp) AS BIGINT), CAST(SUM(fp) AS BIGINT), CAST(SUM(fn) AS BIGINT),
        'Accuracy: ' || CAST(SUM(tp) AS VARCHAR) || '/' ||
          CAST(SUM(tp) + SUM(fp) AS VARCHAR) || ' (' ||
          ({_pct_str('SUM(tp)', 'SUM(tp) + SUM(fp)')}) || '%)',

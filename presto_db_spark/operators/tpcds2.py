@@ -319,11 +319,11 @@ def _latency_sql(year, third_sql, third_name):
     return f"""
 SELECT substr(s.s_name, 1, 20) AS warehouse, l.l_returnflag AS sm_type,
        {third_sql} AS {third_name},
-       sum(CASE WHEN {lat} <= 30 THEN 1 ELSE 0 END) AS d30,
-       sum(CASE WHEN {lat} > 30 AND {lat} <= 60 THEN 1 ELSE 0 END) AS d31_60,
-       sum(CASE WHEN {lat} > 60 AND {lat} <= 90 THEN 1 ELSE 0 END) AS d61_90,
-       sum(CASE WHEN {lat} > 90 AND {lat} <= 120 THEN 1 ELSE 0 END) AS d91_120,
-       sum(CASE WHEN {lat} > 120 THEN 1 ELSE 0 END) AS dgt120
+       CAST(sum(CASE WHEN {lat} <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+       CAST(sum(CASE WHEN {lat} > 30 AND {lat} <= 60 THEN 1 ELSE 0 END) AS BIGINT) AS d31_60,
+       CAST(sum(CASE WHEN {lat} > 60 AND {lat} <= 90 THEN 1 ELSE 0 END) AS BIGINT) AS d61_90,
+       CAST(sum(CASE WHEN {lat} > 90 AND {lat} <= 120 THEN 1 ELSE 0 END) AS BIGINT) AS d91_120,
+       CAST(sum(CASE WHEN {lat} > 120 THEN 1 ELSE 0 END) AS BIGINT) AS dgt120
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 JOIN supplier s ON l.l_suppkey = s.s_suppkey

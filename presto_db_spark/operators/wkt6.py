@@ -127,9 +127,12 @@ _DUCK_F64LE_DEC = (
     "(({bits} % CAST(4503599627370496 AS BIGINT)) + CAST(4503599627370496 AS BIGINT))"
     " >> (52 - (({bits} // CAST(4503599627370496 AS BIGINT)) - 1023)) END)"
 )
+# NOTE: list_sum returns HUGEINT in DuckDB, which decays to float64 under the
+# driver's pandas canonicalization (int 37 vs float 37.0 hash-mismatch) — the
+# outer CAST keeps every downstream projection BIGINT.
 _DUCK_HEX2BITS = (
-    "list_sum(list_transform(generate_series(0, 7), i -> "
-    "CAST(('0x' || substr({h}, 2 * i + 1, 2))::BIGINT AS BIGINT) * (CAST(1 AS BIGINT) << (8 * i))))"
+    "CAST(list_sum(list_transform(generate_series(0, 7), i -> "
+    "CAST(('0x' || substr({h}, 2 * i + 1, 2))::BIGINT AS BIGINT) * (CAST(1 AS BIGINT) << (8 * i)))) AS BIGINT)"
 )
 
 _X = "CAST((gid * 37) % 100 AS BIGINT)"
