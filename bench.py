@@ -196,7 +196,29 @@ def main() -> None:
     # raw == normalized and only genuinely-slow hosts get corrected.
     factor = round(max(1.0, probe / AMBIENT_SPARK_REF_SEC), 4)
     total = round(sum(times.values()), 4)
-    norm = {q: round(t / factor, 4) for q, t in times.items()}
+    # r06 post-mortem: the single JSON line outgrew the driver's stdout tail
+    # buffer once spread+ambient landed, truncating the HEAD of the line
+    # (including "value") -> BENCH_r06 recorded "parsed": null.  The bulky
+    # diagnostics (per-query spread, raw ambient probes, normalized per-query
+    # map) now go on their OWN earlier line; the driver-facing final line is
+    # the compact headline object only.
+    print(
+        "BENCH_DETAIL "
+        + json.dumps(
+            {
+                "spread": spread,
+                "ambient": {
+                    "before": ambient_before,
+                    "after": ambient_after,
+                    "numpy_ref_ms": AMBIENT_NUMPY_REF_MS,
+                    "spark_ref_sec": AMBIENT_SPARK_REF_SEC,
+                },
+                "queries_normalized": {
+                    q: round(t / factor, 4) for q, t in times.items()
+                },
+            }
+        )
+    )
     print(
         json.dumps(
             {
@@ -204,20 +226,12 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
-                "spread": spread,
                 "sf": float(sf),
                 "runs": RUNS,
                 "prewarm": PREWARM_RUNS,
                 "isolation": "subprocess" if SUBPROCESS else "session",
-                "ambient": {
-                    "before": ambient_before,
-                    "after": ambient_after,
-                    "numpy_ref_ms": AMBIENT_NUMPY_REF_MS,
-                    "spark_ref_sec": AMBIENT_SPARK_REF_SEC,
-                    "factor": factor,
-                },
+                "ambient_factor": factor,
                 "value_normalized": round(total / factor, 4),
-                "queries_normalized": norm,
             }
         )
     )
