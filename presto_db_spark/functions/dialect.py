@@ -982,10 +982,16 @@ def _combo_branch(n: int) -> str:
 
 
 _COMBINATIONS_TEMPLATE = (
-    # NULL n propagates NULL (scalar null semantics); the two error
-    # branches carry the reference's own messages
-    # (ArrayCombinationsFunction.java:59-60, MAX_COMBINATION_LENGTH = 5)
-    "(CASE WHEN ({b}) IS NULL THEN NULL "
+    # NULL array / NULL n propagate NULL (scalar null semantics) — the
+    # a-IS-NULL branch must come first: the n=0 branch would otherwise
+    # build array(slice(NULL,1,0)) = array(NULL) instead of NULL.  The two
+    # error branches carry the reference's own messages
+    # (ArrayCombinationsFunction.java:59-60, MAX_COMBINATION_LENGTH = 5).
+    # Note {b} is spliced into several branches — acceptable because the
+    # size argument is in practice a literal; a non-deterministic size
+    # expression would be re-evaluated per branch.
+    "(CASE WHEN ({a}) IS NULL THEN NULL "
+    "WHEN ({b}) IS NULL THEN NULL "
     "WHEN ({b}) < 0 THEN "
     "raise_error('combination size must not be negative') "
     "WHEN ({b}) = 0 THEN array(slice({a}, 1, 0)) "

@@ -499,24 +499,60 @@ _DAYS = ["Monday", "Tuesday", "Wednesday", "Thursday", "Friday",
 # no padding — 'M/d' renders 2/3, matching what the literal path's JVM
 # date_format produces; strftime cannot express unpadded or 3-digit-milli
 # fields portably, so this is a direct field walker, not a strftime map).
-_JODA_FMT_FIELDS = [
-    ("yyyy", lambda t: f"{t.year:04d}"), ("yy", lambda t: f"{t.year % 100:02d}"),
-    ("MMMM", lambda t: _MONTHS[t.month - 1]),
-    ("MMM", lambda t: _MONTHS[t.month - 1][:3]),
-    ("MM", lambda t: f"{t.month:02d}"), ("M", lambda t: str(t.month)),
-    ("dd", lambda t: f"{t.day:02d}"), ("d", lambda t: str(t.day)),
-    ("HH", lambda t: f"{t.hour:02d}"), ("H", lambda t: str(t.hour)),
-    ("hh", lambda t: f"{(t.hour % 12) or 12:02d}"),
-    ("h", lambda t: str((t.hour % 12) or 12)),
-    ("mm", lambda t: f"{t.minute:02d}"), ("m", lambda t: str(t.minute)),
-    ("ss", lambda t: f"{t.second:02d}"), ("s", lambda t: str(t.second)),
-    ("SSS", lambda t: f"{t.microsecond // 1000:03d}"),
-    ("a", lambda t: "AM" if t.hour < 12 else "PM"),
-    ("EEEE", lambda t: _DAYS[t.weekday()]),
-    ("EEE", lambda t: _DAYS[t.weekday()][:3]),
-    # zone-less instants carry the session zone (UTC) — offset +0000
-    ("ZZ", lambda t: "+00:00"), ("Z", lambda t: "+0000"),
-]
+# The walker consumes RUNS of the same pattern letter (Joda semantics:
+# repeat count = minimum width for numeric fields, style selector for
+# text fields) over the FULL Joda alphabet (DateTimeFormat.java) — an
+# unquoted ASCII letter outside the alphabet raises, mirroring Joda's
+# IllegalArgumentException, so this fallback can never silently emit a
+# pattern letter as literal text where the JVM literal-rewrite path
+# would have failed or formatted it.
+def _joda_render_field(letter: str, n: int, t) -> str:
+    if letter in ("y", "Y"):  # year / year-of-era (equal for CE years)
+        return f"{t.year % 100:02d}" if n == 2 else f"{t.year:0{n}d}"
+    if letter == "x":  # weekyear (ISO)
+        wy = t.isocalendar()[0]
+        return f"{wy % 100:02d}" if n == 2 else f"{wy:0{n}d}"
+    if letter == "w":  # week of weekyear (ISO)
+        return f"{t.isocalendar()[1]:0{n}d}"
+    if letter == "M":
+        if n >= 4:
+            return _MONTHS[t.month - 1]
+        if n == 3:
+            return _MONTHS[t.month - 1][:3]
+        return f"{t.month:0{n}d}"
+    if letter == "d":
+        return f"{t.day:0{n}d}"
+    if letter == "D":  # day of year
+        return f"{t.timetuple().tm_yday:0{n}d}"
+    if letter == "e":  # day of week numeric, Monday=1
+        return f"{t.weekday() + 1:0{n}d}"
+    if letter == "E":
+        return _DAYS[t.weekday()] if n >= 4 else _DAYS[t.weekday()][:3]
+    if letter == "H":  # hour of day 0-23
+        return f"{t.hour:0{n}d}"
+    if letter == "k":  # clockhour of day 1-24
+        return f"{t.hour or 24:0{n}d}"
+    if letter == "h":  # clockhour of halfday 1-12
+        return f"{(t.hour % 12) or 12:0{n}d}"
+    if letter == "K":  # hour of halfday 0-11
+        return f"{t.hour % 12:0{n}d}"
+    if letter == "m":
+        return f"{t.minute:0{n}d}"
+    if letter == "s":
+        return f"{t.second:0{n}d}"
+    if letter == "S":  # fraction of second, n digits
+        return f"{t.microsecond:06d}"[:n].ljust(n, "0")
+    if letter == "a":
+        return "AM" if t.hour < 12 else "PM"
+    if letter == "G":  # era (proleptic CE only in this model)
+        return "AD"
+    if letter == "C":  # century of era
+        return f"{t.year // 100:0{n}d}"
+    if letter == "z":  # zone name — zone-less instants carry session UTC
+        return "UTC"
+    if letter == "Z":  # zone offset; ZZ = colon form (Joda)
+        return "+00:00" if n >= 2 else "+0000"
+    raise ValueError(f"Illegal pattern component: {letter * n}")
 
 
 def _format_datetime_py(ts, fmt: str | None):
@@ -526,13 +562,15 @@ def _format_datetime_py(ts, fmt: str | None):
     (`_LITERAL_FORMAT_REWRITES`); this UDF is the non-literal fallback and
     walks the Joda fields directly so widths match the literal path
     (strftime would zero-pad single-letter fields and cannot emit
-    3-digit milliseconds)."""
+    3-digit milliseconds). Unknown pattern letters raise (Joda's
+    IllegalArgumentException contract) instead of leaking literal text."""
     if ts is None or fmt is None:
         return None
     out: list[str] = []
     i = 0
     while i < len(fmt):
-        if fmt[i] == "'":  # Joda literal quoting: 'T', '' = literal quote
+        ch = fmt[i]
+        if ch == "'":  # Joda literal quoting: 'T', '' = literal quote
             end = fmt.find("'", i + 1)
             if end == i + 1:
                 out.append("'")
@@ -541,14 +579,15 @@ def _format_datetime_py(ts, fmt: str | None):
             out.append(fmt[i + 1 : end if end != -1 else len(fmt)])
             i = (end if end != -1 else len(fmt)) + 1
             continue
-        for joda, render in _JODA_FMT_FIELDS:
-            if fmt.startswith(joda, i):
-                out.append(render(ts))
-                i += len(joda)
-                break
-        else:
-            out.append(fmt[i])
-            i += 1
+        if ch.isascii() and ch.isalpha():
+            n = 1
+            while i + n < len(fmt) and fmt[i + n] == ch:
+                n += 1
+            out.append(_joda_render_field(ch, n, ts))
+            i += n
+            continue
+        out.append(ch)
+        i += 1
     return "".join(out)
 
 

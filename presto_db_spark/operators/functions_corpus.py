@@ -158,7 +158,7 @@ SELECT l_orderkey, l_linenumber,
        round(log10(l_extendedprice), 6) AS l10,
        round(power(l_quantity, 2), 2) AS pw,
        CAST(mod(CAST(l_quantity AS BIGINT), 7) AS BIGINT) AS md,
-       sign(l_quantity - 25) AS sg,
+       CAST(sign(l_quantity - 25) AS DOUBLE) AS sg,
        greatest(l_discount, l_tax) AS gr,
        least(l_discount, l_tax) AS le
 FROM lineitem WHERE l_orderkey < 100

@@ -568,7 +568,7 @@ WITH p AS (
   FROM customer WHERE c_custkey < 2000
 )
 SELECT id, ds,
-       CAST(CAST(tenths AS HUGEINT) * factor // 10 AS DECIMAL(38, 0)) AS bytes
+       CAST(CAST(tenths AS HUGEINT) * factor // 10 AS BIGINT) AS bytes
 FROM p ORDER BY id
 """
 
@@ -577,7 +577,12 @@ FROM p ORDER BY id
 def func_data_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     """parse_presto_data_size over synthesized '<v>.<t><unit>' strings.
     The oracle reproduces the exact truncating decimal math with integer
-    tenths (value*factor//10), so parity is exact at every unit."""
+    tenths (value*factor//10), so parity is exact at every unit.  The
+    driver projection is BIGINT on BOTH sides (values < 2^50 here): the
+    function's native DECIMAL(38,0) would surface as Decimal objects from
+    Spark but float64 from the oracle's pandas path — the same hash-kind
+    mismatch class as the r06 HUGEINT bug (the DECIMAL return type itself
+    is covered by the golden-pair scalar tests)."""
     from ..functions.presto import register_presto_functions
 
     (cust,) = _t(spark, sf_dir, "customer")
@@ -590,12 +595,12 @@ def func_data_size(spark: SparkSession, sf_dir: str) -> DataFrame:
                       CASE CAST(c_custkey % 5 AS INT) WHEN 0 THEN 'B'
                         WHEN 1 THEN 'kB' WHEN 2 THEN 'MB'
                         WHEN 3 THEN 'GB' ELSE 'TB' END) AS ds,
-               parse_presto_data_size(
+               CAST(parse_presto_data_size(
                  CONCAT(CAST(c_custkey % 900 + 1 AS STRING), '.',
                         CAST(c_custkey % 10 AS STRING),
                         CASE CAST(c_custkey % 5 AS INT) WHEN 0 THEN 'B'
                           WHEN 1 THEN 'kB' WHEN 2 THEN 'MB'
-                          WHEN 3 THEN 'GB' ELSE 'TB' END)) AS bytes
+                          WHEN 3 THEN 'GB' ELSE 'TB' END)) AS BIGINT) AS bytes
         FROM _ds_cust ORDER BY id
     """)
 

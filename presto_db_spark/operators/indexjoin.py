@@ -15,7 +15,7 @@ applicability gate with ``max_keys``) are collected and pushed into the
 indexed table's scan as an ``In`` filter, so the scan prunes row groups
 and never reads the non-matching bulk — the moral equivalent of the
 point lookup, expressed declaratively so Catalyst shows ``PushedFilters:
-[In(key, ...)]`` on the scan (plan-gated in ``tests/test_plans.py``).
+[In(key, ...)]`` on the scan (plan-gated in ``tests/test_relational2.py``).
 The join itself then broadcasts the (small) probe side.
 
 100 TB: the indexed fact stays partitioned; only row groups whose

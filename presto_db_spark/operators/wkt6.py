@@ -356,7 +356,13 @@ _DE9IM = (
     "CASE WHEN {inter} > 0 AND NOT {a_in_b} THEN '1' ELSE 'F' END,"     # IB
     "CASE WHEN {inter} < {area_a} THEN '2' ELSE 'F' END,"               # IE
     "CASE WHEN {inter} > 0 AND NOT {b_in_a} THEN '1' ELSE 'F' END,"     # BI
-    "CASE WHEN {equal} THEN '1' WHEN NOT {hits} THEN 'F' "              # BB
+    # BB: under strict containment the boundaries are disjoint in this
+    # convex model, but {hits} would still fire on first-vertex containment
+    # (st_intersects_rings tests point-in-ring) — so containment must take
+    # precedence over the {inter} > 0 branch (within = 2FF1FF212, not 2FF10F212).
+    "CASE WHEN {equal} THEN '1' "                                       # BB
+    "WHEN {a_in_b} OR {b_in_a} THEN 'F' "
+    "WHEN NOT {hits} THEN 'F' "
     "WHEN {inter} > 0 THEN '0' "
     "WHEN {ncontact} >= 2 THEN '1' ELSE '0' END,"
     "CASE WHEN {a_in_b} THEN 'F' ELSE '1' END,"                         # BE

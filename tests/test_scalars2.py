@@ -231,9 +231,16 @@ def test_format_datetime_joda_widths_nonliteral(engine):
 
 
 def test_combinations_null_and_negative(engine):
-    """NULL n propagates NULL; negative n carries the reference's
-    message (ArrayCombinationsFunction.java:59)."""
+    """NULL n propagates NULL; a NULL array propagates NULL for EVERY n
+    including 0 (the n=0 branch used to yield [NULL] via
+    array(slice(NULL,1,0))); negative n carries the reference's message
+    (ArrayCombinationsFunction.java:59)."""
     assert _one(engine, "SELECT combinations(ARRAY[1,2], CAST(NULL AS INT))") == (None,)
+    for n in (0, 1, 2, 5):
+        assert _one(
+            engine,
+            f"SELECT combinations(CAST(NULL AS ARRAY<INT>), {n})",
+        ) == (None,), f"combinations(NULL, {n}) must be NULL"
     import pytest as _pytest
 
     with _pytest.raises(Exception, match="must not be negative"):

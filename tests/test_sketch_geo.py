@@ -453,6 +453,41 @@ def test_de9im_canonical_matrices(spark, sf_dir):
     assert seen == {"FF2F01212", "FF2FF1212", "212101212"}
 
 
+def test_de9im_containment_matrices():
+    """Strict containment must yield the OGC canonical within/contains
+    matrices (2FF1FF212 / 212FF1FF2).  Regression for the r06 ADVICE bug:
+    ``hits`` (st_intersects_rings) fires on first-vertex containment, so
+    without the containment branch the BB cell read '0' instead of 'F'.
+    The template is dialect-shared, so one DuckDB evaluation pins both
+    sides."""
+    import duckdb
+
+    from presto_db_spark.operators.wkt6 import _DE9IM
+
+    con = duckdb.connect()
+
+    def m(inter, area_a, area_b, hits, ncontact=0):
+        expr = _DE9IM.format(
+            inter=str(inter), area_a=str(area_a), area_b=str(area_b),
+            a_in_b=f"({inter} = {area_a})", b_in_a=f"({inter} = {area_b})",
+            equal=f"({inter} = {area_a} AND {inter} = {area_b})",
+            hits=str(hits).lower(), ncontact=str(ncontact),
+        )
+        return con.execute(f"SELECT {expr}").fetchone()[0]
+
+    # within: A strictly inside B — hits=true simulates the first-vertex
+    # point-in-ring artifact that used to corrupt BB
+    assert m(inter=10, area_a=10, area_b=40, hits=True) == "2FF1FF212"
+    # contains: B strictly inside A
+    assert m(inter=10, area_a=40, area_b=10, hits=True) == "212FF1FF2"
+    # sanity: the three fixture classes are unchanged
+    assert m(inter=0, area_a=10, area_b=10, hits=False) == "FF2FF1212"  # disjoint
+    assert m(inter=0, area_a=10, area_b=10, hits=True, ncontact=1) == "FF2F01212"  # touches (point)
+    assert m(inter=0, area_a=10, area_b=10, hits=True, ncontact=2) == "FF2F11212"  # touches (edge)
+    assert m(inter=3, area_a=10, area_b=10, hits=True) == "212101212"  # overlaps
+    con.close()
+
+
 def test_clip_kernel_concave_subject_analytic(spark):
     """Sutherland-Hodgman's documented domain is wider than the convex
     fixture: the SUBJECT ring may be concave (only the clip ring must be
