@@ -338,8 +338,12 @@ _BMP_FEAT_SCHEMA = T.StructType(
 
 
 def _bmp_encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """doc_id → a real 24-bit BI_RGB .bmp file (struct-assembled)."""
+    """doc_id → a real 24-bit BI_RGB .bmp file (struct-assembled).
+    Pixel synthesis is vectorized numpy (broadcast over a y/x grid) — no
+    per-pixel Python, so real image sizes stay Arrow-batch fast."""
     import struct
+
+    import numpy as np
 
     for pdf in batches:
         payloads = []
@@ -347,28 +351,32 @@ def _bmp_encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
             d = int(doc_id)
             w, h = 8 + d % 9, 4 + d % 5
             row_pad = (-(w * 3)) % 4
-            rows = bytearray()
-            for y in range(h - 1, -1, -1):  # BMP stores rows bottom-up
-                for x in range(w):
-                    r = (d * 3 + x * 7 + y * 11) % 256
-                    g = (d * 5 + x * 13 + y * 3) % 256
-                    b = (d * 7 + x + y * 17) % 256
-                    rows += bytes((b, g, r))  # BGR on disk
-                rows += b"\x00" * row_pad
-            size = 14 + 40 + len(rows)
+            ys = np.arange(h - 1, -1, -1)[:, None]  # BMP stores rows bottom-up
+            xs = np.arange(w)[None, :]
+            r = (d * 3 + xs * 7 + ys * 11) % 256
+            g = (d * 5 + xs * 13 + ys * 3) % 256
+            b = (d * 7 + xs + ys * 17) % 256
+            pix = np.stack([b, g, r], axis=2).astype(np.uint8)  # BGR on disk
+            rows = np.zeros((h, w * 3 + row_pad), dtype=np.uint8)
+            rows[:, : w * 3] = pix.reshape(h, w * 3)
+            size = 14 + 40 + rows.size
             header = struct.pack("<2sIHHI", b"BM", size, 0, 0, 54)
             info = struct.pack(
-                "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows), 2835, 2835, 0, 0
+                "<IiiHHIIiiII", 40, w, h, 1, 24, 0, rows.size, 2835, 2835, 0, 0
             )
-            payloads.append(header + info + bytes(rows))
+            payloads.append(header + info + rows.tobytes())
         yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
 
 def _bmp_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Parse the BMP container for real: header offsets, bottom-up rows,
     BGR order, 4-byte row padding — not an inverse of the encoder object,
-    a byte-level reader of the file format."""
+    a byte-level reader of the file format.  The pixel pass is a
+    frombuffer/reshape view + vectorized channel sums (the r06 per-pixel
+    loop was fine at fixture sizes but row-at-a-time at real ones)."""
     import struct
+
+    import numpy as np
 
     for pdf in batches:
         out = {k: [] for k in
@@ -380,17 +388,16 @@ def _bmp_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
             assert magic == b"BM", "not a BMP payload"
             _hsz, w, h, _pl, bpp = struct.unpack_from("<IiiHH", buf, 14)
             assert bpp == 24
-            row_pad = (-(w * 3)) % 4
-            sr = sg = sb = 0
-            p = off
-            for _y in range(h):
-                for _x in range(w):
-                    b, g, r = buf[p], buf[p + 1], buf[p + 2]
-                    sr += r
-                    sg += g
-                    sb += b
-                    p += 3
-                p += row_pad
+            # vectorized: view the pixel array as (h, stride) uint8, drop
+            # the per-row padding columns, sum channels — no per-pixel loop
+            stride = w * 3 + (-(w * 3)) % 4
+            px = (
+                np.frombuffer(buf, dtype=np.uint8, count=h * stride, offset=off)
+                .reshape(h, stride)[:, : w * 3]
+                .reshape(h, w, 3)
+                .astype(np.int64)
+            )
+            sb, sg, sr = (int(px[:, :, c].sum()) for c in (0, 1, 2))  # BGR
             out["doc_id"].append(int(doc_id))
             out["width"].append(w)
             out["height"].append(h)
@@ -451,31 +458,35 @@ _WAV_FEAT_SCHEMA = T.StructType(
 
 
 def _wav_encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """doc_id → a real PCM16 mono .wav file via the stdlib wave module."""
+    """doc_id → a real PCM16 mono .wav file via the stdlib wave module;
+    the waveform is synthesized vectorized (little-endian int16 numpy)."""
     import io
-    import struct
     import wave
+
+    import numpy as np
 
     for pdf in batches:
         payloads = []
         for doc_id in pdf["doc_id"]:
             d = int(doc_id)
             n = 400 + (d % 5) * 80
-            samples = [((d * 31 + i * i * 7) % 2001) - 1000 for i in range(n)]
+            i = np.arange(n, dtype=np.int64)
+            samples = (((d * 31 + i * i * 7) % 2001) - 1000).astype("<i2")
             bio = io.BytesIO()
             with wave.open(bio, "wb") as wf:
                 wf.setnchannels(1)
                 wf.setsampwidth(2)
                 wf.setframerate(8000)
-                wf.writeframes(struct.pack(f"<{n}h", *samples))
+                wf.writeframes(samples.tobytes())
             payloads.append(bio.getvalue())
         yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
 
 def _wav_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     import io
-    import struct
     import wave
+
+    import numpy as np
 
     for pdf in batches:
         out = {k: [] for k in
@@ -487,13 +498,14 @@ def _wav_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
                 rate = wf.getframerate()
                 ch = wf.getnchannels()
                 raw = wf.readframes(n)
-            samples = struct.unpack(f"<{n * ch}h", raw)
+            # vectorized PCM pass (int64 first: abs(-32768) overflows int16)
+            amp = np.abs(np.frombuffer(raw, dtype="<i2").astype(np.int64))
             out["doc_id"].append(int(doc_id))
             out["n_frames"].append(n)
             out["sample_rate"].append(rate)
             out["n_channels"].append(ch)
-            out["sum_abs"].append(sum(abs(s) for s in samples))
-            out["peak"].append(max(abs(s) for s in samples))
+            out["sum_abs"].append(int(amp.sum()))
+            out["peak"].append(int(amp.max()))
         yield pd.DataFrame(out)
 
 
@@ -555,31 +567,36 @@ _PPM_FEAT_SCHEMA = T.StructType(
 
 def _ppm_encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """doc_id → a real P6 .ppm file (ASCII header incl. a comment line,
-    then raw RGB). Even dimensions so the 2x2 downsample is exact."""
+    then raw RGB, pixels synthesized vectorized). Even dimensions so the
+    2x2 downsample is exact."""
+    import numpy as np
+
     for pdf in batches:
         payloads = []
         for doc_id in pdf["doc_id"]:
             d = int(doc_id)
             w, h = 8 + 2 * (d % 5), 4 + 2 * (d % 3)
             header = b"P6\n# synth\n" + f"{w} {h}\n255\n".encode()
-            raster = bytearray()
-            for y in range(h):
-                for x in range(w):
-                    raster += bytes(
-                        (
-                            (d * 3 + x * 7 + y * 11) % 256,
-                            (d * 5 + x * 13 + y * 3) % 256,
-                            (d * 7 + x + y * 17) % 256,
-                        )
-                    )
-            payloads.append(header + bytes(raster))
+            ys = np.arange(h)[:, None]
+            xs = np.arange(w)[None, :]
+            raster = np.stack(
+                [
+                    (d * 3 + xs * 7 + ys * 11) % 256,
+                    (d * 5 + xs * 13 + ys * 3) % 256,
+                    (d * 7 + xs + ys * 17) % 256,
+                ],
+                axis=2,
+            ).astype(np.uint8)
+            payloads.append(header + raster.tobytes())
         yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
 
 def _ppm_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Tokenizing P6 parser: skip comments/whitespace, read magic + dims +
     maxval, then the raster; 2x2 integer box means (floor of the 4-pixel
-    sum / 4) feed the downsampled channel sums."""
+    sum / 4, vectorized block reshape) feed the downsampled channel sums."""
+    import numpy as np
+
     for pdf in batches:
         out = {k: [] for k in (
             "doc_id", "width", "height", "n_payload_bytes",
@@ -610,19 +627,15 @@ def _ppm_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
             raster = buf[pos:]
             assert len(raster) == 3 * w * h
             dw, dh = w // 2, h // 2
-            sr = sg = sb = 0
-            for by in range(dh):
-                for bx in range(dw):
-                    cr = cg = cb = 0
-                    for dy in (0, 1):
-                        for dx in (0, 1):
-                            p = 3 * ((2 * by + dy) * w + (2 * bx + dx))
-                            cr += raster[p]
-                            cg += raster[p + 1]
-                            cb += raster[p + 2]
-                    sr += cr // 4
-                    sg += cg // 4
-                    sb += cb // 4
+            # vectorized 2x2 box means: reshape (h,w,3) into
+            # (dh, 2, dw, 2, 3), sum each block, floor-divide by 4
+            px = (
+                np.frombuffer(raster, dtype=np.uint8)
+                .reshape(h, w, 3)
+                .astype(np.int64)
+            )
+            blocks = px.reshape(dh, 2, dw, 2, 3).sum(axis=(1, 3)) // 4
+            sr, sg, sb = (int(blocks[:, :, c].sum()) for c in (0, 1, 2))
             out["doc_id"].append(int(doc_id))
             out["width"].append(w)
             out["height"].append(h)
