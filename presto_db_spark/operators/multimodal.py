@@ -159,15 +159,17 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         target = 32
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 n = len(payload)
                 out = min(n, target)
-                stride = n / out
-                sampled = bytes(payload[int(i * stride)] for i in range(out))
-                rows.append((doc_id, n, out, sum(sampled) % 65536))
+                idx = (np.arange(out) * (n / out)).astype(np.int64)
+                sampled = np.frombuffer(payload, dtype=np.uint8, count=n)[idx]
+                rows.append((doc_id, n, out, int(sampled.sum()) % 65536))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "n_bytes", "out_len", "resized_sum"]
             )
