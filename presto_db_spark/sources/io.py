@@ -106,6 +106,64 @@ def to_blackhole(df: DataFrame) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def read_text_skipping(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    header_lines: int = 0,
+    footer_lines: int = 0,
+    delimiter: str = "|",
+    encoding: str = "utf-8",
+) -> DataFrame:
+    """Delimited-text reader with per-file header/footer skipping — the
+    hive connector's ``skip.header.line.count`` / ``skip.footer.line.count``
+    table properties (reference: presto-hive table-property plumbing;
+    product-test fixture ``datasets/table_with_header*.ddl`` declares
+    exactly this).  Spark's csv source only handles a 1-line header and
+    has no footer skipping, so this reads each file WHOLE via the
+    ``binaryFile`` source and decodes it in one Arrow stage:
+
+    * one task per file, parallel across files, zero shuffles;
+    * footer skipping needs the file's end, so per-file reading is the
+      only correct unit (Hive itself refuses to split footer-skipping
+      files for the same reason) — a single file must fit in an executor,
+      the same contract as any non-splittable input (gzip text);
+    * ``schema`` is a Spark DDL string ("id INT, data STRING"); cells are
+      split on ``delimiter`` and cast column-wise (invalid casts → NULL,
+      hive's lax text semantics).
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    struct = T.StructType.fromDDL(schema)
+    names = [f.name for f in struct.fields]
+    raw_schema = T.StructType(
+        [T.StructField(n, T.StringType()) for n in names]
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            cols: dict[str, list] = {n: [] for n in names}
+            for content in pdf["content"]:
+                lines = bytes(content).decode(encoding).splitlines()
+                end = len(lines) - footer_lines
+                for ln in lines[header_lines:end]:
+                    cells = ln.split(delimiter)
+                    for i, n in enumerate(names):
+                        cols[n].append(cells[i] if i < len(cells) else None)
+            yield pd.DataFrame(cols, columns=names, dtype=object)
+
+    raw = (
+        spark.read.format("binaryFile")
+        .load(path)
+        .select("content")
+        .mapInPandas(decode, schema=raw_schema)
+    )
+    return raw.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in struct.fields]
+    )
+
+
 def read_jdbc(spark: SparkSession, url: str, table: str, **options) -> DataFrame:
     """JDBC family (``presto-base-jdbc/``): reads a JDBC table, with the
     partitioned-read options (partitionColumn/lowerBound/upperBound/

@@ -311,6 +311,69 @@ def test_product_golden_coverage():
     assert runnable >= 50, f"only {runnable} of {len(_ALL)} pairs replayable"
 
 
+# --- self-contained multi-section cases (--! name: ... / expected) ----------
+# Two corpus files ship WITHOUT a .result: the query and expected rows live
+# in the .sql itself as alternating ``--! name:`` / ``--!`` sections over
+# the nation/workers fixtures — replayed here so the set-operation residual
+# (COVERAGE.md accounting) is exact replay, not a skip.
+
+_MULTI_CASES = ["set_operation/except", "set_operation/intersect"]
+
+
+def _load_multi_case(case: str):
+    text = open(f"{CASES}/{case}.sql").read()
+    opts = {"delimiter": "|", "ignoreOrder": False}
+    sections = re.split(r"^--!.*$", text, flags=re.M)
+    for line in sections[0].splitlines():
+        if re.search(r"ignoreOrder\s*:\s*true", line):
+            opts["ignoreOrder"] = True
+        m = re.search(r"delimiter\s*:\s*(.)", line)
+        if m:
+            opts["delimiter"] = m.group(1)
+    out = []
+    for i in range(1, len(sections) - 1, 2):
+        query = "\n".join(
+            ln for ln in sections[i].splitlines()
+            if not ln.strip().startswith("--")
+        ).strip().rstrip(";")
+        rows = []
+        for line in sections[i + 1].splitlines():
+            s = line.strip()
+            if not s or s.startswith("--"):
+                continue
+            cells = line.split(opts["delimiter"])
+            if cells and cells[-1].strip() == "":
+                cells = cells[:-1]
+            rows.append([c.strip(" ") for c in cells])
+        out.append((query, rows))
+    return opts, out
+
+
+@pytest.mark.parametrize("case", _MULTI_CASES)
+def test_product_golden_multisection(engine, case):
+    opts, pairs = _load_multi_case(case)
+    assert pairs, f"{case}: no sections parsed"
+    for query, expected in pairs:
+        rows = [[_fmt(v).strip(" ") for v in r]
+                for r in engine.sql(query).collect()]
+        assert len(rows) == len(expected), (
+            f"{case}: {len(rows)} rows vs expected {len(expected)}\n"
+            f"got={rows[:6]}\nexp={expected[:6]}\nquery={query}"
+        )
+        remaining = [tuple(r) for r in rows]
+        for erow in expected:
+            hit = next(
+                (arow for arow in remaining
+                 if len(arow) == len(erow)
+                 and all(_cell_match(e, a) for e, a in zip(erow, arow))),
+                None,
+            )
+            assert hit is not None, (
+                f"{case}: expected row {erow} not found in {remaining[:10]}"
+            )
+            remaining.remove(hit)
+
+
 # --- insert corpus: the --!-separated mutable-table format ------------------
 
 INSERT_DIR = f"{CASES}/insert"
