@@ -9,6 +9,17 @@ local[$SPARK_GRAFT_CPUS], AQE on, and prints ONE JSON line:
 
 Per query: PREWARM_RUNS unmeasured + RUNS measured, median reported.
 
+events_sessionize r06 note (VERDICT r06 directive #6): the 0.242 → 0.264
+in-suite drift was NOISE — solo BENCH_ONLY runs at quiet ambient sit at
+0.31-0.33 median with 0.26-0.40 spread (cold events scan; in-suite runs
+inherit a warmed scan from events_range_join), so a ±0.02 in-suite delta
+is inside the query's own band. Taken anyway as a prompt to remove real
+work: r07 rewrote the query from two window passes to one (n_sessions =
+max(running sum of new_session) == plain sum(new_session); the running
+sum was algebraically dead), leaving one exchange + one sort + one lag
+Window + a partial/final agg that reuses the window's partitioning — the
+oracle keeps the literal two-window form, value-proving the equivalence.
+
 Isolation: BENCH_SUBPROCESS=1 runs every query in a FRESH SUBPROCESS (its
 own JVM). Measured r4 result of that mode: it does NOT remove the sim_ivf
 tail (1.4-5.1 s spread INSIDE one fresh JVM — the variance is intra-query,

@@ -95,12 +95,15 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.lag("ts").over(w).isNull(), 1)
         .otherwise(0),
     )
-    sessions = flagged.withColumn(
-        "session_id",
-        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
-    )
-    return sessions.groupBy("user_id").agg(
-        F.max("session_id").cast("long").alias("n_sessions"),
+    # r07 rewrite: the per-user session COUNT is max(running sum of
+    # new_session) == plain sum(new_session), so the oracle's second
+    # window pass (the running sum) is algebraically unnecessary on the
+    # Spark side — one lag window, then a hash agg that reuses the
+    # window exchange's user_id partitioning (no second shuffle).  The
+    # oracle keeps the literal two-window form, so the equivalence is
+    # value-proven on every run.
+    return flagged.groupBy("user_id").agg(
+        F.sum("new_session").cast("long").alias("n_sessions"),
         F.count("*").alias("n_events"),
     )
 
