@@ -918,3 +918,327 @@ def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score_micros",
         F.expr("rn <= n_total div 4").alias("selected"),
     ).orderBy("doc_id")
+
+
+# --- sequence packing (GPT-style fixed-length training examples) ------------
+
+_PACK_L = 128   # tokens per packed training example
+_PACK_SHARDS = 8
+
+_PACK_SQL = f"""
+WITH d AS (
+  SELECT doc_id, doc_id % {_PACK_SHARDS} AS shard,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tok
+  FROM documents
+), c AS (
+  SELECT doc_id, shard, n_tok,
+         sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM d
+)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard, CAST(n_tok AS BIGINT) AS n_tok,
+       CAST(cum - n_tok AS BIGINT) AS start_tok,
+       CAST((cum - n_tok) // {_PACK_L} AS BIGINT) AS first_example,
+       CAST((cum - 1) // {_PACK_L} AS BIGINT) AS last_example,
+       CAST((cum - 1) // {_PACK_L} - (cum - n_tok) // {_PACK_L} + 1 AS BIGINT)
+         AS n_examples_spanned
+FROM c ORDER BY doc_id
+"""
+
+
+@_q("text_sequence_packing", _PACK_SQL)
+def text_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — the training-data step that concatenates documents
+    in deterministic order and cuts the token stream into fixed-length
+    examples (GPT-style packing with boundary crossing; every token is
+    trained on, no padding waste).  Emits each document's placement: start
+    offset in its shard's token stream and the first/last example indices
+    it lands in.
+
+    100 TB: documents are sharded up front (``doc_id % NSHARDS`` — in
+    production, shard count tracks the writer parallelism), so the only
+    state is ONE running-sum window PER SHARD over narrow (id, n_tok)
+    rows: a distributed sort within bounded shards, no global window, no
+    driver state.  The example-index arithmetic is pure integer floor
+    division (identical on both engines), so parity is exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.selectExpr(
+        "doc_id",
+        f"doc_id % {_PACK_SHARDS} AS shard",
+        "size(split(trim(text), '\\\\s+')) AS n_tok",
+    )
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    c = d.withColumn("cum", F.sum("n_tok").over(w))
+    return c.selectExpr(
+        "doc_id",
+        "CAST(shard AS BIGINT) AS shard",
+        "CAST(n_tok AS BIGINT) AS n_tok",
+        "CAST(cum - n_tok AS BIGINT) AS start_tok",
+        f"CAST((cum - n_tok) div {_PACK_L} AS BIGINT) AS first_example",
+        f"CAST((cum - 1) div {_PACK_L} AS BIGINT) AS last_example",
+        f"CAST((cum - 1) div {_PACK_L} - (cum - n_tok) div {_PACK_L} + 1 AS BIGINT)"
+        " AS n_examples_spanned",
+    ).orderBy("doc_id")
+
+
+# --- Gopher quality-filter rules (per-rule diagnostics) ----------------------
+
+_GOPHER_SQL = """
+WITH t AS (
+  SELECT doc_id, text,
+         string_split_regex(trim(text), '\\s+') AS words,
+         length(text) AS n_chars
+  FROM documents
+), f AS (
+  SELECT doc_id, n_chars,
+         len(words) AS n_words,
+         len(array_to_string(words, '')) AS word_chars,
+         len(list_filter(words, w -> regexp_matches(w, '[a-zA-Z]')))
+           AS alpha_words,
+         len(list_intersect(list_distinct(words),
+                            ['the', 'and', 'of', 'to', 'a'])) AS stop_hits,
+         length(text) - length(replace(replace(text, '#', ''), '...', ''))
+           AS symbol_chars
+  FROM t
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       (n_words BETWEEN 10 AND 100000) AS rule_word_count,
+       (3 * n_words <= word_chars AND word_chars <= 10 * n_words)
+         AS rule_mean_word_len,
+       (10 * symbol_chars < n_words) AS rule_symbol_ratio,
+       (5 * alpha_words > 4 * n_words) AS rule_alpha_ratio,
+       (stop_hits >= 2) AS rule_stopwords,
+       ((n_words BETWEEN 10 AND 100000)
+        AND (3 * n_words <= word_chars AND word_chars <= 10 * n_words)
+        AND (10 * symbol_chars < n_words)
+        AND (5 * alpha_words > 4 * n_words)
+        AND (stop_hits >= 2)) AS passes
+FROM f ORDER BY doc_id
+"""
+
+
+@_q("text_gopher_rules", _GOPHER_SQL)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-filter rule battery (Rae et al. 2021 §A1.1 'quality
+    filtering'), emitted as PER-RULE booleans so a pipeline can audit
+    which rule rejected a document (the aggregate score in
+    ``text_quality`` can't tell): word-count bounds, mean-word-length
+    band [3, 10], symbol-to-word ratio (# / ellipsis), alphabetic-word
+    ratio > 0.8, and the minimum-stopword rule.
+
+    Every ratio test is an integer CROSS-MULTIPLICATION (``3*n_words <=
+    word_chars``, ``5*alpha > 4*n``), never a float division, so both
+    engines decide each boolean identically at any scale.  Pure
+    projection over one scan — shuffle count: zero."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    f = docs.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.length(F.array_join(words, "")).alias("word_chars"),
+        F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]"))).alias("alpha_words"),
+        F.size(
+            F.array_intersect(
+                F.array_distinct(words),
+                F.array(*[F.lit(s) for s in ["the", "and", "of", "to", "a"]]),
+            )
+        ).alias("stop_hits"),
+        (
+            F.length("text")
+            - F.length(
+                F.replace(F.replace(F.col("text"), F.lit("#"), F.lit("")),
+                          F.lit("..."), F.lit(""))
+            )
+        ).alias("symbol_chars"),
+    )
+    return f.selectExpr(
+        "doc_id",
+        "CAST(n_words AS BIGINT) AS n_words",
+        "(n_words BETWEEN 10 AND 100000) AS rule_word_count",
+        "(3 * n_words <= word_chars AND word_chars <= 10 * n_words)"
+        " AS rule_mean_word_len",
+        "(10 * symbol_chars < n_words) AS rule_symbol_ratio",
+        "(5 * alpha_words > 4 * n_words) AS rule_alpha_ratio",
+        "(stop_hits >= 2) AS rule_stopwords",
+        "((n_words BETWEEN 10 AND 100000)"
+        " AND (3 * n_words <= word_chars AND word_chars <= 10 * n_words)"
+        " AND (10 * symbol_chars < n_words)"
+        " AND (5 * alpha_words > 4 * n_words)"
+        " AND (stop_hits >= 2)) AS passes",
+    ).orderBy("doc_id")
+
+
+# --- epoch-deterministic training shuffle + shard assignment -----------------
+
+_SHUF_SHARDS = 16
+
+_SHUFFLE_SQL = f"""
+WITH k AS (
+  SELECT doc_id, md5('ep1:' || CAST(doc_id AS VARCHAR)) AS key
+  FROM documents
+), s AS (
+  SELECT doc_id, key,
+         CAST(('0x' || substr(key, 1, 4))::BIGINT % {_SHUF_SHARDS} AS BIGINT)
+           AS shard
+  FROM k
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY key, doc_id)
+            AS BIGINT) AS position
+FROM s ORDER BY doc_id
+"""
+
+
+@_q("train_shuffle_shards", _SHUFFLE_SQL)
+def train_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-deterministic global training shuffle: every document gets a
+    pseudo-random but REPRODUCIBLE (seeded by the epoch tag) position
+    inside one of {_SHUF_SHARDS} output shards — the step that turns a
+    curated corpus into the actual training order, re-runnable bit-
+    identically for resume/debug.
+
+    100 TB: the md5 key is uniform, so shards are balanced by
+    construction; one hash-partition exchange on ``shard`` + a per-shard
+    sort (distributed, bounded partitions — shard count scales with the
+    cluster).  No global row_number, no driver state, no RNG state to
+    coordinate: the permutation IS the hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.selectExpr(
+        "doc_id",
+        "md5(concat('ep1:', CAST(doc_id AS STRING))) AS key",
+    ).selectExpr(
+        "doc_id",
+        "key",
+        f"CAST(conv(substr(key, 1, 4), 16, 10) AS BIGINT) % {_SHUF_SHARDS} AS shard",
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("shard").orderBy("key", "doc_id")
+    return (
+        s.withColumn("position", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "position")
+        .orderBy("doc_id")
+    )
+
+
+# --- BM25 ranked retrieval (libm-free exact-integer variant) -----------------
+
+_BM25_TERMS = ["join", "vector", "scan", "window"]
+_BM25_TOPK = 10
+
+_BM25_SQL = f"""
+WITH d AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+  FROM documents
+), dl AS (
+  SELECT doc_id, CAST(len(words) AS BIGINT) AS dl FROM d
+), g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(words)) * 1000000 // count(*) AS BIGINT) AS avgdl_u
+  FROM d
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(list_filter(words,
+               w -> w IN ('join', 'vector', 'scan', 'window'))) AS term
+        FROM d) x
+  GROUP BY doc_id, term
+), df AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+), comp AS (
+  SELECT tf.doc_id, tf.term,
+         (tf.tf * 2200000 * 1000000) //
+           (tf.tf * 1000000 +
+            (1200000 * (250000 + (750000 * ((dl.dl * 1000000000000) // g.avgdl_u))
+                                  // 1000000)) // 1000000) AS tfnorm_u,
+         (1000000 * (g.n_docs - df.df)) // (df.df + 1) AS idf_u
+  FROM tf JOIN dl ON dl.doc_id = tf.doc_id
+          JOIN df ON df.term = tf.term
+          CROSS JOIN g
+), scored AS (
+  SELECT doc_id,
+         CAST(sum((tfnorm_u * idf_u) // 1000000) AS BIGINT) AS score_u
+  FROM comp GROUP BY doc_id
+)
+SELECT doc_id, score_u,
+       CAST(row_number() OVER (ORDER BY score_u DESC, doc_id) AS BIGINT) AS rank
+FROM scored
+ORDER BY score_u DESC, doc_id
+LIMIT {_BM25_TOPK}
+"""
+
+
+@_q("text_bm25_topk", _BM25_SQL)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval (k1 = 1.2, b = 0.75) for a fixed query-term
+    set, as the lexical half of a retrieval pipeline next to the
+    embedding ANN family.  The idf is the RATIONAL surrogate
+    ``(N - df) / (df + 1)`` rather than its logarithm: ln() is not
+    IEEE-correctly-rounded and differs between libm and the JVM, so the
+    libm-free form keeps every score an exact integer (micros, floor
+    division in the same order on both engines); on a single-engine
+    deployment the standard ``ln`` idf drops in unchanged.
+
+    100 TB plan: tokens are filtered to the query terms BEFORE the
+    explode (``list_filter`` / ``F.filter``), so the exploded relation
+    carries only matching terms — |Q| ≤ rows-per-doc, not |tokens|; the
+    per-term document frequencies are a |Q|-row broadcast; one groupBy
+    (doc, term), one per-doc sum, and a global top-k (TakeOrderedAndProject
+    — no full sort).  No all-pairs anything."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    d = docs.selectExpr(
+        "doc_id", "split(trim(text), '\\\\s+') AS words"
+    )
+    d = d.persist()
+    dl = d.selectExpr("doc_id", "CAST(size(words) AS BIGINT) AS dl")
+    g = d.selectExpr("size(words) AS n").groupBy().agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.expr("CAST(sum(n) * 1000000 div count(*) AS BIGINT)").alias("avgdl_u"),
+    )
+    tf = (
+        d.selectExpr(
+            "doc_id",
+            f"explode(filter(words, w -> w IN ({terms}))) AS term",
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    comp = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(g))
+        .selectExpr(
+            "doc_id",
+            "(tf * 2200000 * 1000000) div"
+            " (tf * 1000000 +"
+            "  (1200000 * (250000 + (750000 * ((dl * 1000000000000) div avgdl_u))"
+            "              div 1000000)) div 1000000) AS tfnorm_u",
+            "(1000000 * (n_docs - df)) div (df + 1) AS idf_u",
+        )
+    )
+    scored = comp.groupBy("doc_id").agg(
+        F.expr("CAST(sum((tfnorm_u * idf_u) div 1000000) AS BIGINT)").alias(
+            "score_u"
+        )
+    )
+    from pyspark.sql import Window as W
+
+    # top-k FIRST (TakeOrderedAndProject — per-partition heaps, no global
+    # sort), then rank within the k survivors: the row_number window runs
+    # over a bounded k-row input instead of every scored document.
+    topk = scored.orderBy(F.desc("score_u"), F.asc("doc_id")).limit(_BM25_TOPK)
+    return topk.withColumn(
+        "rank",
+        F.row_number()
+        .over(W.orderBy(F.desc("score_u"), F.asc("doc_id")))
+        .cast("long"),
+    )

@@ -56,7 +56,7 @@ _MODULES: list[str] = [
 # (TPC-H spine, the hardest TPC-DS shapes, joins/set-ops/windows/subqueries,
 # sketches + t-digest, geospatial incl. the KdbTree join, range/as-of,
 # skew salting, the scalar corpus, text/dedup/similarity/multimodal
-# extension ops, streaming).  All 295 entries remain present and
+# extension ops, streaming).  All 299 entries remain present and
 # oracle-backed — this is ordering only, so a driver that instead pins a
 # fixed name list is unaffected.
 _BATTERY_HEAD: list[str] = [
@@ -87,10 +87,12 @@ _BATTERY_HEAD: list[str] = [
     "func_datetime", "func_json", "func_array_advanced", "func_decimal",
     "agg_classification_metrics",
     # LLM-pipeline extension operators (r06: cross-doc substring spans +
-    # SemDeDup semantic dedup join the minhash/ANN slots)
-    "text_decontaminate", "text_fingerprint", "dedup_minhash_lsh",
+    # SemDeDup; r07: sequence packing + BM25 lexical retrieval rotate in
+    # for text_fingerprint / sim_ann_lsh, which stay oracle-checked
+    # outside the head AND bench-measured every round)
+    "text_decontaminate", "text_sequence_packing", "dedup_minhash_lsh",
     "dedup_substring_spans", "dedup_semantic",
-    "pipeline_training_corpus", "sim_ann_lsh",
+    "pipeline_training_corpus", "text_bm25_topk",
     "multimodal_features", "udf_grouped_zscore",
     # presto-ml distributed trainers
     "ml_classify_centroid",

@@ -133,3 +133,78 @@ def test_curation_mix_weights_sum_to_one(spark, sf_dir):
     for r in rows:
         assert 0.0 <= r.dup_rate <= 1.0
         assert 0.0 <= r.mean_quality <= 1.0
+
+
+def test_sequence_packing_invariants(spark, sf_dir):
+    """Packing must be gapless per shard: each doc starts exactly where
+    the previous one ended, example indices follow from pure floor
+    division, and every token is assigned (no padding loss)."""
+    from collections import defaultdict
+
+    from presto_db_spark.operators import text
+
+    rows = text.QUERIES["text_sequence_packing"](spark, sf_dir).collect()
+    by_shard = defaultdict(list)
+    for r in rows:
+        by_shard[r.shard].append(r)
+    assert len(by_shard) == text._PACK_SHARDS
+    L = text._PACK_L
+    for shard, docs in by_shard.items():
+        docs.sort(key=lambda r: r.doc_id)
+        pos = 0
+        for r in docs:
+            assert r.start_tok == pos, (shard, r)
+            assert r.first_example == pos // L
+            assert r.last_example == (pos + r.n_tok - 1) // L
+            assert r.n_examples_spanned == r.last_example - r.first_example + 1
+            pos += r.n_tok
+    # boundary crossing must actually occur somewhere (docs < L tokens
+    # would make the op vacuous otherwise)
+    assert any(r.n_examples_spanned >= 2 for r in rows)
+
+
+def test_bm25_topk_semantics(spark, sf_dir):
+    from presto_db_spark.operators import text
+
+    rows = text.QUERIES["text_bm25_topk"](spark, sf_dir).collect()
+    assert len(rows) == text._BM25_TOPK
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    scores = [r.score_u for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+
+
+def test_train_shuffle_shards_semantics(spark, sf_dir):
+    """Deterministic across runs; shards cover the full range with rough
+    balance; positions are exactly 1..n within each shard."""
+    from collections import Counter, defaultdict
+
+    from presto_db_spark.operators import text
+
+    a = sorted(map(tuple, text.QUERIES["train_shuffle_shards"](spark, sf_dir).collect()))
+    b = sorted(map(tuple, text.QUERIES["train_shuffle_shards"](spark, sf_dir).collect()))
+    assert a == b
+    shards = Counter(r[1] for r in a)
+    assert set(shards) == set(range(text._SHUF_SHARDS))
+    n = len(a)
+    assert max(shards.values()) <= 3 * n // text._SHUF_SHARDS
+    pos = defaultdict(list)
+    for _doc, shard, p in a:
+        pos[shard].append(p)
+    for shard, ps in pos.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), shard
+    # the hash order must differ from insertion order (it IS a shuffle)
+    first_shard_docs = [doc for doc, s, p in sorted(a, key=lambda r: r[2]) if s == 0]
+    assert first_shard_docs != sorted(first_shard_docs)
+
+
+def test_gopher_rules_vary(spark, sf_dir):
+    """The rule battery must produce BOTH pass and fail (otherwise the
+    booleans are vacuously oracle-equal) and per-rule variety on at least
+    one rule."""
+    from presto_db_spark.operators import text
+
+    rows = text.QUERIES["text_gopher_rules"](spark, sf_dir).collect()
+    passes = {r.passes for r in rows}
+    assert passes == {True, False}, passes
+    assert {r.rule_stopwords for r in rows} == {True, False}
