@@ -56,7 +56,7 @@ _MODULES: list[str] = [
 # (TPC-H spine, the hardest TPC-DS shapes, joins/set-ops/windows/subqueries,
 # sketches + t-digest, geospatial incl. the KdbTree join, range/as-of,
 # skew salting, the scalar corpus, text/dedup/similarity/multimodal
-# extension ops, streaming).  All 299 entries remain present and
+# extension ops, streaming).  All 300 entries remain present and
 # oracle-backed — this is ordering only, so a driver that instead pins a
 # fixed name list is unaffected.
 _BATTERY_HEAD: list[str] = [

@@ -63,3 +63,24 @@ def test_semantic_dedup_invariants(spark, sf_dir):
         assert r.n_kept + r.n_removed == r.n_members
         if r.n_members > 0:
             assert r.n_removed <= r.n_members - 1 or r.n_members == 0
+
+
+def test_int8_quantize_semantics(spark, sf_dir):
+    """Codes saturate the int8 range exactly at the max-|x| element
+    (±127), never exceed it, and the reconstruction error is small
+    relative to the vector norm (the point of the compression)."""
+    from presto_db_spark.operators import similarity as sim
+
+    rows = sim.QUERIES["emb_int8_quantize"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert -127 <= r.q_min <= r.q_max <= 127
+        assert max(abs(r.q_min), abs(r.q_max)) == 127  # scale anchors the max
+        assert r.sq_err_nanos >= 0
+        assert r.n_dims == 64
+    # quantization noise bound: per-element error <= (maxabs/127)/2, so
+    # sq_err <= dims * (maxabs/254)^2 — check the aggregate respects it
+    for r in rows[:50]:
+        maxabs = r.maxabs_micros / 1e6
+        bound = r.n_dims * (maxabs / 254 * 1.01) ** 2
+        assert r.sq_err_nanos / 1e9 <= bound, (r.vec_id, r.sq_err_nanos, bound)
