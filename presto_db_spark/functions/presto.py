@@ -476,7 +476,17 @@ def _joda_to_py(fmt: str) -> str:
                 i += len(joda)
                 break
         else:
-            out.append(fmt[i].replace("%", "%%"))
+            ch = fmt[i]
+            if ch.isascii() and ch.isalpha():
+                # same contract as the format direction: an unquoted
+                # pattern letter outside the supported table raises
+                # (Joda's IllegalArgumentException) instead of silently
+                # matching the raw letter as literal input text
+                n = 1
+                while i + n < len(fmt) and fmt[i + n] == ch:
+                    n += 1
+                raise ValueError(f"Illegal pattern component: {ch * n}")
+            out.append(ch.replace("%", "%%"))
             i += 1
     return "".join(out)
 

@@ -245,3 +245,31 @@ def test_combinations_null_and_negative(engine):
 
     with _pytest.raises(Exception, match="must not be negative"):
         engine.sql("SELECT combinations(ARRAY[1], -1)").collect()
+
+
+def test_joda_unknown_letters_raise():
+    """Both Joda directions must refuse unknown unquoted pattern letters
+    (Joda's IllegalArgumentException) rather than silently treating them
+    as literal text — but quoted literals still pass through."""
+    import pytest as _pytest
+
+    from presto_db_spark.functions.presto import (
+        _format_datetime_py, _joda_to_py,
+    )
+    from datetime import datetime
+
+    ts = datetime(2001, 2, 3, 4, 5, 6, 789000)
+    # full-alphabet fields render real values (these used to leak as text)
+    assert _format_datetime_py(ts, "S") == "7"
+    assert _format_datetime_py(ts, "SS") == "78"
+    assert _format_datetime_py(ts, "yyy") == "2001"
+    assert _format_datetime_py(ts, "D") == "34"
+    assert _format_datetime_py(ts, "K:k") == "4:4"
+    assert _format_datetime_py(ts, "e E") == "6 Sat"
+    with _pytest.raises(ValueError, match="Illegal pattern"):
+        _format_datetime_py(ts, "yyyy-QQ")  # Q: not a Joda field
+    with _pytest.raises(ValueError, match="Illegal pattern"):
+        _joda_to_py("yyyy-MM-dd X")
+    # quoted literals are not pattern letters
+    assert _format_datetime_py(ts, "yyyy'X'") == "2001X"
+    assert _joda_to_py("'T'HH") == "T%H"
