@@ -804,3 +804,169 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- Incremental dedup: incoming batch vs existing corpus -------------------
+
+INC_MOD = 5  # doc_id % INC_MOD == 0 plays the "incoming batch" role
+INC_JACCARD = 0.4
+
+_INC_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, doc_id % {INC_MOD} = 0 AS incoming,
+         string_split_regex(trim(text), '\\s+') AS words,
+         list_transform(words, w -> {_SQL_ROLL.format(s="w")} % {MERSENNE31}) AS wh,
+         list_distinct(list_transform(generate_series(1, greatest(len(words) - 2, 1)),
+             i -> array_to_string(words[i:i+2], ' '))) AS grams,
+         list_distinct(list_transform(generate_series(1, greatest(len(words) - 2, 1)),
+             i -> ((coalesce(wh[i], 0) * {WORD_COMBINE} + coalesce(wh[i+1], 0))
+                   % {MERSENNE31} * {WORD_COMBINE} + coalesce(wh[i+2], 0))
+                  % {MERSENNE31})) AS hs
+  FROM documents
+), sigs AS (
+  SELECT doc_id, incoming, grams, {_MH_PERM_SQL} FROM sh
+), banded AS (
+  SELECT doc_id, incoming, grams, {_MH_BANDS_SQL} FROM sigs
+), pairs AS (
+  SELECT DISTINCT i.doc_id AS inc_id, x.doc_id AS ex_id,
+         i.grams AS gi, x.grams AS gx
+  FROM banded i JOIN banded x
+    ON i.incoming AND NOT x.incoming
+   AND (i.band0 = x.band0 OR i.band1 = x.band1 OR i.band2 = x.band2 OR i.band3 = x.band3)
+), verified AS (
+  SELECT inc_id, ex_id,
+         round(CAST(len(list_intersect(gi, gx)) AS DOUBLE)
+               / (len(gi) + len(gx) - len(list_intersect(gi, gx))), 6) AS jaccard
+  FROM pairs
+  WHERE CAST(len(list_intersect(gi, gx)) AS DOUBLE)
+        / (len(gi) + len(gx) - len(list_intersect(gi, gx))) >= {INC_JACCARD}
+), ranked AS (
+  SELECT inc_id, ex_id, jaccard,
+         count(*) OVER (PARTITION BY inc_id) AS n_matches,
+         row_number() OVER (PARTITION BY inc_id ORDER BY jaccard DESC, ex_id) AS rn
+  FROM verified
+), best AS (
+  SELECT inc_id, CAST(n_matches AS BIGINT) AS n_near_dups,
+         ex_id AS best_match_id, jaccard AS best_jaccard
+  FROM ranked WHERE rn = 1
+)
+SELECT d.doc_id, coalesce(b.n_near_dups, 0) > 0 AS is_dup,
+       coalesce(b.n_near_dups, 0) AS n_near_dups,
+       b.best_match_id, b.best_jaccard
+FROM documents d LEFT JOIN best b ON b.inc_id = d.doc_id
+WHERE d.doc_id % {INC_MOD} = 0
+"""
+
+
+@_q("dedup_incremental", _INC_SQL)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion dedup: screen an INCOMING batch against the
+    EXISTING corpus (the shape every production crawl pipeline runs per
+    snapshot — only ``dedup_minhash_lsh``'s within-corpus self-join is in
+    the literature-standard toolkit, but ingestion dedups new data
+    against the accumulated index instead).
+
+    Reuses the banded-MinHash machinery: per-word rolling hashes, 16
+    affine permutations, 4×4 bands. The structural difference from the
+    self-join is the ASYMMETRY, and that is exactly what makes it scale:
+
+    * the existing corpus contributes only its NARROW signature rows
+      (doc_id + 16 longs) — at 100 TB these are a precomputed, persisted
+      "index" table (~140 B/doc) that never re-reads existing text;
+    * the band join is incoming × existing, so its output is bounded by
+      the incoming batch's dup rate; AQE broadcasts the (small) incoming
+      band side and the existing signatures never shuffle;
+    * gram verification re-reads text ONLY for candidate ids on both
+      sides (left-semi broadcast), proportional to the candidate count.
+
+    Verdict per incoming doc: near-dup or novel, with the strongest
+    existing match (max Jaccard, ties to the smallest existing id)."""
+    raw_docs = load_table(spark, sf_dir, "documents")
+    is_inc = (F.col("doc_id") % INC_MOD) == 0
+
+    par = spark.sparkContext.defaultParallelism
+    docs = raw_docs
+    files = raw_docs.inputFiles()
+    if len(files) < par:
+        try:
+            nbytes = sum(
+                os.path.getsize(f[len("file:"):] if f.startswith("file:") else f)
+                for f in files
+            )
+            fan = min(par, max(8, nbytes // (256 * 1024)))
+        except OSError:
+            fan = par
+        docs = docs.repartition(int(fan), "doc_id")
+
+    # ONE signature pass over all docs (production: existing signatures are
+    # read from the persisted index; here both sides derive from the same
+    # table so one UDF execution, lineage-cut, feeds both band sides).
+    sig_mh = (
+        docs.select(
+            "doc_id", is_inc.alias("incoming"),
+            _minhash_mh_pd()(F.col("text")).alias("mh"),
+        )
+        .select(
+            "doc_id", "incoming",
+            *[F.col("mh").getItem(k).alias(f"mh{k}") for k in range(len(MINHASH_PERMS))],
+        )
+        .localCheckpoint(eager=False)
+    )
+    bands = sig_mh.select(
+        "doc_id", "incoming",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(bi).alias("band_id"), _band_expr("", bi).alias("bkey"))
+                    for bi in range(N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        "doc_id", "incoming",
+        F.col("bb.band_id").alias("band_id"), F.col("bb.bkey").alias("bkey"),
+    )
+    pairs = (
+        bands.filter("incoming").alias("i")
+        .join(
+            bands.filter("NOT incoming").alias("x"),
+            (F.col("i.band_id") == F.col("x.band_id"))
+            & (F.col("i.bkey") == F.col("x.bkey")),
+        )
+        .select(F.col("i.doc_id").alias("inc_id"), F.col("x.doc_id").alias("ex_id"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    cand_ids = pairs.select(F.explode(F.array("inc_id", "ex_id")).alias("doc_id"))
+    cand_grams = (
+        raw_docs.join(cand_ids, "doc_id", "left_semi")
+        .select("doc_id", _minhash_grams_pd()(F.col("text")).alias("grams"))
+        .localCheckpoint(eager=False)
+    )
+    gi = cand_grams.select(F.col("doc_id").alias("inc_id"), F.col("grams").alias("gi"))
+    gx = cand_grams.select(F.col("doc_id").alias("ex_id"), F.col("grams").alias("gx"))
+    cand = pairs.join(gi, "inc_id").join(gx, "ex_id")
+    inter = F.size(F.array_intersect("gi", "gx"))
+    union = F.size("gi") + F.size("gx") - inter
+    jac = inter.cast("double") / union
+    verified = cand.filter(jac >= INC_JACCARD).select(
+        "inc_id", "ex_id", F.round(jac, 6).alias("jaccard")
+    )
+    best = verified.groupBy("inc_id").agg(
+        F.count("*").alias("n_near_dups"),
+        F.min(F.struct(-F.col("jaccard"), F.col("ex_id"))).getField("ex_id")
+        .alias("best_match_id"),
+        F.max("jaccard").alias("best_jaccard"),
+    )
+    return (
+        raw_docs.filter(is_inc)
+        .select("doc_id")
+        .join(best, F.col("doc_id") == F.col("inc_id"), "left")
+        .select(
+            "doc_id",
+            (F.coalesce("n_near_dups", F.lit(0)) > 0).alias("is_dup"),
+            F.coalesce("n_near_dups", F.lit(0)).alias("n_near_dups"),
+            "best_match_id",
+            "best_jaccard",
+        )
+    )

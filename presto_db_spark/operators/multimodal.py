@@ -692,3 +692,145 @@ def multimodal_ppm_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = docs.select("doc_id").mapInPandas(_ppm_encode_batches, _BMP_SCHEMA)
     feats = media.mapInPandas(_ppm_decode_batches, _PPM_FEAT_SCHEMA)
     return feats.orderBy("doc_id")
+
+
+# --- Perceptual average-hash (aHash) over the real BMP payloads -------------
+
+_PHASH_FEAT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("ahash", T.LongType()),
+        T.StructField("n_above", T.IntegerType()),
+    ]
+)
+
+
+def _phash_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """BMP bytes → 16-bit average-hash.  Full byte-level parse (headers,
+    stride, BGR) INCLUDING the bottom-up row flip — orientation matters
+    for a spatial hash, unlike the channel sums, so a flip bug here
+    breaks the value hash.  Luma is integer BT.601 (299/587/114 scaled by
+    1000); each 4×4 grid cell's mean compares to the global mean by
+    integer cross-multiplication (cell_sum·W·H > total·cell_area) — no
+    float division anywhere, so parity is exact."""
+    import struct
+
+    import numpy as np
+
+    for pdf in batches:
+        out = {k: [] for k in ("doc_id", "width", "height", "ahash", "n_above")}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            buf = bytes(payload)
+            magic, _size, _r1, _r2, off = struct.unpack_from("<2sIHHI", buf, 0)
+            assert magic == b"BM", "not a BMP payload"
+            _hsz, w, h, _pl, bpp = struct.unpack_from("<IiiHH", buf, 14)
+            assert bpp == 24
+            stride = w * 3 + (-(w * 3)) % 4
+            px = (
+                np.frombuffer(buf, dtype=np.uint8, count=h * stride, offset=off)
+                .reshape(h, stride)[:, : w * 3]
+                .reshape(h, w, 3)
+                .astype(np.int64)
+            )
+            px = px[::-1]  # BMP rows are bottom-up: flip to image order
+            luma = 299 * px[:, :, 2] + 587 * px[:, :, 1] + 114 * px[:, :, 0]
+            total = int(luma.sum())
+            ahash = 0
+            n_above = 0
+            for i in range(4):
+                y0, y1 = i * h // 4, (i + 1) * h // 4
+                for j in range(4):
+                    x0, x1 = j * w // 4, (j + 1) * w // 4
+                    s = int(luma[y0:y1, x0:x1].sum())
+                    if s * w * h > total * (y1 - y0) * (x1 - x0):
+                        ahash |= 1 << (i * 4 + j)
+                        n_above += 1
+            out["doc_id"].append(int(doc_id))
+            out["width"].append(w)
+            out["height"].append(h)
+            out["ahash"].append(ahash)
+            out["n_above"].append(n_above)
+        yield pd.DataFrame(out)
+
+
+_PHASH_LUMA = (
+    "(299 * ((doc_id * 3 + x * 7 + y * 11) % 256)"
+    " + 587 * ((doc_id * 5 + x * 13 + y * 3) % 256)"
+    " + 114 * ((doc_id * 7 + x + y * 17) % 256))"
+)
+
+
+def _phash_cell_sql(i: int, j: int) -> str:
+    return (
+        f"list_sum(flatten(list_transform("
+        f"generate_series({i} * h // 4, ({i} + 1) * h // 4 - 1), y -> "
+        f"list_transform(generate_series({j} * w // 4, ({j} + 1) * w // 4 - 1), "
+        f"x -> {_PHASH_LUMA}))))"
+    )
+
+
+_PHASH_BITS = " + ".join(
+    f"(CASE WHEN c{i}{j} * w * h > total"
+    f" * (({i} + 1) * h // 4 - {i} * h // 4)"
+    f" * (({j} + 1) * w // 4 - {j} * w // 4)"
+    f" THEN {1 << (i * 4 + j)} ELSE 0 END)"
+    for i in range(4)
+    for j in range(4)
+)
+_PHASH_POP = " + ".join(
+    f"(CASE WHEN c{i}{j} * w * h > total"
+    f" * (({i} + 1) * h // 4 - {i} * h // 4)"
+    f" * (({j} + 1) * w // 4 - {j} * w // 4)"
+    f" THEN 1 ELSE 0 END)"
+    for i in range(4)
+    for j in range(4)
+)
+
+_PHASH_ORACLE = (
+    """
+WITH g AS (
+  SELECT doc_id, 8 + doc_id % 9 AS w, 4 + doc_id % 5 AS h
+  FROM documents WHERE doc_id < 300
+), cells AS (
+  SELECT doc_id, w, h,
+         list_sum(flatten(list_transform(generate_series(0, h - 1), y ->
+           list_transform(generate_series(0, w - 1), x -> """
+    + _PHASH_LUMA
+    + """)))) AS total,
+"""
+    + ",\n".join(
+        f"         {_phash_cell_sql(i, j)} AS c{i}{j}"
+        for i in range(4)
+        for j in range(4)
+    )
+    + f"""
+  FROM g
+)
+SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST({_PHASH_BITS} AS BIGINT) AS ahash,
+       CAST({_PHASH_POP} AS INTEGER) AS n_above
+FROM cells ORDER BY doc_id
+"""
+)
+
+
+@_q("multimodal_phash", _PHASH_ORACLE)
+def multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash over REAL image bytes — the near-dup
+    primitive for media corpora (``multimodal_dedup`` catches exact
+    copies; aHash buckets catch re-encodes/minor edits, the same role
+    MinHash plays for text).  Encode and hash are SEPARATE Arrow stages
+    communicating only through the serialized .bmp payload, and the
+    oracle predicts the 16-bit hash closed-form from the generation
+    formulas — a parse bug (stride, BGR order, or the bottom-up flip,
+    which the channel-sum round-trip cannot see) breaks the value hash.
+
+    100 TB: shuffle-free projection (payload → 8-byte hash); downstream
+    near-dup joins group on the hash exactly like ``dedup_simhash``."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    media = docs.select("doc_id").mapInPandas(_bmp_encode_batches, _BMP_SCHEMA)
+    return media.mapInPandas(_phash_decode_batches, _PHASH_FEAT_SCHEMA).orderBy(
+        "doc_id"
+    )

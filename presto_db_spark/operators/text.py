@@ -1242,3 +1242,125 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(W.orderBy(F.desc("score_u"), F.asc("doc_id")))
         .cast("long"),
     )
+
+
+# --- Per-domain document cap (crawl curation) --------------------------------
+
+_DOMAIN_CAP = 15
+
+_DOMCAP_SQL = f"""
+WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+)
+SELECT doc_id, source, CAST(rk AS BIGINT) AS domain_rank,
+       rk <= {_DOMAIN_CAP} AS kept
+FROM r
+"""
+
+
+@_q("text_domain_cap", _DOMCAP_SQL)
+def text_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap — the C4/RefinedWeb-style curation rule
+    that bounds any single domain's contribution to the corpus so crawl
+    skew (one forum dumping millions of pages) cannot dominate training.
+
+    Priority inside a domain is ``md5(doc_id)`` — a deterministic
+    pseudo-random order, so the kept subset is an unbiased sample that is
+    REPRODUCIBLE across engines and runs (no RNG state), and adding new
+    documents never reshuffles the survivors' relative order.
+
+    100 TB: one hash-partitioned window per domain — the shuffle key is
+    the domain, exactly the key the data is naturally skewed ON, but the
+    window needs only (doc_id, hash) narrow rows, and AQE's skew split
+    handles a mega-domain's sort spill. In production the cap is applied
+    as a TopNRowNumber (WindowGroupLimit) when only survivors are needed;
+    here every doc is emitted with its verdict for auditability."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        F.row_number().over(w).cast("bigint").alias("domain_rank"),
+    ).withColumn("kept", F.col("domain_rank") <= _DOMAIN_CAP)
+
+
+# --- Unicode NFC normalization ----------------------------------------------
+
+_NFC_UDF = None
+
+
+def _nfc_pd():
+    global _NFC_UDF
+    if _NFC_UDF is None:
+        import unicodedata
+
+        import pandas as pd
+
+        def impl(texts):
+            return pd.Series(
+                [
+                    None if t is None else unicodedata.normalize("NFC", t)
+                    for t in texts
+                ]
+            )
+
+        _NFC_UDF = F.pandas_udf(impl, "string")
+    return _NFC_UDF
+
+
+_NFC_SQL = """
+WITH decomposed AS (
+  SELECT doc_id,
+         replace(replace(text, 'a', 'a' || chr(769)), 'o', 'o' || chr(776))
+           AS raw
+  FROM documents
+), n AS (
+  SELECT doc_id, raw, nfc_normalize(raw) AS nfc FROM decomposed
+)
+SELECT doc_id,
+       CAST(length(raw) AS BIGINT) AS n_decomposed,
+       CAST(length(nfc) AS BIGINT) AS n_nfc,
+       CAST(length(raw) - length(nfc) AS BIGINT) AS n_composed,
+       length(raw) <> length(nfc) AS changed
+FROM n
+"""
+
+
+@_q("text_unicode_normalize", _NFC_SQL)
+def text_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization — the canonical first step of every text
+    pipeline (dedup hashes, tokenizers and n-gram stats all disagree when
+    ``é`` appears both precomposed (U+00E9) and decomposed (e + U+0301)).
+
+    The fixture corpus is ASCII, so combining sequences are injected
+    deterministically on BOTH sides first (a→a+U+0301, o→o+U+0308);
+    normalization then recombines them and the emitted per-doc codepoint
+    accounting (decomposed length, NFC length, composed count) proves the
+    Spark path — ``unicodedata.normalize`` in an Arrow-batched UDF —
+    agrees exactly with DuckDB's native ``nfc_normalize``.
+
+    100 TB: shuffle-free projection; the UDF is the only Python step and
+    batches via Arrow (normalization is not expressible in JVM builtins
+    — Spark has no NFC function)."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.replace(
+        F.replace(F.col("text"), F.lit("a"), F.lit("a\u0301")),
+        F.lit("o"),
+        F.lit("o\u0308"),
+    )
+    d = docs.select("doc_id", raw.alias("raw"))
+    n = d.withColumn("nfc", _nfc_pd()(F.col("raw")))
+    return n.select(
+        "doc_id",
+        F.length("raw").cast("bigint").alias("n_decomposed"),
+        F.length("nfc").cast("bigint").alias("n_nfc"),
+        (F.length("raw") - F.length("nfc")).cast("bigint").alias("n_composed"),
+        (F.length("raw") != F.length("nfc")).alias("changed"),
+    )

@@ -88,18 +88,22 @@ _BATTERY_HEAD: list[str] = [
     "agg_classification_metrics",
     # LLM-pipeline extension operators (r06: cross-doc substring spans +
     # SemDeDup; r07: sequence packing + BM25 lexical retrieval rotate in
-    # for text_fingerprint / sim_ann_lsh, which stay oracle-checked
-    # outside the head AND bench-measured every round)
+    # for text_fingerprint / sim_ann_lsh; r07 second wave rotates
+    # multimodal_phash in for multimodal_features (the phash path
+    # additionally exercises the real BMP byte parse + orientation flip)
+    # and sim_pq_adc in for streaming_stateful_custom (streaming keeps
+    # two head slots; PQ is the new ANN-compression flagship). Displaced
+    # entries stay oracle-checked in CORRECTNESS_FULL every round.
     "text_decontaminate", "text_sequence_packing", "dedup_minhash_lsh",
     "dedup_substring_spans", "dedup_semantic",
     "pipeline_training_corpus", "text_bm25_topk",
-    "multimodal_features", "udf_grouped_zscore",
+    "multimodal_phash", "udf_grouped_zscore",
     # presto-ml distributed trainers
     "ml_classify_centroid",
     # streaming (streaming_late_data also sits in the flagship block
     # above). The [:50] guard pins the curated head to the battery size
     # even if a future edit grows the list.
-    "streaming_session_window", "streaming_stateful_custom",
+    "streaming_session_window", "sim_pq_adc",
 ][:50]
 
 

@@ -60,3 +60,22 @@ def test_substring_spans_invariants(spark, sf_dir):
             assert 1 <= r.first_dup_pos <= r.n_windows
         else:
             assert r.first_dup_pos is None
+
+
+def test_incremental_dedup_consistent_with_self_join(spark, sf_dir):
+    """Every (incoming, existing) pair the incremental screen flags must
+    also appear in the full corpus self-join at the same threshold (the
+    incremental op is a restriction of the symmetric relation), and the
+    fixture must yield BOTH dup and novel incoming docs (non-vacuous)."""
+    inc = dd.QUERIES["dedup_incremental"](spark, sf_dir).collect()
+    assert any(r.is_dup for r in inc) and any(not r.is_dup for r in inc)
+    full = {
+        (r.id_a, r.id_b)
+        for r in dd.QUERIES["dedup_minhash_lsh"](spark, sf_dir).collect()
+    }
+    sym = full | {(b, a) for a, b in full}
+    for r in inc:
+        if r.is_dup:
+            assert r.best_match_id % dd.INC_MOD != 0  # matches are existing-side
+            assert (r.doc_id, r.best_match_id) in sym, (
+                r.doc_id, r.best_match_id)

@@ -22,3 +22,40 @@ def test_frame_sample_shape(spark, sf_dir):
     df = mm.QUERIES["multimodal_frame_sample"](spark, sf_dir)
     rows = df.limit(10).collect()
     assert rows and all(r.offset % 64 == 0 for r in rows)
+
+
+def test_phash_orientation_sensitivity(spark, sf_dir):
+    """The aHash must read rows in IMAGE order: recomputing it without
+    the bottom-up flip must disagree for at least one doc (i.e. the flip
+    is load-bearing, not decorative), and n_above must equal the hash's
+    popcount."""
+    import numpy as np
+
+    from presto_db_spark.operators import multimodal as mm
+
+    rows = mm.QUERIES["multimodal_phash"](spark, sf_dir).collect()
+    assert rows
+    diff = 0
+    for r in rows:
+        assert r.n_above == bin(r.ahash).count("1")
+        assert 0 <= r.ahash < (1 << 16)
+        d, w, h = r.doc_id, r.width, r.height
+        ys = np.arange(h)[:, None]  # NO flip: formula-y == stored row
+        xs = np.arange(w)[None, :]
+        rr = (d * 3 + xs * 7 + ys * 11) % 256
+        gg = (d * 5 + xs * 13 + ys * 3) % 256
+        bb = (d * 7 + xs + ys * 17) % 256
+        luma = 299 * rr + 587 * gg + 114 * bb
+        # unflipped hash: stored row 0 is formula y = h-1 → flipud
+        luma_stored = luma[::-1]
+        total = int(luma_stored.sum())
+        noflip = 0
+        for i in range(4):
+            for j in range(4):
+                s = int(luma_stored[i * h // 4:(i + 1) * h // 4,
+                                    j * w // 4:(j + 1) * w // 4].sum())
+                area = ((i + 1) * h // 4 - i * h // 4) * ((j + 1) * w // 4 - j * w // 4)
+                if s * w * h > total * area:
+                    noflip |= 1 << (i * 4 + j)
+        diff += noflip != r.ahash
+    assert diff > 0, "flip is never observable — hash not orientation-sensitive"

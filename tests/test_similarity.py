@@ -84,3 +84,38 @@ def test_int8_quantize_semantics(spark, sf_dir):
         maxabs = r.maxabs_micros / 1e6
         bound = r.n_dims * (maxabs / 254 * 1.01) ** 2
         assert r.sq_err_nanos / 1e9 <= bound, (r.vec_id, r.sq_err_nanos, bound)
+
+
+def test_pq_adc_recall_and_shape(spark, sf_dir):
+    """PQ-ADC is an approximation of exact L2 top-k: assert the structural
+    contract (TOP_K rows per query, ascending adist, no self-matches) and
+    a recall floor against the exact numpy answer — compression must not
+    destroy the neighborhood structure on the clustered fixture."""
+    import numpy as np
+
+    rows = sm.QUERIES["sim_pq_adc"](spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        assert r.qid != r.vec_id
+        by_q.setdefault(r.qid, []).append(r)
+    assert len(by_q) == sm.N_QUERIES
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in sm._emb(spark, sf_dir).select("vec_id", "embedding").collect()
+    }
+    hits = total = 0
+    for qid, rs in by_q.items():
+        assert len(rs) == sm.TOP_K
+        rs.sort(key=lambda r: r.rn)
+        # final order is by EXACT reranked distance; ADC adist rides along
+        assert all(a.dist <= b.dist + 1e-9 for a, b in zip(rs, rs[1:]))
+        q = emb[qid]
+        for r in rs:  # reranked dist must BE the exact L2² (to rounding)
+            assert abs(r.dist - float(np.sum((q - emb[r.vec_id]) ** 2))) < 1e-4
+        exact = sorted(
+            ((np.sum((q - v) ** 2), vid) for vid, v in emb.items() if vid != qid)
+        )[: sm.TOP_K]
+        exact_ids = {vid for _, vid in exact}
+        hits += sum(1 for r in rs if r.vec_id in exact_ids)
+        total += sm.TOP_K
+    assert hits / total >= 0.5, f"PQ recall@{sm.TOP_K} collapsed: {hits}/{total}"

@@ -208,3 +208,37 @@ def test_gopher_rules_vary(spark, sf_dir):
     passes = {r.passes for r in rows}
     assert passes == {True, False}, passes
     assert {r.rule_stopwords for r in rows} == {True, False}
+
+
+def test_domain_cap_semantics(spark, sf_dir):
+    """Every domain keeps at most the cap; ranks are a 1..n permutation
+    per domain; verdicts follow the rank; the fixture produces both kept
+    and dropped docs (non-vacuous)."""
+    rows = tx.QUERIES["text_domain_cap"](spark, sf_dir).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    assert any(not r.kept for r in rows) and any(r.kept for r in rows)
+    for src, rs in by_src.items():
+        ranks = sorted(r.domain_rank for r in rs)
+        assert ranks == list(range(1, len(rs) + 1)), src
+        for r in rs:
+            assert r.kept == (r.domain_rank <= tx._DOMAIN_CAP)
+        assert sum(r.kept for r in rs) == min(len(rs), tx._DOMAIN_CAP)
+
+
+def test_unicode_normalize_counts(spark, sf_dir):
+    """NFC recombines exactly the injected combining marks: composed
+    count equals the number of 'a's + 'o's in the original text, and
+    every doc containing either letter reports changed=true."""
+    docs = {
+        r.doc_id: r.text
+        for r in tx.load_table(spark, sf_dir, "documents").collect()
+    }
+    rows = tx.QUERIES["text_unicode_normalize"](spark, sf_dir).collect()
+    assert any(r.changed for r in rows)
+    for r in rows:
+        expect = docs[r.doc_id].count("a") + docs[r.doc_id].count("o")
+        assert r.n_composed == expect, (r.doc_id, r.n_composed, expect)
+        assert r.changed == (expect > 0)
+        assert r.n_decomposed - r.n_nfc == r.n_composed
