@@ -922,3 +922,86 @@ def streaming_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_shared_windows"))
         .orderBy("id_a", "id_b")
     )
+
+
+@_q(
+    "streaming_dedup",
+    """
+SELECT user_id, event_type,
+       min(event_id) AS keep_event_id,
+       CAST(count(*) AS BIGINT) AS n_seen,
+       count(*) = 1 AS is_unique
+FROM events GROUP BY user_id, event_type
+""",
+)
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingestion dedup — the stateful mirror of
+    ``dropDuplicates`` with an explicit, DETERMINISTIC survivor rule:
+    per (user_id, event_type) key the canonical kept record is
+    ``min(event_id)`` (arrival-order "first seen" is nondeterministic
+    under batch parallelism, so real pipelines pin a total order; the
+    min rule makes the final state independent of file/batch arrival
+    and therefore batch-oracle-checkable).
+
+    State per key is a fixed-width (keep_id, n_seen) tuple in
+    GroupState — memory ∝ distinct keys, never events. Production adds
+    a watermark timeout (``GroupStateTimeout.EventTimeTimeout``) so keys
+    idle past the late-data horizon evict, exactly like
+    ``dropDuplicatesWithinWatermark``; the fixture source is finite so
+    the state lives for the run and the final emission per key equals
+    the batch aggregate."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    stream = events_stream(spark, sf_dir).select("user_id", "event_type", "event_id")
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("keep_event_id", LongType()),
+            StructField("n_seen", LongType()),
+            StructField("is_unique", BooleanType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("keep_id", LongType()), StructField("n", LongType())]
+    )
+
+    def update(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        keep_id, n = state.get if state.exists else (None, 0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            batch_min = int(pdf["event_id"].min())
+            keep_id = batch_min if keep_id is None else min(keep_id, batch_min)
+        state.update((keep_id, n))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "event_type": [key[1]],
+                "keep_event_id": [keep_id],
+                "n_seen": [n],
+                "is_unique": [n == 1],
+            }
+        )
+
+    res = stream.groupBy("user_id", "event_type").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    # update-mode emissions accumulate; the per-key FINAL state is the one
+    # with the largest n_seen (n is monotone across emissions).
+    raw = _run_to_completion(res, "stream_dedup", "update")
+    return raw.groupBy("user_id", "event_type").agg(
+        F.min("keep_event_id").alias("keep_event_id"),
+        F.max("n_seen").alias("n_seen"),
+        (F.max("n_seen") == 1).alias("is_unique"),
+    )

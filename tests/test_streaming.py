@@ -38,3 +38,29 @@ def test_late_data_drops_and_keeps(spark, sf_dir):
     (_, [(upper,)]) = run_oracle(no_drop_sql, sf_dir)
     (_, [(lower,)]) = run_oracle(all_late_dropped_sql, sf_dir)
     assert lower < emitted < upper, (lower, emitted, upper)
+
+
+def test_streaming_dedup_deterministic_survivor(spark, sf_dir):
+    """The kept record per key is the min event_id (deterministic under
+    any batch/file arrival order), n_seen counts every duplicate, and the
+    fixture yields both unique and duplicated keys (non-vacuous)."""
+    rows = sp.QUERIES["streaming_dedup"](spark, sf_dir).collect()
+    assert rows
+    # (every key duplicates at sf0.001 — few users × types over 10k events —
+    # so uniqueness presence is fixture-dependent; duplication is the
+    # non-vacuity that matters for a dedup op)
+    assert any(not r.is_unique for r in rows)
+    ev = (
+        sp.events_stream.__globals__["load_table"](spark, sf_dir, "events")
+        .select("user_id", "event_type", "event_id")
+        .collect()
+    )
+    agg = {}
+    for e in ev:
+        k = (e.user_id, e.event_type)
+        kid, n = agg.get(k, (e.event_id, 0))
+        agg[k] = (min(kid, e.event_id), n + 1)
+    assert len(rows) == len(agg)
+    for r in rows:
+        kid, n = agg[(r.user_id, r.event_type)]
+        assert (r.keep_event_id, r.n_seen, r.is_unique) == (kid, n, n == 1)
