@@ -56,6 +56,7 @@ N_BANDS, ROWS_PER_BAND = 4, 4
 
 def _q(name: str, sql: str | None = None):
     def deco(fn):
+        assert name not in QUERIES, f"duplicate query name: {name}"
         QUERIES[name] = fn
         if sql is not None:
             ORACLE[name] = sql

@@ -50,6 +50,7 @@ def _tmp_root() -> str:
 
 def _q(name: str, sql: str | None = None):
     def deco(fn):
+        assert name not in QUERIES, f"duplicate query name: {name}"
         QUERIES[name] = fn
         if sql is not None:
             ORACLE[name] = sql
@@ -925,7 +926,7 @@ def streaming_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
-    "streaming_dedup",
+    "streaming_dedup_stateful",
     """
 SELECT user_id, event_type,
        min(event_id) AS keep_event_id,
@@ -934,7 +935,7 @@ SELECT user_id, event_type,
 FROM events GROUP BY user_id, event_type
 """,
 )
-def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def streaming_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ingestion dedup — the stateful mirror of
     ``dropDuplicates`` with an explicit, DETERMINISTIC survivor rule:
     per (user_id, event_type) key the canonical kept record is

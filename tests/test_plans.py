@@ -277,3 +277,16 @@ def test_no_cartesian_across_tpc_corpus(spark, sf_dir):
                 continue
             offenders.append(name)
     assert not offenders, f"unexpected CartesianProduct in: {offenders}"
+
+
+def test_pq_rerank_broadcasts_and_no_cartesian(spark, sf_dir):
+    """sim_pq_adc: the shortlist-driven rerank joins must broadcast (the
+    shortlist is Q·PQ_SHORTLIST rows) and nothing may degenerate to a
+    CartesianProduct; dedup_incremental's band join must likewise stay an
+    equi-join."""
+    for name in ["sim_pq_adc", "dedup_incremental"]:
+        plan = _plan(all_queries()[name](spark, sf_dir), "simple")
+        assert "CartesianProduct" not in plan, (name, plan)
+    plan = _plan(all_queries()["sim_pq_adc"](spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

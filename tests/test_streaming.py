@@ -44,7 +44,7 @@ def test_streaming_dedup_deterministic_survivor(spark, sf_dir):
     """The kept record per key is the min event_id (deterministic under
     any batch/file arrival order), n_seen counts every duplicate, and the
     fixture yields both unique and duplicated keys (non-vacuous)."""
-    rows = sp.QUERIES["streaming_dedup"](spark, sf_dir).collect()
+    rows = sp.QUERIES["streaming_dedup_stateful"](spark, sf_dir).collect()
     assert rows
     # (every key duplicates at sf0.001 — few users × types over 10k events —
     # so uniqueness presence is fixture-dependent; duplication is the
