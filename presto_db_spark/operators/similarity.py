@@ -1251,3 +1251,222 @@ def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("qid", "vec_id", "adist", "dist", F.col("rn").cast("int").alias("rn"))
     )
+
+
+# --- IVF + PQ composition: partition-pruned compressed-code search ----------
+
+_IVFPQ_SQL = f"""
+WITH c AS (
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < {N_CENTROIDS}
+), assigned AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, cc.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             {_SQL_DOT.format(a="e.embedding", b="cc.ce")}
+               / ({_SQL_NORM.format(a="e.embedding")} * {_SQL_NORM.format(a="cc.ce")}) DESC,
+             cc.cid) AS arn
+    FROM embeddings e CROSS JOIN c cc
+  ) WHERE arn = 1
+), q_probe AS (
+  SELECT vec_id AS qid, embedding AS qe, cid FROM (
+    SELECT e.vec_id, e.embedding, cc.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             {_SQL_DOT.format(a="e.embedding", b="cc.ce")}
+               / ({_SQL_NORM.format(a="e.embedding")} * {_SQL_NORM.format(a="cc.ce")}) DESC,
+             cc.cid) AS prn
+    FROM embeddings e CROSS JOIN c cc
+    WHERE e.vec_id < {N_QUERIES}
+  ) WHERE prn <= {N_PROBE}
+), cb_src AS (
+  SELECT vec_id AS k, embedding FROM embeddings WHERE vec_id < {PQ_K}
+), sub AS (
+  SELECT unnest(generate_series(0, {PQ_M - 1})) AS m
+), cb AS (
+  SELECT s.m, cs.k,
+         list_transform(generate_series(1, {PQ_SUBDIM}),
+             i -> CAST(cs.embedding[s.m * {PQ_SUBDIM} + i] AS DOUBLE)) AS cw
+  FROM sub s CROSS JOIN cb_src cs
+), enc_scored AS (
+  SELECT e.vec_id, b.m, b.k, {_pq_sub_l2_sql('e.embedding', 'b.m', 'b.cw')} AS d2
+  FROM embeddings e CROSS JOIN cb b
+), codes AS (
+  SELECT vec_id, m, k AS code FROM (
+    SELECT vec_id, m, k,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, k) AS rn
+    FROM enc_scored
+  ) WHERE rn = 1
+), qd AS (
+  SELECT q.qid, a.vec_id, co.m,
+         {_pq_sub_l2_sql('q.qe', 'co.m', 'b.cw')} AS pd
+  FROM q_probe q
+  JOIN assigned a ON a.cid = q.cid AND a.vec_id <> q.qid
+  JOIN codes co ON co.vec_id = a.vec_id
+  JOIN cb b ON b.m = co.m AND b.k = co.code
+), adc AS (
+  SELECT qid, vec_id, round(list_sum(list(pd ORDER BY m)), 6) AS adist
+  FROM qd GROUP BY qid, vec_id
+), shortlist AS (
+  SELECT qid, vec_id, adist FROM (
+    SELECT qid, vec_id, adist,
+           row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS srn
+    FROM adc
+  ) WHERE srn <= {PQ_SHORTLIST}
+), reranked AS (
+  SELECT s.qid, s.vec_id, s.adist,
+         round(list_sum(list_transform(generate_series(1, {DIM}), i ->
+           (CAST(q.embedding[i] AS DOUBLE) - CAST(cv.embedding[i] AS DOUBLE))
+           * (CAST(q.embedding[i] AS DOUBLE) - CAST(cv.embedding[i] AS DOUBLE)))), 6)
+           AS dist
+  FROM shortlist s
+  JOIN embeddings q ON q.vec_id = s.qid
+  JOIN embeddings cv ON cv.vec_id = s.vec_id
+), ranked AS (
+  SELECT qid, vec_id, adist, dist,
+         row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn
+  FROM reranked
+)
+SELECT qid, vec_id, adist, dist, CAST(rn AS INTEGER) AS rn
+FROM ranked WHERE rn <= {TOP_K}
+"""
+
+
+def _adc_pair_impl_factory(dtables_by_qid):
+    """Per-row ADC distance for (qid, codes) pairs: DT lookup summed in
+    ``m`` order (the oracle's ``list(pd ORDER BY m)`` fold)."""
+    import numpy as np
+    import pandas as pd
+
+    qid_list = sorted(dtables_by_qid)
+    qid_index = {q: i for i, q in enumerate(qid_list)}
+    DT = np.asarray([dtables_by_qid[q] for q in qid_list], dtype=np.float64)
+
+    def impl(qids, codes):
+        C = np.vstack(codes.to_numpy()).astype(np.int64)
+        qi = qids.map(qid_index).to_numpy(dtype=np.int64)
+        acc = np.zeros(len(C))
+        for m in range(PQ_M):
+            acc += DT[qi, m, C[:, m]]
+        return pd.Series(acc)
+
+    return impl
+
+
+@_q("sim_ivfpq", _IVFPQ_SQL)
+def sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ — the composition both halves document as their scale path
+    (Jégou et al. 2011's IVFADC system): coarse centroids prune WHICH
+    partitions scan (``sim_ivf``'s inverted file), PQ codes compress WHAT
+    scans (``sim_pq_adc``'s 32× codes), and the exact rerank restores
+    precision on the shortlist.
+
+    One Arrow pass over the corpus emits BOTH the coarse assignment and
+    the 8-byte PQ code (two UDFs in one projection — no second scan, no
+    shuffle); the candidate join touches only the ``N_PROBE`` probed
+    partitions' code rows (broadcast Q·N_PROBE probe pairs); ADC is a
+    table lookup per candidate; raw vectors are read only for the
+    Q·PQ_SHORTLIST rerank rows.
+
+    At 100 TB this is THE deployable ANN shape: codes live as a narrow
+    (vec_id, cid, 8-byte code) table partitioned by cid — a query reads
+    ~N_PROBE/K of it, decompresses nothing, and fetches full vectors for
+    50 rows."""
+    import pandas as pd
+
+    emb = _emb(spark, sf_dir)
+    raw = load_table(spark, sf_dir, "embeddings")
+    head_rows = sorted(
+        raw.filter(F.col("vec_id") < max(N_CENTROIDS, N_QUERIES, PQ_K))
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    cent_rows = [r for r in head_rows if r.vec_id < N_CENTROIDS]
+    cent_ids = [int(r.vec_id) for r in cent_rows]
+    cent_vecs = [[float(x) for x in r.embedding] for r in cent_rows]
+    cb = [
+        [
+            [float(r.embedding[m * PQ_SUBDIM + d]) for d in range(PQ_SUBDIM)]
+            for r in head_rows
+            if r.vec_id < PQ_K
+        ]
+        for m in range(PQ_M)
+    ]
+    q_rows = [r for r in head_rows if r.vec_id < N_QUERIES]
+    # Per-query ADC distance tables (driver-side, Q·M·K doubles), same
+    # per-dim fold order as the oracle.
+    import numpy as np
+
+    dtables_by_qid = {}
+    for r in q_rows:
+        qv = [float(x) for x in r.embedding]
+        dt = np.zeros((PQ_M, PQ_K))
+        for m in range(PQ_M):
+            for d in range(PQ_SUBDIM):
+                x = qv[m * PQ_SUBDIM + d]
+                for k in range(PQ_K):
+                    t = x - cb[m][k][d]
+                    dt[m, k] += t * t
+        dtables_by_qid[int(r.vec_id)] = dt.tolist()
+
+    def _assign(vecs):
+        return _assign_probe_impl(vecs, cent_ids, cent_vecs, N_PROBE)
+
+    assign_udf = F.pandas_udf(_assign, "struct<cid: long, probes: array<long>>")
+    encode = F.pandas_udf(_pq_encode_impl_factory(cb), "array<long>")
+    adc_pair = F.pandas_udf(_adc_pair_impl_factory(dtables_by_qid), "double")
+
+    # ONE pass: coarse assignment + PQ code per vector, narrow rows only
+    # (vec_id, cid, 8 longs) — full vectors never leave the scan. The
+    # lineage cut keeps the double-UDF projection at a single execution
+    # even though the frame feeds the candidate join's build side.
+    assigned_codes = (
+        emb.select(
+            "vec_id",
+            assign_udf(F.col("embedding")).getField("cid").alias("cid"),
+            encode(F.col("embedding")).alias("codes"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    # Query probe lists driver-side (identical math ⇒ identical probes).
+    q_ap = _assign(pd.Series([[float(x) for x in r.embedding] for r in q_rows]))
+    q_probe = spark.createDataFrame(
+        [
+            (int(r.vec_id), int(cid))
+            for r, probes in zip(q_rows, q_ap["probes"])
+            for cid in probes
+        ],
+        "qid bigint, cid bigint",
+    )
+    cand = (
+        F.broadcast(q_probe.alias("qp"))
+        .join(
+            assigned_codes.alias("ac"),
+            (F.col("qp.cid").eqNullSafe(F.col("ac.cid")))
+            & (F.col("ac.vec_id") != F.col("qp.qid")),
+        )
+        .select("qid", "vec_id", "codes")
+    )
+    scored = cand.select(
+        "qid", "vec_id", F.round(adc_pair(F.col("qid"), F.col("codes")), 6).alias("adist")
+    )
+    ws = W.partitionBy("qid").orderBy(F.col("adist").asc(), F.col("vec_id").asc())
+    shortlist = (
+        scored.withColumn("srn", F.row_number().over(ws))
+        .filter(F.col("srn") <= PQ_SHORTLIST)
+        .drop("srn")
+    )
+    qe = raw.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb"))
+    ce = raw.select(F.col("vec_id"), F.col("embedding").alias("c_emb"))
+    cand_full = shortlist.join(
+        F.broadcast(qe.filter(F.col("qid") < N_QUERIES)), "qid"
+    ).join(ce, "vec_id")
+    reranked = cand_full.select(
+        "qid", "vec_id", "adist",
+        F.round(_l2_pd()(F.col("q_emb"), F.col("c_emb")), 6).alias("dist"),
+    )
+    w = W.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("vec_id").asc())
+    return (
+        reranked.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("qid", "vec_id", "adist", "dist", F.col("rn").cast("int").alias("rn"))
+    )

@@ -119,3 +119,50 @@ def test_pq_adc_recall_and_shape(spark, sf_dir):
         hits += sum(1 for r in rs if r.vec_id in exact_ids)
         total += sm.TOP_K
     assert hits / total >= 0.5, f"PQ recall@{sm.TOP_K} collapsed: {hits}/{total}"
+
+
+def test_ivfpq_recall_and_pruning_consistency(spark, sf_dir):
+    """IVF+PQ: TOP_K rows per query in exact-reranked order, emitted dist
+    IS the exact L2², every candidate obeys the partition pruning (its
+    coarse assignment is one of the query's probes), and recall@5 vs
+    exact stays high (measured 0.92 on both fixtures; floor 0.7)."""
+    import numpy as np
+
+    rows = sm.QUERIES["sim_ivfpq"](spark, sf_dir).collect()
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in sm._emb(spark, sf_dir).select("vec_id", "embedding").collect()
+    }
+    # recompute coarse assignment/probes locally with the operator's math
+    import pandas as pd
+
+    ids = sorted(emb)
+    cent_ids = [i for i in ids if i < sm.N_CENTROIDS]
+    cent_vecs = [[float(x) for x in emb[i]] for i in cent_ids]
+    ap = sm._assign_probe_impl(
+        pd.Series([[float(x) for x in emb[i]] for i in ids]),
+        cent_ids, cent_vecs, sm.N_PROBE,
+    )
+    cid_of = dict(zip(ids, ap["cid"]))
+    probes_of = dict(zip(ids, [set(p) for p in ap["probes"]]))
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.qid, []).append(r)
+    assert len(by_q) == sm.N_QUERIES
+    hits = tot = 0
+    for qid, rs in by_q.items():
+        assert len(rs) == sm.TOP_K
+        rs.sort(key=lambda r: r.rn)
+        assert all(a.dist <= b.dist + 1e-9 for a, b in zip(rs, rs[1:]))
+        q = emb[qid]
+        for r in rs:
+            assert abs(r.dist - float(np.sum((q - emb[r.vec_id]) ** 2))) < 1e-4
+            assert cid_of[r.vec_id] in probes_of[qid], (
+                qid, r.vec_id, "candidate outside probed partitions")
+        exact = sorted(
+            ((np.sum((q - v) ** 2), vid) for vid, v in emb.items() if vid != qid)
+        )[: sm.TOP_K]
+        eids = {vid for _, vid in exact}
+        hits += sum(1 for r in rs if r.vec_id in eids)
+        tot += sm.TOP_K
+    assert hits / tot >= 0.7, f"IVFPQ recall collapsed: {hits}/{tot}"
