@@ -1365,3 +1365,68 @@ def text_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.length("raw") - F.length("nfc")).cast("bigint").alias("n_composed"),
         (F.length("raw") != F.length("nfc")).alias("changed"),
     )
+
+
+# --- BPE pair-count induction step ------------------------------------------
+
+_BPE_TOPK = 20
+
+_BPE_SQL = f"""
+WITH w AS (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word FROM documents
+), pairs AS (
+  SELECT unnest(list_filter(
+           list_transform(generate_series(1, greatest(length(word) - 1, 1)),
+                          i -> word[i:i+1]),
+           p -> length(p) = 2)) AS pair
+  FROM w
+), counted AS (
+  SELECT pair, CAST(count(*) AS BIGINT) AS n_occurrences FROM pairs GROUP BY pair
+)
+SELECT pair, n_occurrences, CAST(rk AS INTEGER) AS rk FROM (
+  SELECT pair, n_occurrences,
+         row_number() OVER (ORDER BY n_occurrences DESC, pair) AS rk
+  FROM counted
+) WHERE rk <= {_BPE_TOPK}
+"""
+
+
+@_q("text_bpe_pair_counts", _BPE_SQL)
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inner loop of BPE tokenizer training (Sennrich et al. 2016):
+    count adjacent symbol pairs across the corpus and surface the top
+    merge candidates. Real BPE iterates merge→recount; this operator is
+    that scan — the step that actually touches 100 TB (subsequent rounds
+    run on the shrinking merged vocabulary).
+
+    All JVM: split → per-word adjacent-pair expansion via
+    ``transform(sequence(...))`` (whole-stage codegen, no Python) → one
+    count groupBy (map-side partial absorbs the Zipf skew: hot pairs
+    combine within each task before the exchange) → global top-k via
+    TakeOrderedAndProject-shaped rank (the window runs on the distinct
+    pairs, ≤ charset², never the corpus).
+
+    Note ``sequence(1, 0)`` DIVERGES between engines (Spark yields the
+    DESCENDING [1,0]; DuckDB's generate_series yields empty) — the
+    greatest()+length-filter guard makes 1-char words contribute nothing
+    in BOTH, which the sf fixtures exercise (single-char tokens exist)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .select(
+            F.explode(
+                F.expr(
+                    "filter(transform(sequence(1, greatest(length(word) - 1, 1)),"
+                    " i -> substring(word, i, 2)), p -> length(p) = 2)"
+                )
+            ).alias("pair")
+        )
+    )
+    counted = pairs.groupBy("pair").agg(F.count("*").alias("n_occurrences"))
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.desc("n_occurrences"), F.asc("pair"))
+    return (
+        counted.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= _BPE_TOPK)
+    )

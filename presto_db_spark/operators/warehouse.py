@@ -1,0 +1,177 @@
+"""Warehouse/lakehouse layout + history operators.
+
+Extension operators past the reference's surface (no counterpart in
+/root/reference — its layout story is Hive partitioning/bucketing, which
+`sources/io.py` covers):
+
+* **Z-order layout** — the multi-column data-clustering key every modern
+  lakehouse (Delta OPTIMIZE ZORDER, Iceberg sort orders) uses so row-group
+  min/max statistics prune on BOTH columns. The operator computes the
+  Morton interleave and then MEASURES the claim: per Z-bucket min/max
+  spans on each source column — the exact statistics a parquet writer
+  would persist and a scan would prune on (`join_index_lookup` is the
+  read side of the same contract).
+* **SCD type-2 intervals** — the standard dimension-history shape:
+  per-key ordered versions with [valid_from, valid_to) ranges, one
+  window pass.
+
+Both are pure JVM expression pipelines (whole-stage codegen; no Python)
+with exact integer math, so the DuckDB oracles reproduce them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..catalog import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        assert name not in QUERIES, f"duplicate query name: {name}"
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+# --- Z-order (Morton) layout key + locality report --------------------------
+
+_Z_BITS = 16
+_Z_BUCKET_SHIFT = 22  # 2^32 z-space -> 1024 buckets
+
+# Morton interleave: x occupies even bits, y odd bits. Same operator text
+# in Spark SQL and DuckDB (>> << & are common syntax).
+_Z_INTERLEAVE = " + ".join(
+    f"(((x >> {b}) & 1) << {2 * b}) + (((y >> {b}) & 1) << {2 * b + 1})"
+    for b in range(_Z_BITS)
+)
+
+_Z_NORM = "CAST(({v} - {mn}) * 65535 // greatest({mx} - {mn}, 1) AS BIGINT)"
+
+_ZORDER_SQL = f"""
+WITH src AS (
+  SELECT o_orderkey,
+         o_custkey AS xr,
+         date_diff('day', DATE '1992-01-01', o_orderdate) AS yr
+  FROM orders
+), bounds AS (
+  SELECT min(xr) AS minx, max(xr) AS maxx, min(yr) AS miny, max(yr) AS maxy
+  FROM src
+), norm AS (
+  SELECT s.o_orderkey, s.xr, s.yr,
+         {_Z_NORM.format(v="s.xr", mn="b.minx", mx="b.maxx")} AS x,
+         {_Z_NORM.format(v="s.yr", mn="b.miny", mx="b.maxy")} AS y
+  FROM src s CROSS JOIN bounds b
+), z AS (
+  SELECT o_orderkey, xr, yr, CAST({_Z_INTERLEAVE} AS BIGINT) AS zkey FROM norm
+)
+SELECT CAST(zkey >> {_Z_BUCKET_SHIFT} AS BIGINT) AS z_bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       min(xr) AS min_custkey, max(xr) AS max_custkey,
+       min(yr) AS min_day, max(yr) AS max_day,
+       CAST(max(xr) - min(xr) AS BIGINT) AS span_custkey,
+       CAST(max(yr) - min(yr) AS BIGINT) AS span_day
+FROM z GROUP BY z_bucket
+"""
+
+
+@_q("layout_zorder", _ZORDER_SQL)
+def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering key + the locality statistics that justify it.
+
+    The Morton interleave of (custkey, order-day) maps 2-D proximity to
+    1-D proximity, so sorting/bucketing by ``zkey`` gives row groups
+    whose min/max spans are TIGHT on BOTH columns — the per-bucket
+    (min, max, span) emitted here is exactly what the parquet footer
+    would record, and a filter on EITHER column prunes most buckets
+    (single-column sort gives this on one column only). Both columns are
+    first min/max-normalized to the full 16-bit domain (exact integer
+    arithmetic) — without it a narrow domain occupies only low interleave
+    bits and fixed-granularity buckets lose all locality; real Z-order
+    writers normalize to ranks for the same reason.
+
+    100 TB: the bounds are one tiny broadcast aggregate; the interleave
+    is a pure integer projection (codegen'd, zero shuffle); the report is
+    one groupBy on the bucket key. The write-side use is
+    ``df.repartitionByRange(zkey).sortWithinPartitions(zkey)`` before the
+    parquet write (`sources/io.py` bucketed-write pattern); the read side
+    is `join_index_lookup`'s row-group pruning."""
+    orders = load_table(spark, sf_dir, "orders")
+    src = orders.select(
+        "o_orderkey",
+        F.col("o_custkey").alias("xr"),
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")).alias("yr"),
+    )
+    bounds = src.agg(
+        F.min("xr").alias("minx"), F.max("xr").alias("maxx"),
+        F.min("yr").alias("miny"), F.max("yr").alias("maxy"),
+    )
+    norm = src.crossJoin(F.broadcast(bounds)).select(
+        "o_orderkey", "xr", "yr",
+        F.expr("CAST((xr - minx) * 65535 div greatest(maxx - minx, 1) AS BIGINT)")
+        .alias("x"),
+        F.expr("CAST((yr - miny) * 65535 div greatest(maxy - miny, 1) AS BIGINT)")
+        .alias("y"),
+    )
+    z = norm.withColumn("zkey", F.expr(f"CAST({_Z_INTERLEAVE} AS BIGINT)"))
+    return (
+        z.withColumn("z_bucket", F.shiftright("zkey", _Z_BUCKET_SHIFT).cast("bigint"))
+        .groupBy("z_bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("xr").alias("min_custkey"),
+            F.max("xr").alias("max_custkey"),
+            F.min("yr").alias("min_day"),
+            F.max("yr").alias("max_day"),
+            (F.max("xr") - F.min("xr")).cast("bigint").alias("span_custkey"),
+            (F.max("yr") - F.min("yr")).cast("bigint").alias("span_day"),
+        )
+    )
+
+
+# --- SCD type-2 history intervals -------------------------------------------
+
+_SCD2_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate AS valid_from,
+       lead(o_orderdate) OVER w AS valid_to,
+       CAST(row_number() OVER w AS BIGINT) AS version,
+       lead(o_orderdate) OVER w IS NULL AS is_current
+FROM orders
+WHERE o_custkey % 100 = 0
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+@_q("scd2_order_history", _SCD2_SQL)
+def scd2_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 intervals: each key's ordered
+    versions get [valid_from, valid_to) ranges via one lead() window —
+    the standard dimension-history materialization (valid_to NULL marks
+    the current version; the as-of read side is ``rangejoin.asof_join``).
+
+    100 TB: one hash exchange on the key, then a per-key sort window over
+    that key's rows only; tie-break (date, orderkey) is total so version
+    numbers are deterministic. The custkey filter keeps the fixture
+    output review-sized; the plan is identical without it."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_custkey") % 100) == 0
+    )
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w).alias("valid_to"),
+        F.row_number().over(w).cast("bigint").alias("version"),
+        F.lead("o_orderdate").over(w).isNull().alias("is_current"),
+    )

@@ -23,6 +23,7 @@ _MODULES: list[str] = [
     "presto_db_spark.operators.rangejoin",
     "presto_db_spark.operators.indexjoin",
     "presto_db_spark.operators.skew",
+    "presto_db_spark.operators.warehouse",
     "presto_db_spark.operators.sketch",
     "presto_db_spark.operators.tdigest",
     "presto_db_spark.operators.geo",

@@ -242,3 +242,23 @@ def test_unicode_normalize_counts(spark, sf_dir):
         assert r.n_composed == expect, (r.doc_id, r.n_composed, expect)
         assert r.changed == (expect > 0)
         assert r.n_decomposed - r.n_nfc == r.n_composed
+
+
+def test_bpe_pair_counts_match_local_recount(spark, sf_dir):
+    """Top-k BPE pairs equal a local Python recount (total order by
+    (count desc, pair)), and ranks are 1..k."""
+    from collections import Counter
+
+    rows = sorted(
+        tx.QUERIES["text_bpe_pair_counts"](spark, sf_dir).collect(),
+        key=lambda r: r.rk,
+    )
+    assert [r.rk for r in rows] == list(range(1, tx._BPE_TOPK + 1))
+    docs = tx.load_table(spark, sf_dir, "documents").collect()
+    c = Counter()
+    for d in docs:
+        for w in d.text.strip().split():
+            for i in range(len(w) - 1):
+                c[w[i:i + 2]] += 1
+    expect = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[: tx._BPE_TOPK]
+    assert [(r.pair, r.n_occurrences) for r in rows] == expect
