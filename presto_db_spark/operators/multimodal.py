@@ -835,3 +835,105 @@ def multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(_phash_decode_batches, _PHASH_FEAT_SCHEMA).orderBy(
         "doc_id"
     )
+
+
+# --- Audio energy-delta fingerprint over the real WAV payloads --------------
+
+_AFP_WINDOWS = 8
+
+_AFP_FEAT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("afp", T.IntegerType()),
+        T.StructField("n_rising", T.IntegerType()),
+    ]
+)
+
+
+def _afp_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """WAV bytes → 7-bit energy-delta fingerprint: split the PCM stream
+    into 8 equal windows (integer boundaries k·n//8), sum |amplitude|
+    per window, emit bit k when window k+1's energy exceeds window k's —
+    the delta-sign trick every robust audio hash builds on (energy RATIOS
+    survive volume scaling where absolute energies don't). Pure integer
+    comparisons, so parity with the closed-form oracle is exact."""
+    import io
+    import wave
+
+    import numpy as np
+
+    for pdf in batches:
+        out = {k: [] for k in ("doc_id", "n_frames", "afp", "n_rising")}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            with wave.open(io.BytesIO(bytes(payload)), "rb") as wf:
+                n = wf.getnframes()
+                raw = wf.readframes(n)
+            amp = np.abs(np.frombuffer(raw, dtype="<i2").astype(np.int64))
+            w = [
+                int(amp[k * n // _AFP_WINDOWS:(k + 1) * n // _AFP_WINDOWS].sum())
+                for k in range(_AFP_WINDOWS)
+            ]
+            afp = 0
+            for k in range(_AFP_WINDOWS - 1):
+                if w[k + 1] > w[k]:
+                    afp |= 1 << k
+            out["doc_id"].append(int(doc_id))
+            out["n_frames"].append(n)
+            out["afp"].append(afp)
+            out["n_rising"].append(bin(afp).count("1"))
+        yield pd.DataFrame(out)
+
+
+_AFP_SAMPLE = "abs(((doc_id * 31 + i * i * 7) % 2001) - 1000)"
+
+
+def _afp_win_sql(k: int) -> str:
+    return (
+        f"list_sum(list_transform(generate_series({k} * n // {_AFP_WINDOWS}, "
+        f"({k} + 1) * n // {_AFP_WINDOWS} - 1), i -> {_AFP_SAMPLE}))"
+    )
+
+
+_AFP_BITS = " + ".join(
+    f"(CASE WHEN w{k + 1} > w{k} THEN {1 << k} ELSE 0 END)"
+    for k in range(_AFP_WINDOWS - 1)
+)
+_AFP_POP = " + ".join(
+    f"(CASE WHEN w{k + 1} > w{k} THEN 1 ELSE 0 END)" for k in range(_AFP_WINDOWS - 1)
+)
+
+_AFP_ORACLE = (
+    f"""
+WITH g AS (
+  SELECT doc_id, 400 + (doc_id % 5) * 80 AS n
+  FROM documents WHERE doc_id < 300
+), wins AS (
+  SELECT doc_id, n,
+"""
+    + ",\n".join(f"         {_afp_win_sql(k)} AS w{k}" for k in range(_AFP_WINDOWS))
+    + f"""
+  FROM g
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_frames,
+       CAST({_AFP_BITS} AS INTEGER) AS afp,
+       CAST({_AFP_POP} AS INTEGER) AS n_rising
+FROM wins ORDER BY doc_id
+"""
+)
+
+
+@_q("multimodal_audio_fingerprint", _AFP_ORACLE)
+def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup fingerprint over REAL .wav bytes — the audio
+    counterpart of ``multimodal_phash``: encode and fingerprint are
+    separate Arrow stages communicating only through the PCM16 payload,
+    and the oracle predicts the 7-bit energy-delta hash closed-form from
+    the synthesis formulas (a frame-count, byte-order, or window-boundary
+    parse bug breaks the value hash).
+
+    100 TB: shuffle-free projection (payload → 1-byte hash + frame
+    count); dedup joins group on (n_frames, afp) buckets downstream."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    media = docs.select("doc_id").mapInPandas(_wav_encode_batches, _BMP_SCHEMA)
+    return media.mapInPandas(_afp_decode_batches, _AFP_FEAT_SCHEMA).orderBy("doc_id")

@@ -59,3 +59,33 @@ def test_phash_orientation_sensitivity(spark, sf_dir):
                     noflip |= 1 << (i * 4 + j)
         diff += noflip != r.ahash
     assert diff > 0, "flip is never observable — hash not orientation-sensitive"
+
+
+def test_audio_fingerprint_window_boundaries(spark, sf_dir):
+    """The fingerprint must come from the REAL parsed PCM: recompute the
+    energy-delta bits locally from the synthesis formula and integer
+    window boundaries; n_rising is the popcount; a deliberate off-by-one
+    boundary (ceil instead of floor split) must disagree somewhere."""
+    from presto_db_spark.operators import multimodal as mm
+
+    rows = mm.QUERIES["multimodal_audio_fingerprint"](spark, sf_dir).collect()
+    assert rows
+    wrong_boundary_diff = 0
+    for r in rows:
+        d, n = r.doc_id, r.n_frames
+        assert n == 400 + (d % 5) * 80
+        amp = [abs(((d * 31 + i * i * 7) % 2001) - 1000) for i in range(n)]
+        W = mm._AFP_WINDOWS
+
+        def fp(bounds):
+            w = [sum(amp[bounds[k]:bounds[k + 1]]) for k in range(W)]
+            return sum(1 << k for k in range(W - 1) if w[k + 1] > w[k])
+
+        good = fp([k * n // W for k in range(W)] + [n])
+        # one-sample boundary shift as the negative control (the fixture's
+        # n are all multiples of 8, so a ceil-vs-floor split is identical)
+        bad = fp([0] + [k * n // W + 1 for k in range(1, W)] + [n])
+        assert r.afp == good
+        assert r.n_rising == bin(good).count("1")
+        wrong_boundary_diff += bad != good
+    assert wrong_boundary_diff > 0, "boundary rule never observable"
