@@ -971,3 +971,130 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             "best_jaccard",
         )
     )
+
+
+# --- Asymmetric containment dedup (excerpt/quote detection) -----------------
+
+CONTAIN_THRESHOLD = 0.6
+
+_CONTAIN_SQL = f"""
+WITH sh AS (
+  SELECT doc_id,
+         string_split_regex(trim(text), '\\s+') AS words,
+         list_transform(words, w -> {_SQL_ROLL.format(s="w")} % {MERSENNE31}) AS wh,
+         list_distinct(list_transform(generate_series(1, greatest(len(words) - 2, 1)),
+             i -> array_to_string(words[i:i+2], ' '))) AS grams,
+         list_distinct(list_transform(generate_series(1, greatest(len(words) - 2, 1)),
+             i -> ((coalesce(wh[i], 0) * {WORD_COMBINE} + coalesce(wh[i+1], 0))
+                   % {MERSENNE31} * {WORD_COMBINE} + coalesce(wh[i+2], 0))
+                  % {MERSENNE31})) AS hs
+  FROM documents
+), sigs AS (
+  SELECT doc_id, grams, {_MH_PERM_SQL} FROM sh
+), banded AS (
+  SELECT doc_id, grams, {_MH_BANDS_SQL} FROM sigs
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.grams AS ga, b.grams AS gb
+  FROM banded a JOIN banded b
+    ON a.doc_id < b.doc_id
+   AND (a.band0 = b.band0 OR a.band1 = b.band1 OR a.band2 = b.band2 OR a.band3 = b.band3)
+), scored AS (
+  SELECT id_a, id_b,
+         len(list_intersect(ga, gb)) AS inter,
+         len(ga) AS na, len(gb) AS nb
+  FROM pairs
+)
+SELECT id_a, id_b,
+       round(CAST(inter AS DOUBLE) / na, 6) AS containment_a,
+       round(CAST(inter AS DOUBLE) / nb, 6) AS containment_b,
+       round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
+FROM scored
+WHERE CAST(inter AS DOUBLE) / least(na, nb) >= {CONTAIN_THRESHOLD}
+"""
+
+
+@_q("dedup_containment", _CONTAIN_SQL)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-CONTAINMENT detection (Broder's containment
+    coefficient |A∩B|/|A|): an excerpt/quote whose grams sit inside a
+    much longer document scores near-zero Jaccard but ~1.0 containment —
+    the miss class symmetric dedup provably can't catch (Lee et al. 2022
+    report both relations matter for training corpora).
+
+    Candidate generation reuses the banded-MinHash machinery untouched
+    (one narrow band shuffle); verification scores the directional
+    containments on the candidate pairs' gram sets. The filter keys on
+    ``inter/min(|A|,|B|)`` — max of the two containments — so either
+    direction past {CONTAIN_THRESHOLD} survives.
+
+    100 TB: identical shape/cost to ``dedup_minhash_lsh`` (the extra two
+    divisions are free); at the threshold actually used for excerpt
+    mining the MinHash bands under-recall extreme length ratios, and the
+    production remedy is the ``dedup_substring_spans`` window pass —
+    documented trade-off, not a silent gap."""
+    raw_docs = load_table(spark, sf_dir, "documents")
+    docs = raw_docs
+    par = spark.sparkContext.defaultParallelism
+    files = raw_docs.inputFiles()
+    if len(files) < par:
+        try:
+            nbytes = sum(
+                os.path.getsize(f[len("file:"):] if f.startswith("file:") else f)
+                for f in files
+            )
+            fan = min(par, max(8, nbytes // (256 * 1024)))
+        except OSError:
+            fan = par
+        docs = docs.repartition(int(fan), "doc_id")
+    sig_mh = (
+        docs.select("doc_id", _minhash_mh_pd()(F.col("text")).alias("mh"))
+        .select(
+            "doc_id",
+            *[F.col("mh").getItem(k).alias(f"mh{k}") for k in range(len(MINHASH_PERMS))],
+        )
+        .localCheckpoint(eager=False)
+    )
+    bands = sig_mh.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(bi).alias("band_id"), _band_expr("", bi).alias("bkey"))
+                    for bi in range(N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band_id").alias("band_id"), F.col("bb.bkey").alias("bkey"))
+    pairs = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    cand_ids = pairs.select(F.explode(F.array("id_a", "id_b")).alias("doc_id"))
+    cand_grams = (
+        raw_docs.join(cand_ids, "doc_id", "left_semi")
+        .select("doc_id", _minhash_grams_pd()(F.col("text")).alias("grams"))
+        .localCheckpoint(eager=False)
+    )
+    ga = cand_grams.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("ga"))
+    gb = cand_grams.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("gb"))
+    cand = pairs.join(ga, "id_a").join(gb, "id_b")
+    inter = F.size(F.array_intersect("ga", "gb")).cast("double")
+    na, nb = F.size("ga"), F.size("gb")
+    return (
+        cand.filter(inter / F.least(na, nb) >= CONTAIN_THRESHOLD)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(inter / na, 6).alias("containment_a"),
+            F.round(inter / nb, 6).alias("containment_b"),
+            F.round(inter / (na + nb - inter), 6).alias("jaccard"),
+        )
+    )

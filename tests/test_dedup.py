@@ -79,3 +79,24 @@ def test_incremental_dedup_consistent_with_self_join(spark, sf_dir):
             assert r.best_match_id % dd.INC_MOD != 0  # matches are existing-side
             assert (r.doc_id, r.best_match_id) in sym, (
                 r.doc_id, r.best_match_id)
+
+
+def test_containment_supersets_symmetric_pairs(spark, sf_dir):
+    """Containment is a weaker relation over the SAME candidate set:
+    max-containment = 2j/(1+j) at worst (equal sizes), so every
+    minhash-LSH pair with jaccard >= 3/7 is GUARANTEED past the 0.6
+    containment threshold; for pairs present in both, the scores must
+    be mutually consistent."""
+    cont = {(r.id_a, r.id_b): r for r in
+            dd.QUERIES["dedup_containment"](spark, sf_dir).collect()}
+    assert cont
+    sym = dd.QUERIES["dedup_minhash_lsh"](spark, sf_dir).collect()
+    guaranteed = [s for s in sym if s.jaccard >= 3 / 7 + 1e-9]
+    assert guaranteed, "fixture has no pair in the guaranteed region"
+    for s in guaranteed:
+        assert (s.id_a, s.id_b) in cont, (s.id_a, s.id_b)
+    for s in sym:
+        if (s.id_a, s.id_b) in cont:
+            c = cont[(s.id_a, s.id_b)]
+            assert max(c.containment_a, c.containment_b) >= c.jaccard - 1e-9
+            assert abs(c.jaccard - s.jaccard) < 1e-6
