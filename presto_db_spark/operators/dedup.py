@@ -56,13 +56,44 @@ N_BANDS, ROWS_PER_BAND = 4, 4
 
 def _q(name: str, sql: str | None = None):
     def deco(fn):
-        assert name not in QUERIES, f"duplicate query name: {name}"
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name: {name}")
         QUERIES[name] = fn
         if sql is not None:
             ORACLE[name] = sql
         return fn
 
     return deco
+
+
+def _fanout(raw_docs: DataFrame, spark: SparkSession) -> DataFrame:
+    """Fan a small scan out so a CPU-bound Arrow UDF gets real parallelism.
+
+    A small corpus arrives as one file split; conditional on the scan's
+    natural split count so a 100 TB input (millions of splits) pays NO
+    extra text shuffle. ``inputFiles()`` is a pure metadata probe
+    (``df.rdd.getNumPartitions()`` would force plan→RDD conversion,
+    ~0.8 s cold per fresh lineage). Fan-out is sized from the input
+    BYTES, not blindly to defaultParallelism: 32 tasks over a few
+    thousand docs pay more in per-task scheduling + Arrow python-worker
+    round-trips than they recover (measured r06 at sf0.1: 8 partitions
+    ≈ 0.3 s faster than 32); ~256 KB of compressed text per task keeps
+    every worker busy while the corpus is small, and large corpora hit
+    the ``defaultParallelism`` cap.
+    """
+    par = spark.sparkContext.defaultParallelism
+    files = raw_docs.inputFiles()
+    if len(files) >= par:
+        return raw_docs
+    try:
+        nbytes = sum(
+            os.path.getsize(f[len("file:"):] if f.startswith("file:") else f)
+            for f in files
+        )
+        fan = min(par, max(8, nbytes // (256 * 1024)))
+    except OSError:  # non-local fs — metadata probe unavailable
+        fan = par
+    return raw_docs.repartition(int(fan), "doc_id")
 
 
 def _shingles(col: Column, n: int = 3) -> Column:
@@ -374,31 +405,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # collapses to the corpus's distinct words), and is shuffle-free.
 
     raw_docs = load_table(spark, sf_dir, "documents")
-    docs = raw_docs
     # The signature UDF is CPU-bound: make sure it runs with real
-    # parallelism. A small corpus arrives as one file split — fan it out
-    # first. Conditional on the scan's natural split count so a 100 TB
-    # input (millions of splits) pays NO extra text shuffle.
-    # inputFiles() is a pure metadata probe; df.rdd.getNumPartitions()
-    # forces plan->RDD conversion (~0.8 s cold per fresh lineage).
-    # Fan-out is sized from the input BYTES, not blindly to
-    # defaultParallelism: 32 tasks over a few thousand docs pay more in
-    # per-task scheduling + Arrow python-worker round-trips than they
-    # recover (measured r06 at sf0.1: 8 partitions ≈ 0.3 s faster than
-    # 32); ~256 KB of compressed text per task keeps every worker busy
-    # while the corpus is small, and large corpora hit the `par` cap.
-    par = spark.sparkContext.defaultParallelism
-    files = raw_docs.inputFiles()
-    if len(files) < par:
-        try:
-            nbytes = sum(
-                os.path.getsize(f[len("file:"):] if f.startswith("file:") else f)
-                for f in files
-            )
-            fan = min(par, max(8, nbytes // (256 * 1024)))
-        except OSError:  # non-local fs — metadata probe unavailable
-            fan = par
-        docs = docs.repartition(int(fan), "doc_id")
+    # parallelism (see _fanout for the sizing rationale).
+    docs = _fanout(raw_docs, spark)
     # The full-corpus signature is NARROW (doc_id + 16 longs ≈ 140 B/doc)
     # and fans into both sides of the band self-join. ReuseExchange cannot
     # be relied on here — AQE turns the self-join into a broadcast join, so
@@ -884,20 +893,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     existing match (max Jaccard, ties to the smallest existing id)."""
     raw_docs = load_table(spark, sf_dir, "documents")
     is_inc = (F.col("doc_id") % INC_MOD) == 0
-
-    par = spark.sparkContext.defaultParallelism
-    docs = raw_docs
-    files = raw_docs.inputFiles()
-    if len(files) < par:
-        try:
-            nbytes = sum(
-                os.path.getsize(f[len("file:"):] if f.startswith("file:") else f)
-                for f in files
-            )
-            fan = min(par, max(8, nbytes // (256 * 1024)))
-        except OSError:
-            fan = par
-        docs = docs.repartition(int(fan), "doc_id")
+    docs = _fanout(raw_docs, spark)
 
     # ONE signature pass over all docs (production: existing signatures are
     # read from the persisted index; here both sides derive from the same
@@ -1033,19 +1029,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     production remedy is the ``dedup_substring_spans`` window pass —
     documented trade-off, not a silent gap."""
     raw_docs = load_table(spark, sf_dir, "documents")
-    docs = raw_docs
-    par = spark.sparkContext.defaultParallelism
-    files = raw_docs.inputFiles()
-    if len(files) < par:
-        try:
-            nbytes = sum(
-                os.path.getsize(f[len("file:"):] if f.startswith("file:") else f)
-                for f in files
-            )
-            fan = min(par, max(8, nbytes // (256 * 1024)))
-        except OSError:
-            fan = par
-        docs = docs.repartition(int(fan), "doc_id")
+    docs = _fanout(raw_docs, spark)
     sig_mh = (
         docs.select("doc_id", _minhash_mh_pd()(F.col("text")).alias("mh"))
         .select(

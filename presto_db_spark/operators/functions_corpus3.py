@@ -32,7 +32,8 @@ MOD31 = (1 << 31) - 1  # Mersenne modulus: h*prime stays well under 2^63
 
 def _q(name: str, sql: str | None = None):
     def deco(fn):
-        assert name not in QUERIES, f"duplicate query name: {name}"
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name: {name}")
         QUERIES[name] = fn
         if sql is not None:
             ORACLE[name] = sql

@@ -35,7 +35,8 @@ ORACLE: dict[str, str] = {}
 
 def _q(name: str, sql: str | None = None):
     def deco(fn):
-        assert name not in QUERIES, f"duplicate query name: {name}"
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name: {name}")
         QUERIES[name] = fn
         if sql is not None:
             ORACLE[name] = sql
@@ -388,9 +389,11 @@ def _bmp_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             buf = bytes(payload)
             magic, _size, _r1, _r2, off = struct.unpack_from("<2sIHHI", buf, 0)
-            assert magic == b"BM", "not a BMP payload"
+            if magic != b"BM":
+                raise ValueError("not a BMP payload")
             _hsz, w, h, _pl, bpp = struct.unpack_from("<IiiHH", buf, 14)
-            assert bpp == 24
+            if bpp != 24:
+                raise ValueError(f"unsupported BMP depth: {bpp}")
             # vectorized: view the pixel array as (h, stride) uint8, drop
             # the per-row padding columns, sum channels — no per-pixel loop
             stride = w * 3 + (-(w * 3)) % 4
@@ -623,12 +626,15 @@ def _ppm_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
                     pos += 1
                 return buf[start:pos]
 
-            assert token() == b"P6", "not a P6 payload"
+            if token() != b"P6":
+                raise ValueError("not a P6 payload")
             w, h, maxval = int(token()), int(token()), int(token())
-            assert maxval == 255
+            if maxval != 255:
+                raise ValueError(f"unsupported PPM maxval: {maxval}")
             pos += 1  # single whitespace after maxval
             raster = buf[pos:]
-            assert len(raster) == 3 * w * h
+            if len(raster) != 3 * w * h:
+                raise ValueError("truncated PPM raster")
             dw, dh = w // 2, h // 2
             # vectorized 2x2 box means: reshape (h,w,3) into
             # (dh, 2, dw, 2, 3), sum each block, floor-divide by 4
@@ -725,9 +731,11 @@ def _phash_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             buf = bytes(payload)
             magic, _size, _r1, _r2, off = struct.unpack_from("<2sIHHI", buf, 0)
-            assert magic == b"BM", "not a BMP payload"
+            if magic != b"BM":
+                raise ValueError("not a BMP payload")
             _hsz, w, h, _pl, bpp = struct.unpack_from("<IiiHH", buf, 14)
-            assert bpp == 24
+            if bpp != 24:
+                raise ValueError(f"unsupported BMP depth: {bpp}")
             stride = w * 3 + (-(w * 3)) % 4
             px = (
                 np.frombuffer(buf, dtype=np.uint8, count=h * stride, offset=off)

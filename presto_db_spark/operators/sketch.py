@@ -38,7 +38,8 @@ BIN = 100.0  # sketch grid width over l_extendedprice (domain ~[900, 105000])
 
 def _q(name: str, sql: str | None = None):
     def deco(fn):
-        assert name not in QUERIES, f"duplicate query name: {name}"
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name: {name}")
         QUERIES[name] = fn
         if sql is not None:
             ORACLE[name] = sql

@@ -53,7 +53,8 @@ EPS = 0.05  # contract band half-width; ~3× the two-level worst case
 
 def _q(name: str, sql: str | None = None):
     def deco(fn):
-        assert name not in QUERIES, f"duplicate query name: {name}"
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name: {name}")
         QUERIES[name] = fn
         if sql is not None:
             ORACLE[name] = sql

@@ -80,10 +80,12 @@ _BATTERY_HEAD: list[str] = [
     "skew_salted_join",
     # sketches + digests
     "agg_hll_sketch", "sketch_tdigest",
-    # geospatial (grid join, WKT intersects join, polygon clip ops;
-    # r06 late block: DE-9IM relate + exact-integer WKB round-trip)
+    # geospatial (grid join, WKT intersects join, polygon clip ops,
+    # DE-9IM relate; geo_wkb_roundtrip served its r06→r07 regression
+    # purpose — demoted r08 to make room for sim_pq_adc, stays green in
+    # CORRECTNESS_FULL every round)
     "geo_radius_join", "geo_wkt_intersects_join",
-    "geo_polygon_clip_ops", "geo_relate_de9im", "geo_wkb_roundtrip",
+    "geo_polygon_clip_ops", "geo_relate_de9im",
     # scalar/aggregate corpus cross-section
     "func_datetime", "func_json", "func_array_advanced", "func_decimal",
     "agg_classification_metrics",
@@ -102,10 +104,21 @@ _BATTERY_HEAD: list[str] = [
     # presto-ml distributed trainers
     "ml_classify_centroid",
     # streaming (streaming_late_data also sits in the flagship block
-    # above). The [:50] guard pins the curated head to the battery size
-    # even if a future edit grows the list.
+    # above) + the PQ/ADC ANN-compression flagship (r07 intended this
+    # rotation but the list ran 51 long and the old [:50] slice silently
+    # truncated it — VERDICT r07 "what's wrong" #2; the hard assert below
+    # replaces the slice so intent and battery size can never diverge).
     "streaming_session_window", "sim_pq_adc",
-][:50]
+]
+
+if len(_BATTERY_HEAD) > 50:
+    raise ValueError(
+        f"_BATTERY_HEAD has {len(_BATTERY_HEAD)} entries; the driver "
+        "battery samples exactly the first 50 registry keys — trim the "
+        "head instead of letting a slice silently drop the tail"
+    )
+if len(set(_BATTERY_HEAD)) != len(_BATTERY_HEAD):
+    raise ValueError("_BATTERY_HEAD contains duplicate names")
 
 
 def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:

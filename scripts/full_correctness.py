@@ -5,7 +5,8 @@ The driver's per-round CORRECTNESS battery samples the first 50 registry
 keys, so the recorded artifact depends on which 50 names the head
 contains (a disclosed but undesirable measurement exposure — README
 "Correctness" DISCLOSURE).  This script retires it: it runs EVERY
-registry entry (all 300 queries) through the dtype-faithful local
+registry entry (the count is whatever ``len(all_queries())`` says — the
+printed summary interpolates it at runtime) through the dtype-faithful local
 replica of the driver gate (``tests/oracle_utils.check_query``:
 ``cur.df()``/``toPandas()`` fetch, column-name sort, all-column
 ``sort_values``, full-precision kind-strict compare) at sf0.01 — the

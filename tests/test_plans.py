@@ -284,9 +284,11 @@ def test_pq_rerank_broadcasts_and_no_cartesian(spark, sf_dir):
     shortlist is Q·PQ_SHORTLIST rows) and nothing may degenerate to a
     CartesianProduct; dedup_incremental's band join must likewise stay an
     equi-join."""
-    for name in ["sim_pq_adc", "dedup_incremental"]:
-        plan = _plan(all_queries()[name](spark, sf_dir), "simple")
+    plans = {
+        name: _plan(all_queries()[name](spark, sf_dir), "simple")
+        for name in ["sim_pq_adc", "dedup_incremental"]
+    }
+    for name, plan in plans.items():
         assert "CartesianProduct" not in plan, (name, plan)
-    plan = _plan(all_queries()["sim_pq_adc"](spark, sf_dir), "simple")
-    assert "BroadcastHashJoin" in plan, plan
-    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plans["sim_pq_adc"], plans["sim_pq_adc"]
+    assert "SortMergeJoin" not in plans["sim_pq_adc"], plans["sim_pq_adc"]
