@@ -1431,3 +1431,131 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         counted.withColumn("rk", F.row_number().over(w).cast("int"))
         .filter(F.col("rk") <= _BPE_TOPK)
     )
+
+
+# --- BPE merge-apply: one full train iteration (merge → recount) ------------
+
+# Greedy left-to-right non-overlapping pair merging is EXACTLY string
+# replace() semantics in both engines ("aaa" + merge(a,a) → [aa, a]), so the
+# merge applies as one JVM replace with a sentinel char (chr(1) — absent from
+# the corpus; even if present, both engines would treat it identically so the
+# value-hash comparison stays sound) that the symbolization step expands back
+# into the merged symbol.  Symbols are joined with '+' in the emitted pair so
+# multi-char symbols stay unambiguous.
+_BPE_MERGE_SQL = f"""
+WITH w AS (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word FROM documents
+), pairs1 AS (
+  SELECT unnest(list_filter(
+           list_transform(generate_series(1, greatest(length(word) - 1, 1)),
+                          i -> word[i:i+1]),
+           p -> length(p) = 2)) AS pair
+  FROM w
+), top1 AS (
+  SELECT pair AS merged FROM (
+    SELECT pair, row_number() OVER (ORDER BY count(*) DESC, pair) AS rk
+    FROM pairs1 GROUP BY pair
+  ) WHERE rk = 1
+), enc AS (
+  SELECT replace(word, merged, chr(1)) AS eword, merged
+  FROM w CROSS JOIN top1
+), sym AS (
+  SELECT list_transform(
+           list_filter(
+             list_transform(generate_series(1, greatest(length(eword), 1)),
+                            i -> eword[i:i]),
+             c -> c <> ''),
+           c -> CASE WHEN c = chr(1) THEN merged ELSE c END) AS syms,
+         merged
+  FROM enc
+), pairs2 AS (
+  SELECT unnest(list_transform(generate_series(1, len(syms) - 1),
+                               i -> syms[i] || '+' || syms[i + 1])) AS pair,
+         merged
+  FROM sym WHERE len(syms) >= 2
+)
+SELECT merged AS merged_pair, pair, n_occurrences, CAST(rk AS INTEGER) AS rk
+FROM (
+  SELECT merged, pair, CAST(count(*) AS BIGINT) AS n_occurrences,
+         row_number() OVER (ORDER BY count(*) DESC, pair) AS rk
+  FROM pairs2 GROUP BY merged, pair
+) WHERE rk <= {_BPE_TOPK}
+"""
+
+
+@_q("text_bpe_merge_apply", _BPE_MERGE_SQL)
+def text_bpe_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One complete BPE training iteration (Sennrich et al. 2016): find the
+    top-1 pair, apply the merge corpus-wide, emit the NEXT round's pair
+    counts — closing the iterate-until-vocab loop ``text_bpe_pair_counts``
+    promises (that operator is the scan half; this is merge → recount).
+
+    All JVM, no Python anywhere:
+
+    * round-1 counts reuse the pair-scan shape (codegen'd transform +
+      map-side-combined groupBy);
+    * the top-1 merge is a ONE-ROW broadcast cross-join (Catalyst plans
+      BroadcastNestedLoopJoin over a single row — no shuffle of the
+      corpus side), never a driver collect;
+    * the merge itself is one ``replace`` projection — greedy
+      left-to-right non-overlapping semantics are exactly string
+      replace's, see _BPE_MERGE_SQL's comment;
+    * symbolization re-expands the sentinel via a codegen'd transform and
+      the round-2 count is the same map-side-combined groupBy.
+
+    100 TB: two corpus scans (count, then merge+recount) — that IS the
+    BPE algorithm's data-touch pattern; production runs later iterations
+    over the shrinking symbol sequences, and every per-round plan is this
+    one. The global top-k windows run on ≤ |vocab|² distinct pairs, never
+    corpus rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(tokens(F.trim(F.col("text")))).alias("word"))
+    pairs1 = words.select(
+        F.explode(
+            F.expr(
+                "filter(transform(sequence(1, greatest(length(word) - 1, 1)),"
+                " i -> substring(word, i, 2)), p -> length(p) = 2)"
+            )
+        ).alias("pair")
+    )
+    from pyspark.sql import Window as W
+
+    w1 = W.orderBy(F.desc("cnt"), F.asc("pair"))
+    top1 = (
+        pairs1.groupBy("pair").agg(F.count("*").alias("cnt"))
+        .withColumn("rk", F.row_number().over(w1))
+        .filter(F.col("rk") == 1)
+        .select(F.col("pair").alias("merged"))
+    )
+    enc = words.crossJoin(F.broadcast(top1)).select(
+        F.expr("replace(word, merged, chr(1))").alias("eword"), "merged"
+    )
+    sym = enc.select(
+        F.expr(
+            "transform(filter(transform(sequence(1, greatest(length(eword), 1)),"
+            " i -> substring(eword, i, 1)), c -> c <> ''),"
+            " c -> CASE WHEN c = chr(1) THEN merged ELSE c END"
+            ")"
+        ).alias("syms"),
+        "merged",
+    )
+    pairs2 = sym.filter(F.expr("size(syms) >= 2")).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(syms) - 1),"
+                " i -> concat(element_at(syms, i), '+', element_at(syms, i + 1)))"
+            )
+        ).alias("pair"),
+        "merged",
+    )
+    counted = pairs2.groupBy("merged", "pair").agg(
+        F.count("*").alias("n_occurrences")
+    )
+    w2 = W.orderBy(F.desc("n_occurrences"), F.asc("pair"))
+    return (
+        counted.withColumn("rk", F.row_number().over(w2).cast("int"))
+        .filter(F.col("rk") <= _BPE_TOPK)
+        .select(
+            F.col("merged").alias("merged_pair"), "pair", "n_occurrences", "rk"
+        )
+    )

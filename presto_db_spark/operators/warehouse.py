@@ -86,6 +86,30 @@ FROM z GROUP BY z_bucket
 """
 
 
+def _zkeyed_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders with the exact-integer Morton key: (o_orderkey, xr=custkey,
+    yr=days-since-1992, zkey).  Shared by the locality report and the
+    write-side operator."""
+    orders = load_table(spark, sf_dir, "orders")
+    src = orders.select(
+        "o_orderkey",
+        F.col("o_custkey").alias("xr"),
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")).alias("yr"),
+    )
+    bounds = src.agg(
+        F.min("xr").alias("minx"), F.max("xr").alias("maxx"),
+        F.min("yr").alias("miny"), F.max("yr").alias("maxy"),
+    )
+    norm = src.crossJoin(F.broadcast(bounds)).select(
+        "o_orderkey", "xr", "yr",
+        F.expr("CAST((xr - minx) * 65535 div greatest(maxx - minx, 1) AS BIGINT)")
+        .alias("x"),
+        F.expr("CAST((yr - miny) * 65535 div greatest(maxy - miny, 1) AS BIGINT)")
+        .alias("y"),
+    )
+    return norm.withColumn("zkey", F.expr(f"CAST({_Z_INTERLEAVE} AS BIGINT)"))
+
+
 @_q("layout_zorder", _ZORDER_SQL)
 def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order clustering key + the locality statistics that justify it.
@@ -107,24 +131,7 @@ def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``df.repartitionByRange(zkey).sortWithinPartitions(zkey)`` before the
     parquet write (`sources/io.py` bucketed-write pattern); the read side
     is `join_index_lookup`'s row-group pruning."""
-    orders = load_table(spark, sf_dir, "orders")
-    src = orders.select(
-        "o_orderkey",
-        F.col("o_custkey").alias("xr"),
-        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")).alias("yr"),
-    )
-    bounds = src.agg(
-        F.min("xr").alias("minx"), F.max("xr").alias("maxx"),
-        F.min("yr").alias("miny"), F.max("yr").alias("maxy"),
-    )
-    norm = src.crossJoin(F.broadcast(bounds)).select(
-        "o_orderkey", "xr", "yr",
-        F.expr("CAST((xr - minx) * 65535 div greatest(maxx - minx, 1) AS BIGINT)")
-        .alias("x"),
-        F.expr("CAST((yr - miny) * 65535 div greatest(maxy - miny, 1) AS BIGINT)")
-        .alias("y"),
-    )
-    z = norm.withColumn("zkey", F.expr(f"CAST({_Z_INTERLEAVE} AS BIGINT)"))
+    z = _zkeyed_orders(spark, sf_dir)
     return (
         z.withColumn("z_bucket", F.shiftright("zkey", _Z_BUCKET_SHIFT).cast("bigint"))
         .groupBy("z_bucket")
@@ -137,6 +144,75 @@ def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("xr") - F.min("xr")).cast("bigint").alias("span_custkey"),
             (F.max("yr") - F.min("yr")).cast("bigint").alias("span_day"),
         )
+    )
+
+
+# --- Z-order write + pruned read (the end-to-end layout contract) -----------
+
+# Both-column predicate over the written table. Constants chosen to select
+# a thin NON-EMPTY slice of each dimension at every fixture SF (custkey
+# domain starts at 0; the driver fixtures' order dates span 1995-2001,
+# i.e. days 1096..3500 since 1992-01-01).
+_ZREAD_CUST_LO, _ZREAD_CUST_HI = 1, 120
+_ZREAD_DAY_LO, _ZREAD_DAY_HI = 1500, 1900
+
+_ZORDER_READ_SQL = f"""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(o_orderkey) AS BIGINT) AS min_orderkey,
+       CAST(max(o_orderkey) AS BIGINT) AS max_orderkey,
+       CAST(sum(o_custkey) AS BIGINT) AS sum_custkey,
+       CAST(sum(day_1992) AS BIGINT) AS sum_day
+FROM (
+  SELECT o_orderkey, o_custkey,
+         date_diff('day', DATE '1992-01-01', o_orderdate) AS day_1992
+  FROM orders
+)
+WHERE o_custkey BETWEEN {_ZREAD_CUST_LO} AND {_ZREAD_CUST_HI}
+  AND day_1992 BETWEEN {_ZREAD_DAY_LO} AND {_ZREAD_DAY_HI}
+"""
+
+
+@_q("layout_zorder_pruned_read", _ZORDER_READ_SQL)
+def layout_zorder_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end Z-order layout: WRITE the orders table clustered on the
+    Morton key (``sources.io.write_zordered``: repartitionByRange(zkey) →
+    sortWithinPartitions(zkey) → parquet), then run a both-column filtered
+    aggregate over the written table.  The interleaved columns (custkey,
+    day) are materialized as plain columns so the read predicate pushes
+    into the parquet scan and prunes on the row-group min/max statistics
+    the clustered write made tight — the claim ``layout_zorder`` measures
+    is exercised here for real (``tests/test_zorder_layout.py`` asserts
+    the pruning fraction vs an unclustered write of the same rows via the
+    parquet footers, plus PushedFilters in the plan).
+
+    The oracle applies the same predicate to the source table directly —
+    layout must never change values, only scan cost.
+
+    100 TB: the write is one range exchange + local sort (paid once, like
+    bucketing); every later read with a predicate on EITHER interleaved
+    column touches only the row groups whose stats overlap it."""
+    import tempfile
+
+    from ..sources.io import write_zordered
+
+    z = _zkeyed_orders(spark, sf_dir).select(
+        "o_orderkey",
+        F.col("xr").alias("o_custkey"),
+        F.col("yr").alias("day_1992"),
+        "zkey",
+    )
+    path = tempfile.mkdtemp(prefix="zorder_orders_")
+    write_zordered(z, path, zcol="zkey", n_files=16)
+    back = spark.read.parquet(path).filter(
+        F.col("o_custkey").between(_ZREAD_CUST_LO, _ZREAD_CUST_HI)
+        & F.col("day_1992").between(_ZREAD_DAY_LO, _ZREAD_DAY_HI)
+    )
+    return back.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.min("o_orderkey").cast("bigint").alias("min_orderkey"),
+        F.max("o_orderkey").cast("bigint").alias("max_orderkey"),
+        F.sum("o_custkey").cast("bigint").alias("sum_custkey"),
+        F.sum("day_1992").cast("bigint").alias("sum_day"),
     )
 
 
