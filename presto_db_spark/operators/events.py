@@ -278,3 +278,76 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n"))
         .orderBy("from_type", "to_type")
     )
+
+
+# --- hypertable-style gap-fill + LOCF rollup --------------------------------
+
+_GAPFILL_SQL = """
+WITH daily AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n, max(event_id) AS last_id
+  FROM events GROUP BY 1, 2
+), spans AS (
+  SELECT user_id,
+         CAST(unnest(generate_series(min(day), max(day), INTERVAL 1 DAY))
+              AS DATE) AS day
+  FROM daily GROUP BY user_id
+)
+SELECT s.user_id, s.day,
+       coalesce(d.n, 0) AS n_events,
+       d.n IS NULL AS is_gap,
+       last_value(d.last_id IGNORE NULLS)
+         OVER (PARTITION BY s.user_id ORDER BY s.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS last_event_id_locf
+FROM spans s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+"""
+
+
+@_q("events_gapfill_locf", _GAPFILL_SQL)
+def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous rollup: per-user DAILY buckets with the
+    missing days materialized (``time_bucket_gapfill``) and the last
+    observation carried forward across them (``locf``) — the
+    TimescaleDB/InfluxDB shape the reference's plain SQL surface lacks.
+    Gap rows report ``n_events = 0`` / ``is_gap = true`` and carry the
+    most recent day's representative ``event_id`` forward via
+    ``last_value(... IGNORE NULLS)``.
+
+    100 TB: the raw scan collapses to narrow (user, day, n, last_id)
+    rows FIRST (map-side combined groupBy — the only corpus-sized
+    shuffle); the calendar explode is per-user bounded (span days, not
+    events); the grid join and the LOCF window both run on the already
+    user-partitioned daily rows, and AQE broadcasts the daily side when
+    small. Nothing re-touches raw events after the first rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.max("event_id").alias("last_id"),
+        )
+    )
+    spans = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+        )
+    )
+    filled = spans.join(daily, ["user_id", "day"], "left")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return filled.select(
+        "user_id",
+        "day",
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+        F.col("n").isNull().alias("is_gap"),
+        F.last("last_id", ignorenulls=True).over(w).alias("last_event_id_locf"),
+    )

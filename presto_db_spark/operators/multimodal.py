@@ -845,6 +845,104 @@ def multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Hamming near-dup join over the perceptual hashes (multi-index hashing) -
+
+_PHASH_HAMMING_K = 3  # pairs with <= K differing bits are near-dups
+_PHASH_BANDS = 4      # 16-bit hash -> 4 bands of 4 bits
+
+_PHASH_NEARDUP_ORACLE = (
+    """
+WITH g AS (
+  SELECT doc_id, 8 + doc_id % 9 AS w, 4 + doc_id % 5 AS h
+  FROM documents WHERE doc_id < 300
+), cells AS (
+  SELECT doc_id, w, h,
+         list_sum(flatten(list_transform(generate_series(0, h - 1), y ->
+           list_transform(generate_series(0, w - 1), x -> """
+    + _PHASH_LUMA
+    + """)))) AS total,
+"""
+    + ",\n".join(
+        f"         {_phash_cell_sql(i, j)} AS c{i}{j}"
+        for i in range(4)
+        for j in range(4)
+    )
+    + f"""
+  FROM g
+), hashes AS (
+  SELECT doc_id, CAST({_PHASH_BITS} AS BIGINT) AS ahash FROM cells
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.ahash, b.ahash)) AS INTEGER) AS hamming
+FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.ahash, b.ahash)) <= {_PHASH_HAMMING_K}
+"""
+)
+
+
+@_q("multimodal_phash_near_dup", _PHASH_NEARDUP_ORACLE)
+def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs by Hamming distance over the perceptual
+    hash — banded multi-index hashing (Norouzi et al., "Fast Search in
+    Hamming Space with Multi-Index Hashing", CVPR 2012) instead of the
+    all-pairs scan: the 16-bit aHash splits into 4 disjoint 4-bit bands,
+    and by pigeonhole any pair within Hamming ≤ 3 agrees EXACTLY on at
+    least one band, so an equi-self-join on (band_id, band_key) generates
+    every qualifying candidate — recall is exact, not approximate, which
+    the oracle proves by computing the same pairs exhaustively (O(N²) is
+    fine for DuckDB at fixture scale; the banded plan is the one that
+    scales).
+
+    100 TB: hash rows are 16 B; the band explode is a 4× fan-out of those
+    narrow rows (not payloads); candidates shuffle only on band buckets;
+    verification is one integer xor+popcount per candidate. Same shape as
+    ``dedup_minhash_lsh``'s band join — this is its media twin. The
+    Arrow encode+hash stage runs ONCE (lineage cut) and feeds both join
+    sides."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    media = docs.select("doc_id").mapInPandas(_bmp_encode_batches, _BMP_SCHEMA)
+    hashed = (
+        media.mapInPandas(_phash_decode_batches, _PHASH_FEAT_SCHEMA)
+        .select("doc_id", "ahash")
+        .localCheckpoint(eager=False)
+    )
+    bands = hashed.select(
+        "doc_id",
+        "ahash",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(_PHASH_BANDS)])
+        ).alias("band_id"),
+    ).withColumn(
+        # shiftright() takes only a literal bit count — use the SQL
+        # operator form for the per-band variable shift.
+        "band_key",
+        F.expr("(ahash >> (band_id * 4)) & 15"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.ahash").alias("ha"),
+            F.col("b.ahash").alias("hb"),
+        )
+        .distinct()  # a pair can agree on several bands
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int").alias(
+            "hamming"
+        ),
+    ).filter(F.col("hamming") <= _PHASH_HAMMING_K)
+
+
 # --- Audio energy-delta fingerprint over the real WAV payloads --------------
 
 _AFP_WINDOWS = 8

@@ -252,3 +252,60 @@ def scd2_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).cast("bigint").alias("version"),
         F.lead("o_orderdate").over(w).isNull().alias("is_current"),
     )
+
+
+# --- SCD2 incremental merge-apply -------------------------------------------
+
+_SCD2_SPLIT = "2000-01-01"  # fixture orders span 1995-2001
+
+# The oracle is the FULL RECOMPUTE over every source row — deliberately the
+# same text as _SCD2_SQL: the operator takes the incremental path (stored
+# history + incoming batch, touching only affected keys) and the value gate
+# proves the merge theorem "incremental apply == recompute" holds exactly.
+_SCD2_MERGE_SQL = _SCD2_SQL
+
+
+@_q("scd2_merge_apply", _SCD2_MERGE_SQL)
+def scd2_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD type-2 maintenance (the MERGE INTO every warehouse
+    runs nightly): given the stored dimension history and an incoming
+    change batch, close the formerly-current intervals and append the new
+    versions — WITHOUT rebuilding unaffected keys.
+
+    Shape: ``affected`` = incoming's distinct keys; untouched history
+    passes through via LEFT ANTI join (no window, no re-sort); only the
+    affected keys' rows (existing + incoming, a LEFT SEMI join) re-window.
+    The oracle is the full recompute over all rows, so the equivalence
+    "merge-apply == recompute" is value-proven, not asserted.
+
+    100 TB: nightly cost ∝ changed keys, not dimension size — the anti/
+    semi joins broadcast the (small) affected-key set, the untouched
+    branch is a pure scan-through, and the re-window shuffles only the
+    affected keys' rows. The fixture derives the "stored" history from
+    the pre-split orders; production reads it from the dimension table."""
+    base = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_custkey") % 100) == 0
+    )
+    existing_src = base.filter(F.col("o_orderdate") < F.lit(_SCD2_SPLIT))
+    incoming = base.filter(F.col("o_orderdate") >= F.lit(_SCD2_SPLIT))
+
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+
+    def _intervals(src: DataFrame) -> DataFrame:
+        return src.select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").alias("valid_from"),
+            F.lead("o_orderdate").over(w).alias("valid_to"),
+            F.row_number().over(w).cast("bigint").alias("version"),
+            F.lead("o_orderdate").over(w).isNull().alias("is_current"),
+        )
+
+    # the "stored" dimension, as production would read it back
+    stored = _intervals(existing_src)
+    affected = incoming.select("o_custkey").distinct()
+    untouched = stored.join(F.broadcast(affected), "o_custkey", "left_anti")
+    touched_src = existing_src.join(
+        F.broadcast(affected), "o_custkey", "left_semi"
+    ).unionByName(incoming)
+    return untouched.unionByName(_intervals(touched_src))
