@@ -117,3 +117,131 @@ def join_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+# --- bloom-prefiltered join (runtime dynamic filtering) ----------------------
+
+# Portable exact-integer bloom filter: k=3 md5-derived positions in an
+# m=256-bit space — m deliberately small enough that the fixture dim
+# produces REAL false positives at the correctness SF, so the oracle
+# comparison exercises the honesty branch (production sizes m per the
+# standard m ≈ -n·ln(p)/ln(2)² rule).  md5 hex is identical in Spark and DuckDB, so the
+# oracle reproduces the EXACT same filter — false positives included.
+_BLOOM_M = 256
+_BLOOM_K = 3
+
+
+def _bloom_pos_spark(tag: int, col: str) -> str:
+    return (
+        f"CAST(conv(substr(md5(concat('b{tag}:', CAST({col} AS STRING))),"
+        f" 1, 8), 16, 10) AS BIGINT) % {_BLOOM_M}"
+    )
+
+
+def _bloom_pos_duck(tag: int, col: str) -> str:
+    return (
+        f"('0x' || substr(md5('b{tag}:' || CAST({col} AS VARCHAR)),"
+        f" 1, 8))::BIGINT % {_BLOOM_M}"
+    )
+
+
+_BLOOM_SQL = f"""
+WITH dim AS (
+  SELECT c_custkey FROM customer
+  WHERE c_mktsegment = 'BUILDING' AND c_nationkey = 5
+), bloom AS (
+  SELECT DISTINCT unnest([{_bloom_pos_duck(0, 'c_custkey')},
+                          {_bloom_pos_duck(1, 'c_custkey')},
+                          {_bloom_pos_duck(2, 'c_custkey')}]) AS pos
+  FROM dim
+), probe AS (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         {_bloom_pos_duck(0, 'o_custkey')} AS h0,
+         {_bloom_pos_duck(1, 'o_custkey')} AS h1,
+         {_bloom_pos_duck(2, 'o_custkey')} AS h2
+  FROM orders
+), cand AS (
+  SELECT * FROM probe
+  WHERE h0 IN (SELECT pos FROM bloom)
+    AND h1 IN (SELECT pos FROM bloom)
+    AND h2 IN (SELECT pos FROM bloom)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+       CAST(count(d.c_custkey) AS BIGINT) AS n_matched,
+       CAST(count(*) - count(d.c_custkey) AS BIGINT) AS n_false_positives,
+       CAST(sum(CASE WHEN d.c_custkey IS NOT NULL
+                     THEN CAST(round(o_totalprice * 100) AS BIGINT) END)
+            AS BIGINT) AS sum_price_cents
+FROM cand LEFT JOIN dim d ON cand.o_custkey = d.c_custkey
+"""
+
+
+@_q("join_bloom_prefilter", _BLOOM_SQL)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered join — the reference's runtime dynamic-filtering
+    idea (``pm/operator/index/DynamicTupleFilterFactory.java``: build-side
+    values pushed as a tuple filter onto the probe) and Spark's own
+    internal runtime bloom join
+    (``spark.sql.optimizer.runtime.bloomFilter.enabled``), expressed as
+    an explicit, engine-portable plan: the tiny dim side's keys populate
+    a fixed m-bit / k-hash bloom filter (m=256, k=3 here) (md5-derived
+    positions — identical integers in Spark and DuckDB, so the oracle
+    reproduces the filter exactly, FALSE POSITIVES INCLUDED); the fact
+    side drops non-members via three broadcast LEFT SEMI joins on the
+    position set BEFORE the real join; the exact join then removes the
+    false positives, and the output counts them — proving both the
+    prefilter's soundness (no matched row lost) and its honesty (the
+    false-positive count is visible, not hidden).
+
+    100 TB: the fact table never shuffles — the bloom position set is at
+    most m distinct values regardless of dim size (THE bloom
+    property), broadcast to every executor; the three semi-joins and the
+    final dim join are all broadcast-hash; candidate volume ∝ true
+    matches + bounded false-positive rate. This is the manual form of
+    what AQE's runtime filtering does between stages, usable where the
+    optimizer can't see the opportunity (pre-aggregated dims, UDF-derived
+    keys)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    dim = cust.filter(
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("c_nationkey") == 5)
+    ).select("c_custkey")
+    bloom = (
+        dim.selectExpr(
+            f"explode(array({_bloom_pos_spark(0, 'c_custkey')},"
+            f" {_bloom_pos_spark(1, 'c_custkey')},"
+            f" {_bloom_pos_spark(2, 'c_custkey')})) AS pos"
+        )
+        .distinct()
+    )
+    probe = orders.selectExpr(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        f"{_bloom_pos_spark(0, 'o_custkey')} AS h0",
+        f"{_bloom_pos_spark(1, 'o_custkey')} AS h1",
+        f"{_bloom_pos_spark(2, 'o_custkey')} AS h2",
+    )
+    cand = probe
+    for j in range(_BLOOM_K):
+        cand = cand.join(
+            F.broadcast(bloom.withColumnRenamed("pos", f"p{j}")),
+            F.col(f"h{j}") == F.col(f"p{j}"),
+            "left_semi",
+        )
+    joined = cand.join(F.broadcast(dim), cand.o_custkey == dim.c_custkey, "left")
+    return joined.agg(
+        F.count("*").cast("bigint").alias("n_candidates"),
+        F.count("c_custkey").cast("bigint").alias("n_matched"),
+        (F.count("*") - F.count("c_custkey"))
+        .cast("bigint")
+        .alias("n_false_positives"),
+        F.sum(
+            F.when(
+                F.col("c_custkey").isNotNull(),
+                F.round(F.col("o_totalprice") * 100).cast("bigint"),
+            )
+        )
+        .cast("bigint")
+        .alias("sum_price_cents"),
+    )

@@ -1471,3 +1471,127 @@ def sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("qid", "vec_id", "adist", "dist", F.col("rn").cast("int").alias("rn"))
     )
+
+
+# --- hybrid retrieval: reciprocal rank fusion (BM25-style lexical + dense) ---
+
+_RRF_C = 60        # the standard RRF constant (Cormack et al. 2009)
+_RRF_POOL = 20     # per-modality candidate depth fed into the fusion
+_RRF_TOP = 10
+
+_RRF_SQL = f"""
+WITH joined AS (
+  SELECT d.doc_id AS id,
+         string_split_regex(trim(d.text), '\\s+') AS words,
+         e.embedding
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+), q AS (
+  SELECT id AS qid, words AS qw, embedding AS qe
+  FROM joined WHERE id < {N_QUERIES}
+), dense AS (
+  SELECT qid, id, rn FROM (
+    SELECT q.qid, j.id,
+           row_number() OVER (PARTITION BY q.qid ORDER BY
+             round({_SQL_DOT.format(a="q.qe", b="j.embedding")}
+                   / ({_SQL_NORM.format(a="q.qe")}
+                      * {_SQL_NORM.format(a="j.embedding")}), 6) DESC,
+             j.id) AS rn
+    FROM q JOIN joined j ON j.id <> q.qid
+  ) WHERE rn <= {_RRF_POOL}
+), lex AS (
+  SELECT qid, id, rn FROM (
+    SELECT q.qid, j.id,
+           row_number() OVER (PARTITION BY q.qid ORDER BY
+             len(list_intersect(q.qw, j.words)) DESC, j.id) AS rn
+    FROM q JOIN joined j ON j.id <> q.qid
+  ) WHERE rn <= {_RRF_POOL}
+), fused AS (
+  SELECT coalesce(d.qid, l.qid) AS qid, coalesce(d.id, l.id) AS id,
+         coalesce(1000000 // ({_RRF_C} + d.rn), 0)
+           + coalesce(1000000 // ({_RRF_C} + l.rn), 0) AS rrf_micros
+  FROM dense d FULL OUTER JOIN lex l ON d.qid = l.qid AND d.id = l.id
+)
+SELECT qid, id, CAST(rrf_micros AS BIGINT) AS rrf_micros,
+       CAST(rn AS INTEGER) AS rn
+FROM (
+  SELECT qid, id, rrf_micros,
+         row_number() OVER (PARTITION BY qid ORDER BY rrf_micros DESC, id)
+           AS rn
+  FROM fused
+) WHERE rn <= {_RRF_TOP}
+"""
+
+
+@_q("sim_hybrid_rrf", _RRF_SQL)
+def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal rank fusion (Cormack et al.,
+    SIGIR 2009): the dense half ranks candidates by embedding cosine (the
+    ``sim_topk_bruteforce`` shape), the lexical half by distinct-token
+    overlap with the query document's text (the integer word-intersect
+    core of BM25 without the libm-unsafe idf — see ``text_bm25_topk``),
+    and each query's two top-20 lists fuse by
+    ``sum(1 / (60 + rank))`` over their union — kept exact-integer as
+    micros with floor division so both engines produce identical scores.
+    This is the RAG-stack retrieval shape (vector DB + keyword index →
+    one fused list) expressed as one declarative plan.
+
+    100 TB: queries broadcast (Q·dim and Q·|query words| are small); each
+    modality produces Q·20 narrow (qid, id, rn) rows via
+    WindowGroupLimit, so the fusion join is trivially broadcast; the
+    corpus is scanned once per modality and at scale each half swaps in
+    its indexed variant (``sim_ivfpq`` / an inverted index) without
+    touching the fusion."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = _emb(spark, sf_dir)
+    joined = (
+        docs.join(emb, docs.doc_id == emb.vec_id)
+        .select(
+            F.col("doc_id").alias("id"),
+            F.split(F.trim("text"), r"\s+").alias("words"),
+            "embedding",
+        )
+    )
+    q = joined.filter(F.col("id") < N_QUERIES).select(
+        F.col("id").alias("qid"),
+        F.col("words").alias("qw"),
+        F.col("embedding").alias("qe"),
+    )
+    cand = F.broadcast(q).join(joined, F.col("id") != F.col("qid"))
+
+    def _ranked(order: Column) -> DataFrame:
+        w = W.partitionBy("qid").orderBy(order, "id")
+        return (
+            cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= _RRF_POOL)
+            .select("qid", "id", "rn")
+        )
+
+    dense = _ranked(F.desc(F.round(cosine(F.col("qe"), F.col("embedding")), 6)))
+    lex = _ranked(F.desc(F.size(F.array_intersect("qw", "words"))))
+    fused = (
+        dense.alias("d")
+        .join(
+            lex.alias("l"),
+            (F.col("d.qid") == F.col("l.qid")) & (F.col("d.id") == F.col("l.id")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce("d.qid", "l.qid").alias("qid"),
+            F.coalesce("d.id", "l.id").alias("id"),
+            (
+                F.coalesce(
+                    F.expr(f"1000000 div ({_RRF_C} + d.rn)"), F.lit(0)
+                )
+                + F.coalesce(
+                    F.expr(f"1000000 div ({_RRF_C} + l.rn)"), F.lit(0)
+                )
+            )
+            .cast("bigint")
+            .alias("rrf_micros"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("rrf_micros"), "id")
+    return (
+        fused.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= _RRF_TOP)
+    )
