@@ -104,6 +104,26 @@ def _ambient_refs() -> dict[str, float]:
 SCAN_PROBE_PATH = "/root/testdata/sf0.1/lineitem.parquet"
 
 
+def _scan_probe_bytes() -> int | None:
+    """On-disk size of the scan-probe dataset (file or parquet dir).
+
+    ADVICE r08: if the fixture is absent or regenerated at a different
+    size, the pinned scan_sec ref is incomparable — the caller records
+    this fingerprint next to the ref and DROPS the scan ratio (with a
+    note in the artifact) on mismatch rather than silently comparing
+    apples to oranges."""
+    if not os.path.exists(SCAN_PROBE_PATH):
+        return None
+    if os.path.isfile(SCAN_PROBE_PATH):
+        return os.path.getsize(SCAN_PROBE_PATH)
+    return sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(SCAN_PROBE_PATH)
+        for f in files
+        if not f.startswith(("_", "."))
+    )
+
+
 def _ambient_probe(spark) -> dict[str, float]:
     import numpy as np
 
@@ -269,6 +289,22 @@ def main() -> None:
     # BEST observed idle values (the box cannot beat them for real), so
     # ratios are clamped at 1.0: quiet runs report raw == normalized and
     # only genuinely-slow hosts get corrected.
+    # scan-ref comparability gate (ADVICE r08): the scan_sec ref was
+    # pinned against a specific probe dataset; if that fixture changed
+    # size (regenerated) or vanished, drop the scan ratio with a note
+    # instead of feeding an incomparable ratio into the factor.
+    probe_bytes = _scan_probe_bytes()
+    ref_bytes = refs.pop("scan_probe_bytes", None)
+    scan_note = None
+    if probe_bytes is None:
+        scan_note = "scan probe dataset missing; factor is ALU-only"
+    elif ref_bytes is not None and int(ref_bytes) != probe_bytes:
+        scan_note = (
+            f"scan probe dataset size {probe_bytes} != pinned {int(ref_bytes)}; "
+            "scan ratio dropped, factor is ALU-only"
+        )
+    if scan_note is not None:
+        refs.pop("scan_sec", None)
     ratios = {}
     for key, ref in refs.items():
         vals = [d.get(key) for d in (ambient_before, ambient_after)]
@@ -300,6 +336,8 @@ def main() -> None:
                     "after": ambient_after,
                     "refs": refs,
                     "ratios": ratios,
+                    "scan_probe_bytes": probe_bytes,
+                    **({"scan_note": scan_note} if scan_note else {}),
                 },
                 "queries_normalized": {
                     q: round(t / factor, 4) for q, t in times.items()
@@ -320,6 +358,7 @@ def main() -> None:
                 "isolation": "subprocess" if SUBPROCESS else "session",
                 "ambient_factor": factor,
                 "contended": contended,
+                **({"calibration_note": scan_note} if scan_note else {}),
                 "value_normalized": round(total / factor, 4),
                 "value_core17": core17_total,
                 "value_core17_normalized": round(core17_total / factor, 4),

@@ -21,6 +21,7 @@ with exact integer math, so the DuckDB oracles reproduce them bit-for-bit.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -156,6 +157,34 @@ def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ZREAD_CUST_LO, _ZREAD_CUST_HI = 1, 120
 _ZREAD_DAY_LO, _ZREAD_DAY_HI = 1500, 1900
 
+def _zorder_write_path(sf_dir: str) -> str:
+    """Fixed per-(process, SF) scratch dir for the clustered write.
+
+    VERDICT r08 #4: ``mkdtemp`` per invocation leaked a full orders copy
+    per run under repeated bench/correctness batteries.  A deterministic
+    path + the write's ``mode="overwrite"`` means repeated runs reuse ONE
+    directory; keying on the SF basename keeps different fixtures from
+    clobbering each other, and the pid suffix keeps concurrent test
+    processes (pytest vs bench) from racing on the same files.  An
+    atexit hook removes the dir so back-to-back pytest runs (new pid
+    each) don't accumulate either."""
+    import atexit
+    import shutil
+    import tempfile
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(
+        tempfile.gettempdir(), f"zorder_orders_{tag}_{os.getpid()}"
+    )
+    if path not in _ZORDER_SCRATCH_DIRS:
+        _ZORDER_SCRATCH_DIRS.add(path)
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
+_ZORDER_SCRATCH_DIRS: set[str] = set()
+
+
 _ZORDER_READ_SQL = f"""
 SELECT CAST(count(*) AS BIGINT) AS n_rows,
        CAST(min(o_orderkey) AS BIGINT) AS min_orderkey,
@@ -191,8 +220,6 @@ def layout_zorder_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: the write is one range exchange + local sort (paid once, like
     bucketing); every later read with a predicate on EITHER interleaved
     column touches only the row groups whose stats overlap it."""
-    import tempfile
-
     from ..sources.io import write_zordered
 
     z = _zkeyed_orders(spark, sf_dir).select(
@@ -201,7 +228,7 @@ def layout_zorder_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("yr").alias("day_1992"),
         "zkey",
     )
-    path = tempfile.mkdtemp(prefix="zorder_orders_")
+    path = _zorder_write_path(sf_dir)
     write_zordered(z, path, zcol="zkey", n_files=16)
     back = spark.read.parquet(path).filter(
         F.col("o_custkey").between(_ZREAD_CUST_LO, _ZREAD_CUST_HI)

@@ -43,6 +43,10 @@ def main() -> None:
         if old is None or val < old:
             refs[key] = val
             changed.append(f"{key}: {old} -> {val}")
+            if key == "scan_sec":
+                # fingerprint the probe dataset the ref was pinned against
+                # (ADVICE r08: bench.py drops the scan ratio on mismatch)
+                refs["scan_probe_bytes"] = bench._scan_probe_bytes()
     if changed:
         with open(path, "w") as f:
             json.dump(refs, f, indent=2)

@@ -37,7 +37,11 @@ def registry_count() -> int:
 def bench_total(round_no: int) -> float | None:
     """Headline total from a recorded driver artifact (raw `value`;
     BENCH_r06's head-truncated line is recovered from the tail, which
-    only retains value_normalized — its factor was 1.0 that round)."""
+    only retains value_normalized — its factor was 1.0 that round).
+    ADVICE r08: the tail fallback quotes value_normalized AS raw, which
+    is only valid when the recorded ambient_factor was 1.0 — multiply the
+    factor back in when it is present, and refuse the recovery when the
+    factor is unknowable (better no number than a flattering one)."""
     path = os.path.join(ROOT, f"BENCH_r{round_no:02d}.json")
     if not os.path.exists(path):
         return None
@@ -45,8 +49,16 @@ def bench_total(round_no: int) -> float | None:
     parsed = d.get("parsed")
     if parsed and parsed.get("value") is not None:
         return float(parsed["value"])
-    m = re.search(r'"value_normalized": ([\d.]+)', d.get("tail", ""))
-    return float(m.group(1)) if m else None
+    tail = d.get("tail", "")
+    m = re.search(r'"value_normalized": ([\d.]+)', tail)
+    if not m:
+        return None
+    f = re.search(r'"ambient_factor": ([\d.]+)', tail)
+    if f is None:
+        # r06 is the only truncated artifact and predates ambient_factor
+        # in the tail; its factor was 1.0 (recorded in VERDICT r06).
+        return float(m.group(1)) if round_no == 6 else None
+    return float(m.group(1)) * float(f.group(1))
 
 
 # (relative path, anchored regex with ONE capture group over the number,
@@ -106,12 +118,22 @@ def apply(check: bool) -> int:
                     s, e = m.span(1)
                     text = text[:s] + want + text[e:]
         # second-capture fixups (e.g. "312/312") — rewrite any N/N pair
-        # whose first half the rules above already own.
-        text = re.sub(
+        # whose first half the rules above already own.  ADVICE r08: in
+        # --check mode this rewrite was computed and discarded, so a
+        # drifted DENOMINATOR (e.g. "319/312") passed the gate — compare
+        # and fail instead.
+        fixed = re.sub(
             r"(\d+)/(\d+)(?= entries are value-checked)",
             f"{reg}/{reg}",
             text,
         )
+        if check and fixed != text:
+            failures.append(
+                f"{relpath}: an N/N 'entries are value-checked' pair "
+                f"disagrees with the live registry ({reg}) — run "
+                "scripts/update_counts.py"
+            )
+        text = fixed
         if not check:
             open(path, "w").write(text)
     # stale-pattern tripwires: the exact strings VERDICT r07 flagged must

@@ -279,6 +279,56 @@ def test_no_cartesian_across_tpc_corpus(spark, sf_dir):
     assert not offenders, f"unexpected CartesianProduct in: {offenders}"
 
 
+def test_bloom_prefilter_fact_never_shuffles(spark, sf_dir):
+    """join_bloom_prefilter (VERDICT r08 #2): the docstring's scale claim
+    is 'the fact table never shuffles' — the bloom position set and the
+    dim both broadcast, so the ONLY exchange allowed in the plan is the
+    SinglePartition one feeding the final global aggregate. Three
+    broadcast LEFT SEMI hash joins (one per bloom hash) + the broadcast
+    dim join; never a sort-merge join (which would shuffle orders)."""
+    df = all_queries()["join_bloom_prefilter"](spark, sf_dir)
+    plan = _plan(df, "simple")
+    assert "SortMergeJoin" not in plan, plan
+    # every hash exchange in the plan must be the dim-side distinct on the
+    # bloom position column (≤ m·k rows) — never a fact column
+    exchanged_cols = re.findall(r"Exchange hashpartitioning\((\w+)#", plan)
+    assert exchanged_cols and set(exchanged_cols) == {"pos"}, exchanged_cols
+    assert len(re.findall(r"BroadcastHashJoin .*LeftSemi", plan)) == 3, plan
+    assert plan.count("BroadcastHashJoin") == 4, plan
+
+
+def test_scd2_merge_apply_broadcasts_affected_keys(spark, sf_dir):
+    """scd2_merge_apply (VERDICT r08 #2): 'cost ∝ changed keys' rests on
+    the affected-key set broadcasting into BOTH the untouched-branch anti
+    join and the touched-branch semi join — a sort-merge for either would
+    shuffle the full dimension."""
+    df = all_queries()["scd2_merge_apply"](spark, sf_dir)
+    plan = _plan(df, "simple")
+    assert re.search(r"BroadcastHashJoin .*LeftAnti", plan), plan
+    assert re.search(r"BroadcastHashJoin .*LeftSemi", plan), plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_r08_ops_no_cartesian_and_bpe_stays_jvm(spark, sf_dir):
+    """Blanket r08 gates (VERDICT r08 #2): the Hamming band join, the RRF
+    fusion, and the BPE merge must never degenerate to a CartesianProduct
+    (sim_hybrid_rrf's Q-bounded BroadcastNestedLoopJoin halves are
+    intentional and allowed); text_bpe_merge_apply additionally claims
+    all-JVM execution — no Python eval stage of any kind."""
+    for name in [
+        "multimodal_phash_near_dup",
+        "sim_hybrid_rrf",
+        "text_bpe_merge_apply",
+    ]:
+        plan = _plan(all_queries()[name](spark, sf_dir), "simple")
+        assert "CartesianProduct" not in plan, (name, plan)
+    bpe = _plan(all_queries()["text_bpe_merge_apply"](spark, sf_dir), "simple")
+    assert "BatchEvalPython" not in bpe and "ArrowEvalPython" not in bpe, bpe
+    assert "BroadcastNestedLoopJoin" not in _plan(
+        all_queries()["multimodal_phash_near_dup"](spark, sf_dir), "simple"
+    )
+
+
 def test_pq_rerank_broadcasts_and_no_cartesian(spark, sf_dir):
     """sim_pq_adc: the shortlist-driven rerank joins must broadcast (the
     shortlist is Q·PQ_SHORTLIST rows) and nothing may degenerate to a

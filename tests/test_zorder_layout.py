@@ -101,6 +101,35 @@ def test_zorder_read_pushes_filters(spark, layouts):
         assert f"GreaterThanOrEqual({col}" in plan, plan
 
 
+def test_zorder_pruned_read_reuses_one_scratch_dir(spark):
+    # VERDICT r08 #4: the registry query used mkdtemp per invocation,
+    # leaking a full orders copy per bench run.  The path is now a fixed
+    # per-(process, SF) location, so repeated invocations overwrite in
+    # place instead of accumulating.
+    from presto_db_spark.operators.warehouse import (
+        _zorder_write_path,
+        layout_zorder_pruned_read,
+    )
+    from tests.conftest import SF_DIR
+
+    p1 = _zorder_write_path(SF_DIR)
+    p2 = _zorder_write_path(SF_DIR)
+    assert p1 == p2
+    layout_zorder_pruned_read(spark, SF_DIR).collect()
+    files_first = sorted(glob.glob(os.path.join(p1, "*.parquet")))
+    layout_zorder_pruned_read(spark, SF_DIR).collect()
+    files_second = sorted(glob.glob(os.path.join(p1, "*.parquet")))
+    assert len(files_second) == len(files_first) > 0
+    # and no per-invocation mkdtemp siblings appeared (the old leak made
+    # zorder_orders_<random8> dirs; the fixed scheme is zorder_orders_sf*_<pid>)
+    strays = [
+        d
+        for d in glob.glob(os.path.join(tempfile.gettempdir(), "zorder_orders_*"))
+        if not os.path.basename(d).startswith("zorder_orders_sf")
+    ]
+    assert strays == []
+
+
 def test_zorder_layout_preserves_values(spark, layouts):
     zdir, flat = layouts
     pred = "o_custkey BETWEEN 1 AND 120 AND day_1992 BETWEEN 1500 AND 1900"
