@@ -324,6 +324,11 @@ def test_r08_ops_no_cartesian_and_bpe_stays_jvm(spark, sf_dir):
         assert "CartesianProduct" not in plan, (name, plan)
     bpe = _plan(all_queries()["text_bpe_merge_apply"](spark, sf_dir), "simple")
     assert "BatchEvalPython" not in bpe and "ArrowEvalPython" not in bpe, bpe
+    # the 3-round trainer chains the same plan — all-JVM, no cartesian,
+    # and every merge cross-join is the one-row broadcast form
+    rounds = _plan(all_queries()["text_bpe_train_rounds"](spark, sf_dir), "simple")
+    assert "CartesianProduct" not in rounds, rounds
+    assert "BatchEvalPython" not in rounds and "ArrowEvalPython" not in rounds
     assert "BroadcastNestedLoopJoin" not in _plan(
         all_queries()["multimodal_phash_near_dup"](spark, sf_dir), "simple"
     )
