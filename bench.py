@@ -199,6 +199,10 @@ CORE17 = [
 HEADLINE = CORE17 + [
     "tpcds_q64",
     "tpcds_q72",
+    # r09 (VERDICT r08 directive #5): the CTE-materialization path under
+    # timing (q04's triple year_total reuse) and the deployable ANN shape.
+    "tpcds_q04",
+    "sim_ivfpq",
 ]
 
 # Local-iteration escape hatch: BENCH_ONLY=a,b,c restricts the suite to a

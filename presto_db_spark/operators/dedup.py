@@ -329,13 +329,20 @@ def _minhash_mh_impl(texts):
     """text → 16 minhash values, Arrow-batched.
 
     Exactly the oracle SQL's math (parity is exact): per-word 50-bit
-    rolling hash in Python ints (memoized per worker), 3-word shingle hash
-    composition mod MERSENNE31, first-occurrence-order distinct (matching
-    list_distinct), and the 16 affine permutation minima vectorized in
-    int64 numpy (a < 2^6, x < 2^31 → a*x+b < 2^38: no overflow, integer
-    ops bit-identical to the Python loop). Out-of-range word hashes
-    contribute 0, matching the SQL's coalesce(wh[i], 0) for docs shorter
-    than 3 words.
+    rolling hash in Python ints (memoized per worker), then the 3-word
+    shingle composition AND the 16 affine permutation minima fully
+    vectorized in int64 numpy — wh < 2^31 and WORD_COMBINE < 2^20 keep
+    every intermediate under 2^52, and a < 2^6 keeps a*x+b under 2^38:
+    no overflow, bit-identical to the scalar loop. Out-of-range word
+    hashes contribute 0 via the zero padding, matching the SQL's
+    coalesce(wh[i], 0) for docs shorter than 3 words.
+
+    The oracle's list_distinct is deliberately NOT replicated here: the
+    minimum of an affine permutation over a multiset equals the minimum
+    over its distinct support, so deduplicating shingle hashes before the
+    min is algebraically dead — skipping it removes the per-shingle
+    Python dict pass (r09 profile: the signature stage was ~half the
+    query) without moving a single output bit.
 
     Deliberately does NOT emit the gram strings: the signature stage stays
     narrow (doc_id + 16 longs) for the band shuffle; grams are computed
@@ -349,19 +356,11 @@ def _minhash_mh_impl(texts):
     for text in texts:
         words = _WS_SPLIT.split((text or "").strip(" "))
         n = max(len(words) - 2, 1)
-        wh = [_whash(w) for w in words]
-
-        def at(i: int) -> int:
-            return wh[i] if 0 <= i < len(wh) else 0
-
-        hs = np.fromiter(
-            dict.fromkeys(
-                ((at(i) * WORD_COMBINE + at(i + 1)) % MERSENNE31 * WORD_COMBINE + at(i + 2))
-                % MERSENNE31
-                for i in range(n)
-            ),
-            dtype=np.int64,
-        )
+        wh = np.zeros(n + 2, dtype=np.int64)  # zero pad == coalesce(wh[i], 0)
+        for i, w in enumerate(words):
+            wh[i] = _whash(w)
+        hs = (wh[0:n] * WORD_COMBINE + wh[1 : n + 1]) % MERSENNE31
+        hs = (hs * WORD_COMBINE + wh[2 : n + 2]) % MERSENNE31
         out_mh.append(((perm_a * hs + perm_b) % MERSENNE31).min(axis=1).tolist())
     return pd.Series(out_mh)
 
