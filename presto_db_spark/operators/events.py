@@ -351,3 +351,141 @@ def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").isNull().alias("is_gap"),
         F.last("last_id", ignorenulls=True).over(w).alias("last_event_id_locf"),
     )
+
+
+# --- M4 downsampling (visualization-preserving reduction) -------------------
+
+_M4_BUCKET_US = 6 * 3600 * 1_000_000  # 6-hour pixels over the 30-day fixture
+
+# Total order inside a bucket: (ts, event_id) as one zero-padded string key
+# (epoch micros fits 20 digits; event_id fits 20) — identical lexicographic
+# ordering in both engines, so first/last picks can never diverge on ties.
+_M4_SQL = f"""
+SELECT user_id,
+       CAST(epoch_us(ts) // {_M4_BUCKET_US} AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_points,
+       round(min(value), 6) AS v_min,
+       round(max(value), 6) AS v_max,
+       round(arg_min(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                            || lpad(CAST(event_id AS VARCHAR), 20, '0')), 6)
+         AS v_first,
+       round(arg_max(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                            || lpad(CAST(event_id AS VARCHAR), 20, '0')), 6)
+         AS v_last
+FROM events
+GROUP BY user_id, CAST(epoch_us(ts) // {_M4_BUCKET_US} AS BIGINT)
+"""
+
+
+@_q("events_downsample_m4", _M4_SQL)
+def events_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 time-series downsampling (Jugel et al., VLDB 2014 — the
+    min/max/first/last-per-pixel-bucket reduction TimescaleDB and Grafana
+    ship for lossless line-chart rendering): each (series, bucket) keeps
+    exactly the four points a pixel-perfect plot needs.
+
+    One aggregate — min/max are plain aggregates and first/last are
+    ``min_by``/``max_by`` on a zero-padded (epoch-micros, event_id) string
+    key, so the whole reduction combines map-side (partial aggregate)
+    before the single (user_id, bucket) exchange; ties are impossible
+    because event_id totalizes the key.  Spark plans this SortAggregate,
+    not HashAggregate — the string-typed min_by buffer is not
+    hash-mutable — which trades two local sorts for exact first/last
+    determinism; the shuffle count and partial-combine property are
+    identical (plan-gated in ``tests/test_plans.py``).
+
+    100 TB: the canonical raw→rollup reduction — output is bounded by
+    series × pixels regardless of input rate; no window, no sort, one
+    shuffle of already-combined partials. The reference has no downsample
+    surface (extension; its nearest shape is plain GROUP BY batch SQL)."""
+    ev = load_table(spark, sf_dir, "events")
+    ordkey = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 20, "0"),
+    )
+    return (
+        ev.withColumn("ordkey", ordkey)
+        .groupBy(
+            "user_id",
+            # integer floor division — the double-division form would ride
+            # through a float and risk last-ulp divergence vs the oracle's //
+            F.expr(f"unix_micros(ts) div {_M4_BUCKET_US}").alias("bucket"),
+        )
+        .agg(
+            F.count("*").alias("n_points"),
+            F.round(F.min("value"), 6).alias("v_min"),
+            F.round(F.max("value"), 6).alias("v_max"),
+            F.round(F.min_by("value", F.col("ordkey")), 6).alias("v_first"),
+            F.round(F.max_by("value", F.col("ordkey")), 6).alias("v_last"),
+        )
+    )
+
+
+# --- CDC change-log apply (log -> snapshot) ----------------------------------
+
+_CDC_SQL = """
+WITH log AS (
+  SELECT user_id,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         value,
+         lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+           || lpad(CAST(event_id AS VARCHAR), 20, '0') AS ordkey
+  FROM events
+), folded AS (
+  SELECT user_id,
+         arg_max(op, ordkey) AS last_op,
+         arg_max(value, ordkey) AS last_value,
+         CAST(count(*) AS BIGINT) AS n_changes,
+         CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes
+  FROM log GROUP BY user_id
+)
+SELECT user_id, round(last_value, 6) AS last_value, n_changes, n_deletes
+FROM folded WHERE last_op <> 'D'
+"""
+
+
+@_q("cdc_apply_changes", _CDC_SQL)
+def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC change-log application (the Debezium-log → table-snapshot fold
+    every lakehouse ingestion runs; Delta's ``APPLY CHANGES`` / Iceberg
+    upsert semantics): each record upserts its key with a new value, or
+    deletes it — the snapshot is, per key, the LAST change's payload,
+    with deleted keys absent.  The fixture log maps ``events`` rows to
+    changes (``error`` → delete, anything else → upsert) ordered by the
+    total (ts, event_id) key.
+
+    One hash aggregate: ``max_by`` folds each key's latest (op, value)
+    with map-side combine — no window, no per-key sort, no join.  The
+    delete filter applies AFTER the fold, so a delete followed by a
+    re-insert correctly survives (last op wins, exactly MERGE semantics).
+
+    100 TB: cost ∝ log size with one shuffle of combined partials; state
+    ∝ distinct keys.  The incremental form against a stored snapshot is
+    ``scd2_merge_apply``'s broadcast anti/semi split; the streaming form
+    is ``streaming/pipeline.py``'s stateful dedup."""
+    ev = load_table(spark, sf_dir, "events")
+    log = ev.select(
+        "user_id",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        "value",
+        F.concat(
+            F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+            F.lpad(F.col("event_id").cast("string"), 20, "0"),
+        ).alias("ordkey"),
+    )
+    folded = log.groupBy("user_id").agg(
+        F.max_by("op", F.col("ordkey")).alias("last_op"),
+        F.max_by("value", F.col("ordkey")).alias("last_value"),
+        F.count("*").alias("n_changes"),
+        F.sum(F.when(F.col("op") == "D", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_deletes"),
+    )
+    return folded.filter(F.col("last_op") != "D").select(
+        "user_id",
+        F.round("last_value", 6).alias("last_value"),
+        "n_changes",
+        "n_deletes",
+    )

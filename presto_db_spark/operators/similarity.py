@@ -1595,3 +1595,98 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         fused.withColumn("rn", F.row_number().over(w).cast("int"))
         .filter(F.col("rn") <= _RRF_TOP)
     )
+
+
+# --- Matryoshka prefix-dimension coarse rank + full-dim rerank ---------------
+
+MRL_PREFIX = 16     # coarse pass reads only the first 16 of 64 dims
+MRL_SHORTLIST = 20  # per-query survivors into the exact rerank
+
+_MRL_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+  WHERE vec_id < {N_QUERIES}
+), coarse AS (
+  SELECT q.qid, e.vec_id, e.embedding AS ce, q.qe,
+         round({_SQL_DOT.format(a=f"q.qe[1:{MRL_PREFIX}]", b="e.embedding")}
+               / ({_SQL_NORM.format(a=f"q.qe[1:{MRL_PREFIX}]")}
+                  * {_SQL_NORM.format(a=f"e.embedding[1:{MRL_PREFIX}]")}), 6)
+           AS psim
+  FROM q JOIN embeddings e ON e.vec_id <> q.qid
+), shortlist AS (
+  SELECT qid, vec_id, qe, ce, psim,
+         row_number() OVER (PARTITION BY qid ORDER BY psim DESC, vec_id)
+           AS srn
+  FROM coarse
+)
+SELECT qid, vec_id, psim,
+       round({_SQL_DOT.format(a="qe", b="ce")}
+             / ({_SQL_NORM.format(a="qe")} * {_SQL_NORM.format(a="ce")}), 6)
+         AS sim,
+       CAST(row_number() OVER (PARTITION BY qid ORDER BY
+         round({_SQL_DOT.format(a="qe", b="ce")}
+               / ({_SQL_NORM.format(a="qe")} * {_SQL_NORM.format(a="ce")}), 6)
+         DESC, vec_id) AS INTEGER) AS rn
+FROM shortlist WHERE srn <= {MRL_SHORTLIST}
+QUALIFY rn <= {TOP_K}
+"""
+
+
+@_q("sim_mrl_prefix_rerank", _MRL_SQL)
+def sim_mrl_prefix_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-representation retrieval (Kusupati et al. 2022; the
+    OpenAI/Nomic truncatable-embedding serving pattern): MRL-trained
+    embeddings concentrate signal in their prefix, so the coarse pass
+    ranks by cosine over ONLY the first 16 of 64 dims, keeps a
+    20-deep shortlist per query, and the exact full-dim cosine reranks
+    just those.
+
+    The coarse score slices the stored vector in the JVM (``slice`` —
+    Catalyst prunes nothing further since the column is one array, but
+    the Arrow batch the cosine UDF sees is 16/64 the bytes); the
+    shortlist is a WindowGroupLimit; the rerank runs on Q x 20 rows that
+    carry both full vectors through a broadcast-sized frame.
+
+    100 TB: production stores the prefix as its OWN narrow column (or
+    the int8 form — ``emb_int8_quantize``) so the coarse scan reads
+    16/64 of the bytes at full recall@shortlist; the rerank cost is
+    Q x 20 full-width rows exactly like ``sim_pq_adc``'s ADC shortlist.
+    Same two-stage contract as sim_ivfpq, but the index is the
+    representation itself — zero training, zero extra tables."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    coarse = (
+        F.broadcast(q)
+        .join(emb, F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.col("embedding").alias("ce"),
+            "qe",
+            F.round(
+                cosine(
+                    F.slice(F.col("qe"), 1, MRL_PREFIX),
+                    F.slice(F.col("embedding"), 1, MRL_PREFIX),
+                ),
+                6,
+            ).alias("psim"),
+        )
+    )
+    ws = W.partitionBy("qid").orderBy(F.desc("psim"), "vec_id")
+    shortlist = (
+        coarse.withColumn("srn", F.row_number().over(ws))
+        .filter(F.col("srn") <= MRL_SHORTLIST)
+    )
+    reranked = shortlist.select(
+        "qid",
+        "vec_id",
+        "psim",
+        F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("sim"),
+    )
+    wr = W.partitionBy("qid").orderBy(F.desc("sim"), "vec_id")
+    return (
+        reranked.withColumn("rn", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rn") <= TOP_K)
+    )

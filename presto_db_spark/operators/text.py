@@ -1658,6 +1658,22 @@ def text_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     docs = load_table(spark, sf_dir, "documents")
+    rounds, _ = _bpe_train_chain(spark, sf_dir, _BPE_ROUNDS)
+    out = rounds[0]
+    for r_df in rounds[1:]:
+        out = out.unionByName(r_df)
+    return out
+
+
+def _bpe_train_chain(
+    spark: SparkSession, sf_dir: str, n_rounds: int
+) -> tuple[list[DataFrame], DataFrame]:
+    """Shared BPE merge chain: returns (per-round top-1 frames, the
+    corpus encoding AFTER all merges).  ``text_bpe_train_rounds`` unions
+    the former; ``text_bpe_encode`` reads the latter."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
     words = docs.select(F.explode(tokens(F.trim(F.col("text")))).alias("word"))
     enc = words.filter(F.length("word") >= 1).select(
         F.expr(
@@ -1666,7 +1682,7 @@ def text_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("e")
     )
     rounds = []
-    for r in range(1, _BPE_ROUNDS + 1):
+    for r in range(1, n_rounds + 1):
         enc = enc.localCheckpoint(eager=False)
         pairs = (
             enc.select(
@@ -1712,7 +1728,55 @@ def text_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " concat(chr(2), x, y, chr(2)))"
             ).alias("e")
         )
-    out = rounds[0]
-    for r_df in rounds[1:]:
-        out = out.unionByName(r_df)
-    return out
+    return rounds, enc
+
+
+_BPE_ENCODE_TOPK = 20
+
+
+def _bpe_encode_sql(n_rounds: int) -> str:
+    """Oracle: the same chain, then the final symbol histogram."""
+    chain = _bpe_rounds_sql(n_rounds)
+    # reuse the chained CTEs; swap the final SELECT for the histogram
+    body = chain[: chain.index("SELECT CAST(1 AS INTEGER)")]
+    return body + f"""SELECT symbol, CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(row_number() OVER (ORDER BY count(*) DESC, symbol) AS INTEGER) AS rk
+FROM (
+  SELECT unnest(string_split(e[2:length(e) - 1], chr(2) || chr(2))) AS symbol
+  FROM e{n_rounds}
+) GROUP BY symbol
+QUALIFY rk <= {_BPE_ENCODE_TOPK}"""
+
+
+@_q("text_bpe_encode", _bpe_encode_sql(_BPE_ROUNDS))
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer INFERENCE: apply the 3 trained merges to the corpus
+    and emit the resulting token (symbol) histogram — the encode half of
+    the tokenizer lifecycle (``text_bpe_train_rounds`` is train; this is
+    what a data pipeline runs per-document at serving/packing time).
+    The top-k symbol counts only match the oracle if the re-encoded
+    corpus is symbol-for-symbol identical after all three merges.
+
+    Same all-JVM chain (wrapped-string encoding, one replace() per merge,
+    per-round checkpoint); the encode adds one split+explode and one
+    map-side-combined groupBy over the final encoding.  100 TB: encode
+    cost is one corpus scan per merge round — production amortizes it by
+    storing the final symbol column; the histogram is the vocabulary
+    accounting a tokenizer-training pipeline reports."""
+    _, enc = _bpe_train_chain(spark, sf_dir, _BPE_ROUNDS)
+    syms = enc.select(
+        F.explode(
+            F.expr(
+                "split(substring(e, 2, length(e) - 2), concat(chr(2), chr(2)))"
+            )
+        ).alias("symbol")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.desc("n_occurrences"), F.asc("symbol"))
+    return (
+        syms.groupBy("symbol")
+        .agg(F.count("*").alias("n_occurrences"))
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= _BPE_ENCODE_TOPK)
+    )

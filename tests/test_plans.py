@@ -334,6 +334,35 @@ def test_r08_ops_no_cartesian_and_bpe_stays_jvm(spark, sf_dir):
     )
 
 
+def test_r09_single_aggregate_ops_plan_shape(spark, sf_dir):
+    """events_downsample_m4 / cdc_apply_changes are one-aggregate
+    reductions: exactly one hash exchange (the group key), partial
+    aggregation before it (map-side combine is the 100 TB claim), no
+    join, no window, no Python. The aggregate is Sort- not Hash- based:
+    min_by/max_by's string buffer is not hash-mutable — the shuffle
+    count and partial-combine property are what the scale claim needs."""
+    for name in ["events_downsample_m4", "cdc_apply_changes"]:
+        plan = _plan(all_queries()[name](spark, sf_dir), "simple")
+        assert plan.count("Exchange hashpartitioning") == 1, (name, plan)
+        assert re.search(
+            r"Aggregate.*\n(?:.*\n)*?.*Exchange.*\n(?:.*\n)*?.*Aggregate\(key",
+            plan,
+        ), (name, plan)
+        assert "partial_min_by" in plan or "partial_max_by" in plan, (name, plan)
+        assert "Join" not in plan and "Window" not in plan, (name, plan)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_mrl_rerank_no_cartesian_and_group_limits(spark, sf_dir):
+    """sim_mrl_prefix_rerank: the coarse pass is the broadcast-query
+    brute-force shape (BroadcastNestedLoopJoin on the != predicate is the
+    accepted Q-bounded pattern, CartesianProduct is not), and both the
+    shortlist and the final top-k must plan as WindowGroupLimit."""
+    plan = _plan(all_queries()["sim_mrl_prefix_rerank"](spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("WindowGroupLimit") >= 2, plan
+
+
 def test_pq_rerank_broadcasts_and_no_cartesian(spark, sf_dir):
     """sim_pq_adc: the shortlist-driven rerank joins must broadcast (the
     shortlist is Q·PQ_SHORTLIST rows) and nothing may degenerate to a
