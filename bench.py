@@ -201,6 +201,13 @@ HEADLINE = CORE17 + [
     "tpcds_q72",
     # r09 (VERDICT r08 directive #5): the CTE-materialization path under
     # timing (q04's triple year_total reuse) and the deployable ANN shape.
+    # q04 A/B at sf0.1 (r09, same session, 4 runs each): materialize=false
+    # 1.5-2.1 s vs materialize=true 2.2-3.8 s — the MEMORY_AND_DISK persist
+    # of the grouped year_total costs more than the re-derivation it saves
+    # at this scale (AQE already reuses the broadcast exchanges), so the
+    # bench times the default-off path, matching the reference's own
+    # cte_materialization_enabled=false default. The property flips per
+    # session for the workloads where the CTE is genuinely expensive.
     "tpcds_q04",
     "sim_ivfpq",
 ]
