@@ -30,6 +30,8 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table  # noqa: F401  (used by events_stream schema path)
 
+from ..operators.events import _CDC_SQL as _BATCH_CDC_SQL
+
 QUERIES = {}
 ORACLE = {}
 
@@ -1006,4 +1008,105 @@ def streaming_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("keep_event_id").alias("keep_event_id"),
         F.max("n_seen").alias("n_seen"),
         (F.max("n_seen") == 1).alias("is_unique"),
+    )
+
+
+@_q("streaming_cdc_apply", _BATCH_CDC_SQL)
+def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply — the stateful face of
+    ``operators/events.cdc_apply_changes`` (Debezium-log → live snapshot):
+    per-key GroupState holds (last ordkey, last op, last value, counters);
+    each microbatch folds its rows into the state with the same total
+    (ts, event_id) order key, and the emitted snapshot row is replaced on
+    every update.  Deleted keys are filtered AFTER the fold so a
+    delete→re-insert inside or across microbatches correctly survives —
+    the exact MERGE semantics the batch op value-proves.
+
+    State is one fixed-width tuple per live key (bounded by distinct
+    keys, not stream length).  The oracle below is set at registration
+    time to the batch operator's own SQL — final streaming states must
+    equal the batch fold bit-for-bit."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    stream = events_stream(spark, sf_dir).select(
+        "user_id",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        "value",
+        F.concat(
+            F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+            F.lpad(F.col("event_id").cast("string"), 20, "0"),
+        ).alias("ordkey"),
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("last_op", StringType()),
+            StructField("last_value", DoubleType()),
+            StructField("n_changes", LongType()),
+            StructField("n_deletes", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("ordkey", StringType()),
+            StructField("op", StringType()),
+            StructField("val", DoubleType()),
+            StructField("n", LongType()),
+            StructField("nd", LongType()),
+        ]
+    )
+
+    def update(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        ordkey, op, val, n, nd = (
+            state.get if state.exists else ("", "U", 0.0, 0, 0)
+        )
+        for pdf in pdf_iter:
+            n += len(pdf)
+            nd += int((pdf["op"] == "D").sum())
+            i = pdf["ordkey"].idxmax()
+            if pdf["ordkey"].loc[i] > ordkey:
+                ordkey = pdf["ordkey"].loc[i]
+                op = pdf["op"].loc[i]
+                val = float(pdf["value"].loc[i])
+        state.update((ordkey, op, val, n, nd))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "last_op": [op],
+                "last_value": [val],
+                "n_changes": [n],
+                "n_deletes": [nd],
+            }
+        )
+
+    res = stream.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    raw = _run_to_completion(res, "stream_cdc", "update")
+    # keep each key's LAST emission (n_changes is monotone per key), then
+    # apply the delete filter — identical to the batch fold's final step.
+    final = raw.groupBy("user_id").agg(
+        F.max_by("last_op", "n_changes").alias("last_op"),
+        F.max_by("last_value", "n_changes").alias("last_value"),
+        F.max("n_changes").alias("n_changes"),
+        F.max("n_deletes").alias("n_deletes"),
+    )
+    return final.filter(F.col("last_op") != "D").select(
+        "user_id",
+        F.round("last_value", 6).alias("last_value"),
+        "n_changes",
+        "n_deletes",
     )
