@@ -489,3 +489,97 @@ def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_changes",
         "n_deletes",
     )
+
+
+# --- snapshot diff (time-travel table_changes) --------------------------------
+
+_SNAP_CUTOFF = "2024-01-16"  # mid-point of the 30-day fixture window
+
+_SNAP_ONE = """
+  SELECT user_id,
+         arg_max(op, ordkey) AS last_op,
+         arg_max(value, ordkey) AS last_value
+  FROM (
+    SELECT user_id,
+           CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+           value,
+           lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+             || lpad(CAST(event_id AS VARCHAR), 20, '0') AS ordkey
+    FROM events {where}
+  ) GROUP BY user_id
+"""
+
+_SNAP_DIFF_SQL = f"""
+WITH s1 AS (
+  SELECT user_id, round(last_value, 6) AS v FROM ({_SNAP_ONE.format(
+      where=f"WHERE ts < TIMESTAMP '{_SNAP_CUTOFF}'")})
+  WHERE last_op <> 'D'
+), s2 AS (
+  SELECT user_id, round(last_value, 6) AS v FROM ({_SNAP_ONE.format(where="")})
+  WHERE last_op <> 'D'
+)
+SELECT CASE WHEN s1.user_id IS NULL THEN 'insert'
+            WHEN s2.user_id IS NULL THEN 'delete'
+            ELSE 'update' END AS change_type,
+       coalesce(s1.user_id, s2.user_id) AS user_id,
+       s1.v AS value_before, s2.v AS value_after
+FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id
+WHERE s1.user_id IS NULL OR s2.user_id IS NULL OR s1.v <> s2.v
+"""
+
+
+@_q("cdc_snapshot_diff", _SNAP_DIFF_SQL)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — Delta's ``table_changes`` / Iceberg's changelog
+    view between two time-travel points: fold the change log up to the
+    cutoff (snapshot 1) and up to now (snapshot 2) with the
+    ``cdc_apply_changes`` semantics, then emit per-key inserts (absent →
+    present), deletes (present → absent, i.e. the key's last op became a
+    delete), and updates (value changed) from one FULL OUTER join.
+
+    100 TB: each snapshot is the one-groupBy CDC fold (in production the
+    older one is the stored table, not recomputed); the diff joins two
+    key-narrow frames hash-partitioned on the SAME key, so the second
+    exchange is partitioning-compatible; output ∝ churn, not table size."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def snapshot(src: DataFrame) -> DataFrame:
+        log = src.select(
+            "user_id",
+            F.when(F.col("event_type") == "error", F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+            "value",
+            F.concat(
+                F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+                F.lpad(F.col("event_id").cast("string"), 20, "0"),
+            ).alias("ordkey"),
+        )
+        return (
+            log.groupBy("user_id")
+            .agg(
+                F.max_by("op", F.col("ordkey")).alias("last_op"),
+                F.max_by("value", F.col("ordkey")).alias("last_value"),
+            )
+            .filter(F.col("last_op") != "D")
+            .select("user_id", F.round("last_value", 6).alias("v"))
+        )
+
+    s1 = snapshot(ev.filter(F.col("ts") < F.lit(_SNAP_CUTOFF).cast("timestamp")))
+    s2 = snapshot(ev)
+    j = s1.alias("s1").join(
+        s2.alias("s2"), F.col("s1.user_id") == F.col("s2.user_id"), "full_outer"
+    )
+    return j.filter(
+        F.col("s1.user_id").isNull()
+        | F.col("s2.user_id").isNull()
+        | (F.col("s1.v") != F.col("s2.v"))
+    ).select(
+        F.when(F.col("s1.user_id").isNull(), F.lit("insert"))
+        .when(F.col("s2.user_id").isNull(), F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("change_type"),
+        F.coalesce("s1.user_id", "s2.user_id").alias("user_id"),
+        F.col("s1.v").alias("value_before"),
+        F.col("s2.v").alias("value_after"),
+    )
