@@ -1081,3 +1081,132 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(inter / (na + nb - inter), 6).alias("jaccard"),
         )
     )
+
+
+# --- MinHash LSH evaluation: recall/precision vs exhaustive truth -----------
+
+JACCARD_THRESHOLD = 0.4  # the LSH pipeline's verify threshold (dedup_minhash_lsh)
+
+_TRUTH_PAIRS_SQL = f"""
+WITH g AS (
+  SELECT doc_id, unnest(grams) AS gram FROM (
+    SELECT doc_id,
+           list_distinct(list_transform(
+             generate_series(1, greatest(len(words) - 2, 1)),
+             i -> array_to_string(words[i:i+2], ' '))) AS grams
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+          FROM documents)
+  )
+), n AS (
+  SELECT doc_id, count(*) AS ng FROM g GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS sh
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT s.id_a, s.id_b
+FROM shared s
+JOIN n na ON na.doc_id = s.id_a
+JOIN n nb ON nb.doc_id = s.id_b
+WHERE CAST(s.sh AS DOUBLE) / (na.ng + nb.ng - s.sh) >= {JACCARD_THRESHOLD}
+"""
+
+_MINHASH_RECALL_SQL = f"""
+WITH truth AS ({_TRUTH_PAIRS_SQL}),
+ap AS (SELECT id_a, id_b FROM ({_MINHASH_SQL}))
+SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
+       CAST((SELECT count(*) FROM ap) AS BIGINT) AS n_found,
+       CAST(count(*) AS BIGINT) AS n_hit,
+       CAST(CASE WHEN (SELECT count(*) FROM truth) > 0
+            THEN count(*) * 1000000 // (SELECT count(*) FROM truth) END
+            AS BIGINT) AS recall_ppm,
+       CAST(CASE WHEN (SELECT count(*) FROM ap) > 0
+            THEN count(*) * 1000000 // (SELECT count(*) FROM ap) END
+            AS BIGINT) AS precision_ppm
+FROM truth t JOIN ap ON ap.id_a = t.id_a AND ap.id_b = t.id_b
+"""
+
+
+@_q("dedup_minhash_recall", _MINHASH_RECALL_SQL)
+def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH quality evaluation — recall AND precision of
+    ``dedup_minhash_lsh``'s near-dup pairs against the EXHAUSTIVE
+    exact-Jaccard truth set, as integer ppm (the dedup twin of
+    ``sim_ann_recall``; the protocol of Leskovec ch.3's S-curve analysis,
+    measured instead of asserted).
+
+    Ground truth uses the inverted-index plan, not an all-pairs scan:
+    explode distinct grams, equi-join on the gram (only pairs sharing ≥ 1
+    gram materialize — a candidate superset of every positive, since
+    jaccard > 0 requires a shared gram), count shared grams per pair, and
+    threshold exact jaccard from (shared, |a|, |b|).  Precision is 1.0 by
+    construction (the LSH pipeline verifies exact jaccard on candidates);
+    recall measures what the 4-band/4-row signature misses — the number
+    the S-curve only estimates.
+
+    100 TB: the truth side is eval-only — run it over a document SAMPLE
+    (the standard protocol); the gram join's hot keys (stop-gram blowup)
+    are the same skew ``dedup_ngram_jaccard`` documents, acceptable at
+    eval scale and cappable by document frequency.  The measured side is
+    the shipping operator itself; the oracle recomputes BOTH sides."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select(
+        "doc_id", F.explode(_minhash_grams_pd()(F.col("text"))).alias("gram")
+    ).localCheckpoint(eager=False)
+    n = g.groupBy("doc_id").agg(F.count("*").alias("ng"))
+    shared = (
+        g.alias("a")
+        .join(
+            g.alias("b"),
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count("*").alias("sh"))
+    )
+    truth = (
+        shared.join(n.withColumnRenamed("doc_id", "id_a").alias("na"), "id_a")
+        .join(
+            n.withColumnRenamed("doc_id", "id_b")
+            .withColumnRenamed("ng", "ngb")
+            .alias("nb"),
+            "id_b",
+        )
+        .filter(
+            F.col("sh").cast("double")
+            / (F.col("ng") + F.col("ngb") - F.col("sh"))
+            >= JACCARD_THRESHOLD
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
+    ap = (
+        QUERIES["dedup_minhash_lsh"](spark, sf_dir)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
+    hit = truth.join(ap, ["id_a", "id_b"])
+    # one-row aggregates joined lazily (no driver-side count at plan-build
+    # time — the query stays a pure plan like every other registry entry)
+    t1 = truth.agg(F.count("*").alias("n_true"))
+    a1 = ap.agg(F.count("*").alias("n_found"))
+    h1 = hit.agg(F.count("*").alias("n_hit"))
+    return (
+        h1.crossJoin(F.broadcast(t1))
+        .crossJoin(F.broadcast(a1))
+        .select(
+            F.col("n_true").cast("bigint").alias("n_true"),
+            F.col("n_found").cast("bigint").alias("n_found"),
+            F.col("n_hit").cast("bigint").alias("n_hit"),
+            F.when(
+                F.col("n_true") > 0,
+                F.expr("n_hit * 1000000 div n_true"),
+            ).cast("bigint").alias("recall_ppm"),
+            F.when(
+                F.col("n_found") > 0,
+                F.expr("n_hit * 1000000 div n_found"),
+            ).cast("bigint").alias("precision_ppm"),
+        )
+    )
