@@ -583,3 +583,164 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s1.v").alias("value_before"),
         F.col("s2.v").alias("value_after"),
     )
+
+
+# --- multi-step window funnel -------------------------------------------------
+
+_FUNNEL3_SQL = """
+WITH s AS (
+  SELECT user_id, min(ts) AS s_ts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) AS c_ts
+  FROM events e JOIN s ON s.user_id = e.user_id
+  WHERE e.event_type = 'click'
+    AND e.ts > s.s_ts AND e.ts <= s.s_ts + INTERVAL 24 HOUR
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS p_ts
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase'
+    AND e.ts > c.c_ts AND e.ts <= c.c_ts + INTERVAL 24 HOUR
+  GROUP BY e.user_id
+)
+SELECT s.user_id,
+       CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                 WHEN c.user_id IS NOT NULL THEN 2
+                 ELSE 1 END AS INTEGER) AS step_reached,
+       s.s_ts, c.c_ts, p.p_ts
+FROM s LEFT JOIN c ON c.user_id = s.user_id
+       LEFT JOIN p ON p.user_id = s.user_id
+"""
+
+
+@_q("events_windowfunnel", _FUNNEL3_SQL)
+def events_windowfunnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-step window funnel (ClickHouse ``windowFunnel`` semantics,
+    deterministic variant): per user, step 1 anchors at the FIRST signup,
+    step 2 at the first click within 24 h of it, step 3 at the first
+    purchase within 24 h of that click — the earliest-qualifying-event
+    rule makes the chain unique, so step timestamps are value-checkable
+    (ClickHouse's own any-chain maximization is order-dependent).
+
+    Each step is one (user-keyed) aggregate + one equi-join on user_id
+    with the time window as a range predicate against the ANCHORED
+    single timestamp (never event-to-event — the quadratic hot-user
+    blowup ``events_funnel`` documents cannot occur because one side is
+    already one row per user).
+
+    100 TB: three user-partitioned aggregates reusing one exchange
+    lineage; funnels with per-step fan-out route through
+    ``rangejoin.range_join`` instead."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_after(
+        prev: DataFrame, prev_col: str, etype: str, out: str
+    ) -> DataFrame:
+        e = ev.filter(F.col("event_type") == etype).select("user_id", "ts")
+        return (
+            e.join(prev, "user_id")
+            .filter(
+                (F.col("ts") > F.col(prev_col))
+                & (F.col("ts") <= F.col(prev_col) + F.expr("INTERVAL 24 HOURS"))
+            )
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out))
+        )
+
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    c = first_after(s, "s_ts", "click", "c_ts")
+    p = first_after(c, "c_ts", "purchase", "p_ts")
+    return (
+        s.alias("s")
+        .join(c.select("user_id", "c_ts"), "user_id", "left")
+        .join(p.select("user_id", "p_ts"), "user_id", "left")
+        .select(
+            "user_id",
+            F.when(F.col("p_ts").isNotNull(), 3)
+            .when(F.col("c_ts").isNotNull(), 2)
+            .otherwise(1)
+            .cast("int")
+            .alias("step_reached"),
+            "s_ts",
+            "c_ts",
+            "p_ts",
+        )
+    )
+
+
+# --- RFM quintile scoring -----------------------------------------------------
+
+_RFM_ASOF = "2024-02-01"  # scoring date just past the fixture window
+
+_RFM_SQL = f"""
+WITH base AS (
+  SELECT user_id,
+         CAST(date_diff('day', CAST(max(ts) AS DATE), DATE '{_RFM_ASOF}')
+              AS BIGINT) AS recency_days,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS monetary_cents
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+)
+SELECT user_id, recency_days, frequency, monetary_cents,
+       CAST(ntile(5) OVER (ORDER BY recency_days ASC, user_id) AS INTEGER) AS r_score,
+       CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id) AS INTEGER) AS f_score,
+       CAST(ntile(5) OVER (ORDER BY monetary_cents DESC, user_id) AS INTEGER) AS m_score
+FROM base
+"""
+
+
+@_q("events_rfm_scores", _RFM_SQL)
+def events_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer scoring (the classic recency/frequency/monetary
+    segmentation): per purchasing user, days since last purchase as of a
+    fixed scoring date, purchase count, and exact-cents spend, each
+    quintiled with ``ntile(5)`` — ties totalized by user_id so the bucket
+    assignment is deterministic and cross-engine identical (ntile's
+    equal-height buckets are order-dependent; an untotalized ORDER BY
+    would let the engines split ties differently).
+
+    100 TB: one purchase-filtered groupBy (map-side combine), then three
+    global ntile windows over one row per customer — the window input is
+    customer-cardinality, not event-cardinality, so a single-partition
+    sort is acceptable exactly the way the BPE top-k windows are (and an
+    approx-percentile bucketing swaps in when even that is too large)."""
+    ev = load_table(spark, sf_dir, "events")
+    base = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.datediff(
+                F.lit(_RFM_ASOF).cast("date"), F.max("ts").cast("date")
+            )
+            .cast("bigint")
+            .alias("recency_days"),
+            F.count("*").alias("frequency"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("monetary_cents"),
+        )
+    )
+    return base.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        F.ntile(5)
+        .over(W.orderBy(F.asc("recency_days"), "user_id"))
+        .cast("int")
+        .alias("r_score"),
+        F.ntile(5)
+        .over(W.orderBy(F.desc("frequency"), "user_id"))
+        .cast("int")
+        .alias("f_score"),
+        F.ntile(5)
+        .over(W.orderBy(F.desc("monetary_cents"), "user_id"))
+        .cast("int")
+        .alias("m_score"),
+    )
