@@ -353,6 +353,19 @@ def test_r09_single_aggregate_ops_plan_shape(spark, sf_dir):
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_windowfunnel_and_rfm_plan_shape(spark, sf_dir):
+    """events_windowfunnel: anchored per-step joins must hash-join (never
+    nested-loop/cartesian — the anchor sides are one row per user) and
+    stay JVM-side. events_rfm_scores: one hash exchange for the purchase
+    groupBy; the three ntile windows run on customer-cardinality rows."""
+    plan = _plan(all_queries()["events_windowfunnel"](spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+    rfm = _plan(all_queries()["events_rfm_scores"](spark, sf_dir), "simple")
+    assert rfm.count("Exchange hashpartitioning") == 1, rfm
+    assert "Join" not in rfm and "EvalPython" not in rfm, rfm
+
+
 def test_mrl_rerank_no_cartesian_and_group_limits(spark, sf_dir):
     """sim_mrl_prefix_rerank: the coarse pass is the broadcast-query
     brute-force shape (BroadcastNestedLoopJoin on the != predicate is the
