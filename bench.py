@@ -116,6 +116,42 @@ def _ambient_refs() -> dict[str, float]:
 SCAN_PROBE_PATH = "/root/testdata/sf0.1/lineitem.parquet"
 
 
+def _ratchet_refs(
+    before: dict, after: dict, probe_bytes: int | None, ref_bytes
+) -> list[str]:
+    """Persist any probe reading lower than its recorded ref (the refs are
+    the box's best-ever idle values — see scripts/pin_ambient_refs.py,
+    which shares this rule). The scan ref only ratchets when the probe
+    dataset matches its recorded fingerprint; if the fixture changed, the
+    new measurement re-pins both the ref and the fingerprint."""
+    try:
+        with open(AMBIENT_REFS_FILE) as f:
+            refs = json.load(f)
+    except (OSError, ValueError):
+        return []
+    changed = []
+    for key in ("numpy_ms", "spark_sec", "scan_sec"):
+        vals = [d.get(key) for d in (before, after) if d.get(key) is not None]
+        if not vals:
+            continue
+        val = min(vals)
+        old = refs.get(key)
+        if key == "scan_sec" and ref_bytes is not None and probe_bytes is not None:
+            if int(ref_bytes) != probe_bytes:
+                refs[key] = val
+                refs["scan_probe_bytes"] = probe_bytes
+                changed.append(f"{key}: re-pinned {old} -> {val} (new fixture)")
+                continue
+        if old is None or val < old:
+            refs[key] = val
+            changed.append(f"{key}: {old} -> {val}")
+    if changed:
+        with open(AMBIENT_REFS_FILE, "w") as f:
+            json.dump(refs, f, indent=2)
+            f.write("\n")
+    return changed
+
+
 def _scan_probe_bytes() -> int | None:
     """On-disk size of the scan-probe dataset (file or parquet dir).
 
@@ -334,6 +370,13 @@ def main() -> None:
         vals = [v for v in vals if v is not None]
         if vals:
             ratios[key] = round(min(vals) / ref, 4)
+    # Auto-ratchet (r09): every bench run IS a probe observation — when the
+    # suite happens to land on a quiet window, persist the lower refs for
+    # future factors instead of waiting for a separate pin run to catch the
+    # same window (r09 measured scan 0.76x its ref mid-bench, then the
+    # manual pin 5 minutes later read 1.24x — the window had closed).
+    # THIS run's ratios/factor still use the refs as loaded above.
+    ratcheted = _ratchet_refs(ambient_before, ambient_after, probe_bytes, ref_bytes)
     # factor: ALU + scan probes only (see the calibration comment above —
     # numpy's contended swings overstate suite impact and would flatter
     # the normalized number).
@@ -361,6 +404,7 @@ def main() -> None:
                     "ratios": ratios,
                     "scan_probe_bytes": probe_bytes,
                     **({"scan_note": scan_note} if scan_note else {}),
+                    **({"ratcheted": ratcheted} if ratcheted else {}),
                 },
                 "queries_normalized": {
                     q: round(t / factor, 4) for q, t in times.items()
