@@ -267,6 +267,27 @@ if os.environ.get("BENCH_ONLY"):
     HEADLINE = [q for q in HEADLINE if q in _only] or _only
 
 
+def _quick_probe(spark) -> dict[str, float]:
+    """One-shot ALU + scan probe (no warmup loops — callers run it after
+    the suite-start probe has already taken the JVM past C2, so a single
+    sample is representative). Used to record PER-QUERY ambient context:
+    the before/after endpoint probes can luck into quiet moments while
+    the 20+ minutes between them run contended, and the endpoint `min`
+    then under-represents what the queries actually experienced. These
+    samples are DIAGNOSTIC (emitted in the detail artifact) — the factor
+    keeps its endpoint-min definition for cross-round continuity."""
+    t0 = time.perf_counter()
+    spark.range(0, 400_000_000, 1, 32).selectExpr("sum(id % 7) AS s").collect()
+    out = {"spark_sec": round(time.perf_counter() - t0, 4)}
+    if os.path.exists(SCAN_PROBE_PATH):
+        t0 = time.perf_counter()
+        spark.read.parquet(SCAN_PROBE_PATH).selectExpr(
+            "sum(l_extendedprice) s", "sum(l_quantity) q", "count(*) c"
+        ).collect()
+        out["scan_sec"] = round(time.perf_counter() - t0, 4)
+    return out
+
+
 def _measure(name: str) -> list[float]:
     """Prewarm + measure one query in the current session; returns samples."""
     from presto_db_spark.registry import all_queries
@@ -303,6 +324,7 @@ def main() -> None:
     from presto_db_spark.session import get_spark
 
     probe_spark = get_spark("presto_db_spark_bench")
+    per_query_probe: dict[str, dict[str, float]] = {}
     ambient_before = _ambient_probe(probe_spark)
     if SUBPROCESS:
         env = dict(os.environ)
@@ -338,6 +360,7 @@ def main() -> None:
                 "median": times[name],
                 "max": round(max(samples), 4),
             }
+            per_query_probe[name] = _quick_probe(probe_spark)
 
     ambient_after = _ambient_probe(probe_spark)
     refs = _ambient_refs()
@@ -405,6 +428,28 @@ def main() -> None:
                     "scan_probe_bytes": probe_bytes,
                     **({"scan_note": scan_note} if scan_note else {}),
                     **({"ratcheted": ratcheted} if ratcheted else {}),
+                    # per-query one-shot probes: what the box looked like
+                    # RIGHT AFTER each query ran (diagnostic; the factor
+                    # stays endpoint-min for cross-round continuity)
+                    **(
+                        {
+                            "during": per_query_probe,
+                            "during_median_ratios": {
+                                k: round(
+                                    statistics.median(
+                                        p[k] for p in per_query_probe.values() if k in p
+                                    )
+                                    / refs[k],
+                                    4,
+                                )
+                                for k in ("spark_sec", "scan_sec")
+                                if k in refs
+                                and any(k in p for p in per_query_probe.values())
+                            },
+                        }
+                        if per_query_probe
+                        else {}
+                    ),
                 },
                 "queries_normalized": {
                     q: round(t / factor, 4) for q, t in times.items()
