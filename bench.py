@@ -258,6 +258,10 @@ HEADLINE = CORE17 + [
     # session for the workloads where the CTE is genuinely expensive.
     "tpcds_q04",
     "sim_ivfpq",
+    # r09: the reference ships a dedicated distributed-sort benchto suite
+    # (presto-benchto-benchmarks/.../distributed_sort.yaml) — time our
+    # range-partition + local-sort + prefix-offset global sort the same way.
+    "sort_distributed_sample",
 ]
 
 # Local-iteration escape hatch: BENCH_ONLY=a,b,c restricts the suite to a
