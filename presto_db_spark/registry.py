@@ -84,11 +84,12 @@ _BATTERY_HEAD: list[str] = [
     # DE-9IM relate; geo_wkb_roundtrip served its r06→r07 regression
     # purpose — demoted r08 to make room for sim_pq_adc, stays green in
     # CORRECTNESS_FULL every round)
+    # (clip_ops + relate_de9im rotated out r09 for the round-9 flagships;
+    # both stay green in CORRECTNESS_FULL every round)
     "geo_radius_join", "geo_wkt_intersects_join",
-    "geo_polygon_clip_ops", "geo_relate_de9im",
     # scalar/aggregate corpus cross-section
-    "func_datetime", "func_json", "func_array_advanced", "func_decimal",
-    "agg_classification_metrics",
+    # (func_array_advanced + agg_classification_metrics rotated out r09)
+    "func_datetime", "func_json", "func_decimal",
     # LLM-pipeline extension operators (r06: cross-doc substring spans +
     # SemDeDup; r07: sequence packing + BM25 lexical retrieval rotate in
     # for text_fingerprint / sim_ann_lsh; r07 second wave rotates
@@ -97,9 +98,15 @@ _BATTERY_HEAD: list[str] = [
     # and sim_pq_adc in for streaming_stateful_custom (streaming keeps
     # two head slots; PQ is the new ANN-compression flagship). Displaced
     # entries stay oracle-checked in CORRECTNESS_FULL every round.
-    "text_decontaminate", "text_sequence_packing", "dedup_minhash_lsh",
-    "dedup_substring_spans", "dedup_semantic",
+    # (text_decontaminate + dedup_substring_spans rotated out r09)
+    "text_sequence_packing", "dedup_minhash_lsh",
+    "dedup_semantic",
     "pipeline_training_corpus", "text_bm25_topk",
+    # round-9 flagships: the chained BPE trainer, both eval harnesses
+    # (quality measured, not asserted), the M4 downsample, the CDC fold,
+    # and Matryoshka two-stage retrieval
+    "text_bpe_train_rounds", "sim_ann_recall", "dedup_minhash_recall",
+    "events_downsample_m4", "cdc_apply_changes", "sim_mrl_prefix_rerank",
     "multimodal_phash", "udf_grouped_zscore",
     # presto-ml distributed trainers
     "ml_classify_centroid",
