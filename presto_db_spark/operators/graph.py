@@ -1,0 +1,274 @@
+"""Graph / market-basket operators over the order co-purchase graph.
+
+The graph: an undirected edge joins two parts that appear in the same
+order (distinct pairs; lineitem self-join on ``l_orderkey``). Orders have
+a bounded line count, so edge generation is per-order-local — never a
+global cross join. The reference has no graph surface (nothing comparable
+in /root/reference); these extend the iterative-graph family
+(`dedup.dedup_cluster` connected components, `dedup.rank_pagerank`) with
+the two classic one-shot shapes:
+
+* **triangle counting** — the degree-ordered "forward" algorithm
+  (Schank & Wagner 2005): orient every edge from the lower-(degree, id)
+  endpoint to the higher, join wedges at the apex, probe the closing
+  edge. Orientation bounds every out-degree by O(sqrt(m)), which is THE
+  device that makes the wedge join's skew survivable at scale — a
+  celebrity node's million edges become in-edges, never a million-wide
+  wedge fan-out.
+* **association rules** — support / confidence / lift for co-purchased
+  part pairs (the a-priori 2-itemset step), exact integer ppm so both
+  engines rank identically.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..catalog import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name: {name}")
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+# Shared edge CTE: distinct co-purchase part pairs (x < y).
+_EDGES_SQL = """
+  SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+"""
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("x"), F.col("b.l_partkey").alias("y"))
+        .distinct()
+    )
+
+
+# --- triangle counting (degree-oriented forward algorithm) -------------------
+
+# Total orientation key: (degree, node) packed into one BIGINT — partkeys
+# are far below 1e9, degrees far below 1e9, so deg*1e9+node is collision-
+# free and identical integer math in both engines.
+_ORD = "deg * 1000000000 + node"
+
+_TRIANGLE_SQL = f"""
+WITH edges AS ({_EDGES_SQL}
+), deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT x AS node FROM edges UNION ALL SELECT y AS node FROM edges
+  ) GROUP BY node
+), ord AS (
+  SELECT node, {_ORD} AS ok FROM deg
+), oriented AS (
+  SELECT CASE WHEN ox.ok < oy.ok THEN e.x ELSE e.y END AS src,
+         CASE WHEN ox.ok < oy.ok THEN e.y ELSE e.x END AS dst
+  FROM edges e
+  JOIN ord ox ON ox.node = e.x
+  JOIN ord oy ON oy.node = e.y
+)
+SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+       CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_edges,
+       CAST(count(*) AS BIGINT) AS n_triangles
+FROM oriented w1
+JOIN oriented w2 ON w2.src = w1.src AND w2.dst <> w1.dst
+JOIN oriented e3 ON e3.src = w1.dst AND e3.dst = w2.dst
+"""
+
+
+@_q("graph_triangle_count", _TRIANGLE_SQL)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the co-purchase graph via the degree-ordered
+    forward algorithm (Schank & Wagner 2005; the shape every distributed
+    triangle system uses): orient each edge from its lower-(degree, id)
+    endpoint, enumerate wedges at the apex (self-join of oriented edges
+    on src), and probe the closing oriented edge. Each triangle is
+    counted EXACTLY once — its minimum-order vertex is the only one with
+    out-edges to both others, and the closing edge has exactly one
+    orientation — so no /3 or /6 correction is needed and the count is
+    engine-independent.
+
+    100 TB: orientation bounds every out-degree by O(sqrt(m)), so the
+    wedge self-join's per-key fan-out is capped regardless of degree
+    skew (a celebrity part's edges all point IN); the wedge and closing
+    joins are plain hash equi-joins on node keys; the only driver-side
+    values are the three scalar counts. The orientation key packs
+    (degree, node) into one BIGINT — exact in both engines."""
+    edges = _edges(spark, sf_dir).localCheckpoint(eager=False)
+    deg = (
+        edges.select(F.col("x").alias("node"))
+        .unionAll(edges.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    ordk = deg.select("node", F.expr(_ORD).alias("ok"))
+    oriented = (
+        edges.join(
+            ordk.withColumnRenamed("node", "x").withColumnRenamed("ok", "okx"),
+            "x",
+        )
+        .join(
+            ordk.withColumnRenamed("node", "y").withColumnRenamed("ok", "oky"),
+            "y",
+        )
+        .select(
+            F.when(F.col("okx") < F.col("oky"), F.col("x"))
+            .otherwise(F.col("y"))
+            .alias("src"),
+            F.when(F.col("okx") < F.col("oky"), F.col("y"))
+            .otherwise(F.col("x"))
+            .alias("dst"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    w1, w2, e3 = oriented.alias("w1"), oriented.alias("w2"), oriented.alias("e3")
+    tri = (
+        w1.join(
+            w2,
+            (F.col("w2.src") == F.col("w1.src"))
+            & (F.col("w2.dst") != F.col("w1.dst")),
+        )
+        .join(
+            e3,
+            (F.col("e3.src") == F.col("w1.dst"))
+            & (F.col("e3.dst") == F.col("w2.dst")),
+        )
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    n_nodes = deg.agg(F.count("*").alias("n_nodes"))
+    n_edges = edges.agg(F.count("*").alias("n_edges"))
+    return (
+        tri.crossJoin(F.broadcast(n_nodes))
+        .crossJoin(F.broadcast(n_edges))
+        .select(
+            F.col("n_nodes").cast("bigint").alias("n_nodes"),
+            F.col("n_edges").cast("bigint").alias("n_edges"),
+            F.col("n_triangles").cast("bigint").alias("n_triangles"),
+        )
+    )
+
+
+# --- association rules (a-priori 2-itemsets) ---------------------------------
+
+_RULES_TOPK = 20
+_RULES_MIN_SUPPORT = 2
+
+_RULES_SQL = f"""
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), n AS (
+  SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM baskets
+), item AS (
+  SELECT l_partkey AS p, CAST(count(*) AS BIGINT) AS supp FROM baskets
+  GROUP BY l_partkey
+), pair AS (
+  SELECT a.l_partkey AS x, b.l_partkey AS y, CAST(count(*) AS BIGINT) AS supp_xy
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING count(*) >= {_RULES_MIN_SUPPORT}
+), scored AS (
+  SELECT x, y, supp_xy,
+         ix.supp AS supp_x, iy.supp AS supp_y,
+         supp_xy * 1000000 // ix.supp AS confidence_ppm,
+         supp_xy * n.n_orders * 1000000 // (ix.supp * iy.supp) AS lift_ppm
+  FROM pair JOIN item ix ON ix.p = x JOIN item iy ON iy.p = y CROSS JOIN n
+)
+SELECT x, y, supp_xy, supp_x, supp_y,
+       CAST(confidence_ppm AS BIGINT) AS confidence_ppm,
+       CAST(lift_ppm AS BIGINT) AS lift_ppm,
+       CAST(row_number() OVER (ORDER BY lift_ppm DESC, x, y) AS INTEGER) AS rk
+FROM scored
+QUALIFY rk <= {_RULES_TOPK}
+"""
+
+
+@_q("basket_association_rules", _RULES_SQL)
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules — the a-priori 2-itemset step
+    (Agrawal & Srikant 1994): for co-purchased part pairs above a minimum
+    support, emit support, confidence(x→y), and lift, ranked by lift.
+    All scores are exact integer ppm (floor division) with (x, y)
+    tie-breaks, so both engines produce the identical top-k.
+
+    100 TB: baskets dedup and item supports are map-side-combined
+    groupBys; pair generation is per-order-local (bounded by max basket
+    size squared, never a global cross join); the min-support HAVING
+    prunes the long tail BEFORE the scoring joins; the final rank window
+    runs on surviving pairs only. The lift join brings the single-row
+    order count in as a broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint(
+        eager=False
+    )
+    n = baskets.agg(
+        F.countDistinct("l_orderkey").cast("bigint").alias("n_orders")
+    )
+    item = baskets.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.count("*").alias("supp")
+    )
+    pair = (
+        baskets.alias("a")
+        .join(
+            baskets.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("x"), F.col("b.l_partkey").alias("y")
+        )
+        .agg(F.count("*").alias("supp_xy"))
+        .filter(F.col("supp_xy") >= _RULES_MIN_SUPPORT)
+    )
+    scored = (
+        pair.join(
+            item.withColumnRenamed("p", "x").withColumnRenamed("supp", "supp_x"),
+            "x",
+        )
+        .join(
+            item.withColumnRenamed("p", "y").withColumnRenamed("supp", "supp_y"),
+            "y",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "x",
+            "y",
+            "supp_xy",
+            "supp_x",
+            "supp_y",
+            F.expr("supp_xy * 1000000 div supp_x")
+            .cast("bigint")
+            .alias("confidence_ppm"),
+            F.expr("supp_xy * n_orders * 1000000 div (supp_x * supp_y)")
+            .cast("bigint")
+            .alias("lift_ppm"),
+        )
+    )
+    w = W.orderBy(F.desc("lift_ppm"), "x", "y")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= _RULES_TOPK)
+    )

@@ -41,6 +41,7 @@ _MODULES: list[str] = [
     "presto_db_spark.operators.timetypes",
     "presto_db_spark.operators.text",
     "presto_db_spark.operators.dedup",
+    "presto_db_spark.operators.graph",
     "presto_db_spark.operators.pipeline_corpus",
     "presto_db_spark.operators.similarity",
     "presto_db_spark.operators.ml",
