@@ -366,6 +366,24 @@ def test_windowfunnel_and_rfm_plan_shape(spark, sf_dir):
     assert "Join" not in rfm and "EvalPython" not in rfm, rfm
 
 
+def test_graph_ops_plan_shape(spark, sf_dir):
+    """graph_triangle_count: wedge + closing joins must be hash equi-joins
+    (a cartesian/nested-loop would mean the orientation join degenerated);
+    basket_association_rules: the min-support filter must sit BELOW the
+    scoring joins (prune-before-join is the scale claim) and the single-row
+    order count must come in as a broadcast."""
+    tri = _plan(all_queries()["graph_triangle_count"](spark, sf_dir), "simple")
+    assert "CartesianProduct" not in tri, tri
+    assert "BroadcastNestedLoopJoin" not in tri, tri
+    rules = _plan(all_queries()["basket_association_rules"](spark, sf_dir), "simple")
+    assert "CartesianProduct" not in rules, rules
+    # the only nested-loop allowed is the 1-row order-count broadcast
+    assert rules.count("BroadcastNestedLoopJoin") <= 1, rules
+    # min-support prune exists as a real Filter on the pair aggregate
+    # (HAVING pushed below the scoring joins)
+    assert re.search(r"Filter \(supp_xy#\d+L? >= 2\)", rules), rules
+
+
 def test_mrl_rerank_no_cartesian_and_group_limits(spark, sf_dir):
     """sim_mrl_prefix_rerank: the coarse pass is the broadcast-query
     brute-force shape (BroadcastNestedLoopJoin on the != predicate is the
