@@ -374,7 +374,10 @@ def test_graph_ops_plan_shape(spark, sf_dir):
     order count must come in as a broadcast."""
     tri = _plan(all_queries()["graph_triangle_count"](spark, sf_dir), "simple")
     assert "CartesianProduct" not in tri, tri
-    assert "BroadcastNestedLoopJoin" not in tri, tri
+    # exactly the two 1-row scalar attaches (n_nodes, n_edges) may plan as
+    # nested-loop; the wedge and closing joins must be hash equi-joins
+    assert tri.count("BroadcastNestedLoopJoin") == 2, tri
+    assert tri.count("BroadcastHashJoin") + tri.count("SortMergeJoin") >= 2, tri
     rules = _plan(all_queries()["basket_association_rules"](spark, sf_dir), "simple")
     assert "CartesianProduct" not in rules, rules
     # the only nested-loop allowed is the 1-row order-count broadcast
