@@ -279,7 +279,15 @@ def _quick_probe(spark) -> dict[str, float]:
     the 20+ minutes between them run contended, and the endpoint `min`
     then under-represents what the queries actually experienced. These
     samples are DIAGNOSTIC (emitted in the detail artifact) — the factor
-    keeps its endpoint-min definition for cross-round continuity."""
+    keeps its endpoint-min definition for cross-round continuity.
+
+    First measurement (r09 final full run): endpoint ratios ALU 1.02 /
+    scan 1.17 while the during-suite MEDIANS read ALU 1.37 / scan 1.45 —
+    i.e. the endpoints under-state intra-suite contention by ~1.2-1.4x
+    on this host. Normalizing core17 by the during-median instead of the
+    endpoint factor would read ~8.7 s vs r06's 8.02 (inside the 1.1x
+    band). Left as data for r10 to decide whether the factor should
+    switch to the during-median."""
     t0 = time.perf_counter()
     spark.range(0, 400_000_000, 1, 32).selectExpr("sum(id % 7) AS s").collect()
     out = {"spark_sec": round(time.perf_counter() - t0, 4)}
