@@ -744,3 +744,72 @@ def events_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("m_score"),
     )
+
+
+# --- rolling z-score anomaly detection ---------------------------------------
+
+_ZS_WIN = 20     # trailing window (events), excluding the current row
+_ZS_MIN_N = 10   # minimum history before a flag can fire
+_ZS_K = 3        # |value - mean| > K * sample-stddev
+
+# Exact integer anomaly test (no sqrt, no float): with cents c, trailing
+# sum S, sum-of-squares Q over n rows,
+#   |c - S/n| > K * s,  s^2 = (n*Q - S^2) / (n*(n-1))
+# <=>  (c*n - S)^2 * (n - 1) > K^2 * n * (n*Q - S^2)
+# Every term stays far inside int64 for cents <= ~10^6 and n <= 20.
+_ZS_SQL = f"""
+WITH w AS (
+  SELECT user_id, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         CAST(count(*) OVER win AS BIGINT) AS n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER win AS BIGINT) AS s,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)
+                  * CAST(round(value * 100) AS BIGINT)) OVER win AS BIGINT) AS q
+  FROM events
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN {_ZS_WIN} PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, event_id, cents, n
+FROM w
+WHERE n >= {_ZS_MIN_N}
+  AND (cents * n - s) * (cents * n - s) * (n - 1)
+      > {_ZS_K * _ZS_K} * n * (n * q - s * s)
+"""
+
+
+@_q("events_anomaly_zscore", _ZS_SQL)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection (the standard metric-monitoring
+    rule): flag an event whose value sits more than 3 sample standard
+    deviations from the mean of the user's trailing 20 events. The test
+    is EXACT INTEGER — the |x-mean| > K·s comparison is cross-multiplied
+    into cents/count/sum/sum-of-squares so there is no sqrt, no division,
+    and no float anywhere, and both engines flag the identical rows
+    (a float-s computation can disagree in the last ulp exactly at the
+    flag boundary).
+
+    100 TB: one hash exchange on user_id, then a bounded-frame running
+    window (constant state per row); flags stream out — no second pass,
+    no self-join. The trailing frame EXCLUDES the current row, so a
+    genuine spike cannot mask itself by inflating its own baseline."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    win = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-_ZS_WIN, -1)
+    )
+    w = ev.select(
+        "user_id",
+        "event_id",
+        cents.alias("cents"),
+        F.count("*").over(win).cast("bigint").alias("n"),
+        F.sum(cents).over(win).cast("bigint").alias("s"),
+        F.sum(cents * cents).over(win).cast("bigint").alias("q"),
+    )
+    lhs = (F.col("cents") * F.col("n") - F.col("s"))
+    return w.filter(
+        (F.col("n") >= _ZS_MIN_N)
+        & (lhs * lhs * (F.col("n") - 1)
+           > _ZS_K * _ZS_K * F.col("n") * (F.col("n") * F.col("q") - F.col("s") * F.col("s")))
+    ).select("user_id", "event_id", "cents", "n")

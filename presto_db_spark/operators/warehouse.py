@@ -336,3 +336,74 @@ def scd2_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(affected), "o_custkey", "left_semi"
     ).unionByName(incoming)
     return untouched.unionByName(_intervals(touched_src))
+
+
+# --- ABC (Pareto) inventory classification -----------------------------------
+
+_ABC_SQL = """
+WITH rev AS (
+  SELECT l_partkey AS part,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS cents
+  FROM lineitem GROUP BY l_partkey
+), ranked AS (
+  SELECT part, cents,
+         CAST(row_number() OVER (ORDER BY cents DESC, part) AS BIGINT) AS rk,
+         CAST(sum(cents) OVER (ORDER BY cents DESC, part
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_cents,
+         CAST(sum(cents) OVER () AS BIGINT) AS total_cents
+  FROM rev
+)
+SELECT part, cents, rk,
+       CAST(cum_cents * 1000000 // total_cents AS BIGINT) AS cum_share_ppm,
+       CASE WHEN cum_cents * 10 <= total_cents * 7 THEN 'A'
+            WHEN cum_cents * 10 <= total_cents * 9 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM ranked
+"""
+
+
+@_q("part_abc_classification", _ABC_SQL)
+def part_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto inventory classification (the 70/90 revenue-share
+    rule every supply-chain warehouse runs): parts ranked by exact-cents
+    revenue, cumulative share as integer ppm, class boundaries compared
+    by cross-multiplication (``cum*10 <= total*7``) so no float touches
+    the classification and both engines draw the A/B/C lines on the
+    identical rows; (cents, part) tie-break totalizes the rank.
+
+    100 TB: one map-side-combined revenue groupBy, then a global
+    cumulative window over PART-cardinality rows (items, not line items
+    — the same bounded-window-input argument as ``events_rfm_scores``);
+    past that, a two-pass percentile-bucket rewrite swaps in."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    rev = li.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.sum(cents).cast("bigint").alias("cents")
+    )
+    w = W.orderBy(F.desc("cents"), "part")
+    ranked = rev.select(
+        "part",
+        "cents",
+        F.row_number().over(w).cast("bigint").alias("rk"),
+        F.sum("cents")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("bigint")
+        .alias("cum_cents"),
+        F.sum("cents").over(W.partitionBy()).cast("bigint").alias("total_cents"),
+    )
+    return ranked.select(
+        "part",
+        "cents",
+        "rk",
+        F.expr("cum_cents * 1000000 div total_cents")
+        .cast("bigint")
+        .alias("cum_share_ppm"),
+        F.when(F.col("cum_cents") * 10 <= F.col("total_cents") * 7, "A")
+        .when(F.col("cum_cents") * 10 <= F.col("total_cents") * 9, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
