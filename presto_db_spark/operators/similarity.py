@@ -1644,8 +1644,10 @@ def sim_mrl_prefix_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     The coarse score slices the stored vector in the JVM (``slice`` —
     Catalyst prunes nothing further since the column is one array, but
     the Arrow batch the cosine UDF sees is 16/64 the bytes); the
-    shortlist is a WindowGroupLimit; the rerank runs on Q x 20 rows that
-    carry both full vectors through a broadcast-sized frame.
+    shortlist is a WindowGroupLimit over NARROW (qid, vec_id, psim)
+    rows — vectors never ride the rank shuffle; the rerank joins the
+    full vectors back for the Q x 20 survivors only (the ``sim_pq_adc``
+    shortlist pattern).
 
     100 TB: production stores the prefix as its OWN narrow column (or
     the int8 form — ``emb_int8_quantize``) so the coarse scan reads
@@ -1657,14 +1659,15 @@ def sim_mrl_prefix_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
+    # coarse rows stay NARROW (qid, vec_id, psim) — the rank shuffle must
+    # never carry full vectors corpus-wide; the shortlist joins them back
+    # for its Q x MRL_SHORTLIST rows only (the sim_pq_adc rerank pattern).
     coarse = (
         F.broadcast(q)
         .join(emb, F.col("vec_id") != F.col("qid"))
         .select(
             "qid",
             "vec_id",
-            F.col("embedding").alias("ce"),
-            "qe",
             F.round(
                 cosine(
                     F.slice(F.col("qe"), 1, MRL_PREFIX),
@@ -1678,12 +1681,20 @@ def sim_mrl_prefix_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     shortlist = (
         coarse.withColumn("srn", F.row_number().over(ws))
         .filter(F.col("srn") <= MRL_SHORTLIST)
+        .select("qid", "vec_id", "psim")
     )
-    reranked = shortlist.select(
-        "qid",
-        "vec_id",
-        "psim",
-        F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("sim"),
+    ce = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("ce")
+    )
+    reranked = (
+        shortlist.join(ce, "vec_id")
+        .join(F.broadcast(q), "qid")
+        .select(
+            "qid",
+            "vec_id",
+            "psim",
+            F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("sim"),
+        )
     )
     wr = W.partitionBy("qid").orderBy(F.desc("sim"), "vec_id")
     return (
