@@ -76,6 +76,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #   * scan:  pinned JVM parquet column-aggregate over the sf0.1 lineitem
 #            (page-cache-resident after warmup → memory bandwidth +
 #            parquet decode, i.e. EXACTLY the work the suite does)
+#   * arrow: pinned pandas-UDF pass (python-worker + Arrow serialization +
+#            numpy batch math — the Arrow-heavy queries' resource mix;
+#            r09 diagnostic, not yet in the factor)
 #
 # r07 post-mortem (VERDICT r07 "what's wrong" #1): the factor used the
 # ALU spark probe ALONE, which is blind to memory-bandwidth contention —
@@ -130,7 +133,7 @@ def _ratchet_refs(
     except (OSError, ValueError):
         return []
     changed = []
-    for key in ("numpy_ms", "spark_sec", "scan_sec"):
+    for key in ("numpy_ms", "spark_sec", "scan_sec", "arrow_sec"):
         vals = [d.get(key) for d in (before, after) if d.get(key) is not None]
         if not vals:
             continue
@@ -211,7 +214,38 @@ def _ambient_probe(spark) -> dict[str, float]:
             sq()
             best_scan = min(best_scan, time.perf_counter() - t0)
         out["scan_sec"] = round(best_scan, 4)
+    # Arrow probe (r09): pinned pandas-UDF pass — python-worker spawn +
+    # Arrow (de)serialization + numpy batch math, i.e. EXACTLY the
+    # resource mix of the Arrow-heavy queries (minhash signature, IVF
+    # assignment) that the ALU/scan probes are blind to (r09: numpy read
+    # 3-5x while ALU/scan read ~1.0 and dedup_minhash_lsh ran 1.3x its
+    # quiet-box number). Ratio is DIAGNOSTIC this round — not in the
+    # factor until a round of cross-checks exists (the numpy lesson:
+    # an over-reactive probe flatters normalized numbers).
+    from pyspark.sql import functions as SF
+
+    pudf = SF.pandas_udf(_arrow_probe_impl, "double")
+    aq = lambda: spark.range(0, 4_000_000, 1, 32).select(  # noqa: E731
+        SF.sum(pudf(SF.col("id"))).alias("s")
+    ).collect()
+    for _ in range(3):
+        aq()
+    best_arrow = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        aq()
+        best_arrow = min(best_arrow, time.perf_counter() - t0)
+    out["arrow_sec"] = round(best_arrow, 4)
     return out
+
+
+def _arrow_probe_impl(x):
+    """Pinned per-batch numpy work for the Arrow probe (module-level so
+    subprocess pickling works)."""
+    import numpy as np
+
+    v = x.to_numpy(dtype=np.float64)
+    return __import__("pandas").Series(np.sqrt(v * 1.000001) + np.log1p(v))
 # Mirror the reference methodology (tpch.yaml: runs: 6, prewarm-runs: 2) —
 # r2 showed runs=3/prewarm=1 admits ±2x session-GC noise into the medians.
 PREWARM_RUNS = int(os.environ.get("BENCH_PREWARM", "2"))
