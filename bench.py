@@ -321,7 +321,18 @@ def _quick_probe(spark) -> dict[str, float]:
     on this host. Normalizing core17 by the during-median instead of the
     endpoint factor would read ~8.7 s vs r06's 8.02 (inside the 1.1x
     band). Left as data for r10 to decide whether the factor should
-    switch to the during-median."""
+    switch to the during-median.
+
+    Second measurement (r09, instrumented run): endpoints read 0.94x
+    (BELOW refs — all three refs ratcheted down) while during-medians
+    read ALU 1.66 / scan 1.58 and raw core17 sat at 15.2 s; the
+    during-median normalizes it to 9.19. Per-query validation against
+    the r06 quiet-box medians shows the suite-wide during-median is
+    directionally right but coarse: ratios scatter 0.79-1.65x (q01/q03
+    over-corrected, q18 under-corrected) because contention varied
+    WITHIN the 25-minute run. The r10 upgrade this data motivates is a
+    PER-QUERY factor from each query's own adjacent probe (already in
+    the detail artifact), not the suite-wide median."""
     t0 = time.perf_counter()
     spark.range(0, 400_000_000, 1, 32).selectExpr("sum(id % 7) AS s").collect()
     out = {"spark_sec": round(time.perf_counter() - t0, 4)}
