@@ -509,10 +509,32 @@ def main() -> None:
                     **({"ratcheted": ratcheted} if ratcheted else {}),
                     # per-query one-shot probes: what the box looked like
                     # RIGHT AFTER each query ran (diagnostic; the factor
-                    # stays endpoint-min for cross-round continuity)
+                    # stays endpoint-min for cross-round continuity).
+                    # queries_normalized_perq divides each query by its
+                    # OWN adjacent probe's max(ALU, scan) ratio — the
+                    # finest-grained normalization the r09 data motivates
+                    # (suite-wide medians scatter 0.79-1.65x per query).
                     **(
                         {
                             "during": per_query_probe,
+                            "queries_normalized_perq": {
+                                q: round(
+                                    t
+                                    / max(
+                                        1.0,
+                                        *(
+                                            per_query_probe[q][k] / refs[k]
+                                            for k in ("spark_sec", "scan_sec")
+                                            if k in per_query_probe.get(q, {})
+                                            and refs.get(k)
+                                        ),
+                                        1.0,
+                                    ),
+                                    4,
+                                )
+                                for q, t in times.items()
+                                if q in per_query_probe
+                            },
                             "during_median_ratios": {
                                 k: round(
                                     statistics.median(
