@@ -813,3 +813,43 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (lhs * lhs * (F.col("n") - 1)
            > _ZS_K * _ZS_K * F.col("n") * (F.col("n") * F.col("q") - F.col("s") * F.col("s")))
     ).select("user_id", "event_id", "cents", "n")
+
+
+# --- JSON property rollup (json_extract over a REAL column) -------------------
+
+_JSON_PROPS_SQL = """
+SELECT event_type,
+       CAST(CAST(props->>'$.k' AS BIGINT) // 10 AS BIGINT) AS k_decile,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS users
+FROM events
+GROUP BY event_type, CAST(CAST(props->>'$.k' AS BIGINT) // 10 AS BIGINT)
+"""
+
+
+@_q("events_json_props_rollup", _JSON_PROPS_SQL)
+def events_json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction over a real column at corpus scale (the
+    scalar corpus's ``func_json`` exercises the function surface on
+    literals; this applies it where it runs at 100 TB — a JSONPath
+    extract per row feeding a grouped rollup). ``get_json_object`` is a
+    JVM codegen expression, so the parse rides the scan with no Python
+    and the rollup map-side-combines; the deciled key keeps output
+    bounded by (event_type x deciles) regardless of corpus size. The
+    reference's JsonFunctions (pm/operator/scalar/JsonFunctions.java)
+    run the same extract-then-aggregate shape."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy(
+        "event_type",
+        F.expr(
+            "CAST(get_json_object(props, '$.k') AS BIGINT) div 10"
+        ).alias("k_decile"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents"),
+        F.countDistinct("user_id").alias("users"),
+    )
