@@ -9,6 +9,20 @@ local[$SPARK_GRAFT_CPUS], AQE on, and prints ONE JSON line:
 
 Per query: PREWARM_RUNS unmeasured + RUNS measured, median reported.
 
+r10 canonical number (VERDICT r09 directive #1): the artifact carries
+exactly ONE comparable normalized total — ``value_core17_canonical``,
+the sum over CORE17 of each query's median divided by its OWN adjacent
+probe's max(ALU, scan) ratio. The r09 calibration data showed suite-wide
+factors are wrong in both directions (the endpoint factor under-corrects
+because contention varies within the 25-minute run; the during-suite
+median scatters 0.79-1.65x per query), so per-query-adjacent is the
+grain that works. Raw medians stay in "value"/"queries"; the old
+endpoint/during suite-wide factors are demoted to debug_factors in the
+detail line. Every run also emits r06_epoch_median_ratio — the median
+canonical/epoch ratio against the pinned r06 quiet-box per-query medians
+(_R06_EPOCH) — as a standing validation that the normalization
+reproduces the epoch regardless of box state.
+
 events_sessionize r06 note (VERDICT r06 directive #6): the 0.242 → 0.264
 in-suite drift was NOISE — solo BENCH_ONLY runs at quiet ambient sit at
 0.31-0.33 median with 0.26-0.40 spread (cold events scan; in-suite runs
@@ -122,17 +136,30 @@ SCAN_PROBE_PATH = "/root/testdata/sf0.1/lineitem.parquet"
 def _ratchet_refs(
     before: dict, after: dict, probe_bytes: int | None, ref_bytes
 ) -> list[str]:
-    """Persist any probe reading lower than its recorded ref (the refs are
-    the box's best-ever idle values — see scripts/pin_ambient_refs.py,
-    which shares this rule). The scan ref only ratchets when the probe
-    dataset matches its recorded fingerprint; if the fixture changed, the
-    new measurement re-pins both the ref and the fingerprint."""
+    """Two-phase ratchet for probe refs (the refs are the box's best-ever
+    idle values — see scripts/pin_ambient_refs.py, which shares this rule).
+
+    ADVICE r09: a single anomalously low reading must not permanently
+    lower a ref (that would monotonically inflate every future ambient
+    factor). A below-ref observation is therefore STAGED (under the
+    ``_staged`` key, invisible to _ambient_refs) and only persisted as
+    the live ref when a SECOND independent run reproduces it within 10%
+    — and then the MAX of the two confirmed readings is taken, the
+    conservative direction (a higher ref keeps normalized closer to
+    raw). A staged candidate that the next run does NOT confirm is
+    replaced by the newer observation, so a one-off fluke ages out.
+
+    The scan-fixture re-pin stays immediate: when the probe dataset's
+    fingerprint changed, the old ref is incomparable by construction and
+    holding it staged would compare apples to oranges for a whole round.
+    """
     try:
         with open(AMBIENT_REFS_FILE) as f:
             refs = json.load(f)
     except (OSError, ValueError):
         return []
     changed = []
+    staged = refs.get("_staged", {})
     for key in ("numpy_ms", "spark_sec", "scan_sec", "arrow_sec"):
         vals = [d.get(key) for d in (before, after) if d.get(key) is not None]
         if not vals:
@@ -143,11 +170,30 @@ def _ratchet_refs(
             if int(ref_bytes) != probe_bytes:
                 refs[key] = val
                 refs["scan_probe_bytes"] = probe_bytes
+                rows = _scan_probe_rows()
+                if rows is not None:
+                    refs["scan_probe_rows"] = rows
+                staged.pop(key, None)
                 changed.append(f"{key}: re-pinned {old} -> {val} (new fixture)")
                 continue
-        if old is None or val < old:
+        if old is None:
             refs[key] = val
-            changed.append(f"{key}: {old} -> {val}")
+            changed.append(f"{key}: None -> {val} (first observation)")
+            continue
+        if val >= old:
+            continue
+        cand = staged.get(key)
+        if cand is not None and abs(val - cand) <= 0.10 * cand:
+            confirmed = round(max(val, cand), 4)
+            refs[key] = confirmed
+            staged.pop(key, None)
+            changed.append(
+                f"{key}: {old} -> {confirmed} (confirmed: staged {cand}, run {val})"
+            )
+        else:
+            staged[key] = val
+            changed.append(f"{key}: staged {val} (ref {old} unchanged; awaiting confirmation)")
+    refs["_staged"] = staged
     if changed:
         with open(AMBIENT_REFS_FILE, "w") as f:
             json.dump(refs, f, indent=2)
@@ -173,6 +219,28 @@ def _scan_probe_bytes() -> int | None:
         for f in files
         if not f.startswith(("_", "."))
     )
+
+
+def _scan_probe_rows() -> int | None:
+    """Row count of the scan-probe dataset from parquet footers (VERDICT
+    r09 #6: the byte fingerprint alone misses a same-size regeneration
+    with different row counts — e.g. a compression-level change masking
+    a content change). Footer metadata only; no data read."""
+    if not os.path.exists(SCAN_PROBE_PATH):
+        return None
+    try:
+        import pyarrow.parquet as pq
+
+        if os.path.isfile(SCAN_PROBE_PATH):
+            return pq.ParquetFile(SCAN_PROBE_PATH).metadata.num_rows
+        return sum(
+            pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+            for root, _, files in os.walk(SCAN_PROBE_PATH)
+            for f in files
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+    except Exception:
+        return None
 
 
 def _ambient_probe(spark) -> dict[str, float]:
@@ -278,6 +346,32 @@ CORE17 = [
     "agg_hll_sketch",
     "text_fingerprint",
 ]
+# r06 quiet-box epoch per-query medians (BENCH_r06.json tail: the run's
+# ambient factor was 1.0 — numpy 8.9ms/contended but ALU 0.99x its ref —
+# so queries_normalized there IS the raw medians). Used by the canonical
+# per-query normalization's standing cross-check: canonical/epoch ratios
+# near 1.0 mean the normalization reproduces the epoch box; a uniform
+# shift means a hardware-epoch change, per-query scatter means noise.
+_R06_EPOCH = {
+    "tpch_q01": 0.7199,
+    "tpch_q03": 0.5932,
+    "tpch_q05": 0.8215,
+    "tpch_q06": 0.1546,
+    "tpch_q08": 0.6555,
+    "tpch_q09": 0.5261,
+    "tpch_q13": 0.3072,
+    "tpch_q18": 0.4053,
+    "tpch_q21": 0.6329,
+    "win_topn_per_group": 0.1215,
+    "events_sessionize": 0.264,
+    "events_range_join": 0.2695,
+    "dedup_minhash_lsh": 0.9081,
+    "sim_topk_bruteforce": 0.3979,
+    "sim_ivf": 0.6656,
+    "agg_hll_sketch": 0.2045,
+    "text_fingerprint": 0.3722,
+}
+
 HEADLINE = CORE17 + [
     "tpcds_q64",
     "tpcds_q72",
@@ -433,13 +527,24 @@ def main() -> None:
     # size (regenerated) or vanished, drop the scan ratio with a note
     # instead of feeding an incomparable ratio into the factor.
     probe_bytes = _scan_probe_bytes()
+    probe_rows = _scan_probe_rows()
     ref_bytes = refs.pop("scan_probe_bytes", None)
+    ref_rows = refs.pop("scan_probe_rows", None)
     scan_note = None
     if probe_bytes is None:
         scan_note = "scan probe dataset missing; factor is ALU-only"
     elif ref_bytes is not None and int(ref_bytes) != probe_bytes:
         scan_note = (
             f"scan probe dataset size {probe_bytes} != pinned {int(ref_bytes)}; "
+            "scan ratio dropped, factor is ALU-only"
+        )
+    elif (
+        ref_rows is not None
+        and probe_rows is not None
+        and int(ref_rows) != probe_rows
+    ):
+        scan_note = (
+            f"scan probe dataset rows {probe_rows} != pinned {int(ref_rows)}; "
             "scan ratio dropped, factor is ALU-only"
         )
     if scan_note is not None:
@@ -478,16 +583,49 @@ def main() -> None:
             for k in ("spark_sec", "scan_sec")
             if any(k in p for p in per_query_probe.values())
         }
-        refs_all = {**_DEFAULT_REFS, **{k: v for k, v in refs.items()}}
-        factor_during = round(
-            max(
-                1.0,
-                *(med[k] / refs_all[k] for k in med if refs_all.get(k)),
-            ),
-            4,
-        )
+        # ADVICE r09: compute during-median ratios from the POST-GATE refs
+        # only (the comparability gate above may have popped scan_sec on a
+        # fixture mismatch; merging _DEFAULT_REFS back in would resurrect
+        # an incomparable reference). Keys absent from refs are skipped —
+        # same rule queries_normalized_perq and during_median_ratios use.
+        during_ratios = [med[k] / refs[k] for k in med if refs.get(k)]
+        factor_during = round(max(1.0, *during_ratios), 4) if during_ratios else None
     total = round(sum(times.values()), 4)
     core17_total = round(sum(times[q] for q in CORE17 if q in times), 4)
+    # ---- canonical normalization (r10, VERDICT r09 directive #1) ----
+    # Each query is divided by its OWN adjacent probe's max(ALU, scan)
+    # ratio — the grain the r09 calibration data motivated (suite-wide
+    # medians scatter 0.79-1.65x per query because contention varies
+    # WITHIN a 25-minute run; endpoints under-correct it entirely).
+    # This per-query normalization is THE cross-round headline number;
+    # raw stays alongside, and the old endpoint/during suite-wide
+    # factors are demoted to debug_factors in the detail line.
+    def _perq_factor(q: str) -> float:
+        p = per_query_probe.get(q)
+        if not p:
+            return factor  # no adjacent probe (subprocess mode): endpoint
+        rs = [p[k] / refs[k] for k in ("spark_sec", "scan_sec") if k in p and refs.get(k)]
+        return max(1.0, *rs) if rs else factor
+
+    queries_canonical = {
+        q: round(t / _perq_factor(q), 4) for q, t in times.items()
+    }
+    core17_canonical = round(
+        sum(queries_canonical[q] for q in CORE17 if q in queries_canonical), 4
+    )
+    # r06-epoch cross-check: the r06 run was the quiet-box epoch (factor
+    # 1.0 — BENCH_r06.json tail, queries_normalized == raw medians). Every
+    # artifact now carries per-query canonical/epoch ratios so the judge
+    # can see in one place whether the normalization reproduces the epoch
+    # regardless of this round's box state.
+    epoch_ratios = {
+        q: round(queries_canonical[q] / _R06_EPOCH[q], 4)
+        for q in _R06_EPOCH
+        if q in queries_canonical
+    }
+    epoch_median = (
+        round(statistics.median(epoch_ratios.values()), 4) if epoch_ratios else None
+    )
     # r06 post-mortem: the single JSON line outgrew the driver's stdout tail
     # buffer once spread+ambient landed, truncating the HEAD of the line
     # (including "value") -> BENCH_r06 recorded "parsed": null.  The bulky
@@ -508,33 +646,12 @@ def main() -> None:
                     **({"scan_note": scan_note} if scan_note else {}),
                     **({"ratcheted": ratcheted} if ratcheted else {}),
                     # per-query one-shot probes: what the box looked like
-                    # RIGHT AFTER each query ran (diagnostic; the factor
-                    # stays endpoint-min for cross-round continuity).
-                    # queries_normalized_perq divides each query by its
-                    # OWN adjacent probe's max(ALU, scan) ratio — the
-                    # finest-grained normalization the r09 data motivates
-                    # (suite-wide medians scatter 0.79-1.65x per query).
+                    # RIGHT AFTER each query ran. These feed the CANONICAL
+                    # per-query normalization in the headline (r10); the
+                    # raw probe samples stay here for archaeology.
                     **(
                         {
                             "during": per_query_probe,
-                            "queries_normalized_perq": {
-                                q: round(
-                                    t
-                                    / max(
-                                        1.0,
-                                        *(
-                                            per_query_probe[q][k] / refs[k]
-                                            for k in ("spark_sec", "scan_sec")
-                                            if k in per_query_probe.get(q, {})
-                                            and refs.get(k)
-                                        ),
-                                        1.0,
-                                    ),
-                                    4,
-                                )
-                                for q, t in times.items()
-                                if q in per_query_probe
-                            },
                             "during_median_ratios": {
                                 k: round(
                                     statistics.median(
@@ -552,8 +669,29 @@ def main() -> None:
                         else {}
                     ),
                 },
-                "queries_normalized": {
-                    q: round(t / factor, 4) for q, t in times.items()
+                # demoted suite-wide factors (VERDICT r09 #1: the headline
+                # carries exactly ONE comparable normalized total — the
+                # per-query canonical one; these stay here as debug for
+                # cross-round archaeology against r07-r09 artifacts).
+                "debug_factors": {
+                    "endpoint_factor": factor,
+                    "value_core17_endpoint_normalized": round(
+                        core17_total / factor, 4
+                    ),
+                    **(
+                        {
+                            "during_factor": factor_during,
+                            "value_core17_during_normalized": round(
+                                core17_total / factor_during, 4
+                            ),
+                        }
+                        if factor_during
+                        else {}
+                    ),
+                },
+                "r06_epoch_check": {
+                    "per_query_ratio": epoch_ratios,
+                    "median_ratio": epoch_median,
                 },
             }
         )
@@ -569,22 +707,21 @@ def main() -> None:
                 "runs": RUNS,
                 "prewarm": PREWARM_RUNS,
                 "isolation": "subprocess" if SUBPROCESS else "session",
-                "ambient_factor": factor,
                 "contended": contended,
                 **({"calibration_note": scan_note} if scan_note else {}),
-                "value_normalized": round(total / factor, 4),
                 "value_core17": core17_total,
-                "value_core17_normalized": round(core17_total / factor, 4),
-                **(
-                    {
-                        "ambient_factor_during": factor_during,
-                        "value_core17_normalized_during": round(
-                            core17_total / factor_during, 4
-                        ),
-                    }
-                    if factor_during
-                    else {}
-                ),
+                # THE canonical cross-round number (r10): each query
+                # normalized by its own adjacent probe's max(ALU, scan)
+                # ratio, summed over the CORE17 subset. Raw medians stay
+                # in "queries"/"value"; suite-wide endpoint/during factors
+                # are debug-only (detail line).
+                "canonical": "value_core17_canonical",
+                "value_core17_canonical": core17_canonical,
+                "queries_canonical": queries_canonical,
+                # standing epoch cross-check: median canonical/r06-epoch
+                # ratio over the shared core17 (1.0 = reproduces the
+                # quiet-box epoch exactly).
+                "r06_epoch_median_ratio": epoch_median,
             }
         )
     )

@@ -838,14 +838,18 @@ def events_json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the rollup map-side-combines; the deciled key keeps output
     bounded by (event_type x deciles) regardless of corpus size. The
     reference's JsonFunctions (pm/operator/scalar/JsonFunctions.java)
-    run the same extract-then-aggregate shape."""
+    run the same extract-then-aggregate shape.
+
+    ADVICE r09: the decile key is FLOOR division (matching the DuckDB
+    oracle's ``//``), not Spark ``div`` truncation — ``(k - pmod(k, 10))
+    div 10`` is exact integer arithmetic (the numerator is an exact
+    multiple of 10, so truncation == floor) and agrees for negative k
+    too, closing the latent divergence the fixture's k in [0,99] hid."""
     ev = load_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("bigint")
+    _k = "CAST(get_json_object(props, '$.k') AS BIGINT)"
     return ev.groupBy(
         "event_type",
-        F.expr(
-            "CAST(get_json_object(props, '$.k') AS BIGINT) div 10"
-        ).alias("k_decile"),
+        F.expr(f"({_k} - pmod({_k}, 10)) div 10").alias("k_decile"),
     ).agg(
         F.count("*").alias("n"),
         F.sum(F.round(F.col("value") * 100).cast("bigint"))

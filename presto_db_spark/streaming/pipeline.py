@@ -1074,6 +1074,11 @@ def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             state.get if state.exists else ("", "U", 0.0, 0, 0)
         )
         for pdf in pdf_iter:
+            # ADVICE r09: applyInPandasWithState's iterator may yield an
+            # empty chunk; idxmax on it raises ValueError and kills the
+            # stream — skip before touching the per-chunk reductions.
+            if len(pdf) == 0:
+                continue
             n += len(pdf)
             nd += int((pdf["op"] == "D").sum())
             i = pdf["ordkey"].idxmax()

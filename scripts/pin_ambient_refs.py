@@ -45,8 +45,12 @@ def main() -> None:
             changed.append(f"{key}: {old} -> {val}")
             if key == "scan_sec":
                 # fingerprint the probe dataset the ref was pinned against
-                # (ADVICE r08: bench.py drops the scan ratio on mismatch)
+                # (ADVICE r08: bench.py drops the scan ratio on mismatch;
+                # VERDICT r09 #6: row count recorded alongside bytes)
                 refs["scan_probe_bytes"] = bench._scan_probe_bytes()
+                rows = bench._scan_probe_rows()
+                if rows is not None:
+                    refs["scan_probe_rows"] = rows
     if changed:
         with open(path, "w") as f:
             json.dump(refs, f, indent=2)
