@@ -2036,9 +2036,12 @@ def tpcds_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- q39: month-over-month inventory variability self-join -----------------
 
-@_q(
-    "tpcds_q39",
-    """
+def _q39_sql(cov1_min: float | None) -> str:
+    """Shared q39 oracle text — the reference's q39_2.sql is q39_1.sql
+    plus one extra predicate, ``inv1.cov > 1.5`` (adapted threshold
+    below: the synthetic quantities' cov tops out ~1.1)."""
+    extra = f" AND inv1.cov > {cov1_min}" if cov1_min is not None else ""
+    return f"""
 WITH foo AS (
   SELECT s.s_nationkey % 5 AS w_warehouse_sk,
          l.l_partkey % 20 AS i_item_sk, month(o.o_orderdate) AS d_moy,
@@ -2061,11 +2064,13 @@ SELECT inv1.w_warehouse_sk AS wsk1, inv1.i_item_sk AS isk1, inv1.d_moy AS moy1,
 FROM inv inv1
 JOIN inv inv2 ON inv1.i_item_sk = inv2.i_item_sk
  AND inv1.w_warehouse_sk = inv2.w_warehouse_sk
-WHERE inv1.d_moy = 1 AND inv2.d_moy = 2
+WHERE inv1.d_moy = 1 AND inv2.d_moy = 2{extra}
 ORDER BY wsk1, isk1, mean1, cov1, mean2, cov2
 LIMIT 100
-""",
-)
+"""
+
+
+@_q("tpcds_q39", _q39_sql(None))
 def tpcds_q39(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q39 shape (tpcds/q39_1.sql: per (warehouse, item, month)
     inventory mean and stddev, keep high coefficient-of-variation groups,
@@ -2075,6 +2080,24 @@ def tpcds_q39(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-(supplier, part, month) stddevs); threshold 0.5 (the reference's
     1.0 is above the uniform quantities' cov). Scale: one
     grouping, then a self-join of the small filtered frame."""
+    return _q39_join(spark, sf_dir, cov1_min=None)
+
+
+@_q("tpcds_q39_2", _q39_sql(0.65))
+def tpcds_q39_2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q39 SECOND benchto variant (tpcds/q39_2.sql — VERDICT r09
+    #5): identical CTE and self-join, plus the extra January-side
+    coefficient-of-variation screen (reference: ``inv1.cov > 1.5`` on a
+    CTE already filtered at 1.0; here 0.65 over the CTE's 0.5 — the
+    measured cov quartiles of the synthetic quantities are 0.46/0.58/0.69,
+    so the screen keeps roughly the top January quartile, biting without
+    emptying)."""
+    return _q39_join(spark, sf_dir, cov1_min=0.65)
+
+
+def _q39_join(
+    spark: SparkSession, sf_dir: str, cov1_min: float | None
+) -> DataFrame:
     li, orders, supp = _t(spark, sf_dir, "lineitem", "orders", "supplier")
     foo = (
         li.join(orders.filter(F.year("o_orderdate") == 1996),
@@ -2093,7 +2116,10 @@ def tpcds_q39(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.when(F.col("mean") == 0, F.lit(None))
                         .otherwise(F.col("stdev") / F.col("mean")), 6).alias("cov"))
     )
-    i1 = inv.filter(F.col("d_moy") == 1).alias("inv1")
+    i1 = inv.filter(F.col("d_moy") == 1)
+    if cov1_min is not None:
+        i1 = i1.filter(F.col("cov") > cov1_min)
+    i1 = i1.alias("inv1")
     i2 = inv.filter(F.col("d_moy") == 2).alias("inv2")
     return (
         i1.join(i2, (F.col("inv1.i_item_sk") == F.col("inv2.i_item_sk"))
@@ -2742,9 +2768,16 @@ def tpcds_q85(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- q24: per-color netpaid vs 5% of the all-color average -----------------
 
-@_q(
-    "tpcds_q24",
-    f"""
+_Q24_BRANDS_1 = ("Brand#11", "Brand#12", "Brand#13", "Brand#14", "Brand#15")
+_Q24_BRANDS_2 = ("Brand#21", "Brand#22", "Brand#23", "Brand#24", "Brand#25")
+
+
+def _q24_sql(brands: tuple[str, ...]) -> str:
+    """Shared q24 oracle text — q24_1 and q24_2 differ ONLY in the color
+    band (the reference files are byte-identical apart from
+    'pale' vs 'chiffon': tpcds/q24_1.sql vs q24_2.sql)."""
+    blist = ", ".join(f"'{b}'" for b in brands)
+    return f"""
 WITH ssales AS (
   SELECT c.c_name AS c_last_name, s.s_name AS s_store_name,
          p.p_brand AS i_color,
@@ -2761,12 +2794,14 @@ WITH ssales AS (
 )
 SELECT c_last_name, s_store_name, CAST(sum(netpaid) AS BIGINT) AS paid
 FROM ssales
-WHERE i_color IN ('Brand#11', 'Brand#12', 'Brand#13', 'Brand#14', 'Brand#15')
+WHERE i_color IN ({blist})
 GROUP BY 1, 2
 HAVING sum(netpaid) > (SELECT 0.05 * avg(netpaid) FROM ssales)
 ORDER BY c_last_name ASC, s_store_name ASC
-""",
-)
+"""
+
+
+@_q("tpcds_q24", _q24_sql(_Q24_BRANDS_1))
 def tpcds_q24(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q24 shape (tpcds/q24_1.sql: store purchases in RETURNED
     orders (ticket-level return match — the per-(ticket, item) pair is
@@ -2779,6 +2814,23 @@ def tpcds_q24(spark: SparkSession, sf_dir: str) -> DataFrame:
     Color analog: brand; country-match: supplier region = customer
     region (nation-level equality is vacuous in the synthetic data). Scale: sale-return join co-partitions on (order, item); the
     global average is a broadcast scalar."""
+    return _q24_paid(spark, sf_dir, _Q24_BRANDS_1)
+
+
+@_q("tpcds_q24_2", _q24_sql(_Q24_BRANDS_2))
+def tpcds_q24_2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q24 SECOND benchto variant (tpcds/q24_2.sql — VERDICT r09
+    #5: the reference ships both color bands as separate benchmark
+    files; 'pale' vs 'chiffon' is the only diff). Same ssales CTE, the
+    Brand#21-25 band instead of Brand#11-15; everything else — the
+    two-consumer CTE, the 5%-of-average scalar threshold, the exact
+    cents — is ``tpcds_q24``'s."""
+    return _q24_paid(spark, sf_dir, _Q24_BRANDS_2)
+
+
+def _q24_paid(
+    spark: SparkSession, sf_dir: str, brands: tuple[str, ...]
+) -> DataFrame:
     li, orders, cust, supp, part = _t(
         spark, sf_dir, "lineitem", "orders", "customer", "supplier", "part")
     r = (li.filter(F.col("l_returnflag") == "R")
@@ -2801,8 +2853,7 @@ def tpcds_q24(spark: SparkSession, sf_dir: str) -> DataFrame:
     ssales = _materialize_cte(spark, ssales)
     threshold = ssales.agg((F.avg("netpaid") * 0.05).alias("thr"))
     out = (
-        ssales.filter(F.col("i_color").isin("Brand#11", "Brand#12", "Brand#13",
-                                            "Brand#14", "Brand#15"))
+        ssales.filter(F.col("i_color").isin(*brands))
         .groupBy("c_last_name", "s_store_name")
         .agg(F.sum("netpaid").cast("bigint").alias("paid"))
         .crossJoin(F.broadcast(threshold))
@@ -2811,3 +2862,247 @@ def tpcds_q24(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("c_last_name"), F.asc("s_store_name"))
     )
     return out
+
+
+# --- q14_2: same-week year-over-year cross-channel comparison --------------
+
+def _q14_2_items_sql(flag: str) -> str:
+    return f"""
+      SELECT DISTINCT l_partkey FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_returnflag = '{flag}' AND year(o.o_orderdate) BETWEEN 1996 AND 1998"""
+
+
+def _q14_2_year_arm_sql(year: int) -> str:
+    return f"""
+   SELECT p.p_brand AS i_brand,
+          CAST(sum(round(l.l_extendedprice * 100)) AS BIGINT) AS sales_cents,
+          CAST(count(*) AS BIGINT) AS number_sales
+   FROM lineitem l
+   JOIN orders o ON l.l_orderkey = o.o_orderkey
+   JOIN part p ON l.l_partkey = p.p_partkey
+   WHERE year(o.o_orderdate) = {year} AND weekofyear(o.o_orderdate) = 6
+     AND l.l_partkey IN (SELECT l_partkey FROM cross_items)
+   GROUP BY p.p_brand
+   HAVING CAST(sum(round(l.l_extendedprice * 100)) AS BIGINT)
+          > (SELECT average_cents FROM avg_sales)"""
+
+
+@_q(
+    "tpcds_q14_2",
+    f"""
+WITH cross_items AS (
+  {_q14_2_items_sql('N')}
+  INTERSECT
+  {_q14_2_items_sql('A')}
+  INTERSECT
+  {_q14_2_items_sql('R')}
+), avg_sales AS (
+  SELECT CAST(sum(round(l.l_quantity * (l.l_extendedprice / l.l_quantity) * 100)) AS BIGINT) / count(*) AS average_cents
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE year(o.o_orderdate) BETWEEN 1996 AND 1998
+)
+SELECT 'store' AS channel, ty.i_brand,
+       ty.sales_cents AS ty_sales_cents, ty.number_sales AS ty_number_sales,
+       ly.sales_cents AS ly_sales_cents, ly.number_sales AS ly_number_sales
+FROM ({_q14_2_year_arm_sql(1998)}) ty
+JOIN ({_q14_2_year_arm_sql(1997)}) ly ON ty.i_brand = ly.i_brand
+ORDER BY ty.i_brand
+LIMIT 100
+""",
+)
+def tpcds_q14_2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q14 SECOND benchto variant (tpcds/q14_2.sql — VERDICT r09
+    #5): the same cross_items INTERSECT gate and avg_sales scalar
+    threshold as q14_1 (operators/tpcds.py:tpcds_q14), but the final
+    query compares THE SAME CALENDAR WEEK this year vs last year — two
+    gated weekly rollups self-joined on the item attribute. Adaptation:
+    channels = returnflag arms, item attribute = part brand, week =
+    ISO week 6 (both Spark ``weekofyear`` and DuckDB ``weekofyear`` are
+    ISO-8601; week 6 sits mid-quarter, away from the week-53 boundary
+    ambiguity). Scale: cross_items stays a distinct-key INTERSECT
+    (narrow semi-join side), avg_sales a 1-row broadcast, and each year
+    arm is one week-pruned scan + brand rollup — the year-over-year join
+    is brand-cardinality (25 rows)."""
+    li, orders, part = _t(spark, sf_dir, "lineitem", "orders", "part")
+    lo = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    yrs = lo.filter(F.year("o_orderdate").between(1996, 1998))
+
+    def items(flag: str) -> DataFrame:
+        return (
+            yrs.filter(F.col("l_returnflag") == flag)
+            .select("l_partkey").distinct()
+        )
+
+    cross_items = items("N").intersect(items("A")).intersect(items("R"))
+    avg_sales = yrs.agg(
+        (
+            F.sum(
+                F.round(
+                    F.col("l_quantity")
+                    * (F.col("l_extendedprice") / F.col("l_quantity"))
+                    * 100
+                )
+            ).cast("bigint")
+            / F.count("*")
+        ).alias("average_cents")
+    )
+
+    def year_arm(year: int) -> DataFrame:
+        wk = lo.filter(
+            (F.year("o_orderdate") == year)
+            & (F.weekofyear("o_orderdate") == 6)
+        )
+        return (
+            wk.join(cross_items, "l_partkey", "left_semi")
+            .join(part, F.col("l_partkey") == F.col("p_partkey"))
+            .groupBy(F.col("p_brand").alias("i_brand"))
+            .agg(
+                F.sum(F.round(F.col("l_extendedprice") * 100))
+                .cast("bigint")
+                .alias("sales_cents"),
+                F.count("*").cast("bigint").alias("number_sales"),
+            )
+            .crossJoin(F.broadcast(avg_sales))
+            .filter(F.col("sales_cents") > F.col("average_cents"))
+            .select("i_brand", "sales_cents", "number_sales")
+        )
+
+    ty = year_arm(1998).alias("ty")
+    ly = year_arm(1997).alias("ly")
+    return (
+        ty.join(ly, F.col("ty.i_brand") == F.col("ly.i_brand"))
+        .select(
+            F.lit("store").alias("channel"),
+            F.col("ty.i_brand").alias("i_brand"),
+            F.col("ty.sales_cents").alias("ty_sales_cents"),
+            F.col("ty.number_sales").alias("ty_number_sales"),
+            F.col("ly.sales_cents").alias("ly_sales_cents"),
+            F.col("ly.number_sales").alias("ly_number_sales"),
+        )
+        .orderBy("i_brand")
+        .limit(100)
+    )
+
+
+# --- q23_2: best-customer frequent-item sales per customer name ------------
+
+@_q(
+    "tpcds_q23_2",
+    """
+WITH frequent_items AS (
+  SELECT l.l_partkey AS item_sk
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE year(o.o_orderdate) BETWEEN 1995 AND 1998
+  GROUP BY l.l_partkey, year(o.o_orderdate)
+  HAVING count(*) > 4
+), csales AS (
+  SELECT o.o_custkey, CAST(sum(round(l.l_quantity * (l.l_extendedprice / l.l_quantity) * 100)) AS BIGINT) AS csales
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE year(o.o_orderdate) BETWEEN 1995 AND 1998
+  GROUP BY o.o_custkey
+), max_sales AS (
+  SELECT max(csales) AS cmax FROM csales
+), best_customers AS (
+  SELECT c2.o_custkey FROM (
+    SELECT o.o_custkey, CAST(sum(round(l.l_extendedprice * 100)) AS BIGINT) AS ssales
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_custkey
+  ) c2, max_sales
+  WHERE c2.ssales * 2 > cmax
+), arm_a AS (
+  SELECT c.c_name AS c_last_name, CAST(sum(round(l.l_extendedprice * 100)) AS BIGINT) AS sales_cents
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE year(o.o_orderdate) = 1996 AND month(o.o_orderdate) = 2
+    AND l.l_returnflag = 'A'
+    AND l.l_partkey IN (SELECT item_sk FROM frequent_items)
+    AND o.o_custkey IN (SELECT o_custkey FROM best_customers)
+  GROUP BY c.c_name
+), arm_r AS (
+  SELECT c.c_name AS c_last_name, CAST(sum(round(l.l_extendedprice * 100)) AS BIGINT) AS sales_cents
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE year(o.o_orderdate) = 1996 AND month(o.o_orderdate) = 2
+    AND l.l_returnflag = 'R'
+    AND l.l_partkey IN (SELECT item_sk FROM frequent_items)
+    AND o.o_custkey IN (SELECT o_custkey FROM best_customers)
+  GROUP BY c.c_name
+)
+SELECT c_last_name, sales_cents FROM arm_a
+UNION ALL
+SELECT c_last_name, sales_cents FROM arm_r
+ORDER BY c_last_name ASC, sales_cents ASC
+LIMIT 100
+""",
+)
+def tpcds_q23_2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q23 SECOND benchto variant (tpcds/q23_2.sql — VERDICT r09
+    #5): the same frequent_ss_items + best_ss_customer gate CTEs as
+    q23_1 (operators/tpcds.py:tpcds_q23), but the final query reports
+    PER-CUSTOMER-NAME sales from TWO channels UNION ALL'd (reference:
+    catalog + web; adaptation: the 'A' and 'R' returnflag arms), ordered
+    by name then sales. Frequency granularity deviation: q23_1 keeps the
+    reference's per-(item, DAY) count>4, which the synthetic fixture's
+    density makes an empty set (~30 sales/part over 7 years — measured:
+    zero qualifying days at sf0.01); the _2 twin counts per (item, YEAR)
+    so the gate actually gates (1.8k qualifying parts at sf0.01). Scale:
+    the gate CTEs are computed once and feed both arms as broadcastable
+    distinct-key semi-join sides (AQE reuses the exchanges); each arm is
+    one month-pruned fact pass; the final sort is a top-100
+    TakeOrdered."""
+    li, orders, cust = _t(spark, sf_dir, "lineitem", "orders", "customer")
+    lo = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    years = lo.filter(F.year("o_orderdate").between(1995, 1998))
+    frequent = (
+        years.groupBy("l_partkey", F.year("o_orderdate"))
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") > 4)
+        .select(F.col("l_partkey").alias("item_sk"))
+        .distinct()
+    )
+    csales = years.groupBy("o_custkey").agg(
+        F.sum(
+            F.round(
+                F.col("l_quantity")
+                * (F.col("l_extendedprice") / F.col("l_quantity"))
+                * 100
+            )
+        ).cast("bigint").alias("csales")
+    )
+    cmax = csales.agg(F.max("csales").alias("cmax"))
+    ssales = lo.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100))
+        .cast("bigint")
+        .alias("ssales")
+    )
+    best = (
+        ssales.crossJoin(F.broadcast(cmax))
+        .filter(F.col("ssales") * 2 > F.col("cmax"))
+        .select("o_custkey")
+    )
+    month = lo.filter(
+        (F.year("o_orderdate") == 1996) & (F.month("o_orderdate") == 2)
+    )
+
+    def arm(flag: str) -> DataFrame:
+        return (
+            month.filter(F.col("l_returnflag") == flag)
+            .join(frequent, month.l_partkey == frequent.item_sk, "left_semi")
+            .join(best, "o_custkey", "left_semi")
+            .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy(F.col("c_name").alias("c_last_name"))
+            .agg(
+                F.sum(F.round(F.col("l_extendedprice") * 100))
+                .cast("bigint")
+                .alias("sales_cents")
+            )
+        )
+
+    return (
+        arm("A").unionAll(arm("R"))
+        .orderBy(F.asc("c_last_name"), F.asc("sales_cents"))
+        .limit(100)
+    )

@@ -66,8 +66,12 @@ _BATTERY_HEAD: list[str] = [
     "tpch_q01", "tpch_q03", "tpch_q05", "tpch_q06", "tpch_q09",
     "tpch_q18", "tpch_q21",
     # TPC-DS hardest shapes (cross_sales self-join, fact-to-fact inventory,
-    # year_total battery, CTE-reuse, rollup+rank)
-    "tpcds_q64", "tpcds_q72", "tpcds_q04", "tpcds_q23", "tpcds_q67",
+    # year_total battery, CTE-reuse, rollup+rank) + the r10 second benchto
+    # variants (VERDICT r09 #5: q23_2 per-customer two-channel final,
+    # q14_2 same-week year-over-year; q24_2/q39_2 rotate in below).
+    # tpcds_q23/q67 rotated out r10 for the _2 twins; both stay green in
+    # CORRECTNESS_FULL every round.
+    "tpcds_q64", "tpcds_q72", "tpcds_q04", "tpcds_q23_2", "tpcds_q14_2",
     # round-5 flagship extensions (connected-components dedup, trained IVF,
     # set digest, watermark late-data semantics)
     "dedup_cluster", "sim_ivf_kmeans", "agg_set_digest",
@@ -79,8 +83,9 @@ _BATTERY_HEAD: list[str] = [
     # events / range / skew (as-of stays oracle-checked outside the head)
     "events_range_join", "events_sessionize",
     "skew_salted_join",
-    # sketches + digests
-    "agg_hll_sketch", "sketch_tdigest",
+    # sketches + digests (sketch_tdigest rotated out r10 for tpcds_q24_2;
+    # stays green in CORRECTNESS_FULL)
+    "agg_hll_sketch", "tpcds_q24_2",
     # geospatial (grid join, WKT intersects join, polygon clip ops,
     # DE-9IM relate; geo_wkb_roundtrip served its r06→r07 regression
     # purpose — demoted r08 to make room for sim_pq_adc, stays green in
@@ -89,8 +94,11 @@ _BATTERY_HEAD: list[str] = [
     # both stay green in CORRECTNESS_FULL every round)
     "geo_radius_join", "geo_wkt_intersects_join",
     # scalar/aggregate corpus cross-section
-    # (func_array_advanced + agg_classification_metrics rotated out r09)
-    "func_datetime", "func_json", "func_decimal",
+    # (func_array_advanced + agg_classification_metrics rotated out r09;
+    # func_json rotated out r10 for tpcds_q39_2 — the JSON surface stays
+    # head-covered via events_json_props_rollup's full-sweep twin and the
+    # corpus tests)
+    "func_datetime", "tpcds_q39_2", "func_decimal",
     # LLM-pipeline extension operators (r06: cross-doc substring spans +
     # SemDeDup; r07: sequence packing + BM25 lexical retrieval rotate in
     # for text_fingerprint / sim_ann_lsh; r07 second wave rotates
@@ -106,9 +114,13 @@ _BATTERY_HEAD: list[str] = [
     # round-9 flagships: the chained BPE trainer, both eval harnesses
     # (quality measured, not asserted), the M4 downsample, the CDC fold,
     # and Matryoshka two-stage retrieval
+    # (events_downsample_m4 + udf_grouped_zscore rotated out r10 for the
+    # distributed-rank scalable twins — VERDICT r09 #3; both stay green
+    # in CORRECTNESS_FULL and plan-gated in tests/test_plans.py)
     "text_bpe_train_rounds", "sim_ann_recall", "dedup_minhash_recall",
-    "events_downsample_m4", "cdc_apply_changes", "sim_mrl_prefix_rerank",
-    "multimodal_phash", "udf_grouped_zscore",
+    "events_rfm_scores_scalable", "cdc_apply_changes",
+    "sim_mrl_prefix_rerank",
+    "multimodal_phash", "part_abc_scalable",
     # presto-ml distributed trainers
     "ml_classify_centroid",
     # streaming (streaming_late_data also sits in the flagship block

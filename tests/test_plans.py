@@ -410,3 +410,93 @@ def test_pq_rerank_broadcasts_and_no_cartesian(spark, sf_dir):
         assert "CartesianProduct" not in plan, (name, plan)
     assert "BroadcastHashJoin" in plans["sim_pq_adc"], plans["sim_pq_adc"]
     assert "SortMergeJoin" not in plans["sim_pq_adc"], plans["sim_pq_adc"]
+
+
+def test_distrank_scalable_ops_plan_shape(spark, sf_dir):
+    """events_rfm_scores_scalable / part_abc_scalable (VERDICT r09 #3):
+    the scale claim is NO window ever orders the full table on one
+    partition. Assertable residue in the final plan: every window spec
+    is __pid-scoped (the broadcast prefix-offset windows over
+    #partitions-row counts), every SinglePartition exchange sits
+    directly above a __pid-keyed or counts-total aggregate (never the
+    data), the ntile is arithmetic (no ntile window function anywhere),
+    and the only nested-loop joins are the 1-row totals broadcasts."""
+    plans = {
+        name: _plan(all_queries()[name](spark, sf_dir), "simple")
+        for name in ["events_rfm_scores_scalable", "part_abc_scalable"]
+    }
+    for name, plan in plans.items():
+        assert "ntile" not in plan, (name, plan)
+        assert "CartesianProduct" not in plan, (name, plan)
+        assert "EvalPython" not in plan, (name, plan)
+        for spec in re.findall(r"windowspecdefinition\(([^)]*)", plan):
+            assert "__pid" in spec, (name, spec)
+        singles = len(re.findall(r"Exchange SinglePartition", plan))
+        gated = len(
+            re.findall(
+                r"Exchange SinglePartition[^\n]*\n[\s:]*\+- HashAggregate\("
+                r"keys=\[(?:__pid#\d+\]|\], functions=\[partial_)",
+                plan,
+            )
+        )
+        assert singles == gated, (name, singles, gated, plan)
+    # the 1-row totals attach: one per helper call
+    assert plans["part_abc_scalable"].count("BroadcastNestedLoopJoin") == 1
+    assert plans["events_rfm_scores_scalable"].count("BroadcastNestedLoopJoin") == 3
+    # arithmetic ntile actually present in the rfm projection
+    assert "pmod(__n_total" in plans["events_rfm_scores_scalable"]
+
+
+def test_anomaly_zscore_plan_shape(spark, sf_dir):
+    """events_anomaly_zscore (VERDICT r09 #4): one user_id hash exchange,
+    the trailing window is a BOUNDED row frame (-20 .. -1 — never an
+    unbounded running state), exact-integer filter rides the window
+    output, no join, no Python stage."""
+    plan = _plan(all_queries()["events_anomaly_zscore"](spark, sf_dir), "simple")
+    assert plan.count("Exchange") == 1, plan
+    assert "Exchange hashpartitioning(user_id" in plan, plan
+    assert "RowFrame, -20, -1" in plan, plan
+    assert "Join" not in plan and "EvalPython" not in plan, plan
+
+
+def test_cdc_snapshot_diff_plan_shape(spark, sf_dir):
+    """cdc_snapshot_diff (VERDICT r09 #4): both snapshot folds hash-
+    partition on user_id with map-side partial max_by, and the FULL
+    OUTER join reuses that partitioning — exactly two exchanges in the
+    whole plan, both on user_id."""
+    plan = _plan(all_queries()["cdc_snapshot_diff"](spark, sf_dir), "simple")
+    cols = re.findall(r"Exchange hashpartitioning\((\w+)#", plan)
+    assert cols == ["user_id", "user_id"], (cols, plan)
+    assert plan.count("Exchange") == 2, plan
+    assert "FullOuter" in plan, plan
+    assert "partial_max_by" in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_json_rollup_plan_shape(spark, sf_dir):
+    """events_json_props_rollup (VERDICT r09 #4): the JSONPath extract is
+    JVM codegen (get_json_object in the scan-side projection, no Python
+    stage), aggregation is partial-before-exchange, and the two
+    exchanges are the count-distinct expansion's — both on the rollup
+    keys, nothing SinglePartition. Scan reads only the 4 used columns."""
+    plan = _plan(all_queries()["events_json_props_rollup"](spark, sf_dir), "simple")
+    assert "get_json_object" in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert plan.count("Exchange") == 2 and "SinglePartition" not in plan, plan
+    assert "partial_count" in plan, plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"user_id", "event_type", "value", "props"}, cols
+
+
+def test_abc_classic_single_window_shape(spark, sf_dir):
+    """part_abc_classification (VERDICT r09 #4): pin the documented
+    shape — one part-key hash exchange (map-side combined revenue
+    groupBy), ONE SinglePartition exchange feeding the part-cardinality
+    cumulative windows, and nothing else; a regression to a second data
+    shuffle fails here."""
+    plan = _plan(all_queries()["part_abc_classification"](spark, sf_dir), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Exchange SinglePartition") == 1, plan
+    assert plan.count("Exchange") == 2, plan
+    assert "partial_sum" in plan and "EvalPython" not in plan, plan
