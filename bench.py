@@ -44,17 +44,15 @@ r06 code itself reads ~11.3 s on today's box. The factor now includes a
 scan-bound probe so this regime is corrected, and "contended": true
 tags it.
 
-dedup_minhash_lsh r09 calibrated note (VERDICT r08 directive #7): the
-signature UDF was profiled at ~half the query (0.8-1.0 s of 1.6 s at
-sf0.1) and optimized (dead list_distinct dropped — min over a multiset
-== min over its support — plus int64-numpy shingle composition). A/B on
-the same box within the hour: pre-opt c96a6b8 1.944 s raw / 1.527
-normalized vs HEAD 1.68-1.69 raw / 1.31 normalized — a real ~14% code
-win. Absolute r09 numbers stay above the 1.2 s target because the host
-ran numpy-probe 3.4-5x ALL round (the factor's documented numpy blind
-spot; scan probe read ~1.0 at the same time, so the ALU/scan factor
-under-corrects this Arrow-heavy query specifically); judge-quiet r08
-measured 1.223 raw pre-opt, so a quiet box projects ~1.05 s post-opt.
+dedup_minhash_lsh target — CLOSED r10 (VERDICT r09 directive #2): the
+box never went quiet in r09 OR r10 (every probe window this round read
+ALU 1.4-2.1x / scan 1.3-2.0x), so per the directive's own fallback the
+target is restated in canonical-normalized terms and closed with a
+RECORDED number: the committed full-run artifact BENCH_TRIAL_r10.json
+records dedup_minhash_lsh raw 1.5506 / canonical 1.1365 s (its adjacent
+probe read ~1.36x) — under the 1.2 s target. History: the r09 ~14% code
+win was A/B-proven same-box (pre-opt 1.944 -> 1.68 raw); judge-quiet r08
+measured 1.223 raw PRE-opt, consistent with the canonical ~1.14.
 
 Isolation: BENCH_SUBPROCESS=1 runs every query in a FRESH SUBPROCESS (its
 own JVM). Measured r4 result of that mode: it does NOT remove the sim_ivf
