@@ -500,3 +500,24 @@ def test_abc_classic_single_window_shape(spark, sf_dir):
     assert plan.count("Exchange SinglePartition") == 1, plan
     assert plan.count("Exchange") == 2, plan
     assert "partial_sum" in plan and "EvalPython" not in plan, plan
+
+
+def test_tpcds_second_variants_plan_shape(spark, sf_dir):
+    """The four r10 benchto second variants (VERDICT r09 #5) keep their
+    _1 twins' scale properties: IN-gates plan as semi-joins (never a
+    cartesian), the scalar avg/max thresholds attach as 1-row broadcast
+    nested loops at most, and the year-over-year / Jan-Feb self-joins
+    are equi-joins."""
+    plans = {
+        name: _plan(all_queries()[name](spark, sf_dir), "simple")
+        for name in ["tpcds_q14_2", "tpcds_q23_2", "tpcds_q24_2", "tpcds_q39_2"]
+    }
+    for name, plan in plans.items():
+        assert "CartesianProduct" not in plan, (name, plan)
+    # cross_items gate: one semi-join per year arm
+    assert plans["tpcds_q14_2"].count("LeftSemi") >= 2, plans["tpcds_q14_2"]
+    # frequent-items + best-customers gates: two semi-joins per channel arm
+    assert plans["tpcds_q23_2"].count("LeftSemi") >= 4, plans["tpcds_q23_2"]
+    # the 5%-of-average / cov screens stay scalar broadcasts, not joins
+    assert plans["tpcds_q24_2"].count("BroadcastNestedLoopJoin") <= 1
+    assert plans["tpcds_q39_2"].count("BroadcastNestedLoopJoin") == 0
