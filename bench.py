@@ -132,7 +132,12 @@ SCAN_PROBE_PATH = "/root/testdata/sf0.1/lineitem.parquet"
 
 
 def _ratchet_refs(
-    before: dict, after: dict, probe_bytes: int | None, ref_bytes
+    before: dict,
+    after: dict,
+    probe_bytes: int | None,
+    ref_bytes,
+    probe_rows: int | None = None,
+    ref_rows=None,
 ) -> list[str]:
     """Two-phase ratchet for probe refs (the refs are the box's best-ever
     idle values — see scripts/pin_ambient_refs.py, which shares this rule).
@@ -164,13 +169,28 @@ def _ratchet_refs(
             continue
         val = min(vals)
         old = refs.get(key)
-        if key == "scan_sec" and ref_bytes is not None and probe_bytes is not None:
-            if int(ref_bytes) != probe_bytes:
+        if key == "scan_sec":
+            # fixture-comparability (r10 review finding: the rows gate
+            # must apply HERE too, or a same-bytes/different-rows
+            # regeneration stages scan readings against an incomparable
+            # fixture and the rows fingerprint never re-pins): any
+            # fingerprint mismatch re-pins ref + BOTH fingerprints.
+            bytes_mismatch = (
+                ref_bytes is not None
+                and probe_bytes is not None
+                and int(ref_bytes) != probe_bytes
+            )
+            rows_mismatch = (
+                ref_rows is not None
+                and probe_rows is not None
+                and int(ref_rows) != probe_rows
+            )
+            if bytes_mismatch or rows_mismatch:
                 refs[key] = val
-                refs["scan_probe_bytes"] = probe_bytes
-                rows = _scan_probe_rows()
-                if rows is not None:
-                    refs["scan_probe_rows"] = rows
+                if probe_bytes is not None:
+                    refs["scan_probe_bytes"] = probe_bytes
+                if probe_rows is not None:
+                    refs["scan_probe_rows"] = probe_rows
                 staged.pop(key, None)
                 changed.append(f"{key}: re-pinned {old} -> {val} (new fixture)")
                 continue
@@ -182,7 +202,11 @@ def _ratchet_refs(
             continue
         cand = staged.get(key)
         if cand is not None and abs(val - cand) <= 0.10 * cand:
-            confirmed = round(max(val, cand), 4)
+            # clamp to the CURRENT ref (r10 review finding: a stale
+            # staged candidate taken before an explicit pin lowered the
+            # ref must never RAISE it back — the ratchet is documented
+            # monotonic-down).
+            confirmed = round(min(old, max(val, cand)), 4)
             refs[key] = confirmed
             staged.pop(key, None)
             changed.append(
@@ -572,7 +596,9 @@ def main() -> None:
     # same window (r09 measured scan 0.76x its ref mid-bench, then the
     # manual pin 5 minutes later read 1.24x — the window had closed).
     # THIS run's ratios/factor still use the refs as loaded above.
-    ratcheted = _ratchet_refs(ambient_before, ambient_after, probe_bytes, ref_bytes)
+    ratcheted = _ratchet_refs(
+        ambient_before, ambient_after, probe_bytes, ref_bytes, probe_rows, ref_rows
+    )
     # factor: ALU + scan probes only (see the calibration comment above —
     # numpy's contended swings overstate suite impact and would flatter
     # the normalized number).
@@ -704,6 +730,11 @@ def main() -> None:
                     "per_query_ratio": epoch_ratios,
                     "median_ratio": epoch_median,
                 },
+                # per-query canonical values live HERE, not on the final
+                # headline line (r06 post-mortem: a second per-query map
+                # on the final line risks the driver's stdout-tail
+                # truncating the head of the line, losing "value").
+                "queries_canonical": queries_canonical,
             }
         )
     )
@@ -728,7 +759,8 @@ def main() -> None:
                 # are debug-only (detail line).
                 "canonical": "value_core17_canonical",
                 "value_core17_canonical": core17_canonical,
-                "queries_canonical": queries_canonical,
+                # per-query canonical map is on the BENCH_DETAIL line
+                # (keeps this line inside the driver's stdout tail).
                 # standing epoch cross-check: median canonical/r06-epoch
                 # ratio over the shared core17 (1.0 = reproduces the
                 # quiet-box epoch exactly).

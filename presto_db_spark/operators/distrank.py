@@ -52,10 +52,13 @@ def global_index(
     """
     spark = df.sparkSession
     n = spark.sparkContext.defaultParallelism
-    parts = (
-        df.repartitionByRange(n, *order_cols)
-        .sortWithinPartitions(*order_cols)
-        .withColumn("__pid", F.spark_partition_id())
+    # No sortWithinPartitions here: __pid capture needs only partition
+    # MEMBERSHIP, and the local-rank window below re-sorts after its own
+    # hashpartitioning(__pid) exchange anyway — a pre-sort's ordering
+    # would be discarded by that shuffle (r10 review finding: the pre-sort
+    # was a complete wasted extra sort of the dataset per call).
+    parts = df.repartitionByRange(n, *order_cols).withColumn(
+        "__pid", F.spark_partition_id()
     )
     lw = W.partitionBy("__pid").orderBy(*order_cols)
     local = parts.withColumn("__lrn", F.row_number().over(lw))

@@ -780,6 +780,11 @@ def events_rfm_scores_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("monetary_cents"),
         )
+        # base fans into FOUR consumers (three rank branches + the join
+        # spine); materialize the purchase groupBy once — the same
+        # materialize-once rule global_index applies internally (r10
+        # review finding: without it, four full event scans per run).
+        .localCheckpoint(eager=False)
     )
 
     def score(metric: str, descending: bool, out: str) -> DataFrame:

@@ -38,11 +38,17 @@ def main() -> None:
     with open(path) as f:
         refs = json.load(f)
     changed = []
+    staged = refs.get("_staged", {})
     for key, val in measured.items():
         old = refs.get(key)
         if old is None or val < old:
             refs[key] = val
+            # an explicit pin supersedes any staged auto-ratchet
+            # candidate — a stale stage must never later raise the ref
+            # back above this pin (bench._ratchet_refs also clamps).
+            staged.pop(key, None)
             changed.append(f"{key}: {old} -> {val}")
+    refs["_staged"] = staged
             if key == "scan_sec":
                 # fingerprint the probe dataset the ref was pinned against
                 # (ADVICE r08: bench.py drops the scan ratio on mismatch;
