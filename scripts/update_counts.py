@@ -61,6 +61,27 @@ def bench_total(round_no: int) -> float | None:
     return float(m.group(1)) * float(f.group(1))
 
 
+def trial_value(key: str) -> float | None:
+    """Numbers quoted from the committed builder-run trial artifact
+    (BENCH_TRIAL_r10.json) — the VERDICT r09 #1/#2 closure evidence.
+    Machine-owned so README/bench.py prose can never drift from the
+    artifact they cite."""
+    path = os.path.join(ROOT, "BENCH_TRIAL_r10.json")
+    if not os.path.exists(path):
+        return None
+    d = json.load(open(path))
+    head = d.get("headline", {})
+    perq = head.get("queries_canonical") or d.get("detail", {}).get(
+        "queries_canonical", {}
+    )
+    return {
+        "minhash_raw": head.get("queries", {}).get("dedup_minhash_lsh"),
+        "minhash_canon": perq.get("dedup_minhash_lsh"),
+        "core17_canon": head.get("value_core17_canonical"),
+        "epoch": head.get("r06_epoch_median_ratio"),
+    }.get(key)
+
+
 # (relative path, anchored regex with ONE capture group over the number,
 #  value-producer name).  The regex must match EXACTLY once per file.
 _REG = "registry"
@@ -79,6 +100,13 @@ RULES: list[tuple[str, str, str]] = [
     # (VERDICT r07 "what's wrong" #3: README said 9.98 s for r06 while
     # BENCH_r06.json's tail records 8.02).
     ("README.md", r"ambient-inflated → r06 ([\d.]+) at factor 1\.0", "bench:6"),
+    # r10 trial-artifact quotes (BENCH_TRIAL_r10.json is the source)
+    ("README.md", r"records raw\s+([\d.]+) / \*\*canonical", "trial:minhash_raw:.3f"),
+    ("README.md", r"\*\*canonical ([\d.]+) s\*\* \(adjacent", "trial:minhash_canon:.3f"),
+    ("README.md", r"canonical core17 ([\d.]+) s vs the r06", "trial:core17_canon:.2f"),
+    ("README.md", r"`r06_epoch_median_ratio` \*\*([\d.]+)\*\*", "trial:epoch:.3f"),
+    ("bench.py", r"records dedup_minhash_lsh raw ([\d.]+) /", "trial:minhash_raw:.4f"),
+    ("bench.py", r"raw [\d.]+ / canonical ([\d.]+) s \(its adjacent", "trial:minhash_canon:.4f"),
 ]
 
 
@@ -97,6 +125,13 @@ def apply(check: bool) -> int:
                     failures.append(f"{relpath}: no artifact for {producer}")
                     continue
                 want = f"{total:.2f}"
+            elif producer.startswith("trial:"):
+                _, key, fmt = producer.split(":")
+                v = trial_value(key)
+                if v is None:
+                    failures.append(f"{relpath}: no artifact for {producer}")
+                    continue
+                want = format(v, fmt)
             else:
                 want = str(reg)
             hits = list(re.finditer(pattern, text))
