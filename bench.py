@@ -412,6 +412,12 @@ HEADLINE = CORE17 + [
     # (presto-benchto-benchmarks/.../distributed_sort.yaml) — time our
     # range-partition + local-sort + prefix-offset global sort the same way.
     "sort_distributed_sample",
+    # r10: the distrank scalable twins (VERDICT r09 #3) under timing —
+    # the no-single-partition-window RFM/ABC paths, benched so their
+    # range+offset overhead vs the classic window forms is a recorded
+    # number, not a design claim.
+    "events_rfm_scores_scalable",
+    "part_abc_scalable",
 ]
 
 # Local-iteration escape hatch: BENCH_ONLY=a,b,c restricts the suite to a
