@@ -49,35 +49,59 @@ def global_index(
     The input is materialized once (lazy localCheckpoint) so the offset
     counts and the final join see the SAME sampled range boundaries —
     ``repartitionByRange`` re-samples per execution otherwise.
+
+    Two local-index strategies (r10 bench finding — the pid-window path
+    costs an extra full-data hashpartitioning(__pid) exchange + re-sort,
+    because a partitionBy window always inserts its own shuffle):
+
+    * rank-only (``sum_col is None``): ``sortWithinPartitions`` then
+      ``monotonically_increasing_id()`` IN THE SAME STAGE — within a
+      partition the id is consecutive from a per-partition base, so
+      ``__lrn = id − min(id over the partition) + 1`` (the min rides the
+      existing counts aggregate; no reliance on the id's bit layout).
+      One shuffle total: the range exchange.
+    * running-sum (``sum_col`` set): the per-partition cumulative sum
+      genuinely needs an ordered window, so the __pid-partitioned window
+      stays (its exchange is the price of the cumsum).
+
+    Consistency under the lazy checkpoint: consumers read the stored
+    blocks, so the sampled boundaries, ids, and sums are one execution's.
     """
     spark = df.sparkSession
     n = spark.sparkContext.defaultParallelism
-    # No sortWithinPartitions here: __pid capture needs only partition
-    # MEMBERSHIP, and the local-rank window below re-sorts after its own
-    # hashpartitioning(__pid) exchange anyway — a pre-sort's ordering
-    # would be discarded by that shuffle (r10 review finding: the pre-sort
-    # was a complete wasted extra sort of the dataset per call).
-    parts = df.repartitionByRange(n, *order_cols).withColumn(
-        "__pid", F.spark_partition_id()
-    )
-    lw = W.partitionBy("__pid").orderBy(*order_cols)
-    local = parts.withColumn("__lrn", F.row_number().over(lw))
-    if sum_col is not None:
-        local = local.withColumn(
-            "__lcs",
-            F.sum(sum_col).over(
-                lw.rowsBetween(W.unboundedPreceding, W.currentRow)
-            ),
-        )
-    local = local.localCheckpoint(eager=False)
+    ranged = df.repartitionByRange(n, *order_cols)
     aggs = [F.count("*").alias("__c")]
-    if sum_col is not None:
+    if sum_col is None:
+        local = (
+            ranged.sortWithinPartitions(*order_cols)
+            .withColumn("__pid", F.spark_partition_id())
+            .withColumn("__mid", F.monotonically_increasing_id())
+            .localCheckpoint(eager=False)
+        )
+        aggs.append(F.min("__mid").alias("__m0"))
+    else:
+        # no pre-sort here: the window's own sort (after its
+        # hashpartitioning(__pid) exchange) would discard it.
+        parts = ranged.withColumn("__pid", F.spark_partition_id())
+        lw = W.partitionBy("__pid").orderBy(*order_cols)
+        local = (
+            parts.withColumn("__lrn", F.row_number().over(lw))
+            .withColumn(
+                "__lcs",
+                F.sum(sum_col).over(
+                    lw.rowsBetween(W.unboundedPreceding, W.currentRow)
+                ),
+            )
+            .localCheckpoint(eager=False)
+        )
         aggs.append(F.sum(sum_col).alias("__s"))
     counts = local.groupBy("__pid").agg(*aggs)
     ow = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
     offs = counts.withColumn("__off", F.coalesce(F.sum("__c").over(ow), F.lit(0)))
     keep = ["__pid", "__off"]
-    if sum_col is not None:
+    if sum_col is None:
+        keep.append("__m0")
+    else:
         offs = offs.withColumn(
             "__soff", F.coalesce(F.sum("__s").over(ow), F.lit(0))
         )
@@ -86,17 +110,20 @@ def global_index(
     if sum_col is not None:
         tot_aggs.append(F.sum("__s").alias("__sum_total"))
     totals = counts.agg(*tot_aggs)
-    out = (
-        local.join(F.broadcast(offs.select(*keep)), "__pid")
-        .crossJoin(F.broadcast(totals))
-        .withColumn("__rn", (F.col("__lrn") + F.col("__off")).cast("long"))
+    out = local.join(F.broadcast(offs.select(*keep)), "__pid").crossJoin(
+        F.broadcast(totals)
     )
-    drop = ["__pid", "__lrn", "__off"]
-    if sum_col is not None:
+    if sum_col is None:
         out = out.withColumn(
-            "__csum", (F.col("__lcs") + F.col("__soff")).cast("long")
+            "__rn",
+            (F.col("__mid") - F.col("__m0") + 1 + F.col("__off")).cast("long"),
         )
-        drop += ["__lcs", "__soff"]
+        drop = ["__pid", "__mid", "__m0", "__off"]
+    else:
+        out = out.withColumn(
+            "__rn", (F.col("__lrn") + F.col("__off")).cast("long")
+        ).withColumn("__csum", (F.col("__lcs") + F.col("__soff")).cast("long"))
+        drop = ["__pid", "__lrn", "__lcs", "__off", "__soff"]
     return out.drop(*drop)
 
 

@@ -41,8 +41,11 @@ def _window_truth(df, order_cols, k):
 
 
 def _distrank_result(df, order_cols, k):
+    """Runs BOTH strategies — the running-sum window path (sum_col set)
+    and the sorted-partition row-offset rank-only path — asserts their
+    ranks/buckets agree, and returns the window path's full triple."""
     gi = global_index(df, order_cols, sum_col="amt")
-    return {
+    full = {
         r["id"]: (r["__rn"], r["nt"], r["__csum"])
         for r in gi.select(
             "id",
@@ -51,6 +54,15 @@ def _distrank_result(df, order_cols, k):
             "__csum",
         ).collect()
     }
+    ro = global_index(df, order_cols)
+    rank_only = {
+        r["id"]: (r["__rn"], r["nt"])
+        for r in ro.select(
+            "id", "__rn", ntile_expr("__rn", "__n_total", k).alias("nt")
+        ).collect()
+    }
+    assert rank_only == {i: (rn, nt) for i, (rn, nt, _) in full.items()}
+    return full
 
 
 def test_global_index_matches_window_heavy_ties(spark):
