@@ -417,44 +417,24 @@ def sort_distributed_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The global index is built the way a 1000-executor sort must be —
     NOT a single-partition window: range-partition on the sort key,
-    sort within partitions, rank locally per partition, then add the
-    per-partition row-count prefix offsets (a #partitions-sized
-    broadcast — the only driver-side state). The composite key is
-    unique, so the global index is deterministic regardless of the
-    sampled range boundaries."""
-    from pyspark.sql.window import Window as W
-
+    sort within partitions, per-partition row offsets from the sorted
+    stage's own consecutive ids, then the broadcast prefix-offset join
+    (a #partitions-sized broadcast — the only driver-side state). The
+    composite key is unique, so the global index is deterministic
+    regardless of the sampled range boundaries. r10: rebuilt on
+    ``distrank.global_index``'s rank-only path — ONE shuffle of the
+    fact total (the r01-r09 form paid a second full
+    hashpartitioning(pid) exchange for its local-rank window)."""
     from ..catalog import load_table
+    from .distrank import global_index
 
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice"
     )
     keys = ["l_shipdate", "l_orderkey", "l_linenumber"]
-    parts = (
-        li.repartitionByRange(spark.sparkContext.defaultParallelism, *keys)
-        .sortWithinPartitions(*keys)
-        .withColumn("pid", F.spark_partition_id())
-    )
-    local = parts.withColumn(
-        "lrn", F.row_number().over(W.partitionBy("pid").orderBy(*keys))
-        # one materialization: `local` feeds BOTH the offset counts and the
-        # final join, and repartitionByRange re-SAMPLES boundaries per
-        # execution — without the barrier the two consumers could see
-        # different partitionings and produce inconsistent offsets
-    ).localCheckpoint(eager=False)
-    counts = local.groupBy("pid").agg(F.count("*").alias("c"))
-    offs = counts.withColumn(
-        "off",
-        F.coalesce(
-            F.sum("c").over(
-                W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
-            ),
-            F.lit(0),
-        ),
-    ).select("pid", "off")
     return (
-        local.join(F.broadcast(offs), "pid")
-        .withColumn("rn", (F.col("lrn") + F.col("off")).cast("long"))
+        global_index(li, keys)
+        .withColumn("rn", F.col("__rn"))
         .filter((F.col("rn") % 1000) == 1)
         .select(
             "rn", "l_orderkey",
