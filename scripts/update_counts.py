@@ -105,8 +105,8 @@ RULES: list[tuple[str, str, str]] = [
     ("README.md", r"\*\*canonical ([\d.]+) s\*\* \(adjacent", "trial:minhash_canon:.3f"),
     ("README.md", r"canonical core17 ([\d.]+) s vs the r06", "trial:core17_canon:.2f"),
     ("README.md", r"`r06_epoch_median_ratio` \*\*([\d.]+)\*\*", "trial:epoch:.3f"),
-    ("bench.py", r"records dedup_minhash_lsh raw ([\d.]+) /", "trial:minhash_raw:.4f"),
-    ("bench.py", r"raw [\d.]+ / canonical ([\d.]+) s \(its adjacent", "trial:minhash_canon:.4f"),
+    ("bench.py", r"records\ndedup_minhash_lsh raw ([\d.]+) /", "trial:minhash_raw:.4f"),
+    ("bench.py", r"raw [\d.]+ / canonical ([\d.]+) s — the raw median", "trial:minhash_canon:.4f"),
 ]
 
 
