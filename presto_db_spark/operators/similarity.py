@@ -1766,3 +1766,156 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(label).alias("index_name"), "*")
         out = one if out is None else out.unionByName(one)
     return out
+
+
+# --- binary quantization (1 bit/dim) + Hamming shortlist + exact rerank ------
+#
+# The 1-bit compression rung below PQ (sim_pq_adc's 8 bytes/vec): each
+# dimension contributes its SIGN bit, packed into two 32-bit words per
+# 64-dim vector — 8 bytes/vec, a 32x reduction vs float32, and the
+# distance kernel is XOR + popcount (pure integer, whole-stage codegen
+# via Spark's `bit_count`; no float math until the rerank). This is the
+# binary-quantization shape production vector stores deploy when even PQ
+# codes are too large to keep hot (sign-bit BQ with exact-vector rerank;
+# same family as the RaBitQ / faiss LSQ binary index).
+#
+# Two 32-bit words rather than one 64-bit word: `1::BIGINT << 63`
+# overflows DuckDB's checked shift, and the two-word form IS the general
+# multi-word layout any dim > 64 needs anyway (ceil(dim/32) words).
+# Weights 2^j are plan-time literals in Spark and checked shifts in the
+# oracle — identical values, exact integers everywhere.
+
+BQ_WORD_BITS = 32
+BQ_WORDS = DIM // BQ_WORD_BITS  # 2 words for the 64-dim fixture
+BQ_SHORTLIST = 50  # Hamming candidates per query fed to the exact rerank
+
+_BQ_WORD_SQL = (
+    "CAST(list_sum(list_transform(list_slice({e}, {lo}, {hi}), "
+    "(x, i) -> CASE WHEN x >= 0 THEN (1::BIGINT << (i - 1)) "
+    "ELSE 0::BIGINT END)) AS BIGINT)"
+)
+
+_BQ_PACK_SQL = ", ".join(
+    _BQ_WORD_SQL.format(e="embedding", lo=1 + w * BQ_WORD_BITS, hi=(w + 1) * BQ_WORD_BITS)
+    + f" AS w{w}"
+    for w in range(BQ_WORDS)
+)
+
+_BQ_HAM_SQL = " + ".join(
+    f"bit_count(xor(q.qw{w}, p.w{w}))" for w in range(BQ_WORDS)
+)
+
+_BQ_SQL = f"""
+WITH packed AS (
+  SELECT vec_id, embedding, {_BQ_PACK_SQL} FROM embeddings
+), q AS (
+  SELECT vec_id AS qid, embedding AS qe,
+         {', '.join(f'w{w} AS qw{w}' for w in range(BQ_WORDS))}
+  FROM packed WHERE vec_id < {N_QUERIES}
+), ham AS (
+  SELECT q.qid, p.vec_id, CAST({_BQ_HAM_SQL} AS BIGINT) AS hamming
+  FROM q JOIN packed p ON p.vec_id <> q.qid
+), short AS (
+  SELECT qid, vec_id, hamming,
+         row_number() OVER (PARTITION BY qid ORDER BY hamming, vec_id) AS hrn
+  FROM ham
+), rerank AS (
+  SELECT s.qid, s.vec_id, s.hamming,
+         round({_SQL_DOT.format(a="q.qe", b="e.embedding")}
+               / ({_SQL_NORM.format(a="q.qe")} * {_SQL_NORM.format(a="e.embedding")}), 6)
+           AS sim
+  FROM short s
+  JOIN q ON q.qid = s.qid
+  JOIN embeddings e ON e.vec_id = s.vec_id
+  WHERE s.hrn <= {BQ_SHORTLIST}
+), ranked AS (
+  SELECT qid, vec_id, hamming, sim,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+  FROM rerank
+)
+SELECT qid, vec_id, hamming, sim, CAST(rn AS INTEGER) AS rn
+FROM ranked WHERE rn <= {TOP_K}
+"""
+
+
+def _bq_word(e: Column, w: int) -> Column:
+    """Word w of the sign-bit packing: sum of 2^j over set bits — the
+    weights are plan-time Python-int literals (1 << j), bit-identical to
+    the oracle's checked `1::BIGINT << (i-1)`."""
+    weights = F.array(
+        *[F.lit(1 << j).cast("long") for j in range(BQ_WORD_BITS)]
+    )
+    return F.aggregate(
+        F.zip_with(
+            F.slice(e, 1 + w * BQ_WORD_BITS, BQ_WORD_BITS),
+            weights,
+            lambda x, wt: F.when(x >= 0, wt).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda s, v: s + v,
+    )
+
+
+@_q("sim_bq_hamming", _BQ_SQL)
+def sim_bq_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized ANN: sign-bit packing (8 bytes/vec), Hamming
+    shortlist, exact cosine rerank of the shortlist only.
+
+    Plan shape, stage by stage: the packing is a pure integer projection
+    (JVM expressions; at scale the packed words are written once as the
+    persisted index — `layout_zorder`'s write-side pattern — so steady
+    state scans 8 B/vec, not 256 B); the Hamming pass is XOR + bit_count
+    on two BIGINT columns per pair with the Q-row query side broadcast —
+    integer codegen, no float, no Python; the per-query shortlist is the
+    WindowGroupLimit pattern (BQ_SHORTLIST rows/query survive); the exact
+    rerank joins raw vectors back for Q x BQ_SHORTLIST rows ONLY
+    (broadcast of the tiny shortlist into the embeddings scan). 100 TB:
+    corpus side never shuffles — one scan for hamming, one semi-join-
+    shaped fetch for rerank; everything wide is Q-bounded.
+
+    Quality knob: hamming on sign bits approximates angle (E[hamming] =
+    dim * theta / pi), so the shortlist needs BQ_SHORTLIST >> k — the
+    fixture run recovers the exact top-5 for most queries (visible in the
+    emitted hamming vs sim ordering), the standard BQ-rerank contract."""
+    emb = _emb(spark, sf_dir)
+    packed = emb.select(
+        "vec_id",
+        "embedding",
+        *[_bq_word(F.col("embedding"), w).alias(f"w{w}") for w in range(BQ_WORDS)],
+    )
+    q = packed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        *[F.col(f"w{w}").alias(f"qw{w}") for w in range(BQ_WORDS)],
+    )
+    ham_expr = None
+    for w in range(BQ_WORDS):
+        t = F.bit_count(F.col(f"qw{w}").bitwiseXOR(F.col(f"w{w}")))
+        ham_expr = t if ham_expr is None else ham_expr + t
+    ham = (
+        F.broadcast(q.drop("qe"))
+        .join(packed.drop("embedding"), F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", ham_expr.cast("bigint").alias("hamming"))
+    )
+    wh = W.partitionBy("qid").orderBy("hamming", "vec_id")
+    short = (
+        ham.withColumn("hrn", F.row_number().over(wh))
+        .filter(F.col("hrn") <= BQ_SHORTLIST)
+        .select("qid", "vec_id", "hamming")
+    )
+    reranked = (
+        emb.select("vec_id", F.col("embedding").alias("ce"))
+        .join(F.broadcast(short), "vec_id")
+        .join(F.broadcast(q.select("qid", "qe")), "qid")
+        .select(
+            "qid",
+            "vec_id",
+            "hamming",
+            F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("sim"),
+        )
+    )
+    wr = W.partitionBy("qid").orderBy(F.desc("sim"), "vec_id")
+    return (
+        reranked.withColumn("rn", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rn") <= TOP_K)
+    )
