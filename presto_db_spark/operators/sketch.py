@@ -618,3 +618,125 @@ def agg_khyperloglog(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --- count-min sketch: mergeable heavy-hitter counters -----------------------
+#
+# The reference's frequent-item story is `approx_most_frequent`
+# (pm/operator/aggregation/ApproximateMostFrequentFunction.java — a
+# space-saving summary). Count-min is the other classic mergeable
+# frequency sketch (Cormode-Muthukrishnan), and the one whose cells are
+# plain integer counters — the natural Spark shape, because a CMS row is
+# literally a groupBy over (hash row, bucket) with map-side combine, and
+# two sketches merge by cell-wise addition (partial/final agg for free).
+#
+# Determinism: hash j of a word is an md5-prefix integer — identical text
+# in Spark (`conv(substr(md5(..),1,8),16,10)`) and DuckDB
+# (`('0x' || substr(md5(..),1,8))::BIGINT`) — so the sketch, the
+# estimates, and the CMS overestimate invariant (est >= exact, an
+# equality-or-over that holds by construction, not probabilistically) are
+# all value-checked exactly.
+
+CMS_D = 4   # hash rows
+CMS_W = 64  # buckets per row
+CMS_TRACKED = 10  # report the top-N exact heavy hitters
+
+
+def _cms_bucket_sql(j: str, word: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('cms' || CAST({j} AS VARCHAR) || ':' || {word}), 1, 8)) "
+        f"AS BIGINT) % {CMS_W}"
+    )
+
+
+_CMS_SQL = f"""
+WITH tok AS (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word FROM documents
+), wc AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY word
+), js AS (
+  SELECT unnest(generate_series(0, {CMS_D - 1})) AS j
+), cells AS (
+  SELECT js.j, {_cms_bucket_sql('js.j', 'wc.word')} AS bucket,
+         CAST(sum(wc.cnt) AS BIGINT) AS cell
+  FROM wc CROSS JOIN js GROUP BY 1, 2
+), tracked AS (
+  SELECT word, cnt, row_number() OVER (ORDER BY cnt DESC, word) AS rk FROM wc
+), est AS (
+  SELECT t.rk, t.word, t.cnt, CAST(min(c.cell) AS BIGINT) AS est_cnt
+  FROM tracked t CROSS JOIN js
+  JOIN cells c
+    ON c.j = js.j AND c.bucket = {_cms_bucket_sql('js.j', 't.word')}
+  WHERE t.rk <= {CMS_TRACKED}
+  GROUP BY t.rk, t.word, t.cnt
+)
+SELECT CAST(rk AS INTEGER) AS rk, word, cnt AS exact_cnt, est_cnt,
+       (est_cnt >= cnt) AS over_ok
+FROM est ORDER BY rk
+"""
+
+
+def _cms_bucket_col(j, word) -> F.Column:
+    h = F.md5(F.concat(F.lit("cms"), j.cast("string"), F.lit(":"), word))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % CMS_W
+
+
+@_q("sketch_count_min", _CMS_SQL)
+def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the corpus token stream + the heavy-hitter
+    estimates it serves, with the CMS overestimate invariant pinned in
+    the output (`over_ok` — min over rows of a cell that each include the
+    word's own full count is >= the exact count BY CONSTRUCTION; the
+    oracle re-derives it, so a hash or fold bug fails the value check).
+
+    Scale shape: token counts are ONE map-side-combined groupBy (the only
+    corpus-wide shuffle); the sketch is a second aggregate over the
+    word-count table — NOT the raw stream — because sum of counts per
+    cell equals sum of occurrences per cell (aggregation pushdown; the
+    vocabulary table is orders of magnitude smaller than the corpus).
+    The materialized sketch is CMS_D x CMS_W = {d}x{w} BIGINT cells —
+    broadcast-trivial, mergeable cell-wise across shards/days (partial =
+    final = integer addition), which is the entire point of carrying CMS
+    instead of the exact vocabulary at 100 TB: the sketch is fixed-size
+    state for a streaming/incremental counter, and the estimate path
+    (tracked keys x CMS_D lookups joined against the broadcast cells)
+    never rescans the corpus. No Python anywhere; all integer codegen.
+
+    Reference anchor: approx_most_frequent
+    (ApproximateMostFrequentFunction.java) serves the same question with
+    space-saving; CMS is the mergeable-counter formulation (extension).
+    """.format(d=CMS_D, w=CMS_W)
+    from .tpch import _t
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word")
+    )
+    wc = tok.groupBy("word").agg(F.count("*").cast("long").alias("cnt"))
+    js = F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("j")
+    cells = (
+        wc.select("word", "cnt", js)
+        .select("j", _cms_bucket_col(F.col("j"), F.col("word")).alias("bucket"), "cnt")
+        .groupBy("j", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cell"))
+    )
+    # Vocabulary-bounded global ranking (same bound as text_tfidf_topk's
+    # df table): the word-count table, not the corpus, feeds this window.
+    tracked = (
+        wc.withColumn("rk", F.row_number().over(W.orderBy(F.desc("cnt"), "word")))
+        .filter(F.col("rk") <= CMS_TRACKED)
+    )
+    est = (
+        tracked.select("rk", "word", "cnt", js)
+        .withColumn("bucket", _cms_bucket_col(F.col("j"), F.col("word")))
+        .join(F.broadcast(cells), ["j", "bucket"])
+        .groupBy("rk", "word", "cnt")
+        .agg(F.min("cell").cast("long").alias("est_cnt"))
+    )
+    return est.select(
+        F.col("rk").cast("int").alias("rk"),
+        "word",
+        F.col("cnt").alias("exact_cnt"),
+        "est_cnt",
+        (F.col("est_cnt") >= F.col("cnt")).alias("over_ok"),
+    ).orderBy("rk")
