@@ -1780,3 +1780,117 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w).cast("int"))
         .filter(F.col("rk") <= _BPE_ENCODE_TOPK)
     )
+
+
+# --- corpus-frequent segment removal (CCNet/RefinedWeb line-dedup) ----------
+
+SEG_WORDS = 2  # words per segment (the fixture has no newlines; at scale
+#                the segmenter is split('\n') — the join/agg shape is
+#                identical, only this projection changes)
+SEG_DOC_PCT = 4  # boilerplate threshold: segment appears in >= 4% of docs
+
+_SEGDUP_SQL = f"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+), n AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs_total FROM documents
+), segs AS (
+  SELECT doc_id, j,
+         md5(array_to_string(list_slice(w, (j-1)*{SEG_WORDS} + 1,
+                                        j*{SEG_WORDS}), ' ')) AS h,
+         len(list_slice(w, (j-1)*{SEG_WORDS} + 1, j*{SEG_WORDS})) AS n_tok
+  FROM words, unnest(generate_series(1, (len(w)+{SEG_WORDS}-1)//{SEG_WORDS})) t(j)
+), freq AS (
+  SELECT h, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM segs GROUP BY h
+), flagged AS (
+  SELECT s.doc_id, s.n_tok,
+         CASE WHEN f.n_docs * 100 >= n.n_docs_total * {SEG_DOC_PCT}
+              THEN 1 ELSE 0 END AS dup
+  FROM segs s JOIN freq f USING (h) CROSS JOIN n
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_segs,
+       CAST(sum(dup) AS BIGINT) AS n_dup_segs,
+       CAST(sum(CASE WHEN dup = 0 THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens,
+       CAST(sum(dup) * 1000000 // count(*) AS BIGINT) AS removed_ppm
+FROM flagged GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@_q("text_segment_dedup", _SEGDUP_SQL)
+def text_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequent segment removal — the CCNet/RefinedWeb line-level
+    dedup pass: a segment that recurs across >= {pct}% of documents is
+    boilerplate (headers, navigation, license blurbs) and is dropped from
+    every document, independently of document-level dedup. The fixture
+    text has no newlines, so the segmenter is consecutive {seg}-word
+    windows; at scale it is split('\\n') — a projection-only swap, the
+    dedup shape (hash, frequency, flag, re-aggregate) is unchanged.
+
+    Per doc: segment count, dropped-segment count, surviving token count
+    and removed fraction (exact-integer ppm) — the numbers a curation
+    dashboard tracks for this pass.
+
+    Scale shape: segments shuffle ONCE as (md5, doc_id) narrow rows for
+    the frequency groupBy (map-side combined); the frequent-segment table
+    is tiny BY DEFINITION (only segments crossing the corpus-percentage
+    bar survive the HAVING — broadcast side of the flag join); the
+    corpus-size scalar is one broadcast row; the per-doc rollup reuses
+    the doc_id partitioning. The threshold is corpus-RELATIVE (integer
+    cross-multiplication, no float), so the operator discriminates at
+    every SF without retuning."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_total = docs.agg(F.count("*").cast("long").alias("n_docs_total"))
+    words = docs.select("doc_id", tokens(F.col("text")).alias("w"))
+    segs = words.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.expr(f"(size(w) + {SEG_WORDS - 1}) div {SEG_WORDS}").cast("int"),
+                ),
+                lambda j: F.slice(F.col("w"), (j - 1) * SEG_WORDS + 1, SEG_WORDS),
+            )
+        ).alias("seg"),
+    ).select(
+        "doc_id",
+        F.md5(F.array_join("seg", " ")).alias("h"),
+        F.size("seg").cast("long").alias("n_tok"),
+    )
+    freq = segs.groupBy("h").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs")
+    )
+    flagged = (
+        segs.join(freq, "h")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "doc_id",
+            "n_tok",
+            F.when(
+                F.col("n_docs") * 100 >= F.col("n_docs_total") * SEG_DOC_PCT, 1
+            )
+            .otherwise(0)
+            .alias("dup"),
+        )
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_segs"),
+            F.sum("dup").cast("long").alias("n_dup_segs"),
+            F.sum(F.when(F.col("dup") == 0, F.col("n_tok")).otherwise(0))
+            .cast("long")
+            .alias("kept_tokens"),
+            F.expr("sum(dup) * 1000000 div count(*)")
+            .cast("long")
+            .alias("removed_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+text_segment_dedup.__doc__ = text_segment_dedup.__doc__.format(
+    pct=SEG_DOC_PCT, seg=SEG_WORDS
+)
