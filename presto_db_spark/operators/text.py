@@ -1862,18 +1862,17 @@ def text_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq = segs.groupBy("h").agg(
         F.countDistinct("doc_id").cast("long").alias("n_docs")
     )
-    flagged = (
-        segs.join(freq, "h")
-        .crossJoin(F.broadcast(n_total))
-        .select(
-            "doc_id",
-            "n_tok",
-            F.when(
-                F.col("n_docs") * 100 >= F.col("n_docs_total") * SEG_DOC_PCT, 1
-            )
-            .otherwise(0)
-            .alias("dup"),
-        )
+    # Only the segments CROSSING the corpus-percentage bar join back —
+    # this is the tiny-by-definition frequent-set the docstring promises
+    # as the broadcast side (a full-frequency join would build the whole
+    # vocabulary-of-segments instead).
+    boiler = (
+        freq.crossJoin(F.broadcast(n_total))
+        .filter(F.col("n_docs") * 100 >= F.col("n_docs_total") * SEG_DOC_PCT)
+        .select("h", F.lit(1).alias("dup1"))
+    )
+    flagged = segs.join(F.broadcast(boiler), "h", "left").select(
+        "doc_id", "n_tok", F.coalesce(F.col("dup1"), F.lit(0)).alias("dup")
     )
     return (
         flagged.groupBy("doc_id")

@@ -521,3 +521,78 @@ def test_tpcds_second_variants_plan_shape(spark, sf_dir):
     # the 5%-of-average / cov screens stay scalar broadcasts, not joins
     assert plans["tpcds_q24_2"].count("BroadcastNestedLoopJoin") <= 1
     assert plans["tpcds_q39_2"].count("BroadcastNestedLoopJoin") == 0
+
+
+def test_bq_hamming_plan_shape(spark, sf_dir):
+    """sim_bq_hamming: the Hamming pass is pure integer JVM (bit_count
+    over XOR-ed packed words — no Python until the rerank), exactly ONE
+    Arrow stage exists (the sanctioned rerank cosine) and it sits above
+    the shortlist join (Q x BQ_SHORTLIST rows only), both per-query
+    top-k windows take the WindowGroupLimit rewrite, and nothing plans
+    as a cartesian product."""
+    plan = _plan(all_queries()["sim_bq_hamming"](spark, sf_dir), "simple")
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert "bit_count" in plan, plan
+    assert plan.count("WindowGroupLimit") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
+    # the Arrow rerank consumes the joined shortlist, never the raw
+    # corpus pairs: the hamming column is already present below it
+    arrow_at = plan.index("ArrowEvalPython")
+    assert "hamming" in plan[arrow_at:], plan
+
+
+def test_count_min_plan_shape(spark, sf_dir):
+    """sketch_count_min: token counts are the only corpus-wide shuffle
+    (map-side partial_count before the word exchange); the sketch is an
+    aggregate over the WORD-COUNT table, not the raw stream; the
+    tracked-key ranking plans as TakeOrderedAndProject (distributed
+    top-k — never a single-partition sort of the vocabulary); the
+    256-cell sketch broadcasts; no Python anywhere."""
+    plan = _plan(all_queries()["sketch_count_min"](spark, sf_dir), "simple")
+    assert "EvalPython" not in plan, plan
+    assert "TakeOrderedAndProject(limit=10" in plan, plan
+    assert re.search(r"partial_count\(1\)[^\n]*\n[^\n]*Generate explode\(split", plan) or re.search(
+        r"HashAggregate\(keys=\[word#\d+\], functions=\[partial_count", plan
+    ), plan
+    # sketch cells broadcast to the estimate join
+    assert re.search(
+        r"BroadcastExchange[^\n]*\n[\s:+-]*HashAggregate\(keys=\[j#\d+, bucket#\d+L?\]",
+        plan,
+    ), plan
+
+
+def test_hilbert_plan_shape(spark, sf_dir):
+    """layout_hilbert: the 16 unrolled xy2d levels stay pure-JVM integer
+    projections (no Python, no ntile); the run report takes the
+    distrank rank-only path — every window is __pid-scoped and every
+    SinglePartition exchange sits above a __pid/counts aggregate, never
+    the data (same gate as the distrank twins)."""
+    plan = _plan(all_queries()["layout_hilbert"](spark, sf_dir), "simple")
+    assert "EvalPython" not in plan and "ntile" not in plan, plan
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)", plan):
+        assert "__pid" in spec, spec
+    singles = len(re.findall(r"Exchange SinglePartition", plan))
+    gated = len(
+        re.findall(
+            r"Exchange SinglePartition[^\n]*\n[\s:]*\+- HashAggregate\("
+            r"keys=\[(?:__pid#\d+\]|\], functions=\[partial_)",
+            plan,
+        )
+    )
+    assert singles == gated, (singles, gated, plan)
+
+
+def test_segment_dedup_plan_shape(spark, sf_dir):
+    """text_segment_dedup: the flag join's build side is the FILTERED
+    frequent-segment set (the corpus-relative threshold filter sits
+    under the BroadcastExchange), joined LEFT OUTER so the corpus side
+    streams; the per-doc rollup is a map-side-combined hash aggregate;
+    no Python."""
+    plan = _plan(all_queries()["text_segment_dedup"](spark, sf_dir), "simple")
+    assert "EvalPython" not in plan, plan
+    assert "LeftOuter, BuildRight" in plan, plan
+    # the corpus-relative threshold prunes the build side BELOW the
+    # broadcast (as a Filter or folded into the scalar-attach join cond)
+    bx = plan.index("LeftOuter, BuildRight")
+    assert re.search(r"\(n_docs#\d+L \* 100\) >= \(n_docs_total#\d+L \* \d+\)", plan[bx:]), plan[bx:]
+    assert "partial_count(1), partial_sum(dup" in plan, plan
