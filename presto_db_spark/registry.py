@@ -83,9 +83,11 @@ _BATTERY_HEAD: list[str] = [
     # events / range / skew (as-of stays oracle-checked outside the head)
     "events_range_join", "events_sessionize",
     "skew_salted_join",
-    # sketches + digests (sketch_tdigest rotated out r10 for tpcds_q24_2;
-    # stays green in CORRECTNESS_FULL)
-    "agg_hll_sketch", "tpcds_q24_2",
+    # sketches + digests (sketch_tdigest rotated out r10 for tpcds_q24_2,
+    # agg_hll_sketch rotated out r10b for sketch_count_min — the sketch
+    # family stays head-covered via agg_set_digest + count-min; both
+    # rotated entries stay green in CORRECTNESS_FULL)
+    "sketch_count_min", "tpcds_q24_2",
     # geospatial (grid join, WKT intersects join, polygon clip ops,
     # DE-9IM relate; geo_wkb_roundtrip served its r06→r07 regression
     # purpose — demoted r08 to make room for sim_pq_adc, stays green in
@@ -108,9 +110,13 @@ _BATTERY_HEAD: list[str] = [
     # two head slots; PQ is the new ANN-compression flagship). Displaced
     # entries stay oracle-checked in CORRECTNESS_FULL every round.
     # (text_decontaminate + dedup_substring_spans rotated out r09)
+    # (r10b: dedup_semantic → layout_hilbert — the layout family gets a
+    # head slot now that the run-based Hilbert report carries a measured
+    # locality win; text_bm25_topk → text_segment_dedup — the CCNet
+    # line-dedup pass; displaced entries stay green in CORRECTNESS_FULL)
     "text_sequence_packing", "dedup_minhash_lsh",
-    "dedup_semantic",
-    "pipeline_training_corpus", "text_bm25_topk",
+    "layout_hilbert",
+    "pipeline_training_corpus", "text_segment_dedup",
     # round-9 flagships: the chained BPE trainer, both eval harnesses
     # (quality measured, not asserted), the M4 downsample, the CDC fold,
     # and Matryoshka two-stage retrieval
@@ -124,11 +130,12 @@ _BATTERY_HEAD: list[str] = [
     # presto-ml distributed trainers
     "ml_classify_centroid",
     # streaming (streaming_late_data also sits in the flagship block
-    # above) + the PQ/ADC ANN-compression flagship (r07 intended this
-    # rotation but the list ran 51 long and the old [:50] slice silently
-    # truncated it — VERDICT r07 "what's wrong" #2; the hard assert below
-    # replaces the slice so intent and battery size can never diverge).
-    "streaming_session_window", "sim_pq_adc",
+    # above) + the ANN-compression flagship slot (r07: sim_pq_adc after
+    # the 51-long-list truncation fix — VERDICT r07 "what's wrong" #2;
+    # r10b: sim_pq_adc → sim_bq_hamming, the 1-bit rung below PQ, whose
+    # recall is carried by sim_ann_recall in the head; sim_pq_adc stays
+    # green in CORRECTNESS_FULL and benched in bench.py).
+    "streaming_session_window", "sim_bq_hamming",
 ]
 
 if len(_BATTERY_HEAD) > 50:
