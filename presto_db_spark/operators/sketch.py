@@ -709,10 +709,7 @@ def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .tpch import _t
 
     (docs,) = _t(spark, sf_dir, "documents")
-    tok = docs.select(
-        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word")
-    )
-    wc = tok.groupBy("word").agg(F.count("*").cast("long").alias("cnt"))
+    wc = _cms_word_counts(docs)
     js = F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("j")
     cells = (
         wc.select("word", "cnt", js)
@@ -720,8 +717,26 @@ def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("j", "bucket")
         .agg(F.sum("cnt").cast("long").alias("cell"))
     )
+    return cms_estimate_report(docs, cells)
+
+
+def _cms_word_counts(docs: DataFrame) -> DataFrame:
+    tok = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word")
+    )
+    return tok.groupBy("word").agg(F.count("*").cast("long").alias("cnt"))
+
+
+def cms_estimate_report(docs: DataFrame, cells: DataFrame) -> DataFrame:
+    """Heavy-hitter report from a CMS cell table — shared by the batch
+    operator and the streaming twin (whose cells are GroupState counters
+    folded across microbatches; cell-wise addition is associative, so
+    the stream-built sketch is bit-identical to the batch one)."""
+    wc = _cms_word_counts(docs)
+    js = F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("j")
     # Vocabulary-bounded global ranking (same bound as text_tfidf_topk's
-    # df table): the word-count table, not the corpus, feeds this window.
+    # df table): the word-count table, not the corpus, feeds this window;
+    # Catalyst plans it as TakeOrderedAndProject (plan-gated).
     tracked = (
         wc.withColumn("rk", F.row_number().over(W.orderBy(F.desc("cnt"), "word")))
         .filter(F.col("rk") <= CMS_TRACKED)

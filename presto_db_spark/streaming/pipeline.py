@@ -1115,3 +1115,68 @@ def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_changes",
         "n_deletes",
     )
+
+
+# --- streaming count-min sketch (mergeable counters as GroupState) ----------
+
+from ..operators.sketch import _CMS_SQL as _BATCH_CMS_SQL  # noqa: E402
+
+
+@_q("streaming_count_min", _BATCH_CMS_SQL)
+def streaming_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of ``sketch_count_min`` — the count-min sketch as
+    it actually runs in an ingestion pipeline: documents arrive in
+    microbatches, each batch's tokens fan out to their (hash row, bucket)
+    cells, and every cell is ONE BIGINT GroupState counter (CMS_D x CMS_W
+    keys, fixed state no matter the stream length — the entire point of
+    carrying CMS instead of exact counts). Cell addition is associative
+    and commutative, so the stream-built sketch is bit-identical to the
+    batch sketch and the oracle is the BATCH CMS SQL itself (the
+    streaming_cdc_apply pattern). The counter is monotone, so the final
+    cell value is the max across a key's per-batch emissions.
+
+    The heavy-hitter report (tracked keys, min-over-rows estimate,
+    pinned overestimate invariant) is the SAME code path as batch
+    (`cms_estimate_report`), fed by the streamed cells."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    from ..operators.sketch import CMS_D, _cms_bucket_col, cms_estimate_report
+
+    stream = documents_stream(spark, sf_dir)
+    toks = stream.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word")
+    ).select(
+        "word",
+        F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("j"),
+    ).select(
+        "j", _cms_bucket_col(F.col("j"), F.col("word")).alias("bucket")
+    )
+
+    out_schema = StructType(
+        [
+            StructField("j", IntegerType()),
+            StructField("bucket", LongType()),
+            StructField("cell", LongType()),
+        ]
+    )
+    state_schema = StructType([StructField("n", LongType())])
+
+    def update(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        (n,) = state.get if state.exists else (0,)
+        for pdf in pdf_iter:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"j": [key[0]], "bucket": [key[1]], "cell": [n]})
+
+    res = toks.groupBy("j", "bucket").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    raw = _run_to_completion(res, "stream_cms", "update")
+    cells = raw.groupBy("j", "bucket").agg(F.max("cell").cast("long").alias("cell"))
+    from ..catalog import load_table
+
+    return cms_estimate_report(load_table(spark, sf_dir, "documents"), cells)
