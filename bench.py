@@ -420,6 +420,13 @@ HEADLINE = CORE17 + [
     # number, not a design claim.
     "events_rfm_scores_scalable",
     "part_abc_scalable",
+    # r10b: the 1-bit ANN rung (XOR+popcount shortlist + bounded rerank),
+    # the CCNet segment-dedup pass (corpus-frequent-set broadcast), and
+    # the Hilbert run report (16-level integer chain + distrank path) —
+    # all new operators whose scale claims deserve a recorded time.
+    "sim_bq_hamming",
+    "text_segment_dedup",
+    "layout_hilbert",
 ]
 
 # Local-iteration escape hatch: BENCH_ONLY=a,b,c restricts the suite to a
