@@ -1043,3 +1043,114 @@ def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     media = docs.select("doc_id").mapInPandas(_wav_encode_batches, _BMP_SCHEMA)
     return media.mapInPandas(_afp_decode_batches, _AFP_FEAT_SCHEMA).orderBy("doc_id")
+
+
+# --- ViT-style patch tokenization over the real BMP payloads ----------------
+
+PATCH = 4  # patch side in pixels
+
+_PATCH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("py", T.IntegerType()),
+        T.StructField("px", T.IntegerType()),
+        T.StructField("n_px", T.LongType()),
+        T.StructField("sum_rgb", T.LongType()),
+        T.StructField("mean_rgb_e2", T.LongType()),
+    ]
+)
+
+
+def _patchify_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Parse the BMP (same byte-level reader as `_bmp_decode_batches`),
+    then cut the pixel grid into PATCH x PATCH tiles with ragged edges —
+    the exact preprocessing a ViT-style vision encoder applies before
+    embedding. Per image the tile loop is <= ceil(h/4)*ceil(w/4)
+    iterations (bounded by image size, not pixel count); per-tile work is
+    one vectorized numpy slice-sum."""
+    import struct
+
+    import numpy as np
+
+    for pdf in batches:
+        out = {k: [] for k in ("doc_id", "py", "px", "n_px", "sum_rgb", "mean_rgb_e2")}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            buf = bytes(payload)
+            magic, _size, _r1, _r2, off = struct.unpack_from("<2sIHHI", buf, 0)
+            if magic != b"BM":
+                raise ValueError("not a BMP payload")
+            _hsz, w, h, _pl, bpp = struct.unpack_from("<IiiHH", buf, 14)
+            if bpp != 24:
+                raise ValueError(f"unsupported BMP depth: {bpp}")
+            stride = w * 3 + (-(w * 3)) % 4
+            px = (
+                np.frombuffer(buf, dtype=np.uint8, count=h * stride, offset=off)
+                .reshape(h, stride)[:, : w * 3]
+                .reshape(h, w, 3)
+                .astype(np.int64)[::-1]  # BMP rows are bottom-up: flip to image space
+            )
+            for py in range((h + PATCH - 1) // PATCH):
+                for qx in range((w + PATCH - 1) // PATCH):
+                    tile = px[py * PATCH : (py + 1) * PATCH,
+                              qx * PATCH : (qx + 1) * PATCH, :]
+                    n = tile.shape[0] * tile.shape[1]
+                    s = int(tile.sum())
+                    out["doc_id"].append(int(doc_id))
+                    out["py"].append(py)
+                    out["px"].append(qx)
+                    out["n_px"].append(n)
+                    out["sum_rgb"].append(s)
+                    out["mean_rgb_e2"].append(s * 100 // (n * 3))
+        yield pd.DataFrame(out)
+
+
+_PATCH_CHAN = (
+    "list_sum(flatten(list_transform("
+    "generate_series(py * {p}, least(py * {p} + {p1}, h - 1)), y -> "
+    "list_transform(generate_series(px * {p}, least(px * {p} + {p1}, w - 1)), x -> "
+    "(doc_id * 3 + x * 7 + y * 11) % 256 + (doc_id * 5 + x * 13 + y * 3) % 256"
+    " + (doc_id * 7 + x + y * 17) % 256))))"
+).format(p=PATCH, p1=PATCH - 1)
+
+_PATCH_ORACLE = f"""
+WITH g AS (
+  SELECT doc_id, 8 + doc_id % 9 AS w, 4 + doc_id % 5 AS h
+  FROM documents WHERE doc_id < 300
+), tiles AS (
+  SELECT doc_id, w, h, py, px,
+         (least(py * {PATCH} + {PATCH - 1}, h - 1) - py * {PATCH} + 1)
+           * (least(px * {PATCH} + {PATCH - 1}, w - 1) - px * {PATCH} + 1) AS n_px,
+         {_PATCH_CHAN} AS sum_rgb
+  FROM g,
+       unnest(generate_series(0, (h + {PATCH - 1}) // {PATCH} - 1)) t1(py),
+       unnest(generate_series(0, (w + {PATCH - 1}) // {PATCH} - 1)) t2(px)
+)
+SELECT doc_id, CAST(py AS INTEGER) AS py, CAST(px AS INTEGER) AS px,
+       CAST(n_px AS BIGINT) AS n_px, CAST(sum_rgb AS BIGINT) AS sum_rgb,
+       CAST(sum_rgb * 100 // (n_px * 3) AS BIGINT) AS mean_rgb_e2
+FROM tiles ORDER BY doc_id, py, px
+"""
+
+
+@_q("multimodal_patchify", _PATCH_ORACLE)
+def multimodal_patchify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image → patch tokens: synthesize the real 24-bit BMP payload, ship
+    it as opaque bytes, parse it back byte-level, and cut the pixel grid
+    into {p}x{p} tiles with ragged edges — the preprocessing every
+    ViT-family vision encoder applies before embedding (the embed step
+    itself is the container-gated codec boundary; the Spark-side
+    plumbing — schema, Arrow batch shape, per-tile exact-integer
+    features — is fully real and value-checked). The oracle predicts
+    every tile's pixel sum closed-form from the generation formulas, so
+    the BMP writer, the parser, and the ragged tiling are all under the
+    value hash.
+
+    100 TB: shuffle-free — encode and patchify are chained Arrow stages
+    over the same partitioning; output fans out ~(hw/{p}²) rows per
+    image, each a narrow integer token row ready for
+    `text_sequence_packing`-style batching downstream.""".format(p=PATCH)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    media = docs.select("doc_id").mapInPandas(_bmp_encode_batches, _BMP_SCHEMA)
+    return media.mapInPandas(_patchify_batches, _PATCH_SCHEMA).orderBy(
+        "doc_id", "py", "px"
+    )

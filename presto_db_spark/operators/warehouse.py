@@ -536,20 +536,80 @@ FROM ranked GROUP BY run_id
 """
 
 
+_HILBERT_UDF = None
+
+
+def _hilbert_pd():
+    global _HILBERT_UDF
+    if _HILBERT_UDF is None:
+        _HILBERT_UDF = F.pandas_udf(_hilbert_impl, "long")
+    return _HILBERT_UDF
+
+
+def _hilbert_impl(x, y):
+    """All 16 xy2d levels in ONE Arrow batch pass — vectorized int64
+    numpy, rows in parallel, levels sequential. Bit-identical to the
+    unrolled CASE-expression chain (`_hkeyed_orders_expr`,
+    parity-pinned in tests/test_zorder_layout.py) and to the oracle's
+    CTE chain: every operation is exact integer arithmetic.
+
+    Why Python here when `layout_zorder` stays pure-JVM: the 16-level
+    chain is 16 stacked Projects of non-cheap CASE trees — measured 3 s
+    cold / JIT-deopt-unstable per execution at sf0.1 (5-16 s full-op
+    scatter on identical plans), the same pathology that moved the
+    cosine fold to `similarity._cosine_pd`. The Arrow pass is one batch
+    transfer + 16 vectorized numpy steps (sub-ms per 100k rows)."""
+    import numpy as np
+    import pandas as pd
+
+    X = x.to_numpy().astype(np.int64).copy()
+    Y = y.to_numpy().astype(np.int64).copy()
+    D = np.zeros_like(X)
+    n1 = np.int64(_H_SIDE - 1)
+    for k in range(_Z_BITS - 1, -1, -1):
+        s = np.int64(1 << k)
+        rx = (X & s) > 0
+        ry = (Y & s) > 0
+        D += (s * s) * ((3 * rx.astype(np.int64)) ^ ry.astype(np.int64))
+        swap = ~ry
+        refl = swap & rx
+        nX = np.where(swap, np.where(refl, n1 - Y, Y), X)
+        nY = np.where(swap, np.where(refl, n1 - X, X), Y)
+        X, Y = nX, nY
+    return pd.Series(D)
+
+
 def _hkeyed_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Orders with the exact-integer Hilbert key (same normalized inputs
-    as `_zkeyed_orders`; 16 chained integer projections — one codegen
-    stage, zero shuffle)."""
+    as `_zkeyed_orders`); the key is one Arrow batch pass — see
+    `_hilbert_impl` for why this beats the unrolled JVM chain."""
+    z = _zkeyed_orders(spark, sf_dir).select("o_orderkey", "xr", "yr", "x", "y")
+    return z.select(
+        "o_orderkey", "xr", "yr",
+        _hilbert_pd()(F.col("x"), F.col("y")).alias("hkey"),
+    )
+
+
+def _hkeyed_orders_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pure-expression twin of `_hkeyed_orders`: 16 chained integer
+    Projects generated from the SAME `_hilbert_step` formula text the
+    DuckDB oracle inlines. Kept for composition and the three-way parity
+    test (expression chain == Arrow pass == oracle); the operator path
+    uses the Arrow form (JIT-deopt measurements in `_hilbert_impl`)."""
     z = _zkeyed_orders(spark, sf_dir).select(
         "o_orderkey", "xr", "yr", "x", "y"
     ).withColumn("d", F.lit(0).cast("bigint"))
     for k in range(_Z_BITS - 1, -1, -1):
         nx, ny, inc = _hilbert_step(1 << k, "({a} ^ {b})")
+        # aliases may target "x"/"y" directly: select computes from INPUT
+        # columns only (no withColumnsRenamed — that triggers an eager
+        # schema analysis of the growing plan on every level, measured
+        # ~5 s of pure driver time at 16 levels)
         z = z.select(
             "o_orderkey", "xr", "yr",
-            F.expr(nx).alias("_nx"), F.expr(ny).alias("_ny"),
+            F.expr(nx).alias("x"), F.expr(ny).alias("y"),
             (F.col("d") + F.expr(inc)).alias("d"),
-        ).withColumnsRenamed({"_nx": "x", "_ny": "y"})
+        )
     return z.select("o_orderkey", "xr", "yr", F.col("d").alias("hkey"))
 
 
@@ -596,10 +656,11 @@ def layout_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
     Morton's — measured against the Z-order twin, not asserted (see
     tests/test_zorder_layout.py::test_hilbert_run_locality_vs_zorder).
 
-    100 TB: one tiny broadcast bounds agg; the 16 unrolled xy2d levels
-    are pure integer CASE projections in ONE WholeStageCodegen stage
-    (no Python, no shuffle); the run report is the scalable global-index
-    path (one range exchange) + a run_id groupBy. Write side:
+    100 TB: one tiny broadcast bounds agg; the 16 xy2d levels run as ONE
+    Arrow batch pass (vectorized int64 numpy — the JVM CASE-chain twin is
+    kept and parity-pinned, but measured JIT-deopt-unstable; see
+    `_hilbert_impl`), zero shuffle; the run report is the scalable
+    global-index path (one range exchange) + a run_id groupBy. Write side:
     `repartitionByRange(hkey).sortWithinPartitions(hkey)` before the
     parquet write, exactly as Iceberg's hilbert sort order does.""".format(
         runs=_H_RUNS

@@ -562,13 +562,22 @@ def test_count_min_plan_shape(spark, sf_dir):
 
 
 def test_hilbert_plan_shape(spark, sf_dir):
-    """layout_hilbert: the 16 unrolled xy2d levels stay pure-JVM integer
-    projections (no Python, no ntile); the run report takes the
-    distrank rank-only path — every window is __pid-scoped and every
-    SinglePartition exchange sits above a __pid/counts aggregate, never
-    the data (same gate as the distrank twins)."""
+    """layout_hilbert: the Hilbert key is exactly ONE Arrow stage (the
+    16-level vectorized pass — the JVM CASE-chain twin measured
+    JIT-deopt-unstable, see _hilbert_impl; no other Python anywhere);
+    the run report takes the distrank rank-only path — every window is
+    __pid-scoped and every SinglePartition exchange sits above a
+    __pid/counts aggregate, never the data (same gate as the distrank
+    twins). The key pass runs inside the global_index checkpoint, so
+    the visible plan reads the materialized blocks: assert the Arrow
+    stage count on the UNCHECKPOINTED keyed frame instead."""
+    from presto_db_spark.operators import warehouse as wh
+
+    keyed_plan = _plan(wh._hkeyed_orders(spark, sf_dir), "simple")
+    assert keyed_plan.count("ArrowEvalPython") == 1, keyed_plan
+    assert "BatchEvalPython" not in keyed_plan, keyed_plan
     plan = _plan(all_queries()["layout_hilbert"](spark, sf_dir), "simple")
-    assert "EvalPython" not in plan and "ntile" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ntile" not in plan, plan
     for spec in re.findall(r"windowspecdefinition\(([^)]*)", plan):
         assert "__pid" in spec, spec
     singles = len(re.findall(r"Exchange SinglePartition", plan))

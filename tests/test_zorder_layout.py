@@ -163,3 +163,22 @@ def test_hilbert_run_locality_vs_zorder(spark, sf_dir):
     hc, hd = metric(wh.QUERIES["layout_hilbert"](spark, sf_dir).collect())
     assert hc + hd < zc + zd, (hc, hd, zc, zd)
     assert hc <= zc * 1.02 and hd <= zd * 1.02, (hc, hd, zc, zd)
+
+
+def test_hilbert_arrow_matches_expression_chain(spark, sf_dir):
+    """Three-way parity anchor: the Arrow xy2d pass (operator path) must
+    equal the pure-JVM CASE-expression chain generated from the SAME
+    formula text the DuckDB oracle inlines. (Arrow == oracle is pinned by
+    the registry value-hash; this pins Arrow == JVM-chain, closing the
+    triangle.)"""
+    from presto_db_spark.operators import warehouse as wh
+
+    a = {
+        r.o_orderkey: r.hkey
+        for r in wh._hkeyed_orders(spark, sf_dir).collect()
+    }
+    b = {
+        r.o_orderkey: r.hkey
+        for r in wh._hkeyed_orders_expr(spark, sf_dir).collect()
+    }
+    assert a == b and len(a) > 0
