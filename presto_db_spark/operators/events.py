@@ -923,3 +923,108 @@ def events_json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cents"),
         F.countDistinct("user_id").alias("users"),
     )
+
+
+# --- multi-touch attribution (first / last / linear credit) ------------------
+
+ATTR_WINDOW_S = 86400  # lookback: touches within 24 h before the conversion
+ATTR_PPM = 1_000_000
+
+_ATTR_SQL = f"""
+WITH touches AS (
+  SELECT user_id, ts AS tts, event_id AS tid, event_type AS channel
+  FROM events WHERE event_type IN ('click', 'view')
+), purch AS (
+  SELECT user_id, ts AS pts, event_id AS pid
+  FROM events WHERE event_type = 'purchase'
+), joined AS (
+  SELECT p.pid, t.channel, t.tts, t.tid
+  FROM touches t JOIN purch p
+    ON t.user_id = p.user_id
+   AND p.pts > t.tts AND p.pts <= t.tts + INTERVAL {ATTR_WINDOW_S} SECOND
+), ranked AS (
+  SELECT pid, channel,
+         row_number() OVER (PARTITION BY pid ORDER BY tts, tid) AS rn_a,
+         row_number() OVER (PARTITION BY pid ORDER BY tts DESC, tid DESC) AS rn_d,
+         count(*) OVER (PARTITION BY pid) AS n
+  FROM joined
+), credited AS (
+  SELECT pid, channel,
+         CASE WHEN rn_a = 1 THEN {ATTR_PPM} ELSE 0 END AS first_ppm,
+         CASE WHEN rn_d = 1 THEN {ATTR_PPM} ELSE 0 END AS last_ppm,
+         {ATTR_PPM} // n
+           + (CASE WHEN rn_d = 1 THEN {ATTR_PPM} % n ELSE 0 END) AS linear_ppm
+  FROM ranked
+)
+SELECT channel,
+       CAST(count(*) AS BIGINT) AS n_touches,
+       CAST(count(DISTINCT pid) AS BIGINT) AS n_conversions,
+       CAST(sum(first_ppm) AS BIGINT) AS first_ppm,
+       CAST(sum(last_ppm) AS BIGINT) AS last_ppm,
+       CAST(sum(linear_ppm) AS BIGINT) AS linear_ppm
+FROM credited GROUP BY channel ORDER BY channel
+"""
+
+
+@_q("events_attribution", _ATTR_SQL)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution — the marketing-analytics staple: every
+    purchase distributes conversion credit over the click/view touchpoints
+    of the same user in the 24 h before it, under THREE models at once
+    (first-touch, last-touch, linear), reported per channel in exact ppm.
+    Linear credit is integer floor division with the remainder assigned
+    to the last touch, so per-conversion credit sums to exactly
+    {ppm} ppm — an auditable integer invariant (pinned in
+    tests/test_events.py) instead of a float that almost sums to 1.
+
+    Scale shape: the touch-to-conversion pairing routes through the
+    bucketized ``range_join`` (same device as events_funnel — per-bucket
+    candidates bounded by window width, never user-key cardinality, so a
+    bot user cannot land quadratic pairs on one reducer); the credit
+    ranking is ONE window shuffle keyed on the conversion id (both
+    row_numbers and the count share the pid partitioning); the channel
+    rollup is a map-side-combined aggregate over a channel-cardinality
+    key. No Python, no float anywhere.""".format(ppm=ATTR_PPM)
+    from .rangejoin import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    touches = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        F.col("ts").alias("tts"),
+        F.col("event_id").alias("tid"),
+        F.col("event_type").alias("channel"),
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), F.col("event_id").alias("pid")
+    )
+    joined = range_join(touches, purch, ["user_id"], "tts", "pts", ATTR_WINDOW_S)
+
+    wp = W.partitionBy("pid")
+    ranked = joined.select("pid", "channel", "tts", "tid").select(
+        "pid",
+        "channel",
+        F.row_number().over(wp.orderBy("tts", "tid")).alias("rn_a"),
+        F.row_number().over(wp.orderBy(F.desc("tts"), F.desc("tid"))).alias("rn_d"),
+        F.count("*").over(wp).alias("n"),
+    )
+    credited = ranked.select(
+        "pid",
+        "channel",
+        F.when(F.col("rn_a") == 1, ATTR_PPM).otherwise(0).alias("first_ppm"),
+        F.when(F.col("rn_d") == 1, ATTR_PPM).otherwise(0).alias("last_ppm"),
+        (
+            F.expr(f"{ATTR_PPM} div n")
+            + F.when(F.col("rn_d") == 1, F.expr(f"{ATTR_PPM} % n")).otherwise(0)
+        ).alias("linear_ppm"),
+    )
+    return (
+        credited.groupBy("channel")
+        .agg(
+            F.count("*").cast("long").alias("n_touches"),
+            F.countDistinct("pid").cast("long").alias("n_conversions"),
+            F.sum("first_ppm").cast("long").alias("first_ppm"),
+            F.sum("last_ppm").cast("long").alias("last_ppm"),
+            F.sum("linear_ppm").cast("long").alias("linear_ppm"),
+        )
+        .orderBy("channel")
+    )
