@@ -1028,3 +1028,80 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# --- DAU / MAU / stickiness --------------------------------------------------
+
+MAU_DAYS = 30
+
+_DAU_MAU_SQL = f"""
+WITH activity AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+), days AS (
+  SELECT DISTINCT d FROM activity
+), dau AS (
+  SELECT d, CAST(count(DISTINCT user_id) AS BIGINT) AS dau FROM activity GROUP BY d
+), contrib AS (
+  SELECT a.d + CAST(i AS INTEGER) AS td, a.user_id
+  FROM activity a, unnest(generate_series(0, {MAU_DAYS - 1})) t(i)
+), mau AS (
+  SELECT c.td AS d, CAST(count(DISTINCT c.user_id) AS BIGINT) AS mau
+  FROM contrib c JOIN days ON days.d = c.td
+  GROUP BY c.td
+)
+SELECT dau.d, dau.dau, mau.mau,
+       CAST(dau.dau * 1000000 // mau.mau AS BIGINT) AS stickiness_ppm
+FROM dau JOIN mau ON dau.d = mau.d
+ORDER BY dau.d
+"""
+
+
+@_q("events_dau_mau", _DAU_MAU_SQL)
+def events_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / MAU / stickiness (DAU÷MAU in exact ppm) per active day — the
+    product-analytics vital sign. The rolling 30-day distinct-user count
+    is NOT a windowed distinct (no engine does distinct-in-frame
+    efficiently) and NOT a date-range theta join: each (day, user)
+    activity row EXPLODES into the {m} forward days it contributes to,
+    turning MAU into a plain countDistinct per target day — pure
+    equi-aggregation.
+
+    Scale shape: the (day, user) activity table is the corpus's distinct
+    footprint (bounded by users x days, far below raw events, built with
+    one map-side-combined distinct); the {m}x fan-out multiplies that
+    FOOTPRINT, not the event stream; the day filter is a broadcast
+    semi-join against the tiny date dimension; both rollups are
+    map-side-combined aggregates keyed on date. No Python, no float —
+    stickiness is integer cross-multiplied ppm.""".format(m=MAU_DAYS)
+    ev = load_table(spark, sf_dir, "events")
+    activity = ev.select(
+        F.col("ts").cast("date").alias("d"), "user_id"
+    ).distinct()
+    days = activity.select("d").distinct()
+    dau = activity.groupBy("d").agg(
+        F.countDistinct("user_id").cast("long").alias("dau")
+    )
+    contrib = activity.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(MAU_DAYS - 1)),
+                lambda i: F.date_add(F.col("d"), i),
+            )
+        ).alias("td"),
+        "user_id",
+    )
+    mau = (
+        contrib.join(F.broadcast(days), contrib["td"] == days["d"])
+        .groupBy("td")
+        .agg(F.countDistinct("user_id").cast("long").alias("mau"))
+    )
+    return (
+        dau.join(mau, dau["d"] == mau["td"])
+        .select(
+            dau["d"],
+            "dau",
+            "mau",
+            F.expr("dau * 1000000 div mau").cast("long").alias("stickiness_ppm"),
+        )
+        .orderBy("d")
+    )
