@@ -1105,3 +1105,102 @@ def events_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+# --- CUSUM change-point detection --------------------------------------------
+
+CUSUM_H_CENTS = 25_000  # alarm threshold: cumulative positive drift > 250.00
+
+_CUSUM_SQL = f"""
+WITH c AS (
+  SELECT user_id, event_type, event_id, ts,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), t AS (
+  SELECT event_type, CAST(sum(cents) // count(*) AS BIGINT) AS tgt
+  FROM c GROUP BY event_type
+), s AS (
+  SELECT c.user_id, c.event_type, c.ts, c.event_id,
+         sum(c.cents - t.tgt) OVER (
+           PARTITION BY c.user_id, c.event_type
+           ORDER BY c.ts, c.event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+  FROM c JOIN t USING (event_type)
+), cu AS (
+  SELECT user_id, event_type,
+         run - least(0, min(run) OVER (
+           PARTITION BY user_id, event_type
+           ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS cusum
+  FROM s
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN cusum > {CUSUM_H_CENTS} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_alarm_rows,
+       CAST(count(DISTINCT CASE WHEN cusum > {CUSUM_H_CENTS} THEN user_id END)
+         AS BIGINT) AS n_users_alarmed,
+       CAST(max(cusum) AS BIGINT) AS max_cusum_cents
+FROM cu GROUP BY event_type ORDER BY event_type
+"""
+
+
+@_q("events_cusum_changepoint", _CUSUM_SQL)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM (cumulative-sum) positive-drift change-point detection per
+    (user, event_type) stream — the classical sequential drift detector
+    (Page 1954), complementing the bounded-window z-score anomaly op:
+    z-score flags POINT outliers, CUSUM accumulates SUSTAINED small
+    shifts above the per-type target until the cumulative excess crosses
+    the decision threshold h.
+
+    The recursive textbook form S_i = max(0, S_{i-1} + dev_i) is not a
+    window function, but it has a closed form: S_i = run_i - min(0,
+    min(run_j, j<=i)) where run is the plain cumulative sum of deviations
+    (the 0 is the empty prefix — dropping it understates S whenever every
+    prefix sum stays positive; identity replayed against the recursive
+    form row-by-row in tests/test_events.py) — so the
+    whole detector is TWO stacked unbounded-preceding windows over the
+    SAME (user, type) partitioning and (ts, event_id) order: one shuffle
+    total, O(1) state per row, no recursion, no Python. Deviations are
+    exact integer cents against an integer floor-mean target (one
+    broadcast 5-row aggregate), so the alarm boundary cannot drift by an
+    ulp between engines.
+
+    100 TB: partitions are (user, type) — high cardinality, bounded
+    per-user history; both windows run in the one sorted pass; the
+    rollup is a map-side-combined aggregate on event_type."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    t = c.groupBy("event_type").agg(
+        F.expr("sum(cents) div count(*)").cast("bigint").alias("tgt")
+    )
+    w = (
+        W.partitionBy("user_id", "event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    s = c.join(F.broadcast(t), "event_type").withColumn(
+        "run", F.sum(F.col("cents") - F.col("tgt")).over(w)
+    )
+    cu = s.withColumn(
+        "cusum", F.col("run") - F.least(F.lit(0), F.min("run").over(w))
+    )
+    alarm = F.col("cusum") > CUSUM_H_CENTS
+    return (
+        cu.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(F.when(alarm, 1).otherwise(0)).cast("long").alias("n_alarm_rows"),
+            F.countDistinct(F.when(alarm, F.col("user_id")))
+            .cast("long")
+            .alias("n_users_alarmed"),
+            F.max("cusum").cast("long").alias("max_cusum_cents"),
+        )
+        .orderBy("event_type")
+    )
