@@ -605,3 +605,57 @@ def test_segment_dedup_plan_shape(spark, sf_dir):
     bx = plan.index("LeftOuter, BuildRight")
     assert re.search(r"\(n_docs#\d+L \* 100\) >= \(n_docs_total#\d+L \* \d+\)", plan[bx:]), plan[bx:]
     assert "partial_count(1), partial_sum(dup" in plan, plan
+
+
+def test_attribution_dau_cusum_patchify_plan_shape(spark, sf_dir):
+    """Round-10b event/multimodal ops — pin each scale claim:
+
+    * events_attribution: the touch↔conversion pairing is the bucketized
+      range join (equi on (user_id, _rj_bucket), never a residual-only
+      theta/cartesian); all three credit windows share the ONE pid
+      exchange; no Python.
+    * events_cusum_changepoint: both CUSUM windows ride a single
+      (user_id, event_type) exchange with the same (ts, event_id) order;
+      the target table broadcasts; no Python.
+    * events_dau_mau: no cartesian/theta anywhere — the 30-day window is
+      the contribution explode + broadcast date-dim semi-joins; every
+      exchange key is a date or (date, user) footprint; no Python.
+    * multimodal_patchify: exactly two Arrow stages (encode, patchify)
+      and the only exchange is the presentation orderBy.
+    """
+    plans = {
+        n: _plan(all_queries()[n](spark, sf_dir), "simple")
+        for n in [
+            "events_attribution",
+            "events_cusum_changepoint",
+            "events_dau_mau",
+            "multimodal_patchify",
+        ]
+    }
+    for n, p in plans.items():
+        assert "CartesianProduct" not in p, (n, p)
+        assert "BroadcastNestedLoopJoin" not in p, (n, p)
+
+    p = plans["events_attribution"]
+    assert "EvalPython" not in p, p
+    assert re.search(r"BroadcastHashJoin \[user_id#\d+L, _rj_bucket#\d+L\]", p), p
+    specs = re.findall(r"windowspecdefinition\((\w+)#", p)
+    assert specs and set(specs) == {"pid"}, specs
+    assert len(re.findall(r"Exchange hashpartitioning\(pid#", p)) == 1, p
+
+    p = plans["events_cusum_changepoint"]
+    assert "EvalPython" not in p, p
+    specs = re.findall(r"windowspecdefinition\((\w+)#\d+L?, (\w+)#", p)
+    assert specs and set(specs) == {("user_id", "event_type")}, specs
+    assert (
+        len(re.findall(r"Exchange hashpartitioning\(user_id#\d+L, event_type#", p))
+        == 1
+    ), p
+
+    p = plans["events_dau_mau"]
+    assert "EvalPython" not in p, p
+    assert plans["events_dau_mau"].count("BroadcastHashJoin") >= 2, p
+
+    p = plans["multimodal_patchify"]
+    assert p.count("MapInPandas") == 2, p
+    assert len(re.findall(r"Exchange (?!rangepartitioning)", p)) == 0, p
