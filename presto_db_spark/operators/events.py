@@ -1204,3 +1204,71 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- path analysis (Sankey): top 3-step event paths ---------------------------
+
+PATH_TOP_K = 15
+
+_PATH_SQL = f"""
+WITH seq AS (
+  SELECT user_id, event_type AS e1,
+         lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+         lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+  FROM events
+), paths AS (
+  SELECT e1 || '>' || e2 || '>' || e3 AS path,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+  GROUP BY 1
+), ranked AS (
+  SELECT path, n, n_users,
+         row_number() OVER (ORDER BY n DESC, path) AS rk
+  FROM paths
+)
+SELECT CAST(rk AS INTEGER) AS rk, path, n, n_users
+FROM ranked WHERE rk <= {PATH_TOP_K} ORDER BY rk
+"""
+
+
+@_q("events_path_analysis", _PATH_SQL)
+def events_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path analysis (the Sankey-diagram feed): the top {k} three-step
+    event sequences across all users, with traversal and distinct-user
+    counts — the product-analytics view funnels are built FROM when the
+    steps aren't known in advance (windowfunnel assumes a fixed step
+    list; this discovers the paths).
+
+    Scale shape: sequences come from two lead() windows sharing ONE
+    (user_id)-keyed sort shuffle (per-user history bounded); path
+    counting is a map-side-combined aggregate on the path string (path
+    vocabulary is |event_types|³-bounded, tiny); the final top-k is
+    TakeOrderedAndProject via the rank filter — never a global sort of
+    the path table. No Python, exact integers only.""".format(k=PATH_TOP_K)
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    paths = (
+        seq.filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+        .select(
+            F.concat_ws(">", "e1", "e2", "e3").alias("path"),
+            "user_id",
+        )
+        .groupBy("path")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+    )
+    ranked = paths.withColumn(
+        "rk", F.row_number().over(W.orderBy(F.desc("n"), "path"))
+    ).filter(F.col("rk") <= PATH_TOP_K)
+    return ranked.select(
+        F.col("rk").cast("int").alias("rk"), "path", "n", "n_users"
+    ).orderBy("rk")

@@ -659,3 +659,13 @@ def test_attribution_dau_cusum_patchify_plan_shape(spark, sf_dir):
     p = plans["multimodal_patchify"]
     assert p.count("MapInPandas") == 2, p
     assert len(re.findall(r"Exchange (?!rangepartitioning)", p)) == 0, p
+
+
+def test_path_analysis_plan_shape(spark, sf_dir):
+    """events_path_analysis: both lead() windows share ONE user_id
+    exchange; the top-k is TakeOrderedAndProject (path vocabulary never
+    sorts on one partition as data); no Python."""
+    plan = _plan(all_queries()["events_path_analysis"](spark, sf_dir), "simple")
+    assert "EvalPython" not in plan, plan
+    assert len(re.findall(r"Exchange hashpartitioning\(user_id#", plan)) == 1, plan
+    assert "TakeOrderedAndProject(limit=15" in plan, plan
