@@ -126,7 +126,11 @@ _BATTERY_HEAD: list[str] = [
     "text_bpe_train_rounds", "sim_ann_recall", "dedup_minhash_recall",
     "events_rfm_scores_scalable", "cdc_apply_changes",
     "sim_mrl_prefix_rerank",
-    "multimodal_phash", "part_abc_scalable",
+    # (r10b: multimodal_phash → multimodal_patchify — the patch-token op
+    # exercises a SUPERSET of phash's surface: the real BMP byte parse,
+    # the bottom-up row flip, plus the ragged ViT tiling; phash stays
+    # green in CORRECTNESS_FULL)
+    "multimodal_patchify", "part_abc_scalable",
     # presto-ml distributed trainers
     "ml_classify_centroid",
     # streaming (streaming_late_data also sits in the flagship block

@@ -669,3 +669,15 @@ def test_path_analysis_plan_shape(spark, sf_dir):
     assert "EvalPython" not in plan, plan
     assert len(re.findall(r"Exchange hashpartitioning\(user_id#", plan)) == 1, plan
     assert "TakeOrderedAndProject(limit=15" in plan, plan
+
+
+def test_mv_incremental_plan_shape(spark, sf_dir):
+    """mv_incremental_refresh: the affected-key fetch against the base
+    snapshot is a broadcast LEFT SEMI (the scd2_merge_apply device —
+    the base is never reshuffled by the delta); no cartesian, no
+    Python; every full-outer merge joins on the 10-row cohort key."""
+    plan = _plan(all_queries()["mv_incremental_refresh"](spark, sf_dir), "simple")
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert re.search(r"BroadcastHashJoin \[user_id#\d+L\], \[user_id#\d+L\], LeftSemi", plan), plan
+    assert plan.count("FullOuter") >= 2, plan
