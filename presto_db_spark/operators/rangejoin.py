@@ -222,3 +222,93 @@ def asof_join(
         .filter((F.col("_is_probe") == 1) & F.col("_prior").isNotNull())
         .select(*out_cols)
     )
+
+
+# --- nearest-direction as-of join --------------------------------------------
+
+_ASOF_NEAREST_SQL = """
+WITH p AS (
+  SELECT event_id AS pid, user_id, epoch_us(ts) AS pm
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT event_id AS nid, user_id, epoch_us(ts) AS nm
+  FROM events WHERE event_type = 'click'
+), cand AS (
+  SELECT p.pid, p.pm, c.nid, c.nm,
+         abs(c.nm - p.pm) AS adt,
+         CASE WHEN c.nm <= p.pm THEN 0 ELSE 1 END AS dir_rank
+  FROM p JOIN c USING (user_id)
+), best AS (
+  SELECT pid, pm, nid, nm, dir_rank,
+         row_number() OVER (PARTITION BY pid
+                            ORDER BY adt, dir_rank, nid DESC) AS rn
+  FROM cand
+)
+SELECT pid, nid, CAST(nm - pm AS BIGINT) AS dt_us,
+       CASE WHEN dir_rank = 0 THEN 'B' ELSE 'F' END AS direction
+FROM best WHERE rn = 1 ORDER BY pid
+"""
+
+
+@_q("join_asof_nearest", _ASOF_NEAREST_SQL)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join (pandas ``merge_asof
+    direction='nearest'``): each purchase attaches the click of the same
+    user CLOSEST in time, in either direction — ties at equal distance
+    prefer the backward match (dt = 0 counts as backward); ties at the
+    same timestamp resolve to the greatest neighbor id (the same
+    greatest-payload-tuple rule the backward `asof_join` documents, so
+    both directions and the quadratic oracle agree bit-for-bit).
+
+    Built as TWO linear union-sort as-of passes over the SAME machinery —
+    backward non-strict on event-time micros, forward as backward on
+    NEGATED micros (nearest-after in real time == nearest-before in
+    reversed time; strict, so the equal-ts case is owned by exactly one
+    side) — combined with a full outer join on the probe id and an
+    integer distance comparison. The oracle is the naive quadratic
+    argmin, which is exactly what this formulation avoids: per-key cost
+    is sort-linear, never |probes|x|priors| within a hot user.
+
+    100 TB: two sort shuffles on user_id (each the linear asof shape,
+    bounded per-key state) + one probe-id equi-join of two narrow match
+    tables; no window ever sees more than one user's history."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        F.unix_micros("ts").alias("pm"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("nid"),
+        "user_id",
+        F.unix_micros("ts").alias("cm"),
+    )
+    bk = asof_join(p, c, ["user_id"], "pm", "cm", ["nid"], strict=False).select(
+        "pid", "pm",
+        F.col("nid").alias("bk_nid"),
+        F.col("cm").alias("bk_m"),
+    )
+    p2 = p.select("pid", "user_id", "pm", (-F.col("pm")).alias("npm"))
+    c2 = c.select("nid", "user_id", (-F.col("cm")).alias("ncm"))
+    fw = asof_join(p2, c2, ["user_id"], "npm", "ncm", ["nid"], strict=True).select(
+        "pid",
+        F.col("nid").alias("fw_nid"),
+        (-F.col("ncm")).alias("fw_m"),
+    )
+    both = bk.join(fw, "pid", "full")
+    pick_bk = F.col("fw_nid").isNull() | (
+        F.col("bk_nid").isNotNull()
+        & ((F.col("pm") - F.col("bk_m")) <= (F.col("fw_m") - F.col("pm")))
+    )
+    # pm rides the backward side; recover it from either side for
+    # forward-only probes via the probe table
+    both = both.join(p.select("pid", F.col("pm").alias("pm0")), "pid")
+    return both.select(
+        "pid",
+        F.when(pick_bk, F.col("bk_nid")).otherwise(F.col("fw_nid")).alias("nid"),
+        F.when(pick_bk, F.col("bk_m") - F.col("pm0"))
+        .otherwise(F.col("fw_m") - F.col("pm0"))
+        .cast("bigint")
+        .alias("dt_us"),
+        F.when(pick_bk, F.lit("B")).otherwise(F.lit("F")).alias("direction"),
+    ).orderBy("pid")

@@ -681,3 +681,16 @@ def test_mv_incremental_plan_shape(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert re.search(r"BroadcastHashJoin \[user_id#\d+L\], \[user_id#\d+L\], LeftSemi", plan), plan
     assert plan.count("FullOuter") >= 2, plan
+
+
+def test_asof_nearest_plan_shape(spark, sf_dir):
+    """join_asof_nearest: both direction passes are the linear union-sort
+    as-of (every window user_id-scoped), the combine is an equi-join on
+    the probe id — no cartesian/theta pairing anywhere (the quadratic
+    argmin lives only in the oracle), no Python."""
+    plan = _plan(all_queries()["join_asof_nearest"](spark, sf_dir), "simple")
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    specs = re.findall(r"windowspecdefinition\((\w+)#", plan)
+    assert specs and set(specs) == {"user_id"}, specs
