@@ -1408,3 +1408,108 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return merged.filter(F.col("n_keys") > 0).orderBy("cohort")
+
+
+# --- A/B experiment readout with exact chi-square significance ---------------
+
+CHI2_CRIT_E6 = 3_841_459  # chi-square df=1 critical value at alpha=0.05, e6
+
+_AB_SQL = f"""
+WITH users AS (
+  SELECT user_id,
+         CASE WHEN (CAST(('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 2))
+                    AS INTEGER) % 2) = 0 THEN 'A' ELSE 'B' END AS variant,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY 1, 2
+), cells AS (
+  SELECT
+    CAST(sum(CASE WHEN variant = 'A' AND converted = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+    CAST(sum(CASE WHEN variant = 'A' AND converted = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+    CAST(sum(CASE WHEN variant = 'B' AND converted = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+    CAST(sum(CASE WHEN variant = 'B' AND converted = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+  FROM users
+), stat AS (
+  SELECT a, b, c, d,
+    CAST((a + b + c + d) AS DECIMAL(38, 0))
+      * CAST((a * d - b * c) AS DECIMAL(38, 0))
+      * CAST((a * d - b * c) AS DECIMAL(38, 0)) AS num,
+    CAST((a + b) AS DECIMAL(38, 0)) * CAST((c + d) AS DECIMAL(38, 0))
+      * CAST((a + c) AS DECIMAL(38, 0)) * CAST((b + d) AS DECIMAL(38, 0)) AS den
+  FROM cells
+)
+SELECT a, b, c, d,
+       CAST(a * 1000000 // (a + b) AS BIGINT) AS cvr_a_ppm,
+       CAST(c * 1000000 // (c + d) AS BIGINT) AS cvr_b_ppm,
+       CASE WHEN den = 0 THEN 0.0
+            ELSE round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) END AS chi2,
+       (den > 0 AND num * 1000000 > CAST({CHI2_CRIT_E6} AS DECIMAL(38, 0)) * den)
+         AS significant
+FROM stat
+"""
+
+
+@_q("events_ab_chisq", _AB_SQL)
+def events_ab_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users assign to variants by a deterministic
+    md5 bucket (the standard hash-based experiment split — no RNG state,
+    identical membership at any partitioning), conversion = any purchase
+    event, and the 2x2 contingency table gets the chi-square test with an
+    EXACT-INTEGER significance decision: chi2 > 3.841459 (df=1, α=0.05)
+    is evaluated as ``N·(ad−bc)² · 10⁶ > crit_e6 · (a+b)(c+d)(a+c)(b+d)``
+    in DECIMAL(38,0) cross-multiplication — the flag cannot flip on a
+    float ulp in either engine (the reported chi2 value itself is one
+    IEEE division of two exactly-agreed integers, rounded for display).
+    A degenerate table (a margin of zero — e.g. every user converted, as
+    the smallest fixture produces) reports chi2 = 0 / not significant
+    rather than dividing by zero.
+
+    Scale shape: per-user conversion fold is one map-side-combined
+    groupBy; the 2x2 table is a global aggregate of four counters; the
+    statistic is a 1-row projection. No Python."""
+    ev = load_table(spark, sf_dir, "events")
+    hexd = "0123456789abcdef"
+    h = F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string")))
+    byte0 = (
+        (F.instr(F.lit(hexd), F.substring(h, 1, 1)) - 1) * 16
+        + (F.instr(F.lit(hexd), F.substring(h, 2, 1)) - 1)
+    )
+    users = ev.groupBy(
+        "user_id",
+        F.when(byte0 % 2 == 0, "A").otherwise("B").alias("variant"),
+    ).agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "converted"
+        )
+    )
+    cells = users.agg(
+        F.sum(F.when((F.col("variant") == "A") & (F.col("converted") == 1), 1).otherwise(0)).cast("long").alias("a"),
+        F.sum(F.when((F.col("variant") == "A") & (F.col("converted") == 0), 1).otherwise(0)).cast("long").alias("b"),
+        F.sum(F.when((F.col("variant") == "B") & (F.col("converted") == 1), 1).otherwise(0)).cast("long").alias("c"),
+        F.sum(F.when((F.col("variant") == "B") & (F.col("converted") == 0), 1).otherwise(0)).cast("long").alias("d"),
+    )
+    stat = cells.select(
+        "a", "b", "c", "d",
+        F.expr(
+            "CAST(a + b + c + d AS DECIMAL(38,0))"
+            " * CAST(a * d - b * c AS DECIMAL(38,0))"
+            " * CAST(a * d - b * c AS DECIMAL(38,0))"
+        ).alias("num"),
+        F.expr(
+            "CAST(a + b AS DECIMAL(38,0)) * CAST(c + d AS DECIMAL(38,0))"
+            " * CAST(a + c AS DECIMAL(38,0)) * CAST(b + d AS DECIMAL(38,0))"
+        ).alias("den"),
+    )
+    return stat.select(
+        "a", "b", "c", "d",
+        F.expr("a * 1000000 div (a + b)").cast("bigint").alias("cvr_a_ppm"),
+        F.expr("c * 1000000 div (c + d)").cast("bigint").alias("cvr_b_ppm"),
+        F.when(F.col("den") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(F.col("num").cast("double") / F.col("den").cast("double"), 6)
+        )
+        .alias("chi2"),
+        F.expr(
+            "den > 0 AND "
+            f"num * 1000000 > CAST({CHI2_CRIT_E6} AS DECIMAL(38,0)) * den"
+        ).alias("significant"),
+    )
