@@ -1513,3 +1513,79 @@ def events_ab_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"num * 1000000 > CAST({CHI2_CRIT_E6} AS DECIMAL(38,0)) * den"
         ).alias("significant"),
     )
+
+
+# --- seasonal-naive forecast backtest -----------------------------------------
+
+_SEASONAL_SQL = """
+WITH c AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(extract(hour FROM ts) AS INTEGER) AS h,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), cut AS (
+  SELECT max(d) AS test_day FROM c
+), train AS (
+  SELECT event_type, h,
+         CAST(sum(cents) // count(*) AS BIGINT) AS fc_cents
+  FROM c CROSS JOIN cut WHERE c.d < cut.test_day
+  GROUP BY event_type, h
+), test AS (
+  SELECT c.event_type, c.h, c.cents
+  FROM c CROSS JOIN cut WHERE c.d = cut.test_day
+)
+SELECT t.event_type,
+       CAST(count(*) AS BIGINT) AS n_test,
+       CAST(sum(abs(t.cents - f.fc_cents)) // count(*) AS BIGINT) AS mae_cents,
+       CAST(sum(t.cents - f.fc_cents) // count(*) AS BIGINT) AS bias_cents
+FROM test t JOIN train f ON f.event_type = t.event_type AND f.h = t.h
+GROUP BY t.event_type ORDER BY t.event_type
+"""
+
+
+@_q("events_seasonal_backtest", _SEASONAL_SQL)
+def events_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest — the baseline every forecasting
+    pipeline must beat, evaluated the way production does it: train a
+    per-(type, hour-of-day) profile on history, hold out the final day,
+    report MAE and signed bias per type. All integer-exact: the profile
+    is floor-mean cents, errors are integer differences, both floor-mean
+    rollups divide exactly the same integers in both engines.
+
+    Scale shape: the cutoff is a 1-row broadcast max; the profile is one
+    map-side-combined groupBy on (type, hour) — |types|x24 rows,
+    broadcast to the held-out day's join; the readout is a
+    type-cardinality aggregate. No window, no Python."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select(
+        "event_type",
+        F.col("ts").cast("date").alias("d"),
+        F.hour("ts").alias("h"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    cut = c.agg(F.max("d").alias("test_day"))
+    train = (
+        c.crossJoin(F.broadcast(cut))
+        .filter(F.col("d") < F.col("test_day"))
+        .groupBy("event_type", "h")
+        .agg(F.expr("sum(cents) div count(*)").cast("bigint").alias("fc_cents"))
+    )
+    test = (
+        c.crossJoin(F.broadcast(cut))
+        .filter(F.col("d") == F.col("test_day"))
+        .select("event_type", "h", "cents")
+    )
+    return (
+        test.join(F.broadcast(train), ["event_type", "h"])
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_test"),
+            F.expr("sum(abs(cents - fc_cents)) div count(*)")
+            .cast("long")
+            .alias("mae_cents"),
+            F.expr("sum(cents - fc_cents) div count(*)")
+            .cast("long")
+            .alias("bias_cents"),
+        )
+        .orderBy("event_type")
+    )
