@@ -1893,3 +1893,73 @@ def text_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 text_segment_dedup.__doc__ = text_segment_dedup.__doc__.format(
     pct=SEG_DOC_PCT, seg=SEG_WORDS
 )
+
+
+# --- temporal n-gram novelty (ingestion-order redundancy signal) -------------
+
+_NOVELTY_SQL = """
+WITH tris AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(text) - 2),
+                i -> substring(text, i, 3))) AS tri
+  FROM documents WHERE len(text) >= 3
+), first_seen AS (
+  SELECT tri, CAST(min(doc_id) AS BIGINT) AS first_doc FROM tris GROUP BY tri
+), per_doc AS (
+  SELECT t.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tris,
+         CAST(sum(CASE WHEN f.first_doc = t.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_novel
+  FROM tris t JOIN first_seen f ON f.tri = t.tri
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_tris, n_novel,
+       CAST(n_novel * 1000000 // n_tris AS BIGINT) AS novelty_ppm
+FROM per_doc ORDER BY doc_id
+"""
+
+
+@_q("text_ngram_novelty", _NOVELTY_SQL)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal n-gram novelty — the ingestion-order redundancy signal a
+    continuously-fed corpus tracks (novelty collapsing toward zero means
+    the crawl is re-reading itself): per document, the fraction of its
+    character trigrams whose FIRST corpus occurrence is this document
+    (doc_id as ingestion order), in exact-integer ppm. Complements
+    `text_lm_coverage` (background-corpus OOV): coverage asks "is this
+    normal text", novelty asks "does this add anything".
+
+    Scale shape: first-occurrence attribution, not a temporal self-join —
+    one explode + min-groupBy builds the (trigram → first doc) table
+    (charset-bounded vocabulary, broadcastable at any corpus size — the
+    `text_lm_coverage` argument), one broadcast join + per-doc rollup
+    scores every document. Incremental form: the first-seen table IS the
+    mergeable state (min is associative), so a streaming twin carries one
+    BIGINT per trigram. No Python, no float."""
+    docs = load_table(spark, sf_dir, "documents")
+    tris = docs.filter(F.length("text") >= 3).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text") - 2),
+                lambda i: F.col("text").substr(i, F.lit(3)),
+            )
+        ).alias("tri"),
+    )
+    first_seen = tris.groupBy("tri").agg(
+        F.min("doc_id").cast("long").alias("first_doc")
+    )
+    per_doc = (
+        tris.join(F.broadcast(first_seen), "tri")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tris"),
+            F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        "doc_id", "n_tris", "n_novel",
+        F.expr("n_novel * 1000000 div n_tris").cast("bigint").alias("novelty_ppm"),
+    ).orderBy("doc_id")

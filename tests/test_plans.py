@@ -694,3 +694,22 @@ def test_asof_nearest_plan_shape(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     specs = re.findall(r"windowspecdefinition\((\w+)#", plan)
     assert specs and set(specs) == {"user_id"}, specs
+
+
+def test_ngram_novelty_plan_shape(spark, sf_dir):
+    """text_ngram_novelty: the (trigram -> first doc) table is built by a
+    map-side-combined min groupBy and BROADCASTS to the scoring join (the
+    exploded corpus side never hash-shuffles on the trigram — the
+    charset-bounded-vocabulary argument in the docstring); the per-doc
+    rollup is one partial+final doc_id aggregate; no Python, no window."""
+    plan = _plan(all_queries()["text_ngram_novelty"](spark, sf_dir), "simple")
+    assert "EvalPython" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    # first-seen attribution joins as broadcast over the trigram key
+    assert re.search(r"BroadcastHashJoin \[tri#\d+\], \[tri#\d+\], Inner, BuildRight", plan), plan
+    # build side: partial+final min under the broadcast exchange
+    assert "partial_min(doc_id" in plan, plan
+    # probe side shuffles exactly once — on doc_id for the rollup
+    assert len(re.findall(r"Exchange hashpartitioning\(doc_id#\d+L", plan)) == 1, plan
+    assert len(re.findall(r"Exchange hashpartitioning\(tri#\d+,", plan)) == 1, plan
+    assert "partial_count(1), partial_sum(CASE WHEN (first_doc" in plan, plan
