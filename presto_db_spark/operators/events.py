@@ -1589,3 +1589,68 @@ def events_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- row-pattern sequence match (MATCH_RECOGNIZE-shaped) ---------------------
+
+# view → (later) click → (later) the FIRST purchase after that click, with
+# no purchase allowed between the anchors.  Every match of this pattern
+# necessarily ends at the first 'p' reachable from its start and cannot
+# contain another 'p', so the match extents (and therefore the
+# non-overlapping match COUNT) are engine-independent — Java regex
+# (greedy+backtracking) and RE2 (leftmost-longest) agree by construction.
+_SEQ_PATTERN = "v[^p]*c[^p]*p"
+
+_SEQMATCH_SQL = f"""
+WITH seqs AS (
+  SELECT user_id,
+         string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id)
+           AS seq
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(len(seq) AS BIGINT) AS seq_len,
+       CAST(len(regexp_extract_all(seq, '{_SEQ_PATTERN}')) AS BIGINT)
+         AS n_matches,
+       len(regexp_extract_all(seq, '{_SEQ_PATTERN}')) > 0 AS matched
+FROM seqs ORDER BY user_id
+"""
+
+
+@_q("events_sequence_match", _SEQMATCH_SQL)
+def events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-pattern matching over per-user event sequences — the
+    MATCH_RECOGNIZE / ClickHouse-``sequenceMatch`` shape the reference's
+    SQL surface lacks (Presto 0.236 has no row-pattern clause; its users
+    emulate it with self-joins): encode each user's time-ordered event
+    types as a 1-char-per-event string and run the pattern
+    ``view →* click →* first-following-purchase`` as a regex, counting
+    non-overlapping occurrences.  Differs from ``events_windowfunnel``
+    (anchored step progression inside a time window) — this is free-gap
+    ORDER matching with exclusion (``[^p]``) between anchors.
+
+    Scale shape: ONE user_id exchange total — the sequence is built by a
+    map-side-combinable collect (struct sort, not a window), bounded by
+    per-user history exactly like `events_path_analysis`; the regex runs
+    in codegen on the encoded string (no Python).  Match-count equality
+    across engines is a property of the pattern (see _SEQ_PATTERN note),
+    asserted by the oracle itself."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.struct("ts", "event_id", F.substring("event_type", 1, 1).alias("ch"))
+        .alias("s"),
+    )
+    seqs = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list("s")), lambda s: s["ch"]),
+            "",
+        ).alias("seq")
+    )
+    return seqs.select(
+        "user_id",
+        F.length("seq").cast("long").alias("seq_len"),
+        F.regexp_count(F.col("seq"), F.lit(_SEQ_PATTERN))
+        .cast("long")
+        .alias("n_matches"),
+        (F.regexp_count(F.col("seq"), F.lit(_SEQ_PATTERN)) > 0).alias("matched"),
+    ).orderBy("user_id")

@@ -1,0 +1,185 @@
+"""Dataset-quality constraint suite — the validation pass a production
+lake runs before a table is admitted to training (the published shape is
+AWS Deequ, "Unit Tests for Data" — a public library/paper; the reference
+exposes the same checks piecemeal as ANALYZE + ad-hoc SQL,
+``presto-main/src/main/java/com/facebook/presto/sql/analyzer`` has no
+constraint runner).  One operator, five constraint families, all
+exact-integer:
+
+* completeness  — NULL count on a required column
+* domain        — value outside an allowed set
+* range         — numeric bound violation
+* uniqueness    — duplicate primary-key rows (count − count distinct)
+* referential   — foreign keys with no parent (anti-join count)
+
+Scale shape: the four single-table checks ride ONE full-scan aggregate
+(map-side combined — every counter is a sum of 0/1s plus one exact
+count-distinct, so the pass costs what a groupBy().agg() costs);
+referential integrity is the only join — a key-to-key LEFT ANTI that
+broadcasts the dim at this fixture and hash-co-partitions at scale.  The
+verdict table itself is |checks| rows.  At 100 TB the same plan holds:
+constraint evaluation is embarrassingly partial-aggregable, which is why
+Deequ's own design computes all metrics in one pass.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name: {name}")
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+_QUALITY_SQL = """
+WITH base AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS v_null,
+         CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                         OR o_orderstatus IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS v_domain,
+         CAST(sum(CASE WHEN NOT (o_totalprice > 0) THEN 1 ELSE 0 END)
+              AS BIGINT) AS v_range,
+         CAST(sum(CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END)
+              AS BIGINT) AS v_cap,
+         CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS v_unique
+  FROM orders
+), ref AS (
+  SELECT CAST(count(*) AS BIGINT) AS v FROM orders o
+  WHERE NOT EXISTS (SELECT 1 FROM customer c
+                    WHERE c.c_custkey = o.o_custkey)
+), checks AS (
+  SELECT 'completeness_o_custkey' AS check_name, n, v_null AS v FROM base
+  UNION ALL
+  SELECT 'domain_o_orderstatus', n, v_domain FROM base
+  UNION ALL
+  SELECT 'range_o_totalprice_positive', n, v_range FROM base
+  UNION ALL
+  SELECT 'range_o_totalprice_le_300k', n, v_cap FROM base
+  UNION ALL
+  SELECT 'unique_o_orderkey', n, v_unique FROM base
+  UNION ALL
+  SELECT 'referential_o_custkey', (SELECT n FROM base), v FROM ref
+)
+SELECT check_name,
+       n AS n_checked,
+       v AS n_violations,
+       CAST(v * 1000000 // n AS BIGINT) AS violation_ppm,
+       v = 0 AS passed
+FROM checks ORDER BY check_name
+"""
+
+
+@_q("quality_data_checks", _QUALITY_SQL)
+def quality_data_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the five-family constraint suite over ``orders`` (with
+    ``customer`` as the referential parent) and emit one verdict row per
+    check: checked/violation counts, exact-ppm violation rate, pass flag.
+
+    Plan: one full-scan aggregate computes completeness + domain + range
+    + uniqueness simultaneously (1 row out); the referential check is a
+    LEFT ANTI join folded to a count (1 row out); both 1-row frames
+    unpivot via inline() into the verdict table — no cartesian, no
+    Python, no window."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey")
+
+    base = orders.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("v_null"),
+        F.sum(
+            F.when(
+                ~F.col("o_orderstatus").isin("O", "F", "P")
+                | F.col("o_orderstatus").isNull(),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("v_domain"),
+        F.sum(F.when(~(F.col("o_totalprice") > 0), 1).otherwise(0))
+        .cast("long")
+        .alias("v_range"),
+        F.sum(F.when(F.col("o_totalprice") > 300000, 1).otherwise(0))
+        .cast("long")
+        .alias("v_cap"),
+        (F.count("*") - F.count_distinct(F.col("o_orderkey")))
+        .cast("long")
+        .alias("v_unique"),
+    )
+    base_rows = base.select(
+        F.inline(
+            F.array(
+                F.struct(
+                    F.lit("completeness_o_custkey").alias("check_name"),
+                    F.col("n").alias("n_checked"),
+                    F.col("v_null").alias("n_violations"),
+                ),
+                F.struct(
+                    F.lit("domain_o_orderstatus").alias("check_name"),
+                    F.col("n").alias("n_checked"),
+                    F.col("v_domain").alias("n_violations"),
+                ),
+                F.struct(
+                    F.lit("range_o_totalprice_positive").alias("check_name"),
+                    F.col("n").alias("n_checked"),
+                    F.col("v_range").alias("n_violations"),
+                ),
+                F.struct(
+                    F.lit("range_o_totalprice_le_300k").alias("check_name"),
+                    F.col("n").alias("n_checked"),
+                    F.col("v_cap").alias("n_violations"),
+                ),
+                F.struct(
+                    F.lit("unique_o_orderkey").alias("check_name"),
+                    F.col("n").alias("n_checked"),
+                    F.col("v_unique").alias("n_violations"),
+                ),
+            )
+        )
+    )
+    orphans = (
+        orders.select("o_custkey")
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey,
+              "left_anti")
+        .agg(F.count("*").cast("long").alias("n_violations"))
+        .select(
+            F.lit("referential_o_custkey").alias("check_name"),
+            F.lit(None).cast("long").alias("n_checked"),
+            "n_violations",
+        )
+    )
+    # the referential row reports against the same denominator
+    n_total = base.select(F.col("n"))
+    verdicts = base_rows.unionByName(
+        orphans.join(F.broadcast(n_total)).withColumn(
+            "n_checked", F.col("n")
+        ).drop("n")
+    )
+    return verdicts.select(
+        "check_name",
+        "n_checked",
+        "n_violations",
+        F.expr("n_violations * 1000000 div n_checked")
+        .cast("long")
+        .alias("violation_ppm"),
+        (F.col("n_violations") == 0).alias("passed"),
+    ).orderBy("check_name")

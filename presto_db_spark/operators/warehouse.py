@@ -666,3 +666,83 @@ def layout_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
         runs=_H_RUNS
     )
     return _run_span_report(_hkeyed_orders(spark, sf_dir), "hkey")
+
+
+# --- 2-D skyline (Pareto front) ----------------------------------------------
+
+_SKYLINE_SQL = """
+WITH p AS (
+  SELECT p_partkey,
+         CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+         CAST(p_size AS BIGINT) AS p_size
+  FROM part
+)
+SELECT p_partkey, price_cents, p_size
+FROM p a
+WHERE NOT EXISTS (
+  SELECT 1 FROM p b
+  WHERE b.price_cents <= a.price_cents AND b.p_size >= a.p_size
+    AND (b.price_cents < a.price_cents OR b.p_size > a.p_size)
+)
+ORDER BY price_cents, p_partkey
+"""
+
+
+@_q("part_skyline_pareto", _SKYLINE_SQL)
+def part_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto front) over ``part``: the parts no other part
+    dominates on (price low, size high) — the classic SKYLINE OF operator
+    (Börzsönyi/Kossmann/Stocker, ICDE 2001; the reference, like most
+    engines, makes users write the quadratic NOT EXISTS — which IS the
+    oracle here).
+
+    Scale shape: the O(n²) dominance test collapses to a monotone sweep —
+    a point survives iff it holds its price-group's max size AND every
+    strictly-cheaper group's max size is below it.  So: one map-side
+    combined groupBy(price) → max(size) (price-cardinality-bounded), a
+    prefix-max over that REDUCED table done distributively (range
+    partition by price, per-partition running max, #partitions-row
+    broadcast prefix of per-partition maxes — the `distrank` offsets
+    device, never a single-partition window over data), then one
+    broadcast join back to flag survivors.  The quadratic join exists
+    ONLY in the oracle."""
+    parts = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
+        F.col("p_size").cast("long").alias("p_size"),
+    )
+    groups = parts.groupBy("price_cents").agg(F.max("p_size").alias("gmax"))
+
+    n = spark.sparkContext.defaultParallelism
+    ranged = (
+        groups.repartitionByRange(n, "price_cents")
+        .sortWithinPartitions("price_cents")
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    lw = (
+        W.partitionBy("__pid")
+        .orderBy("price_cents")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    local = ranged.withColumn("__lpm", F.max("gmax").over(lw))
+    pid_max = ranged.groupBy("__pid").agg(F.max("gmax").alias("__pm"))
+    ow = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
+    offs = pid_max.withColumn("__prevmax", F.max("__pm").over(ow)).select(
+        "__pid", "__prevmax"
+    )
+    flagged = (
+        local.join(F.broadcast(offs), "__pid")
+        # greatest() ignores NULLs: NULL prefix == "no cheaper group"
+        .withColumn("prefmax", F.greatest("__lpm", "__prevmax"))
+        .select("price_cents", "gmax", "prefmax")
+    )
+    return (
+        parts.join(F.broadcast(flagged), "price_cents")
+        .filter(
+            (F.col("p_size") == F.col("gmax"))
+            & (F.col("prefmax").isNull() | (F.col("prefmax") < F.col("p_size")))
+        )
+        .select("p_partkey", "price_cents", "p_size")
+        .orderBy("price_cents", "p_partkey")
+    )

@@ -43,6 +43,7 @@ _MODULES: list[str] = [
     "presto_db_spark.operators.dedup",
     "presto_db_spark.operators.graph",
     "presto_db_spark.operators.pipeline_corpus",
+    "presto_db_spark.operators.quality",
     "presto_db_spark.operators.similarity",
     "presto_db_spark.operators.ml",
     "presto_db_spark.operators.multimodal",
@@ -77,11 +78,18 @@ _BATTERY_HEAD: list[str] = [
     "dedup_cluster", "sim_ivf_kmeans", "agg_set_digest",
     "streaming_late_data",
     # relational batteries
-    "join_full_outer", "subq_not_in_null", "grouping_sets", "win_frames",
-    "setop_intersect_all", "agg_multi_distinct", "unnest_multi_zip",
+    # (r10c: join_full_outer → part_skyline_pareto — the SKYLINE OF
+    # operator's monotone-sweep rewrite earns the slot; setop_intersect_all
+    # → quality_data_checks — the Deequ-shaped constraint suite; both
+    # displaced entries stay green in CORRECTNESS_FULL every round)
+    "part_skyline_pareto", "subq_not_in_null", "grouping_sets", "win_frames",
+    "quality_data_checks", "agg_multi_distinct", "unnest_multi_zip",
     "subq_scalar_corr",
     # events / range / skew (as-of stays oracle-checked outside the head)
-    "events_range_join", "events_sessionize",
+    # (r10c: events_sessionize → events_sequence_match — row-pattern
+    # matching exercises the same one-user_id-exchange spine PLUS the
+    # codegen regex; sessionize stays green in CORRECTNESS_FULL)
+    "events_range_join", "events_sequence_match",
     "skew_salted_join",
     # sketches + digests (sketch_tdigest rotated out r10 for tpcds_q24_2,
     # agg_hll_sketch rotated out r10b for sketch_count_min — the sketch
@@ -94,7 +102,10 @@ _BATTERY_HEAD: list[str] = [
     # CORRECTNESS_FULL every round)
     # (clip_ops + relate_de9im rotated out r09 for the round-9 flagships;
     # both stay green in CORRECTNESS_FULL every round)
-    "geo_radius_join", "geo_wkt_intersects_join",
+    # (r10c: geo_wkt_intersects_join → text_ngram_novelty — the geo
+    # family keeps the harder KdbTree radius join in the head; the
+    # intersects join stays green in CORRECTNESS_FULL)
+    "geo_radius_join", "text_ngram_novelty",
     # scalar/aggregate corpus cross-section
     # (func_array_advanced + agg_classification_metrics rotated out r09;
     # func_json rotated out r10 for tpcds_q39_2 — the JSON surface stays

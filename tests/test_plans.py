@@ -713,3 +713,56 @@ def test_ngram_novelty_plan_shape(spark, sf_dir):
     assert len(re.findall(r"Exchange hashpartitioning\(doc_id#\d+L", plan)) == 1, plan
     assert len(re.findall(r"Exchange hashpartitioning\(tri#\d+,", plan)) == 1, plan
     assert "partial_count(1), partial_sum(CASE WHEN (first_doc" in plan, plan
+
+
+def test_sequence_match_plan_shape(spark, sf_dir):
+    """events_sequence_match: the per-user sequence is built by a
+    map-side-combinable collect (partial_collect_list under ONE user_id
+    exchange — a groupBy, never a window), and the row-pattern regex runs
+    in codegen on the encoded string; no Python."""
+    plan = _plan(all_queries()["events_sequence_match"](spark, sf_dir), "simple")
+    assert "EvalPython" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "partial_collect_list" in plan, plan
+    assert len(re.findall(r"Exchange hashpartitioning\(user_id#\d+L", plan)) == 1, plan
+    assert "regexp_extract_all" in plan, plan
+
+
+def test_quality_checks_plan_shape(spark, sf_dir):
+    """quality_data_checks: the four single-table constraint families ride
+    one aggregate spine whose counters all partial-combine map-side (the
+    exact-uniqueness count(distinct) plans as the two-phase orderkey
+    pre-aggregate, NOT an expand over the whole row); referential
+    integrity is a broadcast LEFT ANTI; the only nested-loop joins are
+    1-row scalar attaches; no Python, no window."""
+    plan = _plan(all_queries()["quality_data_checks"](spark, sf_dir), "simple")
+    assert "EvalPython" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Expand" not in plan, plan
+    assert re.search(r"BroadcastHashJoin \[o_custkey#\d+L\], \[c_custkey#\d+L\], LeftAnti, BuildRight", plan), plan
+    assert "partial_count(distinct o_orderkey" in plan, plan
+    assert "partial_sum(CASE WHEN isnull(o_custkey" in plan, plan
+
+
+def test_skyline_plan_shape(spark, sf_dir):
+    """part_skyline_pareto: the quadratic dominance test must NOT appear —
+    no cartesian/theta pairing; the part table itself never
+    hash-shuffles (its only join is the broadcast of the flagged
+    price-group table; every hashpartitioning exchange in the plan is on
+    the reduced table's __pid or a group key, never a part row id); the
+    prefix-max windows are __pid-scoped plus the #partitions-row offsets
+    window; the group table is localCheckpointed so both consumers see
+    one execution."""
+    plan = _plan(all_queries()["part_skyline_pareto"](spark, sf_dir), "simple")
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert re.search(r"BroadcastHashJoin \[p_size#\d+L, price_cents#\d+L\], \[gmax#\d+L, price_cents#\d+L\]", plan), plan
+    # data-bearing windows are pid-local; the offsets window orders the
+    # #partitions-row table by __pid only
+    specs = re.findall(r"windowspecdefinition\((\w+)#\d+", plan)
+    assert specs and set(specs) == {"__pid"}, specs
+    for m in re.finditer(r"Exchange hashpartitioning\(([^,)]+)#\d+", plan):
+        assert m.group(1) == "__pid", plan
+    assert "Scan ExistingRDD" in plan, plan
