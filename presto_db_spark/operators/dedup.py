@@ -1210,3 +1210,64 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("precision_ppm"),
         )
     )
+
+
+# --- typo-tolerant entity join (SymSpell deletion-neighborhood blocking) -----
+
+_FUZZY_SQL = """
+WITH names AS (SELECT DISTINCT c_name AS w FROM customer)
+SELECT a.w AS name_a, b.w AS name_b
+FROM names a JOIN names b
+  ON a.w < b.w AND levenshtein(a.w, b.w) = 1
+ORDER BY name_a, name_b
+"""
+
+
+@_q("dedup_fuzzy_del1", _FUZZY_SQL)
+def dedup_fuzzy_del1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-tolerant entity matching: all distinct name pairs at edit
+    distance exactly 1, found WITHOUT the quadratic comparison — the
+    SymSpell / FastSS deletion-neighborhood device (public algorithm:
+    two strings are within edit distance 1 iff their delete-one
+    neighborhoods, each including the string itself, intersect; the
+    candidate set is then verified with the true distance).  The
+    reference exposes ``levenshtein_distance`` as a scalar only
+    (`presto-main/.../scalar/StringFunctions.java`) — its users write
+    the O(n²) join this operator replaces.
+
+    Scale shape: each name explodes into len+1 deletion variants (a
+    bounded, data-independent fan-out); candidates come from ONE
+    variant-key equi self-join (pairs bounded by per-bucket collisions,
+    never |names|²); the exact `levenshtein` verify runs in codegen on
+    candidates only.  The quadratic join exists ONLY in the oracle."""
+    names = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_name").alias("w"))
+        .distinct()
+    )
+    variants = names.select(
+        "w",
+        F.explode(
+            F.array_union(
+                F.array(F.col("w")),
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w")),
+                    lambda i: F.concat(
+                        F.col("w").substr(F.lit(1), i - 1),
+                        F.col("w").substr(i + 1, F.length("w") - i),
+                    ),
+                ),
+            )
+        ).alias("v"),
+    )
+    a, b = variants.alias("a"), variants.alias("b")
+    cands = (
+        a.join(b, "v")
+        .filter(F.col("a.w") < F.col("b.w"))
+        .select(F.col("a.w").alias("name_a"), F.col("b.w").alias("name_b"))
+        .distinct()
+    )
+    return (
+        cands.filter(F.levenshtein("name_a", "name_b") == 1)
+        .orderBy("name_a", "name_b")
+    )

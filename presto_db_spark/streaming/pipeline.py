@@ -1180,3 +1180,111 @@ def streaming_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..catalog import load_table
 
     return cms_estimate_report(load_table(spark, sf_dir, "documents"), cells)
+
+
+# --- streaming row-pattern matching (DFA GroupState) -------------------------
+
+from ..operators.events import _SEQMATCH_SQL as _BATCH_SEQMATCH_SQL  # noqa: E402
+from ..operators.events import _SEQ_PATTERN as _BATCH_SEQ_PATTERN  # noqa: E402
+
+
+@_q("streaming_sequence_match", _BATCH_SEQMATCH_SQL)
+def streaming_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``operators/events.events_sequence_match``: the
+    row-pattern ``v[^p]*c[^p]*p`` evaluated ONLINE as a 3-state DFA held
+    in per-user GroupState — (last ordkey, dfa state, match count, chars
+    seen), one fixed-width tuple per user REGARDLESS of stream length
+    (the batch op buffers the whole per-user sequence; the streaming
+    form never materializes it — this is the state-bound argument that
+    makes row-pattern matching deployable on an unbounded feed).
+
+    DFA ≡ regex for this pattern family: a leftmost match must end at
+    the first 'p' reachable after its anchor and cannot contain one, so
+    online anchor-reset-on-'p' reproduces the non-overlapping match
+    count exactly — and the oracle is set at registration time to the
+    BATCH operator's SQL, so stream ≡ batch is value-proven, not argued.
+    Each microbatch's chunks are buffered per key and sorted by the
+    total (ts, event_id) order key before the walk (per-user history
+    bounded, the same bound the batch collect carries)."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    stream = events_stream(spark, sf_dir).select(
+        "user_id",
+        F.substring("event_type", 1, 1).alias("ch"),
+        F.concat(
+            F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+            F.lpad(F.col("event_id").cast("string"), 20, "0"),
+        ).alias("ordkey"),
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("seq_len", LongType()),
+            StructField("n_matches", LongType()),
+            StructField("matched", BooleanType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("ordkey", StringType()),
+            StructField("dfa", LongType()),
+            StructField("n_matches", LongType()),
+            StructField("seq_len", LongType()),
+        ]
+    )
+
+    def update(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        ordkey, dfa, n_matches, seq_len = (
+            state.get if state.exists else ("", 0, 0, 0)
+        )
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if chunks:
+            batch = pd.concat(chunks).sort_values("ordkey")
+            assert batch["ordkey"].iloc[0] > ordkey, "out-of-order microbatch"
+            ordkey = batch["ordkey"].iloc[-1]
+            seq_len += len(batch)
+            # 0: want v | 1: v seen, want c (p resets) | 2: c seen, want p
+            for ch in batch["ch"]:
+                if dfa == 0:
+                    dfa = 1 if ch == "v" else 0
+                elif dfa == 1:
+                    dfa = 2 if ch == "c" else (0 if ch == "p" else 1)
+                else:
+                    if ch == "p":
+                        n_matches += 1
+                        dfa = 0
+        state.update((ordkey, int(dfa), int(n_matches), int(seq_len)))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "seq_len": [seq_len],
+                "n_matches": [n_matches],
+                "matched": [n_matches > 0],
+            }
+        )
+
+    res = stream.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    raw = _run_to_completion(res, "stream_seqmatch", "update")
+    # keep each key's LAST emission (seq_len is monotone per key)
+    return (
+        raw.groupBy("user_id")
+        .agg(
+            F.max("seq_len").cast("long").alias("seq_len"),
+            F.max_by("n_matches", "seq_len").cast("long").alias("n_matches"),
+            F.max_by("matched", "seq_len").alias("matched"),
+        )
+        .orderBy("user_id")
+    )

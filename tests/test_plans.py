@@ -766,3 +766,17 @@ def test_skyline_plan_shape(spark, sf_dir):
     for m in re.finditer(r"Exchange hashpartitioning\(([^,)]+)#\d+", plan):
         assert m.group(1) == "__pid", plan
     assert "Scan ExistingRDD" in plan, plan
+
+
+def test_fuzzy_del1_plan_shape(spark, sf_dir):
+    """dedup_fuzzy_del1: candidates come from a KEYED equi self-join on
+    the deletion-variant column — never an all-pairs comparison (no
+    cartesian/BNLJ anywhere); the exact levenshtein verify is codegen
+    and rides the keyed probe (pushed into the join condition); no
+    Python."""
+    plan = _plan(all_queries()["dedup_fuzzy_del1"](spark, sf_dir), "simple")
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert re.search(r"Join \[v#\d+\], \[v#\d+\]", plan), plan
+    assert "levenshtein" in plan, plan

@@ -322,3 +322,34 @@ def test_wkb_integer_bits_match_struct_pack(spark, vals):
     ).collect()
     for r in rows:
         assert r.h == struct.pack("<d", float(r.v)).hex(), r
+
+
+# --- streaming sequence-match DFA ≡ regex (the equivalence the streaming
+# twin's docstring argues; here it is property-tested directly) --------------
+
+@given(
+    st.text(alphabet="vcpse", min_size=0, max_size=60),
+    st.integers(min_value=1, max_value=5),
+)
+def test_seqmatch_dfa_equals_regex(s, n_splits):
+    """The 3-state online DFA in streaming_sequence_match must count
+    exactly the non-overlapping regex matches of v[^p]*c[^p]*p — for any
+    event string and ANY microbatch split of it (state carries across
+    batch boundaries)."""
+    import re as _re
+
+    expected = len(_re.findall(r"v[^p]*c[^p]*p", s))
+    # replay through the DFA in n_splits chunks
+    dfa = n_matches = 0
+    bounds = sorted({min(len(s), (len(s) * i) // n_splits) for i in range(n_splits + 1)})
+    for lo, hi in zip(bounds, bounds[1:]):
+        for ch in s[lo:hi]:
+            if dfa == 0:
+                dfa = 1 if ch == "v" else 0
+            elif dfa == 1:
+                dfa = 2 if ch == "c" else (0 if ch == "p" else 1)
+            else:
+                if ch == "p":
+                    n_matches += 1
+                    dfa = 0
+    assert n_matches == expected
