@@ -427,6 +427,12 @@ HEADLINE = CORE17 + [
     "sim_bq_hamming",
     "text_segment_dedup",
     "layout_hilbert",
+    # r10c: the SymSpell deletion-neighborhood typo join (keyed blocking
+    # vs the oracle's quadratic — the recorded time IS the design claim)
+    # and the trigram-novelty scorer (the one genuinely data-linear
+    # explode stage in the text family, worth tracking across rounds).
+    "dedup_fuzzy_del1",
+    "text_ngram_novelty",
 ]
 
 # Local-iteration escape hatch: BENCH_ONLY=a,b,c restricts the suite to a
