@@ -769,14 +769,18 @@ def test_skyline_plan_shape(spark, sf_dir):
 
 
 def test_fuzzy_del1_plan_shape(spark, sf_dir):
-    """dedup_fuzzy_del1: candidates come from a KEYED equi self-join on
-    the deletion-variant column — never an all-pairs comparison (no
-    cartesian/BNLJ anywhere); the exact levenshtein verify is codegen
-    and rides the keyed probe (pushed into the join condition); no
+    """dedup_fuzzy_del1 (r11 rebuild): candidates come from per-bucket
+    enumeration after ONE groupBy on the deletion-variant column — no
+    join at all (no cartesian/BNLJ/SMJ/BHJ anywhere); the exact
+    levenshtein verify is codegen; the variant exchange is pinned at
+    the session shuffle-partition count (the explicit repartition that
+    stops AQE single-threading the CPU-heavy verify stage); no
     Python."""
     plan = _plan(all_queries()["dedup_fuzzy_del1"](spark, sf_dir), "simple")
     assert "EvalPython" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
-    assert re.search(r"Join \[v#\d+\], \[v#\d+\]", plan), plan
+    assert "Join" not in plan, plan  # no join of any kind — groupBy shape
+    assert "collect_set" in plan, plan
     assert "levenshtein" in plan, plan
+    assert re.search(r"Exchange hashpartitioning\(v#\d+", plan), plan
