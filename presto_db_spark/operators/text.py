@@ -9,6 +9,7 @@ nothing but a projection (no shuffle at all except final aggregation).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -1930,13 +1931,24 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     normal text", novelty asks "does this add anything".
 
     Scale shape: first-occurrence attribution, not a temporal self-join —
-    one explode + min-groupBy builds the (trigram → first doc) table
-    (charset-bounded vocabulary, broadcastable at any corpus size — the
-    `text_lm_coverage` argument), one broadcast join + per-doc rollup
-    scores every document. Incremental form: the first-seen table IS the
-    mergeable state (min is associative), so a streaming twin carries one
-    BIGINT per trigram. No Python, no float."""
+    one explode + min-groupBy builds the (trigram → first doc) table, one
+    join + per-doc rollup scores every document. The broadcast hint on
+    the first-seen table is SIZE-GATED (r11, VERDICT r10 #4): the old
+    "charset-bounded ≤|Σ|³" argument is thin for multilingual/unicode
+    corpora where observed distinct trigrams reach 10⁷–10⁸ — past any
+    broadcast limit. Below the gate (input parquet < 4 MiB, an O(1)
+    filesystem-metadata check, no scan) the hint holds and the exploded
+    corpus never shuffles on the trigram; above it the hint is dropped
+    and AQE decides from the ACTUAL built-table size at runtime —
+    broadcast when it really is small, shuffle join when it is not.
+    Incremental form: the first-seen table IS the mergeable state (min
+    is associative), so a streaming twin carries one BIGINT per trigram.
+    No Python, no float."""
     docs = load_table(spark, sf_dir, "documents")
+    try:
+        _small = os.path.getsize(f"{sf_dir}/documents.parquet") < 4 << 20
+    except OSError:
+        _small = False  # unknown size: let AQE decide (the safe default)
     tris = docs.filter(F.length("text") >= 3).select(
         "doc_id",
         F.explode(
@@ -1950,7 +1962,7 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("long").alias("first_doc")
     )
     per_doc = (
-        tris.join(F.broadcast(first_seen), "tri")
+        tris.join(F.broadcast(first_seen) if _small else first_seen, "tri")
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("long").alias("n_tris"),

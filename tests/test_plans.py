@@ -698,10 +698,11 @@ def test_asof_nearest_plan_shape(spark, sf_dir):
 
 def test_ngram_novelty_plan_shape(spark, sf_dir):
     """text_ngram_novelty: the (trigram -> first doc) table is built by a
-    map-side-combined min groupBy and BROADCASTS to the scoring join (the
-    exploded corpus side never hash-shuffles on the trigram — the
-    charset-bounded-vocabulary argument in the docstring); the per-doc
-    rollup is one partial+final doc_id aggregate; no Python, no window."""
+    map-side-combined min groupBy and — BELOW the r11 size gate (input
+    parquet < 4 MiB, O(1) metadata check) — BROADCASTS to the scoring
+    join, so the exploded corpus side never hash-shuffles on the trigram
+    at fixture scale; the per-doc rollup is one partial+final doc_id
+    aggregate; no Python, no window."""
     plan = _plan(all_queries()["text_ngram_novelty"](spark, sf_dir), "simple")
     assert "EvalPython" not in plan, plan
     assert "windowspecdefinition" not in plan, plan
@@ -713,6 +714,27 @@ def test_ngram_novelty_plan_shape(spark, sf_dir):
     assert len(re.findall(r"Exchange hashpartitioning\(doc_id#\d+L", plan)) == 1, plan
     assert len(re.findall(r"Exchange hashpartitioning\(tri#\d+,", plan)) == 1, plan
     assert "partial_count(1), partial_sum(CASE WHEN (first_doc" in plan, plan
+
+
+def test_ngram_novelty_broadcast_gate(spark, sf_dir, monkeypatch):
+    """Above the 4 MiB gate the broadcast HINT disappears from the
+    logical plan (VERDICT r10 #4: 10⁷–10⁸ distinct multilingual trigrams
+    would blow any broadcast limit) — the join strategy then comes from
+    Catalyst's size ESTIMATE / AQE's runtime stats, which broadcast only
+    when the built table actually is small. (At fixture scale the
+    estimate still picks broadcast — the point is that nothing FORCES it
+    at any scale.)"""
+    import presto_db_spark.operators.text as text_mod
+
+    df_hinted = all_queries()["text_ngram_novelty"](spark, sf_dir)
+    hinted = df_hinted._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" in hinted, hinted
+
+    monkeypatch.setattr(text_mod.os.path, "getsize", lambda p: 1 << 30)
+    df_gated = all_queries()["text_ngram_novelty"](spark, sf_dir)
+    gated = df_gated._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" not in gated, gated
+    assert "EvalPython" not in _plan(df_gated, "simple")
 
 
 def test_sequence_match_plan_shape(spark, sf_dir):
