@@ -15,7 +15,61 @@ def test_multimodal_vs_duckdb(spark, sf_dir, name):
 
 def test_decode_stub_raises():
     with pytest.raises(NotImplementedError):
-        mm.decode_image(b"\x89PNG")
+        mm.decode_image(b"\xff\xd8\xff")  # JPEG SOI — the remaining gate
+
+
+def test_png_unfilter_all_five_types():
+    """The in-repo encoder emits filters 0/1/2 only, so Average(3) and
+    Paeth(4) need direct coverage: filter a known scanline with each
+    type per PNG spec §6 (encoder side written HERE, independently),
+    then require _png_unfilter to invert it exactly."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    prev = rng.integers(0, 256, 30, dtype=np.uint8)
+    row = rng.integers(0, 256, 30, dtype=np.uint8)
+    bpp = 3
+
+    def flt(row, prev, ft):
+        out = np.zeros_like(row)
+        for i in range(len(row)):
+            a = int(row[i - bpp]) if i >= bpp else 0
+            b = int(prev[i])
+            c = int(prev[i - bpp]) if i >= bpp else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            out[i] = (int(row[i]) - pred) & 0xFF
+        return out
+
+    for ft in range(5):
+        got = mm._png_unfilter(flt(row, prev, ft), ft, prev, bpp)
+        assert (got == row).all(), f"filter type {ft} does not invert"
+    with pytest.raises(ValueError):
+        mm._png_unfilter(row, 5, prev, bpp)
+
+
+def test_png_decoder_rejects_corrupt_crc(spark, sf_dir):
+    """Flipping one payload byte inside a chunk must surface as a CRC
+    error from the parser — proving the CRC verify actually runs."""
+    import pandas as pd
+
+    pdf = pd.DataFrame({"doc_id": [5]})
+    (media,) = list(mm._png_encode_batches(iter([pdf])))
+    buf = bytearray(media["payload"][0])
+    buf[40] ^= 0xFF  # inside IHDR/IDAT territory, past the signature
+    bad = pd.DataFrame({"doc_id": [5], "payload": [bytes(buf)]})
+    with pytest.raises(ValueError, match="CRC|PNG"):
+        list(mm._png_decode_batches(iter([bad])))
 
 
 def test_frame_sample_shape(spark, sf_dir):
