@@ -15,10 +15,13 @@ Synthesized columns are deterministic pure expressions of the key columns
 (same text evaluated by both engines), with domains styled after the
 TPC-DS spec (store names 'ought'/'able'/'ese'…, category list, buy
 potential bands, 'Williamson County') so the reference predicates select
-non-trivial subsets. The driver FACT data spans 1995-2001, which covers the
-TPC-DS predicates' 1998-2001 windows without date shifting (the
-date_dim series extends through 2002 so every date ROLE resolves, but
-d_year = 2002 fact gates are empty — see the q27 exclusion).
+non-trivial subsets. The driver FACT data spans 1995-2001, which covers
+the TPC-DS predicates' 1998-2001 windows without date shifting; since r11
+a deterministic 25% slice of fact rows sells in 2001-11-01..2002-12-31
+(see the `sold` expression) so the late gates q27 (d_year = 2002) and
+q14_1 (2001-11) aggregate real rows too, and returns are PARTIAL
+(quantity - 1) so year-over-year net-sales ratios (q75) never divide by
+a fully-returned zero.
 
 At 100 TB the fact views are one fused scan-join (lineitem ⋈ orders on
 the order key — co-partitioned), every synthesized column is a JVM
@@ -76,9 +79,43 @@ def view_definitions(raw, s, dd, idiv, ser, dser) -> dict[str, str]:
     """
     # Fact spine: lineitem ⋈ orders (the TPC-H-ish driver tables).
     fact = f"{raw('lineitem')} l JOIN {raw('orders')} o ON l.l_orderkey = o.o_orderkey"
-    sold = dd("CAST(o.o_orderdate AS DATE)")
+    # r11 (VERDICT r10 directive #6): the driver orderdates end 2001-08-01,
+    # which left q27 (d_year = 2002) and q14_1 (d_year = 2001, d_moy = 11)
+    # aggregating over EMPTY input — an engine-semantics knife edge
+    # (DuckDB emits the standard's all-NULL grand-total ROLLUP row over
+    # empty input, Spark emits none), so both files sat excluded. A
+    # deterministic 25% slice of fact rows now sells in the synthesized
+    # late window 2001-11-01..2002-12-31 (sk 37194 + offset < 426 — never
+    # past the date_dim series end): both gates select real rows at every
+    # SF (measured sf0.001: q27 full-gate 2, Nov-2001 slice 115) and the
+    # two files value-check like the other hundred. Pure integer
+    # arithmetic at the sk level — the identical text evaluates in both
+    # engines; the non-slice 75% keeps the original orderdate timeline.
+    sold = (
+        "CASE WHEN mod(l.l_orderkey * 31 + l.l_linenumber, 4) = 0 "
+        "THEN 37194 + mod(l.l_orderkey * 53 + l.l_linenumber * 17, 426) "
+        f"ELSE {dd('CAST(o.o_orderdate AS DATE)')} END"
+    )
+    # Two knife-edge guards the late window exposed (both engine-semantic,
+    # both removed by making the DATA unambiguous rather than loosening
+    # the comparator):
+    # * returns are PARTIAL (quantity - 1): a fully-returned item-year
+    #   made q75's prev_yr net sales_cnt exactly 0 — Spark/Presto throw
+    #   on the decimal division, DuckDB yields NULL.
+    # * catalog carries its own list markup (1.05 on cs_ext_list_price):
+    #   a customer whose store/catalog row sets coincide (no 'R' rows)
+    #   produced EXACTLY equal channel year-totals — q04's strict cs>ss
+    #   ratio compare then sits on an exact tie that Spark's decimal
+    #   division resolves per the standard (false, matching Presto)
+    #   while DuckDB's order-dependent double summation flips either way.
     shipped = dd("CAST(l.l_shipdate AS DATE)")
-    rfact = fact + " AND l.l_returnflag = 'R'"
+    # Returns are quantity-1 PARTIAL returns and single-unit purchases are
+    # never returned (l_quantity >= 2): every return row then has
+    # return_quantity >= 1 (q17's avg(sr_return_quantity) can never be an
+    # all-zero group → no divide-by-zero; q83's channel denominators stay
+    # positive) and every matched sale keeps net quantity >= 1 (q75's
+    # prev-year net sales_cnt can never be 0).
+    rfact = fact + " AND l.l_returnflag = 'R' AND l.l_quantity >= 2"
     return {
         "date_dim": f"""
             SELECT {dd('d')} AS d_date_sk, d AS d_date,
@@ -298,7 +335,7 @@ def view_definitions(raw, s, dd, idiv, ser, dser) -> dict[str, str]:
                        AS cs_net_paid_inc_tax,
                    mod(l.l_orderkey * 3, 60) AS cs_catalog_page_sk,
                    l.l_extendedprice AS cs_ext_sales_price,
-                   l.l_extendedprice * (1 + l.l_tax) AS cs_ext_list_price,
+                   l.l_extendedprice * (1 + l.l_tax) * 1.05 AS cs_ext_list_price,
                    l.l_extendedprice * l.l_discount AS cs_ext_discount_amt,
                    l.l_extendedprice * (1 - l.l_discount) AS cs_net_paid,
                    l.l_extendedprice * (0.2 - l.l_discount) AS cs_net_profit
@@ -310,7 +347,7 @@ def view_definitions(raw, s, dd, idiv, ser, dser) -> dict[str, str]:
                    o.o_custkey AS sr_customer_sk, l.l_suppkey AS sr_store_sk,
                    mod(l.l_orderkey * 13 + l.l_linenumber * 31, 7200) AS sr_cdemo_sk,
                    mod(l.l_linenumber * 11 + l.l_orderkey, 55) AS sr_reason_sk,
-                   l.l_quantity AS sr_return_quantity,
+                   l.l_quantity - 1 AS sr_return_quantity,
                    l.l_extendedprice * l.l_discount AS sr_return_amt,
                    l.l_extendedprice * l.l_tax AS sr_net_loss,
                    l.l_extendedprice * 0.05 AS sr_fee
@@ -322,7 +359,7 @@ def view_definitions(raw, s, dd, idiv, ser, dser) -> dict[str, str]:
                    o.o_custkey AS cr_returning_addr_sk,
                    mod(l.l_suppkey, 6) AS cr_call_center_sk,
                    mod(l.l_orderkey * 3, 60) AS cr_catalog_page_sk,
-                   l.l_quantity AS cr_return_quantity,
+                   l.l_quantity - 1 AS cr_return_quantity,
                    l.l_extendedprice * l.l_discount AS cr_return_amount,
                    l.l_extendedprice * (l.l_discount + l.l_tax) AS cr_return_amt_inc_tax,
                    l.l_extendedprice * l.l_tax AS cr_net_loss,
@@ -340,7 +377,7 @@ def view_definitions(raw, s, dd, idiv, ser, dser) -> dict[str, str]:
                    mod(l.l_orderkey * 17 + l.l_linenumber * 23, 7200) AS wr_returning_cdemo_sk,
                    mod(l.l_orderkey * 3, 60) AS wr_web_page_sk,
                    mod(l.l_linenumber * 11 + l.l_orderkey, 55) AS wr_reason_sk,
-                   l.l_quantity AS wr_return_quantity,
+                   l.l_quantity - 1 AS wr_return_quantity,
                    l.l_extendedprice * l.l_discount AS wr_return_amt,
                    l.l_extendedprice * l.l_tax AS wr_net_loss,
                    l.l_extendedprice * l.l_discount * 0.5 AS wr_refunded_cash,

@@ -1654,3 +1654,112 @@ def events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_matches"),
         (F.regexp_count(F.col("seq"), F.lit(_SEQ_PATTERN)) > 0).alias("matched"),
     ).orderBy("user_id")
+
+
+# --- cross-user session-overlap interval join (bucket-blocked) --------------
+
+_OVERLAP_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events WHERE user_id < 40
+), numbered AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM flagged
+), sessions AS (
+  SELECT user_id, session_id,
+         CAST(epoch_us(min(ts)) AS BIGINT) AS t0,
+         CAST(epoch_us(max(ts)) AS BIGINT) AS t1
+  FROM numbered GROUP BY user_id, session_id
+)
+SELECT a.user_id AS user_a, b.user_id AS user_b,
+       CAST(count(*) AS BIGINT) AS n_overlaps
+FROM sessions a JOIN sessions b
+  ON a.user_id < b.user_id AND a.t0 <= b.t1 AND b.t0 <= a.t1
+GROUP BY a.user_id, b.user_id
+ORDER BY user_a, user_b
+"""
+
+
+@_q("events_interval_overlap", _OVERLAP_SQL)
+def events_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-user concurrent-session detection: for every user pair, the
+    number of session-interval pairs that OVERLAP in time — the interval
+    theta-join the reference's users write as ``a.t0 <= b.t1 AND b.t0 <=
+    a.t1`` (a cartesian the optimizer cannot equi-fy), rewritten as a
+    bucket-blocked equi join.
+
+    Scale shape: sessions (one user_id window pass, the
+    `events_sessionize` plan) explode into the HOUR buckets they span —
+    fan-out bounded by session duration, never data size — and overlap
+    candidates come from ONE bucket equi self-join: two intervals can
+    only overlap if they share a covered hour, so the bucket join is a
+    lossless candidate generator (the standard interval-blocking
+    argument; Flink/interval-join and the DBToaster range-bucket device
+    use the same decomposition).  The exact predicate verifies in
+    codegen on candidates; shared-multi-bucket duplicates fall to one
+    row via a distinct on the session-pair key BEFORE the count.  The
+    quadratic theta join exists ONLY in the oracle.  At 100 TB the
+    bucket width trades fan-out (long sessions → more buckets) against
+    bucket occupancy (hot hours → bigger buckets) — both observable,
+    neither |sessions|²."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+            > 1800 * 1_000_000,
+            1,
+        )
+        .when(F.lag("ts").over(w).isNull(), 1)
+        .otherwise(0),
+    )
+    numbered = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    sessions = numbered.groupBy("user_id", "session_id").agg(
+        F.min(F.unix_micros("ts")).alias("t0"),
+        F.max(F.unix_micros("ts")).alias("t1"),
+    )
+    hour = 3600 * 1_000_000
+    buckets = sessions.select(
+        "user_id",
+        "session_id",
+        "t0",
+        "t1",
+        F.explode(
+            F.sequence(
+                (F.col("t0") / hour).cast("long"),
+                (F.col("t1") / hour).cast("long"),
+            )
+        ).alias("bkt"),
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    pairs = (
+        a.join(b, "bkt")
+        .filter(
+            (F.col("a.user_id") < F.col("b.user_id"))
+            & (F.col("a.t0") <= F.col("b.t1"))
+            & (F.col("b.t0") <= F.col("a.t1"))
+        )
+        .select(
+            F.col("a.user_id").alias("user_a"),
+            F.col("a.session_id").alias("sid_a"),
+            F.col("b.user_id").alias("user_b"),
+            F.col("b.session_id").alias("sid_b"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.groupBy("user_a", "user_b")
+        .agg(F.count("*").cast("long").alias("n_overlaps"))
+        .orderBy("user_a", "user_b")
+    )

@@ -755,3 +755,74 @@ def cms_estimate_report(docs: DataFrame, cells: DataFrame) -> DataFrame:
         "est_cnt",
         (F.col("est_cnt") >= F.col("cnt")).alias("over_ok"),
     ).orderBy("rk")
+
+
+# --- median absolute deviation (robust dispersion) ---------------------------
+
+_MAD_SQL = """
+WITH cents AS (
+  SELECT o_orderpriority, CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders
+), med AS (
+  SELECT o_orderpriority,
+         CAST(2 * median(c) AS BIGINT) AS med_halfcents,
+         CAST(count(*) AS BIGINT) AS n
+  FROM cents GROUP BY o_orderpriority
+), dev AS (
+  SELECT c.o_orderpriority, m.med_halfcents, m.n,
+         abs(2 * c.c - m.med_halfcents) AS d
+  FROM cents c JOIN med m ON c.o_orderpriority = m.o_orderpriority
+)
+SELECT o_orderpriority,
+       CAST(max(med_halfcents) AS BIGINT) AS med_halfcents,
+       CAST(2 * median(d) AS BIGINT) AS mad_quartercents,
+       CAST(max(n) AS BIGINT) AS n
+FROM dev GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@_q("agg_mad", _MAD_SQL)
+def agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per order priority — the robust
+    dispersion statistic (the outlier-resistant stddev) the reference's
+    users build from two chained median aggregations over
+    ``approx_percentile``'s EXACT sibling.  Everything stays integral:
+    prices become cents, the median doubles to HALF-cents (the 0.5-step
+    linear interpolation at even counts is then exact), deviations are
+    half-cent integers and the MAD doubles again to quarter-cents — no
+    float ever reaches the output, so Spark's ``percentile`` and
+    DuckDB's ``median`` must agree bit-for-bit or the hash breaks.
+
+    Scale shape: two grouped EXACT percentiles (each buffers one
+    group's values — bounded by group size, the documented exact-median
+    contract; the unbounded-cardinality path is the mergeable t-digest
+    twin in `operators/tdigest.py`) + one broadcast join of the
+    |groups|-row median table back onto the cents.  Reference anchor:
+    presto-main/.../aggregation/QuantileDigestAggregationFunction.java
+    serves the approximate form; the exact form users compose is this
+    plan."""
+    orders = _t(spark, sf_dir, "orders")[0]
+    cents = orders.select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+    )
+    med = cents.groupBy("o_orderpriority").agg(
+        (2 * F.expr("percentile(c, 0.5)")).cast("long").alias("med_halfcents"),
+        F.count("*").alias("n"),
+    )
+    dev = cents.join(F.broadcast(med), "o_orderpriority").select(
+        "o_orderpriority",
+        "med_halfcents",
+        "n",
+        F.abs(2 * F.col("c") - F.col("med_halfcents")).alias("d"),
+    )
+    return (
+        dev.groupBy("o_orderpriority")
+        .agg(
+            F.max("med_halfcents").cast("long").alias("med_halfcents"),
+            (2 * F.expr("percentile(d, 0.5)")).cast("long").alias("mad_quartercents"),
+            F.max("n").cast("long").alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )

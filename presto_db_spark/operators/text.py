@@ -1975,3 +1975,90 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_tris", "n_novel",
         F.expr("n_novel * 1000000 div n_tris").cast("bigint").alias("novelty_ppm"),
     ).orderBy("doc_id")
+
+
+# --- bigram LM data-likelihood scoring (CCNet-style quality filter) ----------
+
+_LM_LIKELIHOOD_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+',
+                     ' ', 'g'), ' '), x -> x <> '') AS ts
+  FROM documents
+), big AS (
+  SELECT doc_id,
+         unnest(ts[1:len(ts)-1]) AS w1,
+         unnest(ts[2:len(ts)]) AS w2
+  FROM toks WHERE len(ts) >= 2
+), c2 AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM big GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, CAST(sum(c) AS BIGINT) AS cp FROM c2 GROUP BY w1
+)
+SELECT b.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(c2.c * 1000000 // c1.cp) AS BIGINT) AS lik_micros,
+       CAST(sum(c2.c * 1000000 // c1.cp) // count(*) AS BIGINT)
+         AS mean_lik_micros
+FROM big b JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+           JOIN c1 ON b.w1 = c1.w1
+GROUP BY b.doc_id
+ORDER BY doc_id
+"""
+
+
+@_q("text_lm_likelihood", _LM_LIKELIHOOD_SQL)
+def text_lm_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model data-likelihood scoring — the CCNet/Wenzek et al.
+    quality-filter shape (score each document under an n-gram LM; keep
+    the head of the distribution) with the LM trained ON the corpus
+    itself in the same plan: bigram MLE p(w2|w1) = c(w1,w2)/c(w1,·),
+    folded to exact integer MICROS with floor division — no log, no
+    libm, so Spark and DuckDB must agree bit-for-bit. A doc repeating
+    common transitions scores high; rare/garbled transitions score low
+    — the same ordering the log-likelihood gives, without the float.
+
+    Scale shape: tokenize + bigram explode is one linear pass (the
+    TF-IDF family's explode); the model is TWO map-side-combined
+    groupBys over (w1,w2) / (w1); scoring joins the instance stream
+    against the model on the bigram key — vocabulary-bounded tables
+    whose broadcast-vs-shuffle choice is LEFT TO AQE (the
+    `text_ngram_novelty` r11 lesson: never force a vocabulary
+    broadcast). In production the trained (w1,w2,c,cp) table persists
+    and scoring is a single pass; Zipf-skewed hot prefixes ride the
+    same map-side combine as `text_bpe_train_rounds`."""
+    docs = load_table(spark, sf_dir, "documents")
+    ts = F.filter(
+        F.split(F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " "), " "),
+        lambda x: x != "",
+    )
+    toks = docs.select("doc_id", ts.alias("ts")).filter(F.size("ts") >= 2)
+    big = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(2), F.size("ts")),
+                lambda i: F.struct(
+                    F.element_at("ts", i - 1).alias("w1"),
+                    F.element_at("ts", i).alias("w2"),
+                ),
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    c2 = big.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    c1 = c2.groupBy("w1").agg(F.sum("c").alias("cp"))
+    scored = (
+        big.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum(F.expr("c * 1000000 div cp")).cast("long").alias("lik_micros"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        "lik_micros",
+        F.expr("lik_micros div n_bigrams").cast("long").alias("mean_lik_micros"),
+    ).orderBy("doc_id")

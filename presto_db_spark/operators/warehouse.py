@@ -746,3 +746,71 @@ def part_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "price_cents", "p_size")
         .orderBy("price_cents", "p_partkey")
     )
+
+
+# --- small-file compaction planner (lakehouse OPTIMIZE binpack) --------------
+
+_COMPACT_SQL = """
+WITH inv AS (
+  SELECT CAST(strftime(l_shipdate, '%Y-%m') AS VARCHAR) AS mon,
+         CAST(count(*) AS BIGINT) AS rows_
+  FROM lineitem GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(rows_) AS BIGINT) AS total FROM inv
+), csum AS (
+  SELECT mon, rows_, t.total,
+         CAST(sum(rows_) OVER (ORDER BY mon
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS run
+  FROM inv, tot t
+)
+SELECT CAST((8 * (run - rows_)) // total AS BIGINT) AS bin_id,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(rows_) AS BIGINT) AS bin_rows,
+       min(mon) AS mon_from, max(mon) AS mon_to
+FROM csum
+GROUP BY 1 ORDER BY bin_id
+"""
+
+
+@_q("layout_compaction_plan", _COMPACT_SQL)
+def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner — the bin-packing step behind
+    Iceberg rewrite_data_files / Delta OPTIMIZE: pack a sort-ordered
+    file inventory into ~equal-weight compaction bins WITHOUT breaking
+    the sort order (bin = exact-integer ``(8·cum_before) div total`` —
+    cross-multiplied, so no per-bin size constant to retune across SFs
+    and no float division to disagree on).  The inventory here is the
+    per-ship-month lineitem row counts (the metadata a real table format
+    serves from manifests without touching data).
+
+    Scale shape: the inventory is metadata-scale (|files| rows, not
+    |data|), but the running sum still goes through
+    ``distrank.global_index`` — range partition + per-partition index +
+    #partitions-row offsets — so the plan carries NO single-partition
+    window even for a billion-file catalog; the bin readout is one
+    groupBy over |files| rows.  The oracle keeps the literal
+    single-window cumsum form, value-proving the distributed rank
+    against it on every run."""
+    from .distrank import global_index
+
+    li = load_table(spark, sf_dir, "lineitem")
+    inv = li.groupBy(
+        F.date_format("l_shipdate", "yyyy-MM").alias("mon")
+    ).agg(F.count("*").alias("rows_"))
+    gi = global_index(inv, [F.asc("mon")], sum_col="rows_")
+    return (
+        gi.select(
+            "mon",
+            "rows_",
+            F.expr("(8 * (__csum - rows_)) div __sum_total").alias("bin_id"),
+        )
+        .groupBy("bin_id")
+        .agg(
+            F.count("*").cast("long").alias("n_files"),
+            F.sum("rows_").cast("long").alias("bin_rows"),
+            F.min("mon").alias("mon_from"),
+            F.max("mon").alias("mon_to"),
+        )
+        .orderBy("bin_id")
+    )

@@ -36,14 +36,13 @@ pytestmark = pytest.mark.skipif(
 # adapter and value-checks against DuckDB, except two documented
 # exclusions:
 #
-# * q27, q14_1 — their gates leave the aggregation input EMPTY at this
-#   data (q27's d_year = 2002 is beyond the driver data's 1995-2001
-#   span), and GROUP BY ROLLUP over an EMPTY input is an engine semantic
-#   difference: DuckDB (per the standard's grand-total grouping set)
-#   emits one all-NULL row, Spark emits none — so the files cannot
-#   value-match HERE while both engines behave per their own semantics.
-#   Both SHAPES are covered by adapted registry queries (tpcds_q27,
-#   tpcds_q14).
+# * q27, q14_1 — INCLUDED since r11 (VERDICT r10 directive #6): their
+#   gates (d_year = 2002; d_year = 2001 ∧ d_moy = 11) were empty at the
+#   driver orderdate span, hitting the empty-input ROLLUP engine
+#   difference (DuckDB emits the standard's all-NULL grand-total row,
+#   Spark emits none). The adapter now sells a deterministic 25% fact
+#   slice into 2001-11-01..2002-12-31 (see benchto_tpcds.py), so both
+#   files aggregate REAL rows and value-check like the rest.
 # * q78 — its ratio is round(DECIMAL / BIGINT, 2) and the data hits the
 #   exact tie 23/40 = 0.575: Spark divides in EXACT decimal and rounds
 #   HALF_UP to 0.58 — the same thing Presto's decimal arithmetic does —
@@ -52,7 +51,7 @@ pytestmark = pytest.mark.skipif(
 #   engine, so the file is excluded rather than loosening the comparator
 #   to absorb a 0.01 difference. The q78 shape is covered by the adapted
 #   registry query tpcds_q78 (exact-cents idiom on both sides).
-EXCLUDED = {"q27", "q14_1", "q78"}
+EXCLUDED = {"q78"}
 QUERIES = sorted(
     f[:-4]
     for f in os.listdir(BENCHTO_DIR)

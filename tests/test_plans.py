@@ -806,3 +806,61 @@ def test_fuzzy_del1_plan_shape(spark, sf_dir):
     assert "collect_set" in plan, plan
     assert "levenshtein" in plan, plan
     assert re.search(r"Exchange hashpartitioning\(v#\d+", plan), plan
+
+
+def test_interval_overlap_plan_shape(spark, sf_dir):
+    """events_interval_overlap (r11): overlap candidates come from ONE
+    bucket equi self-join — never the quadratic interval theta pairing
+    (no cartesian/BNLJ anywhere; the oracle keeps the theta form); the
+    exact overlap predicate verifies in codegen on the keyed probe; the
+    session build is the one user_id window pass."""
+    plan = _plan(all_queries()["events_interval_overlap"](spark, sf_dir), "simple")
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert re.search(r"Join \[bkt#\d+L?\], \[bkt#\d+L?\]", plan), plan
+    specs = set(re.findall(r"windowspecdefinition\((\w+)#", plan))
+    assert specs == {"user_id"}, specs
+
+
+def test_agg_mad_plan_shape(spark, sf_dir):
+    """agg_mad (r11): two grouped EXACT percentiles (partial_percentile
+    map-side) and a BROADCAST join of the |groups|-row median table back
+    onto the cents — the cents never hash-shuffle for the join; all
+    output integral; no Python, no window."""
+    plan = _plan(all_queries()["agg_mad"](spark, sf_dir), "simple")
+    assert "EvalPython" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "percentile" in plan, plan
+    assert re.search(
+        r"BroadcastHashJoin \[o_orderpriority#\d+\], \[o_orderpriority#\d+\]",
+        plan,
+    ), plan
+
+
+def test_compaction_plan_shape(spark, sf_dir):
+    """layout_compaction_plan (r11): the running sum comes from
+    distrank.global_index — every window is __pid-scoped and no
+    SinglePartition exchange sits over the inventory data (same gate as
+    the distrank scalable twins); bin assignment is exact integer
+    cross-multiplication (no float division in the plan)."""
+    plan = _plan(all_queries()["layout_compaction_plan"](spark, sf_dir), "simple")
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    specs = set(re.findall(r"windowspecdefinition\((\w+)#", plan))
+    assert specs <= {"__pid"}, specs
+
+
+def test_lm_likelihood_plan_shape(spark, sf_dir):
+    """text_lm_likelihood (r11): the model joins carry NO forced
+    broadcast hint (the text_ngram_novelty lesson — vocabulary-bounded
+    is not broadcast-bounded; AQE decides from runtime sizes), the
+    bigram groupBys partial-combine map-side, and nothing drops to
+    Python."""
+    df = all_queries()["text_lm_likelihood"](spark, sf_dir)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" not in logical, logical
+    plan = _plan(df, "simple")
+    assert "EvalPython" not in plan, plan
+    assert "partial_count" in plan, plan
+    assert "CartesianProduct" not in plan, plan

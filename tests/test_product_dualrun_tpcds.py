@@ -13,10 +13,10 @@ layer (``USE tpcds.sf`` makes the unqualified names resolve there), the
 same dual-run contract as :mod:`tests.test_benchto_tpcds_verbatim`.
 
 Exclusions mirror that module (same data, same engine-semantics reasons):
-q27 / q14_1 (GROUP BY ROLLUP over an empty input: DuckDB emits the
-standard's grand-total all-NULL row, Spark emits none) and q78 (Spark
-rounds the exact-decimal tie 23/40 HALF_UP like the reference; DuckDB's
-double division lands below the tie).
+q78 only since r11 (Spark rounds the exact-decimal tie 23/40 HALF_UP like
+the reference; DuckDB's double division lands below the tie). q27/q14_1
+rejoined the gate once the adapter's late-window fact slice made their
+ROLLUP inputs non-empty (see benchto_tpcds.py).
 """
 
 from __future__ import annotations
@@ -36,7 +36,7 @@ pytestmark = pytest.mark.skipif(
     not os.path.isdir(TPCDS_DIR), reason="reference product tests not present"
 )
 
-EXCLUDED = {"q27", "q14_1", "q78"}
+EXCLUDED = {"q78"}
 CASES = sorted(
     f[:-4]
     for f in os.listdir(TPCDS_DIR)
