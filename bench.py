@@ -419,6 +419,8 @@ _SOLO_PINS = {
     "layout_hilbert": 2.44,
     "dedup_fuzzy_del1": 1.6,
     "text_ngram_novelty": 4.56,
+    "events_interval_overlap": 0.79,
+    "text_lm_likelihood": 1.59,
 }
 
 HEADLINE = CORE17 + [
@@ -458,6 +460,12 @@ HEADLINE = CORE17 + [
     # explode stage in the text family, worth tracking across rounds).
     "dedup_fuzzy_del1",
     "text_ngram_novelty",
+    # r11: the bucket-blocked interval join (the theta-join rewrite whose
+    # recorded time IS the design claim, like fuzzy_del1) and the in-plan
+    # bigram-LM scorer (two model joins over the instance stream — the
+    # TF-IDF family's heaviest shape).
+    "events_interval_overlap",
+    "text_lm_likelihood",
 ]
 
 # Local-iteration escape hatch: BENCH_ONLY=a,b,c restricts the suite to a

@@ -1923,3 +1923,133 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(label).alias("index_name"), "*")
         out = one if out is None else out.unionByName(one)
     return out
+
+
+# --- principal component via power iteration (exact integer fixed-point) -----
+
+_PCA_ITERS = 3
+_V_SCALE = 1_000_000  # normalized component scale (micros)
+
+
+def _pca_sql() -> str:
+    """Build the chained-CTE oracle: 3 unrolled power-iteration rounds.
+    Signed truncating division is spelled CASE-wise so DuckDB's flooring
+    ``//`` and Spark's truncating ``div`` agree on negatives."""
+
+    def tdiv(num: str, den: str) -> str:
+        return (
+            f"CASE WHEN ({num}) >= 0 THEN ({num}) // ({den}) "
+            f"ELSE -((-({num})) // ({den})) END"
+        )
+
+    ctes = [
+        """x AS (
+  SELECT vec_id, d, CAST(round(v[d] * 1000) AS BIGINT) AS q
+  FROM (
+    SELECT vec_id,
+           unnest(generate_series(1, len(embedding))) AS d,
+           list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
+    FROM embeddings
+  )
+)""",
+        "v0 AS (SELECT d, CAST(1000000 AS BIGINT) AS v FROM (SELECT unnest(generate_series(1, 64)) AS d))",
+    ]
+    prev = "v0"
+    for k in range(1, _PCA_ITERS + 1):
+        ctes.append(
+            f"""s{k} AS (
+  SELECT x.vec_id, CAST(sum(x.q * {prev}.v) AS BIGINT) AS s
+  FROM x JOIN {prev} ON x.d = {prev}.d GROUP BY x.vec_id
+)"""
+        )
+        ctes.append(
+            f"""w{k} AS (
+  SELECT x.d, CAST(sum(x.q * {tdiv('s' + str(k) + '.s', '1000')}) AS BIGINT) AS w
+  FROM x JOIN s{k} ON x.vec_id = s{k}.vec_id GROUP BY x.d
+)"""
+        )
+        ctes.append(
+            f"m{k} AS (SELECT CAST(max(abs(w)) AS BIGINT) AS m FROM w{k})"
+        )
+        ctes.append(
+            f"""v{k} AS (
+  SELECT d, CAST({tdiv('w * 1000000', 'm')} AS BIGINT) AS v
+  FROM w{k}, m{k}
+)"""
+        )
+        prev = f"v{k}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT d, v AS v_micros FROM {prev} ORDER BY d"
+    )
+
+
+@_q("emb_pca_power", _pca_sql())
+def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus by POWER ITERATION
+    — the iterative-algorithm class (like `rank_pagerank`) made
+    bit-deterministic: elements quantize once to exact integers, each
+    round computes w = Xᵀ(X v) as two keyed integer-sum aggregations
+    (never materializing the D×D covariance), and renormalization is
+    max-abs scaling with SIGN-SAFE truncating division — no sqrt, no
+    float, so any partitioning, engine, and iteration order produces the
+    identical vector, and the 3-round unrolled SQL oracle proves it
+    value-for-value.
+
+    Scale shape: X explodes once to narrow (vec_id, d, q) rows
+    (localCheckpoint pins one execution); per round, s = Xv groups by
+    vec_id and w = Xᵀs groups by d — both map-side combinable — with v
+    (64 rows) and max|w| (1 row) as broadcasts; driver holds only the
+    loop counter.  Integer headroom: |q| ≤ ~10³, |v| ≤ 10⁶ ⇒ |s| ≤
+    6.4·10¹⁰, s/1000 keeps |w| < 10¹⁸ through ~10⁷ vectors; beyond that
+    lower _V_SCALE one decade per 10× corpus (the documented knob).
+    Convergence to the true eigenvector needs more rounds at scale —
+    rounds are a knob; DETERMINISM is the contract pinned here, the
+    same trade `rank_pagerank` documents."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = (
+        emb.select(
+            "vec_id", F.posexplode("embedding").alias("pos", "e")
+        )
+        .select(
+            "vec_id",
+            (F.col("pos") + 1).alias("d"),
+            F.round(F.col("e").cast("double") * 1000).cast("long").alias("q"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tdiv = (
+        "CASE WHEN ({num}) >= 0 THEN ({num}) div ({den}) "
+        "ELSE -((-({num})) div ({den})) END"
+    )
+    v = spark.range(1, DIM + 1).select(
+        F.col("id").cast("int").alias("d"),
+        F.lit(_V_SCALE).cast("long").alias("v"),
+    )
+    for _ in range(_PCA_ITERS):
+        s = (
+            x.join(F.broadcast(v), "d")
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("q") * F.col("v")).cast("long").alias("s"))
+            .withColumn(
+                "sd", F.expr(tdiv.format(num="s", den="1000")).cast("long")
+            )
+        )
+        # checkpoint pins ONE execution of the round's w for both its
+        # consumers (the max|w| scale and the renormalized v) — the same
+        # device part_skyline_pareto uses for its prefix consumers
+        w = (
+            x.join(s, "vec_id")
+            .groupBy("d")
+            .agg(F.sum(F.col("q") * F.col("sd")).cast("long").alias("w"))
+            .localCheckpoint(eager=False)
+        )
+        m = w.agg(F.max(F.abs("w")).cast("long").alias("m"))
+        v = w.crossJoin(F.broadcast(m)).select(
+            "d",
+            F.expr(tdiv.format(num="w * 1000000", den="m"))
+            .cast("long")
+            .alias("v"),
+        )
+    return v.select("d", F.col("v").alias("v_micros")).orderBy("d")

@@ -864,3 +864,21 @@ def test_lm_likelihood_plan_shape(spark, sf_dir):
     assert "EvalPython" not in plan, plan
     assert "partial_count" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_pca_power_plan_shape(spark, sf_dir):
+    """emb_pca_power (r11): the iteration is keyed integer aggregations
+    only — v (64 rows) broadcasts into the s-pass, max|w| (1 row)
+    broadcasts into the renormalization (the only nested-loop joins are
+    those 1-row scale attaches, one per round); no window, no Python,
+    no D×D covariance materialization anywhere."""
+    plan = _plan(all_queries()["emb_pca_power"](spark, sf_dir), "simple")
+    assert "EvalPython" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # earlier rounds sit behind the per-round w checkpoint (ExistingRDD
+    # scans); the visible plan carries exactly the FINAL round's 1-row
+    # max|w| attach
+    bnlj = len(re.findall(r"BroadcastNestedLoopJoin", plan))
+    assert bnlj == 1, (bnlj, plan)
+    assert "Scan ExistingRDD" in plan, plan
