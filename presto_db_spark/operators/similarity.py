@@ -2053,3 +2053,64 @@ def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("v"),
         )
     return v.select("d", F.col("v").alias("v_micros")).orderBy("d")
+
+
+# --- threshold (range) similarity search ------------------------------------
+
+RANGE_TAU_MICROS = 800_000  # cosine >= 0.8, compared in exact integer micros
+
+
+_RANGE_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERIES}
+), scored AS (
+  SELECT q.qid, e.vec_id,
+         CAST(floor({_SQL_DOT.format(a="q.qe", b="e.embedding")}
+               / ({_SQL_NORM.format(a="q.qe")} * {_SQL_NORM.format(a="e.embedding")})
+               * 1000000) AS BIGINT) AS sim_micros
+  FROM q JOIN embeddings e ON e.vec_id <> q.qid
+)
+SELECT qid, vec_id, sim_micros
+FROM scored WHERE sim_micros >= {RANGE_TAU_MICROS}
+ORDER BY qid, vec_id
+"""
+
+
+@_q("sim_range_search", _RANGE_SQL)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold (range) similarity query — ALL corpus vectors within
+    cosine ≥ τ of each query, the API sibling `sim_topk_bruteforce`'s
+    top-k cannot express (k is unknown; the caller wants everything
+    above the bar — the dedup-candidate and recommendation-fanout
+    shape). The similarity crosses the gate as floor-micros so the
+    threshold compare is integral; the division chain itself is
+    elementwise IEEE arithmetic in one fixed order (the
+    `emb_int8_quantize` parity argument), so floor lands identically in
+    both engines.
+
+    Scale shape: the EXACT primitive — queries broadcast (Q-bounded),
+    one corpus scan, NO window at all (cheaper than top-k: no per-group
+    sort state, the filter is stateless). Output is data-dependent
+    (∝ neighborhood density at τ) — the property that makes range
+    search the right dedup frontier and the wrong UI query. The
+    approximate scale path swaps the scan for the `sim_bq_hamming`
+    packed shortlist (Hamming radius bound → exact verify), trading
+    measured recall (`sim_ann_recall`) for a codes-only scan."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(emb, F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.floor(cosine(F.col("qe"), F.col("embedding")) * 1_000_000)
+            .cast("long")
+            .alias("sim_micros"),
+        )
+    )
+    return scored.filter(
+        F.col("sim_micros") >= RANGE_TAU_MICROS
+    ).orderBy("qid", "vec_id")
