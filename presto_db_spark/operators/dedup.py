@@ -1286,3 +1286,131 @@ def dedup_fuzzy_del1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("name_a", "name_b")
     )
+
+
+# --- Bloom-filter ingestion prefilter (incremental dedup membership) ---------
+
+_BLOOM_WORDS = 64          # 32-bit words → 2048 bits
+_BLOOM_OFFSETS = (1, 7, 13)  # md5 hex offsets → 3 independent 24-bit probes
+
+_BLOOM_SQL = """
+WITH hist AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0
+), newb AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+), hist_pos AS (
+  SELECT (CAST(('0x' || substr(md5(text), off, 6)) AS BIGINT) % 2048) AS pos
+  FROM hist, (SELECT unnest([1, 7, 13]) AS off)
+), bitmap AS (
+  SELECT pos // 32 AS word,
+         CAST(bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER)) AS BIGINT)
+           AS bits
+  FROM hist_pos GROUP BY pos // 32
+), new_pos AS (
+  SELECT doc_id, text,
+         (CAST(('0x' || substr(md5(text), off, 6)) AS BIGINT) % 2048) AS pos
+  FROM newb, (SELECT unnest([1, 7, 13]) AS off)
+), probed AS (
+  SELECT np.doc_id,
+         CASE WHEN b.bits IS NOT NULL
+                   AND (b.bits & (CAST(1 AS BIGINT) << CAST(np.pos % 32 AS INTEGER)))
+                       <> 0
+              THEN 1 ELSE 0 END AS hit
+  FROM new_pos np LEFT JOIN bitmap b ON np.pos // 32 = b.word
+), flags AS (
+  SELECT doc_id, CAST(sum(hit) = 3 AS BOOLEAN) AS bloom_hit
+  FROM probed GROUP BY doc_id
+)
+SELECT f.doc_id, f.bloom_hit,
+       (EXISTS (SELECT 1 FROM hist h JOIN newb n2 ON h.text = n2.text
+                WHERE n2.doc_id = f.doc_id)) AS is_dup,
+       (f.bloom_hit AND NOT EXISTS (
+           SELECT 1 FROM hist h JOIN newb n2 ON h.text = n2.text
+           WHERE n2.doc_id = f.doc_id)) AS false_positive
+FROM flags f
+ORDER BY doc_id
+"""
+
+
+@_q("dedup_bloom_prefilter", _BLOOM_SQL)
+def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter ingestion dedup — the membership PREFILTER a
+    continuously-fed corpus consults before paying the exact-dup join
+    (the device behind Presto's dynamic filtering and every web-crawl
+    seen-URL set): the historical corpus folds into a 2048-bit / 3-probe
+    bitmap built as EXPLICIT integer algebra (md5 24-bit slices → bit
+    positions → per-word ``bit_or`` of 32-bit masks — no shift ever
+    reaches bit 63, so the words are engine-exact BIGINTs), and each new
+    document probes 3 positions; only bloom-positive docs proceed to the
+    exact verify. False positives are COUNTED in the output (the
+    measured-not-asserted rule); false negatives are impossible by
+    construction and the oracle recomputes the whole algebra.
+
+    Scale shape: the bitmap is ≤64 rows (the persisted index artifact —
+    broadcast-sized by CONSTRUCTION, unlike a distinct-key set), history
+    streams through one groupBy, probes join the 64-row table; the
+    exact-dup join runs once here for the oracle but in production only
+    bloom-positive docs reach it (the documented cost: fp-rate ·
+    |batch| extra verifies, tunable by m/k). Sizing knob: m grows with
+    |history| to hold fp-rate — at 10⁹ docs, m = 2³⁵ bits shards the
+    SAME word-table shape to ~10⁸ rows, still join-not-broadcast
+    friendly."""
+    docs = load_table(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") % 5 != 0).select("doc_id", "text")
+    newb = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id", "text")
+
+    def positions(df: DataFrame) -> DataFrame:
+        h = F.md5("text")
+        pos = F.explode(
+            F.array(
+                *[
+                    F.conv(F.substring(h, off, 6), 16, 10).cast("long") % 2048
+                    for off in _BLOOM_OFFSETS
+                ]
+            )
+        ).alias("pos")
+        return df.select("doc_id", pos)
+
+    bitmap = (
+        positions(hist)
+        .groupBy((F.col("pos") / 32).cast("long").alias("word"))
+        .agg(
+            F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT)))")
+            .cast("long")
+            .alias("bits")
+        )
+    )
+    probed = (
+        positions(newb)
+        .withColumn("word", (F.col("pos") / 32).cast("long"))
+        .join(F.broadcast(bitmap), "word", "left")
+        .withColumn(
+            "hit",
+            F.when(
+                F.col("bits").isNotNull()
+                & (
+                    F.col("bits").bitwiseAND(
+                        F.expr(
+                            "shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))"
+                        )
+                    )
+                    != 0
+                ),
+                1,
+            ).otherwise(0),
+        )
+    )
+    flags = probed.groupBy("doc_id").agg((F.sum("hit") == 3).alias("bloom_hit"))
+    dup_ids = newb.join(hist, "text", "left_semi").select("doc_id").distinct()
+    return (
+        flags.join(dup_ids.withColumn("is_dup", F.lit(True)), "doc_id", "left")
+        .select(
+            "doc_id",
+            "bloom_hit",
+            F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
+            (F.col("bloom_hit") & ~F.coalesce("is_dup", F.lit(False))).alias(
+                "false_positive"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -882,3 +882,18 @@ def test_pca_power_plan_shape(spark, sf_dir):
     bnlj = len(re.findall(r"BroadcastNestedLoopJoin", plan))
     assert bnlj == 1, (bnlj, plan)
     assert "Scan ExistingRDD" in plan, plan
+
+
+def test_bloom_prefilter_plan_shape(spark, sf_dir):
+    """dedup_bloom_prefilter (r11): the bitmap is a ≤64-row broadcast
+    (broadcast-sized by CONSTRUCTION — m/32 words, not a distinct-key
+    set); history folds through one word-keyed bit_or groupBy; the
+    exact-dup membership is a LEFT SEMI on the text; no Python, no
+    window, no cartesian."""
+    plan = _plan(all_queries()["dedup_bloom_prefilter"](spark, sf_dir), "simple")
+    assert "EvalPython" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert re.search(r"BroadcastHashJoin \[word#\d+L\], \[word#\d+L\], LeftOuter", plan), plan
+    assert re.search(r"Join \[text#\d+\], \[text#\d+\], LeftSemi", plan), plan
+    assert "bit_or" in plan, plan
