@@ -368,3 +368,84 @@ def ml_evaluate_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "'' AS recall_line",
     )
     return per_label.unionAll(tot).orderBy("label")
+
+
+# --- closed-form OLS trainer (exact-integer normal equations) ----------------
+
+_OLS_TDIV = (
+    "CASE WHEN ({num}) >= 0 THEN ({num}) {div} ({den}) "
+    "ELSE -((-({num})) {div} ({den})) END"
+)
+
+_OLS_SQL = f"""
+WITH pts AS (
+  SELECT l_returnflag AS grp,
+         CAST(l_quantity AS BIGINT) AS x,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem
+), m AS (
+  SELECT grp, CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(x * x) AS HUGEINT) AS sxx, CAST(sum(x * y) AS HUGEINT) AS sxy
+  FROM pts GROUP BY grp
+)
+SELECT grp, CAST(n AS BIGINT) AS n,
+       CAST({_OLS_TDIV.format(num="(n * sxy - sx * sy) * 1000000",
+                              den="n * sxx - sx * sx", div="//")} AS BIGINT)
+         AS slope_micros,
+       CAST({_OLS_TDIV.format(num="(sy * sxx - sx * sxy) * 100",
+                              den="n * sxx - sx * sx", div="//")} AS BIGINT)
+         AS intercept_centimicros
+FROM m
+ORDER BY grp
+"""
+
+
+@_q("ml_linear_regression", _OLS_SQL)
+def ml_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped ordinary-least-squares trainer, closed-form — the
+    reference's `learn_linear_regressor`
+    (presto-ml/.../LearnRegressorAggregation.java) shape re-expressed
+    as the NORMAL EQUATIONS over exact integers: per group, the four
+    sufficient statistics (Σx, Σy, Σx², Σxy) are one map-side-combined
+    aggregate over cents, and slope/intercept come out of Cramer's rule
+    as exact rationals folded to micros with SIGN-SAFE truncating
+    division (the `emb_pca_power` CASE device) — no float in any
+    reduction, so the fitted model is bit-identical at any partitioning
+    and the oracle recomputes it from the same algebra.
+
+    Scale shape: ONE aggregation pass — the sufficient-statistic
+    pattern is why distributed OLS scales (model solve is O(d³) on
+    d ≤ dozens, data pass is the only big cost); multi-feature d>1
+    generalizes to the d×d Gram matrix as d(d+1)/2 sum columns in the
+    same single pass. The sufficient statistics accumulate in BIGINT
+    but the Cramer products run in DECIMAL(38,0) (oracle: HUGEINT —
+    internal only, the output columns stay BIGINT): n·sxy·10⁶ crosses
+    10¹⁹ already at sf0.01, so the wide type is a correctness
+    requirement, not headroom polish."""
+    li = _t(spark, sf_dir, "lineitem")[0]
+    pts = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    dec = "decimal(38,0)"
+    m = pts.groupBy("grp").agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum("x").cast(dec).alias("sx"),
+        F.sum("y").cast(dec).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast(dec).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast(dec).alias("sxy"),
+    )
+    slope = _OLS_TDIV.format(
+        num="(n * sxy - sx * sy) * 1000000", den="n * sxx - sx * sx", div="div"
+    )
+    intercept = _OLS_TDIV.format(
+        num="(sy * sxx - sx * sxy) * 100", den="n * sxx - sx * sx", div="div"
+    )
+    return m.select(
+        "grp",
+        F.col("n").cast("long").alias("n"),
+        F.expr(slope).cast("long").alias("slope_micros"),
+        F.expr(intercept).cast("long").alias("intercept_centimicros"),
+    ).orderBy("grp")
