@@ -416,10 +416,10 @@ _SOLO_PINS = {
     "part_abc_scalable": 1.04,
     "sim_bq_hamming": 1.33,
     "text_segment_dedup": 0.58,
-    "layout_hilbert": 2.44,
+    "layout_hilbert": 1.68,  # re-pinned r11 quiet-box solo (2.44 was a contended-session probe)
     "dedup_fuzzy_del1": 1.6,
     "text_ngram_novelty": 4.56,
-    "events_interval_overlap": 0.79,
+    "events_interval_overlap": 0.60,  # re-pinned r11 quiet-box solo
     "text_lm_likelihood": 1.59,
 }
 

@@ -1293,6 +1293,21 @@ def dedup_fuzzy_del1(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BLOOM_WORDS = 64          # 32-bit words → 2048 bits
 _BLOOM_OFFSETS = (1, 7, 13)  # md5 hex offsets → 3 independent 24-bit probes
 
+
+def bloom_positions(df: DataFrame) -> DataFrame:
+    """(doc_id, pos) probe rows — md5 24-bit slices mod 2048, the shared
+    position formula for the batch op and its streaming twin."""
+    h = F.md5("text")
+    pos = F.explode(
+        F.array(
+            *[
+                F.conv(F.substring(h, off, 6), 16, 10).cast("long") % 2048
+                for off in _BLOOM_OFFSETS
+            ]
+        )
+    ).alias("pos")
+    return df.select("doc_id", pos)
+
 _BLOOM_SQL = """
 WITH hist AS (
   SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0
@@ -1358,19 +1373,7 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     hist = docs.filter(F.col("doc_id") % 5 != 0).select("doc_id", "text")
     newb = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id", "text")
-
-    def positions(df: DataFrame) -> DataFrame:
-        h = F.md5("text")
-        pos = F.explode(
-            F.array(
-                *[
-                    F.conv(F.substring(h, off, 6), 16, 10).cast("long") % 2048
-                    for off in _BLOOM_OFFSETS
-                ]
-            )
-        ).alias("pos")
-        return df.select("doc_id", pos)
-
+    positions = bloom_positions
     bitmap = (
         positions(hist)
         .groupBy((F.col("pos") / 32).cast("long").alias("word"))

@@ -1288,3 +1288,100 @@ def streaming_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --- streaming Bloom membership (per-word bitmap as GroupState) --------------
+
+from ..operators.dedup import _BLOOM_SQL as _BATCH_BLOOM_SQL  # noqa: E402
+from ..operators.dedup import bloom_positions  # noqa: E402
+
+
+@_q("streaming_bloom_dedup", _BATCH_BLOOM_SQL)
+def streaming_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of ``dedup_bloom_prefilter`` — the seen-set Bloom
+    bitmap as it actually accrues in an ingestion pipeline: history
+    documents arrive in microbatches, each batch's probe positions fan
+    out to their 32-bit words, and every word is ONE BIGINT GroupState
+    cell OR-accumulated in place (≤64 keys, fixed state at ANY stream
+    length — the membership-index point). OR is associative,
+    commutative, and MONOTONE (bits only gain), so the stream-built
+    bitmap is bit-identical to the batch bitmap, the final per-word
+    value is the max over that key's emissions, and the oracle is the
+    batch Bloom SQL itself (the `streaming_count_min` device). The
+    new-batch probe + exact verify run batch-side against the streamed
+    bitmap — identical columns to the batch op."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from ..catalog import load_table
+
+    stream = documents_stream(spark, sf_dir).filter(F.col("doc_id") % 5 != 0)
+    pos = bloom_positions(stream).select(
+        (F.col("pos") / 32).cast("long").alias("word"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").alias(
+            "mask"
+        ),
+    )
+
+    out_schema = StructType(
+        [StructField("word", LongType()), StructField("bits", LongType())]
+    )
+    state_schema = StructType([StructField("bits", LongType())])
+
+    def update(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        (bits,) = state.get if state.exists else (0,)
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            for m in pdf["mask"]:
+                bits |= int(m)
+        state.update((bits,))
+        yield pd.DataFrame({"word": [key[0]], "bits": [bits]})
+
+    res = pos.groupBy("word").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    raw = _run_to_completion(res, "stream_bloom", "update")
+    # bits are OR-monotone per word: the final bitmap is each key's max
+    bitmap = raw.groupBy("word").agg(F.max("bits").cast("long").alias("bits"))
+
+    docs = load_table(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") % 5 != 0).select("doc_id", "text")
+    newb = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id", "text")
+    probed = (
+        bloom_positions(newb)
+        .withColumn("word", (F.col("pos") / 32).cast("long"))
+        .join(F.broadcast(bitmap), "word", "left")
+        .withColumn(
+            "hit",
+            F.when(
+                F.col("bits").isNotNull()
+                & (
+                    F.col("bits").bitwiseAND(
+                        F.expr(
+                            "shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))"
+                        )
+                    )
+                    != 0
+                ),
+                1,
+            ).otherwise(0),
+        )
+    )
+    flags = probed.groupBy("doc_id").agg((F.sum("hit") == 3).alias("bloom_hit"))
+    dup_ids = newb.join(hist, "text", "left_semi").select("doc_id").distinct()
+    return (
+        flags.join(dup_ids.withColumn("is_dup", F.lit(True)), "doc_id", "left")
+        .select(
+            "doc_id",
+            "bloom_hit",
+            F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
+            (F.col("bloom_hit") & ~F.coalesce("is_dup", F.lit(False))).alias(
+                "false_positive"
+            ),
+        )
+        .orderBy("doc_id")
+    )
