@@ -418,7 +418,7 @@ _SOLO_PINS = {
     "text_segment_dedup": 0.58,
     "layout_hilbert": 1.68,  # re-pinned r11 quiet-box solo (2.44 was a contended-session probe)
     "dedup_fuzzy_del1": 1.6,
-    "text_ngram_novelty": 4.56,
+    "text_ngram_novelty": 3.7,  # r11 pairs-prefold rebuild (was 4.56 in the instance-stream shape)
     "events_interval_overlap": 0.60,  # re-pinned r11 quiet-box solo
     "text_lm_likelihood": 1.59,
 }

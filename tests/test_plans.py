@@ -697,23 +697,27 @@ def test_asof_nearest_plan_shape(spark, sf_dir):
 
 
 def test_ngram_novelty_plan_shape(spark, sf_dir):
-    """text_ngram_novelty: the (trigram -> first doc) table is built by a
-    map-side-combined min groupBy and — BELOW the r11 size gate (input
-    parquet < 4 MiB, O(1) metadata check) — BROADCASTS to the scoring
-    join, so the exploded corpus side never hash-shuffles on the trigram
-    at fixture scale; the per-doc rollup is one partial+final doc_id
-    aggregate; no Python, no window."""
+    """text_ngram_novelty (r11 second pass): the raw instance stream
+    folds ONCE into the checkpointed (doc_id, tri) -> count pairs table
+    (Scan ExistingRDD in the visible plan — its single execution serves
+    both consumers); the first-seen min groupBy and the scoring join
+    read the COMPACT pairs, and — BELOW the r11 size gate — the
+    first-seen table BROADCASTS; the per-doc rollup sums pre-folded
+    counts; no Python, no window."""
     plan = _plan(all_queries()["text_ngram_novelty"](spark, sf_dir), "simple")
     assert "EvalPython" not in plan, plan
     assert "windowspecdefinition" not in plan, plan
+    # pairs pre-fold pinned behind the checkpoint
+    assert "Scan ExistingRDD" in plan, plan
     # first-seen attribution joins as broadcast over the trigram key
     assert re.search(r"BroadcastHashJoin \[tri#\d+\], \[tri#\d+\], Inner, BuildRight", plan), plan
     # build side: partial+final min under the broadcast exchange
     assert "partial_min(doc_id" in plan, plan
-    # probe side shuffles exactly once — on doc_id for the rollup
+    # pairs side shuffles exactly once — on doc_id for the rollup
     assert len(re.findall(r"Exchange hashpartitioning\(doc_id#\d+L", plan)) == 1, plan
     assert len(re.findall(r"Exchange hashpartitioning\(tri#\d+,", plan)) == 1, plan
-    assert "partial_count(1), partial_sum(CASE WHEN (first_doc" in plan, plan
+    # rollup sums the pre-folded counts, not raw instances
+    assert "partial_sum(c#" in plan, plan
 
 
 def test_ngram_novelty_broadcast_gate(spark, sf_dir, monkeypatch):
