@@ -1763,3 +1763,67 @@ def events_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_overlaps"))
         .orderBy("user_a", "user_b")
     )
+
+
+# --- event-type Markov transition matrix -------------------------------------
+
+_MARKOV_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+), trans AS (
+  SELECT prev_type AS from_type, event_type AS to_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+), totals AS (
+  SELECT from_type, CAST(sum(n) AS BIGINT) AS row_total
+  FROM trans GROUP BY from_type
+)
+SELECT t.from_type, t.to_type, t.n,
+       CAST(t.n * 1000000 // tt.row_total AS BIGINT) AS p_micros
+FROM trans t JOIN totals tt ON t.from_type = tt.from_type
+ORDER BY t.from_type, t.to_type
+"""
+
+
+@_q("events_markov_transitions", _MARKOV_SQL)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams —
+    the behavioral model behind next-action prediction and anomalous-flow
+    detection: P(to | from) as exact integer micros (floor division — no
+    float, engines agree bit-for-bit), estimated from every consecutive
+    event pair within a user's timeline (never across users).
+
+    Scale shape: ONE user_id window pass (the `events_sessionize`
+    exchange — lag rides the same sort), then a map-side-combined
+    groupBy on the (from, to) pair (|event_types|² rows at most — tiny
+    at any corpus size) and a broadcast row-total join. The |types|²
+    bound is what makes the MODEL table a safe broadcast even when the
+    event stream is 100 TB — the opposite case from the vocabulary
+    tables (`text_ngram_novelty`) where the key domain grows with
+    data."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    trans = seq.groupBy(
+        F.col("prev_type").alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).agg(F.count("*").alias("n"))
+    totals = trans.groupBy("from_type").agg(F.sum("n").alias("row_total"))
+    return (
+        trans.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            F.col("n").cast("long").alias("n"),
+            F.expr("n * 1000000 div row_total").cast("long").alias("p_micros"),
+        )
+        .orderBy("from_type", "to_type")
+    )
