@@ -901,3 +901,16 @@ def test_bloom_prefilter_plan_shape(spark, sf_dir):
     assert re.search(r"BroadcastHashJoin \[word#\d+L\], \[word#\d+L\], LeftOuter", plan), plan
     assert re.search(r"Join \[text#\d+\], \[text#\d+\], LeftSemi", plan), plan
     assert "bit_or" in plan, plan
+
+
+def test_markov_plan_shape(spark, sf_dir):
+    """events_markov_transitions (r11): one user_id window (lag rides the
+    sessionize exchange), a map-side-combined (from,to) groupBy, and a
+    BROADCAST row-totals join (|types|² model — broadcast-safe by domain
+    bound); no Python, no cartesian."""
+    plan = _plan(all_queries()["events_markov_transitions"](spark, sf_dir), "simple")
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    specs = set(re.findall(r"windowspecdefinition\((\w+)#", plan))
+    assert specs == {"user_id"}, specs
+    assert re.search(r"BroadcastHashJoin \[from_type#\d+\], \[from_type#\d+\]", plan), plan
