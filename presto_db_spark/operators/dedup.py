@@ -1417,3 +1417,115 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- URL canonicalization dedup ----------------------------------------------
+
+_URL_SQL = """
+WITH raw AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.' ELSE 'https://www.' END)
+         || 'shop' || CAST(doc_id % 12 AS VARCHAR) || '.example.com'
+         || (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END)
+         || '/item/' || CAST(doc_id % 40 AS VARCHAR)
+         || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+         || (CASE WHEN doc_id % 3 = 0
+                  THEN '?utm_source=feed&ref=' || CAST(doc_id % 7 AS VARCHAR)
+                  WHEN doc_id % 3 = 1
+                  THEN '?ref=' || CAST(doc_id % 7 AS VARCHAR)
+                  ELSE '' END)
+         || (CASE WHEN doc_id % 6 = 0 THEN '#top' ELSE '' END) AS url
+  FROM documents
+), canon AS (
+  SELECT doc_id, url,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 replace(replace(url, 'HTTPS://WWW.', 'https://www.'),
+                         'https://www.', 'https://'),
+                 '#[^#]*$', ''),
+               'utm_[a-z]+=[^&#]*&', ''),
+             '\\?$', ''),
+           ':443/', '/') AS c0
+  FROM raw
+), canon2 AS (
+  SELECT doc_id, url, regexp_replace(c0, '/(\\?|$)', '\\1') AS curl
+  FROM canon
+)
+SELECT curl AS canonical_url,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT url) AS BIGINT) AS n_raw_variants,
+       CAST(min(doc_id) AS BIGINT) AS keep_doc_id
+FROM canon2
+GROUP BY curl
+HAVING count(*) > 1
+ORDER BY canonical_url
+"""
+
+
+@_q("dedup_url_canonical", _URL_SQL)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup — the crawl-frontier normalization pass
+    (scheme/host case-folding, www-stripping, default-port removal,
+    fragment drop, tracking-parameter scrub, trailing-slash collapse)
+    that makes 'HTTPS://WWW.shop1.example.com:443/item/5/?utm_source=
+    feed&ref=2#top' and 'https://www.shop1.example.com/item/5?ref=2' the
+    SAME page before any content dedup runs. The noisy URLs are
+    synthesized deterministically from doc_id (the driver corpus has no
+    URL column — same device as the Bloom split), but the
+    CANONICALIZATION operates only on the URL STRING via an identical
+    replace/regexp chain in both engines; survivors keep the minimum
+    doc_id (the deterministic-survivor rule every dedup op here pins).
+
+    Scale shape: pure projection + one groupBy on the canonical key —
+    the cheapest dedup in the family (no shingles, no signatures); at
+    crawl scale this pass removes the bulk of trivial duplicates before
+    MinHash spends a single hash. Reference anchor: the url_extract_*
+    family (presto-main/.../scalar/UrlFunctions.java) is the toolkit
+    users build this normalization from."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("HTTPS://WWW.")).otherwise(F.lit("https://www.")),
+        F.lit("shop"), (d % 12).cast("string"), F.lit(".example.com"),
+        F.when(d % 4 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/item/"), (d % 40).cast("string"),
+        F.when(d % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 3 == 0, F.concat(F.lit("?utm_source=feed&ref="), (d % 7).cast("string")))
+        .when(d % 3 == 1, F.concat(F.lit("?ref="), (d % 7).cast("string")))
+        .otherwise(F.lit("")),
+        F.when(d % 6 == 0, F.lit("#top")).otherwise(F.lit("")),
+    )
+    raw = docs.select("doc_id", url.alias("url"))
+    c0 = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.replace(
+                        F.replace(
+                            F.col("url"),
+                            F.lit("HTTPS://WWW."),
+                            F.lit("https://www."),
+                        ),
+                        F.lit("https://www."),
+                        F.lit("https://"),
+                    ),
+                    "#[^#]*$", ""),
+                "utm_[a-z]+=[^&#]*&", ""),
+            r"\?$", ""),
+        ":443/", "/")
+    canon = raw.select(
+        "doc_id", "url",
+        F.regexp_replace(c0, r"/(\?|$)", r"$1").alias("curl"),
+    )
+    return (
+        canon.groupBy(F.col("curl").alias("canonical_url"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("url").cast("long").alias("n_raw_variants"),
+            F.min("doc_id").cast("long").alias("keep_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy("canonical_url")
+    )

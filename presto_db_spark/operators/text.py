@@ -2074,3 +2074,104 @@ def text_lm_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lik_micros",
         F.expr("lik_micros div n_bigrams").cast("long").alias("mean_lik_micros"),
     ).orderBy("doc_id")
+
+
+# --- winnowing fingerprint selection (Schleimer et al. / MOSS) ---------------
+
+_WINNOW_K = 5   # k-gram length (chars)
+_WINNOW_W = 4   # window of consecutive k-gram hashes per fingerprint
+
+_WINNOW_SQL = f"""
+WITH kg AS (
+  SELECT doc_id, i AS pos,
+         CAST(('0x' || substr(md5(substr(text, i, {_WINNOW_K})), 1, 12)) AS BIGINT)
+           AS h
+  FROM (
+    SELECT doc_id, text,
+           unnest(generate_series(1, len(text) - {_WINNOW_K} + 1)) AS i
+    FROM documents WHERE len(text) >= {_WINNOW_K}
+  )
+), wins AS (
+  SELECT doc_id, pos, h,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN {_WINNOW_W - 1} PRECEDING AND CURRENT ROW)
+           AS wmin,
+         count(*) OVER (PARTITION BY doc_id) AS n_kgrams
+  FROM kg
+), sel AS (
+  SELECT DISTINCT doc_id, n_kgrams, wmin
+  FROM wins WHERE pos >= {_WINNOW_W}
+)
+SELECT doc_id,
+       CAST(max(n_kgrams) AS BIGINT) AS n_kgrams,
+       CAST(count(*) AS BIGINT) AS n_selected,
+       CAST(sum(wmin % 1099511627776) AS BIGINT) AS fp_checksum
+FROM sel GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@_q("text_winnowing", _WINNOW_SQL)
+def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint SELECTION (Schleimer/Wilkerson/Aiken, the
+    MOSS algorithm): hash every k-gram, keep the MINIMUM of each window
+    of w consecutive hashes — the guarantee-bearing sparsification
+    (any shared substring of length ≥ w+k−1 yields a shared selected
+    fingerprint) that `text_fingerprint`'s plain rolling hash lacks.
+    The selected set crosses the gate as a count + an order-insensitive
+    modular checksum (a ragged hash-array column would break the driver
+    canonicalizer — the `emb_int8_quantize` device).
+
+    Scale shape: the k-gram explode is the corpus-linear stage (the
+    `text_ngram_novelty` explode bound); the window min is doc-scoped
+    (never a global window); selection density is ~2/(w+1) of positions
+    — the tunable storage/recall knob the paper proves optimal; the
+    winnowed table then feeds the SAME banded-join dedup machinery as
+    MinHash (`dedup_minhash_lsh`), with exact-substring guarantees
+    instead of Jaccard estimates. Hash = md5 48-bit slice — the
+    engine-portable integer-hash idiom every dedup op here uses."""
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    kg = (
+        docs.filter(F.length("text") >= _WINNOW_K)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.length("text") - _WINNOW_K + 1)
+            ).alias("pos"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.conv(
+                F.substring(F.md5(F.expr(f"substr(text, pos, {_WINNOW_K})")), 1, 12),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("h"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy("pos").rowsBetween(-(_WINNOW_W - 1), 0)
+    wins = kg.select(
+        "doc_id",
+        "pos",
+        F.min("h").over(w).alias("wmin"),
+        F.count("*").over(W.partitionBy("doc_id")).alias("n_kgrams"),
+    )
+    sel = (
+        wins.filter(F.col("pos") >= _WINNOW_W)
+        .select("doc_id", "n_kgrams", "wmin")
+        .distinct()
+    )
+    return (
+        sel.groupBy("doc_id")
+        .agg(
+            F.max("n_kgrams").cast("long").alias("n_kgrams"),
+            F.count("*").cast("long").alias("n_selected"),
+            F.sum(F.col("wmin") % 1099511627776).cast("long").alias("fp_checksum"),
+        )
+        .orderBy("doc_id")
+    )
