@@ -1827,3 +1827,94 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_type", "to_type")
     )
+
+
+# --- cohort LTV curves --------------------------------------------------------
+
+_COHORT_LTV_SQL = """
+WITH firsts AS (
+  SELECT user_id, CAST(min(date_trunc('day', ts)) AS DATE) AS cohort_day
+  FROM events GROUP BY user_id
+), sizes AS (
+  SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_size
+  FROM firsts GROUP BY cohort_day
+), rev AS (
+  SELECT f.cohort_day,
+         CAST(date_diff('day', f.cohort_day,
+                        CAST(date_trunc('day', e.ts) AS DATE)) AS BIGINT)
+           AS age_days,
+         CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_buyers,
+         CAST(SUM(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+  WHERE e.event_type = 'purchase'
+  GROUP BY 1, 2
+)
+SELECT r.cohort_day, r.age_days, r.n_buyers, r.rev_cents,
+       CAST(SUM(r.rev_cents) OVER (PARTITION BY r.cohort_day ORDER BY r.age_days
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_rev_cents,
+       CAST(SUM(r.rev_cents) OVER (PARTITION BY r.cohort_day ORDER BY r.age_days
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            * 1000000 // s.cohort_size AS BIGINT) AS ltv_micros
+FROM rev r JOIN sizes s ON r.cohort_day = s.cohort_day
+ORDER BY r.cohort_day, r.age_days
+"""
+
+
+@_q("events_cohort_ltv", _COHORT_LTV_SQL)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves — the growth-analytics readout built
+    on the same first-touch table as `events_retention`: users are
+    cohorted by their first-active day, purchase revenue is bucketed by
+    cohort age in days, and the running per-member LTV is carried as
+    exact integer micro-cents (floor division — both engines agree
+    bit-for-bit, no float in any decision).
+
+    Scale shape: the firsts table is ONE map-side-combined groupBy on
+    user_id; revenue re-keys the purchase subset by user_id for the
+    firsts join (same exchange `events_retention` pays — at 100 TB this
+    is the one unavoidable user-keyed shuffle, and AQE handles the
+    power-user skew). Everything after the (cohort, age) groupBy is
+    |days|² rows at most, so the cumulative window and the cohort-size
+    join are driver-trivial at any corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).cast("date").alias("cohort_day")
+    )
+    sizes = firsts.groupBy("cohort_day").agg(
+        F.count("*").cast("long").alias("cohort_size")
+    )
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.date_trunc("day", "ts").cast("date"), F.col("cohort_day"))
+            .cast("long")
+            .alias("age_days"),
+        )
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("n_buyers"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("rev_cents"),
+        )
+    )
+    w = W.partitionBy("cohort_day").orderBy("age_days").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    cum = F.sum("rev_cents").over(w)
+    return (
+        rev.join(F.broadcast(sizes), "cohort_day")
+        .select(
+            "cohort_day",
+            "age_days",
+            "n_buyers",
+            F.col("rev_cents").cast("long").alias("rev_cents"),
+            cum.cast("long").alias("cum_rev_cents"),
+            F.expr(
+                "sum(rev_cents) over (partition by cohort_day order by age_days "
+                "rows between unbounded preceding and current row) "
+                "* 1000000 div cohort_size"
+            ).cast("long").alias("ltv_micros"),
+        )
+        .orderBy("cohort_day", "age_days")
+    )

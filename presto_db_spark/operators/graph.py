@@ -272,3 +272,94 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(w).cast("int"))
         .filter(F.col("rk") <= _RULES_TOPK)
     )
+
+
+# --- neighbor-set Jaccard similarity ------------------------------------------
+
+# Hub cap: wedge generation at node w fans out deg(w) choose 2 pairs, so a
+# celebrity node would dominate the shuffle at scale.  Capping the apex
+# degree (standard frequent-item pruning in similarity mining) bounds the
+# per-node fan-out; 1000 is a no-op at every test SF but makes the 100 TB
+# cost Sum_w min(deg_w, CAP)^2.
+_JACCARD_HUB_CAP = 1000
+
+_JACCARD_SQL = f"""
+WITH edges AS ({_EDGES_SQL}
+), adj AS (
+  SELECT x AS u, y AS w FROM edges
+  UNION ALL
+  SELECT y AS u, x AS w FROM edges
+), deg AS (
+  SELECT u, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY u
+), apex AS (
+  SELECT a.u, a.w FROM adj a
+  JOIN deg dw ON dw.u = a.w
+  WHERE dw.deg <= {_JACCARD_HUB_CAP}
+), cn AS (
+  SELECT a.u AS u1, b.u AS u2, CAST(count(*) AS BIGINT) AS common
+  FROM apex a JOIN apex b ON a.w = b.w AND a.u < b.u
+  GROUP BY a.u, b.u
+), jac AS (
+  SELECT c.u1, c.u2, c.common,
+         d1.deg AS deg1, d2.deg AS deg2,
+         CAST(c.common * 1000000 // (d1.deg + d2.deg - c.common) AS BIGINT)
+           AS jaccard_ppm
+  FROM cn c JOIN deg d1 ON d1.u = c.u1 JOIN deg d2 ON d2.u = c.u2
+  WHERE c.common >= 2
+)
+SELECT u1, u2, common, deg1, deg2, jaccard_ppm
+FROM jac
+ORDER BY jaccard_ppm DESC, u1, u2
+LIMIT 100
+"""
+
+
+@_q("graph_jaccard_neighbors", _JACCARD_SQL)
+def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbor-set Jaccard similarity between co-purchase graph nodes —
+    the classic link-prediction / entity-resolution signal (|N(a) ∩
+    N(b)| / |N(a) ∪ N(b)|), reported as exact integer ppm so both
+    engines rank identically.  Candidate pairs are generated by wedges
+    at a shared neighbor (never an all-pairs join), the apex degree is
+    capped (``_JACCARD_HUB_CAP``) so a hub node cannot quadratically
+    dominate the shuffle at 100 TB, and the min-common-neighbors >= 2
+    filter runs before the degree joins.
+
+    Scale shape: adjacency and degree are one map-side-combined groupBy
+    each; the wedge self-join is keyed on the apex node (bounded
+    fan-out after the cap); the degree joins hit the (u1, u2) pair
+    table already collapsed to Sum min(deg, CAP)^2 candidates; the
+    top-100 is a TakeOrderedAndProject, no global sort materialized."""
+    edges = _edges(spark, sf_dir)
+    adj = edges.select(F.col("x").alias("u"), F.col("y").alias("w")).unionAll(
+        edges.select(F.col("y").alias("u"), F.col("x").alias("w"))
+    )
+    deg = adj.groupBy("u").agg(F.count("*").cast("long").alias("deg"))
+    apex = adj.join(
+        deg.filter(F.col("deg") <= _JACCARD_HUB_CAP).select(
+            F.col("u").alias("w")
+        ),
+        "w",
+    )
+    a, b = apex.alias("a"), apex.alias("b")
+    cn = (
+        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.u") < F.col("b.u")))
+        .groupBy(F.col("a.u").alias("u1"), F.col("b.u").alias("u2"))
+        .agg(F.count("*").cast("long").alias("common"))
+        .filter(F.col("common") >= 2)
+    )
+    jac = (
+        cn.join(deg.select(F.col("u").alias("u1"), F.col("deg").alias("deg1")), "u1")
+        .join(deg.select(F.col("u").alias("u2"), F.col("deg").alias("deg2")), "u2")
+        .select(
+            "u1",
+            "u2",
+            "common",
+            "deg1",
+            "deg2",
+            F.expr("common * 1000000 div (deg1 + deg2 - common)")
+            .cast("long")
+            .alias("jaccard_ppm"),
+        )
+    )
+    return jac.orderBy(F.desc("jaccard_ppm"), "u1", "u2").limit(100)

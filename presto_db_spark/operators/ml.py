@@ -36,6 +36,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from .tpch import _t
 
@@ -449,3 +450,166 @@ def ml_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(slope).cast("long").alias("slope_micros"),
         F.expr(intercept).cast("long").alias("intercept_centimicros"),
     ).orderBy("grp")
+
+
+# --- multinomial naive Bayes --------------------------------------------------
+
+_NB_SQL = """
+WITH tok AS (
+  SELECT doc_id, lang,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+  FROM documents WHERE trim(text) <> ''
+), train AS (
+  SELECT * FROM tok WHERE doc_id % 5 <> 0
+), test AS (
+  SELECT * FROM tok WHERE doc_id % 5 = 0
+), n_tc AS (
+  SELECT token, lang, CAST(count(*) AS BIGINT) AS n
+  FROM train GROUP BY token, lang
+), tot AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS tot_tokens
+  FROM train GROUP BY lang
+), vocab AS (
+  SELECT CAST(count(DISTINCT token) AS BIGINT) AS v FROM train
+), prior AS (
+  SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM train GROUP BY lang
+), n_total AS (
+  SELECT CAST(sum(n_docs) AS BIGINT) AS n_all FROM prior
+), classes AS (
+  SELECT p.lang AS cls,
+         CAST(floor(1000000 * ln(CAST(p.n_docs AS DOUBLE)
+                                 / CAST(nt.n_all AS DOUBLE))) AS BIGINT)
+           AS prior_w,
+         CAST(floor(1000000 * ln(1.0 / CAST(t.tot_tokens + vb.v AS DOUBLE)))
+              AS BIGINT) AS unseen_w,
+         t.tot_tokens, vb.v
+  FROM prior p JOIN tot t ON p.lang = t.lang
+  CROSS JOIN vocab vb CROSS JOIN n_total nt
+), weights AS (
+  SELECT c.cls, n.token,
+         CAST(floor(1000000 * ln(CAST(n.n + 1 AS DOUBLE)
+                                 / CAST(c.tot_tokens + c.v AS DOUBLE)))
+              AS BIGINT) AS w
+  FROM n_tc n JOIN classes c ON n.lang = c.cls
+), scored AS (
+  SELECT te.doc_id, te.lang AS true_lang, c.cls,
+         CAST(sum(COALESCE(w.w, c.unseen_w)) + min(c.prior_w) AS BIGINT)
+           AS score_micros
+  FROM test te CROSS JOIN classes c
+  LEFT JOIN weights w ON w.token = te.token AND w.cls = c.cls
+  GROUP BY te.doc_id, te.lang, c.cls
+), ranked AS (
+  SELECT doc_id, true_lang, cls AS pred_lang, score_micros,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score_micros DESC, cls) AS rn
+  FROM scored
+)
+SELECT doc_id, true_lang, pred_lang, score_micros,
+       CAST(CASE WHEN pred_lang = true_lang THEN 1 ELSE 0 END AS INTEGER)
+         AS is_correct
+FROM ranked WHERE rn = 1
+ORDER BY doc_id
+"""
+
+
+@_q("ml_naive_bayes", _NB_SQL)
+def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive-Bayes text classifier, trained and applied as
+    pure DataFrame algebra — the scale path for the reference's
+    collect-then-train classifier surface (``presto-ml``'s
+    ``LearnClassifierAggregation`` gathers every row into single-node
+    libsvm state; here the model IS a distributed aggregate). Laplace
+    add-one smoothing; every log-weight is floor-quantized to integer
+    micros from exact BIGINT counts (floor, not round — no rounding-mode
+    divergence between engines), so the per-class scores and the argmax
+    are bit-stable at any partitioning.
+
+    Scale shape: training is ONE map-side-combined groupBy on (token,
+    class) — at 100 TB the shuffle carries the vocab × |classes| count
+    table, never document text. Scoring joins test-token instances to
+    the weight table keyed by token (AQE absorbs stopword skew), with
+    the |classes|-row prior/unseen table a broadcast; the per-doc argmax
+    is a WindowGroupLimit over |docs| × |classes| scored rows.
+
+    Reference anchor: presto-ml/src/main/java/com/facebook/presto/ml/
+    LearnClassifierAggregation.java (single-node trainer this replaces)."""
+    docs = _t(spark, sf_dir, "documents")[0].filter(F.trim("text") != "")
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("token"),
+    )
+    train = tok.filter(F.col("doc_id") % 5 != 0)
+    test = tok.filter(F.col("doc_id") % 5 == 0)
+    n_tc = train.groupBy("token", "lang").agg(F.count("*").alias("n"))
+    tot = train.groupBy("lang").agg(F.count("*").alias("tot_tokens"))
+    vocab = n_tc.select("token").distinct().agg(
+        F.count("*").cast("long").alias("v")
+    )
+    prior = train.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    n_total = prior.agg(F.sum("n_docs").cast("long").alias("n_all"))
+    classes = (
+        prior.join(tot, "lang")
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            F.col("lang").alias("cls"),
+            F.floor(
+                1000000
+                * F.log(
+                    F.col("n_docs").cast("double") / F.col("n_all").cast("double")
+                )
+            ).cast("long").alias("prior_w"),
+            F.floor(
+                1000000
+                * F.log(F.lit(1.0) / (F.col("tot_tokens") + F.col("v")).cast("double"))
+            ).cast("long").alias("unseen_w"),
+            "tot_tokens",
+            "v",
+        )
+    )
+    weights = n_tc.join(classes, n_tc["lang"] == classes["cls"]).select(
+        "cls",
+        "token",
+        F.floor(
+            1000000
+            * F.log(
+                (F.col("n") + 1).cast("double")
+                / (F.col("tot_tokens") + F.col("v")).cast("double")
+            )
+        ).cast("long").alias("w"),
+    )
+    scored = (
+        test.crossJoin(F.broadcast(classes.select("cls", "prior_w", "unseen_w")))
+        .join(
+            weights,
+            ["token", "cls"],
+            "left",
+        )
+        .groupBy("doc_id", F.col("lang").alias("true_lang"), "cls")
+        .agg(
+            (
+                F.sum(F.coalesce(F.col("w"), F.col("unseen_w")))
+                + F.min("prior_w")
+            ).cast("long").alias("score_micros")
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score_micros"), "cls")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "true_lang",
+            F.col("cls").alias("pred_lang"),
+            "score_micros",
+            F.when(F.col("cls") == F.col("true_lang"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("is_correct"),
+        )
+        .orderBy("doc_id")
+    )

@@ -2114,3 +2114,93 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.filter(
         F.col("sim_micros") >= RANGE_TAU_MICROS
     ).orderBy("qid", "vec_id")
+
+
+# --- cluster-balanced training-corpus sampling --------------------------------
+
+# Per-cluster sample budget: a balanced mix draws the SAME number of rows
+# from every embedding cluster regardless of cluster mass (the domain-
+# rebalancing step in curation pipelines - over-represented clusters are
+# downsampled hardest). Selection inside a cluster is by a Knuth
+# multiplicative hash of vec_id: deterministic, order-free, and uniform.
+SAMPLE_PER_CLUSTER = 10
+_KNUTH = 2654435761
+_HASH_MOD = 4294967296
+
+_CLUSTER_SAMPLE_SQL = f"""
+WITH c AS (
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+  WHERE vec_id < {N_CENTROIDS}
+), assigned AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             {_SQL_DOT.format(a="e.embedding", b="c.ce")}
+               / ({_SQL_NORM.format(a="e.embedding")} * {_SQL_NORM.format(a="c.ce")}) DESC,
+             c.cid) AS arn
+    FROM embeddings e CROSS JOIN c
+  ) WHERE arn = 1
+), sized AS (
+  SELECT cid, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM assigned GROUP BY cid
+), ranked AS (
+  SELECT cid, vec_id,
+         CAST((vec_id * {_KNUTH}) % {_HASH_MOD} AS BIGINT) AS skey,
+         row_number() OVER (PARTITION BY cid
+           ORDER BY (vec_id * {_KNUTH}) % {_HASH_MOD}, vec_id) AS rn
+  FROM assigned
+)
+SELECT r.cid, r.vec_id, r.skey, CAST(r.rn AS INTEGER) AS rn, s.cluster_size
+FROM ranked r JOIN sized s ON s.cid = r.cid
+WHERE r.rn <= {SAMPLE_PER_CLUSTER}
+ORDER BY r.cid, r.rn
+"""
+
+
+@_q("train_cluster_sample", _CLUSTER_SAMPLE_SQL)
+def train_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced training-corpus sampling - the domain-rebalancing
+    pass curation pipelines run between dedup and mixing (SemDeDup /
+    DoReMi-style cluster budgets): embed, cluster, then draw an EQUAL
+    per-cluster sample so over-represented modes are downsampled and the
+    tail keeps its coverage. Selection is a Knuth multiplicative hash of
+    vec_id - deterministic and uniform, no RNG, so both engines pick the
+    identical sample at any partitioning.
+
+    Scale shape: nearest-centroid assignment is one Arrow pass against a
+    broadcast K-row centroid table (same pass `sim_ivf` pays - at 100 TB
+    it is scan-shaped, no shuffle); cluster sizes are a K-row groupBy;
+    the per-cluster top-N is a WindowGroupLimit keyed by cid, so the sort
+    never materializes a cluster - rank truncation happens map-side.
+    """
+    emb = _emb(spark, sf_dir)
+    raw = load_table(spark, sf_dir, "embeddings")
+    cent_rows = sorted(
+        raw.filter(F.col("vec_id") < N_CENTROIDS)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    cent_ids = [int(r.vec_id) for r in cent_rows]
+    cent_vecs = [[float(x) for x in r.embedding] for r in cent_rows]
+
+    def _assign(vecs):
+        return _assign_probe_impl(vecs, cent_ids, cent_vecs, 1)
+
+    assign_udf = F.pandas_udf(_assign, "struct<cid: long, probes: array<long>>")
+    assigned = emb.select(
+        "vec_id", assign_udf(F.col("embedding")).getField("cid").alias("cid")
+    )
+    sized = assigned.groupBy("cid").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    skey = (F.col("vec_id") * _KNUTH) % _HASH_MOD
+    w = W.partitionBy("cid").orderBy(skey, "vec_id")
+    return (
+        assigned.select("cid", "vec_id", skey.cast("long").alias("skey"))
+        .withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= SAMPLE_PER_CLUSTER)
+        .join(F.broadcast(sized), "cid")
+        .select("cid", "vec_id", "skey", "rn", "cluster_size")
+        .orderBy("cid", "rn")
+    )
