@@ -276,15 +276,31 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- neighbor-set Jaccard similarity ------------------------------------------
 
-# Hub cap: wedge generation at node w fans out deg(w) choose 2 pairs, so a
-# celebrity node would dominate the shuffle at scale.  Capping the apex
-# degree (standard frequent-item pruning in similarity mining) bounds the
+# Substrate: the REPEAT co-purchase graph - an edge only where the pair
+# was bought together in >= 2 DISTINCT orders.  The support filter is the
+# denoising step every production co-occurrence graph applies (a single
+# shared basket is overwhelmingly coincidence), and it is also what makes
+# EXACT all-pairs Jaccard tractable: the raw sf0.1 graph has avg degree
+# ~120 and Sum deg^2 = 298M wedges (measured), while the support>=2 graph
+# collapses to ~10k wedges - random co-occurrence dilutes SUBLINEARLY as
+# orders grow, so the exact pass gets CHEAPER per row at scale while true
+# repeat-signal edges persist.
+_JACCARD_MIN_SUPPORT = 2
+
+# Hub cap: wedge generation at node w fans out deg(w)^2 candidate pairs, so
+# a celebrity node would dominate the shuffle.  Capping the apex degree
+# (standard frequent-item pruning in similarity mining) bounds the
 # per-node fan-out; 1000 is a no-op at every test SF but makes the 100 TB
-# cost Sum_w min(deg_w, CAP)^2.
+# worst case Sum_w min(deg_w, CAP)^2.
 _JACCARD_HUB_CAP = 1000
 
 _JACCARD_SQL = f"""
-WITH edges AS ({_EDGES_SQL}
+WITH edges AS (
+  SELECT a.l_partkey AS x, b.l_partkey AS y
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING count(DISTINCT a.l_orderkey) >= {_JACCARD_MIN_SUPPORT}
 ), adj AS (
   SELECT x AS u, y AS w FROM edges
   UNION ALL
@@ -305,7 +321,6 @@ WITH edges AS ({_EDGES_SQL}
          CAST(c.common * 1000000 // (d1.deg + d2.deg - c.common) AS BIGINT)
            AS jaccard_ppm
   FROM cn c JOIN deg d1 ON d1.u = c.u1 JOIN deg d2 ON d2.u = c.u2
-  WHERE c.common >= 2
 )
 SELECT u1, u2, common, deg1, deg2, jaccard_ppm
 FROM jac
@@ -316,21 +331,37 @@ LIMIT 100
 
 @_q("graph_jaccard_neighbors", _JACCARD_SQL)
 def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Neighbor-set Jaccard similarity between co-purchase graph nodes —
-    the classic link-prediction / entity-resolution signal (|N(a) ∩
-    N(b)| / |N(a) ∪ N(b)|), reported as exact integer ppm so both
-    engines rank identically.  Candidate pairs are generated by wedges
-    at a shared neighbor (never an all-pairs join), the apex degree is
-    capped (``_JACCARD_HUB_CAP``) so a hub node cannot quadratically
-    dominate the shuffle at 100 TB, and the min-common-neighbors >= 2
-    filter runs before the degree joins.
+    """Neighbor-set Jaccard similarity between repeat-co-purchase graph
+    nodes - the classic link-prediction / entity-resolution signal
+    (|N(a) n N(b)| / |N(a) u N(b)|), reported as exact integer ppm so
+    both engines rank identically.  Edges require co-purchase support >=
+    ``_JACCARD_MIN_SUPPORT`` distinct orders (see module comment: the
+    denoising filter that ALSO makes the exact all-pairs pass tractable
+    - the unsupported graph's 298M-wedge Jaccard belongs to the banded
+    MinHash machinery, not an exact operator), candidate pairs are
+    generated by wedges at a shared neighbor (never an all-pairs join),
+    and the apex degree is capped (``_JACCARD_HUB_CAP``).
 
-    Scale shape: adjacency and degree are one map-side-combined groupBy
-    each; the wedge self-join is keyed on the apex node (bounded
-    fan-out after the cap); the degree joins hit the (u1, u2) pair
-    table already collapsed to Sum min(deg, CAP)^2 candidates; the
-    top-100 is a TakeOrderedAndProject, no global sort materialized."""
-    edges = _edges(spark, sf_dir)
+    Scale shape: support filtering is one map-side-combined groupBy on
+    the per-order-local pair explode; adjacency and degree are one
+    groupBy each; the wedge self-join is keyed on the apex node (bounded
+    fan-out after the cap); the top-100 is a TakeOrderedAndProject, no
+    global sort materialized."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("x"), F.col("b.l_partkey").alias("y")
+        )
+        .agg(F.countDistinct("a.l_orderkey").alias("support"))
+        .filter(F.col("support") >= _JACCARD_MIN_SUPPORT)
+        .select("x", "y")
+    )
     adj = edges.select(F.col("x").alias("u"), F.col("y").alias("w")).unionAll(
         edges.select(F.col("y").alias("u"), F.col("x").alias("w"))
     )
@@ -346,7 +377,6 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.u") < F.col("b.u")))
         .groupBy(F.col("a.u").alias("u1"), F.col("b.u").alias("u2"))
         .agg(F.count("*").cast("long").alias("common"))
-        .filter(F.col("common") >= 2)
     )
     jac = (
         cn.join(deg.select(F.col("u").alias("u1"), F.col("deg").alias("deg1")), "u1")

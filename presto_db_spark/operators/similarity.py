@@ -2188,9 +2188,15 @@ def train_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _assign_probe_impl(vecs, cent_ids, cent_vecs, 1)
 
     assign_udf = F.pandas_udf(_assign, "struct<cid: long, probes: array<long>>")
+    # The assignment UDF fans into TWO consumers (the per-cluster ranking
+    # and the cluster-size aggregate), and the window's implicit
+    # isnotnull(cid) pushes below the exchange — without a barrier the
+    # Arrow stage executed 4x (2 consumers x filter duplication). The lazy
+    # localCheckpoint pins ONE execution (same fix as sim_ann_lsh's
+    # bucket UDF, plan-pinned below).
     assigned = emb.select(
         "vec_id", assign_udf(F.col("embedding")).getField("cid").alias("cid")
-    )
+    ).localCheckpoint(eager=False)
     sized = assigned.groupBy("cid").agg(
         F.count("*").cast("long").alias("cluster_size")
     )

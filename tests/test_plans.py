@@ -914,3 +914,64 @@ def test_markov_plan_shape(spark, sf_dir):
     specs = set(re.findall(r"windowspecdefinition\((\w+)#", plan))
     assert specs == {"user_id"}, specs
     assert re.search(r"BroadcastHashJoin \[from_type#\d+\], \[from_type#\d+\]", plan), plan
+
+
+def test_cohort_ltv_plan_shape(spark, sf_dir):
+    """events_cohort_ltv (r11): the only window is cohort_day-scoped (the
+    cumulative LTV over the tiny (cohort, age) table — never a global or
+    user-wide window), cohort sizes attach by broadcast, and the user_id
+    firsts join is a keyed join, not a cartesian; no Python."""
+    plan = _plan(all_queries()["events_cohort_ltv"](spark, sf_dir), "simple")
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    specs = set(re.findall(r"windowspecdefinition\((\w+)#", plan))
+    assert specs == {"cohort_day"}, specs
+    assert re.search(
+        r"BroadcastHashJoin \[cohort_day#\d+\], \[cohort_day#\d+\]", plan
+    ), plan
+
+
+def test_naive_bayes_plan_shape(spark, sf_dir):
+    """ml_naive_bayes (r11): training is map-side-combined groupBys
+    (partial_count on the (token,class) model), the class/prior table is
+    a broadcast, the score join is keyed on token (no cartesian — the
+    class fan-out is the |classes|-row broadcast nested loop), and the
+    per-doc argmax is the only window, doc_id-scoped."""
+    plan = _plan(all_queries()["ml_naive_bayes"](spark, sf_dir), "simple")
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    specs = set(re.findall(r"windowspecdefinition\((\w+)#", plan))
+    assert specs == {"doc_id"}, specs
+    assert "partial_count" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_jaccard_neighbors_plan_shape(spark, sf_dir):
+    """graph_jaccard_neighbors (r11): wedge generation is an equi join on
+    the apex node (never a cartesian), the common-neighbor count is
+    map-side combined, the top-100 plans as TakeOrderedAndProject (no
+    global sort materialized), and there is no window at all."""
+    plan = _plan(all_queries()["graph_jaccard_neighbors"](spark, sf_dir), "simple")
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "partial_count" in plan, plan
+
+
+def test_cluster_sample_plan_shape(spark, sf_dir):
+    """train_cluster_sample (r11): nearest-centroid assignment is ONE
+    Arrow pass (exactly one ArrowEvalPython stage — the broadcast-K
+    pattern sim_ivf pays), cluster sizes attach by broadcast on cid, the
+    per-cluster top-N is the only window (cid-scoped), no cartesian.
+    The assignment feeds two consumers, so it is localCheckpoint-pinned
+    to exactly one execution (the sim_ann_lsh fix) — the visible plan
+    reads the ExistingRDD, never a duplicated Arrow stage."""
+    plan = _plan(all_queries()["train_cluster_sample"](spark, sf_dir), "simple")
+    assert "ArrowEvalPython" not in plan, plan
+    assert "ExistingRDD" in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    specs = set(re.findall(r"windowspecdefinition\((\w+)#", plan))
+    assert specs == {"cid"}, specs
+    assert re.search(r"BroadcastHashJoin \[cid#\d+L\], \[cid#\d+L\]", plan), plan
