@@ -1918,3 +1918,93 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_day", "age_days")
     )
+
+
+# --- discrete-time survival / churn hazard table ------------------------------
+
+# A user whose last event is >= this many days before the corpus horizon
+# is an observed churn; later last-events are right-censored.
+_SURV_CENSOR_DAYS = 7
+
+_SURVIVAL_SQL = f"""
+WITH life AS (
+  SELECT user_id, CAST(min(ts) AS DATE) AS f, CAST(max(ts) AS DATE) AS l
+  FROM events GROUP BY user_id
+), horizon AS (
+  SELECT CAST(max(ts) AS DATE) AS gmax FROM events
+), obs AS (
+  SELECT CAST(date_diff('day', f, l) AS INTEGER) AS t,
+         CASE WHEN date_diff('day', l, gmax) >= {_SURV_CENSOR_DAYS}
+              THEN 1 ELSE 0 END AS churned
+  FROM life CROSS JOIN horizon
+), per_t AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS n_t,
+         CAST(sum(churned) AS BIGINT) AS churned,
+         CAST(count(*) - sum(churned) AS BIGINT) AS censored
+  FROM obs GROUP BY t
+), km AS (
+  SELECT t, churned, censored,
+         CAST(sum(n_t) OVER (ORDER BY t DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS at_risk
+  FROM per_t
+)
+SELECT t, at_risk, churned, censored,
+       CAST(churned * 1000000 // at_risk AS BIGINT) AS hazard_ppm
+FROM km ORDER BY t
+"""
+
+
+@_q("events_survival_hazard", _SURVIVAL_SQL)
+def events_survival_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-time survival analysis of user churn — the Kaplan-Meier
+    life table over observed activity spans: lifetime t = days between a
+    user's first and last event; a user is an observed churn if their
+    last event precedes the corpus horizon by >= ``_SURV_CENSOR_DAYS``
+    days, otherwise right-censored (still active; standard censoring
+    construction).  Emits per lifetime day: the at-risk count (users with
+    lifetime >= t), observed churns, censored exits, and the discrete
+    hazard d_t/n_t in exact integer ppm — so both engines produce the
+    identical table (float survival products would drift; hazards are
+    pure integer ratios and the KM survival curve is recoverable as
+    prod(1 - h_t) downstream).
+
+    Scale shape: lifetimes are one map-side-combined groupBy on user_id;
+    the horizon is a broadcast single row; the at-risk reverse-cumulative
+    window runs AFTER aggregation to per-day rows — its input is bounded
+    by the day span of the corpus (hundreds), not the user count, so the
+    single-partition window is a constant-size post-aggregation pass
+    (same device as the gapfill/retention family)."""
+    ev = load_table(spark, sf_dir, "events")
+    life = ev.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("f"), F.max("ts").cast("date").alias("l")
+    )
+    gmax = ev.agg(F.max("ts").cast("date").alias("gmax"))
+    obs = life.crossJoin(F.broadcast(gmax)).select(
+        F.datediff("l", "f").cast("int").alias("t"),
+        F.when(
+            F.datediff("gmax", "l") >= _SURV_CENSOR_DAYS, F.lit(1)
+        ).otherwise(F.lit(0)).alias("churned"),
+    )
+    per_t = obs.groupBy("t").agg(
+        F.count("*").cast("long").alias("n_t"),
+        F.sum("churned").cast("long").alias("churned"),
+        (F.count("*") - F.sum("churned")).cast("long").alias("censored"),
+    )
+    w = (
+        W.orderBy(F.desc("t"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    km = per_t.select(
+        "t",
+        "churned",
+        "censored",
+        F.sum("n_t").over(w).cast("long").alias("at_risk"),
+    )
+    return km.select(
+        "t",
+        "at_risk",
+        "churned",
+        "censored",
+        F.expr("churned * 1000000 div at_risk").cast("long").alias("hazard_ppm"),
+    ).orderBy("t")

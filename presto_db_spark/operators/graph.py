@@ -393,3 +393,181 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return jac.orderBy(F.desc("jaccard_ppm"), "u1", "u2").limit(100)
+
+
+# --- multi-source BFS distances ------------------------------------------------
+
+_BFS_MAX_DEPTH = 3
+_BFS_SRC_MOD = 97  # nodes with partkey % 97 == 0 seed the frontier
+
+_BFS_SQL = f"""
+WITH RECURSIVE edges AS ({_EDGES_SQL}
+), adj AS (
+  SELECT x AS u, y AS w FROM edges
+  UNION ALL
+  SELECT y AS u, x AS w FROM edges
+), bfs(node, dist) AS (
+  SELECT DISTINCT u AS node, 0 AS dist FROM adj WHERE u % {_BFS_SRC_MOD} = 0
+  UNION
+  SELECT a.w, b.dist + 1 FROM bfs b JOIN adj a ON a.u = b.node
+  WHERE b.dist < {_BFS_MAX_DEPTH}
+)
+SELECT CAST(dist AS INTEGER) AS dist, CAST(count(*) AS BIGINT) AS n_nodes
+FROM (SELECT node, min(dist) AS dist FROM bfs GROUP BY node)
+GROUP BY 1
+ORDER BY dist
+"""
+
+
+@_q("graph_bfs_distances", _BFS_SQL)
+def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source breadth-first search over the co-purchase graph:
+    every part whose key is divisible by ``_BFS_SRC_MOD`` seeds the
+    frontier at distance 0, and the reachable-set histogram (distance →
+    node count) is reported up to ``_BFS_MAX_DEPTH`` hops. This is the
+    canonical iterative-join graph shape (Pregel superstep as a DataFrame
+    loop); the oracle is a DuckDB recursive CTE over the same adjacency,
+    so the fixed-point itself is cross-checked, not just the plumbing.
+
+    Scale shape: each superstep is ONE hash join frontier x adjacency
+    keyed on the node id followed by a distinct and an anti-join against
+    the visited set — the frontier only carries NEWLY reached nodes, so
+    total work across rounds is O(sum of frontier-adjacent edges), never
+    nodes x rounds. ``localCheckpoint`` cuts the growing lineage each
+    round (the standard Spark iterative-algorithm device; at cluster
+    scale this is a checkpoint to the shuffle service, not the driver).
+    Distances are small exact integers — no float drift between engines."""
+    edges = _edges(spark, sf_dir).localCheckpoint(eager=False)
+    adj = edges.select(F.col("x").alias("u"), F.col("y").alias("w")).unionAll(
+        edges.select(F.col("y").alias("u"), F.col("x").alias("w"))
+    ).localCheckpoint(eager=False)
+    srcs = (
+        adj.select(F.col("u").alias("node"))
+        .filter(F.col("node") % _BFS_SRC_MOD == 0)
+        .distinct()
+    )
+    visited = srcs.withColumn("dist", F.lit(0).cast("int")).localCheckpoint(
+        eager=False
+    )
+    frontier = srcs
+    for d in range(1, _BFS_MAX_DEPTH + 1):
+        reached = (
+            frontier.join(adj, frontier["node"] == adj["u"])
+            .select(F.col("w").alias("node"))
+            .distinct()
+        )
+        frontier = reached.join(visited, "node", "left_anti").localCheckpoint(
+            eager=False
+        )
+        visited = visited.unionAll(
+            frontier.withColumn("dist", F.lit(d).cast("int"))
+        ).localCheckpoint(eager=False)
+    return (
+        visited.groupBy("dist")
+        .agg(F.count("*").cast("long").alias("n_nodes"))
+        .orderBy("dist")
+    )
+
+
+# --- resource-allocation link prediction ---------------------------------------
+
+# Per-common-neighbor contribution: floor(1e9 / deg(w)) — exact integer in
+# both engines, so candidate ranking cannot diverge in a float ulp.
+_RA_SCALE = 1_000_000_000
+_RA_TOPK = 100
+
+_RA_SQL = f"""
+WITH edges AS (
+  SELECT a.l_partkey AS x, b.l_partkey AS y
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING count(DISTINCT a.l_orderkey) >= {_JACCARD_MIN_SUPPORT}
+), adj AS (
+  SELECT x AS u, y AS w FROM edges
+  UNION ALL
+  SELECT y AS u, x AS w FROM edges
+), deg AS (
+  SELECT u, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY u
+), apex AS (
+  SELECT a.u, a.w, dw.deg AS degw FROM adj a
+  JOIN deg dw ON dw.u = a.w
+  WHERE dw.deg <= {_JACCARD_HUB_CAP}
+), cand AS (
+  SELECT a.u AS u1, b.u AS u2,
+         CAST(count(*) AS BIGINT) AS common,
+         CAST(sum({_RA_SCALE} // a.degw) AS BIGINT) AS ra_ppb
+  FROM apex a JOIN apex b ON a.w = b.w AND a.u < b.u
+  GROUP BY a.u, b.u
+)
+SELECT u1, u2, common, ra_ppb
+FROM cand c
+WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.x = c.u1 AND e.y = c.u2)
+ORDER BY ra_ppb DESC, u1, u2
+LIMIT {_RA_TOPK}
+"""
+
+
+@_q("graph_resource_alloc", _RA_SQL)
+def graph_resource_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resource-allocation link prediction (Zhou, Lu & Zhang 2009): for
+    node pairs that are NOT currently edges of the repeat-co-purchase
+    graph, score the likelihood of a future edge as
+    sum over common neighbors w of 1/deg(w) — high-degree hubs
+    contribute little, an exclusive shared neighbor contributes a lot.
+    The per-neighbor term is the exact integer ``floor(1e9/deg)`` so both
+    engines produce the identical top-``{_RA_TOPK}`` ranking (the float RA
+    index would tie-break on ulps). Substrate and candidate machinery are
+    shared with `graph_jaccard_neighbors` (support-filtered edges, wedge
+    generation at a degree-capped apex — see the module comment for why
+    the support filter makes the exact pass tractable).
+
+    Scale shape: one map-side-combined groupBy folds each wedge's
+    contribution (count + RA sum ride the same exchange); the non-edge
+    filter is a broadcast-able anti-join against the support-filtered
+    edge list; the top-k is TakeOrderedAndProject — no global sort."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("x"), F.col("b.l_partkey").alias("y")
+        )
+        .agg(F.countDistinct("a.l_orderkey").alias("support"))
+        .filter(F.col("support") >= _JACCARD_MIN_SUPPORT)
+        .select("x", "y")
+        .localCheckpoint(eager=False)
+    )
+    adj = edges.select(F.col("x").alias("u"), F.col("y").alias("w")).unionAll(
+        edges.select(F.col("y").alias("u"), F.col("x").alias("w"))
+    )
+    deg = adj.groupBy("u").agg(F.count("*").cast("long").alias("deg"))
+    apex = adj.join(
+        deg.filter(F.col("deg") <= _JACCARD_HUB_CAP)
+        .select(F.col("u").alias("w"), F.col("deg").alias("degw")),
+        "w",
+    )
+    a, b = apex.alias("a"), apex.alias("b")
+    cand = (
+        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.u") < F.col("b.u")))
+        .select(
+            F.col("a.u").alias("u1"),
+            F.col("b.u").alias("u2"),
+            F.expr(f"{_RA_SCALE} div a.degw").alias("contrib"),
+        )
+        .groupBy("u1", "u2")
+        .agg(
+            F.count("*").cast("long").alias("common"),
+            F.sum("contrib").cast("long").alias("ra_ppb"),
+        )
+    )
+    nonedge = cand.join(
+        edges.select(F.col("x").alias("u1"), F.col("y").alias("u2")),
+        ["u1", "u2"],
+        "left_anti",
+    )
+    return nonedge.orderBy(F.desc("ra_ppb"), "u1", "u2").limit(_RA_TOPK)

@@ -613,3 +613,124 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- decision-stump split finder ----------------------------------------------
+
+# Weighted-Gini split cost, fixed-point scale.  Both engines evaluate the
+# identical integer expression (floor division per side), so the argmin
+# cannot diverge.  BIGINT bound: pos*neg*SCALE <= (N/2)^2 * 1e6, safe to
+# N ~ 6e6 rows; past that the two products move to DECIMAL(38,0)/HUGEINT
+# exactly like ml_regress_ols's normal equations.
+_STUMP_SCALE = 1_000_000
+_STUMP_TOPK = 5
+
+_STUMP_SQL = f"""
+WITH pts AS (
+  SELECT 'quantity' AS feature, CAST(round(l_quantity) AS INTEGER) AS v,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos FROM lineitem
+  UNION ALL
+  SELECT 'discount_c', CAST(round(l_discount * 100) AS INTEGER),
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END FROM lineitem
+  UNION ALL
+  SELECT 'tax_c', CAST(round(l_tax * 100) AS INTEGER),
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END FROM lineitem
+), grp AS (
+  SELECT feature, v, CAST(count(*) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS p
+  FROM pts GROUP BY feature, v
+), cum AS (
+  SELECT feature, v,
+         CAST(sum(n) OVER w AS BIGINT) AS n_l,
+         CAST(sum(p) OVER w AS BIGINT) AS pos_l,
+         CAST(sum(n) OVER (PARTITION BY feature) AS BIGINT) AS n_tot,
+         CAST(sum(p) OVER (PARTITION BY feature) AS BIGINT) AS p_tot
+  FROM grp
+  WINDOW w AS (PARTITION BY feature ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), split AS (
+  SELECT feature, v AS threshold, n_l, pos_l,
+         n_tot - n_l AS n_r, p_tot - pos_l AS pos_r,
+         (pos_l * (n_l - pos_l) * {_STUMP_SCALE}) // n_l
+         + ((p_tot - pos_l) * ((n_tot - n_l) - (p_tot - pos_l))
+            * {_STUMP_SCALE}) // (n_tot - n_l) AS cost_scaled
+  FROM cum WHERE n_l < n_tot
+)
+SELECT feature, threshold,
+       n_l AS n_left, pos_l AS pos_left, n_r AS n_right, pos_r AS pos_right,
+       CAST(cost_scaled AS BIGINT) AS cost_scaled,
+       CAST(row_number() OVER (ORDER BY cost_scaled, feature, threshold)
+            AS INTEGER) AS rk
+FROM split
+QUALIFY rk <= {_STUMP_TOPK}
+"""
+
+
+@_q("ml_decision_stump", _STUMP_SQL)
+def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed decision-stump induction — the split-finding inner
+    loop of every distributed tree learner (PLANET, Panda et al. 2009;
+    XGBoost's exact greedy): over three integer-bucketized lineitem
+    features, score every candidate threshold ``v <= t`` by the
+    weighted Gini impurity of the induced (left, right) partition and
+    report the global top-``{_STUMP_TOPK}`` splits for the label
+    ``l_returnflag = 'R'``.  Cost is the exact fixed-point integer
+    ``sum over sides of floor(pos*neg*SCALE/n)`` (monotone transform of
+    weighted Gini: per-side n*gini = 2*pos*neg/n), with (feature,
+    threshold) tie-breaks, so both engines select identical splits.
+
+    Scale shape — the PLANET recipe: per-row work is a 3-way stack
+    projection; candidate statistics collapse to ONE map-side-combined
+    groupBy on (feature, bucket-value) — the shuffle carries at most
+    |features| x |distinct buckets| rows regardless of row count; the
+    prefix-sum windows then run on that tiny aggregate (bounded by the
+    bucket vocabulary, ~150 rows here), and the final ranking is a
+    TakeOrderedAndProject.  Deeper trees iterate this operator per node
+    on filtered partitions."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    pos = F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("pos")
+    pts = li.select(
+        F.expr(
+            "stack(3,"
+            " 'quantity',   CAST(round(l_quantity) AS INT),"
+            " 'discount_c', CAST(round(l_discount * 100) AS INT),"
+            " 'tax_c',      CAST(round(l_tax * 100) AS INT)"
+            ") AS (feature, v)"
+        ),
+        pos,
+    )
+    grp = pts.groupBy("feature", "v").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("p"),
+    )
+    wcum = (
+        W.partitionBy("feature")
+        .orderBy("v")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wtot = W.partitionBy("feature")
+    cum = grp.select(
+        "feature",
+        "v",
+        F.sum("n").over(wcum).cast("long").alias("n_l"),
+        F.sum("p").over(wcum).cast("long").alias("pos_l"),
+        F.sum("n").over(wtot).cast("long").alias("n_tot"),
+        F.sum("p").over(wtot).cast("long").alias("p_tot"),
+    )
+    split = cum.filter(F.col("n_l") < F.col("n_tot")).select(
+        "feature",
+        F.col("v").alias("threshold"),
+        F.col("n_l").alias("n_left"),
+        F.col("pos_l").alias("pos_left"),
+        (F.col("n_tot") - F.col("n_l")).alias("n_right"),
+        (F.col("p_tot") - F.col("pos_l")).alias("pos_right"),
+        F.expr(
+            f"(pos_l * (n_l - pos_l) * {_STUMP_SCALE}) div n_l"
+            f" + ((p_tot - pos_l) * ((n_tot - n_l) - (p_tot - pos_l))"
+            f" * {_STUMP_SCALE}) div (n_tot - n_l)"
+        ).cast("long").alias("cost_scaled"),
+    )
+    wr = W.orderBy("cost_scaled", "feature", "threshold")
+    return (
+        split.withColumn("rk", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rk") <= _STUMP_TOPK)
+    )

@@ -2210,3 +2210,100 @@ def train_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cid", "vec_id", "skey", "rn", "cluster_size")
         .orderBy("cid", "rn")
     )
+
+
+# --- kNN majority-vote classification ------------------------------------------
+
+_KNN_K = 10
+
+_KNN_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qe, label AS true_label
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+), corpus AS (
+  SELECT vec_id, embedding, label FROM embeddings
+  WHERE vec_id >= {N_QUERIES}
+), scored AS (
+  SELECT q.qid, q.true_label, c.label,
+         round({_SQL_DOT.format(a="q.qe", b="c.embedding")}
+               / ({_SQL_NORM.format(a="q.qe")}
+                  * {_SQL_NORM.format(a="c.embedding")}), 6) AS sim,
+         c.vec_id
+  FROM q JOIN corpus c ON TRUE
+), nn AS (
+  SELECT qid, true_label, label
+  FROM (SELECT qid, true_label, label,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY sim DESC, vec_id) AS rn
+        FROM scored)
+  WHERE rn <= {_KNN_K}
+), votes AS (
+  SELECT qid, true_label, label, CAST(count(*) AS BIGINT) AS votes
+  FROM nn GROUP BY qid, true_label, label
+)
+SELECT qid, CAST(label AS INTEGER) AS pred_label, votes,
+       CAST(true_label AS INTEGER) AS true_label,
+       CASE WHEN label = true_label THEN 1 ELSE 0 END AS correct
+FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY votes DESC, label) AS vr
+      FROM votes)
+WHERE vr = 1
+ORDER BY qid
+"""
+
+
+@_q("sim_knn_classify", _KNN_SQL)
+def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-nearest-neighbor classification over the embedding corpus: each
+    query vector takes the majority label of its ``_KNN_K`` nearest
+    corpus neighbors by cosine (the standard non-parametric classifier;
+    label column ships with the embeddings table). Ranking keys are
+    (rounded sim, vec_id) and votes tie-break on the smaller label, so
+    the prediction is engine-deterministic end to end; the per-query
+    correctness flag against the true label makes the entry double as an
+    eval harness (accuracy = avg(correct) downstream).
+
+    Scale shape: identical to `sim_topk_bruteforce` — the query set is
+    broadcast, the corpus side never shuffles until the per-query
+    top-k (TopNRowNumber/WindowGroupLimit over Q*k survivors), and the
+    vote count + argmax run on Q*k rows. Swapping the exact scorer for
+    the IVF/PQ candidate generator turns this into approximate kNN
+    classification with the same vote machinery."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("true_label"),
+    )
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
+    scored = F.broadcast(q).crossJoin(corpus).select(
+        "qid",
+        "true_label",
+        "label",
+        F.round(cosine(F.col("qe"), F.col("embedding")), 6).alias("sim"),
+        "vec_id",
+    )
+    wnn = W.partitionBy("qid").orderBy(F.desc("sim"), "vec_id")
+    nn = (
+        scored.withColumn("rn", F.row_number().over(wnn))
+        .filter(F.col("rn") <= _KNN_K)
+        .select("qid", "true_label", "label")
+    )
+    votes = nn.groupBy("qid", "true_label", "label").agg(
+        F.count("*").cast("long").alias("votes")
+    )
+    wv = W.partitionBy("qid").orderBy(F.desc("votes"), "label")
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select(
+            "qid",
+            F.col("label").cast("int").alias("pred_label"),
+            "votes",
+            F.col("true_label").cast("int").alias("true_label"),
+            F.when(F.col("label") == F.col("true_label"), 1)
+            .otherwise(0)
+            .alias("correct"),
+        )
+        .orderBy("qid")
+    )
