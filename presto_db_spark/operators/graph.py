@@ -400,8 +400,24 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BFS_MAX_DEPTH = 3
 _BFS_SRC_MOD = 97  # nodes with partkey % 97 == 0 seed the frontier
 
+# Substrate: the REPEAT co-purchase graph (support >= 2 distinct orders —
+# the same denoising filter graph_jaccard_neighbors motivates).  On the
+# RAW graph BFS is degenerate AND expensive: ambient co-occurrence makes
+# the diameter ~2 (everything lands at dist 1 — no information) while the
+# edge list grows superlinearly with order overlap (measured 11.7 s at
+# sf0.1).  The supported graph keeps only repeat signal: sparser, a real
+# distance distribution, and the edge count grows SUBLINEARLY (module
+# comment above — random co-occurrence dilutes as orders grow).
+_BFS_EDGES_SQL = f"""
+  SELECT a.l_partkey AS x, b.l_partkey AS y
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING count(DISTINCT a.l_orderkey) >= {_JACCARD_MIN_SUPPORT}
+"""
+
 _BFS_SQL = f"""
-WITH RECURSIVE edges AS ({_EDGES_SQL}
+WITH RECURSIVE edges AS ({_BFS_EDGES_SQL}
 ), adj AS (
   SELECT x AS u, y AS w FROM edges
   UNION ALL
@@ -421,13 +437,15 @@ ORDER BY dist
 
 @_q("graph_bfs_distances", _BFS_SQL)
 def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-source breadth-first search over the co-purchase graph:
-    every part whose key is divisible by ``_BFS_SRC_MOD`` seeds the
-    frontier at distance 0, and the reachable-set histogram (distance →
-    node count) is reported up to ``_BFS_MAX_DEPTH`` hops. This is the
-    canonical iterative-join graph shape (Pregel superstep as a DataFrame
-    loop); the oracle is a DuckDB recursive CTE over the same adjacency,
-    so the fixed-point itself is cross-checked, not just the plumbing.
+    """Multi-source breadth-first search over the REPEAT co-purchase
+    graph (support >= 2 — see ``_BFS_EDGES_SQL`` for why the raw graph
+    is the wrong substrate): every part whose key is divisible by
+    ``_BFS_SRC_MOD`` seeds the frontier at distance 0, and the
+    reachable-set histogram (distance → node count) is reported up to
+    ``_BFS_MAX_DEPTH`` hops. This is the canonical iterative-join graph
+    shape (Pregel superstep as a DataFrame loop); the oracle is a DuckDB
+    recursive CTE over the same adjacency, so the fixed-point itself is
+    cross-checked, not just the plumbing.
 
     Scale shape: each superstep is ONE hash join frontier x adjacency
     keyed on the node id followed by a distinct and an anti-join against
@@ -437,7 +455,22 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     round (the standard Spark iterative-algorithm device; at cluster
     scale this is a checkpoint to the shuffle service, not the driver).
     Distances are small exact integers — no float drift between engines."""
-    edges = _edges(spark, sf_dir).localCheckpoint(eager=False)
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("x"), F.col("b.l_partkey").alias("y")
+        )
+        .agg(F.countDistinct("a.l_orderkey").alias("support"))
+        .filter(F.col("support") >= _JACCARD_MIN_SUPPORT)
+        .select("x", "y")
+        .localCheckpoint(eager=False)
+    )
     adj = edges.select(F.col("x").alias("u"), F.col("y").alias("w")).unionAll(
         edges.select(F.col("y").alias("u"), F.col("x").alias("w"))
     ).localCheckpoint(eager=False)

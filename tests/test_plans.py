@@ -975,3 +975,84 @@ def test_cluster_sample_plan_shape(spark, sf_dir):
     specs = set(re.findall(r"windowspecdefinition\((\w+)#", plan))
     assert specs == {"cid"}, specs
     assert re.search(r"BroadcastHashJoin \[cid#\d+L\], \[cid#\d+L\]", plan), plan
+
+
+def test_bfs_distances_plan_shape(spark, sf_dir):
+    """graph_bfs_distances (r11d): each superstep is checkpoint-pinned
+    (the visible plan reads ExistingRDD — the iterative-lineage device),
+    the final histogram is a map-side-combined groupBy, and there is no
+    window, no Python, no cartesian anywhere in the fixed-point's plan."""
+    plan = _plan(all_queries()["graph_bfs_distances"](spark, sf_dir), "simple")
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "ExistingRDD" in plan, plan
+    assert "partial_count" in plan, plan
+
+
+def test_resource_alloc_plan_shape(spark, sf_dir):
+    """graph_resource_alloc (r11d): wedge generation is an equi join on
+    the apex node (never a cartesian), the per-pair (count, RA-sum) fold
+    is ONE map-side-combined groupBy (partial_count AND partial_sum ride
+    the same exchange), the non-edge filter is a keyed ANTI join (the
+    checkpoint-pinned edge list carries no stats, so the static planner
+    picks sort-merge here; AQE upgrades it to broadcast at runtime when
+    the support-filtered list is small), and the top-100 is
+    TakeOrderedAndProject — no global sort, no window, no Python."""
+    plan = _plan(all_queries()["graph_resource_alloc"](spark, sf_dir), "simple")
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "partial_count" in plan and "partial_sum" in plan, plan
+    assert "LeftAnti" in plan, plan
+
+
+def test_survival_hazard_plan_shape(spark, sf_dir):
+    """events_survival_hazard (r11d): user lifetimes are ONE map-side-
+    combined groupBy (partial_min/partial_max on the user_id exchange),
+    the horizon attaches as a broadcast single row (BroadcastNestedLoop,
+    never CartesianProduct), and the only window is the post-aggregation
+    reverse-cumulative at-risk sum over per-day rows — its input is
+    bounded by the corpus day span, so the single-partition spec is a
+    constant-size pass, asserted here as ordering on t alone."""
+    plan = _plan(all_queries()["events_survival_hazard"](spark, sf_dir), "simple")
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "partial_min" in plan and "partial_max" in plan, plan
+    specs = set(re.findall(r"windowspecdefinition\((\w+)#", plan))
+    assert specs == {"t"}, specs
+
+
+def test_decision_stump_plan_shape(spark, sf_dir):
+    """ml_decision_stump (r11d): the PLANET shape — per-row work is a
+    stack Generate projection, candidate statistics collapse to ONE
+    map-side-combined groupBy on (feature, bucket) BEFORE any window
+    (partial_count + partial_sum on that exchange), the prefix-sum
+    windows are feature-partitioned, and the final global rank runs on
+    the tiny split table (its spec orders on cost_scaled); no Python,
+    no cartesian."""
+    plan = _plan(all_queries()["ml_decision_stump"](spark, sf_dir), "simple")
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Generate" in plan, plan
+    assert "partial_count" in plan and "partial_sum" in plan, plan
+    specs = set(re.findall(r"windowspecdefinition\((\w+)#", plan))
+    assert specs == {"feature", "cost_scaled"}, specs
+
+
+def test_knn_classify_plan_shape(spark, sf_dir):
+    """sim_knn_classify (r11d): the exact-kNN scorer reuses the
+    brute-force contract — the query set broadcasts (BroadcastNestedLoop
+    over the corpus, never CartesianProduct), exactly ONE Arrow stage
+    (the sanctioned cosine), the neighbor top-k takes the
+    WindowGroupLimit rewrite, and every window is qid-scoped (votes and
+    argmax never widen past one query's rows)."""
+    plan = _plan(all_queries()["sim_knn_classify"](spark, sf_dir), "simple")
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+    specs = set(re.findall(r"windowspecdefinition\((\w+)#", plan))
+    assert specs == {"qid"}, specs
