@@ -2008,3 +2008,82 @@ def events_survival_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "censored",
         F.expr("churned * 1000000 div at_risk").cast("long").alias("hazard_ppm"),
     ).orderBy("t")
+
+
+# --- time-decayed engagement score ---------------------------------------------
+
+# Exponential decay with a 7-day half-life, exact: weight = 1e6 >> (age/7),
+# i.e. floor(1e6 / 2^k) with k capped at 19 (weight 1 — the tail floor).
+# Powers of two keep the decay EXACT integer in both engines; arbitrary-base
+# exp() decay would hang the ranking on libm ulps.
+_DECAY_HALFLIFE_DAYS = 7
+_DECAY_MAX_K = 19
+_DECAY_TOPK = 50
+
+_DECAY_SQL = f"""
+WITH horizon AS (
+  SELECT CAST(max(ts) AS DATE) AS gmax FROM events
+), w AS (
+  SELECT user_id,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         least(date_diff('day', CAST(ts AS DATE), gmax)
+               // {_DECAY_HALFLIFE_DAYS}, {_DECAY_MAX_K}) AS k
+  FROM events CROSS JOIN horizon
+), s AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(cents) AS BIGINT) AS raw_cents,
+         CAST(sum(cents * (1000000 // (1 << k))) AS BIGINT) AS decayed_micro
+  FROM w GROUP BY user_id
+)
+SELECT user_id, n_events, raw_cents, decayed_micro,
+       CAST(row_number() OVER (ORDER BY decayed_micro DESC, user_id)
+            AS INTEGER) AS rk
+FROM s
+QUALIFY rk <= {_DECAY_TOPK}
+"""
+
+
+@_q("events_decay_score", _DECAY_SQL)
+def events_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed engagement scoring — the recency-weighted user value
+    every ranking/retention system keeps (exponentially decayed counters,
+    Ries & friends): each event contributes ``cents * 2^-(age/halflife)``
+    with a 7-day half-life.  The decay factor is the exact integer
+    ``floor(1e6 / 2^k)`` (power-of-two halving buckets, k capped), so the
+    ranking is bit-identical in both engines — an exp()-based decay would
+    tie-break on libm ulps.  Emits the top-``{_DECAY_TOPK}`` users by
+    decayed score with raw totals alongside (the recency-vs-volume
+    contrast is the point of the metric).
+
+    Scale shape: the horizon is a broadcast single row; the score is ONE
+    map-side-combined groupBy on user_id (weights are per-row
+    projections); the top-k is a TakeOrderedAndProject via the rank
+    window on the aggregated (one row per user) table.  A streaming twin
+    would fold the same integer weights in GroupState keyed by user with
+    periodic rebasing."""
+    ev = load_table(spark, sf_dir, "events")
+    gmax = ev.agg(F.max("ts").cast("date").alias("gmax"))
+    w = ev.crossJoin(F.broadcast(gmax)).select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.least(
+            F.floor(
+                F.datediff("gmax", F.col("ts").cast("date"))
+                / _DECAY_HALFLIFE_DAYS
+            ),
+            F.lit(_DECAY_MAX_K),
+        ).cast("int").alias("k"),
+    )
+    s = w.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum("cents").cast("long").alias("raw_cents"),
+        F.sum(F.expr("cents * (1000000 div shiftleft(1, k))"))
+        .cast("long")
+        .alias("decayed_micro"),
+    )
+    wr = W.orderBy(F.desc("decayed_micro"), "user_id")
+    return (
+        s.withColumn("rk", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rk") <= _DECAY_TOPK)
+    )

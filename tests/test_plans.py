@@ -1056,3 +1056,52 @@ def test_knn_classify_plan_shape(spark, sf_dir):
     assert "WindowGroupLimit" in plan, plan
     specs = set(re.findall(r"windowspecdefinition\((\w+)#", plan))
     assert specs == {"qid"}, specs
+
+
+def test_logistic_regression_converges(spark, sf_dir):
+    """ml_logistic_regression (r11e): the returned table is driver-built
+    from per-iteration 4-integer aggregates (the k-means collect
+    pattern), so the plan to gate is the behavior: three iterations,
+    integer weights, and a final training accuracy that IMPROVES on the
+    iteration-1 (all-zero-weights) baseline — convergence recorded in
+    the result, not asserted in a docstring."""
+    rows = (
+        all_queries()["ml_logistic_regression"](spark, sf_dir)
+        .orderBy("iter")
+        .collect()
+    )
+    assert [r["iter"] for r in rows] == [1, 2, 3]
+    assert rows[0]["w0_ppm"] == rows[0]["w1_ppm"] == rows[0]["w2_ppm"] == 0
+    assert rows[-1]["accuracy_ppm"] > rows[0]["accuracy_ppm"]
+
+
+def test_kfold_cv_plan_shape(spark, sf_dir):
+    """ml_kfold_cv (r11e): ONE data-scale groupBy (the stack Generate
+    feeds partial_count/partial_sum on the (feature, v, fold) exchange),
+    the fold fan-out is a |k|-row broadcast (BroadcastNestedLoop, never
+    CartesianProduct), and every window is fold-scoped — the leave-fold-
+    out algebra runs entirely on the tiny grid; no Python."""
+    plan = _plan(all_queries()["ml_kfold_cv"](spark, sf_dir), "simple")
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Generate" in plan, plan
+    assert "partial_count" in plan and "partial_sum" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    specs = set(re.findall(r"windowspecdefinition\((\w+)#", plan))
+    assert specs == {"fold"}, specs
+
+
+def test_decay_score_plan_shape(spark, sf_dir):
+    """events_decay_score (r11e): the horizon attaches as a 1-row
+    broadcast (BroadcastNestedLoop, never CartesianProduct), the score
+    is ONE map-side-combined user_id groupBy (partial_sum rides the
+    exchange), and the only window is the final rank over the
+    one-row-per-user aggregate (spec orders on decayed_micro); no
+    Python."""
+    plan = _plan(all_queries()["events_decay_score"](spark, sf_dir), "simple")
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "partial_sum" in plan, plan
+    specs = set(re.findall(r"windowspecdefinition\((\w+)#", plan))
+    assert specs == {"decayed_micro"}, specs
