@@ -604,3 +604,98 @@ def graph_resource_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_anti",
     )
     return nonedge.orderBy(F.desc("ra_ppb"), "u1", "u2").limit(_RA_TOPK)
+
+
+# --- k-core decomposition (iterative peeling) -----------------------------------
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 3
+
+
+def _kcore_oracle() -> str:
+    ctes = [f"e0 AS ({_BFS_EDGES_SQL})"]
+    for r in range(1, _KCORE_ROUNDS + 1):
+        p = r - 1
+        ctes.append(f"""d{r} AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT x AS node FROM e{p} UNION ALL SELECT y AS node FROM e{p}
+  ) GROUP BY node
+)""")
+        ctes.append(
+            f"k{r} AS (SELECT node FROM d{r} WHERE deg >= {_KCORE_K})"
+        )
+        ctes.append(f"""e{r} AS (
+  SELECT e.x, e.y FROM e{p} e
+  JOIN k{r} a ON a.node = e.x
+  JOIN k{r} b ON b.node = e.y
+)""")
+    rows = "\nUNION ALL\n".join(
+        f"SELECT {r} AS round,"
+        f" (SELECT CAST(count(*) AS BIGINT) FROM k{r}) AS n_nodes,"
+        f" (SELECT CAST(count(*) AS BIGINT) FROM e{r}) AS n_edges"
+        for r in range(1, _KCORE_ROUNDS + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + rows + "\nORDER BY round"
+
+
+@_q("graph_kcore", _kcore_oracle())
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core decomposition by iterative peeling (Seidman 1983; the
+    standard distributed formulation — Montresor et al.): repeatedly drop
+    nodes of degree < ``_KCORE_K`` and the edges they carry until the
+    fixed point; ``_KCORE_ROUNDS`` supersteps are unrolled and the
+    per-round (surviving nodes, surviving edges) trajectory is emitted,
+    so convergence is visible in the result and the unrolled CTE oracle
+    value-proves every round, not just the final core (the
+    `emb_pca_power` / `ml_logistic_regression` device).  Substrate is
+    the repeat co-purchase graph (see ``_BFS_EDGES_SQL``).
+
+    Scale shape: each round is one map-side-combined degree groupBy plus
+    two keyed semi-join-shaped edge filters — work is proportional to
+    the SURVIVING edge set, which shrinks monotonically (peeling never
+    re-adds); per-round localCheckpoint cuts the iterative lineage.  At
+    100 TB the same loop runs until no node drops (the emitted
+    trajectory shows the fixed point approaching); all counts are exact
+    integers."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("x"), F.col("b.l_partkey").alias("y")
+        )
+        .agg(F.countDistinct("a.l_orderkey").alias("support"))
+        .filter(F.col("support") >= _JACCARD_MIN_SUPPORT)
+        .select("x", "y")
+        .localCheckpoint(eager=False)
+    )
+    out = None
+    for r in range(1, _KCORE_ROUNDS + 1):
+        deg = (
+            edges.select(F.col("x").alias("node"))
+            .unionAll(edges.select(F.col("y").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+        )
+        kept = deg.filter(F.col("deg") >= _KCORE_K).select("node").localCheckpoint(
+            eager=False
+        )
+        edges = (
+            edges.join(kept.withColumnRenamed("node", "x"), "x", "left_semi")
+            .join(kept.withColumnRenamed("node", "y"), "y", "left_semi")
+            .select("x", "y")
+            .localCheckpoint(eager=False)
+        )
+        row = (
+            kept.agg(F.count("*").cast("long").alias("n_nodes"))
+            .crossJoin(edges.agg(F.count("*").cast("long").alias("n_edges")))
+            .select(
+                F.lit(r).cast("int").alias("round"), "n_nodes", "n_edges"
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("round")

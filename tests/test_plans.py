@@ -1105,3 +1105,16 @@ def test_decay_score_plan_shape(spark, sf_dir):
     assert "partial_sum" in plan, plan
     specs = set(re.findall(r"windowspecdefinition\((\w+)#", plan))
     assert specs == {"decayed_micro"}, specs
+
+
+def test_kcore_plan_shape(spark, sf_dir):
+    """graph_kcore (r11f): every peeling round is checkpoint-pinned
+    (ExistingRDD — the iterative-lineage device), the surviving-edge
+    filters are keyed LeftSemi joins (never cartesian), degrees are
+    map-side combined, and there is no window anywhere in the loop."""
+    plan = _plan(all_queries()["graph_kcore"](spark, sf_dir), "simple")
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "ExistingRDD" in plan, plan
+    assert "partial_count" in plan, plan
