@@ -1895,3 +1895,162 @@ def multimodal_video_scenes(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = docs.select("doc_id").mapInPandas(_video_encode_batches, _BMP_SCHEMA)
     feats = media.mapInPandas(_video_decode_batches, _VIDEO_FEAT_SCHEMA)
     return feats.orderBy("doc_id")
+
+
+# --- content-defined chunking (storage dedup) --------------------------------
+# The sub-file dedup primitive every backup / blob store runs (FastCDC,
+# Xia et al. 2016; LBFS rolling-hash chunking): split payloads at
+# positions where a rolling hash of the last W bytes hits a mask, so an
+# insert early in a file only reshuffles ONE chunk's boundaries — unlike
+# fixed-size blocks, where every later block changes.  Payload content is
+# position-deterministic and SHARED across docs (docs differ only in
+# length), so chunk identity is the (start, end) interval and the corpus
+# dedup ratio is closed-form checkable: the oracle re-derives every
+# rolling-hash boundary from the generation formula in SQL.
+
+_CDC_WINDOW_COEFFS = (29791, 961, 31, 1)  # 31^3..31^0 — polynomial window W=4
+_CDC_MASK = 64  # boundary iff H % 64 == 0 → ~64-byte average chunks
+_CDC_NDOCS = 200
+
+# byte at position x (shared across docs): (x*x*7 + x*31) % 251
+_CDC_BYTE = "(((x * x * 7) + (x * 31)) % 251)"
+_CDC_LEN = "2000 + (doc_id % 7) * 500"
+
+
+def _cdc_encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """doc_id → payload bytes from the shared content formula (docs are
+    prefixes of one infinite stream — the backup-corpus shape where CDC
+    shines)."""
+    import numpy as np
+
+    for pdf in batches:
+        payloads = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            n = 2000 + (d % 7) * 500
+            x = np.arange(n, dtype=np.int64)
+            payloads.append(((x * x * 7 + x * 31) % 251).astype(np.uint8).tobytes())
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+_CDC_CHUNK_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("s", T.IntegerType()),
+        T.StructField("e", T.IntegerType()),
+    ]
+)
+
+
+def _cdc_chunk_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL byte-level chunker: vectorized rolling polynomial hash over a
+    W=4 window (numpy shifted views — one pass, no Python byte loop),
+    boundary after position x iff H(x) % mask == 0; chunks are the
+    intervals between boundaries."""
+    import numpy as np
+
+    c3, c2, c1, c0 = _CDC_WINDOW_COEFFS
+    for pdf in batches:
+        out = {"doc_id": [], "s": [], "e": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
+            n = len(b)
+            h = c3 * b[:-3] + c2 * b[1:-2] + c1 * b[2:-1] + c0 * b[3:]
+            cut_x = np.nonzero(h % _CDC_MASK == 0)[0] + 3  # hash at window end x
+            ends = np.unique(np.append(cut_x + 1, n))
+            starts = np.concatenate(([0], ends[:-1]))
+            out["doc_id"].extend([int(doc_id)] * len(ends))
+            out["s"].extend(int(v) for v in starts)
+            out["e"].extend(int(v) for v in ends)
+        yield pd.DataFrame(out)
+
+
+_CDC_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id, {_CDC_LEN} AS n FROM documents WHERE doc_id < {_CDC_NDOCS}
+), bnd AS (
+  SELECT doc_id, n, x FROM (
+    SELECT doc_id, n, unnest(generate_series(3, n - 1)) AS x FROM docs
+  ) WHERE ({_CDC_BYTE.replace('x', '(x-3)')} * {_CDC_WINDOW_COEFFS[0]}
+         + {_CDC_BYTE.replace('x', '(x-2)')} * {_CDC_WINDOW_COEFFS[1]}
+         + {_CDC_BYTE.replace('x', '(x-1)')} * {_CDC_WINDOW_COEFFS[2]}
+         + {_CDC_BYTE}) % {_CDC_MASK} = 0
+), ends AS (
+  SELECT DISTINCT doc_id, e FROM (
+    SELECT doc_id, x + 1 AS e FROM bnd
+    UNION ALL
+    SELECT doc_id, n AS e FROM docs
+  )
+), chunks AS (
+  SELECT doc_id,
+         coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0) AS s, e
+  FROM ends
+)
+SELECT CAST((SELECT count(*) FROM docs) AS BIGINT) AS total_docs,
+       CAST((SELECT sum(n) FROM docs) AS BIGINT) AS total_bytes,
+       CAST(count(*) AS BIGINT) AS total_chunks,
+       CAST(count(DISTINCT s * 100000 + e) AS BIGINT) AS distinct_chunks,
+       CAST((SELECT sum(e - s) FROM (SELECT DISTINCT s, e FROM chunks))
+            AS BIGINT) AS unique_bytes,
+       CAST(((SELECT sum(n) FROM docs)
+             - (SELECT sum(e - s) FROM (SELECT DISTINCT s, e FROM chunks)))
+            * 1000000 // (SELECT sum(n) FROM docs) AS BIGINT)
+         AS saved_ppm
+FROM chunks
+"""
+
+
+@_q("multimodal_cdc_chunks", _CDC_ORACLE)
+def multimodal_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking for storage dedup (FastCDC / LBFS): split
+    every binary payload where the rolling polynomial hash of the last
+    W=4 bytes hits the mask, identify chunks by content, and report the
+    corpus dedup ratio (total vs distinct chunks, logical vs unique
+    bytes, saved ppm).  The chunker is a REAL vectorized byte pass over
+    the actual payloads (numpy shifted views — one rolling-hash stream
+    per payload, no Python byte loop); payloads are prefixes of one
+    shared content stream (the backup-corpus shape), so chunk identity
+    reduces to the (start, end) interval and the DuckDB oracle re-derives
+    every boundary closed-form from the generation formula — a wrong
+    hash, window, mask, or interval construction breaks the value hash.
+    Production knobs (min/max chunk clamps, gear table) change constants,
+    not the shape.
+
+    Scale shape: encode and chunk are two chained mapInPandas over the
+    scan partitioning — shuffle-free per payload; the dedup report is one
+    map-side-combined global aggregate plus a distinct over (s, e) chunk
+    identities (at PB scale that distinct is the standard content-hash
+    groupBy every dedup store runs — sharded by hash prefix, linear)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _CDC_NDOCS
+    )
+    media = docs.select("doc_id").mapInPandas(_cdc_encode_batches, _BMP_SCHEMA)
+    chunks = media.mapInPandas(_cdc_chunk_batches, _CDC_CHUNK_SCHEMA)
+    chunks = chunks.localCheckpoint(eager=False)
+    tot = chunks.agg(
+        F.countDistinct("doc_id").cast("long").alias("total_docs"),
+        F.count("*").cast("long").alias("total_chunks"),
+    )
+    dchunks = chunks.select("s", "e").distinct()
+    uniq = dchunks.agg(
+        F.count("*").cast("long").alias("distinct_chunks"),
+        F.sum(F.col("e") - F.col("s")).cast("long").alias("unique_bytes"),
+    )
+    bytes_ = (
+        docs.select(F.expr(f"CAST({_CDC_LEN} AS BIGINT)").alias("n"))
+        .agg(F.sum("n").cast("long").alias("total_bytes"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(bytes_))
+        .crossJoin(F.broadcast(uniq))
+        .select(
+            "total_docs",
+            "total_bytes",
+            "total_chunks",
+            "distinct_chunks",
+            "unique_bytes",
+            F.expr("(total_bytes - unique_bytes) * 1000000 div total_bytes")
+            .cast("long")
+            .alias("saved_ppm"),
+        )
+    )

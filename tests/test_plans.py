@@ -1118,3 +1118,18 @@ def test_kcore_plan_shape(spark, sf_dir):
     assert "windowspecdefinition" not in plan, plan
     assert "ExistingRDD" in plan, plan
     assert "partial_count" in plan, plan
+
+
+def test_cdc_chunks_plan_shape(spark, sf_dir):
+    """multimodal_cdc_chunks (r11g): encode and chunk are two chained
+    Arrow stages over the scan partitioning (shuffle-free per payload;
+    the chunk stream is checkpoint-pinned to ONE execution for its two
+    consumers — ExistingRDD in the live plan), the dedup report is
+    map-side-combined aggregation plus the (s, e) distinct, and the two
+    single-row attaches are broadcasts, never a cartesian."""
+    plan = _plan(all_queries()["multimodal_cdc_chunks"](spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "ExistingRDD" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "partial_count" in plan, plan
+    assert "windowspecdefinition" not in plan, plan
