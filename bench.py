@@ -421,6 +421,8 @@ _SOLO_PINS = {
     "text_ngram_novelty": 3.7,  # r11 pairs-prefold rebuild (was 4.56 in the instance-stream shape)
     "events_interval_overlap": 0.60,  # re-pinned r11 quiet-box solo
     "text_lm_likelihood": 1.59,
+    "ml_logistic_regression": 1.31,  # r11d quiet-box solo (scripts/probe_scale.py)
+    "graph_bfs_distances": 4.56,  # r11d quiet-box solo (repeat-graph substrate)
 }
 
 HEADLINE = CORE17 + [
@@ -466,6 +468,13 @@ HEADLINE = CORE17 + [
     # TF-IDF family's heaviest shape).
     "events_interval_overlap",
     "text_lm_likelihood",
+    # r11d: the two iterative-loop shapes added this round, benched so
+    # their per-round fixed costs are recorded numbers — the GD trainer
+    # (3 full-data aggregations + 3 bounded collects) and the multi-source
+    # BFS (per-superstep join/anti-join/checkpoint on the repeat graph;
+    # its substrate groupBy is the same floor the whole graph family pays).
+    "ml_logistic_regression",
+    "graph_bfs_distances",
 ]
 
 # Local-iteration escape hatch: BENCH_ONLY=a,b,c restricts the suite to a

@@ -814,3 +814,81 @@ def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin_id")
     )
+
+
+# --- dynamic partition pruning (partitioned write + dim-filtered read) --------
+
+_DPP_YEAR = 1997
+
+
+def _dpp_write_path(sf_dir: str) -> str:
+    """Per-(process, SF) scratch dir for the partitioned write — same
+    leak-proof contract as ``_zorder_write_path``."""
+    import atexit
+    import shutil
+    import tempfile
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(
+        tempfile.gettempdir(), f"dpp_orders_{tag}_{os.getpid()}"
+    )
+    if path not in _ZORDER_SCRATCH_DIRS:
+        _ZORDER_SCRATCH_DIRS.add(path)
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
+_DPP_SQL = f"""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT (year(o_orderdate) * 100 + month(o_orderdate)))
+            AS BIGINT) AS n_months,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM orders
+WHERE year(o_orderdate) = {_DPP_YEAR}
+"""
+
+
+@_q("layout_dpp_read", _DPP_SQL)
+def layout_dpp_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning end to end — THE device that makes
+    star-schema scans survivable at 100 TB when the partition filter is
+    only implied through a dimension: WRITE orders Hive-partitioned by
+    order month (year*100+month — ~84 directories), build a months
+    dimension with a derived year attribute, and run
+    ``fact JOIN dim ON ym WHERE dim.year = {_DPP_YEAR}``.  The month
+    filter never appears on the fact side of the query text — Spark's
+    DPP turns the broadcast dim into a runtime IN-subquery on the
+    partition column (``dynamicpruningexpression`` in the scan, asserted
+    by the plan gate), so only the 12 matching directories are read out
+    of ~84.  The join is key-preserving (every fact row matches exactly
+    one dim row), so the oracle is the direct predicate on the source
+    table — layout and join must never change values, only scan cost.
+
+    100 TB: the partitioned write is paid once (like bucketing); every
+    dim-filtered join after that reads only the partitions the dim
+    selects at RUNTIME — no manual predicate rewriting, no full scan."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias("ym"),
+    )
+    path = _dpp_write_path(sf_dir)
+    if not os.path.isdir(path):  # write once per process (overwrite-safe)
+        orders.write.mode("overwrite").partitionBy("ym").parquet(path)
+    fact = spark.read.parquet(path)
+    months = spark.range(84).select(
+        (
+            (F.lit(1995) + (F.col("id") / 12).cast("int")) * 100
+            + (F.col("id") % 12 + 1)
+        ).cast("int").alias("ym"),
+        (F.lit(1995) + (F.col("id") / 12).cast("int")).cast("int").alias("year"),
+    )
+    dim = months.filter(F.col("year") == _DPP_YEAR)
+    joined = fact.join(F.broadcast(dim), fact["ym"] == dim["ym"])
+    return joined.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.countDistinct(fact["ym"]).cast("long").alias("n_months"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    )

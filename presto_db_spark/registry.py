@@ -139,7 +139,11 @@ _BATTERY_HEAD: list[str] = [
     # bench.py + green in CORRECTNESS_FULL; text_segment_dedup →
     # text_lm_likelihood — the CCNet family slot moves to the in-plan
     # bigram-LM quality scorer, segment_dedup stays benched + green)
-    "text_sequence_packing", "dedup_minhash_lsh",
+    # (r11g: text_sequence_packing → multimodal_cdc_chunks — the FastCDC
+    # storage-dedup report is the new binary-pipeline flagship; packing
+    # stays green in CORRECTNESS_FULL and the text family keeps four
+    # other head slots)
+    "multimodal_cdc_chunks", "dedup_minhash_lsh",
     "layout_compaction_plan",
     "pipeline_training_corpus", "text_lm_likelihood",
     # round-9 flagships: the chained BPE trainer, both eval harnesses
@@ -161,7 +165,11 @@ _BATTERY_HEAD: list[str] = [
     # CORRECTNESS_FULL)
     "multimodal_png_roundtrip", "part_abc_scalable",
     # presto-ml distributed trainers
-    "ml_classify_centroid",
+    # (r11e: ml_classify_centroid → ml_logistic_regression — the
+    # iterative GD trainer with the unrolled-trajectory oracle is the ML
+    # family's new flagship; centroid classify stays green in
+    # CORRECTNESS_FULL every round)
+    "ml_logistic_regression",
     # streaming (streaming_late_data also sits in the flagship block
     # above) + the ANN-compression flagship slot (r07: sim_pq_adc after
     # the 51-long-list truncation fix — VERDICT r07 "what's wrong" #2;

@@ -1133,3 +1133,16 @@ def test_cdc_chunks_plan_shape(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "partial_count" in plan, plan
     assert "windowspecdefinition" not in plan, plan
+
+
+def test_dpp_read_plan_shape(spark, sf_dir):
+    """layout_dpp_read (r11g): the month filter reaches the FACT scan only
+    through Spark's dynamic partition pruning — the formatted plan's
+    partition filters must carry a dynamicpruningexpression (the runtime
+    IN-subquery built from the broadcast dim), and the join must stay a
+    broadcast, never a cartesian."""
+    df = all_queries()["layout_dpp_read"](spark, sf_dir)
+    plan = _plan(df)
+    assert "dynamicpruningexpression" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
