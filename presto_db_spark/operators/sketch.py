@@ -826,3 +826,69 @@ def agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --- bottom-k (KMV) sample + distinct estimate --------------------------------
+
+_BK_K = 100
+_BK_DOMAIN = 2**48  # md5-prefix hash domain (same convention as SetDigest)
+
+_BK_SQL = f"""
+WITH vals AS (
+  SELECT DISTINCT o_custkey AS v FROM orders
+), hashed AS (
+  SELECT v, CAST(('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 12)) AS BIGINT)
+           AS h
+  FROM vals
+), bk AS (
+  SELECT v, h, row_number() OVER (ORDER BY h, v) AS rk
+  FROM hashed QUALIFY rk <= {_BK_K}
+)
+SELECT CAST(count(*) AS BIGINT) AS k_used,
+       CAST(max(h) AS BIGINT) AS kth_hash,
+       CAST(({_BK_K} - 1) * {_BK_DOMAIN} // max(h) AS BIGINT) AS est_distinct,
+       CAST((SELECT count(*) FROM vals) AS BIGINT) AS true_distinct,
+       CAST(sum(v) AS BIGINT) AS sample_sum
+FROM bk
+"""
+
+
+@_q("sketch_bottomk_sample", _BK_SQL)
+def sketch_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k / KMV sketch (Bar-Yossef et al. 2002; the k-minimum-values
+    estimator behind DataSketches theta and the reference's SetDigest
+    minhash side, ``SetDigest.java``): keep the k smallest 48-bit hashes
+    of the distinct key set — simultaneously a MERGEABLE uniform sample
+    WITHOUT replacement (union two sketches, re-take the k smallest —
+    associative, no RNG state) and a distinct-count estimator
+    ``(k-1)·2^48 / h_k`` evaluated in exact integer floor division so
+    both engines report the identical estimate.  The true distinct count
+    ships in the output row, so the estimator's error is measured, not
+    asserted.
+
+    Scale shape: the distinct collapses map-side; the bottom-k is a
+    TakeOrderedAndProject (per-partition k survivors, single tiny merge)
+    — the sketch never materializes more than k rows per partition; at
+    100 TB shard sketches merge associatively (the same contract as the
+    HLL/CMS family)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    vals = orders.select(F.col("o_custkey").alias("v")).distinct()
+    hashed = vals.select(
+        "v",
+        F.conv(F.substring(F.md5(F.col("v").cast("string")), 1, 12), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    bk = hashed.orderBy("h", "v").limit(_BK_K)
+    n_true = vals.agg(F.count("*").cast("long").alias("true_distinct"))
+    return (
+        bk.agg(
+            F.count("*").cast("long").alias("k_used"),
+            F.max("h").cast("long").alias("kth_hash"),
+            F.expr(f"CAST(({_BK_K} - 1) * {_BK_DOMAIN} div max(h) AS BIGINT)")
+            .alias("est_distinct"),
+            F.sum("v").cast("long").alias("sample_sum"),
+        )
+        .crossJoin(F.broadcast(n_true))
+        .select("k_used", "kth_hash", "est_distinct", "true_distinct", "sample_sum")
+    )

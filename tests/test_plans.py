@@ -1146,3 +1146,18 @@ def test_dpp_read_plan_shape(spark, sf_dir):
     assert "dynamicpruningexpression" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_bottomk_sample_plan_shape(spark, sf_dir):
+    """sketch_bottomk_sample (r11g): the distinct collapses map-side
+    (partial aggregate before the exchange), the bottom-k plans as
+    TakeOrderedAndProject (per-partition k survivors — the sketch never
+    materializes more than k rows per partition), the true-count attach
+    is a 1-row broadcast, and there is no window, no Python, no
+    cartesian."""
+    plan = _plan(all_queries()["sketch_bottomk_sample"](spark, sf_dir), "simple")
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
