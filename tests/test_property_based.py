@@ -353,3 +353,43 @@ def test_seqmatch_dfa_equals_regex(s, n_splits):
                     n_matches += 1
                     dfa = 0
     assert n_matches == expected
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    data=st.binary(min_size=16, max_size=600),
+    ins_pos=st.integers(min_value=0, max_value=600),
+    ins_byte=st.integers(min_value=0, max_value=255),
+)
+def test_cdc_chunker_insert_shift_locality(data, ins_pos, ins_byte):
+    """The FastCDC/LBFS claim multimodal_cdc_chunks rests on, proven on
+    arbitrary byte strings: inserting ONE byte perturbs only boundaries
+    whose W-byte window overlaps the edit — every cut at least W bytes
+    past the insertion point survives shifted by exactly +1 (fixed-size
+    blocks would reshuffle every later block).  Runs the REAL chunker
+    (numpy rolling hash) pure-Python-side, no Spark session needed."""
+    import numpy as np
+    import pandas as pd
+
+    from presto_db_spark.operators.multimodal import _cdc_chunk_batches
+
+    ins_pos = min(ins_pos, len(data))
+    mutated = data[:ins_pos] + bytes([ins_byte]) + data[ins_pos:]
+
+    def cuts(payload: bytes) -> list[int]:
+        pdf = pd.DataFrame({"doc_id": [0], "payload": [payload]})
+        chunks = next(iter(_cdc_chunk_batches(iter([pdf]))))
+        return sorted(int(e) for e in chunks["e"])[:-1]  # drop the EOF end
+
+    before = cuts(data)
+    after = cuts(mutated)
+    w = 4  # _CDC_WINDOW_COEFFS window
+    # Cuts strictly inside the unchanged prefix are untouched (a cut
+    # exactly at EOF is excluded — it is indistinguishable from the
+    # unconditional end-of-payload cut in the chunk list)...
+    lim = min(ins_pos, len(data))
+    assert [c for c in after if c < lim] == [c for c in before if c < lim]
+    # ...and every interior cut whose hash window cleared the edit
+    # survives shifted by exactly +1.
+    far_before = {c + 1 for c in before if ins_pos + w <= c < len(data)}
+    assert far_before.issubset(set(after)), (ins_pos, before, after)
