@@ -892,3 +892,107 @@ def sketch_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_true))
         .select("k_used", "kth_hash", "est_distinct", "true_distinct", "sample_sum")
     )
+
+
+# --- theta-sketch intersection (bottom-k set algebra) --------------------------
+
+_TH_K = 128
+_TH_HASH = "CAST(('0x' || substr(md5(CAST({v} AS VARCHAR)), 1, 12)) AS BIGINT)"
+
+_TH_SQL = f"""
+WITH a AS (
+  SELECT DISTINCT o_custkey AS v FROM orders WHERE year(o_orderdate) = 1996
+), b AS (
+  SELECT DISTINCT o_custkey AS v FROM orders WHERE year(o_orderdate) = 1997
+), ha AS (
+  SELECT v, {_TH_HASH.format(v='v')} AS h, row_number() OVER (ORDER BY
+    {_TH_HASH.format(v='v')}, v) AS rk FROM a QUALIFY rk <= {_TH_K}
+), hb AS (
+  SELECT v, {_TH_HASH.format(v='v')} AS h, row_number() OVER (ORDER BY
+    {_TH_HASH.format(v='v')}, v) AS rk FROM b QUALIFY rk <= {_TH_K}
+), theta AS (
+  SELECT least((SELECT max(h) FROM ha), (SELECT max(h) FROM hb)) AS th
+), cap AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_common
+  FROM ha JOIN hb ON ha.h = hb.h AND ha.v = hb.v CROSS JOIN theta
+  WHERE ha.h <= theta.th
+)
+SELECT CAST((SELECT th FROM theta) AS BIGINT) AS theta,
+       n_common AS sample_common,
+       CAST(n_common * {2**48} // (SELECT th FROM theta) AS BIGINT)
+         AS est_common,
+       CAST((SELECT count(*) FROM a JOIN b ON a.v = b.v) AS BIGINT)
+         AS true_common
+FROM cap
+"""
+
+
+@_q("sketch_theta_intersection", _TH_SQL)
+def sketch_theta_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set intersection (the DataSketches theta algebra over
+    the bottom-k sketch of `sketch_bottomk_sample`): estimate the overlap
+    between two customer segments — 1996 buyers vs 1997 buyers — from
+    their k-minimum-value sketches alone.  θ = min of the two sketches'
+    k-th hashes; the intersection SAMPLE is the common hashes below θ;
+    the estimate is ``|sample| * 2^48 / θ`` in exact integer floor
+    division.  The true intersection ships in the output row, so the
+    estimator's error is measured, not asserted.  This is the audience-
+    overlap query every ad/analytics stack answers from sketches because
+    the exact distinct-join over raw data is the expensive path.
+
+    Scale shape: each segment collapses to k rows via
+    TakeOrderedAndProject (per-partition survivors); the sketch-side
+    join touches k x k at most; only the truth column (eval-only,
+    dropped in production) pays the exact distinct-join."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    h = lambda c: (  # noqa: E731
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 12), 16, 10).cast("long")
+    )
+    segs = []
+    for yr in (1996, 1997):
+        seg = (
+            orders.filter(F.year("o_orderdate") == yr)
+            .select(F.col("o_custkey").alias("v"))
+            .distinct()
+        )
+        segs.append(
+            seg.select("v", h(F.col("v")).alias("h"))
+            .orderBy("h", "v")
+            .limit(_TH_K)
+            .localCheckpoint(eager=False)
+        )
+    ha, hb = segs
+    theta = (
+        ha.agg(F.max("h").alias("tha"))
+        .crossJoin(hb.agg(F.max("h").alias("thb")))
+        .select(F.least("tha", "thb").alias("th"))
+    )
+    common = (
+        ha.join(hb, ["h", "v"])
+        .crossJoin(F.broadcast(theta))
+        .filter(F.col("h") <= F.col("th"))
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    a = (
+        orders.filter(F.year("o_orderdate") == 1996)
+        .select(F.col("o_custkey").alias("v"))
+        .distinct()
+    )
+    b = (
+        orders.filter(F.year("o_orderdate") == 1997)
+        .select(F.col("o_custkey").alias("v"))
+        .distinct()
+    )
+    truth = a.join(b, "v").agg(F.count("*").cast("long").alias("true_common"))
+    return (
+        common.crossJoin(F.broadcast(theta))
+        .crossJoin(F.broadcast(truth))
+        .select(
+            F.col("th").cast("long").alias("theta"),
+            F.col("n_common").alias("sample_common"),
+            F.expr(f"CAST(n_common * {2**48} div th AS BIGINT)").alias(
+                "est_common"
+            ),
+            "true_common",
+        )
+    )

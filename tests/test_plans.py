@@ -1161,3 +1161,19 @@ def test_bottomk_sample_plan_shape(spark, sf_dir):
     assert "windowspecdefinition" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
     assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_theta_intersection_plan_shape(spark, sf_dir):
+    """sketch_theta_intersection (r11g): each segment sketch collapses via
+    TakeOrderedAndProject to k rows (checkpoint-pinned — ExistingRDD in
+    the live plan), the sketch-side join touches at most k x k, theta and
+    truth attach as single-row broadcasts, and nothing plans as a
+    cartesian; no window, no Python."""
+    plan = _plan(
+        all_queries()["sketch_theta_intersection"](spark, sf_dir), "simple"
+    )
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "ExistingRDD" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
