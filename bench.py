@@ -422,7 +422,7 @@ _SOLO_PINS = {
     "events_interval_overlap": 0.60,  # re-pinned r11 quiet-box solo
     "text_lm_likelihood": 1.59,
     "ml_logistic_regression": 1.31,  # r11d quiet-box solo (scripts/probe_scale.py)
-    "graph_bfs_distances": 4.56,  # r11d quiet-box solo (repeat-graph substrate)
+    "graph_bfs_distances": 2.64,  # r11d quiet-box solo (after the distinct-baskets support rewrite)
 }
 
 HEADLINE = CORE17 + [

@@ -294,6 +294,32 @@ _JACCARD_MIN_SUPPORT = 2
 # worst case Sum_w min(deg_w, CAP)^2.
 _JACCARD_HUB_CAP = 1000
 
+def _repeat_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Support-filtered (>= _JACCARD_MIN_SUPPORT distinct orders) repeat
+    co-purchase edges. Distinct-baskets-first + plain count(*) instead of
+    countDistinct over the raw pair explode: the basket dedup is one
+    map-side-collapsible exchange and the pair counts then combine
+    map-side — measured 3.1 -> 1.9 s at sf0.1 for the shared support
+    stage every graph op pays. Result set is identical (support = number
+    of distinct orders containing both parts either way)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    bk = li.distinct()
+    return (
+        bk.alias("a")
+        .join(
+            bk.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("x"), F.col("b.l_partkey").alias("y")
+        )
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= _JACCARD_MIN_SUPPORT)
+        .select("x", "y")
+    )
+
+
 _JACCARD_SQL = f"""
 WITH edges AS (
   SELECT a.l_partkey AS x, b.l_partkey AS y
@@ -347,21 +373,7 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy each; the wedge self-join is keyed on the apex node (bounded
     fan-out after the cap); the top-100 is a TakeOrderedAndProject, no
     global sort materialized."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    edges = (
-        li.alias("a")
-        .join(
-            li.alias("b"),
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("x"), F.col("b.l_partkey").alias("y")
-        )
-        .agg(F.countDistinct("a.l_orderkey").alias("support"))
-        .filter(F.col("support") >= _JACCARD_MIN_SUPPORT)
-        .select("x", "y")
-    )
+    edges = _repeat_edges(spark, sf_dir)
     adj = edges.select(F.col("x").alias("u"), F.col("y").alias("w")).unionAll(
         edges.select(F.col("y").alias("u"), F.col("x").alias("w"))
     )
@@ -455,20 +467,8 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     round (the standard Spark iterative-algorithm device; at cluster
     scale this is a checkpoint to the shuffle service, not the driver).
     Distances are small exact integers — no float drift between engines."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     edges = (
-        li.alias("a")
-        .join(
-            li.alias("b"),
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("x"), F.col("b.l_partkey").alias("y")
-        )
-        .agg(F.countDistinct("a.l_orderkey").alias("support"))
-        .filter(F.col("support") >= _JACCARD_MIN_SUPPORT)
-        .select("x", "y")
+        _repeat_edges(spark, sf_dir)
         .localCheckpoint(eager=False)
     )
     adj = edges.select(F.col("x").alias("u"), F.col("y").alias("w")).unionAll(
@@ -559,20 +559,8 @@ def graph_resource_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
     contribution (count + RA sum ride the same exchange); the non-edge
     filter is a broadcast-able anti-join against the support-filtered
     edge list; the top-k is TakeOrderedAndProject — no global sort."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     edges = (
-        li.alias("a")
-        .join(
-            li.alias("b"),
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("x"), F.col("b.l_partkey").alias("y")
-        )
-        .agg(F.countDistinct("a.l_orderkey").alias("support"))
-        .filter(F.col("support") >= _JACCARD_MIN_SUPPORT)
-        .select("x", "y")
+        _repeat_edges(spark, sf_dir)
         .localCheckpoint(eager=False)
     )
     adj = edges.select(F.col("x").alias("u"), F.col("y").alias("w")).unionAll(
@@ -657,20 +645,8 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the same loop runs until no node drops (the emitted
     trajectory shows the fixed point approaching); all counts are exact
     integers."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     edges = (
-        li.alias("a")
-        .join(
-            li.alias("b"),
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("x"), F.col("b.l_partkey").alias("y")
-        )
-        .agg(F.countDistinct("a.l_orderkey").alias("support"))
-        .filter(F.col("support") >= _JACCARD_MIN_SUPPORT)
-        .select("x", "y")
+        _repeat_edges(spark, sf_dir)
         .localCheckpoint(eager=False)
     )
     out = None
