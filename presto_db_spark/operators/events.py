@@ -2087,3 +2087,96 @@ def events_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.withColumn("rk", F.row_number().over(wr).cast("int"))
         .filter(F.col("rk") <= _DECAY_TOPK)
     )
+
+
+# --- period-over-period metric decomposition -----------------------------------
+
+_CONTRIB_SQL = """
+WITH bounds AS (
+  SELECT CAST(min(ts) AS DATE) AS g0,
+         CAST(min(ts) AS DATE)
+           + (date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE))
+              // 2) * INTERVAL 1 DAY AS mid
+  FROM events
+), e AS (
+  SELECT event_type,
+         CASE WHEN CAST(ts AS DATE) < mid THEN 1 ELSE 2 END AS p,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events CROSS JOIN bounds
+), s AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN p = 1 THEN cents ELSE 0 END) AS BIGINT) AS p1_cents,
+         CAST(sum(CASE WHEN p = 2 THEN cents ELSE 0 END) AS BIGINT) AS p2_cents
+  FROM e GROUP BY event_type
+), t AS (
+  SELECT CAST(sum(abs(p2_cents - p1_cents)) AS BIGINT) AS total_abs FROM s
+)
+SELECT event_type, p1_cents, p2_cents,
+       CAST(p2_cents - p1_cents AS BIGINT) AS delta_cents,
+       CAST((p2_cents - p1_cents) * 10000 // p1_cents AS BIGINT) AS change_bp,
+       CAST(abs(p2_cents - p1_cents) * 1000000 // total_abs AS BIGINT)
+         AS share_ppm
+FROM s CROSS JOIN t
+ORDER BY event_type
+"""
+
+
+@_q("events_delta_contribution", _CONTRIB_SQL)
+def events_delta_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period metric decomposition — the "why did revenue
+    move" query every BI stack answers first: split the corpus at its
+    midpoint day, sum exact cents per segment and period, and attribute
+    the total movement to segments (delta, basis-point change, and each
+    segment's share of the total ABSOLUTE movement in ppm — the
+    abs-share denominator stays meaningful when deltas cancel).  All
+    integer arithmetic (truncating division matches in both engines, a
+    measured contract), so the attribution table is bit-identical.
+
+    Scale shape: the bounds row is a broadcast single row; the
+    per-(segment, period) fold is ONE map-side-combined groupBy (the
+    period flag is a projection, not a second scan); everything after
+    runs on |segments| rows.  Deeper drilldowns (region x type x week)
+    change the group key, not the shape."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("g0"),
+        F.expr(
+            "date_add(CAST(min(ts) AS DATE),"
+            " CAST(datediff(CAST(max(ts) AS DATE), CAST(min(ts) AS DATE))"
+            " div 2 AS INT))"
+        ).alias("mid"),
+    )
+    e = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.when(F.col("ts").cast("date") < F.col("mid"), 1).otherwise(2).alias("p"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    s = e.groupBy("event_type").agg(
+        F.sum(F.when(F.col("p") == 1, F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("p1_cents"),
+        F.sum(F.when(F.col("p") == 2, F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("p2_cents"),
+    )
+    t = s.agg(
+        F.sum(F.abs(F.col("p2_cents") - F.col("p1_cents")))
+        .cast("long")
+        .alias("total_abs")
+    )
+    return (
+        s.crossJoin(F.broadcast(t))
+        .select(
+            "event_type",
+            "p1_cents",
+            "p2_cents",
+            (F.col("p2_cents") - F.col("p1_cents")).cast("long").alias("delta_cents"),
+            F.expr("(p2_cents - p1_cents) * 10000 div p1_cents")
+            .cast("long")
+            .alias("change_bp"),
+            F.expr("abs(p2_cents - p1_cents) * 1000000 div total_abs")
+            .cast("long")
+            .alias("share_ppm"),
+        )
+        .orderBy("event_type")
+    )

@@ -1177,3 +1177,19 @@ def test_theta_intersection_plan_shape(spark, sf_dir):
     assert "windowspecdefinition" not in plan, plan
     assert "ExistingRDD" in plan, plan
     assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_delta_contribution_plan_shape(spark, sf_dir):
+    """events_delta_contribution (r11g): bounds and the abs-total attach
+    as single-row broadcasts (BroadcastNestedLoop, never a cartesian),
+    the per-(segment, period) fold is ONE map-side-combined groupBy (the
+    period flag is a projection — one scan, not two), and there is no
+    window, no Python."""
+    plan = _plan(
+        all_queries()["events_delta_contribution"](spark, sf_dir), "simple"
+    )
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "partial_sum" in plan, plan
