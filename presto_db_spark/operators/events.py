@@ -2180,3 +2180,92 @@ def events_delta_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- growth accounting (new / retained / resurrected / churned) ----------------
+
+_GROWTH_SQL = """
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+              AS BIGINT) AS wk
+  FROM events
+), marked AS (
+  SELECT user_id, wk,
+         lag(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk
+  FROM uw
+), states AS (
+  SELECT wk,
+         CAST(sum(CASE WHEN prev_wk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS new_users,
+         CAST(sum(CASE WHEN prev_wk = wk - 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS retained,
+         CAST(sum(CASE WHEN prev_wk IS NOT NULL AND prev_wk < wk - 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS resurrected,
+         CAST(count(*) AS BIGINT) AS active
+  FROM marked GROUP BY wk
+)
+SELECT wk, new_users, retained, resurrected, active,
+       CAST(coalesce(lag(active) OVER (ORDER BY wk), 0) - retained AS BIGINT)
+         AS churned_from_prev
+FROM states
+ORDER BY wk
+"""
+
+
+@_q("events_growth_accounting", _GROWTH_SQL)
+def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting (the Social Capital / a16z framework every
+    consumer company reports): per week, decompose the active-user count
+    into NEW (first-ever week), RETAINED (also active the prior week),
+    RESURRECTED (returning after a gap), and CHURNED (prior week's
+    actives who did not retain — by construction
+    ``churned = active(w-1) − retained(w)``, the accounting identity the
+    framework is named for).  All counts are exact integers from one
+    distinct + one per-user lag, so both engines produce the identical
+    table.
+
+    Scale shape: the (user, week) distinct collapses map-side; the lag
+    rides ONE user_id-partitioned window (the sessionize exchange); the
+    weekly rollup is |weeks| rows, and the final churn lag runs on that
+    bounded table (post-aggregation single-partition window, the
+    survival-hazard device)."""
+    ev = load_table(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id",
+        F.floor(
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+            / 7
+        ).cast("long").alias("wk"),
+    ).distinct()
+    wlag = W.partitionBy("user_id").orderBy("wk")
+    marked = uw.select(
+        "user_id", "wk", F.lag("wk").over(wlag).alias("prev_wk")
+    )
+    states = marked.groupBy("wk").agg(
+        F.sum(F.when(F.col("prev_wk").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("new_users"),
+        F.sum(F.when(F.col("prev_wk") == F.col("wk") - 1, 1).otherwise(0))
+        .cast("long")
+        .alias("retained"),
+        F.sum(
+            F.when(
+                F.col("prev_wk").isNotNull()
+                & (F.col("prev_wk") < F.col("wk") - 1),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("resurrected"),
+        F.count("*").cast("long").alias("active"),
+    )
+    wk_w = W.orderBy("wk")
+    return states.select(
+        "wk",
+        "new_users",
+        "retained",
+        "resurrected",
+        "active",
+        (F.coalesce(F.lag("active").over(wk_w), F.lit(0)) - F.col("retained"))
+        .cast("long")
+        .alias("churned_from_prev"),
+    ).orderBy("wk")

@@ -1193,3 +1193,19 @@ def test_delta_contribution_plan_shape(spark, sf_dir):
     assert "windowspecdefinition" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "partial_sum" in plan, plan
+
+
+def test_growth_accounting_plan_shape(spark, sf_dir):
+    """events_growth_accounting (r11g): the (user, week) distinct
+    collapses map-side before the window, the per-user lag is the ONLY
+    data-scale window (user_id-partitioned — the sessionize exchange),
+    and the final churn lag orders the bounded weekly table on wk; no
+    Python, no cartesian."""
+    plan = _plan(
+        all_queries()["events_growth_accounting"](spark, sf_dir), "simple"
+    )
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    specs = set(re.findall(r"windowspecdefinition\((\w+)#", plan))
+    assert specs == {"user_id", "wk"}, specs
+    assert "partial_count" in plan, plan
