@@ -1529,3 +1529,114 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") > 1)
         .orderBy("canonical_url")
     )
+
+
+# --- connected components via large-star / small-star -------------------------
+
+MAX_BIGSTAR_ROUNDS = 8
+
+
+@_q("dedup_cluster_bigstar", _CLUSTER_SQL)
+def dedup_cluster_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash-LSH pair list via
+    alternating LARGE-STAR / SMALL-STAR (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14) — the upgrade path
+    dedup_cluster's docstring promises for the giant-component case.
+    Min-label propagation needs O(component diameter) rounds; star
+    contraction needs O(log^2 n) WORST-case rounds because each round
+    rewires nodes to the minimum of their 2-hop neighborhood, halving
+    path lengths — the difference between 20 rounds and 4 on the chain
+    components a crawl dedup graph can contain.
+
+    One round, entirely in DataFrame ops (the paper's two map-reduces):
+
+    * LARGE-STAR: per node u, m = min(neighbors ∪ {u}); every LARGER
+      neighbor v > u re-attaches to m — one min-groupBy + one equi-join
+      on the symmetric edge list;
+    * SMALL-STAR: orient edges to the smaller endpoint, per node u over
+      its smaller neighbors m = min; u and all of them attach to m —
+      same groupBy/join pair on the oriented (halved) list.
+
+    Convergence: star sets are the unique fixed point; detected by a
+    (count, xor-of-xxhash64) signature of the canonical pair set — two
+    scalars to the driver per round, not the edge list.  Labels fall
+    out of the final star set directly: every surviving pair is
+    (root, child); roots are the nodes never appearing as a child.
+
+    Output and oracle are IDENTICAL to dedup_cluster (DuckDB recursive
+    transitive closure with min-reachable labels) — the two
+    implementations must agree row-for-row, which is itself the
+    strongest test of both."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
+    und = (
+        pairs.select(
+            F.least("id_a", "id_b").alias("lo"),
+            F.greatest("id_a", "id_b").alias("hi"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_sig: tuple | None = None
+    for _ in range(MAX_BIGSTAR_ROUNDS):
+        sym = und.select(F.col("lo").alias("u"), F.col("hi").alias("v")).unionByName(
+            und.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+        )
+        # LARGE-STAR: m(u) = min(Γ(u) ∪ {u}); attach every v > u to m.
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        ls = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(
+                F.least("v", "m").alias("lo"), F.greatest("v", "m").alias("hi")
+            )
+            .filter(F.col("lo") != F.col("hi"))
+            .distinct()
+        )
+        # SMALL-STAR: orient to the smaller endpoint (u=hi side), attach
+        # u and all its smaller neighbors to their minimum.
+        sym2 = ls.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+        mins2 = sym2.groupBy("u").agg(F.min("v").alias("m"))
+        nxt = (
+            sym2.join(mins2, "u")
+            .select(F.col("v").alias("a"), "m")
+            .unionByName(mins2.select(F.col("u").alias("a"), "m"))
+            .filter(F.col("a") != F.col("m"))
+            .select(
+                F.least("a", "m").alias("lo"), F.greatest("a", "m").alias("hi")
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        row = nxt.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(lo, hi))").alias("h"),
+        ).collect()[0]
+        sig = (row["n"], row["h"])
+        und = nxt
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    children = und.select(
+        F.col("hi").alias("doc_id"), F.col("lo").alias("cluster_id")
+    )
+    roots = (
+        und.select(F.col("lo").alias("doc_id"))
+        .distinct()
+        .join(
+            und.select(F.col("hi").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_anti",
+        )
+        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+    )
+    return (
+        children.unionByName(roots)
+        .select(
+            "doc_id",
+            "cluster_id",
+            (F.col("doc_id") == F.col("cluster_id")).alias("is_keep"),
+        )
+        .orderBy("doc_id")
+    )

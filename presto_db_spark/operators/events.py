@@ -2269,3 +2269,252 @@ def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("churned_from_prev"),
     ).orderBy("wk")
+
+
+# --- peak concurrency (interval sweep-line) ----------------------------------
+
+_CONCURRENCY_MIN = 15  # each event occupies a half-open 15-minute interval
+
+_PEAK_SQL = f"""
+WITH pts AS (
+  SELECT event_type, ts AS t, 1 AS delta FROM events
+  UNION ALL
+  SELECT event_type, ts + INTERVAL {_CONCURRENCY_MIN} MINUTE, -1 FROM events
+), grp AS (
+  SELECT event_type, t, delta, CAST(count(*) AS BIGINT) AS n
+  FROM pts GROUP BY event_type, t, delta
+), run AS (
+  SELECT event_type,
+         sum(delta * n) OVER (PARTITION BY event_type ORDER BY t, delta)
+           AS live
+  FROM grp
+), tot AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_intervals
+  FROM events GROUP BY event_type
+)
+SELECT r.event_type,
+       CAST(max(r.live) AS BIGINT) AS peak_concurrency,
+       max(tot.n_intervals) AS n_intervals
+FROM run r JOIN tot ON tot.event_type = r.event_type
+GROUP BY r.event_type ORDER BY r.event_type
+"""
+
+
+@_q("events_peak_concurrency", _PEAK_SQL)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent load per event type: each event holds a resource
+    for a half-open 15-minute interval; the answer is the sweep-line
+    maximum of (+1 at start, -1 at end) running sums — the textbook
+    interval-scheduling primitive (meeting rooms / max simultaneous
+    sessions).  Reference users write this as a UNION ALL + window over
+    ``events``; same shape here.
+
+    Determinism at duplicate timestamps: boundary points are pre-grouped
+    to one row per (type, t, delta) so the running sum's sort key is
+    UNIQUE — no ROWS-frame ambiguity — and delta=-1 sorts before +1 at
+    equal t, encoding the half-open (end-before-start) rule in both
+    engines identically.
+
+    Scale shape: the boundary explode is 2x events but collapses
+    map-side in the (type, t, delta) groupBy; the running sum is ONE
+    window partitioned by event_type (parallel across types — for a
+    single giant series this becomes the range-partition prefix-offset
+    device of sort_distributed_sample); the peak fold is |types| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type", F.col("ts").alias("t"), F.lit(1).alias("delta")
+    ).unionByName(
+        ev.select(
+            "event_type",
+            (F.col("ts") + F.expr(f"INTERVAL {_CONCURRENCY_MIN} MINUTE")).alias(
+                "t"
+            ),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    grp = pts.groupBy("event_type", "t", "delta").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    w = W.partitionBy("event_type").orderBy("t", "delta")
+    run = grp.select(
+        "event_type", (F.sum(F.col("delta") * F.col("n")).over(w)).alias("live")
+    )
+    totals = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_intervals")
+    )
+    return (
+        run.groupBy("event_type")
+        .agg(F.max("live").cast("long").alias("peak_concurrency"))
+        .join(totals, "event_type")
+        .orderBy("event_type")
+    )
+
+
+# --- autocorrelation of the daily activity series ----------------------------
+
+_ACF_SQL = """
+WITH s AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+), m AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx
+  FROM s GROUP BY event_type
+), dev AS (
+  SELECT s.event_type, m.n,
+         m.n * s.x - m.sx AS dv,
+         lead(m.n * s.x - m.sx, 1) OVER w AS dv1,
+         lead(m.n * s.x - m.sx, 2) OVER w AS dv2,
+         lead(m.n * s.x - m.sx, 3) OVER w AS dv3
+  FROM s JOIN m ON m.event_type = s.event_type
+  WINDOW w AS (PARTITION BY s.event_type ORDER BY s.d)
+)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n_days,
+       CAST(sum(dv * dv) AS BIGINT) AS den,
+       CAST(sum(dv * dv1) * 1000000 // sum(dv * dv) AS BIGINT) AS acf1_ppm,
+       CAST(sum(dv * dv2) * 1000000 // sum(dv * dv) AS BIGINT) AS acf2_ppm,
+       CAST(sum(dv * dv3) * 1000000 // sum(dv * dv) AS BIGINT) AS acf3_ppm
+FROM dev GROUP BY event_type ORDER BY event_type
+"""
+
+
+@_q("events_acf", _ACF_SQL)
+def events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation (lags 1-3) of each event type's daily-count
+    series — the first diagnostic every forecasting pipeline runs
+    (Box-Jenkins model identification; seasonal_backtest's upstream).
+
+    Exact-integer contract: deviations are scaled by n (``n*x - sum_x``
+    is an integer multiple of the true deviation), so numerator and
+    denominator carry a common n^2 factor that CANCELS in the ratio —
+    ppm values are bit-identical in both engines with zero float math.
+    Lags are over successive observations of the sorted daily series
+    (missing days collapse; gapfill_locf is the densifying primitive if
+    calendar lags are wanted).
+
+    Scale shape: the daily rollup collapses map-side; the lead() rides
+    ONE window partitioned by event_type over |types| x |days| rows; the
+    final fold is |types| rows.  Deviations ~ n*x so products fit BIGINT
+    for series up to ~1e6 days x 1e6 events/day."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count("*").cast("long").alias("x"))
+    m = s.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"), F.sum("x").cast("long").alias("sx")
+    )
+    w = W.partitionBy("event_type").orderBy("d")
+    dv = F.col("n") * F.col("x") - F.col("sx")
+    dev = s.join(m, "event_type").select(
+        "event_type",
+        "n",
+        dv.alias("dv"),
+        F.lead(dv, 1).over(w).alias("dv1"),
+        F.lead(dv, 2).over(w).alias("dv2"),
+        F.lead(dv, 3).over(w).alias("dv3"),
+    )
+    den = F.sum(F.col("dv") * F.col("dv"))
+    return (
+        dev.groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n_days"),
+            den.cast("long").alias("den"),
+            F.expr("sum(dv * dv1) * 1000000 div sum(dv * dv)")
+            .cast("long")
+            .alias("acf1_ppm"),
+            F.expr("sum(dv * dv2) * 1000000 div sum(dv * dv)")
+            .cast("long")
+            .alias("acf2_ppm"),
+            F.expr("sum(dv * dv3) * 1000000 div sum(dv * dv)")
+            .cast("long")
+            .alias("acf3_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- simple exponential smoothing (closed-form, exact dyadic weights) --------
+
+_SES_WINDOW = 16  # smooth over the most recent K observations
+
+_SES_SQL = f"""
+WITH s AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(sum(round(value * 100)) AS BIGINT) AS cents
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+), tail AS (
+  SELECT event_type, d, cents,
+         row_number() OVER (PARTITION BY event_type ORDER BY d DESC) AS rd
+  FROM s
+), kept AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type ORDER BY d) AS i,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS k
+  FROM tail WHERE rd <= {_SES_WINDOW}
+)
+SELECT event_type, CAST(max(k) AS BIGINT) AS n_obs,
+       CAST(sum(cents * CASE WHEN i = 1 THEN 1
+                             ELSE CAST(power(2, i - 2) AS BIGINT) END)
+            AS BIGINT) AS level_num,
+       CAST(max(k) - 1 AS BIGINT) AS scale_pow,
+       CAST(sum(cents * CASE WHEN i = 1 THEN 1
+                             ELSE CAST(power(2, i - 2) AS BIGINT) END)
+            // CAST(power(2, max(k) - 1) AS BIGINT) AS BIGINT) AS level_cents
+FROM kept GROUP BY event_type ORDER BY event_type
+"""
+
+
+@_q("events_ses_forecast", _SES_SQL)
+def events_ses_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple exponential smoothing (alpha = 1/2) of each event type's
+    daily-revenue series — the one-number forecast primitive (the
+    h-step-ahead SES forecast IS the final level).  Warm start: the
+    oldest kept observation seeds the level (s_1 = x_1), smoothing over
+    the most recent {_SES_WINDOW} days.
+
+    Exact-dyadic contract: with alpha = 1/2 the recurrence
+    ``s_t = (x_t + s_(t-1)) / 2`` unrolls to
+    ``s_n * 2^(n-1) = x_1 + sum_(i=2..n) 2^(i-2) * x_i`` — every weight
+    is an exact power of two, so ``level_num`` is a pure-integer fold
+    (bit-identical in both engines) and the recursion disappears into
+    ONE groupBy; no UDF, no iteration, no float drift.  The
+    {_SES_WINDOW}-row cutoff bounds the exponent (2^14 * cents fits
+    BIGINT with 10^5 headroom).
+
+    Scale shape: daily rollup collapses map-side; the two row_numbers
+    ride per-type windows over tiny per-type series; the final fold is
+    |types| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.sum(F.round(F.col("value") * 100)).cast("long").alias("cents"))
+    tail_w = W.partitionBy("event_type").orderBy(F.col("d").desc())
+    tail = s.select(
+        "event_type", "d", "cents", F.row_number().over(tail_w).alias("rd")
+    ).filter(F.col("rd") <= _SES_WINDOW)
+    asc_w = W.partitionBy("event_type").orderBy("d")
+    cnt_w = W.partitionBy("event_type")
+    kept = tail.select(
+        "event_type",
+        "cents",
+        F.row_number().over(asc_w).alias("i"),
+        F.count("*").over(cnt_w).cast("long").alias("k"),
+    )
+    weight = F.when(F.col("i") == 1, F.lit(1).cast("long")).otherwise(
+        F.pow(F.lit(2.0), F.col("i") - 2).cast("long")
+    )
+    return (
+        kept.groupBy("event_type")
+        .agg(
+            F.max("k").cast("long").alias("n_obs"),
+            F.sum(F.col("cents") * weight).cast("long").alias("level_num"),
+            (F.max("k") - 1).cast("long").alias("scale_pow"),
+            F.expr(
+                "sum(cents * (CASE WHEN i = 1 THEN 1"
+                " ELSE CAST(power(2, i - 2) AS BIGINT) END))"
+                " div CAST(power(2, max(k) - 1) AS BIGINT)"
+            )
+            .cast("long")
+            .alias("level_cents"),
+        )
+        .orderBy("event_type")
+    )

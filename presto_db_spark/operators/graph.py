@@ -675,3 +675,92 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out.orderBy("round")
+
+
+# --- label propagation communities (synchronous, deterministic tie-break) ----
+
+_LPA_ROUNDS = 3
+
+
+def _lpa_round_sql(prev: str, idx: int) -> str:
+    return f"""c{idx} AS (
+  SELECT a.u AS node, l.label, CAST(count(*) AS BIGINT) AS c
+  FROM adj a JOIN {prev} l ON l.node = a.w
+  GROUP BY a.u, l.label
+), l{idx} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+    FROM c{idx})
+  WHERE rn = 1
+)"""
+
+
+_LPA_SQL = (
+    f"""
+WITH edges AS ({_BFS_EDGES_SQL}
+), adj AS (
+  SELECT x AS u, y AS w FROM edges
+  UNION ALL
+  SELECT y, x FROM edges
+), l0 AS (
+  SELECT DISTINCT u AS node, u AS label FROM adj
+), """
+    + ", ".join(_lpa_round_sql(f"l{i}", i + 1) for i in range(_LPA_ROUNDS))
+    + f"""
+SELECT label AS community, CAST(count(*) AS BIGINT) AS n_nodes,
+       min(node) AS rep
+FROM l{_LPA_ROUNDS} GROUP BY label ORDER BY community
+"""
+)
+
+
+@_q("graph_label_propagation", _LPA_SQL)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan et
+    al. 2007 — the near-linear-time community algorithm every graph
+    library ships) over the repeat-co-purchase graph: every node starts
+    as its own label; each round it adopts the most frequent label among
+    its neighbors.  {_LPA_ROUNDS} synchronous rounds, so the oracle is
+    the SAME computation unrolled as chained CTEs — no fixpoint
+    nondeterminism to paper over.
+
+    Determinism: vanilla LPA breaks frequency ties randomly (the
+    published algorithm's known wart); here ties break by SMALLEST
+    label — a total order, so both engines pick the identical label and
+    the community table is bit-identical.
+
+    Scale shape: one round = one equi-join (adj x labels on the
+    neighbor key) + one (node, label) count + one per-node
+    row_number — all hash-partitioned on node, nothing global, no
+    driver state; this is exactly GraphFrames' LPA schedule.  Rounds
+    are fixed (not fixpoint), so the lineage is bounded; at 100 TB each
+    round reuses the adjacency's partitioning and the per-node
+    row_number rides a window whose partition key is the node (no
+    single-partition window)."""
+    edges = _repeat_edges(spark, sf_dir)
+    adj = edges.select(F.col("x").alias("u"), F.col("y").alias("w")).unionByName(
+        edges.select(F.col("y").alias("u"), F.col("x").alias("w"))
+    )
+    labels = adj.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    pick_w = W.partitionBy("node").orderBy(F.col("c").desc(), F.col("label"))
+    for _ in range(_LPA_ROUNDS):
+        cnt = (
+            adj.join(labels, adj.w == labels.node)
+            .groupBy(adj.u.alias("node"), "label")
+            .agg(F.count("*").cast("long").alias("c"))
+        )
+        labels = (
+            cnt.select(
+                "node", "label", F.row_number().over(pick_w).alias("rn")
+            )
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+        )
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(F.count("*").cast("long").alias("n_nodes"), F.min("node").alias("rep"))
+        .orderBy("community")
+    )

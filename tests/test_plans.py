@@ -1209,3 +1209,62 @@ def test_growth_accounting_plan_shape(spark, sf_dir):
     specs = set(re.findall(r"windowspecdefinition\((\w+)#", plan))
     assert specs == {"user_id", "wk"}, specs
     assert "partial_count" in plan, plan
+
+
+def test_peak_concurrency_plan_shape(spark, sf_dir):
+    """events_peak_concurrency (r11h): boundary points pre-group
+    map-side (partial_count) BEFORE the sweep-line window; the running
+    sum is partitioned by event_type (never a single-partition global
+    window); no Python, no cartesian."""
+    plan = _plan(all_queries()["events_peak_concurrency"](spark, sf_dir), "simple")
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "partial_count" in plan, plan
+    specs = set(re.findall(r"windowspecdefinition\((\w+)#", plan))
+    assert specs == {"event_type"}, specs
+
+
+def test_acf_plan_shape(spark, sf_dir):
+    """events_acf (r11h): the daily rollup partial-aggregates map-side;
+    the lead() rides ONE event_type-partitioned window; the lag products
+    fold with partial_sum; no Python, no cartesian."""
+    plan = _plan(all_queries()["events_acf"](spark, sf_dir), "simple")
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    specs = set(re.findall(r"windowspecdefinition\((\w+)#", plan))
+    assert specs == {"event_type"}, specs
+    assert "partial_sum" in plan, plan
+
+
+def test_ses_forecast_plan_shape(spark, sf_dir):
+    """events_ses_forecast (r11h): both row_numbers and the count ride
+    event_type-partitioned windows (no global window); the dyadic fold
+    is one groupBy with map-side combine; no Python, no cartesian."""
+    plan = _plan(all_queries()["events_ses_forecast"](spark, sf_dir), "simple")
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    specs = set(re.findall(r"windowspecdefinition\((\w+)#", plan))
+    assert specs == {"event_type"}, specs
+
+
+def test_label_propagation_plan_shape(spark, sf_dir):
+    """graph_label_propagation (r11h): every round's label pick is a
+    node-partitioned row_number (no single-partition window anywhere in
+    the 3-round chain); the (node, label) counts partial-aggregate;
+    joins are hash joins on the neighbor key — no cartesian, no
+    Python."""
+    plan = _plan(all_queries()["graph_label_propagation"](spark, sf_dir), "simple")
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    specs = set(re.findall(r"windowspecdefinition\((\w+)#", plan))
+    assert specs == {"node"}, specs
+    assert "partial_count" in plan, plan
+
+
+def test_cluster_bigstar_matches_minlabel(spark, sf_dir):
+    """dedup_cluster_bigstar (r11h): the star-contraction CC must agree
+    row-for-row with dedup_cluster's min-label propagation — two
+    independent distributed algorithms, one truth."""
+    a = all_queries()["dedup_cluster"](spark, sf_dir).collect()
+    b = all_queries()["dedup_cluster_bigstar"](spark, sf_dir).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
