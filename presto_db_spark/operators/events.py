@@ -2518,3 +2518,133 @@ def events_ses_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- Holt linear-trend smoothing (unrolled exact dyadic recurrence) -----------
+
+_HOLT_K = 8  # smooth the most recent K daily observations
+
+
+def _holt_step_sql(prev: str, t: int) -> str:
+    cl, cb = 1 << (2 * t - 1), 1 << (2 * t - 2)
+    return f"""h{t} AS (
+  SELECT p.event_type,
+         CASE WHEN k.cents IS NULL THEN p.L
+              ELSE {cl} * k.cents + 2 * p.L + 2 * p.B END AS L,
+         CASE WHEN k.cents IS NULL THEN p.B
+              ELSE {cb} * k.cents - p.L + 3 * p.B END AS B,
+         CASE WHEN k.cents IS NULL THEN p.steps ELSE p.steps + 1 END AS steps
+  FROM {prev} p LEFT JOIN kept k
+    ON k.event_type = p.event_type AND k.i = {t}
+)"""
+
+
+_HOLT_SQL = (
+    f"""
+WITH s AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(sum(round(value * 100)) AS BIGINT) AS cents
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+), tail AS (
+  SELECT event_type, d, cents,
+         row_number() OVER (PARTITION BY event_type ORDER BY d DESC) AS rd
+  FROM s
+), kept AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type ORDER BY d) AS i
+  FROM tail WHERE rd <= {_HOLT_K}
+), h1 AS (
+  SELECT event_type, CAST(4 * cents AS BIGINT) AS L, CAST(0 AS BIGINT) AS B,
+         1 AS steps
+  FROM kept WHERE i = 1
+), """
+    + ", ".join(_holt_step_sql(f"h{t - 1}", t) for t in range(2, _HOLT_K + 1))
+    + f"""
+SELECT event_type, CAST(steps AS BIGINT) AS n_obs,
+       CAST(L AS BIGINT) AS level_num, CAST(B AS BIGINT) AS trend_num,
+       CAST((L + B) // CAST(power(4, steps) AS BIGINT) AS BIGINT)
+         AS forecast_cents
+FROM h{_HOLT_K} ORDER BY event_type
+"""
+)
+
+
+@_q("events_holt_linear", _HOLT_SQL)
+def events_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend smoothing (double exponential smoothing,
+    alpha = beta = 1/2) of each event type's daily-revenue series, with
+    the one-step-ahead forecast ``x̂ = level + trend``.
+
+    Exact-dyadic contract (the SES device, extended to the COUPLED
+    recurrence): scaling the state by 4^t turns
+    ``l_t = (x_t + l_(t-1) + b_(t-1))/2``,
+    ``b_t = (l_t − l_(t-1) + b_(t-1))/2`` into the integer recurrence
+    ``L_t = 2^(2t-1)·x_t + 2L + 2B``, ``B_t = 2^(2t-2)·x_t − L + 3B`` —
+    every state is a BIGINT, so the {_HOLT_K}-step smoother is pure
+    integer algebra unrolled as {_HOLT_K - 1} chained CTEs in BOTH
+    engines (no recursion, no floats, bit-identical).  Types with fewer
+    than {_HOLT_K} observations freeze their state (LEFT JOIN carries it),
+    and the per-type denominator 4^steps tracks the applied steps.
+
+    Scale shape: the state table is |types| rows — each unrolled step is
+    a broadcast-sized left join against the {_HOLT_K}-row-per-type kept
+    slice; the only data-scale work is the daily rollup (map-side
+    combined) and two per-type windows over tiny series."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.sum(F.round(F.col("value") * 100)).cast("long").alias("cents"))
+    tail_w = W.partitionBy("event_type").orderBy(F.col("d").desc())
+    kept = (
+        s.select(
+            "event_type", "d", "cents", F.row_number().over(tail_w).alias("rd")
+        )
+        .filter(F.col("rd") <= _HOLT_K)
+        .select(
+            "event_type",
+            "cents",
+            F.row_number()
+            .over(W.partitionBy("event_type").orderBy("d"))
+            .alias("i"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    state = kept.filter(F.col("i") == 1).select(
+        "event_type",
+        (4 * F.col("cents")).cast("long").alias("L"),
+        F.lit(0).cast("long").alias("B"),
+        F.lit(1).alias("steps"),
+    )
+    for t in range(2, _HOLT_K + 1):
+        cl, cb = 1 << (2 * t - 1), 1 << (2 * t - 2)
+        k = kept.filter(F.col("i") == t).select(
+            "event_type", F.col("cents").alias("x")
+        )
+        state = (
+            state.join(F.broadcast(k), "event_type", "left")
+            .select(
+                "event_type",
+                F.when(
+                    F.col("x").isNull(), F.col("L")
+                ).otherwise(cl * F.col("x") + 2 * F.col("L") + 2 * F.col("B"))
+                .cast("long")
+                .alias("L"),
+                F.when(
+                    F.col("x").isNull(), F.col("B")
+                ).otherwise(cb * F.col("x") - F.col("L") + 3 * F.col("B"))
+                .cast("long")
+                .alias("B"),
+                F.when(F.col("x").isNull(), F.col("steps"))
+                .otherwise(F.col("steps") + 1)
+                .alias("steps"),
+            )
+        )
+    return state.select(
+        "event_type",
+        F.col("steps").cast("long").alias("n_obs"),
+        F.col("L").cast("long").alias("level_num"),
+        F.col("B").cast("long").alias("trend_num"),
+        F.expr("(L + B) div CAST(power(4, steps) AS BIGINT)")
+        .cast("long")
+        .alias("forecast_cents"),
+    ).orderBy("event_type")

@@ -1093,3 +1093,82 @@ def ml_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000 div tn_tot AS BIGINT)"
         ).alias("test_accuracy_ppm"),
     ).orderBy("fold")
+
+
+# --- ROC AUC via the tie-aware Mann-Whitney U statistic -----------------------
+
+_AUC_SQL = """
+WITH s AS (
+  SELECT CAST(label % 2 AS BIGINT) AS y,
+         5 * CAST(round(1000 * CAST(embedding[1] AS DOUBLE)) AS BIGINT)
+         - 3 * CAST(round(1000 * CAST(embedding[2] AS DOUBLE)) AS BIGINT)
+         + 2 * CAST(round(1000 * CAST(embedding[3] AS DOUBLE)) AS BIGINT)
+         - CAST(round(1000 * CAST(embedding[4] AS DOUBLE)) AS BIGINT) AS score
+  FROM embeddings
+), g AS (
+  SELECT score, CAST(sum(y) AS BIGINT) AS pos_n,
+         CAST(sum(1 - y) AS BIGINT) AS neg_n
+  FROM s GROUP BY score
+), r AS (
+  SELECT pos_n, neg_n, sum(neg_n) OVER (ORDER BY score) AS cneg
+  FROM g
+)
+SELECT CAST(sum(pos_n) AS BIGINT) AS n_pos,
+       CAST(sum(neg_n) AS BIGINT) AS n_neg,
+       CAST(sum(pos_n * (2 * (cneg - neg_n) + neg_n)) AS BIGINT) AS u2,
+       CAST(sum(pos_n * (2 * (cneg - neg_n) + neg_n)) * 1000000 //
+            (2 * sum(pos_n) * sum(neg_n)) AS BIGINT) AS auc_ppm
+FROM r
+"""
+
+
+@_q("ml_roc_auc", _AUC_SQL)
+def ml_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC of a fixed linear scorer over the embedding table, as the
+    tie-aware Mann-Whitney U statistic — the rank identity every
+    evaluation library uses (AUC = P(score_pos > score_neg) + ½·P(tie)).
+
+    Exact-integer contract: scores are integer-quantized (milli-units of
+    the first four embedding dims under fixed ±{5,-3,2,-1} weights), so
+    tie groups are EXACT; the doubled statistic
+    ``2U = Σ_groups pos_g · (2·neg_below + neg_eq)`` counts each tie as
+    exactly 1 (= 2·½) with zero float math, and ``auc_ppm = 2U·10⁶ ÷
+    2PN`` is a pure integer division — bit-identical in both engines.
+
+    Scale shape: the per-score tally is ONE map-side-combined groupBy;
+    the running negative count uses ``distrank.global_index`` (range
+    partition + per-partition sums + prefix offsets) so there is NO
+    single-partition window over the score distribution — this is the
+    distributed-sort device, which is what separates this from the
+    textbook window formulation that dies on one reducer at 100 TB."""
+    from ..catalog import load_table
+    from .distrank import global_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = [
+        F.round(1000 * F.expr(f"CAST(embedding[{i}] AS DOUBLE)")).cast("long")
+        for i in range(4)
+    ]
+    s = emb.select(
+        (F.col("label") % 2).cast("long").alias("y"),
+        (5 * q[0] - 3 * q[1] + 2 * q[2] - q[3]).alias("score"),
+    )
+    g = s.groupBy("score").agg(
+        F.sum("y").cast("long").alias("pos_n"),
+        F.sum(1 - F.col("y")).cast("long").alias("neg_n"),
+    )
+    r = global_index(g, [F.col("score")], sum_col="neg_n")
+    contrib = F.col("pos_n") * (
+        2 * (F.col("__csum") - F.col("neg_n")) + F.col("neg_n")
+    )
+    return r.agg(
+        F.sum("pos_n").cast("long").alias("n_pos"),
+        F.sum("neg_n").cast("long").alias("n_neg"),
+        F.sum(contrib).cast("long").alias("u2"),
+        F.expr(
+            "sum(pos_n * (2 * (__csum - neg_n) + neg_n)) * 1000000"
+            " div (2 * sum(pos_n) * sum(neg_n))"
+        )
+        .cast("long")
+        .alias("auc_ppm"),
+    )

@@ -183,3 +183,114 @@ def quality_data_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("violation_ppm"),
         (F.col("n_violations") == 0).alias("passed"),
     ).orderBy("check_name")
+
+
+# --- data-profile drift between two snapshots ---------------------------------
+
+_DRIFT_SQL = """
+WITH p AS (
+  SELECT CAST(sum(CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN year(o_orderdate) = 1997 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n2,
+         CAST(sum(CASE WHEN year(o_orderdate) = 1996
+                       THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS sum1,
+         CAST(sum(CASE WHEN year(o_orderdate) = 1997
+                       THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS sum2,
+         CAST(min(CASE WHEN year(o_orderdate) = 1996
+                       THEN CAST(round(o_totalprice * 100) AS BIGINT) END)
+              AS BIGINT) AS min1,
+         CAST(min(CASE WHEN year(o_orderdate) = 1997
+                       THEN CAST(round(o_totalprice * 100) AS BIGINT) END)
+              AS BIGINT) AS min2,
+         CAST(max(CASE WHEN year(o_orderdate) = 1996
+                       THEN CAST(round(o_totalprice * 100) AS BIGINT) END)
+              AS BIGINT) AS max1,
+         CAST(max(CASE WHEN year(o_orderdate) = 1997
+                       THEN CAST(round(o_totalprice * 100) AS BIGINT) END)
+              AS BIGINT) AS max2,
+         CAST(count(DISTINCT CASE WHEN year(o_orderdate) = 1996
+                                  THEN o_orderpriority END) AS BIGINT) AS pr1,
+         CAST(count(DISTINCT CASE WHEN year(o_orderdate) = 1997
+                                  THEN o_orderpriority END) AS BIGINT) AS pr2,
+         CAST(count(DISTINCT CASE WHEN year(o_orderdate) = 1996
+                                  THEN o_custkey END) AS BIGINT) AS ck1,
+         CAST(count(DISTINCT CASE WHEN year(o_orderdate) = 1997
+                                  THEN o_custkey END) AS BIGINT) AS ck2
+  FROM orders
+), rows_out AS (
+  SELECT 'row_count' AS metric, n1 AS v_1996, n2 AS v_1997 FROM p
+  UNION ALL SELECT 'totalprice_sum_cents', sum1, sum2 FROM p
+  UNION ALL SELECT 'totalprice_mean_cents', sum1 // n1, sum2 // n2 FROM p
+  UNION ALL SELECT 'totalprice_min_cents', min1, min2 FROM p
+  UNION ALL SELECT 'totalprice_max_cents', max1, max2 FROM p
+  UNION ALL SELECT 'orderpriority_ndv', pr1, pr2 FROM p
+  UNION ALL SELECT 'custkey_ndv', ck1, ck2 FROM p
+)
+SELECT metric, CAST(v_1996 AS BIGINT) AS v_1996, CAST(v_1997 AS BIGINT) AS v_1997,
+       CAST(v_1997 - v_1996 AS BIGINT) AS delta,
+       CAST((v_1997 - v_1996) * 1000000 // v_1996 AS BIGINT) AS drift_ppm
+FROM rows_out ORDER BY metric
+"""
+
+
+@_q("quality_profile_drift", _DRIFT_SQL)
+def quality_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-over-snapshot data-profile drift (the monitoring table
+    every warehouse ingestion pipeline materializes — Deequ/TFX-style):
+    profile the 1996 vs 1997 orders partitions on row count, exact-cents
+    sum/mean/min/max of o_totalprice, and the distinct cardinalities of
+    two categorical columns; emit one row per metric with the absolute
+    delta and the relative drift in ppm.
+
+    Exact-integer contract: all metrics are BIGINTs (cents, counts,
+    NDVs) and the mean/drift are truncating integer divisions — both
+    engines emit the identical table.
+
+    Scale shape: ONE scan with filtered aggregates (the period flag is a
+    projection — never two scans); the 7-metric unpivot runs on a
+    single broadcast row.  At 100 TB the NDV columns swap to
+    approx_distinct (documented accuracy contract, sketch.py) but the
+    harness stays one scan."""
+    o = load_table(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    in1, in2 = yr == 1996, yr == 1997
+    p = o.agg(
+        F.sum(F.when(in1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(in2, 1).otherwise(0)).cast("long").alias("n2"),
+        F.sum(F.when(in1, cents).otherwise(0)).cast("long").alias("sum1"),
+        F.sum(F.when(in2, cents).otherwise(0)).cast("long").alias("sum2"),
+        F.min(F.when(in1, cents)).cast("long").alias("min1"),
+        F.min(F.when(in2, cents)).cast("long").alias("min2"),
+        F.max(F.when(in1, cents)).cast("long").alias("max1"),
+        F.max(F.when(in2, cents)).cast("long").alias("max2"),
+        F.countDistinct(F.when(in1, F.col("o_orderpriority")))
+        .cast("long")
+        .alias("pr1"),
+        F.countDistinct(F.when(in2, F.col("o_orderpriority")))
+        .cast("long")
+        .alias("pr2"),
+        F.countDistinct(F.when(in1, F.col("o_custkey"))).cast("long").alias("ck1"),
+        F.countDistinct(F.when(in2, F.col("o_custkey"))).cast("long").alias("ck2"),
+    )
+    rows = p.selectExpr(
+        "stack(7,"
+        " 'row_count', n1, n2,"
+        " 'totalprice_sum_cents', sum1, sum2,"
+        " 'totalprice_mean_cents', sum1 div n1, sum2 div n2,"
+        " 'totalprice_min_cents', min1, min2,"
+        " 'totalprice_max_cents', max1, max2,"
+        " 'orderpriority_ndv', pr1, pr2,"
+        " 'custkey_ndv', ck1, ck2"
+        ") AS (metric, v_1996, v_1997)"
+    )
+    return rows.selectExpr(
+        "metric",
+        "CAST(v_1996 AS BIGINT) AS v_1996",
+        "CAST(v_1997 AS BIGINT) AS v_1997",
+        "CAST(v_1997 - v_1996 AS BIGINT) AS delta",
+        "CAST((v_1997 - v_1996) * 1000000 div v_1996 AS BIGINT) AS drift_ppm",
+    ).orderBy("metric")

@@ -2175,3 +2175,96 @@ def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- distinct n-gram diversity (corpus repetitiveness / memorization risk) ----
+
+_DIVERSITY_SQL = r"""
+WITH d AS (
+  SELECT lang, string_split_regex(trim(text), '\s+') AS t FROM documents
+), tot AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(t)) AS BIGINT) AS uni_total,
+         CAST(sum(greatest(len(t) - 1, 0)) AS BIGINT) AS bi_total
+  FROM d GROUP BY lang
+), ud AS (
+  SELECT lang, CAST(count(DISTINCT tok) AS BIGINT) AS uni_distinct
+  FROM (SELECT lang, unnest(t) AS tok FROM d) GROUP BY lang
+), bd AS (
+  SELECT lang, CAST(count(DISTINCT bg) AS BIGINT) AS bi_distinct
+  FROM (SELECT lang,
+               unnest(list_transform(range(1, len(t)),
+                                     i -> t[i] || ' ' || t[i + 1])) AS bg
+        FROM d) GROUP BY lang
+)
+SELECT tot.lang, n_docs, uni_total, uni_distinct,
+       CAST(uni_distinct * 1000000 // uni_total AS BIGINT) AS uni_ttr_ppm,
+       bi_total, bi_distinct,
+       CAST(bi_distinct * 1000000 // bi_total AS BIGINT) AS bi_ttr_ppm
+FROM tot JOIN ud ON ud.lang = tot.lang JOIN bd ON bd.lang = tot.lang
+ORDER BY tot.lang
+"""
+
+
+@_q("text_distinct_ngram_diversity", _DIVERSITY_SQL)
+def text_distinct_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct n-gram diversity per language — the corpus-level
+    repetitiveness metric (distinct-1 / distinct-2 of Li et al. 2016;
+    the type-token ratio LLM data reports quote): distinct unigrams and
+    bigrams over their totals, in exact integer ppm.  Low diversity
+    flags boilerplate floods and template spam that per-document gates
+    (text_repetition_filter) can't see because every INDIVIDUAL page
+    looks fine.
+
+    Both engines build bigrams positionally (token i ++ token i+1) so
+    the distinct sets are identical strings; totals are exact integer
+    folds over array lengths — no explode needed for the denominators.
+
+    Scale shape: totals are a pure map-side fold (array lengths, no
+    explode); the distinct counts explode tokens/bigrams but collapse
+    in a (lang, gram) map-side distinct before the count — the
+    dedup_exact shape; everything downstream is |langs| rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang", F.split(F.trim("text"), r"\s+").alias("t")
+    )
+    tot = d.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size("t")).cast("long").alias("uni_total"),
+        F.sum(F.greatest(F.size("t") - 1, F.lit(0)))
+        .cast("long")
+        .alias("bi_total"),
+    )
+    ud = (
+        d.select("lang", F.explode("t").alias("tok"))
+        .groupBy("lang")
+        .agg(F.countDistinct("tok").cast("long").alias("uni_distinct"))
+    )
+    bigrams = F.expr(
+        "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),"
+        " (a, b) -> concat(a, ' ', b))"
+    )
+    bd = (
+        d.select("lang", F.explode(bigrams).alias("bg"))
+        .groupBy("lang")
+        .agg(F.countDistinct("bg").cast("long").alias("bi_distinct"))
+    )
+    return (
+        tot.join(ud, "lang")
+        .join(bd, "lang")
+        .select(
+            "lang",
+            "n_docs",
+            "uni_total",
+            "uni_distinct",
+            F.expr("uni_distinct * 1000000 div uni_total")
+            .cast("long")
+            .alias("uni_ttr_ppm"),
+            "bi_total",
+            "bi_distinct",
+            F.expr("bi_distinct * 1000000 div bi_total")
+            .cast("long")
+            .alias("bi_ttr_ppm"),
+        )
+        .orderBy("lang")
+    )

@@ -1268,3 +1268,59 @@ def test_cluster_bigstar_matches_minlabel(spark, sf_dir):
     a = all_queries()["dedup_cluster"](spark, sf_dir).collect()
     b = all_queries()["dedup_cluster_bigstar"](spark, sf_dir).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_roc_auc_plan_shape(spark, sf_dir):
+    """ml_roc_auc (r11i): the per-score tally partial-aggregates
+    map-side; the running negative count rides distrank.global_index —
+    the only windows are the __pid-local cumsum and the bounded
+    per-partition offset scan, NEVER a single-partition window over the
+    score distribution; no Python, no cartesian (the offset/total
+    broadcasts are BroadcastNestedLoop by construction)."""
+    plan = _plan(all_queries()["ml_roc_auc"](spark, sf_dir), "simple")
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    specs = set(re.findall(r"windowspecdefinition\((\w+)#", plan))
+    assert "score" not in specs, specs
+    assert "partial_sum" in plan, plan
+
+
+def test_profile_drift_plan_shape(spark, sf_dir):
+    """quality_profile_drift (r11i): ONE scan of orders (the period flag
+    is a projection — the plan must not contain two parquet scans of
+    orders), filtered aggregates with map-side partials, and the
+    7-metric unpivot on a single row; no window, no Python."""
+    plan = _plan(all_queries()["quality_profile_drift"](spark, sf_dir), "simple")
+    assert "EvalPython" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    assert plan.count("orders.parquet") == 1, plan
+
+
+def test_ngram_diversity_plan_shape(spark, sf_dir):
+    """text_distinct_ngram_diversity (r11i): the totals side is a pure
+    array-length fold (no explode); the distinct sides explode but
+    collapse in map-side partial aggregation; final joins are on the
+    tiny |langs| tables; no window, no Python, no cartesian."""
+    plan = _plan(
+        all_queries()["text_distinct_ngram_diversity"](spark, sf_dir), "simple"
+    )
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "partial_count" in plan, plan
+
+
+def test_holt_linear_plan_shape(spark, sf_dir):
+    """events_holt_linear (r11i): the unrolled 8-step recurrence runs
+    entirely on the |types|-row state table (broadcast joins against the
+    kept slice — no data-scale shuffle per step); the only windows are
+    event_type-partitioned row_numbers; no Python, no cartesian."""
+    plan = _plan(all_queries()["events_holt_linear"](spark, sf_dir), "simple")
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # the kept slice is checkpoint-pinned (ExistingRDD), so the per-type
+    # windows live behind the checkpoint; the visible plan must be pure
+    # broadcast-join state algebra with no window at all
+    specs = set(re.findall(r"windowspecdefinition\((\w+)#", plan))
+    assert specs <= {"event_type"}, specs
+    assert plan.count("BroadcastHashJoin") >= 7, plan
