@@ -2648,3 +2648,89 @@ def events_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("forecast_cents"),
     ).orderBy("event_type")
+
+
+# --- exact distributed median of the view->purchase conversion lag -----------
+
+_CONV_LAG_SQL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), p AS (
+  SELECT e.user_id, v.t_view, min(e.ts) AS t_buy
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > v.t_view
+  GROUP BY e.user_id, v.t_view
+), lag AS (
+  SELECT user_id,
+         CAST(epoch_us(t_buy) - epoch_us(t_view) AS BIGINT) AS lag_us
+  FROM p
+), r AS (
+  SELECT lag_us,
+         row_number() OVER (ORDER BY lag_us, user_id) AS rn,
+         count(*) OVER () AS n
+  FROM lag
+)
+SELECT CAST(max(n) AS BIGINT) AS n_converted,
+       CAST(min(lag_us) AS BIGINT) AS min_lag_us,
+       CAST(max(lag_us) AS BIGINT) AS max_lag_us,
+       CAST(sum(CASE WHEN rn = (n + 1) // 2 THEN lag_us ELSE 0 END)
+            + sum(CASE WHEN rn = (n + 2) // 2 THEN lag_us ELSE 0 END)
+            AS BIGINT) AS median_x2_us
+FROM r
+"""
+
+
+@_q("events_conversion_lag_median", _CONV_LAG_SQL)
+def events_conversion_lag_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distributed median of the first-view → first-purchase lag —
+    the conversion-latency number every funnel dashboard quotes, with
+    the median computed exactly (not approx_percentile) and WITHOUT a
+    single-partition sort: ``distrank.global_index`` range-partitions
+    the per-user lags and derives the two middle ranks from prefix
+    offsets; ``median_x2 = lag[(n+1)/2] + lag[(n+2)/2]`` stays integer
+    for both parities (halve downstream).
+
+    Lags are exact integer MICROSECONDS (``unix_micros`` /
+    ``epoch_us``), so the selected middle elements are bit-identical in
+    both engines; the purchase must be STRICTLY after the user's first
+    view (the funnel ordering rule events_funnel uses).
+
+    Scale shape: two map-side-combined min-groupBys on user_id + one
+    broadcast-joinable per-user table; the median machinery is the
+    distributed-sort device (one range exchange over the |converted|
+    rows, per-partition counts broadcast back) — the oracle's global
+    row_number window is exactly what this avoids."""
+    from .distrank import global_index
+
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id", "t_view")
+        .agg(F.min("ts").alias("t_buy"))
+    )
+    lag = p.select(
+        "user_id",
+        (F.unix_micros("t_buy") - F.unix_micros("t_view")).alias("lag_us"),
+    )
+    r = global_index(lag, [F.col("lag_us"), F.col("user_id")])
+    m1 = F.expr("(__n_total + 1) div 2")
+    m2 = F.expr("(__n_total + 2) div 2")
+    return r.agg(
+        F.max("__n_total").cast("long").alias("n_converted"),
+        F.min("lag_us").cast("long").alias("min_lag_us"),
+        F.max("lag_us").cast("long").alias("max_lag_us"),
+        (
+            F.sum(F.when(F.col("__rn") == m1, F.col("lag_us")).otherwise(0))
+            + F.sum(F.when(F.col("__rn") == m2, F.col("lag_us")).otherwise(0))
+        )
+        .cast("long")
+        .alias("median_x2_us"),
+    )

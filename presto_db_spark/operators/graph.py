@@ -682,6 +682,36 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LPA_ROUNDS = 3
 
 
+def _lpa_labels(spark: SparkSession, sf_dir: str):
+    """Shared LPA kernel: returns (edges, adj, labels-after-_LPA_ROUNDS).
+
+    One round = one equi-join (adj x labels on the neighbor key) + one
+    (node, label) count + one node-partitioned row_number — the
+    GraphFrames LPA schedule, nothing global, no driver state."""
+    edges = _repeat_edges(spark, sf_dir).localCheckpoint(eager=False)
+    adj = edges.select(F.col("x").alias("u"), F.col("y").alias("w")).unionByName(
+        edges.select(F.col("y").alias("u"), F.col("x").alias("w"))
+    )
+    labels = adj.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    pick_w = W.partitionBy("node").orderBy(F.col("c").desc(), F.col("label"))
+    for _ in range(_LPA_ROUNDS):
+        cnt = (
+            adj.join(labels, adj.w == labels.node)
+            .groupBy(adj.u.alias("node"), "label")
+            .agg(F.count("*").cast("long").alias("c"))
+        )
+        labels = (
+            cnt.select(
+                "node", "label", F.row_number().over(pick_w).alias("rn")
+            )
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+        )
+    return edges, adj, labels
+
+
 def _lpa_round_sql(prev: str, idx: int) -> str:
     return f"""c{idx} AS (
   SELECT a.u AS node, l.label, CAST(count(*) AS BIGINT) AS c
@@ -738,29 +768,110 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     round reuses the adjacency's partitioning and the per-node
     row_number rides a window whose partition key is the node (no
     single-partition window)."""
-    edges = _repeat_edges(spark, sf_dir)
-    adj = edges.select(F.col("x").alias("u"), F.col("y").alias("w")).unionByName(
-        edges.select(F.col("y").alias("u"), F.col("x").alias("w"))
-    )
-    labels = adj.select(F.col("u").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")
-    )
-    pick_w = W.partitionBy("node").orderBy(F.col("c").desc(), F.col("label"))
-    for _ in range(_LPA_ROUNDS):
-        cnt = (
-            adj.join(labels, adj.w == labels.node)
-            .groupBy(adj.u.alias("node"), "label")
-            .agg(F.count("*").cast("long").alias("c"))
-        )
-        labels = (
-            cnt.select(
-                "node", "label", F.row_number().over(pick_w).alias("rn")
-            )
-            .filter(F.col("rn") == 1)
-            .select("node", "label")
-        )
+    _, _, labels = _lpa_labels(spark, sf_dir)
     return (
         labels.groupBy(F.col("label").alias("community"))
         .agg(F.count("*").cast("long").alias("n_nodes"), F.min("node").alias("rep"))
+        .orderBy("community")
+    )
+
+
+# --- modularity of the LPA communities ----------------------------------------
+
+_MODULARITY_SQL = (
+    f"""
+WITH edges AS ({_BFS_EDGES_SQL}
+), adj AS (
+  SELECT x AS u, y AS w FROM edges
+  UNION ALL
+  SELECT y, x FROM edges
+), l0 AS (
+  SELECT DISTINCT u AS node, u AS label FROM adj
+), """
+    + ", ".join(_lpa_round_sql(f"l{i}", i + 1) for i in range(_LPA_ROUNDS))
+    + f"""
+, deg AS (
+  SELECT u AS node, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY u
+), mm AS (
+  SELECT CAST(count(*) AS BIGINT) AS m FROM edges
+), intra AS (
+  SELECT la.label AS community, CAST(count(*) AS BIGINT) AS intra_edges
+  FROM edges e
+  JOIN l{_LPA_ROUNDS} la ON la.node = e.x
+  JOIN l{_LPA_ROUNDS} lb ON lb.node = e.y
+  WHERE la.label = lb.label GROUP BY la.label
+), dsum AS (
+  SELECT l.label AS community, CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(sum(d.deg) AS BIGINT) AS degree_sum
+  FROM l{_LPA_ROUNDS} l JOIN deg d ON d.node = l.node GROUP BY l.label
+)
+SELECT d.community, d.n_nodes,
+       CAST(coalesce(i.intra_edges, 0) AS BIGINT) AS intra_edges,
+       d.degree_sum, mm.m AS m_edges,
+       CAST(4 * mm.m * coalesce(i.intra_edges, 0)
+            - d.degree_sum * d.degree_sum AS BIGINT) AS q_contrib_num
+FROM dsum d LEFT JOIN intra i ON i.community = d.community CROSS JOIN mm
+ORDER BY d.community
+"""
+)
+
+
+@_q("graph_modularity", _MODULARITY_SQL)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modularity decomposition of the LPA communities (Newman-Girvan
+    Q — the quality score every community-detection paper reports):
+    per community, intra-community edge count e_c and degree mass d_c;
+    the exact-integer contribution ``4m·e_c − d_c²`` sums across
+    communities to ``Q·4m²``, so Q is verifiable to full precision
+    WITHOUT a single float (Q = Σ q_contrib_num / (4m²) downstream).
+
+    Shares the LPA kernel (``_lpa_labels``) with
+    graph_label_propagation — same 3 deterministic rounds, so the
+    community assignment under scoring is exactly the one that operator
+    emits; the oracle re-derives both the rounds AND the scoring.
+
+    Scale shape: intra-edge counting is the edge list joined to the
+    label table on EACH endpoint (two hash joins keyed by node — the
+    triangle-count device); degree mass is one groupBy; everything
+    after is |communities| rows with a single-row m broadcast."""
+    edges, adj, labels = _lpa_labels(spark, sf_dir)
+    labels = labels.localCheckpoint(eager=False)
+    deg = adj.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").cast("long").alias("deg")
+    )
+    mm = edges.agg(F.count("*").cast("long").alias("m"))
+    la = labels.select(F.col("node").alias("x"), F.col("label").alias("lx"))
+    lb = labels.select(F.col("node").alias("y"), F.col("label").alias("ly"))
+    intra = (
+        edges.join(la, "x")
+        .join(lb, "y")
+        .filter(F.col("lx") == F.col("ly"))
+        .groupBy(F.col("lx").alias("community"))
+        .agg(F.count("*").cast("long").alias("intra_edges"))
+    )
+    dsum = (
+        labels.join(deg, "node")
+        .groupBy(F.col("label").alias("community"))
+        .agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.sum("deg").cast("long").alias("degree_sum"),
+        )
+    )
+    return (
+        dsum.join(intra, "community", "left")
+        .crossJoin(F.broadcast(mm))
+        .select(
+            "community",
+            "n_nodes",
+            F.coalesce("intra_edges", F.lit(0)).cast("long").alias("intra_edges"),
+            "degree_sum",
+            F.col("m").alias("m_edges"),
+            (
+                4 * F.col("m") * F.coalesce("intra_edges", F.lit(0))
+                - F.col("degree_sum") * F.col("degree_sum")
+            )
+            .cast("long")
+            .alias("q_contrib_num"),
+        )
         .orderBy("community")
     )

@@ -1172,3 +1172,132 @@ def ml_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("auc_ppm"),
     )
+
+
+# --- precision/recall curve at exact decile thresholds ------------------------
+
+_PR_SCORE_SQL = """
+  SELECT CAST(label % 2 AS BIGINT) AS y,
+         5 * CAST(round(1000 * CAST(embedding[1] AS DOUBLE)) AS BIGINT)
+         - 3 * CAST(round(1000 * CAST(embedding[2] AS DOUBLE)) AS BIGINT)
+         + 2 * CAST(round(1000 * CAST(embedding[3] AS DOUBLE)) AS BIGINT)
+         - CAST(round(1000 * CAST(embedding[4] AS DOUBLE)) AS BIGINT) AS score
+  FROM embeddings
+"""
+
+_PR_CURVE_SQL = f"""
+WITH s AS ({_PR_SCORE_SQL}
+), g AS (
+  SELECT score, CAST(sum(y) AS BIGINT) AS pos_n,
+         CAST(sum(1 - y) AS BIGINT) AS neg_n,
+         CAST(count(*) AS BIGINT) AS tot_n
+  FROM s GROUP BY score
+), r AS (
+  SELECT score, pos_n, neg_n, tot_n,
+         sum(tot_n) OVER (ORDER BY score) AS ccum
+  FROM g
+), tot AS (
+  SELECT CAST(sum(pos_n) AS BIGINT) AS p_total,
+         CAST(sum(tot_n) AS BIGINT) AS n_total
+  FROM g
+), js AS (
+  SELECT unnest(range(1, 10)) AS j
+), th AS (
+  SELECT js.j, r.score AS thr
+  FROM js, r, tot
+  WHERE (js.j * tot.n_total) // 10 > r.ccum - r.tot_n
+    AND (js.j * tot.n_total) // 10 <= r.ccum
+), pr AS (
+  SELECT t.j, t.thr,
+         CAST(sum(CASE WHEN g.score >= t.thr THEN g.pos_n ELSE 0 END)
+              AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN g.score >= t.thr THEN g.neg_n ELSE 0 END)
+              AS BIGINT) AS fp
+  FROM th t CROSS JOIN g GROUP BY t.j, t.thr
+)
+SELECT CAST(pr.j AS BIGINT) AS decile, pr.thr AS threshold, pr.tp, pr.fp,
+       CAST(tot.p_total - pr.tp AS BIGINT) AS fn,
+       CAST(pr.tp * 1000000 // (pr.tp + pr.fp) AS BIGINT) AS precision_ppm,
+       CAST(pr.tp * 1000000 // tot.p_total AS BIGINT) AS recall_ppm
+FROM pr CROSS JOIN tot ORDER BY decile
+"""
+
+
+@_q("ml_pr_curve", _PR_CURVE_SQL)
+def ml_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall curve of the fixed linear scorer at its EXACT
+    score deciles — the threshold-sweep view of the ml_roc_auc setup
+    (same integer-quantized scorer, same label), one row per decile
+    with TP/FP/FN and integer-ppm precision/recall.
+
+    Thresholds are data-derived but exact: decile j's threshold is the
+    score of the global rank ⌊j·N/10⌋ element, located from the SAME
+    prefix-offset running count the AUC uses (``distrank.global_index``
+    — no single-partition window over the score distribution).  The
+    9-row threshold table then broadcasts back over the per-score tally
+    for the confusion counts — a constant-factor (9×) pass over the
+    |distinct scores| table, never over raw rows.
+
+    All counts and ratios are exact integers (truncating ppm division),
+    so the curve is bit-identical in both engines."""
+    from ..catalog import load_table
+    from .distrank import global_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = [
+        F.round(1000 * F.expr(f"CAST(embedding[{i}] AS DOUBLE)")).cast("long")
+        for i in range(4)
+    ]
+    s = emb.select(
+        (F.col("label") % 2).cast("long").alias("y"),
+        (5 * q[0] - 3 * q[1] + 2 * q[2] - q[3]).alias("score"),
+    )
+    g = (
+        s.groupBy("score")
+        .agg(
+            F.sum("y").cast("long").alias("pos_n"),
+            F.sum(1 - F.col("y")).cast("long").alias("neg_n"),
+            F.count("*").cast("long").alias("tot_n"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    r = global_index(g, [F.col("score")], sum_col="tot_n")
+    js = spark.range(1, 10).select(F.col("id").alias("j"))
+    th = (
+        r.crossJoin(F.broadcast(js))
+        .filter(
+            (F.expr("(j * __sum_total) div 10") > F.col("__csum") - F.col("tot_n"))
+            & (F.expr("(j * __sum_total) div 10") <= F.col("__csum"))
+        )
+        .select("j", F.col("score").alias("thr"))
+    )
+    tot = g.agg(
+        F.sum("pos_n").cast("long").alias("p_total"),
+    )
+    pr = (
+        g.crossJoin(F.broadcast(th))
+        .groupBy("j", "thr")
+        .agg(
+            F.sum(F.when(F.col("score") >= F.col("thr"), F.col("pos_n")).otherwise(0))
+            .cast("long")
+            .alias("tp"),
+            F.sum(F.when(F.col("score") >= F.col("thr"), F.col("neg_n")).otherwise(0))
+            .cast("long")
+            .alias("fp"),
+        )
+    )
+    return (
+        pr.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("j").cast("long").alias("decile"),
+            F.col("thr").alias("threshold"),
+            "tp",
+            "fp",
+            (F.col("p_total") - F.col("tp")).cast("long").alias("fn"),
+            F.expr("tp * 1000000 div (tp + fp)")
+            .cast("long")
+            .alias("precision_ppm"),
+            F.expr("tp * 1000000 div p_total").cast("long").alias("recall_ppm"),
+        )
+        .orderBy("decile")
+    )

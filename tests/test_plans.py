@@ -1324,3 +1324,43 @@ def test_holt_linear_plan_shape(spark, sf_dir):
     specs = set(re.findall(r"windowspecdefinition\((\w+)#", plan))
     assert specs <= {"event_type"}, specs
     assert plan.count("BroadcastHashJoin") >= 7, plan
+
+
+def test_modularity_plan_shape(spark, sf_dir):
+    """graph_modularity (r11j): intra-edge counting is two hash joins of
+    the edge list against the (checkpointed) label table; the m
+    attach is a single-row broadcast (BroadcastNestedLoop, never a
+    cartesian); the only window is the LPA kernel's node-partitioned
+    pick; no Python."""
+    plan = _plan(all_queries()["graph_modularity"](spark, sf_dir), "simple")
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    specs = set(re.findall(r"windowspecdefinition\((\w+)#", plan))
+    assert specs <= {"node"}, specs
+
+
+def test_conversion_lag_plan_shape(spark, sf_dir):
+    """events_conversion_lag_median (r11j): the two firsts are map-side
+    min-groupBys; the exact median rides distrank.global_index — no
+    single-partition window over the lag distribution; no Python, no
+    cartesian."""
+    plan = _plan(
+        all_queries()["events_conversion_lag_median"](spark, sf_dir), "simple"
+    )
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    specs = set(re.findall(r"windowspecdefinition\((\w+)#", plan))
+    assert "lag_us" not in specs, specs
+    assert "partial_min" in plan, plan
+
+
+def test_pr_curve_plan_shape(spark, sf_dir):
+    """ml_pr_curve (r11j): the per-score tally partial-aggregates; the
+    decile thresholds come from global_index prefix offsets (no
+    single-partition window over scores); the 9-row threshold and
+    1-row totals attach as broadcasts; no Python."""
+    plan = _plan(all_queries()["ml_pr_curve"](spark, sf_dir), "simple")
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    specs = set(re.findall(r"windowspecdefinition\((\w+)#", plan))
+    assert "score" not in specs, specs
