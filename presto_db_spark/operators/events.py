@@ -2734,3 +2734,106 @@ def events_conversion_lag_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("median_x2_us"),
     )
+
+
+# --- MAD-based robust outlier days ---------------------------------------------
+
+_MAD_OUT_SQL = """
+WITH s AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+), rx AS (
+  SELECT event_type, d, x,
+         row_number() OVER (PARTITION BY event_type ORDER BY x, d) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM s
+), med AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN rn = (n + 1) // 2 THEN x ELSE 0 END)
+              + sum(CASE WHEN rn = (n + 2) // 2 THEN x ELSE 0 END)
+              AS BIGINT) AS med2
+  FROM rx GROUP BY event_type
+), dev AS (
+  SELECT s.event_type, s.d, s.x, m.med2,
+         CAST(abs(2 * s.x - m.med2) AS BIGINT) AS dev2
+  FROM s JOIN med m ON m.event_type = s.event_type
+), rd AS (
+  SELECT event_type, d, x, med2, dev2,
+         row_number() OVER (PARTITION BY event_type ORDER BY dev2, d) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM dev
+), mad AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN rn = (n + 1) // 2 THEN dev2 ELSE 0 END)
+              + sum(CASE WHEN rn = (n + 2) // 2 THEN dev2 ELSE 0 END)
+              AS BIGINT) AS mad4
+  FROM rd GROUP BY event_type
+)
+SELECT dv.event_type, dv.d, dv.x, dv.med2, dv.dev2, md.mad4
+FROM dev dv JOIN mad md ON md.event_type = dv.event_type
+WHERE 2 * dv.dev2 > 3 * md.mad4
+ORDER BY dv.event_type, dv.d
+"""
+
+
+@_q("events_mad_outlier_days", _MAD_OUT_SQL)
+def events_mad_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier days per event type by the median/MAD rule
+    (|x − median| > 3·MAD) — the robust twin of events_anomaly_zscore:
+    mean/stddev get dragged by the very outliers they're hunting, the
+    median/MAD pair does not (50% breakdown point; Leys et al. 2013 is
+    the standard citation for preferring it).
+
+    Exact-integer contract: medians of integers are half-integers, so
+    everything carries a power-of-two scale — ``med2 = x_(n+1)/2 +
+    x_(n+2)/2`` (2× the median), ``dev2 = |2x − med2|`` (2× the
+    deviation), ``mad4`` (4× the MAD), and the flag rule
+    ``dev > 3·MAD ⟺ 2·dev2 > 3·mad4`` is a pure BIGINT comparison —
+    no float crosses the gate in either engine.
+
+    Scale shape: the daily rollup collapses map-side; both median
+    selections ride event_type-partitioned windows over tiny per-type
+    series (a single giant series upgrades to the global_index device
+    events_conversion_lag_median demonstrates); output is only the
+    flagged days."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count("*").cast("long").alias("x"))
+    cnt_w = W.partitionBy("event_type")
+    rx = s.select(
+        "event_type",
+        "d",
+        "x",
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy("x", "d"))
+        .alias("rn"),
+        F.count("*").over(cnt_w).alias("n"),
+    )
+    pick = lambda c: (  # noqa: E731
+        F.sum(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col(c)).otherwise(0))
+        + F.sum(F.when(F.col("rn") == F.expr("(n + 2) div 2"), F.col(c)).otherwise(0))
+    )
+    med = rx.groupBy("event_type").agg(pick("x").cast("long").alias("med2"))
+    dev = s.join(med, "event_type").select(
+        "event_type",
+        "d",
+        "x",
+        "med2",
+        F.abs(2 * F.col("x") - F.col("med2")).cast("long").alias("dev2"),
+    )
+    rd = dev.select(
+        "event_type",
+        "dev2",
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy("dev2", "d"))
+        .alias("rn"),
+        F.count("*").over(cnt_w).alias("n"),
+    )
+    mad = rd.groupBy("event_type").agg(pick("dev2").cast("long").alias("mad4"))
+    return (
+        dev.join(mad, "event_type")
+        .filter(2 * F.col("dev2") > 3 * F.col("mad4"))
+        .select("event_type", "d", "x", "med2", "dev2", "mad4")
+        .orderBy("event_type", "d")
+    )

@@ -875,3 +875,72 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("community")
     )
+
+
+# --- degree assortativity ------------------------------------------------------
+
+_ASSORT_SQL = f"""
+WITH edges AS ({_BFS_EDGES_SQL}
+), adj AS (
+  SELECT x AS u, y AS w FROM edges
+  UNION ALL
+  SELECT y, x FROM edges
+), deg AS (
+  SELECT u AS node, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY u
+), pairs AS (
+  SELECT du.deg AS dx, dw.deg AS dy
+  FROM adj a JOIN deg du ON du.node = a.u JOIN deg dw ON dw.node = a.w
+), sums AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(dx) AS BIGINT) AS s1,
+         CAST(sum(dx * dx) AS BIGINT) AS s2,
+         CAST(sum(dx * dy) AS BIGINT) AS sxy
+  FROM pairs
+)
+SELECT n, s1, s2, sxy,
+       CAST((n * sxy - s1 * s1) * 1000000 // (n * s2 - s1 * s1) AS BIGINT)
+         AS assortativity_ppm
+FROM sums
+"""
+
+
+@_q("graph_assortativity", _ASSORT_SQL)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002) of the repeat-co-purchase
+    graph — do high-degree products co-sell with other high-degree
+    products (r > 0, social-network-like) or with long-tail ones
+    (r < 0, hub-and-spoke)?  Pearson correlation of the degree pairs at
+    the two ends of every (directed-both-ways) edge.
+
+    Exact-rational contract: over the SYMMETRIZED edge list the x and y
+    marginals are identical (Σdx = Σdy, Σdx² = Σdy²), so the usual
+    Pearson square root VANISHES — r = (n·Σdxdy − (Σdx)²)/(n·Σdx² −
+    (Σdx)²) is a ratio of exact BIGINTs, emitted in truncating-ppm with
+    zero float math.
+
+    Scale shape: one degree groupBy + two hash joins of the adjacency
+    against the |nodes| degree table + a single 4-number fold — the
+    resource-allocation join pattern, nothing global."""
+    edges = _repeat_edges(spark, sf_dir)
+    adj = edges.select(F.col("x").alias("u"), F.col("y").alias("w")).unionByName(
+        edges.select(F.col("y").alias("u"), F.col("x").alias("w"))
+    )
+    deg = adj.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").cast("long").alias("deg")
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("dx"))
+    dw = deg.select(F.col("node").alias("w"), F.col("deg").alias("dy"))
+    pairs = adj.join(du, "u").join(dw, "w")
+    return pairs.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("dx").cast("long").alias("s1"),
+        F.sum(F.col("dx") * F.col("dx")).cast("long").alias("s2"),
+        F.sum(F.col("dx") * F.col("dy")).cast("long").alias("sxy"),
+    ).selectExpr(
+        "n",
+        "s1",
+        "s2",
+        "sxy",
+        "CAST((n * sxy - s1 * s1) * 1000000 div (n * s2 - s1 * s1) AS BIGINT)"
+        " AS assortativity_ppm",
+    )

@@ -2268,3 +2268,82 @@ def text_distinct_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("lang")
     )
+
+
+# --- temperature-based source mixing weights ----------------------------------
+
+_TEMP_MIX_SQL = """
+WITH s AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS n_chars
+  FROM documents GROUP BY source
+), w AS (
+  SELECT source, n_docs, n_chars,
+         CAST(floor(sqrt(n_chars)) AS BIGINT) AS w_sqrt
+  FROM s
+), tot AS (
+  SELECT CAST(sum(w_sqrt) AS BIGINT) AS w_total,
+         CAST(sum(n_chars) AS BIGINT) AS c_total
+  FROM w
+)
+SELECT w.source, w.n_docs, w.n_chars, w.w_sqrt,
+       CAST(w.n_chars * 1000000 // tot.c_total AS BIGINT) AS natural_ppm,
+       CAST(w.w_sqrt * 1000000 // tot.w_total AS BIGINT) AS mix_ppm,
+       CAST(w.w_sqrt * 1000000 // tot.w_total
+            - w.n_chars * 1000000 // tot.c_total AS BIGINT) AS boost_ppm
+FROM w CROSS JOIN tot ORDER BY w.source
+"""
+
+
+@_q("train_temperature_mix", _TEMP_MIX_SQL)
+def train_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing weights (tau = 1/2) — the
+    multilingual/multi-source sampling scheme of mC4/XLM-R (weight each
+    source by size^tau, renormalize) that every LLM pretraining mix
+    uses to keep big sources from drowning small ones: per source, the
+    natural (proportional) share and the temperature share in ppm, plus
+    the boost the re-weighting gives.
+
+    Determinism: size^(1/2) is ``floor(sqrt(n))`` — IEEE sqrt is a
+    CORRECTLY-ROUNDED operation (unlike ln/exp/pow), so both engines
+    compute the identical double and the identical floor; everything
+    else is truncating integer division ✓.
+
+    Scale shape: one map-side-combined groupBy to |sources| rows; the
+    total attaches as a single-row broadcast.  The ppm weights feed
+    train_shuffle_shards/sample_stratified as the per-source sampling
+    rates downstream."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+    )
+    w = s.select(
+        "source",
+        "n_docs",
+        "n_chars",
+        F.floor(F.sqrt(F.col("n_chars"))).cast("long").alias("w_sqrt"),
+    )
+    tot = w.agg(
+        F.sum("w_sqrt").cast("long").alias("w_total"),
+        F.sum("n_chars").cast("long").alias("c_total"),
+    )
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_chars",
+            "w_sqrt",
+            F.expr("n_chars * 1000000 div c_total")
+            .cast("long")
+            .alias("natural_ppm"),
+            F.expr("w_sqrt * 1000000 div w_total").cast("long").alias("mix_ppm"),
+            F.expr(
+                "w_sqrt * 1000000 div w_total - n_chars * 1000000 div c_total"
+            )
+            .cast("long")
+            .alias("boost_ppm"),
+        )
+        .orderBy("source")
+    )

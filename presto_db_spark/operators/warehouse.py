@@ -892,3 +892,89 @@ def layout_dpp_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(fact["ym"]).cast("long").alias("n_months"),
         F.sum("cents").cast("long").alias("sum_cents"),
     )
+
+
+# --- Laspeyres price index (1996 -> 1997) --------------------------------------
+
+_LASPEYRES_SQL = """
+WITH li AS (
+  SELECT l.l_partkey AS pk, year(o.o_orderdate) AS yr,
+         CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS rev_cents,
+         CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE year(o.o_orderdate) IN (1996, 1997)
+  GROUP BY l.l_partkey, year(o.o_orderdate)
+), px AS (
+  SELECT pk,
+         max(CASE WHEN yr = 1996 THEN rev_cents END) AS rev0,
+         max(CASE WHEN yr = 1996 THEN qty END) AS q0,
+         max(CASE WHEN yr = 1997 THEN rev_cents END) AS rev1,
+         max(CASE WHEN yr = 1997 THEN qty END) AS q1
+  FROM li GROUP BY pk
+), common AS (
+  SELECT pk, rev0, q0, rev1, q1 FROM px
+  WHERE q0 IS NOT NULL AND q1 IS NOT NULL AND q0 > 0 AND q1 > 0
+), sums AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_parts,
+         CAST(sum(rev0) AS BIGINT) AS base_cents,
+         CAST(sum((rev1 // q1) * q0) AS BIGINT) AS repriced_cents
+  FROM common
+)
+SELECT n_parts, base_cents, repriced_cents,
+       CAST(repriced_cents * 1000000 // base_cents AS BIGINT) AS laspeyres_ppm
+FROM sums
+"""
+
+
+@_q("part_price_index_laspeyres", _LASPEYRES_SQL)
+def part_price_index_laspeyres(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres price index 1996→1997 over the parts both years traded:
+    reprice the BASE-year basket at current-year unit prices —
+    ``Σ p₁·q₀ / Σ p₀·q₀`` — the fixed-basket inflation measure every
+    statistics office publishes (CPI is a Laspeyres-type index).
+
+    Exact-integer contract: unit prices are truncating-integer cents
+    (``rev₁ // q₁``, the measured cross-engine division contract), the
+    base-year spend Σp₀q₀ is simply the exact 1996 revenue cents, and
+    the index lands in truncating ppm — bit-identical in both engines.
+
+    Scale shape: one fact-side join (orders dim broadcast after the
+    year filter), one map-side-combined (part, year) rollup, a |parts|
+    pivot, and a single-row fold."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate").isin(1996, 1997)
+    )
+    rolled = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("l_partkey").alias("pk"), F.year("o_orderdate").alias("yr"))
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("rev_cents"),
+            F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"),
+        )
+    )
+    px = rolled.groupBy("pk").agg(
+        F.max(F.when(F.col("yr") == 1996, F.col("rev_cents"))).alias("rev0"),
+        F.max(F.when(F.col("yr") == 1996, F.col("qty"))).alias("q0"),
+        F.max(F.when(F.col("yr") == 1997, F.col("rev_cents"))).alias("rev1"),
+        F.max(F.when(F.col("yr") == 1997, F.col("qty"))).alias("q1"),
+    )
+    common = px.filter(
+        F.col("q0").isNotNull()
+        & F.col("q1").isNotNull()
+        & (F.col("q0") > 0)
+        & (F.col("q1") > 0)
+    )
+    return common.agg(
+        F.count("*").cast("long").alias("n_parts"),
+        F.sum("rev0").cast("long").alias("base_cents"),
+        F.sum(F.expr("(rev1 div q1) * q0")).cast("long").alias("repriced_cents"),
+    ).selectExpr(
+        "n_parts",
+        "base_cents",
+        "repriced_cents",
+        "CAST(repriced_cents * 1000000 div base_cents AS BIGINT) AS laspeyres_ppm",
+    )

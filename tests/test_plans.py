@@ -1364,3 +1364,49 @@ def test_pr_curve_plan_shape(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     specs = set(re.findall(r"windowspecdefinition\((\w+)#", plan))
     assert "score" not in specs, specs
+
+
+def test_temperature_mix_plan_shape(spark, sf_dir):
+    """train_temperature_mix (r11k): one map-side-combined groupBy to
+    |sources| rows; the total attaches as a single-row broadcast; no
+    window, no Python, no data-scale join."""
+    plan = _plan(all_queries()["train_temperature_mix"](spark, sf_dir), "simple")
+    assert "EvalPython" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "partial_count" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_assortativity_plan_shape(spark, sf_dir):
+    """graph_assortativity (r11k): degree groupBy + two hash joins of
+    the adjacency against the degree table + one 4-number fold; no
+    window, no Python, no cartesian."""
+    plan = _plan(all_queries()["graph_assortativity"](spark, sf_dir), "simple")
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "partial_sum" in plan, plan
+
+
+def test_mad_outlier_plan_shape(spark, sf_dir):
+    """events_mad_outlier_days (r11k): daily rollup partial-aggregates;
+    every window (median ranks, counts) is event_type-partitioned —
+    never single-partition; no Python, no cartesian."""
+    plan = _plan(all_queries()["events_mad_outlier_days"](spark, sf_dir), "simple")
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    specs = set(re.findall(r"windowspecdefinition\((\w+)#", plan))
+    assert specs == {"event_type"}, specs
+
+
+def test_laspeyres_plan_shape(spark, sf_dir):
+    """part_price_index_laspeyres (r11k): the year-filtered orders side
+    broadcasts into the fact join; the (part, year) rollup
+    partial-aggregates; no window, no Python, no cartesian."""
+    plan = _plan(
+        all_queries()["part_price_index_laspeyres"](spark, sf_dir), "simple"
+    )
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
