@@ -2837,3 +2837,74 @@ def events_mad_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "d", "x", "med2", "dev2", "mad4")
         .orderBy("event_type", "d")
     )
+
+
+# --- Benford first-digit deviation ---------------------------------------------
+
+# round(1e6 * log10(1 + 1/d)) for d = 1..9 — fixed integer constants, so
+# no engine ever evaluates a logarithm.
+_BENFORD_PPM = [301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757]
+
+_BENFORD_CASE = " ".join(
+    f"WHEN {d} THEN {p}" for d, p in enumerate(_BENFORD_PPM, start=1)
+)
+
+_BENFORD_SQL = f"""
+WITH c AS (
+  SELECT CAST(substring(CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR),
+                        1, 1) AS BIGINT) AS digit
+  FROM events
+), obs AS (
+  SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM c GROUP BY digit
+), tot AS (
+  SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM obs
+)
+SELECT o.digit, o.n_obs,
+       CAST(o.n_obs * 1000000 // tot.n AS BIGINT) AS obs_ppm,
+       CAST(CASE o.digit {_BENFORD_CASE} END AS BIGINT) AS benford_ppm,
+       CAST(o.n_obs * 1000000 // tot.n
+            - CASE o.digit {_BENFORD_CASE} END AS BIGINT) AS delta_ppm
+FROM obs o CROSS JOIN tot ORDER BY o.digit
+"""
+
+
+@_q("events_benford_deviation", _BENFORD_SQL)
+def events_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of the value column — the
+    fraud/anomaly screen every forensic-accounting pipeline runs
+    (fabricated amounts over-represent mid digits; organic
+    multiplicative data follows log10(1 + 1/d)): per leading digit, the
+    observed share vs the Benford expectation and the signed deviation,
+    all in exact integer ppm.
+
+    Determinism: the leading digit comes from the DECIMAL STRING of the
+    exact integer cents (never floor(x/10^floor(log10 x)) — no
+    logarithm anywhere), and the Benford expectations are fixed integer
+    constants, so neither engine evaluates a single transcendental.
+
+    Scale shape: one projection + one 9-group map-side-combined count;
+    the total attaches as a single-row broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select(
+        F.substring(F.round(F.col("value") * 100).cast("long").cast("string"), 1, 1)
+        .cast("long")
+        .alias("digit")
+    )
+    obs = c.groupBy("digit").agg(F.count("*").cast("long").alias("n_obs"))
+    tot = obs.agg(F.sum("n_obs").cast("long").alias("n"))
+    bppm = F.expr(
+        "CASE digit " + _BENFORD_CASE + " END"
+    ).cast("long")
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_obs",
+            F.expr("n_obs * 1000000 div n").cast("long").alias("obs_ppm"),
+            bppm.alias("benford_ppm"),
+            (F.expr("n_obs * 1000000 div n") - bppm)
+            .cast("long")
+            .alias("delta_ppm"),
+        )
+        .orderBy("digit")
+    )

@@ -1301,3 +1301,107 @@ def ml_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# --- Kolmogorov-Smirnov separation statistic -----------------------------------
+
+_KS_SQL = f"""
+WITH s AS ({_PR_SCORE_SQL}
+), g AS (
+  SELECT score, CAST(sum(y) AS BIGINT) AS pos_n,
+         CAST(sum(1 - y) AS BIGINT) AS neg_n
+  FROM s GROUP BY score
+), r AS (
+  SELECT score, pos_n, neg_n,
+         sum(pos_n) OVER (ORDER BY score) AS cpos,
+         sum(neg_n) OVER (ORDER BY score) AS cneg
+  FROM g
+), tot AS (
+  SELECT CAST(sum(pos_n) AS BIGINT) AS np, CAST(sum(neg_n) AS BIGINT) AS nn
+  FROM g
+)
+SELECT tot.np AS n_pos, tot.nn AS n_neg,
+       CAST(max(abs(r.cpos * tot.nn - r.cneg * tot.np)) AS BIGINT)
+         AS ks_scaled,
+       CAST(max(abs(r.cpos * tot.nn - r.cneg * tot.np)) * 1000000
+            // (tot.np * tot.nn) AS BIGINT) AS ks_ppm
+FROM r CROSS JOIN tot GROUP BY tot.np, tot.nn
+"""
+
+
+@_q("ml_ks_statistic", _KS_SQL)
+def ml_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov–Smirnov separation of the positive/negative score
+    distributions — the credit-scoring industry's standard separation
+    measure (alongside ml_roc_auc's AUC and ml_pr_curve's deciles, this
+    completes the binary-classifier evaluation family):
+    ``KS = max_s |F_pos(s) − F_neg(s)|``.
+
+    Exact-integer contract: at each score group the scaled gap
+    ``|cpos·N_neg − cneg·N_pos|`` is a BIGINT (cross-multiplying clears
+    both CDF denominators), so the max and the final truncating-ppm
+    division are bit-identical in both engines — the KS statistic with
+    zero float math.
+
+    Scale shape: per-score tally map-side; BOTH running counts ride ONE
+    ``distrank.global_index`` range exchange by packing (pos, neg) into
+    a single BIGINT (pos·2³¹ + neg — exact while cumulative counts stay
+    below 2³¹, i.e. ~2·10⁹ rows per side; beyond that widen the pack
+    shift or run a second index pass), then unpacking the cumulative
+    with div/mod; no single-partition window over scores."""
+    from ..catalog import load_table
+    from .distrank import global_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = [
+        F.round(1000 * F.expr(f"CAST(embedding[{i}] AS DOUBLE)")).cast("long")
+        for i in range(4)
+    ]
+    s = emb.select(
+        (F.col("label") % 2).cast("long").alias("y"),
+        (5 * q[0] - 3 * q[1] + 2 * q[2] - q[3]).alias("score"),
+    )
+    g = (
+        s.groupBy("score")
+        .agg(
+            F.sum("y").cast("long").alias("pos_n"),
+            F.sum(1 - F.col("y")).cast("long").alias("neg_n"),
+            F.count("*").cast("long").alias("tot_n"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    # both cumulative counts from one exchange: pack (pos, neg) into a
+    # single BIGINT and cumsum the packed value (see docstring bound).
+    packed = g.select(
+        "score",
+        "pos_n",
+        "neg_n",
+        (F.col("pos_n") * F.lit(1 << 31) + F.col("neg_n")).alias("pk"),
+    )
+    r = global_index(packed, [F.col("score")], sum_col="pk")
+    cpos = F.expr("__csum div 2147483648")
+    cneg = F.expr("__csum % 2147483648")
+    tot = g.agg(
+        F.sum("pos_n").cast("long").alias("np_"),
+        F.sum("neg_n").cast("long").alias("nn_"),
+    )
+    return (
+        r.crossJoin(F.broadcast(tot))
+        .select(
+            "np_",
+            "nn_",
+            F.abs(cpos * F.col("nn_") - cneg * F.col("np_")).alias("gap"),
+        )
+        .groupBy("np_", "nn_")
+        .agg(
+            F.max("gap").cast("long").alias("ks_scaled"),
+        )
+        .select(
+            F.col("np_").alias("n_pos"),
+            F.col("nn_").alias("n_neg"),
+            "ks_scaled",
+            F.expr("ks_scaled * 1000000 div (np_ * nn_)")
+            .cast("long")
+            .alias("ks_ppm"),
+        )
+    )

@@ -1410,3 +1410,37 @@ def test_laspeyres_plan_shape(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "windowspecdefinition" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_ks_statistic_plan_shape(spark, sf_dir):
+    """ml_ks_statistic (r11l): both cumulative counts ride ONE
+    global_index range exchange via the packed BIGINT; no
+    single-partition window over scores; no Python, no cartesian."""
+    plan = _plan(all_queries()["ml_ks_statistic"](spark, sf_dir), "simple")
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    specs = set(re.findall(r"windowspecdefinition\((\w+)#", plan))
+    assert "score" not in specs, specs
+
+
+def test_benford_plan_shape(spark, sf_dir):
+    """events_benford_deviation (r11l): one projection + one 9-group
+    map-side-combined count + a single-row broadcast; no window, no
+    Python, no transcendental anywhere in the plan."""
+    plan = _plan(all_queries()["events_benford_deviation"](spark, sf_dir), "simple")
+    assert "EvalPython" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "partial_count" in plan, plan
+    assert "LOG" not in plan.upper().replace("LOGICAL", ""), plan
+
+
+def test_gini_plan_shape(spark, sf_dir):
+    """part_gini_concentration (r11l): the per-part rollup
+    partial-aggregates; the global rank comes from global_index — no
+    single-partition window over |parts|; no Python, no cartesian."""
+    plan = _plan(all_queries()["part_gini_concentration"](spark, sf_dir), "simple")
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    specs = set(re.findall(r"windowspecdefinition\((\w+)#", plan))
+    assert "rev_cents" not in specs, specs
+    assert "partial_sum" in plan, plan
