@@ -72,10 +72,17 @@ _BATTERY_HEAD: list[str] = [
     # q14_2 same-week year-over-year; q24_2/q39_2 rotate in below).
     # tpcds_q23/q67 rotated out r10 for the _2 twins; both stay green in
     # CORRECTNESS_FULL every round.
-    "tpcds_q64", "tpcds_q72", "tpcds_q04", "tpcds_q23_2", "tpcds_q14_2",
+    # (r11 final: tpcds_q23_2 rotates out for the r11i/j additions below;
+    # TPC-DS keeps five head slots and q23_2 stays green in
+    # CORRECTNESS_FULL every round)
+    "tpcds_q64", "tpcds_q72", "tpcds_q04", "tpcds_q14_2",
     # round-5 flagship extensions (connected-components dedup, trained IVF,
     # set digest, watermark late-data semantics)
-    "dedup_cluster", "sim_ivf_kmeans", "agg_set_digest",
+    # (r11h: dedup_cluster → dedup_cluster_bigstar — the large-star/
+    # small-star CC takes the clustering slot the round it shipped; it is
+    # plan-tested row-for-row EQUAL to dedup_cluster, which stays green
+    # in CORRECTNESS_FULL every round)
+    "dedup_cluster_bigstar", "sim_ivf_kmeans", "agg_set_digest",
     "streaming_late_data",
     # relational batteries
     # (r10c: join_full_outer → part_skyline_pareto — the SKYLINE OF
@@ -176,7 +183,16 @@ _BATTERY_HEAD: list[str] = [
     # r10b: sim_pq_adc → sim_bq_hamming, the 1-bit rung below PQ, whose
     # recall is carried by sim_ann_recall in the head; sim_pq_adc stays
     # green in CORRECTNESS_FULL and benched in bench.py).
-    "streaming_session_window", "sim_bq_hamming",
+    # (r11 final: sim_bq_hamming rotates out — the ANN family keeps
+    # sim_ivf_kmeans / sim_ann_recall / sim_mrl_prefix_rerank in the
+    # head; BQ stays benched in bench.py + green in CORRECTNESS_FULL)
+    "streaming_session_window",
+    # r11i/j head additions filling the two free slots: the classifier
+    # evaluation family's rank-statistic flagship (exact Mann-Whitney
+    # AUC over distrank prefix offsets) and the graph family's first
+    # head representative (LPA communities + exact-integer modularity
+    # scoring in one plan)
+    "ml_roc_auc", "graph_modularity",
 ]
 
 if len(_BATTERY_HEAD) > 50:
