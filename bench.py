@@ -423,6 +423,8 @@ _SOLO_PINS = {
     "text_lm_likelihood": 1.59,
     "ml_logistic_regression": 1.31,  # r11d quiet-box solo (scripts/probe_scale.py)
     "graph_bfs_distances": 2.64,  # r11d quiet-box solo (after the distinct-baskets support rewrite)
+    "dedup_cluster_bigstar": 2.53,  # r11h quiet-box solo
+    "graph_modularity": 2.64,  # r11j quiet-box solo
 }
 
 HEADLINE = CORE17 + [
@@ -475,6 +477,13 @@ HEADLINE = CORE17 + [
     # its substrate groupBy is the same floor the whole graph family pays).
     "ml_logistic_regression",
     "graph_bfs_distances",
+    # r11h/j: the star-contraction CC (signature-probed fixed point —
+    # the iterative-join shape whose recorded time IS the O(log n)
+    # claim vs min-label's O(diameter)) and the LPA+modularity plan
+    # (3 fixed rounds + double label join, the graph family's heaviest
+    # composite).
+    "dedup_cluster_bigstar",
+    "graph_modularity",
 ]
 
 # Local-iteration escape hatch: BENCH_ONLY=a,b,c restricts the suite to a
