@@ -2908,3 +2908,156 @@ def events_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+# --- pairwise audience overlap between event types ----------------------------
+
+_AUDIENCE_SQL = """
+WITH ut AS (
+  SELECT DISTINCT user_id, event_type FROM events
+), sz AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_users FROM ut
+  GROUP BY event_type
+), inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS n_common
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type
+)
+SELECT i.type_a, i.type_b, sa.n_users AS n_a, sb.n_users AS n_b, i.n_common,
+       CAST(i.n_common * 1000000
+            // (sa.n_users + sb.n_users - i.n_common) AS BIGINT)
+         AS jaccard_ppm,
+       CAST(i.n_common * 1000000
+            // least(sa.n_users, sb.n_users) AS BIGINT) AS containment_ppm
+FROM inter i
+JOIN sz sa ON sa.event_type = i.type_a
+JOIN sz sb ON sb.event_type = i.type_b
+ORDER BY i.type_a, i.type_b
+"""
+
+
+@_q("events_audience_overlap", _AUDIENCE_SQL)
+def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT pairwise audience overlap between event types — the
+    ground-truth twin of sketch_theta_intersection's estimate: Jaccard
+    and smaller-side containment of the user sets for every type pair,
+    in exact integer ppm.  (The sketch path is what ships at 100 TB;
+    this exact path is the eval harness that certifies it, the same
+    measured-not-asserted pattern as dedup_minhash_recall.)
+
+    Scale shape: the (user, type) distinct collapses map-side; the
+    intersection self-join keys on user_id, and its output is bounded
+    by |types|² pairs per user — with a bounded type vocabulary this is
+    a constant fan-out, not a quadratic blowup (the same argument as
+    the band join); the final table is |types|² rows."""
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct().localCheckpoint(
+        eager=False
+    )
+    sz = ut.groupBy("event_type").agg(F.count("*").cast("long").alias("n_users"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    sa = sz.select(F.col("event_type").alias("type_a"), F.col("n_users").alias("n_a"))
+    sb = sz.select(F.col("event_type").alias("type_b"), F.col("n_users").alias("n_b"))
+    return (
+        inter.join(sa, "type_a")
+        .join(sb, "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            F.expr("n_common * 1000000 div (n_a + n_b - n_common)")
+            .cast("long")
+            .alias("jaccard_ppm"),
+            F.expr("n_common * 1000000 div least(n_a, n_b)")
+            .cast("long")
+            .alias("containment_ppm"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+# --- SLO burn-rate alerting (multi-window multi-burn-rate) --------------------
+
+_SLO_BUDGET_PPM = 250000  # error budget: 25% of events may be errors
+_SLO_FAST_BURN = 2        # short-window burn multiple that pages
+_SLO_SLOW_BURN = 1        # long-window burn multiple that must confirm
+
+_SLO_SQL = f"""
+WITH hr AS (
+  SELECT date_trunc('hour', ts) AS h,
+         CAST(count(*) AS BIGINT) AS n_total,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_err
+  FROM events GROUP BY date_trunc('hour', ts)
+), win AS (
+  SELECT h, n_total, n_err,
+         sum(n_total) OVER w6 AS t6, sum(n_err) OVER w6 AS e6
+  FROM hr
+  WINDOW w6 AS (ORDER BY h ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+)
+SELECT h, n_total, n_err,
+       CAST(n_err * 1000000 // n_total AS BIGINT) AS rate_1h_ppm,
+       CAST(e6 * 1000000 // t6 AS BIGINT) AS rate_6h_ppm,
+       (n_err * 1000000 > n_total * {_SLO_BUDGET_PPM} * {_SLO_FAST_BURN}
+        AND e6 * 1000000 > t6 * {_SLO_BUDGET_PPM} * {_SLO_SLOW_BURN})
+         AS page_alert
+FROM win ORDER BY h
+"""
+
+
+@_q("events_slo_burn_alerts", _SLO_SQL)
+def events_slo_burn_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window multi-burn-rate SLO alerting (the Google SRE
+    workbook rule every modern on-call pipeline implements): page only
+    when the SHORT window burns the error budget at ≥{_SLO_FAST_BURN}×
+    AND the LONG window confirms at ≥{_SLO_SLOW_BURN}× — fast detection
+    without one-bad-minute flappiness.  Budget here:
+    {_SLO_BUDGET_PPM} ppm of events may be 'error'.
+
+    Exact-integer contract: burn comparisons are cross-multiplied
+    (``n_err·10⁶ > n_total·budget·burn``) so no rate is ever
+    materialized as a float; the emitted ppm rates are truncating
+    divisions — the alert column and the rates are bit-identical.
+
+    Scale shape: the hourly rollup collapses map-side to |hours| rows;
+    the 6-hour trailing window is a ROWS frame over that BOUNDED table
+    (post-aggregation window, the survival-hazard device — its
+    single-partition-ness is over hours, not events; partition by
+    service/tenant when the table carries one)."""
+    ev = load_table(spark, sf_dir, "events")
+    hr = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count("*").cast("long").alias("n_total"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("n_err"),
+    )
+    w6 = W.orderBy("h").rowsBetween(-5, 0)
+    win = hr.select(
+        "h",
+        "n_total",
+        "n_err",
+        F.sum("n_total").over(w6).alias("t6"),
+        F.sum("n_err").over(w6).alias("e6"),
+    )
+    return win.select(
+        "h",
+        "n_total",
+        "n_err",
+        F.expr("n_err * 1000000 div n_total").cast("long").alias("rate_1h_ppm"),
+        F.expr("e6 * 1000000 div t6").cast("long").alias("rate_6h_ppm"),
+        (
+            (F.col("n_err") * 1000000 > F.col("n_total") * _SLO_BUDGET_PPM * _SLO_FAST_BURN)
+            & (F.col("e6") * 1000000 > F.col("t6") * _SLO_BUDGET_PPM * _SLO_SLOW_BURN)
+        ).alias("page_alert"),
+    ).orderBy("h")

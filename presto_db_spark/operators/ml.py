@@ -1405,3 +1405,70 @@ def ml_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ks_ppm"),
         )
     )
+
+
+# --- Brier score of the calibrated fast-sigmoid scorer -------------------------
+
+_BRIER_Z_SCALE = 100  # score milli-units -> sigmoid micro-units
+
+_BRIER_SQL = f"""
+WITH s AS ({_PR_SCORE_SQL}
+), p AS (
+  SELECT y, {_LOGIT_S.format(div='//').replace('z', f'(score * {_BRIER_Z_SCALE})')}
+           AS p_micro
+  FROM s
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(sum((p_micro - 1000000 * y) * (p_micro - 1000000 * y))
+            AS BIGINT) AS brier_num,
+       CAST(sum((p_micro - 1000000 * y) * (p_micro - 1000000 * y))
+            // (count(*) * 1000000) AS BIGINT) AS brier_micro
+FROM p
+"""
+
+
+@_q("ml_brier_score", _BRIER_SQL)
+def ml_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score (mean squared probability error) of the linear scorer
+    calibrated through the rational fast-sigmoid — the PROPER scoring
+    rule that completes the evaluation family (AUC/KS measure ranking,
+    the PR curve measures thresholds, Brier measures CALIBRATION: a
+    ranking-perfect but overconfident model scores badly here).
+
+    Exact-integer contract: probabilities come from the same
+    ``s(z) = 1/2 + z/(2(1+|z|))`` integer rational the logistic trainer
+    uses (ml.py `_LOGIT_S` — no exp(), no libm variance), so
+    ``Σ(p_micro − 10⁶·y)²`` is a BIGINT and brier_micro is one
+    truncating division — bit-identical in both engines.
+
+    Scale shape: pure projection + one global fold — zero shuffles; the
+    per-row square is ≤10¹², safe to ~9·10⁶ rows per final aggregate
+    before the sum needs a decimal widen (documented bound)."""
+    from ..catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = [
+        F.round(1000 * F.expr(f"CAST(embedding[{i}] AS DOUBLE)")).cast("long")
+        for i in range(4)
+    ]
+    s = emb.select(
+        (F.col("label") % 2).cast("long").alias("y"),
+        (5 * q[0] - 3 * q[1] + 2 * q[2] - q[3]).alias("score"),
+    )
+    sig = _LOGIT_S.format(div="div").replace("z", f"(score * {_BRIER_Z_SCALE})")
+    p = s.selectExpr("y", f"{sig} AS p_micro")
+    return p.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(
+            (F.col("p_micro") - 1000000 * F.col("y"))
+            * (F.col("p_micro") - 1000000 * F.col("y"))
+        )
+        .cast("long")
+        .alias("brier_num"),
+        F.expr(
+            "sum((p_micro - 1000000 * y) * (p_micro - 1000000 * y))"
+            " div (count(*) * 1000000)"
+        )
+        .cast("long")
+        .alias("brier_micro"),
+    )

@@ -294,3 +294,83 @@ def quality_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(v_1997 - v_1996 AS BIGINT) AS delta",
         "CAST((v_1997 - v_1996) * 1000000 div v_1996 AS BIGINT) AS drift_ppm",
     ).orderBy("metric")
+
+
+# --- partition-skew report --------------------------------------------------------
+
+_PART_SKEW_SQL = """
+WITH pm AS (
+  SELECT year(o_orderdate) * 100 + month(o_orderdate) AS ym,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS bytes_proxy_cents
+  FROM orders GROUP BY year(o_orderdate) * 100 + month(o_orderdate)
+), r AS (
+  SELECT n_rows, row_number() OVER (ORDER BY n_rows, ym) AS rn,
+         count(*) OVER () AS np
+  FROM pm
+)
+SELECT CAST(max(np) AS BIGINT) AS n_partitions,
+       CAST(sum(n_rows) AS BIGINT) AS total_rows,
+       CAST(min(n_rows) AS BIGINT) AS min_rows,
+       CAST(max(n_rows) AS BIGINT) AS max_rows,
+       CAST(sum(CASE WHEN rn = (np + 1) // 2 THEN n_rows ELSE 0 END)
+            + sum(CASE WHEN rn = (np + 2) // 2 THEN n_rows ELSE 0 END)
+            AS BIGINT) AS median_x2_rows,
+       CAST(max(n_rows) * max(np) * 1000000 // sum(n_rows) AS BIGINT)
+         AS max_over_mean_ppm
+FROM r
+"""
+
+
+@_q("quality_partition_skew", _PART_SKEW_SQL)
+def quality_partition_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-skew report over the monthly layout — the
+    table-maintenance health check run before choosing partition keys
+    (a max/mean ratio far above 10⁶ ppm means a hot partition will
+    straggle every downstream stage; the diagnosis side of
+    layout_compaction_plan's remediation): partition count, row
+    min/median/max, and max-over-mean in exact ppm
+    (``max·n_partitions·10⁶ ÷ total`` — cross-multiplied so the mean is
+    never a float).
+
+    Scale shape: the per-month rollup collapses map-side to |months|
+    rows; the median pick is a window over that BOUNDED table (the
+    post-aggregation device); the fold is one row."""
+    o = load_table(spark, sf_dir, "orders")
+    pm = o.groupBy(
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias("ym")
+    ).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("bytes_proxy_cents"),
+    )
+    from pyspark.sql.window import Window as W
+
+    r = pm.select(
+        "n_rows",
+        F.row_number().over(W.orderBy("n_rows", "ym")).alias("rn"),
+        F.count("*").over(W.partitionBy()).alias("np"),
+    )
+    return r.agg(
+        F.max("np").cast("long").alias("n_partitions"),
+        F.sum("n_rows").cast("long").alias("total_rows"),
+        F.min("n_rows").cast("long").alias("min_rows"),
+        F.max("n_rows").cast("long").alias("max_rows"),
+        (
+            F.sum(
+                F.when(F.col("rn") == F.expr("(np + 1) div 2"), F.col("n_rows"))
+                .otherwise(0)
+            )
+            + F.sum(
+                F.when(F.col("rn") == F.expr("(np + 2) div 2"), F.col("n_rows"))
+                .otherwise(0)
+            )
+        )
+        .cast("long")
+        .alias("median_x2_rows"),
+        F.expr("max(n_rows) * max(np) * 1000000 div sum(n_rows)")
+        .cast("long")
+        .alias("max_over_mean_ppm"),
+    )

@@ -2347,3 +2347,238 @@ def train_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- code-vs-prose detection ----------------------------------------------------
+
+_CODE_DETECT_SQL = r"""
+WITH f AS (
+  SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(length(text) - length(replace(text, '{', ''))
+              + length(text) - length(replace(text, '}', ''))
+              + length(text) - length(replace(text, ';', ''))
+              AS BIGINT) AS n_syntax,
+         CAST(length(text) - length(replace(text, '=', ''))
+              + length(text) - length(replace(text, '(', ''))
+              AS BIGINT) AS n_oper,
+         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                              x -> x IN ('def', 'return', 'import', 'const',
+                                         'var', 'function', 'class', 'void',
+                                         'int', 'if', 'else', 'for',
+                                         'while'))) AS BIGINT) AS n_kw,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+  FROM documents WHERE length(text) > 0
+)
+SELECT doc_id, lang, n_chars, n_syntax, n_oper, n_kw, n_tok,
+       CAST(n_syntax * 1000000 // n_chars AS BIGINT) AS syntax_ppm,
+       CAST(n_kw * 1000000 // n_tok AS BIGINT) AS kw_ppm,
+       (n_syntax * 200 >= n_chars OR n_kw * 20 >= n_tok) AS looks_like_code
+FROM f ORDER BY doc_id
+"""
+
+
+@_q("text_code_detect", _CODE_DETECT_SQL)
+def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose detection — the routing gate every mixed-crawl LLM
+    pipeline runs before language-specific filtering (code goes to the
+    code pipeline with its own quality rules; prose goes to Gopher/C4
+    gates): per document, syntax-character density ({{, }}, ;), operator
+    density (=, parenthesis), and a reserved-keyword token ratio, with
+    the decision rule as exact cross-multiplied integer comparisons
+    (``n_syntax·200 ≥ n_chars`` is "≥0.5% syntax chars" without a
+    float).
+
+    Counting idiom: per-character counts via length-difference after
+    ``replace`` — a pure string projection both engines evaluate
+    identically (no regex engine variance); keyword hits via exact
+    token membership on the whitespace split.
+
+    Scale shape: pure projection + per-row arithmetic — zero shuffles
+    except the output sort; the rule thresholds are compile-time
+    constants so the filter is codegen'd."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    n_chars = F.length("text").cast("long")
+    def _cnt(ch):
+        return F.length("text") - F.length(F.replace(F.col("text"), F.lit(ch)))
+    n_syntax = (_cnt("{") + _cnt("}") + _cnt(";")).cast("long")
+    n_oper = (_cnt("=") + _cnt("(")).cast("long")
+    kw = ["def", "return", "import", "const", "var", "function", "class",
+          "void", "int", "if", "else", "for", "while"]
+    toks = F.split(F.trim("text"), r"\s+")
+    kw_arr = F.array(*[F.lit(k) for k in kw])
+    n_kw = F.size(F.filter(toks, lambda x: F.array_contains(kw_arr, x))).cast("long")
+    n_tok = F.size(toks).cast("long")
+    f = docs.select(
+        "doc_id",
+        "lang",
+        n_chars.alias("n_chars"),
+        n_syntax.alias("n_syntax"),
+        n_oper.alias("n_oper"),
+        n_kw.alias("n_kw"),
+        n_tok.alias("n_tok"),
+    )
+    return f.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "n_syntax",
+        "n_oper",
+        "n_kw",
+        "n_tok",
+        F.expr("n_syntax * 1000000 div n_chars").cast("long").alias("syntax_ppm"),
+        F.expr("n_kw * 1000000 div n_tok").cast("long").alias("kw_ppm"),
+        (
+            (F.col("n_syntax") * 200 >= F.col("n_chars"))
+            | (F.col("n_kw") * 20 >= F.col("n_tok"))
+        ).alias("looks_like_code"),
+    ).orderBy("doc_id")
+
+
+# --- WebDataset-style tar shard index -------------------------------------------
+
+_WDS_DOCS_PER_SHARD = 50
+_TAR_BLOCK = 512
+
+_WDS_SQL = f"""
+WITH m AS (
+  SELECT doc_id, CAST(doc_id // {_WDS_DOCS_PER_SHARD} AS BIGINT) AS shard_id,
+         CAST(n_chars AS BIGINT) AS payload_bytes,
+         CAST({_TAR_BLOCK} + ((n_chars + {_TAR_BLOCK} - 1)
+              // {_TAR_BLOCK}) * {_TAR_BLOCK} AS BIGINT) AS member_bytes
+  FROM documents
+), off AS (
+  SELECT doc_id, shard_id, payload_bytes, member_bytes,
+         CAST(sum(member_bytes) OVER (PARTITION BY shard_id ORDER BY doc_id)
+              - member_bytes AS BIGINT) AS offset_bytes
+  FROM m
+)
+SELECT doc_id, shard_id, offset_bytes, payload_bytes, member_bytes,
+       CAST(offset_bytes + {_TAR_BLOCK} AS BIGINT) AS payload_offset
+FROM off ORDER BY doc_id
+"""
+
+
+@_q("train_webdataset_index", _WDS_SQL)
+def train_webdataset_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style tar shard index — the random-access manifest a
+    streaming training loader needs over tar-packed corpora (the
+    WebDataset/tarfile layout: each member is a {_TAR_BLOCK}-byte
+    header + payload zero-padded to the {_TAR_BLOCK} boundary): per
+    document, its shard, its exact byte offset within the shard, and
+    the payload offset the loader seeks to.
+
+    Exact-integer contract: tar geometry is pure integer arithmetic
+    (ceil-to-block via ``(n + 511) // 512 · 512``), and offsets are an
+    exclusive running sum over the shard — deterministic given the
+    doc_id order, bit-identical in both engines.
+
+    Scale shape: shard assignment is a projection; the running offset
+    is ONE window partitioned by shard_id (shards are the parallelism
+    unit by construction — {_WDS_DOCS_PER_SHARD} docs each, so per-task
+    state is bounded by the shard size, the text_sequence_packing
+    device)."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.select(
+        "doc_id",
+        F.expr(f"doc_id div {_WDS_DOCS_PER_SHARD}")
+        .cast("long")
+        .alias("shard_id"),
+        F.col("n_chars").cast("long").alias("payload_bytes"),
+        (
+            _TAR_BLOCK
+            + F.floor((F.col("n_chars") + _TAR_BLOCK - 1) / _TAR_BLOCK)
+            * _TAR_BLOCK
+        )
+        .cast("long")
+        .alias("member_bytes"),
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("shard_id").orderBy("doc_id")
+    off = m.select(
+        "doc_id",
+        "shard_id",
+        "payload_bytes",
+        "member_bytes",
+        (F.sum("member_bytes").over(w) - F.col("member_bytes"))
+        .cast("long")
+        .alias("offset_bytes"),
+    )
+    return off.select(
+        "doc_id",
+        "shard_id",
+        "offset_bytes",
+        "payload_bytes",
+        "member_bytes",
+        (F.col("offset_bytes") + _TAR_BLOCK).cast("long").alias("payload_offset"),
+    ).orderBy("doc_id")
+
+
+# --- language-ID confusion matrix ------------------------------------------------
+
+_LANG_CONF_SQL = """
+WITH scored AS (
+  SELECT doc_id, lang AS true_lang,
+         [
+           {'score': len(list_intersect(list_distinct(string_split_regex(lower(trim(text)), '\\s+')), ['der','die','und','das','ist'])), 'lang': 'de'},
+           {'score': len(list_intersect(list_distinct(string_split_regex(lower(trim(text)), '\\s+')), ['the','and','of','to','a'])), 'lang': 'en'},
+           {'score': len(list_intersect(list_distinct(string_split_regex(lower(trim(text)), '\\s+')), ['el','la','de','que','y'])), 'lang': 'es'},
+           {'score': len(list_intersect(list_distinct(string_split_regex(lower(trim(text)), '\\s+')), ['le','la','et','les','des'])), 'lang': 'fr'},
+           {'score': len(list_intersect(list_distinct(string_split_regex(lower(trim(text)), '\\s+')), ['的','是','在','了','和'])), 'lang': 'zh'}
+         ] AS scores
+  FROM documents
+), pred AS (
+  SELECT true_lang,
+         CASE WHEN list_max(scores).score > 0 THEN list_max(scores).lang
+              ELSE 'und' END AS pred_lang
+  FROM scored
+), cm AS (
+  SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+  FROM pred GROUP BY true_lang, pred_lang
+), tt AS (
+  SELECT true_lang, CAST(sum(n) AS BIGINT) AS n_true FROM cm GROUP BY true_lang
+)
+SELECT cm.true_lang, cm.pred_lang, cm.n, tt.n_true,
+       CAST(cm.n * 1000000 // tt.n_true AS BIGINT) AS row_share_ppm,
+       (cm.true_lang = cm.pred_lang) AS is_correct
+FROM cm JOIN tt ON tt.true_lang = cm.true_lang
+ORDER BY cm.true_lang, cm.pred_lang
+"""
+
+
+@_q("text_lang_id_confusion", _LANG_CONF_SQL)
+def text_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the n-gram-heuristic language identifier
+    against the labeled lang column — the eval harness that certifies
+    text_lang_id the way dedup_minhash_recall certifies the LSH pass
+    (measured quality, not asserted): one row per (true, predicted)
+    pair with the count and the row-normalized share in exact ppm.
+
+    The predictor is the SAME deterministic stopword scorer the
+    text_lang_id operator ships (max score with the array_max total
+    order on (score, lang) — a tie has one winner in both engines).
+
+    Scale shape: the per-doc prediction is a projection; the matrix is
+    one (true, pred) map-side-combined count over ≤(|langs|+1)² cells;
+    the row totals join on the tiny cell table."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = docs.select(
+        F.col("lang").alias("true_lang"),
+        lang_id(F.col("text")).alias("pred_lang"),
+    )
+    cm = pred.groupBy("true_lang", "pred_lang").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    tt = cm.groupBy("true_lang").agg(F.sum("n").cast("long").alias("n_true"))
+    return (
+        cm.join(tt, "true_lang")
+        .select(
+            "true_lang",
+            "pred_lang",
+            "n",
+            "n_true",
+            F.expr("n * 1000000 div n_true").cast("long").alias("row_share_ppm"),
+            (F.col("true_lang") == F.col("pred_lang")).alias("is_correct"),
+        )
+        .orderBy("true_lang", "pred_lang")
+    )

@@ -1444,3 +1444,79 @@ def test_gini_plan_shape(spark, sf_dir):
     specs = set(re.findall(r"windowspecdefinition\((\w+)#", plan))
     assert "rev_cents" not in specs, specs
     assert "partial_sum" in plan, plan
+
+
+def test_audience_overlap_plan_shape(spark, sf_dir):
+    """events_audience_overlap (r11m): the (user, type) distinct
+    collapses map-side (checkpoint-pinned); the intersection self-join
+    keys on user_id (hash join, bounded |types|^2 fan-out per user);
+    no window, no Python, no cartesian."""
+    plan = _plan(all_queries()["events_audience_overlap"](spark, sf_dir), "simple")
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+
+
+def test_slo_burn_plan_shape(spark, sf_dir):
+    """events_slo_burn_alerts (r11m): the hourly rollup
+    partial-aggregates map-side; the 6-hour ROWS frame runs on the
+    bounded |hours| table (post-aggregation window); burn comparisons
+    are cross-multiplied integers — no float division in the alert
+    path; no Python, no cartesian."""
+    plan = _plan(all_queries()["events_slo_burn_alerts"](spark, sf_dir), "simple")
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "partial_count" in plan, plan
+
+
+def test_code_detect_plan_shape(spark, sf_dir):
+    """text_code_detect (r11m): pure projection — no shuffle besides
+    the output sort: no join, no window, no aggregation above the scan,
+    no Python."""
+    plan = _plan(all_queries()["text_code_detect"](spark, sf_dir), "simple")
+    assert "EvalPython" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_webdataset_index_plan_shape(spark, sf_dir):
+    """train_webdataset_index (r11m): shard assignment is a projection;
+    the ONLY window is the shard_id-partitioned running offset (never a
+    global cumsum); no Python, no join."""
+    plan = _plan(all_queries()["train_webdataset_index"](spark, sf_dir), "simple")
+    assert "EvalPython" not in plan, plan
+    assert "Join" not in plan, plan
+    specs = set(re.findall(r"windowspecdefinition\((\w+)#", plan))
+    assert specs == {"shard_id"}, specs
+
+
+def test_brier_plan_shape(spark, sf_dir):
+    """ml_brier_score (r11n): pure projection + one global fold — no
+    join, no window, no Python; the sigmoid is integer rational (no
+    exp in the plan)."""
+    plan = _plan(all_queries()["ml_brier_score"](spark, sf_dir), "simple")
+    assert "EvalPython" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "EXP(" not in plan.upper(), plan
+
+
+def test_lang_confusion_plan_shape(spark, sf_dir):
+    """text_lang_id_confusion (r11n): per-doc prediction is a
+    projection; the matrix is one map-side-combined count over
+    bounded cells; no window, no Python, no cartesian."""
+    plan = _plan(all_queries()["text_lang_id_confusion"](spark, sf_dir), "simple")
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "partial_count" in plan, plan
+
+
+def test_partition_skew_plan_shape(spark, sf_dir):
+    """quality_partition_skew (r11n): the monthly rollup
+    partial-aggregates map-side BEFORE the bounded-|months| median
+    window (the post-aggregation device); no Python, no join."""
+    plan = _plan(all_queries()["quality_partition_skew"](spark, sf_dir), "simple")
+    assert "EvalPython" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "partial_count" in plan, plan
