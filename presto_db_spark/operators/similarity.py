@@ -2307,3 +2307,103 @@ def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+# --- Matryoshka prefix energy retention ----------------------------------------
+
+_MRL_KS = [8, 16, 32, 64]
+
+_MRL_ENERGY_BODY = """
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(1000 * CAST(x AS DOUBLE))
+                                              AS BIGINT)) AS q
+  FROM embeddings
+"""
+
+
+def _mrl_esq(k: int) -> str:
+    return (
+        f"CAST(list_sum(list_transform(q[1:{k}], x -> x * x)) AS BIGINT)"
+    )
+
+
+_MRL_ENERGY_SQL = f"""
+WITH q AS ({_MRL_ENERGY_BODY}
+), e AS (
+  SELECT vec_id,
+         {", ".join(f"{_mrl_esq(k)} AS e{k}" for k in _MRL_KS)}
+  FROM q
+), ratios AS (
+  SELECT vec_id, k, CAST(ek * 1000000 // e64 AS BIGINT) AS retained_ppm
+  FROM (
+    {" UNION ALL ".join(
+        f"SELECT vec_id, CAST({k} AS BIGINT) AS k, e{k} AS ek, e64 FROM e"
+        for k in _MRL_KS)}
+  ) WHERE e64 > 0
+)
+SELECT k, CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(retained_ppm) // count(*) AS BIGINT) AS mean_retained_ppm,
+       CAST(min(retained_ppm) AS BIGINT) AS min_retained_ppm,
+       CAST(max(retained_ppm) AS BIGINT) AS max_retained_ppm
+FROM ratios GROUP BY k ORDER BY k
+"""
+
+
+@_q("emb_mrl_energy_retention", _MRL_ENERGY_SQL)
+def emb_mrl_energy_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka prefix energy retention — the measurement that
+    justifies sim_mrl_prefix_rerank's coarse pass: per prefix length
+    k ∈ {8, 16, 32, 64}, what fraction of each vector's squared norm
+    the first k dims carry (this IS cos² between the vector and its
+    zero-padded prefix, the distortion the MRL paper trains to
+    front-load).  Reported as per-k mean/min/max in exact ppm — if the
+    mean at k=16 is high, the 4× cheaper coarse scan is safe; if the
+    MIN is low, some vectors need the full-width rerank (exactly the
+    two-stage design).
+
+    Exact-integer contract: elements quantize to round(1000x) BIGINTs
+    (round is correctly-rounded IEEE), prefix energies are integer
+    sums of squares, and every ratio is truncating-ppm — bit-identical
+    in both engines with no in-order float fold needed.
+
+    Scale shape: pure projection per vector (4 prefix energies from one
+    array pass) + a 4-group map-side-combined rollup — zero joins, zero
+    windows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.selectExpr(
+        "vec_id",
+        "transform(embedding, x -> CAST(round(1000 * CAST(x AS DOUBLE))"
+        " AS BIGINT)) AS q",
+    )
+    e = q.selectExpr(
+        "vec_id",
+        *[
+            f"CAST(aggregate(slice(q, 1, {k}), CAST(0 AS BIGINT),"
+            f" (s, x) -> s + x * x) AS BIGINT) AS e{k}"
+            for k in _MRL_KS
+        ],
+    )
+    parts = None
+    for k in _MRL_KS:
+        part = e.selectExpr(
+            "vec_id",
+            f"CAST({k} AS BIGINT) AS k",
+            f"e{k} AS ek",
+            "e64",
+        )
+        parts = part if parts is None else parts.unionByName(part)
+    ratios = parts.filter(F.col("e64") > 0).selectExpr(
+        "vec_id", "k", "CAST(ek * 1000000 div e64 AS BIGINT) AS retained_ppm"
+    )
+    return (
+        ratios.groupBy("k")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.expr("sum(retained_ppm) div count(*)")
+            .cast("long")
+            .alias("mean_retained_ppm"),
+            F.min("retained_ppm").cast("long").alias("min_retained_ppm"),
+            F.max("retained_ppm").cast("long").alias("max_retained_ppm"),
+        )
+        .orderBy("k")
+    )

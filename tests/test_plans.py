@@ -1520,3 +1520,14 @@ def test_partition_skew_plan_shape(spark, sf_dir):
     assert "EvalPython" not in plan, plan
     assert "Join" not in plan, plan
     assert "partial_count" in plan, plan
+
+
+def test_mrl_energy_plan_shape(spark, sf_dir):
+    """emb_mrl_energy_retention (r11o): pure projection (4 prefix
+    energies in one array pass) + a 4-group rollup — no join, no
+    window, no Python."""
+    plan = _plan(all_queries()["emb_mrl_energy_retention"](spark, sf_dir), "simple")
+    assert "EvalPython" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "partial_count" in plan, plan
