@@ -443,3 +443,156 @@ def sort_distributed_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rn")
     )
+
+
+# --- PIVOT / UNPIVOT / gaps-and-islands (r11p wave) --------------------------
+# Presto 0.236 has no PIVOT syntax (users write conditional aggregation —
+# the exact shape this oracle uses); Spark has the native relational
+# operator (`RelationalGroupedDataset.pivot`, lowered to a single
+# hash-aggregate over `CASE` projections — no extra shuffle vs the manual
+# form). UNPIVOT is `DataFrame.unpivot` (Expand node, zero shuffles).
+# Gaps-and-islands is the classic sequence analytic: runs of consecutive
+# keys found via the key-minus-row_number invariant, windowed PER GROUP
+# (never a single-partition window).
+
+_PIVOT_BRANDS = ["Brand#1", "Brand#2", "Brand#3", "Brand#4", "Brand#5"]
+
+_PIVOT_SQL = """
+WITH p AS (
+  SELECT p_size % 5 AS size_mod, p_brand,
+         CAST(round(p_retailprice * 100) AS BIGINT) AS c
+  FROM part
+  WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3', 'Brand#4', 'Brand#5')
+)
+SELECT CAST(size_mod AS BIGINT) AS size_mod,
+       CAST(sum(CASE WHEN p_brand = 'Brand#1' THEN c END) AS BIGINT) AS b1_cents,
+       CAST(sum(CASE WHEN p_brand = 'Brand#2' THEN c END) AS BIGINT) AS b2_cents,
+       CAST(sum(CASE WHEN p_brand = 'Brand#3' THEN c END) AS BIGINT) AS b3_cents,
+       CAST(sum(CASE WHEN p_brand = 'Brand#4' THEN c END) AS BIGINT) AS b4_cents,
+       CAST(sum(CASE WHEN p_brand = 'Brand#5' THEN c END) AS BIGINT) AS b5_cents
+FROM p GROUP BY size_mod ORDER BY size_mod
+"""
+
+
+@_q("part_pivot_wide", _PIVOT_SQL)
+def part_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native PIVOT: brand columns × size-bucket rows, sum of exact retail
+    cents per cell. The explicit values list keeps the plan single-pass
+    (no distinct-values pre-query) and the IN filter reaches the parquet
+    scan, so only the pivoted brands are ever read. One map-side-combined
+    hash aggregate — identical shuffle count to the conditional-CASE form
+    Presto users write (the oracle), with the operator surface Spark adds
+    on top."""
+    part = _t(spark, sf_dir, "part")[0]
+    wide = (
+        part.filter(F.col("p_brand").isin(_PIVOT_BRANDS))
+        .select(
+            (F.col("p_size") % 5).cast("bigint").alias("size_mod"),
+            "p_brand",
+            F.round(F.col("p_retailprice") * 100).cast("bigint").alias("c"),
+        )
+        .groupBy("size_mod")
+        .pivot("p_brand", _PIVOT_BRANDS)
+        .agg(F.sum("c"))
+    )
+    cols = [F.col("size_mod")] + [
+        F.col(f"`{b}`").cast("bigint").alias(f"b{i + 1}_cents")
+        for i, b in enumerate(_PIVOT_BRANDS)
+    ]
+    return wide.select(*cols).orderBy("size_mod")
+
+
+_UNPIVOT_SQL = """
+WITH wide AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+         CAST(sum(CASE WHEN event_type = 'purchase'
+                       THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+           AS spend_cents
+  FROM events GROUP BY user_id
+)
+SELECT user_id, metric, value FROM (
+  SELECT user_id, 'n_click' AS metric, n_click AS value FROM wide
+  UNION ALL SELECT user_id, 'n_view', n_view FROM wide
+  UNION ALL SELECT user_id, 'n_purchase', n_purchase FROM wide
+  UNION ALL SELECT user_id, 'spend_cents', spend_cents FROM wide
+) ORDER BY user_id, metric
+"""
+
+
+@_q("events_unpivot_metrics", _UNPIVOT_SQL)
+def events_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native UNPIVOT (wide metric columns → tidy long rows): one per-user
+    aggregate builds the wide frame, then ``DataFrame.unpivot`` lowers to
+    an Expand node — a 4× row multiplier with ZERO additional shuffles
+    (the oracle's UNION-ALL form re-reads the CTE four times in engines
+    without CTE materialization). The long layout is what metric stores /
+    feature pipelines ingest."""
+    from ..catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    wide = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint").alias("n_click"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("bigint").alias("n_view"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint").alias("n_purchase"),
+        F.sum(F.when(F.col("event_type") == "purchase", cents).otherwise(0))
+        .cast("bigint").alias("spend_cents"),
+    )
+    return wide.unpivot(
+        ["user_id"],
+        ["n_click", "n_view", "n_purchase", "spend_cents"],
+        "metric",
+        "value",
+    ).orderBy("user_id", "metric")
+
+
+_ISLANDS_SQL = """
+WITH s AS (
+  SELECT o_custkey, o_orderkey,
+         o_orderkey - row_number() OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderkey) AS grp
+  FROM orders
+)
+SELECT o_custkey,
+       CAST(min(o_orderkey) AS BIGINT) AS island_start,
+       CAST(max(o_orderkey) AS BIGINT) AS island_end,
+       CAST(count(*) AS BIGINT) AS island_len
+FROM s GROUP BY o_custkey, grp
+HAVING count(*) >= 2
+ORDER BY o_custkey, island_start
+"""
+
+
+@_q("win_gaps_islands", _ISLANDS_SQL)
+def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of CONSECUTIVE order keys held by
+    one customer, via the key-minus-row_number constant-per-run invariant.
+    The window partitions by o_custkey (bounded per-key width — never a
+    single-partition window), and the island fold is the same exchange's
+    groupBy, so the whole analytic is ONE shuffle on o_custkey. Scale:
+    per-customer order counts are bounded; skewed customers stay within
+    one partition's window sort."""
+    from pyspark.sql.window import Window as W
+
+    from ..catalog import load_table
+
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    w = W.partitionBy("o_custkey").orderBy("o_orderkey")
+    s = o.withColumn("grp", F.col("o_orderkey") - F.row_number().over(w))
+    return (
+        s.groupBy("o_custkey", "grp")
+        .agg(
+            F.min("o_orderkey").alias("island_start"),
+            F.max("o_orderkey").alias("island_end"),
+            F.count("*").alias("island_len"),
+        )
+        .filter(F.col("island_len") >= 2)
+        .select("o_custkey", "island_start", "island_end", "island_len")
+        .orderBy("o_custkey", "island_start")
+    )

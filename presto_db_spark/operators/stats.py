@@ -1,0 +1,548 @@
+"""Experiment-analysis statistics: Welch t-test, Mann-Whitney U, one-way
+ANOVA, model-calibration reliability, and the AMS F2 moment sketch.
+
+The reference exposes the building blocks (``variance``/``stddev`` in
+``pm/operator/aggregation/VarianceAggregation``-family,
+``StatisticalDigest``, ``wilson_interval_*`` in
+``presto-main/.../MathFunctions.java``) but no packaged hypothesis tests;
+these extend the r10 ``events_ab_chisq`` family with the three tests an
+experimentation platform runs beside the chi-square, following the same
+contract: experiment membership is a deterministic md5 bucket (identical
+at any partitioning and in both engines), every accumulated statistic is
+an EXACT INTEGER (cents, counts, sums of squares), and each significance
+flag is decided by integer cross-multiplication wherever 128-bit
+arithmetic can hold it — a float ulp can never flip a decision the two
+engines would disagree on. Displayed statistics (t, z, F) are a fixed
+IEEE expression tree over exactly-agreed integers, so both engines
+produce bit-identical doubles.
+
+Scale shape notes (100 TB):
+
+* every test folds events → per-user metrics with ONE map-side-combined
+  groupBy, then reduces to a handful of group accumulators — a global
+  aggregate of O(1) counters;
+* Mann-Whitney needs a global rank; it ranks the DISTINCT metric values
+  via ``distrank.global_index`` (range-partition + prefix-offset running
+  sum — never a single-partition window), so the ordered pass touches
+  |distinct values| ≤ |users| rows, already aggregated.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .events import CHI2_CRIT_E6
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name: {name}")
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+# chi-square df=2 critical value at alpha=0.05, e6 (for the ANOVA F with
+# df1=2 against the large-sample F(2, inf) = chi2(2)/2 limit).
+CHI2_DF2_CRIT_E6 = 5_991_465
+
+
+def _md5_bucket(prefix: str, col: str, ndigits: int) -> F.Column:
+    """First ``ndigits`` hex digits of md5(prefix || col) as a BIGINT —
+    the deterministic experiment-assignment hash (identical in DuckDB via
+    CAST('0x' || substr(md5(...), 1, n) AS INTEGER))."""
+    h = F.md5(F.concat(F.lit(prefix), F.col(col).cast("string")))
+    return F.conv(F.substring(h, 1, ndigits), 16, 10).cast("bigint")
+
+
+_SPEND_USERS_SQL = """
+  SELECT user_id,
+         CASE WHEN (CAST(('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 2))
+                    AS INTEGER) % 2) = 0 THEN 'A' ELSE 'B' END AS variant,
+         CAST(sum(CASE WHEN event_type = 'purchase'
+                       THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+           AS cents
+  FROM events GROUP BY 1, 2
+"""
+
+
+def _spend_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user purchase spend in exact cents + md5 variant (same 'ab:'
+    split as events_ab_chisq — one experiment, several readouts)."""
+    ev = load_table(spark, sf_dir, "events")
+    variant = F.when(_md5_bucket("ab:", "user_id", 2) % 2 == 0, "A").otherwise("B")
+    cents = F.when(
+        F.col("event_type") == "purchase",
+        F.round(F.col("value") * 100).cast("bigint"),
+    ).otherwise(F.lit(0))
+    return ev.groupBy("user_id", variant.alias("variant")).agg(
+        F.sum(cents).cast("bigint").alias("cents")
+    )
+
+
+# --- Welch's t-test ----------------------------------------------------------
+
+_WELCH_SQL = f"""
+WITH users AS ({_SPEND_USERS_SQL}
+), g AS (
+  SELECT
+    CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+    CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+    CAST(sum(CASE WHEN variant = 'A' THEN cents ELSE 0 END) AS BIGINT) AS sa,
+    CAST(sum(CASE WHEN variant = 'B' THEN cents ELSE 0 END) AS BIGINT) AS sb,
+    CAST(sum(CASE WHEN variant = 'A' THEN cents * cents ELSE 0 END) AS BIGINT) AS qa,
+    CAST(sum(CASE WHEN variant = 'B' THEN cents * cents ELSE 0 END) AS BIGINT) AS qb
+  FROM users
+), s AS (
+  SELECT na, nb, sa, sb,
+         sa * nb - sb * na AS dd,
+         na * qa - sa * sa AS van,
+         nb * qb - sb * sb AS vbn
+  FROM g
+), x AS (
+  SELECT na, nb, sa, sb, dd, van, vbn,
+    CAST(dd AS DECIMAL(38, 0)) * CAST(dd AS DECIMAL(38, 0))
+      * CAST((na - 1) * (nb - 1) AS DECIMAL(38, 0)) * 1000000 AS lhs,
+    CAST({CHI2_CRIT_E6} AS DECIMAL(38, 0))
+      * (CAST(van AS DECIMAL(38, 0)) * CAST(nb * nb * (nb - 1) AS DECIMAL(38, 0))
+         + CAST(vbn AS DECIMAL(38, 0)) * CAST(na * na * (na - 1) AS DECIMAL(38, 0)))
+      AS rhs
+  FROM s
+)
+SELECT na AS n_a, nb AS n_b,
+       CAST(sa * 100 // na AS BIGINT) AS mean_a_centi,
+       CAST(sb * 100 // nb AS BIGINT) AS mean_b_centi,
+       CASE WHEN na < 2 OR nb < 2 OR van + vbn = 0 THEN 0.0
+            ELSE round(
+              (CAST(dd AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))
+              / sqrt(
+                  CAST(van AS DOUBLE)
+                    / (CAST(na AS DOUBLE) * CAST(na AS DOUBLE) * CAST(na - 1 AS DOUBLE))
+                  + CAST(vbn AS DOUBLE)
+                    / (CAST(nb AS DOUBLE) * CAST(nb AS DOUBLE) * CAST(nb - 1 AS DOUBLE))
+                ), 4) END AS t_stat,
+       (na > 1 AND nb > 1 AND
+        CASE WHEN rhs = 0 THEN dd <> 0 ELSE lhs > rhs END) AS significant
+FROM x
+"""
+
+
+@_q("events_ab_welch_ttest", _WELCH_SQL)
+def events_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test on per-user spend (cents). The
+    decision is EXACT-INTEGER: with D = sa*nb - sb*na and the variance
+    numerators v_i = n_i*q_i - s_i^2, the condition t^2 > z_crit^2
+    cross-multiplies to D^2 (na-1)(nb-1) 1e6 > crit_e6 * (va*nb^2(nb-1) +
+    vb*na^2(na-1)) in DECIMAL(38,0) — exact through roughly sf 1 (the
+    128-bit bound; the margin at that scale is many orders of magnitude,
+    and the displayed t is the same IEEE expression in both engines).
+    Large-sample critical value (z 1.96, df -> inf): per-variant user
+    counts at any production scale put the t and z quantiles within 1e-4.
+    Scale: one groupBy(user) fold + one global 6-counter aggregate."""
+    users = _spend_users(spark, sf_dir)
+    a = F.col("variant") == "A"
+    g = users.agg(
+        F.sum(F.when(a, 1).otherwise(0)).cast("long").alias("na"),
+        F.sum(F.when(~a, 1).otherwise(0)).cast("long").alias("nb"),
+        F.sum(F.when(a, F.col("cents")).otherwise(0)).cast("long").alias("sa"),
+        F.sum(F.when(~a, F.col("cents")).otherwise(0)).cast("long").alias("sb"),
+        F.sum(F.when(a, F.col("cents") * F.col("cents")).otherwise(0))
+        .cast("long").alias("qa"),
+        F.sum(F.when(~a, F.col("cents") * F.col("cents")).otherwise(0))
+        .cast("long").alias("qb"),
+    )
+    s = g.select(
+        "*",
+        F.expr("sa * nb - sb * na").alias("dd"),
+        F.expr("na * qa - sa * sa").alias("van"),
+        F.expr("nb * qb - sb * sb").alias("vbn"),
+    )
+    x = s.select(
+        "*",
+        F.expr(
+            "CAST(dd AS DECIMAL(38,0)) * CAST(dd AS DECIMAL(38,0))"
+            " * CAST((na - 1) * (nb - 1) AS DECIMAL(38,0)) * 1000000"
+        ).alias("lhs"),
+        F.expr(
+            f"CAST({CHI2_CRIT_E6} AS DECIMAL(38,0))"
+            " * (CAST(van AS DECIMAL(38,0)) * CAST(nb * nb * (nb - 1) AS DECIMAL(38,0))"
+            "    + CAST(vbn AS DECIMAL(38,0)) * CAST(na * na * (na - 1) AS DECIMAL(38,0)))"
+        ).alias("rhs"),
+    )
+    return x.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.expr("sa * 100 div na").cast("bigint").alias("mean_a_centi"),
+        F.expr("sb * 100 div nb").cast("bigint").alias("mean_b_centi"),
+        F.expr(
+            "CASE WHEN na < 2 OR nb < 2 OR van + vbn = 0 THEN 0.0"
+            " ELSE round("
+            "   (CAST(dd AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))"
+            "   / sqrt("
+            "       CAST(van AS DOUBLE)"
+            "         / (CAST(na AS DOUBLE) * CAST(na AS DOUBLE) * CAST(na - 1 AS DOUBLE))"
+            "       + CAST(vbn AS DOUBLE)"
+            "         / (CAST(nb AS DOUBLE) * CAST(nb AS DOUBLE) * CAST(nb - 1 AS DOUBLE))"
+            "     ), 4) END"
+        ).alias("t_stat"),
+        F.expr(
+            "na > 1 AND nb > 1 AND"
+            " CASE WHEN rhs = 0 THEN dd <> 0 ELSE lhs > rhs END"
+        ).alias("significant"),
+    )
+
+
+# --- Mann-Whitney U (rank-sum, tie-corrected) --------------------------------
+
+_MW_SQL = f"""
+WITH users AS ({_SPEND_USERS_SQL}
+), byval AS (
+  SELECT cents, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a
+  FROM users GROUP BY cents
+), ranked AS (
+  SELECT cents, cnt, cnt_a,
+         CAST(coalesce(sum(cnt) OVER (ORDER BY cents
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_before
+  FROM byval
+), g AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n,
+         CAST(sum(cnt_a) AS BIGINT) AS na,
+         CAST(sum(cnt_a * (2 * cum_before + cnt + 1)) AS BIGINT) AS r2a,
+         CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS ties
+  FROM ranked
+), s AS (
+  SELECT n, na, n - na AS nb, r2a,
+         r2a - na * (na + 1) - na * (n - na) AS d,
+         n * n * n - n - ties AS tt
+  FROM g
+)
+SELECT na AS n_a, nb AS n_b,
+       CAST(r2a - na * (na + 1) AS BIGINT) AS u1_times2,
+       CASE WHEN na = 0 OR nb = 0 OR tt = 0 THEN 0.0
+            ELSE round(CAST(d AS DOUBLE)
+                 / sqrt(CAST(na * nb AS DOUBLE) * CAST(tt AS DOUBLE)
+                        / (3.0 * CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))), 4)
+            END AS z_stat,
+       (na > 0 AND nb > 0 AND tt > 0 AND
+        CAST(d AS DECIMAL(38, 0)) * CAST(d AS DECIMAL(38, 0))
+          * CAST(3 * n * (n - 1) AS DECIMAL(38, 0)) * 1000000
+        > CAST({CHI2_CRIT_E6} AS DECIMAL(38, 0))
+          * CAST(na * nb AS DECIMAL(38, 0)) * CAST(tt AS DECIMAL(38, 0)))
+         AS significant
+FROM s
+"""
+
+
+@_q("events_ab_mann_whitney", _MW_SQL)
+def events_ab_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test (tie-corrected normal approximation)
+    on per-user spend. Average ranks over tie groups are kept EXACT by
+    doubling: 2*avgrank = 2*cum_before + cnt + 1, so the rank sum R2a =
+    sum(cnt_a * (2 cum_before + cnt + 1)) and d = 2U1 - na*nb are
+    integers, and the tie-corrected decision z^2 > crit cross-multiplies
+    to 3 d^2 N(N-1) 1e6 > crit_e6 * na*nb*(N^3 - N - ties) — all
+    128-bit-exact well past sf 10.
+
+    Scale: the ordered pass runs over DISTINCT cents values (already one
+    groupBy down from users), and the running count comes from
+    ``distrank.global_index``'s range-partition + prefix-offset sum —
+    there is NO single-partition window anywhere in the plan."""
+    from .distrank import global_index
+
+    users = _spend_users(spark, sf_dir)
+    byval = users.groupBy("cents").agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum(F.when(F.col("variant") == "A", 1).otherwise(0))
+        .cast("long").alias("cnt_a"),
+    )
+    ranked = global_index(byval, ["cents"], sum_col="cnt").select(
+        "cents", "cnt", "cnt_a",
+        (F.col("__csum") - F.col("cnt")).cast("long").alias("cum_before"),
+    )
+    g = ranked.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum("cnt_a").cast("long").alias("na"),
+        F.sum(
+            F.col("cnt_a") * (2 * F.col("cum_before") + F.col("cnt") + 1)
+        ).cast("long").alias("r2a"),
+        F.sum(
+            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        ).cast("long").alias("ties"),
+    )
+    s = g.select(
+        "*",
+        F.expr("n - na").alias("nb"),
+        F.expr("r2a - na * (na + 1) - na * (n - na)").alias("d"),
+        F.expr("n * n * n - n - ties").alias("tt"),
+    )
+    return s.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.expr("r2a - na * (na + 1)").cast("bigint").alias("u1_times2"),
+        F.expr(
+            "CASE WHEN na = 0 OR nb = 0 OR tt = 0 THEN 0.0"
+            " ELSE round(CAST(d AS DOUBLE)"
+            "      / sqrt(CAST(na * nb AS DOUBLE) * CAST(tt AS DOUBLE)"
+            "             / (3.0 * CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))), 4)"
+            " END"
+        ).alias("z_stat"),
+        F.expr(
+            "na > 0 AND nb > 0 AND tt > 0 AND"
+            " CAST(d AS DECIMAL(38,0)) * CAST(d AS DECIMAL(38,0))"
+            "   * CAST(3 * n * (n - 1) AS DECIMAL(38,0)) * 1000000"
+            f" > CAST({CHI2_CRIT_E6} AS DECIMAL(38,0))"
+            "   * CAST(na * nb AS DECIMAL(38,0)) * CAST(tt AS DECIMAL(38,0))"
+        ).alias("significant"),
+    )
+
+
+# --- one-way ANOVA (3 md5 variants) ------------------------------------------
+
+_ANOVA_USERS_SQL = """
+  SELECT user_id,
+         CAST(('0x' || substr(md5('ab3:' || CAST(user_id AS VARCHAR)), 1, 2))
+              AS INTEGER) % 3 AS variant,
+         CAST(sum(CASE WHEN event_type = 'purchase'
+                       THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+           AS cents
+  FROM events GROUP BY 1, 2
+"""
+
+_ANOVA_SQL = f"""
+WITH users AS ({_ANOVA_USERS_SQL}
+), g AS (
+  SELECT
+    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+    CAST(sum(CASE WHEN variant = 2 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+    CAST(sum(CASE WHEN variant = 0 THEN cents ELSE 0 END) AS BIGINT) AS sa,
+    CAST(sum(CASE WHEN variant = 1 THEN cents ELSE 0 END) AS BIGINT) AS sb,
+    CAST(sum(CASE WHEN variant = 2 THEN cents ELSE 0 END) AS BIGINT) AS sc,
+    CAST(sum(cents * cents) AS BIGINT) AS q
+  FROM users
+), d AS (
+  SELECT na, nb, nc, na + nb + nc AS n,
+         sa + sb + sc AS s, q,
+         CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+           + CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)
+           + CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE) AS sg
+  FROM g
+), f AS (
+  SELECT na, nb, nc, n,
+         sg - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS ssb,
+         CAST(q AS DOUBLE) - sg AS ssw
+  FROM d
+)
+SELECT na AS n_a, nb AS n_b, nc AS n_c,
+       round(ssb, 2) AS ssb, round(ssw, 2) AS ssw,
+       CASE WHEN n < 4 OR ssw <= 0.0 THEN 0.0
+            ELSE round((ssb / 2.0) / (ssw / CAST(n - 3 AS DOUBLE)), 4) END AS f_stat,
+       (n > 3 AND ssw > 0.0 AND
+        (ssb / 2.0) / (ssw / CAST(n - 3 AS DOUBLE))
+          > {CHI2_DF2_CRIT_E6} / 2.0e6) AS significant
+FROM f
+"""
+
+
+@_q("events_ab_anova", _ANOVA_SQL)
+def events_ab_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA across THREE md5 variants ('ab3:' split, mod 3) on
+    per-user spend. All accumulators (n_i, s_i, sum of squares) are exact
+    integers; SSB/SSW/F are then ONE fixed IEEE expression tree over
+    those integers, so both engines produce bit-identical doubles and the
+    F > F_crit(2, inf) = chi2_crit(2)/2 comparison cannot diverge. (The
+    three-group cross-multiplied exact form needs ~2^140 at target SF —
+    past 128-bit — which is why this test, unlike Welch/MW, documents the
+    deterministic-double decision instead.) Scale: one groupBy(user) fold
+    + one 7-counter global aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    variant = (_md5_bucket("ab3:", "user_id", 2) % 3).cast("int")
+    cents = F.when(
+        F.col("event_type") == "purchase",
+        F.round(F.col("value") * 100).cast("bigint"),
+    ).otherwise(F.lit(0))
+    users = ev.groupBy("user_id", variant.alias("variant")).agg(
+        F.sum(cents).cast("bigint").alias("cents")
+    )
+    g = users.agg(
+        *[
+            F.sum(F.when(F.col("variant") == i, 1).otherwise(0))
+            .cast("long").alias(n)
+            for i, n in ((0, "na"), (1, "nb"), (2, "nc"))
+        ],
+        *[
+            F.sum(F.when(F.col("variant") == i, F.col("cents")).otherwise(0))
+            .cast("long").alias(n)
+            for i, n in ((0, "sa"), (1, "sb"), (2, "sc"))
+        ],
+        F.sum(F.col("cents") * F.col("cents")).cast("long").alias("q"),
+    )
+    d = g.select(
+        "na", "nb", "nc",
+        F.expr("na + nb + nc").alias("n"),
+        F.expr("sa + sb + sc").alias("s"),
+        "q",
+        F.expr(
+            "CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)"
+            " + CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)"
+            " + CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE)"
+        ).alias("sg"),
+    )
+    f = d.select(
+        "na", "nb", "nc", "n",
+        F.expr(
+            "sg - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)"
+        ).alias("ssb"),
+        F.expr("CAST(q AS DOUBLE) - sg").alias("ssw"),
+    )
+    return f.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.col("nc").alias("n_c"),
+        F.round("ssb", 2).alias("ssb"),
+        F.round("ssw", 2).alias("ssw"),
+        F.expr(
+            "CASE WHEN n < 4 OR ssw <= 0.0 THEN 0.0"
+            " ELSE round((ssb / 2.0) / (ssw / CAST(n - 3 AS DOUBLE)), 4) END"
+        ).alias("f_stat"),
+        F.expr(
+            "n > 3 AND ssw > 0.0 AND"
+            " (ssb / 2.0) / (ssw / CAST(n - 3 AS DOUBLE))"
+            f" > {CHI2_DF2_CRIT_E6} / 2.0e6"
+        ).alias("significant"),
+    )
+
+
+# --- calibration reliability (binned predicted vs observed) ------------------
+
+_CALIB_SQL = """
+WITH users AS (
+  SELECT user_id,
+         CAST(('0x' || substr(md5('cal:' || CAST(user_id AS VARCHAR)), 1, 5))
+              AS INTEGER) % 1000000 AS pred_ppm,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY 1, 2
+)
+SELECT CAST(pred_ppm // 100000 AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(pred_ppm) // count(*) AS BIGINT) AS mean_pred_ppm,
+       CAST(sum(converted) * 1000000 // count(*) AS BIGINT) AS obs_ppm,
+       CAST(abs(sum(pred_ppm) // count(*)
+                - sum(converted) * 1000000 // count(*)) AS BIGINT) AS gap_ppm
+FROM users GROUP BY 1 ORDER BY bin
+"""
+
+
+@_q("ml_calibration_reliability", _CALIB_SQL)
+def ml_calibration_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram (model calibration): a deterministic md5 score
+    in ppm stands in for a model's predicted conversion probability, the
+    observed rate is the user's actual purchase conversion, and each
+    decile bin reports mean-predicted vs observed ppm plus the exact
+    integer gap — the per-bin table an ECE/calibration monitor ingests
+    (complements the r11i/j ROC-AUC, PR-curve and Brier entries). Scale:
+    one groupBy(user) fold + one 10-bin groupBy. No floats anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    pred = (_md5_bucket("cal:", "user_id", 5) % 1000000).alias("pred_ppm")
+    users = ev.groupBy("user_id", pred).agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    )
+    return (
+        users.groupBy(
+            F.expr("pred_ppm div 100000").cast("bigint").alias("bin")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.expr("sum(pred_ppm) div count(*)").cast("bigint")
+            .alias("mean_pred_ppm"),
+            F.expr("sum(converted) * 1000000 div count(*)").cast("bigint")
+            .alias("obs_ppm"),
+            F.expr(
+                "abs(sum(pred_ppm) div count(*)"
+                " - sum(converted) * 1000000 div count(*))"
+            ).cast("bigint").alias("gap_ppm"),
+        )
+        .orderBy("bin")
+    )
+
+
+# --- AMS F2 moment sketch ----------------------------------------------------
+
+# 8 independent +/-1 hash estimators; the sign hash is explicit integer
+# arithmetic ((u*2654435761 + j*40503) mod 2^31-1 mod 2) so both engines
+# agree bit-for-bit. Alon-Matias-Szegedy 1996: E[(sum_u f_u s_j(u))^2]=F2.
+_AMS_K = 8
+_AMS_SIGN = "(1 - 2 * (((user_id * 2654435761 + {j} * 40503) % 2147483647) % 2))"
+
+_AMS_SQL = f"""
+WITH sk AS (
+  SELECT t.j AS estimator,
+         CAST(sum({_AMS_SIGN.format(j='t.j')}) AS BIGINT) AS x_sum
+  FROM events, range(0, {_AMS_K}) t(j)
+  GROUP BY t.j
+), exact AS (
+  SELECT CAST(sum(f * f) AS BIGINT) AS f2
+  FROM (SELECT count(*) AS f FROM events GROUP BY user_id)
+)
+SELECT CAST(estimator AS BIGINT) AS estimator, x_sum,
+       CAST(x_sum * x_sum AS BIGINT) AS estimate, f2 AS exact_f2,
+       CAST(abs(x_sum * x_sum - f2) * 1000000 // f2 AS BIGINT) AS err_ppm
+FROM sk, exact
+ORDER BY estimator
+"""
+
+
+@_q("sketch_ams_f2", _AMS_SQL)
+def sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS (tug-of-war) sketch for the second frequency moment F2 =
+    sum_u f_u^2 of the per-user event counts: 8 +/-1-hash estimators,
+    each a single signed counter, squared. The sketch side never builds
+    the frequency vector — it is 8 sum expressions in ONE map-side-
+    combined global aggregate over raw events (mergeable across any
+    partitioning; this is the property that makes it a 100 TB sketch).
+    The exact F2 (oracle anchor + reported error) is one groupBy(user).
+    Sign hashes are explicit integer arithmetic — identical in both
+    engines — so estimates match bit-for-bit, and the measured err_ppm
+    is REPORTED, not asserted."""
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    sign_sums = ev.agg(
+        *[
+            F.expr(f"sum({_AMS_SIGN.format(j=j)})").cast("long").alias(f"x{j}")
+            for j in range(_AMS_K)
+        ]
+    )
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("f"))
+        .agg(F.sum(F.col("f") * F.col("f")).cast("long").alias("f2"))
+    )
+    wide = sign_sums.crossJoin(exact)
+    est = wide.select(
+        F.posexplode(F.array(*[F.col(f"x{j}") for j in range(_AMS_K)])).alias(
+            "estimator", "x_sum"
+        ),
+        "f2",
+    )
+    return est.select(
+        F.col("estimator").cast("bigint").alias("estimator"),
+        F.col("x_sum").cast("long").alias("x_sum"),
+        (F.col("x_sum") * F.col("x_sum")).cast("long").alias("estimate"),
+        F.col("f2").alias("exact_f2"),
+        F.expr("abs(x_sum * x_sum - f2) * 1000000 div f2").cast("bigint")
+        .alias("err_ppm"),
+    ).orderBy("estimator")

@@ -38,6 +38,7 @@ _MODULES: list[str] = [
     "presto_db_spark.operators.functions_corpus2",
     "presto_db_spark.operators.functions_corpus3",
     "presto_db_spark.operators.events",
+    "presto_db_spark.operators.stats",
     "presto_db_spark.operators.timetypes",
     "presto_db_spark.operators.text",
     "presto_db_spark.operators.dedup",
