@@ -944,3 +944,228 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST((n * sxy - s1 * s1) * 1000000 div (n * s2 - s1 * s1) AS BIGINT)"
         " AS assortativity_ppm",
     )
+
+
+# --- HITS hubs & authorities (r11p wave) -------------------------------------
+# Kleinberg 1999 on the supplier→part bipartite digraph (suppliers are
+# hubs, parts authorities). Determinism follows the rank_pagerank recipe:
+# scores are fixed-point integers, each half-step is an int64 sum-groupBy
+# over the edge list, and normalization is an exact floor-division by the
+# current global max (a 1-row broadcast) instead of an L2 norm — any
+# fixed positive scalar preserves the ordering HITS is used for, and the
+# integers are bit-identical at any partitioning and in both engines.
+
+HITS_SCALE = 10**6
+
+
+def _hits_max_norm(cte: str, col: str) -> str:
+    return (
+        f"SELECT {{key}}, CAST({col} * {HITS_SCALE} // "
+        f"(SELECT max({col}) FROM {cte}) AS BIGINT) AS {col} FROM {cte}"
+    )
+
+
+_HITS_SQL = f"""
+WITH e AS (
+  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS s, CAST(l_partkey AS BIGINT) AS p
+  FROM lineitem
+), a1 AS (
+  SELECT p, CAST(count(*) * {HITS_SCALE} AS BIGINT) AS auth FROM e GROUP BY p
+), a1n AS ({_hits_max_norm("a1", "auth").format(key="p")}
+), h1 AS (
+  SELECT s, CAST(sum(a.auth) AS BIGINT) AS hub
+  FROM e JOIN a1n a ON a.p = e.p GROUP BY s
+), h1n AS ({_hits_max_norm("h1", "hub").format(key="s")}
+), a2 AS (
+  SELECT p, CAST(sum(h.hub) AS BIGINT) AS auth
+  FROM e JOIN h1n h ON h.s = e.s GROUP BY p
+), a2n AS ({_hits_max_norm("a2", "auth").format(key="p")}
+), h2 AS (
+  SELECT s, CAST(sum(a.auth) AS BIGINT) AS hub
+  FROM e JOIN a2n a ON a.p = e.p GROUP BY s
+), h2n AS ({_hits_max_norm("h2", "hub").format(key="s")}
+)
+SELECT kind, node_id, score_e6 FROM (
+  SELECT 'auth' AS kind, p AS node_id, auth AS score_e6 FROM a2n
+  UNION ALL
+  SELECT 'hub', s, hub FROM h2n
+) ORDER BY kind, node_id
+"""
+
+
+@_q("graph_hits", _HITS_SQL)
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hub/authority scores, two full mutual-reinforcement rounds on
+    the supplier→part digraph. Each half-step is ONE hash equi-join
+    (edges ⋈ current scores) + ONE sum-groupBy; max-normalization is a
+    single-row broadcast crossJoin — no driver-side state, no floats,
+    no convergence probe (fixed sweep, like rank_pagerank's Jacobi).
+    Oracle: the same four half-steps unrolled as chained CTEs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    e = (
+        li.select(
+            F.col("l_suppkey").cast("long").alias("s"),
+            F.col("l_partkey").cast("long").alias("p"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def norm(df: DataFrame, key: str, col: str) -> DataFrame:
+        mx = df.agg(F.max(col).alias("__mx"))
+        return df.crossJoin(F.broadcast(mx)).select(
+            key,
+            F.expr(f"CAST({col} * {HITS_SCALE} div __mx AS BIGINT)").alias(col),
+        )
+
+    a1 = e.groupBy("p").agg(
+        (F.count("*") * HITS_SCALE).cast("long").alias("auth")
+    )
+    a1n = norm(a1, "p", "auth")
+    h1 = (
+        e.join(a1n, "p")
+        .groupBy("s")
+        .agg(F.sum("auth").cast("long").alias("hub"))
+    )
+    h1n = norm(h1, "s", "hub")
+    a2 = (
+        e.join(h1n, "s")
+        .groupBy("p")
+        .agg(F.sum("hub").cast("long").alias("auth"))
+    )
+    a2n = norm(a2, "p", "auth")
+    h2 = (
+        e.join(a2n, "p")
+        .groupBy("s")
+        .agg(F.sum("auth").cast("long").alias("hub"))
+    )
+    h2n = norm(h2, "s", "hub")
+    out = a2n.select(
+        F.lit("auth").alias("kind"),
+        F.col("p").alias("node_id"),
+        F.col("auth").alias("score_e6"),
+    ).unionByName(
+        h2n.select(
+            F.lit("hub").alias("kind"),
+            F.col("s").alias("node_id"),
+            F.col("hub").alias("score_e6"),
+        )
+    )
+    return out.orderBy("kind", "node_id")
+
+
+# --- local clustering coefficient (r11p wave) --------------------------------
+
+_CLUSTCOEF_SQL = f"""
+WITH edges AS ({_EDGES_SQL}
+), deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT x AS node FROM edges UNION ALL SELECT y AS node FROM edges
+  ) GROUP BY node
+), ord AS (
+  SELECT node, {_ORD} AS ok FROM deg
+), oriented AS (
+  SELECT CASE WHEN ox.ok < oy.ok THEN e.x ELSE e.y END AS src,
+         CASE WHEN ox.ok < oy.ok THEN e.y ELSE e.x END AS dst
+  FROM edges e
+  JOIN ord ox ON ox.node = e.x
+  JOIN ord oy ON oy.node = e.y
+), tri AS (
+  SELECT w1.src AS a, w1.dst AS b, w2.dst AS c
+  FROM oriented w1
+  JOIN oriented w2 ON w2.src = w1.src AND w2.dst <> w1.dst
+  JOIN oriented e3 ON e3.src = w1.dst AND e3.dst = w2.dst
+), pertri AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY node
+)
+SELECT d.node AS node_id, d.deg,
+       CAST(coalesce(t.triangles, 0) AS BIGINT) AS triangles,
+       CAST(2 * coalesce(t.triangles, 0) * 1000000
+            // (d.deg * (d.deg - 1)) AS BIGINT) AS cc_ppm
+FROM deg d LEFT JOIN pertri t ON t.node = d.node
+WHERE d.deg >= 2
+ORDER BY node_id
+"""
+
+
+@_q("graph_clustering_coeff", _CLUSTCOEF_SQL)
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node: cc(v) = 2·tri(v) /
+    (deg(v)·(deg(v)−1)) in exact integer ppm. Per-vertex triangle counts
+    come from the SAME degree-oriented forward enumeration as
+    graph_triangle_count — each triangle found once, then credited to its
+    three corners with a 3× explode + sum-groupBy (no per-vertex wedge
+    recount, so the O(sqrt(m)) out-degree bound still caps the join
+    fan-out). Output is every node of degree ≥ 2 — row count scales with
+    |V|, never |V|²."""
+    edges = _edges(spark, sf_dir).localCheckpoint(eager=False)
+    deg = (
+        edges.select(F.col("x").alias("node"))
+        .unionAll(edges.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("deg"))
+        .localCheckpoint(eager=False)
+    )
+    ordk = deg.select("node", F.expr(_ORD).alias("ok"))
+    oriented = (
+        edges.join(
+            ordk.withColumnRenamed("node", "x").withColumnRenamed("ok", "okx"),
+            "x",
+        )
+        .join(
+            ordk.withColumnRenamed("node", "y").withColumnRenamed("ok", "oky"),
+            "y",
+        )
+        .select(
+            F.when(F.col("okx") < F.col("oky"), F.col("x"))
+            .otherwise(F.col("y"))
+            .alias("src"),
+            F.when(F.col("okx") < F.col("oky"), F.col("y"))
+            .otherwise(F.col("x"))
+            .alias("dst"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    w1, w2, e3 = oriented.alias("w1"), oriented.alias("w2"), oriented.alias("e3")
+    tri = (
+        w1.join(
+            w2,
+            (F.col("w2.src") == F.col("w1.src"))
+            & (F.col("w2.dst") != F.col("w1.dst")),
+        )
+        .join(
+            e3,
+            (F.col("e3.src") == F.col("w1.dst"))
+            & (F.col("e3.dst") == F.col("w2.dst")),
+        )
+        .select(
+            F.col("w1.src").alias("a"),
+            F.col("w1.dst").alias("b"),
+            F.col("w2.dst").alias("c"),
+        )
+    )
+    pertri = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("triangles"))
+    )
+    return (
+        deg.filter(F.col("deg") >= 2)
+        .join(pertri, "node", "left")
+        .select(
+            F.col("node").alias("node_id"),
+            "deg",
+            F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+            F.expr(
+                "CAST(2 * coalesce(triangles, 0) * 1000000"
+                " div (deg * (deg - 1)) AS BIGINT)"
+            ).alias("cc_ppm"),
+        )
+        .orderBy("node_id")
+    )

@@ -1472,3 +1472,126 @@ def ml_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("brier_micro"),
     )
+
+
+# --- grouped multiple regression (2 features + intercept, r11p wave) ---------
+# The d>1 generalization ml_linear_regression's docstring promises: the
+# 3x3 Gram matrix [[n,a,b],[a,c,d],[b,d,e]] from d(d+1)/2 + d + 1 = 8
+# sufficient-statistic sums in ONE aggregation pass, solved by Cramer's
+# rule with every determinant an EXACT 128-bit integer. Features:
+# x1 = l_quantity, x2 = discount cents; target y = extendedprice cents.
+
+_MREG_STATS = """
+  SELECT l_returnflag AS grp,
+         CAST(count(*) AS {big}) AS n,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS {big}) AS a,
+         CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS {big}) AS b,
+         CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+              AS {big}) AS c,
+         CAST(sum(CAST(l_quantity AS BIGINT)
+                  * CAST(round(l_discount * 100) AS BIGINT)) AS {big}) AS d,
+         CAST(sum(CAST(round(l_discount * 100) AS BIGINT)
+                  * CAST(round(l_discount * 100) AS BIGINT)) AS {big}) AS e,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS {big}) AS sy,
+         CAST(sum(CAST(l_quantity AS BIGINT)
+                  * CAST(round(l_extendedprice * 100) AS BIGINT)) AS {big}) AS s1y,
+         CAST(sum(CAST(round(l_discount * 100) AS BIGINT)
+                  * CAST(round(l_extendedprice * 100) AS BIGINT)) AS {big}) AS s2y
+  FROM lineitem GROUP BY l_returnflag
+"""
+
+# Cramer determinants over the symmetric normal matrix — shared text for
+# both engines (wide integer type differs: HUGEINT vs DECIMAL(38,0)).
+_MREG_DETS = """
+         n * (c * e - d * d) - a * (a * e - b * d) + b * (a * d - b * c)
+           AS det_a,
+         sy * (c * e - d * d) - a * (s1y * e - d * s2y)
+           + b * (s1y * d - c * s2y) AS det_0,
+         n * (s1y * e - d * s2y) - sy * (a * e - b * d)
+           + b * (a * s2y - b * s1y) AS det_1,
+         n * (c * s2y - d * s1y) - a * (a * s2y - b * s1y)
+           + sy * (a * d - b * c) AS det_2
+"""
+
+_MREG_SQL = f"""
+WITH s AS ({_MREG_STATS.format(big="HUGEINT")}
+), dets AS (
+  SELECT grp, n,
+{_MREG_DETS}
+  FROM s
+)
+SELECT grp, CAST(n AS BIGINT) AS n,
+       CAST({_OLS_TDIV.format(num="det_0 * 1000000", den="det_a", div="//")}
+            AS BIGINT) AS intercept_micros,
+       CAST({_OLS_TDIV.format(num="det_1 * 1000000", den="det_a", div="//")}
+            AS BIGINT) AS beta_qty_micros,
+       CAST({_OLS_TDIV.format(num="det_2 * 1000000", den="det_a", div="//")}
+            AS BIGINT) AS beta_disc_micros
+FROM dets ORDER BY grp
+"""
+
+
+@_q("ml_multiple_regression", _MREG_SQL)
+def ml_multiple_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped MULTIPLE regression (price ~ quantity + discount +
+    intercept), one model per l_returnflag, via the exact normal
+    equations: eight integer sufficient statistics in one map-side-
+    combined pass, then Cramer's rule on the 3x3 Gram matrix with every
+    determinant computed in DECIMAL(38,0) (oracle: HUGEINT) and folded
+    to micros by the sign-safe truncating division ml_linear_regression
+    uses. Coefficients are bit-identical at any partitioning/engine;
+    the 128-bit margin holds through ~sf 1 (det numerators reach ~2e37
+    at sf 1 — same documented envelope as the single-feature op).
+    Scale: ONE data pass; the solve is O(1) per group."""
+    li = _t(spark, sf_dir, "lineitem")[0]
+    dec = "decimal(38,0)"
+    q = F.col("l_quantity").cast("long")
+    disc = F.round(F.col("l_discount") * 100).cast("long")
+    y = F.round(F.col("l_extendedprice") * 100).cast("long")
+    s = li.select(
+        F.col("l_returnflag").alias("grp"),
+        q.alias("x1"), disc.alias("x2"), y.alias("yy"),
+    ).groupBy("grp").agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum("x1").cast(dec).alias("a"),
+        F.sum("x2").cast(dec).alias("b"),
+        F.sum(F.col("x1") * F.col("x1")).cast(dec).alias("c"),
+        F.sum(F.col("x1") * F.col("x2")).cast(dec).alias("d"),
+        F.sum(F.col("x2") * F.col("x2")).cast(dec).alias("e"),
+        F.sum("yy").cast(dec).alias("sy"),
+        F.sum(F.col("x1") * F.col("yy")).cast(dec).alias("s1y"),
+        F.sum(F.col("x2") * F.col("yy")).cast(dec).alias("s2y"),
+    )
+    dets = s.select(
+        "grp", "n",
+        *[
+            F.expr(expr_txt.strip().rstrip(",").replace("\n", " ")).alias(name)
+            for name, expr_txt in (
+                ("det_a",
+                 "n * (c * e - d * d) - a * (a * e - b * d)"
+                 " + b * (a * d - b * c)"),
+                ("det_0",
+                 "sy * (c * e - d * d) - a * (s1y * e - d * s2y)"
+                 " + b * (s1y * d - c * s2y)"),
+                ("det_1",
+                 "n * (s1y * e - d * s2y) - sy * (a * e - b * d)"
+                 " + b * (a * s2y - b * s1y)"),
+                ("det_2",
+                 "n * (c * s2y - d * s1y) - a * (a * s2y - b * s1y)"
+                 " + sy * (a * d - b * c)"),
+            )
+        ],
+    )
+    return dets.select(
+        "grp",
+        F.col("n").cast("long").alias("n"),
+        F.expr(
+            _OLS_TDIV.format(num="det_0 * 1000000", den="det_a", div="div")
+        ).cast("long").alias("intercept_micros"),
+        F.expr(
+            _OLS_TDIV.format(num="det_1 * 1000000", den="det_a", div="div")
+        ).cast("long").alias("beta_qty_micros"),
+        F.expr(
+            _OLS_TDIV.format(num="det_2 * 1000000", den="det_a", div="div")
+        ).cast("long").alias("beta_disc_micros"),
+    ).orderBy("grp")

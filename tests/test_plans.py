@@ -1531,3 +1531,135 @@ def test_mrl_energy_plan_shape(spark, sf_dir):
     assert "windowspecdefinition" not in plan, plan
     assert "Join" not in plan, plan
     assert "partial_count" in plan, plan
+
+
+def test_pivot_plan_shape(spark, sf_dir):
+    """part_pivot_wide (r11p): the explicit values list keeps pivot a
+    single two-phase hash aggregate (no distinct-values pre-pass, no
+    join), and the brand IN filter reaches the parquet scan with only
+    the three referenced columns read."""
+    df = all_queries()["part_pivot_wide"](spark, sf_dir)
+    plan = _plan(df)
+    assert re.search(r"PushedFilters:.*In\(p_brand", plan), plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"p_brand", "p_size", "p_retailprice"}, cols
+    simple = _plan(df, "simple")
+    assert "Join" not in simple, simple
+    assert "EvalPython" not in simple, simple
+    assert "partial_sum" in simple, simple
+
+
+def test_unpivot_plan_shape(spark, sf_dir):
+    """events_unpivot_metrics (r11p): DataFrame.unpivot lowers to an
+    Expand over the aggregated wide frame — the 4x long layout costs
+    ZERO additional shuffles (one user_id exchange total), no join, no
+    window, no Python."""
+    df = all_queries()["events_unpivot_metrics"](spark, sf_dir)
+    plan = _plan(df, "simple")
+    assert "Expand" in plan, plan
+    assert "Join" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_gaps_islands_plan_shape(spark, sf_dir):
+    """win_gaps_islands (r11p): the run-detection window partitions by
+    o_custkey (NEVER SinglePartition), and the island fold reuses the
+    same exchange — exactly one hash exchange in the whole plan."""
+    df = all_queries()["win_gaps_islands"](spark, sf_dir)
+    plan = _plan(df, "simple")
+    assert "windowspecdefinition" in plan, plan
+    assert not re.search(r"Exchange SinglePartition[^\n]*\n[\s:+-]*Window", plan), plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_welch_ttest_plan_shape(spark, sf_dir):
+    """events_ab_welch_ttest (r11q): per-user fold + one 6-counter
+    global aggregate — no join, no window, no Python; the decision is
+    decimal cross-multiplication (no sqrt on the decision path — the
+    lone sqrt is the display-only t)."""
+    plan = _plan(all_queries()["events_ab_welch_ttest"](spark, sf_dir), "simple")
+    assert "Join" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "partial_sum" in plan, plan
+
+
+def test_mann_whitney_plan_shape(spark, sf_dir):
+    """events_ab_mann_whitney (r11q): the rank pass runs over DISTINCT
+    metric values through distrank.global_index — range partition +
+    prefix-offset join, NO single-partition window anywhere; no
+    cartesian join; no Python."""
+    plan = _plan(all_queries()["events_ab_mann_whitney"](spark, sf_dir), "simple")
+    assert not re.search(r"Exchange SinglePartition[^\n]*\n[\s:+-]*Window", plan), plan
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_anova_plan_shape(spark, sf_dir):
+    """events_ab_anova (r11q): per-user fold + one 7-counter global
+    aggregate — no join, no window, no Python."""
+    plan = _plan(all_queries()["events_ab_anova"](spark, sf_dir), "simple")
+    assert "Join" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "partial_sum" in plan, plan
+
+
+def test_calibration_plan_shape(spark, sf_dir):
+    """ml_calibration_reliability (r11q): per-user fold + 10-bin
+    groupBy — no join, no window, no Python, two-phase aggregation."""
+    plan = _plan(all_queries()["ml_calibration_reliability"](spark, sf_dir), "simple")
+    assert "Join" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "partial_count" in plan, plan
+
+
+def test_ams_f2_plan_shape(spark, sf_dir):
+    """sketch_ams_f2 (r11q): the 8 sign-counters accumulate in ONE
+    map-side-combined global aggregate over raw events (the mergeable-
+    sketch property); the only join is the 1-row × 1-row broadcast
+    nested loop stitching sketch to exact anchor — never a fact-sized
+    cartesian; no window, no Python."""
+    plan = _plan(all_queries()["sketch_ams_f2"](spark, sf_dir), "simple")
+    assert "windowspecdefinition" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "partial_sum" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_hits_plan_shape(spark, sf_dir):
+    """graph_hits (r11r): four half-steps = four hash equi-joins on
+    node keys + sum-groupBys; max-normalization is a broadcast 1-row
+    crossJoin (BroadcastNestedLoopJoin) — no non-broadcast cartesian,
+    no window, no Python."""
+    plan = _plan(all_queries()["graph_hits"](spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_clustering_coeff_plan_shape(spark, sf_dir):
+    """graph_clustering_coeff (r11r): same oriented wedge enumeration
+    as triangle count (equi-joins only — no cartesian), per-vertex
+    credit is a 3x union + sum-groupBy; no window, no Python."""
+    plan = _plan(all_queries()["graph_clustering_coeff"](spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "partial_count" in plan, plan
+
+
+def test_multiple_regression_plan_shape(spark, sf_dir):
+    """ml_multiple_regression (r11s): eight sufficient statistics in
+    ONE two-phase aggregation pass; Cramer solve is a projection — no
+    join, no window, no Python."""
+    plan = _plan(all_queries()["ml_multiple_regression"](spark, sf_dir), "simple")
+    assert "Join" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "partial_sum" in plan, plan
