@@ -596,3 +596,46 @@ def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey", "island_start", "island_end", "island_len")
         .orderBy("o_custkey", "island_start")
     )
+
+
+# --- correlated LATERAL subquery (r11t wave) ---------------------------------
+# Presto grammar exposes correlated subqueries that its planner rewrites
+# through TransformCorrelated*/LateralJoin nodes
+# (pm/sql/planner/iterative/rule/TransformCorrelatedScalarSubquery.java);
+# Spark's SQL surface is the explicit `, LATERAL (...)` join (decorrelated
+# by DecorrelateInnerQuery + RewriteLateralSubquery). The per-group
+# ORDER BY ... LIMIT k body is the acid test: the decorrelated plan must
+# become a partitioned window-group-limit, never an N×M nested loop.
+
+_LATERAL_SQL = """
+SELECT c.c_custkey, t.o_orderkey, t.price_cents
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+  FROM orders o WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+) t
+WHERE c.c_mktsegment = 'BUILDING'
+ORDER BY c.c_custkey, t.price_cents DESC, t.o_orderkey
+"""
+
+
+@_q("subq_lateral_topn", _LATERAL_SQL)
+def subq_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-group ORDER BY + LIMIT (each
+    BUILDING customer's two priciest orders), written as literal LATERAL
+    SQL in BOTH engines. Spark DECORRELATES it: a row_number window
+    partitioned by o_custkey + rn <= 2 filter, then ONE broadcast hash
+    equi-join against the filtered customers — never a per-row nested
+    re-execution of the subquery (the gate asserts no nested-loop join).
+    The planner additionally materializes the lateral body's ORDER BY as
+    a range sort to pin per-group row order before the rank; the
+    hand-written DataFrame twin (win_topn_per_group) skips that extra
+    exchange — the documented cost of the declarative surface. Total
+    order inside the body (price DESC, orderkey) keeps the picked rows
+    identical across engines."""
+    from ..catalog import load_table
+
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_LATERAL_SQL)

@@ -1512,3 +1512,81 @@ def streaming_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.withColumn("rk", F.row_number().over(wr).cast("int"))
         .filter(F.col("rk") <= _DECAY_TOPK)
     )
+
+
+# --- streaming AMS F2 sketch (8 signed GroupState counters) ------------------
+
+from ..operators.stats import _AMS_K, _AMS_SIGN, _AMS_SQL as _BATCH_AMS_SQL  # noqa: E402
+
+
+@_q("streaming_ams_f2", _BATCH_AMS_SQL)
+def streaming_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of ``sketch_ams_f2`` — the tug-of-war F2 sketch as
+    an ingestion-time accumulator: events arrive in microbatches, each
+    row adds its ±1 sign to one of 8 estimator counters, and the WHOLE
+    state is 8 BIGINTs regardless of stream length (the mergeable-sketch
+    property, streamed). Sign addition is associative/commutative, so
+    the stream-built counters are bit-identical to the batch aggregate
+    and the oracle is the BATCH AMS SQL itself (the streaming_count_min
+    device). The exact-F2 anchor (reported error, not asserted) is the
+    same batch groupBy the batch op uses, fed from the settled table."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    from ..catalog import load_table
+
+    stream = events_stream(spark, sf_dir)
+    signed = stream.select(
+        F.explode(F.sequence(F.lit(0), F.lit(_AMS_K - 1))).alias("j"),
+        F.col("user_id"),
+    ).select(
+        F.col("j").cast("int").alias("j"),
+        F.expr(_AMS_SIGN.format(j="j")).cast("long").alias("sign"),
+    )
+
+    out_schema = StructType(
+        [
+            StructField("j", IntegerType()),
+            StructField("x_sum", LongType()),
+            StructField("nb", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("s", LongType()), StructField("nb", LongType())]
+    )
+
+    # The signed counter is NOT monotone (signs go both ways), so unlike
+    # streaming_count_min a max() over per-batch snapshots is wrong; the
+    # state carries a per-key batch counter, which IS monotone, and the
+    # settled value is the snapshot with the highest batch count.
+    def update(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        (s, nb) = state.get if state.exists else (0, 0)
+        for pdf in pdf_iter:
+            s += int(pdf["sign"].sum())
+        nb += 1
+        state.update((s, nb))
+        yield pd.DataFrame({"j": [key[0]], "x_sum": [s], "nb": [nb]})
+
+    res = signed.groupBy("j").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    raw = _run_to_completion(res, "stream_ams", "update")
+    x = raw.groupBy("j").agg(F.max_by("x_sum", "nb").alias("x_sum"))
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("f"))
+        .agg(F.sum(F.col("f") * F.col("f")).cast("long").alias("f2"))
+    )
+    wide = x.crossJoin(F.broadcast(exact))
+    return wide.select(
+        F.col("j").cast("bigint").alias("estimator"),
+        F.col("x_sum").cast("long").alias("x_sum"),
+        (F.col("x_sum") * F.col("x_sum")).cast("long").alias("estimate"),
+        F.col("f2").alias("exact_f2"),
+        F.expr("abs(x_sum * x_sum - f2) * 1000000 div f2").cast("bigint")
+        .alias("err_ppm"),
+    ).orderBy("estimator")

@@ -1663,3 +1663,17 @@ def test_multiple_regression_plan_shape(spark, sf_dir):
     assert "windowspecdefinition" not in plan, plan
     assert "EvalPython" not in plan, plan
     assert "partial_sum" in plan, plan
+
+
+def test_lateral_topn_plan_shape(spark, sf_dir):
+    """subq_lateral_topn (r11t): the correlated LATERAL body must be
+    DECORRELATED — a row_number window partitioned by o_custkey plus a
+    broadcast hash equi-join, never a nested-loop per-customer
+    re-execution and never a single-partition window."""
+    df = all_queries()["subq_lateral_topn"](spark, sf_dir)
+    plan = _plan(df, "simple")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert re.search(r"windowspecdefinition\(o_custkey", plan), plan
+    assert not re.search(r"Exchange SinglePartition[^\n]*\n[\s:+-]*Window", plan), plan
+    assert "BroadcastHashJoin" in plan, plan
