@@ -176,3 +176,132 @@ def test_tar_member_geometry(sizes):
         payload_offset = off + 512
         assert payload_offset % 512 == 0 or off % 512 != 0
         off += member
+
+
+# --- Welch cross-multiplied decision (events_ab_welch_ttest, r11q) -----------
+
+@given(
+    xs=st.lists(st.integers(min_value=0, max_value=10**6), min_size=2, max_size=40),
+    ys=st.lists(st.integers(min_value=0, max_value=10**6), min_size=2, max_size=40),
+)
+def test_welch_cross_multiplication_matches_rational(xs, ys):
+    na, nb = len(xs), len(ys)
+    sa, sb = sum(xs), sum(ys)
+    qa, qb = sum(x * x for x in xs), sum(y * y for y in ys)
+    dd = sa * nb - sb * na
+    van, vbn = na * qa - sa * sa, nb * qb - sb * sb
+    lhs = dd * dd * (na - 1) * (nb - 1) * 10**6
+    rhs = 3_841_459 * (van * nb * nb * (nb - 1) + vbn * na * na * (na - 1))
+    # rational ground truth: t^2 = (m1-m2)^2 / (v1/n1 + v2/n2)
+    m = Fraction(sa, na) - Fraction(sb, nb)
+    vterm = Fraction(van, na * na * (na - 1)) + Fraction(vbn, nb * nb * (nb - 1))
+    if vterm == 0:
+        assert rhs == 0
+        return
+    t2 = m * m / vterm
+    assert (lhs > rhs) == (t2 > Fraction(3_841_459, 10**6))
+
+
+# --- tie-corrected Mann-Whitney decision (events_ab_mann_whitney, r11q) ------
+
+@given(
+    data=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=12), st.booleans()),
+        min_size=2, max_size=60,
+    )
+)
+def test_mann_whitney_tie_corrected_identity(data):
+    if not any(a for _, a in data) or all(a for _, a in data):
+        return
+    n = len(data)
+    na = sum(1 for _, a in data if a)
+    # grouped fold: per distinct value, counts and cum_before
+    vals = sorted({v for v, _ in data})
+    r2a = 0
+    ties = 0
+    cum = 0
+    for v in vals:
+        cnt = sum(1 for x, _ in data if x == v)
+        cnt_a = sum(1 for x, a in data if x == v and a)
+        r2a += cnt_a * (2 * cum + cnt + 1)
+        ties += cnt**3 - cnt
+        cum += cnt
+    # brute-force doubled rank sum with average ranks over ties
+    by_val = sorted(range(n), key=lambda i: data[i][0])
+    r2a_brute = 0
+    i = 0
+    while i < n:
+        j = i
+        while j < n and data[by_val[j]][0] == data[by_val[i]][0]:
+            j += 1
+        avg2 = (i + 1) + j  # 2*average of ranks i+1..j
+        for k in range(i, j):
+            if data[by_val[k]][1]:
+                r2a_brute += avg2
+        i = j
+    assert r2a == r2a_brute
+    d = r2a - na * (na + 1) - na * (n - na)
+    tt = n**3 - n - ties
+    if tt == 0:
+        return
+    z2 = Fraction(3 * d * d * n * (n - 1), na * (n - na) * tt)
+    lhs = 3 * d * d * n * (n - 1) * 10**6
+    rhs = 3_841_459 * na * (n - na) * tt
+    assert (lhs > rhs) == (z2 > Fraction(3_841_459, 10**6))
+
+
+# --- Cramer 3x3 normal equations (ml_multiple_regression, r11s) --------------
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50),
+            st.integers(min_value=0, max_value=10),
+            st.integers(min_value=0, max_value=10**6),
+        ),
+        min_size=4, max_size=40,
+    )
+)
+def test_cramer_3x3_solves_normal_equations(rows):
+    n = len(rows)
+    a = sum(x1 for x1, _, _ in rows)
+    b = sum(x2 for _, x2, _ in rows)
+    c = sum(x1 * x1 for x1, _, _ in rows)
+    d = sum(x1 * x2 for x1, x2, _ in rows)
+    e = sum(x2 * x2 for _, x2, _ in rows)
+    sy = sum(y for _, _, y in rows)
+    s1y = sum(x1 * y for x1, _, y in rows)
+    s2y = sum(x2 * y for _, x2, y in rows)
+    det_a = n * (c * e - d * d) - a * (a * e - b * d) + b * (a * d - b * c)
+    det_0 = sy * (c * e - d * d) - a * (s1y * e - d * s2y) + b * (s1y * d - c * s2y)
+    det_1 = n * (s1y * e - d * s2y) - sy * (a * e - b * d) + b * (a * s2y - b * s1y)
+    det_2 = n * (c * s2y - d * s1y) - a * (a * s2y - b * s1y) + sy * (a * d - b * c)
+    if det_a == 0:
+        return  # singular (collinear features) — the op reports via TDIV guard
+    b0, b1, b2 = (Fraction(x, det_a) for x in (det_0, det_1, det_2))
+    # the solution must satisfy the normal equations A·beta = rhs exactly
+    assert n * b0 + a * b1 + b * b2 == sy
+    assert a * b0 + c * b1 + d * b2 == s1y
+    assert b * b0 + d * b1 + e * b2 == s2y
+
+
+# --- gaps-and-islands run invariant (win_gaps_islands, r11p) -----------------
+
+@given(
+    keys=st.sets(st.integers(min_value=0, max_value=200), min_size=1, max_size=60)
+)
+def test_islands_key_minus_rank_invariant(keys):
+    ordered = sorted(keys)
+    grp = [k - (i + 1) for i, k in enumerate(ordered)]
+    # constant within each maximal consecutive run, strictly increasing across runs
+    runs = []
+    for k, g in zip(ordered, grp):
+        if runs and runs[-1][1] == g:
+            runs[-1][0].append(k)
+        else:
+            runs.append(([k], g))
+    for ks, _ in runs:
+        assert all(b - a == 1 for a, b in zip(ks, ks[1:]))
+    for (ks1, g1), (ks2, g2) in zip(runs, runs[1:]):
+        assert ks2[0] - ks1[-1] > 1  # maximality: runs are separated by a gap
+        assert g2 > g1
