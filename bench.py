@@ -425,6 +425,7 @@ _SOLO_PINS = {
     "graph_bfs_distances": 2.64,  # r11d quiet-box solo (after the distinct-baskets support rewrite)
     "dedup_cluster_bigstar": 2.53,  # r11h quiet-box solo
     "graph_modularity": 2.64,  # r11j quiet-box solo
+    "graph_hits": 4.14,  # r11r BENCH_ONLY solo median (prewarm 2 / runs 6)
 }
 
 HEADLINE = CORE17 + [
@@ -484,6 +485,11 @@ HEADLINE = CORE17 + [
     # composite).
     "dedup_cluster_bigstar",
     "graph_modularity",
+    # r11r: HITS is the join-bound power-iteration shape (4 edge⋈score
+    # half-steps — alternating join keys, so no co-partitioning rescue),
+    # the heaviest fixed-sweep graph composite; its recorded time is the
+    # floor the iterative-join family pays per round.
+    "graph_hits",
 ]
 
 # Local-iteration escape hatch: BENCH_ONLY=a,b,c restricts the suite to a

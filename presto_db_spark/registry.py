@@ -125,10 +125,16 @@ _BATTERY_HEAD: list[str] = [
     # func_json rotated out r10 for tpcds_q39_2 — the JSON surface stays
     # head-covered via events_json_props_rollup's full-sweep twin and the
     # corpus tests)
+    # (r11p/t final rotation: tpcds_q39_2 → events_ab_mann_whitney — the
+    # tie-corrected rank-sum test with its distrank global_index rank
+    # pass is the strongest new stats shape, and TPC-DS keeps five head
+    # slots; agg_mad → subq_lateral_topn — the correlated LATERAL
+    # decorrelation surface joins the battery the round it shipped; both
+    # displaced entries stay green in CORRECTNESS_FULL every round)
     # (r11: func_decimal → agg_mad — the exact-integer robust-stats agg;
     # decimal semantics stay head-covered via the TPC-H money spine and
     # func_decimal stays green in CORRECTNESS_FULL)
-    "func_datetime", "tpcds_q39_2", "agg_mad",
+    "func_datetime", "events_ab_mann_whitney", "subq_lateral_topn",
     # LLM-pipeline extension operators (r06: cross-doc substring spans +
     # SemDeDup; r07: sequence packing + BM25 lexical retrieval rotate in
     # for text_fingerprint / sim_ann_lsh; r07 second wave rotates
