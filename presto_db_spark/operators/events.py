@@ -3061,3 +3061,208 @@ def events_slo_burn_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("e6") * 1000000 > F.col("t6") * _SLO_BUDGET_PPM * _SLO_SLOW_BURN)
         ).alias("page_alert"),
     ).orderBy("h")
+
+
+# --- Holt-Winters additive seasonal smoothing (r11u wave) --------------------
+# Completes the exact-dyadic forecasting trio (events_ses_forecast,
+# events_holt_linear): triple exponential smoothing with period m=4
+# (6-hour intraday slots), alpha = beta = gamma = 1/2, over each type's
+# most recent 12 slot observations (3 full seasons). Scaling the state
+# by 4^j per step keeps the COUPLED level/trend/seasonal recurrence in
+# BIGINTs; seasonal slots update every m steps, so each slot's scale is
+# a STATIC power of four known at unroll time.
+#
+# The two engines derive the result INDEPENDENTLY (the bigstar-CC
+# pattern): the oracle runs the recurrence step by step as 8 chained
+# CTEs, while the Spark side exploits linearity — every final state is
+# an integer linear combination of x_1..x_12 whose coefficient vectors
+# are computed exactly in Python at import time and folded as ONE
+# conditional-CASE aggregate (zero joins, zero windows past the tail
+# pick). Agreement is equality of two different algorithms.
+
+_HW_M = 4          # season length (6-hour slots per day)
+_HW_T = 12         # observations smoothed (3 full seasons)
+_HW_DEN = 4 ** (_HW_T - 3)   # final L/B scale: 4^9
+_HW_S1_MULT = 64   # 4^9 / 4^6 — slot-1 seasonal scale deficit at forecast
+
+
+def _hw_step_consts(t: int) -> tuple[int, int, int]:
+    """(cx, c, slot0) for step t in 5..12: L' = cx*x - c*s_slot + 2L + 2B;
+    the seasonal slot read/written is (t-1) mod 4 (0-based)."""
+    q = 4 ** (t - 4)
+    cx = 2 * q
+    c = cx // 4 if t <= 2 * _HW_M else cx // (4 ** (t - 7))
+    return cx, c, (t - 1) % _HW_M
+
+
+def _hw_coefs() -> tuple[list[int], list[int], list[list[int]]]:
+    """Exact integer coefficient vectors (length 12) for the final
+    scaled states L', B', s'_1..s'_4 — the recurrence run symbolically."""
+    def vec(i=None):
+        return [1 if j == i else 0 for j in range(_HW_T)]
+
+    def lin(*pairs):
+        out = [0] * _HW_T
+        for k, v in pairs:
+            for j in range(_HW_T):
+                out[j] += k * v[j]
+        return out
+
+    L = lin((1, vec(0)), (1, vec(1)), (1, vec(2)), (1, vec(3)))
+    B = [0] * _HW_T
+    s = [lin((4, vec(i)), (-1, L)) for i in range(_HW_M)]
+    for t in range(5, _HW_T + 1):
+        cx, c, slot = _hw_step_consts(t)
+        x = vec(t - 1)
+        L_new = lin((cx, x), (-c, s[slot]), (2, L), (2, B))
+        assert all(v % 2 == 0 for v in L_new)
+        half = [v // 2 for v in L_new]
+        B = lin((1, half), (-2, L), (2, B))
+        s[slot] = lin((cx, x), (-1, half), (c, s[slot]))
+        L = L_new
+    return L, B, s
+
+
+_HW_L, _HW_B, _HW_S = _hw_coefs()
+
+
+def _hw_case(coefs: list[int]) -> str:
+    """SUM(cents * CASE i ...) folding one coefficient vector."""
+    arms = " ".join(
+        f"WHEN {i + 1} THEN {k}" for i, k in enumerate(coefs) if k != 0
+    ) or "WHEN 0 THEN 0"
+    return f"sum(cents * (CASE i {arms} ELSE 0 END))"
+
+
+_HW_TDIV = (
+    "CASE WHEN ({num}) >= 0 THEN ({num}) {div} {den} "
+    "ELSE -((-({num})) {div} {den}) END"
+)
+
+
+def _hw_oracle_sql() -> str:
+    steps = []
+    for t in range(5, _HW_T + 1):
+        cx, c, slot = _hw_step_consts(t)
+        sl = f"s{slot + 1}"
+        lnew = f"({cx} * k.cents - {c} * p.{sl} + 2 * p.L + 2 * p.B)"
+        scols = ", ".join(
+            f"{cx} * k.cents - {lnew} // 2 + {c} * p.{sl} AS s{i + 1}"
+            if i == slot else f"p.s{i + 1} AS s{i + 1}"
+            for i in range(_HW_M)
+        )
+        steps.append(
+            f"""h{t} AS (
+  SELECT p.event_type, {lnew} AS L,
+         {lnew} // 2 - 2 * p.L + 2 * p.B AS B,
+         {scols}
+  FROM h{t - 1} p JOIN kept k ON k.event_type = p.event_type AND k.i = {t}
+)"""
+        )
+    fnum = f"L + B + {_HW_S1_MULT} * s1"
+    return f"""
+WITH s AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(extract(hour FROM ts) // 6 AS INTEGER) AS slot,
+         CAST(sum(round(value * 100)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2, 3
+), tail AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY d DESC, slot DESC) AS rd
+  FROM s
+), kept AS (
+  SELECT event_type, cents, {_HW_T + 1} - rd AS i
+  FROM tail WHERE rd <= {_HW_T}
+), full_types AS (
+  SELECT event_type FROM kept GROUP BY event_type HAVING count(*) = {_HW_T}
+), h4 AS (
+  SELECT k.event_type,
+         sum(CASE WHEN i <= 4 THEN cents ELSE 0 END) AS L,
+         CAST(0 AS BIGINT) AS B,
+         4 * sum(CASE WHEN i = 1 THEN cents ELSE 0 END)
+           - sum(CASE WHEN i <= 4 THEN cents ELSE 0 END) AS s1,
+         4 * sum(CASE WHEN i = 2 THEN cents ELSE 0 END)
+           - sum(CASE WHEN i <= 4 THEN cents ELSE 0 END) AS s2,
+         4 * sum(CASE WHEN i = 3 THEN cents ELSE 0 END)
+           - sum(CASE WHEN i <= 4 THEN cents ELSE 0 END) AS s3,
+         4 * sum(CASE WHEN i = 4 THEN cents ELSE 0 END)
+           - sum(CASE WHEN i <= 4 THEN cents ELSE 0 END) AS s4
+  FROM kept k JOIN full_types f ON f.event_type = k.event_type
+  GROUP BY k.event_type
+), {", ".join(steps)}
+SELECT event_type,
+       CAST({_HW_T} AS BIGINT) AS n_obs,
+       CAST({_HW_TDIV.format(num="L", den=_HW_DEN, div="//")} AS BIGINT)
+         AS level_cents,
+       CAST({_HW_TDIV.format(num="B * 1000", den=_HW_DEN, div="//")} AS BIGINT)
+         AS trend_millicents,
+       CAST({_HW_TDIV.format(num=fnum, den=_HW_DEN, div="//")} AS BIGINT)
+         AS forecast_cents
+FROM h{_HW_T} ORDER BY event_type
+"""
+
+
+@_q("events_holt_winters", _hw_oracle_sql())
+def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters additive seasonal smoothing (alpha=beta=gamma=1/2,
+    period 4 six-hour slots) of each type's slot-revenue series, with
+    the one-step-ahead forecast L + B + S_(next slot).
+
+    Exact-dyadic contract, third rung: scaling by 4^step keeps level,
+    trend AND the four seasonal slots in BIGINTs — a seasonal slot
+    updates exactly every 4 steps, so its scale is a static power of
+    four and every cross-scale coefficient (2q/q_s) is a power of two
+    known at unroll time. Types lacking a full 12-observation tail are
+    excluded (both engines' HAVING count = 12 — no freeze path, unlike
+    events_holt_linear, because frozen steps would make the seasonal
+    scales data-dependent).
+
+    Two INDEPENDENT derivations (the dedup_cluster_bigstar device): the
+    oracle unrolls the recurrence as 8 chained CTEs; this side folds
+    the closed LINEAR form — final states are integer linear
+    combinations of x_1..x_12, coefficient vectors computed exactly in
+    Python (_hw_coefs, property-tested against a Fraction recurrence)
+    and evaluated as ONE conditional-CASE aggregate. Scale shape: the
+    slot rollup is map-side combined; the tail pick is one bounded
+    per-type window; the smoother itself is a single |types|-row
+    aggregate — no joins, no iteration."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy(
+        "event_type",
+        F.col("ts").cast("date").alias("d"),
+        (F.hour("ts") / 6).cast("int").alias("slot"),
+    ).agg(F.sum(F.round(F.col("value") * 100)).cast("long").alias("cents"))
+    tail_w = W.partitionBy("event_type").orderBy(
+        F.col("d").desc(), F.col("slot").desc()
+    )
+    kept = (
+        s.select("event_type", "cents", F.row_number().over(tail_w).alias("rd"))
+        .filter(F.col("rd") <= _HW_T)
+        .select("event_type", "cents", (_HW_T + 1 - F.col("rd")).alias("i"))
+    )
+    fnum = (
+        f"({_hw_case(_HW_L)}) + ({_hw_case(_HW_B)})"
+        f" + {_HW_S1_MULT} * ({_hw_case(_HW_S[0])})"
+    )
+    return (
+        kept.groupBy("event_type")
+        .agg(
+            F.count("*").alias("__cnt"),
+            F.lit(_HW_T).cast("long").alias("n_obs"),
+            F.expr(
+                _HW_TDIV.format(num=_hw_case(_HW_L), den=_HW_DEN, div="div")
+            ).cast("long").alias("level_cents"),
+            F.expr(
+                _HW_TDIV.format(
+                    num=f"({_hw_case(_HW_B)}) * 1000", den=_HW_DEN, div="div"
+                )
+            ).cast("long").alias("trend_millicents"),
+            F.expr(
+                _HW_TDIV.format(num=fnum, den=_HW_DEN, div="div")
+            ).cast("long").alias("forecast_cents"),
+        )
+        .filter(F.col("__cnt") == _HW_T)
+        .drop("__cnt")
+        .orderBy("event_type")
+    )

@@ -305,3 +305,31 @@ def test_islands_key_minus_rank_invariant(keys):
     for (ks1, g1), (ks2, g2) in zip(runs, runs[1:]):
         assert ks2[0] - ks1[-1] > 1  # maximality: runs are separated by a gap
         assert g2 > g1
+
+
+# --- Holt-Winters closed linear form (events_holt_winters, r11u) -------------
+
+@settings(deadline=None)  # first call pays the events-module import
+@given(xs=st.lists(st.integers(min_value=-10**6, max_value=10**6),
+                   min_size=12, max_size=12))
+def test_holt_winters_coefs_match_fraction_recurrence(xs):
+    from presto_db_spark.operators.events import _HW_DEN, _hw_coefs
+
+    # ground truth: the additive HW recurrence in exact rationals
+    m = 4
+    L = Fraction(sum(xs[:4]), 4)
+    B = Fraction(0)
+    s = [Fraction(xs[i]) - L for i in range(m)]
+    for t in range(5, 13):
+        x = Fraction(xs[t - 1])
+        slot = (t - 1) % m
+        L_new = (x - s[slot]) / 2 + (L + B) / 2
+        B = (L_new - L) / 2 + B / 2
+        s[slot] = (x - L_new) / 2 + s[slot] / 2
+        L = L_new
+    cl, cb, cs = _hw_coefs()
+    dot = lambda coef: sum(k * x for k, x in zip(coef, xs))
+    assert Fraction(dot(cl), _HW_DEN) == L
+    assert Fraction(dot(cb), _HW_DEN) == B
+    # slot 1 (index 0) was last updated at t=9 → scale 4^6
+    assert Fraction(dot(cs[0]), 4**6) == s[0]

@@ -1677,3 +1677,15 @@ def test_lateral_topn_plan_shape(spark, sf_dir):
     assert re.search(r"windowspecdefinition\(o_custkey", plan), plan
     assert not re.search(r"Exchange SinglePartition[^\n]*\n[\s:+-]*Window", plan), plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_holt_winters_plan_shape(spark, sf_dir):
+    """events_holt_winters (r11u): the closed linear form makes the
+    smoother ONE conditional-CASE aggregate — no joins at all (the
+    oracle's 8 chained step-joins exist only oracle-side), one bounded
+    per-type tail window, no Python."""
+    plan = _plan(all_queries()["events_holt_winters"](spark, sf_dir), "simple")
+    assert "Join" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert not re.search(r"Exchange SinglePartition[^\n]*\n[\s:+-]*Window", plan), plan
+    assert "partial_sum" in plan, plan
