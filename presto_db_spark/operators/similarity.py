@@ -2407,3 +2407,92 @@ def emb_mrl_energy_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+# --- Johnson-Lindenstrauss random projection (r11v wave) ---------------------
+# The data-INDEPENDENT dimensionality reduction (Achlioptas 2003 ±1
+# projections): unlike emb_pca_power there is nothing to train and
+# nothing to broadcast — the projection matrix is a hash formula, so the
+# op is a pure per-row projection at any corpus size (the property that
+# makes JL the streaming/sharded-ingest choice). Embeddings are
+# quantized to round(1000x) integers first, so every projected
+# coordinate is an EXACT BIGINT in both engines, and the JL distortion
+# guarantee is MEASURED (ratio of squared distances, ppm) on 50 fixed
+# pairs — reported, never asserted (the sim_ann_recall contract).
+
+JL_K = 16  # projected dimensions (64 -> 16, 4x compression)
+
+_JL_SIGN = "(1 - 2 * (((i * 2654435761 + j * 40503) % 2147483647) % 2))"
+
+_JL_SQL = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(generate_series(1, len(embedding)),
+                        i -> CAST(round(CAST(embedding[i] AS DOUBLE) * 1000)
+                                  AS BIGINT)) AS qv,
+         list_transform(generate_series(0, {JL_K - 1}), j ->
+           CAST(list_sum(list_transform(generate_series(0, len(embedding) - 1),
+             i -> CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1000) AS BIGINT)
+                  * {_JL_SIGN})) AS BIGINT)) AS y
+  FROM embeddings WHERE vec_id < 100
+)
+SELECT a.vec_id AS pair_id,
+       CAST(list_sum(list_transform(generate_series(1, len(a.qv)),
+            i -> (a.qv[i] - b.qv[i]) * (a.qv[i] - b.qv[i]))) AS BIGINT)
+         AS dist_orig,
+       CAST(list_sum(list_transform(generate_series(1, {JL_K}),
+            j -> (a.y[j] - b.y[j]) * (a.y[j] - b.y[j]))) AS BIGINT)
+         AS dist_proj,
+       CAST(CASE WHEN list_sum(list_transform(generate_series(1, len(a.qv)),
+                 i -> (a.qv[i] - b.qv[i]) * (a.qv[i] - b.qv[i]))) = 0 THEN 0
+            ELSE list_sum(list_transform(generate_series(1, {JL_K}),
+                 j -> (a.y[j] - b.y[j]) * (a.y[j] - b.y[j]))) * 1000000
+                 // ({JL_K} * list_sum(list_transform(generate_series(1, len(a.qv)),
+                      i -> (a.qv[i] - b.qv[i]) * (a.qv[i] - b.qv[i]))))
+            END AS BIGINT) AS ratio_ppm
+FROM q a JOIN q b ON b.vec_id = a.vec_id + 1
+WHERE a.vec_id % 2 = 0
+ORDER BY pair_id
+"""
+
+
+@_q("emb_random_projection", _JL_SQL)
+def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL ±1 random projection 64 → {JL_K} dims with measured pairwise
+    distortion: the sign matrix is the AMS-style integer hash formula
+    (no stored model, no broadcast — data-independent), projections are
+    exact BIGINT sums over round(1000x)-quantized coordinates, and the
+    50 fixed consecutive-id pairs report dist_proj/(K·dist_orig) in
+    truncating ppm (E[·] = 1 under JL; the spread IS the measurement).
+    Scale: the projection is a pure per-row expression (zero shuffles at
+    corpus scale); the eval pair join is bounded at 50 rows."""
+    emb = _emb(spark, sf_dir).filter(F.col("vec_id") < 100)
+    q = emb.selectExpr(
+        "vec_id",
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000)"
+        " AS BIGINT)) AS qv",
+        f"transform(sequence(0, {JL_K - 1}), j ->"
+        " aggregate(sequence(0, size(embedding) - 1), CAST(0 AS BIGINT),"
+        " (s, i) -> s + CAST(round(CAST(element_at(embedding, i + 1) AS DOUBLE)"
+        f" * 1000) AS BIGINT) * {_JL_SIGN})) AS y",
+    )
+    a, b = q.alias("a"), q.alias("b")
+    pairs = (
+        a.filter(F.expr("vec_id % 2 = 0"))
+        .join(b, F.expr("b.vec_id = a.vec_id + 1"))
+        .selectExpr(
+            "a.vec_id AS pair_id",
+            "CAST(aggregate(zip_with(a.qv, b.qv, (x, y) -> (x - y) * (x - y)),"
+            " CAST(0 AS BIGINT), (s, x) -> s + x) AS BIGINT) AS dist_orig",
+            "CAST(aggregate(zip_with(a.y, b.y, (x, y) -> (x - y) * (x - y)),"
+            " CAST(0 AS BIGINT), (s, x) -> s + x) AS BIGINT) AS dist_proj",
+        )
+    )
+    return pairs.selectExpr(
+        "pair_id",
+        "dist_orig",
+        "dist_proj",
+        f"CAST(CASE WHEN dist_orig = 0 THEN 0"
+        f" ELSE dist_proj * 1000000 div ({JL_K} * dist_orig) END AS BIGINT)"
+        " AS ratio_ppm",
+    ).orderBy("pair_id")

@@ -2582,3 +2582,81 @@ def text_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("true_lang", "pred_lang")
     )
+
+
+# --- systematic PPS sampling (r11v wave) -------------------------------------
+# Probability-proportional-to-size systematic sampling (the survey-
+# sampling workhorse; in data pipelines: pick ~K documents with
+# inclusion probability ∝ size, deterministically): walk the cumulative
+# weight line with a fixed stride, select every document whose weight
+# interval contains a stride point. Unlike Bernoulli/stratified sampling
+# there is NO RNG anywhere — the offset is step/2 (production would
+# randomize it once per job; the determinism here is what makes the
+# cross-engine oracle exact), and oversized documents legitimately
+# collect multiple hits (reported as multiplicity, the PPS-with-
+# replacement view).
+
+PPS_K = 25  # target sample size
+
+_PPS_SQL = f"""
+WITH w AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS wt,
+         CAST(sum(n_chars) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_incl,
+         CAST(sum(n_chars) OVER () AS BIGINT) AS total
+  FROM documents
+), s AS (
+  SELECT doc_id, wt, cum_incl - wt AS cum_before, cum_incl,
+         total // {PPS_K} AS step
+  FROM w
+)
+SELECT doc_id, wt,
+       CAST((cum_incl + step // 2) // step
+            - (cum_before + step // 2) // step AS BIGINT) AS n_hits
+FROM s
+WHERE step > 0
+  AND (cum_incl + step // 2) // step > (cum_before + step // 2) // step
+ORDER BY doc_id
+"""
+
+
+@_q("sample_systematic_pps", _PPS_SQL)
+def sample_systematic_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic PPS sample (~{PPS_K} docs, inclusion ∝ n_chars):
+    stride = total/K over the doc_id-ordered cumulative weight line;
+    a document is selected once per stride point inside its interval
+    (n_hits = multiplicity). All integer arithmetic — selection is
+    bit-identical across engines and partitionings.
+
+    Scale: the cumulative weights come from ``distrank.global_index``'s
+    range-partition + prefix-offset running sum (the oracle's global
+    window is exactly what the impl avoids); the global total rides the
+    same pass (__sum_total), so the whole sampler is ONE range exchange
+    over (doc_id, wt) pairs — never a single-partition window, never a
+    second scan."""
+    from ..catalog import load_table
+    from .distrank import global_index
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("wt")
+    )
+    gi = global_index(docs, ["doc_id"], sum_col="wt")
+    s = gi.select(
+        "doc_id", "wt",
+        F.col("__csum").alias("cum_incl"),
+        (F.col("__csum") - F.col("wt")).alias("cum_before"),
+        F.expr(f"__sum_total div {PPS_K}").alias("step"),
+    )
+    return (
+        s.filter(F.col("step") > 0)
+        .select(
+            "doc_id", "wt",
+            F.expr(
+                "(cum_incl + step div 2) div step"
+                " - (cum_before + step div 2) div step"
+            ).cast("bigint").alias("n_hits"),
+        )
+        .filter(F.col("n_hits") > 0)
+        .orderBy("doc_id")
+    )

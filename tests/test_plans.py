@@ -1689,3 +1689,24 @@ def test_holt_winters_plan_shape(spark, sf_dir):
     assert "EvalPython" not in plan, plan
     assert not re.search(r"Exchange SinglePartition[^\n]*\n[\s:+-]*Window", plan), plan
     assert "partial_sum" in plan, plan
+
+
+def test_random_projection_plan_shape(spark, sf_dir):
+    """emb_random_projection (r11v): the projection is a pure per-row
+    expression (hash-formula sign matrix — nothing trained, nothing
+    broadcast); the only join is the bounded 50-pair eval; no window,
+    no Python."""
+    plan = _plan(all_queries()["emb_random_projection"](spark, sf_dir), "simple")
+    assert "EvalPython" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_systematic_pps_plan_shape(spark, sf_dir):
+    """sample_systematic_pps (r11v): cumulative weights ride ONE
+    global_index range exchange (prefix-offset running sum) — no
+    single-partition window, no Python, no data-scale join."""
+    plan = _plan(all_queries()["sample_systematic_pps"](spark, sf_dir), "simple")
+    assert not re.search(r"Exchange SinglePartition[^\n]*\n[\s:+-]*Window", plan), plan
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
