@@ -3266,3 +3266,128 @@ def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("__cnt")
         .orderBy("event_type")
     )
+
+
+# --- lagged cross-correlation (r11w wave) ------------------------------------
+# The cross-series twin of events_acf: does series X lead series Y?
+# (clicks→purchases etc. — the lead-lag diagnostic behind conversion
+# attribution windows and forecasting feature selection.) Same
+# exact-integer device as ACF: deviations scaled by each series' own n
+# (n·x − Σx), whose n_x·n_y factor carries through numerator and
+# denominator and cancels in the ratio. Reported as SIGN-PRESERVING
+# r²·sign in ppm (num·|num| / (denx·deny)) — Pearson needs a sqrt, but
+# squaring the ratio first keeps every operation integer; the square
+# loses no information once the sign is kept.
+
+_XCORR_PAIRS = [
+    ("click", "purchase"),
+    ("view", "purchase"),
+    ("signup", "click"),
+]
+_XCORR_MAXLAG = 3
+
+_XCORR_PAIRS_SQL = ", ".join(f"('{x}', '{y}')" for x, y in _XCORR_PAIRS)
+_XCORR_LAGS_SQL = ", ".join(f"({g})" for g in range(_XCORR_MAXLAG + 1))
+
+_XCORR_SQL = f"""
+WITH s AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+), m AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx
+  FROM s GROUP BY event_type
+), dev AS (
+  SELECT s.event_type, s.d, m.n * s.x - m.sx AS dv
+  FROM s JOIN m ON m.event_type = s.event_type
+), grid AS (
+  SELECT p.xt, p.yt, l.lag
+  FROM (VALUES {_XCORR_PAIRS_SQL}) p(xt, yt)
+  CROSS JOIN (VALUES {_XCORR_LAGS_SQL}) l(lag)
+), joined AS (
+  SELECT g.xt, g.yt, g.lag, dx.dv AS dvx, dy.dv AS dvy
+  FROM grid g
+  JOIN dev dx ON dx.event_type = g.xt
+  JOIN dev dy ON dy.event_type = g.yt AND dy.d = dx.d + g.lag
+)
+SELECT xt AS lead_type, yt AS lag_type, CAST(lag AS BIGINT) AS lag_days,
+       CAST(count(*) AS BIGINT) AS n_overlap,
+       CAST(CASE WHEN sum(dvx * dvx) = 0 OR sum(dvy * dvy) = 0 THEN 0
+            ELSE CAST(sum(dvx * dvy) AS HUGEINT)
+                 * CAST(abs(sum(dvx * dvy)) AS HUGEINT) * 1000000
+                 // (CAST(sum(dvx * dvx) AS HUGEINT)
+                     * CAST(sum(dvy * dvy) AS HUGEINT))
+            END AS BIGINT) AS r2_signed_ppm
+FROM joined GROUP BY xt, yt, lag
+ORDER BY lead_type, lag_type, lag_days
+"""
+
+
+@_q("events_cross_correlation", _XCORR_SQL)
+def events_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation of daily count series for three fixed
+    lead→lag type pairs, lags 0..{_XCORR_MAXLAG}: r²·sign(r) in exact
+    integer ppm (the ACF n-scaled-deviation device; full-series means,
+    overlap-windowed sums — the standard large-sample simplification,
+    documented). Scale shape: the daily rollup collapses map-side to a
+    |types|×|days| table; the lag alignment is an equi-join on (type,
+    day+lag) over that bounded table with the 12-row pair×lag grid
+    broadcast; one final grouped fold. No windows, no floats."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count("*").cast("long").alias("x"))
+    m = s.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+    )
+    dev = (
+        s.join(m, "event_type")
+        .select(
+            "event_type", "d",
+            (F.col("n") * F.col("x") - F.col("sx")).cast("long").alias("dv"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    grid = spark.createDataFrame(
+        [(x, y, g) for x, y in _XCORR_PAIRS for g in range(_XCORR_MAXLAG + 1)],
+        "xt string, yt string, lag int",
+    )
+    dx = dev.select(
+        F.col("event_type").alias("dx_type"), F.col("d").alias("dx_d"),
+        F.col("dv").alias("dvx"),
+    )
+    dy = dev.select(
+        F.col("event_type").alias("dy_type"), F.col("d").alias("dy_d"),
+        F.col("dv").alias("dvy"),
+    )
+    joined = (
+        F.broadcast(grid)
+        .join(dx, F.col("dx_type") == F.col("xt"))
+        .join(
+            dy,
+            (F.col("dy_type") == F.col("yt"))
+            & (F.col("dy_d") == F.expr("date_add(dx_d, lag)")),
+        )
+    )
+    return (
+        joined.groupBy("xt", "yt", "lag")
+        .agg(
+            F.count("*").cast("long").alias("n_overlap"),
+            F.expr(
+                "CAST(CASE WHEN sum(dvx * dvx) = 0 OR sum(dvy * dvy) = 0 THEN 0"
+                " ELSE CAST(sum(dvx * dvy) AS DECIMAL(38,0))"
+                "      * CAST(abs(sum(dvx * dvy)) AS DECIMAL(38,0)) * 1000000"
+                "      div (CAST(sum(dvx * dvx) AS DECIMAL(38,0))"
+                "           * CAST(sum(dvy * dvy) AS DECIMAL(38,0)))"
+                " END AS BIGINT)"
+            ).alias("r2_signed_ppm"),
+        )
+        .select(
+            F.col("xt").alias("lead_type"),
+            F.col("yt").alias("lag_type"),
+            F.col("lag").cast("bigint").alias("lag_days"),
+            "n_overlap",
+            "r2_signed_ppm",
+        )
+        .orderBy("lead_type", "lag_type", "lag_days")
+    )

@@ -1710,3 +1710,14 @@ def test_systematic_pps_plan_shape(spark, sf_dir):
     assert not re.search(r"Exchange SinglePartition[^\n]*\n[\s:+-]*Window", plan), plan
     assert "EvalPython" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_cross_correlation_plan_shape(spark, sf_dir):
+    """events_cross_correlation (r11w): daily rollup collapses map-side;
+    the lag alignment is equi-joins over the bounded daily table with
+    the 12-row grid BROADCAST; no window, no cartesian, no Python."""
+    plan = _plan(all_queries()["events_cross_correlation"](spark, sf_dir), "simple")
+    assert "windowspecdefinition" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
