@@ -1169,3 +1169,134 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("node_id")
     )
+
+
+# --- strongly connected component of the pivot (r11w wave) -------------------
+# Directed graph: consecutive-line edges within an order (part at line i
+# → part at line i+1), sparsified to a mid-density slice so the answer
+# is non-trivial (the full graph is one giant SCC). The classic
+# distributed SCC primitive is forward-backward reachability
+# (Fleischer/Hendrickson/Pinar): SCC(pivot) = reach(pivot) ∩
+# reach_reverse(pivot). The oracle computes both closures with
+# recursive CTEs; the Spark side runs frontier BFS to a FIXPOINT
+# (convergence = zero new nodes — two scalars to the driver per round,
+# the dedup_cluster signature-loop device), so agreement is again two
+# independent algorithms.
+
+SCC_MAX_ROUNDS = 40
+
+_SCC_EDGE_COND = (
+    "a.l_partkey <> b.l_partkey AND a.l_orderkey % 3 = 0"
+    " AND a.l_partkey < 1000 AND b.l_partkey < 1000"
+)
+
+_SCC_SQL = f"""
+WITH RECURSIVE e AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND b.l_linenumber = a.l_linenumber + 1
+  WHERE {_SCC_EDGE_COND}
+), piv AS (
+  SELECT min(src) AS p FROM e
+), fw(n) AS (
+  SELECT p FROM piv
+  UNION
+  SELECT e.dst FROM e JOIN fw ON e.src = fw.n
+), bw(n) AS (
+  SELECT p FROM piv
+  UNION
+  SELECT e.src FROM e JOIN bw ON e.dst = bw.n
+), scc AS (
+  SELECT fw.n FROM fw JOIN bw ON bw.n = fw.n
+)
+SELECT (SELECT p FROM piv) AS pivot_node,
+       (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+       (SELECT CAST(count(*) AS BIGINT) FROM fw) AS n_forward,
+       (SELECT CAST(count(*) AS BIGINT) FROM bw) AS n_backward,
+       (SELECT CAST(count(*) AS BIGINT) FROM scc) AS scc_size,
+       (SELECT CAST(min(n) AS BIGINT) FROM scc) AS scc_min,
+       (SELECT CAST(max(n) AS BIGINT) FROM scc) AS scc_max,
+       (SELECT CAST(sum((n * 2654435761) % 1000000007) AS BIGINT) FROM scc)
+         AS scc_checksum
+"""
+
+
+@_q("graph_scc", _SCC_SQL)
+def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot SCC by forward-backward reachability: two frontier BFS
+    sweeps (edges ⋈ frontier → anti-join against reached, per round) run
+    to FIXPOINT with per-round localCheckpoint — each round sends the
+    driver ONE scalar (new-node count), never node sets; the pivot is
+    the single bounded driver-side value (min edge endpoint). SCC =
+    forward ∩ backward reached sets; the output is one summary row with
+    an order-independent integer member checksum. Oracle: recursive
+    CTEs — an independent algorithm, like dedup_cluster's.
+
+    100 TB: per-round cost is one hash equi-join on node keys over the
+    (shrinking-frontier) edge slice + a distinct — the BFS primitive
+    graph_bfs_distances already carries; rounds ∝ reachability diameter
+    (loud RuntimeError past {SCC_MAX_ROUNDS}, never silent truncation).
+    The full-graph SCC decomposition upgrade is iterated FW-BW peeling
+    (documented: Fleischer et al. divide-and-conquer)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("b.l_linenumber") == F.col("a.l_linenumber") + 1),
+        )
+        .filter(F.expr(_SCC_EDGE_COND))
+        .select(
+            F.col("a.l_partkey").cast("long").alias("src"),
+            F.col("b.l_partkey").cast("long").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    pivot = edges.agg(F.min("src")).collect()[0][0]  # one bounded scalar
+
+    def closure(ed: DataFrame, key: str, out: str) -> DataFrame:
+        reached = spark.createDataFrame([(int(pivot),)], "n bigint").localCheckpoint(
+            eager=True
+        )
+        frontier = reached
+        for _ in range(SCC_MAX_ROUNDS):
+            nxt = (
+                ed.join(frontier, F.col(key) == F.col("n"))
+                .select(F.col(out).alias("n"))
+                .distinct()
+                .join(reached, "n", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if nxt.count() == 0:
+                return reached
+            reached = reached.unionByName(nxt).localCheckpoint(eager=True)
+            frontier = nxt
+        raise RuntimeError(
+            f"graph_scc: reachability did not converge in {SCC_MAX_ROUNDS} rounds"
+        )
+
+    fw = closure(edges, "src", "dst")
+    bw = closure(edges, "dst", "src")
+    scc = fw.join(bw, "n")
+    stats = scc.agg(
+        F.count("*").cast("long").alias("scc_size"),
+        F.min("n").cast("long").alias("scc_min"),
+        F.max("n").cast("long").alias("scc_max"),
+        F.sum(F.expr("(n * 2654435761) % 1000000007")).cast("long")
+        .alias("scc_checksum"),
+    )
+    counts = (
+        edges.agg(F.count("*").cast("long").alias("n_edges"))
+        .crossJoin(F.broadcast(fw.agg(F.count("*").cast("long").alias("n_forward"))))
+        .crossJoin(F.broadcast(bw.agg(F.count("*").cast("long").alias("n_backward"))))
+    )
+    return (
+        counts.crossJoin(F.broadcast(stats))
+        .select(
+            F.lit(int(pivot)).cast("long").alias("pivot_node"),
+            "n_edges", "n_forward", "n_backward",
+            "scc_size", "scc_min", "scc_max", "scc_checksum",
+        )
+    )

@@ -1721,3 +1721,14 @@ def test_cross_correlation_plan_shape(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "EvalPython" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_scc_plan_shape(spark, sf_dir):
+    """graph_scc (r11w): the FW-BW closures are built by the time the
+    final frame exists (fixpoint BFS — bounded scalars to the driver);
+    the summary stitch is 1-row broadcasts only — no data-scale
+    cartesian, no window, no Python in the final plan."""
+    plan = _plan(all_queries()["graph_scc"](spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "EvalPython" not in plan, plan
