@@ -196,3 +196,93 @@ def agg_numeric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(es, lambda e: e.cnt.cast("string")), ","
         ).alias("counts"),
     )
+
+
+# --- cogrouped applyInPandas (r11w wave) -------------------------------------
+# The FOURTH Python extension point (module docstring lists three):
+# ``groupBy(k).cogroup(other.groupBy(k)).applyInPandas`` — two frames
+# co-partitioned on the key, each group pair handed to pandas together.
+# This is Spark's primitive for custom per-key MERGE logic the built-in
+# joins can't express (bespoke as-of rules, per-entity reconciliation);
+# the per-user "views before first purchase" funnel metric keeps the
+# pandas body honest (an ordering-sensitive cross-frame rule) while
+# staying SQL-expressible for the oracle.
+
+_COGROUP_SQL = """
+WITH u AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE event_type IN ('view', 'purchase')
+), p AS (
+  SELECT user_id, min(ts) AS fp FROM events
+  WHERE event_type = 'purchase' GROUP BY user_id
+), v AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'view'
+)
+SELECT u.user_id,
+       (p.user_id IS NOT NULL) AS converted,
+       CAST(count(CASE WHEN v.ts IS NOT NULL
+                       AND (p.fp IS NULL OR v.ts < p.fp) THEN 1 END) AS BIGINT)
+         AS n_views_before,
+       CAST(epoch_us(p.fp) AS BIGINT) AS first_purchase_us
+FROM u
+LEFT JOIN p ON p.user_id = u.user_id
+LEFT JOIN v ON v.user_id = u.user_id
+GROUP BY u.user_id, p.user_id, p.fp
+ORDER BY u.user_id
+"""
+
+
+@_q("udf_cogrouped_merge", _COGROUP_SQL)
+def udf_cogrouped_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped applyInPandas: views and purchases co-partitioned on
+    user_id, each user's two pandas frames merged by custom logic
+    (views strictly before the first purchase; non-converters keep all
+    views). One shuffle per side on user_id — the same exchange a join
+    would pay — with the merge rule in an Arrow-batched pandas body
+    instead of join predicates. Integer/epoch-microsecond outputs keep
+    the oracle exact."""
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
+    purch = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("converted", T.BooleanType()),
+            T.StructField("n_views_before", T.LongType()),
+            T.StructField("first_purchase_us", T.LongType()),
+        ]
+    )
+
+    def merge(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        # Column presence is plan-dependent: under a count()-only sink
+        # Spark prunes ts out of the cogroup inputs (the UDF still runs,
+        # only row counts matter), and an empty side arrives without its
+        # schema columns — so every column access is membership-guarded.
+        converted = len(right) > 0
+        if converted and "ts" in right.columns:
+            fp = right["ts"].min()
+            n_before = (
+                int((left["ts"] < fp).sum())
+                if len(left) and "ts" in left.columns
+                else 0
+            )
+            fp_us = int(fp.value // 1000)
+        else:
+            n_before = len(left)
+            fp_us = None
+        return pd.DataFrame(
+            {
+                "user_id": [int(key[0])],
+                "converted": [converted],
+                "n_views_before": [n_before],
+                "first_purchase_us": [fp_us],
+            }
+        )
+
+    res = (
+        views.groupBy("user_id")
+        .cogroup(purch.groupBy("user_id"))
+        .applyInPandas(merge, schema)
+    )
+    return res.orderBy("user_id")
