@@ -2660,3 +2660,117 @@ def sample_systematic_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_hits") > 0)
         .orderBy("doc_id")
     )
+
+
+# --- per-source distribution divergence (r11x wave) --------------------------
+# The curation-eval complement to text_dsir_weights / train_temperature_mix:
+# HOW FAR is each source's token distribution from the corpus mixture?
+# (The number a data-mixing loop watches to decide which sources need
+# up/down-weighting.) KL/JS need logs (libm variance — banned from value
+# hashes); the chi-square distance Σ (p−q)²/(p+q) is the standard
+# log-free alternative and cross-multiplies to pure integers:
+# per shared-vocabulary term, with c = source count, n = source total,
+# g = corpus count, N = corpus total:
+#   term = (c·N − g·n)² / (n·N·(c·N + g·n))   [× 10⁶, truncated]
+# Each term is truncated identically in both engines before the sum, so
+# the result is bit-identical (per-term truncation IS the contract).
+
+CHI2_VOCAB = 50  # shared top-V vocabulary (count DESC, token ASC tie-break)
+
+_SRCDIV_SQL = f"""
+WITH tok AS (
+  SELECT source, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+  FROM documents WHERE trim(text) <> ''
+), vocab AS (
+  SELECT t FROM (
+    SELECT t, count(*) AS c FROM tok GROUP BY t
+    ORDER BY c DESC, t LIMIT {CHI2_VOCAB}
+  )
+), st AS (
+  SELECT source, tok.t, CAST(count(*) AS BIGINT) AS c
+  FROM tok JOIN vocab ON vocab.t = tok.t
+  GROUP BY source, tok.t
+), n_s AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n FROM st GROUP BY source
+), g AS (
+  SELECT t, CAST(sum(c) AS BIGINT) AS gc FROM st GROUP BY t
+), tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS nn FROM st
+), grid AS (
+  SELECT ns.source, ns.n, g.t, g.gc, tot.nn,
+         CAST(coalesce(st.c, 0) AS BIGINT) AS c
+  FROM n_s ns CROSS JOIN g CROSS JOIN tot
+  LEFT JOIN st ON st.source = ns.source AND st.t = g.t
+)
+SELECT source, CAST(max(n) AS BIGINT) AS n_tokens,
+       CAST(sum(
+         CASE WHEN c * nn + gc * n = 0 THEN 0
+              ELSE CAST(c * nn - gc * n AS HUGEINT)
+                   * CAST(c * nn - gc * n AS HUGEINT) * 1000000
+                   // (CAST(n AS HUGEINT) * CAST(nn AS HUGEINT)
+                       * CAST(c * nn + gc * n AS HUGEINT))
+         END) AS BIGINT) AS chi2_ppm
+FROM grid GROUP BY source ORDER BY source
+"""
+
+
+@_q("text_source_divergence_chi2", _SRCDIV_SQL)
+def text_source_divergence_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square distance of each source's token distribution from the
+    corpus mixture over the shared top-{CHI2_VOCAB} vocabulary — the
+    log-free divergence a curation loop monitors per mixing round.
+    Every per-term contribution is an exact 128-bit cross-multiplied
+    ratio truncated to ppm BEFORE summation (identical truncation in
+    both engines — DECIMAL(38,0) Spark-side, HUGEINT oracle-side, per
+    the oracle-lint rule). Scale: token explode collapses map-side onto
+    the V-term vocabulary (broadcast after a TakeOrdered top-V); the
+    per-source grid is |sources|×V rows. Zero-count cells enter the sum
+    (they contribute g·n/(n·N) — the mass the source is missing)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.trim(F.col("text")) != ""
+    )
+    tok = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("t"),
+    )
+    vocab = (
+        tok.groupBy("t")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "t")
+        .limit(CHI2_VOCAB)
+        .select("t")
+    )
+    st = (
+        tok.join(F.broadcast(vocab), "t")
+        .groupBy("source", "t")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    n_s = st.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    g = st.groupBy("t").agg(F.sum("c").cast("long").alias("gc"))
+    tot = st.agg(F.sum("c").cast("long").alias("nn"))
+    grid = (
+        n_s.crossJoin(F.broadcast(g))
+        .crossJoin(F.broadcast(tot))
+        .join(st, ["source", "t"], "left")
+        .select(
+            "source", "n", "t", "gc", "nn",
+            F.coalesce("c", F.lit(0)).cast("long").alias("c"),
+        )
+    )
+    term = (
+        "CASE WHEN c * nn + gc * n = 0 THEN 0"
+        " ELSE CAST(c * nn - gc * n AS DECIMAL(38,0))"
+        "      * CAST(c * nn - gc * n AS DECIMAL(38,0)) * 1000000"
+        "      div (CAST(n AS DECIMAL(38,0)) * CAST(nn AS DECIMAL(38,0))"
+        "           * CAST(c * nn + gc * n AS DECIMAL(38,0)))"
+        " END"
+    )
+    return (
+        grid.groupBy("source")
+        .agg(
+            F.max("n").cast("long").alias("n_tokens"),
+            F.sum(F.expr(term)).cast("long").alias("chi2_ppm"),
+        )
+        .orderBy("source")
+    )

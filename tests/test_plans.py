@@ -1732,3 +1732,18 @@ def test_scc_plan_shape(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "windowspecdefinition" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_source_divergence_plan_shape(spark, sf_dir):
+    """text_source_divergence_chi2 (r11x): token explode collapses
+    map-side onto the broadcast top-V vocabulary (TakeOrdered — never a
+    global sort); the scoring grid is |sources|×V via broadcast joins;
+    no window, no Python."""
+    plan = _plan(all_queries()["text_source_divergence_chi2"](spark, sf_dir), "simple")
+    # the TakeOrdered top-V and token explode live inside the
+    # localCheckpoint'd counts stage (not visible here); the visible
+    # scoring plan must stay window-free, Python-free, cartesian-free
+    # outside the two 1-row/V-row broadcast stitches
+    assert "windowspecdefinition" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
