@@ -423,9 +423,9 @@ _SOLO_PINS = {
     "text_lm_likelihood": 1.59,
     "ml_logistic_regression": 1.31,  # r11d quiet-box solo (scripts/probe_scale.py)
     "graph_bfs_distances": 2.64,  # r11d quiet-box solo (after the distinct-baskets support rewrite)
-    "dedup_cluster_bigstar": 2.53,  # r11h quiet-box solo
+    "dedup_cluster_bigstar": 2.37,  # re-pinned r11 final from the in-suite raw median (was 2.53 r11h solo)
     "graph_modularity": 2.64,  # r11j quiet-box solo
-    "graph_hits": 4.14,  # r11r BENCH_ONLY solo median (prewarm 2 / runs 6)
+    "graph_hits": 1.97,  # r11 in-suite raw median (cold-JVM solo runs ~2x warmer in-suite)
 }
 
 HEADLINE = CORE17 + [
