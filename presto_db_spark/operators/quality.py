@@ -374,3 +374,97 @@ def quality_partition_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("max_over_mean_ppm"),
     )
+
+
+# --- referential-integrity audit (r11x wave) ---------------------------------
+
+_RI_SQL = """
+SELECT edge, n_child, n_orphans, orphan_ppm FROM (
+  SELECT 'lineitem.l_orderkey->orders' AS edge,
+         (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_child,
+         (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans,
+         (SELECT CAST(count(CASE WHEN NOT EXISTS
+                 (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+                 THEN 1 END) * 1000000 // count(*) AS BIGINT)
+          FROM lineitem l) AS orphan_ppm
+  UNION ALL
+  SELECT 'orders.o_custkey->customer',
+         (SELECT CAST(count(*) AS BIGINT) FROM orders),
+         (SELECT CAST(count(*) AS BIGINT) FROM orders o
+          WHERE NOT EXISTS (SELECT 1 FROM customer c
+                            WHERE c.c_custkey = o.o_custkey)),
+         (SELECT CAST(count(CASE WHEN NOT EXISTS
+                 (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+                 THEN 1 END) * 1000000 // count(*) AS BIGINT)
+          FROM orders o)
+  UNION ALL
+  SELECT 'events.user_id->customer(mod)',
+         (SELECT CAST(count(*) AS BIGINT) FROM events),
+         (SELECT CAST(count(*) AS BIGINT) FROM events e
+          WHERE NOT EXISTS (SELECT 1 FROM customer c
+                            WHERE c.c_custkey = e.user_id * 7)),
+         (SELECT CAST(count(CASE WHEN NOT EXISTS
+                 (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id * 7)
+                 THEN 1 END) * 1000000 // count(*) AS BIGINT)
+          FROM events e)
+) ORDER BY edge
+"""
+
+
+@_q("quality_referential_integrity", _RI_SQL)
+def quality_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit (the Deequ `isContainedIn`/foreign-key
+    constraint): orphan counts + ppm for three FK edges — two genuinely
+    consistent ones (TPC-H integrity holds, so zero IS the correct
+    answer the audit certifies) and a deliberately-derived edge
+    (user_id*7 → custkey) whose orphan rate is non-zero at every SF, so
+    the value hash proves the detector actually detects. Each edge is
+    ONE left-anti broadcast/hash join + counters — no row explosion;
+    at 100 TB the parent side is the broadcast candidate (dims) or a
+    bloom-prefiltered shuffle (join_bloom_prefilter is the primitive)."""
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+
+    out = []
+    edges = [
+        ("lineitem.l_orderkey->orders",
+         load_table(spark, sf_dir, "lineitem").select(
+             F.col("l_orderkey").alias("k")),
+         load_table(spark, sf_dir, "orders").select(
+             F.col("o_orderkey").alias("pk"))),
+        ("orders.o_custkey->customer",
+         load_table(spark, sf_dir, "orders").select(
+             F.col("o_custkey").alias("k")),
+         load_table(spark, sf_dir, "customer").select(
+             F.col("c_custkey").alias("pk"))),
+        ("events.user_id->customer(mod)",
+         load_table(spark, sf_dir, "events").select(
+             (F.col("user_id") * 7).alias("k")),
+         load_table(spark, sf_dir, "customer").select(
+             F.col("c_custkey").alias("pk"))),
+    ]
+    for name, child, parent in edges:
+        orphans = child.join(parent, child.k == parent.pk, "left_anti")
+        stats = (
+            child.agg(F.count("*").cast("long").alias("n_child"))
+            .crossJoin(
+                F.broadcast(
+                    orphans.agg(F.count("*").cast("long").alias("n_orphans"))
+                )
+            )
+            .select(
+                F.lit(name).alias("edge"),
+                "n_child",
+                "n_orphans",
+                F.expr("n_orphans * 1000000 div n_child").cast("bigint")
+                .alias("orphan_ppm"),
+            )
+        )
+        out.append(stats)
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res.orderBy("edge")

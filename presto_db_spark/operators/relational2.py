@@ -639,3 +639,42 @@ def subq_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_LATERAL_SQL)
+
+
+# --- existence join (EXISTS as a projected column, r11x wave) ----------------
+# subq_exists covers EXISTS as a FILTER (LeftSemi); when the predicate's
+# truth value is PROJECTED instead, both engines plan a different join
+# type entirely — Spark's ExistenceJoin (Presto: the semi-join "match"
+# channel surfaced as a column, HashSemiJoinOperator.java's
+# SemiJoinOutput). The per-segment conversion rollup keeps the output
+# bounded and the oracle one conditional aggregate.
+
+_EXISTENCE_SQL = """
+WITH flags AS (
+  SELECT c.c_custkey, c.c_mktsegment,
+         EXISTS (SELECT 1 FROM orders o
+                 WHERE o.o_custkey = c.c_custkey
+                   AND o.o_orderpriority = '1-URGENT') AS has_urgent
+  FROM customer c
+)
+SELECT c_mktsegment, has_urgent,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(min(c_custkey) AS BIGINT) AS min_custkey
+FROM flags GROUP BY c_mktsegment, has_urgent
+ORDER BY c_mktsegment, has_urgent
+"""
+
+
+@_q("join_existence_flag", _EXISTENCE_SQL)
+def join_existence_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS projected as a column (did this customer ever place an
+    urgent order?) — planned as an ExistenceJoin, the join type between
+    semi (filter) and outer (data): one hash join on o_custkey emitting
+    a boolean match channel, never a row-multiplying outer join + post
+    aggregation. Plan-gated on the ExistenceJoin node. The identical
+    EXISTS SQL runs in both engines."""
+    from ..catalog import load_table
+
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_EXISTENCE_SQL)

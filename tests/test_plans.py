@@ -1747,3 +1747,23 @@ def test_source_divergence_plan_shape(spark, sf_dir):
     assert "windowspecdefinition" not in plan, plan
     assert "EvalPython" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_existence_join_plan_shape(spark, sf_dir):
+    """join_existence_flag (r11x): projected EXISTS must plan as an
+    ExistenceJoin (the boolean match channel) — not a row-multiplying
+    outer join, not a filter semi-join; no window, no Python."""
+    plan = _plan(all_queries()["join_existence_flag"](spark, sf_dir), "simple")
+    assert "ExistenceJoin" in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+
+
+def test_referential_integrity_plan_shape(spark, sf_dir):
+    """quality_referential_integrity (r11x): each FK edge audits via a
+    LEFT ANTI join + counters — no cartesian beyond the 1-row stitches,
+    no window, no Python."""
+    plan = _plan(all_queries()["quality_referential_integrity"](spark, sf_dir), "simple")
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan, plan
