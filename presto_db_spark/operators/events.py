@@ -3391,3 +3391,6 @@ def events_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lead_type", "lag_type", "lag_days")
     )
+
+
+events_cross_correlation.__doc__ = events_cross_correlation.__doc__.format(_XCORR_MAXLAG=_XCORR_MAXLAG)

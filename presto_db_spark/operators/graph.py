@@ -1255,6 +1255,18 @@ def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     pivot = edges.agg(F.min("src")).collect()[0][0]  # one bounded scalar
+    if pivot is None:
+        # empty sparsified slice: match the oracle's single all-NULL row
+        # (scalar subqueries over empty CTEs) instead of crashing on
+        # int(None) below
+        return spark.sql(
+            "SELECT CAST(NULL AS BIGINT) AS pivot_node,"
+            " CAST(0 AS BIGINT) AS n_edges,"
+            " CAST(0 AS BIGINT) AS n_forward, CAST(0 AS BIGINT) AS n_backward,"
+            " CAST(0 AS BIGINT) AS scc_size, CAST(NULL AS BIGINT) AS scc_min,"
+            " CAST(NULL AS BIGINT) AS scc_max,"
+            " CAST(NULL AS BIGINT) AS scc_checksum"
+        )
 
     def closure(ed: DataFrame, key: str, out: str) -> DataFrame:
         reached = spark.createDataFrame([(int(pivot),)], "n bigint").localCheckpoint(
@@ -1300,3 +1312,6 @@ def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "scc_size", "scc_min", "scc_max", "scc_checksum",
         )
     )
+
+
+graph_scc.__doc__ = graph_scc.__doc__.format(SCC_MAX_ROUNDS=SCC_MAX_ROUNDS)

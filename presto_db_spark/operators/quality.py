@@ -424,10 +424,6 @@ def quality_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame
     ONE left-anti broadcast/hash join + counters — no row explosion;
     at 100 TB the parent side is the broadcast candidate (dims) or a
     bloom-prefiltered shuffle (join_bloom_prefilter is the primitive)."""
-    from pyspark.sql import functions as F
-
-    from ..catalog import load_table
-
     out = []
     edges = [
         ("lineitem.l_orderkey->orders",

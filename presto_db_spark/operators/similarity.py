@@ -2496,3 +2496,6 @@ def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" ELSE dist_proj * 1000000 div ({JL_K} * dist_orig) END AS BIGINT)"
         " AS ratio_ppm",
     ).orderBy("pair_id")
+
+
+emb_random_projection.__doc__ = emb_random_projection.__doc__.format(JL_K=JL_K)

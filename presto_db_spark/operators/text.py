@@ -2774,3 +2774,9 @@ def text_source_divergence_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+sample_systematic_pps.__doc__ = sample_systematic_pps.__doc__.format(PPS_K=PPS_K)
+
+
+text_source_divergence_chi2.__doc__ = text_source_divergence_chi2.__doc__.format(CHI2_VOCAB=CHI2_VOCAB)

@@ -21,12 +21,24 @@ from tests.oracle_utils import check_query  # noqa: E402
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
     sf_dir = "/root/testdata/sf0.01"
-    for i, a in enumerate(sys.argv[1:]):
+    args = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a == "--sf":
-            sf_dir = sys.argv[1:][i + 1]
-            args.remove(sf_dir) if sf_dir in args else None
+            if i + 1 >= len(argv):
+                print("usage: check_subset.py name... [--sf DIR]")
+                return 2
+            sf_dir = argv[i + 1]
+            i += 2
+            continue
+        if a.startswith("--sf="):
+            sf_dir = a.split("=", 1)[1]
+        elif not a.startswith("--"):
+            args.append(a)
+        i += 1
     qs, os_ = all_queries(), all_oracle_sql()
     spark = (
         SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
