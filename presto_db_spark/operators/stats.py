@@ -546,3 +546,135 @@ def sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("abs(x_sum * x_sum - f2) * 1000000 div f2").cast("bigint")
         .alias("err_ppm"),
     ).orderBy("estimator")
+
+
+# --- experiment power analysis (r11y wave) -----------------------------------
+# The planning half of the A/B family (chisq/Welch/MW read out a finished
+# experiment; this sizes the next one): required users per arm for a
+# two-proportion z-test at alpha=0.05 / power=0.8 across a grid of
+# relative minimum-detectable-effects. z quantiles enter as FIXED e6
+# integer constants (z_0.975 = 1.959964, z_0.8 = 0.841621 — no libm at
+# runtime), so n = ceil(z_sum^2 * (p1q1 + p2q2) / delta^2) is one exact
+# 128-bit cross-multiplication with a ceil via (num + den - 1) / den.
+
+Z_SUM_E6 = 1_959_964 + 841_621          # z_alpha/2 + z_beta, e6
+Z_SUM_SQ_E12 = Z_SUM_E6 * Z_SUM_E6      # exact integer, e12 scale
+POWER_MDES_PPM = [10_000, 20_000, 50_000, 100_000]  # +1%, +2%, +5%, +10%
+POWER_CONV_MIN_PURCHASES = 15
+
+_POWER_USERS_SQL = f"""
+  SELECT user_id,
+         CASE WHEN (CAST(('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 2))
+                    AS INTEGER) % 2) = 0 THEN 'A' ELSE 'B' END AS variant,
+         CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   >= {POWER_CONV_MIN_PURCHASES} THEN 1 ELSE 0 END AS converted
+  FROM events GROUP BY 1, 2
+"""
+
+_POWER_SQL = f"""
+WITH users AS ({_POWER_USERS_SQL}
+), base AS (
+  SELECT CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+         CAST(sum(CASE WHEN variant = 'A' THEN converted ELSE 0 END) AS BIGINT)
+           AS conv_a
+  FROM users
+), p AS (
+  SELECT na, nb, conv_a * 1000000 // na AS p1 FROM base
+), grid AS (
+  SELECT p.na, p.nb, p.p1, m.mde_ppm,
+         least(p.p1 * (1000000 + m.mde_ppm) // 1000000, 999999) AS p2
+  FROM p CROSS JOIN (VALUES {", ".join(f"({m})" for m in POWER_MDES_PPM)})
+       m(mde_ppm)
+)
+SELECT CAST(mde_ppm AS BIGINT) AS mde_ppm,
+       p1 AS p1_ppm, CAST(p2 AS BIGINT) AS p2_ppm,
+       CAST(CASE WHEN p2 <= p1 THEN NULL
+            ELSE (CAST({Z_SUM_SQ_E12} AS HUGEINT)
+                  * CAST(p1 * (1000000 - p1) + p2 * (1000000 - p2) AS HUGEINT)
+                  + CAST(p2 - p1 AS HUGEINT) * CAST(p2 - p1 AS HUGEINT)
+                    * 1000000000000 - 1)
+                 // (CAST(p2 - p1 AS HUGEINT) * CAST(p2 - p1 AS HUGEINT)
+                     * 1000000000000)
+            END AS BIGINT) AS n_required_per_arm,
+       least(na, nb) AS n_observed_min,
+       (p2 > p1 AND least(na, nb)
+          * (CAST(p2 - p1 AS HUGEINT) * CAST(p2 - p1 AS HUGEINT)
+             * 1000000000000)
+          >= CAST({Z_SUM_SQ_E12} AS HUGEINT)
+             * CAST(p1 * (1000000 - p1) + p2 * (1000000 - p2) AS HUGEINT))
+         AS adequately_powered
+FROM grid ORDER BY mde_ppm
+"""
+
+
+@_q("events_ab_power_analysis", _POWER_SQL)
+def events_ab_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion sample-size calculator over the live baseline:
+    conversion = heavy purchaser (>= {K} purchases — mid-range rate at
+    every SF, unlike any-purchase which saturates), baseline p1 from
+    variant A, and for each relative MDE the required users per arm
+    n = ceil(z_sum^2 (p1q1 + p2q2) / delta^2) — all exact integer ppm
+    cross-multiplication (z constants are fixed e6 literals; ceil is
+    (num + den - 1) div den; p2 caps at 999999 and a non-positive delta
+    reports NULL rather than dividing by zero). adequately_powered
+    compares the observed min arm against the requirement with the SAME
+    integers, so the boolean cannot disagree across engines. Scale: one
+    per-user fold + one 3-counter aggregate + a 4-row broadcast grid."""
+    users_variant = F.when(
+        _md5_bucket("ab:", "user_id", 2) % 2 == 0, "A"
+    ).otherwise("B")
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id", users_variant.alias("variant")).agg(
+        F.when(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            >= POWER_CONV_MIN_PURCHASES,
+            1,
+        ).otherwise(0).alias("converted")
+    )
+    base = users.agg(
+        F.sum(F.when(F.col("variant") == "A", 1).otherwise(0))
+        .cast("long").alias("na"),
+        F.sum(F.when(F.col("variant") == "B", 1).otherwise(0))
+        .cast("long").alias("nb"),
+        F.sum(F.when(F.col("variant") == "A", F.col("converted")).otherwise(0))
+        .cast("long").alias("conv_a"),
+    )
+    p = base.select(
+        "na", "nb", F.expr("conv_a * 1000000 div na").alias("p1")
+    )
+    mdes = spark.createDataFrame(
+        [(m,) for m in POWER_MDES_PPM], "mde_ppm int"
+    )
+    grid = p.crossJoin(F.broadcast(mdes)).select(
+        "na", "nb", "p1", "mde_ppm",
+        F.expr(
+            "least(p1 * (1000000 + mde_ppm) div 1000000, 999999)"
+        ).alias("p2"),
+    )
+    dec = "DECIMAL(38,0)"
+    d2e12 = (
+        f"CAST(p2 - p1 AS {dec}) * CAST(p2 - p1 AS {dec}) * 1000000000000"
+    )
+    varsum = f"CAST(p1 * (1000000 - p1) + p2 * (1000000 - p2) AS {dec})"
+    return grid.select(
+        F.col("mde_ppm").cast("bigint").alias("mde_ppm"),
+        F.col("p1").cast("bigint").alias("p1_ppm"),
+        F.col("p2").cast("bigint").alias("p2_ppm"),
+        F.expr(
+            f"CAST(CASE WHEN p2 <= p1 THEN NULL"
+            f" ELSE (CAST({Z_SUM_SQ_E12} AS {dec}) * {varsum}"
+            f"       + {d2e12} - 1) div ({d2e12})"
+            f" END AS BIGINT)"
+        ).alias("n_required_per_arm"),
+        F.expr("least(na, nb)").cast("bigint").alias("n_observed_min"),
+        F.expr(
+            f"p2 > p1 AND CAST(least(na, nb) AS {dec}) * ({d2e12})"
+            f" >= CAST({Z_SUM_SQ_E12} AS {dec}) * {varsum}"
+        ).alias("adequately_powered"),
+    ).orderBy("mde_ppm")
+
+
+events_ab_power_analysis.__doc__ = events_ab_power_analysis.__doc__.format(
+    K=POWER_CONV_MIN_PURCHASES
+)

@@ -1767,3 +1767,13 @@ def test_referential_integrity_plan_shape(spark, sf_dir):
     assert "LeftAnti" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_power_analysis_plan_shape(spark, sf_dir):
+    """events_ab_power_analysis (r11y): one per-user fold + one
+    3-counter aggregate + a 4-row broadcast MDE grid — no window, no
+    Python, no data-scale cartesian."""
+    plan = _plan(all_queries()["events_ab_power_analysis"](spark, sf_dir), "simple")
+    assert "windowspecdefinition" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "partial_sum" in plan, plan
