@@ -678,3 +678,70 @@ def events_ab_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
 events_ab_power_analysis.__doc__ = events_ab_power_analysis.__doc__.format(
     K=POWER_CONV_MIN_PURCHASES
 )
+
+
+# --- sample-ratio mismatch (r11y wave) ---------------------------------------
+# THE experiment health check: before reading any metric, test whether
+# the observed assignment split matches the designed 50/50 ratio — a
+# mismatch (SRM) invalidates the experiment (broken logging, bot
+# filtering, redirect loss). One-sample chi-square against expectation
+# n/2 per arm: chi2 = (na - nb)^2 / n, decided by the events_ab_chisq
+# integer cross-multiplication so the alarm cannot flip on a float ulp.
+
+_SRM_SQL = f"""
+WITH users AS (
+  SELECT DISTINCT user_id,
+         CASE WHEN (CAST(('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 2))
+                    AS INTEGER) % 2) = 0 THEN 'A' ELSE 'B' END AS variant
+  FROM events
+), c AS (
+  SELECT CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+  FROM users
+)
+SELECT na AS n_a, nb AS n_b,
+       CAST((na - nb) * 1000000 // (na + nb) AS BIGINT) AS imbalance_ppm,
+       CASE WHEN na + nb = 0 THEN 0.0
+            ELSE round(CAST((na - nb) * (na - nb) AS DOUBLE)
+                       / CAST(na + nb AS DOUBLE), 6) END AS chi2,
+       (na + nb > 0 AND
+        (na - nb) * (na - nb) * 1000000 > {CHI2_CRIT_E6} * (na + nb))
+         AS srm_detected
+FROM c
+"""
+
+
+@_q("events_ab_srm_check", _SRM_SQL)
+def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail for the 'ab:' experiment: exact
+    one-sample chi-square of the observed arm counts against the
+    designed 50/50 split — (na−nb)²/n with the pure-integer decision
+    (na−nb)²·10⁶ > crit_e6·n (int64-safe to ~9·10⁶ users per arm²...
+    the cross term (na−nb)² caps at n², so BIGINT holds through ~3·10⁶
+    imbalanced users; DECIMAL widening is the documented upgrade).
+    Runs BEFORE any metric readout — an SRM invalidates the experiment.
+    Scale: one distinct per-user fold + one 2-counter aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    variant = F.when(_md5_bucket("ab:", "user_id", 2) % 2 == 0, "A").otherwise("B")
+    users = ev.select("user_id", variant.alias("variant")).distinct()
+    c = users.agg(
+        F.sum(F.when(F.col("variant") == "A", 1).otherwise(0))
+        .cast("long").alias("na"),
+        F.sum(F.when(F.col("variant") == "B", 1).otherwise(0))
+        .cast("long").alias("nb"),
+    )
+    return c.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.expr("(na - nb) * 1000000 div (na + nb)").cast("bigint")
+        .alias("imbalance_ppm"),
+        F.expr(
+            "CASE WHEN na + nb = 0 THEN 0.0"
+            " ELSE round(CAST((na - nb) * (na - nb) AS DOUBLE)"
+            "            / CAST(na + nb AS DOUBLE), 6) END"
+        ).alias("chi2"),
+        F.expr(
+            "na + nb > 0 AND"
+            f" (na - nb) * (na - nb) * 1000000 > {CHI2_CRIT_E6} * (na + nb)"
+        ).alias("srm_detected"),
+    )

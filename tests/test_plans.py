@@ -1777,3 +1777,12 @@ def test_power_analysis_plan_shape(spark, sf_dir):
     assert "windowspecdefinition" not in plan, plan
     assert "EvalPython" not in plan, plan
     assert "partial_sum" in plan, plan
+
+
+def test_srm_check_plan_shape(spark, sf_dir):
+    """events_ab_srm_check (r11y): distinct per-user fold + 2-counter
+    global aggregate — no join, no window, no Python."""
+    plan = _plan(all_queries()["events_ab_srm_check"](spark, sf_dir), "simple")
+    assert "Join" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "EvalPython" not in plan, plan
