@@ -1640,3 +1640,75 @@ def dedup_cluster_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- quality-aware survivor selection (r11z wave) ----------------------------
+
+_CANON_SQL = f"""
+WITH RECURSIVE pb AS ({_MINHASH_SQL}
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pb
+  UNION
+  SELECT id_b, id_a FROM pb
+), nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+), reach(node, v) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.v
+), labels AS (
+  SELECT node AS doc_id, min(v) AS cluster_id FROM reach GROUP BY node
+), sized AS (
+  SELECT l.doc_id, l.cluster_id, CAST(d.n_chars AS BIGINT) AS n_chars
+  FROM labels l JOIN documents d ON d.doc_id = l.doc_id
+), best AS (
+  SELECT cluster_id, max(n_chars) AS best_chars FROM sized GROUP BY cluster_id
+), canon AS (
+  SELECT s.cluster_id, CAST(min(s.doc_id) AS BIGINT) AS canonical_id
+  FROM sized s JOIN best b
+    ON b.cluster_id = s.cluster_id AND s.n_chars = b.best_chars
+  GROUP BY s.cluster_id
+)
+SELECT s.doc_id, s.cluster_id, s.n_chars, c.canonical_id,
+       (s.doc_id = c.canonical_id) AS is_keep
+FROM sized s JOIN canon c ON c.cluster_id = s.cluster_id
+ORDER BY s.doc_id
+"""
+
+
+@_q("dedup_cluster_canonical", _CANON_SQL)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware SURVIVOR SELECTION over the near-dup clusters — the
+    step dedup_cluster's min-id keep rule approximates: a CCNet/
+    RefinedWeb-style pass keeps the BEST duplicate (here: longest text,
+    tie-broken by min doc_id — a total order, so both engines pick the
+    same survivor), and every other member maps to its canonical doc
+    (the keep/drop + redirect table a training pipeline materializes).
+
+    Composition: cluster labels come from the SAME min-label propagation
+    as dedup_cluster (one more data point that the iterative labels
+    equal the recursive-CTE closure); the canonical pick is
+    ``max(struct(n_chars, -doc_id))`` per cluster — one groupBy on
+    cluster_id, scale-bounded by cluster count. No new shuffle shape."""
+    labels = dedup_cluster(spark, sf_dir).select("doc_id", "cluster_id")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    sized = labels.join(docs, "doc_id")
+    canon = (
+        sized.groupBy("cluster_id")
+        .agg(
+            F.max(
+                F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg_id"))
+            ).alias("b")
+        )
+        .select("cluster_id", (-F.col("b.neg_id")).cast("long").alias("canonical_id"))
+    )
+    return (
+        sized.join(canon, "cluster_id")
+        .select(
+            "doc_id", "cluster_id", "n_chars", "canonical_id",
+            (F.col("doc_id") == F.col("canonical_id")).alias("is_keep"),
+        )
+        .orderBy("doc_id")
+    )

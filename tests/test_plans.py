@@ -1786,3 +1786,13 @@ def test_srm_check_plan_shape(spark, sf_dir):
     assert "Join" not in plan, plan
     assert "windowspecdefinition" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_cluster_canonical_plan_shape(spark, sf_dir):
+    """dedup_cluster_canonical (r11z): survivor selection adds one
+    cluster_id groupBy + two equi-joins on top of the converged label
+    frame — no cartesian, no window, no Python."""
+    plan = _plan(all_queries()["dedup_cluster_canonical"](spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "EvalPython" not in plan, plan
