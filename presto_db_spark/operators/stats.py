@@ -745,3 +745,116 @@ def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" (na - nb) * (na - nb) * 1000000 > {CHI2_CRIT_E6} * (na + nb)"
         ).alias("srm_detected"),
     )
+
+
+# --- CUPED variance reduction (r11z wave) ------------------------------------
+# Controlled-experiment Using Pre-Experiment Data (Deng et al., WSDM'13)
+# — the standard variance-reduction technique: regress the experiment
+# metric on each user's PRE-period value, subtract the predictable part,
+# and the adjusted metric's variance shrinks by the squared correlation.
+# theta = cov(x,y)/var(x) and the variance-reduction ratio
+# rho^2 = cov^2/(var_x var_y) are ratios of integer sufficient
+# statistics — the ml_linear_regression algebra pointed at experiment
+# design. Dollar grain keeps the 128-bit cross-multiplication exact
+# through ~sf 3 (cents would square past DECIMAL(38) at sf 1).
+
+_CUPED_SQL = """
+WITH bounds AS (
+  SELECT (CAST(epoch_us(min(ts)) AS BIGINT) + CAST(epoch_us(max(ts)) AS BIGINT)) // 2
+           AS mid_us
+  FROM events
+), users AS (
+  SELECT e.user_id,
+         CAST(sum(CASE WHEN e.event_type = 'purchase'
+                       AND CAST(epoch_us(e.ts) AS BIGINT) < b.mid_us
+                  THEN CAST(round(e.value) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+         CAST(sum(CASE WHEN e.event_type = 'purchase'
+                       AND CAST(epoch_us(e.ts) AS BIGINT) >= b.mid_us
+                  THEN CAST(round(e.value) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+  FROM events e CROSS JOIN bounds b
+  GROUP BY e.user_id
+), g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM users
+), d AS (
+  SELECT n, sx, sy,
+         n * sxy - sx * sy AS cov_n,
+         n * sxx - sx * sx AS varx_n,
+         n * syy - sy * sy AS vary_n
+  FROM g
+)
+SELECT n AS n_users,
+       CAST(CASE WHEN varx_n = 0 THEN 0
+            ELSE CASE WHEN cov_n >= 0 THEN cov_n * 1000000 // varx_n
+                 ELSE -((-cov_n) * 1000000 // varx_n) END
+            END AS BIGINT) AS theta_micros,
+       CAST(CASE WHEN varx_n = 0 OR vary_n = 0 THEN 0
+            ELSE CAST(cov_n AS HUGEINT) * CAST(cov_n AS HUGEINT) * 1000000
+                 // (CAST(varx_n AS HUGEINT) * CAST(vary_n AS HUGEINT))
+            END AS BIGINT) AS var_reduction_ppm
+FROM d
+"""
+
+
+@_q("events_cuped_theta", _CUPED_SQL)
+def events_cuped_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED coefficient + variance-reduction readout: pre/post-period
+    per-user purchase dollars split at the exact integer-microsecond
+    data midpoint (timestamp-interval halving rounds differently across
+    engines; epoch math cannot), theta = cov/var_x by sign-safe truncating
+    micros, and the variance reduction rho^2 = cov^2/(var_x var_y) as
+    one exact 128-bit cross-multiplication (HUGEINT oracle /
+    DECIMAL(38,0) Spark, quotient bounded by 10^6 — inside the pinned
+    long-quotient contract). Scale: one per-user fold (the midpoint is
+    a 1-row broadcast) + one 6-counter global aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.expr(
+            "(unix_micros(min(ts)) + unix_micros(max(ts))) div 2"
+        ).alias("mid_us")
+    )
+    e = ev.crossJoin(F.broadcast(bounds))
+    pre = F.expr("unix_micros(ts)") < F.col("mid_us")
+    dollars = F.round(F.col("value")).cast("long")
+    purchase = F.col("event_type") == "purchase"
+    users = e.groupBy("user_id").agg(
+        F.sum(F.when(purchase & pre, dollars).otherwise(0))
+        .cast("long").alias("x"),
+        F.sum(F.when(purchase & ~pre, dollars).otherwise(0))
+        .cast("long").alias("y"),
+    )
+    g = users.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    d = g.select(
+        "n", "sx", "sy",
+        F.expr("n * sxy - sx * sy").alias("cov_n"),
+        F.expr("n * sxx - sx * sx").alias("varx_n"),
+        F.expr("n * syy - sy * sy").alias("vary_n"),
+    )
+    return d.select(
+        F.col("n").alias("n_users"),
+        F.expr(
+            "CAST(CASE WHEN varx_n = 0 THEN 0"
+            " ELSE CASE WHEN cov_n >= 0 THEN cov_n * 1000000 div varx_n"
+            "      ELSE -((-cov_n) * 1000000 div varx_n) END"
+            " END AS BIGINT)"
+        ).alias("theta_micros"),
+        F.expr(
+            "CAST(CASE WHEN varx_n = 0 OR vary_n = 0 THEN 0"
+            " ELSE CAST(cov_n AS DECIMAL(38,0)) * CAST(cov_n AS DECIMAL(38,0))"
+            "      * 1000000"
+            "      div (CAST(varx_n AS DECIMAL(38,0))"
+            "           * CAST(vary_n AS DECIMAL(38,0)))"
+            " END AS BIGINT)"
+        ).alias("var_reduction_ppm"),
+    )

@@ -1796,3 +1796,13 @@ def test_cluster_canonical_plan_shape(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "windowspecdefinition" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_cuped_plan_shape(spark, sf_dir):
+    """events_cuped_theta (r11z): midpoint is a 1-row broadcast; one
+    per-user fold + one 6-counter aggregate — no window, no Python, no
+    data-scale cartesian (the bounds crossJoin is 1-row broadcast)."""
+    plan = _plan(all_queries()["events_cuped_theta"](spark, sf_dir), "simple")
+    assert "windowspecdefinition" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "partial_sum" in plan, plan
