@@ -3394,3 +3394,126 @@ def events_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 events_cross_correlation.__doc__ = events_cross_correlation.__doc__.format(_XCORR_MAXLAG=_XCORR_MAXLAG)
+
+
+# --- Holt-Winters hold-out backtest (r11z wave) ------------------------------
+# The eval for events_holt_winters (the seasonal_backtest pattern): train
+# the smoother on observations 1..12 of each type's last-13 window,
+# forecast the held-out 13th slot, and score against BOTH the actual and
+# the seasonal-naive baseline (same slot one season back, x_9) — the
+# denominator that tells you whether the smoother earns its complexity.
+# Both engines evaluate the SAME closed linear form (the coefficient
+# vectors are the ones the recurrence-vs-closed-form gate already
+# cross-validates), so this op is pure exact-integer arithmetic.
+
+_HWBT_T = _HW_T + 1  # 13-observation window: train 12, hold out 1
+
+
+def _hwbt_fc_sql() -> str:
+    fnum = (
+        f"({_hw_case(_HW_L)}) + ({_hw_case(_HW_B)})"
+        f" + {_HW_S1_MULT} * ({_hw_case(_HW_S[0])})"
+    )
+    return _HW_TDIV.format(num=fnum, den=_HW_DEN, div="//")
+
+
+_HWBT_SQL = f"""
+WITH s AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(extract(hour FROM ts) // 6 AS INTEGER) AS slot,
+         CAST(sum(round(value * 100)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2, 3
+), tail AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY d DESC, slot DESC) AS rd
+  FROM s
+), kept AS (
+  SELECT event_type, cents, {_HWBT_T + 1} - rd AS i
+  FROM tail WHERE rd <= {_HWBT_T}
+), full_types AS (
+  SELECT event_type FROM kept GROUP BY event_type HAVING count(*) = {_HWBT_T}
+), sc AS (
+  SELECT k.event_type,
+         CAST({_hwbt_fc_sql()} AS BIGINT) AS hw_fc,
+         CAST(sum(CASE WHEN i = {_HWBT_T} THEN cents ELSE 0 END) AS BIGINT)
+           AS actual,
+         CAST(sum(CASE WHEN i = 9 THEN cents ELSE 0 END) AS BIGINT) AS naive_fc
+  FROM kept k JOIN full_types f ON f.event_type = k.event_type
+  GROUP BY k.event_type
+)
+SELECT event_type, actual, hw_fc AS hw_forecast, naive_fc AS naive_forecast,
+       CAST(abs(hw_fc - actual) AS BIGINT) AS hw_abs_err,
+       CAST(abs(naive_fc - actual) AS BIGINT) AS naive_abs_err,
+       CAST(CASE WHEN actual = 0 THEN NULL
+            ELSE abs(hw_fc - actual) * 1000000 // actual END AS BIGINT)
+         AS hw_ape_ppm,
+       CAST(CASE WHEN abs(naive_fc - actual) = 0 THEN NULL
+            ELSE abs(hw_fc - actual) * 1000000 // abs(naive_fc - actual)
+            END AS BIGINT) AS err_vs_naive_ppm
+FROM sc ORDER BY event_type
+"""
+
+
+@_q("events_holt_winters_backtest", _HWBT_SQL)
+def events_holt_winters_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hold-out accuracy for the Holt-Winters smoother: train on the 12
+    observations preceding each type's LAST slot, forecast that slot
+    with the exact closed linear form, and report absolute error, APE
+    (ppm) and the error ratio against the seasonal-naive baseline
+    (x_9 — same slot one season back). A ratio under 1e6 means the
+    smoother beats naive; the number is MEASURED, not asserted (the
+    sim_ann_recall contract applied to forecasting). Same shuffle shape
+    as events_holt_winters: one slot rollup, one bounded tail window,
+    one |types|-row aggregate — the i=13 hold-out and the i=9 naive
+    pick ride the same conditional-CASE pass as the 12 training
+    coefficients."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy(
+        "event_type",
+        F.col("ts").cast("date").alias("d"),
+        (F.hour("ts") / 6).cast("int").alias("slot"),
+    ).agg(F.sum(F.round(F.col("value") * 100)).cast("long").alias("cents"))
+    tail_w = W.partitionBy("event_type").orderBy(
+        F.col("d").desc(), F.col("slot").desc()
+    )
+    kept = (
+        s.select("event_type", "cents", F.row_number().over(tail_w).alias("rd"))
+        .filter(F.col("rd") <= _HWBT_T)
+        .select("event_type", "cents", (_HWBT_T + 1 - F.col("rd")).alias("i"))
+    )
+    fnum = (
+        f"({_hw_case(_HW_L)}) + ({_hw_case(_HW_B)})"
+        f" + {_HW_S1_MULT} * ({_hw_case(_HW_S[0])})"
+    )
+    sc = (
+        kept.groupBy("event_type")
+        .agg(
+            F.count("*").alias("__cnt"),
+            F.expr(
+                _HW_TDIV.format(num=fnum, den=_HW_DEN, div="div")
+            ).cast("long").alias("hw_fc"),
+            F.sum(F.when(F.col("i") == _HWBT_T, F.col("cents")).otherwise(0))
+            .cast("long").alias("actual"),
+            F.sum(F.when(F.col("i") == 9, F.col("cents")).otherwise(0))
+            .cast("long").alias("naive_fc"),
+        )
+        .filter(F.col("__cnt") == _HWBT_T)
+    )
+    return sc.select(
+        "event_type",
+        "actual",
+        F.col("hw_fc").alias("hw_forecast"),
+        F.col("naive_fc").alias("naive_forecast"),
+        F.expr("abs(hw_fc - actual)").cast("bigint").alias("hw_abs_err"),
+        F.expr("abs(naive_fc - actual)").cast("bigint").alias("naive_abs_err"),
+        F.expr(
+            "CAST(CASE WHEN actual = 0 THEN NULL"
+            " ELSE abs(hw_fc - actual) * 1000000 div actual END AS BIGINT)"
+        ).alias("hw_ape_ppm"),
+        F.expr(
+            "CAST(CASE WHEN abs(naive_fc - actual) = 0 THEN NULL"
+            " ELSE abs(hw_fc - actual) * 1000000 div abs(naive_fc - actual)"
+            " END AS BIGINT)"
+        ).alias("err_vs_naive_ppm"),
+    ).orderBy("event_type")

@@ -1806,3 +1806,13 @@ def test_cuped_plan_shape(spark, sf_dir):
     assert "windowspecdefinition" not in plan, plan
     assert "EvalPython" not in plan, plan
     assert "partial_sum" in plan, plan
+
+
+def test_hw_backtest_plan_shape(spark, sf_dir):
+    """events_holt_winters_backtest (r11z): same shape as the smoother —
+    one slot rollup, one bounded per-type tail window, one |types|-row
+    aggregate; no joins, no Python."""
+    plan = _plan(all_queries()["events_holt_winters_backtest"](spark, sf_dir), "simple")
+    assert "Join" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "partial_sum" in plan, plan
