@@ -2499,3 +2499,198 @@ def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 emb_random_projection.__doc__ = emb_random_projection.__doc__.format(JL_K=JL_K)
+
+
+# --- IVF nprobe operating curve (r11z wave) ----------------------------------
+# The tuning table behind sim_ivf's N_PROBE choice: recall@5 as a
+# function of probes searched (1 / 2 / 4), against the exact scan on the
+# query sample. Probe lists NEST (probes(4) ⊇ probes(2) ⊇ probes(1)), so
+# ONE candidate enumeration at the widest setting serves every rung —
+# each candidate carries the FIRST probe rank that found it, and rung np
+# simply filters first_probe <= np before the top-k. Recall is bought
+# with probes; this op prices the curve instead of asserting it.
+
+_SWEEP_NPROBES = [1, 2, 4]
+
+_SPARK_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+    " CAST(0.0 AS DOUBLE), (s, v) -> s + v)"
+)
+_SPARK_NORM = (
+    "sqrt(aggregate(transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+    " CAST(0.0 AS DOUBLE), (s, v) -> s + v))"
+)
+
+
+def _sweep_cos(dot_t: str, norm_t: str, a: str, b: str) -> str:
+    return (
+        f"{dot_t.format(a=a, b=b)}"
+        f" / ({norm_t.format(a=a)} * {norm_t.format(a=b)})"
+    )
+
+
+_SWEEP_SQL = f"""
+WITH c AS (
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+  WHERE vec_id < {N_CENTROIDS}
+), q AS (
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+  WHERE vec_id < {N_QUERIES}
+), probe AS (
+  SELECT qid, qe, cid, prn FROM (
+    SELECT q.qid, q.qe, c.cid,
+           row_number() OVER (PARTITION BY q.qid ORDER BY
+             {_sweep_cos(_SQL_DOT, _SQL_NORM, "q.qe", "c.ce")} DESC, c.cid) AS prn
+    FROM q CROSS JOIN c
+  ) WHERE prn <= {max(_SWEEP_NPROBES)}
+), assigned AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             {_sweep_cos(_SQL_DOT, _SQL_NORM, "e.embedding", "c.ce")} DESC, c.cid)
+             AS arn
+    FROM embeddings e CROSS JOIN c
+  ) WHERE arn = 1
+), cand AS (
+  SELECT p.qid, a.vec_id,
+         CAST(min(p.prn) AS INTEGER) AS first_probe,
+         max(round({_sweep_cos(_SQL_DOT, _SQL_NORM, "p.qe", "a.embedding")}, 6))
+           AS sim
+  FROM probe p JOIN assigned a ON a.cid = p.cid AND a.vec_id <> p.qid
+  GROUP BY p.qid, a.vec_id
+), sweep AS (
+  SELECT r.np, r.qid, r.vec_id FROM (
+    SELECT np, qid, vec_id,
+           row_number() OVER (PARTITION BY np, qid
+                              ORDER BY sim DESC, vec_id) AS rn
+    FROM cand CROSS JOIN (VALUES {", ".join(f"({n})" for n in _SWEEP_NPROBES)})
+         g2(np)
+    WHERE first_probe <= np
+  ) r WHERE r.rn <= {TOP_K}
+), exact AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, e.vec_id,
+           row_number() OVER (PARTITION BY q.qid ORDER BY
+             round({_sweep_cos(_SQL_DOT, _SQL_NORM, "q.qe", "e.embedding")}, 6)
+               DESC, e.vec_id) AS rn
+    FROM q JOIN embeddings e ON e.vec_id <> q.qid
+  ) WHERE rn <= {TOP_K}
+)
+SELECT CAST(g.np AS BIGINT) AS nprobe,
+       CAST((SELECT count(DISTINCT qid) FROM q) AS BIGINT) AS n_queries,
+       CAST(count(s.vec_id) AS BIGINT) AS n_hits,
+       CAST(count(s.vec_id) * 1000000
+            // ((SELECT count(*) FROM q) * {TOP_K}) AS BIGINT)
+         AS mean_recall_ppm
+FROM (VALUES {", ".join(f"({n})" for n in _SWEEP_NPROBES)}) g(np)
+LEFT JOIN (
+  SELECT sw.np, sw.vec_id FROM sweep sw
+  JOIN exact ex ON ex.qid = sw.qid AND ex.vec_id = sw.vec_id
+) s ON s.np = g.np
+GROUP BY g.np ORDER BY nprobe
+"""
+
+
+@_q("sim_ivf_nprobe_sweep", _SWEEP_SQL)
+def sim_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOP_K} vs probes searched for the IVF index — the
+    operating curve that prices sim_ivf's N_PROBE knob. One candidate
+    enumeration at the widest rung (probe lists nest; each candidate
+    remembers its FIRST probe rank) serves every rung via a filter, so
+    the sweep costs one probe-join, not |rungs|. Cosines are the same
+    in-order IEEE fold in both engines (the emb_int8_quantize contract);
+    all windows partition by (np, qid) / vec_id — bounded widths.
+    Eval-protocol scale note: ground truth is the exact scan over the
+    Q-query sample (the sim_ann_recall protocol); the full-corpus
+    assignment pass is the one scan-shaped stage."""
+    emb = _emb(spark, sf_dir)
+    c = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    from pyspark.sql.window import Window as W
+
+    cos_qc = F.expr(_sweep_cos(_SPARK_DOT, _SPARK_NORM, "qe", "ce"))
+    probe = (
+        q.crossJoin(F.broadcast(c))
+        .withColumn("csim", cos_qc)
+        .withColumn(
+            "prn",
+            F.row_number().over(
+                W.partitionBy("qid").orderBy(F.col("csim").desc(), "cid")
+            ),
+        )
+        .filter(F.col("prn") <= max(_SWEEP_NPROBES))
+        .select("qid", "qe", "cid", "prn")
+    )
+    cos_ec = F.expr(_sweep_cos(_SPARK_DOT, _SPARK_NORM, "embedding", "ce"))
+    assigned = (
+        emb.crossJoin(F.broadcast(c))
+        .withColumn("csim", cos_ec)
+        .withColumn(
+            "arn",
+            F.row_number().over(
+                W.partitionBy("vec_id").orderBy(F.col("csim").desc(), "cid")
+            ),
+        )
+        .filter(F.col("arn") == 1)
+        .select("vec_id", "embedding", "cid")
+    )
+    cos_qa = F.expr(_sweep_cos(_SPARK_DOT, _SPARK_NORM, "qe", "embedding"))
+    cand = (
+        probe.join(
+            assigned,
+            (probe.cid == assigned.cid) & (assigned.vec_id != probe.qid),
+        )
+        .withColumn("sim", F.round(cos_qa, 6))
+        .groupBy("qid", "vec_id")
+        .agg(
+            F.min("prn").cast("int").alias("first_probe"),
+            F.max("sim").alias("sim"),
+        )
+    )
+    grid = spark.createDataFrame([(n,) for n in _SWEEP_NPROBES], "np int")
+    sweep = (
+        cand.crossJoin(F.broadcast(grid))
+        .filter(F.col("first_probe") <= F.col("np"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("np", "qid").orderBy(F.col("sim").desc(), "vec_id")
+            ),
+        )
+        .filter(F.col("rn") <= TOP_K)
+        .select("np", "qid", "vec_id")
+    )
+    cos_qe = F.expr(_sweep_cos(_SPARK_DOT, _SPARK_NORM, "qe", "embedding"))
+    exact = (
+        q.join(emb, emb.vec_id != q.qid)
+        .withColumn("sim", F.round(cos_qe, 6))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("qid").orderBy(F.col("sim").desc(), "vec_id")
+            ),
+        )
+        .filter(F.col("rn") <= TOP_K)
+        .select("qid", "vec_id")
+    )
+    hits = sweep.join(exact, ["qid", "vec_id"]).groupBy("np").agg(
+        F.count("*").cast("long").alias("n_hits")
+    )
+    nq = q.agg(F.count("*").alias("n_q"))
+    return (
+        grid.join(hits, "np", "left")
+        .crossJoin(F.broadcast(nq))
+        .select(
+            F.col("np").cast("bigint").alias("nprobe"),
+            F.col("n_q").cast("bigint").alias("n_queries"),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.expr(
+                f"coalesce(n_hits, 0) * 1000000 div (n_q * {TOP_K})"
+            ).cast("bigint").alias("mean_recall_ppm"),
+        )
+        .orderBy("nprobe")
+    )

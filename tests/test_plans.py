@@ -1816,3 +1816,12 @@ def test_hw_backtest_plan_shape(spark, sf_dir):
     assert "Join" not in plan, plan
     assert "EvalPython" not in plan, plan
     assert "partial_sum" in plan, plan
+
+
+def test_nprobe_sweep_plan_shape(spark, sf_dir):
+    """sim_ivf_nprobe_sweep (r11z): centroids/grid broadcast, all
+    windows partitioned by (np, qid)/vec_id — never SinglePartition over
+    data; no Python in the plan (pure HOF cosines)."""
+    plan = _plan(all_queries()["sim_ivf_nprobe_sweep"](spark, sf_dir), "simple")
+    assert "EvalPython" not in plan, plan
+    assert not re.search(r"Exchange SinglePartition[^\n]*\n[\s:+-]*Window", plan), plan
