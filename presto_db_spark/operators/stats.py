@@ -858,3 +858,72 @@ def events_cuped_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
             " END AS BIGINT)"
         ).alias("var_reduction_ppm"),
     )
+
+
+# --- frequency-cap simulation (r11z wave) ------------------------------------
+
+_FREQCAP_CAPS = [3, 5, 10]
+
+_FREQCAP_SQL = f"""
+WITH per_user AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+), tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS total_views,
+         CAST(count(*) AS BIGINT) AS n_users
+  FROM per_user
+)
+SELECT CAST(c.cap AS BIGINT) AS cap,
+       t.n_users, t.total_views,
+       CAST(sum(least(p.n, c.cap)) AS BIGINT) AS served_views,
+       CAST((t.total_views - sum(least(p.n, c.cap))) * 1000000
+            // t.total_views AS BIGINT) AS suppressed_ppm,
+       CAST(sum(CASE WHEN p.n > c.cap THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_users_capped
+FROM per_user p
+CROSS JOIN (VALUES {", ".join(f"({c})" for c in _FREQCAP_CAPS)}) c(cap)
+CROSS JOIN tot t
+GROUP BY c.cap, t.n_users, t.total_views
+ORDER BY cap
+"""
+
+
+@_q("events_frequency_cap", _FREQCAP_SQL)
+def events_frequency_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-cap planning (the ad-serving/notification knob): for
+    each candidate per-user cap, the exact views served, the suppressed
+    share in ppm, and how many users the cap touches — all from ONE
+    per-user fold crossed with the 3-row cap grid (broadcast) and a
+    1-row total. Pure integer arithmetic; the capped sum uses
+    least(n, cap), so no row-level simulation is ever materialized."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    tot = per_user.agg(
+        F.sum("n").cast("long").alias("total_views"),
+        F.count("*").cast("long").alias("n_users"),
+    )
+    caps = spark.createDataFrame([(c,) for c in _FREQCAP_CAPS], "cap int")
+    return (
+        per_user.crossJoin(F.broadcast(caps))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("cap", "n_users", "total_views")
+        .agg(
+            F.sum(F.least(F.col("n"), F.col("cap"))).cast("long")
+            .alias("served_views"),
+            F.sum(F.when(F.col("n") > F.col("cap"), 1).otherwise(0))
+            .cast("long").alias("n_users_capped"),
+        )
+        .select(
+            F.col("cap").cast("bigint").alias("cap"),
+            "n_users", "total_views", "served_views",
+            F.expr(
+                "(total_views - served_views) * 1000000 div total_views"
+            ).cast("bigint").alias("suppressed_ppm"),
+            "n_users_capped",
+        )
+        .orderBy("cap")
+    )

@@ -1825,3 +1825,13 @@ def test_nprobe_sweep_plan_shape(spark, sf_dir):
     plan = _plan(all_queries()["sim_ivf_nprobe_sweep"](spark, sf_dir), "simple")
     assert "EvalPython" not in plan, plan
     assert not re.search(r"Exchange SinglePartition[^\n]*\n[\s:+-]*Window", plan), plan
+
+
+def test_frequency_cap_plan_shape(spark, sf_dir):
+    """events_frequency_cap (r11z): one per-user fold × broadcast cap
+    grid × 1-row total — no window, no Python, no data-scale
+    cartesian."""
+    plan = _plan(all_queries()["events_frequency_cap"](spark, sf_dir), "simple")
+    assert "windowspecdefinition" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "partial_count" in plan, plan
