@@ -3517,3 +3517,86 @@ def events_holt_winters_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             " END AS BIGINT)"
         ).alias("err_vs_naive_ppm"),
     ).orderBy("event_type")
+
+
+# --- adstock transform (r11z wave) -------------------------------------------
+# Geometric-decay carryover (the marketing-mix "adstock": today's effect
+# = today's spend + half of yesterday's effect, λ=1/2): the recurrence
+# A_t = x_t + A_(t-1)/2 closes to A_t = Σ x_i / 2^(t-i), so scaling by
+# 2^t makes it ONE per-type cumulative window sum of x_i·2^i — the SES
+# dyadic device as a row-wise TRANSFORM (every day's carried value, not
+# just the final smoothed state).
+
+_ADSTOCK_K = 16  # transform the most recent K daily observations
+
+_ADSTOCK_SQL = f"""
+WITH s AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(sum(round(value * 100)) AS BIGINT) AS cents
+  FROM events WHERE event_type IN ('purchase', 'click')
+  GROUP BY event_type, CAST(ts AS DATE)
+), tail AS (
+  SELECT event_type, d, cents,
+         row_number() OVER (PARTITION BY event_type ORDER BY d DESC) AS rd
+  FROM s
+), kept AS (
+  SELECT event_type, d, cents, {_ADSTOCK_K + 1} - rd AS i
+  FROM tail WHERE rd <= {_ADSTOCK_K}
+), acc AS (
+  SELECT event_type, d, cents, i,
+         CAST(sum(cents * (CAST(1 AS BIGINT) << i))
+              OVER (PARTITION BY event_type ORDER BY i
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS num
+  FROM kept
+)
+SELECT event_type, d AS day, CAST(i AS BIGINT) AS i, cents,
+       CAST((num * 100) // (CAST(1 AS BIGINT) << i) AS BIGINT) AS adstock_centi
+FROM acc ORDER BY event_type, i
+"""
+
+
+@_q("events_adstock_transform", _ADSTOCK_SQL)
+def events_adstock_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adstock (geometric carryover, λ=1/2) of the purchase/click daily
+    cents series over the last {_ADSTOCK_K} days per type: 2^t scaling
+    turns the recurrence into a cumulative window sum of x_i·2^i, so
+    every day's carried value is exact integer centi-cents (truncating)
+    — no recursion, no floats, bit-identical in both engines. The 2^K
+    coefficient bounds the window at K={_ADSTOCK_K} (BIGINT headroom
+    ~2^63/2^16 cents); longer horizons re-base the exponent per block
+    (the train_webdataset_index per-shard device). One per-type window
+    over a bounded daily table."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    s = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.sum(F.round(F.col("value") * 100)).cast("long").alias("cents"))
+    tail_w = W.partitionBy("event_type").orderBy(F.col("d").desc())
+    kept = (
+        s.select("event_type", "d", "cents", F.row_number().over(tail_w).alias("rd"))
+        .filter(F.col("rd") <= _ADSTOCK_K)
+        .select(
+            "event_type", "d", "cents",
+            (_ADSTOCK_K + 1 - F.col("rd")).alias("i"),
+        )
+    )
+    acc_w = (
+        W.partitionBy("event_type")
+        .orderBy("i")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    acc = kept.withColumn(
+        "num",
+        F.sum(F.expr("cents * (CAST(1 AS BIGINT) << i)")).over(acc_w)
+        .cast("long"),
+    )
+    return acc.select(
+        "event_type",
+        F.col("d").alias("day"),
+        F.col("i").cast("bigint").alias("i"),
+        "cents",
+        F.expr("(num * 100) div (CAST(1 AS BIGINT) << i)").cast("bigint")
+        .alias("adstock_centi"),
+    ).orderBy("event_type", "i")

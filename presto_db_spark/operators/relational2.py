@@ -678,3 +678,37 @@ def join_existence_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_EXISTENCE_SQL)
+
+
+# --- aggregate FILTER clause (r11z wave) -------------------------------------
+# The SQL:2003 FILTER (WHERE ...) aggregate modifier — Presto grammar
+# `aggregationClause` (SqlBase.g4 `filter`), lowered through
+# `AggregationNode`'s mask channels; Spark parses the same syntax and
+# lowers it to the conditional-aggregate form. One literal SQL text runs
+# in BOTH engines.
+
+_FILTER_SQL = """
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_all,
+       CAST(count(*) FILTER (WHERE o_totalprice > 100000) AS BIGINT) AS n_big,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+            FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT)
+         AS urgent_cents,
+       CAST(count(DISTINCT o_custkey) FILTER (WHERE o_orderpriority = '1-URGENT')
+            AS BIGINT) AS urgent_customers
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+@_q("agg_filter_clause", _FILTER_SQL)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate FILTER (WHERE ...) clauses — plain, on a sum, and on a
+    DISTINCT count — as ONE literal SQL text both engines parse (the
+    masked-aggregation surface Presto users write instead of CASE
+    expressions; Spark lowers it to the same conditional aggregates, so
+    the plan is still a single two-phase pass). Exact cents keep the
+    value hash stable."""
+    from ..catalog import load_table
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_FILTER_SQL)

@@ -1835,3 +1835,22 @@ def test_frequency_cap_plan_shape(spark, sf_dir):
     assert "windowspecdefinition" not in plan, plan
     assert "EvalPython" not in plan, plan
     assert "partial_count" in plan, plan
+
+
+def test_filter_clause_plan_shape(spark, sf_dir):
+    """agg_filter_clause (r11z): FILTER (WHERE) lowers to conditional
+    aggregates in one pass — no join, no window, no Python."""
+    plan = _plan(all_queries()["agg_filter_clause"](spark, sf_dir), "simple")
+    assert "Join" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_adstock_plan_shape(spark, sf_dir):
+    """events_adstock_transform (r11z): daily rollup (map-side) + two
+    per-type windows over the bounded tail — never SinglePartition, no
+    join, no Python."""
+    plan = _plan(all_queries()["events_adstock_transform"](spark, sf_dir), "simple")
+    assert "Join" not in plan, plan
+    assert not re.search(r"Exchange SinglePartition[^\n]*\n[\s:+-]*Window", plan), plan
+    assert "EvalPython" not in plan, plan
