@@ -2054,3 +2054,105 @@ def multimodal_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("saved_ppm"),
         )
     )
+
+
+# --- lossless PPM → PNG transcode (r11ab wave) -------------------------------
+# Codec COMPOSITION: the storage migration a media lake actually runs
+# (uncompressed masters → compressed archival format) as three chained
+# Arrow stages — encode PPM, transcode to PNG (real zlib DEFLATE +
+# CRC32 chunks), decode PNG with the full five-filter parser — with the
+# oracle pinning the FULL-RESOLUTION channel sums closed-form from the
+# pixel-synthesis formulas. Losslessness is the value hash: any byte
+# the transcode drops or shifts breaks the sums.
+
+
+def _ppm_to_png_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Parse each P6 payload (tokenizing header reader) and re-encode it
+    as an 8-bit RGB PNG (filter 0 scanlines, one zlib IDAT)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    for pdf in batches:
+        out_ids, out_payloads = [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            buf = bytes(payload)
+            pos = 0
+
+            def token():
+                nonlocal pos
+                while True:
+                    while pos < len(buf) and buf[pos : pos + 1].isspace():
+                        pos += 1
+                    if pos < len(buf) and buf[pos : pos + 1] == b"#":
+                        while pos < len(buf) and buf[pos] != 0x0A:
+                            pos += 1
+                        continue
+                    break
+                start = pos
+                while pos < len(buf) and not buf[pos : pos + 1].isspace():
+                    pos += 1
+                return buf[start:pos]
+
+            if token() != b"P6":
+                raise ValueError("not a P6 payload")
+            w, h, maxval = int(token()), int(token()), int(token())
+            if maxval != 255:
+                raise ValueError(f"unsupported PPM maxval: {maxval}")
+            pos += 1
+            raster = np.frombuffer(buf[pos:], dtype=np.uint8).reshape(h, w, 3)
+            scanlines = b"".join(
+                b"\x00" + raster[y].tobytes() for y in range(h)
+            )
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+            png = (
+                b"\x89PNG\r\n\x1a\n"
+                + _png_chunk(b"IHDR", ihdr)
+                + _png_chunk(b"IDAT", zlib.compress(scanlines))
+                + _png_chunk(b"IEND", b"")
+            )
+            out_ids.append(int(doc_id))
+            out_payloads.append(png)
+        yield pd.DataFrame({"doc_id": out_ids, "payload": out_payloads})
+
+
+def _full_chan_sql(a: int, xm: int, ym: int) -> str:
+    px = f"((doc_id * {a} + x * {xm} + y * {ym}) % 256)"
+    return (
+        "CAST(list_sum(flatten(list_transform(generate_series(0, h - 1), y -> "
+        f"list_transform(generate_series(0, w - 1), x -> {px})))) AS BIGINT)"
+    )
+
+
+_TRANSCODE_ORACLE = f"""
+WITH g AS (
+  SELECT doc_id, 8 + 2 * (doc_id % 5) AS w, 4 + 2 * (doc_id % 3) AS h
+  FROM documents WHERE doc_id < 300
+)
+SELECT doc_id,
+       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST(8 AS INTEGER) AS bit_depth, CAST(2 AS INTEGER) AS color_type,
+       {_full_chan_sql(3, 7, 11)} AS sum_r,
+       {_full_chan_sql(5, 13, 3)} AS sum_g,
+       {_full_chan_sql(7, 1, 17)} AS sum_b
+FROM g ORDER BY doc_id
+"""
+
+
+@_q("multimodal_transcode_lossless", _TRANSCODE_ORACLE)
+def multimodal_transcode_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPM → PNG transcode with losslessness under the value hash:
+    encode a real P6 per doc, transcode it to a real PNG (tokenizing
+    PPM parse → filter-0 scanlines → zlib IDAT + CRC32 chunks), then
+    decode with the SAME chunk-walking five-filter PNG parser the
+    roundtrip op uses — and the oracle predicts the full-resolution
+    decoded channel sums closed-form from the synthesis formulas. Three
+    chained mapInPandas stages, shuffle-free at any scale (the
+    multimodal pipeline shape: media bytes never leave their
+    partition)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    ppm = docs.select("doc_id").mapInPandas(_ppm_encode_batches, _BMP_SCHEMA)
+    png = ppm.mapInPandas(_ppm_to_png_batches, _BMP_SCHEMA)
+    feats = png.mapInPandas(_png_decode_batches, _PNG_FEAT_SCHEMA)
+    return feats.orderBy("doc_id")

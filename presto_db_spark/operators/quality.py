@@ -464,3 +464,89 @@ def quality_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame
     for df in out[1:]:
         res = res.unionByName(df)
     return res.orderBy("edge")
+
+
+# --- primary-key uniqueness audit (r11ab wave) -------------------------------
+
+_UNIQ_SQL = """
+SELECT col, n_rows, n_distinct, n_dup_keys, dup_rows_ppm FROM (
+  SELECT 'orders.o_orderkey' AS col,
+         (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_rows,
+         (SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT) FROM orders)
+           AS n_distinct,
+         (SELECT CAST(count(*) AS BIGINT) FROM (
+            SELECT o_orderkey FROM orders GROUP BY o_orderkey
+            HAVING count(*) > 1)) AS n_dup_keys,
+         (SELECT CAST((count(*) - count(DISTINCT o_orderkey)) * 1000000
+                      // count(*) AS BIGINT) FROM orders) AS dup_rows_ppm
+  UNION ALL
+  SELECT 'lineitem.(l_orderkey,l_linenumber)',
+         (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+         (SELECT CAST(count(*) AS BIGINT) FROM (
+            SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)),
+         (SELECT CAST(count(*) AS BIGINT) FROM (
+            SELECT l_orderkey, l_linenumber FROM lineitem
+            GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)),
+         (SELECT CAST((count(*) - (SELECT count(*) FROM (
+              SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)))
+              * 1000000 // count(*) AS BIGINT) FROM lineitem)
+  UNION ALL
+  SELECT 'events.user_id(mod17)',
+         (SELECT CAST(count(*) AS BIGINT) FROM events),
+         (SELECT CAST(count(DISTINCT user_id % 17) AS BIGINT) FROM events),
+         (SELECT CAST(count(*) AS BIGINT) FROM (
+            SELECT user_id % 17 AS k FROM events GROUP BY user_id % 17
+            HAVING count(*) > 1)),
+         (SELECT CAST((count(*) - count(DISTINCT user_id % 17)) * 1000000
+                      // count(*) AS BIGINT) FROM events)
+) ORDER BY col
+"""
+
+
+@_q("quality_unique_key_check", _UNIQ_SQL)
+def quality_unique_key_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key uniqueness audit (the Deequ `isUnique`/`isPrimaryKey`
+    constraint, completing the referential-integrity pair): duplicate
+    key count + duplicated-rows ppm for two genuine keys (zero IS the
+    certified answer) and one deliberately non-unique derived key, so
+    the non-zero detection path is value-checked. Each check is one
+    map-side-combined distinct/groupBy — the shape approx_distinct
+    replaces at 100 TB (documented swap, exact here for the oracle)."""
+    out = []
+    checks = [
+        ("orders.o_orderkey",
+         load_table(spark, sf_dir, "orders").select(
+             F.col("o_orderkey").alias("k1"), F.lit(0).alias("k2"))),
+        ("lineitem.(l_orderkey,l_linenumber)",
+         load_table(spark, sf_dir, "lineitem").select(
+             F.col("l_orderkey").alias("k1"),
+             F.col("l_linenumber").alias("k2"))),
+        ("events.user_id(mod17)",
+         load_table(spark, sf_dir, "events").select(
+             (F.col("user_id") % 17).alias("k1"), F.lit(0).alias("k2"))),
+    ]
+    for name, keyed in checks:
+        per_key = keyed.groupBy("k1", "k2").agg(F.count("*").alias("c"))
+        stats = (
+            keyed.agg(F.count("*").cast("long").alias("n_rows"))
+            .crossJoin(
+                F.broadcast(
+                    per_key.agg(
+                        F.count("*").cast("long").alias("n_distinct"),
+                        F.sum(F.when(F.col("c") > 1, 1).otherwise(0))
+                        .cast("long").alias("n_dup_keys"),
+                    )
+                )
+            )
+            .select(
+                F.lit(name).alias("col"),
+                "n_rows", "n_distinct", "n_dup_keys",
+                F.expr("(n_rows - n_distinct) * 1000000 div n_rows")
+                .cast("bigint").alias("dup_rows_ppm"),
+            )
+        )
+        out.append(stats)
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res.orderBy("col")

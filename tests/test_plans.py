@@ -1854,3 +1854,22 @@ def test_adstock_plan_shape(spark, sf_dir):
     assert "Join" not in plan, plan
     assert not re.search(r"Exchange SinglePartition[^\n]*\n[\s:+-]*Window", plan), plan
     assert "EvalPython" not in plan, plan
+
+
+def test_unique_key_plan_shape(spark, sf_dir):
+    """quality_unique_key_check (r11ab): each check is one map-side
+    distinct/groupBy + 1-row stitches — no window, no data-scale
+    cartesian."""
+    plan = _plan(all_queries()["quality_unique_key_check"](spark, sf_dir), "simple")
+    assert "windowspecdefinition" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_transcode_plan_shape(spark, sf_dir):
+    """multimodal_transcode_lossless (r11ab): three chained mapInPandas
+    stages — media bytes never shuffle (zero exchanges above the scan
+    besides the final presentation sort)."""
+    plan = _plan(all_queries()["multimodal_transcode_lossless"](spark, sf_dir), "simple")
+    assert "Join" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 0, plan
