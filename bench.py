@@ -406,6 +406,11 @@ _R06_EPOCH = {
 # direction in the artifact — the r10 failure mode was an adjacent probe
 # catching a spike the query itself never experienced, deflating
 # text_ngram_novelty's canonical value ~5x below any recorded solo.
+# r12: sim_bq_hamming / dedup_cluster_bigstar / graph_hits re-pinned
+# from fresh scripts/probe_scale.py quiet-box solos (VERDICT r11 #2 +
+# ADVICE r11 — the latter two were in-suite medians, which made the
+# guard self-referential), and implausibly-fast canonicals are now
+# SUBSTITUTED by their pin instead of merely flagged (see below).
 _SOLO_PINS = {
     "tpcds_q64": 1.69,
     "tpcds_q72": 1.19,
@@ -414,7 +419,7 @@ _SOLO_PINS = {
     "sort_distributed_sample": 0.89,
     "events_rfm_scores_scalable": 1.12,
     "part_abc_scalable": 1.04,
-    "sim_bq_hamming": 1.33,
+    "sim_bq_hamming": 1.02,  # re-pinned r12 quiet-box solo (VERDICT r11 #2: the 1.33 pin disagreed 2x with the r11 canonical; fresh solo sits between them)
     "text_segment_dedup": 0.58,
     "layout_hilbert": 1.68,  # re-pinned r11 quiet-box solo (2.44 was a contended-session probe)
     "dedup_fuzzy_del1": 1.6,
@@ -423,10 +428,17 @@ _SOLO_PINS = {
     "text_lm_likelihood": 1.59,
     "ml_logistic_regression": 1.31,  # r11d quiet-box solo (scripts/probe_scale.py)
     "graph_bfs_distances": 2.64,  # r11d quiet-box solo (after the distinct-baskets support rewrite)
-    "dedup_cluster_bigstar": 2.37,  # re-pinned r11 final from the in-suite raw median (was 2.53 r11h solo)
+    "dedup_cluster_bigstar": 2.95,  # r12 quiet-box solo (ADVICE r11: the r11 in-suite pin made the guard self-referential)
     "graph_modularity": 2.64,  # r11j quiet-box solo
-    "graph_hits": 1.97,  # r11 in-suite raw median (cold-JVM solo runs ~2x warmer in-suite)
+    "graph_hits": 2.36,  # r12 quiet-box solo, post decimal-widened normalization (ADVICE r11: replaces the in-suite raw median)
 }
+
+# Pins recorded from an in-suite raw median instead of an independent
+# quiet-box solo (ADVICE r11: such pins make the >2x cross-check
+# self-referential for their ops). They flag but never substitute.
+# Empty since r12 — every current pin is an independent solo — but the
+# mechanism stays so a future suite-derived pin degrades gracefully.
+_SUITE_DERIVED_PINS: set[str] = set()
 
 HEADLINE = CORE17 + [
     "tpcds_q64",
@@ -747,17 +759,42 @@ def main() -> None:
     # Plausibility cross-check (same directive): every canonical value is
     # compared against a pinned quiet-box solo number — _R06_EPOCH for
     # core17, _SOLO_PINS for the rest — and >2x disagreement in either
-    # direction is FLAGGED in the artifact (headline carries the names,
-    # detail line the numbers). A flagged canonical value is not
-    # cross-round evidence.
+    # direction is handled per VERDICT r11 #2:
+    #   * canonical < pin/2 (implausibly FAST — the per-query factor
+    #     over-corrected despite the cap, the r11 sim_bq_hamming case):
+    #     the canonical value is SUBSTITUTED by the pin. A number the
+    #     guard itself calls implausible must not ship as the cross-round
+    #     evidence; the pin is the best defensible value. Substitution is
+    #     recorded in canonical_pin_substitutions (detail line) and the
+    #     headline's canonical_flags stays EMPTY for these.
+    #   * canonical > 2*pin (implausibly SLOW): flagged, never
+    #     substituted — a slow canonical may be a genuine regression and
+    #     masking it with the old pin would hide exactly what the
+    #     cross-round number exists to catch.
+    #   * suite-derived pins (_SUITE_DERIVED_PINS — pins recorded from an
+    #     in-suite raw median, not an independent quiet-box solo; ADVICE
+    #     r11) are WEAKER evidence: they flag but never substitute, and
+    #     the detail line carries their provenance.
     _pins = {**_SOLO_PINS, **_R06_EPOCH}
     canonical_flags = {}
-    for q, c in queries_canonical.items():
+    canonical_pin_substitutions = {}
+    for q, c in list(queries_canonical.items()):
         pin = _pins.get(q)
-        if pin and (c > 2 * pin or c < pin / 2):
+        if not pin or (c <= 2 * pin and c >= pin / 2):
+            continue
+        suite_derived = q in _SUITE_DERIVED_PINS
+        if c < pin / 2 and not suite_derived:
+            canonical_pin_substitutions[q] = {
+                "canonical_raw": c,
+                "solo_pin": pin,
+                "ratio": round(c / pin, 4),
+            }
+            queries_canonical[q] = pin
+        else:
             canonical_flags[q] = {
                 "canonical": c,
                 "solo_pin": pin,
+                "pin_provenance": "suite-derived" if suite_derived else "solo",
                 "ratio": round(c / pin, 4),
             }
     core17_canonical = round(
@@ -857,6 +894,10 @@ def main() -> None:
                 "perq_factor_cap": _factor_cap,
                 "perq_factor_capped_queries": capped_factors,
                 "canonical_flags_detail": canonical_flags,
+                # r12 (VERDICT r11 #2): canonical values the guard found
+                # implausibly FAST (<pin/2) are replaced by their solo
+                # pin; the raw canonical and the ratio are recorded here.
+                "canonical_pin_substitutions": canonical_pin_substitutions,
             }
         )
     )

@@ -954,13 +954,19 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # current global max (a 1-row broadcast) instead of an L2 norm — any
 # fixed positive scalar preserves the ordering HITS is used for, and the
 # integers are bit-identical at any partitioning and in both engines.
+# The normalization numerator (score * SCALE, score itself up to
+# degree * SCALE) is widened to 128-bit — DECIMAL(38,0) in Spark,
+# HUGEINT in DuckDB — before the floor division (ADVICE r11: in BIGINT
+# it would silently wrap in Spark past ~9.2e6 effective degree while
+# DuckDB raises, a cross-engine divergence); the post-division result
+# is ≤ SCALE so the BIGINT output cast is always safe.
 
 HITS_SCALE = 10**6
 
 
 def _hits_max_norm(cte: str, col: str) -> str:
     return (
-        f"SELECT {{key}}, CAST({col} * {HITS_SCALE} // "
+        f"SELECT {{key}}, CAST(CAST({col} AS HUGEINT) * {HITS_SCALE} // "
         f"(SELECT max({col}) FROM {cte}) AS BIGINT) AS {col} FROM {cte}"
     )
 
@@ -1013,9 +1019,14 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def norm(df: DataFrame, key: str, col: str) -> DataFrame:
         mx = df.agg(F.max(col).alias("__mx"))
+        # 128-bit numerator (DECIMAL(38,0) here / HUGEINT in the oracle):
+        # BIGINT would wrap past ~9.2e6 effective degree (ADVICE r11).
         return df.crossJoin(F.broadcast(mx)).select(
             key,
-            F.expr(f"CAST({col} * {HITS_SCALE} div __mx AS BIGINT)").alias(col),
+            F.expr(
+                f"CAST(CAST({col} AS DECIMAL(38,0)) * {HITS_SCALE}"
+                f" div __mx AS BIGINT)"
+            ).alias(col),
         )
 
     a1 = e.groupBy("p").agg(

@@ -258,19 +258,26 @@ def udf_cogrouped_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Column presence is plan-dependent: under a count()-only sink
         # Spark prunes ts out of the cogroup inputs (the UDF still runs,
         # only row counts matter), and an empty side arrives without its
-        # schema columns — so every column access is membership-guarded.
-        converted = len(right) > 0
-        if converted and "ts" in right.columns:
-            fp = right["ts"].min()
-            n_before = (
-                int((left["ts"] < fp).sum())
-                if len(left) and "ts" in left.columns
-                else 0
-            )
-            fp_us = int(fp.value // 1000)
+        # schema columns. When a NON-EMPTY side arrives pruned, the real
+        # values are uncomputable — emit nulls rather than fabricating
+        # plausible-but-wrong numbers (ADVICE r11: the old fallback was
+        # correct only because pruning implies the values are never
+        # consumed, an invariant nothing asserted). Row count per key is
+        # unchanged, so count-only sinks stay exact.
+        pruned = (len(right) and "ts" not in right.columns) or (
+            len(left) and "ts" not in left.columns
+        )
+        if pruned:
+            converted, n_before, fp_us = None, None, None
         else:
-            n_before = len(left)
-            fp_us = None
+            converted = len(right) > 0
+            if converted:
+                fp = right["ts"].min()
+                n_before = int((left["ts"] < fp).sum()) if len(left) else 0
+                fp_us = int(fp.value // 1000)
+            else:
+                n_before = len(left)
+                fp_us = None
         return pd.DataFrame(
             {
                 "user_id": [int(key[0])],

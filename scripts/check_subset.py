@@ -36,7 +36,11 @@ def main() -> int:
             continue
         if a.startswith("--sf="):
             sf_dir = a.split("=", 1)[1]
-        elif not a.startswith("--"):
+        elif a.startswith("--"):
+            print(f"check_subset.py: unrecognized flag {a!r}")
+            print("usage: check_subset.py name... [--sf DIR]")
+            return 2
+        else:
             args.append(a)
         i += 1
     qs, os_ = all_queries(), all_oracle_sql()

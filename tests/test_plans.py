@@ -420,10 +420,17 @@ def test_distrank_scalable_ops_plan_shape(spark, sf_dir):
     #partitions-row counts), every SinglePartition exchange sits
     directly above a __pid-keyed or counts-total aggregate (never the
     data), the ntile is arithmetic (no ntile window function anywhere),
-    and the only nested-loop joins are the 1-row totals broadcasts."""
+    and the only nested-loop joins are the 1-row totals broadcasts.
+    text_dsir_weights joined the gate in r12 (VERDICT r11 #1): its
+    top-25% selection rank moved off the single-partition
+    row_number()/count() window onto the same distrank device."""
     plans = {
         name: _plan(all_queries()[name](spark, sf_dir), "simple")
-        for name in ["events_rfm_scores_scalable", "part_abc_scalable"]
+        for name in [
+            "events_rfm_scores_scalable",
+            "part_abc_scalable",
+            "text_dsir_weights",
+        ]
     }
     for name, plan in plans.items():
         assert "ntile" not in plan, (name, plan)
@@ -443,6 +450,7 @@ def test_distrank_scalable_ops_plan_shape(spark, sf_dir):
     # the 1-row totals attach: one per helper call
     assert plans["part_abc_scalable"].count("BroadcastNestedLoopJoin") == 1
     assert plans["events_rfm_scores_scalable"].count("BroadcastNestedLoopJoin") == 3
+    assert plans["text_dsir_weights"].count("BroadcastNestedLoopJoin") == 1
     # arithmetic ntile actually present in the rfm projection
     assert "pmod(__n_total" in plans["events_rfm_scores_scalable"]
 
