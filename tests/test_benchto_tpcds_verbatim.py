@@ -33,8 +33,7 @@ pytestmark = pytest.mark.skipif(
 
 # EVERY file of the reference's TPC-DS benchto corpus (103 files — the
 # 99 queries, four shipped as _1/_2 variants) runs VERBATIM over the
-# adapter and value-checks against DuckDB, except two documented
-# exclusions:
+# adapter and value-checks against DuckDB. ZERO exclusions since r12:
 #
 # * q27, q14_1 — INCLUDED since r11 (VERDICT r10 directive #6): their
 #   gates (d_year = 2002; d_year = 2001 ∧ d_moy = 11) were empty at the
@@ -43,15 +42,17 @@ pytestmark = pytest.mark.skipif(
 #   Spark emits none). The adapter now sells a deterministic 25% fact
 #   slice into 2001-11-01..2002-12-31 (see benchto_tpcds.py), so both
 #   files aggregate REAL rows and value-check like the rest.
-# * q78 — its ratio is round(DECIMAL / BIGINT, 2) and the data hits the
-#   exact tie 23/40 = 0.575: Spark divides in EXACT decimal and rounds
-#   HALF_UP to 0.58 — the same thing Presto's decimal arithmetic does —
-#   while DuckDB evaluates the division in double (0.5749999…) and emits
-#   0.57. Spark matches the reference here; the ORACLE is the deviant
-#   engine, so the file is excluded rather than loosening the comparator
-#   to absorb a 0.01 difference. The q78 shape is covered by the adapted
-#   registry query tpcds_q78 (exact-cents idiom on both sides).
-EXCLUDED = {"q78"}
+# * q78 — INCLUDED since r12 (VERDICT r11 directive #6): its
+#   round(DECIMAL/BIGINT, 2) ratio hits the exact tie 23/40 = 0.575
+#   where Spark's exact-decimal HALF_UP (matching the reference) emits
+#   0.58 and DuckDB's double division emits 0.57 — the ORACLE is the
+#   deviant engine. Instead of excluding the file, the divergence is
+#   machine-verified against the shared per-query adjudication record
+#   (tests/oracle_ties.py) and xfailed with the recorded reason; any
+#   OTHER divergence in the file still fails loudly. The q78 shape is
+#   also covered by the adapted registry query tpcds_q78 (exact-cents
+#   idiom on both sides).
+EXCLUDED: set[str] = set()
 QUERIES = sorted(
     f[:-4]
     for f in os.listdir(BENCHTO_DIR)
@@ -98,16 +99,13 @@ def _match(a, b) -> bool:
     return a == b
 
 
-# At the DRIVER-SCALE fixture only (sf0.01 via SPARK_GRAFT_TEST_SF_DIR;
-# the sf0.001 default never reaches the edges) q18/q65 hit the q78 class
-# of knife edge: an average over exact cents landing on a half-cent tie,
-# where Spark's exact DECIMAL average and DuckDB's double average round
-# to different cents (measured r10: q18's 6105.975 → 6105.97 vs 6105.98;
-# q65 trips only under some AQE partition orders). The check still runs
-# at sf0.01; only the known tie converts to xfail.
-DECIMAL_TIE_AT_DRIVER_SCALE = {"q18", "q65"}
-
-_SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+# Oracle-double-rounding ties (q78/q18/q65 — the q78 engine-semantics
+# class) are adjudicated by the SHARED per-query mechanism in
+# tests/oracle_ties.py (VERDICT r11 #6): on a value mismatch, the
+# observed divergence must MATCH the query's recorded shape (cell tie /
+# boundary selection, with bounded counts) to convert to xfail carrying
+# the recorded reason string; anything else re-raises.
+from tests.oracle_ties import adjudicate  # noqa: E402
 
 
 @pytest.mark.parametrize("name", QUERIES)
@@ -128,13 +126,9 @@ def test_benchto_tpcds_file_verbatim(engine, oracle, name):
                     f"{name}: {srow} vs {orow} (col {sv!r}≠{ov!r})"
                 )
     except AssertionError:
-        if name in DECIMAL_TIE_AT_DRIVER_SCALE and _SF_DIR.rstrip("/").endswith(
-            "sf0.01"
-        ):
-            pytest.xfail(
-                f"{name}: decimal-vs-double half-cent tie at the sf0.01 "
-                "fixture (q78 engine-semantics class; documented above)"
-            )
+        reason = adjudicate(name, spark_rows, ora_rows)
+        if reason:
+            pytest.xfail(reason)
         raise
 
 

@@ -12,11 +12,14 @@ result against DuckDB running the IDENTICAL text over the IDENTICAL view
 layer (``USE tpcds.sf`` makes the unqualified names resolve there), the
 same dual-run contract as :mod:`tests.test_benchto_tpcds_verbatim`.
 
-Exclusions mirror that module (same data, same engine-semantics reasons):
-q78 only since r11 (Spark rounds the exact-decimal tie 23/40 HALF_UP like
-the reference; DuckDB's double division lands below the tie). q27/q14_1
-rejoined the gate once the adapter's late-window fact slice made their
-ROLLUP inputs non-empty (see benchto_tpcds.py).
+Zero exclusions since r12 (mirroring the benchto twin): q78 rejoined the
+gate via the shared oracle-double-rounding adjudication in
+``tests/oracle_ties.py`` (VERDICT r11 #6) — its exact-decimal tie
+(23/40 rounds HALF_UP to 0.58 like the reference; DuckDB's double
+division lands below) is machine-verified against the recorded shape
+and xfailed with the recorded reason, as are q18/q65's driver-scale
+ties. q27/q14_1 rejoined in r11 once the adapter's late-window fact
+slice made their ROLLUP inputs non-empty (see benchto_tpcds.py).
 """
 
 from __future__ import annotations
@@ -36,7 +39,7 @@ pytestmark = pytest.mark.skipif(
     not os.path.isdir(TPCDS_DIR), reason="reference product tests not present"
 )
 
-EXCLUDED = {"q78"}
+EXCLUDED: set[str] = set()
 CASES = sorted(
     f[:-4]
     for f in os.listdir(TPCDS_DIR)
@@ -88,17 +91,14 @@ def _cell_match(a, b) -> bool:
     return str(a) == str(b)
 
 
-# Files that hit the q78 CLASS of knife edge at the DRIVER-SCALE fixture
-# only (sf0.01 via SPARK_GRAFT_TEST_SF_DIR; the sf0.001 default never
-# reaches the edges): an avg over exact cents whose true value lands on
-# (or within one double-ulp of) a half-cent tie — Spark's exact DECIMAL
-# average rounds the tie like the reference, DuckDB's double average
-# lands on the other side (measured r10: q18's 6105.975 → Spark 6105.97
-# vs DuckDB 6105.98; q65 trips only under some AQE partition orders,
-# double summation being order-dependent). The check still RUNS at
-# sf0.01 — a pass is recorded as a pass; only the known tie converts to
-# xfail so a NEW kind of divergence in these files still fails loudly.
-DECIMAL_TIE_AT_DRIVER_SCALE = {"q18", "q65"}
+# Oracle-double-rounding ties (q78/q18/q65 — the q78 engine-semantics
+# class) are adjudicated by the SHARED per-query mechanism in
+# tests/oracle_ties.py (VERDICT r11 #6): on a value mismatch, the
+# observed divergence must MATCH the query's recorded shape (cell tie /
+# boundary selection, with bounded counts) to convert to xfail carrying
+# the recorded reason string; anything else — including a NEW kind of
+# divergence in these same files — re-raises and fails loudly.
+from tests.oracle_ties import adjudicate  # noqa: E402
 
 
 @pytest.mark.parametrize("name", CASES)
@@ -120,11 +120,7 @@ def test_tpcds_product_file_dualrun(dual, sf_dir, name):
                     f"{name}: {srow} vs {orow} ({sv!r}≠{ov!r})"
                 )
     except AssertionError:
-        if name in DECIMAL_TIE_AT_DRIVER_SCALE and sf_dir.rstrip("/").endswith(
-            "sf0.01"
-        ):
-            pytest.xfail(
-                f"{name}: decimal-vs-double half-cent tie at the sf0.01 "
-                "fixture (q78 engine-semantics class; documented above)"
-            )
+        reason = adjudicate(name, spark_rows, ora_rows)
+        if reason:
+            pytest.xfail(reason)
         raise
