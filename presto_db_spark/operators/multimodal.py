@@ -57,18 +57,17 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def decode_image(payload: bytes) -> object:
-    """Real decoder stub for the DCT/entropy-coded formats (JPEG, and
-    FLAC on the audio side) — the container has no codec libs and those
-    formats are not reasonably stdlib-decodable. BMP, WAV, PPM and (r11)
-    PNG are fully decoded by real in-repo parsers — see the
+    """Real decoder stub for FLAC only (r12): the audio side's
+    Rice/LPC-coded format is the one remaining container without an
+    in-repo parser. BMP, WAV, PPM, PNG (r11, stdlib zlib) and JPEG
+    (r12, from-scratch baseline DCT+Huffman — operators/jpegcodec.py)
+    are fully decoded by real in-repo codecs — see the
     multimodal_*_roundtrip pipelines below.
 
-    A production build plugs Pillow/libvips here; everything downstream
-    (schema, batching, partitioning) is already wired for it.
+    A production build plugs soundfile/libsndfile here; everything
+    downstream (schema, batching, partitioning) is already wired for it.
     """
-    raise NotImplementedError(
-        "JPEG/FLAC codecs not available in this environment"
-    )
+    raise NotImplementedError("FLAC codec not available in this environment")
 
 
 def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -318,10 +317,11 @@ def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- REAL codec round-trips (stdlib codecs — no external libraries) --------
-# The container has no Pillow/libvips/soundfile, so PNG/JPEG/FLAC stay
-# honestly gated (decode_image above). BMP and WAV, however, are fully
-# decodable with the standard library (struct / wave), so these two
-# pipelines are REAL encode → opaque bytes → decode → feature paths:
+# The container has no Pillow/libvips/soundfile. BMP and WAV are fully
+# decodable with the standard library (struct / wave); PNG joined in r11
+# (stdlib zlib) and JPEG in r12 (from-scratch baseline DCT+Huffman codec,
+# operators/jpegcodec.py) — only FLAC remains gated (decode_image above).
+# Each pipeline is a REAL encode → opaque bytes → decode → feature path:
 # generation and decode are SEPARATE mapInPandas stages that communicate
 # only through the serialized payload bytes, and the DuckDB oracle
 # predicts the decoded features CLOSED-FORM from the generation formulas —
@@ -2155,4 +2155,217 @@ def multimodal_transcode_lossless(spark: SparkSession, sf_dir: str) -> DataFrame
     ppm = docs.select("doc_id").mapInPandas(_ppm_encode_batches, _BMP_SCHEMA)
     png = ppm.mapInPandas(_ppm_to_png_batches, _BMP_SCHEMA)
     feats = png.mapInPandas(_png_decode_batches, _PNG_FEAT_SCHEMA)
+    return feats.orderBy("doc_id")
+
+
+# --- REAL baseline JPEG codec (r12, VERDICT r11 directive #7) -----------------
+# From-scratch ITU-T.81 baseline-sequential implementation in
+# operators/jpegcodec.py: DCT + quality-scaled Annex-K quantization +
+# DPCM/run-length + Annex-K Huffman + byte stuffing on the encode side; a
+# real marker-walking decoder (DQT/DHT/SOF0/SOS/DRI, canonical Huffman
+# reconstruction, EXTEND sign recovery, dequantize, IDCT, chroma
+# replication upsample, padding crop) on the other — grayscale and YCbCr
+# 4:4:4 / 4:2:0 within the declared envelope. The oracle-checked
+# roundtrip rides the exactness contract: at quality 100 all quantizers
+# are 1 and block-CONSTANT tiles carry only a DC term, so
+# decode(encode(img)) == img EXACTLY, including through the 2x2 chroma
+# mean and replication upsample (constant regions). Non-constant content
+# (real AC coefficients, all magnitude categories, ZRL/EOB paths) is
+# exercised by tests/test_jpeg.py with error bounds, since float
+# DCT/IDCT round-off is not SQL-oracle-expressible. The decode_image
+# gate is now FLAC-only.
+
+_JPEG_FEAT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_components", T.IntegerType()),
+        T.StructField("sum_y", T.LongType()),
+        T.StructField("sum_cb", T.LongType()),
+        T.StructField("sum_cr", T.LongType()),
+    ]
+)
+
+
+def _jpeg_planes(d: int):
+    """Deterministic block-constant YCbCr synthesis: luma constant per
+    8x8 block, chroma constant per 16x16 region (so the 4:2:0 2x2 mean
+    and the replication upsample are both exact)."""
+    import numpy as np
+
+    w, h = 16 * (1 + d % 3), 16 * (1 + d % 2)
+    by, bx = np.arange(h // 8)[:, None], np.arange(w // 8)[None, :]
+    cy, cx = np.arange(h // 16)[:, None], np.arange(w // 16)[None, :]
+    y = np.repeat(np.repeat((37 * d + 11 * bx + 23 * by) % 256, 8, 0), 8, 1)
+    cb = np.repeat(np.repeat((91 * d + 7 * cx + 13 * cy) % 256, 16, 0), 16, 1)
+    cr = np.repeat(np.repeat((53 * d + 17 * cx + 29 * cy) % 256, 16, 0), 16, 1)
+    return [p.astype(np.uint8) for p in (y, cb, cr)]
+
+
+def _jpeg_encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from .jpegcodec import encode_baseline
+
+    for pdf in batches:
+        payloads = [
+            encode_baseline(_jpeg_planes(int(d)), quality=100, subsample=True)
+            for d in pdf["doc_id"]
+        ]
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def _jpeg_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from .jpegcodec import decode_baseline
+
+    for pdf in batches:
+        out = {k: [] for k in ("doc_id", "width", "height", "n_components",
+                               "sum_y", "sum_cb", "sum_cr")}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            planes, meta = decode_baseline(bytes(payload))
+            out["doc_id"].append(int(doc_id))
+            out["width"].append(int(meta["width"]))
+            out["height"].append(int(meta["height"]))
+            out["n_components"].append(int(meta["n_components"]))
+            for key, plane in zip(("sum_y", "sum_cb", "sum_cr"), planes):
+                out[key].append(int(plane.astype("int64").sum()))
+        yield pd.DataFrame(out)
+
+
+_JPEG_ORACLE = """
+WITH g AS (
+  SELECT doc_id, 16 * (1 + doc_id % 3) AS w, 16 * (1 + doc_id % 2) AS h
+  FROM documents WHERE doc_id < 200
+)
+SELECT doc_id,
+       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS n_components,
+       CAST(64 * list_sum(flatten(list_transform(generate_series(0, h // 8 - 1),
+            y -> list_transform(generate_series(0, w // 8 - 1), x ->
+              (doc_id * 37 + x * 11 + y * 23) % 256)))) AS BIGINT) AS sum_y,
+       CAST(256 * list_sum(flatten(list_transform(generate_series(0, h // 16 - 1),
+            y -> list_transform(generate_series(0, w // 16 - 1), x ->
+              (doc_id * 91 + x * 7 + y * 13) % 256)))) AS BIGINT) AS sum_cb,
+       CAST(256 * list_sum(flatten(list_transform(generate_series(0, h // 16 - 1),
+            y -> list_transform(generate_series(0, w // 16 - 1), x ->
+              (doc_id * 53 + x * 17 + y * 29) % 256)))) AS BIGINT) AS sum_cr
+FROM g
+ORDER BY doc_id
+"""
+
+
+@_q("multimodal_jpeg_roundtrip", _JPEG_ORACLE)
+def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline JPEG round-trip with zero external deps: encode a
+    spec-layout 4:2:0 YCbCr JPEG per doc (DCT, Annex-K quantization +
+    Huffman, byte stuffing, full marker stream), ship opaque bytes,
+    decode in a separate Arrow stage with the real marker-walking
+    entropy decoder, and emit plane sums the oracle predicts closed-form
+    (quality-100 block-constant exactness contract — see jpegcodec.py).
+    Shuffle-free at any scale: two chained mapInPandas, media bytes
+    never leave their partition. Retires the JPEG half of the r11 codec
+    gate; decode_image is now FLAC-only."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = docs.select("doc_id").mapInPandas(_jpeg_encode_batches, _BMP_SCHEMA)
+    feats = media.mapInPandas(_jpeg_decode_batches, _JPEG_FEAT_SCHEMA)
+    return feats.orderBy("doc_id")
+
+
+# --- JPEG header audit (SOF/DQT/DHT parse, no entropy decode) -----------------
+
+_JPEG_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("precision", T.IntegerType()),
+        T.StructField("n_components", T.IntegerType()),
+        T.StructField("luma_sampling", T.IntegerType()),
+        T.StructField("n_huff_codes", T.IntegerType()),
+        T.StructField("qtable_sum", T.LongType()),
+    ]
+)
+
+
+def _jpeg_meta_encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from .jpegcodec import encode_baseline
+
+    for pdf in batches:
+        payloads = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            w, h = 8 * (1 + d % 5), 8 * (1 + d % 4)
+            ys = np.arange(h)[:, None]
+            xs = np.arange(w)[None, :]
+            img = ((d * 7 + xs * 3 + ys * 5) % 256).astype(np.uint8)
+            q = 50 + (d % 11) * 5
+            payloads.append(encode_baseline([img], quality=q))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def _jpeg_meta_parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from .jpegcodec import parse_metadata
+
+    for pdf in batches:
+        out = {k: [] for k in ("doc_id", "width", "height", "precision",
+                               "n_components", "luma_sampling",
+                               "n_huff_codes", "qtable_sum")}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            m = parse_metadata(bytes(payload))
+            out["doc_id"].append(int(doc_id))
+            out["width"].append(int(m["width"]))
+            out["height"].append(int(m["height"]))
+            out["precision"].append(int(m["precision"]))
+            out["n_components"].append(int(m["n_components"]))
+            out["luma_sampling"].append(int(m["luma_sampling"]))
+            out["n_huff_codes"].append(int(m["n_huff_codes"]))
+            out["qtable_sum"].append(int(m["qtable_sums"][0]))
+        yield pd.DataFrame(out)
+
+
+# The oracle recomputes the IJG quality-scaled Annex-K luminance table
+# closed-form (all synthesized qualities are >= 50, so scale = 200-2q),
+# so a bug in EITHER the encoder's table scaling or the parser's DQT
+# walk breaks the value hash. 174 Huffman codes = 12 DC + 162 AC
+# (grayscale emits the two luminance tables only).
+_JPEG_META_ORACLE = """
+WITH g AS (
+  SELECT doc_id,
+         8 * (1 + doc_id % 5) AS w, 8 * (1 + doc_id % 4) AS h,
+         50 + (doc_id % 11) * 5 AS q
+  FROM documents WHERE doc_id < 300
+)
+SELECT doc_id,
+       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST(8 AS INTEGER) AS precision, CAST(1 AS INTEGER) AS n_components,
+       CAST(17 AS INTEGER) AS luma_sampling,
+       CAST(174 AS INTEGER) AS n_huff_codes,
+       CAST(list_sum(list_transform(
+         [16,11,10,16,24,40,51,61, 12,12,14,19,26,58,60,55,
+          14,13,16,24,40,57,69,56, 14,17,22,29,51,87,80,62,
+          18,22,37,56,68,109,103,77, 24,35,55,64,81,104,113,92,
+          49,64,78,87,103,121,120,101, 72,92,95,98,112,100,103,99],
+         t -> greatest(1, least(255, (t * (200 - 2 * q) + 50) // 100))))
+         AS BIGINT) AS qtable_sum
+FROM g
+ORDER BY doc_id
+"""
+
+
+@_q("multimodal_jpeg_metadata", _JPEG_META_ORACLE)
+def multimodal_jpeg_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG header audit — the corpus-inventory path that parses
+    SOF0/DQT/DHT without touching the entropy-coded segment: per file,
+    dimensions, precision, component count, luma sampling factors,
+    Huffman code count, and the quant-table sum. Files are encoded at a
+    per-doc quality (50..100), and the oracle recomputes the IJG
+    quality-scaled Annex-K table closed-form — an independent check of
+    the encoder's scaling arithmetic AND the parser's DQT walk.
+    Shuffle-free (two chained mapInPandas)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    media = docs.select("doc_id").mapInPandas(
+        _jpeg_meta_encode_batches, _BMP_SCHEMA
+    )
+    feats = media.mapInPandas(_jpeg_meta_parse_batches, _JPEG_META_SCHEMA)
     return feats.orderBy("doc_id")
