@@ -1,11 +1,13 @@
 """Multimodal column operators: binary payloads + typed metadata.
 
 Images/audio/video are carried as opaque ``binary`` columns with a typed
-metadata struct — the 100 TB-pipeline pattern (the decode libraries are not
-in this container, so the codec step is STUBBED behind
-``NotImplementedError`` / a deterministic fake; the Spark-side plumbing —
-schema, Arrow batching via ``mapInPandas``, partition-preserving shape —
-is real and tested).
+metadata struct — the 100 TB-pipeline pattern. As of r12 EVERY shipped
+media format has a REAL in-repo codec (BMP, WAV, PPM, PNG, GIF, JPEG,
+FLAC — the last two from-scratch in operators/jpegcodec.py and
+operators/flaccodec.py); the original ``NotImplementedError`` codec gate
+is retired. The Spark-side plumbing — schema, Arrow batching via
+``mapInPandas``, partition-preserving shape — is the same whether the
+codec is in-repo or a production Pillow/libsndfile plug-in.
 
 Design for scale:
 * ``mapInPandas`` processes Arrow record batches — the decode UDF sees
@@ -57,17 +59,28 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def decode_image(payload: bytes) -> object:
-    """Real decoder stub for FLAC only (r12): the audio side's
-    Rice/LPC-coded format is the one remaining container without an
-    in-repo parser. BMP, WAV, PPM, PNG (r11, stdlib zlib) and JPEG
-    (r12, from-scratch baseline DCT+Huffman — operators/jpegcodec.py)
-    are fully decoded by real in-repo codecs — see the
-    multimodal_*_roundtrip pipelines below.
+    """Single-payload image decode, dispatching on magic bytes to the
+    REAL in-repo codecs. The r10 version of this function was the codec
+    gate (``NotImplementedError`` for the DCT/entropy-coded formats);
+    the gate is retired as of r12 — JPEG decodes through the
+    from-scratch baseline codec (operators/jpegcodec.py), and FLAC (an
+    audio container, never routed here) through operators/flaccodec.py.
+    BMP/PNG/PPM/GIF decode through their dedicated batch pipelines in
+    this module (their parsers live in the *_decode_batches stages, the
+    Arrow path production uses).
 
-    A production build plugs soundfile/libsndfile here; everything
-    downstream (schema, batching, partitioning) is already wired for it.
+    Returns ``(planes, meta)`` for JPEG payloads; raises ``ValueError``
+    for unrecognized magic.
     """
-    raise NotImplementedError("FLAC codec not available in this environment")
+    buf = bytes(payload)
+    if buf[:2] == b"\xff\xd8":
+        from .jpegcodec import decode_baseline
+
+        return decode_baseline(buf)
+    raise ValueError(
+        "unrecognized image magic (BMP/PNG/PPM/GIF route through the "
+        "dedicated batch pipelines in this module)"
+    )
 
 
 def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -2368,4 +2381,105 @@ def multimodal_jpeg_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         _jpeg_meta_encode_batches, _BMP_SCHEMA
     )
     feats = media.mapInPandas(_jpeg_meta_parse_batches, _JPEG_META_SCHEMA)
+    return feats.orderBy("doc_id")
+
+
+# --- REAL FLAC codec (r12) — the codec gate is now EMPTY ----------------------
+# From-scratch FLAC bitstream implementation in operators/flaccodec.py:
+# Rice-coded fixed-predictor subframes, CRC-8/CRC-16 verified frames,
+# STREAMINFO MD5 re-verification of every decoded sample. FLAC is
+# LOSSLESS, so unlike JPEG no exactness trick is needed: the oracle
+# predicts decoded sums closed-form from the synthesis formula for ANY
+# integer signal, and the in-decoder MD5 check pins all samples, not
+# just the sums. With BMP/WAV/PPM/PNG/GIF/JPEG/FLAC all real, the
+# decode_image NotImplementedError gate is retired entirely.
+
+_FLAC_FEAT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("bps", T.IntegerType()),
+        T.StructField("sum_samples", T.LongType()),
+        T.StructField("weighted_sum", T.LongType()),
+    ]
+)
+
+
+def _flac_signal(d: int) -> list[int]:
+    """Deterministic integer signal: linear-ish drift + a quadratic-mod
+    texture so the fixed predictors see real nonzero residuals (every
+    magnitude path in the Rice coder), spanning 1-2 frames."""
+    n = 4096 + (d % 3) * 2048
+    return [((d * 31 + i * 7 + (i * i) % 13) % 401) - 200 for i in range(n)]
+
+
+def _flac_encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from .flaccodec import encode_flac
+
+    for pdf in batches:
+        payloads = [encode_flac(_flac_signal(int(d))) for d in pdf["doc_id"]]
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def _flac_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from .flaccodec import decode_flac
+
+    for pdf in batches:
+        out = {k: [] for k in ("doc_id", "n_samples", "n_frames", "sample_rate",
+                               "bps", "sum_samples", "weighted_sum")}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            chans, meta = decode_flac(bytes(payload))
+            mono = chans[0]
+            out["doc_id"].append(int(doc_id))
+            out["n_samples"].append(len(mono))
+            out["n_frames"].append(int(meta["n_frames"]))
+            out["sample_rate"].append(int(meta["sample_rate"]))
+            out["bps"].append(int(meta["bps"]))
+            out["sum_samples"].append(sum(mono))
+            out["weighted_sum"].append(sum((i % 31) * s for i, s in enumerate(mono)))
+        yield pd.DataFrame(out)
+
+
+_FLAC_ORACLE = """
+WITH g AS (
+  SELECT doc_id, 4096 + (doc_id % 3) * 2048 AS n
+  FROM documents WHERE doc_id < 120
+), s AS (
+  SELECT doc_id, n,
+         list_transform(generate_series(0, n - 1),
+           i -> ((doc_id * 31 + i * 7 + (i * i) % 13) % 401) - 200) AS sig
+  FROM g
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST((n + 4095) // 4096 AS INTEGER) AS n_frames,
+       CAST(16000 AS INTEGER) AS sample_rate, CAST(16 AS INTEGER) AS bps,
+       CAST(list_sum(sig) AS BIGINT) AS sum_samples,
+       CAST(list_sum(list_transform(generate_series(0, n - 1),
+            i -> (i % 31) * sig[i + 1])) AS BIGINT) AS weighted_sum
+FROM s
+ORDER BY doc_id
+"""
+
+
+@_q("multimodal_flac_roundtrip", _FLAC_ORACLE)
+def multimodal_flac_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL FLAC round-trip, stdlib-only (operators/flaccodec.py): encode
+    a deterministic 16-bit mono signal per doc into a spec-layout FLAC
+    stream (Rice-coded fixed-predictor subframes chosen per frame,
+    CRC-8/CRC-16, STREAMINFO MD5), ship opaque bytes, decode in a
+    separate Arrow stage with the real bit-level parser (both CRCs and
+    the MD5 VERIFIED per file), and emit sums the oracle predicts
+    closed-form — losslessness means any integer signal is an exact
+    contract. Shuffle-free (two chained mapInPandas). Retires the last
+    codec gate: every shipped media format now has a real in-repo
+    codec."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    # single-file input reads as ONE split; the codec is the CPU-heavy
+    # stage, so spread the bounded doc set across the executors first
+    ids = docs.select("doc_id").repartition(spark.sparkContext.defaultParallelism)
+    media = ids.mapInPandas(_flac_encode_batches, _BMP_SCHEMA)
+    feats = media.mapInPandas(_flac_decode_batches, _FLAC_FEAT_SCHEMA)
     return feats.orderBy("doc_id")

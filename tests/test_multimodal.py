@@ -13,9 +13,24 @@ def test_multimodal_vs_duckdb(spark, sf_dir, name):
     assert not problems, f"{name}: {problems}"
 
 
-def test_decode_stub_raises():
-    with pytest.raises(NotImplementedError):
-        mm.decode_image(b"\xff\xd8\xff")  # JPEG SOI — the remaining gate
+def test_decode_image_dispatch():
+    """r12: the codec gate is retired — decode_image really decodes JPEG
+    via the in-repo baseline codec, and rejects unknown magic with
+    ValueError (not NotImplementedError: there is no gated format
+    left)."""
+    import numpy as np
+
+    from presto_db_spark.operators.jpegcodec import encode_baseline
+
+    img = np.full((8, 8), 99, dtype=np.uint8)
+    planes, meta = mm.decode_image(encode_baseline([img], quality=100))
+    assert np.array_equal(planes[0], img)
+    assert meta["n_components"] == 1
+    with pytest.raises(ValueError):
+        mm.decode_image(b"\x00\x01junk")
+    # truncated JPEG: the real decoder fails parsing, never returns junk
+    with pytest.raises(Exception):
+        mm.decode_image(b"\xff\xd8\xff")
 
 
 def test_png_unfilter_all_five_types():
