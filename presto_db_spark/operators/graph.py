@@ -1326,3 +1326,207 @@ def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 graph_scc.__doc__ = graph_scc.__doc__.format(SCC_MAX_ROUNDS=SCC_MAX_ROUNDS)
+
+
+# --- personalized PageRank (r12 wave) -----------------------------------------
+# rank_pagerank's teleport is uniform; PPR concentrates it on a SEED set,
+# turning the rank into a proximity score to the seeds — the
+# recommendation / expansion primitive ("parts related to this seed
+# catalog"). Same integer-determinism recipe as rank_pagerank/graph_hits:
+# fixed-point BIGINT ranks, floor-division damping, a fixed Jacobi sweep
+# (no convergence probe), one equi-join + one sum-groupBy per round.
+
+PPR_ITERS = 4
+PPR_SCALE = 10**12
+PPR_SEED_MOD = 50  # seed set: part keys divisible by 50 (deterministic)
+
+
+def _ppr_iter_sql(prev: str, out: str) -> str:
+    return f"""{out} AS (
+  SELECT d.node,
+         CAST((CASE WHEN d.node % {PPR_SEED_MOD} = 0
+                    THEN (15 * {PPR_SCALE}) // 100 ELSE 0 END)
+              + (85 * coalesce(s.m, 0)) // 100 AS BIGINT) AS rank
+  FROM deg d LEFT JOIN (
+    SELECT a.w AS node, sum(r.rank // dd.deg) AS m
+    FROM adj a JOIN {prev} r ON r.node = a.u JOIN deg dd ON dd.node = a.u
+    GROUP BY a.w
+  ) s ON s.node = d.node
+)"""
+
+
+_PPR_SQL = (
+    f"""
+WITH edges AS ({_BFS_EDGES_SQL}
+), adj AS (
+  SELECT x AS u, y AS w FROM edges UNION ALL SELECT y, x FROM edges
+), deg AS (
+  SELECT u AS node, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY u
+), r0 AS (
+  SELECT node,
+         CAST(CASE WHEN node % {PPR_SEED_MOD} = 0 THEN {PPR_SCALE} ELSE 0 END
+              AS BIGINT) AS rank
+  FROM deg
+), """
+    + ", ".join(_ppr_iter_sql(f"r{i}", f"r{i + 1}") for i in range(PPR_ITERS))
+    + f"""
+SELECT node AS node_id, (node % {PPR_SEED_MOD} = 0) AS is_seed,
+       rank AS ppr_e12
+FROM r{PPR_ITERS}
+WHERE rank > 0
+ORDER BY node_id
+"""
+)
+
+
+@_q("graph_ppr", _PPR_SQL)
+def graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank on the repeat-co-purchase graph: teleport
+    mass restricted to the deterministic seed set (part keys % {mod} ==
+    0), {iters} fixed Jacobi rounds. rank' (v) = [v∈S]·⌊15·SCALE/100⌋ +
+    ⌊85·Σ_{{u→v}}⌊rank(u)/deg(u)⌋/100⌋ — all int64, so both engines and
+    any partitioning agree bit-for-bit. Per round: one edges⋈ranks
+    equi-join + one sum-groupBy + a left join back to the node table
+    (nodes with no inbound mass keep their teleport-only rank). Output
+    restricted to reached nodes (rank > 0) — the proximity neighborhood
+    of the seed catalog. Oracle: the {iters} rounds unrolled as chained
+    CTEs."""
+    edges = _repeat_edges(spark, sf_dir)
+    adj = (
+        edges.select(F.col("x").alias("u"), F.col("y").alias("w"))
+        .unionByName(edges.select(F.col("y").alias("u"), F.col("x").alias("w")))
+        .localCheckpoint(eager=False)
+    )
+    deg = adj.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").cast("long").alias("deg")
+    ).localCheckpoint(eager=False)
+    seed = (F.col("node") % PPR_SEED_MOD == 0)
+    ranks = deg.select(
+        "node",
+        F.when(seed, F.lit(PPR_SCALE)).otherwise(F.lit(0)).cast("long").alias("rank"),
+    )
+    for _ in range(PPR_ITERS):
+        inbound = (
+            adj.join(ranks.withColumnRenamed("node", "u"), "u")
+            .join(deg.select(F.col("node").alias("u"), "deg"), "u")
+            .groupBy(F.col("w").alias("node"))
+            .agg(F.sum(F.expr("rank div deg")).alias("m"))
+        )
+        ranks = deg.select("node").join(inbound, "node", "left").select(
+            "node",
+            (
+                F.when(seed, F.lit(15 * PPR_SCALE // 100)).otherwise(F.lit(0))
+                + F.expr("85 * coalesce(m, 0) div 100")
+            ).cast("long").alias("rank"),
+        )
+    return (
+        ranks.filter(F.col("rank") > 0)
+        .select(
+            F.col("node").alias("node_id"),
+            (F.col("node") % PPR_SEED_MOD == 0).alias("is_seed"),
+            F.col("rank").alias("ppr_e12"),
+        )
+        .orderBy("node_id")
+    )
+
+
+graph_ppr.__doc__ = graph_ppr.__doc__.format(mod=PPR_SEED_MOD, iters=PPR_ITERS)
+
+
+# --- k-truss peeling (r12 wave) ------------------------------------------------
+# The 3-truss of the repeat graph: every surviving edge must sit in >= 1
+# triangle among surviving edges — the standard community-core
+# definition one notch richer than k-core (which graph_kcore covers:
+# k-core peels on DEGREE, k-truss on TRIANGLE SUPPORT; removing an edge
+# can break ANOTHER edge's last triangle, which is why this peels
+# iteratively). k=3 because the support-filtered repeat graph is sparse
+# by design — at sf0.01 it has 181 triangle-closed edges and only 2
+# edges with 2+ triangles, so a 4-truss would be a vacuous (empty)
+# gate. Fixed 3 peeling rounds (the fixture converges in <= 1; rounds
+# 2-3 prove stability), a final support recount on the survivors is the
+# emitted value. Each round is the triangle-support join (edge ⋈ adj ⋈
+# adj on a shared wedge apex) + a count-groupBy + a semi-join filter —
+# no driver state; determinism is exact integer counts.
+
+KTRUSS_K = 3
+KTRUSS_ROUNDS = 3
+
+
+def _truss_round_sql(prev: str, out: str) -> str:
+    return f"""adj_{out} AS (
+  SELECT x AS u, y AS w FROM {prev} UNION ALL SELECT y, x FROM {prev}
+), sup_{out} AS (
+  SELECT e.x, e.y, count(*) AS sup
+  FROM {prev} e
+  JOIN adj_{out} ax ON ax.u = e.x
+  JOIN adj_{out} ay ON ay.u = e.y AND ay.w = ax.w
+  GROUP BY e.x, e.y
+), {out} AS (
+  SELECT s.x, s.y FROM sup_{out} s WHERE s.sup >= {KTRUSS_K - 2}
+)"""
+
+
+_KTRUSS_SQL = (
+    f"""
+WITH e0 AS ({_BFS_EDGES_SQL}
+), """
+    + ", ".join(_truss_round_sql(f"e{i}", f"e{i + 1}") for i in range(KTRUSS_ROUNDS))
+    + f"""
+, adj_fin AS (
+  SELECT x AS u, y AS w FROM e{KTRUSS_ROUNDS}
+  UNION ALL SELECT y, x FROM e{KTRUSS_ROUNDS}
+)
+SELECT e.x AS part_a, e.y AS part_b, CAST(count(*) AS BIGINT) AS support
+FROM e{KTRUSS_ROUNDS} e
+JOIN adj_fin ax ON ax.u = e.x
+JOIN adj_fin ay ON ay.u = e.y AND ay.w = ax.w
+GROUP BY e.x, e.y
+ORDER BY part_a, part_b
+"""
+)
+
+
+@_q("graph_ktruss", _KTRUSS_SQL)
+def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{k}-truss of the repeat-co-purchase graph via {rounds} fixed
+    peeling rounds: an edge survives a round iff it closes >= {k}-2
+    triangles among the round's surviving edges (edges with NO triangle
+    have no support row and the semi-join drops them — support 0). The
+    per-round support join inherits graph_triangles' scale discipline
+    (wedge join over the support-filtered graph); per-round state is the
+    checkpointed edge list only. Output: surviving edges with their
+    final support, recounted on the converged set so both engines emit
+    the identical relation. Oracle: the rounds unrolled as chained
+    CTEs."""
+    edges = _repeat_edges(spark, sf_dir).localCheckpoint(eager=False)
+
+    def support(e: DataFrame) -> DataFrame:
+        adj = e.select(F.col("x").alias("u"), F.col("y").alias("w")).unionByName(
+            e.select(F.col("y").alias("u"), F.col("x").alias("w"))
+        )
+        ax = adj.select(F.col("u").alias("x"), F.col("w").alias("z"))
+        ay = adj.select(F.col("u").alias("y"), F.col("w").alias("z"))
+        return (
+            e.join(ax, "x").join(ay, ["y", "z"])
+            .groupBy("x", "y")
+            .agg(F.count("*").cast("long").alias("sup"))
+        )
+
+    for _ in range(KTRUSS_ROUNDS):
+        sup = support(edges).filter(F.col("sup") >= KTRUSS_K - 2)
+        edges = (
+            edges.join(sup.select("x", "y"), ["x", "y"], "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        support(edges)
+        .select(
+            F.col("x").alias("part_a"),
+            F.col("y").alias("part_b"),
+            F.col("sup").alias("support"),
+        )
+        .orderBy("part_a", "part_b")
+    )
+
+
+graph_ktruss.__doc__ = graph_ktruss.__doc__.format(k=KTRUSS_K, rounds=KTRUSS_ROUNDS)

@@ -1,0 +1,459 @@
+"""Time-series decomposition, gap repair, resampling inference, and
+weighted order statistics (r12 wave).
+
+The reference has no time-series surface (Presto 0.236 stops at window
+functions); these extend the events/stats forecasting family
+(events_holt_winters, events_acf) with four shapes every analytics
+warehouse eventually needs, all under the module's standing
+exact-integer contract: every division is integer (Spark ``div`` and
+DuckDB ``//`` both truncate toward zero — verified in-container for
+negative numerators), every sum is BIGINT, so both engines agree
+bit-for-bit at any partitioning.
+
+Scale notes per op are in the docstrings; the common discipline: daily
+grains bound every window (a 100 TB event stream still has ~365 rows
+per series-year), per-series windows partition on the series key, and
+the one global order statistic (weighted median) rides
+``distrank.global_index`` on a value-cardinality-bounded group table —
+never a single-partition window over data.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..catalog import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name: {name}")
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+# --- classical additive decomposition (moving-average STL) -------------------
+
+_STL_SQL = """
+WITH s AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(sum(round(value * 100)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+), t AS (
+  SELECT event_type, d, cents,
+         CASE WHEN count(*) OVER w7 = 7
+              THEN (sum(cents) OVER w7 * 1000000) // 7 END AS trend_micros
+  FROM s
+  WINDOW w7 AS (PARTITION BY event_type ORDER BY d
+                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), dt AS (
+  SELECT event_type, d, cents, trend_micros,
+         cents * 1000000 - trend_micros AS detr, isodow(d) AS wd
+  FROM t
+), seas AS (
+  SELECT event_type, wd,
+         CAST(sum(detr) // count(detr) AS BIGINT) AS seasonal_micros
+  FROM dt WHERE detr IS NOT NULL GROUP BY 1, 2
+)
+SELECT dt.event_type, dt.d, dt.cents,
+       CAST(dt.trend_micros AS BIGINT) AS trend_micros,
+       seas.seasonal_micros,
+       CAST(dt.cents * 1000000 - dt.trend_micros - seas.seasonal_micros
+            AS BIGINT) AS remainder_micros
+FROM dt JOIN seas ON seas.event_type = dt.event_type AND seas.wd = dt.wd
+ORDER BY dt.event_type, dt.d
+"""
+
+
+@_q("events_stl_decompose", _STL_SQL)
+def events_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of each type's daily-revenue
+    series (the moving-average STL ancestor: Cleveland's inner loop with
+    one pass): trend = centered 7-day moving average (exact micros via
+    ``sum*10^6 div 7``, defined only where the window is FULL — no edge
+    extrapolation lies), seasonal = per-ISO-weekday mean of the
+    detrended series, remainder = the exact difference. NULL trend /
+    remainder at the 3-day edges is part of the contract.
+
+    Scale: the series grain is (event_type, day) — a groupBy collapse of
+    the raw stream, so the window partitions are bounded by the day span
+    (365/series-year at ANY raw data size); the seasonal model is a
+    7-row-per-series broadcast-size table. Exact-integer arithmetic
+    end-to-end (both engines' integer division truncates toward zero —
+    verified, including the negative detrended means)."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.sum(F.round(F.col("value") * 100)).cast("long").alias("cents"))
+    w7 = W.partitionBy("event_type").orderBy("d").rowsBetween(-3, 3)
+    t = s.withColumn(
+        "trend_micros",
+        F.when(
+            F.count("*").over(w7) == 7,
+            F.expr("sum(cents) OVER (PARTITION BY event_type ORDER BY d "
+                   "ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) * 1000000 div 7"),
+        ),
+    ).withColumn("detr", F.col("cents") * 1000000 - F.col("trend_micros")
+    ).withColumn("wd", F.weekday("d") + 1)
+    seas = (
+        t.filter(F.col("detr").isNotNull())
+        .groupBy("event_type", "wd")
+        .agg(F.expr("sum(detr) div count(detr)").cast("long").alias("seasonal_micros"))
+    )
+    return (
+        t.join(seas, ["event_type", "wd"])
+        .select(
+            "event_type",
+            "d",
+            "cents",
+            F.col("trend_micros").cast("long").alias("trend_micros"),
+            "seasonal_micros",
+            (F.col("cents") * 1000000 - F.col("trend_micros") - F.col("seasonal_micros"))
+            .cast("long")
+            .alias("remainder_micros"),
+        )
+        .orderBy("event_type", "d")
+    )
+
+
+# --- calendar gap fill with linear interpolation ------------------------------
+
+_GAPFILL_SQL = """
+WITH cal AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d FROM events
+), known AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(sum(round(value * 100)) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1 HAVING day(CAST(ts AS DATE)) % 3 <> 0
+), j AS (
+  SELECT cal.d, known.cents AS v FROM cal LEFT JOIN known ON known.d = cal.d
+), f AS (
+  SELECT d, v,
+         last_value(v IGNORE NULLS) OVER wp AS pv,
+         last_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+           OVER wp AS pd,
+         first_value(v IGNORE NULLS) OVER wn AS nv,
+         first_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+           OVER wn AS nd
+  FROM j
+  WINDOW wp AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (ORDER BY d ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT d, (v IS NULL) AS is_gap,
+       CAST(CASE
+         WHEN v IS NOT NULL THEN v
+         WHEN pv IS NULL THEN nv
+         WHEN nv IS NULL THEN pv
+         ELSE pv + (nv - pv) * date_diff('day', pd, d)
+                   // date_diff('day', pd, nd)
+       END AS BIGINT) AS filled_cents
+FROM f ORDER BY d
+"""
+
+
+@_q("events_gap_fill_interpolate", _GAPFILL_SQL)
+def events_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap repair: the purchase daily-revenue series with a
+    deterministic hole pattern (every day-of-month divisible by 3 —
+    the fixture for a feed that drops files) is re-aligned to the full
+    event calendar and every gap is LINEARLY INTERPOLATED between its
+    bracketing known points in exact integers (``pv + (nv-pv)·Δd div
+    span``); leading/trailing gaps carry the nearest known value.
+
+    Scale: the series is a daily grain (bounded by the day span, not the
+    data), so the single-series ignore-nulls windows run over ~365 rows
+    per year regardless of raw volume — the same bounded-window contract
+    as events_holt_winters; a multi-series version partitions the same
+    windows by the series key."""
+    ev = load_table(spark, sf_dir, "events")
+    cal = ev.select(F.to_date("ts").alias("d")).distinct()
+    known = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.sum(F.round(F.col("value") * 100)).cast("long").alias("v"))
+        .filter(F.dayofmonth("d") % 3 != 0)
+    )
+    j = cal.join(known, "d", "left")
+    wp = W.orderBy("d").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wn = W.orderBy("d").rowsBetween(W.currentRow, W.unboundedFollowing)
+    kd = F.when(F.col("v").isNotNull(), F.col("d"))
+    f = (
+        j.withColumn("pv", F.last("v", ignorenulls=True).over(wp))
+        .withColumn("pd", F.last(kd, ignorenulls=True).over(wp))
+        .withColumn("nv", F.first("v", ignorenulls=True).over(wn))
+        .withColumn("nd", F.first(kd, ignorenulls=True).over(wn))
+    )
+    return f.select(
+        "d",
+        F.col("v").isNull().alias("is_gap"),
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(
+            F.col("pv")
+            + F.expr("(nv - pv) * datediff(d, pd) div datediff(nd, pd)")
+        )
+        .cast("long")
+        .alias("filled_cents"),
+    ).orderBy("d")
+
+
+# --- deterministic bootstrap confidence interval -------------------------------
+
+BOOT_B = 400  # resamples
+BOOT_LCG_A, BOOT_LCG_C, BOOT_LCG_M = 1103515245, 12345, 2**31
+BOOT_LO = BOOT_B * 25 // 1000  # 2.5% rank (1-based rank BOOT_LO is below)
+
+_BOOT_SQL = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(sum(round(value * 100)) AS BIGINT) AS cents
+  FROM events GROUP BY 1
+), idx AS (
+  SELECT cents, row_number() OVER (ORDER BY d) AS rn FROM daily
+), n AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM daily
+), draws AS (
+  SELECT g.b, i.cents
+  FROM (SELECT x // 31 AS b, x % 31 AS i
+        FROM generate_series(0, {BOOT_B} * 31 - 1) AS t(x)) g
+  JOIN n ON g.i < n.n
+  JOIN idx i
+    ON i.rn = (({BOOT_LCG_A} * (g.b * 37 + g.i) + {BOOT_LCG_C})
+               % {BOOT_LCG_M}) % n.n + 1
+), means AS (
+  SELECT b, CAST(sum(cents) // count(*) AS BIGINT) AS mean_cents FROM draws
+  GROUP BY b
+), ranked AS (
+  SELECT mean_cents, row_number() OVER (ORDER BY mean_cents, b) AS r FROM means
+)
+SELECT (SELECT n FROM n) AS n_days,
+       CAST({BOOT_B} AS BIGINT) AS n_resamples,
+       (SELECT CAST(sum(cents) // count(*) AS BIGINT) FROM daily)
+         AS sample_mean_cents,
+       CAST(min(CASE WHEN r = {BOOT_LO + 1} THEN mean_cents END) AS BIGINT)
+         AS ci_lo_cents,
+       CAST(min(CASE WHEN r = {BOOT_B - BOOT_LO} THEN mean_cents END) AS BIGINT)
+         AS ci_hi_cents
+FROM ranked
+"""
+
+
+@_q("stats_bootstrap_ci", _BOOT_SQL)
+def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap 95% CI for the mean daily revenue — with a DETERMINISTIC
+    resampler: draw (b, i) picks day index ``LCG(b·37+i) mod n`` via a
+    fixed 31-bit linear congruential generator, so the resample plan is
+    a pure function of (b, i, n) and both engines (and any partitioning,
+    any cluster size) produce the IDENTICAL ~{B}×n draw relation — the
+    distributed answer to "bootstrap needs an RNG". CI bounds are exact
+    order statistics of the resample means (ranks {lo}/{hi} of {B}),
+    never float percentile interpolation.
+
+    Scale: the resample relation is (B × series length) rows of two
+    BIGINTs — for daily grains that is B×365 per year, independent of
+    raw data volume; the base series collapse is the only data-scale
+    pass. The rank pass runs on B rows (bounded)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(F.round(F.col("value") * 100)).cast("long").alias("cents")
+    )
+    # day-index table: the day span is bounded (the docstring contract),
+    # so this row_number window is over ~30 rows here / 365 per year
+    idx = daily.select(
+        "cents", F.row_number().over(W.orderBy("d")).alias("rn")
+    ).localCheckpoint(eager=False)
+    n = idx.agg(F.count("*").cast("long").alias("n"))
+    g = (
+        spark.range(BOOT_B * 31)
+        .select(
+            (F.col("id") / 31).cast("long").alias("b"),
+            (F.col("id") % 31).alias("i"),
+        )
+        .join(F.broadcast(n), F.col("i") < F.col("n"))
+    )
+    draws = g.join(
+        idx,
+        F.col("rn")
+        == ((BOOT_LCG_A * (F.col("b") * 37 + F.col("i")) + BOOT_LCG_C)
+            % BOOT_LCG_M) % F.col("n") + 1,
+    )
+    means = draws.groupBy("b").agg(
+        F.expr("sum(cents) div count(*)").cast("long").alias("mean_cents")
+    )
+    ranked = means.select(
+        "mean_cents",
+        F.row_number().over(W.orderBy("mean_cents", "b")).alias("r"),
+    )
+    grand = daily.agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.expr("sum(cents) div count(*)").cast("long").alias("sample_mean_cents"),
+    )
+    ci = ranked.agg(
+        F.min(F.when(F.col("r") == BOOT_LO + 1, F.col("mean_cents")))
+        .cast("long")
+        .alias("ci_lo_cents"),
+        F.min(F.when(F.col("r") == BOOT_B - BOOT_LO, F.col("mean_cents")))
+        .cast("long")
+        .alias("ci_hi_cents"),
+    )
+    return grand.crossJoin(F.broadcast(ci)).select(
+        "n_days",
+        F.lit(BOOT_B).cast("long").alias("n_resamples"),
+        "sample_mean_cents",
+        "ci_lo_cents",
+        "ci_hi_cents",
+    )
+
+
+stats_bootstrap_ci.__doc__ = stats_bootstrap_ci.__doc__.format(
+    B=BOOT_B, lo=BOOT_LO + 1, hi=BOOT_B - BOOT_LO
+)
+
+
+# --- weighted median over the distrank running sum ----------------------------
+
+_WMEDIAN_SQL = """
+WITH g AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+         CAST(sum(round(l_quantity)) AS BIGINT) AS w
+  FROM lineitem GROUP BY 1
+), c AS (
+  SELECT cents,
+         sum(w) OVER (ORDER BY cents) AS csum,
+         sum(w) OVER () AS total
+  FROM g
+)
+SELECT CAST(max(total) AS BIGINT) AS total_weight,
+       CAST(min(cents) AS BIGINT) AS median_cents,
+       (SELECT CAST(count(*) AS BIGINT) FROM g) AS n_distinct_prices
+FROM c WHERE 2 * csum >= total
+"""
+
+
+@_q("agg_weighted_median", _WMEDIAN_SQL)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price (lower weighted median: the
+    smallest price whose running weight reaches half the total) — the
+    robust-statistics companion to agg_mad, exact in integer cents.
+
+    Scale: prices collapse to a value-cardinality-bounded (cents,
+    weight) group table FIRST (map-side combinable), then the running
+    weight comes from ``distrank.global_index``'s range-partition +
+    prefix-offset sum — never a single-partition window over data (the
+    same device as part_abc_scalable); the selection is one filter +
+    TakeOrdered(1)."""
+    from .distrank import global_index
+
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents")
+    ).agg(F.sum(F.round("l_quantity")).cast("long").alias("w"))
+    gi = global_index(g, ["cents"], sum_col="w")
+    med = (
+        gi.filter(2 * F.col("__csum") >= F.col("__sum_total"))
+        .orderBy("cents")
+        .limit(1)
+    )
+    n = g.agg(F.count("*").cast("long").alias("n_distinct_prices"))
+    return med.crossJoin(F.broadcast(n)).select(
+        F.col("__sum_total").cast("long").alias("total_weight"),
+        F.col("cents").alias("median_cents"),
+        "n_distinct_prices",
+    )
+
+
+# --- largest-remainder sample allocation ---------------------------------------
+
+ALLOC_N = 1000  # total sample budget to apportion
+
+_ALLOC_SQL = f"""
+WITH s AS (
+  SELECT o_orderpriority AS stratum,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(max(round(o_totalprice * 100)) - min(round(o_totalprice * 100))
+              AS BIGINT) AS range_cents
+  FROM orders GROUP BY 1
+), w AS (
+  SELECT stratum, n_rows, range_cents, n_rows * range_cents AS wt,
+         sum(n_rows * range_cents) OVER () AS total_wt
+  FROM s
+), base AS (
+  SELECT stratum, n_rows, range_cents, wt, total_wt,
+         ({ALLOC_N} * wt) // total_wt AS base_alloc,
+         ({ALLOC_N} * wt) % total_wt AS rem
+  FROM w
+), ranked AS (
+  SELECT *, row_number() OVER (ORDER BY rem DESC, stratum) AS rr,
+         sum(base_alloc) OVER () AS base_total
+  FROM base
+)
+SELECT stratum, n_rows, range_cents,
+       CAST(base_alloc + CASE WHEN rr <= {ALLOC_N} - base_total THEN 1 ELSE 0 END
+            AS BIGINT) AS alloc
+FROM ranked ORDER BY stratum
+"""
+
+
+@_q("sample_allocation_apportion", _ALLOC_SQL)
+def sample_allocation_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sample-budget apportionment by the largest-remainder
+    (Hamilton) method — the allocation step BEFORE a stratified draw:
+    each stratum's weight is rows × price-range (the exact-integer
+    stand-in for Neyman's N_h·S_h; range, unlike stddev, needs no
+    square root, so the whole allocation is integer-exact on both
+    engines), seats = ⌊n·w_h/W⌋ plus one extra for the largest
+    remainders until the budget is met. Σ alloc == n EXACTLY — the
+    property float-proportional allocation can't promise.
+
+    Scale: one groupBy collapse of orders into a #strata-row table;
+    everything after runs on that bounded table (the windows are
+    broadcast-scale). Pairs with sample_stratified / sample_systematic_pps,
+    which consume per-stratum budgets like these."""
+    o = load_table(spark, sf_dir, "orders")
+    s = o.groupBy(F.col("o_orderpriority").alias("stratum")).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        (
+            F.max(F.round(F.col("o_totalprice") * 100))
+            - F.min(F.round(F.col("o_totalprice") * 100))
+        )
+        .cast("long")
+        .alias("range_cents"),
+    )
+    w = s.withColumn("wt", F.col("n_rows") * F.col("range_cents")).crossJoin(
+        F.broadcast(
+            s.agg(
+                F.sum(F.col("n_rows") * F.col("range_cents")).alias("total_wt")
+            )
+        )
+    )
+    base = w.withColumn(
+        "base_alloc", F.expr(f"({ALLOC_N} * wt) div total_wt")
+    ).withColumn("rem", F.expr(f"({ALLOC_N} * wt) % total_wt"))
+    bt = base.agg(F.sum("base_alloc").alias("base_total"))
+    ranked = base.crossJoin(F.broadcast(bt)).withColumn(
+        "rr", F.row_number().over(W.orderBy(F.desc("rem"), "stratum"))
+    )
+    return ranked.select(
+        "stratum",
+        "n_rows",
+        "range_cents",
+        (
+            F.col("base_alloc")
+            + F.when(F.col("rr") <= ALLOC_N - F.col("base_total"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("alloc"),
+    ).orderBy("stratum")

@@ -2694,3 +2694,135 @@ def sim_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nprobe")
     )
+
+
+# --- blocked kNN-graph construction (r12 wave) --------------------------------
+# The corpus-wide k-nearest-neighbor graph is the substrate for SemDeDup
+# clustering, label propagation over embeddings, and graph-based ANN
+# (NN-Descent / HNSW ground layers). Brute force is O(n²); the deployable
+# shape blocks by a coarse quantizer first (the IVF device) so the
+# pairwise join runs within cells only — candidates ∝ n²/C for balanced
+# cells, and at 100 TB the cells are the partition keys, so each join
+# task touches one cell.
+
+KNN_C_MIN = 8  # coarse-cell floor; cells scale as max(this, n // KNN_CELL_DIV)
+KNN_CELL_DIV = 256  # target cell size — cells grow WITH the corpus
+KNN_K = 5
+
+_SQL_L2 = (
+    "list_sum(list_transform({a}, (x, i) ->"
+    " (CAST(x AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+    " * (CAST(x AS DOUBLE) - CAST({b}[i] AS DOUBLE))))"
+)
+
+_KNN_GRAPH_SQL = f"""
+WITH nc AS (
+  SELECT greatest({KNN_C_MIN}, count(*) // {KNN_CELL_DIV}) AS c
+  FROM embeddings
+), c AS (
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings, nc
+  WHERE vec_id < nc.c
+), assign AS (
+  SELECT vec_id, embedding, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rnc
+  FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           {_SQL_L2.format(a="e.embedding", b="c.ce")} AS d2
+    FROM embeddings e, c
+  )
+), pts AS (
+  SELECT vec_id, embedding, cid FROM assign WHERE rnc = 1
+), cand AS (
+  SELECT a.vec_id AS src, b.vec_id AS nbr,
+         round({_SQL_L2.format(a="a.embedding", b="b.embedding")}, 6) AS d2
+  FROM pts a JOIN pts b ON a.cid = b.cid AND b.vec_id <> a.vec_id
+), ranked AS (
+  SELECT src, nbr, d2,
+         row_number() OVER (PARTITION BY src ORDER BY d2, nbr) AS rn
+  FROM cand
+)
+SELECT src, nbr, d2 AS dist_sq, CAST(rn AS INTEGER) AS rn
+FROM ranked WHERE rn <= {KNN_K}
+ORDER BY src, rn
+"""
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Left-to-right double L2² fold — same order as the oracle SQL."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
+
+
+@_q("sim_knn_graph", _KNN_GRAPH_SQL)
+def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked kNN-graph construction: assign every vector to its nearest
+    coarse center (the first ``max({Cmin}, n/{div})`` corpus vectors — the
+    IVF assignment step with a deterministic codebook whose SIZE SCALES
+    WITH THE CORPUS, pinning expected cell size at ~{div}), then build
+    each point's top-{K} neighbor list WITHIN its cell via a cell-equi
+    self-join + per-source rank. Candidates ∝ Σ|cell|² ≈ n·{div} instead
+    of n²; at scale the cell id is the shuffle key, a trained codebook
+    (sim_ivf_kmeans) balances the cells, and the assignment pass (n·C
+    distances) is the component that calls for the √n codebook rule /
+    a two-level quantizer in production. Distances are the shared
+    left-to-right IEEE-double fold rounded to 6 places with (dist, id)
+    tie-break, so both engines emit the identical graph. Boundary
+    effect (true neighbor in an adjacent cell) is the documented IVF
+    recall trade — sim_ann_recall measures it; this op's contract is
+    the blocked graph itself."""
+    emb = _emb(spark, sf_dir).localCheckpoint(eager=False)
+    nc = emb.agg(
+        F.greatest(
+            F.lit(KNN_C_MIN), F.expr(f"count(*) div {KNN_CELL_DIV}")
+        ).alias("c")
+    )
+    c = F.broadcast(
+        emb.crossJoin(F.broadcast(nc))
+        .filter(F.col("vec_id") < F.col("c"))
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    )
+    # hot paths use the Arrow-vectorized L2 (identical left-to-right
+    # summation order as the _l2sq fold and the oracle's list_sum — the
+    # module's standing CodegenFallback-HOF avoidance, see _cosine_impl)
+    wq = W.partitionBy("vec_id").orderBy("d2", "cid")
+    pts = (
+        emb.crossJoin(c)
+        .select(
+            "vec_id",
+            "embedding",
+            "cid",
+            _l2_pd()(F.col("embedding"), F.col("ce")).alias("d2"),
+        )
+        .withColumn("rnc", F.row_number().over(wq))
+        .filter(F.col("rnc") == 1)
+        .select("vec_id", "embedding", "cid")
+    )
+    a = pts.select(
+        F.col("cid"), F.col("vec_id").alias("src"), F.col("embedding").alias("ea")
+    )
+    b = pts.select(
+        F.col("cid"), F.col("vec_id").alias("nbr"), F.col("embedding").alias("eb")
+    )
+    cand = a.join(b, "cid").filter(F.col("nbr") != F.col("src")).select(
+        "src", "nbr", F.round(_l2_pd()(F.col("ea"), F.col("eb")), 6).alias("d2")
+    )
+    wr = W.partitionBy("src").orderBy("d2", "nbr")
+    return (
+        cand.withColumn("rn", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rn") <= KNN_K)
+        .select("src", "nbr", F.col("d2").alias("dist_sq"), "rn")
+        .orderBy("src", "rn")
+    )
+
+
+sim_knn_graph.__doc__ = sim_knn_graph.__doc__.format(
+    Cmin=KNN_C_MIN, div=KNN_CELL_DIV, K=KNN_K
+)

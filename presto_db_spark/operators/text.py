@@ -2788,3 +2788,183 @@ sample_systematic_pps.__doc__ = sample_systematic_pps.__doc__.format(PPS_K=PPS_K
 
 
 text_source_divergence_chi2.__doc__ = text_source_divergence_chi2.__doc__.format(CHI2_VOCAB=CHI2_VOCAB)
+
+
+# --- Flesch readability (r12 wave) --------------------------------------------
+
+_FLESCH_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\\s+')) AS w,
+         len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syl
+  FROM documents WHERE len(trim(text)) > 0
+), s AS (
+  SELECT doc_id, w, syl, 1 + (w - 1) // 15 AS sents FROM t
+)
+SELECT doc_id, CAST(w AS BIGINT) AS n_words,
+       CAST(sents AS BIGINT) AS n_sentences,
+       CAST(syl AS BIGINT) AS n_syllables,
+       CAST(206835000 - (1015000 * w) // sents - (84600000 * syl) // w
+            AS BIGINT) AS flesch_micros,
+       CAST((390000 * w) // sents + (11800000 * syl) // w - 15590000
+            AS BIGINT) AS fk_grade_micros
+FROM s ORDER BY doc_id
+"""
+
+
+@_q("text_flesch_readability", _FLESCH_SQL)
+def text_flesch_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease + Flesch-Kincaid grade per document, in exact
+    integer micros: syllables via the standard vowel-group heuristic
+    (maximal [aeiouy]+ runs — regexp_extract_all on both engines),
+    sentence count via a fixed 15-word segmentation (this corpus carries
+    no sentence punctuation; the surrogate is documented, deterministic,
+    and identical on both engines). All three Flesch constants are
+    applied as exact integer cross-multiplications (206.835 → 206835000
+    micros, floor division) so rankings can't diverge in a float ulp.
+
+    Scale: one projection pass — no shuffle, no Python; the readability
+    triage step a 100 TB curation pipeline runs next to gopher_rules."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    t = docs.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("w"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit("[aeiouy]+"), 0))
+        .cast("long")
+        .alias("syl"),
+    ).withColumn("sents", 1 + F.expr("(w - 1) div 15"))
+    return t.select(
+        "doc_id",
+        F.col("w").alias("n_words"),
+        F.col("sents").cast("long").alias("n_sentences"),
+        F.col("syl").alias("n_syllables"),
+        F.expr("206835000 - (1015000 * w) div sents - (84600000 * syl) div w")
+        .cast("long")
+        .alias("flesch_micros"),
+        F.expr("(390000 * w) div sents + (11800000 * syl) div w - 15590000")
+        .cast("long")
+        .alias("fk_grade_micros"),
+    ).orderBy("doc_id")
+
+
+# --- RAKE keyword extraction (r12 wave) ---------------------------------------
+# Rapid Automatic Keyword Extraction (Rose et al. 2010): candidate
+# phrases are maximal stopword-free token runs; a word scores
+# degree/frequency (degree = summed length of phrases it appears in);
+# a phrase scores the sum of its words' scores. All scores are exact
+# integer micros (degree·10^6 // freq), so both engines rank the same.
+
+_RAKE_STOPS = ("the", "a", "and", "of", "to", "in", "is", "for", "on", "as")
+_RAKE_DOCS = 400
+_RAKE_TOP = 20
+
+_RAKE_STOP_SQL = ", ".join(f"'{s}'" for s in _RAKE_STOPS)
+
+_RAKE_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, s.pos AS pos, s.tok AS tok
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(toks)),
+                  i -> struct_pack(pos := i, tok := toks[i]))) AS s
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+          FROM documents WHERE doc_id < {_RAKE_DOCS})
+  )
+), flagged AS (
+  SELECT doc_id, pos, tok,
+         sum(CASE WHEN tok IN ({_RAKE_STOP_SQL}) THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS pid,
+         (tok IN ({_RAKE_STOP_SQL})) AS is_stop
+  FROM tok
+), members AS (
+  SELECT doc_id, pid, pos, tok,
+         count(*) OVER (PARTITION BY doc_id, pid) AS plen
+  FROM flagged WHERE NOT is_stop
+), wscore AS (
+  SELECT tok, CAST(sum(plen) * 1000000 // count(*) AS BIGINT) AS wsc
+  FROM members GROUP BY tok
+), phrases AS (
+  SELECT m.doc_id, m.pid,
+         string_agg(m.tok, ' ' ORDER BY m.pos) AS phrase,
+         CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(w.wsc) AS BIGINT) AS score_micros
+  FROM members m JOIN wscore w ON w.tok = m.tok
+  GROUP BY m.doc_id, m.pid
+), agg AS (
+  SELECT phrase, min(n_words) AS n_words, CAST(count(*) AS BIGINT) AS n_occurrences,
+         min(score_micros) AS score_micros
+  FROM phrases GROUP BY phrase
+), ranked AS (
+  SELECT phrase, n_words, n_occurrences, score_micros,
+         row_number() OVER (ORDER BY score_micros DESC, phrase) AS rk
+  FROM agg
+)
+SELECT phrase, n_words, n_occurrences, score_micros, CAST(rk AS INTEGER) AS rk
+FROM ranked WHERE rk <= {_RAKE_TOP}
+"""
+
+
+@_q("text_rake_keywords", _RAKE_SQL)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction over a doc slice: phrases = maximal
+    stopword-free token runs (phrase id = running stopword count per
+    doc), word score = degree·10⁶ // frequency over the phrase-member
+    relation, phrase score = Σ member word scores, corpus top-{top}
+    phrases by (score, text).
+
+    Scale: tokens explode per doc (linear); the phrase-id window is
+    per-document (bounded by doc length); word scores are a
+    vocabulary-bounded aggregate; the final rank runs on the aggregated
+    phrase-text table (vocabulary-combination-bounded, and only the
+    top-{top} survive). No Python anywhere — posexplode + windows +
+    groupBy."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _RAKE_DOCS
+    )
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    is_stop = F.col("tok").isin(*_RAKE_STOPS)
+    wpid = W.partitionBy("doc_id").orderBy("pos")
+    flagged = tok.withColumn(
+        "pid", F.sum(F.when(is_stop, 1).otherwise(0)).over(wpid)
+    ).withColumn("is_stop", is_stop)
+    members = flagged.filter(~F.col("is_stop")).withColumn(
+        "plen", F.count("*").over(W.partitionBy("doc_id", "pid"))
+    )
+    wscore = members.groupBy("tok").agg(
+        F.expr("sum(plen) * 1000000 div count(*)").cast("long").alias("wsc")
+    )
+    phrases = (
+        members.join(wscore, "tok")
+        .groupBy("doc_id", "pid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s.tok,
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("wsc").cast("long").alias("score_micros"),
+        )
+    )
+    agg = phrases.groupBy("phrase").agg(
+        F.min("n_words").alias("n_words"),
+        F.count("*").cast("long").alias("n_occurrences"),
+        F.min("score_micros").alias("score_micros"),
+    )
+    wr = W.orderBy(F.desc("score_micros"), "phrase")
+    return (
+        agg.withColumn("rk", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rk") <= _RAKE_TOP)
+        .select("phrase", "n_words", "n_occurrences", "score_micros", "rk")
+    )
+
+
+text_rake_keywords.__doc__ = text_rake_keywords.__doc__.format(top=_RAKE_TOP)

@@ -39,6 +39,7 @@ _MODULES: list[str] = [
     "presto_db_spark.operators.functions_corpus3",
     "presto_db_spark.operators.events",
     "presto_db_spark.operators.stats",
+    "presto_db_spark.operators.series",
     "presto_db_spark.operators.timetypes",
     "presto_db_spark.operators.text",
     "presto_db_spark.operators.dedup",
@@ -93,8 +94,13 @@ _BATTERY_HEAD: list[str] = [
     # (r11: subq_scalar_corr → dedup_fuzzy_del1 — the rebuilt join-free
     # SymSpell shape belongs in the recorded battery the round it
     # changed; the subquery family keeps subq_not_in_null)
-    "part_skyline_pareto", "subq_not_in_null", "grouping_sets", "win_frames",
-    "quality_data_checks", "agg_multi_distinct", "unnest_multi_zip",
+    # (r12 rotation, VERDICT r11 #5: win_frames → win_ignore_nulls and
+    # agg_multi_distinct → agg_weighted_median — long-sampled entries
+    # yield to a never-sampled window shape and the new distrank-backed
+    # robust agg; both displaced stay green in CORRECTNESS_FULL)
+    "part_skyline_pareto", "subq_not_in_null", "grouping_sets",
+    "win_ignore_nulls",
+    "quality_data_checks", "agg_weighted_median", "unnest_multi_zip",
     "dedup_fuzzy_del1",
     # events / range / skew (as-of stays oracle-checked outside the head)
     # (r10c: events_sessionize → events_sequence_match — row-pattern
@@ -103,7 +109,11 @@ _BATTERY_HEAD: list[str] = [
     # (r11: events_sequence_match → events_interval_overlap — the
     # bucket-blocked interval join is the new events flagship; sequence
     # match was judge-checked green r10 and stays in CORRECTNESS_FULL)
-    "events_range_join", "events_interval_overlap",
+    # (r12: events_range_join → events_stl_decompose — the range join was
+    # head-sampled since r05; the decomposition is the new series module's
+    # events flagship. range_join stays benched in bench.py + green in
+    # CORRECTNESS_FULL)
+    "events_stl_decompose", "events_interval_overlap",
     "skew_salted_join",
     # sketches + digests (sketch_tdigest rotated out r10 for tpcds_q24_2,
     # agg_hll_sketch rotated out r10b for sketch_count_min — the sketch
@@ -119,7 +129,11 @@ _BATTERY_HEAD: list[str] = [
     # (r10c: geo_wkt_intersects_join → text_ngram_novelty — the geo
     # family keeps the harder KdbTree radius join in the head; the
     # intersects join stays green in CORRECTNESS_FULL)
-    "geo_radius_join", "text_ngram_novelty",
+    # (r12: text_ngram_novelty → text_dsir_weights — the DSIR selection
+    # rank moved onto distrank.global_index this round (VERDICT r11 #1)
+    # and the changed op belongs in the recorded battery; ngram_novelty
+    # stays benched in bench.py + green in CORRECTNESS_FULL)
+    "geo_radius_join", "text_dsir_weights",
     # scalar/aggregate corpus cross-section
     # (func_array_advanced + agg_classification_metrics rotated out r09;
     # func_json rotated out r10 for tpcds_q39_2 — the JSON surface stays
@@ -134,7 +148,10 @@ _BATTERY_HEAD: list[str] = [
     # (r11: func_decimal → agg_mad — the exact-integer robust-stats agg;
     # decimal semantics stay head-covered via the TPC-H money spine and
     # func_decimal stays green in CORRECTNESS_FULL)
-    "func_datetime", "events_ab_mann_whitney", "subq_lateral_topn",
+    # (r12: events_ab_mann_whitney → stats_bootstrap_ci — the stats slot
+    # moves to the deterministic-LCG resampling CI, the new inference
+    # shape; mann_whitney was driver-sampled r11 and stays green)
+    "func_datetime", "stats_bootstrap_ci", "subq_lateral_topn",
     # LLM-pipeline extension operators (r06: cross-doc substring spans +
     # SemDeDup; r07: sequence packing + BM25 lexical retrieval rotate in
     # for text_fingerprint / sim_ann_lsh; r07 second wave rotates
@@ -157,7 +174,10 @@ _BATTERY_HEAD: list[str] = [
     # storage-dedup report is the new binary-pipeline flagship; packing
     # stays green in CORRECTNESS_FULL and the text family keeps four
     # other head slots)
-    "multimodal_cdc_chunks", "dedup_minhash_lsh",
+    # (r12: multimodal_cdc_chunks → multimodal_jpeg_roundtrip — the
+    # from-scratch baseline JPEG codec joins the battery the round it
+    # shipped; cdc_chunks was driver-sampled r11 and stays green)
+    "multimodal_jpeg_roundtrip", "dedup_minhash_lsh",
     "layout_compaction_plan",
     "pipeline_training_corpus", "text_lm_likelihood",
     # round-9 flagships: the chained BPE trainer, both eval harnesses
@@ -166,9 +186,12 @@ _BATTERY_HEAD: list[str] = [
     # (events_downsample_m4 + udf_grouped_zscore rotated out r10 for the
     # distributed-rank scalable twins — VERDICT r09 #3; both stay green
     # in CORRECTNESS_FULL and plan-gated in tests/test_plans.py)
+    # (r12: sim_mrl_prefix_rerank → sim_knn_graph — the blocked
+    # kNN-graph builder is the ANN family's new substrate op; MRL rerank
+    # was driver-sampled r09-r11 and stays green in CORRECTNESS_FULL)
     "text_bpe_train_rounds", "sim_ann_recall", "dedup_minhash_recall",
     "events_rfm_scores_scalable", "cdc_apply_changes",
-    "sim_mrl_prefix_rerank",
+    "sim_knn_graph",
     # (r10b: multimodal_phash → multimodal_patchify — the patch-token op
     # exercises a SUPERSET of phash's surface: the real BMP byte parse,
     # the bottom-up row flip, plus the ragged ViT tiling; phash stays
@@ -177,7 +200,10 @@ _BATTERY_HEAD: list[str] = [
     # zlib PNG codec is the round's multimodal flagship: chunk walk, CRC
     # verify, inflate, five-filter unfilter; patchify stays green in
     # CORRECTNESS_FULL)
-    "multimodal_png_roundtrip", "part_abc_scalable",
+    # (r12: multimodal_png_roundtrip → multimodal_flac_roundtrip — the
+    # codec-gate-retiring FLAC roundtrip takes the codec slot; PNG was
+    # driver-sampled r11 and stays green in CORRECTNESS_FULL)
+    "multimodal_flac_roundtrip", "part_abc_scalable",
     # presto-ml distributed trainers
     # (r11e: ml_classify_centroid → ml_logistic_regression — the
     # iterative GD trainer with the unrolled-trajectory oracle is the ML
@@ -194,12 +220,12 @@ _BATTERY_HEAD: list[str] = [
     # sim_ivf_kmeans / sim_ann_recall / sim_mrl_prefix_rerank in the
     # head; BQ stays benched in bench.py + green in CORRECTNESS_FULL)
     "streaming_session_window",
-    # r11i/j head additions filling the two free slots: the classifier
-    # evaluation family's rank-statistic flagship (exact Mann-Whitney
-    # AUC over distrank prefix offsets) and the graph family's first
-    # head representative (LPA communities + exact-integer modularity
-    # scoring in one plan)
-    "ml_roc_auc", "graph_modularity",
+    # r11i/j head additions filling the two free slots; r12 rotates both
+    # (ml_roc_auc → ml_brier_score — a never-sampled eval metric;
+    # graph_modularity → graph_ppr — the new seeded-proximity rank takes
+    # the graph slot; both displaced entries were driver-sampled r11,
+    # stay benched where applicable and green in CORRECTNESS_FULL)
+    "ml_brier_score", "graph_ppr",
 ]
 
 if len(_BATTERY_HEAD) > 50:
