@@ -3600,3 +3600,67 @@ def events_adstock_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(num * 100) div (CAST(1 AS BIGINT) << i)").cast("bigint")
         .alias("adstock_centi"),
     ).orderBy("event_type", "i")
+
+
+# --- as-of join with staleness tolerance (r12 second wave) --------------------
+
+_ASOF_TOL_MIN = 15  # max staleness in minutes
+
+_ASOF_TOL_SQL = f"""
+SELECT e.event_id,
+       last(p.event_id ORDER BY p.ts, p.event_id) AS prior_event,
+       CAST(epoch_us(e.ts) - max(epoch_us(p.ts)) AS BIGINT) AS staleness_us
+FROM events e LEFT JOIN events p
+  ON p.user_id = e.user_id AND p.ts < e.ts
+ AND p.ts >= e.ts - INTERVAL {_ASOF_TOL_MIN} MINUTES
+WHERE e.event_type = 'error' AND e.user_id < 60
+GROUP BY e.event_id, e.ts
+ORDER BY e.event_id
+"""
+
+
+@_q("events_asof_tolerance", _ASOF_TOL_SQL)
+def events_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join with a STALENESS BOUND — the production variant of
+    events_asof (kdb's ``wj``/pandas' ``merge_asof(tolerance=...)``):
+    each error event gets the user's latest prior event ONLY if it is
+    at most {tol} minutes old; older matches are nulled (a stale sensor
+    reading is worse than no reading). LEFT semantics: probes with no
+    in-tolerance prior survive with nulls.
+
+    Shape: the same linear union-sort-window as asof_join (ONE sort
+    exchange per key — never the quadratic join-then-max_by, which
+    exists only in the oracle), then the tolerance applied as a
+    projection on the matched timestamp and a left join back to the
+    probe set to restore dropped probes. Staleness is exact integer
+    epoch-microseconds on both engines."""
+    from .rangejoin import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    probes = ev.filter(
+        (F.col("event_type") == "error") & (F.col("user_id") < 60)
+    ).select("user_id", "ts", "event_id")
+    priors = ev.select(
+        "user_id",
+        F.col("ts").alias("prior_ts"),
+        F.col("event_id").alias("prior_event"),
+    )
+    matched = asof_join(
+        probes, priors, ["user_id"], "ts", "prior_ts", ["prior_event"]
+    ).select("event_id", "prior_event", "prior_ts")
+    out = probes.join(matched, "event_id", "left")
+    in_tol = F.col("prior_ts") >= F.col("ts") - F.expr(
+        f"INTERVAL {_ASOF_TOL_MIN} MINUTES"
+    )
+    return out.select(
+        "event_id",
+        F.when(in_tol, F.col("prior_event")).alias("prior_event"),
+        F.when(
+            in_tol, F.unix_micros("ts") - F.unix_micros("prior_ts")
+        ).cast("long").alias("staleness_us"),
+    ).orderBy("event_id")
+
+
+events_asof_tolerance.__doc__ = events_asof_tolerance.__doc__.format(
+    tol=_ASOF_TOL_MIN
+)

@@ -1530,3 +1530,150 @@ def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 graph_ktruss.__doc__ = graph_ktruss.__doc__.format(k=KTRUSS_K, rounds=KTRUSS_ROUNDS)
+
+
+# --- bipartite projection (r12 second wave) -----------------------------------
+# Project the supplier↔part bipartite graph onto suppliers: two suppliers
+# connect with weight = number of DISTINCT shared parts. The classic
+# one-mode projection (recommendation co-supply signal). The quadratic
+# hazard is a part supplied by thousands of suppliers (fan-out |S_p|²);
+# the standard frequent-item pruning caps the part degree — a no-op at
+# fixture scale, the survival device at 100 TB (hot parts carry no
+# pairwise signal anyway).
+
+_BIPROJ_SUPP_MAX = 40  # part-degree cap (prune parts with more suppliers)
+_BIPROJ_MIN_W = 2
+
+_BIPROJ_SQL = f"""
+WITH pb AS (
+  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS s, CAST(l_partkey AS BIGINT) AS p
+  FROM lineitem
+), keep AS (
+  SELECT p FROM pb GROUP BY p HAVING count(*) <= {_BIPROJ_SUPP_MAX}
+), pbf AS (
+  SELECT pb.s, pb.p FROM pb JOIN keep ON keep.p = pb.p
+)
+SELECT a.s AS supp_a, b.s AS supp_b, CAST(count(*) AS BIGINT) AS shared_parts
+FROM pbf a JOIN pbf b ON a.p = b.p AND a.s < b.s
+GROUP BY a.s, b.s
+HAVING count(*) >= {_BIPROJ_MIN_W}
+ORDER BY supp_a, supp_b
+"""
+
+
+@_q("graph_bipartite_projection", _BIPROJ_SQL)
+def graph_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-mode projection of the supplier↔part bipartite graph:
+    supplier pairs weighted by distinct shared parts (weight >=
+    {minw}), with the part-degree cap ({cap}) that bounds the per-part
+    pair fan-out at |S_p|² — frequent-item pruning, a fixture no-op and
+    the 100 TB survival device. Shape: one distinct collapse, one
+    degree groupBy, one equi self-join on the part key, one count
+    groupBy — all map-side combinable, no window, no Python."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pb = li.select(
+        F.col("l_suppkey").cast("long").alias("s"),
+        F.col("l_partkey").cast("long").alias("p"),
+    ).distinct()
+    keep = pb.groupBy("p").agg(F.count("*").alias("dp")).filter(
+        F.col("dp") <= _BIPROJ_SUPP_MAX
+    ).select("p")
+    pbf = pb.join(keep, "p")
+    a = pbf.select(F.col("p"), F.col("s").alias("supp_a"))
+    b = pbf.select(F.col("p"), F.col("s").alias("supp_b"))
+    return (
+        a.join(b, "p")
+        .filter(F.col("supp_a") < F.col("supp_b"))
+        .groupBy("supp_a", "supp_b")
+        .agg(F.count("*").cast("long").alias("shared_parts"))
+        .filter(F.col("shared_parts") >= _BIPROJ_MIN_W)
+        .orderBy("supp_a", "supp_b")
+    )
+
+
+graph_bipartite_projection.__doc__ = graph_bipartite_projection.__doc__.format(
+    minw=_BIPROJ_MIN_W, cap=_BIPROJ_SUPP_MAX
+)
+
+
+# --- landmark harmonic closeness (r12 second wave) ------------------------------
+
+_CLOSE_SRC_MOD = 200  # landmark set: part keys divisible by this
+_CLOSE_MAX_DEPTH = 3
+
+_CLOSENESS_SQL = f"""
+WITH RECURSIVE edges AS ({_BFS_EDGES_SQL}
+), adj AS (
+  SELECT x AS u, y AS w FROM edges UNION ALL SELECT y, x FROM edges
+), lm AS (
+  SELECT DISTINCT u AS s FROM adj WHERE u % {_CLOSE_SRC_MOD} = 0
+), bfs(s, node, dist) AS (
+  SELECT s, s AS node, 0 AS dist FROM lm
+  UNION
+  SELECT b.s, a.w, b.dist + 1 FROM bfs b JOIN adj a ON a.u = b.node
+  WHERE b.dist < {_CLOSE_MAX_DEPTH}
+), md AS (
+  SELECT s, node, min(dist) AS dist FROM bfs GROUP BY s, node
+)
+SELECT s AS landmark,
+       CAST(count(*) FILTER (dist >= 1) AS BIGINT) AS n_reached,
+       CAST(sum(CASE WHEN dist >= 1 THEN 1000000 // dist ELSE 0 END)
+            AS BIGINT) AS harmonic_micros
+FROM md GROUP BY s ORDER BY landmark
+"""
+
+
+@_q("graph_landmark_closeness", _CLOSENESS_SQL)
+def graph_landmark_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic closeness centrality for a LANDMARK set (part keys %
+    {mod} == 0) via multi-source BFS to depth {depth}: closeness(s) =
+    Σ_reached ⌊10⁶/dist⌋ — the harmonic form handles disconnection
+    without a division-by-∞ special case, and the floor keeps both
+    engines bit-identical. The landmark restriction is THE way
+    closeness ships at scale (all-pairs BFS is O(nm); landmarks make it
+    O(|L|·m) with the frontier carrying (landmark, node) pairs — still
+    one hash join + anti-join + distinct per superstep, exactly
+    graph_bfs_distances' loop widened by the source key). Oracle: a
+    recursive CTE over the same adjacency, min-dist per (source, node)."""
+    edges = _repeat_edges(spark, sf_dir)
+    adj = (
+        edges.select(F.col("x").alias("u"), F.col("y").alias("w"))
+        .unionByName(edges.select(F.col("y").alias("u"), F.col("x").alias("w")))
+        .localCheckpoint(eager=False)
+    )
+    lm = (
+        adj.select(F.col("u").alias("s"))
+        .filter(F.col("s") % _CLOSE_SRC_MOD == 0)
+        .distinct()
+    )
+    frontier = lm.select("s", F.col("s").alias("node"), F.lit(0).alias("dist"))
+    visited = frontier.localCheckpoint(eager=True)
+    for d in range(1, _CLOSE_MAX_DEPTH + 1):
+        nxt = (
+            frontier.join(adj, frontier.node == adj.u)
+            .select("s", F.col("w").alias("node"), F.lit(d).alias("dist"))
+            .distinct()
+            .join(visited.select("s", "node"), ["s", "node"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return (
+        visited.groupBy(F.col("s").alias("landmark"))
+        .agg(
+            F.sum(F.when(F.col("dist") >= 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_reached"),
+            F.sum(
+                F.when(F.col("dist") >= 1, F.expr("1000000 div dist")).otherwise(0)
+            )
+            .cast("long")
+            .alias("harmonic_micros"),
+        )
+        .orderBy("landmark")
+    )
+
+
+graph_landmark_closeness.__doc__ = graph_landmark_closeness.__doc__.format(
+    mod=_CLOSE_SRC_MOD, depth=_CLOSE_MAX_DEPTH
+)

@@ -457,3 +457,49 @@ def sample_allocation_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("alloc"),
     ).orderBy("stratum")
+
+
+# --- exact mode with deterministic tie-break -----------------------------------
+
+_MODE_SQL = """
+WITH c AS (
+  SELECT l_returnflag AS flag, CAST(round(l_quantity) AS BIGINT) AS qty,
+         CAST(count(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY 1, 2
+), r AS (
+  SELECT flag, qty, n,
+         row_number() OVER (PARTITION BY flag ORDER BY n DESC, qty) AS rk
+  FROM c
+)
+SELECT flag, qty AS mode_qty, n AS mode_count FROM r WHERE rk = 1
+ORDER BY flag
+"""
+
+
+@_q("agg_mode_exact", _MODE_SQL)
+def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group mode (most frequent quantity per return flag)
+    with a DETERMINISTIC tie-break (smallest value at the max count) —
+    the contract engine-native ``mode()`` aggregates don't make (both
+    Spark's and DuckDB's pick an arbitrary tie winner, so neither is
+    oracle-safe; the counted-table + rank formulation is).
+
+    Scale: one (flag, qty) groupBy — map-side combinable, output
+    value-cardinality-bounded — then a rank window over that BOUNDED
+    table. The same two-step shape as agg_weighted_median."""
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.round("l_quantity").cast("long").alias("qty"),
+    ).agg(F.count("*").cast("long").alias("n"))
+    r = c.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("flag").orderBy(F.desc("n"), "qty")
+        ),
+    )
+    return (
+        r.filter(F.col("rk") == 1)
+        .select("flag", F.col("qty").alias("mode_qty"), F.col("n").alias("mode_count"))
+        .orderBy("flag")
+    )
