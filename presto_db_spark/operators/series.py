@@ -503,3 +503,101 @@ def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("flag", F.col("qty").alias("mode_qty"), F.col("n").alias("mode_count"))
         .orderBy("flag")
     )
+
+
+# --- binary-segmentation changepoint detection ---------------------------------
+
+_BINSEG_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(sum(round(value * 100)) AS BIGINT) AS cents
+  FROM events GROUP BY 1
+), c AS (
+  SELECT d, cents,
+         row_number() OVER (ORDER BY d) AS t,
+         sum(cents) OVER (ORDER BY d) AS st,
+         sum(cents) OVER () AS sn,
+         count(*) OVER () AS n
+  FROM daily
+), scored AS (
+  SELECT t, d, abs(n * st - t * sn) AS dev FROM c WHERE t < n
+), t1 AS (
+  SELECT t AS t1, dev AS dev1 FROM scored
+  ORDER BY dev DESC, t LIMIT 1
+), seg AS (
+  SELECT s.t, s.d, s.dev, CASE WHEN s.t < t1.t1 THEN 0 ELSE 1 END AS side,
+         t1.t1, t1.dev1
+  FROM scored s, t1 WHERE s.t <> t1.t1
+), best2 AS (
+  SELECT side, t, d, dev,
+         row_number() OVER (PARTITION BY side ORDER BY dev DESC, t) AS rk
+  FROM seg
+)
+SELECT CAST(1 AS INTEGER) AS level, CAST(t1 AS BIGINT) AS t,
+       c.d, CAST(dev1 AS BIGINT) AS deviation
+FROM t1 JOIN c ON c.t = t1.t1
+UNION ALL
+SELECT CAST(2 AS INTEGER), CAST(t AS BIGINT), d, CAST(dev AS BIGINT)
+FROM best2 WHERE rk = 1
+ORDER BY level, t
+"""
+
+
+@_q("events_changepoint_binseg", _BINSEG_SQL)
+def events_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-segmentation changepoint detection on the daily revenue
+    series, two levels deep: the level-1 split maximizes the exact
+    CUSUM deviation |n·S_t − t·S_n| (the cross-multiplied form of
+    |S_t − (t/n)·S_n| — BIGINT, no float), then each side's best
+    sub-split is reported at level 2. Deterministic tie-break (earliest
+    t at equal deviation). The relational unrolling replaces the usual
+    driver-side recursion: level 2 is one join against the 1-row
+    level-1 table — no collect, no loop.
+
+    Scale: everything after the daily collapse runs on the day-grain
+    table (the bounded-window contract of this module); deviations are
+    exact integers so both engines pick identical changepoints."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(F.round(F.col("value") * 100)).cast("long").alias("cents")
+    )
+    wo = W.orderBy("d")
+    c = daily.select(
+        "d",
+        "cents",
+        F.row_number().over(wo).alias("t"),
+        F.sum("cents").over(wo.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("st"),
+    ).crossJoin(
+        F.broadcast(
+            daily.agg(
+                F.sum("cents").alias("sn"), F.count("*").alias("n")
+            )
+        )
+    ).localCheckpoint(eager=False)
+    scored = c.filter(F.col("t") < F.col("n")).select(
+        "t", "d", F.abs(F.col("n") * F.col("st") - F.col("t") * F.col("sn")).alias("dev")
+    )
+    t1 = F.broadcast(
+        scored.orderBy(F.desc("dev"), "t")
+        .limit(1)
+        .select(F.col("t").alias("t1"), F.col("dev").alias("dev1"))
+    )
+    seg = scored.crossJoin(t1).filter(F.col("t") != F.col("t1")).withColumn(
+        "side", F.when(F.col("t") < F.col("t1"), 0).otherwise(1)
+    )
+    best2 = seg.withColumn(
+        "rk",
+        F.row_number().over(W.partitionBy("side").orderBy(F.desc("dev"), "t")),
+    ).filter(F.col("rk") == 1)
+    lvl1 = t1.join(c, c.t == F.col("t1")).select(
+        F.lit(1).cast("int").alias("level"),
+        F.col("t1").cast("long").alias("t"),
+        "d",
+        F.col("dev1").cast("long").alias("deviation"),
+    )
+    lvl2 = best2.select(
+        F.lit(2).cast("int").alias("level"),
+        F.col("t").cast("long").alias("t"),
+        "d",
+        F.col("dev").cast("long").alias("deviation"),
+    )
+    return lvl1.unionByName(lvl2).orderBy("level", "t")

@@ -2968,3 +2968,92 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 text_rake_keywords.__doc__ = text_rake_keywords.__doc__.format(top=_RAKE_TOP)
+
+
+# --- Heaps'-law vocabulary growth (r12 wave) -----------------------------------
+
+_HEAPS_CKPT = 100  # checkpoint every K docs (by doc_id order)
+
+_HEAPS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+  FROM documents
+), firsts AS (
+  SELECT w, min(doc_id) AS first_doc FROM tok GROUP BY w
+), tokens_per_doc AS (
+  SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS n_tok
+  FROM documents
+), ck AS (
+  SELECT (doc_id // {_HEAPS_CKPT}) AS bucket FROM documents GROUP BY 1
+), vocab AS (
+  SELECT (first_doc // {_HEAPS_CKPT}) AS bucket, count(*) AS new_words
+  FROM firsts GROUP BY 1
+), toks AS (
+  SELECT (doc_id // {_HEAPS_CKPT}) AS bucket, sum(n_tok) AS toks
+  FROM tokens_per_doc GROUP BY 1
+)
+SELECT CAST((ck.bucket + 1) * {_HEAPS_CKPT} AS BIGINT) AS docs_seen,
+       CAST(sum(coalesce(t.toks, 0))
+            OVER (ORDER BY ck.bucket) AS BIGINT) AS tokens_seen,
+       CAST(sum(coalesce(v.new_words, 0))
+            OVER (ORDER BY ck.bucket) AS BIGINT) AS vocab_size
+FROM ck
+LEFT JOIN vocab v ON v.bucket = ck.bucket
+LEFT JOIN toks t ON t.bucket = ck.bucket
+ORDER BY docs_seen
+"""
+
+
+@_q("text_heaps_law", _HEAPS_SQL)
+def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: distinct-vocabulary size and
+    cumulative token count at every {K}-document checkpoint (corpus
+    order = doc_id). The curve is THE corpus-health diagnostic a
+    curation pipeline watches while ingesting — sublinear growth is
+    healthy natural text, linear growth means ID-like noise flooding
+    the vocabulary.
+
+    Scale: a word's contribution reduces to its FIRST-appearance doc
+    (one min-groupBy over the token stream — map-side combinable), so
+    the cumulative vocabulary at checkpoint t is a running sum of
+    first-appearance counts per bucket: the growth curve costs ONE
+    vocabulary aggregate + windows over the #checkpoints-row table,
+    never a per-checkpoint distinct-count pass (the naive O(n·ckpts)).
+    Exact integers end-to-end."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("w")
+    )
+    firsts = tok.groupBy("w").agg(F.min("doc_id").alias("first_doc"))
+    vocab = firsts.groupBy(
+        F.expr(f"first_doc div {_HEAPS_CKPT}").alias("bucket")
+    ).agg(F.count("*").alias("new_words"))
+    toks = docs.select(
+        F.expr(f"doc_id div {_HEAPS_CKPT}").alias("bucket"),
+        token_count(F.col("text")).alias("n_tok"),
+    ).groupBy("bucket").agg(F.sum("n_tok").alias("toks"))
+    ck = docs.select(
+        F.expr(f"doc_id div {_HEAPS_CKPT}").alias("bucket")
+    ).distinct()
+    wo = W.orderBy("bucket")
+    out = (
+        ck.join(vocab, "bucket", "left")
+        .join(toks, "bucket", "left")
+        .select(
+            ((F.col("bucket") + 1) * _HEAPS_CKPT).cast("long").alias("docs_seen"),
+            F.sum(F.coalesce(F.col("toks"), F.lit(0)))
+            .over(wo)
+            .cast("long")
+            .alias("tokens_seen"),
+            F.sum(F.coalesce(F.col("new_words"), F.lit(0)))
+            .over(wo)
+            .cast("long")
+            .alias("vocab_size"),
+        )
+    )
+    return out.orderBy("docs_seen")
+
+
+text_heaps_law.__doc__ = text_heaps_law.__doc__.format(K=_HEAPS_CKPT)
