@@ -431,6 +431,9 @@ _SOLO_PINS = {
     "dedup_cluster_bigstar": 2.95,  # r12 quiet-box solo (ADVICE r11: the r11 in-suite pin made the guard self-referential)
     "graph_modularity": 2.64,  # r11j quiet-box solo
     "graph_hits": 2.36,  # r12 quiet-box solo, post decimal-widened normalization (ADVICE r11: replaces the in-suite raw median)
+    "multimodal_flac_roundtrip": 1.32,  # r12 quiet-box solo (scripts/probe_scale.py, post CPU-spread repartition)
+    "sim_knn_graph": 3.27,  # r12 quiet-box solo (post Arrow-L2 + corpus-scaled codebook)
+    "graph_ppr": 2.76,  # r12 quiet-box solo
 }
 
 # Pins recorded from an in-suite raw median instead of an independent
@@ -502,6 +505,15 @@ HEADLINE = CORE17 + [
     # the heaviest fixed-sweep graph composite; its recorded time is the
     # floor the iterative-join family pays per round.
     "graph_hits",
+    # r12: the round's heaviest new shapes, benched so their scale
+    # claims carry recorded numbers — the stdlib FLAC codec roundtrip
+    # (CPU-bound Arrow stages spread across executors), the blocked
+    # kNN-graph builder (cell-equi self-join + Arrow L2), and the
+    # seeded-proximity PageRank (per-round join+groupBy, zero driver
+    # traffic).
+    "multimodal_flac_roundtrip",
+    "sim_knn_graph",
+    "graph_ppr",
 ]
 
 # Local-iteration escape hatch: BENCH_ONLY=a,b,c restricts the suite to a
