@@ -1595,3 +1595,86 @@ def ml_multiple_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             _OLS_TDIV.format(num="det_2 * 1000000", den="det_a", div="div")
         ).cast("long").alias("beta_disc_micros"),
     ).orderBy("grp")
+
+
+# --- hashing-trick feature extraction (r12 wave) --------------------------------
+# The Vowpal-Wabbit / scikit HashingVectorizer primitive: tokens hash
+# into a fixed bucket space with a +/-1 sign hash, so the feature matrix
+# needs no vocabulary pass, no dictionary state, and merges by addition —
+# the embarrassingly-parallel featurizer a 100 TB text pipeline runs
+# before any linear model. Buckets and signs come from disjoint md5 hex
+# slices (engine-identical), values are exact integer counts.
+
+FH_BUCKETS = 64
+
+_FH_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+  FROM documents WHERE doc_id < 500
+), hashed AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % {FH_BUCKETS}
+           AS bucket,
+         CASE WHEN CAST(('0x' || substr(md5(w), 9, 1)) AS INTEGER) % 2 = 0
+              THEN 1 ELSE -1 END AS sgn
+  FROM tok
+), feat AS (
+  SELECT doc_id, bucket, CAST(sum(sgn) AS BIGINT) AS v
+  FROM hashed GROUP BY doc_id, bucket
+)
+SELECT doc_id,
+       CAST(count(*) FILTER (v <> 0) AS BIGINT) AS nnz,
+       CAST(sum(abs(v)) AS BIGINT) AS l1,
+       CAST(sum(v * v) AS BIGINT) AS l2sq,
+       CAST(sum(v * bucket) AS BIGINT) AS checksum
+FROM feat GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@_q("ml_feature_hashing", _FH_SQL)
+def ml_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization over a doc slice: every token lands
+    in one of {B} buckets via an md5 slice with a second-slice ±1 sign
+    (the collision-debiasing device from the original hashing-trick
+    paper), per-doc bucket values are exact signed counts, and the
+    emitted per-doc profile (nnz / L1 / L2² / weighted checksum) pins
+    the entire sparse vector under the value hash.
+
+    Scale: explode → (doc, bucket) sum-groupBy (map-side combinable,
+    bucket space fixed at {B}) → per-doc fold. No vocabulary state, no
+    broadcast, no Python — the whole featurizer is three codegen'd
+    stages that merge by addition at any partitioning."""
+    from ..catalog import load_table
+    from .text import tokens as _tokens
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+
+    tok = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("w"))
+    hashed = tok.select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long")
+            % FH_BUCKETS
+        ).alias("bucket"),
+        F.when(
+            F.conv(F.substring(F.md5("w"), 9, 1), 16, 10).cast("int") % 2 == 0, 1
+        )
+        .otherwise(-1)
+        .alias("sgn"),
+    )
+    feat = hashed.groupBy("doc_id", "bucket").agg(
+        F.sum("sgn").cast("long").alias("v")
+    )
+    return (
+        feat.groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("v") != 0, 1).otherwise(0)).cast("long").alias("nnz"),
+            F.sum(F.abs("v")).cast("long").alias("l1"),
+            F.sum(F.col("v") * F.col("v")).cast("long").alias("l2sq"),
+            F.sum(F.col("v") * F.col("bucket")).cast("long").alias("checksum"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ml_feature_hashing.__doc__ = ml_feature_hashing.__doc__.format(B=FH_BUCKETS)

@@ -550,3 +550,60 @@ def quality_unique_key_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in out[1:]:
         res = res.unionByName(df)
     return res.orderBy("col")
+
+
+# --- freshness SLA audit (r12 wave) --------------------------------------------
+
+_FRESHNESS_SQL = """
+WITH mx AS (
+  SELECT epoch_us(max(ts)) AS now_us FROM events
+), per AS (
+  SELECT event_type, epoch_us(max(ts)) AS last_us,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY event_type
+)
+SELECT p.event_type, p.n_events,
+       CAST(mx.now_us - p.last_us AS BIGINT) AS lag_us,
+       CAST(CAST(CASE WHEN p.event_type = 'purchase' THEN 7200 ELSE 3600 END
+            AS BIGINT) * 1000000 AS BIGINT) AS sla_us,
+       (mx.now_us - p.last_us
+        > CAST(CASE WHEN p.event_type = 'purchase' THEN 7200 ELSE 3600 END
+          AS BIGINT) * 1000000) AS breached
+FROM per p, mx ORDER BY p.event_type
+"""
+
+
+@_q("quality_freshness_sla", _FRESHNESS_SQL)
+def quality_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-freshness SLA audit — the first page of every pipeline
+    health dashboard: per event type, the lag between its latest event
+    and the corpus watermark, against a per-type SLA (purchases tolerate
+    2 h, everything else 1 h), with the breach verdict. Exact integer
+    epoch-microseconds on both engines.
+
+    Scale: two max/count aggregates (map-side combinable) + a 1-row
+    broadcast — scan-shaped, output bounded by the type cardinality."""
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max(F.unix_micros("ts")).alias("now_us"))
+    per = ev.groupBy("event_type").agg(
+        F.max(F.unix_micros("ts")).alias("last_us"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+    # cast BEFORE the multiply: 7200 * 10^6 overflows int32 under ANSI
+    sla = (
+        F.when(F.col("event_type") == "purchase", 7200)
+        .otherwise(3600)
+        .cast("long")
+        * 1000000
+    )
+    return (
+        per.crossJoin(F.broadcast(mx))
+        .select(
+            "event_type",
+            "n_events",
+            (F.col("now_us") - F.col("last_us")).cast("long").alias("lag_us"),
+            sla.cast("long").alias("sla_us"),
+            ((F.col("now_us") - F.col("last_us")) > sla).alias("breached"),
+        )
+        .orderBy("event_type")
+    )

@@ -601,3 +601,174 @@ def events_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dev").cast("long").alias("deviation"),
     )
     return lvl1.unionByName(lvl2).orderBy("level", "t")
+
+
+# --- difference-in-differences estimator ----------------------------------------
+
+_DID_SQL = """
+WITH cell AS (
+  SELECT (user_id % 2 = 0) AS treated,
+         (day(CAST(ts AS DATE)) >= 16) AS post,
+         CAST(sum(round(value * 100)) AS BIGINT) AS cents,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1, 2
+), m AS (
+  SELECT treated, post, n, cents,
+         CAST(cents * 1000000 // n AS BIGINT) AS mean_micros
+  FROM cell
+)
+SELECT
+  (SELECT mean_micros FROM m WHERE treated AND post) AS t_post_micros,
+  (SELECT mean_micros FROM m WHERE treated AND NOT post) AS t_pre_micros,
+  (SELECT mean_micros FROM m WHERE NOT treated AND post) AS c_post_micros,
+  (SELECT mean_micros FROM m WHERE NOT treated AND NOT post) AS c_pre_micros,
+  CAST((SELECT mean_micros FROM m WHERE treated AND post)
+     - (SELECT mean_micros FROM m WHERE treated AND NOT post)
+     - (SELECT mean_micros FROM m WHERE NOT treated AND post)
+     + (SELECT mean_micros FROM m WHERE NOT treated AND NOT post)
+       AS BIGINT) AS did_micros
+"""
+
+
+@_q("events_diff_in_diff", _DID_SQL)
+def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimator over the purchase stream:
+    treatment = even user ids, post-period = the month's second half;
+    the 2×2 cell means are exact integer micros (cents·10⁶ div n) and
+    the DiD interaction is their exact signed sum — the
+    experiment-analytics companion to events_cuped_theta, with zero
+    float anywhere.
+
+    Scale: one groupBy collapse to FOUR cells; the estimator is
+    arithmetic over a 4-row broadcast (here expressed as scalar
+    subqueries, which Spark and DuckDB both evaluate from the tiny
+    aggregate)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    cell = ev.groupBy(
+        (F.col("user_id") % 2 == 0).alias("treated"),
+        (F.dayofmonth(F.to_date("ts")) >= 16).alias("post"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100)).cast("long").alias("cents"),
+        F.count("*").cast("long").alias("n"),
+    ).withColumn("mean_micros", F.expr("cents * 1000000 div n").cast("long"))
+
+    def pick(tr: bool, po: bool, name: str):
+        return (
+            cell.filter((F.col("treated") == tr) & (F.col("post") == po))
+            .select(F.col("mean_micros").alias(name))
+        )
+
+    tp, tpre = pick(True, True, "t_post_micros"), pick(True, False, "t_pre_micros")
+    cp, cpre = pick(False, True, "c_post_micros"), pick(False, False, "c_pre_micros")
+    out = (
+        tp.crossJoin(F.broadcast(tpre))
+        .crossJoin(F.broadcast(cp))
+        .crossJoin(F.broadcast(cpre))
+    )
+    return out.select(
+        "t_post_micros",
+        "t_pre_micros",
+        "c_post_micros",
+        "c_pre_micros",
+        (
+            F.col("t_post_micros")
+            - F.col("t_pre_micros")
+            - F.col("c_post_micros")
+            + F.col("c_pre_micros")
+        )
+        .cast("long")
+        .alias("did_micros"),
+    )
+
+
+# --- class-balanced downsample (two-pass hash threshold + exact trim) -----------
+
+_BAL_SLACK_NUM, _BAL_SLACK_DEN = 13, 10  # 1.3x survivor slack over target
+_BAL_HASH_MAX = 16**8  # 8 hex chars of md5
+
+_BALANCED_SQL = f"""
+WITH base AS (
+  SELECT event_id, event_type,
+         CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+              AS BIGINT) AS h
+  FROM events
+), cnt AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_c FROM base GROUP BY 1
+), target AS (
+  SELECT min(n_c) AS m FROM cnt
+), surv AS (
+  SELECT b.event_id, b.event_type, b.h, t.m
+  FROM base b JOIN cnt c ON c.event_type = b.event_type
+  CROSS JOIN target t
+  WHERE b.h * c.n_c * {_BAL_SLACK_DEN} < {_BAL_HASH_MAX} * t.m * {_BAL_SLACK_NUM}
+), ranked AS (
+  SELECT event_id, event_type, m,
+         row_number() OVER (PARTITION BY event_type ORDER BY h, event_id) AS rk
+  FROM surv
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(event_id % 1000000007) AS BIGINT) AS kept_checksum
+FROM ranked WHERE rk <= m
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+@_q("sample_balanced_downsample", _BALANCED_SQL)
+def sample_balanced_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling (every event type trimmed to the
+    minority class size) with the TWO-PASS device that makes exact
+    per-class sampling scale: pass 1 keeps rows whose md5 hash clears a
+    per-class threshold sized at {num}/{den}× the target rate (an
+    integer cross-multiplication — no float rates), so the exact-trim
+    rank window in pass 2 runs over ~1.3×target survivors per class,
+    NEVER over the full class partition (the per-class window over raw
+    data is exactly the single-partition-style hazard this repo's
+    distrank family exists to avoid). Hash-rank selection is
+    deterministic and engine-identical (md5 hex). Output: per class,
+    the kept count (== minority size) and a modular id checksum pinning
+    WHICH rows were kept.
+
+    Uniformity note: the slack makes under-survival a ~never event at
+    real class sizes (binomial tail at 30% margin); a production job
+    asserts n_kept == m, exactly as the oracle comparison does here."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        "event_type",
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    cnt = base.groupBy("event_type").agg(F.count("*").cast("long").alias("n_c"))
+    target = cnt.agg(F.min("n_c").alias("m"))
+    surv = (
+        base.join(F.broadcast(cnt), "event_type")
+        .crossJoin(F.broadcast(target))
+        .filter(
+            F.col("h") * F.col("n_c") * _BAL_SLACK_DEN
+            < F.lit(_BAL_HASH_MAX) * F.col("m") * _BAL_SLACK_NUM
+        )
+    )
+    ranked = surv.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("event_type").orderBy("h", "event_id")
+        ),
+    )
+    return (
+        ranked.filter(F.col("rk") <= F.col("m"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.sum(F.col("event_id") % 1000000007).cast("long").alias("kept_checksum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+sample_balanced_downsample.__doc__ = sample_balanced_downsample.__doc__.format(
+    num=_BAL_SLACK_NUM, den=_BAL_SLACK_DEN
+)

@@ -2804,6 +2804,10 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnc", F.row_number().over(wq))
         .filter(F.col("rnc") == 1)
         .select("vec_id", "embedding", "cid")
+        # pts feeds BOTH sides of the cell self-join: pin one execution
+        # (the plan otherwise runs the whole assignment pass twice —
+        # caught by the r12 plan gate's nested-loop count)
+        .localCheckpoint(eager=False)
     )
     a = pts.select(
         F.col("cid"), F.col("vec_id").alias("src"), F.col("embedding").alias("ea")

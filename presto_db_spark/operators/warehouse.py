@@ -1059,3 +1059,80 @@ def part_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST((num * 1000 div den) * 1000"
         " + ((num * 1000 % den) * 1000) div den AS BIGINT) AS gini_ppm",
     )
+
+
+# --- snapshot data-diff (r12 wave) --------------------------------------------
+
+_SNAPDIFF_SQL = """
+WITH a AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS k,
+         CAST(round(o_totalprice * 100)
+              - CASE WHEN o_orderkey % 5 = 0 THEN 100 ELSE 0 END AS BIGINT)
+           AS cents
+  FROM orders WHERE o_orderkey % 7 <> 0
+), b AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 11 <> 0
+), j AS (
+  SELECT coalesce(a.k, b.k) AS k, a.cents AS ac, b.cents AS bc,
+         CASE WHEN a.k IS NULL THEN 'added'
+              WHEN b.k IS NULL THEN 'removed'
+              WHEN a.cents <> b.cents THEN 'changed'
+              ELSE 'unchanged' END AS category
+  FROM a FULL OUTER JOIN b ON b.k = a.k
+)
+SELECT category, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum((coalesce(bc, 0) - coalesce(ac, 0))) AS BIGINT)
+         AS cents_delta,
+       CAST(sum(k % 1000000007) AS BIGINT) AS key_checksum
+FROM j GROUP BY category ORDER BY category
+"""
+
+
+@_q("warehouse_snapshot_diff", _SNAPDIFF_SQL)
+def warehouse_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot data-diff (the Datafold/table-diff primitive a warehouse
+    runs after every backfill): two deterministic snapshot views of
+    orders — A missing the %7 keys with a simulated price update on the
+    %5 keys, B missing the %11 keys — FULL-OUTER joined on the key and
+    bucketed into added / removed / changed / unchanged with per-bucket
+    row counts, exact cents delta, and a modular key checksum.
+
+    Scale: ONE full-outer hash join on the snapshot key + one bucket
+    groupBy (map-side combinable) — the canonical diff shape; at 100 TB
+    both sides shuffle once on the key (or zero times if the snapshots
+    are bucketed on it), and the output is 4 rows regardless of data."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    a = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        F.col("o_orderkey").cast("long").alias("k"),
+        (cents - F.when(F.col("o_orderkey") % 5 == 0, 100).otherwise(0))
+        .cast("long")
+        .alias("ac"),
+    )
+    b = o.filter(F.col("o_orderkey") % 11 != 0).select(
+        F.col("o_orderkey").cast("long").alias("k"),
+        cents.alias("bc"),
+    )
+    j = a.join(b, "k", "full_outer").select(
+        "k",
+        "ac",
+        "bc",
+        F.when(F.col("ac").isNull(), "added")
+        .when(F.col("bc").isNull(), "removed")
+        .when(F.col("ac") != F.col("bc"), "changed")
+        .otherwise("unchanged")
+        .alias("category"),
+    )
+    return (
+        j.groupBy("category")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(F.coalesce(F.col("bc"), F.lit(0)) - F.coalesce(F.col("ac"), F.lit(0)))
+            .cast("long")
+            .alias("cents_delta"),
+            F.sum(F.col("k") % 1000000007).cast("long").alias("key_checksum"),
+        )
+        .orderBy("category")
+    )

@@ -1881,3 +1881,59 @@ def test_transcode_plan_shape(spark, sf_dir):
     assert "Join" not in plan, plan
     assert "windowspecdefinition" not in plan, plan
     assert plan.count("Exchange hashpartitioning") == 0, plan
+
+
+def test_r12_wave_plan_shapes(spark, sf_dir):
+    """r12 wave 100 TB-shape gates:
+    * sim_knn_graph — the cell self-join must be an EQUI join on the
+      cell key (never a cartesian; SMJ/hash both fine — both sides are
+      corpus-sized) and distances ride Arrow (ArrowEvalPython allowed;
+      row-at-a-time BatchEvalPython never); the top-k survives as a
+      WindowGroupLimit (partial+final), not a full per-source sort;
+    * events_stl_decompose / events_changepoint_binseg — every window
+      spec carries a partition key or runs post-collapse on the bounded
+      day grain; no Python, no cartesian;
+    * stats_bootstrap_ci — the resample join is a real equi hash join
+      (the LCG draw is a join key, not a filter over a cartesian);
+    * sample_balanced_downsample — the exact-trim rank window runs above
+      the survivor FILTER (hash threshold applied before the window);
+    * warehouse_snapshot_diff — one full-outer hash join, aggregates
+      map-side (partial_) combined, no window."""
+    q = all_queries()
+    knn = _plan(q["sim_knn_graph"](spark, sf_dir), "simple")
+    assert "CartesianProduct" not in knn, knn
+    # ZERO nested-loop joins in the FINAL plan: the assignment pass (a
+    # 1-row count attach + a C-row centroid cross, both tiny-broadcast
+    # by design) is pinned behind pts' localCheckpoint so it executes
+    # ONCE — without the checkpoint the whole subplan duplicated under
+    # the self-join (4 BNLJs, caught by this gate in r12).
+    assert knn.count("BroadcastNestedLoopJoin") == 0, knn
+    assert "Scan ExistingRDD" in knn, knn  # the checkpoint is present
+    assert "BatchEvalPython" not in knn, knn
+    assert "ArrowEvalPython" in knn, knn
+    assert "WindowGroupLimit" in knn, knn
+
+    for name in ("events_stl_decompose", "events_changepoint_binseg"):
+        plan = _plan(q[name](spark, sf_dir), "simple")
+        assert "EvalPython" not in plan, (name, plan)
+        assert "CartesianProduct" not in plan, (name, plan)
+
+    boot = _plan(q["stats_bootstrap_ci"](spark, sf_dir), "simple")
+    assert "CartesianProduct" not in boot, boot
+    assert re.search(r"(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin)", boot), boot
+    assert "EvalPython" not in boot, boot
+
+    bal = _plan(q["sample_balanced_downsample"](spark, sf_dir), "simple")
+    assert "EvalPython" not in bal, bal
+    # the hash-threshold Filter sits BELOW the rank Window in the tree
+    # (window output feeds nothing into the filter): assert the filter on
+    # the slack cross-multiplication exists at all, and the window's
+    # child subtree contains it.
+    widx = bal.find("Window")
+    assert widx != -1, bal
+    assert "Filter" in bal[widx:], bal  # survivor filter below the window
+
+    diff = _plan(q["warehouse_snapshot_diff"](spark, sf_dir), "simple")
+    assert "FullOuter" in diff or "full_outer" in diff.lower(), diff
+    assert "windowspecdefinition" not in diff, diff
+    assert "partial_count" in diff or "partial_sum" in diff, diff
