@@ -772,3 +772,62 @@ def sample_balanced_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
 sample_balanced_downsample.__doc__ = sample_balanced_downsample.__doc__.format(
     num=_BAL_SLACK_NUM, den=_BAL_SLACK_DEN
 )
+
+
+# --- Gini coefficient over the distrank global rank ------------------------------
+
+_GINI_SQL = """
+WITH v AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+), r AS (
+  SELECT cents, row_number() OVER (ORDER BY cents) AS i,
+         count(*) OVER () AS n
+  FROM v
+), s AS (
+  SELECT max(n) AS n,
+         sum(CAST(i AS HUGEINT) * cents) AS six,
+         sum(CAST(cents AS HUGEINT)) AS sx
+  FROM r
+)
+SELECT CAST(n AS BIGINT) AS n_rows,
+       CAST(sx AS BIGINT) AS total_cents,
+       CAST((2 * six - (n + 1) * sx) * 1000000 // (n * sx) AS BIGINT)
+         AS gini_ppm
+FROM s
+"""
+
+
+@_q("agg_gini_coefficient", _GINI_SQL)
+def agg_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration coefficient of order revenue — the inequality
+    summary every marketplace dashboard carries — via the rank identity
+    G = (2·Σi·x_i − (n+1)·Σx_i)/(n·Σx_i) over ascending-sorted values,
+    in exact integers (128-bit sums: DECIMAL(38,0) / HUGEINT — at
+    cluster scale Σi·x_i is the first sum to outgrow int64). Tie
+    handling is free: equal values contribute the same Σi·x_i under any
+    stable order.
+
+    Scale: the ascending rank is ``distrank.global_index`` (range
+    partition + prefix offsets — never a single-partition window over
+    the data; the oracle's plain window is oracle-only), then ONE
+    3-number fold. The same device as agg_weighted_median one row up
+    the statistics ladder."""
+    from .distrank import global_index
+
+    o = load_table(spark, sf_dir, "orders")
+    v = o.select(F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"))
+    # no unique tiebreaker needed: Σi·x_i is invariant to how equal
+    # values share their rank range (they all carry the same x)
+    gi = global_index(v, [F.asc("cents")])
+    s = gi.agg(
+        F.max("__n_total").alias("n"),
+        F.sum(F.expr("CAST(__rn AS DECIMAL(38,0)) * cents")).alias("six"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("sx"),
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_rows"),
+        F.col("sx").cast("long").alias("total_cents"),
+        F.expr(
+            "CAST((2 * six - (n + 1) * sx) * 1000000 div (n * sx) AS BIGINT)"
+        ).alias("gini_ppm"),
+    )

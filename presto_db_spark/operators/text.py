@@ -3057,3 +3057,104 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 text_heaps_law.__doc__ = text_heaps_law.__doc__.format(K=_HEAPS_CKPT)
+
+
+# --- PMI collocations (r12 wave) -----------------------------------------------
+
+_PMI_MIN_COUNT = 5
+_PMI_TOP = 20
+
+_PMI_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, s.pos AS pos, s.tok AS tok
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(toks)),
+                  i -> struct_pack(pos := i, tok := toks[i]))) AS s
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+          FROM documents)
+  )
+), bg AS (
+  SELECT a.tok AS w1, b.tok AS w2
+  FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+), bgc AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy FROM bg GROUP BY w1, w2
+), uni AS (
+  SELECT w1 AS w, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY w1
+), n AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM bg
+), scored AS (
+  SELECT b.w1, b.w2, b.c_xy,
+         CAST(CAST(b.c_xy AS HUGEINT) * n.n * 1000000
+              // (CAST(u1.c AS HUGEINT) * u2.c) AS BIGINT) AS pmi_ratio_micros
+  FROM bgc b
+  JOIN uni u1 ON u1.w = b.w1
+  JOIN uni u2 ON u2.w = b.w2
+  CROSS JOIN n
+  WHERE b.c_xy >= {_PMI_MIN_COUNT}
+), ranked AS (
+  SELECT *, row_number() OVER (ORDER BY pmi_ratio_micros DESC, w1, w2) AS rk
+  FROM scored
+)
+SELECT w1, w2, c_xy, pmi_ratio_micros, CAST(rk AS INTEGER) AS rk
+FROM ranked WHERE rk <= {_PMI_TOP}
+"""
+
+
+@_q("text_pmi_collocations", _PMI_SQL)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining: adjacent-bigram counts vs unigram
+    marginals, scored by the exact-rational PMI surrogate
+    ``c_xy·N·10⁶ // (c_x·c_y)`` (monotone in PMI — exp(PMI) in micros —
+    with a 128-bit numerator so corpus-scale counts can't wrap), corpus
+    top-{top} with (score, pair) tie-break.
+
+    Scale: bigrams come from a per-document lead window (bounded by doc
+    length, never global); counts are map-side-combinable groupBys; the
+    scoring joins hit the vocabulary-bounded tables and the min-count
+    filter ({mc}) prunes the tail before the rank. No ln(), no float —
+    the idf/BM25 family's rational-score discipline."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos0", "tok")
+    )
+    wd = W.partitionBy("doc_id").orderBy("pos0")
+    bg = (
+        tok.withColumn("w2", F.lead("tok").over(wd))
+        .filter(F.col("w2").isNotNull())
+        .select(F.col("tok").alias("w1"), "w2")
+        .localCheckpoint(eager=False)
+    )
+    bgc = bg.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c_xy"))
+    uni = bg.groupBy(F.col("w1").alias("w")).agg(
+        F.count("*").cast("long").alias("c")
+    )
+    n = bg.agg(F.count("*").cast("long").alias("n"))
+    scored = (
+        bgc.filter(F.col("c_xy") >= _PMI_MIN_COUNT)
+        .join(F.broadcast(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))), "w1")
+        .join(F.broadcast(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))), "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            F.expr(
+                "CAST(CAST(c_xy AS DECIMAL(38,0)) * n * 1000000"
+                " div (CAST(c1 AS DECIMAL(38,0)) * c2) AS BIGINT)"
+            ).alias("pmi_ratio_micros"),
+        )
+    )
+    wr = W.orderBy(F.desc("pmi_ratio_micros"), "w1", "w2")
+    return (
+        scored.withColumn("rk", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rk") <= _PMI_TOP)
+        .select("w1", "w2", "c_xy", "pmi_ratio_micros", "rk")
+    )
+
+
+text_pmi_collocations.__doc__ = text_pmi_collocations.__doc__.format(
+    top=_PMI_TOP, mc=_PMI_MIN_COUNT
+)
