@@ -505,39 +505,47 @@ def decode_baseline(data: bytes) -> tuple[list[np.ndarray], dict]:
     inv_zz[ZIGZAG] = np.arange(64)
     ri = meta["restart_interval"]
     n_mcu = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if ri and n_mcu and n_mcu % ri == 0:
-                br.reset()
-                br.skip_rst()
-                pred = {c["id"]: 0 for c in comps}
-            n_mcu += 1
-            for c in comps:
-                s = sc_by_id[c["id"]]
-                dct = htables[(0, s["td"])]
-                act = htables[(1, s["ta"])]
-                for dy in range(c["vs"]):
-                    for dx in range(c["hs"]):
-                        zz = np.zeros(64, dtype=np.int64)
-                        cat = _read_symbol(br, dct)
-                        diff = _extend(br.bits(cat), cat) if cat else 0
-                        pred[c["id"]] += diff
-                        zz[0] = pred[c["id"]]
-                        k = 1
-                        while k < 64:
-                            rs = _read_symbol(br, act)
-                            r, s_cat = rs >> 4, rs & 0x0F
-                            if s_cat == 0:
-                                if r == 15:
-                                    k += 16  # ZRL
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("AC index overrun")
-                            zz[k] = _extend(br.bits(s_cat), s_cat)
-                            k += 1
-                        c["coef"][my * c["vs"] + dy, mx * c["hs"] + dx] = zz
+    try:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if ri and n_mcu and n_mcu % ri == 0:
+                    br.reset()
+                    br.skip_rst()
+                    pred = {c["id"]: 0 for c in comps}
+                n_mcu += 1
+                for c in comps:
+                    s = sc_by_id[c["id"]]
+                    dct = htables[(0, s["td"])]
+                    act = htables[(1, s["ta"])]
+                    for dy in range(c["vs"]):
+                        for dx in range(c["hs"]):
+                            zz = np.zeros(64, dtype=np.int64)
+                            cat = _read_symbol(br, dct)
+                            diff = _extend(br.bits(cat), cat) if cat else 0
+                            pred[c["id"]] += diff
+                            zz[0] = pred[c["id"]]
+                            k = 1
+                            while k < 64:
+                                rs = _read_symbol(br, act)
+                                r, s_cat = rs >> 4, rs & 0x0F
+                                if s_cat == 0:
+                                    if r == 15:
+                                        k += 16  # ZRL
+                                        continue
+                                    break  # EOB
+                                k += r
+                                if k > 63:
+                                    raise ValueError("AC index overrun")
+                                zz[k] = _extend(br.bits(s_cat), s_cat)
+                                k += 1
+                            c["coef"][
+                                my * c["vs"] + dy, mx * c["hs"] + dx
+                            ] = zz
+    except _RestartMarker:
+        # an RSTn at an unexpected bit position (corrupt / out-of-envelope
+        # stream) — surface the module's documented contract error, never
+        # the private signalling type
+        raise ValueError("unexpected restart marker in scan") from None
     planes = []
     for c in comps:
         q = qtables[c["tq"]]

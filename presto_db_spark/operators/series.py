@@ -216,6 +216,9 @@ def events_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
 BOOT_B = 400  # resamples
 BOOT_LCG_A, BOOT_LCG_C, BOOT_LCG_M = 1103515245, 12345, 2**31
 BOOT_LO = BOOT_B * 25 // 1000  # 2.5% rank (1-based rank BOOT_LO is below)
+# seed stride between resamples; a prime far above any plausible day-span n
+# so seeds b*STRIDE+i never collide across resamples
+BOOT_SEED_STRIDE = 100003
 
 _BOOT_SQL = f"""
 WITH daily AS (
@@ -226,13 +229,15 @@ WITH daily AS (
 ), n AS (
   SELECT CAST(count(*) AS BIGINT) AS n FROM daily
 ), draws AS (
+  -- a FULL n-out-of-n bootstrap: each resample b draws exactly n indices
+  -- (i ranges over the whole series length, never a fixed cap)
   SELECT g.b, i.cents
-  FROM (SELECT x // 31 AS b, x % 31 AS i
-        FROM generate_series(0, {BOOT_B} * 31 - 1) AS t(x)) g
-  JOIN n ON g.i < n.n
+  FROM (SELECT t.b, u.i, u.n
+        FROM generate_series(0, {BOOT_B} - 1) AS t(b),
+             (SELECT unnest(generate_series(0, n - 1)) AS i, n FROM n) u) g
   JOIN idx i
-    ON i.rn = (({BOOT_LCG_A} * (g.b * 37 + g.i) + {BOOT_LCG_C})
-               % {BOOT_LCG_M}) % n.n + 1
+    ON i.rn = (({BOOT_LCG_A} * (g.b * {BOOT_SEED_STRIDE} + g.i)
+                + {BOOT_LCG_C}) % {BOOT_LCG_M}) % g.n + 1
 ), means AS (
   SELECT b, CAST(sum(cents) // count(*) AS BIGINT) AS mean_cents FROM draws
   GROUP BY b
@@ -254,10 +259,12 @@ FROM ranked
 @_q("stats_bootstrap_ci", _BOOT_SQL)
 def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bootstrap 95% CI for the mean daily revenue — with a DETERMINISTIC
-    resampler: draw (b, i) picks day index ``LCG(b·37+i) mod n`` via a
+    resampler: draw (b, i) picks day index ``LCG(b·100003+i) mod n`` via a
     fixed 31-bit linear congruential generator, so the resample plan is
     a pure function of (b, i, n) and both engines (and any partitioning,
-    any cluster size) produce the IDENTICAL ~{B}×n draw relation — the
+    any cluster size) produce the IDENTICAL B×n draw relation (a FULL
+    n-out-of-n bootstrap: i ranges 0..n-1 where n is the measured day
+    span, so each resample draws exactly n days at every fixture) — the
     distributed answer to "bootstrap needs an RNG". CI bounds are exact
     order statistics of the resample means (ranks {lo}/{hi} of {B}),
     never float percentile interpolation.
@@ -276,18 +283,24 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cents", F.row_number().over(W.orderBy("d")).alias("rn")
     ).localCheckpoint(eager=False)
     n = idx.agg(F.count("*").cast("long").alias("n"))
+    # full n-out-of-n resampling: i = 0..n-1 comes from the DATA (the day
+    # span), never a fixed cap — each of the B resamples draws exactly n days
+    i_df = n.select(
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.col("n") - F.lit(1))
+        ).alias("i"),
+        "n",
+    )
     g = (
-        spark.range(BOOT_B * 31)
-        .select(
-            (F.col("id") / 31).cast("long").alias("b"),
-            (F.col("id") % 31).alias("i"),
-        )
-        .join(F.broadcast(n), F.col("i") < F.col("n"))
+        spark.range(BOOT_B)
+        .withColumnRenamed("id", "b")
+        .crossJoin(F.broadcast(i_df))
     )
     draws = g.join(
         idx,
         F.col("rn")
-        == ((BOOT_LCG_A * (F.col("b") * 37 + F.col("i")) + BOOT_LCG_C)
+        == ((BOOT_LCG_A * (F.col("b") * BOOT_SEED_STRIDE + F.col("i"))
+             + BOOT_LCG_C)
             % BOOT_LCG_M) % F.col("n") + 1,
     )
     means = draws.groupBy("b").agg(

@@ -129,3 +129,17 @@ def test_envelope_rejections():
         decode_baseline(b"\x89PNG\r\n\x1a\n")
     with pytest.raises((ValueError, IndexError, KeyError)):
         decode_baseline(bytes(encode_baseline([img], quality=90))[:40])
+
+
+def test_unexpected_restart_marker_is_contract_error():
+    # splice an RSTn into the entropy stream at a position the decoder
+    # does not expect one (restart_interval == 0): the private
+    # _RestartMarker signal must surface as the documented ValueError
+    rng = _rng()
+    img = rng.randint(0, 256, (16, 16)).astype(np.uint8)
+    data = bytearray(encode_baseline([img], quality=90))
+    sos = data.find(b"\xff\xda")
+    scan_start = sos + 2 + int.from_bytes(data[sos + 2 : sos + 4], "big")
+    data[scan_start + 4 : scan_start + 4] = b"\xff\xd0"
+    with pytest.raises(ValueError, match="restart marker"):
+        decode_baseline(bytes(data))
