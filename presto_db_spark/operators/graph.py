@@ -1444,24 +1444,51 @@ graph_ppr.__doc__ = graph_ppr.__doc__.format(mod=PPR_SEED_MOD, iters=PPR_ITERS)
 # edges with 2+ triangles, so a 4-truss would be a vacuous (empty)
 # gate. Fixed 3 peeling rounds (the fixture converges in <= 1; rounds
 # 2-3 prove stability), a final support recount on the survivors is the
-# emitted value. Each round is the triangle-support join (edge ⋈ adj ⋈
-# adj on a shared wedge apex) + a count-groupBy + a semi-join filter —
-# no driver state; determinism is exact integer counts.
+# emitted value. Each round is a degree-ordered triangle enumeration
+# (orient edges toward the higher-(deg,id) endpoint; wedge = ordered
+# out-neighbor pair from the lowest vertex, closed by the oriented third
+# edge — each triangle counted ONCE) + a redistribute-and-count groupBy
+# + a semi-join filter — no driver state; determinism is exact integer
+# counts.
 
 KTRUSS_K = 3
 KTRUSS_ROUNDS = 3
 
 
-def _truss_round_sql(prev: str, out: str) -> str:
-    return f"""adj_{out} AS (
-  SELECT x AS u, y AS w FROM {prev} UNION ALL SELECT y, x FROM {prev}
-), sup_{out} AS (
-  SELECT e.x, e.y, count(*) AS sup
+def _truss_support_sql(prev: str, out: str) -> str:
+    """Degree-ordered triangle support: orient each edge toward its
+    higher-(degree, id) endpoint, enumerate each triangle exactly ONCE
+    from its lowest-rank vertex (wedges = pairs of out-neighbors, closed
+    by the oriented third edge), then redistribute support to the three
+    member edges. Halves the old symmetric-adjacency wedge join (which
+    walked every wedge from both endpoints)."""
+    return f"""deg_{out} AS MATERIALIZED (
+  SELECT u, count(*) AS d
+  FROM (SELECT x AS u FROM {prev} UNION ALL SELECT y FROM {prev})
+  GROUP BY u
+), oe_{out} AS MATERIALIZED (
+  SELECT CASE WHEN (dx.d, e.x) < (dy.d, e.y) THEN e.x ELSE e.y END AS lo,
+         CASE WHEN (dx.d, e.x) < (dy.d, e.y) THEN e.y ELSE e.x END AS hi,
+         CASE WHEN (dx.d, e.x) < (dy.d, e.y) THEN dy.d ELSE dx.d END AS hd
   FROM {prev} e
-  JOIN adj_{out} ax ON ax.u = e.x
-  JOIN adj_{out} ay ON ay.u = e.y AND ay.w = ax.w
-  GROUP BY e.x, e.y
-), {out} AS (
+  JOIN deg_{out} dx ON dx.u = e.x
+  JOIN deg_{out} dy ON dy.u = e.y
+), tri_{out} AS MATERIALIZED (
+  SELECT o1.lo AS a, o1.hi AS b, o2.hi AS c
+  FROM oe_{out} o1
+  JOIN oe_{out} o2 ON o2.lo = o1.lo AND (o1.hd, o1.hi) < (o2.hd, o2.hi)
+  JOIN oe_{out} t ON t.lo = o1.hi AND t.hi = o2.hi
+), sup_{out} AS MATERIALIZED (
+  SELECT x, y, count(*) AS sup FROM (
+    SELECT least(a, b) AS x, greatest(a, b) AS y FROM tri_{out}
+    UNION ALL SELECT least(a, c), greatest(a, c) FROM tri_{out}
+    UNION ALL SELECT least(b, c), greatest(b, c) FROM tri_{out}
+  ) GROUP BY x, y
+)"""
+
+
+def _truss_round_sql(prev: str, out: str) -> str:
+    return f"""{_truss_support_sql(prev, out)}, {out} AS MATERIALIZED (
   SELECT s.x, s.y FROM sup_{out} s WHERE s.sup >= {KTRUSS_K - 2}
 )"""
 
@@ -1471,16 +1498,9 @@ _KTRUSS_SQL = (
 WITH e0 AS ({_BFS_EDGES_SQL}
 ), """
     + ", ".join(_truss_round_sql(f"e{i}", f"e{i + 1}") for i in range(KTRUSS_ROUNDS))
-    + f"""
-, adj_fin AS (
-  SELECT x AS u, y AS w FROM e{KTRUSS_ROUNDS}
-  UNION ALL SELECT y, x FROM e{KTRUSS_ROUNDS}
-)
-SELECT e.x AS part_a, e.y AS part_b, CAST(count(*) AS BIGINT) AS support
-FROM e{KTRUSS_ROUNDS} e
-JOIN adj_fin ax ON ax.u = e.x
-JOIN adj_fin ay ON ay.u = e.y AND ay.w = ax.w
-GROUP BY e.x, e.y
+    + f""", {_truss_support_sql(f"e{KTRUSS_ROUNDS}", "fin")}
+SELECT s.x AS part_a, s.y AS part_b, CAST(s.sup AS BIGINT) AS support
+FROM sup_fin s
 ORDER BY part_a, part_b
 """
 )
@@ -1492,8 +1512,11 @@ def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     peeling rounds: an edge survives a round iff it closes >= {k}-2
     triangles among the round's surviving edges (edges with NO triangle
     have no support row and the semi-join drops them — support 0). The
-    per-round support join inherits graph_triangles' scale discipline
-    (wedge join over the support-filtered graph); per-round state is the
+    per-round support join uses degree-ordered orientation (count each
+    triangle ONCE from its lowest-(degree,id) vertex, then redistribute
+    support to the three member edges) — the node-iterator++ discipline
+    graph_triangles documents, so wedge work is sum-over-v C(outdeg,2)
+    instead of the symmetric 2x walk; per-round state is the
     checkpointed edge list only. Output: surviving edges with their
     final support, recounted on the converged set so both engines emit
     the identical relation. Oracle: the rounds unrolled as chained
@@ -1501,15 +1524,63 @@ def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _repeat_edges(spark, sf_dir).localCheckpoint(eager=False)
 
     def support(e: DataFrame) -> DataFrame:
-        adj = e.select(F.col("x").alias("u"), F.col("y").alias("w")).unionByName(
-            e.select(F.col("y").alias("u"), F.col("x").alias("w"))
+        # degree-ordered orientation: edge points to its higher-(deg, id)
+        # endpoint; each triangle is enumerated exactly once from its
+        # lowest-rank vertex (wedge = ordered out-neighbor pair, closed by
+        # the oriented third edge), then support is redistributed to the
+        # three member edges — half the old symmetric-adjacency wedge work
+        deg = (
+            e.select(F.col("x").alias("u"))
+            .unionByName(e.select(F.col("y").alias("u")))
+            .groupBy("u")
+            .agg(F.count("*").cast("long").alias("d"))
         )
-        ax = adj.select(F.col("u").alias("x"), F.col("w").alias("z"))
-        ay = adj.select(F.col("u").alias("y"), F.col("w").alias("z"))
-        return (
-            e.join(ax, "x").join(ay, ["y", "z"])
-            .groupBy("x", "y")
-            .agg(F.count("*").cast("long").alias("sup"))
+        ek = e.join(
+            deg.select(F.col("u").alias("x"), F.col("d").alias("dx")), "x"
+        ).join(deg.select(F.col("u").alias("y"), F.col("d").alias("dy")), "y")
+        kx = F.struct(F.col("dx"), F.col("x"))
+        ky = F.struct(F.col("dy"), F.col("y"))
+        oe = ek.select(
+            F.when(kx < ky, F.col("x")).otherwise(F.col("y")).alias("lo"),
+            F.when(kx < ky, F.col("y")).otherwise(F.col("x")).alias("hi"),
+            F.when(kx < ky, F.col("dy")).otherwise(F.col("dx")).alias("hd"),
+        )
+        o1 = oe.select(
+            F.col("lo").alias("a"), F.col("hi").alias("b"),
+            F.col("hd").alias("bd"),
+        )
+        o2 = oe.select(
+            F.col("lo").alias("a"), F.col("hi").alias("c"),
+            F.col("hd").alias("cd"),
+        )
+        tri = (
+            o1.join(o2, "a")
+            .filter(F.struct("bd", "b") < F.struct("cd", "c"))
+            .join(
+                oe.select(F.col("lo").alias("b"), F.col("hi").alias("c")),
+                ["b", "c"],
+                "left_semi",
+            )
+        )
+        pairs = (
+            tri.select(
+                F.least("a", "b").alias("x"), F.greatest("a", "b").alias("y")
+            )
+            .unionByName(
+                tri.select(
+                    F.least("a", "c").alias("x"),
+                    F.greatest("a", "c").alias("y"),
+                )
+            )
+            .unionByName(
+                tri.select(
+                    F.least("b", "c").alias("x"),
+                    F.greatest("b", "c").alias("y"),
+                )
+            )
+        )
+        return pairs.groupBy("x", "y").agg(
+            F.count("*").cast("long").alias("sup")
         )
 
     for _ in range(KTRUSS_ROUNDS):
