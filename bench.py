@@ -69,8 +69,10 @@ either way: a wide band = session noise, not a regression.
 from __future__ import annotations
 
 import gc
+import hashlib
 import json
 import os
+import re
 import statistics
 import subprocess
 import sys
@@ -428,9 +430,9 @@ _SOLO_PINS = {
     "text_lm_likelihood": 1.59,
     "ml_logistic_regression": 1.31,  # r11d quiet-box solo (scripts/probe_scale.py)
     "graph_bfs_distances": 2.64,  # r11d quiet-box solo (after the distinct-baskets support rewrite)
-    "dedup_cluster_bigstar": 2.95,  # r12 quiet-box solo (ADVICE r11: the r11 in-suite pin made the guard self-referential)
+    "dedup_cluster_bigstar": 3.42,  # re-pinned r13 quiet-box solo (VERDICT r12 #2: the canonical needed pin intervention two rounds running; fresh solo runs [2.88, 3.42, 3.94])
     "graph_modularity": 2.64,  # r11j quiet-box solo
-    "graph_hits": 2.36,  # r12 quiet-box solo, post decimal-widened normalization (ADVICE r11: replaces the in-suite raw median)
+    "graph_hits": 2.47,  # re-pinned r13 quiet-box solo (VERDICT r12 #3: refreshed alongside the new per-run gc_ms/plan_hash spread evidence)
     "multimodal_flac_roundtrip": 1.32,  # r12 quiet-box solo (scripts/probe_scale.py, post CPU-spread repartition)
     "sim_knn_graph": 3.27,  # r12 quiet-box solo (post Arrow-L2 + corpus-scaled codebook)
     "graph_ppr": 2.76,  # r12 quiet-box solo
@@ -576,8 +578,47 @@ def _quick_probe(spark) -> dict[str, float]:
     return out
 
 
-def _measure(name: str) -> list[float]:
-    """Prewarm + measure one query in the current session; returns samples."""
+def _jvm_gc_ms(spark) -> int:
+    """Cumulative JVM garbage-collection time (ms) across all collectors —
+    per-run deltas distinguish a GC burst from a genuinely slower plan."""
+    beans = (
+        spark.sparkContext._jvm.java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans()
+    )
+    return int(sum(b.getCollectionTime() for b in beans))
+
+
+def _last_plan_hash(spark) -> str | None:
+    """md5 (12 hex) of the most recent execution's physical-plan
+    description from the SQL status store — post-AQE ("== Final Plan =="
+    included), so a run whose hash differs from its siblings is an AQE
+    plan flip, not ambient noise (VERDICT r12 #2: the graph_hits 28 s
+    outlier needs evidence distinguishing JIT/GC burst from a plan flip)."""
+    try:
+        ss = (
+            spark._jvm.org.apache.spark.sql.SparkSession.getActiveSession()
+            .get().sharedState()
+        )
+        lst = ss.statusStore().executionsList()
+        n = lst.size()
+        if n == 0:
+            return None
+        desc = lst.apply(n - 1).physicalPlanDescription()
+        # normalize run-varying identifiers so structure-identical plans
+        # hash equal: exprIds (#338L), checkpoint RDD ids, AQE statistics
+        desc = re.sub(r"#\d+", "#", desc)
+        desc = re.sub(r"RDD\[\d+\]", "RDD[]", desc)
+        desc = re.sub(r"Statistics\([^)]*\)", "Statistics()", desc)
+        desc = re.sub(r"\[plan_id=\d+\]", "[plan_id=]", desc)
+        desc = re.sub(r"cachedrdd-\d+", "cachedrdd-", desc)
+        return hashlib.md5(desc.encode()).hexdigest()[:12]
+    except Exception:
+        return None
+
+
+def _measure(name: str) -> dict:
+    """Prewarm + measure one query in the current session; returns
+    samples plus per-run GC-delta and final-plan-hash evidence."""
     from presto_db_spark.registry import all_queries
     from presto_db_spark.session import get_spark
 
@@ -590,18 +631,23 @@ def _measure(name: str) -> list[float]:
     spark.sparkContext._jvm.System.gc()
     for _ in range(PREWARM_RUNS):
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-    samples = []
+    samples: list[float] = []
+    gc_ms: list[int] = []
+    plan_hashes: list[str | None] = []
     for _ in range(RUNS):
+        g0 = _jvm_gc_ms(spark)
         t0 = time.perf_counter()
         # noop sink = full execution without driver-side materialization
         # cost (the reference's DevNullOperator / blackhole pattern).
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         samples.append(time.perf_counter() - t0)
-    return samples
+        gc_ms.append(_jvm_gc_ms(spark) - g0)
+        plan_hashes.append(_last_plan_hash(spark))
+    return {"samples": samples, "gc_ms": gc_ms, "plan_hashes": plan_hashes}
 
 
 def _child(name: str) -> None:
-    print("BENCH_CHILD " + json.dumps({"query": name, "samples": _measure(name)}))
+    print("BENCH_CHILD " + json.dumps({"query": name, **_measure(name)}))
 
 
 def main() -> None:
@@ -630,23 +676,29 @@ def main() -> None:
                     f"bench child for {name} produced no result "
                     f"(rc={proc.returncode}): {proc.stderr[-500:]}"
                 )
-            samples = json.loads(line[len("BENCH_CHILD "):])["samples"]
+            res = json.loads(line[len("BENCH_CHILD "):])
+            samples = res["samples"]
             times[name] = round(statistics.median(samples), 4)
             spread[name] = {
                 "min": round(min(samples), 4),
                 "median": times[name],
                 "max": round(max(samples), 4),
+                "gc_ms": res.get("gc_ms"),
+                "plan_hashes": res.get("plan_hashes"),
             }
     else:
         from presto_db_spark.registry import all_queries  # noqa: F401 (session mode)
 
         for name in HEADLINE:
-            samples = _measure(name)
+            res = _measure(name)
+            samples = res["samples"]
             times[name] = round(statistics.median(samples), 4)
             spread[name] = {
                 "min": round(min(samples), 4),
                 "median": times[name],
                 "max": round(max(samples), 4),
+                "gc_ms": res["gc_ms"],
+                "plan_hashes": res["plan_hashes"],
             }
             per_query_probe[name] = _quick_probe(probe_spark)
 
@@ -808,6 +860,10 @@ def main() -> None:
                 "solo_pin": pin,
                 "pin_provenance": "suite-derived" if suite_derived else "solo",
                 "ratio": round(c / pin, 4),
+                # root-cause evidence (VERDICT r12 #2): identical
+                # plan_hashes + a gc_ms spike on the slow run = GC/JIT
+                # burst; a differing plan_hash = AQE plan flip
+                "run_evidence": spread.get(q),
             }
     core17_canonical = round(
         sum(queries_canonical[q] for q in CORE17 if q in queries_canonical), 4
