@@ -29,9 +29,16 @@ def main() -> None:
         .getOrCreate()
     )
     queries = all_queries()
+    # PROBE_SFS=0.001,0.01,0.1 widens the decade span: VERDICT r12 #4 —
+    # a 100x (sf0.001→sf0.1) triple catches superlinearity a single
+    # decade hides (the r10 fuzzy-del1 case)
+    sfs = [
+        f"/root/testdata/sf{s}"
+        for s in os.environ.get("PROBE_SFS", "0.01,0.1").split(",")
+    ]
     for name in names:
         fn = queries[name]
-        for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        for sf in sfs:
             fn(spark, sf).count()  # prewarm
             ts = []
             for _ in range(3):
