@@ -414,7 +414,7 @@ _R06_EPOCH = {
 # guard self-referential), and implausibly-fast canonicals are now
 # SUBSTITUTED by their pin instead of merely flagged (see below).
 _SOLO_PINS = {
-    "tpcds_q64": 1.69,
+    "tpcds_q64": 1.94,  # re-pinned r13 quiet-box solo after the cross_sales localCheckpoint pin (VERDICT r12 #5: was 2.06 pre-pin on the same box)
     "tpcds_q72": 1.19,
     "tpcds_q04": 1.28,
     "sim_ivfpq": 1.22,

@@ -199,13 +199,21 @@ def test_tpcds_q72_fact_to_fact_no_cartesian(spark, sf_dir):
 def test_tpcds_q64_dims_broadcast(spark, sf_dir):
     """q64 (widest query in the corpus): every dimension side of the
     cross_sales spine must broadcast at test scale — the fact never
-    shuffles for a dim."""
+    shuffles for a dim. And the year self-join must consume the PINNED
+    cross_sales checkpoint (r13, VERDICT r12 #5): the heavy 7-join +
+    aggregate subplan executes once, never once per self-join side — so
+    the final plan reads the checkpoint (Scan ExistingRDD) and contains
+    ZERO parquet scans of its own."""
     from presto_db_spark.operators import tpcds2
 
-    df = tpcds2.QUERIES["tpcds_q64"](spark, sf_dir)
-    plan = _plan(df, "simple")
-    assert plan.count("BroadcastHashJoin") >= 3, plan
-    assert "CartesianProduct" not in plan
+    spine = _plan(tpcds2._q64_cross_sales(spark, sf_dir), "simple")
+    assert spine.count("BroadcastHashJoin") >= 3, spine
+    assert "CartesianProduct" not in spine
+
+    final = _plan(tpcds2.QUERIES["tpcds_q64"](spark, sf_dir), "simple")
+    assert "Scan ExistingRDD" in final, final  # the pin is present
+    assert "Scan parquet" not in final, final  # no re-execution per side
+    assert "CartesianProduct" not in final, final
 
 
 def test_ship_orders_semi_anti_shape(spark, sf_dir):
