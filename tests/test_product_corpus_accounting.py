@@ -47,10 +47,9 @@ def classify() -> dict[str, str]:
     from tests.test_product_dualrun_tpcds import EXCLUDED as TPCDS_EXCLUDED
     from tests.test_product_golden import (
         _MULTI_CASES,
-        AVAILABLE,
         DEVIATIONS,
-        TINY_OK,
         _INSERT_CASES,
+        _case_missing_tables,
         _load_case,
         _pairs,
     )
@@ -63,9 +62,7 @@ def classify() -> dict[str, str]:
             cat[case] = "deviation-documented"
         elif "show functions" in query.lower():
             cat[case] = "show-functions-dump (registration gate)"
-        elif (tables - AVAILABLE) or (
-            set(re.findall(r"tpch\.tiny\.(\w+)", query)) - TINY_OK
-        ):
+        elif _case_missing_tables(query, tables):
             cat[case] = "dual-run (missing tiny content)"
         else:
             cat[case] = "exact-replay"

@@ -124,9 +124,11 @@ def dual(spark, sf_dir):
 # --- corpus enumeration ------------------------------------------------------
 
 def _table_skipped_pairs():
-    """The pairs the exact-replay gate skips for missing table content."""
+    """The pairs the exact-replay gate skips for missing table content
+    (shared selection logic: a pair promoted to exact-replay — e.g. the
+    19 partkey=272 window pairs, r13 — leaves this bucket automatically)."""
     from tests.test_product_golden import (
-        AVAILABLE, DEVIATIONS, TINY_OK, _load_case, _pairs,
+        DEVIATIONS, _case_missing_tables, _load_case, _pairs,
     )
 
     out = []
@@ -134,8 +136,7 @@ def _table_skipped_pairs():
         query, tables, _opts, _exp = _load_case(case)
         if case in DEVIATIONS or "show functions" in query.lower():
             continue
-        tiny = set(re.findall(r"tpch\.tiny\.(\w+)", query))
-        if (tables - AVAILABLE) or (tiny - TINY_OK):
+        if _case_missing_tables(query, tables):
             out.append(case)
     return out
 
@@ -283,7 +284,9 @@ def test_dualrun_tpch_connector(dual, case):
 
 
 def test_dualrun_coverage():
-    """Combined with the 154-pair exact-replay gate and the 103-file tpcds
+    """Combined with the exact-replay gate and the 103-file tpcds
     dual-run, >=300 corpus pairs are exercised. This asserts the dual-run
-    share of that count."""
-    assert len(SKIPPED_PAIRS) + len(HIVE_TPCH) + len(TPCH_CONNECTOR) >= 65
+    share of that count (floor lowered 65 -> 46 in r13 when the 19
+    partkey=272 window pairs PROMOTED to exact-replay — the corpus total
+    is unchanged, pairs moved to the stronger bucket)."""
+    assert len(SKIPPED_PAIRS) + len(HIVE_TPCH) + len(TPCH_CONNECTOR) >= 46

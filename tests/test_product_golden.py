@@ -64,6 +64,123 @@ AVAILABLE = {"nation", "region", "workers", "datatype", "empty"}
 # tpch.tiny.<t> references rewritten to tiny_<t> (unprefixed columns).
 TINY_OK = {"nation"}
 
+# The 19 window_functions pairs all select from the SAME tiny-lineitem
+# slice (14 × `WHERE partkey = 272`; 5 × `WHERE (partkey = 272 OR
+# partkey = 273) AND suppkey > 50`) and the corpus itself ships that
+# slice's every consumed base column inside its expected results — so
+# the fixture is reconstructable exactly and those pairs are
+# exact-replayable (VERDICT r12 #6: the blocker was fixture content,
+# not semantics). Only those two literal WHERE shapes unlock the
+# fixture; anything else stays safely skipped.
+_TINY272_RE = re.compile(
+    r"where\s+(partkey\s*=\s*272"
+    r"|\(\s*partkey\s*=\s*272\s+or\s+partkey\s*=\s*273\s*\)"
+    r"\s*and\s+suppkey\s*>\s*50)\s*$",
+    re.I | re.S,
+)
+
+
+def _case_missing_tables(query: str, tables: set) -> set:
+    """Tables a case needs but the replay fixtures don't provide.
+    tiny-lineitem is available ONLY for the reconstructed-slice cases."""
+    tiny = set(re.findall(r"tpch\.tiny\.(\w+)", query))
+    missing = (tables - AVAILABLE) | (tiny - TINY_OK)
+    if missing == {"lineitem"} and _TINY272_RE.search(query.strip()):
+        return set()
+    return missing
+
+
+def _tiny_lineitem_slice_rows():
+    """Reconstruct the tiny-lineitem slice the 19 window pairs consume,
+    from the corpus's own shipped expectations — triply cross-validated:
+
+    * the 32 partkey=272 rows come verbatim from rowsIdenticalWindows
+      (it emits orderkey, suppkey, quantity, extendedprice, discount
+      alongside its windowed sums) and must agree with the independent
+      (orderkey, suppkey, discount) relation in noOrderAllRowsPeers;
+    * the 13 partkey=273 / suppkey>50 rows are recovered by DIFFERENCING
+      windowSpecificationAAcpA's per-supplier running sums (quantity and
+      discount), validated against that file's own lag_quantity chain,
+      against windowSpecificationABcpA's lag by the OTHER partition key,
+      and against windowSpecificationBcpAA's nth_value sequence; their
+      extendedprice is never consumed by any promoted query and is NULL
+      (a future query touching it fails loudly);
+    * the 21 overlap rows (partkey=272, suppkey>50) recovered by
+      differencing must equal the verbatim rows — one data vintage.
+
+    orderkeys are unique across the slice, so windowSpecificationABA's
+    ORDER BY shipdate within an orderkey partition can never tie-break;
+    shipdate is a deterministic synthetic column documented as such."""
+    from collections import defaultdict
+    from datetime import timedelta
+
+    _, _, _, ident = _load_case("window_functions/rowsIdenticalWindows")
+    base272 = {
+        (int(r[1]), int(r[0])): (float(r[2]), float(r[4]), float(r[6]))
+        for r in ident
+    }  # (suppkey, orderkey) -> (quantity, extendedprice, discount)
+    assert len(base272) == len(ident), "272 slice not keyed by (supp, order)"
+    _, _, _, xrows = _load_case("window_functions/noOrderAllRowsPeers")
+    assert {(int(r[1]), int(r[0]), float(r[2])) for r in xrows} == {
+        (s, o, v[2]) for (s, o), v in base272.items()
+    }, "corpus files disagree on the partkey=272 slice"
+
+    _, _, _, aacpa = _load_case("window_functions/windowSpecificationAAcpA")
+    by_supp = defaultdict(list)
+    for r in aacpa:
+        by_supp[int(r[0])].append(
+            (int(r[1]), int(r[2]), float(r[3]), r[4], float(r[5]))
+        )
+    recon = {}  # (suppkey, orderkey) -> (partkey, quantity, discount)
+    for s, rs in sorted(by_supp.items()):
+        rs.sort()
+        prev_q = prev_d = 0.0
+        prev_quantity = 0.0
+        for ok, pk, sq, lagq, sd in rs:
+            q = round(sq - prev_q, 3)
+            d = round(sd - prev_d, 3)
+            assert abs(float(lagq) - prev_quantity) < 1e-9, (s, ok, lagq)
+            recon[(s, ok)] = (pk, q, d)
+            prev_q, prev_d, prev_quantity = sq, sd, q
+    _, _, _, abcpa = _load_case("window_functions/windowSpecificationABcpA")
+    by_pk = defaultdict(list)
+    for r in abcpa:
+        by_pk[int(r[2])].append((int(r[1]), int(r[0]), r[4]))
+    for pk, rs in by_pk.items():
+        rs.sort()
+        prevq = 0.0
+        for ok, s, lagb in rs:
+            assert abs(float(lagb) - prevq) < 1e-9, (pk, ok, lagb)
+            prevq = recon[(s, ok)][1]
+    _, _, _, bcpaa = _load_case("window_functions/windowSpecificationBcpAA")
+    by_pk2 = defaultdict(list)
+    for r in bcpaa:
+        by_pk2[int(r[2])].append((int(r[1]), int(r[0]), r[3]))
+    for pk, rs in by_pk2.items():
+        rs.sort()
+        qs = []
+        for ok, s, nth in rs:
+            qs.append(recon[(s, ok)][1])
+            if len(qs) < 4:
+                assert nth == "null", (pk, ok, nth)
+            else:
+                assert abs(float(nth) - qs[3]) < 1e-9, (pk, ok, nth)
+    for (s, ok), (pk, q, d) in recon.items():
+        if pk == 272:
+            vq, _ve, vd = base272[(s, ok)]
+            assert abs(q - vq) < 1e-9 and abs(d - vd) < 1e-9, (s, ok)
+
+    out = []
+    for i, ((s, ok), (q, e, d)) in enumerate(sorted(base272.items())):
+        out.append((ok, 272, s, q, e, d, date(1994, 1, 1) + timedelta(i)))
+    extra = sorted(k for k, v in recon.items() if v[0] == 273)
+    for i, (s, ok) in enumerate(extra):
+        _, q, d = recon[(s, ok)]
+        out.append((ok, 273, s, q, None, d, date(1995, 1, 1) + timedelta(i)))
+    oks = [r[0] for r in out]
+    assert len(set(oks)) == len(oks), "orderkeys not unique across the slice"
+    return out
+
 
 def _pairs():
     out = []
@@ -211,6 +328,11 @@ def engine(spark):
     spark.createDataFrame(
         nations4, "nationkey int, name string, regionkey int, comment string"
     ).createOrReplaceTempView("tiny_nation")
+    spark.createDataFrame(
+        _tiny_lineitem_slice_rows(),
+        "orderkey long, partkey long, suppkey long, quantity double, "
+        "extendedprice double, discount double, shipdate date",
+    ).createOrReplaceTempView("tiny_lineitem")
 
     def load_fixture(name, schema, parse_row):
         rows = []
@@ -262,10 +384,9 @@ def test_product_golden(engine, case):
         pytest.skip(f"documented deviation: {DEVIATIONS[case]}")
     if "show functions" in query.lower():
         pytest.skip("SHOW FUNCTIONS registration dump (signature format)")
-    missing = tables - AVAILABLE
-    tiny_refs = set(re.findall(r"tpch\.tiny\.(\w+)", query))
-    if missing or (tiny_refs - TINY_OK):
-        pytest.skip(f"needs tables without tiny-SF content: {missing or tiny_refs}")
+    missing = _case_missing_tables(query, tables)
+    if missing:
+        pytest.skip(f"needs tables without tiny-SF content: {missing}")
     query = re.sub(r"tpch\.tiny\.(\w+)", r"tiny_\1", query)
 
     # actual cells are space-stripped like the parsed expected cells
@@ -304,8 +425,7 @@ def test_product_golden_coverage():
         query, tables, opts, expected = _load_case(case)
         if case in DEVIATIONS or "show functions" in query.lower():
             continue
-        tiny_refs = set(re.findall(r"tpch\.tiny\.(\w+)", query))
-        if (tables - AVAILABLE) or (tiny_refs - TINY_OK):
+        if _case_missing_tables(query, tables):
             continue
         runnable += 1
     assert runnable >= 50, f"only {runnable} of {len(_ALL)} pairs replayable"
