@@ -1748,3 +1748,217 @@ def graph_landmark_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
 graph_landmark_closeness.__doc__ = graph_landmark_closeness.__doc__.format(
     mod=_CLOSE_SRC_MOD, depth=_CLOSE_MAX_DEPTH
 )
+
+
+# --- deterministic random walks (r13) -------------------------------------------
+# The DeepWalk / node2vec substrate: fixed-length walks from a seed set,
+# with the "random" neighbor choice made by a seeded LCG over the
+# CURRENT (walk, step, node) triple — a pure function, so any engine,
+# any partitioning, any cluster size reproduces the identical walk
+# relation (the same discipline stats_bootstrap_ci uses for resampling).
+# Each step is one equi hash join of the frontier against the
+# rank-indexed adjacency; per-step state is (walk, node) rows only.
+
+WALK_STEPS = 4
+WALK_SRC_MOD = 40  # seed set: nodes with node % MOD == 0
+WALK_LCG_A, WALK_LCG_C, WALK_LCG_M = 1103515245, 12345, 2**31
+
+
+def _walk_step_sql(prev: str, out: str, t: int) -> str:
+    return f"""{out} AS MATERIALIZED (
+  SELECT w.walk, a.w AS node
+  FROM {prev} w
+  JOIN adjr a ON a.u = w.node
+   AND a.rn = (({WALK_LCG_A} * (w.walk * 100003 + {t} * 1009 + w.node)
+                + {WALK_LCG_C}) % {WALK_LCG_M}) % a.deg + 1
+)"""
+
+
+_WALKS_SQL = (
+    f"""
+WITH edges AS MATERIALIZED ({_BFS_EDGES_SQL}
+), adj AS MATERIALIZED (
+  SELECT x AS u, y AS w FROM edges UNION ALL SELECT y, x FROM edges
+), adjr AS MATERIALIZED (
+  SELECT u, w, row_number() OVER (PARTITION BY u ORDER BY w) AS rn,
+         count(*) OVER (PARTITION BY u) AS deg
+  FROM adj
+), w0 AS MATERIALIZED (
+  SELECT DISTINCT u AS walk, u AS node FROM adj WHERE u % {WALK_SRC_MOD} = 0
+), """
+    + ", ".join(
+        _walk_step_sql(f"w{t}", f"w{t + 1}", t + 1) for t in range(WALK_STEPS)
+    )
+    + f"""
+SELECT walk, CAST(step AS BIGINT) AS step, CAST(node AS BIGINT) AS node FROM (
+"""
+    + "\nUNION ALL\n".join(
+        f"SELECT walk, {t} AS step, node FROM w{t}"
+        for t in range(WALK_STEPS + 1)
+    )
+    + """
+)
+ORDER BY walk, step
+"""
+)
+
+
+@_q("graph_random_walks", _WALKS_SQL)
+def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{steps}-step deterministic walks from every seed node
+    (node % {mod} == 0) of the repeat-co-purchase graph: the step-t
+    choice from node u on walk w is the neighbor at rank
+    ``LCG(w·100003 + t·1009 + u) mod deg(u)`` in u's sorted adjacency.
+    Emits the full (walk, step, node) path relation.
+
+    Scale: the adjacency is rank-indexed ONCE (per-u window — partition
+    key u, never single-partition); each step is one equi hash join of
+    the (walk, node) frontier against it; walk count ∝ seed density, so
+    the frontier never exceeds |seeds| rows per step. Zero driver
+    traffic, zero floats."""
+    edges = _repeat_edges(spark, sf_dir).localCheckpoint(eager=False)
+    adj = edges.select(F.col("x").alias("u"), F.col("y").alias("w")).unionByName(
+        edges.select(F.col("y").alias("u"), F.col("x").alias("w"))
+    )
+    wu = W.partitionBy("u").orderBy("w")
+    adjr = adj.select(
+        "u", "w",
+        F.row_number().over(wu).alias("rn"),
+        F.count("*").over(W.partitionBy("u")).alias("deg"),
+    ).localCheckpoint(eager=False)
+    frontier = (
+        adj.filter(F.col("u") % WALK_SRC_MOD == 0)
+        .select(F.col("u").alias("walk"), F.col("u").alias("node"))
+        .distinct()
+    )
+    out = frontier.select("walk", F.lit(0).alias("step"), "node")
+    for t in range(1, WALK_STEPS + 1):
+        nxt = (
+            frontier.join(adjr, frontier["node"] == adjr["u"])
+            .filter(
+                F.col("rn")
+                == ((WALK_LCG_A * (F.col("walk") * 100003 + t * 1009
+                                   + F.col("node")) + WALK_LCG_C)
+                    % WALK_LCG_M) % F.col("deg") + 1
+            )
+            .select("walk", F.col("w").alias("node"))
+        )
+        frontier = nxt
+        out = out.unionByName(
+            frontier.select("walk", F.lit(t).alias("step"), "node")
+        )
+    return out.select(
+        "walk", F.col("step").cast("long"), F.col("node").cast("long")
+    ).orderBy("walk", "step")
+
+
+graph_random_walks.__doc__ = graph_random_walks.__doc__.format(
+    steps=WALK_STEPS, mod=WALK_SRC_MOD
+)
+
+
+# --- k-way partition cut quality (r13) ------------------------------------------
+# The graph-sharding metric: when a 100 TB graph is hash-partitioned
+# across workers, the fraction of edges crossing shards IS the
+# communication bill of every iterative algorithm above. Per shard:
+# volume (sum of member degrees), internal edges, cut edges, and
+# conductance cut/min(vol, 2m−vol) in exact micros.
+
+_PCUT_K = 8
+
+_PCUT_SQL = f"""
+WITH edges AS MATERIALIZED ({_BFS_EDGES_SQL}
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS m FROM edges
+), deg AS (
+  SELECT u, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT x AS u FROM edges UNION ALL SELECT y FROM edges)
+  GROUP BY u
+), vol AS (
+  SELECT u % {_PCUT_K} AS p, CAST(sum(d) AS BIGINT) AS vol,
+         CAST(count(*) AS BIGINT) AS n_nodes
+  FROM deg GROUP BY 1
+), ec AS (
+  SELECT x % {_PCUT_K} AS px, y % {_PCUT_K} AS py FROM edges
+), internal AS (
+  SELECT px AS p, CAST(count(*) AS BIGINT) AS internal_edges
+  FROM ec WHERE px = py GROUP BY 1
+), cut AS (
+  SELECT p, CAST(count(*) AS BIGINT) AS cut_edges FROM (
+    SELECT px AS p FROM ec WHERE px <> py
+    UNION ALL
+    SELECT py AS p FROM ec WHERE px <> py
+  ) GROUP BY p
+)
+SELECT CAST(v.p AS BIGINT) AS partition_id, v.n_nodes, v.vol,
+       COALESCE(i.internal_edges, 0) AS internal_edges,
+       COALESCE(c.cut_edges, 0) AS cut_edges,
+       CAST(COALESCE(c.cut_edges, 0) * 1000000
+            // CASE WHEN v.vol < 2 * m.m - v.vol THEN v.vol
+                    ELSE 2 * m.m - v.vol END AS BIGINT) AS conductance_e6
+FROM vol v
+LEFT JOIN internal i ON i.p = v.p
+LEFT JOIN cut c ON c.p = v.p
+CROSS JOIN m
+ORDER BY partition_id
+"""
+
+
+@_q("graph_partition_cut", _PCUT_SQL)
+def graph_partition_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cut quality of the {k}-way modular hash partitioning of the
+    repeat graph: per shard, node count, volume, internal edges, cut
+    edges (each crossing edge charged to both shards), and conductance
+    in exact micros — the communication-cost audit a placement decision
+    reads before running anything iterative at cluster scale.
+
+    Scale: one degree groupBy + two edge-side groupBys, all map-side
+    combinable on shard ids; the output is K rows at any data size."""
+    edges = _repeat_edges(spark, sf_dir).localCheckpoint(eager=False)
+    m = edges.agg(F.count("*").cast("long").alias("m"))
+    deg = (
+        edges.select(F.col("x").alias("u"))
+        .unionByName(edges.select(F.col("y").alias("u")))
+        .groupBy("u")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    vol = deg.groupBy((F.col("u") % _PCUT_K).alias("p")).agg(
+        F.sum("d").cast("long").alias("vol"),
+        F.count("*").cast("long").alias("n_nodes"),
+    )
+    ec = edges.select(
+        (F.col("x") % _PCUT_K).alias("px"), (F.col("y") % _PCUT_K).alias("py")
+    )
+    internal = (
+        ec.filter(F.col("px") == F.col("py"))
+        .groupBy(F.col("px").alias("p"))
+        .agg(F.count("*").cast("long").alias("internal_edges"))
+    )
+    crossing = ec.filter(F.col("px") != F.col("py"))
+    cut = (
+        crossing.select(F.col("px").alias("p"))
+        .unionByName(crossing.select(F.col("py").alias("p")))
+        .groupBy("p")
+        .agg(F.count("*").cast("long").alias("cut_edges"))
+    )
+    return (
+        vol.join(internal, "p", "left")
+        .join(cut, "p", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            F.col("p").cast("long").alias("partition_id"),
+            "n_nodes", "vol",
+            F.coalesce("internal_edges", F.lit(0)).cast("long")
+            .alias("internal_edges"),
+            F.coalesce("cut_edges", F.lit(0)).cast("long").alias("cut_edges"),
+            F.expr(
+                "CAST(coalesce(cut_edges, 0) * 1000000 div "
+                "(CASE WHEN vol < 2 * m - vol THEN vol "
+                "ELSE 2 * m - vol END) AS BIGINT)"
+            ).alias("conductance_e6"),
+        )
+        .orderBy("partition_id")
+    )
+
+
+graph_partition_cut.__doc__ = graph_partition_cut.__doc__.format(k=_PCUT_K)

@@ -1678,3 +1678,314 @@ def ml_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ml_feature_hashing.__doc__ = ml_feature_hashing.__doc__.format(B=FH_BUCKETS)
+
+
+# --- decile lift / gains table (r13) -------------------------------------------
+# THE model-evaluation table every targeting campaign reads: rank the
+# population by model score descending, cut into 10 equal-depth deciles,
+# and report per-decile response plus cumulative gains and lift. Score =
+# customer lifetime spend (exact cents); label = customer ever placed an
+# URGENT order. The global descending rank rides distrank.global_index
+# (range exchange, never a single-partition window) with the cumulative
+# positive count as its running sum, so the table is 3 shuffles at any
+# data size and the emitted 10-row relation is exact-integer.
+
+_LIFT_SQL = """
+WITH cust AS (
+  SELECT o_custkey AS ck,
+         CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS score,
+         max(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS pos
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT score, pos,
+         row_number() OVER (ORDER BY score DESC, ck) AS rn,
+         count(*) OVER () AS n,
+         sum(pos) OVER () AS tot_pos
+  FROM cust
+), bucketed AS (
+  SELECT ((rn - 1) * 10) // n AS decile, pos, n, tot_pos FROM ranked
+), d AS (
+  SELECT decile, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(pos) AS BIGINT) AS n_pos,
+         CAST(max(n) AS BIGINT) AS n, CAST(max(tot_pos) AS BIGINT) AS tot_pos
+  FROM bucketed GROUP BY 1
+), c AS (
+  SELECT decile, n_rows, n_pos,
+         sum(n_rows) OVER (ORDER BY decile) AS cum_n,
+         sum(n_pos) OVER (ORDER BY decile) AS cum_pos,
+         n, tot_pos
+  FROM d
+)
+SELECT CAST(decile AS BIGINT) AS decile, n_rows, n_pos,
+       CAST(cum_pos * 1000000 // tot_pos AS BIGINT) AS gains_e6,
+       CAST(CAST(cum_pos AS HUGEINT) * 1000000 * n
+            // (CAST(cum_n AS HUGEINT) * tot_pos) AS BIGINT) AS lift_e6
+FROM c ORDER BY decile
+"""
+
+
+@_q("ml_lift_gains", _LIFT_SQL)
+def ml_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift / cumulative-gains table for the spend→urgency signal.
+    gains_e6 = share of all positives captured through this decile;
+    lift_e6 = decile-cumulative response rate over the base rate, both
+    exact rationals in micros (the lift numerator runs in DECIMAL(38,0)
+    — cum_pos·1e6·n outgrows int64 first at cluster row counts).
+
+    Scale: per-customer collapse (map-side combinable) → ONE distrank
+    range exchange carrying the running positive count → a 10-row
+    decile table; the cumulative window runs on 10 rows."""
+    from .distrank import global_index
+
+    orders = _t(spark, sf_dir, "orders")[0]
+    cust = orders.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100)).cast("long").alias("score"),
+        F.max(
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+        ).alias("pos"),
+    )
+    r = global_index(
+        cust, [F.col("score").desc(), F.col("ck")], sum_col="pos"
+    )
+    d = (
+        r.withColumn(
+            "decile", ((F.col("__rn") - 1) * 10 / F.col("__n_total")).cast("long")
+        )
+        .groupBy("decile")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("pos").cast("long").alias("n_pos"),
+            F.max("__n_total").cast("long").alias("n"),
+            F.max("__sum_total").cast("long").alias("tot_pos"),
+        )
+    )
+    w = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
+    c = d.select(
+        "decile", "n_rows", "n_pos", "n", "tot_pos",
+        F.sum("n_rows").over(w).alias("cum_n"),
+        F.sum("n_pos").over(w).alias("cum_pos"),
+    )
+    dec = "decimal(38,0)"
+    return c.select(
+        F.col("decile").cast("long"),
+        "n_rows", "n_pos",
+        F.expr("cum_pos * 1000000 div tot_pos").cast("long").alias("gains_e6"),
+        (
+            F.col("cum_pos").cast(dec) * 1000000 * F.col("n").cast(dec)
+        ).alias("_num")
+        .cast(dec),
+        (F.col("cum_n").cast(dec) * F.col("tot_pos").cast(dec)).alias("_den"),
+    ).select(
+        "decile", "n_rows", "n_pos", "gains_e6",
+        F.expr("_num div _den").cast("long").alias("lift_e6"),
+    ).orderBy("decile")
+
+
+# --- smoothed target encoding (r13) --------------------------------------------
+# The leakage-safe categorical featurizer: encode each category by its
+# target rate shrunk toward the global prior with pseudo-count m — the
+# empirical-Bayes device every tabular pipeline ships. All counts are
+# map-side combinable; the prior is a 1-row broadcast.
+
+TENC_M = 20  # prior pseudo-count
+
+_TENC_SQL = f"""
+WITH base AS (
+  SELECT c.c_mktsegment AS seg,
+         CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+), prior AS (
+  SELECT CAST(sum(y) AS BIGINT) * 1000000 // CAST(count(*) AS BIGINT)
+           AS prior_e6
+  FROM base
+), per AS (
+  SELECT seg, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
+  FROM base GROUP BY 1
+)
+SELECT seg, n, pos,
+       CAST(pos * 1000000 // n AS BIGINT) AS naive_e6,
+       CAST((pos * 1000000 + {TENC_M} * prior_e6) // (n + {TENC_M}) AS BIGINT)
+         AS encoded_e6,
+       CAST(n * 1000000 // (n + {TENC_M}) AS BIGINT) AS weight_e6
+FROM per, prior
+ORDER BY seg
+"""
+
+
+@_q("ml_target_encoding", _TENC_SQL)
+def ml_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed (empirical-Bayes) target encoding of market segment
+    against order urgency: encoded = (pos + m·prior)/(n + m) with
+    m = {m}, all exact integer micros. Emits the naive rate, the
+    shrunk encoding, and the shrinkage weight n/(n+m) per category.
+
+    Scale: one fact-side count groupBy (map-side combinable, category
+    cardinality rows) + a 1-row broadcast prior — the encoding never
+    touches the fact table twice."""
+    orders, cust = _t(spark, sf_dir, "orders", "customer")
+    base = orders.join(
+        cust, F.col("o_custkey") == F.col("c_custkey")
+    ).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("y"),
+    )
+    prior = base.agg(
+        F.expr("CAST(sum(y) AS BIGINT) * 1000000 div count(*)")
+        .cast("long")
+        .alias("prior_e6")
+    )
+    per = base.groupBy("seg").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    return (
+        per.crossJoin(F.broadcast(prior))
+        .select(
+            "seg", "n", "pos",
+            F.expr("pos * 1000000 div n").cast("long").alias("naive_e6"),
+            F.expr(
+                f"(pos * 1000000 + {TENC_M} * prior_e6) div (n + {TENC_M})"
+            ).cast("long").alias("encoded_e6"),
+            F.expr(f"n * 1000000 div (n + {TENC_M})")
+            .cast("long")
+            .alias("weight_e6"),
+        )
+        .orderBy("seg")
+    )
+
+
+ml_target_encoding.__doc__ = ml_target_encoding.__doc__.format(m=TENC_M)
+
+
+# --- population stability index (r13) -------------------------------------------
+# THE score-drift monitor between a reference window and a current
+# window: decile-bin the reference, drop both populations into those
+# bins, PSI = Σ (p_i − q_i)·ln(p_i/q_i). Bin boundaries come off ONE
+# distrank range exchange over the reference (never a single-partition
+# window); binning is a 9-row broadcast; counts are map-side
+# combinable. Laplace +1 on every bin keeps ln finite when a bin
+# empties. Exact-integer discipline: the (p−q) factor is the exact
+# rational (p1·qt − q1·pt)/(pt·qt); ln runs ONLY over exact-integer-
+# valued doubles (cross-engine micros parity verified); each bin's term
+# is rounded to e9 BEFORE the total so the sum is an integer sum.
+
+_PSI_SQL = """
+WITH ref AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS s, o_orderkey AS ok
+  FROM orders WHERE year(o_orderdate) = 1996
+), cur AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS s FROM orders
+  WHERE year(o_orderdate) = 1997
+), ranked AS (
+  SELECT s, row_number() OVER (ORDER BY s, ok) AS rn, count(*) OVER () AS n
+  FROM ref
+), bounds AS (
+  SELECT s AS b FROM ranked WHERE rn IN (
+    SELECT (i * max(n)) // 10 FROM ranked, generate_series(1, 9) t(i) GROUP BY i
+  )
+), refbin AS (
+  SELECT (SELECT count(*) FROM bounds WHERE b < r.s) AS bin FROM ref r
+), curbin AS (
+  SELECT (SELECT count(*) FROM bounds WHERE b < c.s) AS bin FROM cur c
+), bins AS (
+  SELECT unnest(generate_series(0, 9)) AS bin
+), counts AS (
+  SELECT bins.bin,
+         CAST((SELECT count(*) FROM refbin WHERE refbin.bin = bins.bin) AS BIGINT) AS ref_n,
+         CAST((SELECT count(*) FROM curbin WHERE curbin.bin = bins.bin) AS BIGINT) AS cur_n
+  FROM bins
+), tot AS (
+  SELECT CAST(sum(ref_n) + 10 AS BIGINT) AS pt,
+         CAST(sum(cur_n) + 10 AS BIGINT) AS qt
+  FROM counts
+)
+SELECT CAST(bin AS BIGINT) AS bin, ref_n, cur_n,
+       CAST(round(
+         (CAST((ref_n + 1) * qt - (cur_n + 1) * pt AS DOUBLE)
+          / CAST(pt * qt AS DOUBLE))
+         * (ln(CAST((ref_n + 1) * qt AS DOUBLE))
+            - ln(CAST((cur_n + 1) * pt AS DOUBLE)))
+         * 1000000000) AS BIGINT) AS psi_term_e9
+FROM counts, tot
+ORDER BY bin
+"""
+
+
+@_q("ml_psi_stability", _PSI_SQL)
+def ml_psi_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI between 1996 (reference) and 1997 (current) order-value
+    distributions over reference deciles; per-bin term in nanos (the
+    10-row integer sum of psi_term_e9 IS the PSI·1e9).
+
+    Scale: ONE distrank range exchange over the reference extracts the
+    9 boundaries; binning both populations is a broadcast of 9 values;
+    everything after is a 10-row relation."""
+    from .distrank import global_index
+
+    orders = _t(spark, sf_dir, "orders")[0]
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    ref = orders.filter(F.year("o_orderdate") == 1996).select(
+        cents.alias("s"), F.col("o_orderkey").alias("ok")
+    )
+    cur = orders.filter(F.year("o_orderdate") == 1997).select(cents.alias("s"))
+    r = global_index(ref, [F.col("s"), F.col("ok")])
+    bounds = r.filter(
+        F.expr(
+            "__rn IN (1*__n_total div 10, 2*__n_total div 10, "
+            "3*__n_total div 10, 4*__n_total div 10, 5*__n_total div 10, "
+            "6*__n_total div 10, 7*__n_total div 10, 8*__n_total div 10, "
+            "9*__n_total div 10)"
+        )
+    ).select(F.col("s").alias("b"))
+
+    # bin each population: count boundaries strictly below the score
+    def bincounts(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.crossJoin(F.broadcast(bounds.groupBy().agg(
+                F.collect_list("b").alias("bs"))))
+            .select(
+                F.aggregate(
+                    "bs", F.lit(0),
+                    lambda acc, b: acc + F.when(b < F.col("s"), 1).otherwise(0),
+                ).alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count("*").cast("long").alias(out))
+        )
+
+    refc = bincounts(ref.select("s"), "ref_n")
+    curc = bincounts(cur, "cur_n")
+    bins = spark.range(10).select(F.col("id").alias("bin"))
+    counts = (
+        bins.join(refc, "bin", "left")
+        .join(curc, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("ref_n", F.lit(0)).cast("long").alias("ref_n"),
+            F.coalesce("cur_n", F.lit(0)).cast("long").alias("cur_n"),
+        )
+    )
+    tot = counts.agg(
+        (F.sum("ref_n") + 10).cast("long").alias("pt"),
+        (F.sum("cur_n") + 10).cast("long").alias("qt"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("bin").cast("long"),
+            "ref_n", "cur_n",
+            F.round(
+                (
+                    ((F.col("ref_n") + 1) * F.col("qt")
+                     - (F.col("cur_n") + 1) * F.col("pt")).cast("double")
+                    / (F.col("pt") * F.col("qt")).cast("double")
+                )
+                * (
+                    F.log(((F.col("ref_n") + 1) * F.col("qt")).cast("double"))
+                    - F.log(((F.col("cur_n") + 1) * F.col("pt")).cast("double"))
+                )
+                * 1000000000
+            ).cast("long").alias("psi_term_e9"),
+        )
+        .orderBy("bin")
+    )

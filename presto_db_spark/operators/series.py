@@ -844,3 +844,110 @@ def agg_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((2 * six - (n + 1) * sx) * 1000000 div (n * sx) AS BIGINT)"
         ).alias("gini_ppm"),
     )
+
+
+# --- Neyman allocation (r13) -----------------------------------------------------
+# Variance-proportional stratified sample allocation: the optimal
+# budget split n_h ∝ N_h·S_h (Neyman 1934) — the sampling design every
+# stratified data-quality audit should use instead of proportional.
+# Everything is exact-integer: the per-stratum variance is the exact
+# rational (n·Σx² − (Σx)²)·1e6 / (n·(n−1)) in 128-bit, the std is the
+# integer round(sqrt(·)) (cross-engine micros parity verified), weights
+# are N_h·S_e3 BIGINTs, and the final rounding is largest-remainder
+# (Hamilton) on integer remainders — allocations sum to the budget
+# EXACTLY on any engine.
+
+NEYMAN_BUDGET = 1000
+
+_NEYMAN_SQL = f"""
+WITH s AS (
+  SELECT event_type AS stratum,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS HUGEINT) AS sx,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)
+                  * CAST(round(value * 100) AS BIGINT)) AS HUGEINT) AS sxx
+  FROM events GROUP BY 1
+), v AS (
+  SELECT stratum, n,
+         CAST((n * sxx - sx * sx) * 1000000 // (n * (n - 1)) AS BIGINT)
+           AS var_e6
+  FROM s
+), w AS (
+  SELECT stratum, n, var_e6,
+         n * CAST(round(sqrt(CAST(var_e6 AS DOUBLE))) AS BIGINT) AS weight
+  FROM v
+), q AS (
+  SELECT stratum, n, var_e6, weight,
+         CAST({NEYMAN_BUDGET} AS BIGINT) * weight AS num,
+         CAST(sum(weight) OVER () AS BIGINT) AS wtot
+  FROM w
+), h AS (
+  SELECT stratum, n, var_e6, weight,
+         num // wtot AS base, num % wtot AS rem,
+         row_number() OVER (ORDER BY num % wtot DESC, stratum) AS rr,
+         CAST({NEYMAN_BUDGET} AS BIGINT) - sum(num // wtot) OVER () AS leftover
+  FROM q
+)
+SELECT stratum, n AS stratum_rows, var_e6,
+       CAST(base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS BIGINT)
+         AS allocated
+FROM h ORDER BY stratum
+"""
+
+
+@_q("sample_neyman_allocation", _NEYMAN_SQL)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal allocation of a {b}-row sampling budget across
+    event-type strata (n_h ∝ N_h·S_h), Hamilton-rounded so the
+    allocations sum to exactly {b}.
+
+    Scale: one stratum groupBy with 128-bit moment sums (map-side
+    combinable); every window after it runs on the stratum-cardinality
+    table (5 rows), never on data."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    dec = "decimal(38,0)"
+    s = ev.groupBy(F.col("event_type").alias("stratum")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(cents.cast(dec)).alias("sx"),
+        F.sum((cents * cents).cast(dec)).alias("sxx"),
+    )
+    v = s.select(
+        "stratum", "n",
+        F.expr(
+            "CAST((n * sxx - sx * sx) * 1000000 div (n * (n - 1)) AS BIGINT)"
+        ).alias("var_e6"),
+    )
+    w = v.select(
+        "stratum", "n", "var_e6",
+        (
+            F.col("n")
+            * F.round(F.sqrt(F.col("var_e6").cast("double"))).cast("long")
+        ).alias("weight"),
+    )
+    q = w.select(
+        "stratum", "n", "var_e6", "weight",
+        (F.lit(NEYMAN_BUDGET).cast("long") * F.col("weight")).alias("num"),
+        F.sum("weight").over(W.partitionBy()).cast("long").alias("wtot"),
+    )
+    h = q.select(
+        "stratum", "n", "var_e6",
+        F.expr("num div wtot").alias("base"),
+        (F.col("num") % F.col("wtot")).alias("rem"),
+        F.row_number()
+        .over(W.orderBy((F.col("num") % F.col("wtot")).desc(), "stratum"))
+        .alias("rr"),
+        (
+            F.lit(NEYMAN_BUDGET).cast("long")
+            - F.sum(F.expr("num div wtot")).over(W.partitionBy())
+        ).alias("leftover"),
+    )
+    return h.select(
+        "stratum",
+        F.col("n").alias("stratum_rows"),
+        "var_e6",
+        (
+            F.col("base")
+            + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0)
+        ).cast("long").alias("allocated"),
+    ).orderBy("stratum")

@@ -2830,3 +2830,138 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 sim_knn_graph.__doc__ = sim_knn_graph.__doc__.format(
     Cmin=KNN_C_MIN, div=KNN_CELL_DIV, K=KNN_K
 )
+
+
+# --- maximal marginal relevance diversification (r13) ---------------------------
+# The RAG retrieval finisher: after top-k by similarity, greedily re-pick
+# results trading relevance against redundancy — pick_k = argmax over
+# remaining candidates of λ·rel(q,i) − (1−λ)·max_{j∈picked} sim(i,j)
+# (Carbonell & Goldstein 1998), λ = 0.7. Exact-integer discipline: rel
+# and redundancy are micros BIGINTs (the cosine itself is the module's
+# sequential-fold Arrow kernel, bit-identical across engines), the MMR
+# score is the integer 7·rel_e6 − 3·red_e6, and every argmax carries a
+# vec_id tie-break — the greedy trajectory is fully deterministic.
+
+MMR_K = 5
+_MMR_COS_SQL = (
+    f"CAST(round({_SQL_DOT.format(a='{a}', b='{b}')} / "
+    f"({_SQL_NORM.format(a='{a}')} * {_SQL_NORM.format(a='{b}')}) "
+    "* 1000000) AS BIGINT)"
+)
+
+
+def _mmr_round_sql(k: int) -> str:
+    prev = f"p{k - 1}"
+    cos = _MMR_COS_SQL.format(a="r.embedding", b="s.embedding")
+    return f"""c{k} AS (
+  SELECT r.vec_id, r.rel_e6, r.embedding,
+         (SELECT max({cos}) FROM {prev} s) AS red_e6
+  FROM rel r WHERE r.vec_id NOT IN (SELECT vec_id FROM {prev})
+), s{k} AS MATERIALIZED (
+  SELECT {k} AS pick, vec_id, rel_e6, embedding, red_e6
+  FROM c{k} ORDER BY 7 * rel_e6 - 3 * red_e6 DESC, vec_id LIMIT 1
+), p{k} AS MATERIALIZED (
+  SELECT pick, vec_id, rel_e6, embedding, red_e6 FROM {prev}
+  UNION ALL SELECT pick, vec_id, rel_e6, embedding, red_e6 FROM s{k}
+)"""
+
+
+_MMR_SQL = (
+    f"""
+WITH q AS (
+  SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+), rel AS MATERIALIZED (
+  SELECT e.vec_id,
+         {_MMR_COS_SQL.format(a='e.embedding', b='q.qe')} AS rel_e6,
+         e.embedding
+  FROM embeddings e, q WHERE e.vec_id <> 0
+), p1 AS MATERIALIZED (
+  SELECT 1 AS pick, vec_id, rel_e6, embedding, CAST(0 AS BIGINT) AS red_e6
+  FROM rel ORDER BY rel_e6 DESC, vec_id LIMIT 1
+), """
+    + ", ".join(_mmr_round_sql(k) for k in range(2, MMR_K + 1))
+    + f"""
+SELECT CAST(pick AS BIGINT) AS pick, vec_id, rel_e6,
+       CAST(red_e6 AS BIGINT) AS red_e6,
+       CAST(7 * rel_e6 - 3 * red_e6 AS BIGINT) AS mmr_e6x10
+FROM p{MMR_K} ORDER BY pick
+"""
+)
+
+
+@_q("sim_mmr_diversify", _MMR_SQL)
+def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-{k} for query vec 0 (λ = 0.7): each round
+    re-scores the remaining candidates by 7·rel_e6 − 3·max-sim-to-picked
+    and takes the integer argmax. Emits (pick, vec_id, rel_e6, red_e6,
+    mmr score).
+
+    Scale: rel is ONE Arrow cosine pass over the corpus, checkpointed;
+    each of the {k}−1 greedy rounds is an anti-join + a ≤{k}-row
+    broadcast redundancy join + a TakeOrdered(1) — no collect, no
+    full sort, per-round state is the ≤{k}-row picked set. At
+    production K the shortlist feeding MMR comes from the ANN index
+    (sim_ivfpq), not the brute pass."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe")
+    )
+    rel = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("qe")) * 1000000)
+            .cast("long")
+            .alias("rel_e6"),
+            "embedding",
+        )
+        .localCheckpoint(eager=False)
+    )
+    picked = (
+        rel.orderBy(F.col("rel_e6").desc(), "vec_id")
+        .limit(1)
+        .select(
+            F.lit(1).alias("pick"), "vec_id", "rel_e6", "embedding",
+            F.lit(0).cast("long").alias("red_e6"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    for k in range(2, MMR_K + 1):
+        cand = rel.join(
+            picked.select("vec_id"), "vec_id", "left_anti"
+        )
+        red = (
+            cand.crossJoin(
+                F.broadcast(picked.select(F.col("embedding").alias("se")))
+            )
+            .select(
+                "vec_id",
+                F.round(cosine(F.col("embedding"), F.col("se")) * 1000000)
+                .cast("long")
+                .alias("s"),
+            )
+            .groupBy("vec_id")
+            .agg(F.max("s").alias("red_e6"))
+        )
+        nxt = (
+            cand.join(red, "vec_id")
+            .orderBy(
+                (7 * F.col("rel_e6") - 3 * F.col("red_e6")).desc(), "vec_id"
+            )
+            .limit(1)
+            .select(F.lit(k).alias("pick"), "vec_id", "rel_e6", "embedding",
+                    "red_e6")
+        )
+        picked = picked.unionByName(nxt).localCheckpoint(eager=False)
+    return picked.select(
+        F.col("pick").cast("long"),
+        "vec_id",
+        "rel_e6",
+        F.col("red_e6").cast("long"),
+        (7 * F.col("rel_e6") - 3 * F.col("red_e6")).cast("long")
+        .alias("mmr_e6x10"),
+    ).orderBy("pick")
+
+
+sim_mmr_diversify.__doc__ = sim_mmr_diversify.__doc__.format(k=MMR_K)

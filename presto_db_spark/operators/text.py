@@ -3158,3 +3158,98 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 text_pmi_collocations.__doc__ = text_pmi_collocations.__doc__.format(
     top=_PMI_TOP, mc=_PMI_MIN_COUNT
 )
+
+
+# --- Zipf rank-frequency slope (r13) ---------------------------------------------
+# The corpus-health scalar every tokenizer/dedup decision glances at:
+# fit ln(freq) = a + b·ln(rank) over the top-R vocabulary ranks; a
+# natural corpus sits near b ≈ −1, template/boilerplate floods push it
+# away. Exact cross-engine discipline: ln runs ONLY over exact integers
+# (rank, count) cast to double and is micros-rounded PER ROW (verified
+# bit-identical across engines); the OLS moments are then pure BIGINT
+# sums in DECIMAL(38,0), and the slope/intercept are exact rational
+# micros.
+
+ZIPF_TOP_R = 100
+
+_ZIPF_SQL = f"""
+WITH freq AS (
+  SELECT s.tok AS w, CAST(count(*) AS BIGINT) AS c
+  FROM documents,
+       unnest(list_transform(
+         generate_series(1, len(string_split_regex(trim(text), '\\s+'))),
+         i -> struct_pack(
+           pos := i, tok := string_split_regex(trim(text), '\\s+')[i])
+       )) AS t(s)
+  GROUP BY 1
+), top AS (
+  SELECT c FROM freq ORDER BY c DESC, w LIMIT {ZIPF_TOP_R}
+), xy AS (
+  SELECT CAST(round(ln(CAST(row_number() OVER (ORDER BY c DESC) AS DOUBLE))
+              * 1000000) AS BIGINT) AS x,
+         CAST(round(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT) AS y
+  FROM top
+), m AS (
+  SELECT CAST(count(*) AS HUGEINT) AS r,
+         CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+  FROM xy
+)
+SELECT CAST(r AS BIGINT) AS n_ranks,
+       CAST((r * sxy - sx * sy) * 1000000 // (r * sxx - sx * sx) AS BIGINT)
+         AS slope_e6,
+       CAST((sy - (r * sxy - sx * sy) * sx // (r * sxx - sx * sx)) // r
+            AS BIGINT) AS intercept_e6
+FROM m
+"""
+
+
+@_q("text_zipf_slope", _ZIPF_SQL)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf slope over the top-{r} vocabulary ranks (OLS of ln freq on
+    ln rank, exact rational micros; intercept via the same integer
+    algebra).
+
+    Scale: one token count groupBy (map-side combinable) → a
+    top-{r} TakeOrderedAndProject (never a full sort) → OLS moments over
+    {r} rows. The rank window runs on the {r}-row shortlist only."""
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    top = freq.orderBy(F.col("c").desc(), "w").limit(ZIPF_TOP_R).select("c")
+    xy = top.select(
+        F.round(
+            F.log(F.row_number().over(W.orderBy(F.col("c").desc()))
+                  .cast("double")) * 1000000
+        ).cast("long").alias("x"),
+        F.round(F.log(F.col("c").cast("double")) * 1000000)
+        .cast("long").alias("y"),
+    )
+    dec = "decimal(38,0)"
+    m = xy.agg(
+        F.count("*").cast(dec).alias("r"),
+        F.sum("x").cast(dec).alias("sx"),
+        F.sum("y").cast(dec).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("y").cast(dec)).alias("sxy"),
+        F.sum(F.col("x").cast(dec) * F.col("x").cast(dec)).alias("sxx"),
+    )
+    return m.select(
+        F.col("r").cast("long").alias("n_ranks"),
+        F.expr(
+            "CAST((r * sxy - sx * sy) * 1000000 div (r * sxx - sx * sx) "
+            "AS BIGINT)"
+        ).alias("slope_e6"),
+        F.expr(
+            "CAST((sy - (r * sxy - sx * sy) * sx div (r * sxx - sx * sx)) "
+            "div r AS BIGINT)"
+        ).alias("intercept_e6"),
+    )
+
+
+text_zipf_slope.__doc__ = text_zipf_slope.__doc__.format(r=ZIPF_TOP_R)

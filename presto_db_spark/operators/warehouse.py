@@ -1136,3 +1136,125 @@ def warehouse_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("category")
     )
+
+
+# --- clustering depth (r13) ------------------------------------------------------
+# THE layout-quality metric a lakehouse optimizer reads before deciding
+# whether to recluster: for a clustering key, how many files' [min,max]
+# key ranges overlap at each key point. A perfectly clustered layout has
+# depth 1 everywhere; a hash layout has depth ≈ n_files. Computed with
+# the boundary-sweep (+1 at range start, −1 past range end, running sum
+# = depth), so the cost is O(2·n_files) boundary rows — never a pairwise
+# range join. Two layouts of the same fact are audited side by side:
+# 'hash' (files keyed by l_orderkey % 64 — ships every key range to
+# every file) and 'range' (files = ship-date months — disjoint by
+# construction, the depth-1 witness).
+
+_CLDEPTH_FILES = 64
+
+_CLDEPTH_SQL = f"""
+WITH ranged AS (
+  SELECT layout, f,
+         CAST(min(sd) AS BIGINT) AS lo, CAST(max(sd) AS BIGINT) AS hi
+  FROM (
+    SELECT 'hash' AS layout, l_orderkey % {_CLDEPTH_FILES} AS f,
+           datediff('day', DATE '1992-01-01', l_shipdate) AS sd
+    FROM lineitem
+    UNION ALL
+    SELECT 'range', year(l_shipdate) * 100 + month(l_shipdate),
+           datediff('day', DATE '1992-01-01', l_shipdate)
+    FROM lineitem
+  ) GROUP BY 1, 2
+), bounds AS (
+  SELECT layout, lo AS d, 1 AS delta FROM ranged
+  UNION ALL
+  SELECT layout, hi + 1, -1 FROM ranged
+), sweep AS (
+  SELECT layout, d,
+         sum(delta) OVER (PARTITION BY layout ORDER BY d
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS depth,
+         lead(d) OVER (PARTITION BY layout ORDER BY d) AS next_d
+  FROM (SELECT layout, d, sum(delta) AS delta FROM bounds GROUP BY 1, 2)
+), spans AS (
+  SELECT layout, depth, next_d - d AS span
+  FROM sweep WHERE next_d IS NOT NULL AND depth > 0
+)
+SELECT s.layout,
+       (SELECT CAST(count(*) AS BIGINT) FROM ranged r
+        WHERE r.layout = s.layout) AS n_files,
+       CAST(sum(span) AS BIGINT) AS covered_days,
+       CAST(max(depth) AS BIGINT) AS max_depth,
+       CAST(sum(CAST(depth AS HUGEINT) * span) * 1000000 // sum(span)
+            AS BIGINT) AS avg_depth_e6
+FROM spans s GROUP BY 1 ORDER BY 1
+"""
+
+
+@_q("warehouse_clustering_depth", _CLDEPTH_SQL)
+def warehouse_clustering_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-depth audit of two file layouts over the ship-date
+    key: per layout, file count, covered key span (days), max overlap
+    depth, and the span-weighted average depth in exact micros.
+
+    Scale: one (layout, file) min/max collapse (map-side combinable)
+    → ≤ 2 boundary rows per file → a running-sum sweep over the bounded
+    boundary table (partitioned by layout). The depth integral is exact
+    integer day-weighting; no pairwise range join anywhere."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    sd = F.datediff(F.col("l_shipdate"), F.lit("1992-01-01")).alias("sd")
+    both = (
+        li.select(
+            F.lit("hash").alias("layout"),
+            (F.col("l_orderkey") % _CLDEPTH_FILES).alias("f"),
+            sd,
+        )
+    ).unionByName(
+        li.select(
+            F.lit("range").alias("layout"),
+            (F.year("l_shipdate") * 100 + F.month("l_shipdate")).alias("f"),
+            sd,
+        )
+    )
+    ranged = both.groupBy("layout", "f").agg(
+        F.min("sd").cast("long").alias("lo"), F.max("sd").cast("long").alias("hi")
+    ).localCheckpoint(eager=False)
+    bounds = (
+        ranged.select("layout", F.col("lo").alias("d"), F.lit(1).alias("delta"))
+        .unionByName(
+            ranged.select(
+                "layout", (F.col("hi") + 1).alias("d"), F.lit(-1).alias("delta")
+            )
+        )
+        .groupBy("layout", "d")
+        .agg(F.sum("delta").alias("delta"))
+    )
+    wl = W.partitionBy("layout").orderBy("d")
+    sweep = bounds.select(
+        "layout", "d",
+        F.sum("delta").over(
+            wl.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ).alias("depth"),
+        F.lead("d").over(wl).alias("next_d"),
+    )
+    spans = sweep.filter(
+        F.col("next_d").isNotNull() & (F.col("depth") > 0)
+    ).select("layout", "depth", (F.col("next_d") - F.col("d")).alias("span"))
+    nf = ranged.groupBy("layout").agg(F.count("*").cast("long").alias("n_files"))
+    return (
+        spans.groupBy("layout")
+        .agg(
+            F.sum("span").cast("long").alias("covered_days"),
+            F.max("depth").cast("long").alias("max_depth"),
+            F.expr(
+                "CAST(sum(CAST(depth AS DECIMAL(38,0)) * span) * 1000000 "
+                "div sum(span) AS BIGINT)"
+            ).alias("avg_depth_e6"),
+        )
+        .join(F.broadcast(nf), "layout")
+        .select("layout", "n_files", "covered_days", "max_depth",
+                "avg_depth_e6")
+        .orderBy("layout")
+    )

@@ -1945,3 +1945,52 @@ def test_r12_wave_plan_shapes(spark, sf_dir):
     assert "FullOuter" in diff or "full_outer" in diff.lower(), diff
     assert "windowspecdefinition" not in diff, diff
     assert "partial_count" in diff or "partial_sum" in diff, diff
+
+
+def test_r13_wave_plan_shapes(spark, sf_dir):
+    """r13 wave 100 TB-shape gates:
+    * ml_lift_gains — the global descending rank rides distrank behind a
+      checkpoint (Scan ExistingRDD in the final plan); no ntile window
+      anywhere (deciles are arithmetic on the rank); the only windows
+      after the checkpoint run on the 10-row decile table;
+    * ml_psi_stability — binning is broadcast-side (the nested-loop
+      joins carry only the 1-row boundary list / totals, never a
+      data×data product); no Python;
+    * graph_random_walks / sim_mmr_diversify — per-round state is
+      pinned (Scan ExistingRDD), zero single-partition exchanges over
+      data in the walk plan, no row-at-a-time Python in MMR;
+    * warehouse_clustering_depth — the sweep windows partition by
+      layout; no pairwise range join (no CartesianProduct/BNLJ);
+    * graph_partition_cut — pure groupBy algebra + K-row joins."""
+    q = all_queries()
+
+    lift = _plan(q["ml_lift_gains"](spark, sf_dir), "simple")
+    assert "ntile" not in lift, lift
+    assert "Scan ExistingRDD" in lift, lift
+    assert "EvalPython" not in lift, lift
+    assert "CartesianProduct" not in lift, lift
+
+    psi = _plan(q["ml_psi_stability"](spark, sf_dir), "simple")
+    assert "CartesianProduct" not in psi, psi
+    assert "EvalPython" not in psi, psi
+
+    walks = _plan(q["graph_random_walks"](spark, sf_dir), "simple")
+    assert "Scan ExistingRDD" in walks, walks
+    assert "CartesianProduct" not in walks, walks
+    assert walks.count("Exchange SinglePartition") == 0, walks
+    assert "BroadcastNestedLoopJoin" not in walks, walks
+
+    mmr = _plan(q["sim_mmr_diversify"](spark, sf_dir), "simple")
+    assert "Scan ExistingRDD" in mmr, mmr
+    assert "BatchEvalPython" not in mmr, mmr
+    assert "CartesianProduct" not in mmr, mmr
+
+    depth = _plan(q["warehouse_clustering_depth"](spark, sf_dir), "simple")
+    assert "CartesianProduct" not in depth, depth
+    assert "BroadcastNestedLoopJoin" not in depth, depth
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)", depth):
+        assert "layout" in spec, (spec, depth)
+
+    pcut = _plan(q["graph_partition_cut"](spark, sf_dir), "simple")
+    assert "CartesianProduct" not in pcut, pcut
+    assert "windowspecdefinition" not in pcut, pcut
