@@ -3664,3 +3664,298 @@ def events_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
 events_asof_tolerance.__doc__ = events_asof_tolerance.__doc__.format(
     tol=_ASOF_TOL_MIN
 )
+
+
+# --- Markov stationary distribution (r13) ---------------------------------------
+# The long-run state occupancy of the per-user behavior chain — the
+# quantity capacity planning and anomaly baselines actually consume
+# (events_markov_transitions estimates P; this solves πP = π). Power
+# iteration with the module's exact-integer contract: the matrix is the
+# transitions op's p_e6 integers, each iteration is
+# v'[j] = (Σ_i v[i]·p_e6[i][j]) div 1e6 — the numerator is an order-free
+# BIGINT sum, the single truncating division happens once per state per
+# round, so every engine and every partitioning walks the identical
+# trajectory. Fixed 20 rounds (the 5-state fixture chain mixes in ~8;
+# the tail rounds prove the fixed point: the emitted vector satisfies
+# v = step(v) exactly at e6 resolution, which the final residual column
+# witnesses).
+
+MARKOV_PI_ITERS = 20
+
+_PI_BASE_SQL = """seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+), trans AS (
+  SELECT prev_type AS from_type, event_type AS to_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+), totals AS (
+  SELECT from_type, CAST(sum(n) AS BIGINT) AS row_total
+  FROM trans GROUP BY from_type
+), p AS MATERIALIZED (
+  SELECT t.from_type, t.to_type,
+         CAST(t.n * 1000000 // tt.row_total AS BIGINT) AS p_e6
+  FROM trans t JOIN totals tt ON t.from_type = tt.from_type
+), states AS MATERIALIZED (
+  SELECT from_type AS state FROM totals
+), v0 AS MATERIALIZED (
+  SELECT state,
+         CAST(1000000 // (SELECT count(*) FROM states) AS BIGINT) AS v_e6
+  FROM states
+)"""
+
+
+def _pi_step_sql(prev: str, out: str) -> str:
+    return f"""{out} AS MATERIALIZED (
+  SELECT s.state,
+         CAST(COALESCE(sum(v.v_e6 * p.p_e6), 0) // 1000000 AS BIGINT) AS v_e6
+  FROM states s
+  LEFT JOIN p ON p.to_type = s.state
+  LEFT JOIN {prev} v ON v.state = p.from_type
+  GROUP BY s.state
+)"""
+
+
+_PI_SQL = (
+    f"WITH {_PI_BASE_SQL}, "
+    + ", ".join(
+        _pi_step_sql(f"v{t}", f"v{t + 1}") for t in range(MARKOV_PI_ITERS)
+    )
+    + f"""
+SELECT a.state, a.v_e6 AS stationary_e6,
+       CAST(abs(a.v_e6 - b.v_e6) AS BIGINT) AS residual_e6
+FROM v{MARKOV_PI_ITERS} a JOIN v{MARKOV_PI_ITERS - 1} b ON b.state = a.state
+ORDER BY a.state
+"""
+)
+
+
+@_q("events_markov_stationary", _PI_SQL)
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the user-behavior Markov chain via
+    {iters} exact-integer power-iteration rounds; residual_e6 is the
+    per-state |v_T − v_(T−1)| witness (0 at the fixed point).
+
+    Scale: the transition matrix estimate is ONE user-partitioned lag
+    window + a count groupBy (the events_markov_transitions shape);
+    every iteration after it runs on the K×K matrix and the K-row
+    vector — bounded by the state vocabulary, independent of data size;
+    zero driver traffic, zero floats."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    trans = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    totals = trans.groupBy("from_type").agg(
+        F.sum("n").cast("long").alias("row_total")
+    )
+    p = (
+        trans.join(totals, "from_type")
+        .select(
+            "from_type", "to_type",
+            F.expr("n * 1000000 div row_total").cast("long").alias("p_e6"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    states = totals.select(F.col("from_type").alias("state")).localCheckpoint(
+        eager=False
+    )
+    k = states.count()  # K-bounded scalar (state vocabulary size)
+    v = states.select(
+        "state", F.lit(1000000 // k).cast("long").alias("v_e6")
+    )
+    prev = v
+    for t in range(MARKOV_PI_ITERS):
+        prev = v
+        v = (
+            states.join(
+                p.join(
+                    v.select(F.col("state").alias("from_type"), "v_e6"),
+                    "from_type",
+                ).select(F.col("to_type").alias("state"),
+                         (F.col("v_e6") * F.col("p_e6")).alias("m")),
+                "state",
+                "left",
+            )
+            .groupBy("state")
+            .agg(
+                F.expr("CAST(coalesce(sum(m), 0) div 1000000 AS BIGINT)")
+                .alias("v_e6")
+            )
+        )
+        if t % 5 == 4:
+            v = v.localCheckpoint(eager=False)
+    return (
+        v.join(
+            prev.select(F.col("state"), F.col("v_e6").alias("pv")), "state"
+        )
+        .select(
+            "state",
+            F.col("v_e6").alias("stationary_e6"),
+            F.abs(F.col("v_e6") - F.col("pv")).cast("long").alias("residual_e6"),
+        )
+        .orderBy("state")
+    )
+
+
+events_markov_stationary.__doc__ = events_markov_stationary.__doc__.format(
+    iters=MARKOV_PI_ITERS
+)
+
+
+# --- UCB1 bandit replay (r13) ----------------------------------------------------
+# Offline policy evaluation for the explore/exploit loop every
+# data-collection pipeline eventually runs: replay UCB1 (Auer et al.
+# 2002) over the daily per-arm reward history and report which arm the
+# policy would have pulled each day and the regret against that day's
+# best arm. Full-information replay (the policy sees every arm's
+# history — the deterministic textbook trace, documented as such).
+# Exact discipline: rewards are binary, means are integer micros, the
+# exploration bonus sqrt(2·ln N / n) is computed from the e6-rounded ln
+# of an exact integer (cross-engine parity verified) and e6-rounded per
+# cell; untried arms are pulled first by name — the whole trajectory is
+# integer-deterministic.
+
+UCB_REWARD_CENTS = 5000  # reward = 1 iff the event's value > this
+
+_UCB_SQL = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, event_type AS arm,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN round(value * 100) > {UCB_REWARD_CENTS}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS pos
+  FROM events GROUP BY 1, 2
+), grid AS (
+  SELECT d, arm, COALESCE(n, 0) AS n, COALESCE(pos, 0) AS pos
+  FROM (SELECT DISTINCT d FROM daily)
+  CROSS JOIN (SELECT DISTINCT arm FROM daily)
+  LEFT JOIN daily USING (d, arm)
+), cum AS (
+  SELECT d, arm, n, pos,
+         COALESCE(sum(n) OVER (PARTITION BY arm ORDER BY d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cn,
+         COALESCE(sum(pos) OVER (PARTITION BY arm ORDER BY d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cpos
+  FROM grid
+), scored AS (
+  SELECT d, arm, n, pos, cn, cpos,
+         CAST(sum(cn) OVER (PARTITION BY d) AS BIGINT) AS nprev,
+         CASE WHEN n > 0 THEN pos * 1000000 // n ELSE 0 END AS day_mean_e6
+  FROM cum
+), ucb AS (
+  SELECT d, arm, n, pos, cn, day_mean_e6,
+         CASE WHEN cn > 0 THEN
+           cpos * 1000000 // cn
+           + CAST(round(sqrt(CAST(2 * round(ln(CAST(nprev AS DOUBLE))
+                                  * 1000000) AS DOUBLE)
+                             * 1000000 / cn)) AS BIGINT)
+         END AS ucb_e6
+  FROM scored
+), ranked AS (
+  SELECT d, arm, day_mean_e6, ucb_e6,
+         row_number() OVER (PARTITION BY d
+             ORDER BY (cn = 0) DESC, ucb_e6 DESC, arm) AS rr,
+         max(day_mean_e6) OVER (PARTITION BY d) AS best_day_mean_e6
+  FROM ucb
+)
+SELECT d, arm AS chosen_arm, CAST(ucb_e6 AS BIGINT) AS chosen_ucb_e6,
+       CAST(day_mean_e6 AS BIGINT) AS chosen_day_mean_e6,
+       CAST(best_day_mean_e6 AS BIGINT) AS best_day_mean_e6,
+       CAST(best_day_mean_e6 - day_mean_e6 AS BIGINT) AS regret_e6
+FROM ranked WHERE rr = 1 ORDER BY d
+"""
+
+
+@_q("events_bandit_ucb_replay", _UCB_SQL)
+def events_bandit_ucb_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic UCB1 replay over the daily arm-reward grid: per
+    day, the arm the policy pulls (untried arms first, then max
+    mean + sqrt(2·ln N / n) in e6), its realized day mean, and the
+    regret against the day's best arm.
+
+    Scale: ONE (day, arm) collapse of the raw stream (map-side
+    combinable); every window after it runs on the bounded
+    day×arm grid (the module's day-grain contract) — partitioned by
+    arm for the cumulative counts and by day for the pick."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("d"), F.col("event_type").alias("arm")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(
+            F.when(F.round(F.col("value") * 100) > UCB_REWARD_CENTS, 1)
+            .otherwise(0)
+        ).cast("long").alias("pos"),
+    )
+    grid = (
+        daily.select("d").distinct()
+        .crossJoin(daily.select("arm").distinct())
+        .join(daily, ["d", "arm"], "left")
+        .select(
+            "d", "arm",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+            F.coalesce("pos", F.lit(0)).cast("long").alias("pos"),
+        )
+    )
+    wprev = (
+        W.partitionBy("arm").orderBy("d")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    cum = grid.select(
+        "d", "arm", "n", "pos",
+        F.coalesce(F.sum("n").over(wprev), F.lit(0)).alias("cn"),
+        F.coalesce(F.sum("pos").over(wprev), F.lit(0)).alias("cpos"),
+    )
+    scored = cum.select(
+        "d", "arm", "n", "pos", "cn", "cpos",
+        F.sum("cn").over(W.partitionBy("d")).cast("long").alias("nprev"),
+        F.when(F.col("n") > 0, F.expr("pos * 1000000 div n"))
+        .otherwise(F.lit(0)).alias("day_mean_e6"),
+    )
+    ucb = scored.select(
+        "d", "arm", "cn", "day_mean_e6",
+        F.when(
+            F.col("cn") > 0,
+            F.expr("cpos * 1000000 div cn")
+            + F.round(
+                F.sqrt(
+                    (2 * F.round(F.log(F.col("nprev").cast("double"))
+                                 * 1000000)).cast("double")
+                    * 1000000 / F.col("cn")
+                )
+            ).cast("long"),
+        ).alias("ucb_e6"),
+    )
+    wd = W.partitionBy("d").orderBy(
+        (F.col("cn") == 0).desc(), F.col("ucb_e6").desc(), "arm"
+    )
+    ranked = ucb.select(
+        "d", "arm", "day_mean_e6", "ucb_e6",
+        F.row_number().over(wd).alias("rr"),
+        F.max("day_mean_e6").over(W.partitionBy("d"))
+        .alias("best_day_mean_e6"),
+    )
+    return (
+        ranked.filter(F.col("rr") == 1)
+        .select(
+            "d",
+            F.col("arm").alias("chosen_arm"),
+            F.col("ucb_e6").cast("long").alias("chosen_ucb_e6"),
+            F.col("day_mean_e6").cast("long").alias("chosen_day_mean_e6"),
+            F.col("best_day_mean_e6").cast("long"),
+            (F.col("best_day_mean_e6") - F.col("day_mean_e6"))
+            .cast("long").alias("regret_e6"),
+        )
+        .orderBy("d")
+    )

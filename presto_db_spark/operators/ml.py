@@ -1989,3 +1989,67 @@ def ml_psi_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# --- Cohen's kappa (r13) ---------------------------------------------------------
+# Chance-corrected agreement between two deterministic labelers over the
+# same rows — the standard QA metric when two heuristic annotators (or a
+# model and a rule) label a training corpus. Exact rational micros:
+# kappa = (po − pe)/(1 − pe) with po, pe expanded over the confusion
+# counts so the whole statistic is one integer expression.
+
+_KAPPA_SQL = """
+WITH labeled AS (
+  SELECT CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END AS a,
+         CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END AS b
+  FROM lineitem
+), m AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(a * b) AS HUGEINT) AS n11,
+         CAST(sum((1 - a) * (1 - b)) AS HUGEINT) AS n00,
+         CAST(sum(a) AS HUGEINT) AS a1,
+         CAST(sum(b) AS HUGEINT) AS b1
+  FROM labeled
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(n11 AS BIGINT) AS n11, CAST(n00 AS BIGINT) AS n00,
+       CAST(a1 AS BIGINT) AS a_pos, CAST(b1 AS BIGINT) AS b_pos,
+       CAST((n * (n11 + n00) - (a1 * b1 + (n - a1) * (n - b1))) * 1000000
+            // (n * n - (a1 * b1 + (n - a1) * (n - b1))) AS BIGINT)
+         AS kappa_e6
+FROM m
+"""
+
+
+@_q("ml_cohen_kappa", _KAPPA_SQL)
+def ml_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the quantity rule (q > 25) and the discount
+    rule (d >= 0.05) as labelers of the same lineitem rows — exact
+    rational micros over the confusion counts (the n² term runs in
+    128-bit: it outgrows int64 beyond ~3e9 rows).
+
+    Scale: ONE scan-shaped aggregate, every sum map-side combinable;
+    no joins, no windows."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    a = F.when(F.col("l_quantity") > 25, 1).otherwise(0)
+    b = F.when(F.col("l_discount") >= 0.05, 1).otherwise(0)
+    dec = "decimal(38,0)"
+    m = li.select(a.alias("a"), b.alias("b")).agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum(F.col("a") * F.col("b")).cast(dec).alias("n11"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b"))).cast(dec).alias("n00"),
+        F.sum("a").cast(dec).alias("a1"),
+        F.sum("b").cast(dec).alias("b1"),
+    )
+    return m.select(
+        F.col("n").cast("long"),
+        F.col("n11").cast("long"),
+        F.col("n00").cast("long"),
+        F.col("a1").cast("long").alias("a_pos"),
+        F.col("b1").cast("long").alias("b_pos"),
+        F.expr(
+            "CAST((n * (n11 + n00) - (a1 * b1 + (n - a1) * (n - b1))) "
+            "* 1000000 div (n * n - (a1 * b1 + (n - a1) * (n - b1))) "
+            "AS BIGINT)"
+        ).alias("kappa_e6"),
+    )

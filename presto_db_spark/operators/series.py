@@ -951,3 +951,71 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0)
         ).cast("long").alias("allocated"),
     ).orderBy("stratum")
+
+
+# --- Theil T inequality index (r13) ----------------------------------------------
+# The decomposable inequality measure that pairs with the Gini
+# (agg_gini_coefficient): T = (1/n)·Σ (x/μ)·ln(x/μ). Discipline: the
+# ratio x·n/S is formed from exact BIGINTs (exactly representable
+# doubles at fixture scale; the guard column max_xn pins the 2^53
+# envelope), ln runs only over exact-integer-valued doubles
+# (cross-engine micros parity verified), each row's term is rounded to
+# e6 BEFORE the global sum — so the total is an order-free integer sum
+# that any partitioning reproduces.
+
+_THEIL_SQL = """
+WITH x AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS s FROM x
+), terms AS (
+  SELECT CAST(round(
+           (CAST(v * n AS DOUBLE) / CAST(s AS DOUBLE))
+           * (ln(CAST(v * n AS DOUBLE)) - ln(CAST(s AS DOUBLE)))
+           * 1000000) AS BIGINT) AS term_e6,
+         v * n AS xn
+  FROM x, tot
+)
+SELECT (SELECT n FROM tot) AS n,
+       (SELECT s FROM tot) AS total_cents,
+       CAST(sum(term_e6) // (SELECT n FROM tot) AS BIGINT) AS theil_e6,
+       CAST(max(xn) AS BIGINT) AS max_xn
+FROM terms
+"""
+
+
+@_q("agg_theil_index", _THEIL_SQL)
+def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T index of order-value inequality in exact micros (per-row
+    e6-rounded terms, integer-summed, one final integer division).
+    max_xn is the emitted witness that every v·n stayed inside the
+    2^53 exact-double envelope — past it, the ratio moves to
+    DECIMAL(38,0) splitting.
+
+    Scale: one scan projection + one global aggregate (map-side
+    combinable); the 1-row totals attach by broadcast."""
+    orders = load_table(spark, sf_dir, "orders")
+    x = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v")
+    )
+    tot = x.agg(
+        F.count("*").cast("long").alias("n"), F.sum("v").cast("long").alias("s")
+    )
+    terms = x.crossJoin(F.broadcast(tot)).select(
+        F.round(
+            ((F.col("v") * F.col("n")).cast("double") / F.col("s").cast("double"))
+            * (
+                F.log((F.col("v") * F.col("n")).cast("double"))
+                - F.log(F.col("s").cast("double"))
+            )
+            * 1000000
+        ).cast("long").alias("term_e6"),
+        (F.col("v") * F.col("n")).alias("xn"),
+        "n", "s",
+    )
+    return terms.agg(
+        F.max("n").cast("long").alias("n"),
+        F.max("s").cast("long").alias("total_cents"),
+        F.expr("CAST(sum(term_e6) div max(n) AS BIGINT)").alias("theil_e6"),
+        F.max("xn").cast("long").alias("max_xn"),
+    )

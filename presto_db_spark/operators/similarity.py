@@ -2965,3 +2965,107 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 sim_mmr_diversify.__doc__ = sim_mmr_diversify.__doc__.format(k=MMR_K)
+
+
+# --- simplified silhouette (r13) -------------------------------------------------
+# Embedding-cluster quality for the SemDeDup/IVF substrate: the
+# simplified silhouette (Hruschka et al.) replaces the O(n²) pairwise
+# silhouette with centroid distances — a = d(point, own centroid),
+# b = min over other centroids — making cluster QA a broadcast-join
+# scan instead of a quadratic join. Per-point s = (b − a)/max(a, b) is
+# computed from the module's bit-identical sequential-fold L2 doubles,
+# e6-rounded PER POINT, then integer-averaged per cluster — the emitted
+# relation is exact across engines and partitionings.
+
+_SIL_SQL = f"""
+WITH cents AS MATERIALIZED (
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+  WHERE vec_id < {N_CENTROIDS}
+), d AS (
+  SELECT e.vec_id, c.cid,
+         {_SQL_L2.format(a="e.embedding", b="c.ce")} AS d2
+  FROM embeddings e CROSS JOIN cents c
+  WHERE e.vec_id >= {N_CENTROIDS}
+), ranked AS (
+  SELECT vec_id, cid, d2,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+  FROM d
+), ab AS (
+  SELECT a.vec_id, a.cid, a.d2 AS a2, b.d2 AS b2
+  FROM ranked a JOIN ranked b
+    ON b.vec_id = a.vec_id AND a.rn = 1 AND b.rn = 2
+), sil AS (
+  SELECT cid,
+         CAST(round((sqrt(b2) - sqrt(a2))
+                    / greatest(sqrt(a2), sqrt(b2)) * 1000000) AS BIGINT)
+           AS s_e6
+  FROM ab
+)
+SELECT CAST(cid AS BIGINT) AS cluster_id,
+       CAST(count(*) AS BIGINT) AS n_points,
+       CAST(sum(s_e6) // count(*) AS BIGINT) AS mean_silhouette_e6
+FROM sil GROUP BY cid ORDER BY cluster_id
+"""
+
+
+@_q("emb_simplified_silhouette", _SIL_SQL)
+def emb_simplified_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster simplified silhouette over the fixed first-{K}
+    centroid assignment (the sim_ivf index layout): a = L2 to own
+    (nearest) centroid, b = L2 to the runner-up, s = (b−a)/max(a,b)
+    e6-rounded per point then integer-averaged.
+
+    Scale: one Arrow L2 pass per point against the broadcast {K}-row
+    centroid table (K·n distances — linear, never pairwise), a per-point
+    top-2 WindowGroupLimit, and a K-row aggregate."""
+    emb = _emb(spark, sf_dir)
+    cents = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < N_CENTROIDS)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    )
+    d = (
+        emb.filter(F.col("vec_id") >= N_CENTROIDS)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id", "cid",
+            _l2_pd()(F.col("embedding"), F.col("ce")).alias("d2"),
+        )
+    )
+    wv = W.partitionBy("vec_id").orderBy("d2", "cid")
+    ranked = d.withColumn("rn", F.row_number().over(wv)).filter(
+        F.col("rn") <= 2
+    )
+    a = ranked.filter(F.col("rn") == 1).select(
+        "vec_id", "cid", F.col("d2").alias("a2")
+    )
+    b = ranked.filter(F.col("rn") == 2).select(
+        "vec_id", F.col("d2").alias("b2")
+    )
+    sil = a.join(b, "vec_id").select(
+        "cid",
+        F.round(
+            (F.sqrt("b2") - F.sqrt("a2"))
+            / F.greatest(F.sqrt("a2"), F.sqrt("b2"))
+            * 1000000
+        ).cast("long").alias("s_e6"),
+    )
+    return (
+        sil.groupBy("cid")
+        .agg(
+            F.count("*").cast("long").alias("n_points"),
+            F.expr("CAST(sum(s_e6) div count(*) AS BIGINT)")
+            .alias("mean_silhouette_e6"),
+        )
+        .select(
+            F.col("cid").cast("long").alias("cluster_id"),
+            "n_points",
+            "mean_silhouette_e6",
+        )
+        .orderBy("cluster_id")
+    )
+
+
+emb_simplified_silhouette.__doc__ = emb_simplified_silhouette.__doc__.format(
+    K=N_CENTROIDS
+)
