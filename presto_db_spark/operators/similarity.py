@@ -3069,3 +3069,128 @@ def emb_simplified_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
 emb_simplified_silhouette.__doc__ = emb_simplified_silhouette.__doc__.format(
     K=N_CENTROIDS
 )
+
+
+# --- PQ quantization distortion (r13) --------------------------------------------
+# The index-quality audit for the sim_ivfpq path: per subspace, how much
+# energy the 4-bit product quantizer destroys. Per point and subspace
+# the distortion is the L2² to the NEAREST codeword (exactly what the
+# encoder assigns); the relation reports per-subspace mean distortion,
+# mean subvector energy, and their exact ratio — the number that tells
+# you which subspaces need a bigger codebook before recall decays.
+# Parity: sub-L2 doubles come from the module's sequential fold,
+# e6-rounded per point, integer-averaged.
+
+_PQD_SQL = f"""
+WITH cb_src AS (
+  SELECT vec_id AS k, embedding FROM embeddings WHERE vec_id < {PQ_K}
+), sub AS (
+  SELECT unnest(generate_series(0, {PQ_M - 1})) AS m
+), cb AS MATERIALIZED (
+  SELECT s.m, c.k,
+         list_transform(generate_series(1, {PQ_SUBDIM}),
+             i -> CAST(c.embedding[s.m * {PQ_SUBDIM} + i] AS DOUBLE)) AS cw
+  FROM sub s CROSS JOIN cb_src c
+), scored AS (
+  SELECT e.vec_id, b.m,
+         {_pq_sub_l2_sql('e.embedding', 'b.m', 'b.cw')} AS d2
+  FROM embeddings e CROSS JOIN cb b
+), dmin AS (
+  SELECT vec_id, m, min(d2) AS d2 FROM scored GROUP BY 1, 2
+), energy AS (
+  SELECT e.vec_id, s.m,
+         list_sum(list_transform(generate_series(1, {PQ_SUBDIM}), i ->
+           CAST(e.embedding[s.m * {PQ_SUBDIM} + i] AS DOUBLE)
+           * CAST(e.embedding[s.m * {PQ_SUBDIM} + i] AS DOUBLE))) AS en
+  FROM embeddings e CROSS JOIN sub s
+), j AS (
+  SELECT d.m,
+         CAST(round(d.d2 * 1000000) AS BIGINT) AS d_e6,
+         CAST(round(en.en * 1000000) AS BIGINT) AS en_e6
+  FROM dmin d JOIN energy en ON en.vec_id = d.vec_id AND en.m = d.m
+)
+SELECT CAST(m AS BIGINT) AS subspace,
+       CAST(count(*) AS BIGINT) AS n_points,
+       CAST(sum(d_e6) // count(*) AS BIGINT) AS mean_distortion_e6,
+       CAST(sum(en_e6) // count(*) AS BIGINT) AS mean_energy_e6,
+       CAST(sum(d_e6) * 1000000 // sum(en_e6) AS BIGINT)
+         AS rel_distortion_e6
+FROM j GROUP BY m ORDER BY subspace
+"""
+
+
+@_q("emb_pq_distortion", _PQD_SQL)
+def emb_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-subspace PQ distortion audit over the sim_ivfpq codebook
+    (first {K} vectors per subspace): mean quantization L2², mean
+    subvector energy, and their exact ratio in micros.
+
+    Scale: one Arrow sub-L2 pass per point against the broadcast
+    {M}·{K}-row codeword table (linear in corpus), a (vec, m) min
+    groupBy (map-side combinable), and an {M}-row aggregate."""
+    emb = _emb(spark, sf_dir)
+    cb_src = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < PQ_K)
+        .select("vec_id", "embedding")
+    )
+    sub = spark.range(PQ_M).select(F.col("id").cast("int").alias("m"))
+    cb = (
+        sub.crossJoin(cb_src)
+        .select(
+            "m",
+            F.col("vec_id").alias("k"),
+            F.expr(
+                f"transform(slice(embedding, m * {PQ_SUBDIM} + 1, "
+                f"{PQ_SUBDIM}), x -> CAST(x AS DOUBLE))"
+            ).alias("cw"),
+        )
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(cb))
+        .select(
+            "vec_id", "m",
+            _l2_pd()(
+                F.expr(f"slice(embedding, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM})"),
+                F.col("cw"),
+            ).alias("d2"),
+        )
+    )
+    dmin = scored.groupBy("vec_id", "m").agg(F.min("d2").alias("d2"))
+    zero = F.array(*[F.lit(0.0) for _ in range(PQ_SUBDIM)])
+    energy = (
+        emb.crossJoin(F.broadcast(sub))
+        .select(
+            "vec_id", "m",
+            _l2_pd()(
+                F.expr(f"slice(embedding, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM})"),
+                zero,
+            ).alias("en"),
+        )
+    )
+    j = dmin.join(energy, ["vec_id", "m"]).select(
+        "m",
+        F.round(F.col("d2") * 1000000).cast("long").alias("d_e6"),
+        F.round(F.col("en") * 1000000).cast("long").alias("en_e6"),
+    )
+    return (
+        j.groupBy("m")
+        .agg(
+            F.count("*").cast("long").alias("n_points"),
+            F.expr("CAST(sum(d_e6) div count(*) AS BIGINT)")
+            .alias("mean_distortion_e6"),
+            F.expr("CAST(sum(en_e6) div count(*) AS BIGINT)")
+            .alias("mean_energy_e6"),
+            F.expr("CAST(sum(d_e6) * 1000000 div sum(en_e6) AS BIGINT)")
+            .alias("rel_distortion_e6"),
+        )
+        .select(
+            F.col("m").cast("long").alias("subspace"),
+            "n_points", "mean_distortion_e6", "mean_energy_e6",
+            "rel_distortion_e6",
+        )
+        .orderBy("subspace")
+    )
+
+
+emb_pq_distortion.__doc__ = emb_pq_distortion.__doc__.format(K=PQ_K, M=PQ_M)

@@ -3253,3 +3253,84 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 text_zipf_slope.__doc__ = text_zipf_slope.__doc__.format(r=ZIPF_TOP_R)
+
+
+# --- word burstiness (r13) -------------------------------------------------------
+# Template-word detector: a word that appears in bursts (high
+# variance-to-mean ratio of its per-document counts) is boilerplate /
+# template text; content words are closer to Poisson (VMR ≈ 1). The
+# curation signal Katz's model formalizes — here as an exact rational:
+# VMR = population-variance/mean = (D·Σc² − (Σc)²) / (D·Σc) over the
+# FULL document universe (absences count as zeros via the D-row
+# denominator), all in 128-bit integers.
+
+BURST_MIN_DOCS = 20
+BURST_TOP = 20
+
+_BURST_SQL = f"""
+WITH d AS (
+  SELECT CAST(count(*) AS HUGEINT) AS nd FROM documents
+), wc AS (
+  SELECT doc_id, s.tok AS w, CAST(count(*) AS BIGINT) AS c
+  FROM documents,
+       unnest(list_transform(
+         generate_series(1, len(string_split_regex(trim(text), '\\s+'))),
+         i -> struct_pack(
+           pos := i, tok := string_split_regex(trim(text), '\\s+')[i])
+       )) AS t(s)
+  GROUP BY 1, 2
+), per AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS docs_with,
+         CAST(sum(c) AS HUGEINT) AS s,
+         CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS ss
+  FROM wc GROUP BY 1
+)
+SELECT w AS word, docs_with, CAST(s AS BIGINT) AS total_count,
+       CAST((nd * ss - s * s) * 1000000 // (nd * s) AS BIGINT) AS vmr_e6
+FROM per, d
+WHERE docs_with >= {BURST_MIN_DOCS}
+ORDER BY vmr_e6 DESC, word LIMIT {BURST_TOP}
+"""
+
+
+@_q("text_burstiness", _BURST_SQL)
+def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{top} burstiest words (population VMR of per-document counts,
+    zeros included via the document-universe denominator), exact
+    rational micros in 128-bit; min document frequency {mindocs}.
+
+    Scale: one (doc, word) count groupBy + one per-word moment groupBy
+    (both map-side combinable) + a 1-row broadcast + TakeOrdered —
+    never a full sort, no windows over data."""
+    docs = load_table(spark, sf_dir, "documents")
+    nd = docs.agg(F.count("*").cast("decimal(38,0)").alias("nd"))
+    wc = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    dec = "decimal(38,0)"
+    per = wc.groupBy("w").agg(
+        F.count("*").cast("long").alias("docs_with"),
+        F.sum("c").cast(dec).alias("s"),
+        F.sum(F.col("c").cast(dec) * F.col("c").cast(dec)).alias("ss"),
+    )
+    return (
+        per.filter(F.col("docs_with") >= BURST_MIN_DOCS)
+        .crossJoin(F.broadcast(nd))
+        .select(
+            F.col("w").alias("word"),
+            "docs_with",
+            F.col("s").cast("long").alias("total_count"),
+            F.expr(
+                "CAST((nd * ss - s * s) * 1000000 div (nd * s) AS BIGINT)"
+            ).alias("vmr_e6"),
+        )
+        .orderBy(F.col("vmr_e6").desc(), "word")
+        .limit(BURST_TOP)
+    )
+
+
+text_burstiness.__doc__ = text_burstiness.__doc__.format(
+    top=BURST_TOP, mindocs=BURST_MIN_DOCS
+)
