@@ -436,6 +436,9 @@ _SOLO_PINS = {
     "multimodal_flac_roundtrip": 1.32,  # r12 quiet-box solo (scripts/probe_scale.py, post CPU-spread repartition)
     "sim_knn_graph": 3.27,  # r12 quiet-box solo (post Arrow-L2 + corpus-scaled codebook)
     "graph_ppr": 2.76,  # r12 quiet-box solo
+    "sim_mmr_diversify": 1.65,  # r13 quiet-box solo (scripts/probe_scale.py, the round it shipped)
+    "graph_random_walks": 2.21,  # r13 quiet-box solo (the round it shipped)
+    "graph_ktruss": 3.75,  # r13 quiet-box solo (post degree-ordered-orientation rewrite)
 }
 
 # Pins recorded from an in-suite raw median instead of an independent
@@ -516,6 +519,16 @@ HEADLINE = CORE17 + [
     "multimodal_flac_roundtrip",
     "sim_knn_graph",
     "graph_ppr",
+    # r13: the round's flagship new shapes under timing — the MMR
+    # diversifier (one Arrow cosine pass + K−1 greedy TakeOrdered rounds:
+    # the recorded time IS the "no quadratic rerank" claim), the
+    # deterministic-LCG random walks (per-step frontier⋈rank-indexed
+    # adjacency), and the degree-ordered k-truss peeling (VERDICT r12 #1:
+    # the reoriented wedge join's recorded time replaces the 2x-walk
+    # shape it halved).
+    "sim_mmr_diversify",
+    "graph_random_walks",
+    "graph_ktruss",
 ]
 
 # Local-iteration escape hatch: BENCH_ONLY=a,b,c restricts the suite to a

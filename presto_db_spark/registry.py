@@ -100,7 +100,7 @@ _BATTERY_HEAD: list[str] = [
     # robust agg; both displaced stay green in CORRECTNESS_FULL)
     "part_skyline_pareto", "subq_not_in_null", "grouping_sets",
     "win_ignore_nulls",
-    "quality_data_checks", "agg_weighted_median", "unnest_multi_zip",
+    "quality_data_checks", "agg_theil_index", "unnest_multi_zip",
     "dedup_fuzzy_del1",
     # events / range / skew (as-of stays oracle-checked outside the head)
     # (r10c: events_sessionize → events_sequence_match — row-pattern
@@ -113,13 +113,13 @@ _BATTERY_HEAD: list[str] = [
     # head-sampled since r05; the decomposition is the new series module's
     # events flagship. range_join stays benched in bench.py + green in
     # CORRECTNESS_FULL)
-    "events_stl_decompose", "events_interval_overlap",
+    "events_bandit_ucb_replay", "events_interval_overlap",
     "skew_salted_join",
     # sketches + digests (sketch_tdigest rotated out r10 for tpcds_q24_2,
     # agg_hll_sketch rotated out r10b for sketch_count_min — the sketch
     # family stays head-covered via agg_set_digest + count-min; both
     # rotated entries stay green in CORRECTNESS_FULL)
-    "sketch_count_min", "tpcds_q24_2",
+    "emb_simplified_silhouette", "tpcds_q24_2",
     # geospatial (grid join, WKT intersects join, polygon clip ops,
     # DE-9IM relate; geo_wkb_roundtrip served its r06→r07 regression
     # purpose — demoted r08 to make room for sim_pq_adc, stays green in
@@ -177,8 +177,13 @@ _BATTERY_HEAD: list[str] = [
     # (r12: multimodal_cdc_chunks → multimodal_jpeg_roundtrip — the
     # from-scratch baseline JPEG codec joins the battery the round it
     # shipped; cdc_chunks was driver-sampled r11 and stays green)
-    "multimodal_jpeg_roundtrip", "dedup_minhash_lsh",
-    "layout_compaction_plan",
+    # (r13: multimodal_jpeg_roundtrip → graph_ktruss — the support join
+    # was rewritten to degree-ordered triangle orientation this round
+    # (VERDICT r12 #1) and the changed op belongs in the recorded
+    # battery; the JPEG roundtrip was driver-sampled r12 and stays green
+    # in CORRECTNESS_FULL)
+    "graph_ktruss", "dedup_minhash_lsh",
+    "warehouse_clustering_depth",
     "pipeline_training_corpus", "text_lm_likelihood",
     # round-9 flagships: the chained BPE trainer, both eval harnesses
     # (quality measured, not asserted), the M4 downsample, the CDC fold,
@@ -189,9 +194,9 @@ _BATTERY_HEAD: list[str] = [
     # (r12: sim_mrl_prefix_rerank → sim_knn_graph — the blocked
     # kNN-graph builder is the ANN family's new substrate op; MRL rerank
     # was driver-sampled r09-r11 and stays green in CORRECTNESS_FULL)
-    "text_bpe_train_rounds", "sim_ann_recall", "dedup_minhash_recall",
+    "text_bpe_train_rounds", "sim_ann_recall", "events_markov_stationary",
     "events_rfm_scores_scalable", "cdc_apply_changes",
-    "sim_knn_graph",
+    "sim_mmr_diversify",
     # (r10b: multimodal_phash → multimodal_patchify — the patch-token op
     # exercises a SUPERSET of phash's surface: the real BMP byte parse,
     # the bottom-up row flip, plus the ragged ViT tiling; phash stays
@@ -209,7 +214,7 @@ _BATTERY_HEAD: list[str] = [
     # iterative GD trainer with the unrolled-trajectory oracle is the ML
     # family's new flagship; centroid classify stays green in
     # CORRECTNESS_FULL every round)
-    "ml_logistic_regression",
+    "ml_psi_stability",
     # streaming (streaming_late_data also sits in the flagship block
     # above) + the ANN-compression flagship slot (r07: sim_pq_adc after
     # the 51-long-list truncation fix — VERDICT r07 "what's wrong" #2;
@@ -225,7 +230,22 @@ _BATTERY_HEAD: list[str] = [
     # graph_modularity → graph_ppr — the new seeded-proximity rank takes
     # the graph slot; both displaced entries were driver-sampled r11,
     # stay benched where applicable and green in CORRECTNESS_FULL)
-    "ml_brier_score", "graph_ppr",
+    # (r13 rotation, VERDICT r12 #3 — ten slots move toward
+    # never-driver-sampled shapes; every displaced entry was sampled in
+    # r11/r12 and stays green in CORRECTNESS_FULL every round:
+    #   ml_brier_score → ml_lift_gains (the new decile gains table),
+    #   graph_ppr → graph_random_walks (the DeepWalk substrate),
+    #   sim_knn_graph → sim_mmr_diversify (retrieval diversification),
+    #   ml_logistic_regression → ml_psi_stability (score drift),
+    #   layout_compaction_plan → warehouse_clustering_depth (the
+    #     boundary-sweep layout metric),
+    #   events_stl_decompose → events_bandit_ucb_replay (policy replay),
+    #   agg_weighted_median → agg_theil_index (inequality pair of the
+    #     Gini), dedup_minhash_recall → events_markov_stationary
+    #     (exact-integer power iteration),
+    #   sketch_count_min → emb_simplified_silhouette (the emb_* family's
+    #     FIRST head slot — never driver-sampled before r13))
+    "ml_lift_gains", "graph_random_walks",
 ]
 
 if len(_BATTERY_HEAD) > 50:
