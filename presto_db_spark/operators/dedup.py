@@ -1712,3 +1712,87 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- duplicate-cluster size profile (r13) ----------------------------------------
+# The dedup REPORT a 100 TB curation run actually publishes: the
+# distribution of duplicate-cluster sizes (how much of the corpus is
+# singletons vs pairs vs mega-clusters) and each band's share of all
+# documents. Composes the big-star CC assignment (same iterative
+# machinery, same oracle recursion) with a two-level size collapse;
+# singletons are the documents outside every LSH pair, counted without
+# materializing them as rows.
+
+_CSIZE_SQL = f"""
+WITH RECURSIVE pb AS ({_MINHASH_SQL}
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pb
+  UNION
+  SELECT id_b, id_a FROM pb
+), nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+), reach(node, v) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.v
+), assign AS (
+  SELECT node AS doc_id, min(v) AS cluster_id FROM reach GROUP BY node
+), csizes AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz FROM assign GROUP BY 1
+), d AS (
+  SELECT CAST(count(*) AS BIGINT) AS nd FROM documents
+), hist AS (
+  SELECT sz, CAST(count(*) AS BIGINT) AS n_clusters FROM csizes GROUP BY sz
+  UNION ALL
+  SELECT 1, nd - (SELECT CAST(sum(sz) AS BIGINT) FROM csizes) FROM d
+)
+SELECT sz AS cluster_size,
+       CAST(sum(n_clusters) AS BIGINT) AS n_clusters,
+       CAST(sz * sum(n_clusters) AS BIGINT) AS n_docs,
+       CAST(sz * sum(n_clusters) * 1000000 // (SELECT nd FROM d) AS BIGINT)
+         AS doc_share_e6
+FROM hist GROUP BY sz ORDER BY cluster_size
+"""
+
+
+@_q("dedup_cluster_size_profile", _CSIZE_SQL)
+def dedup_cluster_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size histogram of the MinHash-LSH duplicate graph
+    (big-star CC assignment): per size, cluster count, document count,
+    and exact per-million share of the corpus; size 1 counts every
+    document outside the pair graph.
+
+    Scale: the assignment is the dedup_cluster_bigstar fixed point
+    (bounded star-contraction rounds); the profile itself is two
+    map-side-combinable groupBys and a 1-row broadcast — output is
+    bounded by the distinct-size vocabulary."""
+    assign = QUERIES["dedup_cluster_bigstar"](spark, sf_dir).select(
+        "cluster_id"
+    )
+    csizes = assign.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("sz")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    nd = docs.agg(F.count("*").cast("long").alias("nd"))
+    clustered = csizes.agg(F.sum("sz").cast("long").alias("c"))
+    hist = csizes.groupBy("sz").agg(
+        F.count("*").cast("long").alias("n_clusters")
+    ).unionByName(
+        nd.crossJoin(clustered).select(
+            F.lit(1).cast("long").alias("sz"),
+            (F.col("nd") - F.col("c")).alias("n_clusters"),
+        )
+    )
+    return (
+        hist.groupBy("sz")
+        .agg(F.sum("n_clusters").cast("long").alias("n_clusters"))
+        .crossJoin(F.broadcast(nd))
+        .select(
+            F.col("sz").alias("cluster_size"),
+            "n_clusters",
+            (F.col("sz") * F.col("n_clusters")).cast("long").alias("n_docs"),
+            F.expr("CAST(sz * n_clusters * 1000000 div nd AS BIGINT)")
+            .alias("doc_share_e6"),
+        )
+        .orderBy("cluster_size")
+    )

@@ -2053,3 +2053,129 @@ def ml_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AS BIGINT)"
         ).alias("kappa_e6"),
     )
+
+
+# --- learning curve (r13) --------------------------------------------------------
+# The data-scaling diagnostic behind every "do we need more labeled
+# data?" decision: train the same classifier on nested 25/50/75/100%
+# subsets and evaluate each on ONE held-out split. The classifier is a
+# per-feature-bucket majority vote (the distributed-histogram model a
+# single groupBy trains), so the whole curve is computable in one pass:
+# per-(band, bucket) counts cumulate across bands into the four nested
+# models — no retraining scans. Deterministic: subsets are modular
+# orderkey bands (nested by construction), ties predict negative.
+
+LC_BANDS = 4
+LC_BUCKET_CENTS = 2_500_000  # feature: totalprice bucket width ($25k)
+
+_LC_SQL = f"""
+WITH base AS (
+  SELECT o_orderkey AS k,
+         least(CAST(round(o_totalprice * 100) AS BIGINT)
+               // {LC_BUCKET_CENTS}, 9) AS f,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+  FROM orders
+), train AS (
+  SELECT k % {LC_BANDS} AS b, f, y FROM base WHERE k % 5 <> 0
+), eval AS (
+  SELECT f, y FROM base WHERE k % 5 = 0
+), bandstats AS (
+  SELECT b, f, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
+  FROM train GROUP BY 1, 2
+), sizes AS (
+  SELECT unnest(generate_series(1, {LC_BANDS})) AS s
+), model AS (
+  SELECT s.s, bs.f,
+         CAST(sum(bs.n) AS BIGINT) AS n_s, CAST(sum(bs.pos) AS BIGINT) AS pos_s
+  FROM sizes s JOIN bandstats bs ON bs.b < s.s
+  GROUP BY 1, 2
+), pred AS (
+  SELECT s, f, CASE WHEN 2 * pos_s > n_s THEN 1 ELSE 0 END AS yhat, n_s
+  FROM model
+), scored AS (
+  SELECT p.s, CAST(count(*) AS BIGINT) AS n_eval,
+         CAST(sum(CASE WHEN p.yhat = e.y THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_correct
+  FROM eval e JOIN pred p ON p.f = e.f
+  GROUP BY 1
+), trainsz AS (
+  SELECT s, CAST(sum(n_s) AS BIGINT) AS train_rows
+  FROM (SELECT DISTINCT s, f, n_s FROM model) GROUP BY 1
+)
+SELECT CAST(sc.s * 100 / {LC_BANDS} AS BIGINT) AS train_pct,
+       t.train_rows, sc.n_eval,
+       CAST(sc.n_correct * 1000000 // sc.n_eval AS BIGINT) AS accuracy_e6
+FROM scored sc JOIN trainsz t ON t.s = sc.s
+ORDER BY train_pct
+"""
+
+
+@_q("ml_learning_curve", _LC_SQL)
+def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learning curve of the bucket-majority classifier over nested
+    25/50/75/100% training subsets, all evaluated on the fixed
+    orderkey%5 holdout — per size: training rows, eval rows, exact
+    accuracy micros.
+
+    Scale: ONE (band, bucket) count groupBy trains all four models
+    (cumulating bands is a ≤4·|buckets|-row join, never a rescan); the
+    eval join broadcasts the ≤40-row model table. The curve costs two
+    scans total at any data size."""
+    orders = _t(spark, sf_dir, "orders")[0]
+    base = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.least(
+            F.expr(
+                f"CAST(round(o_totalprice * 100) AS BIGINT) "
+                f"div {LC_BUCKET_CENTS}"
+            ),
+            F.lit(9).cast("long"),
+        ).alias("f"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+        .alias("y"),
+    )
+    train = base.filter(F.col("k") % 5 != 0).select(
+        (F.col("k") % LC_BANDS).alias("b"), "f", "y"
+    )
+    ev = base.filter(F.col("k") % 5 == 0).select("f", "y")
+    bandstats = train.groupBy("b", "f").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    sizes = spark.range(1, LC_BANDS + 1).select(F.col("id").alias("s"))
+    model = (
+        sizes.join(bandstats, F.col("b") < F.col("s"))
+        .groupBy("s", "f")
+        .agg(
+            F.sum("n").cast("long").alias("n_s"),
+            F.sum("pos").cast("long").alias("pos_s"),
+        )
+    )
+    pred = model.select(
+        "s", "f",
+        F.when(2 * F.col("pos_s") > F.col("n_s"), 1).otherwise(0)
+        .alias("yhat"),
+        "n_s",
+    )
+    scored = (
+        ev.join(F.broadcast(pred), "f")
+        .groupBy("s")
+        .agg(
+            F.count("*").cast("long").alias("n_eval"),
+            F.sum(F.when(F.col("yhat") == F.col("y"), 1).otherwise(0))
+            .cast("long").alias("n_correct"),
+        )
+    )
+    trainsz = model.groupBy("s").agg(
+        F.sum("n_s").cast("long").alias("train_rows")
+    )
+    return (
+        scored.join(trainsz, "s")
+        .select(
+            (F.col("s") * 100 / LC_BANDS).cast("long").alias("train_pct"),
+            "train_rows", "n_eval",
+            F.expr("CAST(n_correct * 1000000 div n_eval AS BIGINT)")
+            .alias("accuracy_e6"),
+        )
+        .orderBy("train_pct")
+    )
