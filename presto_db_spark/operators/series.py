@@ -1019,3 +1019,99 @@ def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(sum(term_e6) div max(n) AS BIGINT)").alias("theil_e6"),
         F.max("xn").cast("long").alias("max_xn"),
     )
+
+
+# --- importance reweighting + effective sample size (r13) -------------------------
+# The dataset-reweighting primitive (off-policy evaluation, domain
+# rebalancing, DSIR's denominator): given a DECLARED target mix over
+# strata and the observed proposal mix, per-stratum importance weights
+# w = p/q and the self-normalized effective sample size
+# ESS = (Σw)²/Σw² — the number that says how many samples the reweighted
+# dataset is actually worth. Exact integers end-to-end: w_e6 = p_e6·N
+# div n_h, the ESS quadratic runs in 128-bit.
+
+IW_TARGET_E6 = {
+    "click": 200000,
+    "error": 50000,
+    "purchase": 400000,
+    "signup": 100000,
+    "view": 250000,
+}  # declared target mix; sums to exactly 1_000_000
+
+_IW_CASE = " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in sorted(IW_TARGET_E6.items())
+)
+
+_IW_SQL = f"""
+WITH s AS (
+  SELECT event_type AS stratum, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS nn FROM s
+), w AS (
+  SELECT stratum, n,
+         CASE stratum {_IW_CASE} END AS target_e6,
+         n * 1000000 // nn AS proposal_e6,
+         (CASE stratum {_IW_CASE} END) * nn // n AS weight_e6
+  FROM s, tot
+), ess AS (
+  SELECT CAST(
+           (CAST(sum(n * weight_e6) AS HUGEINT)
+            * CAST(sum(n * weight_e6) AS HUGEINT))
+           // sum(CAST(n AS HUGEINT) * weight_e6 * weight_e6) AS BIGINT)
+         AS ess_rows
+  FROM w
+)
+SELECT w.stratum, w.n, CAST(w.target_e6 AS BIGINT) AS target_e6,
+       CAST(w.proposal_e6 AS BIGINT) AS proposal_e6,
+       CAST(w.weight_e6 AS BIGINT) AS weight_e6,
+       e.ess_rows,
+       CAST(e.ess_rows * 1000000 // t.nn AS BIGINT) AS ess_ratio_e6
+FROM w, ess e, tot t
+ORDER BY w.stratum
+"""
+
+
+@_q("sample_importance_weights", _IW_SQL)
+def sample_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum importance weights toward the declared target mix
+    plus the self-normalized effective sample size (repeated as global
+    witness columns): weight_e6 = target·N div n_h exactly, and
+    ESS = (Σ n·w)² / Σ n·w² in 128-bit.
+
+    Scale: one stratum count groupBy (map-side combinable) + 1-row
+    broadcasts; the quadratic runs on the stratum-cardinality table."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy(F.col("event_type").alias("stratum")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    tot = s.agg(F.sum("n").cast("long").alias("nn"))
+    target = F.create_map(
+        *[x for k, v in sorted(IW_TARGET_E6.items())
+          for x in (F.lit(k), F.lit(v))]
+    )
+    w = s.crossJoin(F.broadcast(tot)).select(
+        "stratum", "n", "nn",
+        target[F.col("stratum")].cast("long").alias("target_e6"),
+        F.expr("n * 1000000 div nn").cast("long").alias("proposal_e6"),
+    ).withColumn(
+        "weight_e6", F.expr("target_e6 * nn div n").cast("long")
+    )
+    ess = w.agg(
+        F.expr(
+            "CAST((CAST(sum(n * weight_e6) AS DECIMAL(38,0)) "
+            "* CAST(sum(n * weight_e6) AS DECIMAL(38,0))) "
+            "div sum(CAST(n AS DECIMAL(38,0)) * weight_e6 * weight_e6) "
+            "AS BIGINT)"
+        ).alias("ess_rows")
+    )
+    return (
+        w.crossJoin(F.broadcast(ess))
+        .select(
+            "stratum", "n", "target_e6", "proposal_e6", "weight_e6",
+            "ess_rows",
+            F.expr("CAST(ess_rows * 1000000 div nn AS BIGINT)")
+            .alias("ess_ratio_e6"),
+        )
+        .orderBy("stratum")
+    )
