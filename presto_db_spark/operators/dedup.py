@@ -1796,3 +1796,199 @@ def dedup_cluster_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+# --- LSH band-configuration sweep (r13) --------------------------------------------
+# The S-curve MEASURED at three operating points instead of estimated:
+# with the SAME 16-permutation signature, band it as (b=2, r=8) /
+# (b=4, r=4 — the shipping config) / (b=8, r=2) and report, per config,
+# the candidate count, candidate precision, and recall against the
+# exhaustive exact-Jaccard truth (JACCARD_THRESHOLD). This is the table a
+# 100 TB dedup run reads to pick its operating point: more bands =
+# more recall = more verification work, and the trade is now a recorded
+# relation, not the 1-(1-s^r)^b formula's promise.
+
+LSH_SWEEP_CONFIGS = ((2, 8), (4, 4), (8, 2))
+
+
+def _sweep_keys_sql() -> str:
+    parts = []
+    for b, r in LSH_SWEEP_CONFIGS:
+        for band in range(b):
+            cols = ", ".join(
+                f"CAST(mh{band * r + k} AS VARCHAR)" for k in range(r)
+            )
+            parts.append(
+                f"SELECT doc_id, 'b{b}r{r}' AS cfg, {band} AS band, "
+                f"concat_ws('_', {cols}) AS key FROM sigs"
+            )
+    return "\nUNION ALL\n".join(parts)
+
+
+_LSH_SWEEP_SQL = f"""
+WITH sh AS MATERIALIZED (
+  SELECT doc_id,
+         string_split_regex(trim(text), '\\s+') AS words,
+         list_transform(words, w -> {_SQL_ROLL.format(s="w")} % {MERSENNE31}) AS wh,
+         list_distinct(list_transform(generate_series(1, greatest(len(words) - 2, 1)),
+             i -> ((coalesce(wh[i], 0) * {WORD_COMBINE} + coalesce(wh[i+1], 0))
+                   % {MERSENNE31} * {WORD_COMBINE} + coalesce(wh[i+2], 0))
+                  % {MERSENNE31})) AS hs,
+         list_distinct(list_transform(generate_series(1, greatest(len(words) - 2, 1)),
+             i -> array_to_string(words[i:i+2], ' '))) AS grams
+  FROM documents
+), sigs AS MATERIALIZED (
+  SELECT doc_id, {_MH_PERM_SQL} FROM sh
+), keys AS MATERIALIZED (
+{_sweep_keys_sql()}
+), cand AS MATERIALIZED (
+  SELECT DISTINCT k1.cfg, k1.doc_id AS id_a, k2.doc_id AS id_b
+  FROM keys k1 JOIN keys k2
+    ON k1.cfg = k2.cfg AND k1.band = k2.band AND k1.key = k2.key
+   AND k1.doc_id < k2.doc_id
+), gx AS MATERIALIZED (
+  SELECT doc_id, unnest(grams) AS g, len(grams) AS ng FROM sh
+), shared AS MATERIALIZED (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS sh,
+         max(a.ng) AS na, max(b.ng) AS nb
+  FROM gx a JOIN gx b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), truth AS MATERIALIZED (
+  SELECT id_a, id_b FROM shared
+  WHERE CAST(sh AS DOUBLE) / (na + nb - sh) >= {JACCARD_THRESHOLD}
+), per AS (
+  SELECT c.cfg, CAST(count(*) AS BIGINT) AS n_candidates,
+         CAST(sum(CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hits
+  FROM cand c LEFT JOIN truth t ON t.id_a = c.id_a AND t.id_b = c.id_b
+  GROUP BY 1
+), tt AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_true FROM truth
+)
+SELECT cfg,
+       CAST(CASE cfg {" ".join(f"WHEN 'b{b}r{r}' THEN {b}" for b, r in LSH_SWEEP_CONFIGS)} END AS BIGINT) AS bands,
+       CAST(CASE cfg {" ".join(f"WHEN 'b{b}r{r}' THEN {r}" for b, r in LSH_SWEEP_CONFIGS)} END AS BIGINT) AS rows_per_band,
+       n_candidates, tt.n_true, n_hits,
+       CAST(n_hits * 1000000 // tt.n_true AS BIGINT) AS recall_ppm,
+       CAST(n_hits * 1000000 // n_candidates AS BIGINT)
+         AS candidate_precision_ppm
+FROM per, tt ORDER BY bands
+"""
+
+
+@_q("dedup_lsh_band_sweep", _LSH_SWEEP_SQL)
+def dedup_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding sweep over the shared 16-perm MinHash signature: per
+    config (2×8 / 4×4 / 8×2), candidate pairs, recall vs the exhaustive
+    exact-Jaccard truth, and candidate precision (the share of banding
+    candidates that survive exact verification) — both in ppm.
+
+    Scale: the signature is ONE Arrow pass (reused across all configs);
+    each config's candidates come from the same narrow (cfg, band, key)
+    equi-join shape dedup_minhash_lsh ships; the truth side is the
+    eval-only inverted-index join (sample it at production scale)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = docs.select(
+        "doc_id", _minhash_mh_pd()(F.col("text")).alias("mh")
+    ).localCheckpoint(eager=False)
+    keyrows = []
+    for b, r in LSH_SWEEP_CONFIGS:
+        for band in range(b):
+            keyrows.append(
+                sig.select(
+                    "doc_id",
+                    F.lit(f"b{b}r{r}").alias("cfg"),
+                    F.lit(band).alias("band"),
+                    F.concat_ws(
+                        "_",
+                        *[
+                            F.element_at("mh", band * r + k + 1).cast("string")
+                            for k in range(r)
+                        ],
+                    ).alias("key"),
+                )
+            )
+    keys = keyrows[0]
+    for kr in keyrows[1:]:
+        keys = keys.unionByName(kr)
+    cand = (
+        keys.alias("k1")
+        .join(
+            keys.alias("k2"),
+            (F.col("k1.cfg") == F.col("k2.cfg"))
+            & (F.col("k1.band") == F.col("k2.band"))
+            & (F.col("k1.key") == F.col("k2.key"))
+            & (F.col("k1.doc_id") < F.col("k2.doc_id")),
+        )
+        .select(
+            F.col("k1.cfg").alias("cfg"),
+            F.col("k1.doc_id").alias("id_a"),
+            F.col("k2.doc_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    g = docs.select(
+        "doc_id", F.explode(_minhash_grams_pd()(F.col("text"))).alias("gram")
+    ).localCheckpoint(eager=False)
+    n = g.groupBy("doc_id").agg(F.count("*").alias("ng"))
+    shared = (
+        g.alias("a")
+        .join(
+            g.alias("b"),
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count("*").alias("sh"))
+    )
+    truth = (
+        shared.join(n.withColumnRenamed("doc_id", "id_a"), "id_a")
+        .join(
+            n.withColumnRenamed("doc_id", "id_b")
+            .withColumnRenamed("ng", "ngb"),
+            "id_b",
+        )
+        .filter(
+            F.col("sh").cast("double")
+            / (F.col("ng") + F.col("ngb") - F.col("sh"))
+            >= JACCARD_THRESHOLD
+        )
+        .select("id_a", "id_b", F.lit(1).alias("is_true"))
+        .localCheckpoint(eager=False)
+    )
+    per = (
+        cand.join(truth, ["id_a", "id_b"], "left")
+        .groupBy("cfg")
+        .agg(
+            F.count("*").cast("long").alias("n_candidates"),
+            F.sum(F.coalesce("is_true", F.lit(0))).cast("long")
+            .alias("n_hits"),
+        )
+    )
+    tt = truth.agg(F.count("*").cast("long").alias("n_true"))
+    bmap = F.create_map(
+        *[x for b, r in LSH_SWEEP_CONFIGS
+          for x in (F.lit(f"b{b}r{r}"), F.lit(b))]
+    )
+    rmap = F.create_map(
+        *[x for b, r in LSH_SWEEP_CONFIGS
+          for x in (F.lit(f"b{b}r{r}"), F.lit(r))]
+    )
+    return (
+        per.crossJoin(F.broadcast(tt))
+        .select(
+            "cfg",
+            bmap[F.col("cfg")].cast("long").alias("bands"),
+            rmap[F.col("cfg")].cast("long").alias("rows_per_band"),
+            "n_candidates", "n_true", "n_hits",
+            F.expr("CAST(n_hits * 1000000 div n_true AS BIGINT)")
+            .alias("recall_ppm"),
+            F.expr("CAST(n_hits * 1000000 div n_candidates AS BIGINT)")
+            .alias("candidate_precision_ppm"),
+        )
+        .orderBy("bands")
+    )
+
+

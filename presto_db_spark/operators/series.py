@@ -1115,3 +1115,74 @@ def sample_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stratum")
     )
+
+
+# --- exact multi-quantile battery (r13) --------------------------------------------
+# The exact (not sketched) p25/p50/p75/p95/p99 in ONE pass via the
+# counted-table device: collapse to (value, weight), cumulative-sum over
+# the value-cardinality-bounded counted table, and pick each quantile as
+# the FIRST value whose cumulative count reaches ceil(p·n) — the
+# percentile_disc contract, deterministic on both engines, never a
+# per-row sort. The sketch path (approx_percentile/tdigest) answers the
+# same question with error bars; this is the exact audit that validates
+# them.
+
+EXQ_PCTS = (25, 50, 75, 95, 99)
+
+_EXQ_SQL = f"""
+WITH x AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem
+), counted AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS w FROM x GROUP BY v
+), c AS (
+  SELECT v, sum(w) OVER (ORDER BY v) AS csum, sum(w) OVER () AS n
+  FROM counted
+), p AS (
+  SELECT unnest(ARRAY{list(EXQ_PCTS)}) AS pct
+)
+SELECT p.pct,
+       CAST(min(c.v) AS BIGINT) AS value_cents,
+       CAST(max(c.n) AS BIGINT) AS n_rows
+FROM p JOIN c ON c.csum * 100 >= p.pct * c.n
+GROUP BY p.pct
+ORDER BY p.pct
+"""
+
+
+@_q("agg_exact_quantiles", _EXQ_SQL)
+def agg_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentile_disc battery ({pcts}) over lineitem price cents
+    in one pass: quantile p = min value with csum·100 >= p·n (integer
+    cross-multiplication — no float ranks).
+
+    Scale: one (value, weight) collapse (map-side combinable), ONE
+    distrank range exchange carrying the running weight sum (the
+    agg_weighted_median path — the counted table's cardinality grows
+    with distinct prices, so its rank never runs on a single
+    partition), and a 5-row quantile probe joined against it — the
+    per-row sort the naive percentile pays never happens."""
+    from .distrank import global_index
+
+    li = load_table(spark, sf_dir, "lineitem")
+    counted = li.select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("v")
+    ).groupBy("v").agg(F.count("*").cast("long").alias("w"))
+    c = global_index(counted, [F.col("v")], sum_col="w").select(
+        "v", F.col("__csum").alias("csum"), F.col("__sum_total").alias("n")
+    )
+    p = spark.createDataFrame(
+        [(int(x),) for x in EXQ_PCTS], "pct long"
+    )
+    return (
+        F.broadcast(p)
+        .join(c, F.col("csum") * 100 >= F.col("pct") * F.col("n"))
+        .groupBy("pct")
+        .agg(
+            F.min("v").cast("long").alias("value_cents"),
+            F.max("n").cast("long").alias("n_rows"),
+        )
+        .orderBy("pct")
+    )
+
+
+agg_exact_quantiles.__doc__ = agg_exact_quantiles.__doc__.format(pcts=EXQ_PCTS)

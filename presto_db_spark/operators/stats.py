@@ -927,3 +927,115 @@ def events_frequency_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cap")
     )
+
+
+# --- sequential probability ratio test (r13) ----------------------------------------
+# Wald's SPRT — the always-valid sequential A/B primitive that lets an
+# experiment STOP the day the evidence crosses a boundary instead of
+# waiting out a fixed horizon. Tests H0: p = 19/100 vs H1: p = 21/100 on
+# the treatment stream's daily purchase conversions with α = β = 0.05
+# (boundaries ±ln 19). Exact discipline: the two per-event log-LR
+# increments and the boundary are CONSTANTS formed as differences of ln
+# over exact integers, micros-rounded ONCE (cross-engine parity
+# verified); everything after is integer counts × integer constants and
+# a cumulative sum over the bounded day grain.
+
+SPRT_P0_NUM, SPRT_P1_NUM, SPRT_DEN = 19, 21, 100
+SPRT_ALPHA_INV = 19  # (1-β)/α with α = β = 0.05
+
+_SPRT_CONST_SQL = f"""
+  SELECT CAST(round((ln({SPRT_P1_NUM}) - ln({SPRT_P0_NUM})) * 1000000)
+              AS BIGINT) AS l1_e6,
+         CAST(round((ln({SPRT_DEN - SPRT_P1_NUM})
+                     - ln({SPRT_DEN - SPRT_P0_NUM})) * 1000000)
+              AS BIGINT) AS l0_e6,
+         CAST(round(ln({SPRT_ALPHA_INV}) * 1000000) AS BIGINT) AS bound_e6
+"""
+
+_SPRT_SQL = f"""
+WITH k AS ({_SPRT_CONST_SQL}
+), daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(count(*) AS BIGINT) AS n_trials,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_success
+  FROM events WHERE user_id % 2 = 1
+  GROUP BY 1
+), llr AS (
+  SELECT d, n_trials, n_success,
+         n_success * k.l1_e6 + (n_trials - n_success) * k.l0_e6
+           AS day_llr_e6,
+         k.bound_e6
+  FROM daily, k
+), c AS (
+  SELECT d, n_trials, n_success, day_llr_e6, bound_e6,
+         sum(day_llr_e6) OVER (ORDER BY d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_llr_e6
+  FROM llr
+)
+SELECT d, n_trials, n_success,
+       CAST(day_llr_e6 AS BIGINT) AS day_llr_e6,
+       CAST(cum_llr_e6 AS BIGINT) AS cum_llr_e6,
+       CASE WHEN cum_llr_e6 >= bound_e6 THEN 'accept_h1'
+            WHEN cum_llr_e6 <= -bound_e6 THEN 'accept_h0'
+            ELSE 'continue' END AS decision
+FROM c ORDER BY d
+"""
+
+
+@_q("events_ab_sequential_sprt", _SPRT_SQL)
+def events_ab_sequential_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald SPRT trace over the treatment stream's daily conversion
+    counts: per day the log-likelihood-ratio increment, the running
+    total, and the sequential decision against the ±ln 19 boundaries.
+
+    Scale: one (day) collapse of the filtered stream (map-side
+    combinable); the cumulative window runs on the bounded day grain —
+    the module's standing contract. The LLR constants are 1-row
+    broadcast arithmetic."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    k = spark.range(1).select(
+        F.round(
+            (F.log(F.lit(float(SPRT_P1_NUM))) - F.log(F.lit(float(SPRT_P0_NUM))))
+            * 1000000
+        ).cast("long").alias("l1_e6"),
+        F.round(
+            (F.log(F.lit(float(SPRT_DEN - SPRT_P1_NUM)))
+             - F.log(F.lit(float(SPRT_DEN - SPRT_P0_NUM)))) * 1000000
+        ).cast("long").alias("l0_e6"),
+        F.round(F.log(F.lit(float(SPRT_ALPHA_INV))) * 1000000)
+        .cast("long").alias("bound_e6"),
+    )
+    daily = (
+        ev.filter(F.col("user_id") % 2 == 1)
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(
+            F.count("*").cast("long").alias("n_trials"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).cast("long").alias("n_success"),
+        )
+    )
+    llr = daily.crossJoin(F.broadcast(k)).select(
+        "d", "n_trials", "n_success", "bound_e6",
+        (
+            F.col("n_success") * F.col("l1_e6")
+            + (F.col("n_trials") - F.col("n_success")) * F.col("l0_e6")
+        ).alias("day_llr_e6"),
+    )
+    w = W.orderBy("d").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        llr.withColumn("cum_llr_e6", F.sum("day_llr_e6").over(w))
+        .select(
+            "d", "n_trials", "n_success",
+            F.col("day_llr_e6").cast("long"),
+            F.col("cum_llr_e6").cast("long"),
+            F.when(F.col("cum_llr_e6") >= F.col("bound_e6"), "accept_h1")
+            .when(F.col("cum_llr_e6") <= -F.col("bound_e6"), "accept_h0")
+            .otherwise("continue")
+            .alias("decision"),
+        )
+        .orderBy("d")
+    )
