@@ -2179,3 +2179,130 @@ def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("train_pct")
     )
+
+
+# --- NDCG@k ranking quality (recsys/retrieval backtest, r13) -----------------
+# The one standard ranking metric the eval family (roc_auc, pr_curve,
+# lift_gains, ks) still lacked: order-sensitive graded relevance with a
+# log-position discount.  Scenario = a recommendation backtest on the
+# events stream: score each (event_type, user) by FIRST-half activity,
+# rank users per event_type, and judge the top-k against SECOND-half
+# graded relevance (capped at 3, the classic 4-level scale).  The
+# 1/log2(i+1) discounts are e9-quantized Python constants embedded
+# identically in both engines, so DCG/IDCG/NDCG are exact integers —
+# no cross-engine libm.
+
+NDCG_K = 10
+_NDCG_DISC = tuple(round(1e9 / __import__("math").log2(i + 1)) for i in range(1, NDCG_K + 1))
+
+_NDCG_SQL = f"""
+WITH pu AS (
+  SELECT event_type, user_id,
+         CAST(sum(CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-15'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN CAST(ts AS DATE) > DATE '2024-01-15'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n2
+  FROM events GROUP BY 1, 2
+), cand AS (
+  SELECT event_type, user_id, n1, least(n2, 3) AS rel FROM pu WHERE n1 >= 1
+), ranked AS (
+  SELECT event_type, rel,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY n1 DESC, user_id) AS rnk
+  FROM cand
+), ideal AS (
+  SELECT event_type, rel,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY rel DESC, user_id) AS rnk
+  FROM cand
+), disc(rnk, d) AS (
+  VALUES {", ".join(f"({i + 1}, {d})" for i, d in enumerate(_NDCG_DISC))}
+), dcg AS (
+  SELECT r.event_type, sum(r.rel * disc.d) AS dcg_e9
+  FROM ranked r JOIN disc ON disc.rnk = r.rnk GROUP BY 1
+), idcg AS (
+  SELECT i.event_type, sum(i.rel * disc.d) AS idcg_e9
+  FROM ideal i JOIN disc ON disc.rnk = i.rnk GROUP BY 1
+), nc AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_candidates FROM cand GROUP BY 1
+)
+SELECT nc.event_type, nc.n_candidates,
+       CAST(dcg.dcg_e9 AS BIGINT) AS dcg_e9,
+       CAST(idcg.idcg_e9 AS BIGINT) AS idcg_e9,
+       CAST(CASE WHEN idcg.idcg_e9 > 0
+                 THEN dcg.dcg_e9 * 1000000 // idcg.idcg_e9 END AS BIGINT)
+         AS ndcg_e6
+FROM nc JOIN dcg USING (event_type) JOIN idcg USING (event_type)
+ORDER BY event_type
+"""
+
+
+@_q("ml_ndcg_at_k", _NDCG_SQL)
+def ml_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@{k} of the first-half-activity ranking judged against
+    second-half graded relevance (least(n2, 3)), per event_type.  IDCG
+    re-ranks the SAME candidate pool (users active in the first half)
+    by relevance, so ndcg_e6 = 1e6 exactly when the activity ranking is
+    relevance-optimal.
+
+    Scale: one (event_type, user) count groupBy (map-side combinable);
+    both rankings are rank<=k windows partitioned on event_type —
+    Spark's WindowGroupLimit pushes the top-k below the exchange, so
+    per-group state is k rows, never the user count; the {k}-row
+    discount table broadcasts.  All metric math is exact integer
+    (e9 discounts x integer relevance)."""
+    ev = _t(spark, sf_dir, "events")[0]
+    pu = ev.groupBy("event_type", "user_id").agg(
+        F.sum(
+            F.when(F.to_date("ts") <= F.lit("2024-01-15").cast("date"), 1)
+            .otherwise(0)
+        ).cast("long").alias("n1"),
+        F.sum(
+            F.when(F.to_date("ts") > F.lit("2024-01-15").cast("date"), 1)
+            .otherwise(0)
+        ).cast("long").alias("n2"),
+    )
+    cand = pu.filter(F.col("n1") >= 1).select(
+        "event_type", "user_id", "n1",
+        F.least(F.col("n2"), F.lit(3).cast("long")).alias("rel"),
+    )
+    disc = F.broadcast(
+        spark.createDataFrame(
+            [(i + 1, d) for i, d in enumerate(_NDCG_DISC)], "rnk int, d long"
+        )
+    )
+    ranked = cand.withColumn(
+        "rnk",
+        F.row_number().over(
+            W.partitionBy("event_type").orderBy(F.desc("n1"), F.asc("user_id"))
+        ),
+    ).filter(F.col("rnk") <= NDCG_K)
+    ideal = cand.withColumn(
+        "rnk",
+        F.row_number().over(
+            W.partitionBy("event_type").orderBy(F.desc("rel"), F.asc("user_id"))
+        ),
+    ).filter(F.col("rnk") <= NDCG_K)
+    dcg = ranked.join(disc, "rnk").groupBy("event_type").agg(
+        F.sum(F.col("rel") * F.col("d")).cast("long").alias("dcg_e9")
+    )
+    idcg = ideal.join(disc, "rnk").groupBy("event_type").agg(
+        F.sum(F.col("rel") * F.col("d")).cast("long").alias("idcg_e9")
+    )
+    nc = cand.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_candidates")
+    )
+    return (
+        nc.join(dcg, "event_type").join(idcg, "event_type")
+        .select(
+            "event_type", "n_candidates", "dcg_e9", "idcg_e9",
+            F.expr(
+                "CAST(CASE WHEN idcg_e9 > 0"
+                " THEN dcg_e9 * 1000000 div idcg_e9 END AS BIGINT)"
+            ).alias("ndcg_e6"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ml_ndcg_at_k.__doc__ = ml_ndcg_at_k.__doc__.format(k=NDCG_K)

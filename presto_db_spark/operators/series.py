@@ -1186,3 +1186,161 @@ def agg_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 agg_exact_quantiles.__doc__ = agg_exact_quantiles.__doc__.format(pcts=EXQ_PCTS)
+
+
+# --- trimmed / winsorized mean (robust location, r13) ------------------------
+# The two classical robust location estimators the plain mean family
+# lacks: drop (trim) or clamp (winsorize) the extreme TRIM_PCT% of mass
+# on each side.  Both ride the SAME counted-table + running-sum device
+# as agg_exact_quantiles: collapse to (value, weight), one range
+# exchange for the cumulative weight, then per-value "kept copies" are
+# a pure closed form of (csum, w, n) — no per-row sort, no second pass.
+# Reference anchor: presto-main's DoubleSumAggregation/percentile pair
+# covers mean and quantiles separately; the robust combinations are the
+# extension a curation pipeline uses to summarize heavy-tailed spend /
+# length distributions without letting outliers steer the mix.
+
+TRIM_PCT = 10
+
+_TRIMW_SQL = f"""
+WITH x AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem
+), counted AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS w FROM x GROUP BY v
+), c AS (
+  SELECT v, w, sum(w) OVER (ORDER BY v) AS csum, sum(w) OVER () AS n
+  FROM counted
+), b AS (
+  SELECT v, w, csum, n, (n * {TRIM_PCT}) // 100 AS lo FROM c
+), k AS (
+  SELECT v, w, csum, n, lo,
+         greatest(0, least(csum, n - lo) - greatest(csum - w, lo)) AS kept
+  FROM b
+), a AS (
+  SELECT CAST(max(n) AS BIGINT) AS n_rows,
+         CAST(max(lo) AS BIGINT) AS lo_trim,
+         sum(v * kept) AS tsum,
+         CAST(min(CASE WHEN csum >= lo + 1 THEN v END) AS BIGINT) AS v_lo,
+         CAST(min(CASE WHEN csum >= n - lo THEN v END) AS BIGINT) AS v_hi
+  FROM k
+)
+SELECT n_rows, lo_trim, v_lo AS v_lo_cents, v_hi AS v_hi_cents,
+       CAST(tsum * 1000000 // (n_rows - 2 * lo_trim) AS BIGINT)
+         AS trimmed_mean_micros,
+       CAST((tsum + lo_trim * (v_lo + v_hi)) * 1000000 // n_rows AS BIGINT)
+         AS winsor_mean_micros
+FROM a
+"""
+
+
+@_q("agg_trimmed_winsorized", _TRIMW_SQL)
+def agg_trimmed_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact {pct}%-trimmed and {pct}%-winsorized mean of lineitem price
+    cents.  kept(v) = max(0, min(csum, n-lo) - max(csum-w, lo)) is the
+    number of copies of v inside the trim window [lo+1, n-lo]; the
+    winsorized sum adds back lo clamped copies of the two boundary
+    order statistics (ranks lo+1 and n-lo).
+
+    Scale: one map-side-combinable (value, weight) collapse, ONE
+    distrank range exchange for the running weight sum (cardinality =
+    distinct prices, never rows), and a single-row final aggregate —
+    the full-sort robust mean at the cost of a quantile probe.  All
+    sums ride DECIMAL(38,0); every division is integer."""
+    from .distrank import global_index
+
+    li = load_table(spark, sf_dir, "lineitem")
+    counted = li.select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("v")
+    ).groupBy("v").agg(F.count("*").cast("long").alias("w"))
+    c = global_index(counted, [F.col("v")], sum_col="w").select(
+        "v", "w", F.col("__csum").alias("csum"),
+        F.col("__sum_total").alias("n"),
+    )
+    k = c.withColumn("lo", F.expr(f"(n * {TRIM_PCT}) div 100")).withColumn(
+        "kept",
+        F.expr("greatest(0L, least(csum, n - lo) - greatest(csum - w, lo))"),
+    )
+    a = k.agg(
+        F.max("n").cast("long").alias("n_rows"),
+        F.max("lo").cast("long").alias("lo_trim"),
+        F.sum(F.expr("CAST(v AS DECIMAL(38,0)) * kept")).alias("tsum"),
+        F.expr("min(CASE WHEN csum >= lo + 1 THEN v END)")
+        .cast("long").alias("v_lo"),
+        F.expr("min(CASE WHEN csum >= n - lo THEN v END)")
+        .cast("long").alias("v_hi"),
+    )
+    return a.select(
+        "n_rows", "lo_trim",
+        F.col("v_lo").alias("v_lo_cents"), F.col("v_hi").alias("v_hi_cents"),
+        F.expr("CAST(tsum * 1000000 div (n_rows - 2 * lo_trim) AS BIGINT)")
+        .alias("trimmed_mean_micros"),
+        F.expr(
+            "CAST((tsum + lo_trim * (v_lo + v_hi)) * 1000000 div n_rows"
+            " AS BIGINT)"
+        ).alias("winsor_mean_micros"),
+    )
+
+
+agg_trimmed_winsorized.__doc__ = agg_trimmed_winsorized.__doc__.format(pct=TRIM_PCT)
+
+
+# --- sequential Poisson (order) sampling, r13 --------------------------------
+# Ohlsson's sequential Poisson sampling: a fixed-size
+# probability-proportional-to-size draw as a BOTTOM-K by the order
+# variable u/w (uniform u, size weight w).  Unlike systematic PPS
+# (sample_systematic_pps — needs a global cumulative-weight walk), the
+# priority is a pure per-row expression, so the draw is one distributed
+# top-k: the method survey-statistics offices use precisely BECAUSE it
+# shards.  u is the 48-bit md5 prefix of the doc id (portable, seeded);
+# priority = u * 10000 div n_chars keeps everything in BIGINT.
+
+SEQP_K = 100
+SEQP_SEED = "sp1:"
+
+_SEQP_SQL = f"""
+WITH p AS (
+  SELECT doc_id, source, n_chars,
+         ('0x' || substr(md5('{SEQP_SEED}' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+           * 10000 // n_chars AS priority
+  FROM documents
+), r AS (
+  SELECT doc_id, source, n_chars, priority,
+         row_number() OVER (ORDER BY priority, doc_id) AS rnk
+  FROM p
+)
+SELECT CAST(rnk AS BIGINT) AS rnk, doc_id, source,
+       CAST(n_chars AS BIGINT) AS n_chars, CAST(priority AS BIGINT) AS priority
+FROM r WHERE rnk <= {SEQP_K} ORDER BY rnk
+"""
+
+
+@_q("sample_seqpoisson", _SEQP_SQL)
+def sample_seqpoisson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential Poisson sample of {k} documents with inclusion
+    probability proportional to n_chars: keep the {k} smallest
+    priorities u48 * 10000 div n_chars (u48 = 48-bit md5 prefix,
+    seeded).  Longer documents draw smaller priorities, so the sample
+    is the order-sampling PPS draw — reproducible bit-identically from
+    the seed alone.
+
+    Scale: priority is a stateless per-row projection; the draw is ONE
+    distributed top-k (TakeOrdered — per-partition heaps of {k}, then a
+    {k}-row driver merge), no global cumulative walk, no coordination.
+    2^48 * 10^4 < 2^63 keeps the order variable in BIGINT."""
+    docs = load_table(spark, sf_dir, "documents")
+    p = docs.select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"),
+        F.expr(
+            f"CAST(conv(substr(md5(concat('{SEQP_SEED}',"
+            f" CAST(doc_id AS STRING))), 1, 12), 16, 10) AS BIGINT)"
+            f" * 10000 div n_chars"
+        ).alias("priority"),
+    )
+    r = p.orderBy("priority", "doc_id").limit(SEQP_K)
+    win = W.orderBy("priority", "doc_id")
+    return r.withColumn("rnk", F.row_number().over(win).cast("long")).select(
+        "rnk", "doc_id", "source", "n_chars", "priority"
+    ).orderBy("rnk")
+
+
+sample_seqpoisson.__doc__ = sample_seqpoisson.__doc__.format(k=SEQP_K)

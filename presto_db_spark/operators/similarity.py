@@ -3194,3 +3194,126 @@ def emb_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 emb_pq_distortion.__doc__ = emb_pq_distortion.__doc__.format(K=PQ_K, M=PQ_M)
+
+
+# --- int8 scalar-quantized retrieval recall (r13) ----------------------------
+# emb_int8_quantize measures RECONSTRUCTION error; this measures what a
+# serving system actually cares about: how much top-k RETRIEVAL quality
+# survives searching in the quantized space.  Per-dimension asymmetric
+# min/max quantization to 8-bit codes (the faiss SQ8 layout), exact
+# integer L2 in BOTH spaces (inputs e6-quantized first, so the ground
+# truth itself is engine-exact), recall@k per probe query.
+
+SQ_NQ = 5          # probe queries (vec_id < SQ_NQ)
+SQ_K = 10          # top-k depth
+SQ_LEVELS = 255    # 8-bit code range
+
+_SQ8_SQL = f"""
+WITH dims AS (
+  SELECT vec_id,
+         unnest(generate_series(1, len(embedding))) AS pos,
+         unnest(list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))) AS xe
+  FROM embeddings
+), stats AS (
+  SELECT pos, min(xe) AS mn, max(xe) AS mx FROM dims GROUP BY pos
+), qd AS (
+  SELECT d.vec_id, d.pos, d.xe,
+         (d.xe - s.mn) * {SQ_LEVELS} // greatest(s.mx - s.mn, 1) AS qv
+  FROM dims d JOIN stats s USING (pos)
+), probe AS (
+  SELECT * FROM qd WHERE vec_id < {SQ_NQ}
+), exact AS (
+  SELECT p.vec_id AS qid, d.vec_id,
+         row_number() OVER (PARTITION BY p.vec_id
+                            ORDER BY sum((p.xe - d.xe) * (p.xe - d.xe)),
+                                     d.vec_id) AS rn
+  FROM probe p JOIN qd d ON d.pos = p.pos AND d.vec_id <> p.vec_id
+  GROUP BY p.vec_id, d.vec_id
+), approx AS (
+  SELECT p.vec_id AS qid, d.vec_id,
+         row_number() OVER (PARTITION BY p.vec_id
+                            ORDER BY sum((p.qv - d.qv) * (p.qv - d.qv)),
+                                     d.vec_id) AS rn
+  FROM probe p JOIN qd d ON d.pos = p.pos AND d.vec_id <> p.vec_id
+  GROUP BY p.vec_id, d.vec_id
+)
+SELECT e.qid,
+       CAST(count(a.vec_id) AS BIGINT) AS hits,
+       CAST(count(a.vec_id) * 100 // {SQ_K} AS BIGINT) AS recall_pct
+FROM exact e
+LEFT JOIN approx a ON a.qid = e.qid AND a.vec_id = e.vec_id AND a.rn <= {SQ_K}
+WHERE e.rn <= {SQ_K}
+GROUP BY e.qid ORDER BY e.qid
+"""
+
+
+@_q("sim_int8_recall", _SQ8_SQL)
+def sim_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{k} of int8 per-dimension min/max quantized L2 search vs
+    the exact top-{k}, over {nq} probe queries.  Both spaces are exact
+    integers (inputs e6-quantized before any distance), so ground truth
+    and approximation are engine-exact and the recall is a hard number,
+    not a float coincidence.
+
+    Scale: the per-dim min/max table is {dim} rows (broadcast); probes
+    are fixed-{nq}, so the distance joins are O(nq * n * d) row-space —
+    the same budget as sim_topk_bruteforce, which is the point: this op
+    AUDITS the quantizer on a probe sample; production search runs on
+    the codes with 4x less memory traffic.  Top-k per probe rides
+    WindowGroupLimit ({k}-row state below the exchange)."""
+    emb = _emb(spark, sf_dir)
+    dims = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "x")
+    ).select(
+        "vec_id", (F.col("pos0") + 1).alias("pos"),
+        F.round(F.col("x").cast("double") * 1000000).cast("long").alias("xe"),
+    )
+    stats = dims.groupBy("pos").agg(
+        F.min("xe").alias("mn"), F.max("xe").alias("mx")
+    )
+    qd = dims.join(F.broadcast(stats), "pos").select(
+        "vec_id", "pos", "xe",
+        F.expr(
+            f"(xe - mn) * {SQ_LEVELS} div greatest(mx - mn, 1L)"
+        ).alias("qv"),
+    )
+    probe = qd.filter(F.col("vec_id") < SQ_NQ).select(
+        F.col("vec_id").alias("qid"), "pos",
+        F.col("xe").alias("pxe"), F.col("qv").alias("pqv"),
+    )
+    pairs = probe.join(qd, "pos").filter(F.col("vec_id") != F.col("qid"))
+    scored = pairs.groupBy("qid", "vec_id").agg(
+        F.sum((F.col("pxe") - F.col("xe")) * (F.col("pxe") - F.col("xe")))
+        .alias("d_exact"),
+        F.sum((F.col("pqv") - F.col("qv")) * (F.col("pqv") - F.col("qv")))
+        .alias("d_q"),
+    )
+    we = W.partitionBy("qid").orderBy("d_exact", "vec_id")
+    wq = W.partitionBy("qid").orderBy("d_q", "vec_id")
+    exact = scored.withColumn("rn", F.row_number().over(we)).filter(
+        F.col("rn") <= SQ_K
+    ).select("qid", "vec_id")
+    approx = scored.withColumn("rn", F.row_number().over(wq)).filter(
+        F.col("rn") <= SQ_K
+    ).select(F.col("qid").alias("aqid"), F.col("vec_id").alias("avid"))
+    return (
+        exact.join(
+            approx,
+            (exact["qid"] == approx["aqid"])
+            & (exact["vec_id"] == approx["avid"]),
+            "left",
+        )
+        .groupBy("qid")
+        .agg(
+            F.count("avid").cast("long").alias("hits"),
+            F.expr(f"CAST(count(avid) * 100 div {SQ_K} AS BIGINT)")
+            .alias("recall_pct"),
+        )
+        .orderBy("qid")
+    )
+
+
+sim_int8_recall.__doc__ = sim_int8_recall.__doc__.format(
+    k=SQ_K, nq=SQ_NQ, dim=DIM
+)

@@ -1258,3 +1258,87 @@ def warehouse_clustering_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "avg_depth_e6")
         .orderBy("layout")
     )
+
+
+# --- retention / TTL expiry plan (r13) ---------------------------------------
+# The plan a lakehouse TTL job emits before touching any data: per
+# month-partition, how many rows each retention class has expired, and
+# whether the partition can be DROPPED whole (metadata-only delete — the
+# only affordable kind at 100 TB), needs a row-level DELETE rewrite, or
+# is untouched.  Retention is per record class, which is what makes the
+# plan non-trivial: transactional classes age out on different horizons,
+# so a partition can be all-expired for one class and live for another.
+
+RETENTION_CUTOFFS = {"F": "1998-07-01", "O": "1996-07-01", "P": "1996-07-01"}
+
+_RETEXP_SQL = f"""
+WITH tagged AS (
+  SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS part,
+         CASE o_orderstatus
+           WHEN 'F' THEN DATE '{RETENTION_CUTOFFS["F"]}'
+           WHEN 'O' THEN DATE '{RETENTION_CUTOFFS["O"]}'
+           ELSE DATE '{RETENTION_CUTOFFS["P"]}' END AS cutoff,
+         o_orderdate
+  FROM orders
+), agg AS (
+  SELECT part,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN CAST(o_orderdate AS DATE) < cutoff
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_expired
+  FROM tagged GROUP BY part
+)
+SELECT part, n_rows, n_expired,
+       CAST(n_expired * 100 // n_rows AS BIGINT) AS expired_pct,
+       CASE WHEN n_expired = n_rows THEN 'drop_partition'
+            WHEN n_expired > 0 THEN 'delete_rows'
+            ELSE 'keep' END AS action
+FROM agg ORDER BY part
+"""
+
+
+@_q("warehouse_retention_expiry", _RETEXP_SQL)
+def warehouse_retention_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition retention expiry plan over orders: month partitions,
+    per-status TTL horizons ({cuts}), action = drop_partition (all rows
+    expired — metadata-only), delete_rows (mixed — needs a rewrite), or
+    keep.
+
+    Scale: ONE map-side-combinable groupBy on the partition key; output
+    cardinality = partition count, independent of rows.  The plan's
+    whole point at 100 TB is maximizing the drop_partition bucket —
+    partition-aligned retention makes deletes O(partitions); the
+    delete_rows rows are exactly the rewrite bill the layout owes."""
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = (
+        F.when(F.col("o_orderstatus") == "F",
+               F.lit(RETENTION_CUTOFFS["F"]).cast("date"))
+        .when(F.col("o_orderstatus") == "O",
+              F.lit(RETENTION_CUTOFFS["O"]).cast("date"))
+        .otherwise(F.lit(RETENTION_CUTOFFS["P"]).cast("date"))
+    )
+    agg = (
+        orders.select(
+            (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+            .cast("long").alias("part"),
+            F.when(F.to_date("o_orderdate") < cutoff, 1).otherwise(0)
+            .alias("exp"),
+        )
+        .groupBy("part")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("exp").cast("long").alias("n_expired"),
+        )
+    )
+    return agg.select(
+        "part", "n_rows", "n_expired",
+        F.expr("CAST(n_expired * 100 div n_rows AS BIGINT)")
+        .alias("expired_pct"),
+        F.when(F.col("n_expired") == F.col("n_rows"), "drop_partition")
+        .when(F.col("n_expired") > 0, "delete_rows")
+        .otherwise("keep").alias("action"),
+    ).orderBy("part")
+
+
+warehouse_retention_expiry.__doc__ = warehouse_retention_expiry.__doc__.format(
+    cuts=", ".join(f"{k}<{v}" for k, v in sorted(RETENTION_CUTOFFS.items()))
+)
