@@ -3959,3 +3959,203 @@ def events_bandit_ucb_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+# --- Kaplan-Meier product-limit conversion curve (r13) -----------------------
+# events_survival_hazard emits the life table and leaves the survival
+# product "recoverable downstream"; this op IS that downstream: the
+# exact product-limit curve S(t) = prod_{s<=t} (n_s - d_s)/n_s for
+# time-to-first-purchase, with users censored at their last observed
+# event day.  The running product is an IN-ORDER integer fold on an
+# e9 scale: each day's factor multiplies then integer-divides, the
+# identical sequence on both engines, so the curve is bit-exact.  Days
+# are packed t*1e12 + d*1e6 + n into BIGINTs so the sorted fold list
+# needs no struct ordering semantics (valid while n < 1e6 per shard —
+# the day-grain life table, not raw users).
+
+_KM_SQL = """
+WITH ud AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'purchase'
+                  THEN date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) + 1
+             END) AS tp,
+         max(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) + 1) AS tc
+  FROM events GROUP BY 1
+), obs AS (
+  SELECT CASE WHEN tp IS NOT NULL THEN tp ELSE tc END AS t,
+         CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS e
+  FROM ud
+), lt AS (
+  SELECT t, CAST(sum(e) AS BIGINT) AS d,
+         CAST(count(*) - sum(e) AS BIGINT) AS c
+  FROM obs GROUP BY t
+), nn AS (
+  SELECT t, d, c,
+         CAST((SELECT count(*) FROM obs)
+           - coalesce(sum(d + c) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS n
+  FROM lt
+), packed AS (
+  SELECT list_sort(list(t * 1000000000000 + d * 1000000 + n)) AS a FROM nn
+)
+SELECT nn.t, nn.d AS deaths, nn.c AS censored, nn.n AS at_risk,
+       CAST(list_reduce(
+         list_prepend(CAST(1000000000 AS BIGINT),
+           list_filter(packed.a, x -> x // 1000000000000 <= nn.t)),
+         (acc, x) -> acc * ((x % 1000000000000) // 1000000 * (-1)
+                            + x % 1000000) // (x % 1000000)
+       ) AS BIGINT) AS s_e9
+FROM nn, packed
+ORDER BY nn.t
+"""
+
+
+@_q("events_kaplan_meier", _KM_SQL)
+def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier product-limit curve for time-to-first-purchase:
+    death = first 'purchase' day, censor = last observed event day for
+    never-purchasers; per day: deaths, censored exits, at-risk count,
+    and the exact e9 survival S(t) via the in-order integer fold
+    acc <- acc*(n_t - d_t) div n_t.
+
+    Scale: one user groupBy collapses the stream; the life table is
+    day-span-bounded (the module's post-collapse contract), so the
+    O(days^2) prefix folds are constant work; the at-risk reverse
+    cumulative is the survival_hazard device.  The packed-BIGINT fold
+    list keeps the product exact with zero struct-ordering dependence."""
+    ev = load_table(spark, sf_dir, "events")
+    day0 = F.lit("2024-01-01").cast("date")
+    ud = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.datediff(F.to_date("ts"), day0) + 1,
+            )
+        ).alias("tp"),
+        F.max(F.datediff(F.to_date("ts"), day0) + 1).alias("tc"),
+    )
+    obs = ud.select(
+        F.coalesce("tp", "tc").cast("long").alias("t"),
+        F.when(F.col("tp").isNotNull(), 1).otherwise(0).alias("e"),
+    )
+    lt = obs.groupBy("t").agg(
+        F.sum("e").cast("long").alias("d"),
+        (F.count("*") - F.sum("e")).cast("long").alias("c"),
+    )
+    ntot = obs.agg(F.count("*").cast("long").alias("ntot"))
+    wcum = W.orderBy("t").rowsBetween(W.unboundedPreceding, -1)
+    nn = lt.crossJoin(F.broadcast(ntot)).withColumn(
+        "n",
+        F.col("ntot") - F.coalesce(F.sum(F.col("d") + F.col("c")).over(wcum),
+                                   F.lit(0)),
+    )
+    packed = nn.agg(
+        F.array_sort(
+            F.collect_list(
+                F.expr("t * 1000000000000 + d * 1000000 + n")
+            )
+        ).alias("a")
+    )
+    return (
+        nn.crossJoin(F.broadcast(packed))
+        .select(
+            "t",
+            F.col("d").alias("deaths"),
+            F.col("c").alias("censored"),
+            F.col("n").alias("at_risk"),
+            F.expr(
+                "CAST(aggregate(filter(a, x -> x div 1000000000000 <= t),"
+                " CAST(1000000000 AS BIGINT),"
+                " (acc, x) -> acc * (x % 1000000 -"
+                " (x % 1000000000000) div 1000000) div (x % 1000000))"
+                " AS BIGINT)"
+            ).alias("s_e9"),
+        )
+        .orderBy("t")
+    )
+
+
+# --- exact trailing rolling median (r13) -------------------------------------
+# events_moving covers rolling MEANS (algebraic — a windowed sum); the
+# rolling MEDIAN is holistic and Spark has no built-in window
+# percentile, so the exact form rides the day-grain self-join: each
+# (type, day) pairs with its trailing week of daily counts, and the
+# lower median is the min value whose in-window rank doubles past the
+# window size.  Quadratic in WINDOW x days — bounded, never row-scaled.
+
+_ROLLMED_WIN = 7
+
+_ROLLMED_SQL = f"""
+WITH s AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), pairs AS (
+  SELECT a.event_type, a.d, b.x AS v
+  FROM s a JOIN s b
+    ON b.event_type = a.event_type
+   AND b.d BETWEEN a.d - {_ROLLMED_WIN - 1} AND a.d
+), r AS (
+  SELECT event_type, d, v,
+         row_number() OVER (PARTITION BY event_type, d ORDER BY v) AS rn,
+         count(*) OVER (PARTITION BY event_type, d) AS cnt
+  FROM pairs
+)
+SELECT event_type, d, CAST(min(CASE WHEN rn * 2 >= cnt THEN v END) AS BIGINT)
+         AS med7,
+       CAST(max(cnt) AS BIGINT) AS n_in_window
+FROM r GROUP BY event_type, d
+HAVING max(cnt) = {_ROLLMED_WIN}
+ORDER BY event_type, d
+"""
+
+
+@_q("events_rolling_median", _ROLLMED_SQL)
+def events_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing {w}-day rolling median of daily event counts per
+    type (lower median; emitted only where the window is full — the
+    STL full-window contract).  The robust alternative to
+    events_moving's mean when a single spike day should NOT drag the
+    smoothed line.
+
+    Scale: the self-join and rank windows run on the (type, day)
+    collapse — {w}x day-span rows per type at any raw data size; the
+    rank partitions on (type, day), so no single-partition state
+    anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count("*").cast("long").alias("x")
+    )
+    a, b = s.alias("a"), s.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("b.event_type") == F.col("a.event_type"))
+        & (F.col("b.d") >= F.date_sub(F.col("a.d"), _ROLLMED_WIN - 1))
+        & (F.col("b.d") <= F.col("a.d")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.d").alias("d"),
+        F.col("b.x").alias("v"),
+    )
+    wr = W.partitionBy("event_type", "d").orderBy("v")
+    wc = W.partitionBy("event_type", "d")
+    r = pairs.select(
+        "event_type", "d", "v",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wc).alias("cnt"),
+    )
+    return (
+        r.groupBy("event_type", "d")
+        .agg(
+            F.min(F.when(F.col("rn") * 2 >= F.col("cnt"), F.col("v")))
+            .cast("long").alias("med7"),
+            F.max("cnt").cast("long").alias("n_in_window"),
+        )
+        .filter(F.col("n_in_window") == _ROLLMED_WIN)
+        .orderBy("event_type", "d")
+    )
+
+
+events_rolling_median.__doc__ = events_rolling_median.__doc__.format(
+    w=_ROLLMED_WIN
+)

@@ -2306,3 +2306,81 @@ def ml_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ml_ndcg_at_k.__doc__ = ml_ndcg_at_k.__doc__.format(k=NDCG_K)
+
+
+# --- McNemar paired classifier comparison (r13) ------------------------------
+# The eval family compares a model against TRUTH (accuracy, AUC, kappa);
+# McNemar's test compares two models against EACH OTHER on the same
+# rows — the standard "is B actually better than A, or is the delta
+# noise" gate before swapping a production model.  Only the discordant
+# counts matter: b = A right / B wrong, c = A wrong / B right; the
+# continuity-corrected statistic (|b-c|-1)^2/(b+c) is chi^2(1) under
+# H0.  Everything is exact integer (e6 statistic), single output row.
+
+_MCNEMAR_SQL = """
+WITH scored AS (
+  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y,
+         CASE WHEN o_totalprice >= 150000 THEN 1 ELSE 0 END AS pa,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pb
+  FROM orders
+), cells AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN pa = y AND pb <> y THEN 1 ELSE 0 END) AS BIGINT) AS b,
+         CAST(sum(CASE WHEN pa <> y AND pb = y THEN 1 ELSE 0 END) AS BIGINT) AS c,
+         CAST(sum(CASE WHEN pa = y THEN 1 ELSE 0 END) AS BIGINT) AS a_correct,
+         CAST(sum(CASE WHEN pb = y THEN 1 ELSE 0 END) AS BIGINT) AS b_correct
+  FROM scored
+)
+SELECT n, b AS a_only_correct, c AS b_only_correct,
+       CAST(a_correct * 1000000 // n AS BIGINT) AS acc_a_e6,
+       CAST(b_correct * 1000000 // n AS BIGINT) AS acc_b_e6,
+       CAST(CASE WHEN b + c > 0
+                 THEN (abs(b - c) - 1) * (abs(b - c) - 1) * 1000000 // (b + c)
+                 ELSE 0 END AS BIGINT) AS chi2_e6
+FROM cells
+"""
+
+
+@_q("ml_mcnemar_test", _MCNEMAR_SQL)
+def ml_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's continuity-corrected test comparing two deterministic
+    urgency classifiers (price-threshold vs status-rule) on the same
+    orders: discordant counts b/c, per-model accuracy e6, and the
+    chi^2(1) statistic (|b-c|-1)^2 * 1e6 div (b+c).
+
+    Scale: ONE map-side-combinable full aggregate — five counting sums,
+    single output row at any data size; the statistic is pure integer
+    arithmetic on the two discordant cells (the concordant cells cancel
+    out of the test, which is why the comparison is cheap)."""
+    orders = _t(spark, sf_dir, "orders")[0]
+    scored = orders.select(
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+        .alias("y"),
+        F.when(F.col("o_totalprice") >= 150000, 1).otherwise(0).alias("pa"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("pb"),
+    )
+    cells = scored.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when((F.col("pa") == F.col("y"))
+                     & (F.col("pb") != F.col("y")), 1).otherwise(0))
+        .cast("long").alias("b"),
+        F.sum(F.when((F.col("pa") != F.col("y"))
+                     & (F.col("pb") == F.col("y")), 1).otherwise(0))
+        .cast("long").alias("c"),
+        F.sum(F.when(F.col("pa") == F.col("y"), 1).otherwise(0))
+        .cast("long").alias("a_correct"),
+        F.sum(F.when(F.col("pb") == F.col("y"), 1).otherwise(0))
+        .cast("long").alias("b_correct"),
+    )
+    return cells.select(
+        "n",
+        F.col("b").alias("a_only_correct"),
+        F.col("c").alias("b_only_correct"),
+        F.expr("CAST(a_correct * 1000000 div n AS BIGINT)").alias("acc_a_e6"),
+        F.expr("CAST(b_correct * 1000000 div n AS BIGINT)").alias("acc_b_e6"),
+        F.expr(
+            "CAST(CASE WHEN b + c > 0"
+            " THEN (abs(b - c) - 1) * (abs(b - c) - 1) * 1000000 div (b + c)"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("chi2_e6"),
+    )

@@ -1344,3 +1344,195 @@ def sample_seqpoisson(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 sample_seqpoisson.__doc__ = sample_seqpoisson.__doc__.format(k=SEQP_K)
+
+
+# --- Hodges-Lehmann robust location (Walsh-average median, r13) --------------
+# The rank-based companion to agg_trimmed_winsorized: the median of all
+# n(n+1)/2 pairwise means (Walsh averages) — the estimator behind the
+# Wilcoxon signed-rank confidence interval, ~95% efficient at the
+# normal yet 29%-breakdown robust.  Quadratic in the SERIES length, so
+# it runs on the day-grain collapse (365 rows/year at any raw size),
+# exactly like the bootstrap/changepoint family.
+
+_HL_SQL = """
+WITH s AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+), n AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_days FROM s
+), walsh AS (
+  SELECT a.x + b.x AS ws
+  FROM s a JOIN s b ON a.d <= b.d
+), rw AS (
+  SELECT ws, row_number() OVER (ORDER BY ws) AS rn,
+         count(*) OVER () AS nw
+  FROM walsh
+), med AS (
+  SELECT min(ws) AS med_ws, max(nw) AS n_walsh FROM rw WHERE rn * 2 >= nw
+), rx AS (
+  SELECT x, row_number() OVER (ORDER BY x) AS rn, count(*) OVER () AS nx
+  FROM s
+), medx AS (
+  SELECT min(x) AS med_x FROM rx WHERE rn * 2 >= nx
+)
+SELECT n.n_days, med.n_walsh,
+       CAST(medx.med_x * 1000000 AS BIGINT) AS median_daily_micros,
+       CAST(med.med_ws * 500000 AS BIGINT) AS hl_micros
+FROM n, med, medx
+"""
+
+
+@_q("agg_hodges_lehmann", _HL_SQL)
+def agg_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges-Lehmann estimator of the daily event volume: lower median
+    of all Walsh sums x_i + x_j (i <= j), reported as the pairwise-mean
+    in micros (x500000 = sum/2 x 1e6), next to the plain lower median.
+
+    Scale: the quadratic pair join runs on the DAY-GRAIN table (one
+    map-side-combinable collapse first), so the pair count is bounded by
+    the day span squared — ~66k pairs for a year of data regardless of
+    raw row count; the median windows run on that bounded table (the
+    module's standing post-collapse contract)."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count("*").cast("long").alias("x")
+    )
+    a, b = s.alias("a"), s.alias("b")
+    walsh = a.join(b, F.col("a.d") <= F.col("b.d")).select(
+        (F.col("a.x") + F.col("b.x")).alias("ws")
+    )
+    rw = walsh.select(
+        "ws",
+        F.row_number().over(W.orderBy("ws")).alias("rn"),
+        F.count("*").over(W.partitionBy()).alias("nw"),
+    )
+    med = rw.filter(F.col("rn") * 2 >= F.col("nw")).agg(
+        F.min("ws").alias("med_ws"), F.max("nw").alias("n_walsh")
+    )
+    rx = s.select(
+        "x",
+        F.row_number().over(W.orderBy("x")).alias("rn"),
+        F.count("*").over(W.partitionBy()).alias("nx"),
+    )
+    medx = rx.filter(F.col("rn") * 2 >= F.col("nx")).agg(
+        F.min("x").alias("med_x")
+    )
+    n = s.agg(F.count("*").cast("long").alias("n_days"))
+    return (
+        n.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(medx))
+        .select(
+            "n_days",
+            "n_walsh",
+            (F.col("med_x") * 1000000).cast("long")
+            .alias("median_daily_micros"),
+            (F.col("med_ws") * 500000).cast("long").alias("hl_micros"),
+        )
+    )
+
+
+# --- seasonal strength (Hyndman F_s on the STL decomposition, r13) -----------
+# How MUCH of the detrended variation the weekly seasonal explains:
+# F_s = max(0, 1 - Var(remainder)/Var(seasonal+remainder)) per series
+# (Hyndman & Athanasopoulos' tsfeatures definition), computed on the
+# SAME exact-integer decomposition events_stl_decompose emits.  The
+# variance ratio uses the n*sum(x^2) - (sum x)^2 form in DECIMAL(38,0)
+# — no float means, so the strength is an exact integer e6.
+
+_SEASTR_SQL = """
+WITH s AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(sum(round(value * 100)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+), t AS (
+  SELECT event_type, d, cents,
+         CASE WHEN count(*) OVER w7 = 7
+              THEN (sum(cents) OVER w7 * 1000000) // 7 END AS trend_micros
+  FROM s
+  WINDOW w7 AS (PARTITION BY event_type ORDER BY d
+                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), dt AS (
+  SELECT event_type, d, cents * 1000000 - trend_micros AS detr, isodow(d) AS wd
+  FROM t WHERE trend_micros IS NOT NULL
+), seas AS (
+  SELECT event_type, wd,
+         CAST(sum(detr) // count(detr) AS BIGINT) AS seasonal_micros
+  FROM dt GROUP BY 1, 2
+), r AS (
+  SELECT dt.event_type, dt.detr,
+         dt.detr - seas.seasonal_micros AS resid
+  FROM dt JOIN seas ON seas.event_type = dt.event_type AND seas.wd = dt.wd
+), v AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         count(*) * sum(resid * resid) - sum(resid) * sum(resid) AS num_r,
+         count(*) * sum(detr * detr) - sum(detr) * sum(detr) AS num_sr
+  FROM r GROUP BY 1
+)
+SELECT event_type, n AS n_days_used,
+       CAST(greatest(0, 1000000 - num_r * 1000000 // num_sr) AS BIGINT)
+         AS strength_e6
+FROM v ORDER BY event_type
+"""
+
+
+@_q("events_seasonality_strength", _SEASTR_SQL)
+def events_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyndman seasonal-strength F_s = max(0, 1 - Var(R)/Var(S+R)) of the
+    weekly pattern in each type's daily-revenue series, on the exact
+    decomposition events_stl_decompose defines (full-window trend only;
+    S+R = the detrended series, so the ratio needs no float means —
+    both variances are n*sum(x^2)-(sum x)^2 over the same n).
+
+    Scale: identical shape to the STL op — one (event_type, day)
+    collapse, day-span-bounded windows, a 7-row-per-series seasonal
+    model, then a per-series single-row variance aggregate in
+    DECIMAL(38,0)."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.sum(F.round(F.col("value") * 100)).cast("long").alias("cents")
+    )
+    w7 = W.partitionBy("event_type").orderBy("d").rowsBetween(-3, 3)
+    t = s.withColumn(
+        "trend_micros",
+        F.when(
+            F.count("*").over(w7) == 7,
+            F.expr(
+                "sum(cents) OVER (PARTITION BY event_type ORDER BY d "
+                "ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) * 1000000 div 7"
+            ),
+        ),
+    )
+    dt = t.filter(F.col("trend_micros").isNotNull()).select(
+        "event_type", "d",
+        (F.col("cents") * 1000000 - F.col("trend_micros")).alias("detr"),
+        (F.weekday("d") + 1).alias("wd"),
+    )
+    seas = dt.groupBy("event_type", "wd").agg(
+        F.expr("sum(detr) div count(detr)").cast("long")
+        .alias("seasonal_micros")
+    )
+    r = dt.join(seas, ["event_type", "wd"]).select(
+        "event_type", "detr",
+        (F.col("detr") - F.col("seasonal_micros")).alias("resid"),
+    )
+    v = r.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.expr(
+            "count(*) * sum(CAST(resid AS DECIMAL(38,0)) * resid)"
+            " - sum(CAST(resid AS DECIMAL(38,0)))"
+            " * sum(CAST(resid AS DECIMAL(38,0)))"
+        ).alias("num_r"),
+        F.expr(
+            "count(*) * sum(CAST(detr AS DECIMAL(38,0)) * detr)"
+            " - sum(CAST(detr AS DECIMAL(38,0)))"
+            " * sum(CAST(detr AS DECIMAL(38,0)))"
+        ).alias("num_sr"),
+    )
+    return v.select(
+        "event_type",
+        F.col("n").alias("n_days_used"),
+        F.expr(
+            "CAST(greatest(CAST(0 AS DECIMAL(38,0)),"
+            " 1000000 - num_r * 1000000 div num_sr) AS BIGINT)"
+        ).alias("strength_e6"),
+    ).orderBy("event_type")
