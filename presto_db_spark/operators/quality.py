@@ -28,6 +28,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from ..catalog import load_table
 
@@ -604,6 +605,108 @@ def quality_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("now_us") - F.col("last_us")).cast("long").alias("lag_us"),
             sla.cast("long").alias("sla_us"),
             ((F.col("now_us") - F.col("last_us")) > sla).alias("breached"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- Tukey IQR fence outlier report (r13) ------------------------------------
+# The standard box-plot outlier screen as a data-quality gate: exact
+# quartiles from the counted table, Tukey fences at 1.5 IQR, and the
+# per-stream outlier rate.  All comparisons are cross-multiplied by 2
+# (fences live at half-cent resolution), so nothing leaves integers.
+
+_IQR_SQL = """
+WITH x AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v FROM events
+), counted AS (
+  SELECT event_type, v, CAST(count(*) AS BIGINT) AS w FROM x GROUP BY 1, 2
+), c AS (
+  SELECT event_type, v, w,
+         sum(w) OVER (PARTITION BY event_type ORDER BY v) AS csum,
+         sum(w) OVER (PARTITION BY event_type) AS n
+  FROM counted
+), q AS (
+  SELECT event_type, max(n) AS n,
+         min(CASE WHEN csum * 4 >= n THEN v END) AS q1,
+         min(CASE WHEN csum * 4 >= 3 * n THEN v END) AS q3
+  FROM c GROUP BY 1
+), f AS (
+  SELECT event_type, n, q1, q3, q3 - q1 AS iqr,
+         2 * q1 - 3 * (q3 - q1) AS lo2,
+         2 * q3 + 3 * (q3 - q1) AS hi2
+  FROM q
+), o AS (
+  SELECT f.event_type,
+         CAST(sum(CASE WHEN 2 * x.v < f.lo2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_low,
+         CAST(sum(CASE WHEN 2 * x.v > f.hi2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_high
+  FROM x JOIN f ON f.event_type = x.event_type GROUP BY 1
+)
+SELECT f.event_type, CAST(f.n AS BIGINT) AS n,
+       CAST(f.q1 AS BIGINT) AS q1_cents, CAST(f.q3 AS BIGINT) AS q3_cents,
+       CAST(f.iqr AS BIGINT) AS iqr_cents, o.n_low, o.n_high,
+       CAST((o.n_low + o.n_high) * 1000000 // f.n AS BIGINT) AS outlier_ppm
+FROM f JOIN o ON o.event_type = f.event_type
+ORDER BY f.event_type
+"""
+
+
+@_q("quality_outlier_iqr", _IQR_SQL)
+def quality_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey 1.5-IQR outlier screen per event stream: exact Q1/Q3
+    (percentile_disc by the rank-quadrupling rule on the counted
+    table), half-cent-resolution fences (everything doubled so 1.5*IQR
+    stays integer), and the outlier rate in ppm.
+
+    Scale: one (stream, value, weight) collapse — the quartile windows
+    partition per stream over the value cardinality, never rows; the
+    fence probe is a broadcast join back to the stream (the fence table
+    is |streams| rows).  Pure integers end-to-end."""
+    ev = load_table(spark, sf_dir, "events")
+    x = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    counted = x.groupBy("event_type", "v").agg(
+        F.count("*").cast("long").alias("w")
+    )
+    wc = W.partitionBy("event_type").orderBy("v")
+    wn = W.partitionBy("event_type")
+    c = counted.select(
+        "event_type", "v", "w",
+        F.sum("w").over(wc).alias("csum"),
+        F.sum("w").over(wn).alias("n"),
+    )
+    q = c.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.min(F.when(F.col("csum") * 4 >= F.col("n"), F.col("v"))).alias("q1"),
+        F.min(F.when(F.col("csum") * 4 >= 3 * F.col("n"), F.col("v")))
+        .alias("q3"),
+    )
+    f = q.select(
+        "event_type", "n", "q1", "q3",
+        (F.col("q3") - F.col("q1")).alias("iqr"),
+        (2 * F.col("q1") - 3 * (F.col("q3") - F.col("q1"))).alias("lo2"),
+        (2 * F.col("q3") + 3 * (F.col("q3") - F.col("q1"))).alias("hi2"),
+    )
+    o = x.join(F.broadcast(f), "event_type").groupBy("event_type").agg(
+        F.sum(F.when(2 * F.col("v") < F.col("lo2"), 1).otherwise(0))
+        .cast("long").alias("n_low"),
+        F.sum(F.when(2 * F.col("v") > F.col("hi2"), 1).otherwise(0))
+        .cast("long").alias("n_high"),
+    )
+    return (
+        f.join(o, "event_type")
+        .select(
+            "event_type", F.col("n").cast("long").alias("n"),
+            F.col("q1").cast("long").alias("q1_cents"),
+            F.col("q3").cast("long").alias("q3_cents"),
+            F.col("iqr").cast("long").alias("iqr_cents"),
+            "n_low", "n_high",
+            F.expr("CAST((n_low + n_high) * 1000000 div n AS BIGINT)")
+            .alias("outlier_ppm"),
         )
         .orderBy("event_type")
     )

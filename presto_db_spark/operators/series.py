@@ -1536,3 +1536,133 @@ def events_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             " 1000000 - num_r * 1000000 div num_sr) AS BIGINT)"
         ).alias("strength_e6"),
     ).orderBy("event_type")
+
+
+# --- partial autocorrelation (Durbin-Levinson, lags 1..3, r13) ---------------
+# The PACF companion to events_acf — the Box-Jenkins AR-order
+# diagnostic.  Autocovariance numerators C_k are EXACT integers via the
+# multiply-through-by-n device (d_t = n*x_t - S, so C_k = sum d_t
+# d_{t+k} carries no float mean); the Durbin-Levinson closed forms then
+# run in IEEE doubles with the IDENTICAL expression tree on both
+# engines (+,*,/ are correctly rounded, so the e6-rounded outputs are
+# bit-equal — the emb_int8_quantize determinism argument).
+
+_PACF_SQL = """
+WITH s AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(sum(round(value * 100)) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), m AS (
+  SELECT event_type, d,
+         count(*) OVER (PARTITION BY event_type) * x
+           - sum(x) OVER (PARTITION BY event_type) AS dev,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM s
+), ck AS (
+  SELECT a.event_type, max(a.n) AS n,
+         sum(CASE WHEN b.d = a.d THEN a.dev * b.dev END) AS c0,
+         sum(CASE WHEN b.d = a.d + 1 THEN a.dev * b.dev END) AS c1,
+         sum(CASE WHEN b.d = a.d + 2 THEN a.dev * b.dev END) AS c2,
+         sum(CASE WHEN b.d = a.d + 3 THEN a.dev * b.dev END) AS c3
+  FROM m a JOIN m b
+    ON b.event_type = a.event_type
+   AND b.d BETWEEN a.d AND a.d + 3
+  GROUP BY a.event_type
+), r AS (
+  SELECT event_type, n,
+         CAST(c1 AS DOUBLE) / CAST(c0 AS DOUBLE) AS r1,
+         CAST(c2 AS DOUBLE) / CAST(c0 AS DOUBLE) AS r2,
+         CAST(c3 AS DOUBLE) / CAST(c0 AS DOUBLE) AS r3
+  FROM ck
+), dl AS (
+  SELECT event_type, n, r1, r2, r3,
+         (r2 - r1 * r1) / (1 - r1 * r1) AS p22
+  FROM r
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_days,
+       CAST(round(r1 * 1000000) AS BIGINT) AS pacf1_e6,
+       CAST(round(p22 * 1000000) AS BIGINT) AS pacf2_e6,
+       CAST(round(
+         (r3 - (r1 * (1 - p22)) * r2 - p22 * r1)
+         / (1 - (r1 * (1 - p22)) * r1 - p22 * r2) * 1000000
+       ) AS BIGINT) AS pacf3_e6
+FROM dl ORDER BY event_type
+"""
+
+
+@_q("events_pacf_yw", _PACF_SQL)
+def events_pacf_yw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelations at lags 1..3 of each type's daily-revenue
+    series by the Durbin-Levinson recursion unrolled to closed form:
+    pacf1 = r1, pacf2 = (r2-r1^2)/(1-r1^2), pacf3 from the order-2
+    coefficients.  C_k are exact DECIMAL(38,0) integers; the rational
+    algebra runs in doubles with one shared expression tree.
+
+    Scale: day-grain collapse first (the module contract), a bounded
+    4-lag range self-join per series, then a per-series single-row
+    aggregate — the lagged pair count is 4x the day span regardless of
+    raw rows."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.sum(F.round(F.col("value") * 100)).cast("long").alias("x")
+    )
+    wp = W.partitionBy("event_type")
+    m = s.select(
+        "event_type", "d",
+        (F.count("*").over(wp) * F.col("x") - F.sum("x").over(wp))
+        .alias("dev"),
+        F.count("*").over(wp).alias("n"),
+    )
+    a, b = m.alias("a"), m.alias("b")
+    ck = (
+        a.join(
+            b,
+            (F.col("b.event_type") == F.col("a.event_type"))
+            & (F.col("b.d") >= F.col("a.d"))
+            & (F.col("b.d") <= F.date_add(F.col("a.d"), 3)),
+        )
+        .select(
+            F.col("a.event_type").alias("event_type"),
+            F.col("a.n").alias("n"),
+            F.datediff(F.col("b.d"), F.col("a.d")).alias("lag"),
+            F.expr("CAST(a.dev AS DECIMAL(38,0)) * b.dev").alias("prod"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.sum(F.when(F.col("lag") == 0, F.col("prod"))).alias("c0"),
+            F.sum(F.when(F.col("lag") == 1, F.col("prod"))).alias("c1"),
+            F.sum(F.when(F.col("lag") == 2, F.col("prod"))).alias("c2"),
+            F.sum(F.when(F.col("lag") == 3, F.col("prod"))).alias("c3"),
+        )
+    )
+    r = ck.select(
+        "event_type", "n",
+        (F.col("c1").cast("double") / F.col("c0").cast("double")).alias("r1"),
+        (F.col("c2").cast("double") / F.col("c0").cast("double")).alias("r2"),
+        (F.col("c3").cast("double") / F.col("c0").cast("double")).alias("r3"),
+    )
+    dl = r.withColumn(
+        "p22",
+        (F.col("r2") - F.col("r1") * F.col("r1"))
+        / (F.lit(1.0) - F.col("r1") * F.col("r1")),
+    )
+    return dl.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.round(F.col("r1") * 1000000).cast("long").alias("pacf1_e6"),
+        F.round(F.col("p22") * 1000000).cast("long").alias("pacf2_e6"),
+        F.round(
+            (
+                F.col("r3")
+                - (F.col("r1") * (F.lit(1.0) - F.col("p22"))) * F.col("r2")
+                - F.col("p22") * F.col("r1")
+            )
+            / (
+                F.lit(1.0)
+                - (F.col("r1") * (F.lit(1.0) - F.col("p22"))) * F.col("r1")
+                - F.col("p22") * F.col("r2")
+            )
+            * 1000000
+        ).cast("long").alias("pacf3_e6"),
+    ).orderBy("event_type")

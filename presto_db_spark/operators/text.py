@@ -14,6 +14,7 @@ from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from ..catalog import load_table
 
@@ -3334,3 +3335,83 @@ def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 text_burstiness.__doc__ = text_burstiness.__doc__.format(
     top=BURST_TOP, mindocs=BURST_MIN_DOCS
 )
+
+
+# --- per-source training datacard (r13) --------------------------------------
+# The "datasheet" rollup a curation run publishes per source before a
+# mix is chosen: volume (docs/chars/tokens), shape (mean length, short-
+# doc rate), and language profile (distinct langs + dominant lang).
+# One pass over the corpus; every derived figure is an exact integer.
+
+_DATACARD_SQL = """
+WITH d AS (
+  SELECT source, lang, n_chars,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS toks,
+         CASE WHEN n_chars < 100 THEN 1 ELSE 0 END AS short
+  FROM documents
+), per_src AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         CAST(sum(toks) AS BIGINT) AS total_tokens,
+         CAST(sum(short) * 1000 // count(*) AS BIGINT) AS short_pm,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+  FROM d GROUP BY 1
+), lc AS (
+  SELECT source, lang, count(*) AS c FROM d GROUP BY 1, 2
+), top AS (
+  SELECT source, min(lang) AS top_lang FROM lc l1
+  WHERE c = (SELECT max(c) FROM lc l2 WHERE l2.source = l1.source)
+  GROUP BY source
+)
+SELECT p.source, p.n_docs, p.total_chars,
+       CAST(p.total_chars * 100 // p.n_docs AS BIGINT) AS avg_chars_e2,
+       p.total_tokens, p.short_pm, p.n_langs, t.top_lang
+FROM per_src p JOIN top t ON t.source = p.source
+ORDER BY p.source
+"""
+
+
+@_q("train_source_datacard", _DATACARD_SQL)
+def train_source_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source datacard: docs, chars, whitespace tokens, mean length
+    (e2), short-doc rate (per-mille under 100 chars), distinct
+    languages, and the dominant language (lexicographic-min among the
+    modal counts — deterministic under ties).
+
+    Scale: two map-side-combinable groupBys (source; source x lang —
+    the second's cardinality is sources x langs, tiny) and a per-source
+    max-count pick via window; no shuffle touches raw text twice, and
+    the output is |sources| rows at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "source", "lang", F.col("n_chars").cast("long").alias("n_chars"),
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("toks"),
+        F.when(F.col("n_chars") < 100, 1).otherwise(0).alias("short"),
+    )
+    per_src = d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum("toks").cast("long").alias("total_tokens"),
+        F.expr("CAST(sum(short) * 1000 div count(*) AS BIGINT)")
+        .alias("short_pm"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+    )
+    lc = d.groupBy("source", "lang").agg(F.count("*").alias("c"))
+    wmax = W.partitionBy("source")
+    top = (
+        lc.withColumn("cmax", F.max("c").over(wmax))
+        .filter(F.col("c") == F.col("cmax"))
+        .groupBy("source")
+        .agg(F.min("lang").alias("top_lang"))
+    )
+    return (
+        per_src.join(top, "source")
+        .select(
+            "source", "n_docs", "total_chars",
+            F.expr("CAST(total_chars * 100 div n_docs AS BIGINT)")
+            .alias("avg_chars_e2"),
+            "total_tokens", "short_pm", "n_langs", "top_lang",
+        )
+        .orderBy("source")
+    )
