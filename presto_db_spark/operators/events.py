@@ -4159,3 +4159,192 @@ def events_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 events_rolling_median.__doc__ = events_rolling_median.__doc__.format(
     w=_ROLLMED_WIN
 )
+
+
+# --- delta-method CI for a ratio metric (r13) --------------------------------
+# The A/B family tests per-user means (welch) and ranks (mann-whitney);
+# the workhorse PRODUCTION metric is a RATIO of sums (revenue per
+# event, clicks per view) whose denominator is itself random — naive
+# SEs are wrong, the delta method is the standard fix.  Moment sums are
+# exact integers; the variance algebra runs in one shared double
+# expression tree (the events_pacf_yw determinism device); z is an e9
+# constant.
+
+_DELTA_Z = 1.959963985  # normal 97.5% quantile, fixed literal
+
+_DELTAM_SQL = f"""
+WITH u AS (
+  SELECT user_id, user_id % 2 AS arm,
+         CAST(sum(round(value * 100)) AS BIGINT) AS x,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), m AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM u GROUP BY 1
+), d AS (
+  SELECT arm, n,
+         CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE) AS r,
+         (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) / (n - 1) AS vx,
+         (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n) / (n - 1) AS vy,
+         (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n) / (n - 1) AS cxy,
+         CAST(sy AS DOUBLE) / n AS ybar
+  FROM m
+), s AS (
+  SELECT arm, n, r,
+         sqrt((vx + r * r * vy - 2 * r * cxy) / (ybar * ybar * n)) AS se
+  FROM d
+)
+SELECT CAST(arm AS BIGINT) AS arm, n AS n_users,
+       CAST(round(r * 1000000) AS BIGINT) AS ratio_e6,
+       CAST(round(se * 1000000) AS BIGINT) AS se_e6,
+       CAST(round((r - {_DELTA_Z} * se) * 1000000) AS BIGINT) AS ci_lo_e6,
+       CAST(round((r + {_DELTA_Z} * se) * 1000000) AS BIGINT) AS ci_hi_e6
+FROM s ORDER BY arm
+"""
+
+
+@_q("events_ab_delta_method", _DELTAM_SQL)
+def events_ab_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method standard error and 95% CI for the ratio metric
+    revenue-cents-per-event by experiment arm (user_id parity):
+    Var(X/Y) ~ (s_x^2 + R^2 s_y^2 - 2R s_xy)/(ybar^2 n), the
+    denominator-is-random correction a per-user t-test gets wrong.
+
+    Scale: one user collapse + one 6-sum arm aggregate (both map-side
+    combinable) — 2 output rows at any data size; integer moment sums,
+    shared double tree for the variance algebra (sqrt is IEEE
+    correctly rounded), e6 outputs."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id", (F.col("user_id") % 2).alias("arm")).agg(
+        F.sum(F.round(F.col("value") * 100)).cast("long").alias("x"),
+        F.count("*").cast("long").alias("y"),
+    )
+    m = u.groupBy("arm").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    d = m.selectExpr(
+        "arm", "n",
+        "CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE) AS r",
+        "(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) / (n - 1) AS vx",
+        "(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n) / (n - 1) AS vy",
+        "(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n) / (n - 1) AS cxy",
+        "CAST(sy AS DOUBLE) / n AS ybar",
+    ).selectExpr(
+        "arm", "n", "r",
+        "sqrt((vx + r * r * vy - 2 * r * cxy) / (ybar * ybar * n)) AS se",
+    )
+    return d.selectExpr(
+        "CAST(arm AS BIGINT) AS arm",
+        "n AS n_users",
+        "CAST(round(r * 1000000) AS BIGINT) AS ratio_e6",
+        "CAST(round(se * 1000000) AS BIGINT) AS se_e6",
+        f"CAST(round((r - {_DELTA_Z} * se) * 1000000) AS BIGINT) AS ci_lo_e6",
+        f"CAST(round((r + {_DELTA_Z} * se) * 1000000) AS BIGINT) AS ci_hi_e6",
+    ).orderBy("arm")
+
+
+# --- Jarque-Bera normality test (r13) ----------------------------------------
+# The omnibus normality check on each type's daily-revenue series —
+# the gate before any Gaussian-assuming test (welch, power analysis)
+# is trusted.  Central moment sums are exact via the n*x - S device
+# (no float means); skewness/kurtosis/JB run in one shared double
+# expression tree; the chi^2(2) 5% critical value is a fixed literal.
+
+_JB_CRIT = 5.991465  # chi^2(2) upper 5%
+
+_JB_SQL = f"""
+WITH s AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(sum(round(value * 100)) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), m AS (
+  SELECT event_type,
+         count(*) OVER (PARTITION BY event_type) * x
+           - sum(x) OVER (PARTITION BY event_type) AS dev,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM s
+), mm AS (
+  SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+         sum(dev * dev) AS m2s,
+         sum(dev * dev * dev) AS m3s,
+         sum(dev * dev * dev * dev) AS m4s
+  FROM m GROUP BY 1
+), g AS (
+  SELECT event_type, n,
+         CAST(m2s AS DOUBLE) / n / n / n AS m2,
+         CAST(m3s AS DOUBLE) / n / n / n / n AS m3,
+         CAST(m4s AS DOUBLE) / n / n / n / n / n AS m4
+  FROM mm
+), jb AS (
+  SELECT event_type, n,
+         m3 / (m2 * sqrt(m2)) AS g1,
+         m4 / (m2 * m2) - 3 AS g2
+  FROM g
+)
+SELECT event_type, n AS n_days,
+       CAST(round(g1 * 1000000) AS BIGINT) AS skew_e6,
+       CAST(round(g2 * 1000000) AS BIGINT) AS exkurt_e6,
+       CAST(round(n / 6.0 * (g1 * g1 + g2 * g2 / 4) * 1000000) AS BIGINT)
+         AS jb_e6,
+       n / 6.0 * (g1 * g1 + g2 * g2 / 4) < {_JB_CRIT} AS normal_5pct
+FROM jb ORDER BY event_type
+"""
+
+
+@_q("events_jarque_bera", _JB_SQL)
+def events_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera omnibus normality test per daily-revenue series:
+    population skewness g1 and excess kurtosis g2 from exact integer
+    central-moment sums (dev = n*x - S), JB = n/6*(g1^2 + g2^2/4)
+    against the chi^2(2) 5% critical value.
+
+    Scale: day-grain collapse + per-series windows bounded by the day
+    span + a per-series single-row DECIMAL(38,0) moment aggregate; the
+    double algebra (incl. sqrt — IEEE correctly rounded) is one shared
+    expression tree, so e6 outputs and the verdict agree bit-for-bit
+    across engines."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.sum(F.round(F.col("value") * 100)).cast("long").alias("x")
+    )
+    wp = W.partitionBy("event_type")
+    m = s.select(
+        "event_type",
+        (F.count("*").over(wp) * F.col("x") - F.sum("x").over(wp))
+        .alias("dev"),
+        F.count("*").over(wp).alias("n"),
+    )
+    mm = m.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.sum(F.expr("CAST(dev AS DECIMAL(38,0)) * dev")).alias("m2s"),
+        F.sum(F.expr("CAST(dev AS DECIMAL(38,0)) * dev * dev")).alias("m3s"),
+        F.sum(F.expr("CAST(dev AS DECIMAL(38,0)) * dev * dev * dev"))
+        .alias("m4s"),
+    )
+    g = mm.selectExpr(
+        "event_type", "n",
+        "CAST(m2s AS DOUBLE) / n / n / n AS m2",
+        "CAST(m3s AS DOUBLE) / n / n / n / n AS m3",
+        "CAST(m4s AS DOUBLE) / n / n / n / n / n AS m4",
+    ).selectExpr(
+        "event_type", "n",
+        "m3 / (m2 * sqrt(m2)) AS g1",
+        "m4 / (m2 * m2) - 3 AS g2",
+    )
+    return g.selectExpr(
+        "event_type", "n AS n_days",
+        "CAST(round(g1 * 1000000) AS BIGINT) AS skew_e6",
+        "CAST(round(g2 * 1000000) AS BIGINT) AS exkurt_e6",
+        "CAST(round(n / 6.0 * (g1 * g1 + g2 * g2 / 4) * 1000000) AS BIGINT)"
+        " AS jb_e6",
+        f"n / 6.0 * (g1 * g1 + g2 * g2 / 4) < {_JB_CRIT} AS normal_5pct",
+    ).orderBy("event_type")

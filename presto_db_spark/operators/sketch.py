@@ -996,3 +996,93 @@ def sketch_theta_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             "true_common",
         )
     )
+
+
+# --- Bloom filter size planner (r13) -----------------------------------------
+# dedup_bloom_prefilter and join_bloom_prefilter USE Bloom filters; this
+# op plans them: for each (relation key, target FPR) pair, the optimal
+# bit count m = ceil(n * ln(1/p) / ln(2)^2) and hash count
+# k = round(m/n * ln 2) from the measured NDV.  The two transcendental
+# constants are e9-quantized Python literals embedded identically in
+# both engines, so the plan is exact integer arithmetic — the sizing
+# table a 100 TB shuffle-pruning deploy reads before allocating bits.
+
+import math as _math
+
+_BLOOM_FPRS = (100, 1000)  # 1/fpr: 1% and 0.1%
+_BLOOM_C = {  # ln(1/p)/ln(2)^2, e9
+    f: round(_math.log(f) / (_math.log(2) ** 2) * 1e9) for f in _BLOOM_FPRS
+}
+_LN2_E9 = round(_math.log(2) * 1e9)
+
+_BLOOMPLAN_SQL = f"""
+WITH ndv AS (
+  SELECT 'orders.o_custkey' AS rel, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n
+  FROM orders
+  UNION ALL
+  SELECT 'lineitem.l_partkey', CAST(count(DISTINCT l_partkey) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'events.user_id', CAST(count(DISTINCT user_id) AS BIGINT) FROM events
+), fpr(inv_fpr, c_e9) AS (
+  VALUES {", ".join(f"({f}, {c})" for f, c in sorted(_BLOOM_C.items()))}
+), plan AS (
+  SELECT rel, n, inv_fpr,
+         (n * c_e9 + 999999999) // 1000000000 AS m_bits
+  FROM ndv, fpr
+)
+SELECT rel, n AS ndv, CAST(inv_fpr AS BIGINT) AS inv_fpr,
+       CAST(m_bits AS BIGINT) AS m_bits,
+       CAST((m_bits + 7) // 8 AS BIGINT) AS m_bytes,
+       CAST((m_bits * {_LN2_E9} + n * 500000000) // (n * 1000000000)
+            AS BIGINT) AS k_hashes,
+       CAST(m_bits * 100 // n AS BIGINT) AS bits_per_key_e2
+FROM plan ORDER BY rel, inv_fpr
+"""
+
+
+@_q("sketch_bloom_size_planner", _BLOOMPLAN_SQL)
+def sketch_bloom_size_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom sizing plan for three join/dedup key columns at 1% and 0.1%
+    target FPR: measured NDV -> optimal bits (ceil(n*ln(1/p)/ln2^2)),
+    bytes, and hash count (round(m/n*ln2)) — all via e9 integer
+    constants, no runtime transcendentals.
+
+    Scale: three map-side-combinable count-distincts (exact NDV here;
+    swap in approx_distinct at 100 TB — the plan formula is the same),
+    cross-joined with a 2-row constant FPR table; output is
+    |keys| x |FPRs| rows."""
+    orders = _t(spark, sf_dir, "orders")[0]
+    li = _t(spark, sf_dir, "lineitem")[0]
+    ev = _t(spark, sf_dir, "events")[0]
+    ndv = (
+        orders.agg(F.countDistinct("o_custkey").cast("long").alias("n"))
+        .select(F.lit("orders.o_custkey").alias("rel"), "n")
+        .unionAll(
+            li.agg(F.countDistinct("l_partkey").cast("long").alias("n"))
+            .select(F.lit("lineitem.l_partkey").alias("rel"), "n")
+        )
+        .unionAll(
+            ev.agg(F.countDistinct("user_id").cast("long").alias("n"))
+            .select(F.lit("events.user_id").alias("rel"), "n")
+        )
+    )
+    fpr = F.broadcast(
+        spark.createDataFrame(
+            sorted(_BLOOM_C.items()), "inv_fpr long, c_e9 long"
+        )
+    )
+    plan = ndv.crossJoin(fpr).withColumn(
+        "m_bits", F.expr("(n * c_e9 + 999999999) div 1000000000")
+    )
+    return plan.select(
+        "rel",
+        F.col("n").alias("ndv"),
+        "inv_fpr",
+        "m_bits",
+        F.expr("(m_bits + 7) div 8").alias("m_bytes"),
+        F.expr(
+            f"(m_bits * {_LN2_E9} + n * 500000000) div (n * 1000000000)"
+        ).alias("k_hashes"),
+        F.expr("m_bits * 100 div n").alias("bits_per_key_e2"),
+    ).orderBy("rel", "inv_fpr")

@@ -1342,3 +1342,98 @@ def warehouse_retention_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
 warehouse_retention_expiry.__doc__ = warehouse_retention_expiry.__doc__.format(
     cuts=", ".join(f"{k}<{v}" for k, v in sorted(RETENTION_CUTOFFS.items()))
 )
+
+
+# --- XYZ demand-variability classification (r13) -----------------------------
+# The companion axis to part_abc_classification: ABC ranks by VALUE,
+# XYZ classes by demand VARIABILITY (coefficient of variation of
+# monthly quantity), and inventory policy reads the cross of the two.
+# Zero-demand months cost nothing here: with population moments over
+# the GLOBAL month span N, absent months contribute 0 to both sums, so
+# CV^2 = (N*Sxx - S^2)/S^2 needs no calendar expansion — and the class
+# cuts (X < 0.5, Y < 1.0) are integer cross-multiplications.
+
+_XYZ_SQL = """
+WITH months AS (
+  SELECT CAST(count(DISTINCT year(l_shipdate)) AS BIGINT) AS nm
+  FROM lineitem
+), pm AS (
+  SELECT l_partkey,
+         year(l_shipdate) AS ym,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem GROUP BY 1, 2
+), p AS (
+  SELECT l_partkey, CAST(sum(q) AS BIGINT) AS s,
+         CAST(sum(q * q) AS BIGINT) AS sxx,
+         CAST(count(*) AS BIGINT) AS active_years
+  FROM pm GROUP BY 1
+), cls AS (
+  SELECT p.l_partkey, p.active_years,
+         CASE WHEN 4 * (months.nm * p.sxx - p.s * p.s) < p.s * p.s THEN 'X'
+              WHEN months.nm * p.sxx - p.s * p.s < p.s * p.s THEN 'Y'
+              ELSE 'Z' END AS xyz
+  FROM p, months
+)
+SELECT xyz, CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(active_years) AS BIGINT) AS total_active_years,
+       CAST(count(*) * 1000 // (SELECT count(*) FROM cls) AS BIGINT)
+         AS share_pm
+FROM cls GROUP BY xyz ORDER BY xyz
+"""
+
+
+@_q("part_xyz_variability", _XYZ_SQL)
+def part_xyz_variability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XYZ classification of parts by yearly-demand variability:
+    population CV over the global year span (absent years are exact
+    zeros by construction — no calendar expansion), with the X/Y cuts
+    at CV 0.5 / 1.0 done as integer cross-multiplications of
+    N*Sxx - S^2 against S^2 — no square roots, no floats.  Yearly is
+    the grain that separates classes on this corpus's 7-year span
+    (monthly demand at TPC-H sparsity is all-Z — the grain is the
+    policy knob, the math is grain-free).
+
+    Scale: one (part, year) collapse + one per-part moment groupBy
+    (both map-side combinable) + a 1-row month-span broadcast; output
+    is 3 rows.  The cross with part_abc_classification is the
+    inventory-policy matrix."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ym = F.year("l_shipdate")
+    months = li.agg(
+        F.countDistinct(ym).cast("long").alias("nm")
+    )
+    pm = li.groupBy(F.col("l_partkey"), ym.alias("ym")).agg(
+        F.sum(F.round("l_quantity").cast("long")).cast("long").alias("q")
+    )
+    p = pm.groupBy("l_partkey").agg(
+        F.sum("q").cast("long").alias("s"),
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("sxx"),
+        F.count("*").cast("long").alias("active_years"),
+    )
+    cls = p.crossJoin(F.broadcast(months)).select(
+        "l_partkey", "active_years",
+        F.when(
+            4 * (F.col("nm") * F.col("sxx") - F.col("s") * F.col("s"))
+            < F.col("s") * F.col("s"), "X",
+        )
+        .when(
+            F.col("nm") * F.col("sxx") - F.col("s") * F.col("s")
+            < F.col("s") * F.col("s"), "Y",
+        )
+        .otherwise("Z").alias("xyz"),
+    )
+    tot = cls.agg(F.count("*").cast("long").alias("ntot"))
+    return (
+        cls.groupBy("xyz")
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.sum("active_years").cast("long").alias("total_active_years"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "xyz", "n_parts", "total_active_years",
+            F.expr("CAST(n_parts * 1000 div ntot AS BIGINT)")
+            .alias("share_pm"),
+        )
+        .orderBy("xyz")
+    )
