@@ -195,7 +195,7 @@ _BATTERY_HEAD: list[str] = [
     # kNN-graph builder is the ANN family's new substrate op; MRL rerank
     # was driver-sampled r09-r11 and stays green in CORRECTNESS_FULL)
     "text_bpe_train_rounds", "sim_ann_recall", "events_markov_stationary",
-    "events_rfm_scores_scalable", "cdc_apply_changes",
+    "events_rfm_scores_scalable", "events_kaplan_meier",
     "sim_mmr_diversify",
     # (r10b: multimodal_phash → multimodal_patchify — the patch-token op
     # exercises a SUPERSET of phash's surface: the real BMP byte parse,
@@ -208,7 +208,7 @@ _BATTERY_HEAD: list[str] = [
     # (r12: multimodal_png_roundtrip → multimodal_flac_roundtrip — the
     # codec-gate-retiring FLAC roundtrip takes the codec slot; PNG was
     # driver-sampled r11 and stays green in CORRECTNESS_FULL)
-    "multimodal_flac_roundtrip", "part_abc_scalable",
+    "multimodal_flac_roundtrip", "part_xyz_variability",
     # presto-ml distributed trainers
     # (r11e: ml_classify_centroid → ml_logistic_regression — the
     # iterative GD trainer with the unrolled-trajectory oracle is the ML
@@ -245,6 +245,14 @@ _BATTERY_HEAD: list[str] = [
     #     (exact-integer power iteration),
     #   sketch_count_min → emb_simplified_silhouette (the emb_* family's
     #     FIRST head slot — never driver-sampled before r13))
+    # (r13 late rotation — two slots move to ops built this round:
+    #   cdc_apply_changes → events_kaplan_meier (the exact product-limit
+    #     fold, the strongest new r13b shape; CDC was driver-sampled r12
+    #     and the warehouse family keeps warehouse_clustering_depth),
+    #   part_abc_scalable → part_xyz_variability (the variability axis
+    #     joins the battery the round it shipped; ABC-scalable was
+    #     driver-sampled r10-r12). Both displaced entries stay green in
+    #     CORRECTNESS_FULL every round.)
     "ml_lift_gains", "graph_random_walks",
 ]
 
