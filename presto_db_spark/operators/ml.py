@@ -2384,3 +2384,166 @@ def ml_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE 0 END AS BIGINT)"
         ).alias("chi2_e6"),
     )
+
+
+# --- permutation feature importance (r13) ------------------------------------
+# Model-agnostic importance the way production eval does it: break one
+# feature's association by permuting it ACROSS the fixed eval set and
+# measure the accuracy drop.  The permutation must be deterministic to
+# cross engines, so it is a CYCLIC SHIFT in md5 order: rank eval rows
+# by a seeded hash, then row r takes feature j's value from row
+# (r mod n)+1 — a full derangement-like permutation both engines
+# reproduce exactly.  Unseen permuted cells fall back to the global
+# majority (the model's honest out-of-vocabulary answer).
+
+_PI_SEED = "pi1:"
+
+_PERMIMP_SQL = f"""
+WITH base AS (
+  SELECT o_orderkey AS k,
+         CASE WHEN o_totalprice >= 160000 THEN 1 ELSE 0 END AS y,
+         least(CAST(round(o_totalprice * 100) AS BIGINT) // {LC_BUCKET_CENTS},
+               9) AS f1,
+         CAST(year(o_orderdate) AS BIGINT) AS f2,
+         ('0x' || substr(md5('{_PI_SEED}' || CAST(o_orderkey AS VARCHAR)),
+                         1, 12))::BIGINT AS h
+  FROM orders
+), train AS (
+  SELECT * FROM base WHERE k % 5 <> 0
+), cells AS (
+  SELECT f1, f2,
+         CASE WHEN 2 * sum(y) > count(*) THEN 1 ELSE 0 END AS maj
+  FROM train GROUP BY 1, 2
+), gm AS (
+  SELECT CASE WHEN 2 * sum(y) > count(*) THEN 1 ELSE 0 END AS gmaj
+  FROM train
+), evr AS (
+  SELECT k, y, f1, f2,
+         row_number() OVER (ORDER BY h, k) AS rn,
+         count(*) OVER () AS n
+  FROM base WHERE k % 5 = 0
+), perm AS (
+  SELECT a.y, a.f1, a.f2, b.f1 AS pf1, b.f2 AS pf2
+  FROM evr a JOIN evr b ON b.rn = a.rn % a.n + 1
+), scored AS (
+  SELECT 'baseline' AS variant, p.y,
+         coalesce(c.maj, gm.gmaj) AS pred
+  FROM perm p LEFT JOIN cells c ON c.f1 = p.f1 AND c.f2 = p.f2, gm
+  UNION ALL
+  SELECT 'permute_price_bucket', p.y, coalesce(c.maj, gm.gmaj)
+  FROM perm p LEFT JOIN cells c ON c.f1 = p.pf1 AND c.f2 = p.f2, gm
+  UNION ALL
+  SELECT 'permute_year', p.y, coalesce(c.maj, gm.gmaj)
+  FROM perm p LEFT JOIN cells c ON c.f1 = p.f1 AND c.f2 = p.pf2, gm
+), acc AS (
+  SELECT variant, CAST(count(*) AS BIGINT) AS n_eval,
+         CAST(sum(CASE WHEN pred = y THEN 1 ELSE 0 END) * 1000000
+              // count(*) AS BIGINT) AS accuracy_e6
+  FROM scored GROUP BY 1
+)
+SELECT variant, n_eval, accuracy_e6,
+       CAST((SELECT accuracy_e6 FROM acc WHERE variant = 'baseline')
+            - accuracy_e6 AS BIGINT) AS drop_e6
+FROM acc ORDER BY variant
+"""
+
+
+@_q("ml_permutation_importance", _PERMIMP_SQL)
+def ml_permutation_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation importance of the two features of the cell-majority
+    high-value model (y = totalprice >= 160k — mid-bucket, so the boundary
+    bucket is mixed and the baseline imperfect; features = price bucket
+    and order year — the bucket carries nearly all the signal and the
+    year none, which is exactly the ranking the statistic must recover;
+    the one mixed boundary bucket keeps the baseline below perfect):
+    accuracy on the fixed orderkey%5 eval set, then with each feature
+    cyclically shifted in seeded-md5 order (deterministic permutation),
+    reported as the accuracy drop e6.  Unseen permuted cells predict
+    the global training majority.
+
+    Scale: training is ONE (f1, f2) count groupBy (broadcast-size
+    model); the eval ranking rides distrank.global_index (no
+    single-partition window over eval rows); the shift is one
+    rank-to-rank+1 self-join; the three variants share one scan via a
+    union of broadcast-model joins."""
+    from .distrank import global_index
+
+    orders = _t(spark, sf_dir, "orders")[0]
+    base = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.when(F.col("o_totalprice") >= 160000, 1).otherwise(0).alias("y"),
+        F.least(
+            F.expr(
+                f"CAST(round(o_totalprice * 100) AS BIGINT)"
+                f" div {LC_BUCKET_CENTS}"
+            ),
+            F.lit(9).cast("long"),
+        ).alias("f1"),
+        F.year("o_orderdate").cast("long").alias("f2"),
+        F.expr(
+            f"CAST(conv(substr(md5(concat('{_PI_SEED}',"
+            f" CAST(o_orderkey AS STRING))), 1, 12), 16, 10) AS BIGINT)"
+        ).alias("h"),
+    )
+    train = base.filter(F.col("k") % 5 != 0)
+    cells = train.groupBy("f1", "f2").agg(
+        F.when(2 * F.sum("y") > F.count("*"), 1).otherwise(0).alias("maj")
+    )
+    gm = train.agg(
+        F.when(2 * F.sum("y") > F.count("*"), 1).otherwise(0).alias("gmaj")
+    )
+    ev = base.filter(F.col("k") % 5 == 0)
+    evr = global_index(ev, [F.col("h"), F.col("k")]).select(
+        "y", "f1", "f2", F.col("__rn").alias("rn"),
+        F.col("__n_total").alias("n"),
+    )
+    a, b = evr.alias("a"), evr.alias("b")
+    perm = a.join(
+        b, F.col("b.rn") == F.col("a.rn") % F.col("a.n") + 1
+    ).select(
+        F.col("a.y").alias("y"), F.col("a.f1").alias("f1"),
+        F.col("a.f2").alias("f2"),
+        F.col("b.f1").alias("pf1"), F.col("b.f2").alias("pf2"),
+    )
+    cb = F.broadcast(cells)
+    gmb = F.broadcast(gm)
+
+    def _score(variant: str, c1: str, c2: str) -> DataFrame:
+        return (
+            perm.join(
+                cb,
+                (cb["f1"] == perm[c1]) & (cb["f2"] == perm[c2]),
+                "left",
+            )
+            .crossJoin(gmb)
+            .select(
+                F.lit(variant).alias("variant"),
+                perm["y"].alias("yy"),
+                F.coalesce(cb["maj"], F.col("gmaj")).alias("pred"),
+            )
+        )
+
+    scored = (
+        _score("baseline", "f1", "f2")
+        .unionAll(_score("permute_price_bucket", "pf1", "f2"))
+        .unionAll(_score("permute_year", "f1", "pf2"))
+    )
+    acc = scored.groupBy("variant").agg(
+        F.count("*").cast("long").alias("n_eval"),
+        F.expr(
+            "CAST(sum(CASE WHEN pred = yy THEN 1 ELSE 0 END) * 1000000"
+            " div count(*) AS BIGINT)"
+        ).alias("accuracy_e6"),
+    )
+    basev = acc.filter(F.col("variant") == "baseline").select(
+        F.col("accuracy_e6").alias("base_acc")
+    )
+    return (
+        acc.crossJoin(F.broadcast(basev))
+        .select(
+            "variant", "n_eval", "accuracy_e6",
+            (F.col("base_acc") - F.col("accuracy_e6")).cast("long")
+            .alias("drop_e6"),
+        )
+        .orderBy("variant")
+    )

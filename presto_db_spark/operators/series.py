@@ -1666,3 +1666,109 @@ def events_pacf_yw(spark: SparkSession, sf_dir: str) -> DataFrame:
             * 1000000
         ).cast("long").alias("pacf3_e6"),
     ).orderBy("event_type")
+
+
+# --- DiD parallel-trends pre-test (r13) --------------------------------------
+# events_diff_in_diff assumes parallel trends; this is the test that
+# earns the assumption: separate OLS slopes of daily revenue on the day
+# index for treated/control over the PRE period only, and the z-test on
+# the slope difference.  Sums are exact integers; the slope/SE algebra
+# is one shared double expression tree (the events_pacf_yw device);
+# the 1.96 critical value is a fixed literal.
+
+_PT_Z = 1.959963985
+
+_PTREND_SQL = f"""
+WITH s AS (
+  SELECT user_id % 2 = 0 AS treated,
+         day(CAST(ts AS DATE)) AS t,
+         CAST(sum(round(value * 100)) AS BIGINT) AS y
+  FROM events
+  WHERE event_type = 'purchase' AND day(CAST(ts AS DATE)) <= 15
+  GROUP BY 1, 2
+), m AS (
+  SELECT treated, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(t) AS BIGINT) AS st, CAST(sum(t * t) AS BIGINT) AS stt,
+         CAST(sum(y) AS BIGINT) AS sy, CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(t * y) AS BIGINT) AS sty
+  FROM s GROUP BY 1
+), d AS (
+  SELECT treated, n,
+         CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * st / n AS sxx,
+         CAST(sty AS DOUBLE) - CAST(st AS DOUBLE) * sy / n AS sxy,
+         CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n AS syy_c
+  FROM m
+), b AS (
+  SELECT treated, n, sxy / sxx AS slope,
+         ((syy_c - (sxy / sxx) * sxy) / (n - 2)) / sxx AS se2
+  FROM d
+)
+SELECT CAST(t.n AS BIGINT) AS n_days_pre,
+       CAST(round(t.slope * 1000000) AS BIGINT) AS slope_treated_e6,
+       CAST(round(c.slope * 1000000) AS BIGINT) AS slope_control_e6,
+       CAST(round((t.slope - c.slope) * 1000000) AS BIGINT) AS diff_e6,
+       CAST(round(sqrt(t.se2 + c.se2) * 1000000) AS BIGINT) AS se_e6,
+       CAST(round((t.slope - c.slope) / sqrt(t.se2 + c.se2) * 1000000)
+            AS BIGINT) AS z_e6,
+       abs((t.slope - c.slope) / sqrt(t.se2 + c.se2)) < {_PT_Z}
+         AS parallel_ok
+FROM (SELECT * FROM b WHERE treated) t, (SELECT * FROM b WHERE NOT treated) c
+"""
+
+
+@_q("events_did_parallel_trends", _PTREND_SQL)
+def events_did_parallel_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parallel-trends pre-test for the DiD design events_diff_in_diff
+    uses (treatment = even user ids, pre = days 1..15): per-group OLS
+    slope of daily purchase revenue on the day index, the slope
+    difference, its combined SE, the z statistic, and the verdict at
+    the fixed 1.96 literal.
+
+    Scale: one (group, day) collapse + a 2-row six-sum aggregate; the
+    regression algebra never sees a row — exact integer sums into one
+    shared double tree, single-row output."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    s = (
+        ev.filter(F.dayofmonth(F.to_date("ts")) <= 15)
+        .groupBy(
+            (F.col("user_id") % 2 == 0).alias("treated"),
+            F.dayofmonth(F.to_date("ts")).alias("t"),
+        )
+        .agg(F.sum(F.round(F.col("value") * 100)).cast("long").alias("y"))
+    )
+    m = s.groupBy("treated").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("t").cast("long").alias("st"),
+        F.sum(F.col("t") * F.col("t")).cast("long").alias("stt"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("t") * F.col("y")).cast("long").alias("sty"),
+    )
+    b = m.selectExpr(
+        "treated", "n",
+        "CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * st / n AS sxx",
+        "CAST(sty AS DOUBLE) - CAST(st AS DOUBLE) * sy / n AS sxy",
+        "CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n AS syy_c",
+    ).selectExpr(
+        "treated", "n", "sxy / sxx AS slope",
+        "((syy_c - (sxy / sxx) * sxy) / (n - 2)) / sxx AS se2",
+    )
+    t = b.filter(F.col("treated")).select(
+        F.col("n").alias("tn"), F.col("slope").alias("ts"),
+        F.col("se2").alias("tse2"),
+    )
+    c = b.filter(~F.col("treated")).select(
+        F.col("slope").alias("cs"), F.col("se2").alias("cse2")
+    )
+    return t.crossJoin(F.broadcast(c)).selectExpr(
+        "CAST(tn AS BIGINT) AS n_days_pre",
+        "CAST(round(ts * 1000000) AS BIGINT) AS slope_treated_e6",
+        "CAST(round(cs * 1000000) AS BIGINT) AS slope_control_e6",
+        "CAST(round((ts - cs) * 1000000) AS BIGINT) AS diff_e6",
+        "CAST(round(sqrt(tse2 + cse2) * 1000000) AS BIGINT) AS se_e6",
+        "CAST(round((ts - cs) / sqrt(tse2 + cse2) * 1000000) AS BIGINT)"
+        " AS z_e6",
+        f"abs((ts - cs) / sqrt(tse2 + cse2)) < {_PT_Z} AS parallel_ok",
+    )
