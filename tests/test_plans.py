@@ -1994,3 +1994,51 @@ def test_r13_wave_plan_shapes(spark, sf_dir):
     pcut = _plan(q["graph_partition_cut"](spark, sf_dir), "simple")
     assert "CartesianProduct" not in pcut, pcut
     assert "windowspecdefinition" not in pcut, pcut
+
+
+def test_r13b_wave_plan_shapes(spark, sf_dir):
+    """r13 second-wave 100 TB-shape gates:
+    * ml_ndcg_at_k / sim_int8_recall — every rank<=k filter is pushed
+      into WindowGroupLimit (k-row per-group state below the exchange),
+      the discount/stats tables broadcast, no cartesian, no Python;
+    * sample_seqpoisson — the PPS draw IS a TakeOrderedAndProject
+      (per-partition k-heaps), never a global sort exchange over data;
+    * agg_trimmed_winsorized / ml_permutation_importance — the distrank
+      contract: every window is __pid-scoped and every SinglePartition
+      exchange sits above a __pid-keyed or partial aggregate (counts /
+      1-row totals), never the data."""
+    q = all_queries()
+
+    ndcg = _plan(q["ml_ndcg_at_k"](spark, sf_dir), "simple")
+    assert ndcg.count("WindowGroupLimit") == 4, ndcg  # 2 ranks x partial+final
+    assert "CartesianProduct" not in ndcg, ndcg
+    assert "EvalPython" not in ndcg, ndcg
+    assert ndcg.count("BroadcastHashJoin") >= 3, ndcg
+
+    sq8 = _plan(q["sim_int8_recall"](spark, sf_dir), "simple")
+    assert sq8.count("WindowGroupLimit") == 4, sq8
+    assert "CartesianProduct" not in sq8, sq8
+    assert "EvalPython" not in sq8, sq8
+    assert sq8.count("Exchange SinglePartition") == 0, sq8
+
+    seqp = _plan(q["sample_seqpoisson"](spark, sf_dir), "simple")
+    assert "TakeOrderedAndProject" in seqp, seqp
+    assert seqp.count("Exchange SinglePartition") == 0, seqp
+    assert "EvalPython" not in seqp, seqp
+
+    for name in ["agg_trimmed_winsorized", "ml_permutation_importance"]:
+        plan = _plan(q[name](spark, sf_dir), "simple")
+        assert "CartesianProduct" not in plan, (name, plan)
+        assert "EvalPython" not in plan, (name, plan)
+        for spec in re.findall(r"windowspecdefinition\(([^)]*)", plan):
+            assert "__pid" in spec, (name, spec)
+        singles = len(re.findall(r"Exchange SinglePartition", plan))
+        gated = len(
+            re.findall(
+                r"Exchange SinglePartition[^\n]*\n[\s:]*\+- HashAggregate\("
+                r"keys=\[(?:__pid#\d+\]|\], functions=\[partial_"
+                r"|\], functions=\[\])",
+                plan,
+            )
+        )
+        assert singles == gated, (name, singles, gated, plan)
