@@ -4293,9 +4293,10 @@ WITH s AS (
 SELECT event_type, n AS n_days,
        CAST(round(g1 * 1000000) AS BIGINT) AS skew_e6,
        CAST(round(g2 * 1000000) AS BIGINT) AS exkurt_e6,
-       CAST(round(n / 6.0 * (g1 * g1 + g2 * g2 / 4) * 1000000) AS BIGINT)
-         AS jb_e6,
-       n / 6.0 * (g1 * g1 + g2 * g2 / 4) < {_JB_CRIT} AS normal_5pct
+       CAST(round(CAST(n AS DOUBLE) / 6 * (g1 * g1 + g2 * g2 / 4) * 1000000)
+            AS BIGINT) AS jb_e6,
+       CAST(n AS DOUBLE) / 6 * (g1 * g1 + g2 * g2 / 4) < {_JB_CRIT}
+         AS normal_5pct
 FROM jb ORDER BY event_type
 """
 
@@ -4344,7 +4345,8 @@ def events_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "n AS n_days",
         "CAST(round(g1 * 1000000) AS BIGINT) AS skew_e6",
         "CAST(round(g2 * 1000000) AS BIGINT) AS exkurt_e6",
-        "CAST(round(n / 6.0 * (g1 * g1 + g2 * g2 / 4) * 1000000) AS BIGINT)"
-        " AS jb_e6",
-        f"n / 6.0 * (g1 * g1 + g2 * g2 / 4) < {_JB_CRIT} AS normal_5pct",
+        "CAST(round(CAST(n AS DOUBLE) / 6 * (g1 * g1 + g2 * g2 / 4) * 1000000)"
+        " AS BIGINT) AS jb_e6",
+        f"CAST(n AS DOUBLE) / 6 * (g1 * g1 + g2 * g2 / 4) < {_JB_CRIT}"
+        " AS normal_5pct",
     ).orderBy("event_type")

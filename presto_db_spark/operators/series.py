@@ -1772,3 +1772,191 @@ def events_did_parallel_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AS z_e6",
         f"abs((ts - cs) / sqrt(tse2 + cse2)) < {_PT_Z} AS parallel_ok",
     )
+
+
+# --- Mann-Kendall trend test (r13) -------------------------------------------
+# The nonparametric monotone-trend test (the hydrology/ops standard
+# when events_holt_linear's parametric slope can't be trusted):
+# S = sum over i<j of sign(x_j - x_i), ties handled by the sign, with
+# the normal approximation z = (S -/+ 1)/sqrt(n(n-1)(2n+5)/18).  S and
+# the variance are exact integers on the day grain; only the final z
+# touches doubles (one shared tree).
+
+_MK_Z = 1.959963985
+
+_MK_SQL = f"""
+WITH s AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), pairs AS (
+  SELECT a.event_type,
+         CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END AS sgn
+  FROM s a JOIN s b ON b.event_type = a.event_type AND b.d > a.d
+), agg AS (
+  SELECT p.event_type, CAST(sum(p.sgn) AS BIGINT) AS s_stat,
+         CAST(max(n.n) AS BIGINT) AS n
+  FROM pairs p JOIN (
+    SELECT event_type, count(*) AS n FROM s GROUP BY 1
+  ) n ON n.event_type = p.event_type
+  GROUP BY p.event_type
+)
+SELECT event_type, n AS n_days, s_stat,
+       CAST(n * (n - 1) * (2 * n + 5) // 18 AS BIGINT) AS var_s,
+       CAST(round(
+         CASE WHEN s_stat > 0 THEN (s_stat - 1)
+              WHEN s_stat < 0 THEN (s_stat + 1)
+              ELSE 0 END
+         / sqrt(CAST(n * (n - 1) * (2 * n + 5) AS DOUBLE) / 18) * 1000000
+       ) AS BIGINT) AS z_e6,
+       abs(CASE WHEN s_stat > 0 THEN (s_stat - 1)
+                WHEN s_stat < 0 THEN (s_stat + 1)
+                ELSE 0 END
+           / sqrt(CAST(n * (n - 1) * (2 * n + 5) AS DOUBLE) / 18))
+         > {_MK_Z} AS trending_5pct
+FROM agg ORDER BY event_type
+"""
+
+
+@_q("agg_mann_kendall_trend", _MK_SQL)
+def agg_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test per daily-count series: exact
+    integer S over all day pairs, the closed-form variance
+    n(n-1)(2n+5)/18 (integer), the continuity-corrected z (one shared
+    double tree), and the 5% verdict.
+
+    Scale: the pair join is quadratic in the DAY SPAN only (the
+    agg_hodges_lehmann device — one map-side collapse first); the
+    statistic is a per-series single-row aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count("*").cast("long").alias("x")
+    )
+    a, b = s.alias("a"), s.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("b.event_type") == F.col("a.event_type"))
+        & (F.col("b.d") > F.col("a.d")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.when(F.col("b.x") > F.col("a.x"), 1)
+        .when(F.col("b.x") < F.col("a.x"), -1)
+        .otherwise(0).alias("sgn"),
+    )
+    n = s.groupBy("event_type").agg(F.count("*").cast("long").alias("n"))
+    agg = (
+        pairs.groupBy("event_type")
+        .agg(F.sum("sgn").cast("long").alias("s_stat"))
+        .join(F.broadcast(n), "event_type")
+    )
+    zexpr = (
+        "CASE WHEN s_stat > 0 THEN (s_stat - 1)"
+        " WHEN s_stat < 0 THEN (s_stat + 1) ELSE 0 END"
+        " / sqrt(CAST(n * (n - 1) * (2 * n + 5) AS DOUBLE) / 18)"
+    )
+    return agg.selectExpr(
+        "event_type", "n AS n_days", "s_stat",
+        "CAST(n * (n - 1) * (2 * n + 5) div 18 AS BIGINT) AS var_s",
+        f"CAST(round({zexpr} * 1000000) AS BIGINT) AS z_e6",
+        f"abs({zexpr}) > {_MK_Z} AS trending_5pct",
+    ).orderBy("event_type")
+
+
+# --- Wald-Wolfowitz runs test (r13) ------------------------------------------
+# Randomness check on the SIGN pattern of day-over-day moves: too few
+# runs = momentum/trend, too many = oscillation.  Runs and sign counts
+# are exact integers (a lag self-join + boundary count — no session
+# window); the expected-runs/variance algebra is one shared double
+# tree.
+
+_RUNS_SQL = """
+WITH s AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), mv AS (
+  SELECT a.event_type, a.d,
+         CASE WHEN b.x > a.x THEN 1 ELSE 0 END AS up
+  FROM s a JOIN s b ON b.event_type = a.event_type AND b.d = a.d + 1
+  WHERE b.x <> a.x
+), lagged AS (
+  SELECT m.event_type, m.up,
+         (SELECT max(p.d) FROM mv p
+          WHERE p.event_type = m.event_type AND p.d < m.d) AS pd
+  FROM mv m
+), runs AS (
+  SELECT l.event_type,
+         CAST(sum(CASE WHEN l.pd IS NULL THEN 1
+                       WHEN l.up <> p.up THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_runs
+  FROM lagged l LEFT JOIN mv p
+    ON p.event_type = l.event_type AND p.d = l.pd
+  GROUP BY 1
+), cnt AS (
+  SELECT event_type, CAST(sum(up) AS BIGINT) AS n_up,
+         CAST(count(*) - sum(up) AS BIGINT) AS n_down
+  FROM mv GROUP BY 1
+)
+SELECT c.event_type, c.n_up, c.n_down, r.n_runs,
+       CAST(floor((1 + CAST(2 AS DOUBLE) * c.n_up * c.n_down / (c.n_up + c.n_down))
+                  * 1000000 + 0.5) AS BIGINT) AS expected_runs_e6,
+       CAST(floor(
+         (r.n_runs - (1 + CAST(2 AS DOUBLE) * c.n_up * c.n_down / (c.n_up + c.n_down)))
+         / sqrt(CAST(2 AS DOUBLE) * c.n_up * c.n_down
+                * (CAST(2 AS DOUBLE) * c.n_up * c.n_down - c.n_up - c.n_down)
+                / ((c.n_up + c.n_down) * (c.n_up + c.n_down)
+                   * (c.n_up + c.n_down - 1))) * 1000000 + 0.5)
+         AS BIGINT) AS z_e6
+FROM cnt c JOIN runs r ON r.event_type = c.event_type
+ORDER BY c.event_type
+"""
+
+
+@_q("events_runs_test", _RUNS_SQL)
+def events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on the up/down pattern of day-over-day
+    daily counts per series (flat days dropped, the standard
+    treatment): exact integer run and sign counts, expected runs
+    1 + 2ab/(a+b) and the z statistic in one shared double tree
+    (e6 rounding via floor(x*1e6 + 0.5) — small-count variances can be
+    perfect squares, putting z*1e6 on an exact .5 where Spark rounds
+    half-up and DuckDB half-to-even; floor is unambiguous in both).
+
+    Scale: day-grain collapse + a d→d+1 lag self-join; the run-boundary
+    count is a previous-move lookup join on the bounded move table —
+    everything after the collapse is day-span work."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count("*").cast("long").alias("x")
+    )
+    a, b = s.alias("a"), s.alias("b")
+    mv = a.join(
+        b,
+        (F.col("b.event_type") == F.col("a.event_type"))
+        & (F.col("b.d") == F.date_add(F.col("a.d"), 1))
+        & (F.col("b.x") != F.col("a.x")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.d").alias("d"),
+        F.when(F.col("b.x") > F.col("a.x"), 1).otherwise(0).alias("up"),
+    )
+    wlag = W.partitionBy("event_type").orderBy("d")
+    lagged = mv.withColumn("pup", F.lag("up").over(wlag))
+    runs = lagged.groupBy("event_type").agg(
+        F.sum(
+            F.when(F.col("pup").isNull() | (F.col("up") != F.col("pup")), 1)
+            .otherwise(0)
+        ).cast("long").alias("n_runs")
+    )
+    cnt = mv.groupBy("event_type").agg(
+        F.sum("up").cast("long").alias("n_up"),
+        (F.count("*") - F.sum("up")).cast("long").alias("n_down"),
+    )
+    return cnt.join(runs, "event_type").selectExpr(
+        "event_type", "n_up", "n_down", "n_runs",
+        "CAST(floor((1 + CAST(2 AS DOUBLE) * n_up * n_down / (n_up + n_down)) * 1000000"
+        " + 0.5) AS BIGINT) AS expected_runs_e6",
+        "CAST(floor((n_runs - (1 + CAST(2 AS DOUBLE) * n_up * n_down / (n_up + n_down)))"
+        " / sqrt(CAST(2 AS DOUBLE) * n_up * n_down"
+        " * (CAST(2 AS DOUBLE) * n_up * n_down - n_up - n_down)"
+        " / ((n_up + n_down) * (n_up + n_down) * (n_up + n_down - 1)))"
+        " * 1000000 + 0.5) AS BIGINT) AS z_e6",
+    ).orderBy("event_type")
