@@ -158,7 +158,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 BLOCK_CAP = 64
 
 _JACCARD_SQL = f"""
-WITH sh AS (
+WITH sh AS MATERIALIZED (
   SELECT doc_id, lang,
          array_to_string(string_split_regex(trim(text), '\\s+')[1:2], ' ') AS blk,
          {{shingles}} AS grams
@@ -254,7 +254,7 @@ _MH_BANDS_SQL = ", ".join(
 WORD_COMBINE = 1000003
 
 _MINHASH_SQL = f"""
-WITH sh AS (
+WITH sh AS MATERIALIZED (
   SELECT doc_id,
          string_split_regex(trim(text), '\\s+') AS words,
          list_transform(words, w -> {_SQL_ROLL.format(s="w")} % {MERSENNE31}) AS wh,
@@ -267,7 +267,7 @@ WITH sh AS (
   FROM documents
 ), sigs AS (
   SELECT doc_id, grams, {_MH_PERM_SQL} FROM sh
-), banded AS (
+), banded AS MATERIALIZED (
   SELECT doc_id, grams, {_MH_BANDS_SQL} FROM sigs
 ), pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.grams AS ga, b.grams AS gb
@@ -544,8 +544,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 MAX_CC_ITERS = 20
 
 _CLUSTER_SQL = f"""
-WITH RECURSIVE pb AS ({_MINHASH_SQL}
-), edges AS (
+WITH RECURSIVE pb AS MATERIALIZED ({_MINHASH_SQL}
+), edges AS MATERIALIZED (
   SELECT id_a AS src, id_b AS dst FROM pb
   UNION
   SELECT id_b, id_a FROM pb
@@ -821,7 +821,7 @@ INC_MOD = 5  # doc_id % INC_MOD == 0 plays the "incoming batch" role
 INC_JACCARD = 0.4
 
 _INC_SQL = f"""
-WITH sh AS (
+WITH sh AS MATERIALIZED (
   SELECT doc_id, doc_id % {INC_MOD} = 0 AS incoming,
          string_split_regex(trim(text), '\\s+') AS words,
          list_transform(words, w -> {_SQL_ROLL.format(s="w")} % {MERSENNE31}) AS wh,
@@ -834,7 +834,7 @@ WITH sh AS (
   FROM documents
 ), sigs AS (
   SELECT doc_id, incoming, grams, {_MH_PERM_SQL} FROM sh
-), banded AS (
+), banded AS MATERIALIZED (
   SELECT doc_id, incoming, grams, {_MH_BANDS_SQL} FROM sigs
 ), pairs AS (
   SELECT DISTINCT i.doc_id AS inc_id, x.doc_id AS ex_id,
@@ -973,7 +973,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 CONTAIN_THRESHOLD = 0.6
 
 _CONTAIN_SQL = f"""
-WITH sh AS (
+WITH sh AS MATERIALIZED (
   SELECT doc_id,
          string_split_regex(trim(text), '\\s+') AS words,
          list_transform(words, w -> {_SQL_ROLL.format(s="w")} % {MERSENNE31}) AS wh,
@@ -986,7 +986,7 @@ WITH sh AS (
   FROM documents
 ), sigs AS (
   SELECT doc_id, grams, {_MH_PERM_SQL} FROM sh
-), banded AS (
+), banded AS MATERIALIZED (
   SELECT doc_id, grams, {_MH_BANDS_SQL} FROM sigs
 ), pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.grams AS ga, b.grams AS gb
@@ -1112,7 +1112,7 @@ WHERE CAST(s.sh AS DOUBLE) / (na.ng + nb.ng - s.sh) >= {JACCARD_THRESHOLD}
 """
 
 _MINHASH_RECALL_SQL = f"""
-WITH truth AS ({_TRUTH_PAIRS_SQL}),
+WITH truth AS MATERIALIZED ({_TRUTH_PAIRS_SQL}),
 ap AS (SELECT id_a, id_b FROM ({_MINHASH_SQL}))
 SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
        CAST((SELECT count(*) FROM ap) AS BIGINT) AS n_found,
@@ -1645,8 +1645,8 @@ def dedup_cluster_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- quality-aware survivor selection (r11z wave) ----------------------------
 
 _CANON_SQL = f"""
-WITH RECURSIVE pb AS ({_MINHASH_SQL}
-), edges AS (
+WITH RECURSIVE pb AS MATERIALIZED ({_MINHASH_SQL}
+), edges AS MATERIALIZED (
   SELECT id_a AS src, id_b AS dst FROM pb
   UNION
   SELECT id_b, id_a FROM pb
@@ -1724,8 +1724,8 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 # materializing them as rows.
 
 _CSIZE_SQL = f"""
-WITH RECURSIVE pb AS ({_MINHASH_SQL}
-), edges AS (
+WITH RECURSIVE pb AS MATERIALIZED ({_MINHASH_SQL}
+), edges AS MATERIALIZED (
   SELECT id_a AS src, id_b AS dst FROM pb
   UNION
   SELECT id_b, id_a FROM pb

@@ -504,7 +504,7 @@ def _stream_minhash_oracle() -> str:
         for b in range(4)
     )
     return f"""
-WITH sh AS (
+WITH sh AS MATERIALIZED (
   SELECT doc_id,
          string_split_regex(trim(text), '\\s+') AS words,
          list_transform(words, w -> {_SQL_ROLL.format(s="w")} % {MERSENNE31}) AS wh,
@@ -515,9 +515,9 @@ WITH sh AS (
   FROM documents
 ), sigs AS (
   SELECT doc_id, {_MH_PERM_SQL} FROM sh
-), banded AS (
+), banded AS MATERIALIZED (
   SELECT doc_id, {_MH_BANDS_SQL} FROM sigs
-), bands AS ({bands_union})
+), bands AS MATERIALIZED ({bands_union})
 SELECT a.band_id AS band_id, a.doc_id AS id_a, b.doc_id AS id_b
 FROM bands a JOIN bands b
   ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id < b.doc_id
