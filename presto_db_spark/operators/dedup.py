@@ -1992,3 +1992,134 @@ def dedup_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# --- simhash locality ordering audit (r13) -----------------------------------
+# The storage trick behind "cluster-then-compress": writing similar
+# documents adjacently lets the compressor's window find cross-doc
+# matches, and similarity-ordered layouts also make near-dup scans
+# cheaper.  This op MEASURES the effect: mean adjacent-pair shingle
+# Jaccard under the natural doc_id order vs under (simhash, doc_id)
+# order.  The gain is the witness a layout decision reads before
+# rewriting a 100 TB corpus.
+
+_LOCALITY_SQL = f"""
+WITH tok AS MATERIALIZED (
+  SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS t
+  FROM documents
+), th AS (
+  SELECT doc_id, {{roll}} % 65536 AS th FROM tok
+), bits AS (
+  SELECT doc_id, {{bitsums}} FROM th GROUP BY doc_id
+), sig AS MATERIALIZED (
+  SELECT doc_id, CAST({{combine}} AS BIGINT) AS simhash FROM bits
+), g AS MATERIALIZED (
+  SELECT doc_id, {{shingles}} AS grams FROM documents
+), orda AS (
+  SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn FROM sig
+), ordb AS (
+  SELECT doc_id, row_number() OVER (ORDER BY simhash, doc_id) AS rn FROM sig
+), pairs AS (
+  SELECT 'doc_id_order' AS ordering, a.doc_id AS i, b.doc_id AS j
+  FROM orda a JOIN orda b ON b.rn = a.rn + 1
+  UNION ALL
+  SELECT 'simhash_order', a.doc_id, b.doc_id
+  FROM ordb a JOIN ordb b ON b.rn = a.rn + 1
+), jac AS (
+  SELECT p.ordering,
+         len(list_intersect(ga.grams, gb.grams)) * 1000000
+           // (len(ga.grams) + len(gb.grams)
+               - len(list_intersect(ga.grams, gb.grams))) AS j_e6
+  FROM pairs p
+  JOIN g ga ON ga.doc_id = p.i
+  JOIN g gb ON gb.doc_id = p.j
+)
+SELECT ordering, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(j_e6) // count(*) AS BIGINT) AS mean_adjacent_jaccard_e6
+FROM jac GROUP BY ordering ORDER BY ordering
+"""
+
+
+@_q(
+    "layout_simhash_locality",
+    _LOCALITY_SQL.format(
+        roll=_SQL_ROLL.format(s="t"),
+        bitsums=_SIMHASH_BITSUMS,
+        combine=_SIMHASH_COMBINE,
+        shingles=_SQL_SHINGLES.format(t="text"),
+    ),
+)
+def layout_simhash_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean adjacent-pair 3-gram Jaccard under doc_id order vs
+    (simhash, doc_id) order — the measured locality gain of clustering
+    a corpus by content fingerprint before writing (compression-window
+    hits and near-dup scan locality both ride it).
+
+    Scale: the simhash is the dedup_simhash pipeline (per-word hash,
+    16 bit-sums); BOTH rank passes ride distrank.global_index (never a
+    single-partition window over docs); adjacency is a rank→rank+1
+    self-join; the gram table joins by doc_id.  Everything integer
+    (e6 Jaccard, integer mean)."""
+    from .distrank import global_index
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.trim("text"), r"\s+"))).alias("t"),
+    )
+    th = tok.select("doc_id", (_roll_hash(F.col("t")) % 65536).alias("th"))
+    bitsums = th.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("th"), b).bitwiseAND(1) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(16)
+        ]
+    )
+    combine = None
+    for b in range(16):
+        term = F.when(F.col(f"s{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+        combine = term if combine is None else combine + term
+    sig = bitsums.select("doc_id", combine.cast("long").alias("simhash"))
+    g = docs.select("doc_id", _shingles(F.col("text")).alias("grams"))
+
+    def adjacent(ordered: DataFrame, label: str) -> DataFrame:
+        r = ordered.select("doc_id", F.col("__rn").alias("rn"))
+        a, b = r.alias("a"), r.alias("b")
+        return a.join(b, F.col("b.rn") == F.col("a.rn") + 1).select(
+            F.lit(label).alias("ordering"),
+            F.col("a.doc_id").alias("i"),
+            F.col("b.doc_id").alias("j"),
+        )
+
+    orda = global_index(sig, [F.col("doc_id")])
+    ordb = global_index(sig, [F.col("simhash"), F.col("doc_id")])
+    pairs = adjacent(orda, "doc_id_order").unionAll(
+        adjacent(ordb, "simhash_order")
+    )
+    ga = g.select(F.col("doc_id").alias("i"), F.col("grams").alias("gai"))
+    gb = g.select(F.col("doc_id").alias("j"), F.col("grams").alias("gbj"))
+    jac = (
+        pairs.join(ga, "i")
+        .join(gb, "j")
+        .select(
+            "ordering",
+            F.expr(
+                "size(array_intersect(gai, gbj)) * 1000000"
+                " div (size(gai) + size(gbj)"
+                " - size(array_intersect(gai, gbj)))"
+            ).alias("j_e6"),
+        )
+    )
+    return (
+        jac.groupBy("ordering")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.expr("CAST(sum(j_e6) div count(*) AS BIGINT)")
+            .alias("mean_adjacent_jaccard_e6"),
+        )
+        .orderBy("ordering")
+    )

@@ -3415,3 +3415,77 @@ def train_source_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- token-budget epoch plan (r13) -------------------------------------------
+# train_temperature_mix gives the target SHARES; this op turns them
+# into the actual training plan: under a fixed token budget, how many
+# tokens each source contributes and how many EPOCHS of it that means
+# (epochs > 1 = the source repeats — the small-source repetition
+# every temperature-mixed pretraining run has to budget for).
+
+TOKEN_BUDGET = 1_000_000
+
+_EPOCHS_SQL = f"""
+WITH s AS (
+  SELECT source,
+         CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+           AS toks
+  FROM documents GROUP BY source
+), w AS (
+  SELECT source, toks, CAST(floor(sqrt(toks)) AS BIGINT) AS w_sqrt FROM s
+), tot AS (
+  SELECT CAST(sum(w_sqrt) AS BIGINT) AS w_total FROM w
+), plan AS (
+  SELECT w.source, w.toks, w.w_sqrt,
+         CAST({TOKEN_BUDGET} * w.w_sqrt // tot.w_total AS BIGINT)
+           AS alloc_tokens
+  FROM w CROSS JOIN tot
+)
+SELECT source, toks AS source_tokens, w_sqrt, alloc_tokens,
+       CAST(alloc_tokens * 1000000 // toks AS BIGINT) AS epochs_e6,
+       alloc_tokens * 1000000 // toks > 1000000 AS oversampled
+FROM plan ORDER BY source
+"""
+
+
+@_q("train_tokens_budget_epochs", _EPOCHS_SQL)
+def train_tokens_budget_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch plan under a {b}-token budget with the tau=1/2 temperature
+    weights train_temperature_mix defines (floor(sqrt(tokens)) — IEEE
+    sqrt is correctly rounded, so the weight is engine-exact): per
+    source, the allocated tokens, the implied epochs (e6), and the
+    oversampled flag (epochs > 1 — the repetition bill).
+
+    Scale: one map-side-combinable source groupBy + a 1-row total
+    broadcast; |sources| output rows at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.sum(F.size(F.split(F.trim("text"), r"\s+")).cast("long"))
+        .cast("long").alias("toks")
+    )
+    w = s.select(
+        "source", "toks",
+        F.floor(F.sqrt(F.col("toks").cast("double"))).cast("long")
+        .alias("w_sqrt"),
+    )
+    tot = w.agg(F.sum("w_sqrt").cast("long").alias("w_total"))
+    plan = w.crossJoin(F.broadcast(tot)).select(
+        "source", "toks", "w_sqrt",
+        F.expr(f"CAST({TOKEN_BUDGET} * w_sqrt div w_total AS BIGINT)")
+        .alias("alloc_tokens"),
+    )
+    return plan.select(
+        "source",
+        F.col("toks").alias("source_tokens"),
+        "w_sqrt", "alloc_tokens",
+        F.expr("CAST(alloc_tokens * 1000000 div toks AS BIGINT)")
+        .alias("epochs_e6"),
+        F.expr("alloc_tokens * 1000000 div toks > 1000000")
+        .alias("oversampled"),
+    ).orderBy("source")
+
+
+train_tokens_budget_epochs.__doc__ = train_tokens_budget_epochs.__doc__.format(
+    b=TOKEN_BUDGET
+)
