@@ -4350,3 +4350,163 @@ def events_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST(n AS DOUBLE) / 6 * (g1 * g1 + g2 * g2 / 4) < {_JB_CRIT}"
         " AS normal_5pct",
     ).orderBy("event_type")
+
+
+# --- G-test of independence (r13) --------------------------------------------
+# The log-likelihood-ratio sibling of events_ab_chisq: G = 2 sum n_ij
+# ln(n_ij N / (r_i c_j)) over the event_type x arm contingency table.
+# ln is libm — NOT correctly rounded in general — but every argument
+# here is an EXACT-INTEGER-valued double (verified engine-identical at
+# e6 over 200k inputs in r13), and each cell's term is rounded to an
+# e9 INTEGER BEFORE the cross-cell sum, so summation order cannot
+# reintroduce drift (the PSI/Theil idiom).
+
+_G_CRIT = 9.487729  # chi^2(4) upper 5%
+
+_GTEST_SQL = f"""
+WITH cells AS (
+  SELECT event_type, user_id % 2 AS arm, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), margins AS (
+  SELECT event_type, CAST(sum(n) AS BIGINT) AS r FROM cells GROUP BY 1
+), cols AS (
+  SELECT arm, CAST(sum(n) AS BIGINT) AS c FROM cells GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS nn FROM cells
+), terms AS (
+  SELECT cells.event_type, cells.arm,
+         CAST(round(cells.n * (ln(CAST(cells.n AS DOUBLE))
+                               + ln(CAST(tot.nn AS DOUBLE))
+                               - ln(CAST(margins.r AS DOUBLE))
+                               - ln(CAST(cols.c AS DOUBLE))) * 1000000000)
+              AS BIGINT) AS t_e9
+  FROM cells
+  JOIN margins USING (event_type)
+  JOIN cols USING (arm), tot
+)
+SELECT CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(2 * sum(t_e9) // 1000 AS BIGINT) AS g_e6,
+       CAST(2 * sum(t_e9) AS DOUBLE) / 1000000000 > {_G_CRIT}
+         AS dependent_5pct
+FROM terms
+"""
+
+
+@_q("events_g_test", _GTEST_SQL)
+def events_g_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-test (log-likelihood ratio) of independence between event_type
+    and experiment arm: per-cell terms n*ln(nN/(rc)) rounded to e9
+    integers before the sum (order-independent), the statistic at e6,
+    and the chi^2(4) 5% verdict.
+
+    Scale: one (type, arm) count groupBy + two margin groupBys over the
+    10-row cell table + a single-row total; the transcendental touches
+    only integer-valued doubles — the engine-identical class."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", (F.col("user_id") % 2).alias("arm")
+    ).agg(F.count("*").cast("long").alias("n"))
+    margins = cells.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("r")
+    )
+    cols = cells.groupBy("arm").agg(F.sum("n").cast("long").alias("c"))
+    tot = cells.agg(F.sum("n").cast("long").alias("nn"))
+    terms = (
+        cells.join(F.broadcast(margins), "event_type")
+        .join(F.broadcast(cols), "arm")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.expr(
+                "CAST(round(n * (ln(CAST(n AS DOUBLE))"
+                " + ln(CAST(nn AS DOUBLE)) - ln(CAST(r AS DOUBLE))"
+                " - ln(CAST(c AS DOUBLE))) * 1000000000) AS BIGINT)"
+            ).alias("t_e9")
+        )
+    )
+    return terms.agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.expr("CAST(2 * sum(t_e9) div 1000 AS BIGINT)").alias("g_e6"),
+        F.expr(
+            f"CAST(2 * sum(t_e9) AS DOUBLE) / 1000000000 > {_G_CRIT}"
+        ).alias("dependent_5pct"),
+    )
+
+
+# --- Lorenz decile table (r13) -----------------------------------------------
+# agg_gini_coefficient gives the scalar; this is the curve behind it:
+# users ranked by revenue, arithmetic deciles (rank math on
+# distrank.global_index — the rfm_scalable device, never an ntile
+# window), per-decile revenue share and the cumulative Lorenz share.
+# The "top decile holds X% of revenue" table every mix/royalty/abuse
+# report starts from.
+
+_LORENZ_SQL = """
+WITH u AS (
+  SELECT user_id, CAST(sum(round(value * 100)) AS BIGINT) AS cents
+  FROM events GROUP BY 1
+), r AS (
+  SELECT cents,
+         row_number() OVER (ORDER BY cents, user_id) AS rn,
+         count(*) OVER () AS n
+  FROM u
+), d AS (
+  SELECT CAST((rn - 1) * 10 // n + 1 AS BIGINT) AS decile, cents FROM r
+), agg AS (
+  SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(cents) AS BIGINT) AS cents
+  FROM d GROUP BY decile
+), tot AS (
+  SELECT CAST(sum(cents) AS BIGINT) AS tc FROM agg
+)
+SELECT a.decile, a.n_users, a.cents AS revenue_cents,
+       CAST(a.cents * 1000000 // tot.tc AS BIGINT) AS share_e6,
+       CAST(sum(a.cents) OVER (ORDER BY a.decile) * 1000000 // tot.tc
+            AS BIGINT) AS cum_share_e6
+FROM agg a, tot ORDER BY a.decile
+"""
+
+
+@_q("events_lorenz_deciles", _LORENZ_SQL)
+def events_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz decile table of per-user revenue: arithmetic deciles from
+    the exact global rank, per-decile revenue share and cumulative
+    share (e6) — the curve whose area complement is
+    agg_gini_coefficient.
+
+    Scale: one user collapse, ONE distrank range exchange for the rank
+    (no ntile window, no single-partition sort over users), a 10-row
+    decile aggregate and 10-row windows after it."""
+    from ..operators.distrank import global_index
+
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100)).cast("long").alias("cents")
+    )
+    r = global_index(u, [F.col("cents"), F.col("user_id")])
+    d = r.select(
+        F.expr("CAST((__rn - 1) * 10 div __n_total + 1 AS BIGINT)")
+        .alias("decile"),
+        "cents",
+    )
+    agg = d.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("cents").cast("long").alias("cents"),
+    )
+    tot = agg.agg(F.sum("cents").cast("long").alias("tc"))
+    wc = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            "decile", "n_users", "cents", "tc",
+            F.sum("cents").over(wc).alias("cum_cents"),
+        )
+        .select(
+            "decile", "n_users",
+            F.col("cents").alias("revenue_cents"),
+            F.expr("CAST(cents * 1000000 div tc AS BIGINT)")
+            .alias("share_e6"),
+            F.expr("CAST(cum_cents * 1000000 div tc AS BIGINT)")
+            .alias("cum_share_e6"),
+        )
+        .orderBy("decile")
+    )

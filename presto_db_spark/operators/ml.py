@@ -2547,3 +2547,114 @@ def ml_permutation_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("variant")
     )
+
+
+# --- Murphy decomposition of the Brier score (r13) ---------------------------
+# ml_brier_score gives the number; this explains it: Brier = REL - RES
+# + UNC (Murphy 1973) over binned forecasts — reliability (calibration
+# gap), resolution (how much the bins separate), uncertainty (base-rate
+# entropy).  Forecast f_k = the training urgent-rate of price bucket k
+# (an e6 integer rational), outcome rates o_k likewise — so every term
+# is exact integer arithmetic at e12 scale in DECIMAL(38,0).
+
+_BRIERD_SQL = f"""
+WITH base AS (
+  SELECT o_orderkey AS k,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y,
+         least(CAST(round(o_totalprice * 100) AS BIGINT) // {LC_BUCKET_CENTS},
+               9) AS b
+  FROM orders
+), f AS (
+  SELECT b, CAST(sum(y) * 1000000 // count(*) AS BIGINT) AS f_e6
+  FROM base WHERE k % 5 <> 0 GROUP BY b
+), ev AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS n_k,
+         CAST(sum(y) AS BIGINT) AS pos_k,
+         CAST(sum(y) * 1000000 // count(*) AS BIGINT) AS o_e6
+  FROM base WHERE k % 5 = 0 GROUP BY b
+), tot AS (
+  SELECT CAST(sum(n_k) AS BIGINT) AS n,
+         CAST(sum(pos_k) * 1000000 // sum(n_k) AS BIGINT) AS obar_e6
+  FROM ev
+), terms AS (
+  SELECT ev.n_k,
+         ev.n_k * (f.f_e6 - ev.o_e6) * (f.f_e6 - ev.o_e6) AS rel_t,
+         ev.n_k * (ev.o_e6 - tot.obar_e6) * (ev.o_e6 - tot.obar_e6) AS res_t
+  FROM ev JOIN f USING (b), tot
+)
+SELECT tot.n AS n_eval,
+       CAST(sum(t.rel_t) // tot.n AS BIGINT) AS reliability_e12,
+       CAST(sum(t.res_t) // tot.n AS BIGINT) AS resolution_e12,
+       CAST(tot.obar_e6 * (1000000 - tot.obar_e6) AS BIGINT)
+         AS uncertainty_e12,
+       CAST(sum(t.rel_t) // tot.n - sum(t.res_t) // tot.n
+            + tot.obar_e6 * (1000000 - tot.obar_e6) AS BIGINT)
+         AS brier_e12
+FROM terms t, tot
+GROUP BY tot.n, tot.obar_e6
+"""
+
+
+@_q("ml_brier_decomposition", _BRIERD_SQL)
+def ml_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the binned Brier score for the price-
+    bucket urgency forecaster (train rates as forecasts, orderkey%5
+    eval): reliability, resolution, uncertainty, and their signed sum
+    (= the binned Brier), all exact integers at e12.
+
+    Scale: two map-side-combinable bucket groupBys (train rates / eval
+    outcomes), a broadcast-size join on the <=10-row bucket table, and
+    a single-row total — the full decomposition at two scans."""
+    orders = _t(spark, sf_dir, "orders")[0]
+    base = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+        .alias("y"),
+        F.least(
+            F.expr(
+                f"CAST(round(o_totalprice * 100) AS BIGINT)"
+                f" div {LC_BUCKET_CENTS}"
+            ),
+            F.lit(9).cast("long"),
+        ).alias("b"),
+    )
+    f = base.filter(F.col("k") % 5 != 0).groupBy("b").agg(
+        F.expr("CAST(sum(y) * 1000000 div count(*) AS BIGINT)").alias("f_e6")
+    )
+    ev = base.filter(F.col("k") % 5 == 0).groupBy("b").agg(
+        F.count("*").cast("long").alias("n_k"),
+        F.sum("y").cast("long").alias("pos_k"),
+        F.expr("CAST(sum(y) * 1000000 div count(*) AS BIGINT)").alias("o_e6"),
+    )
+    tot = ev.agg(
+        F.sum("n_k").cast("long").alias("n"),
+        F.expr("CAST(sum(pos_k) * 1000000 div sum(n_k) AS BIGINT)")
+        .alias("obar_e6"),
+    )
+    terms = (
+        ev.join(F.broadcast(f), "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n", "obar_e6",
+            F.expr(
+                "CAST(n_k AS DECIMAL(38,0)) * (f_e6 - o_e6) * (f_e6 - o_e6)"
+            ).alias("rel_t"),
+            F.expr(
+                "CAST(n_k AS DECIMAL(38,0)) * (o_e6 - obar_e6)"
+                " * (o_e6 - obar_e6)"
+            ).alias("res_t"),
+        )
+    )
+    return terms.groupBy("n", "obar_e6").agg(
+        F.expr("CAST(sum(rel_t) div n AS BIGINT)").alias("reliability_e12"),
+        F.expr("CAST(sum(res_t) div n AS BIGINT)").alias("resolution_e12"),
+        F.expr("CAST(obar_e6 * (1000000 - obar_e6) AS BIGINT)")
+        .alias("uncertainty_e12"),
+        F.expr(
+            "CAST(sum(rel_t) div n - sum(res_t) div n"
+            " + obar_e6 * (1000000 - obar_e6) AS BIGINT)"
+        ).alias("brier_e12"),
+    ).select(
+        F.col("n").alias("n_eval"), "reliability_e12", "resolution_e12",
+        "uncertainty_e12", "brier_e12",
+    )
