@@ -1,4 +1,7 @@
-"""Real FLAC codec — stdlib only (no audio libs), fixed predictors.
+"""Real FLAC codec — no audio libs, fixed predictors (stdlib + numpy:
+r13 opt vectorized the hot loops — table CRCs, k-th-difference
+residuals, packbits Rice writer, cumsum reconstruction — all
+byte-identical to the scalar forms they replaced).
 
 r12: retires the LAST member of the multimodal codec gate (JPEG fell
 earlier in r12 via operators/jpegcodec.py; BMP/WAV/PPM/PNG/GIF were
@@ -34,25 +37,51 @@ import struct
 # --- CRCs per the FLAC spec ---------------------------------------------------
 
 
-def _crc8(data: bytes) -> int:
-    """CRC-8, polynomial x^8 + x^2 + x + 1 (0x07), init 0."""
-    crc = 0
-    for b in data:
-        crc ^= b
+def _make_crc8_table() -> list[int]:
+    t = []
+    for b in range(256):
+        crc = b
         for _ in range(8):
             crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
-    return crc
+        t.append(crc)
+    return t
 
 
-def _crc16(data: bytes) -> int:
-    """CRC-16, polynomial x^16 + x^15 + x^2 + 1 (0x8005), init 0."""
-    crc = 0
-    for b in data:
-        crc ^= b << 8
+def _make_crc16_table() -> list[int]:
+    t = []
+    for b in range(256):
+        crc = b << 8
         for _ in range(8):
             crc = (
                 ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
             )
+        t.append(crc)
+    return t
+
+
+_CRC8_TABLE = _make_crc8_table()
+_CRC16_TABLE = _make_crc16_table()
+
+
+def _crc8(data: bytes) -> int:
+    """CRC-8, polynomial x^8 + x^2 + x + 1 (0x07), init 0 (table-driven —
+    r13 opt: one lookup per byte instead of the 8-step bit loop; the
+    table is the standard byte-at-a-time construction of the same
+    polynomial, so values are bit-identical)."""
+    crc = 0
+    t = _CRC8_TABLE
+    for b in data:
+        crc = t[crc ^ b]
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    """CRC-16, polynomial x^16 + x^15 + x^2 + 1 (0x8005), init 0
+    (table-driven, same construction as _crc8)."""
+    crc = 0
+    t = _CRC16_TABLE
+    for b in data:
+        crc = ((crc << 8) & 0xFFFF) ^ t[(crc >> 8) ^ b]
     return crc
 
 
@@ -165,6 +194,49 @@ def _fixed_residual(x: list[int], order: int) -> list[int]:
     ]
 
 
+def _fixed_residual_np(x, order: int):
+    """Vectorized twin of _fixed_residual: the FLAC fixed predictor of
+    order k is exactly the k-th finite difference, so np.diff(x, k) in
+    int64 reproduces the scalar loop bit-for-bit (r13 opt — the
+    per-sample Python sum was ~half of encode; the scalar form stays as
+    the parity reference for tests)."""
+    import numpy as np
+
+    return np.diff(x, order) if order else np.asarray(x, dtype=np.int64)
+
+
+def _rice_bits_np(res, param: int, bw: "_BitWriter") -> None:
+    """Append the Rice(param) coding of ``res`` (zigzag + unary quotient +
+    param-bit remainder, the spec layout) to ``bw`` as one vectorized
+    bit-array + np.packbits pass — byte-identical to the per-residual
+    write_unary/write loop it replaces (r13 opt). The packed bytes are
+    spliced through bw.write in one 8-bit stream so an arbitrary
+    starting bit offset is preserved."""
+    import numpy as np
+
+    r = np.asarray(res, dtype=np.int64)
+    u = np.where(r >= 0, r << 1, ((-r) << 1) - 1)
+    q = u >> param
+    lens = q + 1 + param
+    ends = np.cumsum(lens)
+    total = int(ends[-1])
+    starts = ends - lens
+    bits = np.zeros(total, dtype=np.uint8)
+    bits[starts + q] = 1  # unary terminator after q zeros
+    if param:
+        shifts = np.arange(param - 1, -1, -1, dtype=np.int64)
+        binpos = (starts + q + 1)[:, None] + np.arange(param)[None, :]
+        bits[binpos.ravel()] = ((u[:, None] >> shifts[None, :]) & 1).astype(
+            np.uint8
+        ).ravel()
+    packed = np.packbits(bits)  # zero-padded to a byte boundary
+    whole, tail_bits = divmod(total, 8)
+    for byte in packed[:whole].tobytes():
+        bw.write(byte, 8)
+    if tail_bits:
+        bw.write(int(packed[whole]) >> (8 - tail_bits), tail_bits)
+
+
 def _zigzag(r: int) -> int:
     return (r << 1) if r >= 0 else ((-r) << 1) - 1
 
@@ -178,12 +250,15 @@ BLOCK = 4096
 
 def encode_flac(samples: list[int], sample_rate: int = 16000) -> bytes:
     """Encode a mono 16-bit signal to a real FLAC stream (see envelope)."""
-    if not samples:
+    import numpy as np
+
+    if not len(samples):
         raise ValueError("empty signal")
-    if any(not -32768 <= s <= 32767 for s in samples):
+    sig = np.asarray(samples, dtype=np.int64)
+    if sig.min() < -32768 or sig.max() > 32767:
         raise ValueError("16-bit samples required")
     n = len(samples)
-    pcm = b"".join(struct.pack("<h", s) for s in samples)
+    pcm = sig.astype("<i2").tobytes()  # same LE int16 bytes as struct "<h"
     md5 = hashlib.md5(pcm).digest()
     # STREAMINFO
     si = _BitWriter()
@@ -200,7 +275,7 @@ def encode_flac(samples: list[int], sample_rate: int = 16000) -> bytes:
     out += si.out + md5
 
     for f0 in range(0, n, BLOCK):
-        blk = samples[f0 : f0 + BLOCK]
+        blk = sig[f0 : f0 + BLOCK]
         bs = len(blk)
         hdr = _BitWriter()
         hdr.write(0b11111111111110, 14)
@@ -218,38 +293,36 @@ def encode_flac(samples: list[int], sample_rate: int = 16000) -> bytes:
         bw = _BitWriter()
         for b in head:
             bw.write(b, 8)
-        # pick the fixed order with minimum summed |residual|
+        # pick the fixed order with minimum summed |residual| (numpy k-th
+        # differences — bit-identical to the scalar _fixed_residual loop)
         best_order, best_res, best_cost = 0, blk, None
         for order in range(0, 5):
             if bs <= order:
                 continue
-            res = _fixed_residual(blk, order)
-            cost = sum(abs(r) for r in res)
+            res = _fixed_residual_np(blk, order)
+            cost = int(np.abs(res).sum())
             if best_cost is None or cost < best_cost:
                 best_order, best_res, best_cost = order, res, cost
-        if bs > 0 and len(set(blk)) == 1:
+        if bs > 0 and int(blk.min()) == int(blk.max()):
             # CONSTANT subframe
             bw.write(0, 1)
             bw.write(0b000000, 6)
             bw.write(0, 1)
-            bw.write(blk[0] & 0xFFFF, 16)
+            bw.write(int(blk[0]) & 0xFFFF, 16)
         else:
             bw.write(0, 1)
             bw.write(0b001000 | best_order, 6)  # FIXED, order
             bw.write(0, 1)  # no wasted bits
             for w in blk[:best_order]:
-                bw.write(w & 0xFFFF, 16)
+                bw.write(int(w) & 0xFFFF, 16)
             # Rice method 0 (4-bit params), partition order 0
             res = best_res
-            mean = (sum(abs(r) for r in res) // max(len(res), 1)) or 1
+            mean = (best_cost // max(len(res), 1)) or 1
             param = min(max(mean.bit_length(), 0), 14)
             bw.write(0, 2)  # coding method 0
             bw.write(0, 4)  # partition order 0
             bw.write(param, 4)
-            for r in res:
-                u = _zigzag(r)
-                bw.write_unary(u >> param)
-                bw.write(u, param)
+            _rice_bits_np(res, param, bw)
         bw.align()
         body = bytes(bw.out)
         out += body + struct.pack(">H", _crc16(body))
@@ -382,12 +455,21 @@ def decode_flac(data: bytes) -> tuple[list[list[int]], dict]:
                             q = br.read_unary()
                             u = (q << param) | (br.read(param) if param else 0)
                             res.append(_unzigzag(u))
-                co = _FIXED_COEFS[order]
-                vals = list(warm)
-                for r in res:
-                    pred = sum(c * vals[len(vals) - j - 1] for j, c in enumerate(co))
-                    vals.append(r + pred)
-                blkvals = [v << wasted for v in vals]
+                # inverse fixed predictor = k rounds of prefix-sum
+                # integration seeded by the warmup's finite differences —
+                # bit-identical to the per-sample convolution loop this
+                # replaces (r13 opt), all in exact int64
+                import numpy as np
+
+                cur = np.asarray(res, dtype=np.int64)
+                wa = np.asarray(warm, dtype=np.int64)
+                for j in range(order, 0, -1):
+                    seed = np.diff(wa, j - 1)[-1] if j - 1 else wa[j - 1]
+                    cur = np.cumsum(np.concatenate([[seed], cur]))
+                vals = cur.tolist() if order else (warm + res)
+                blkvals = (
+                    [v << wasted for v in vals] if wasted else vals
+                )
             else:
                 raise ValueError("LPC subframes outside decode envelope")
             channels[ch].extend(blkvals)
@@ -402,7 +484,9 @@ def decode_flac(data: bytes) -> tuple[list[list[int]], dict]:
     if total:
         channels = [c[:total] for c in channels]
     if nch == 1 and bps == 16:
-        pcm = b"".join(struct.pack("<h", s) for s in channels[0])
+        import numpy as np
+
+        pcm = np.asarray(channels[0], dtype=np.int64).astype("<i2").tobytes()
         if hashlib.md5(pcm).digest() != streaminfo["md5"]:
             raise ValueError("decoded audio MD5 != STREAMINFO MD5")
     meta = dict(streaminfo)

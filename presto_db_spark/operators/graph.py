@@ -695,19 +695,25 @@ def _lpa_labels(spark: SparkSession, sf_dir: str):
     labels = adj.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
-    pick_w = W.partitionBy("node").orderBy(F.col("c").desc(), F.col("label"))
     for _ in range(_LPA_ROUNDS):
         cnt = (
             adj.join(labels, adj.w == labels.node)
             .groupBy(adj.u.alias("node"), "label")
             .agg(F.count("*").cast("long").alias("c"))
         )
+        # argmax by (c DESC, label ASC) as a hash aggregation: max of the
+        # struct (c, -label) picks the same row the old row_number()-over-
+        # (ORDER BY c DESC, label) window did, without the window's
+        # per-node sort (r13 opt; labels are positive part keys, so the
+        # int64 negation is a safe total-order flip)
         labels = (
-            cnt.select(
-                "node", "label", F.row_number().over(pick_w).alias("rn")
+            cnt.groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(F.col("c"), (-F.col("label")).alias("nl"))
+                ).alias("m")
             )
-            .filter(F.col("rn") == 1)
-            .select("node", "label")
+            .select("node", (-F.col("m.nl")).alias("label"))
         )
     return edges, adj, labels
 
@@ -1018,6 +1024,13 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def norm(df: DataFrame, key: str, col: str) -> DataFrame:
+        # checkpoint: df feeds BOTH the max-agg and the main select, and
+        # the returned table feeds the next half-step — without it each
+        # norm doubles the upstream subplan (the r13-opt fix: the final
+        # plan was 2577 lines of repeated join/agg trees that Catalyst
+        # re-optimized and partially re-executed every run; score tables
+        # are |s|/|p| rows, so the materialization itself is trivial).
+        df = df.localCheckpoint(eager=False)
         mx = df.agg(F.max(col).alias("__mx"))
         # 128-bit numerator (DECIMAL(38,0) here / HUGEINT in the oracle):
         # BIGINT would wrap past ~9.2e6 effective degree (ADVICE r11).
@@ -1027,7 +1040,7 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"CAST(CAST({col} AS DECIMAL(38,0)) * {HITS_SCALE}"
                 f" div __mx AS BIGINT)"
             ).alias(col),
-        )
+        ).localCheckpoint(eager=False)
 
     a1 = e.groupBy("p").agg(
         (F.count("*") * HITS_SCALE).cast("long").alias("auth")
@@ -1159,10 +1172,11 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w2.dst").alias("c"),
         )
     )
+    # one explode instead of a 3-way union of tri projections: joins are
+    # not runtime-reused (only Exchanges are), so the union form executed
+    # the wedge join three times (r13 opt)
     pertri = (
-        tri.select(F.col("a").alias("node"))
-        .unionAll(tri.select(F.col("b").alias("node")))
-        .unionAll(tri.select(F.col("c").alias("node")))
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
         .groupBy("node")
         .agg(F.count("*").cast("long").alias("triangles"))
     )
@@ -1514,13 +1528,18 @@ def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     have no support row and the semi-join drops them — support 0). The
     per-round support join uses degree-ordered orientation (count each
     triangle ONCE from its lowest-(degree,id) vertex, then redistribute
-    support to the three member edges) — the node-iterator++ discipline
+    support to the three member edges via a single explode — one
+    execution of the wedge join, where a union of three tri projections
+    would re-run it three times) — the node-iterator++ discipline
     graph_triangles documents, so wedge work is sum-over-v C(outdeg,2)
     instead of the symmetric 2x walk; per-round state is the
-    checkpointed edge list only. Output: surviving edges with their
-    final support, recounted on the converged set so both engines emit
-    the identical relation. Oracle: the rounds unrolled as chained
-    CTEs."""
+    checkpointed edge list only. Peeling is monotone, so a round that
+    removes no edge is a proven fixed point: the loop exits early and
+    that round's (already computed) support map IS the final recount —
+    equivalent to the full unroll on every input, cheaper on converged
+    ones. Output: surviving edges with their final support, recounted
+    on the converged set so both engines emit the identical relation.
+    Oracle: the rounds unrolled as chained CTEs."""
     edges = _repeat_edges(spark, sf_dir).localCheckpoint(eager=False)
 
     def support(e: DataFrame) -> DataFrame:
@@ -1528,12 +1547,19 @@ def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
         # endpoint; each triangle is enumerated exactly once from its
         # lowest-rank vertex (wedge = ordered out-neighbor pair, closed by
         # the oriented third edge), then support is redistributed to the
-        # three member edges — half the old symmetric-adjacency wedge work
+        # three member edges — half the old symmetric-adjacency wedge work.
+        # deg and oe are multiply-referenced JOIN INPUTS (deg 2x, oe 3x);
+        # only Exchange subtrees are runtime-reused, so without the
+        # checkpoints each reference re-executes its subplan (r13 opt:
+        # the wedge join ran 3x per pass via the old 3-way union of tri
+        # projections — now a single explode over one tri execution;
+        # measured 7.8 -> 3.3 s same-box at sf0.1 with the early exit).
         deg = (
             e.select(F.col("x").alias("u"))
             .unionByName(e.select(F.col("y").alias("u")))
             .groupBy("u")
             .agg(F.count("*").cast("long").alias("d"))
+            .localCheckpoint(eager=False)
         )
         ek = e.join(
             deg.select(F.col("u").alias("x"), F.col("d").alias("dx")), "x"
@@ -1544,7 +1570,7 @@ def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(kx < ky, F.col("x")).otherwise(F.col("y")).alias("lo"),
             F.when(kx < ky, F.col("y")).otherwise(F.col("x")).alias("hi"),
             F.when(kx < ky, F.col("dy")).otherwise(F.col("dx")).alias("hd"),
-        )
+        ).localCheckpoint(eager=False)
         o1 = oe.select(
             F.col("lo").alias("a"), F.col("hi").alias("b"),
             F.col("hd").alias("bd"),
@@ -1562,35 +1588,56 @@ def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "left_semi",
             )
         )
-        pairs = (
-            tri.select(
-                F.least("a", "b").alias("x"), F.greatest("a", "b").alias("y")
-            )
-            .unionByName(
-                tri.select(
-                    F.least("a", "c").alias("x"),
-                    F.greatest("a", "c").alias("y"),
+        pairs = tri.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.least("a", "b").alias("x"),
+                        F.greatest("a", "b").alias("y"),
+                    ),
+                    F.struct(
+                        F.least("a", "c").alias("x"),
+                        F.greatest("a", "c").alias("y"),
+                    ),
+                    F.struct(
+                        F.least("b", "c").alias("x"),
+                        F.greatest("b", "c").alias("y"),
+                    ),
                 )
-            )
-            .unionByName(
-                tri.select(
-                    F.least("b", "c").alias("x"),
-                    F.greatest("b", "c").alias("y"),
-                )
-            )
-        )
+            ).alias("e")
+        ).select("e.x", "e.y")
         return pairs.groupBy("x", "y").agg(
             F.count("*").cast("long").alias("sup")
         )
 
+    # Fixed-point early exit (r13 opt, guide §1.2 "don't compute things
+    # you throw away"): peeling is MONOTONE — the semi-join only ever
+    # removes edges — so a round that removes nothing proves every later
+    # round is the identity and the final recount equals the support map
+    # that round already computed (support is a pure function of the edge
+    # set). Equivalent to the oracle's full unroll on EVERY input, not
+    # just the fixture.
+    n_prev = edges.count()
+    sup = None
     for _ in range(KTRUSS_ROUNDS):
-        sup = support(edges).filter(F.col("sup") >= KTRUSS_K - 2)
+        sup = support(edges).localCheckpoint(eager=False)
         edges = (
-            edges.join(sup.select("x", "y"), ["x", "y"], "left_semi")
+            edges.join(
+                sup.filter(F.col("sup") >= KTRUSS_K - 2).select("x", "y"),
+                ["x", "y"],
+                "left_semi",
+            )
             .localCheckpoint(eager=False)
         )
+        n_new = edges.count()
+        if n_new == n_prev:
+            break  # fixed point: support(edges) == sup, already computed
+        n_prev = n_new
+        sup = None
+    if sup is None:  # all rounds removed edges: recount on the final set
+        sup = support(edges)
     return (
-        support(edges)
+        sup
         .select(
             F.col("x").alias("part_a"),
             F.col("y").alias("part_b"),
@@ -1843,7 +1890,11 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select("walk", F.col("w").alias("node"))
         )
-        frontier = nxt
+        # checkpoint: each step's frontier feeds BOTH the output union
+        # and the next step's join — without it branch w_t of the union
+        # re-executes the whole t-join chain, so step t ran (STEPS+1−t)
+        # times (10 join executions instead of 4 at STEPS=4; r13 opt)
+        frontier = nxt.localCheckpoint(eager=False)
         out = out.unionByName(
             frontier.select("walk", F.lit(t).alias("step"), "node")
         )

@@ -2897,11 +2897,14 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     mmr score).
 
     Scale: rel is ONE Arrow cosine pass over the corpus, checkpointed;
-    each of the {k}−1 greedy rounds is an anti-join + a ≤{k}-row
-    broadcast redundancy join + a TakeOrdered(1) — no collect, no
-    full sort, per-round state is the ≤{k}-row picked set. At
-    production K the shortlist feeding MMR comes from the ANN index
-    (sim_ivfpq), not the brute pass."""
+    redundancy is carried INCREMENTALLY (r13 opt) — red_e6 rides the
+    candidate table and each round folds the single new pick in with
+    greatest(red, cos(·, new)), so a round is one anti-join + one Arrow
+    cosine pass against a 1-row broadcast + a TakeOrdered(1): no
+    per-round groupBy exchange, no re-scoring against the whole picked
+    set, no collect, no full sort. At production K the shortlist
+    feeding MMR comes from the ANN index (sim_ivfpq), not the brute
+    pass."""
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qe")
@@ -2927,33 +2930,50 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
+    # Incremental redundancy (r13 opt): red_e6 at round k is the max
+    # cosine against picks 1..k-1, and only ONE pick is added per round —
+    # so carry red_e6 forward on the candidate table and fold the new
+    # pick in with greatest(red, cos(·, new)). Each round is one Arrow
+    # cosine pass against a 1-row broadcast + a TakeOrdered(1); the old
+    # shape recomputed ALL picked cosines per round and paid a
+    # per-round groupBy(vec_id) exchange. Emitted rows are identical
+    # (red_e6 is still the value at pick time).
+    cand = rel.join(picked.select("vec_id"), "vec_id", "left_anti").crossJoin(
+        F.broadcast(picked.select(F.col("embedding").alias("se")))
+    ).select(
+        "vec_id",
+        "rel_e6",
+        "embedding",
+        F.round(cosine(F.col("embedding"), F.col("se")) * 1000000)
+        .cast("long")
+        .alias("red_e6"),
+    ).localCheckpoint(eager=False)
     for k in range(2, MMR_K + 1):
-        cand = rel.join(
-            picked.select("vec_id"), "vec_id", "left_anti"
-        )
-        red = (
-            cand.crossJoin(
-                F.broadcast(picked.select(F.col("embedding").alias("se")))
-            )
-            .select(
-                "vec_id",
-                F.round(cosine(F.col("embedding"), F.col("se")) * 1000000)
-                .cast("long")
-                .alias("s"),
-            )
-            .groupBy("vec_id")
-            .agg(F.max("s").alias("red_e6"))
-        )
         nxt = (
-            cand.join(red, "vec_id")
-            .orderBy(
+            cand.orderBy(
                 (7 * F.col("rel_e6") - 3 * F.col("red_e6")).desc(), "vec_id"
             )
             .limit(1)
             .select(F.lit(k).alias("pick"), "vec_id", "rel_e6", "embedding",
                     "red_e6")
+            .localCheckpoint(eager=False)
         )
-        picked = picked.unionByName(nxt).localCheckpoint(eager=False)
+        picked = picked.unionByName(nxt)
+        if k < MMR_K:
+            cand = cand.join(
+                nxt.select("vec_id"), "vec_id", "left_anti"
+            ).crossJoin(
+                F.broadcast(nxt.select(F.col("embedding").alias("se")))
+            ).select(
+                "vec_id",
+                "rel_e6",
+                "embedding",
+                F.greatest(
+                    "red_e6",
+                    F.round(cosine(F.col("embedding"), F.col("se")) * 1000000)
+                    .cast("long"),
+                ).alias("red_e6"),
+            ).localCheckpoint(eager=False)
     return picked.select(
         F.col("pick").cast("long"),
         "vec_id",

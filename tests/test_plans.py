@@ -1264,17 +1264,18 @@ def test_ses_forecast_plan_shape(spark, sf_dir):
 
 
 def test_label_propagation_plan_shape(spark, sf_dir):
-    """graph_label_propagation (r11h): every round's label pick is a
-    node-partitioned row_number (no single-partition window anywhere in
-    the 3-round chain); the (node, label) counts partial-aggregate;
-    joins are hash joins on the neighbor key — no cartesian, no
-    Python."""
+    """graph_label_propagation (r13 opt): every round's label pick is an
+    argmax-by-struct HASH aggregation (max of (c, -label)) — no window
+    AT ALL in the 3-round chain (the old node-partitioned row_number
+    paid a per-node sort each round); the (node, label) counts
+    partial-aggregate; joins are hash joins on the neighbor key — no
+    cartesian, no Python."""
     plan = _plan(all_queries()["graph_label_propagation"](spark, sf_dir), "simple")
     assert "EvalPython" not in plan, plan
     assert "CartesianProduct" not in plan, plan
-    specs = set(re.findall(r"windowspecdefinition\((\w+)#", plan))
-    assert specs == {"node"}, specs
+    assert "windowspecdefinition" not in plan, plan
     assert "partial_count" in plan, plan
+    assert "partial_max(struct(c" in plan, plan
 
 
 def test_cluster_bigstar_matches_minlabel(spark, sf_dir):
