@@ -1568,22 +1568,32 @@ def dedup_cluster_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
     implementations must agree row-for-row, which is itself the
     strongest test of both."""
     pairs = dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
+    # r13 opt: checkpoints went eager → LAZY (the per-round signature
+    # collect below materializes the blocks anyway, so eager was one
+    # extra scheduled job per round), and the LARGE-STAR output's
+    # .distinct() is dropped — every downstream consumer is duplicate-
+    # insensitive (mins2 is a min-agg; nxt ends in its own distinct), so
+    # that exchange moved ~|edges| rows per round for nothing at any
+    # scale. Output identical (same fixed point, same signature walk).
     und = (
         pairs.select(
             F.least("id_a", "id_b").alias("lo"),
             F.greatest("id_a", "id_b").alias("hi"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     prev_sig: tuple | None = None
     for _ in range(MAX_BIGSTAR_ROUNDS):
         sym = und.select(F.col("lo").alias("u"), F.col("hi").alias("v")).unionByName(
             und.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
         )
-        # LARGE-STAR: m(u) = min(Γ(u) ∪ {u}); attach every v > u to m.
-        mins = sym.groupBy("u").agg(
-            F.least(F.min("v"), F.first("u")).alias("m")
+        # LARGE-STAR: m(u) = min(Γ(u) ∪ {u}); attach every v > u to m
+        # (min over v, then least with the grouping key — the same value
+        # the old least(min(v), first(u)) computed without the First
+        # aggregate buffer).
+        mins = sym.groupBy("u").agg(F.min("v").alias("mv")).select(
+            "u", F.least("mv", "u").alias("m")
         )
         ls = (
             sym.join(mins, "u")
@@ -1592,7 +1602,6 @@ def dedup_cluster_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.least("v", "m").alias("lo"), F.greatest("v", "m").alias("hi")
             )
             .filter(F.col("lo") != F.col("hi"))
-            .distinct()
         )
         # SMALL-STAR: orient to the smaller endpoint (u=hi side), attach
         # u and all its smaller neighbors to their minimum.
@@ -1607,7 +1616,7 @@ def dedup_cluster_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.least("a", "m").alias("lo"), F.greatest("a", "m").alias("hi")
             )
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         row = nxt.agg(
             F.count("*").alias("n"),
