@@ -630,7 +630,13 @@ def _last_plan_hash(spark) -> str | None:
             return None
         desc = lst.apply(n - 1).physicalPlanDescription()
         # normalize run-varying identifiers so structure-identical plans
-        # hash equal: exprIds (#338L), checkpoint RDD ids, AQE statistics
+        # hash equal: exprIds (#338L), checkpoint RDD ids, AQE statistics,
+        # and lambda-variable names (r13 opt: `lambda x_1#` vs `lambda
+        # x_2#` — a session-global counter, NOT a plan change; it made
+        # dedup_fuzzy_del1 show six "different" hashes for six
+        # structurally identical runs and mislabeled a host burst as an
+        # AQE flip)
+        desc = re.sub(r"lambda [A-Za-z_]+_\d+", "lambda x_", desc)
         desc = re.sub(r"#\d+", "#", desc)
         desc = re.sub(r"RDD\[\d+\]", "RDD[]", desc)
         desc = re.sub(r"Statistics\([^)]*\)", "Statistics()", desc)

@@ -90,3 +90,73 @@ def test_envelope_rejections():
         encode_flac([40000])
     with pytest.raises(ValueError):
         decode_flac(b"RIFFnot-a-flac")
+
+
+# --- r13 opt: vectorized kernels must be bit-identical to the scalar forms ---
+
+
+def _crc8_scalar(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16_scalar(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = (
+                ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+            )
+    return crc
+
+
+def test_table_crcs_match_bit_loops():
+    rng = np.random.RandomState(7)
+    for n in (0, 1, 2, 33, 500):
+        data = bytes(rng.randint(0, 256, n, dtype=np.uint8))
+        assert _crc8(data) == _crc8_scalar(data)
+        assert _crc16(data) == _crc16_scalar(data)
+
+
+def test_vector_residual_matches_scalar():
+    from presto_db_spark.operators.flaccodec import (
+        _fixed_residual,
+        _fixed_residual_np,
+    )
+
+    rng = np.random.RandomState(11)
+    x = [int(v) for v in rng.randint(-32768, 32768, 300)]
+    for order in range(5):
+        assert _fixed_residual_np(np.asarray(x, dtype=np.int64), order).tolist() == (
+            _fixed_residual(x, order)
+        )
+
+
+def test_rice_writer_matches_scalar_loop():
+    from presto_db_spark.operators.flaccodec import (
+        _BitWriter,
+        _rice_bits_np,
+        _zigzag,
+    )
+
+    rng = np.random.RandomState(13)
+    res = [int(v) for v in rng.randint(-4000, 4000, 700)]
+    for param in (0, 1, 5, 11, 14):
+        for lead_bits in (0, 3):  # unaligned start positions too
+            a, b = _BitWriter(), _BitWriter()
+            if lead_bits:
+                a.write(0b101, lead_bits)
+                b.write(0b101, lead_bits)
+            for r in res:
+                u = _zigzag(r)
+                a.write_unary(u >> param)
+                a.write(u, param)
+            _rice_bits_np(res, param, b)
+            a.align()
+            b.align()
+            assert bytes(a.out) == bytes(b.out), (param, lead_bits)
