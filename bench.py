@@ -414,7 +414,7 @@ _R06_EPOCH = {
 # guard self-referential), and implausibly-fast canonicals are now
 # SUBSTITUTED by their pin instead of merely flagged (see below).
 _SOLO_PINS = {
-    "tpcds_q64": 1.94,  # re-pinned r13 quiet-box solo after the cross_sales localCheckpoint pin (VERDICT r12 #5: was 2.06 pre-pin on the same box)
+    "tpcds_q64": 1.59,  # re-pinned r13-opt quiet-box solo after the part-key semi-join fact prune (runs [1.7, 1.59, 1.58]; was 1.94 post-cross_sales-pin, 2.06 pre-pin on the same box)
     "tpcds_q72": 1.19,
     "tpcds_q04": 1.28,
     "sim_ivfpq": 1.22,
@@ -433,7 +433,7 @@ _SOLO_PINS = {
     "dedup_cluster_bigstar": 3.42,  # re-pinned r13 quiet-box solo (VERDICT r12 #2: the canonical needed pin intervention two rounds running; fresh solo runs [2.88, 3.42, 3.94])
     "graph_modularity": 2.64,  # r11j quiet-box solo
     "graph_hits": 2.47,  # re-pinned r13 quiet-box solo (VERDICT r12 #3). Root-cause capture, r13: a 10-run BENCH_ONLY session caught a 15.6 s outlier (others 2.4-2.9 s) with the IDENTICAL normalized plan hash as the fast runs, gc_ms 41 (flat), jit_ms 2675 (inside the 1.0-3.0 s band every run shows) — the burst is NOT an AQE plan flip, NOT a GC pause, NOT a JIT recompilation storm; by elimination it is a host-level scheduling/IO stall. Two DIFFERENT plan hashes did appear across the 10 runs (an AQE variation) — both on FAST runs, so the variation is benign. Every future artifact ships samples/gc_ms/jit_ms/plan_hashes per query, so the next outlier self-classifies.
-    "multimodal_flac_roundtrip": 1.32,  # r12 quiet-box solo (scripts/probe_scale.py, post CPU-spread repartition)
+    "multimodal_flac_roundtrip": 0.94,  # re-pinned r13-opt quiet-box solo after the codec vectorization (runs [0.93, 0.94, 0.94]; was 1.32 — the stale pin would have clamped a genuinely 10x-encode-faster canonical via the <pin/2 substitution guard)
     "sim_knn_graph": 3.27,  # r12 quiet-box solo (post Arrow-L2 + corpus-scaled codebook)
     "graph_ppr": 2.76,  # r12 quiet-box solo
     "sim_mmr_diversify": 1.65,  # r13 quiet-box solo (scripts/probe_scale.py, the round it shipped)
