@@ -411,9 +411,13 @@ def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-hash now verifies the estimates land inside their documented
     bounds instead of recording rows-only."""
     (li,) = _t(spark, sf_dir, "lineitem")
-    exact_median = F.expr(
-        "percentile_approx(l_extendedprice, 0.5, 2147483647)"
-    )  # max accuracy = exact order statistic
+    # exact reference median via the exact percentile aggregate: its
+    # state is a value->count map bounded by price cardinality, while
+    # percentile_approx at accuracy INT_MAX buffers O(n) samples per
+    # group (r13 opt: 28.9 -> 13.4 s at sf0.1, rows identical at
+    # sf0.001/0.01/0.1 — interpolation vs element-pick differs by far
+    # less than the 1% tolerance the boolean encodes)
+    exact_median = F.expr("percentile(l_extendedprice, 0.5)")
     return li.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("exact_parts"),
         (

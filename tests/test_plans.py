@@ -2043,3 +2043,16 @@ def test_r13b_wave_plan_shapes(spark, sf_dir):
             )
         )
         assert singles == gated, (name, singles, gated, plan)
+
+
+def test_agg_approx_exact_reference_is_percentile(spark, sf_dir):
+    """r13 opt: the exact-median reference inside agg_approx's accuracy
+    booleans must be the exact ``percentile`` aggregate (value->count
+    state, price-cardinality bounded), never percentile_approx at
+    accuracy INT_MAX (an O(n)-samples-per-group buffer — measured
+    28.9 -> 13.4 s at sf0.1 when replaced). The 10000-accuracy
+    percentile_approx stays: it is the estimate under test."""
+    plan = _plan(all_queries()["agg_approx"](spark, sf_dir))
+    assert "2147483647" not in plan, plan
+    assert "partial_percentile(" in plan, plan
+    assert "percentile_approx" in plan, plan  # the estimate under test
