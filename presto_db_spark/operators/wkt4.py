@@ -172,11 +172,10 @@ def st_area_ring(pts: Column) -> Column:
     )
 
 
-def st_convex_hull_pts(pts: Column) -> Column:
-    """Hull vertices of a point set, in CCW angular order around the hull
-    centroid. O(n³) membership: p is a hull vertex iff some directed edge
-    p→q keeps every point on or left of it."""
-    n = F.size(pts)
+def st_hull_vertices(pts: Column) -> Column:
+    """Unordered hull vertices of a point set. O(n³) membership: p is a
+    hull vertex iff some directed edge p→q keeps every point on or left
+    of it."""
 
     def left_or_on(px, py, qx, qy, rx, ry):
         return (qx - px) * (ry - py) - (qy - py) * (rx - px) >= 0
@@ -190,7 +189,11 @@ def st_convex_hull_pts(pts: Column) -> Column:
             ),
         )
 
-    hull = F.filter(pts, is_hull_vertex)
+    return F.filter(pts, is_hull_vertex)
+
+
+def st_hull_ccw(hull: Column) -> Column:
+    """CCW angular order of hull vertices around the hull centroid."""
     cx = F.aggregate(hull, F.lit(0.0), lambda a, p: a + p.x) / F.size(hull)
     cy = F.aggregate(hull, F.lit(0.0), lambda a, p: a + p.y) / F.size(hull)
     keyed = F.transform(
@@ -204,6 +207,13 @@ def st_convex_hull_pts(pts: Column) -> Column:
     return F.transform(
         F.array_sort(keyed), lambda e: F.struct(e.x.alias("x"), e.y.alias("y"))
     )
+
+
+def st_convex_hull_pts(pts: Column) -> Column:
+    """Hull vertices of a point set, in CCW angular order around the hull
+    centroid (single-expression form — see geo_convex_hull for the staged
+    form that keeps the Catalyst tree linear)."""
+    return st_hull_ccw(st_hull_vertices(pts))
 
 
 # --- oracle SQL building blocks (identical formula text) --------------------
@@ -397,10 +407,25 @@ def geo_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
         _open_pts(st_xs(F.col("wb")), st_ys(F.col("wb"))),
     )
     withp = g.select("gid", pts.alias("pts"))
-    hull = st_convex_hull_pts(F.col("pts"))
-    return withp.select(
+    # r13 opt: stage the hull behind column-name barriers. In the
+    # single-expression form every mention of the hull (centroid x/y,
+    # angular keys, size, area) embeds a full COPY of the O(n³)
+    # membership subtree, and the area's shoelace fold mentions the
+    # sorted hull 5+ times — the Catalyst/codegen tree grows
+    # multiplicatively (measured 5.1 s Column build + 7.7 s warm exec on
+    # 25 rows; warm build+exec 1.06 s staged). Three tiny localCheckpoints
+    # (parse / membership / order) keep every subtree named once;
+    # arithmetic and its order are unchanged (bit-identical doubles).
+    s0 = withp.localCheckpoint(eager=False)
+    s1 = s0.select(
+        "gid", "pts", st_hull_vertices(F.col("pts")).alias("hv")
+    ).localCheckpoint(eager=False)
+    s2 = s1.select(
+        "gid", "pts", st_hull_ccw(F.col("hv")).alias("hp")
+    ).localCheckpoint(eager=False)
+    return s2.select(
         "gid",
         F.size("pts").cast("int").alias("n_points"),
-        F.size(hull).cast("int").alias("n_hull"),
-        F.round(st_area_ring(hull), 6).alias("hull_area"),
+        F.size("hp").cast("int").alias("n_hull"),
+        F.round(st_area_ring(F.col("hp")), 6).alias("hull_area"),
     ).orderBy("gid")

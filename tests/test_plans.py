@@ -2056,3 +2056,15 @@ def test_agg_approx_exact_reference_is_percentile(spark, sf_dir):
     assert "2147483647" not in plan, plan
     assert "partial_percentile(" in plan, plan
     assert "percentile_approx" in plan, plan  # the estimate under test
+
+
+def test_geo_convex_hull_staged_plan(spark, sf_dir):
+    """r13 opt: the hull is staged behind column-name barriers (parse /
+    membership / order) — the single-expression form embeds a copy of
+    the O(n³) membership subtree at every mention and the physical plan
+    grew to ~31 KB for 25 rows (5.1 s Column build + 7.7 s warm exec;
+    1.06 s staged). The final plan must read a pinned stage, and the
+    full membership subtree must not be re-inlined."""
+    plan = _plan(all_queries()["geo_convex_hull"](spark, sf_dir))
+    assert "Scan ExistingRDD" in plan, plan
+    assert len(plan) < 8000, len(plan)
