@@ -180,13 +180,18 @@ def geo_predicates2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     axs, ays = st_xs(F.col("wa")), st_ys(F.col("wa"))
     bxs, bys = st_xs(F.col("wb")), st_ys(F.col("wb"))
+    # r13 opt: column-name barriers (the geo_convex_hull discipline) —
+    # CollapseProject re-inlines named intermediates, so the clip folds
+    # (inter/self_clip) and parse trees re-explode multiplicatively in
+    # the final select (inter_area alone is mentioned 4x). 25-row
+    # checkpoints; arithmetic unchanged.
     parsed = g.select(
         "gid",
         _open_pts(axs, ays).alias("pa"),
         _open_pts(bxs, bys).alias("pb"),
         st_intersects_rings(axs, ays, bxs, bys).alias("hits"),
         axs.alias("axs"), ays.alias("ays"),
-    )
+    ).localCheckpoint(eager=False)
     inter = st_area_ring(st_intersection_pts(F.col("pa"), F.col("pb")))
     self_clip = st_area_ring(st_intersection_pts(F.col("pa"), F.col("pa")))
     a_a, a_b = st_area_ring(F.col("pa")), st_area_ring(F.col("pb"))
@@ -194,7 +199,7 @@ def geo_predicates2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gid", "hits", "axs", "ays",
         a_a.alias("area_a"), a_b.alias("area_b"),
         inter.alias("inter_area"), self_clip.alias("self_clip_area"),
-    )
+    ).localCheckpoint(eager=False)
     closed_ok = (
         F.element_at("axs", 1) == F.element_at("axs", -1)
     ) & (F.element_at("ays", 1) == F.element_at("ays", -1))

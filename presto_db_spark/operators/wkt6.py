@@ -452,12 +452,17 @@ def geo_relate_de9im(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     axs, ays = st_xs(F.col("wa")), st_ys(F.col("wa"))
     bxs, bys = st_xs(F.col("wb")), st_ys(F.col("wb"))
+    # r13 opt: column-name barriers (the geo_convex_hull discipline) —
+    # without them CollapseProject re-inlines every named intermediate,
+    # so the clip fold (kpts) and the parse trees re-explode into a
+    # multiplicative Catalyst tree (de9im alone is mentioned 5x in the
+    # final select). 25-row checkpoints; arithmetic unchanged.
     parsed = g.select(
         "gid",
         _open_pts(axs, ays).alias("pa"),
         _open_pts(bxs, bys).alias("pb"),
         st_intersects_rings(axs, ays, bxs, bys).alias("hits"),
-    )
+    ).localCheckpoint(eager=False)
     kpts = st_intersection_pts(F.col("pa"), F.col("pb"))
     facts = parsed.select(
         "gid",
@@ -477,7 +482,7 @@ def geo_relate_de9im(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         ).alias("ncontact"),
-    )
+    ).localCheckpoint(eager=False)
     m = facts.selectExpr(
         "gid",
         _DE9IM.format(
@@ -491,7 +496,7 @@ def geo_relate_de9im(spark: SparkSession, sf_dir: str) -> DataFrame:
             ncontact="ncontact",
         )
         + " AS de9im",
-    )
+    ).localCheckpoint(eager=False)
     return m.selectExpr(
         "gid",
         "de9im",
