@@ -612,7 +612,10 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         new_labels = (
             merged.groupBy("node")
             .agg(F.min("label").alias("label"), F.min("old").alias("old"))
-            .localCheckpoint(eager=True)
+            # r13 opt: lazy — the convergence probe materializes the
+            # pin (partitions the LIMIT-1 probe skips are completed by
+            # the checkpoint's fill-in pass); one job per round removed
+            .localCheckpoint(eager=False)
         )
         changed = new_labels.filter(F.col("label") < F.col("old")).limit(1).count()
         labels = new_labels.select("node", "label")

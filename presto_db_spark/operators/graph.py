@@ -1277,7 +1277,9 @@ def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.l_partkey").cast("long").alias("dst"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        # r13 opt: lazy — the pivot collect materializes it (one job
+        # instead of two; the bigstar lesson)
+        .localCheckpoint(eager=False)
     )
     pivot = edges.agg(F.min("src")).collect()[0][0]  # one bounded scalar
     if pivot is None:
@@ -1295,7 +1297,7 @@ def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def closure(ed: DataFrame, key: str, out: str) -> DataFrame:
         reached = spark.createDataFrame([(int(pivot),)], "n bigint").localCheckpoint(
-            eager=True
+            eager=False
         )
         frontier = reached
         for _ in range(SCC_MAX_ROUNDS):
@@ -1304,11 +1306,14 @@ def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select(F.col(out).alias("n"))
                 .distinct()
                 .join(reached, "n", "left_anti")
-                .localCheckpoint(eager=True)
+                # r13 opt: lazy — the convergence count() materializes
+                # the pin; reached materializes inside the next round's
+                # job (3 scheduled jobs per round -> ~1)
+                .localCheckpoint(eager=False)
             )
             if nxt.count() == 0:
                 return reached
-            reached = reached.unionByName(nxt).localCheckpoint(eager=True)
+            reached = reached.unionByName(nxt).localCheckpoint(eager=False)
             frontier = nxt
         raise RuntimeError(
             f"graph_scc: reachability did not converge in {SCC_MAX_ROUNDS} rounds"
@@ -1765,16 +1770,19 @@ def graph_landmark_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     frontier = lm.select("s", F.col("s").alias("node"), F.lit(0).alias("dist"))
-    visited = frontier.localCheckpoint(eager=True)
+    # r13 opt: all pins lazy — the depth is FIXED (no per-round driver
+    # probe), so every materialization can happen inside the single
+    # final action instead of 2 scheduled jobs per round at build time
+    visited = frontier.localCheckpoint(eager=False)
     for d in range(1, _CLOSE_MAX_DEPTH + 1):
         nxt = (
             frontier.join(adj, frontier.node == adj.u)
             .select("s", F.col("w").alias("node"), F.lit(d).alias("dist"))
             .distinct()
             .join(visited.select("s", "node"), ["s", "node"], "left_anti")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
         frontier = nxt
     return (
         visited.groupBy(F.col("s").alias("landmark"))
