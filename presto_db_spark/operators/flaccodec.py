@@ -205,6 +205,26 @@ def _fixed_residual_np(x, order: int):
     return np.diff(x, order) if order else np.asarray(x, dtype=np.int64)
 
 
+def _inverse_fixed_np(warm: list[int], res: list[int], order: int) -> list[int]:
+    """Inverse fixed predictor: ``order`` rounds of prefix-sum integration
+    seeded by the warmup's finite differences — bit-identical to the
+    per-sample _FIXED_COEFS convolution (r13 opt), all in exact int64.
+    Returns the full block (warmup + reconstructed samples)."""
+    import numpy as np
+
+    if not order:
+        return warm + res
+    cur = np.asarray(res, dtype=np.int64)
+    wa = np.asarray(warm, dtype=np.int64)
+    for j in range(order, 0, -1):
+        # seed = Δ^(j-1) x at position j-1, i.e. the FIRST (j-1)-th warmup
+        # difference; [-1] only coincides for orders <= 2 where the diff
+        # array has one element
+        seed = np.diff(wa, j - 1)[0] if j - 1 else wa[0]
+        cur = np.cumsum(np.concatenate([[seed], cur]))
+    return cur.tolist()
+
+
 def _rice_bits_np(res, param: int, bw: "_BitWriter") -> None:
     """Append the Rice(param) coding of ``res`` (zigzag + unary quotient +
     param-bit remainder, the spec layout) to ``bw`` as one vectorized
@@ -455,18 +475,7 @@ def decode_flac(data: bytes) -> tuple[list[list[int]], dict]:
                             q = br.read_unary()
                             u = (q << param) | (br.read(param) if param else 0)
                             res.append(_unzigzag(u))
-                # inverse fixed predictor = k rounds of prefix-sum
-                # integration seeded by the warmup's finite differences —
-                # bit-identical to the per-sample convolution loop this
-                # replaces (r13 opt), all in exact int64
-                import numpy as np
-
-                cur = np.asarray(res, dtype=np.int64)
-                wa = np.asarray(warm, dtype=np.int64)
-                for j in range(order, 0, -1):
-                    seed = np.diff(wa, j - 1)[-1] if j - 1 else wa[j - 1]
-                    cur = np.cumsum(np.concatenate([[seed], cur]))
-                vals = cur.tolist() if order else (warm + res)
+                vals = _inverse_fixed_np(warm, res, order)
                 blkvals = (
                     [v << wasted for v in vals] if wasted else vals
                 )

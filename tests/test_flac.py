@@ -137,6 +137,45 @@ def test_vector_residual_matches_scalar():
         )
 
 
+def test_roundtrip_cubic_forces_order3():
+    # cubic trend: order-3 fixed predictor wins; the r13 vectorized inverse
+    # predictor seeded each cumsum level with the LAST warmup difference,
+    # which only coincides with the correct FIRST for orders <= 2 — this
+    # signal reproduces the order-3/4 decode bug (ADVICE r13)
+    from presto_db_spark.operators.flaccodec import _fixed_residual
+
+    x = [i**3 // 3 for i in range(46)]  # exact cubic, fits 16-bit
+    assert max(abs(v) for v in x) < 32768
+    # confirm the encoder really picks order >= 3 on this block
+    costs = {k: sum(abs(r) for r in _fixed_residual(x, k)) for k in range(5)}
+    assert min(costs, key=costs.get) >= 3
+    chans, _ = decode_flac(encode_flac(x))
+    assert chans[0] == x
+
+
+def test_inverse_fixed_matches_scalar_convolution():
+    # direct parity: numpy cumsum-integration inverse vs. reconstructing
+    # through the scalar _FIXED_COEFS prediction loop, every order 0-4
+    from presto_db_spark.operators.flaccodec import (
+        _FIXED_COEFS,
+        _fixed_residual,
+        _inverse_fixed_np,
+    )
+
+    rng = np.random.RandomState(17)
+    x = [int(v) for v in rng.randint(-32768, 32768, 257)]
+    for order in range(5):
+        warm, res = x[:order], _fixed_residual(x, order)
+        assert _inverse_fixed_np(warm, res, order) == x
+        # and the scalar re-prediction agrees sample by sample
+        co = _FIXED_COEFS[order]
+        rebuilt = list(warm)
+        for r in res:
+            pred = sum(c * rebuilt[-j - 1] for j, c in enumerate(co))
+            rebuilt.append(r + pred)
+        assert rebuilt == x
+
+
 def test_rice_writer_matches_scalar_loop():
     from presto_db_spark.operators.flaccodec import (
         _BitWriter,
