@@ -75,14 +75,66 @@ def _crc8(data: bytes) -> int:
     return crc
 
 
-def _crc16(data: bytes) -> int:
+def _crc16_scalar(data: bytes) -> int:
     """CRC-16, polynomial x^16 + x^15 + x^2 + 1 (0x8005), init 0
-    (table-driven, same construction as _crc8)."""
+    (table-driven, same construction as _crc8). Kept as the parity
+    reference for the vectorized form below."""
     crc = 0
     t = _CRC16_TABLE
     for b in data:
         crc = ((crc << 8) & 0xFFFF) ^ t[(crc >> 8) ^ b]
     return crc
+
+
+# Binary-lifted zero-byte advance tables for the vectorized CRC-16:
+# _CRC16_ADV[j][s] = the CRC state after feeding 2**j zero bytes into
+# state s. Built lazily (level j+1 = level j composed with itself).
+_CRC16_ADV: list = []
+_CRC16_NP: list = []  # lazily-built numpy copy of _CRC16_TABLE
+
+
+def _crc16(data: bytes) -> int:
+    """CRC-16 of ``data`` (same polynomial/init as _crc16_scalar),
+    vectorized (r14 opt — the per-byte loop was ~30% of decode_flac).
+
+    A CRC with zero init and no xor-out is GF(2)-linear in the message,
+    so crc(data) is the XOR over bytes of crc(byte_i padded by n-1-i
+    zero bytes). Each byte's base contribution is one table lookup and
+    the zero-byte padding is applied per element by binary lifting over
+    the precomputed advance tables — bit-identical to the scalar loop
+    (pinned by test_table_crcs_match_bit_loops)."""
+    n = len(data)
+    if n < 64:
+        return _crc16_scalar(data)
+    import numpy as np
+
+    if not _CRC16_NP:
+        _CRC16_NP.append(np.asarray(_CRC16_TABLE, dtype=np.int32))
+    t16 = _CRC16_NP[0]
+    if not _CRC16_ADV:
+        s = np.arange(65536, dtype=np.int32)
+        _CRC16_ADV.append((((s << 8) & 0xFFFF) ^ t16[s >> 8]))
+    # front-pad with zero bytes to C*L (T[0] == 0, so leading zeros keep
+    # state 0 — the CRC is unchanged), split into C equal chunks, run the
+    # byte-at-a-time recurrence across all chunks at once (L steps of
+    # C-wide vector ops), then XOR-combine each chunk's CRC advanced by
+    # its trailing zero-byte count via the binary-lifted tables
+    chunks = 256 if n >= 1024 else 32
+    length = -(-n // chunks)
+    arr = np.zeros(chunks * length, dtype=np.uint8)
+    arr[chunks * length - n :] = np.frombuffer(data, dtype=np.uint8)
+    cols = arr.reshape(chunks, length).T.copy()
+    state = np.zeros(chunks, dtype=np.int32)
+    for j in range(length):
+        state = ((state << 8) & 0xFFFF) ^ t16[(state >> 8) ^ cols[j]]
+    k = np.arange(chunks - 1, -1, -1, dtype=np.int64) * length
+    while (1 << len(_CRC16_ADV)) <= int(k[0]):
+        prev = _CRC16_ADV[-1]
+        _CRC16_ADV.append(prev[prev])
+    for j in range(int(k[0]).bit_length()):
+        sel = ((k >> j) & 1) == 1
+        state[sel] = _CRC16_ADV[j][state[sel]]
+    return int(np.bitwise_xor.reduce(state))
 
 
 class _BitWriter:
@@ -212,8 +264,19 @@ def _inverse_fixed_np(warm: list[int], res: list[int], order: int) -> list[int]:
     Returns the full block (warmup + reconstructed samples)."""
     import numpy as np
 
+    return _inverse_fixed_arr(warm, res, order).tolist()
+
+
+def _inverse_fixed_arr(warm, res, order: int):
+    """Array-returning core of _inverse_fixed_np (the decoder hot path
+    keeps blocks as int64 arrays end to end; the list wrapper above is
+    the public/test surface)."""
+    import numpy as np
+
     if not order:
-        return warm + res
+        return np.concatenate(
+            [np.asarray(warm, dtype=np.int64), np.asarray(res, dtype=np.int64)]
+        )
     cur = np.asarray(res, dtype=np.int64)
     wa = np.asarray(warm, dtype=np.int64)
     for j in range(order, 0, -1):
@@ -222,7 +285,7 @@ def _inverse_fixed_np(warm: list[int], res: list[int], order: int) -> list[int]:
         # array has one element
         seed = np.diff(wa, j - 1)[0] if j - 1 else wa[0]
         cur = np.cumsum(np.concatenate([[seed], cur]))
-    return cur.tolist()
+    return cur
 
 
 def _rice_bits_np(res, param: int, bw: "_BitWriter") -> None:
@@ -255,6 +318,136 @@ def _rice_bits_np(res, param: int, bw: "_BitWriter") -> None:
         bw.write(byte, 8)
     if tail_bits:
         bw.write(int(packed[whole]) >> (8 - tail_bits), tail_bits)
+
+
+def _rice_read_np(br: "_BitReader", cnt: int, param: int):
+    """Vectorized Rice(param) partition read — the decoder twin of
+    _rice_bits_np (r14 opt; the per-residual read_unary/read loop was
+    ~90% of decode on cProfile). Returns an int64 array of ``cnt``
+    residuals and advances ``br.pos`` exactly as the scalar loop would.
+
+    Method: unpack a window of the stream to bits, take the positions of
+    the set bits; residual i's unary terminator t_i is the first one-bit
+    at/after s_i, with s_0 = 0 and s_{i+1} = t_i + 1 + param — a jump
+    through the ones array, nxt[j] = searchsorted(ones, ones[j]+1+param).
+    The orbit j_{i+1} = nxt[j_i] is resolved for all i at once by binary
+    lifting (powers of nxt commute), then quotients are t_i - s_i and the
+    param-bit remainders are one gather + dot. The window starts at the
+    expected size for the parameter and doubles on underrun (arbitrarily
+    large foreign quotients stay correct, just slower); a window that
+    reaches end-of-stream without cnt terminators falls back to the
+    scalar loop so truncated streams raise exactly as before."""
+    import numpy as np
+
+    if cnt <= 0:
+        return np.zeros(0, dtype=np.int64)
+    start = br.pos
+    total_bits = len(br.buf) * 8 - start
+    # expected bits/residual = param + 1 + E[q], and E[q] lands in [1, 2)
+    # when param = bit_length(mean |res|) as this encoder picks it — so
+    # param + 4 covers the expectation with slack; underrun just retries
+    need = cnt * (param + 4) + 64
+    while True:
+        w = min(need, total_bits)
+        first = start >> 3
+        last = min((start + w + 7) >> 3, len(br.buf))
+        bits = np.unpackbits(
+            np.frombuffer(br.buf, dtype=np.uint8, count=last - first, offset=first)
+        )
+        off = start & 7
+        bits = bits[off : off + w]
+        ones = np.flatnonzero(bits)
+        n1 = len(ones)
+        if n1:
+            # rank[p] = number of one-bits at positions < p, so the first
+            # one at/after position p is ones[rank[p]] — an O(w) cumsum
+            # instead of an O(n log n) searchsorted
+            rank = np.zeros(len(bits) + 1, dtype=np.int32)
+            np.cumsum(bits, out=rank[1:])
+            tgt = np.minimum(ones + (1 + param), len(bits))
+            # one extra slot as the overflow sentinel (n1 -> n1)
+            hop = np.empty(n1 + 1, dtype=np.int64)
+            hop[:n1] = rank[tgt]
+            hop[n1] = n1
+            # two-tier binary lifting: doubling costs one full-domain
+            # gather per level, so cap the doubled levels at f^32 and
+            # stride across 64-residual blocks with a cheap scalar chain
+            # (f^64 = two f^32 hops) — same orbit, ~half the gathers
+            levels = [hop]
+            top = min((cnt - 1).bit_length(), 6)
+            for _ in range(top - 1):
+                levels.append(levels[-1][levels[-1]])
+            if cnt <= 64:
+                idx = np.zeros(cnt, dtype=np.int64)
+                i_arr = np.arange(cnt, dtype=np.int64)
+            else:
+                l5 = levels[-1]
+                coarse = [0]
+                c = 0
+                for _ in range((cnt - 1) >> 6):
+                    c = int(l5[l5[c]])
+                    coarse.append(c)
+                idx = np.repeat(
+                    np.asarray(coarse, dtype=np.int64), 64
+                )[:cnt]
+                i_arr = np.arange(cnt, dtype=np.int64) & 63
+            for k in range(top):
+                sel = ((i_arr >> k) & 1) == 1
+                idx[sel] = levels[k][idx[sel]]
+            if idx[-1] < n1:
+                t = ones[idx]
+                end = int(t[-1]) + 1 + param
+                if end <= w:
+                    s = np.empty(cnt, dtype=np.int64)
+                    s[0] = 0
+                    s[1:] = t[:-1] + 1 + param
+                    q = t - s
+                    if 0 < param <= 14:
+                        # remainders straight from the byte buffer: a
+                        # 24-bit window starting at each remainder's byte
+                        # covers param <= 14 bits at any alignment (bytes
+                        # clamped at the window edge only carry bits the
+                        # shift discards)
+                        a = np.frombuffer(
+                            br.buf, dtype=np.uint8, count=last - first,
+                            offset=first,
+                        ).astype(np.int64)
+                        p0 = t + 1 + off  # bit offset within [first, last)
+                        byte0 = p0 >> 3
+                        word = (
+                            (a[byte0] << 16)
+                            | (a[np.minimum(byte0 + 1, len(a) - 1)] << 8)
+                            | a[np.minimum(byte0 + 2, len(a) - 1)]
+                        )
+                        shift = 24 - (p0 & 7) - param
+                        rem = (word >> shift) & ((1 << param) - 1)
+                        u = (q << param) | rem
+                    elif param:
+                        # 5-bit Rice parameters reach 30 — gather the
+                        # remainder bits individually (foreign-only path;
+                        # this encoder never writes params above 14)
+                        pos = (t + 1)[:, None] + np.arange(param)[None, :]
+                        weights = 1 << np.arange(
+                            param - 1, -1, -1, dtype=np.int64
+                        )
+                        rem = bits[pos.ravel()].reshape(cnt, param).astype(
+                            np.int64
+                        ) @ weights
+                        u = (q << param) | rem
+                    else:
+                        u = q
+                    br.pos = start + end
+                    return np.where(u & 1, -((u + 1) >> 1), u >> 1)
+        if w >= total_bits:
+            # not enough stream for cnt residuals in this window: defer to
+            # the scalar loop so error behavior is byte-for-byte identical
+            res = []
+            for _ in range(cnt):
+                qq = br.read_unary()
+                uu = (qq << param) | (br.read(param) if param else 0)
+                res.append(_unzigzag(uu))
+            return np.asarray(res, dtype=np.int64)
+        need *= 4
 
 
 def _zigzag(r: int) -> int:
@@ -385,7 +578,12 @@ def decode_flac(data: bytes) -> tuple[list[list[int]], dict]:
     bps = streaminfo["bps"]
     if bps not in (8, 16, 24):
         raise ValueError("bits-per-sample outside envelope")
-    channels: list[list[int]] = [[] for _ in range(nch)]
+    import numpy as np
+
+    # blocks accumulate as int64 arrays, one list-conversion at the end
+    # (r14 opt — the per-block tolist/extend/asarray churn was ~10% of
+    # decode); the returned channels are plain Python int lists as before
+    chan_blocks: list[list] = [[] for _ in range(nch)]
     n_frames = 0
     while pos < len(data):
         frame_start = pos
@@ -436,14 +634,15 @@ def decode_flac(data: bytes) -> tuple[list[list[int]], dict]:
                 v = br.read(eff)
                 if v >= 1 << (eff - 1):
                     v -= 1 << eff
-                blkvals = [v << wasted] * bs
+                blkvals = np.full(bs, v << wasted, dtype=np.int64)
             elif sft == 1:  # VERBATIM
-                blkvals = []
+                verb = []
                 for _ in range(bs):
                     v = br.read(eff)
                     if v >= 1 << (eff - 1):
                         v -= 1 << eff
-                    blkvals.append(v << wasted)
+                    verb.append(v << wasted)
+                blkvals = np.asarray(verb, dtype=np.int64)
             elif 8 <= sft <= 12:  # FIXED order 0-4
                 order = sft - 8
                 warm = []
@@ -459,29 +658,29 @@ def decode_flac(data: bytes) -> tuple[list[list[int]], dict]:
                 escape = (1 << pbits) - 1
                 porder = br.read(4)
                 nparts = 1 << porder
-                res: list[int] = []
+                parts: list = []
                 for p in range(nparts):
                     cnt = (bs >> porder) - (order if p == 0 else 0)
                     param = br.read(pbits)
                     if param == escape:
                         raw_bits = br.read(5)
+                        esc: list[int] = []
                         for _ in range(cnt):
                             v = br.read(raw_bits) if raw_bits else 0
                             if raw_bits and v >= 1 << (raw_bits - 1):
                                 v -= 1 << raw_bits
-                            res.append(v)
+                            esc.append(v)
+                        parts.append(esc)
                     else:
-                        for _ in range(cnt):
-                            q = br.read_unary()
-                            u = (q << param) | (br.read(param) if param else 0)
-                            res.append(_unzigzag(u))
-                vals = _inverse_fixed_np(warm, res, order)
-                blkvals = (
-                    [v << wasted for v in vals] if wasted else vals
+                        parts.append(_rice_read_np(br, cnt, param))
+                res = np.concatenate(
+                    [np.asarray(p_, dtype=np.int64) for p_ in parts]
                 )
+                vals = _inverse_fixed_arr(warm, res, order)
+                blkvals = (vals << wasted) if wasted else vals
             else:
                 raise ValueError("LPC subframes outside decode envelope")
-            channels[ch].extend(blkvals)
+            chan_blocks[ch].append(blkvals)
         br.align()
         body_end = br.pos // 8
         (crc16,) = struct.unpack(">H", data[body_end : body_end + 2])
@@ -489,15 +688,18 @@ def decode_flac(data: bytes) -> tuple[list[list[int]], dict]:
             raise ValueError("frame CRC-16 mismatch")
         pos = body_end + 2
         n_frames += 1
+    arrs = [
+        np.concatenate(b) if b else np.zeros(0, dtype=np.int64)
+        for b in chan_blocks
+    ]
     total = streaminfo["total_samples"]
     if total:
-        channels = [c[:total] for c in channels]
+        arrs = [c[:total] for c in arrs]
     if nch == 1 and bps == 16:
-        import numpy as np
-
-        pcm = np.asarray(channels[0], dtype=np.int64).astype("<i2").tobytes()
+        pcm = arrs[0].astype("<i2").tobytes()
         if hashlib.md5(pcm).digest() != streaminfo["md5"]:
             raise ValueError("decoded audio MD5 != STREAMINFO MD5")
+    channels = [c.tolist() for c in arrs]
     meta = dict(streaminfo)
     meta.pop("md5")
     meta["n_frames"] = n_frames

@@ -117,7 +117,9 @@ def _crc16_scalar(data: bytes) -> int:
 
 def test_table_crcs_match_bit_loops():
     rng = np.random.RandomState(7)
-    for n in (0, 1, 2, 33, 500):
+    # sizes straddle the vectorized _crc16 thresholds (64, 1024) and the
+    # chunk-boundary padding cases around them
+    for n in (0, 1, 2, 33, 500, 63, 64, 65, 1023, 1024, 1025, 5000):
         data = bytes(rng.randint(0, 256, n, dtype=np.uint8))
         assert _crc8(data) == _crc8_scalar(data)
         assert _crc16(data) == _crc16_scalar(data)
@@ -174,6 +176,48 @@ def test_inverse_fixed_matches_scalar_convolution():
             pred = sum(c * rebuilt[-j - 1] for j, c in enumerate(co))
             rebuilt.append(r + pred)
         assert rebuilt == x
+
+
+def test_rice_reader_matches_scalar_loop():
+    # decoder twin of the writer parity test (r14 opt): the vectorized
+    # _rice_read_np must return the same residuals and leave br.pos at
+    # the same bit as the scalar read_unary/read loop, at unaligned
+    # offsets, across params (incl. >14, the 5-bit-parameter branch),
+    # counts straddling the 64-residual lifting blocks, and with a huge
+    # outlier quotient that forces the window-underrun retry path
+    from presto_db_spark.operators.flaccodec import (
+        _BitReader,
+        _BitWriter,
+        _rice_read_np,
+        _unzigzag,
+        _zigzag,
+    )
+
+    rng = np.random.RandomState(29)
+    for param in (0, 1, 5, 11, 14, 20):
+        for cnt in (1, 3, 64, 65, 257):
+            for lead_bits in (0, 5):
+                res = [int(v) for v in rng.randint(-4000, 4000, cnt)]
+                res[cnt // 2] = 123457  # forces a long unary run
+                bw = _BitWriter()
+                if lead_bits:
+                    bw.write(0b10110, lead_bits)
+                for r in res:
+                    u = _zigzag(r)
+                    bw.write_unary(u >> param)
+                    bw.write(u, param)
+                bw.align()
+                buf = bytes(bw.out)
+                fast = _BitReader(buf, lead_bits)
+                got = _rice_read_np(fast, cnt, param)
+                slow = _BitReader(buf, lead_bits)
+                want = []
+                for _ in range(cnt):
+                    q = slow.read_unary()
+                    u = (q << param) | (slow.read(param) if param else 0)
+                    want.append(_unzigzag(u))
+                assert got.tolist() == want, (param, cnt, lead_bits)
+                assert fast.pos == slow.pos, (param, cnt, lead_bits)
 
 
 def test_rice_writer_matches_scalar_loop():
