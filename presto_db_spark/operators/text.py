@@ -1209,7 +1209,13 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = docs.selectExpr(
         "doc_id", "split(trim(text), '\\\\s+') AS words"
     )
-    d = d.persist()
+    # the tokenized frame feeds three consumers (dl, the corpus stats and
+    # the tf explode) with no exchange under it, so ReuseExchange cannot
+    # help; materialize through the bookkept stage cache so a re-invocation
+    # releases the previous handle (bare persist leaked blocks, r13 VERDICT)
+    from presto_db_spark.operators.stagecache import materialize_stage
+
+    d = materialize_stage("text_bm25_topk.words", d)
     dl = d.selectExpr("doc_id", "CAST(size(words) AS BIGINT) AS dl")
     g = d.selectExpr("size(words) AS n").groupBy().agg(
         F.count("*").cast("long").alias("n_docs"),
