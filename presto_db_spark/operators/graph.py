@@ -301,9 +301,24 @@ def _repeat_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-collapsible exchange and the pair counts then combine
     map-side — measured 3.1 -> 1.9 s at sf0.1 for the shared support
     stage every graph op pays. Result set is identical (support = number
-    of distinct orders containing both parts either way)."""
+    of distinct orders containing both parts either way).
+
+    r14 shape: ONE explicit hash exchange on the join key — lineitem is
+    repartitioned by l_orderkey (partition count rides the
+    spark.sql.shuffle.partitions conf, i.e. $SPARK_GRAFT_CPUS locally and
+    the cluster value in production), the basket dedup then collapses
+    LOCALLY (hash(ok) already clusters the (ok,pk) groups), and the MERGE
+    hint keeps the self-join on the co-partitioned sides — no broadcast
+    build of the full basket table and no per-side re-exchange (the old
+    plan collected+shipped all ~|baskets| rows as a HashedRelation).
+    A/B at sf0.1: 1.50 -> 0.91 s median, rows identical."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    bk = li.distinct()
+    np_ = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    bk = (
+        li.repartition(np_, "l_orderkey")
+        .dropDuplicates(["l_orderkey", "l_partkey"])
+        .hint("MERGE")
+    )
     return (
         bk.alias("a")
         .join(

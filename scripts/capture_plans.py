@@ -1,8 +1,8 @@
 #!/usr/bin/env python
-"""Capture .explain("formatted") for headline queries into plans/r13/.
+"""Capture .explain("formatted") for headline queries into plans/$SPARK_GRAFT_PLAN_ROUND (default r14)/.
 
 Usage: python scripts/capture_plans.py <suffix> [q1,q2,...]
-Writes plans/r13/<query>_<suffix>.txt. Plans are captured at
+Writes plans/<round>/<query>_<suffix>.txt. Plans are captured at
 $SPARK_GRAFT_SF_DIR (default sf0.1) without executing the query (the
 initial AQE plan: Exchange count, join strategy, PushedFilters,
 ReadSchema, codegen spans and Python-eval nodes are all visible there).
@@ -11,7 +11,7 @@ import os, sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13")
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r14"))
 
 def main():
     suffix = sys.argv[1]
