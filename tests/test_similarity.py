@@ -166,3 +166,50 @@ def test_ivfpq_recall_and_pruning_consistency(spark, sf_dir):
         hits += sum(1 for r in rs if r.vec_id in eids)
         tot += sm.TOP_K
     assert hits / tot >= 0.7, f"IVFPQ recall collapsed: {hits}/{tot}"
+
+
+def test_mmr_propose_verify_matches_sequential_and_fallback(spark, sf_dir):
+    # r14: sim_mmr_diversify proposes the greedy trajectory on a bounded
+    # shortlist and verifies it in ONE distributed pass; the emitted rows
+    # must be identical to the r13 sequential loop, and a rejected
+    # proposal must fall back to that loop (still exact)
+    import presto_db_spark.operators.similarity as sm
+    from pyspark.sql import functions as F
+
+    def rel_frame():
+        emb = sm._emb(spark, sf_dir)
+        qv = emb.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("qe")
+        )
+        return (
+            emb.filter(F.col("vec_id") != 0)
+            .crossJoin(F.broadcast(qv))
+            .select(
+                "vec_id",
+                F.round(sm.cosine(F.col("embedding"), F.col("qe")) * 1000000)
+                .cast("long")
+                .alias("rel_e6"),
+                "embedding",
+            )
+            .localCheckpoint(eager=False)
+        )
+
+    seq = [tuple(r) for r in sm._mmr_sequential(spark, rel_frame()).collect()]
+    fast = [
+        tuple(r) for r in sm.sim_mmr_diversify(spark, sf_dir).collect()
+    ]
+    assert fast == seq
+
+    # poison the proposal (swap picks 1 and 2): the verifier must reject
+    # it and the fallback must still emit the exact rows
+    orig = sm._mmr_propose
+    try:
+        sm._mmr_propose = lambda rows: (
+            (lambda p: [p[1], p[0]] + p[2:] if p else p)(orig(rows))
+        )
+        fallback = [
+            tuple(r) for r in sm.sim_mmr_diversify(spark, sf_dir).collect()
+        ]
+    finally:
+        sm._mmr_propose = orig
+    assert fallback == seq
