@@ -113,17 +113,41 @@ def tumbling_counts(stream: DataFrame) -> DataFrame:
 
 def _run_to_completion(result: DataFrame, sink_prefix: str, output_mode: str) -> DataFrame:
     """availableNow trigger + memory sink: run the stream until the source
-    drains, return the materialized table (driver checks vs batch oracle)."""
+    drains, return the materialized table (driver checks vs batch oracle).
+
+    State partitioning (r14): every stateful stream in this module keys on
+    a LOW-CARDINALITY domain (event_type, hour windows — tens of groups at
+    any data scale), so state-store partitions should track KEY CARDINALITY,
+    not the data-scale shuffle parallelism. Each extra state partition costs
+    a per-microbatch task + state-store open/commit + (for the pandas ops)
+    a Python round trip even when empty — measured 3x on streaming_topk at
+    local[32] (6.9 -> 2.3 s: 32 state partitions for ~5 keys). The count is
+    pinned at stream start from spark.sql.shuffle.partitions (each stream
+    here starts on a fresh checkpoint), so it is set for the stream clone
+    only and restored immediately; $SPARK_GRAFT_STREAM_STATE_PARTITIONS
+    overrides for deployments whose stateful keys are high-cardinality.
+    Results are partitioning-independent (state ops group per key)."""
+    import os
+
     spark = result.sparkSession
     sink = f"{sink_prefix}_{uuid.uuid4().hex[:8]}"
-    q = (
+    writer = (
         result.writeStream.format("memory")
         .queryName(sink)
         .outputMode(output_mode)
         .trigger(availableNow=True)
         .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_", dir=_tmp_root()))
-        .start()
     )
+    cap = int(os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8"))
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    target = min(int(old), cap) if str(old).isdigit() else cap
+    spark.conf.set("spark.sql.shuffle.partitions", str(target))
+    try:
+        # StreamExecution clones the session (and its conf) at start(), so
+        # the lowered value applies to this stream only
+        q = writer.start()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
     q.awaitTermination()
     return spark.table(sink)
 
