@@ -123,6 +123,39 @@ def lang_id(col: Column) -> Column:
     return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
+def _fanout_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents scan for CPU-heavy n-gram explosions (r14): when the
+    scan's natural split count is below the session parallelism, one
+    cheap hash repartition of the raw text buys full-width execution of
+    the explode + partial-agg stage that follows (the work is linear in
+    characters with a ~30x row blowup — the classic bytes-vs-CPU case
+    AQE cannot see; dedup_fuzzy_del1 documents the same guard). At
+    scale the scan already arrives as >= parallelism splits (many files,
+    or file splitting at maxPartitionBytes) and the repartition — a full
+    shuffle of the corpus text — is skipped. A/B at sf0.1
+    (text_ngram_novelty): 3.6 -> 1.3 s median, rows identical."""
+    import os
+
+    docs = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    files = docs.inputFiles()
+    if len(files) >= par:
+        return docs
+    max_split = int(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", str(128 << 20))
+        .rstrip("b")
+    )
+    total = 0
+    for f in files:
+        try:
+            total += os.path.getsize(f.removeprefix("file:"))
+        except OSError:
+            return docs  # unstat-able (object store): assume it splits
+    if max(len(files), total // max_split) >= par:
+        return docs
+    return docs.repartition(par, "doc_id")
+
+
 # --- queries ----------------------------------------------------------------
 
 @_q(
@@ -1963,8 +1996,9 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming twin carries one BIGINT per trigram. No Python, no float.
     Measured fresh-build sf0.1: 4.17 s (r10 instance-stream shape) →
     3.7 s; the remaining cost is the explode itself (the one genuinely
-    linear-in-characters stage)."""
-    docs = load_table(spark, sf_dir, "documents")
+    linear-in-characters stage) — fanned out across cores r14 via
+    _fanout_docs (3.6 → 1.3 s median A/B)."""
+    docs = _fanout_docs(spark, sf_dir)
     try:
         _small = os.path.getsize(f"{sf_dir}/documents.parquet") < 4 << 20
     except OSError:
