@@ -425,20 +425,20 @@ _SOLO_PINS = {
     "text_segment_dedup": 0.58,
     "layout_hilbert": 1.68,  # re-pinned r11 quiet-box solo (2.44 was a contended-session probe)
     "dedup_fuzzy_del1": 1.6,
-    "text_ngram_novelty": 3.7,  # r11 pairs-prefold rebuild (was 4.56 in the instance-stream shape)
+    "text_ngram_novelty": 1.10,  # re-pinned r14 after the explode fan-out (3.6 -> 1.3 s A/B): min-of-medians over 3 BENCH_ONLY windows [1.24, 1.48, 1.10], all contention-flagged (no quiet window was available this round), so the pin is conservative-high; the stale 3.7 pin would have clamped the genuinely ~1.0-1.3 s canonical via the <pin/2 guard
     "events_interval_overlap": 0.60,  # re-pinned r11 quiet-box solo
     "text_lm_likelihood": 1.59,
     "ml_logistic_regression": 1.31,  # r11d quiet-box solo (scripts/probe_scale.py)
-    "graph_bfs_distances": 2.64,  # r11d quiet-box solo (after the distinct-baskets support rewrite)
+    "graph_bfs_distances": 1.87,  # re-pinned r14 after the co-partitioned substrate (-21% query-level A/B): min-of-medians over 3 contention-flagged BENCH_ONLY windows [2.20, 2.07, 1.87]
     "dedup_cluster_bigstar": 3.42,  # re-pinned r13 quiet-box solo (VERDICT r12 #2: the canonical needed pin intervention two rounds running; fresh solo runs [2.88, 3.42, 3.94])
-    "graph_modularity": 2.64,  # r11j quiet-box solo
+    "graph_modularity": 2.64,  # r11j quiet-box solo. r14 note: the op rides the co-partitioned substrate (~0.6 s faster), but all six r14 re-pin windows were contention-flagged (3.0-5.9 s) — a pin is never RAISED on contended evidence, and no quiet window was available to lower it; expect the true quiet value near ~2.0
     "graph_hits": 2.47,  # re-pinned r13 quiet-box solo (VERDICT r12 #3). Root-cause capture, r13: a 10-run BENCH_ONLY session caught a 15.6 s outlier (others 2.4-2.9 s) with the IDENTICAL normalized plan hash as the fast runs, gc_ms 41 (flat), jit_ms 2675 (inside the 1.0-3.0 s band every run shows) — the burst is NOT an AQE plan flip, NOT a GC pause, NOT a JIT recompilation storm; by elimination it is a host-level scheduling/IO stall. Two DIFFERENT plan hashes did appear across the 10 runs (an AQE variation) — both on FAST runs, so the variation is benign. Every future artifact ships samples/gc_ms/jit_ms/plan_hashes per query, so the next outlier self-classifies.
     "multimodal_flac_roundtrip": 0.94,  # re-pinned r13-opt quiet-box solo after the codec vectorization (runs [0.93, 0.94, 0.94]; was 1.32 — the stale pin would have clamped a genuinely 10x-encode-faster canonical via the <pin/2 substitution guard)
     "sim_knn_graph": 3.27,  # r12 quiet-box solo (post Arrow-L2 + corpus-scaled codebook)
     "graph_ppr": 2.76,  # r12 quiet-box solo
     "sim_mmr_diversify": 1.65,  # r13 quiet-box solo (scripts/probe_scale.py, the round it shipped)
     "graph_random_walks": 2.21,  # r13 quiet-box solo (the round it shipped)
-    "graph_ktruss": 3.75,  # r13 quiet-box solo (post degree-ordered-orientation rewrite)
+    "graph_ktruss": 2.68,  # re-pinned r14 after the co-partitioned substrate (-26% query-level A/B): min-of-medians over 6 contention-flagged BENCH_ONLY windows [5.66, 3.24, 2.68, 8.07, 4.91, 4.11] on a stormy box — conservative-high
 }
 
 # Pins recorded from an in-suite raw median instead of an independent

@@ -68,3 +68,13 @@ def register_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def small_df(spark: SparkSession, data, schema) -> DataFrame:
+    """createDataFrame for SMALL literal/driver-computed tables (probe
+    lists, parameter grids, K-row results) as ONE partition. The default
+    path scatters the rows over defaultParallelism near-empty slices, so
+    every consumer stage — typically a broadcast build — schedules a
+    full-width job of empty tasks (~0.2 s at local[32] vs ~6 ms for one;
+    r14 measurement). Callers pass only driver-bounded row counts."""
+    return spark.createDataFrame(spark.sparkContext.parallelize(data, 1), schema)

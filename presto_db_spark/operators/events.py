@@ -17,7 +17,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, small_df
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
@@ -3348,7 +3348,8 @@ def events_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
-    grid = spark.createDataFrame(
+    grid = small_df(
+        spark,
         [(x, y, g) for x, y in _XCORR_PAIRS for g in range(_XCORR_MAXLAG + 1)],
         "xt string, yt string, lag int",
     )

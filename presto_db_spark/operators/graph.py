@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from ..catalog import load_table
+from ..catalog import load_table, small_df
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
@@ -1311,7 +1311,7 @@ def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def closure(ed: DataFrame, key: str, out: str) -> DataFrame:
-        reached = spark.createDataFrame([(int(pivot),)], "n bigint").localCheckpoint(
+        reached = small_df(spark, [(int(pivot),)], "n bigint").localCheckpoint(
             eager=False
         )
         frontier = reached

@@ -872,7 +872,10 @@ def ml_logistic_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         a -= trunc_div(int(it["g0"]), n * _LOGIT_LR_DIV)
         b -= trunc_div(int(it["g1"]), n * _LOGIT_LR_DIV)
         c -= trunc_div(int(it["g2"]), n * _LOGIT_LR_DIV)
-    return spark.createDataFrame(
+    from ..catalog import small_df
+
+    return small_df(
+        spark,
         out_rows,
         "iter int, w0_ppm bigint, w1_ppm bigint, w2_ppm bigint,"
         " n_correct bigint, accuracy_ppm bigint",
@@ -2266,9 +2269,11 @@ def ml_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "user_id", "n1",
         F.least(F.col("n2"), F.lit(3).cast("long")).alias("rel"),
     )
+    from ..catalog import small_df
+
     disc = F.broadcast(
-        spark.createDataFrame(
-            [(i + 1, d) for i, d in enumerate(_NDCG_DISC)], "rnk int, d long"
+        small_df(
+            spark, [(i + 1, d) for i, d in enumerate(_NDCG_DISC)], "rnk int, d long"
         )
     )
     ranked = cand.withColumn(

@@ -342,8 +342,12 @@ GROUP BY v.tier
 )
 def values_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cust,) = _t(spark, sf_dir, "customer")
-    tiers = spark.createDataFrame(
-        [("gold", 3000.0), ("silver", 1000.0), ("bronze", 0.0)], ["tier", "lo"]
+    from ..catalog import small_df
+
+    tiers = small_df(
+        spark,
+        [("gold", 3000.0), ("silver", 1000.0), ("bronze", 0.0)],
+        "tier string, lo double",
     )
     return (
         F.broadcast(tiers)

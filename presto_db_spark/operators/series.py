@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from ..catalog import load_table
+from ..catalog import load_table, small_df
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
@@ -1170,9 +1170,7 @@ def agg_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = global_index(counted, [F.col("v")], sum_col="w").select(
         "v", F.col("__csum").alias("csum"), F.col("__sum_total").alias("n")
     )
-    p = spark.createDataFrame(
-        [(int(x),) for x in EXQ_PCTS], "pct long"
-    )
+    p = small_df(spark, [(int(x),) for x in EXQ_PCTS], "pct long")
     return (
         F.broadcast(p)
         .join(c, F.col("csum") * 100 >= F.col("pct") * F.col("n"))

@@ -29,7 +29,7 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, small_df
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
@@ -468,7 +468,8 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q_rows = [r for r in head_rows if r.vec_id < N_QUERIES]
     q_ap = _assign_probe(pd.Series([[float(x) for x in r.embedding] for r in q_rows]))
-    q_probe = spark.createDataFrame(
+    q_probe = small_df(
+        spark,
         [
             (int(r.vec_id), [float(x) for x in r.embedding], int(cid))
             for r, probes in zip(q_rows, q_ap["probes"])
@@ -694,7 +695,8 @@ def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         pd.Series([[float(x) for x in r.embedding] for r in q_rows]),
         cent_ids, cents, N_PROBE,
     )
-    q_probe = spark.createDataFrame(
+    q_probe = small_df(
+        spark,
         [
             (int(r.vec_id), [float(x) for x in r.embedding], int(cid))
             for r, probes in zip(q_rows, q_ap["probes"])
@@ -1430,7 +1432,8 @@ def sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Query probe lists driver-side (identical math ⇒ identical probes).
     q_ap = _assign(pd.Series([[float(x) for x in r.embedding] for r in q_rows]))
-    q_probe = spark.createDataFrame(
+    q_probe = small_df(
+        spark,
         [
             (int(r.vec_id), int(cid))
             for r, probes in zip(q_rows, q_ap["probes"])
@@ -2651,7 +2654,7 @@ def sim_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("sim").alias("sim"),
         )
     )
-    grid = spark.createDataFrame([(n,) for n in _SWEEP_NPROBES], "np int")
+    grid = small_df(spark, [(n,) for n in _SWEEP_NPROBES], "np int")
     sweep = (
         cand.crossJoin(F.broadcast(grid))
         .filter(F.col("first_probe") <= F.col("np"))

@@ -1067,10 +1067,10 @@ def sketch_bloom_size_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit("events.user_id").alias("rel"), "n")
         )
     )
+    from ..catalog import small_df
+
     fpr = F.broadcast(
-        spark.createDataFrame(
-            sorted(_BLOOM_C.items()), "inv_fpr long, c_e9 long"
-        )
+        small_df(spark, sorted(_BLOOM_C.items()), "inv_fpr long, c_e9 long")
     )
     plan = ndv.crossJoin(fpr).withColumn(
         "m_bits", F.expr("(n * c_e9 + 999999999) div 1000000000")

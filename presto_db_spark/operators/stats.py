@@ -34,7 +34,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, small_df
 from .events import CHI2_CRIT_E6
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -643,9 +643,7 @@ def events_ab_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = base.select(
         "na", "nb", F.expr("conv_a * 1000000 div na").alias("p1")
     )
-    mdes = spark.createDataFrame(
-        [(m,) for m in POWER_MDES_PPM], "mde_ppm int"
-    )
+    mdes = small_df(spark, [(m,) for m in POWER_MDES_PPM], "mde_ppm int")
     grid = p.crossJoin(F.broadcast(mdes)).select(
         "na", "nb", "p1", "mde_ppm",
         F.expr(
@@ -906,7 +904,7 @@ def events_frequency_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("long").alias("total_views"),
         F.count("*").cast("long").alias("n_users"),
     )
-    caps = spark.createDataFrame([(c,) for c in _FREQCAP_CAPS], "cap int")
+    caps = small_df(spark, [(c,) for c in _FREQCAP_CAPS], "cap int")
     return (
         per_user.crossJoin(F.broadcast(caps))
         .crossJoin(F.broadcast(tot))
