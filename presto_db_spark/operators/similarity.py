@@ -2812,14 +2812,59 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         # caught by the r12 plan gate's nested-loop count)
         .localCheckpoint(eager=False)
     )
-    a = pts.select(
-        F.col("cid"), F.col("vec_id").alias("src"), F.col("embedding").alias("ea")
-    )
-    b = pts.select(
-        F.col("cid"), F.col("vec_id").alias("nbr"), F.col("embedding").alias("eb")
-    )
-    cand = a.join(b, "cid").filter(F.col("nbr") != F.col("src")).select(
-        "src", "nbr", F.round(_l2_pd()(F.col("ea"), F.col("eb")), 6).alias("d2")
+    # Per-cell matrix kernel (r14, guide §8: decide with small rows, move
+    # big rows once). The old cell self-join materialized |cell|² pair
+    # rows EACH carrying BOTH 64-float embeddings through the Arrow
+    # boundary (~500 MB for 503k pairs at sf0.1; 6.1 s + 2.4 s codegen
+    # spans around the pair UDF). Each cell's rows now cross ONCE into an
+    # applyInPandas kernel that accumulates the full distance matrix with
+    # the same per-dimension left-to-right float64 adds as _l2_impl
+    # (bit-identical doubles) and emits only a SUPERSET of each source's
+    # rounded top-K: every kept row has raw d2 <= kth_raw + 1e-6.
+    # Proof the cut is safe: rounding to 6 places is monotone and moves a
+    # value by at most 5e-7, so a dropped row (raw > kth_raw + 1e-6) has
+    # round(raw) > kth_raw + 5e-7 >= round(kth_raw) >= the K-th smallest
+    # rounded value — strictly below rank K whatever the nbr tie-break.
+    # Spark then applies the exact HALF_UP round + window on the reduced
+    # set, so the emitted rows are identical to the full self-join's.
+    # A degenerate giant cell costs O(|cell|²) kernel memory — the same
+    # blowup the pair join had in shuffle rows; the corpus-scaled
+    # codebook (cells ~{div} rows) is the sizing contract either way.
+    def _cell_topk(pdf):
+        import numpy as np
+        import pandas as pd
+
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {
+                    "src": pd.Series([], dtype="int64"),
+                    "nbr": pd.Series([], dtype="int64"),
+                    "d2raw": pd.Series([], dtype="float64"),
+                }
+            )
+        A = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        acc = np.zeros((n, n))
+        for d in range(A.shape[1]):
+            t = A[:, d][:, None] - A[:, d][None, :]
+            acc += t * t
+        np.fill_diagonal(acc, np.inf)
+        k = min(KNN_K, n - 1)
+        kth = np.partition(acc, k - 1, axis=1)[:, k - 1]
+        si, ni = np.nonzero(acc <= kth[:, None] + 1e-6)
+        return pd.DataFrame(
+            {
+                "src": ids[si].astype("int64"),
+                "nbr": ids[ni].astype("int64"),
+                "d2raw": acc[si, ni],
+            }
+        )
+
+    cand = (
+        pts.groupBy("cid")
+        .applyInPandas(_cell_topk, "src bigint, nbr bigint, d2raw double")
+        .select("src", "nbr", F.round("d2raw", 6).alias("d2"))
     )
     wr = W.partitionBy("src").orderBy("d2", "nbr")
     return (

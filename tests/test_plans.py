@@ -1919,7 +1919,12 @@ def test_r12_wave_plan_shapes(spark, sf_dir):
     assert knn.count("BroadcastNestedLoopJoin") == 0, knn
     assert "Scan ExistingRDD" in knn, knn  # the checkpoint is present
     assert "BatchEvalPython" not in knn, knn
-    assert "ArrowEvalPython" in knn, knn
+    # r14: the per-pair Arrow L2 over the cell self-join became a
+    # per-cell grouped-map matrix kernel — each cell's embeddings cross
+    # the Python boundary once (FlatMapGroupsInPandas) instead of twice
+    # per candidate pair; the top-k window still collapses to a
+    # WindowGroupLimit over the kernel's bounded superset
+    assert "FlatMapGroupsInPandas" in knn, knn
     assert "WindowGroupLimit" in knn, knn
 
     for name in ("events_stl_decompose", "events_changepoint_binseg"):
