@@ -434,7 +434,7 @@ _SOLO_PINS = {
     "graph_modularity": 2.64,  # r11j quiet-box solo. r14 note: the op rides the co-partitioned substrate (~0.6 s faster), but all six r14 re-pin windows were contention-flagged (3.0-5.9 s) — a pin is never RAISED on contended evidence, and no quiet window was available to lower it; expect the true quiet value near ~2.0
     "graph_hits": 2.47,  # re-pinned r13 quiet-box solo (VERDICT r12 #3). Root-cause capture, r13: a 10-run BENCH_ONLY session caught a 15.6 s outlier (others 2.4-2.9 s) with the IDENTICAL normalized plan hash as the fast runs, gc_ms 41 (flat), jit_ms 2675 (inside the 1.0-3.0 s band every run shows) — the burst is NOT an AQE plan flip, NOT a GC pause, NOT a JIT recompilation storm; by elimination it is a host-level scheduling/IO stall. Two DIFFERENT plan hashes did appear across the 10 runs (an AQE variation) — both on FAST runs, so the variation is benign. Every future artifact ships samples/gc_ms/jit_ms/plan_hashes per query, so the next outlier self-classifies.
     "multimodal_flac_roundtrip": 0.94,  # re-pinned r13-opt quiet-box solo after the codec vectorization (runs [0.93, 0.94, 0.94]; was 1.32 — the stale pin would have clamped a genuinely 10x-encode-faster canonical via the <pin/2 substitution guard)
-    "sim_knn_graph": 3.27,  # r12 quiet-box solo (post Arrow-L2 + corpus-scaled codebook)
+    "sim_knn_graph": 1.13,  # re-pinned r14 after the per-cell matrix kernel (2.85 -> 1.49 s warm; rows collect-compared identical): min-of-medians over 3 BENCH_ONLY windows [1.13, 1.29, 1.20], contention-flagged so conservative-high; the stale 3.27 pin was clamping the genuine 2.3x win
     "graph_ppr": 2.76,  # r12 quiet-box solo
     "sim_mmr_diversify": 1.65,  # r13 quiet-box solo (scripts/probe_scale.py, the round it shipped)
     "graph_random_walks": 2.21,  # r13 quiet-box solo (the round it shipped)
